@@ -1,0 +1,113 @@
+"""Multimodal (image/audio/video) column plumbing (north-star extension).
+
+Design: media travel as opaque ``binary`` columns with typed metadata
+alongside; decode / feature-extract run as Arrow-batched
+``mapInPandas`` so each Python worker touches a whole batch at once.
+The actual codec decode is STUBBED (no image/audio libs in this
+container) behind ``decode_image_stub`` — a deterministic fake keyed on
+the byte content — but everything Spark-side is real and tested: the
+binary schema, the mapInPandas signature, batch iteration, and the
+output schema contract.
+
+At 100 TB: binary payloads dominate row size, so the pattern is
+(1) store media in its own parquet column chunk (column pruning skips
+it unless the query needs pixels), (2) repartition by size so decode
+batches are balanced, (3) extract features once and write them as
+narrow typed columns.
+"""
+
+from __future__ import annotations
+
+from collections.abc import Iterator
+
+import pandas as pd
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+
+from realestate_engine.registry import register, t
+
+IMAGE_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("width", T.IntegerType(), True),
+        T.StructField("height", T.IntegerType(), True),
+        T.StructField("channels", T.IntegerType(), True),
+        T.StructField("mean_intensity", T.DoubleType(), True),
+    ]
+)
+
+
+def decode_image_stub(payload: bytes) -> dict:
+    """STUB decoder — deterministic fake in place of a real codec
+    (PIL/OpenCV are not in this container). A production deployment
+    replaces ONLY this function; the Spark plumbing is unchanged.
+    Raises NotImplementedError for payloads that declare a real codec.
+    """
+    if payload[:4] in (b"\x89PNG", b"\xff\xd8\xff\xe0"):
+        raise NotImplementedError("real image codecs are stubbed in this environment")
+    n = len(payload)
+    return {
+        "n_bytes": n,
+        "width": 16 + n % 64,
+        "height": 16 + (n * 7) % 64,
+        "channels": 3,
+        # deterministic "mean pixel": average byte value
+        "mean_intensity": round(sum(payload) / n, 4) if n else 0.0,
+    }
+
+
+def extract_image_features(binary_df: DataFrame) -> DataFrame:
+    """Arrow-batched feature extraction over a binary column via
+    mapInPandas — the pattern for any per-media Python stage. Input
+    schema: (doc_id long, payload binary)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = [decode_image_stub(bytes(p)) for p in pdf["payload"]]
+            out = pd.DataFrame(feats)
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            yield out
+
+    return binary_df.mapInPandas(batches, IMAGE_FEATURES_SCHEMA)
+
+
+@register(
+    "mm_image_features",
+    """
+    SELECT doc_id,
+           CAST(LENGTH(text) AS BIGINT) AS n_bytes,
+           CAST(16 + LENGTH(text) % 64 AS INTEGER) AS width,
+           CAST(16 + (LENGTH(text) * 7) % 64 AS INTEGER) AS height,
+           CAST(3 AS INTEGER) AS channels
+    FROM documents
+    """,
+)
+def mm_image_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal plumbing end-to-end: text bytes stand in for image
+    payloads (binary column), mapInPandas extracts typed features. The
+    oracle reproduces the deterministic stub's geometry — so the check
+    covers the full binary->batch->schema path, not just the fake."""
+    d = t(spark, sf_dir, "documents")
+    binary_df = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    feats = extract_image_features(binary_df)
+    return feats.select("doc_id", "n_bytes", "width", "height", "channels")
+
+
+@register("mm_frame_sample")  # rows-only: video-style frame sampling plumbing
+def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Frame-sampling shape for video columns: one input row fans out to
+    k deterministic 'frames' (posexplode over computed offsets) — the
+    Spark-side pattern for per-frame feature extraction."""
+    d = t(spark, sf_dir, "documents")
+    n_frames = 4
+    offsets = F.transform(
+        F.sequence(F.lit(0), F.lit(n_frames - 1)),
+        lambda i: (i * F.length("text") / n_frames).cast("int"),
+    )
+    return (
+        d.select("doc_id", F.posexplode(offsets).alias("frame_idx", "byte_offset"))
+        .orderBy("doc_id", "frame_idx")
+    )

@@ -1,0 +1,494 @@
+"""Scalar functions (math/conditional/date/string/array), target
+transform + regression metrics, and TPC-H-style benchmark queries
+(SURVEY.md §2.8, §2.9 M6-M8/M11, §7.5).
+
+The reference's derived features are all native Column expressions (no
+Python UDFs — src/features/feature_engineering.py:182-209); ours keeps
+that rule so everything stays inside whole-stage codegen.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from realestate_engine.registry import register, t
+
+EIFFEL_LAT = 48.8584
+EIFFEL_LON = 2.2945
+EARTH_RADIUS_KM = 6371.0
+
+
+def haversine_km(lat_col, lon_col, lat2: float, lon2: float):
+    """Great-circle distance as a native Column expression (reference:
+    src/features/feature_engineering.py:182-209 — the flagship derived
+    feature). Pure JVM-side math: codegen'd, no serialization boundary."""
+    dlat = F.radians(F.lit(lat2) - lat_col)
+    dlon = F.radians(F.lit(lon2) - lon_col)
+    a = (
+        F.sin(dlat / 2) ** 2
+        + F.cos(F.radians(lat_col)) * F.cos(F.radians(F.lit(lat2))) * F.sin(dlon / 2) ** 2
+    )
+    return 2 * EARTH_RADIUS_KM * F.asin(F.sqrt(a))
+
+
+# ---------------------------------------------------------------------------
+# F1-F8 — math / conditional scalar functions
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f1_log_guarded",
+    """
+    SELECT o_orderkey,
+           CASE WHEN o_totalprice > 0 THEN ROUND(LN(o_totalprice), 6) ELSE NULL END AS log_price
+    FROM orders
+    """,
+)
+def f1_log_guarded(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F1: guarded natural log (reference: log features at
+    src/features/feature_engineering.py:129-148)."""
+    o = t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.when(F.col("o_totalprice") > 0, F.round(F.log("o_totalprice"), 6)).alias("log_price"),
+    )
+
+
+@register(
+    "f2_exp",
+    "SELECT l_orderkey, l_linenumber, ROUND(EXP(l_discount), 6) AS exp_disc FROM lineitem",
+)
+def f2_exp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F2: exp (reference: inverse transform,
+    src/features/target_transformer.py:84-87)."""
+    li = t(spark, sf_dir, "lineitem")
+    return li.select("l_orderkey", "l_linenumber", F.round(F.exp("l_discount"), 6).alias("exp_disc"))
+
+
+@register(
+    "f3_haversine",
+    f"""
+    SELECT c_custkey,
+           ROUND(2 * {EARTH_RADIUS_KM} * ASIN(SQRT(
+               POW(SIN(RADIANS({EIFFEL_LAT} - lat) / 2), 2)
+               + COS(RADIANS(lat)) * COS(RADIANS({EIFFEL_LAT}))
+                 * POW(SIN(RADIANS({EIFFEL_LON} - lon) / 2), 2)
+           )), 4) AS distance_to_eiffel
+    FROM (SELECT c_custkey,
+                 41.0 + (c_custkey % 1000) * 0.01 AS lat,
+                 -5.0 + (c_custkey % 1500) * 0.01 AS lon
+          FROM customer)
+    """,
+)
+def f3_haversine(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F3: haversine distance to the Eiffel Tower — the reference's
+    flagship derived feature (src/features/feature_engineering.py:182-209)
+    over deterministic synthetic coordinates (testdata has no lat/lon)."""
+    c = t(spark, sf_dir, "customer")
+    lat = 41.0 + (F.col("c_custkey") % 1000) * 0.01
+    lon = -5.0 + (F.col("c_custkey") % 1500) * 0.01
+    return c.select(
+        "c_custkey",
+        F.round(haversine_km(lat, lon, EIFFEL_LAT, EIFFEL_LON), 4).alias("distance_to_eiffel"),
+    )
+
+
+@register(
+    "f4_guarded_ratio",
+    """
+    SELECT p_partkey,
+           CASE WHEN p_size IS NULL OR p_size <= 0 THEN 0.0
+                ELSE ROUND(p_retailprice / p_size, 6) END AS price_per_size
+    FROM part
+    """,
+)
+def f4_guarded_ratio(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F4: zero/null-guarded ratio (reference: rooms_per_m2 at
+    src/features/feature_engineering.py:110-118)."""
+    p = t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.when(F.col("p_size").isNull() | (F.col("p_size") <= 0), F.lit(0.0))
+        .otherwise(F.round(F.col("p_retailprice") / F.col("p_size"), 6))
+        .alias("price_per_size"),
+    )
+
+
+@register(
+    "f5_isin_flag",
+    """
+    SELECT p_partkey,
+           CAST(CASE WHEN p_brand IN ('Brand#1', 'Brand#2', 'Brand#3') THEN 1 ELSE 0 END AS BIGINT) AS is_top_brand
+    FROM part
+    """,
+)
+def f5_isin_flag(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F5: set-membership flag (reference: is_house at
+    src/features/feature_engineering.py:121-126)."""
+    p = t(spark, sf_dir, "part")
+    return p.select(
+        "p_partkey",
+        F.when(F.col("p_brand").isin("Brand#1", "Brand#2", "Brand#3"), 1)
+        .otherwise(0)
+        .cast("long")
+        .alias("is_top_brand"),
+    )
+
+
+@register(
+    "f6_quantile_clamp",
+    """
+    SELECT o_orderkey,
+           ROUND(LEAST(GREATEST(o_totalprice, 50000.0), 400000.0), 2) AS price_capped
+    FROM orders
+    """,
+)
+def f6_quantile_clamp(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F6: clamp to fitted bounds via least/greatest — one expression,
+    not the reference's when-chain (src/features/feature_engineering.py:171-180)."""
+    o = t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.round(F.least(F.greatest(F.col("o_totalprice"), F.lit(50000.0)), F.lit(400000.0)), 2).alias(
+            "price_capped"
+        ),
+    )
+
+
+@register(
+    "f8_coalesce_lit",
+    """
+    SELECT event_id,
+           COALESCE(CASE WHEN value >= 10.0 THEN value END, -999.0) AS value_or_default,
+           'engine' AS tag
+    FROM events
+    """,
+)
+def f8_coalesce_lit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F8 (reference: F.coalesce at notebooks/01:145, F.lit constants)."""
+    ev = t(spark, sf_dir, "events")
+    return ev.select(
+        "event_id",
+        F.coalesce(F.when(F.col("value") >= 10.0, F.col("value")), F.lit(-999.0)).alias("value_or_default"),
+        F.lit("engine").alias("tag"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# F10 — date / string / array built-ins (SURVEY §2.8 commitment; the
+# reference never uses them, the testdata exercises them)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "f10_dates",
+    """
+    SELECT o_orderkey,
+           CAST(YEAR(o_orderdate) AS INTEGER) AS order_year,
+           CAST(MONTH(o_orderdate) AS INTEGER) AS order_month,
+           CAST(QUARTER(o_orderdate) AS INTEGER) AS order_quarter,
+           DATE_TRUNC('month', o_orderdate) AS month_start,
+           CAST(DATEDIFF('day', DATE '1995-01-01', CAST(o_orderdate AS DATE)) AS INTEGER) AS days_since_1995
+    FROM orders
+    """,
+)
+def f10_dates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    o = t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.year("o_orderdate").alias("order_year"),
+        F.month("o_orderdate").alias("order_month"),
+        F.quarter("o_orderdate").alias("order_quarter"),
+        F.date_trunc("month", "o_orderdate").alias("month_start"),
+        F.datediff(F.col("o_orderdate").cast("date"), F.lit("1995-01-01").cast("date")).alias(
+            "days_since_1995"
+        ),
+    )
+
+
+@register(
+    "f10_monthly_revenue",
+    """
+    SELECT DATE_TRUNC('month', l_shipdate) AS ship_month,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           COUNT(*) AS n_items
+    FROM lineitem GROUP BY 1 ORDER BY 1
+    """,
+)
+def f10_monthly_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """date_trunc monthly revenue rollup (VERDICT r1 item 4)."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy(F.date_trunc("month", "l_shipdate").alias("ship_month"))
+        .agg(
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"),
+            F.count(F.lit(1)).alias("n_items"),
+        )
+        .orderBy("ship_month")
+    )
+
+
+@register(
+    "f10_strings",
+    """
+    SELECT doc_id,
+           UPPER(lang) AS lang_upper,
+           SUBSTRING(text, 1, 20) AS prefix,
+           CAST(LENGTH(text) AS INTEGER) AS text_len,
+           CONCAT_WS('-', lang, source) AS lang_source,
+           REGEXP_EXTRACT(source, '([0-9]+)', 1) AS source_num,
+           CAST(LEVENSHTEIN(lang, SUBSTRING(source, 1, 4)) AS INTEGER) AS lang_src_dist
+    FROM documents
+    """,
+)
+def f10_strings(spark: SparkSession, sf_dir: str) -> DataFrame:
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.upper("lang").alias("lang_upper"),
+        F.substring("text", 1, 20).alias("prefix"),
+        F.length("text").alias("text_len"),
+        F.concat_ws("-", "lang", "source").alias("lang_source"),
+        F.regexp_extract("source", "([0-9]+)", 1).alias("source_num"),
+        F.levenshtein("lang", F.substring("source", 1, 4)).alias("lang_src_dist"),
+    )
+
+
+@register(
+    "f10_arrays",
+    """
+    SELECT vec_id,
+           CAST(LEN(embedding) AS INTEGER) AS dim,
+           ROUND(CAST(embedding[1] AS DOUBLE), 6) AS first_elem,
+           ROUND(CAST(LIST_MAX(embedding) AS DOUBLE), 6) AS max_elem,
+           ROUND(LIST_SUM(LIST_TRANSFORM(embedding, x -> x * x)), 4) AS sq_norm
+    FROM embeddings
+    """,
+)
+def f10_arrays(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Array built-ins over the embedding column: size/element_at/
+    array_max/aggregate (higher-order fold for the squared norm)."""
+    e = t(spark, sf_dir, "embeddings")
+    return e.select(
+        "vec_id",
+        F.size("embedding").alias("dim"),
+        F.round(F.element_at("embedding", 1).cast("double"), 6).alias("first_elem"),
+        F.round(F.array_max("embedding").cast("double"), 6).alias("max_elem"),
+        F.round(
+            F.aggregate("embedding", F.lit(0.0), lambda acc, x: acc + x * x), 4
+        ).alias("sq_norm"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# M6-M8 — target transform (reference: src/features/target_transformer.py)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "m6_target_stats",
+    """
+    SELECT COUNT(o_totalprice) AS original_count,
+           ROUND(AVG(o_totalprice), 4) AS original_mean,
+           ROUND(STDDEV_SAMP(o_totalprice), 4) AS original_std,
+           ROUND(AVG(LN(o_totalprice)), 6) AS log_mean,
+           ROUND(STDDEV_SAMP(LN(o_totalprice)), 6) AS log_std
+    FROM orders
+    """,
+)
+def m6_target_stats(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M6: TargetTransformer.fit stats in ONE aggregate pass — the
+    reference runs two summary().collect() jobs
+    (src/features/target_transformer.py:34,43)."""
+    o = t(spark, sf_dir, "orders")
+    return o.agg(
+        F.count("o_totalprice").alias("original_count"),
+        F.round(F.avg("o_totalprice"), 4).alias("original_mean"),
+        F.round(F.stddev_samp("o_totalprice"), 4).alias("original_std"),
+        F.round(F.avg(F.log("o_totalprice")), 6).alias("log_mean"),
+        F.round(F.stddev_samp(F.log("o_totalprice")), 6).alias("log_std"),
+    )
+
+
+@register(
+    "m7_log_transform",
+    """
+    SELECT o_orderkey, o_totalprice AS price, ROUND(LN(o_totalprice), 6) AS log_price
+    FROM orders
+    """,
+)
+def m7_log_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M7: add log target column (reference:
+    src/features/target_transformer.py:51-66)."""
+    o = t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("price"),
+        F.round(F.log("o_totalprice"), 6).alias("log_price"),
+    )
+
+
+@register(
+    "m8_smearing_inverse",
+    """
+    SELECT o_orderkey,
+           ROUND(EXP(LN(o_totalprice)) * EXP(POW(s.log_std, 2) / 2), 2) AS pred_price
+    FROM orders
+    CROSS JOIN (SELECT STDDEV_SAMP(LN(o_totalprice)) AS log_std FROM orders) s
+    """,
+)
+def m8_smearing_inverse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M8: log-normal smearing inverse exp(pred)·exp(σ²/2) (reference:
+    src/features/target_transformer.py:68-87). The σ scalar stays in the
+    plan as a broadcast 1-row join — no driver collect."""
+    o = t(spark, sf_dir, "orders")
+    stats = o.agg(F.stddev_samp(F.log("o_totalprice")).alias("log_std"))
+    return o.crossJoin(F.broadcast(stats)).select(
+        "o_orderkey",
+        F.round(F.exp(F.log("o_totalprice")) * F.exp(F.pow("log_std", F.lit(2)) / 2), 2).alias("pred_price"),
+    )
+
+
+@register(
+    "m11_regression_metrics_sql",
+    """
+    WITH pred AS (
+        SELECT o_totalprice AS y,
+               AVG(o_totalprice) OVER (PARTITION BY o_orderpriority) AS yhat,
+               AVG(o_totalprice) OVER () AS ybar
+        FROM orders
+    )
+    SELECT ROUND(SQRT(AVG(POW(y - yhat, 2))), 4) AS rmse,
+           ROUND(AVG(ABS(y - yhat)), 4) AS mae,
+           ROUND(1 - SUM(POW(y - yhat, 2)) / SUM(POW(y - ybar, 2)), 6) AS r2
+    FROM pred
+    """,
+)
+def m11_regression_metrics_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M11: rmse/mae/r2 as pure-SQL aggregates so the oracle can verify
+    the metric math (reference evaluator: src/models/train.py:126-150).
+    The 'model' here is the deterministic per-priority mean predictor."""
+    o = t(spark, sf_dir, "orders")
+    pred = o.select(
+        F.col("o_totalprice").alias("y"),
+        F.avg("o_totalprice").over(Window.partitionBy("o_orderpriority")).alias("yhat"),
+        F.avg("o_totalprice").over(Window.partitionBy()).alias("ybar"),
+    )
+    err = F.col("y") - F.col("yhat")
+    return pred.agg(
+        F.round(F.sqrt(F.avg(err * err)), 4).alias("rmse"),
+        F.round(F.avg(F.abs(err)), 4).alias("mae"),
+        F.round(1 - F.sum(err * err) / F.sum((F.col("y") - F.col("ybar")) * (F.col("y") - F.col("ybar"))), 6).alias("r2"),
+    )
+
+
+# ---------------------------------------------------------------------------
+# TPC-H-style benchmark headliners (bench.py runs these at sf0.1)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "tpch_q1_pricing_summary",
+    """
+    SELECT l_returnflag, l_linestatus,
+           ROUND(SUM(l_quantity), 2) AS sum_qty,
+           ROUND(SUM(l_extendedprice), 2) AS sum_base_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS sum_disc_price,
+           ROUND(SUM(l_extendedprice * (1 - l_discount) * (1 + l_tax)), 2) AS sum_charge,
+           ROUND(AVG(l_quantity), 4) AS avg_qty,
+           ROUND(AVG(l_extendedprice), 4) AS avg_price,
+           ROUND(AVG(l_discount), 6) AS avg_disc,
+           COUNT(*) AS count_order
+    FROM lineitem
+    WHERE l_shipdate <= TIMESTAMP '2001-06-01 00:00:00'
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def tpch_q1_pricing_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q1 shape: scan-heavy multi-aggregate — partial aggregation
+    happens map-side, the shuffle carries ≤ |groups| rows per partition."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.filter(F.col("l_shipdate") <= F.lit("2001-06-01 00:00:00").cast("timestamp"))
+        .groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.round(F.sum("l_quantity"), 2).alias("sum_qty"),
+            F.round(F.sum("l_extendedprice"), 2).alias("sum_base_price"),
+            F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("sum_disc_price"),
+            F.round(
+                F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax"))), 2
+            ).alias("sum_charge"),
+            F.round(F.avg("l_quantity"), 4).alias("avg_qty"),
+            F.round(F.avg("l_extendedprice"), 4).alias("avg_price"),
+            F.round(F.avg("l_discount"), 6).alias("avg_disc"),
+            F.count(F.lit(1)).alias("count_order"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "tpch_q3_shipping_priority",
+    """
+    SELECT l_orderkey,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue,
+           o_orderdate
+    FROM customer
+    JOIN orders   ON c_custkey = o_custkey
+    JOIN lineitem ON l_orderkey = o_orderkey
+    WHERE c_mktsegment = 'BUILDING'
+    GROUP BY l_orderkey, o_orderdate
+    ORDER BY revenue DESC, o_orderdate, l_orderkey
+    LIMIT 10
+    """,
+)
+def tpch_q3_shipping_priority(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q3 shape: selective dim filter → join → agg → top-k."""
+    c = t(spark, sf_dir, "customer").filter(F.col("c_mktsegment") == "BUILDING")
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        c.join(o, c.c_custkey == o.o_custkey)
+        .join(li, o.o_orderkey == li.l_orderkey)
+        .groupBy("l_orderkey", "o_orderdate")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .select("l_orderkey", "revenue", "o_orderdate")
+        .orderBy(F.col("revenue").desc(), "o_orderdate", "l_orderkey")
+        .limit(10)
+    )
+
+
+@register(
+    "tpch_q5_region_revenue",
+    """
+    SELECT r_name, n_name,
+           ROUND(SUM(l_extendedprice * (1 - l_discount)), 2) AS revenue
+    FROM lineitem
+    JOIN orders   ON l_orderkey = o_orderkey
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    JOIN region   ON n_regionkey = r_regionkey
+    GROUP BY r_name, n_name
+    ORDER BY r_name, revenue DESC
+    """,
+)
+def tpch_q5_region_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TPC-H Q5 shape: snowflake join up the dimension hierarchy; both
+    dims broadcast so the fact table shuffles only for the final agg."""
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    return (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name", "n_name")
+        .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
+        .orderBy("r_name", F.col("revenue").desc())
+    )

@@ -1,0 +1,244 @@
+"""ML operator queries (SURVEY.md §2.9) exercised on the driver
+testdata. Deterministic fits (fixed seeds, fixed splits) so reruns are
+stable; SQL oracles where the operator's math is reproducible in SQL
+(StringIndexer frequency ranks, Bucketizer splits, assembler dims),
+rows-only otherwise (tree ensembles, CV)."""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.ml import Pipeline
+from pyspark.ml.feature import Bucketizer, OneHotEncoder, StringIndexer, VectorAssembler
+from pyspark.ml.functions import vector_to_array
+from pyspark.ml.regression import LinearRegression, RandomForestRegressor
+
+from realestate_engine.registry import register, t
+from realestate_engine.train import SEED
+
+
+def _orders_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic numeric features + log label on orders."""
+    o = t(spark, sf_dir, "orders")
+    return o.select(
+        "o_orderkey",
+        F.col("o_totalprice").alias("price"),
+        F.log("o_totalprice").alias("log_price"),
+        (F.col("o_custkey") % 100).cast("double").alias("f_cust"),
+        F.dayofmonth("o_orderdate").cast("double").alias("f_dom"),
+        F.month("o_orderdate").cast("double").alias("f_month"),
+    )
+
+
+@register(
+    "m1_string_indexer",
+    """
+    WITH freq AS (
+        SELECT c_mktsegment, COUNT(*) AS cnt FROM customer GROUP BY c_mktsegment
+    ),
+    idx AS (
+        SELECT c_mktsegment,
+               CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, c_mktsegment) - 1 AS DOUBLE) AS segment_indexed
+        FROM freq
+    )
+    SELECT c.c_custkey, c.c_mktsegment, i.segment_indexed
+    FROM customer c JOIN idx i USING (c_mktsegment)
+    """,
+)
+def m1_string_indexer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M1: frequency-ordered label encoding (ties alphabetical — Spark's
+    documented frequencyDesc order), oracle-reproduced as a rank.
+    Reference: src/features/feature_engineering.py:226-234."""
+    c = t(spark, sf_dir, "customer")
+    model = StringIndexer(inputCol="c_mktsegment", outputCol="segment_indexed", handleInvalid="error").fit(c)
+    return model.transform(c).select("c_custkey", "c_mktsegment", "segment_indexed")
+
+
+@register(
+    "m2_onehot_encoder",
+    """
+    WITH freq AS (
+        SELECT c_mktsegment, COUNT(*) AS cnt FROM customer GROUP BY c_mktsegment
+    ),
+    idx AS (
+        SELECT c_mktsegment,
+               CAST(ROW_NUMBER() OVER (ORDER BY cnt DESC, c_mktsegment) - 1 AS DOUBLE) AS segment_indexed,
+               COUNT(*) OVER () AS n_categories
+        FROM freq
+    )
+    SELECT c.c_custkey,
+           CAST(i.n_categories - 1 AS INTEGER) AS encoded_dim,
+           CAST(CASE WHEN i.segment_indexed < i.n_categories - 1 THEN 1 ELSE 0 END AS DOUBLE) AS is_hot
+    FROM customer c JOIN idx i USING (c_mktsegment)
+    """,
+)
+def m2_onehot_encoder(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M2: one-hot with dropLast=True — vector dim = n_categories - 1 and
+    the last index encodes to all-zeros. Oracle reproduces dim + hotness.
+    Reference: src/features/feature_engineering.py:236-243."""
+    c = t(spark, sf_dir, "customer")
+    pipe = Pipeline(
+        stages=[
+            StringIndexer(inputCol="c_mktsegment", outputCol="segment_indexed", handleInvalid="error"),
+            OneHotEncoder(inputCols=["segment_indexed"], outputCols=["segment_encoded"], dropLast=True),
+        ]
+    ).fit(c)
+    enc = pipe.transform(c).withColumn("enc_arr", vector_to_array("segment_encoded"))
+    return enc.select(
+        "c_custkey",
+        F.size("enc_arr").alias("encoded_dim"),
+        F.aggregate("enc_arr", F.lit(0.0), lambda a, x: a + x).alias("is_hot"),
+    )
+
+
+@register(
+    "m3_vector_assembler",
+    """
+    SELECT o_orderkey, CAST(3 AS INTEGER) AS n_features,
+           ROUND(CAST(o_custkey % 100 AS DOUBLE) + DAYOFMONTH(o_orderdate) + MONTH(o_orderdate), 2) AS feature_sum
+    FROM orders
+    """,
+)
+def m3_vector_assembler(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M3: assembled vector has the declared arity and carries the input
+    values (checked via the vector's element sum). Reference:
+    src/features/feature_engineering.py:245-262."""
+    feats = _orders_features(spark, sf_dir)
+    asm = VectorAssembler(inputCols=["f_cust", "f_dom", "f_month"], outputCol="features", handleInvalid="keep")
+    out = asm.transform(feats).withColumn("farr", vector_to_array("features"))
+    return out.select(
+        "o_orderkey",
+        F.size("farr").alias("n_features"),
+        F.round(F.aggregate("farr", F.lit(0.0), lambda a, x: a + x), 2).alias("feature_sum"),
+    )
+
+
+@register("m4_pipeline_fit_transform", "SELECT COUNT(*) AS n_rows FROM customer")
+def m4_pipeline_fit_transform(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M4: multi-stage Pipeline fit+transform preserves row count (the
+    invariant the reference checked manually, notebooks/02:58-59)."""
+    c = t(spark, sf_dir, "customer")
+    pipe = Pipeline(
+        stages=[
+            StringIndexer(inputCol="c_mktsegment", outputCol="seg_idx", handleInvalid="skip"),
+            OneHotEncoder(inputCols=["seg_idx"], outputCols=["seg_enc"], dropLast=True),
+            VectorAssembler(inputCols=["c_acctbal", "seg_enc"], outputCol="features", handleInvalid="keep"),
+        ]
+    ).fit(c)
+    return pipe.transform(c).agg(F.count(F.lit(1)).alias("n_rows"))
+
+
+@register(
+    "m5_bucketizer",
+    """
+    SELECT o_orderkey,
+           CAST(CASE WHEN o_totalprice < 100000 THEN 0
+                     WHEN o_totalprice < 300000 THEN 1
+                     ELSE 2 END AS DOUBLE) AS price_bucket
+    FROM orders
+    """,
+)
+def m5_bucketizer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M5: Bucketizer over fixed splits (reference used fitted p01/p99,
+    notebooks/04_model_improvement.py:78-90)."""
+    o = t(spark, sf_dir, "orders")
+    buck = Bucketizer(
+        splits=[float("-inf"), 100000.0, 300000.0, float("inf")],
+        inputCol="o_totalprice",
+        outputCol="price_bucket",
+    )
+    return buck.transform(o).select("o_orderkey", "price_bucket")
+
+
+@register("m9_rf_train_predict")  # tree ensemble → rows-only (invariants inside)
+def m9_rf_train_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M9: RandomForest on log_price (B1 FIX: the label is log-space;
+    the reference trained on raw price then exp'd it,
+    src/models/train.py:90). Returns per-prediction rows with built-in
+    finiteness invariants."""
+    feats = _orders_features(spark, sf_dir)
+    asm = VectorAssembler(inputCols=["f_cust", "f_dom", "f_month"], outputCol="features")
+    train = asm.transform(feats)
+    model = RandomForestRegressor(
+        featuresCol="features", labelCol="log_price", numTrees=10, maxDepth=4, seed=SEED
+    ).fit(train)
+    preds = model.transform(train)
+    return preds.agg(
+        F.count(F.lit(1)).alias("n_predictions"),
+        F.sum(F.when(F.isnan("prediction") | F.col("prediction").isNull(), 1).otherwise(0)).cast("long").alias("n_bad"),
+        F.round(F.min("prediction"), 2).alias("min_pred"),
+        F.round(F.max("prediction"), 2).alias("max_pred"),
+    )
+
+
+@register("m10_cross_validator")  # CV → rows-only (deterministic w/ seed)
+def m10_cross_validator(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M10: CrossValidator + ParamGrid over LinearRegression (reference
+    grids: src/models/train.py:242-246), seeded and parallel."""
+    from pyspark.ml.evaluation import RegressionEvaluator
+    from pyspark.ml.tuning import CrossValidator, ParamGridBuilder
+
+    feats = _orders_features(spark, sf_dir)
+    asm = VectorAssembler(inputCols=["f_cust", "f_dom", "f_month"], outputCol="features")
+    train = asm.transform(feats)
+    lr = LinearRegression(featuresCol="features", labelCol="log_price")
+    grid = ParamGridBuilder().addGrid(lr.regParam, [0.1, 1.0]).addGrid(lr.elasticNetParam, [0.0, 1.0]).build()
+    cv = CrossValidator(
+        estimator=lr,
+        estimatorParamMaps=grid,
+        evaluator=RegressionEvaluator(labelCol="log_price", metricName="rmse"),
+        numFolds=3,
+        seed=SEED,
+        parallelism=4,
+    ).fit(train)
+    best = cv.bestModel
+    return spark.createDataFrame(
+        [
+            (
+                float(best.getRegParam()),
+                float(best.getElasticNetParam()),
+                int(train.count()),
+            )
+        ],
+        "best_reg_param double, best_elastic_net double, n_train int",
+    )
+
+
+@register("m12_feature_importances")  # rows-only (seeded RF is deterministic)
+def m12_feature_importances(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M12: featureImportances report (reference:
+    notebooks/03_model_training.py:187-215)."""
+    feats = _orders_features(spark, sf_dir)
+    asm = VectorAssembler(inputCols=["f_cust", "f_dom", "f_month"], outputCol="features")
+    train = asm.transform(feats)
+    model = RandomForestRegressor(
+        featuresCol="features", labelCol="log_price", numTrees=10, maxDepth=4, seed=SEED
+    ).fit(train)
+    imps = list(model.featureImportances.toArray())
+    names = ["f_cust", "f_dom", "f_month"]
+    return spark.createDataFrame(
+        [(n, round(float(v), 6)) for n, v in zip(names, imps)], "feature string, importance double"
+    ).orderBy(F.col("importance").desc(), "feature")
+
+
+@register("m13_batch_predict")  # rows-only (composition invariants inside)
+def m13_batch_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M13: end-to-end predict composition — assemble → model.transform →
+    smearing inverse → (id, price) (reference: src/inference/predict.py:14-26),
+    trained on log_price and inverted once (B1 fix)."""
+    feats = _orders_features(spark, sf_dir)
+    asm = VectorAssembler(inputCols=["f_cust", "f_dom", "f_month"], outputCol="features")
+    train = asm.transform(feats)
+    model = LinearRegression(featuresCol="features", labelCol="log_price").fit(train)
+    preds = model.transform(train)
+    stats = train.agg(F.stddev_samp("log_price").alias("log_std"))
+    out = preds.crossJoin(F.broadcast(stats)).select(
+        "o_orderkey",
+        (F.exp(F.col("prediction")) * F.exp(F.pow("log_std", F.lit(2)) / 2)).alias("predicted_price"),
+    )
+    return out.agg(
+        F.count(F.lit(1)).alias("n_predictions"),
+        F.sum(
+            F.when(F.isnan("predicted_price") | (F.col("predicted_price") <= 0), 1).otherwise(0)
+        ).cast("long").alias("n_invalid"),
+    )

@@ -1,0 +1,75 @@
+"""Central query registry feeding the driver contract.
+
+Every operator the engine implements is registered here as a named
+query (a ``(spark, sf_dir) -> DataFrame`` callable) optionally paired
+with an ANSI-SQL oracle string that DuckDB runs on the same parquet
+tables. The driver compares row-count + schema + order-insensitive
+value-hash, so:
+
+- every computed column is aliased identically on both sides;
+- float aggregates are rounded identically on both sides (double
+  summation order differs between engines);
+- integer-valued computed columns are cast to BIGINT on both sides
+  (DuckDB widens integer SUMs to HUGEINT, Spark to LONG).
+"""
+
+from __future__ import annotations
+
+from collections.abc import Callable
+
+from pyspark.sql import DataFrame, SparkSession
+
+QueryFn = Callable[[SparkSession, str], DataFrame]
+
+QUERIES: dict[str, QueryFn] = {}
+ORACLES: dict[str, str] = {}
+
+
+def register(name: str, sql: str | None = None) -> Callable[[QueryFn], QueryFn]:
+    """Register a named query; ``sql`` is the DuckDB oracle (omit for
+    non-SQL-expressible operators → driver does a rows-only check)."""
+
+    def deco(fn: QueryFn) -> QueryFn:
+        if name in QUERIES:
+            raise ValueError(f"duplicate query name: {name}")
+        QUERIES[name] = fn
+        if sql is not None:
+            ORACLES[name] = sql
+        return fn
+
+    return deco
+
+
+def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
+    """Load one driver testdata table.
+
+    The events table stores ts as parquet TIMESTAMP(NANOS), which Spark
+    cannot map to TimestampType natively — read it as long nanos and
+    convert to a microsecond timestamp (integer division, no precision
+    loss at the data's actual µs resolution).
+    """
+    from pyspark.sql import functions as F
+
+    # The driver supplies its own SparkSession; pin the timezone so
+    # timestamp-derived values (year/date_trunc/window) match the
+    # DuckDB oracle regardless of host timezone.
+    spark.conf.set("spark.sql.session.timeZone", "UTC")
+    if name == "events":
+        spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+        if dict(df.dtypes).get("ts") == "bigint":
+            df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        return df
+    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+
+
+def load_all() -> None:
+    """Import every module that registers queries (idempotent)."""
+    import realestate_engine.queries_core  # noqa: F401
+    import realestate_engine.queries_functions  # noqa: F401
+    import realestate_engine.queries_ml  # noqa: F401
+    import realestate_engine.dedup  # noqa: F401
+    import realestate_engine.similarity  # noqa: F401
+    import realestate_engine.text  # noqa: F401
+    import realestate_engine.streaming  # noqa: F401
+    import realestate_engine.multimodal  # noqa: F401

@@ -1,0 +1,75 @@
+"""SparkSession factory with scale-safe defaults.
+
+Re-derives the configuration surface of the reference's session factory
+(reference: src/utils/spark_utils.py:26-47 — AQE + coalescing + skew
+join, columnar cache, Arrow transfer, 100MB broadcast threshold) without
+its hardcoded single-machine sizing (25g driver heap, 10 cores,
+shuffle.partitions=40): at 100 TB those must come from the cluster
+manager / AQE, not from code.
+"""
+
+from __future__ import annotations
+
+import os
+
+from pyspark.sql import SparkSession
+
+# Defaults chosen for correctness + portability. Sizing knobs
+# (executor memory/cores, shuffle partitions) are intentionally NOT
+# pinned here beyond a local-mode fallback: on a real cluster they are
+# provided by spark-submit, and AQE coalesces shuffle partitions at
+# runtime regardless of the initial number.
+_BASE_CONF = {
+    # Adaptive execution: runtime re-plan, partition coalescing, skew
+    # join splitting (reference: src/utils/spark_utils.py:31-34).
+    "spark.sql.adaptive.enabled": "true",
+    "spark.sql.adaptive.coalescePartitions.enabled": "true",
+    "spark.sql.adaptive.localShuffleReader.enabled": "true",
+    "spark.sql.adaptive.skewJoin.enabled": "true",
+    # Broadcast threshold: dims (region/nation/customer at small SF)
+    # broadcast for shuffle-free joins (reference: spark_utils.py:41).
+    "spark.sql.autoBroadcastJoinThreshold": str(100 * 1024 * 1024),
+    # Columnar compressed in-memory cache (reference: spark_utils.py:35-36).
+    "spark.sql.inMemoryColumnarStorage.compressed": "true",
+    "spark.sql.inMemoryColumnarStorage.batchSize": "10000",
+    # Arrow for the Python<->JVM data plane (toPandas/createDataFrame,
+    # pandas UDFs) (reference: spark_utils.py:43).
+    "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Deterministic timestamp semantics for the DuckDB oracle.
+    "spark.sql.session.timeZone": "UTC",
+    # Parquet scans: vectorized reader + pushdown are on by default;
+    # keep rebase modes deterministic.
+    "spark.sql.parquet.datetimeRebaseModeInRead": "CORRECTED",
+    "spark.sql.parquet.datetimeRebaseModeInWrite": "CORRECTED",
+}
+
+
+def create_session(
+    app_name: str = "realestate_engine",
+    master: str | None = None,
+    shuffle_partitions: int | None = None,
+    extra_conf: dict[str, str] | None = None,
+) -> SparkSession:
+    """Create (or get) a SparkSession with the engine's config surface.
+
+    In local mode defaults to ``local[$SPARK_GRAFT_CPUS or *]`` and a
+    shuffle-partition count matched to local cores; on a cluster, pass
+    ``master=None`` with externally-managed sizing.
+    """
+    builder = SparkSession.builder.appName(app_name)
+    if master is None and "SPARK_GRAFT_CPUS" in os.environ:
+        master = f"local[{os.environ['SPARK_GRAFT_CPUS']}]"
+    if master:
+        builder = builder.master(master)
+    conf = dict(_BASE_CONF)
+    if shuffle_partitions is None:
+        cpus = os.environ.get("SPARK_GRAFT_CPUS")
+        if cpus and cpus.isdigit():
+            shuffle_partitions = int(cpus)
+    if shuffle_partitions is not None:
+        conf["spark.sql.shuffle.partitions"] = str(shuffle_partitions)
+    if extra_conf:
+        conf.update(extra_conf)
+    for k, v in conf.items():
+        builder = builder.config(k, v)
+    return builder.getOrCreate()

@@ -1,0 +1,120 @@
+"""Similarity search over embedding columns (north-star extension).
+
+Three tiers, trading exactness for scale:
+
+- brute-force cosine top-k: exact baseline. The probe is a 1-row
+  broadcast (no collect); the scan side computes dot products inside
+  codegen via zip_with/aggregate. At 100 TB this is a single
+  map-side pass + TakeOrderedAndProject — no shuffle of the corpus.
+- LSH-bucketed ANN (random hyperplane signs): probe only touches its
+  own bucket — candidate set shrinks by ~2^bits.
+- IVF-style (coarse quantizer = label here; KMeans in practice):
+  search the nearest cells only.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from realestate_engine.dedup import cosine_sim
+from realestate_engine.registry import register, t
+
+# Deterministic pseudo-random hyperplanes: plane b, component i has sign
+# +1 iff crc32(f"{b}:{i}") is even. Reproducible across engines/runs.
+
+
+def _hyperplane_sign(b: int, i_col: Column) -> Column:
+    return F.when(F.crc32(F.concat(F.lit(f"{b}:"), i_col.cast("string"))) % 2 == 0, F.lit(1.0)).otherwise(
+        F.lit(-1.0)
+    )
+
+
+def lsh_bucket(vec: Column, bits: int = 8) -> Column:
+    """Random-hyperplane LSH bucket id (0..2^bits-1) as a pure
+    expression: sign of <v, h_b> contributes bit b."""
+    acc = F.lit(0).cast("long")
+    for b in range(bits):
+        proj = F.aggregate(
+            F.zip_with(
+                vec,
+                F.transform(F.sequence(F.lit(0), F.size(vec) - 1), lambda i: _hyperplane_sign(b, i)),
+                lambda x, s: x * s,
+            ),
+            F.lit(0.0),
+            lambda a, x: a + x,
+        )
+        acc = acc + F.when(proj > 0, F.shiftleft(F.lit(1).cast("long"), b)).otherwise(F.lit(0).cast("long"))
+    return acc
+
+
+def brute_force_topk(
+    corpus: DataFrame, probe: DataFrame, k: int = 20, id_col: str = "vec_id", vec_col: str = "embedding"
+) -> DataFrame:
+    """Exact cosine top-k of `corpus` against a 1-row `probe(probe_vec)`."""
+    joined = corpus.crossJoin(F.broadcast(probe))
+    cos = F.round(cosine_sim(F.col(vec_col), F.col("probe_vec")), 6)
+    return (
+        joined.select(F.col(id_col), cos.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+@register(
+    "sim_bruteforce_topk",
+    """
+    SELECT vec_id,
+           ROUND(LIST_DOT_PRODUCT(embedding::DOUBLE[], p.probe_vec::DOUBLE[])
+                 / (SQRT(LIST_DOT_PRODUCT(embedding::DOUBLE[], embedding::DOUBLE[]))
+                    * SQRT(LIST_DOT_PRODUCT(p.probe_vec::DOUBLE[], p.probe_vec::DOUBLE[]))), 6) AS cosine
+    FROM embeddings
+    CROSS JOIN (SELECT embedding AS probe_vec FROM embeddings WHERE vec_id = 0) p
+    ORDER BY cosine DESC, vec_id
+    LIMIT 20
+    """,
+)
+def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact cosine top-20 for probe vec_id=0. The probe never leaves the
+    plan (broadcast 1-row join, no driver collect)."""
+    e = t(spark, sf_dir, "embeddings")
+    probe = e.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("probe_vec"))
+    return brute_force_topk(e, probe, k=20)
+
+
+@register("sim_lsh_ann")  # approximate → rows-only check (recall tested in pytest)
+def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-k via random-hyperplane LSH: probe searches only its own
+    bucket. At 100 TB the corpus is written bucketed/partitioned by this
+    key, so a probe reads ~1/2^bits of the data."""
+    e = t(spark, sf_dir, "embeddings")
+    bucketed = e.withColumn("bucket", lsh_bucket(F.col("embedding"), bits=4))
+    probe = bucketed.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("probe_vec"), F.col("bucket").alias("probe_bucket")
+    )
+    cand = bucketed.join(F.broadcast(probe), F.col("bucket") == F.col("probe_bucket"))
+    cos = F.round(cosine_sim(F.col("embedding"), F.col("probe_vec")), 6)
+    return cand.select("vec_id", cos.alias("cosine")).orderBy(F.col("cosine").desc(), "vec_id").limit(20)
+
+
+@register("sim_ivf_cells")  # rows-only: IVF cell assignment + per-cell stats
+def sim_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF scaffolding: per-cell (here: label as the coarse cell; a
+    seeded KMeans in production) centroid norms and occupancy — the
+    statistics an IVF probe planner needs to choose nprobe cells."""
+    e = t(spark, sf_dir, "embeddings")
+    dim = 64
+    sums = e.groupBy("label").agg(
+        F.count(F.lit(1)).alias("n_vectors"),
+        F.array(
+            *[F.sum(F.element_at("embedding", i + 1)).alias(f"s{i}") for i in range(dim)]
+        ).alias("centroid_sum"),
+    )
+    centroid = F.transform("centroid_sum", lambda s: s / F.col("n_vectors"))
+    return sums.select(
+        "label",
+        "n_vectors",
+        F.round(
+            F.sqrt(F.aggregate(centroid, F.lit(0.0), lambda a, x: a + x * x)), 6
+        ).alias("centroid_norm"),
+    ).orderBy("label")

@@ -1,0 +1,141 @@
+"""Event-time windowing operators (SURVEY.md §2.10 commitment).
+
+The reference has no streaming surface; ours adds tumbling / sliding /
+session windows + watermark semantics on the events table. The same
+``F.window`` / ``F.session_window`` expressions run identically over
+batch DataFrames (how the driver's oracle checks them) and over
+``readStream`` sources (how they deploy — see ``streamify`` and the
+pytest streaming test).
+
+Scale: windowed aggregation shuffles on (window, key); the watermark
+bounds state so a 100 TB/day stream holds only the open windows.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from realestate_engine.registry import register, t
+
+
+def tumbling_counts(events: DataFrame, window: str = "10 minutes", watermark: str = "30 minutes") -> DataFrame:
+    """Tumbling event-time windows + watermark. Works on batch and
+    streaming inputs alike (withWatermark is a no-op in batch)."""
+    return (
+        events.withWatermark("ts", watermark)
+        .groupBy(F.window("ts", window).alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"), F.round(F.sum("value"), 2).alias("sum_value"))
+        .select(
+            F.col("w.start").alias("window_start"),
+            F.col("w.end").alias("window_end"),
+            "event_type",
+            "n_events",
+            "sum_value",
+        )
+    )
+
+
+@register(
+    "st_tumbling_window",
+    """
+    SELECT CAST(TO_TIMESTAMP(FLOOR(EPOCH(ts) / 600) * 600) AS TIMESTAMP) AS window_start,
+           CAST(TO_TIMESTAMP(FLOOR(EPOCH(ts) / 600) * 600 + 600) AS TIMESTAMP) AS window_end,
+           event_type,
+           COUNT(*) AS n_events,
+           ROUND(SUM(value), 2) AS sum_value
+    FROM events
+    GROUP BY 1, 2, 3
+    """,
+)
+def st_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST1a: 10-minute tumbling windows (epoch-aligned, same alignment
+    DuckDB's floor-of-epoch reproduces)."""
+    return tumbling_counts(t(spark, sf_dir, "events"))
+
+
+@register(
+    "st_sliding_window",
+    """
+    SELECT CAST(TO_TIMESTAMP(FLOOR((EPOCH(ts) - k.k * 300) / 600) * 600 + k.k * 300) AS TIMESTAMP) AS window_start,
+           event_type,
+           COUNT(*) AS n_events
+    FROM events CROSS JOIN (SELECT UNNEST([0, 1]) AS k) k
+    GROUP BY 1, 2
+    """,
+)
+def st_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST1b: 10-minute windows sliding every 5 — each event lands in 2
+    windows (the oracle reproduces the assignment by shifting two
+    tumbling grids)."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.window("ts", "10 minutes", "5 minutes").alias("w"), "event_type")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(F.col("w.start").alias("window_start"), "event_type", "n_events")
+    )
+
+
+@register(
+    "st_session_window",
+    """
+    WITH marked AS (
+        SELECT user_id, ts, event_id,
+               CASE WHEN EPOCH(ts) - EPOCH(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+                         OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+    ),
+    sessions AS (
+        SELECT user_id, ts, event_id,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+        FROM marked
+    )
+    SELECT user_id,
+           MIN(ts) AS session_start,
+           CAST(TO_TIMESTAMP(EPOCH(MAX(ts)) + 1800) AS TIMESTAMP) AS session_end,
+           COUNT(*) AS n_events
+    FROM sessions
+    GROUP BY user_id, session_id
+    """,
+)
+def st_session_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST1c: session windows with a 30-minute gap. Spark's
+    session_window end = last event + gap; the oracle reproduces it with
+    a gaps-and-islands construction."""
+    ev = t(spark, sf_dir, "events")
+    return (
+        ev.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .select(
+            "user_id",
+            F.col("w.start").alias("session_start"),
+            F.col("w.end").alias("session_end"),
+            "n_events",
+        )
+    )
+
+
+@register(
+    "st_watermark_dedup",
+    """
+    SELECT user_id, event_type, MIN(event_id) AS first_event_id, COUNT(*) AS n_dups
+    FROM events GROUP BY user_id, event_type
+    """,
+)
+def st_watermark_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST1d: streaming dedup shape — dropDuplicates within the watermark
+    keeps one row per key; here the batch equivalent returns the first
+    event per (user, type) plus how many duplicates were folded."""
+    ev = t(spark, sf_dir, "events")
+    return ev.groupBy("user_id", "event_type").agg(
+        F.min("event_id").alias("first_event_id"), F.count(F.lit(1)).alias("n_dups")
+    )
+
+
+def streamify(spark: SparkSession, parquet_dir: str, schema) -> DataFrame:
+    """Open a directory of parquet files as a file-source stream — the
+    deployment form of every operator above (used by the pytest
+    streaming round-trip test)."""
+    return spark.readStream.schema(schema).parquet(parquet_dir)

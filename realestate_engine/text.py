@@ -1,0 +1,182 @@
+"""Text analysis operators over the documents table (north-star
+extension): token counting, quality scoring, fingerprinting, TF-IDF,
+and a language-ID heuristic.
+
+All tokenization and scoring is native Spark SQL (split/regexp/
+higher-order functions) — no Python in the hot path. The TF-IDF uses
+explode + two aggregates (one shuffle each); document fingerprints are
+md5 of a canonical normalization.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from realestate_engine.registry import register, t
+
+_STOPWORDS = ["the", "a", "of", "and", "to", "in", "is", "on", "for", "with"]
+
+
+@register(
+    "text_token_count",
+    r"""
+    SELECT doc_id,
+           CAST(LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+')) AS BIGINT) AS n_tokens,
+           CAST(LEN(LIST_DISTINCT(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+'))) AS BIGINT) AS n_distinct_tokens,
+           CAST(LENGTH(text) AS BIGINT) AS n_chars
+    FROM documents
+    """,
+)
+def text_token_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Whitespace token counts (total + distinct) per document."""
+    d = t(spark, sf_dir, "documents")
+    tokens = F.split(F.trim(F.col("text")), r"\s+")
+    return d.select(
+        "doc_id",
+        F.size(tokens).cast("long").alias("n_tokens"),
+        F.size(F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))).cast("long").alias(
+            "n_distinct_tokens"
+        ),
+        F.length("text").cast("long").alias("n_chars"),
+    )
+
+
+@register(
+    "text_quality_score",
+    rf"""
+    WITH toks AS (
+        SELECT doc_id,
+               STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+') AS words,
+               LENGTH(text) AS n_char,
+               LENGTH(REGEXP_REPLACE(text, '[^.!?,;]', '', 'g')) AS n_punct
+        FROM documents
+    )
+    SELECT doc_id,
+           ROUND(CAST(n_punct AS DOUBLE) / n_char, 6) AS punct_ratio,
+           ROUND(CAST(LEN(LIST_FILTER(words, w -> w IN ({", ".join(repr(w) for w in _STOPWORDS)}))) AS DOUBLE)
+                 / LEN(words), 6) AS stopword_ratio,
+           ROUND(CAST(n_char AS DOUBLE) / LEN(words), 4) AS chars_per_token,
+           ROUND(CAST(LEN(LIST_DISTINCT(words)) AS DOUBLE) / LEN(words), 6) AS lexical_diversity
+    FROM toks
+    """,
+)
+def text_quality_score(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document quality signals: punctuation ratio, stopword ratio,
+    average token length, lexical diversity — the standard cheap filters
+    of an LLM-pretraining pipeline."""
+    d = t(spark, sf_dir, "documents")
+    words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    n_char = F.length("text")
+    n_punct = F.length(F.regexp_replace("text", r"[^.!?,;]", ""))
+    stop_arr = F.array(*[F.lit(w) for w in _STOPWORDS])
+    return d.select(
+        "doc_id",
+        F.round(n_punct.cast("double") / n_char, 6).alias("punct_ratio"),
+        F.round(
+            F.size(F.filter(words, lambda w: F.array_contains(stop_arr, w))).cast("double") / F.size(words), 6
+        ).alias("stopword_ratio"),
+        F.round(n_char.cast("double") / F.size(words), 4).alias("chars_per_token"),
+        F.round(F.size(F.array_distinct(words)).cast("double") / F.size(words), 6).alias("lexical_diversity"),
+    )
+
+
+@register(
+    "text_fingerprint",
+    r"""
+    SELECT doc_id,
+           MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\s+', ' ', 'g')) AS fingerprint
+    FROM documents
+    """,
+)
+def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Canonical-form document fingerprint (lowercase + whitespace
+    collapse + md5) — the join key for exact-dup detection at scale."""
+    d = t(spark, sf_dir, "documents")
+    return d.select(
+        "doc_id",
+        F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")).alias("fingerprint"),
+    )
+
+
+@register(
+    "text_tfidf_top_term",
+    r"""
+    WITH words AS (
+        SELECT doc_id, UNNEST(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+')) AS word
+        FROM documents
+    ),
+    tf AS (
+        SELECT doc_id, word, COUNT(*) AS tf FROM words GROUP BY doc_id, word
+    ),
+    df AS (
+        SELECT word, COUNT(DISTINCT doc_id) AS df FROM words GROUP BY word
+    ),
+    n AS (SELECT COUNT(*) AS n_docs FROM documents),
+    scored AS (
+        SELECT tf.doc_id, tf.word,
+               ROUND(tf.tf * LN(CAST(n.n_docs AS DOUBLE) / df.df), 6) AS tfidf
+        FROM tf JOIN df USING (word) CROSS JOIN n
+    )
+    SELECT doc_id, word AS top_term, tfidf
+    FROM scored
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY tfidf DESC, word) = 1
+    """,
+)
+def text_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TF-IDF with the top-scoring term per document. Two hash
+    aggregations + a broadcast of the (small) document-frequency side of
+    the vocabulary; no driver-side vocabulary construction."""
+    d = t(spark, sf_dir, "documents")
+    words = d.select("doc_id", F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("word"))
+    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df = words.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
+    scored = (
+        tf.join(df, "word")
+        .crossJoin(F.broadcast(n_docs))
+        .select(
+            "doc_id",
+            "word",
+            F.round(F.col("tf") * F.log(F.col("n_docs").cast("double") / F.col("df")), 6).alias("tfidf"),
+        )
+    )
+    w = Window.partitionBy("doc_id").orderBy(F.col("tfidf").desc(), F.col("word"))
+    return (
+        scored.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("doc_id", F.col("word").alias("top_term"), "tfidf")
+    )
+
+
+# Tiny per-language marker-token profiles for the heuristic language ID.
+# Deterministic and self-contained (the documents table is synthetic
+# word soup, so this demonstrates the operator shape, not linguistics).
+_LANG_MARKERS = {
+    "en": ["the", "and", "of"],
+    "fr": ["le", "la", "et"],
+    "de": ["der", "und", "die"],
+    "es": ["el", "los", "y"],
+    "zh": ["de", "shi", "le"],
+}
+
+
+@register("text_langid")  # heuristic → rows-only check (unit-tested in pytest)
+def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-gram/marker-token language-ID heuristic: score each language
+    profile by marker hit-rate, take the argmax (ties → 'und'). One
+    pass, all native expressions."""
+    d = t(spark, sf_dir, "documents")
+    words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    scores = []
+    for lang, markers in _LANG_MARKERS.items():
+        marker_arr = F.array(*[F.lit(m) for m in markers])
+        score = F.size(F.filter(words, lambda w: F.array_contains(marker_arr, w))).cast("double") / F.size(words)
+        scores.append(F.struct(score.alias("score"), F.lit(lang).alias("lang")))
+    best = F.array_max(F.array(*scores))
+    return d.select(
+        "doc_id",
+        F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und")).alias("predicted_lang"),
+        F.round(best["score"], 6).alias("confidence"),
+    ).orderBy("doc_id")
