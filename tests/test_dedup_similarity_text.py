@@ -1,0 +1,115 @@
+"""Planted-fixture tests for the LLM-pipeline operators: fuzzy dedup
+finds planted near-duplicates, LSH ANN recalls true neighbors, text
+operators score known inputs."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from realestate_engine.dedup import (
+    cosine_sim,
+    minhash_lsh_candidates,
+    simhash32,
+    word_shingles,
+)
+from realestate_engine.similarity import brute_force_topk, lsh_bucket
+from realestate_engine.registry import QUERIES, load_all
+
+load_all()
+
+BASE = (
+    "the quick brown fox jumps over the lazy dog while the cat watches "
+    "from the warm window sill and the birds sing in the garden outside"
+)
+
+
+@pytest.fixture(scope="module")
+def docs(spark):
+    rows = [
+        (0, BASE),
+        (1, BASE.replace("lazy", "sleepy")),  # near-dup of 0
+        (2, BASE),  # exact dup of 0
+        (3, "completely different text about spark query engines and distributed joins entirely"),
+        (4, "yet another unrelated document mentioning parquet files and shuffle partitions only"),
+    ]
+    return spark.createDataFrame(rows, "doc_id long, text string")
+
+
+def test_word_shingles_count_and_dedup(spark):
+    df = spark.createDataFrame([(1, "a b c d"), (2, "x x x x x")], "id long, text string")
+    out = {r.id: r.sh for r in df.select("id", word_shingles(F.col("text")).alias("sh")).collect()}
+    assert out[1] == ["a b c", "b c d"]
+    assert out[2] == ["x x x"]  # distinct shingles
+    # short text → no shingles, not a crash
+    short = spark.createDataFrame([(3, "one two")], "id long, text string")
+    assert short.select(word_shingles(F.col("text")).alias("sh")).first().sh == []
+
+
+def test_minhash_lsh_finds_planted_dups(docs):
+    pairs = {(r.id_a, r.id_b) for r in minhash_lsh_candidates(docs, "doc_id", "text").collect()}
+    assert (0, 2) in pairs  # exact dup always collides
+    assert (0, 1) in pairs or (1, 2) in pairs  # near-dup collides in ≥1 band
+    # unrelated docs must not flood the candidate set
+    assert (3, 4) not in pairs
+
+
+def test_simhash_exact_dup_same_fingerprint(docs):
+    out = {r.doc_id: r.h for r in docs.select("doc_id", simhash32(F.col("text")).alias("h")).collect()}
+    assert out[0] == out[2]
+    ham = bin(out[0] ^ out[1]).count("1")
+    assert ham <= 8  # near-dup: small hamming distance
+    assert bin(out[0] ^ out[3]).count("1") > ham
+
+
+@pytest.fixture(scope="module")
+def vectors(spark):
+    import math
+
+    def vec(theta):
+        return [math.cos(theta), math.sin(theta)] + [0.0] * 6
+
+    rows = [(i, vec(0.03 * i)) for i in range(50)] + [(99, vec(3.14))]
+    return spark.createDataFrame(rows, "vec_id long, embedding array<float>")
+
+
+def test_brute_force_topk_exact(vectors):
+    probe = vectors.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("probe_vec"))
+    top = brute_force_topk(vectors, probe, k=5).collect()
+    assert top[0].vec_id == 0 and top[0].cosine == pytest.approx(1.0)
+    assert [r.vec_id for r in top[1:3]] == [1, 2]  # nearest angles first
+    assert all(r.cosine <= 1.0 + 1e-9 for r in top)
+
+
+def test_lsh_recall_vs_exact(vectors):
+    # neighbors by angle land in the same hyperplane bucket far more
+    # often than the antipodal point
+    b = vectors.select("vec_id", lsh_bucket(F.col("embedding"), bits=4).alias("bucket"))
+    buckets = {r.vec_id: r.bucket for r in b.collect()}
+    same = sum(1 for i in range(1, 6) if buckets[i] == buckets[0])
+    assert same >= 3
+    assert buckets[99] != buckets[0]
+
+
+def test_cosine_sim_expression(spark):
+    df = spark.createDataFrame(
+        [([1.0, 0.0], [1.0, 0.0]), ([1.0, 0.0], [0.0, 1.0])],
+        "a array<float>, b array<float>",
+    )
+    vals = [r.c for r in df.select(cosine_sim(F.col("a"), F.col("b")).alias("c")).collect()]
+    assert vals[0] == pytest.approx(1.0)
+    assert vals[1] == pytest.approx(0.0, abs=1e-9)
+
+
+def test_text_langid_shape(spark, sf_dir):
+    out = QUERIES["text_langid"](spark, sf_dir)
+    rows = out.collect()
+    assert len(rows) == 500
+    assert set(out.columns) == {"doc_id", "predicted_lang", "confidence"}
+    assert all(0.0 <= r.confidence <= 1.0 for r in rows)
+
+
+def test_dedup_keep_newest_one_per_key(spark, sf_dir):
+    out = QUERIES["dedup_keep_newest"](spark, sf_dir)
+    assert out.count() == out.select("o_custkey").distinct().count()

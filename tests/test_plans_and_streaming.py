@@ -1,0 +1,100 @@
+"""Physical-plan assertions (the 100 TB posture is checkable locally:
+pushdown reaches the scan, dims broadcast, top-k avoids global sort)
+plus a real Structured Streaming round-trip and multimodal plumbing."""
+
+from __future__ import annotations
+
+import time
+
+from pyspark.sql import functions as F
+
+from realestate_engine.registry import QUERIES, load_all
+from realestate_engine.schemas import TESTDATA_SCHEMAS
+from realestate_engine.streaming import streamify, tumbling_counts
+from realestate_engine.multimodal import extract_image_features
+
+load_all()
+
+
+def _plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+
+
+def test_filter_and_projection_pushed_to_scan(spark, sf_dir):
+    plan = _plan(QUERIES["s2_parquet_scan_pushdown"](spark, sf_dir))
+    assert "PushedFilters: [IsNotNull(l_quantity), GreaterThanOrEqual(l_quantity,45.0)" in plan
+    # column pruning: the scan must read only the 3 projected columns
+    read_schema = [l for l in plan.splitlines() if "ReadSchema" in l][0]
+    assert "l_extendedprice" not in read_schema and "l_quantity" in read_schema
+
+
+def test_dimension_joins_are_broadcast(spark, sf_dir):
+    plan = _plan(QUERIES["flagship_revenue_by_nation"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    plan5 = _plan(QUERIES["tpch_q5_region_revenue"](spark, sf_dir))
+    assert plan5.count("BroadcastHashJoin") >= 2  # nation AND region
+
+
+def test_topk_uses_take_ordered_not_global_sort(spark, sf_dir):
+    plan = _plan(QUERIES["o2_topk"](spark, sf_dir))
+    assert "TakeOrderedAndProject" in plan
+
+
+def test_whole_stage_codegen_covers_haversine(spark, sf_dir):
+    plan = _plan(QUERIES["f3_haversine"](spark, sf_dir))
+    assert "codegen id" in plan  # haversine runs inside whole-stage codegen
+    assert "BatchEvalPython" not in plan  # no row-at-a-time Python
+
+
+def test_partial_aggregation_before_shuffle(spark, sf_dir):
+    # map-side combine: the pre-shuffle HashAggregate computes partial_*
+    # functions, so the exchange carries ≤ |groups| rows per partition
+    plan = _plan(QUERIES["tpch_q1_pricing_summary"](spark, sf_dir))
+    assert "partial_sum" in plan
+
+
+def test_streaming_tumbling_roundtrip(spark, sf_dir, tmp_path):
+    """The SAME tumbling_counts logic as the batch oracle query, run as
+    an actual Structured Stream over a file source into a memory sink."""
+    from realestate_engine.registry import t as load_table
+
+    events = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "stream_src")
+    events.write.parquet(src)
+    stream = streamify(spark, src, events.schema)
+    assert stream.isStreaming
+    q = (
+        tumbling_counts(stream)
+        .writeStream.format("memory")
+        .queryName("tumbling_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    # watermark append-mode emits only windows older than the watermark;
+    # the final (open) windows are withheld — compare against batch
+    got = spark.sql("SELECT count(*) AS n FROM tumbling_test").first().n
+    batch_n = tumbling_counts(events).count()
+    assert 0 < got <= batch_n
+
+
+def test_multimodal_mapinpandas_schema_and_determinism(spark):
+    rows = [(1, bytearray(b"hello world")), (2, bytearray(b""))]
+    df = spark.createDataFrame(rows, "doc_id long, payload binary")
+    out = extract_image_features(df)
+    got = {r.doc_id: r for r in out.collect()}
+    assert got[1].n_bytes == 11 and got[1].channels == 3
+    assert got[1].width == 16 + 11 % 64 and got[1].height == 16 + 77 % 64
+    assert got[2].n_bytes == 0 and got[2].mean_intensity == 0.0
+    assert out.schema["mean_intensity"].dataType.typeName() == "double"
+
+
+def test_no_driver_materialization_in_relational_plans(spark, sf_dir):
+    """Relational queries must stay fully distributed: no plan node that
+    scans driver-materialized rows (the signature of a collect() +
+    createDataFrame detour)."""
+    for name in ("flagship_revenue_by_nation", "tpch_q5_region_revenue", "o3_distributed_topk_per_group"):
+        plan = _plan(QUERIES[name](spark, sf_dir))
+        assert "Scan ExistingRDD" not in plan, name
+        assert "LocalTableScan" not in plan, name
