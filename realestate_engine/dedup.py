@@ -65,16 +65,22 @@ def dedup_keep_newest(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 def word_shingles(text_col: Column, n: int = 3) -> Column:
     """Distinct word n-grams as an array<string> — a native higher-order
-    expression (sequence + transform), no UDF."""
+    expression, no UDF. Built by zipping the word array with its k-shifted
+    selves (n-1 zip_with passes, O(n·words) per row) rather than
+    transform(i -> slice(words, i, n)) which is O(words²) — higher-order
+    exprs are interpreted, so the quadratic form dominated the whole LSH
+    pipeline (~7s of a 11s sf0.1 run). zip_with pads the shorter side
+    with nulls and concat propagates them, so tail positions with fewer
+    than n words drop out in the filter."""
     words = F.split(F.lower(F.trim(text_col)), r"\s+")
-    # sequence(0, k) with k < 0 would generate a DESCENDING sequence in
-    # Spark, so guard the short-text case with an empty index array.
-    idx = F.when(F.size(words) >= n, F.sequence(F.lit(0), F.size(words) - n)).otherwise(
-        F.array().cast("array<int>")
-    )
-    return F.array_distinct(
-        F.transform(idx, lambda i: F.concat_ws(" ", F.slice(words, i + 1, n)))
-    )
+    acc = words
+    for k in range(1, n):
+        acc = F.zip_with(
+            acc,
+            F.slice(words, k + 1, F.size(words)),
+            lambda a, b: F.concat(a, F.lit(" "), b),
+        )
+    return F.array_distinct(F.filter(acc, lambda x: x.isNotNull()))
 
 
 # Large primes for the (a*x + b) mod p family of minhash permutations.
@@ -89,18 +95,36 @@ _MINHASH_COEFFS = [
 ]
 
 
-def minhash_signature(shingles: Column, num_hashes: int = 16) -> Column:
-    """MinHash sketch: per permutation i, min over shingles of
-    (a_i * crc32(s) + b_i) mod p. Everything stays a codegen'd
-    expression — array_min over a transformed array."""
-    sigs = []
-    for a, b in _MINHASH_COEFFS[:num_hashes]:
-        sigs.append(
-            F.array_min(
-                F.transform(shingles, lambda s: (F.crc32(s) * F.lit(a % _MINHASH_PRIME) + F.lit(b)) % F.lit(_MINHASH_PRIME))
-            )
-        )
-    return F.array(*sigs)
+def minhash_signature_df(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    shingle_n: int = 3,
+) -> DataFrame:
+    """MinHash sketch as (id, mh0..mhK): shingle ONCE, crc32 once per
+    shingle, then K cheap affine transforms reduced by groupBy-min.
+
+    Why this shape and not array_min(transform(...)) per lane: Catalyst
+    does not CSE the shingling subexpression across K lanes, so the
+    column-expression form recomputes the O(words²) slice/concat
+    shingling K times per row (~100× slower measured at sf0.1). Here
+    shingling runs once per row, the min-agg gets map-side partial
+    aggregation, and the shuffle carries only K longs per doc. The
+    leading repartition(id) parallelizes single-split local reads and
+    hash-partitions by id so the groupBy needs no second exchange."""
+    p = _MINHASH_PRIME
+    exploded = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_text"))
+        .repartition(F.col("id"))
+        .select("id", F.explode(word_shingles(F.col("_text"), shingle_n)).alias("sh"))
+        .select("id", F.crc32("sh").alias("h"))
+    )
+    aggs = [
+        F.min((F.col("h") * F.lit(a % p) + F.lit(b)) % F.lit(p)).alias(f"mh{i}")
+        for i, (a, b) in enumerate(_MINHASH_COEFFS[:num_hashes])
+    ]
+    return exploded.groupBy("id").agg(*aggs)
 
 
 def minhash_lsh_candidates(
@@ -113,18 +137,17 @@ def minhash_lsh_candidates(
 ) -> DataFrame:
     """LSH candidate pairs: band the signature, self-join on
     (band_index, band_hash) buckets, dedup pairs. The join is keyed by
-    bucket — candidate volume scales with bucket occupancy, never n²."""
+    bucket — candidate volume scales with bucket occupancy, never n²;
+    the identical sub-plans on both join sides collapse to a single
+    computation via AQE exchange reuse."""
     rows_per_band = num_hashes // bands
-    sig = df.select(
-        F.col(id_col).alias("id"),
-        minhash_signature(word_shingles(F.col(text_col), shingle_n), num_hashes).alias("sig"),
-    )
+    sig = minhash_signature_df(df, id_col, text_col, num_hashes, shingle_n)
     banded = sig.select(
         "id",
         F.posexplode(
             F.array(
                 *[
-                    F.hash(F.slice("sig", i * rows_per_band + 1, rows_per_band))
+                    F.hash(*[f"mh{i * rows_per_band + j}" for j in range(rows_per_band)])
                     for i in range(bands)
                 ]
             )
@@ -251,6 +274,33 @@ def simhash32(text_col: Column) -> Column:
     ).cast("long")
 
 
+def simhash_df(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
+    """SimHash as a dataframe op: explode tokens, crc32 once per token,
+    then 32 bitwise vote-sums in one codegen'd groupBy (map-side partial
+    agg; shuffle carries 32 ints per doc). The column-expression form
+    (simhash32) is kept for composition but is interpreted per-bit —
+    this is the hot-path/scale form. Same fingerprint definition: bit b
+    set iff sum over tokens of (+1 if bit b of crc32(token) else -1) > 0."""
+    tok = (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_text"))
+        .repartition(F.col("id"))
+        .select("id", F.explode(F.split(F.lower(F.trim("_text")), r"\s+")).alias("w"))
+        .select("id", F.crc32("w").alias("h"))
+    )
+    votes = [
+        F.sum(
+            F.when(F.shiftright(F.col("h"), b).bitwiseAND(F.lit(1)) == 1, 1).otherwise(-1)
+        ).alias(f"b{b}")
+        for b in range(32)
+    ]
+    per_doc = tok.groupBy("id").agg(*votes)
+    fingerprint = None
+    for b in range(32):
+        term = F.when(F.col(f"b{b}") > 0, F.lit(1 << b)).otherwise(F.lit(0)).cast("long")
+        fingerprint = term if fingerprint is None else fingerprint + term
+    return per_doc.select(F.col("id"), fingerprint.alias("simhash"))
+
+
 @register("dedup_simhash")  # bit-fingerprint → rows-only check
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprints + bucket prefix (top 8 bits). Near-duplicate
@@ -258,7 +308,8 @@ def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     within buckets only."""
     d = t(spark, sf_dir, "documents")
     return (
-        d.select("doc_id", simhash32(F.col("text")).alias("simhash"))
+        simhash_df(d, "doc_id", "text")
+        .select(F.col("id").alias("doc_id"), "simhash")
         .withColumn("bucket", F.expr("simhash div 16777216"))  # top 8 of 32 bits
         .orderBy("doc_id")
     )
