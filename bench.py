@@ -30,6 +30,11 @@ HEADLINE = [
     "st_tumbling_window",
     "m11_regression_metrics_sql",
     "a4_global_multiagg",
+    "asof_last_click_before_purchase",
+    "range_join_clicks_before_purchase",
+    "custom_running_total_pandas",
+    "tpch_q7_nation_volume",
+    "tpch_q18_large_orders",
 ]
 
 

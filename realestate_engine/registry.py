@@ -72,4 +72,5 @@ def load_all() -> None:
     import realestate_engine.similarity  # noqa: F401
     import realestate_engine.text  # noqa: F401
     import realestate_engine.streaming  # noqa: F401
+    import realestate_engine.temporal  # noqa: F401
     import realestate_engine.multimodal  # noqa: F401

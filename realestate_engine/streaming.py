@@ -139,3 +139,34 @@ def streamify(spark: SparkSession, parquet_dir: str, schema) -> DataFrame:
     deployment form of every operator above (used by the pytest
     streaming round-trip test)."""
     return spark.readStream.schema(schema).parquet(parquet_dir)
+
+
+def stateful_user_totals(events: DataFrame) -> DataFrame:
+    """Custom stateful streaming operator via applyInPandasWithState:
+    per-user running (n_events, total_value) maintained across
+    micro-batches. This is the arbitrary-state escape hatch for
+    semantics windowed aggregation can't express (per-key accumulators,
+    custom eviction, ML feature state).
+
+    State is one small tuple per user — bounded by |keys|, not events
+    seen, so a 100 TB/day stream holds |users| rows of state. Emits the
+    updated running totals for every user touched by the micro-batch
+    (use outputMode("update"))."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n, total = state.get if state.exists else (0, 0.0)
+        for pdf in pdfs:
+            n += len(pdf)
+            total += float(pdf["value"].sum())
+        state.update((n, total))
+        yield pd.DataFrame({"user_id": [key[0]], "n_events": [n], "total_value": [round(total, 2)]})
+
+    return events.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, total_value double",
+        stateStructType="n long, total double",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )

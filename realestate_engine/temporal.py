@@ -1,0 +1,198 @@
+"""Temporal join operators: as-of join, binned range join, and an
+Arrow-batched custom operator (SURVEY.md §2.5/§2.10 gap-fillers; the
+reference has no temporal joins — these are the operators a
+training-data / event-log pipeline needs that Spark lacks as built-ins).
+
+Scale notes (the 100 TB design):
+
+- **as-of join** uses the union+window formulation, NOT join+filter:
+  tag both inputs, union, one shuffle on the key, then
+  ``last(right_cols, ignorenulls)`` over an unbounded-preceding window.
+  A key with n left × m right rows costs n+m window rows — the
+  join-then-rank formulation materializes n·m pairs per key before
+  filtering, which dies on hot keys. One shuffle total, no range
+  predicate the optimizer can't handle.
+- **range join** turns an inequality join (which Spark executes as a
+  broadcast-nested-loop or a per-key cartesian) into an equi hash join
+  by binning time: the left side explodes to the coarse bins its window
+  overlaps (≤ window/bin_size + 1 bins), the right side joins on its own
+  bin, and an exact filter trims bin-edge false positives. Shuffle
+  volume is |left|·bins + |right|, never |left|·|right|.
+- **applyInPandas** custom op: the escape hatch pattern for semantics
+  built-ins can't express — grouped Arrow batches, vectorized pandas
+  inside, explicit result schema. Kept integer-exact (cent cumsum) so
+  the DuckDB oracle hash-matches bit-for-bit.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from realestate_engine.registry import register, t
+
+
+def asof_join(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    right_cols: dict[str, str],
+    direction: str = "backward",
+) -> DataFrame:
+    """As-of join: for each left row, attach the columns of the single
+    right row with the greatest ``right_ts`` <= ``left_ts`` (backward;
+    forward = smallest >=), matching on ``on`` keys. Left rows with no
+    match keep nulls (left-outer semantics).
+
+    ``right_cols`` maps right column name -> output column name.
+
+    Implementation: union trick (see module docstring). Right rows sort
+    before left rows at equal timestamps, so the match is inclusive
+    (at-or-before). Deterministic for duplicate right timestamps via the
+    ordered right_cols tiebreak only if the caller's right side is
+    unique per (on, right_ts) — event logs with sub-second resolution
+    are; otherwise pre-aggregate the right side first.
+    """
+    if direction not in ("backward", "forward"):
+        raise ValueError(f"direction must be backward|forward, got {direction!r}")
+    r = right.select(
+        *on,
+        F.col(right_ts).alias("_ats"),
+        *[F.col(src).alias(dst) for src, dst in right_cols.items()],
+    ).withColumn("_side", F.lit(0))
+    l = left.withColumn("_ats", F.col(left_ts)).withColumn("_side", F.lit(1))
+    u = l.unionByName(r, allowMissingColumns=True)
+    order = [F.col("_ats"), F.col("_side")]
+    if direction == "forward":
+        order = [F.col("_ats").desc(), F.col("_side")]
+    w = Window.partitionBy(*on).orderBy(*order).rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    for dst in right_cols.values():
+        u = u.withColumn(dst, F.last(dst, ignorenulls=True).over(w))
+    return u.filter(F.col("_side") == 1).drop("_side", "_ats")
+
+
+@register(
+    "asof_last_click_before_purchase",
+    """
+    SELECT p.event_id, p.user_id, p.ts, p.value AS purchase_value,
+           c.ts AS last_click_ts, c.event_id AS last_click_id
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    ASOF LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON p.user_id = c.user_id AND p.ts >= c.ts
+    """,
+)
+def asof_last_click_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """As-of join: each purchase event annotated with the user's most
+    recent click at-or-before it. The oracle is DuckDB's native ASOF
+    JOIN — same semantics, independent implementation."""
+    ev = t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select(
+        "event_id", "user_id", "ts", F.col("value").alias("purchase_value")
+    )
+    clicks = ev.filter(F.col("event_type") == "click")
+    return asof_join(
+        purchases,
+        clicks,
+        on=["user_id"],
+        left_ts="ts",
+        right_ts="ts",
+        right_cols={"ts": "last_click_ts", "event_id": "last_click_id"},
+    ).select("event_id", "user_id", "ts", "purchase_value", "last_click_ts", "last_click_id")
+
+
+def range_join_binned(
+    left: DataFrame,
+    right: DataFrame,
+    on: list[str],
+    left_ts: str,
+    right_ts: str,
+    window_seconds: int,
+    bin_seconds: int | None = None,
+) -> DataFrame:
+    """Inner range join: pairs (l, r) sharing ``on`` keys with
+    ``r[right_ts]`` in the half-open window (l[left_ts] - window,
+    l[left_ts]]. Executed as an equi hash join on (keys, time bin): the
+    left row explodes to every bin its window can overlap, the exact
+    range predicate filters bin-edge false positives. Returns all left
+    columns plus all right columns (caller pre-aliases collisions)."""
+    bin_s = bin_seconds or window_seconds
+    l_epoch = F.unix_timestamp(F.col(left_ts))
+    r_epoch = F.unix_timestamp(F.col(right_ts))
+    lb = left.withColumn(
+        "_bin",
+        F.explode(F.sequence(F.floor((l_epoch - window_seconds) / bin_s), F.floor(l_epoch / bin_s))),
+    )
+    rb = right.withColumn("_bin", F.floor(r_epoch / bin_s))
+    exact = (F.col(right_ts) > F.col(left_ts) - F.expr(f"INTERVAL {window_seconds} SECOND")) & (
+        F.col(right_ts) <= F.col(left_ts)
+    )
+    return lb.join(rb, [*on, "_bin"]).filter(exact).drop("_bin")
+
+
+@register(
+    "range_join_clicks_before_purchase",
+    """
+    SELECT p.event_id, p.user_id,
+           CAST(COUNT(c.event_id) AS BIGINT) AS n_clicks_1h
+    FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+    LEFT JOIN (SELECT * FROM events WHERE event_type = 'click') c
+      ON c.user_id = p.user_id
+     AND c.ts > p.ts - INTERVAL 1 HOUR AND c.ts <= p.ts
+    GROUP BY p.event_id, p.user_id
+    """,
+)
+def range_join_clicks_before_purchase(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Range join: clicks within the hour preceding each purchase,
+    counted per purchase (0 for none). The binned inner join feeds a
+    per-purchase count; purchases without candidates re-enter via a
+    left join against the counts."""
+    ev = t(spark, sf_dir, "events")
+    purchases = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    clicks = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts"), F.col("event_id").alias("c_id")
+    )
+    matched = range_join_binned(
+        purchases, clicks, on=["user_id"], left_ts="ts", right_ts="c_ts", window_seconds=3600
+    )
+    counts = matched.groupBy("event_id", "user_id").agg(F.count("c_id").alias("n_clicks_1h"))
+    return (
+        purchases.join(counts, ["event_id", "user_id"], "left")
+        .select("event_id", "user_id", F.coalesce("n_clicks_1h", F.lit(0)).alias("n_clicks_1h"))
+    )
+
+
+@register(
+    "custom_running_total_pandas",
+    """
+    SELECT user_id, event_id, ts,
+           CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) OVER (
+               PARTITION BY user_id ORDER BY ts, event_id
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS running_cents
+    FROM events
+    """,
+)
+def custom_running_total_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Custom stateful operator via the Arrow escape hatch: per-user
+    running total computed inside a grouped pandas function
+    (applyInPandas). The arithmetic is integer cents (floor, then int64
+    cumsum) so the result is bit-exact against the SQL-window oracle —
+    the pattern to follow when a Pandas UDF must agree with a
+    deterministic spec. One shuffle on the group key; batch size bounded
+    by the largest single user, not the corpus."""
+    import pandas as pd
+
+    def running(pdf: "pd.DataFrame") -> "pd.DataFrame":
+        import numpy as np
+
+        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
+        cents = np.floor(pdf["value"].to_numpy() * 100).astype("int64")
+        pdf["running_cents"] = cents.cumsum()
+        return pdf[["user_id", "event_id", "ts", "running_cents"]]
+
+    ev = t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+    return ev.groupBy("user_id").applyInPandas(
+        running, schema="user_id long, event_id long, ts timestamp, running_cents long"
+    )
