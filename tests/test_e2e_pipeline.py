@@ -1,0 +1,120 @@
+"""End-to-end reproduction of the reference's three entry points
+(SURVEY.md §3 EP1-EP3) on synthetic listings: ETL join → feature
+engineering fit → log-target train → persist everything → reload →
+batch + single-row inference with smearing-corrected prices."""
+
+from __future__ import annotations
+
+import math
+import random
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from realestate_engine.features import FeatureEngineering, add_price_per_m2
+from realestate_engine.predict import predict_batch, predict_single
+from realestate_engine.schemas import LISTINGS_SCHEMA
+from realestate_engine.target import TargetTransformer
+from realestate_engine.train import ModelTrainer
+
+_TYPES = ["apartment", "house", "villa", "land"]
+_CATS = ["A", "B", "C", "D"]
+_EXPO = ["north", "south", "east", "west"]
+
+
+def _listing(i: int, rng: random.Random) -> tuple:
+    rec = {
+        "id_annonce": i,
+        "property_type": _TYPES[i % 4],
+        "approximate_latitude": 48.0 + rng.random(),
+        "approximate_longitude": 2.0 + rng.random(),
+        "city": f"city{i % 10}",
+        "postal_code": 75000 + i % 100,
+        "size": 20.0 + 200.0 * rng.random(),
+        "floor": i % 6,
+        "land_size": 500.0 * rng.random() if i % 4 in (1, 2) else None,
+        "energy_performance_value": 50.0 + 300.0 * rng.random(),
+        "energy_performance_category": _CATS[i % 4],
+        "ghg_value": 5.0 + 50.0 * rng.random(),
+        "ghg_category": _CATS[(i + 1) % 4],
+        "exposition": _EXPO[i % 4],
+        "nb_rooms": 1 + i % 7,
+        "nb_bedrooms": i % 4,
+        "nb_bathrooms": i % 3,
+        "nb_parking_places": i % 2,
+        "nb_boxes": i % 2,
+        "nb_photos": i % 12,
+        "has_a_balcony": float(i % 2),
+        "nb_terraces": float(i % 3),
+        "has_a_cellar": float(i % 2),
+        "has_a_garage": float((i + 1) % 2),
+        "has_air_conditioning": float(i % 5 == 0),
+        "last_floor": float(i % 6 == 5),
+        "upper_floors": float(i % 6),
+    }
+    return tuple(rec.get(f.name) for f in LISTINGS_SCHEMA.fields)
+
+
+@pytest.fixture(scope="module")
+def listings_and_prices(spark):
+    rng = random.Random(7)
+    x = spark.createDataFrame([_listing(i, rng) for i in range(400)], LISTINGS_SCHEMA)
+    # price correlated with size + rooms so the model has signal
+    y = x.select(
+        "id_annonce",
+        (
+            F.col("size") * 3000.0
+            + F.col("nb_rooms") * 20000.0
+            + F.when(F.col("property_type").isin("house", "villa"), 150000.0).otherwise(0.0)
+            + 50000.0
+        ).alias("price"),
+    )
+    return x, y
+
+
+def test_ep1_etl_join_and_audit(listings_and_prices):
+    x, y = listings_and_prices
+    joined = x.join(y, "id_annonce")  # EP1: X ⋈ y on id_annonce
+    assert joined.count() == 400
+    orphans = x.join(y, "id_annonce", "left_anti")  # J2 integrity audit
+    assert orphans.count() == 0
+    with_ppm2 = add_price_per_m2(joined)
+    assert with_ppm2.filter(F.col("price_per_m2").isNull()).count() == 0
+
+
+def test_ep2_ep3_train_persist_reload_predict(listings_and_prices, tmp_path):
+    x, y = listings_and_prices
+    joined = x.join(y, "id_annonce")
+
+    # EP2: fit features + target, train on log_price (B1 fixed)
+    fe = FeatureEngineering(strict_mode=True)
+    feats = fe.fit_transform(joined)
+    tt = TargetTransformer().fit(feats)
+    train_df = tt.transform(feats)
+    trainer = ModelTrainer(model_type="rf", label_col="log_price").train(train_df)
+    metrics = trainer.evaluate(train_df)
+    assert all(math.isfinite(v) for v in metrics.values())
+    assert metrics["r2"] > 0.5  # the synthetic signal is learnable
+
+    # persist all three artifacts (S8/S9), reload into a fresh composition
+    fe.save(str(tmp_path / "fe"))
+    tt.save(str(tmp_path / "tt.json"))
+    trainer.save(str(tmp_path / "model"))
+    fe2 = FeatureEngineering.load(str(tmp_path / "fe"))
+    tt2 = TargetTransformer.load(str(tmp_path / "tt.json"))
+    trainer2 = ModelTrainer.load(str(tmp_path / "model"))
+
+    # EP3 batch: prices come back in euro space (smearing-inverted),
+    # no inf/NaN (the reference's B1 bug shipped inf predictions)
+    preds = predict_batch(x, fe2, trainer2, tt2).collect()
+    assert len(preds) == 400
+    assert all(p.predicted_price is not None and math.isfinite(p.predicted_price) for p in preds)
+    assert all(50000.0 < p.predicted_price < 5e6 for p in preds)
+
+    # EP3 single-row: same path, same answer as the batch row
+    rng = random.Random(7)
+    rec = {f.name: v for f, v in zip(LISTINGS_SCHEMA.fields, _listing(0, rng))}
+    single = predict_single(x.sparkSession, rec, fe2, trainer2, tt2).first()
+    batch_row = next(p for p in preds if p.id_annonce == 0)
+    assert single.predicted_price == pytest.approx(batch_row.predicted_price, rel=1e-9)
