@@ -175,10 +175,24 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     d = t(spark, sf_dir, "documents")
     cands = minhash_lsh_candidates(d, "doc_id", "text")
     sh = d.select(F.col("doc_id"), word_shingles(F.col("text")).alias("sh"))
+    # Verification reads the (expensive) shingle sets in ONE pass: explode
+    # each candidate pair to its two doc ids, join the shingle relation
+    # once (pairs are small → broadcast, the corpus is never shuffled),
+    # then fold the two sides back with first(when(...)). The naive
+    # two-join form computes the corpus-wide shingling twice.
+    sides = cands.select(
+        "id_a", "id_b", F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias("doc_id")
+    )
+    per_pair = (
+        sh.join(F.broadcast(sides), "doc_id")
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.first(F.when(F.col("doc_id") == F.col("id_a"), F.col("sh")), ignorenulls=True).alias("sh_a"),
+            F.first(F.when(F.col("doc_id") == F.col("id_b"), F.col("sh")), ignorenulls=True).alias("sh_b"),
+        )
+    )
     return (
-        cands.join(sh.withColumnRenamed("doc_id", "id_a").withColumnRenamed("sh", "sh_a"), "id_a")
-        .join(sh.withColumnRenamed("doc_id", "id_b").withColumnRenamed("sh", "sh_b"), "id_b")
-        .select(
+        per_pair.select(
             "id_a",
             "id_b",
             F.round(

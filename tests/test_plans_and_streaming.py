@@ -90,6 +90,32 @@ def test_multimodal_mapinpandas_schema_and_determinism(spark):
     assert out.schema["mean_intensity"].dataType.typeName() == "double"
 
 
+def test_asof_join_is_window_not_pair_join(spark, sf_dir):
+    """The as-of join must compile to union + window (n+m rows per key),
+    never a join that materializes per-key pairs."""
+    plan = _plan(QUERIES["asof_last_click_before_purchase"](spark, sf_dir))
+    assert "Window" in plan
+    for bad in ("SortMergeJoin", "BroadcastNestedLoopJoin", "CartesianProduct", "ShuffledHashJoin"):
+        assert bad not in plan, bad
+
+
+def test_range_join_is_hash_join_not_nested_loop(spark, sf_dir):
+    """The binned range join must execute as an equi hash/merge join on
+    (key, bin) — the naive inequality join compiles to a nested loop."""
+    plan = _plan(QUERIES["range_join_clicks_before_purchase"](spark, sf_dir))
+    assert "BroadcastNestedLoopJoin" not in plan
+    assert "CartesianProduct" not in plan
+    assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan) or ("ShuffledHashJoin" in plan)
+
+
+def test_custom_pandas_op_uses_arrow_grouped_path(spark, sf_dir):
+    """The applyInPandas custom op runs on the Arrow grouped-map path
+    (one shuffle on the group key), not row-at-a-time Python eval."""
+    plan = _plan(QUERIES["custom_running_total_pandas"](spark, sf_dir))
+    assert "FlatMapGroupsInPandas" in plan
+    assert "BatchEvalPython" not in plan
+
+
 def test_no_driver_materialization_in_relational_plans(spark, sf_dir):
     """Relational queries must stay fully distributed: no plan node that
     scans driver-materialized rows (the signature of a collect() +
