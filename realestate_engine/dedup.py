@@ -375,3 +375,104 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"), cos.alias("cosine"))
         .filter(F.col("cosine") > 0.5)
     )
+
+
+# ---------------------------------------------------------------------------
+# Duplicate clustering (connected components over near-dup edges)
+# ---------------------------------------------------------------------------
+
+
+def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 20) -> DataFrame:
+    """Connected components over an undirected edge list → (doc_id,
+    cluster_id) where cluster_id = min id reachable. Iterative min-label
+    propagation: each round every node takes min(own label, neighbors'
+    labels) — converges in O(component diameter) rounds (near-dup
+    clusters are shallow; max_iter bounds pathological chains).
+
+    Scale: each round is one join + one agg (shuffle on node id);
+    localCheckpoint truncates the growing lineage so round N's plan does
+    not replay rounds 1..N-1. The convergence probe is a count() on the
+    per-round change set — an O(1) driver scalar, not a data collect."""
+    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    edges = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
+    edges = edges.distinct().localCheckpoint()
+    labels = edges.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
+    for _ in range(max_iter):
+        neigh = (
+            edges.join(
+                labels.select(F.col("id").alias("dst"), F.col("label").alias("nlabel")), "dst"
+            )
+            .groupBy("src")
+            .agg(F.min("nlabel").alias("minn"))
+            .select(F.col("src").alias("id"), "minn")
+        )
+        new_labels = (
+            labels.join(neigh, "id", "left")
+            .select("id", F.least(F.col("label"), F.coalesce("minn", "label")).alias("label"))
+            .localCheckpoint()
+        )
+        changed = (
+            new_labels.select("id", F.col("label").alias("new_label"))
+            .join(labels, "id")
+            .filter(F.col("new_label") != F.col("label"))
+            .count()
+        )
+        labels = new_labels
+        if changed == 0:
+            break
+    return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
+
+
+@register(
+    "dedup_clusters",
+    r"""
+    WITH RECURSIVE sh AS (
+        SELECT doc_id, lang, source,
+               LIST_DISTINCT(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+')) AS sh
+        FROM documents WHERE n_chars <= 200
+    ),
+    pairs AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM sh a JOIN sh b
+          ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+        WHERE CAST(LEN(LIST_INTERSECT(a.sh, b.sh)) AS DOUBLE)
+              / LEN(LIST_DISTINCT(LIST_CONCAT(a.sh, b.sh))) >= 0.5
+    ),
+    edges AS (
+        SELECT id_a AS src, id_b AS dst FROM pairs
+        UNION
+        SELECT id_b AS src, id_a AS dst FROM pairs
+    ),
+    reach(src, dst) AS (
+        SELECT src, dst FROM edges
+        UNION
+        SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
+    )
+    SELECT src AS doc_id, CAST(LEAST(src, MIN(dst)) AS BIGINT) AS cluster_id
+    FROM reach GROUP BY src ORDER BY doc_id
+    """,
+)
+def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Duplicate CLUSTERS: connected components over the ≥0.5 word-set
+    Jaccard edge set — A~B and B~C group A,B,C even when A,C don't pair
+    directly. The oracle computes the same components via a recursive
+    transitive closure (fine at oracle scale; the Spark side's
+    propagation is the 100 TB form — closure is quadratic in component
+    size, propagation is linear per round)."""
+    d = t(spark, sf_dir, "documents").filter(F.col("n_chars") <= 200)
+    words = F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+    sh = d.select("doc_id", "lang", "source", words.alias("sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    jac = F.size(F.array_intersect("a.sh", "b.sh")).cast("double") / F.size(F.array_union("a.sh", "b.sh"))
+    pairs = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(jac >= 0.5)
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    )
+    return connected_components(pairs).orderBy("doc_id")

@@ -111,3 +111,68 @@ def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         d.select("doc_id", F.posexplode(offsets).alias("frame_idx", "byte_offset"))
         .orderBy("doc_id", "frame_idx")
     )
+
+
+AUDIO_FEATURES_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), True),
+        T.StructField("n_bytes", T.LongType(), True),
+        T.StructField("sample_rate", T.IntegerType(), True),
+        T.StructField("duration_ms", T.LongType(), True),
+        T.StructField("rms", T.DoubleType(), True),
+    ]
+)
+
+_STUB_SAMPLE_RATE = 16000  # 16 kHz mono, 1 byte/sample in the fake codec
+
+
+def decode_audio_stub(payload: bytes) -> dict:
+    """STUB audio decoder — deterministic fake (librosa/soundfile are not
+    in this container). Treats the payload as 8-bit mono PCM at 16 kHz;
+    a production deployment replaces ONLY this function. Raises for
+    payloads declaring a real container format."""
+    if payload[:4] in (b"RIFF", b"fLaC", b"OggS"):
+        raise NotImplementedError("real audio codecs are stubbed in this environment")
+    n = len(payload)
+    rms = (sum(b * b for b in payload) / n) ** 0.5 if n else 0.0
+    return {
+        "n_bytes": n,
+        "sample_rate": _STUB_SAMPLE_RATE,
+        "duration_ms": n * 1000 // _STUB_SAMPLE_RATE,
+        "rms": round(rms, 4),
+    }
+
+
+def extract_audio_features(binary_df: DataFrame) -> DataFrame:
+    """Arrow-batched audio feature extraction via mapInPandas. Input
+    schema: (doc_id long, payload binary)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            feats = [decode_audio_stub(bytes(p)) for p in pdf["payload"]]
+            out = pd.DataFrame(feats)
+            out.insert(0, "doc_id", pdf["doc_id"].values)
+            yield out
+
+    return binary_df.mapInPandas(batches, AUDIO_FEATURES_SCHEMA)
+
+
+@register(
+    "mm_audio_features",
+    """
+    SELECT doc_id,
+           CAST(LENGTH(text) AS BIGINT) AS n_bytes,
+           CAST(16000 AS INTEGER) AS sample_rate,
+           CAST(LENGTH(text) * 1000 // 16000 AS BIGINT) AS duration_ms
+    FROM documents
+    """,
+)
+def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Audio plumbing end-to-end: text bytes stand in for PCM payloads;
+    mapInPandas extracts duration/rate (oracle-checked deterministic
+    geometry; rms is checked by the pytest unit test, not the oracle,
+    since DuckDB has no byte-wise access to the payload)."""
+    d = t(spark, sf_dir, "documents")
+    binary_df = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    feats = extract_audio_features(binary_df)
+    return feats.select("doc_id", "n_bytes", "sample_rate", "duration_ms")

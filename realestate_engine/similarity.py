@@ -118,3 +118,56 @@ def sim_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.sqrt(F.aggregate(centroid, F.lit(0.0), lambda a, x: a + x * x)), 6
         ).alias("centroid_norm"),
     ).orderBy("label")
+
+
+def ivf_topk(
+    corpus: DataFrame,
+    probe_vec: list[float],
+    k: int = 20,
+    n_cells: int = 8,
+    nprobe: int = 2,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """IVF ANN with a real coarse quantizer: seeded KMeans assigns every
+    vector to a cell; the probe searches only its ``nprobe`` nearest
+    cells with exact cosine rerank inside them.
+
+    Scale: training the quantizer samples the corpus once (KMeans over
+    k≪n centroids); cell assignment is one map-side pass (and at rest
+    the corpus is WRITTEN partitioned by cell, so a probe reads
+    nprobe/n_cells of the data). Choosing the probe's cells compares the
+    probe against k centroids — O(k·dim) driver math on model state, not
+    a data collect."""
+    from pyspark.ml.clustering import KMeans
+    from pyspark.ml.functions import array_to_vector
+
+    with_vec = corpus.withColumn("_v", array_to_vector(F.col(vec_col)))
+    km = KMeans(k=n_cells, seed=42, featuresCol="_v", predictionCol="_cell").fit(with_vec)
+    cells = km.transform(with_vec)
+
+    import math
+
+    def dist(c) -> float:
+        return math.sqrt(sum((a - b) ** 2 for a, b in zip(c, probe_vec)))
+
+    nearest = sorted(range(n_cells), key=lambda i: dist(km.clusterCenters()[i]))[:nprobe]
+    probe_df = corpus.sparkSession.createDataFrame(
+        [(probe_vec,)], f"probe_vec array<float>"
+    )
+    cand = cells.filter(F.col("_cell").isin([int(c) for c in nearest])).crossJoin(F.broadcast(probe_df))
+    cos = F.round(cosine_sim(F.col(vec_col), F.col("probe_vec")), 6)
+    return (
+        cand.select(F.col(id_col), cos.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+@register("sim_ivf_kmeans_topk")  # approximate → rows-only (recall tested in pytest)
+def sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """IVF top-20 for probe vec_id=0 using a seeded KMeans quantizer
+    over the embeddings table (nprobe=2 of 8 cells)."""
+    e = t(spark, sf_dir, "embeddings")
+    probe = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    return ivf_topk(e, probe, k=20, n_cells=8, nprobe=2)

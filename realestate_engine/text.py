@@ -180,3 +180,93 @@ def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.when(best["score"] > 0, best["lang"]).otherwise(F.lit("und")).alias("predicted_lang"),
         F.round(best["score"], 6).alias("confidence"),
     ).orderBy("doc_id")
+
+
+@register(
+    "text_token_count_bpe",
+    r"""
+    SELECT doc_id,
+           CAST(LEN(REGEXP_EXTRACT_ALL(LOWER(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS BIGINT) AS n_bpe_tokens,
+           CAST(LEN(REGEXP_EXTRACT_ALL(LOWER(text), '[a-z]+')) AS BIGINT) AS n_word_tokens,
+           CAST(LEN(REGEXP_EXTRACT_ALL(LOWER(text), '[0-9]+')) AS BIGINT) AS n_number_tokens
+    FROM documents
+    """,
+)
+def text_token_count_bpe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """BPE-ish tokenizer approximation: letter runs, digit runs, and
+    single non-alphanumeric marks as separate tokens (the pre-merge
+    vocabulary of a byte-pair encoder). Pure regexp_extract_all — stays
+    in codegen, no Python. At 100 TB this is the cheap token-budget
+    estimator run before the real (expensive) tokenizer."""
+    d = t(spark, sf_dir, "documents")
+    low = F.lower(F.col("text"))
+    return d.select(
+        "doc_id",
+        F.size(F.regexp_extract_all(low, F.lit(r"[a-z]+|[0-9]+|[^a-z0-9 ]"), 0)).cast("long").alias("n_bpe_tokens"),
+        F.size(F.regexp_extract_all(low, F.lit(r"[a-z]+"), 0)).cast("long").alias("n_word_tokens"),
+        F.size(F.regexp_extract_all(low, F.lit(r"[0-9]+"), 0)).cast("long").alias("n_number_tokens"),
+    )
+
+
+@register(
+    "corpus_clean_pipeline",
+    r"""
+    WITH scored AS (
+        SELECT doc_id, lang, source, n_chars,
+               LEN(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+')) AS n_tokens,
+               CAST(LEN(LIST_DISTINCT(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+'))) AS DOUBLE)
+                   / LEN(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+')) AS lexical_diversity,
+               MD5(REGEXP_REPLACE(LOWER(TRIM(text)), '\s+', ' ', 'g')) AS fingerprint
+        FROM documents
+    ),
+    filtered AS (
+        SELECT * FROM scored
+        WHERE n_chars BETWEEN 100 AND 2000 AND n_tokens >= 20 AND lexical_diversity >= 0.3
+    ),
+    deduped AS (
+        SELECT * FROM filtered
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY fingerprint ORDER BY doc_id) = 1
+    )
+    SELECT lang, source,
+           COUNT(*) AS n_docs,
+           CAST(SUM(n_tokens) AS BIGINT) AS total_tokens,
+           ROUND(AVG(n_chars), 4) AS avg_chars
+    FROM deduped
+    GROUP BY lang, source
+    ORDER BY lang, source
+    """,
+)
+def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The flagship LLM-pretraining composite: quality-filter (length,
+    token count, lexical diversity) → exact-dedup on canonical
+    fingerprint (keep lowest doc_id) → per-(lang, source) corpus stats.
+    One scan, two shuffles (dedup window + final agg) — the shape of a
+    real 100 TB corpus-cleaning pass where each stage's selectivity
+    multiplies."""
+    d = t(spark, sf_dir, "documents")
+    words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    scored = d.select(
+        "doc_id",
+        "lang",
+        "source",
+        "n_chars",
+        F.size(words).alias("n_tokens"),
+        (F.size(F.array_distinct(words)).cast("double") / F.size(words)).alias("lexical_diversity"),
+        F.md5(F.regexp_replace(F.lower(F.trim(F.col("text"))), r"\s+", " ")).alias("fingerprint"),
+    )
+    filtered = scored.filter(
+        F.col("n_chars").between(100, 2000)
+        & (F.col("n_tokens") >= 20)
+        & (F.col("lexical_diversity") >= 0.3)
+    )
+    w = Window.partitionBy("fingerprint").orderBy("doc_id")
+    deduped = filtered.withColumn("rn", F.row_number().over(w)).filter(F.col("rn") == 1)
+    return (
+        deduped.groupBy("lang", "source")
+        .agg(
+            F.count(F.lit(1)).alias("n_docs"),
+            F.sum("n_tokens").cast("bigint").alias("total_tokens"),
+            F.round(F.avg("n_chars"), 4).alias("avg_chars"),
+        )
+        .orderBy("lang", "source")
+    )

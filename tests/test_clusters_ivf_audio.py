@@ -1,0 +1,74 @@
+"""Planted-fixture tests for duplicate clustering (connected
+components), KMeans-IVF ANN recall, and the audio feature stub."""
+
+from __future__ import annotations
+
+import pytest
+
+from pyspark.sql import functions as F
+
+from realestate_engine.dedup import connected_components
+from realestate_engine.multimodal import decode_audio_stub, extract_audio_features
+from realestate_engine.registry import QUERIES, load_all
+from realestate_engine.similarity import ivf_topk
+
+load_all()
+
+
+def test_connected_components_transitive_chain(spark):
+    # chain 1-2-3 plus island 7-8: transitivity must group 1,2,3 even
+    # though (1,3) is not an edge
+    pairs = spark.createDataFrame([(1, 2), (2, 3), (7, 8)], "id_a long, id_b long")
+    got = {r.doc_id: r.cluster_id for r in connected_components(pairs).collect()}
+    assert got == {1: 1, 2: 1, 3: 1, 7: 7, 8: 7}
+
+
+def test_connected_components_long_chain_converges(spark):
+    # a 12-node path needs several propagation rounds (diameter ~11)
+    pairs = spark.createDataFrame([(i, i + 1) for i in range(12)], "id_a long, id_b long")
+    got = {r.doc_id: r.cluster_id for r in connected_components(pairs).collect()}
+    assert set(got.values()) == {0}
+    assert len(got) == 13
+
+
+def test_ivf_recall_and_allcells_exactness(spark, sf_dir):
+    from realestate_engine.registry import t as load_table
+
+    e = load_table(spark, sf_dir, "embeddings")
+    probe = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
+    exact_ids = {r.vec_id for r in QUERIES["sim_bruteforce_topk"](spark, sf_dir).collect()}
+
+    # nprobe < n_cells: approximate but useful
+    approx_ids = {r.vec_id for r in ivf_topk(e, probe, k=20, n_cells=8, nprobe=2).collect()}
+    assert len(approx_ids & exact_ids) / 20 >= 0.5
+    assert 0 in approx_ids  # the probe's own cell is always searched
+
+    # nprobe == n_cells degenerates to exact search
+    all_ids = {r.vec_id for r in ivf_topk(e, probe, k=20, n_cells=8, nprobe=8).collect()}
+    assert all_ids == exact_ids
+
+
+def test_audio_stub_decode_and_mapinpandas(spark):
+    assert decode_audio_stub(b"")["rms"] == 0.0
+    d = decode_audio_stub(bytes([3, 4]))
+    assert d["rms"] == pytest.approx((25 / 2) ** 0.5, abs=1e-4)
+    assert d["duration_ms"] == 0  # 2 samples at 16 kHz
+    with pytest.raises(NotImplementedError):
+        decode_audio_stub(b"RIFF....WAVE")
+
+    df = spark.createDataFrame(
+        [(1, bytearray(bytes(range(160)))), (2, bytearray(b""))], "doc_id long, payload binary"
+    )
+    got = {r.doc_id: r for r in extract_audio_features(df).collect()}
+    assert got[1].duration_ms == 10  # 160 samples / 16 kHz
+    assert got[1].sample_rate == 16000
+    assert got[2].n_bytes == 0 and got[2].rms == 0.0
+
+
+def test_corpus_clean_pipeline_monotone(spark, sf_dir):
+    out = QUERIES["corpus_clean_pipeline"](spark, sf_dir)
+    total_kept = out.agg(F.sum("n_docs")).first()[0]
+    from realestate_engine.registry import t as load_table
+
+    n_docs = load_table(spark, sf_dir, "documents").count()
+    assert 0 < total_kept <= n_docs  # filters + dedup only remove rows
