@@ -69,3 +69,22 @@ def write_csv(df: DataFrame, path: str, mode: str = "overwrite", header: bool = 
 def from_rows(spark: SparkSession, rows: list[dict], schema: T.StructType) -> DataFrame:
     """Local-row source for single-record inference paths."""
     return spark.createDataFrame([tuple(r.get(f.name) for f in schema.fields) for r in rows], schema)
+
+
+def write_bucketed(
+    df: DataFrame,
+    table: str,
+    bucket_cols: list[str],
+    n_buckets: int = 16,
+    sort_cols: list[str] | None = None,
+    mode: str = "overwrite",
+) -> None:
+    """Bucketed table sink: co-locates rows by hash(bucket_cols) at
+    WRITE time so later joins/aggregations on those columns need no
+    exchange — the 100 TB answer to repeatedly-joined fact tables (pay
+    the shuffle once at ingest, never per query). Requires saveAsTable
+    (bucket metadata lives in the catalog)."""
+    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+    if sort_cols:
+        writer = writer.sortBy(*sort_cols)
+    writer.saveAsTable(table)

@@ -170,3 +170,26 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
+
+
+def stream_stream_click_purchase_join(
+    clicks: DataFrame, purchases: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """Stream-stream inner join: each purchase matched to the same
+    user's clicks within the preceding ``window``. Both sides carry
+    watermarks and the join condition time-bounds the buffered state, so
+    Spark can evict rows older than watermark+window — without the time
+    bound a stream-stream join buffers forever."""
+    c = clicks.select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"), F.col("event_id").alias("c_id")
+    ).withWatermark("c_ts", watermark)
+    p = purchases.select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"), F.col("event_id").alias("p_id")
+    ).withWatermark("p_ts", watermark)
+    return p.join(
+        c,
+        F.expr(
+            f"c_user = p_user AND c_ts > p_ts - INTERVAL {window} AND c_ts <= p_ts"
+        ),
+        "inner",
+    )

@@ -196,3 +196,48 @@ def custom_running_total_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ev.groupBy("user_id").applyInPandas(
         running, schema="user_id long, event_id long, ts timestamp, running_cents long"
     )
+
+
+def salted_groupby_sum(
+    df: DataFrame,
+    key: str,
+    value: str,
+    salt_col: str,
+    buckets: int = 16,
+) -> DataFrame:
+    """Skew-resistant aggregation: salt the hot key with a deterministic
+    hash of ``salt_col`` (any high-cardinality column), partially
+    aggregate on (key, salt) — spreading one hot key over ``buckets``
+    reducers — then combine partials on the bare key. Two shuffles, but
+    the second carries ≤ |keys|·buckets rows. Semantically identical to
+    the plain groupBy (sums are associative); use when one key holds a
+    double-digit percentage of the data and AQE skew-join can't help
+    (it splits join partitions, not aggregation groups)."""
+    salted = df.withColumn("_salt", F.pmod(F.hash(F.col(salt_col)), F.lit(buckets)))
+    partial = salted.groupBy(key, "_salt").agg(
+        F.sum(value).alias("_psum"), F.count(F.lit(1)).alias("_pcnt")
+    )
+    return partial.groupBy(key).agg(
+        F.sum("_psum").alias(f"sum_{value}"), F.sum("_pcnt").cast("bigint").alias("n_rows")
+    )
+
+
+@register(
+    "skew_salted_agg",
+    """
+    SELECT user_id,
+           SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS sum_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM events
+    GROUP BY user_id
+    """,
+)
+def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Salted two-phase aggregation over events.user_id (the hot-key
+    mitigation, oracle-checked equal to the plain groupBy). Values sum
+    as integer cents so the two-level association is bit-exact."""
+    ev = t(spark, sf_dir, "events").withColumn(
+        "cents", F.floor(F.col("value") * 100).cast("bigint")
+    )
+    out = salted_groupby_sum(ev, key="user_id", value="cents", salt_col="event_id")
+    return out.select("user_id", F.col("sum_cents"), "n_rows")

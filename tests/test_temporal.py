@@ -142,3 +142,80 @@ def test_stateful_user_totals_streaming_matches_batch(spark, sf_dir, tmp_path):
     for u in want:
         assert got[u][0] == want[u][0]
         assert got[u][1] == pytest.approx(want[u][1], abs=0.05)
+
+
+def test_salted_agg_equals_plain_groupby(spark, sf_dir):
+    ev = t(spark, sf_dir, "events").withColumn("cents", F.floor(F.col("value") * 100).cast("bigint"))
+    from realestate_engine.temporal import salted_groupby_sum
+
+    salted = salted_groupby_sum(ev, key="user_id", value="cents", salt_col="event_id")
+    plain = ev.groupBy("user_id").agg(F.sum("cents").alias("s"), F.count(F.lit(1)).alias("n"))
+    diff = (
+        salted.join(plain, "user_id")
+        .filter((F.col("sum_cents") != F.col("s")) | (F.col("n_rows") != F.col("n")))
+        .count()
+    )
+    assert diff == 0
+    assert salted.count() == plain.count()
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir, tmp_path):
+    """Bucketing pays the shuffle at write time: a join between two
+    tables bucketed on the same key by the same bucket count compiles
+    with NO Exchange on either side."""
+    from realestate_engine.io import write_bucketed
+
+    prev = spark.conf.get("spark.sql.autoBroadcastJoinThreshold")
+    spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+    try:
+        o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_totalprice")
+        li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+        write_bucketed(o, "b_orders", ["o_orderkey"], n_buckets=8, sort_cols=["o_orderkey"])
+        write_bucketed(
+            li.withColumnRenamed("l_orderkey", "o_orderkey"),
+            "b_lineitem",
+            ["o_orderkey"],
+            n_buckets=8,
+            sort_cols=["o_orderkey"],
+        )
+        joined = spark.table("b_orders").join(spark.table("b_lineitem"), "o_orderkey")
+        plan = joined._sc._jvm.PythonSQLUtils.explainString(joined._jdf.queryExecution(), "formatted")
+        assert "Exchange" not in plan
+        assert joined.count() == t(spark, sf_dir, "lineitem").count()
+    finally:
+        spark.conf.set("spark.sql.autoBroadcastJoinThreshold", prev)
+        spark.sql("DROP TABLE IF EXISTS b_orders")
+        spark.sql("DROP TABLE IF EXISTS b_lineitem")
+
+
+def test_stream_stream_join_matches_batch(spark, sf_dir, tmp_path):
+    from realestate_engine.streaming import stream_stream_click_purchase_join, streamify
+
+    events = t(spark, sf_dir, "events")
+    src = str(tmp_path / "ss_src")
+    events.write.parquet(src)
+    stream = streamify(spark, src, events.schema)
+    clicks = stream.filter(F.col("event_type") == "click")
+    purchases = stream.filter(F.col("event_type") == "purchase")
+    q = (
+        stream_stream_click_purchase_join(clicks, purchases)
+        .writeStream.format("memory")
+        .queryName("ss_join")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT count(*) AS n FROM ss_join").first().n
+
+    bc = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts")
+    )
+    bp = events.filter(F.col("event_type") == "purchase").select("user_id", "ts")
+    batch_n = bp.join(
+        bc,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("c_ts") > F.col("ts") - F.expr("INTERVAL 1 HOUR"))
+        & (F.col("c_ts") <= F.col("ts")),
+    ).count()
+    assert got == batch_n

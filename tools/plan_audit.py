@@ -1,0 +1,95 @@
+"""Physical-plan audit: explain() every registered query and flag the
+plan shapes that break at 100 TB.
+
+Flags:
+- BroadcastNestedLoopJoin / CartesianProduct where not explicitly
+  intended (only j3_cross and the 1-row-probe broadcast cross joins of
+  the similarity queries are allowed);
+- LocalTableScan / Scan ExistingRDD inside relational queries (a
+  driver-materialized detour), except the intentional local-row source;
+- BatchEvalPython anywhere (row-at-a-time Python);
+- parquet scans with no pushed filters when the query filters the scan
+  column (informational).
+
+Usage: python tools/plan_audit.py [--sf DIR] [name ...]
+Exit code 1 if any hard flag fires.
+"""
+
+from __future__ import annotations
+
+import argparse
+import sys
+
+sys.path.insert(0, ".")
+
+# Queries whose plans legitimately contain a cross/nested-loop join:
+# an explicit cartesian operator, or a broadcast of a 1-row probe /
+# k-row constant side (cost O(|corpus|), not O(n·m)).
+ALLOWED_CROSS = {
+    "j3_cross",
+    "sim_bruteforce_topk",
+    "sim_lsh_ann",
+    "sim_ivf_kmeans_topk",
+    "text_tfidf_top_term",  # broadcast 1-row n_docs count
+    "m8_smearing_inverse",  # broadcast 1-row sigma aggregate
+    "m13_batch_predict",  # broadcast 1-row sigma aggregate
+}
+# Local tables that are NOT data detours: explicit local-row sources,
+# fitted-model state (O(k) best params / importances), and
+# localCheckpoint lineage truncation (shows as Scan ExistingRDD).
+ALLOWED_LOCAL = {
+    "s4_local_rows",
+    "sim_ivf_kmeans_topk",
+    "m10_cross_validator",  # returns CV best-params (model state)
+    "m12_feature_importances",  # returns k importances (model state)
+    "dedup_clusters",  # iterative propagation localCheckpoints each round
+}
+
+
+def main() -> int:
+    ap = argparse.ArgumentParser()
+    ap.add_argument("--sf", default="/root/testdata/sf0.001")
+    ap.add_argument("names", nargs="*")
+    args = ap.parse_args()
+
+    from realestate_engine.registry import QUERIES, load_all
+    from realestate_engine.session import create_session
+
+    load_all()
+    spark = create_session("plan_audit", master="local[4]", shuffle_partitions=4)
+    spark.sparkContext.setLogLevel("ERROR")
+
+    names = args.names or sorted(QUERIES)
+    hard_flags: list[str] = []
+    for name in names:
+        try:
+            df = QUERIES[name](spark, args.sf)
+            plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+        except Exception as e:  # noqa: BLE001 - audit must not abort on one query
+            hard_flags.append(f"{name}: explain failed: {e}")
+            continue
+        problems = []
+        if name not in ALLOWED_CROSS:
+            for op in ("BroadcastNestedLoopJoin", "CartesianProduct"):
+                if op in plan:
+                    problems.append(op)
+        if name not in ALLOWED_LOCAL:
+            for op in ("Scan ExistingRDD", "LocalTableScan"):
+                if op in plan:
+                    problems.append(op)
+        if "BatchEvalPython" in plan:
+            problems.append("BatchEvalPython")
+        if problems:
+            hard_flags.append(f"{name}: {', '.join(problems)}")
+            print(f"FLAG {name}: {', '.join(problems)}")
+        else:
+            print(f"ok   {name}")
+
+    print(f"\n{len(names) - len(hard_flags)} clean, {len(hard_flags)} flagged")
+    for f in hard_flags:
+        print(" ", f)
+    return 1 if hard_flags else 0
+
+
+if __name__ == "__main__":
+    sys.exit(main())
