@@ -855,3 +855,79 @@ def set_except(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def set_drop_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     return t(spark, sf_dir, "lineitem").select("l_returnflag", "l_linestatus").dropDuplicates()
+
+
+@register(
+    "a11_pivot",
+    """
+    SELECT n_name,
+           SUM(CASE WHEN YEAR(o_orderdate) = 1996 THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS y1996_cents,
+           SUM(CASE WHEN YEAR(o_orderdate) = 1997 THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS y1997_cents,
+           SUM(CASE WHEN YEAR(o_orderdate) = 1998 THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS y1998_cents
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    WHERE YEAR(o_orderdate) BETWEEN 1996 AND 1998
+    GROUP BY n_name
+    ORDER BY n_name
+    """,
+)
+def a11_pivot(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A11: groupBy().pivot() — wide reshaping. The pivot values are
+    pinned explicitly (without them Spark runs an extra distinct job to
+    discover columns — never do that at 100 TB). Sums are integer cents
+    so the oracle's conditional-aggregation formulation is bit-exact."""
+    o = t(spark, sf_dir, "orders").filter(F.year("o_orderdate").between(1996, 1998))
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    base = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select("n_name", F.year("o_orderdate").alias("yr"), cents.alias("cents"))
+    )
+    pivoted = (
+        base.groupBy("n_name")
+        .pivot("yr", [1996, 1997, 1998])
+        .agg(F.coalesce(F.sum("cents"), F.lit(0)).alias("c"))
+    )
+    return pivoted.select(
+        "n_name",
+        F.coalesce(F.col("1996"), F.lit(0)).alias("y1996_cents"),
+        F.coalesce(F.col("1997"), F.lit(0)).alias("y1997_cents"),
+        F.coalesce(F.col("1998"), F.lit(0)).alias("y1998_cents"),
+    ).orderBy("n_name")
+
+
+@register(
+    "f11_pandas_udaf_weighted_avg",
+    """
+    SELECT l_returnflag,
+           ROUND(SUM(l_extendedprice * l_quantity) / SUM(l_quantity), 4) AS weighted_avg_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def f11_pandas_udaf_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F11: custom aggregate via a GROUPED_AGG pandas_udf (Arrow-batched
+    UDAF) — quantity-weighted mean price per return flag. The vectorized
+    numpy body runs once per group partition; Spark handles the shuffle.
+    This is the UDAF escape hatch pattern; the oracle states the same
+    aggregate in SQL. (Ratio-of-sums is division-last, so the 4-decimal
+    round is stable across engines.)"""
+    from pyspark.sql.functions import PandasUDFType, pandas_udf
+
+    # functionType passed explicitly: this module uses `from __future__
+    # import annotations`, which stringifies signature annotations and
+    # breaks pandas_udf's type inference
+    @pandas_udf("double", PandasUDFType.GROUPED_AGG)
+    def weighted_avg(price, qty):
+        return float((price * qty).sum() / qty.sum())
+
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(F.round(weighted_avg("l_extendedprice", "l_quantity"), 4).alias("weighted_avg_price"))
+        .orderBy("l_returnflag")
+    )

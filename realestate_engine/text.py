@@ -270,3 +270,45 @@ def corpus_clean_pipeline(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang", "source")
     )
+
+
+CHUNK_WORDS = 10
+
+
+@register(
+    "text_udtf_chunk_docs",
+    rf"""
+    WITH w AS (
+        SELECT doc_id, STRING_SPLIT_REGEX(TRIM(text), '\s+') AS words FROM documents
+    )
+    SELECT doc_id,
+           CAST(k AS INT) AS chunk_idx,
+           ARRAY_TO_STRING(words[k * {CHUNK_WORDS} + 1 : k * {CHUNK_WORDS} + {CHUNK_WORDS}], ' ') AS chunk
+    FROM w, UNNEST(RANGE(0, GREATEST(CAST(CEIL(LEN(words) / {CHUNK_WORDS}.0) AS BIGINT), 1))) AS t(k)
+    """,
+)
+def text_udtf_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Document chunking as a Python UDTF (table function): one document
+    row fans out to fixed-size word chunks — the context-window
+    preprocessing step of an LLM data pipeline, and the UDTF member of
+    the UDF/UDAF/UDTF surface. Invoked via LATERAL so chunking runs
+    distributed alongside the scan; the oracle reproduces the chunk
+    grid with list slicing."""
+    import math
+
+    from pyspark.sql.functions import udtf
+
+    @udtf(returnType=f"chunk_idx int, chunk string")
+    class ChunkDoc:
+        def eval(self, text: str):
+            words = (text or "").strip().split()
+            n_chunks = max(1, math.ceil(len(words) / CHUNK_WORDS))
+            for k in range(n_chunks):
+                yield k, " ".join(words[k * CHUNK_WORDS : (k + 1) * CHUNK_WORDS])
+
+    spark.udtf.register("chunk_doc", ChunkDoc)
+    t(spark, sf_dir, "documents").createOrReplaceTempView("_docs_for_chunking")
+    return spark.sql(
+        "SELECT d.doc_id, c.chunk_idx, c.chunk "
+        "FROM _docs_for_chunking d, LATERAL chunk_doc(d.text) c"
+    )
