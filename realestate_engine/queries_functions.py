@@ -776,3 +776,57 @@ def tpch_q19_disjunctive_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(cond)
         .agg(F.round(F.sum(F.col("l_extendedprice") * (1 - F.col("l_discount"))), 2).alias("revenue"))
     )
+
+
+@register(
+    "f12_json_extract",
+    """
+    SELECT event_id,
+           CAST(JSON_EXTRACT(props, '$.k') AS BIGINT) AS prop_k,
+           CAST(JSON_VALID(props) AS BOOLEAN) AS is_valid_json
+    FROM events
+    """,
+)
+def f12_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F12: JSON column handling — schema-on-read extraction from the
+    events.props JSON string via from_json with an explicit schema (the
+    scale path: one parse per row into a typed struct; get_json_object
+    re-parses per extracted field)."""
+    ev = t(spark, sf_dir, "events")
+    parsed = F.from_json(F.col("props"), "struct<k: bigint>")
+    return ev.select(
+        "event_id",
+        parsed["k"].alias("prop_k"),
+        parsed.isNotNull().alias("is_valid_json"),
+    )
+
+
+@register("p10_stratified_sample")  # seeded-RNG sampling → rows-only + pytest invariants
+def p10_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P10: stratified sampling via sampleBy — the class-balancing
+    primitive of a training-data pipeline (downsample the dominant
+    event types, keep the rare ones). Seeded for reproducibility; exact
+    membership is RNG-implementation-specific, so the driver check is
+    rows-only and pytest asserts per-stratum fractions."""
+    ev = t(spark, sf_dir, "events")
+    fractions = {"click": 0.2, "view": 0.2, "signup": 1.0, "purchase": 1.0, "error": 0.5}
+    return (
+        ev.sampleBy("event_type", fractions, seed=42)
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n_sampled"))
+        .orderBy("event_type")
+    )
+
+
+@register("p11_train_test_split")  # seeded-RNG split → rows-only + pytest invariants
+def p11_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P11: seeded randomSplit (the 80/20 of the reference's EP2,
+    notebooks/03) — returns split sizes plus a disjointness audit
+    (overlap must be 0, union must equal the source)."""
+    o = t(spark, sf_dir, "orders")
+    train, test = o.randomSplit([0.8, 0.2], seed=42)
+    overlap = train.select("o_orderkey").intersect(test.select("o_orderkey")).count()
+    return spark.createDataFrame(
+        [(train.count(), test.count(), o.count(), overlap)],
+        "n_train long, n_test long, n_total long, n_overlap long",
+    )

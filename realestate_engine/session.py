@@ -35,6 +35,8 @@ _BASE_CONF = {
     # Arrow for the Python<->JVM data plane (toPandas/createDataFrame,
     # pandas UDFs) (reference: spark_utils.py:43).
     "spark.sql.execution.arrow.pyspark.enabled": "true",
+    # Python UDTFs also ride Arrow (default is pickled row batches).
+    "spark.sql.execution.pythonUDTF.arrow.enabled": "true",
     # Deterministic timestamp semantics for the DuckDB oracle.
     "spark.sql.session.timeZone": "UTC",
     # Parquet scans: vectorized reader + pushdown are on by default;

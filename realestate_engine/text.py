@@ -306,6 +306,9 @@ def text_udtf_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
             for k in range(n_chunks):
                 yield k, " ".join(words[k * CHUNK_WORDS : (k + 1) * CHUNK_WORDS])
 
+    # Arrow-batched UDTF eval (driver sessions may not have the engine's
+    # session factory config; this is a runtime conf, safe to set here)
+    spark.conf.set("spark.sql.execution.pythonUDTF.arrow.enabled", "true")
     spark.udtf.register("chunk_doc", ChunkDoc)
     t(spark, sf_dir, "documents").createOrReplaceTempView("_docs_for_chunking")
     return spark.sql(

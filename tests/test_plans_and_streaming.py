@@ -124,3 +124,51 @@ def test_no_driver_materialization_in_relational_plans(spark, sf_dir):
         plan = _plan(QUERIES[name](spark, sf_dir))
         assert "Scan ExistingRDD" not in plan, name
         assert "LocalTableScan" not in plan, name
+
+
+def test_stratified_sample_fractions(spark, sf_dir):
+    from realestate_engine.registry import t as load_table
+
+    base = {
+        r.event_type: r.n
+        for r in load_table(spark, sf_dir, "events")
+        .groupBy("event_type")
+        .agg(F.count(F.lit(1)).alias("n"))
+        .collect()
+    }
+    got = {r.event_type: r.n_sampled for r in QUERIES["p10_stratified_sample"](spark, sf_dir).collect()}
+    assert got["signup"] == base["signup"]  # fraction 1.0 keeps everything
+    assert got["purchase"] == base["purchase"]
+    for etype, frac in (("click", 0.2), ("view", 0.2), ("error", 0.5)):
+        assert abs(got[etype] / base[etype] - frac) < 0.1, etype
+
+
+def test_train_test_split_disjoint_and_complete(spark, sf_dir):
+    row = QUERIES["p11_train_test_split"](spark, sf_dir).first()
+    assert row.n_overlap == 0
+    assert row.n_train + row.n_test == row.n_total
+    assert 0.7 < row.n_train / row.n_total < 0.9
+
+
+def test_foreach_batch_sink_roundtrip(spark, sf_dir, tmp_path):
+    """foreachBatch: the custom-sink escape hatch — each micro-batch is
+    a normal DataFrame the callback writes transactionally (here:
+    append parquet keyed by batch id). The written data must equal the
+    source."""
+    from realestate_engine.registry import t as load_table
+    from realestate_engine.streaming import streamify
+
+    events = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "fb_src")
+    out = str(tmp_path / "fb_out")
+    events.write.parquet(src)
+    stream = streamify(spark, src, events.schema)
+
+    def write_batch(batch_df, batch_id: int):
+        batch_df.withColumn("_batch", F.lit(batch_id)).write.mode("append").parquet(out)
+
+    q = stream.writeStream.foreachBatch(write_batch).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    written = spark.read.parquet(out)
+    assert written.count() == events.count()
+    assert written.select("event_id").distinct().count() == events.count()
