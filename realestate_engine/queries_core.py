@@ -931,3 +931,42 @@ def f11_pandas_udaf_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(weighted_avg("l_extendedprice", "l_quantity"), 4).alias("weighted_avg_price"))
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "a12_grouping_sets",
+    """
+    SELECT n_name, o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS total_cents
+    FROM orders
+    JOIN customer ON o_custkey = c_custkey
+    JOIN nation   ON c_nationkey = n_nationkey
+    GROUP BY GROUPING SETS ((n_name), (o_orderstatus), (n_name, o_orderstatus))
+    ORDER BY n_name NULLS FIRST, o_orderstatus NULLS FIRST
+    """,
+)
+def a12_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A12: GROUPING SETS — the third member of the cube/rollup family,
+    with explicit set selection (computes only the requested grouping
+    combinations in one Expand + one shuffle, where chained unions would
+    re-scan per set)."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    joined = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .select("n_name", "o_orderstatus", F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"))
+    )
+    joined.createOrReplaceTempView("_gs_orders")
+    return joined.sparkSession.sql(
+        """
+        SELECT n_name, o_orderstatus,
+               COUNT(*) AS n_orders,
+               SUM(cents) AS total_cents
+        FROM _gs_orders
+        GROUP BY GROUPING SETS ((n_name), (o_orderstatus), (n_name, o_orderstatus))
+        ORDER BY n_name NULLS FIRST, o_orderstatus NULLS FIRST
+        """
+    )

@@ -172,3 +172,20 @@ def test_foreach_batch_sink_roundtrip(spark, sf_dir, tmp_path):
     written = spark.read.parquet(out)
     assert written.count() == events.count()
     assert written.select("event_id").distinct().count() == events.count()
+
+
+def test_partitioned_write_prunes_on_read(spark, sf_dir, tmp_path):
+    """A filter on the partition column must prune directories at scan
+    time (PartitionFilters), not read-then-filter."""
+    from realestate_engine.registry import t as load_table
+
+    out = str(tmp_path / "pruned")
+    load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_totalprice", "o_orderstatus"
+    ).write.partitionBy("o_orderstatus").parquet(out)
+    df = spark.read.parquet(out).filter(F.col("o_orderstatus") == "F")
+    plan = _plan(df)
+    pf = [l for l in plan.splitlines() if "PartitionFilters" in l]
+    assert pf and "o_orderstatus" in pf[0]
+    # pruned scan must not enumerate the other status partitions
+    assert df.count() == load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").count()
