@@ -57,6 +57,19 @@ def main() -> None:
     warm_dir = "/root/testdata/sf0.001"
     for name in HEADLINE:
         QUERIES[name](spark, warm_dir).write.format("noop").mode("overwrite").save()
+    # spin up the full Python worker pool (sf0.001 warmup runs coalesce
+    # to few partitions and leave most workers unspawned)
+    from pyspark.sql import functions as F
+
+    (
+        spark.range(0, 10_000, 1, int(cpus))
+        .withColumn("g", F.col("id") % int(cpus))
+        .groupBy("g")
+        .applyInPandas(lambda p: p[["g"]].head(1), "g long")
+        .write.format("noop")
+        .mode("overwrite")
+        .save()
+    )
 
     timings: dict[str, float] = {}
     for name in HEADLINE:

@@ -193,7 +193,14 @@ def custom_running_total_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
         return pdf[["user_id", "event_id", "ts", "running_cents"]]
 
     ev = t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
-    return ev.groupBy("user_id").applyInPandas(
+    # Explicit repartition by the group key: AQE would coalesce this
+    # small shuffle to ~1 partition, serializing every group through a
+    # single Python worker — for Arrow-bound stages parallelism beats
+    # shuffle-size heuristics, and the groupBy reuses this partitioning
+    # (no second exchange). AQE never coalesces user-specified
+    # repartitions with an explicit partition count.
+    n_part = spark.sparkContext.defaultParallelism
+    return ev.repartition(n_part, "user_id").groupBy("user_id").applyInPandas(
         running, schema="user_id long, event_id long, ts timestamp, running_cents long"
     )
 
