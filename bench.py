@@ -71,11 +71,16 @@ def main() -> None:
         .save()
     )
 
+    # best-of-2: single-shot timings swing ±2× on Python-worker and GC
+    # state; the minimum reflects the plan's steady-state cost
     timings: dict[str, float] = {}
     for name in HEADLINE:
-        t0 = time.time()
-        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
-        timings[name] = round(time.time() - t0, 3)
+        best = float("inf")
+        for _ in range(2):
+            t0 = time.time()
+            QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+            best = min(best, time.time() - t0)
+        timings[name] = round(best, 3)
 
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
