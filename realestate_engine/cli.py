@@ -1,0 +1,122 @@
+"""Command-line entry points mirroring the reference's user surface
+(SURVEY.md §3 EP1-EP3: notebooks/00_prepare_data.py ETL,
+src/models/train.py __main__ training, src/inference/predict.py batch
+inference) — so a user of the reference can run the same three commands
+against this engine.
+
+    python -m realestate_engine.cli prepare --x X.csv --y y.csv --out data.parquet
+    python -m realestate_engine.cli train   --data data.parquet --model-dir out/ [--model rf|lr|gbt] [--cv]
+    python -m realestate_engine.cli predict --data X.csv --model-dir out/ --out preds.csv
+
+Differences from the reference, by design:
+- explicit schema on CSV scans (inference is an extra full pass);
+- ONE multi-column approxQuantile during feature fit (not 11 jobs);
+- training label is log_price (reference bug B1 trained on raw price
+  yet inverted at serving, shipping inf predictions);
+- predictions leave via the native distributed CSV sink (the reference
+  detoured through toPandas on the driver).
+"""
+
+from __future__ import annotations
+
+import argparse
+import json
+import os
+
+from pyspark.sql import functions as F
+
+from realestate_engine.features import FeatureEngineering
+from realestate_engine.io import read_csv, write_csv, write_parquet
+from realestate_engine.predict import predict_batch
+from realestate_engine.schemas import LISTINGS_SCHEMA, PRICES_SCHEMA
+from realestate_engine.session import create_session
+from realestate_engine.target import TargetTransformer
+from realestate_engine.train import ModelTrainer
+
+
+def cmd_prepare(args: argparse.Namespace) -> None:
+    """EP1: X.csv ⋈ y.csv on id_annonce → typed parquet + join audit."""
+    spark = create_session("realestate_prepare")
+    x = read_csv(spark, args.x, schema=LISTINGS_SCHEMA)
+    y = read_csv(spark, args.y, schema=PRICES_SCHEMA)
+    joined = x.join(y, "id_annonce")
+    orphans = x.join(y, "id_annonce", "left_anti").count()
+    write_parquet(joined, args.out)
+    n = spark.read.parquet(args.out).count()
+    print(json.dumps({"rows_written": n, "x_rows_without_price": orphans, "out": args.out}))
+
+
+def cmd_train(args: argparse.Namespace) -> None:
+    """EP2: feature fit → log-target transform → train → evaluate →
+    persist all three artifacts under --model-dir."""
+    spark = create_session("realestate_train")
+    df = spark.read.parquet(args.data)
+    train_df, val_df = df.randomSplit([0.8, 0.2], seed=42)
+
+    fe = FeatureEngineering(strict_mode=True)
+    feats = fe.fit_transform(train_df)
+    tt = TargetTransformer().fit(feats)
+    labeled = tt.transform(feats)
+    trainer = ModelTrainer(model_type=args.model, label_col="log_price").train(
+        labeled, use_cv=args.cv
+    )
+
+    val_feats = tt.transform(fe.transform(val_df))
+    metrics = trainer.evaluate(val_feats)
+
+    os.makedirs(args.model_dir, exist_ok=True)
+    fe.save(os.path.join(args.model_dir, "fe"))
+    tt.save(os.path.join(args.model_dir, "tt.json"))
+    trainer.save(os.path.join(args.model_dir, "model"))
+    print(json.dumps({"model": args.model, "metrics": metrics, "best_params": trainer.best_params}))
+
+
+def cmd_predict(args: argparse.Namespace) -> None:
+    """EP3: reload artifacts → batch predict → distributed CSV sink."""
+    spark = create_session("realestate_predict")
+    fe = FeatureEngineering.load(os.path.join(args.model_dir, "fe"))
+    fe.strict_mode = False  # inference tolerates unseen categories
+    tt = TargetTransformer.load(os.path.join(args.model_dir, "tt.json"))
+    trainer = ModelTrainer.load(os.path.join(args.model_dir, "model"))
+
+    x = read_csv(spark, args.data, schema=LISTINGS_SCHEMA)
+    preds = predict_batch(x, fe, trainer, tt)
+    write_csv(preds, args.out)
+    audit = preds.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum(F.when(F.isnan("predicted_price") | F.col("predicted_price").isNull(), 1).otherwise(0)).alias(
+            "n_invalid"
+        ),
+    ).first()
+    print(json.dumps({"predictions": audit.n, "invalid": int(audit.n_invalid or 0), "out": args.out}))
+
+
+def main(argv: list[str] | None = None) -> None:
+    ap = argparse.ArgumentParser(prog="realestate_engine")
+    sub = ap.add_subparsers(dest="cmd", required=True)
+
+    p = sub.add_parser("prepare", help="EP1: join X/y CSVs into typed parquet")
+    p.add_argument("--x", required=True)
+    p.add_argument("--y", required=True)
+    p.add_argument("--out", required=True)
+    p.set_defaults(fn=cmd_prepare)
+
+    p = sub.add_parser("train", help="EP2: fit features+target, train, persist")
+    p.add_argument("--data", required=True)
+    p.add_argument("--model-dir", required=True)
+    p.add_argument("--model", default="rf", choices=["rf", "lr", "gbt"])
+    p.add_argument("--cv", action="store_true")
+    p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser("predict", help="EP3: batch inference to CSV")
+    p.add_argument("--data", required=True)
+    p.add_argument("--model-dir", required=True)
+    p.add_argument("--out", required=True)
+    p.set_defaults(fn=cmd_predict)
+
+    args = ap.parse_args(argv)
+    args.fn(args)
+
+
+if __name__ == "__main__":
+    main()

@@ -118,3 +118,32 @@ def test_ep2_ep3_train_persist_reload_predict(listings_and_prices, tmp_path):
     single = predict_single(x.sparkSession, rec, fe2, trainer2, tt2).first()
     batch_row = next(p for p in preds if p.id_annonce == 0)
     assert single.predicted_price == pytest.approx(batch_row.predicted_price, rel=1e-9)
+
+
+def test_cli_prepare_train_predict_roundtrip(listings_and_prices, tmp_path, capsys):
+    """The three reference entry points as CLI commands: prepare → train
+    → predict over CSV, artifacts on disk between steps."""
+    import json
+
+    from realestate_engine import cli
+
+    x, y = listings_and_prices
+    x_csv = str(tmp_path / "x_csv")
+    y_csv = str(tmp_path / "y_csv")
+    x.write.option("header", True).csv(x_csv)
+    y.write.option("header", True).csv(y_csv)
+
+    data = str(tmp_path / "data.parquet")
+    cli.main(["prepare", "--x", x_csv, "--y", y_csv, "--out", data])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["rows_written"] == 400 and out["x_rows_without_price"] == 0
+
+    model_dir = str(tmp_path / "artifacts")
+    cli.main(["train", "--data", data, "--model-dir", model_dir, "--model", "lr"])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert all(v == v and v is not None for v in out["metrics"].values())  # finite
+
+    preds_csv = str(tmp_path / "preds")
+    cli.main(["predict", "--data", x_csv, "--model-dir", model_dir, "--out", preds_csv])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert out["predictions"] == 400 and out["invalid"] == 0
