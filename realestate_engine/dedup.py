@@ -501,3 +501,39 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
     )
     return connected_components(pairs).orderBy("doc_id")
+
+
+@register("dedup_minhash_lsh_mllib")  # rows-only (seeded; hand-rolled variant is oracle-side)
+def dedup_minhash_lsh_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib MinHashLSH variant (SURVEY §7.8): tokenize → binary
+    HashingTF → MinHashLSH.approxSimilarityJoin, which buckets and
+    joins internally — the library counterpart of the hand-rolled
+    pipeline above (kept both: the hand-rolled one exposes its banding
+    for the oracle; this one exercises the pyspark.ml surface)."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.feature import HashingTF, MinHashLSH, NGram, RegexTokenizer
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    pipe = Pipeline(
+        stages=[
+            RegexTokenizer(inputCol="text", outputCol="words", pattern=r"\s+"),
+            NGram(n=3, inputCol="words", outputCol="shingles"),
+            HashingTF(inputCol="shingles", outputCol="features", binary=True, numFeatures=1 << 18),
+        ]
+    )
+    feats = (
+        pipe.fit(d).transform(d)
+        .filter(F.size("shingles") > 0)  # MinHashLSH rejects empty sets
+        .select("doc_id", "features")
+    )
+    lsh = MinHashLSH(inputCol="features", outputCol="hashes", numHashTables=8, seed=42).fit(feats)
+    pairs = lsh.approxSimilarityJoin(feats, feats, threshold=0.5, distCol="jaccard_dist")
+    return (
+        pairs.filter(F.col("datasetA.doc_id") < F.col("datasetB.doc_id"))
+        .select(
+            F.col("datasetA.doc_id").alias("id_a"),
+            F.col("datasetB.doc_id").alias("id_b"),
+            F.round(1 - F.col("jaccard_dist"), 6).alias("jaccard"),
+        )
+        .orderBy("id_a", "id_b")
+    )

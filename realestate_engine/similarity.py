@@ -171,3 +171,22 @@ def sim_ivf_kmeans_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     e = t(spark, sf_dir, "embeddings")
     probe = [float(x) for x in e.filter(F.col("vec_id") == 0).first()["embedding"]]
     return ivf_topk(e, probe, k=20, n_cells=8, nprobe=2)
+
+
+@register("sim_brp_lsh_ann_mllib")  # rows-only (seeded; recall-tested in pytest)
+def sim_brp_lsh_ann_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MLlib BucketedRandomProjectionLSH ANN (SURVEY §7.8): euclidean
+    LSH buckets + approxNearestNeighbors for probe vec_id=0 — the
+    library counterpart of the hand-rolled hyperplane LSH above."""
+    from pyspark.ml.feature import BucketedRandomProjectionLSH
+    from pyspark.ml.functions import array_to_vector
+
+    e = t(spark, sf_dir, "embeddings").withColumn("v", array_to_vector(F.col("embedding")))
+    lsh = BucketedRandomProjectionLSH(
+        inputCol="v", outputCol="hashes", bucketLength=2.0, numHashTables=4, seed=42
+    ).fit(e)
+    probe = e.filter(F.col("vec_id") == 0).first()["v"]
+    nn = lsh.approxNearestNeighbors(e, probe, numNearestNeighbors=20, distCol="dist")
+    return nn.select("vec_id", F.round("dist", 6).alias("euclidean_dist")).orderBy(
+        "euclidean_dist", "vec_id"
+    )

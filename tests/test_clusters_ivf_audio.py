@@ -72,3 +72,23 @@ def test_corpus_clean_pipeline_monotone(spark, sf_dir):
 
     n_docs = load_table(spark, sf_dir, "documents").count()
     assert 0 < total_kept <= n_docs  # filters + dedup only remove rows
+
+
+def test_mllib_lsh_variants_agree_with_handrolled(spark, sf_dir):
+    """The MLlib MinHashLSH variant and the hand-rolled banded pipeline
+    must agree on the strongest near-duplicates; the BRP ANN must rank
+    the probe itself first."""
+    mllib_pairs = {
+        (r.id_a, r.id_b)
+        for r in QUERIES["dedup_minhash_lsh_mllib"](spark, sf_dir).filter(F.col("jaccard") >= 0.9).collect()
+    }
+    hand_pairs = {
+        (r.id_a, r.id_b)
+        for r in QUERIES["dedup_minhash_lsh"](spark, sf_dir).filter(F.col("jaccard") >= 0.9).collect()
+    }
+    assert mllib_pairs, "no strong near-dups found by MLlib variant"
+    assert mllib_pairs & hand_pairs, "pipelines disagree on strong near-dups"
+
+    nn = QUERIES["sim_brp_lsh_ann_mllib"](spark, sf_dir).collect()
+    assert nn[0].vec_id == 0 and nn[0].euclidean_dist == 0.0
+    assert len(nn) == 20
