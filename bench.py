@@ -35,6 +35,8 @@ HEADLINE = [
     "custom_running_total_pandas",
     "tpch_q7_nation_volume",
     "tpch_q18_large_orders",
+    "tpch_q9_product_profit",
+    "tpch_q21_waiting_supplier",
 ]
 
 

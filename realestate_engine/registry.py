@@ -67,6 +67,7 @@ def load_all() -> None:
     """Import every module that registers queries (idempotent)."""
     import realestate_engine.queries_core  # noqa: F401
     import realestate_engine.queries_functions  # noqa: F401
+    import realestate_engine.queries_tpch2  # noqa: F401
     import realestate_engine.queries_ml  # noqa: F401
     import realestate_engine.dedup  # noqa: F401
     import realestate_engine.similarity  # noqa: F401

@@ -33,6 +33,7 @@ ALLOWED_CROSS = {
     "text_tfidf_top_term",  # broadcast 1-row n_docs count
     "m8_smearing_inverse",  # broadcast 1-row sigma aggregate
     "m13_batch_predict",  # broadcast 1-row sigma aggregate
+    "tpch_q22_sales_opportunity",  # broadcast 1-row avg-balance threshold
 }
 # Local tables that are NOT data detours: explicit local-row sources,
 # fitted-model state (O(k) best params / importances), and
