@@ -1,0 +1,78 @@
+"""Sequence packing: greedy first-fit of documents into fixed
+token-budget context windows — the step between "clean corpus" and
+"training batches" in an LLM data pipeline.
+
+Packing is inherently stateful (each placement depends on the running
+fill of the current window), so it cannot be a window function. The
+scale design makes the state small instead of global: documents are
+sharded by a deterministic key hash, and packing runs independently
+per shard via ``applyInPandas`` (Arrow-batched). At 100 TB you raise
+``n_shards`` to (cluster cores × a few) — packing quality is
+per-shard-greedy either way, and no shard ever sees more than
+|corpus|/n_shards rows. A driver-side loop would be the anti-pattern
+here; this keeps every byte executor-side.
+
+Deterministic: shard = doc_id mod n_shards, docs packed in doc_id
+order, pack ids are shard-prefixed — repeated runs give identical
+assignments (rows-only driver check + invariant tests in
+tests/test_packing_timeseries.py).
+"""
+
+from __future__ import annotations
+
+import pandas as pd
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from realestate_engine.registry import register, t
+
+PACK_SCHEMA = (
+    "doc_id bigint, shard bigint, pack_id bigint, n_tokens bigint, pack_seq bigint"
+)
+
+
+def pack_greedy(docs: DataFrame, budget: int, n_shards: int) -> DataFrame:
+    """Assign each doc (doc_id, n_tokens) to a pack of ≤ ``budget``
+    total tokens (oversized docs get a singleton pack). Returns
+    doc_id, shard, pack_id, n_tokens, pack_seq (position in pack)."""
+
+    def _pack(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values("doc_id").reset_index(drop=True)
+        shard = int(pdf["shard"].iloc[0]) if len(pdf) else 0
+        pack_ids, seqs = [], []
+        pack_no, fill, seq = 0, 0, 0
+        for tok in pdf["n_tokens"]:
+            tok = int(tok)
+            if fill > 0 and fill + tok > budget:
+                pack_no, fill, seq = pack_no + 1, 0, 0
+            pack_ids.append(shard * 1_000_000 + pack_no)
+            seqs.append(seq)
+            fill += tok
+            seq += 1
+        pdf["pack_id"] = pd.Series(pack_ids, dtype="int64")
+        pdf["pack_seq"] = pd.Series(seqs, dtype="int64")
+        return pdf[["doc_id", "shard", "pack_id", "n_tokens", "pack_seq"]]
+
+    sharded = docs.withColumn("shard", F.pmod(F.col("doc_id"), F.lit(n_shards)))
+    # explicit repartition: AQE would coalesce the small shuffle to one
+    # partition and serialize the Arrow stage through a single Python
+    # worker (see session.py note)
+    n_part = docs.sparkSession.sparkContext.defaultParallelism
+    return (
+        sharded.repartition(n_part, "shard")
+        .groupBy("shard")
+        .applyInPandas(_pack, PACK_SCHEMA)
+    )
+
+
+@register("pack_documents_greedy")  # stateful per-shard scan → rows-only
+def pack_documents_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Pack the documents table into 256-token windows (whitespace
+    token count) across 8 shards. Rows-only check: the assignment is
+    deterministic but the greedy scan is not SQL-expressible; the
+    budget/coverage/determinism invariants are pytest-enforced."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.size(F.split(F.trim("text"), r"\s+")).cast("bigint").alias("n_tokens"),
+    )
+    return pack_greedy(d, budget=256, n_shards=8).orderBy("doc_id")

@@ -75,3 +75,5 @@ def load_all() -> None:
     import realestate_engine.streaming  # noqa: F401
     import realestate_engine.temporal  # noqa: F401
     import realestate_engine.multimodal  # noqa: F401
+    import realestate_engine.timeseries  # noqa: F401
+    import realestate_engine.packing  # noqa: F401

@@ -315,3 +315,59 @@ def text_udtf_chunk_docs(spark: SparkSession, sf_dir: str) -> DataFrame:
         "SELECT d.doc_id, c.chunk_idx, c.chunk "
         "FROM _docs_for_chunking d, LATERAL chunk_doc(d.text) c"
     )
+
+
+@register(
+    "text_repetition_filter",
+    """
+    WITH g AS (
+        SELECT doc_id,
+               list_transform(
+                   generate_series(1, len(string_split_regex(lower(trim(text)), '\\s+')) - 1),
+                   i -> string_split_regex(lower(trim(text)), '\\s+')[i] || ' ' ||
+                        string_split_regex(lower(trim(text)), '\\s+')[i + 1]
+               ) AS bigrams
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(len(bigrams) AS BIGINT) AS n_bigrams,
+           CAST(len(list_distinct(bigrams)) AS BIGINT) AS n_distinct_bigrams,
+           CASE WHEN len(bigrams) > 0
+                THEN 1.0 - len(list_distinct(bigrams)) * 1.0 / len(bigrams)
+                ELSE 0.0 END AS dup_bigram_ratio,
+           (CASE WHEN len(bigrams) > 0
+                 THEN 1.0 - len(list_distinct(bigrams)) * 1.0 / len(bigrams)
+                 ELSE 0.0 END) <= 0.5 AS keep
+    FROM g
+    ORDER BY doc_id
+    """,
+)
+def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T9: Gopher-style repetition quality gate — the fraction of
+    duplicated word bigrams per document (high ratio = boilerplate /
+    degenerate repetition; threshold 0.5 keeps a doc). All native array
+    ops: the bigram array zips the token array with its 1-shifted self
+    (linear, not the quadratic transform-over-indices shape — see the
+    shingling note in dedup.py), and the ratio divides two exact
+    integers so the oracle matches without rounding."""
+    d = t(spark, sf_dir, "documents")
+    words = F.split(F.lower(F.trim("text")), r"\s+")
+    pairs = F.zip_with(
+        words,
+        F.slice(words, 2, F.greatest(F.size(words) - 1, F.lit(0))),
+        lambda a, b: F.concat(a, F.lit(" "), b),
+    )
+    bigrams = F.filter(pairs, lambda x: x.isNotNull())
+    n_bi = F.size(bigrams).cast("bigint")
+    n_di = F.size(F.array_distinct(bigrams)).cast("bigint")
+    ratio = F.when(n_bi > 0, 1.0 - n_di * 1.0 / n_bi).otherwise(F.lit(0.0))
+    return (
+        d.select(
+            "doc_id",
+            n_bi.alias("n_bigrams"),
+            n_di.alias("n_distinct_bigrams"),
+            ratio.alias("dup_bigram_ratio"),
+            (ratio <= 0.5).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )

@@ -1,0 +1,90 @@
+"""Time-series operators over the ``events`` table: calendar gap-fill
+(resample to a daily grid) with last-observation-carried-forward.
+
+The reference repo has no time-series surface; this extends the engine
+the way a metrics/training-data pipeline needs (regular grids for
+windowed models, LOCF for sparse sensors). Spark-first shape:
+
+- the per-user daily grid comes from ``sequence(min_day, max_day)`` +
+  ``explode`` — rows are generated distributed, next to the data, not
+  on the driver;
+- LOCF is ``last(value, ignorenulls=True)`` over an ordered window —
+  one shuffle on user_id that the gap-fill join already paid for;
+- per-day averages divide exact integer cent sums (see tpch_q7's note
+  in queries_functions.py) so the DuckDB oracle matches bit-for-bit.
+
+At 100 TB the grid explode multiplies rows by the span/density ratio —
+bounded here (≤ ~1 year per user); for multi-year sparse keys you'd
+cap the span or bucket by month first.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from realestate_engine.registry import register, t
+
+
+@register(
+    "ts_gapfill_locf",
+    """
+    WITH daily AS (
+        SELECT user_id, DATE_TRUNC('day', ts) AS day,
+               CAST(COUNT(*) AS BIGINT) AS n_events,
+               SUM(CAST(ROUND(value * 100) AS BIGINT)) AS val_cents
+        FROM events GROUP BY 1, 2
+    ),
+    cal AS (
+        SELECT user_id, UNNEST(generate_series(MIN(day), MAX(day), INTERVAL 1 DAY)) AS day
+        FROM daily GROUP BY user_id
+    )
+    SELECT c.user_id, c.day,
+           COALESCE(n_events, 0) AS n_events,
+           LAST_VALUE(val_cents * 1.0 / n_events / 100.0 IGNORE NULLS) OVER (
+               PARTITION BY c.user_id ORDER BY c.day
+               ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS avg_value_locf
+    FROM cal c LEFT JOIN daily USING (user_id, day)
+    ORDER BY user_id, day
+    """,
+)
+def ts_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Daily resample per user with zero-filled counts and LOCF'd
+    average event value. The observed per-day average divides two exact
+    integers (cent sum / event count), so the carried-forward doubles
+    are bit-identical across engines."""
+    ev = t(spark, sf_dir, "events")
+    daily = ev.groupBy(
+        "user_id", F.date_trunc("day", "ts").alias("day")
+    ).agg(
+        F.count(F.lit(1)).alias("n_events"),
+        F.sum(F.round(F.col("value") * 100).cast("bigint")).alias("val_cents"),
+    )
+    cal = (
+        daily.groupBy("user_id")
+        .agg(F.min("day").alias("d0"), F.max("day").alias("d1"))
+        .select(
+            "user_id",
+            F.explode(F.sequence("d0", "d1", F.expr("INTERVAL 1 DAY"))).alias("day"),
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("day")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    return (
+        cal.join(daily, ["user_id", "day"], "left")
+        .select(
+            "user_id",
+            "day",
+            F.coalesce("n_events", F.lit(0)).alias("n_events"),
+            F.last(
+                F.col("val_cents") * 1.0 / F.col("n_events") / 100.0, ignorenulls=True
+            )
+            .over(w)
+            .alias("avg_value_locf"),
+        )
+        .orderBy("user_id", "day")
+    )
