@@ -77,3 +77,4 @@ def load_all() -> None:
     import realestate_engine.multimodal  # noqa: F401
     import realestate_engine.timeseries  # noqa: F401
     import realestate_engine.packing  # noqa: F401
+    import realestate_engine.queries_extra  # noqa: F401

@@ -40,6 +40,7 @@ ALLOWED_CROSS = {
 # localCheckpoint lineage truncation (shows as Scan ExistingRDD).
 ALLOWED_LOCAL = {
     "s4_local_rows",
+    "j4_null_safe_join",  # 3-row local status-decode dim (broadcast side)
     "sim_ivf_kmeans_topk",
     "m10_cross_validator",  # returns CV best-params (model state)
     "m12_feature_importances",  # returns k importances (model state)
