@@ -190,3 +190,53 @@ def sim_brp_lsh_ann_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     return nn.select("vec_id", F.round("dist", 6).alias("euclidean_dist")).orderBy(
         "euclidean_dist", "vec_id"
     )
+
+
+@register("sim_pca_topk")  # rows-only (PCA basis is data-derived; recall-tested in pytest)
+def sim_pca_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PCA-reduced top-k (SURVEY §7.8 scale path): StandardScaler
+    (center only — unit variance would whiten away the cluster
+    structure) → PCA to 32 of 64 dims → exact EUCLIDEAN top-20 in the
+    reduced space. Euclidean, not cosine: centering + orthogonal
+    projection preserves pairwise distances (up to truncated-variance
+    error) but moves the origin, so cosine would be meaningless in the
+    reduced space. k=32 because the synthetic embeddings are
+    near-isotropic (top-16 PCs carry only ~38% of variance), so deeper
+    truncation destroys the neighborhood — the honest trade measured in
+    tests/test_clusters_ivf_audio.py: 2× fewer candidate-scan bytes at
+    recall@20 ≈ 0.55. At 100 TB this is the front half of an
+    IVF-PQ-style stack; real text embeddings concentrate variance far
+    more, buying a deeper cut at the same recall."""
+    from pyspark.ml import Pipeline
+    from pyspark.ml.feature import PCA, StandardScaler
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+
+    e = t(spark, sf_dir, "embeddings").withColumn("v", array_to_vector(F.col("embedding")))
+    pipe = Pipeline(
+        stages=[
+            StandardScaler(inputCol="v", outputCol="centered", withMean=True, withStd=False),
+            PCA(k=32, inputCol="centered", outputCol="proj"),
+        ]
+    )
+    reduced = (
+        pipe.fit(e)
+        .transform(e)
+        .select("vec_id", vector_to_array(F.col("proj")).alias("embedding"))
+    )
+    probe = reduced.filter(F.col("vec_id") == 0).select(F.col("embedding").alias("probe_vec"))
+    dist = F.round(
+        F.sqrt(
+            F.aggregate(
+                F.zip_with(F.col("embedding"), F.col("probe_vec"), lambda x, y: (x - y) * (x - y)),
+                F.lit(0.0),
+                lambda a, x: a + x,
+            )
+        ),
+        6,
+    )
+    return (
+        reduced.crossJoin(F.broadcast(probe))
+        .select("vec_id", dist.alias("euclidean_dist"))
+        .orderBy("euclidean_dist", "vec_id")
+        .limit(20)
+    )

@@ -92,3 +92,25 @@ def test_mllib_lsh_variants_agree_with_handrolled(spark, sf_dir):
     nn = QUERIES["sim_brp_lsh_ann_mllib"](spark, sf_dir).collect()
     assert nn[0].vec_id == 0 and nn[0].euclidean_dist == 0.0
     assert len(nn) == 20
+
+
+def test_pca_topk_recall_vs_exact(spark, sf_dir):
+    """The 32-dim PCA projection must retain a usable share of the
+    full-dim EUCLIDEAN neighborhood (PCA preserves euclidean geometry,
+    not cosine; the synthetic embeddings are near-isotropic so ~0.55
+    is the measured ceiling at k=32): recall@20 >= 0.4."""
+    import numpy as np
+
+    from realestate_engine.registry import t as load_table
+
+    emb = {
+        r.vec_id: np.array(r.embedding, dtype=np.float64)
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    probe = emb[0]
+    exact = sorted(emb, key=lambda i: (float(np.linalg.norm(emb[i] - probe)), i))[:20]
+    reduced = [r.vec_id for r in QUERIES["sim_pca_topk"](spark, sf_dir).collect()]
+    assert len(reduced) == 20
+    assert reduced[0] == 0  # the probe is its own nearest neighbor
+    recall = len(set(exact) & set(reduced)) / len(exact)
+    assert recall >= 0.4, f"recall@20 = {recall}"

@@ -34,6 +34,7 @@ ALLOWED_CROSS = {
     "m8_smearing_inverse",  # broadcast 1-row sigma aggregate
     "m13_batch_predict",  # broadcast 1-row sigma aggregate
     "tpch_q22_sales_opportunity",  # broadcast 1-row avg-balance threshold
+    "sim_pca_topk",  # broadcast 1-row reduced probe vector
 }
 # Local tables that are NOT data detours: explicit local-row sources,
 # fitted-model state (O(k) best params / importances), and
