@@ -141,3 +141,72 @@ def j4_null_safe_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderkey", "label")
         .orderBy("o_orderkey")
     )
+
+
+@register(
+    "a15_regression_aggregates",
+    """
+    SELECT l_returnflag,
+           ROUND(REGR_SLOPE(l_extendedprice, l_quantity), 4) AS slope,
+           ROUND(REGR_INTERCEPT(l_extendedprice, l_quantity), 4) AS intercept,
+           ROUND(REGR_R2(l_extendedprice, l_quantity), 6) AS r2,
+           CAST(REGR_COUNT(l_extendedprice, l_quantity) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def a15_regression_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A15: distributed simple linear regression as SQL aggregates
+    (regr_slope/intercept/r2) — the one-pass, shuffle-once analogue of
+    fitting LinearRegression per group (reference theme:
+    src/models/train.py), with no MLlib round-trip. Rounded to absorb
+    float summation-order noise (~1e-10 relative) across engines."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.regr_slope("l_extendedprice", "l_quantity"), 4).alias("slope"),
+            F.round(F.regr_intercept("l_extendedprice", "l_quantity"), 4).alias("intercept"),
+            F.round(F.regr_r2("l_extendedprice", "l_quantity"), 6).alias("r2"),
+            F.regr_count("l_extendedprice", "l_quantity").cast("bigint").alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "a16_histogram_width_bucket",
+    """
+    SELECT CAST(1 + FLOOR((o_totalprice - 0.0) / 25000.0) AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           ROUND(MIN(o_totalprice), 2) AS lo,
+           ROUND(MAX(o_totalprice), 2) AS hi
+    FROM orders
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+)
+def a16_histogram_width_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A16: fixed-grid histogram via width_bucket — the distributed,
+    single-pass profile primitive (vs the reference's driver-side
+    matplotlib histograms, notebooks/01_exploratory_data_analysis.py).
+    DuckDB has no width_bucket, so the oracle states the same function
+    arithmetically (1 + floor((x-lo)/width) over [0, 500000) — no value
+    hits the under/overflow buckets, checked against the data range).
+    Bucket edges are literal doubles, so assignment is bit-identical
+    across engines; per-bucket min/max are order-insensitive."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.groupBy(
+            F.width_bucket("o_totalprice", F.lit(0.0), F.lit(500000.0), F.lit(20)).alias(
+                "bucket"
+            )
+        )
+        .agg(
+            F.count(F.lit(1)).alias("n_orders"),
+            F.round(F.min("o_totalprice"), 2).alias("lo"),
+            F.round(F.max("o_totalprice"), 2).alias("hi"),
+        )
+        .orderBy("bucket")
+    )
