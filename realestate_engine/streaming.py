@@ -193,3 +193,40 @@ def stream_stream_click_purchase_join(
         ),
         "inner",
     )
+
+
+def enrich_events(events: DataFrame, customers: DataFrame) -> DataFrame:
+    """ST5 core: stream-static enrichment join — each micro-batch hash-
+    joins against the broadcast static dimension; no state, no
+    watermark needed (the static side is re-broadcast per batch only if
+    it changes). Works identically on batch and streaming inputs."""
+    dim = F.broadcast(customers.select("c_custkey", "c_mktsegment"))
+    return events.join(dim, events.user_id == dim.c_custkey, "left")
+
+
+@register(
+    "st_stream_static_enrich",
+    """
+    SELECT c_mktsegment, event_type,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           SUM(CAST(ROUND(value * 100) AS BIGINT)) / 100.0 AS total_value
+    FROM events LEFT JOIN customer ON c_custkey = user_id
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """,
+)
+def st_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST5: stream-static enrichment + rollup, batch form (the oracle
+    path; tests/test_plans_and_streaming.py runs the same enrich_events
+    over an actual readStream). Value sums in exact integer cents."""
+    ev = t(spark, sf_dir, "events")
+    c = t(spark, sf_dir, "customer")
+    return (
+        enrich_events(ev, c)
+        .groupBy("c_mktsegment", "event_type")
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            (F.sum(F.round(F.col("value") * 100).cast("bigint")) / 100.0).alias("total_value"),
+        )
+        .orderBy("c_mktsegment", "event_type")
+    )

@@ -189,3 +189,52 @@ def test_partitioned_write_prunes_on_read(spark, sf_dir, tmp_path):
     assert pf and "o_orderstatus" in pf[0]
     # pruned scan must not enumerate the other status partitions
     assert df.count() == load_table(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F").count()
+
+
+def test_stream_static_enrich_roundtrip(spark, sf_dir, tmp_path):
+    """Row-level stream-static join: every streamed event is enriched
+    against the broadcast static dim; append-mode total equals batch."""
+    from realestate_engine.registry import t as load_table
+    from realestate_engine.streaming import enrich_events, streamify
+
+    events = load_table(spark, sf_dir, "events")
+    customers = load_table(spark, sf_dir, "customer")
+    src = str(tmp_path / "enrich_src")
+    events.write.parquet(src)
+    stream = streamify(spark, src, events.schema)
+    q = (
+        enrich_events(stream, customers)
+        .writeStream.format("memory")
+        .queryName("enrich_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT count(*) AS n FROM enrich_test").first().n
+    assert got == events.count()
+    # no event lost its dimension row (user_id ⊆ c_custkey in testdata)
+    nulls = spark.sql("SELECT count(*) AS n FROM enrich_test WHERE c_mktsegment IS NULL").first().n
+    assert nulls == 0
+
+
+def test_foreachbatch_parquet_sink(spark, sf_dir, tmp_path):
+    """foreachBatch deploy sink: micro-batches land as parquet appends;
+    the materialized table equals the source."""
+    from realestate_engine.registry import t as load_table
+    from realestate_engine.streaming import streamify
+
+    events = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "febs_src")
+    out = str(tmp_path / "febs_out")
+    events.write.parquet(src)
+
+    def sink(batch_df, epoch_id):
+        # idempotent-per-epoch append (real deployments key the write
+        # on epoch_id for exactly-once; one availableNow pass here)
+        batch_df.write.mode("append").parquet(out)
+
+    stream = streamify(spark, src, events.schema)
+    q = stream.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
+    q.awaitTermination(120)
+    assert spark.read.parquet(out).count() == events.count()
