@@ -210,3 +210,118 @@ def a16_histogram_width_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+_SQL_CTE = """
+    WITH po AS (
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_orders,
+               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+        FROM {orders} GROUP BY o_orderpriority
+    )
+    SELECT o_orderpriority, n_orders,
+           cents / CAST(100 AS DOUBLE) AS total_price
+    FROM po WHERE n_orders > 0 ORDER BY o_orderpriority
+"""
+
+
+@register("sql_cte_entry", _SQL_CTE.format(orders="orders"))
+def sql_cte_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL front-end entry: the engine accepts raw ANSI SQL with CTEs
+    over registered views — the exact text the oracle runs (modulo the
+    view name), proving the spark.sql path, not just the DataFrame
+    DSL. Same Catalyst plan either way."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("_sql_orders")
+    return spark.sql(_SQL_CTE.format(orders="_sql_orders"))
+
+
+@register(
+    "f13_map_functions",
+    """
+    SELECT event_id,
+           ['k'] AS prop_keys,
+           [CAST(JSON_EXTRACT(props, '$.k') AS BIGINT)] AS prop_values,
+           CAST(1 AS BIGINT) AS n_props
+    FROM events
+    ORDER BY event_id
+    """,
+)
+def f13_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F13: map-typed columns — parse the JSON props into
+    map<string,bigint> once, then map_keys/map_values/size. The map
+    type is the schema-on-read landing zone for ragged key sets (vs
+    the fixed-struct parse in f12); the testdata carries a single key
+    so the oracle can state the expected arrays literally."""
+    ev = t(spark, sf_dir, "events")
+    m = F.from_json(F.col("props"), "map<string,bigint>")
+    return ev.select(
+        "event_id",
+        F.map_keys(m).alias("prop_keys"),
+        F.map_values(m).alias("prop_values"),
+        F.size(m).cast("bigint").alias("n_props"),
+    ).orderBy("event_id")
+
+
+@register(
+    "f14_array_hof_topn",
+    """
+    SELECT o_custkey,
+           SUM(CAST(ROUND(p * 100) AS BIGINT)) FILTER (WHERE rnk <= 3) / 100.0 AS top3_total,
+           CAST(COUNT(*) AS BIGINT) AS n_orders
+    FROM (
+        SELECT o_custkey, o_totalprice AS p,
+               ROW_NUMBER() OVER (PARTITION BY o_custkey ORDER BY o_totalprice DESC) AS rnk
+        FROM orders
+    )
+    GROUP BY o_custkey
+    ORDER BY o_custkey
+    """,
+)
+def f14_array_hof_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F14: per-key top-N-of-collection via array higher-order
+    functions: collect_list → sort_array desc → slice(3) → aggregate
+    in exact cents. One shuffle (the groupBy); the HOF chain runs on
+    each grouped array without a second window pass. The oracle states
+    the same semantics with a ROW_NUMBER + filtered sum (DuckDB lacks
+    Spark's aggregate() lambda)."""
+    o = t(spark, sf_dir, "orders")
+    top3 = F.slice(F.sort_array(F.collect_list("o_totalprice"), asc=False), 1, 3)
+    cents = F.transform(top3, lambda p: F.round(p * 100).cast("bigint"))
+    return (
+        o.groupBy("o_custkey")
+        .agg(
+            (
+                F.aggregate(cents, F.lit(0).cast("bigint"), lambda a, x: a + x) / 100.0
+            ).alias("top3_total"),
+            F.count(F.lit(1)).alias("n_orders"),
+        )
+        .orderBy("o_custkey")
+    )
+
+
+@register(
+    "scd2_intervals",
+    """
+    SELECT user_id, event_type, ts AS valid_from,
+           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
+           event_id
+    FROM events
+    ORDER BY user_id, valid_from, event_id
+    """,
+)
+def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SCD2 snapshot intervals: each event opens a validity window that
+    the next event for the same user closes (valid_to NULL = current
+    state) — the slowly-changing-dimension build step, one window pass,
+    shuffle on user_id only. event_id tiebreaks equal timestamps."""
+    from pyspark.sql.window import Window
+
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    return ev.select(
+        "user_id",
+        "event_type",
+        F.col("ts").alias("valid_from"),
+        F.lead("ts").over(w).alias("valid_to"),
+        "event_id",
+    ).orderBy("user_id", "valid_from", "event_id")
