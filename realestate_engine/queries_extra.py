@@ -325,3 +325,106 @@ def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("ts").over(w).alias("valid_to"),
         "event_id",
     ).orderBy("user_id", "valid_from", "event_id")
+
+
+@register(
+    "set_intersect_all",
+    """
+    SELECT l_suppkey AS suppkey FROM lineitem WHERE l_returnflag = 'R'
+    INTERSECT ALL
+    SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'A'
+    ORDER BY suppkey
+    """,
+)
+def set_intersect_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SET2: multiset intersection — keeps min(multiplicity) copies per
+    value, unlike the distinct-only intersect already covered. Planned
+    as a single hash aggregate over both branches (count per side),
+    not a join."""
+    li = t(spark, sf_dir, "lineitem")
+    r = li.filter(F.col("l_returnflag") == "R").select(F.col("l_suppkey").alias("suppkey"))
+    a = li.filter(F.col("l_returnflag") == "A").select(F.col("l_suppkey").alias("suppkey"))
+    return r.intersectAll(a).orderBy("suppkey")
+
+
+@register(
+    "set_except_all",
+    """
+    SELECT l_suppkey AS suppkey FROM lineitem WHERE l_returnflag = 'R'
+    EXCEPT ALL
+    SELECT l_suppkey FROM lineitem WHERE l_returnflag = 'A'
+    ORDER BY suppkey
+    """,
+)
+def set_except_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SET3: multiset difference — subtracts per-value multiplicities
+    (max(count_left - count_right, 0) copies survive)."""
+    li = t(spark, sf_dir, "lineitem")
+    r = li.filter(F.col("l_returnflag") == "R").select(F.col("l_suppkey").alias("suppkey"))
+    a = li.filter(F.col("l_returnflag") == "A").select(F.col("l_suppkey").alias("suppkey"))
+    return r.exceptAll(a).orderBy("suppkey")
+
+
+@register(
+    "w4_value_windows",
+    """
+    SELECT o_orderkey, o_custkey,
+           FIRST_VALUE(o_totalprice) OVER w AS first_price,
+           NTH_VALUE(o_totalprice, 2) OVER w AS second_price,
+           ROUND(CUME_DIST() OVER (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey), 6) AS price_cume_dist
+    FROM orders
+    WINDOW w AS (PARTITION BY o_custkey ORDER BY o_totalprice, o_orderkey
+                 ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+    ORDER BY o_orderkey
+    """,
+)
+def w4_value_windows(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W4: value-addressing window functions (first_value/nth_value
+    over an explicit full frame, cume_dist) completing the W1-W3
+    ranking/analytic/frame families. o_orderkey tiebreaks make every
+    value deterministic."""
+    from pyspark.sql.window import Window
+
+    o = t(spark, sf_dir, "orders")
+    wf = (
+        Window.partitionBy("o_custkey")
+        .orderBy("o_totalprice", "o_orderkey")
+        .rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    )
+    wo = Window.partitionBy("o_custkey").orderBy("o_totalprice", "o_orderkey")
+    return o.select(
+        "o_orderkey",
+        "o_custkey",
+        F.first("o_totalprice").over(wf).alias("first_price"),
+        F.nth_value("o_totalprice", 2).over(wf).alias("second_price"),
+        F.round(F.cume_dist().over(wo), 6).alias("price_cume_dist"),
+    ).orderBy("o_orderkey")
+
+
+@register(
+    "a17_argmax_minby",
+    """
+    SELECT o_orderpriority,
+           ARG_MAX(o_orderkey, o_totalprice) AS biggest_order,
+           ARG_MIN(o_orderkey, o_totalprice) AS smallest_order,
+           ROUND(MAX(o_totalprice), 2) AS max_price
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def a17_argmax_minby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A17: argmax/argmin aggregation (max_by/min_by) — the key of the
+    extreme row in one pass, no self-join back. o_totalprice has no
+    exact duplicates within a priority group in the testdata, so the
+    winning key is deterministic (verified: DuckDB agrees)."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.groupBy("o_orderpriority")
+        .agg(
+            F.max_by("o_orderkey", "o_totalprice").alias("biggest_order"),
+            F.min_by("o_orderkey", "o_totalprice").alias("smallest_order"),
+            F.round(F.max("o_totalprice"), 2).alias("max_price"),
+        )
+        .orderBy("o_orderpriority")
+    )
