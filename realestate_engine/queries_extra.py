@@ -428,3 +428,62 @@ def a17_argmax_minby(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "p11_try_cast_safe_parse",
+    """
+    SELECT event_id,
+           TRY_CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) AS k_num,
+           TRY_CAST(event_type AS BIGINT) AS type_as_num,
+           TRY_CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) IS NOT NULL AS k_parses
+    FROM events
+    ORDER BY event_id
+    """,
+)
+def p11_try_cast_safe_parse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P11: ANSI-safe parsing with try_cast — Spark 4 runs ANSI mode by
+    default, where a bare CAST of junk ('signup' → BIGINT) throws and
+    kills the job; try_cast yields NULL instead. The dirty-input
+    survival pattern every large-scale ingest needs: parse what parses,
+    flag what doesn't."""
+    ev = t(spark, sf_dir, "events")
+    k_str = F.get_json_object("props", "$.k")
+    return ev.select(
+        "event_id",
+        k_str.try_cast("bigint").alias("k_num"),
+        F.col("event_type").try_cast("bigint").alias("type_as_num"),
+        k_str.try_cast("bigint").isNotNull().alias("k_parses"),
+    ).orderBy("event_id")
+
+
+@register(
+    "f15_explode_outer",
+    """
+    WITH arr AS (
+        SELECT doc_id,
+               CASE WHEN lang = 'en' THEN string_split(text, ' ')[1:3] ELSE [] END AS first_words
+        FROM documents
+    )
+    SELECT doc_id, u.w AS word
+    FROM arr LEFT JOIN LATERAL UNNEST(first_words) AS u(w) ON TRUE
+    ORDER BY doc_id, word
+    """,
+)
+def f15_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F15: null-preserving explode (explode_outer) — rows with empty
+    arrays survive as (doc_id, NULL) instead of vanishing, so the
+    fan-out keeps the document universe intact (an inner explode
+    silently drops docs and corrupts downstream coverage stats)."""
+    d = t(spark, sf_dir, "documents")
+    arr = d.select(
+        "doc_id",
+        F.when(
+            F.col("lang") == "en", F.slice(F.split(F.col("text"), " "), 1, 3)
+        )
+        .otherwise(F.array().cast("array<string>"))
+        .alias("first_words"),
+    )
+    return arr.select(
+        "doc_id", F.explode_outer("first_words").alias("word")
+    ).orderBy("doc_id", "word")

@@ -242,3 +242,31 @@ def m13_batch_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.when(F.isnan("predicted_price") | (F.col("predicted_price") <= 0), 1).otherwise(0)
         ).cast("long").alias("n_invalid"),
     )
+
+
+@register("m14_multiclass_classification")  # iterative fit → rows-only (seeded; invariants inside)
+def m14_multiclass_classification(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M14: multiclass LogisticRegression over the embeddings table
+    (10 cluster labels, 64-dim features) — the classification
+    counterpart of the M9-M11 regression stack, and the label-quality
+    audit step of an embedding pipeline (a near-random accuracy means
+    the embedding space lost the cluster structure). Distributed
+    softmax fit; returns accuracy + coverage invariants, rows-only
+    (L-BFGS iterations are not SQL-expressible)."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.functions import array_to_vector
+
+    e = t(spark, sf_dir, "embeddings").select(
+        array_to_vector(F.col("embedding")).alias("features"),
+        F.col("label").cast("double").alias("label"),
+    )
+    model = LogisticRegression(maxIter=25, regParam=0.01, tol=1e-6).fit(e)
+    preds = model.transform(e)
+    return preds.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.countDistinct("prediction").cast("long").alias("n_classes_predicted"),
+        (
+            F.sum(F.when(F.col("prediction") == F.col("label"), 1).otherwise(0))
+            / F.count(F.lit(1))
+        ).alias("train_accuracy"),
+    )

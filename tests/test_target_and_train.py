@@ -95,3 +95,15 @@ def test_rf_feature_importances(assembled):
     assert len(imps) == 2
     assert all(v >= 0 for v in imps)
     assert sum(imps) == pytest.approx(1.0, abs=1e-6)
+
+
+def test_multiclass_classification_beats_random(spark, sf_dir):
+    """10-class logistic regression on the synthetic embeddings must
+    comfortably beat the 10% random baseline and use every class."""
+    from realestate_engine.registry import QUERIES, load_all
+
+    load_all()
+    row = QUERIES["m14_multiclass_classification"](spark, sf_dir).first()
+    assert row.n_rows == 500
+    assert row.n_classes_predicted == 10
+    assert row.train_accuracy > 0.2, f"accuracy {row.train_accuracy}"
