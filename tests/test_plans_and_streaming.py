@@ -238,3 +238,42 @@ def test_foreachbatch_parquet_sink(spark, sf_dir, tmp_path):
     q = stream.writeStream.foreachBatch(sink).trigger(availableNow=True).start()
     q.awaitTermination(120)
     assert spark.read.parquet(out).count() == events.count()
+
+
+def test_q9_selective_dim_pushdown_and_broadcast(spark, sf_dir):
+    """The %widget% filter must reach the part scan and every q9 join
+    must be broadcast — the fact table never shuffles for a join."""
+    plan = _plan(QUERIES["tpch_q9_product_profit"](spark, sf_dir))
+    assert "StringContains(p_name,widget)" in plan
+    tree = plan.split("\n\n")[0]  # operator tree only (details repeat names)
+    assert tree.count("BroadcastHashJoin") == 4
+    assert "SortMergeJoin" not in plan
+
+
+def test_multi_distinct_uses_expand_not_selfjoin(spark, sf_dir):
+    """A13's two DISTINCT aggregates plan as one Expand pass, not N
+    scans glued by self-joins."""
+    plan = _plan(QUERIES["a13_multi_distinct"](spark, sf_dir))
+    assert "Expand" in plan
+    assert "Join" not in plan
+
+
+def test_null_safe_join_stays_hash_join(spark, sf_dir):
+    """eqNullSafe must compile to a broadcast HASH join (null-safe
+    equality is still an equi-key), never a nested loop."""
+    plan = _plan(QUERIES["j4_null_safe_join"](spark, sf_dir))
+    assert "BroadcastHashJoin" in plan
+    assert "NestedLoop" not in plan
+
+
+def test_gapfill_window_reuses_join_partitioning(spark, sf_dir):
+    """ts_gapfill_locf's LOCF window runs on the same user_id hash
+    partitioning the gap-fill join produces — no extra exchange between
+    join and window."""
+    plan = _plan(QUERIES["ts_gapfill_locf"](spark, sf_dir))
+    # exchanges budget: daily agg (user_id, day), span agg (user_id),
+    # the gap-fill join re-key, and the output-order sort — the LOCF
+    # Window adds NO exchange of its own on top of the join's layout
+    tree = plan.split("\n\n")[0]  # operator tree only (details repeat names)
+    assert tree.count("Window") == 1
+    assert tree.count("Exchange") <= 4
