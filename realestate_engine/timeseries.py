@@ -88,3 +88,61 @@ def ts_gapfill_locf(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "day")
     )
+
+
+@register(
+    "ts_sessionize_gap",
+    """
+    WITH marked AS (
+        SELECT user_id, event_id, ts,
+               CASE WHEN epoch_us(ts) - LAG(epoch_us(ts)) OVER w > 1800 * 1000000
+                    OR LAG(ts) OVER w IS NULL
+                    THEN 1 ELSE 0 END AS new_session
+        FROM events
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+    ),
+    numbered AS (
+        SELECT user_id, event_id, ts,
+               SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                                      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_no
+        FROM marked
+    )
+    SELECT user_id, CAST(session_no AS BIGINT) AS session_no,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           MIN(ts) AS session_start, MAX(ts) AS session_end
+    FROM numbered
+    GROUP BY user_id, session_no
+    ORDER BY user_id, session_no
+    """,
+)
+def ts_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gap-based sessionization in pure window SQL: a >30-minute silence
+    opens a new session (running sum of new-session flags numbers them).
+    The stateless counterpart of st_session_window — same semantics,
+    but expressible on any engine and rollup-friendly. Gap math is done
+    in exact integer microseconds on both sides (fractional-second
+    epoch doubles vs truncated-second longs would disagree at the
+    boundary). Shuffles once on user_id; both windows and the final
+    groupBy reuse that partitioning."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    run = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    gap_us = F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w))
+    marked = ev.select(
+        "user_id",
+        "event_id",
+        "ts",
+        F.when(gap_us.isNull() | (gap_us > 1800 * 1_000_000), 1).otherwise(0).alias("new_session"),
+    )
+    numbered = marked.select(
+        "user_id", "event_id", "ts", F.sum("new_session").over(run).alias("session_no")
+    )
+    return (
+        numbered.groupBy("user_id", F.col("session_no").cast("bigint").alias("session_no"))
+        .agg(
+            F.count(F.lit(1)).alias("n_events"),
+            F.min("ts").alias("session_start"),
+            F.max("ts").alias("session_end"),
+        )
+        .orderBy("user_id", "session_no")
+    )
