@@ -248,3 +248,143 @@ def skew_salted_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     out = salted_groupby_sum(ev, key="user_id", value="cents", salt_col="event_id")
     return out.select("user_id", F.col("sum_cents"), "n_rows")
+
+
+@register(
+    "x7_upsert_keep_latest",
+    """
+    WITH changes AS (
+        -- deterministic synthetic CDC batch: every 10th order re-priced,
+        -- plus brand-new keys above the current max
+        SELECT o_orderkey,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) * 11 / 1000.0 AS o_totalprice,
+               o_orderstatus, 2 AS version
+        FROM orders WHERE o_orderkey % 10 = 0
+        UNION ALL
+        SELECT o_orderkey + 10000000, o_totalprice, 'N' AS o_orderstatus, 2 AS version
+        FROM orders WHERE o_orderkey % 1000 = 7
+    ),
+    unioned AS (
+        SELECT o_orderkey, o_totalprice, o_orderstatus, 1 AS version FROM orders
+        UNION ALL
+        SELECT * FROM changes
+    ),
+    ranked AS (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY o_orderkey ORDER BY version DESC) AS rn
+        FROM unioned
+    )
+    SELECT o_orderkey, o_totalprice, o_orderstatus, CAST(version AS INT) AS version
+    FROM ranked WHERE rn = 1
+    ORDER BY o_orderkey
+    """,
+)
+def x7_upsert_keep_latest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X7: MERGE/upsert without a table format — the CDC apply step:
+    base ∪ change-batch → row_number keep-highest-version per key.
+    One shuffle on the merge key; at 100 TB the base is written
+    bucketed by o_orderkey so only the union's change side shuffles.
+    The change batch here is derived deterministically from the base so
+    the oracle can state it."""
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice", "o_orderstatus")
+    base = o.withColumn("version", F.lit(1))
+    # +10% in exact integer cents (ROUND(x*1.1, 2) lands on half-cent
+    # boundaries where Spark and DuckDB round differently)
+    repriced = (
+        o.filter(F.col("o_orderkey") % 10 == 0)
+        .withColumn(
+            "o_totalprice",
+            F.round(F.col("o_totalprice") * 100).cast("bigint") * 11 / 1000.0,
+        )
+        .withColumn("version", F.lit(2))
+    )
+    inserted = (
+        o.filter(F.col("o_orderkey") % 1000 == 7)
+        .withColumn("o_orderkey", F.col("o_orderkey") + 10000000)
+        .withColumn("o_orderstatus", F.lit("N"))
+        .withColumn("version", F.lit(2))
+    )
+    unioned = base.unionByName(repriced).unionByName(inserted)
+    w = Window.partitionBy("o_orderkey").orderBy(F.col("version").desc())
+    return (
+        unioned.withColumn("rn", F.row_number().over(w))
+        .filter(F.col("rn") == 1)
+        .select("o_orderkey", "o_totalprice", "o_orderstatus", F.col("version").cast("int").alias("version"))
+        .orderBy("o_orderkey")
+    )
+
+
+@register(
+    "x8_incremental_agg_maintenance",
+    """
+    WITH old_part AS (
+        SELECT o_orderpriority,
+               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders WHERE o_orderdate < TIMESTAMP '2001-01-01'
+        GROUP BY 1
+    ),
+    delta_part AS (
+        SELECT o_orderpriority,
+               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders WHERE o_orderdate >= TIMESTAMP '2001-01-01'
+        GROUP BY 1
+    ),
+    merged AS (
+        SELECT o_orderpriority, SUM(cents) AS cents, SUM(n) AS n
+        FROM (SELECT * FROM old_part UNION ALL SELECT * FROM delta_part)
+        GROUP BY 1
+    ),
+    direct AS (
+        SELECT o_orderpriority,
+               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders GROUP BY 1
+    )
+    SELECT m.o_orderpriority,
+           CAST(m.n AS BIGINT) AS n_orders,
+           m.cents / 100.0 AS total_price,
+           (m.cents = d.cents AND m.n = d.n) AS matches_direct
+    FROM merged m JOIN direct d USING (o_orderpriority)
+    ORDER BY o_orderpriority
+    """,
+)
+def x8_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X8: incremental rollup maintenance — yesterday's partial
+    aggregate + today's delta merge by re-aggregating the mergeable
+    state (integer cent sums and counts), no base re-scan. The query
+    carries its own proof: matches_direct compares the merged state to
+    a direct full recompute inside the plan. This is why the engine's
+    money aggregates are kept in exact cents: float partials would NOT
+    merge associatively."""
+    o = t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    cutoff = F.lit("2001-01-01").cast("timestamp")
+
+    def part(df):
+        return df.groupBy("o_orderpriority").agg(
+            F.sum(cents).alias("cents"), F.count(F.lit(1)).alias("n")
+        )
+
+    old_part = part(o.filter(F.col("o_orderdate") < cutoff))
+    delta_part = part(o.filter(F.col("o_orderdate") >= cutoff))
+    merged = (
+        old_part.unionByName(delta_part)
+        .groupBy("o_orderpriority")
+        .agg(F.sum("cents").alias("cents"), F.sum("n").alias("n"))
+    )
+    direct = part(o).select(
+        "o_orderpriority", F.col("cents").alias("d_cents"), F.col("n").alias("d_n")
+    )
+    return (
+        merged.join(direct, "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            F.col("n").cast("bigint").alias("n_orders"),
+            (F.col("cents") / 100.0).alias("total_price"),
+            ((F.col("cents") == F.col("d_cents")) & (F.col("n") == F.col("d_n"))).alias(
+                "matches_direct"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )
