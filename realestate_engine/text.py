@@ -371,3 +371,54 @@ def text_repetition_filter(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "text_unigram_logprob",
+    """
+    WITH toks AS (
+        SELECT doc_id, u.w AS token
+        FROM documents, LATERAL UNNEST(string_split_regex(lower(trim(text)), '\\s+')) AS u(w)
+    ),
+    vocab AS (
+        SELECT token, CAST(COUNT(*) AS BIGINT) AS cnt FROM toks GROUP BY token
+    ),
+    scored AS (
+        SELECT t.doc_id, LN(v.cnt * 1.0 / (SELECT SUM(cnt) FROM vocab)) AS lp
+        FROM toks t JOIN vocab v USING (token)
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           ROUND(AVG(lp), 4) AS avg_logprob
+    FROM scored
+    GROUP BY doc_id
+    ORDER BY doc_id
+    """,
+)
+def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T10: corpus-unigram-LM document scoring (the CCNet/Gopher-style
+    LM quality gate, reduced to unigrams): build the corpus vocabulary
+    with counts, score each token ln(count/total), average per doc —
+    boilerplate scores high (common tokens), lorem-noise scores low.
+    Two shuffles (vocab build, per-doc regroup); the vocab joins back
+    BROADCAST so the token stream never shuffles for the lookup. At
+    100 TB the vocab exceeds broadcast range → pre-partition both sides
+    by token, or keep only the top-K vocab with a default logprob (what
+    production LM filters do). The relative frequency divides exact
+    integers, so ln inputs are bit-identical across engines."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower(F.trim("text")), r"\s+")).alias("token")
+    )
+    vocab = toks.groupBy("token").agg(F.count(F.lit(1)).alias("cnt"))
+    total = vocab.agg(F.sum("cnt").alias("total"))
+    scored = toks.join(F.broadcast(vocab), "token").crossJoin(F.broadcast(total))
+    return (
+        scored.select("doc_id", F.log(F.col("cnt") * 1.0 / F.col("total")).alias("lp"))
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).alias("n_tokens"),
+            F.round(F.avg("lp"), 4).alias("avg_logprob"),
+        )
+        .orderBy("doc_id")
+    )

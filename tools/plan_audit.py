@@ -35,6 +35,7 @@ ALLOWED_CROSS = {
     "m13_batch_predict",  # broadcast 1-row sigma aggregate
     "tpch_q22_sales_opportunity",  # broadcast 1-row avg-balance threshold
     "sim_pca_topk",  # broadcast 1-row reduced probe vector
+    "text_unigram_logprob",  # broadcast 1-row total-token count
 }
 # Local tables that are NOT data detours: explicit local-row sources,
 # fitted-model state (O(k) best params / importances), and
