@@ -91,6 +91,31 @@ def cmd_predict(args: argparse.Namespace) -> None:
     print(json.dumps({"predictions": audit.n, "invalid": int(audit.n_invalid or 0), "out": args.out}))
 
 
+def cmd_corpus(args: argparse.Namespace) -> None:
+    """EP4 (engine extension): LLM-corpus cleaning over a testdata-layout
+    directory — near-dup clustering → canonical selection → write the
+    kept documents as parquet, print the funnel stats."""
+    from realestate_engine.registry import QUERIES, load_all, t
+
+    load_all()
+    spark = create_session("realestate_corpus")
+    # verdicts exist only for the clustered (short-doc) universe; docs
+    # outside it have no near-dup candidates and pass through untouched
+    verdicts = QUERIES["dedup_canonical_selection"](spark, args.sf_dir).select(
+        "doc_id", "keep"
+    )
+    docs = t(spark, args.sf_dir, "documents")
+    kept_docs = (
+        docs.join(verdicts, "doc_id", "left")
+        .filter(F.coalesce(F.col("keep"), F.lit(True)))
+        .drop("keep")
+    )
+    write_parquet(kept_docs, args.out)
+    n_in, n_out = docs.count(), spark.read.parquet(args.out).count()
+    n_dropped = n_in - n_out
+    print(json.dumps({"docs_in": n_in, "docs_kept": n_out, "near_dups_dropped": n_dropped, "out": args.out}))
+
+
 def main(argv: list[str] | None = None) -> None:
     ap = argparse.ArgumentParser(prog="realestate_engine")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -113,6 +138,11 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--model-dir", required=True)
     p.add_argument("--out", required=True)
     p.set_defaults(fn=cmd_predict)
+
+    p = sub.add_parser("corpus", help="EP4: dedup + canonical-select a document corpus")
+    p.add_argument("--sf-dir", required=True)
+    p.add_argument("--out", required=True)
+    p.set_defaults(fn=cmd_corpus)
 
     args = ap.parse_args(argv)
     args.fn(args)

@@ -147,3 +147,19 @@ def test_cli_prepare_train_predict_roundtrip(listings_and_prices, tmp_path, caps
     cli.main(["predict", "--data", x_csv, "--model-dir", model_dir, "--out", preds_csv])
     out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
     assert out["predictions"] == 400 and out["invalid"] == 0
+
+
+def test_cli_corpus_dedup_roundtrip(tmp_path, capsys):
+    """EP4: the corpus command drops exactly the non-canonical cluster
+    members and writes the kept documents as parquet."""
+    import json
+
+    from realestate_engine import cli
+    from tests.conftest import SF_DIR
+
+    out = str(tmp_path / "corpus_out")
+    cli.main(["corpus", "--sf-dir", SF_DIR, "--out", out])
+    stats = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+    assert stats["docs_in"] == 500
+    assert 0 < stats["docs_kept"] < stats["docs_in"]
+    assert stats["near_dups_dropped"] > 0
