@@ -176,3 +176,76 @@ def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     binary_df = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
     feats = extract_audio_features(binary_df)
     return feats.select("doc_id", "n_bytes", "sample_rate", "duration_ms")
+
+
+RESIZE_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), True),
+        T.StructField("thumb", T.BinaryType(), True),
+        T.StructField("thumb_w", T.IntegerType(), True),
+        T.StructField("thumb_h", T.IntegerType(), True),
+        T.StructField("n_thumb_bytes", T.LongType(), True),
+    ]
+)
+
+THUMB_W, THUMB_H = 8, 8
+
+
+def resize_image_stub(payload: bytes, w: int, h: int) -> bytes:
+    """STUB resize — deterministic byte-level downsample standing in
+    for a real resampling kernel: w*h 'pixels' taken at evenly spaced
+    byte offsets (nearest-neighbor over the byte stream). A production
+    deployment swaps ONLY this function for a real codec+resampler;
+    batch shape, schema, and partitioning are unchanged."""
+    if payload[:4] in (b"\x89PNG", b"\xff\xd8\xff\xe0"):
+        raise NotImplementedError("real image codecs are stubbed in this environment")
+    n = len(payload)
+    if n == 0:
+        return b"\x00" * (w * h)
+    return bytes(payload[(i * n) // (w * h)] for i in range(w * h))
+
+
+def batch_resize(binary_df: DataFrame, w: int = THUMB_W, h: int = THUMB_H) -> DataFrame:
+    """Arrow-batched thumbnailing over a binary column — the
+    decode→resize→re-encode stage of an image pipeline. Binary in,
+    binary out: downstream stages (embedding, dedup-by-phash) consume
+    the thumb column without touching the original payload, so column
+    pruning drops the heavy bytes. Input schema: (doc_id, payload)."""
+
+    def batches(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            thumbs = [resize_image_stub(bytes(p), w, h) for p in pdf["payload"]]
+            yield pd.DataFrame(
+                {
+                    "doc_id": pdf["doc_id"].values,
+                    "thumb": thumbs,
+                    "thumb_w": w,
+                    "thumb_h": h,
+                    "n_thumb_bytes": [len(tb) for tb in thumbs],
+                }
+            )
+
+    return binary_df.mapInPandas(batches, RESIZE_SCHEMA)
+
+
+@register(
+    "mm_batch_resize",
+    """
+    SELECT doc_id,
+           CAST(8 AS INTEGER) AS thumb_w,
+           CAST(8 AS INTEGER) AS thumb_h,
+           CAST(64 AS BIGINT) AS n_thumb_bytes
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def mm_batch_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multimodal resize plumbing end-to-end: text bytes as payloads →
+    mapInPandas thumbnails (binary out). The oracle checks the shape
+    contract (every doc yields one fixed-size thumb); thumb content is
+    covered by the determinism test in tests/test_clusters_ivf_audio.py."""
+    d = t(spark, sf_dir, "documents")
+    binary_df = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    return batch_resize(binary_df).select(
+        "doc_id", "thumb_w", "thumb_h", "n_thumb_bytes"
+    ).orderBy("doc_id")

@@ -146,3 +146,38 @@ def ts_sessionize_gap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id", "session_no")
     )
+
+
+@register(
+    "ts_rolling_interval_window",
+    """
+    SELECT event_id, user_id,
+           CAST(COUNT(*) OVER w AS BIGINT) AS n_last_hour,
+           SUM(CAST(ROUND(value * 100) AS BIGINT)) OVER w / 100.0 AS value_last_hour
+    FROM events
+    WINDOW w AS (PARTITION BY user_id ORDER BY epoch_us(ts)
+                 RANGE BETWEEN 3600000000 PRECEDING AND CURRENT ROW)
+    ORDER BY event_id
+    """,
+)
+def ts_rolling_interval_window(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Rolling 1-hour RANGE frame per user — time-based, not row-based:
+    the frame holds every event within the trailing hour regardless of
+    how many there are (rowsBetween cannot express this). Both engines
+    order by exact integer epoch-microseconds so frame boundaries and
+    peer groups agree; the windowed sum is exact integer cents. One
+    shuffle on user_id."""
+    ev = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy(F.unix_micros("ts"))
+        .rangeBetween(-3_600_000_000, Window.currentRow)
+    )
+    return ev.select(
+        "event_id",
+        "user_id",
+        F.count(F.lit(1)).over(w).alias("n_last_hour"),
+        (F.sum(F.round(F.col("value") * 100).cast("bigint")).over(w) / 100.0).alias(
+            "value_last_hour"
+        ),
+    ).orderBy("event_id")

@@ -114,3 +114,20 @@ def test_pca_topk_recall_vs_exact(spark, sf_dir):
     assert reduced[0] == 0  # the probe is its own nearest neighbor
     recall = len(set(exact) & set(reduced)) / len(exact)
     assert recall >= 0.4, f"recall@20 = {recall}"
+
+
+def test_batch_resize_deterministic_and_sized(spark, sf_dir):
+    """Thumbs are fixed-size, deterministic, and sample the payload
+    (non-constant for non-trivial inputs)."""
+    from realestate_engine.multimodal import batch_resize, resize_image_stub
+    from realestate_engine.registry import t as load_table
+
+    d = load_table(spark, sf_dir, "documents").limit(50)
+    binary_df = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    rows = {r.doc_id: bytes(r.thumb) for r in batch_resize(binary_df).collect()}
+    assert all(len(tb) == 64 for tb in rows.values())
+    again = {r.doc_id: bytes(r.thumb) for r in batch_resize(binary_df).collect()}
+    assert rows == again
+    # pure-python reference agrees with the distributed result
+    one = d.filter(F.col("doc_id") == min(rows)).first()
+    assert rows[min(rows)] == resize_image_stub(one.text.encode("utf-8"), 8, 8)
