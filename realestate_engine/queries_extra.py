@@ -515,3 +515,60 @@ def a18_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.max(F.lit(None).cast("bigint")).alias("exact_distinct"),
     ).select(F.lit("ALL").alias("o_orderpriority"), "est_distinct", "exact_distinct")
     return per.unionByName(rolled).orderBy("o_orderpriority")
+
+
+@register(
+    "j5_fuzzy_levenshtein_join",
+    """
+    WITH canonical AS (
+        SELECT DISTINCT source FROM documents
+    ),
+    dirty AS (
+        -- deterministic 'typo feed': capitalized + trailing junk
+        SELECT UPPER(SUBSTRING(source, 1, 1)) || SUBSTRING(source, 2) || 'x' AS dirty_name,
+               source AS true_source
+        FROM canonical
+    )
+    SELECT d.dirty_name, c.source AS matched_source,
+           CAST(LEVENSHTEIN(LOWER(d.dirty_name), c.source) AS INTEGER) AS edit_dist,
+           (c.source = d.true_source) AS correct_match
+    FROM dirty d
+    JOIN canonical c
+      ON REGEXP_EXTRACT(d.dirty_name, '([0-9]+)', 1) = REGEXP_EXTRACT(c.source, '([0-9]+)', 1)
+     AND LEVENSHTEIN(LOWER(d.dirty_name), c.source) <= 2
+    ORDER BY dirty_name, matched_source
+    """,
+)
+def j5_fuzzy_levenshtein_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J5: entity resolution as a BLOCKED fuzzy join — equi-join on a
+    cheap normalized blocking key (the numeric suffix), residual
+    levenshtein ≤ 2 inside each block. The blocking key keeps the plan
+    a hash join with a residual filter; an unblocked fuzzy join is a
+    cartesian O(n·m) levenshtein sweep, which is exactly what this
+    operator exists to avoid at 100 TB (block on soundex/prefix/
+    normalized keys, compare only within blocks)."""
+    canonical = t(spark, sf_dir, "documents").select("source").distinct()
+    dirty = canonical.select(
+        F.concat(
+            F.upper(F.substring("source", 1, 1)),
+            F.expr("substring(source, 2)"),
+            F.lit("x"),
+        ).alias("dirty_name"),
+        F.col("source").alias("true_source"),
+    )
+    c = canonical.alias("c")
+    d = dirty.alias("d")
+    block = F.regexp_extract(F.col("d.dirty_name"), "([0-9]+)", 1) == F.regexp_extract(
+        F.col("c.source"), "([0-9]+)", 1
+    )
+    dist = F.levenshtein(F.lower(F.col("d.dirty_name")), F.col("c.source"))
+    return (
+        d.join(c, block & (dist <= 2))
+        .select(
+            F.col("d.dirty_name").alias("dirty_name"),
+            F.col("c.source").alias("matched_source"),
+            dist.cast("int").alias("edit_dist"),
+            (F.col("c.source") == F.col("d.true_source")).alias("correct_match"),
+        )
+        .orderBy("dirty_name", "matched_source")
+    )
