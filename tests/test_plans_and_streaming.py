@@ -277,3 +277,28 @@ def test_gapfill_window_reuses_join_partitioning(spark, sf_dir):
     tree = plan.split("\n\n")[0]  # operator tree only (details repeat names)
     assert tree.count("Window") == 1
     assert tree.count("Exchange") <= 4
+
+
+def test_observe_metrics_single_pass(spark, sf_dir):
+    """df.observe collects pipeline telemetry during the SAME pass that
+    computes the result — no second scan. The observed metrics must
+    equal a direct aggregation."""
+    from pyspark.sql import Observation
+    from realestate_engine.registry import t as load_table
+
+    o = load_table(spark, sf_dir, "orders")
+    obs = Observation("order_metrics")
+    observed = o.observe(
+        obs,
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("cents"),
+    )
+    # drive the pass (noop write = full computation, no driver collect)
+    observed.write.format("noop").mode("overwrite").save()
+    got = obs.get
+    direct = o.agg(
+        F.count(F.lit(1)).alias("n_rows"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("cents"),
+    ).first()
+    assert got["n_rows"] == direct.n_rows
+    assert got["cents"] == direct.cents
