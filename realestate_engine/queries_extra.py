@@ -572,3 +572,32 @@ def j5_fuzzy_levenshtein_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dirty_name", "matched_source")
     )
+
+
+@register(
+    "a19_crosstab",
+    """
+    SELECT o_orderstatus AS o_orderstatus_o_orderpriority,
+           CAST(SUM(CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END) AS BIGINT) AS "1-URGENT",
+           CAST(SUM(CASE WHEN o_orderpriority = '2-HIGH' THEN 1 ELSE 0 END) AS BIGINT) AS "2-HIGH",
+           CAST(SUM(CASE WHEN o_orderpriority = '3-MEDIUM' THEN 1 ELSE 0 END) AS BIGINT) AS "3-MEDIUM",
+           CAST(SUM(CASE WHEN o_orderpriority = '4-NOT SPECIFIED' THEN 1 ELSE 0 END) AS BIGINT) AS "4-NOT SPECIFIED",
+           CAST(SUM(CASE WHEN o_orderpriority = '5-LOW' THEN 1 ELSE 0 END) AS BIGINT) AS "5-LOW"
+    FROM orders
+    GROUP BY o_orderstatus
+    ORDER BY o_orderstatus_o_orderpriority
+    """,
+)
+def a19_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A19: distributed contingency table (df.stat.crosstab) — the
+    pairwise categorical profile as one shuffle, replacing the
+    reference's driver-side pandas crosstabs. Column set is the
+    priority domain (stated literally in the oracle); Spark names the
+    id column 'col1_col2' by convention."""
+    o = t(spark, sf_dir, "orders")
+    ct = o.stat.crosstab("o_orderstatus", "o_orderpriority")
+    cols = ["1-URGENT", "2-HIGH", "3-MEDIUM", "4-NOT SPECIFIED", "5-LOW"]
+    return ct.select(
+        "o_orderstatus_o_orderpriority",
+        *[F.col(f"`{c}`").cast("bigint").alias(c) for c in cols],
+    ).orderBy("o_orderstatus_o_orderpriority")
