@@ -601,3 +601,43 @@ def a19_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
         "o_orderstatus_o_orderpriority",
         *[F.col(f"`{c}`").cast("bigint").alias(c) for c in cols],
     ).orderBy("o_orderstatus_o_orderpriority")
+
+
+@register(
+    "dq_expectations",
+    """
+    SELECT
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM orders WHERE o_orderkey IS NULL) AS null_order_keys,
+        (SELECT CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) FROM orders) AS dup_order_keys,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+          WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS orphan_lineitems,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem WHERE l_extendedprice <= 0 OR l_quantity <= 0) AS nonpositive_lines,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem WHERE l_discount < 0 OR l_discount > 1) AS bad_discounts
+    """,
+)
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ1: declarative data-quality expectations — primary-key
+    integrity (null/duplicate keys), referential integrity (orphan
+    facts via LEFT ANTI), and domain constraints, summarized as one
+    violations row. The gate every production pipeline runs before
+    publishing a partition; each expectation is a distributed aggregate
+    or anti-join, no driver-side row checks."""
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    key_stats = o.agg(
+        F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)).cast("bigint").alias("null_order_keys"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).cast("bigint").alias("dup_order_keys"),
+    )
+    orphans = (
+        li.join(o.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey"), "left_anti")
+        .agg(F.count(F.lit(1)).alias("orphan_lineitems"))
+    )
+    domains = li.agg(
+        F.sum(F.when((F.col("l_extendedprice") <= 0) | (F.col("l_quantity") <= 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("nonpositive_lines"),
+        F.sum(F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("bad_discounts"),
+    )
+    return key_stats.crossJoin(orphans).crossJoin(domains)

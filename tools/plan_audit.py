@@ -36,6 +36,7 @@ ALLOWED_CROSS = {
     "tpch_q22_sales_opportunity",  # broadcast 1-row avg-balance threshold
     "sim_pca_topk",  # broadcast 1-row reduced probe vector
     "text_unigram_logprob",  # broadcast 1-row total-token count
+    "dq_expectations",  # cross join of three 1-row violation summaries
 }
 # Local tables that are NOT data detours: explicit local-row sources,
 # fitted-model state (O(k) best params / importances), and
