@@ -641,3 +641,274 @@ def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("bad_discounts"),
     )
     return key_stats.crossJoin(orphans).crossJoin(domains)
+
+
+@register(
+    "a20_exact_percentiles",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           quantile_cont(CAST(ROUND(l_extendedprice * 100) AS BIGINT), 0.25) AS p25_cents,
+           quantile_cont(CAST(ROUND(l_extendedprice * 100) AS BIGINT), 0.50) AS p50_cents,
+           quantile_cont(CAST(ROUND(l_extendedprice * 100) AS BIGINT), 0.75) AS p75_cents
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def a20_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A20: exact grouped percentiles (vs A6's approxQuantile). Spark's
+    `percentile` is a true distributed exact quantile (per-group sorted
+    merge of partial states), the (n-1)*p linear-interpolation
+    definition shared with DuckDB's quantile_cont. Cross-engine float
+    trap avoided by quantiling exact integer CENTS: quarters (p in
+    .25/.5/.75) interpolate on binary-exact fractions, so both engines
+    produce bit-identical doubles with no rounding fudge. Exact
+    quantiles shuffle the full column per group — use A6's
+    approxQuantile sketch when a 1% error is acceptable at 100 TB."""
+    li = t(spark, sf_dir, "lineitem")
+    cents = F.expr("CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.percentile(cents, F.lit(0.25)).alias("p25_cents"),
+            F.percentile(cents, F.lit(0.50)).alias("p50_cents"),
+            F.percentile(cents, F.lit(0.75)).alias("p75_cents"),
+        )
+        .orderBy("l_returnflag")
+    )
+
+
+@register(
+    "j6_spatial_grid_join",
+    """
+    WITH c AS (
+        SELECT c_custkey,
+               -30.0 + (c_custkey * 7919 % 60000) / 1000.0 AS lat,
+               -60.0 + (c_custkey * 104729 % 120000) / 1000.0 AS lon
+        FROM customer
+    ),
+    s AS (
+        SELECT s_suppkey,
+               -30.0 + (s_suppkey * 7919 % 60000) / 1000.0 AS lat,
+               -60.0 + (s_suppkey * 104729 % 120000) / 1000.0 AS lon
+        FROM supplier
+    )
+    SELECT c.c_custkey, s.s_suppkey,
+           (c.lat - s.lat) * (c.lat - s.lat) + (c.lon - s.lon) * (c.lon - s.lon) AS dist2
+    FROM c, s
+    WHERE (c.lat - s.lat) * (c.lat - s.lat) + (c.lon - s.lon) * (c.lon - s.lon) <= 4.0
+    ORDER BY c.c_custkey, s.s_suppkey
+    """,
+)
+def j6_spatial_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J6: distributed spatial proximity join via grid binning — bin
+    both sides into 2-degree cells (cell size >= radius), explode the
+    SMALL side into its 3x3 neighbor cells, broadcast-equi-join on the
+    cell key, then apply the exact distance predicate as a residual
+    filter. This turns an O(n*m) cross product into an equi-join that
+    only compares points in adjacent cells — the standard shape for
+    point-radius joins at 100 TB (the oracle IS the brute-force cross
+    join, proving the grid loses no pairs). Coordinates derive from
+    keys by pure integer modular arithmetic and distance is squared
+    euclidean (add/mul only) — bit-identical cross-engine with no
+    trig/libm variance; the reference's haversine (F3) composes on top
+    for true great-circle radii."""
+    cell = 2.0
+    def with_coords(df: DataFrame, key: str) -> DataFrame:
+        return df.select(
+            key,
+            (F.lit(-30.0) + (F.col(key) * 7919 % 60000) / 1000.0).alias("lat"),
+            (F.lit(-60.0) + (F.col(key) * 104729 % 120000) / 1000.0).alias("lon"),
+        ).withColumns(
+            {"cx": F.floor(F.col("lat") / cell), "cy": F.floor(F.col("lon") / cell)}
+        )
+
+    c = with_coords(t(spark, sf_dir, "customer"), "c_custkey")
+    s = with_coords(t(spark, sf_dir, "supplier"), "s_suppkey")
+    offsets = F.expr("explode(flatten(transform(sequence(-1,1), dx -> transform(sequence(-1,1), dy -> struct(dx, dy)))))")
+    s9 = s.select("s_suppkey", F.col("lat").alias("s_lat"), F.col("lon").alias("s_lon"),
+                  "cx", "cy", offsets.alias("o")).select(
+        "s_suppkey", "s_lat", "s_lon",
+        (F.col("cx") + F.col("o.dx")).alias("cx"),
+        (F.col("cy") + F.col("o.dy")).alias("cy"),
+    )
+    dist2 = (F.col("lat") - F.col("s_lat")) ** 2 + (F.col("lon") - F.col("s_lon")) ** 2
+    return (
+        c.join(F.broadcast(s9), ["cx", "cy"])
+        .select("c_custkey", "s_suppkey", dist2.alias("dist2"))
+        .filter(F.col("dist2") <= cell * cell)
+        .orderBy("c_custkey", "s_suppkey")
+    )
+
+
+@register(
+    "ev_funnel_conversion",
+    """
+    WITH v AS (
+        SELECT user_id, MIN(ts) AS t FROM events WHERE event_type = 'view' GROUP BY user_id
+    ),
+    c AS (
+        SELECT e.user_id, MIN(e.ts) AS t
+        FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t
+        WHERE e.event_type = 'click' GROUP BY e.user_id
+    ),
+    p AS (
+        SELECT e.user_id, MIN(e.ts) AS t
+        FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t
+        WHERE e.event_type = 'purchase' GROUP BY e.user_id
+    )
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS n_viewed,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n_clicked,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS n_purchased,
+           (SELECT CAST(COUNT(*) AS DOUBLE) FROM c) / (SELECT COUNT(*) FROM v) AS view_to_click,
+           (SELECT CAST(COUNT(*) AS DOUBLE) FROM p) / (SELECT COUNT(*) FROM c) AS click_to_purchase
+    """,
+)
+def ev_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Ordered funnel analysis: users who viewed, then clicked strictly
+    AFTER their first view, then purchased strictly AFTER that first
+    click — the product-analytics conversion funnel with event-order
+    semantics (not mere type membership). Each stage is a conditional
+    min-aggregate keyed on user_id joined to the prior stage; all three
+    shuffles share the user_id key so the exchange is reused across
+    stages. Rates are int/int divisions — bit-identical cross-engine."""
+    ev = t(spark, sf_dir, "events")
+    v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(F.min("ts").alias("vt"))
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .join(v, "user_id")
+        .filter(F.col("ts") > F.col("vt"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("ct"))
+    )
+    p = (
+        ev.filter(F.col("event_type") == "purchase")
+        .join(c, "user_id")
+        .filter(F.col("ts") > F.col("ct"))
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("pt"))
+    )
+    nv = v.agg(F.count(F.lit(1)).cast("bigint").alias("n_viewed"))
+    nc = c.agg(F.count(F.lit(1)).cast("bigint").alias("n_clicked"))
+    np_ = p.agg(F.count(F.lit(1)).cast("bigint").alias("n_purchased"))
+    return (
+        nv.crossJoin(nc)
+        .crossJoin(np_)
+        .select(
+            "n_viewed",
+            "n_clicked",
+            "n_purchased",
+            (F.col("n_clicked").cast("double") / F.col("n_viewed")).alias("view_to_click"),
+            (F.col("n_purchased").cast("double") / F.col("n_clicked")).alias("click_to_purchase"),
+        )
+    )
+
+
+@register(
+    "ev_cohort_retention",
+    """
+    WITH firsts AS (
+        SELECT user_id, CAST(DATE_TRUNC('week', MIN(ts)) AS DATE) AS cohort_week
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT e.user_id, f.cohort_week,
+               DATE_DIFF('day', f.cohort_week, CAST(DATE_TRUNC('week', e.ts) AS DATE)) // 7
+                   AS weeks_since
+        FROM events e JOIN firsts f ON e.user_id = f.user_id
+    ),
+    sizes AS (SELECT cohort_week, COUNT(*) AS cohort_size FROM firsts GROUP BY cohort_week)
+    SELECT a.cohort_week AS cohort_week,
+           CAST(a.weeks_since AS BIGINT) AS weeks_since,
+           CAST(COUNT(*) AS BIGINT) AS n_active,
+           CAST(COUNT(*) AS DOUBLE) / ANY_VALUE(s.cohort_size) AS retention_rate
+    FROM activity a JOIN sizes s ON a.cohort_week = s.cohort_week
+    GROUP BY a.cohort_week, a.weeks_since
+    ORDER BY a.cohort_week, a.weeks_since
+    """,
+)
+def ev_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Cohort retention matrix: users grouped by first-activity week
+    (weekly cohorts — the testdata spans one month), tracked by
+    weeks-since-cohort activity, normalized by cohort size — THE
+    lifecycle analytics query. Shape: first-event agg (user key),
+    distinct (user, week) activity join, cohort-size broadcast join,
+    final rollup. weeks_since is day-difference // 7 of week-truncated
+    DATEs — exact integers on both engines."""
+    ev = t(spark, sf_dir, "events")
+    firsts = ev.groupBy("user_id").agg(
+        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
+    )
+    activity = (
+        ev.join(firsts, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            F.floor(
+                F.datediff(F.date_trunc("week", F.col("ts")).cast("date"), F.col("cohort_week")) / 7
+            )
+            .cast("bigint")
+            .alias("weeks_since"),
+        )
+        .distinct()
+    )
+    sizes = firsts.groupBy("cohort_week").agg(F.count(F.lit(1)).alias("cohort_size"))
+    return (
+        activity.join(F.broadcast(sizes), "cohort_week")
+        .groupBy("cohort_week", "weeks_since")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_active"),
+            (F.count(F.lit(1)).cast("double") / F.any_value(F.col("cohort_size"))).alias(
+                "retention_rate"
+            ),
+        )
+        .orderBy("cohort_week", "weeks_since")
+    )
+
+
+@register(
+    "a21_skew_audit",
+    """
+    WITH k AS (SELECT l_suppkey AS key, COUNT(*) AS cnt FROM lineitem GROUP BY l_suppkey),
+    stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(MAX(cnt) AS BIGINT) AS max_cnt,
+               CAST(SUM(cnt) AS BIGINT) AS total_rows
+        FROM k
+    )
+    SELECT k.key, CAST(k.cnt AS BIGINT) AS cnt,
+           CAST(k.cnt AS DOUBLE) * s.n_keys / s.total_rows AS skew_factor
+    FROM k, stats s
+    ORDER BY cnt DESC, key
+    LIMIT 10
+    """,
+)
+def a21_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A21: shuffle-skew diagnostic — per-key cardinality profile of a
+    join/agg key with each heavy hitter's skew factor (its row share
+    vs a uniform spread). The planning query you run BEFORE choosing
+    salting (X4) or AQE skew-join at 100 TB: one map-side-combined
+    count per key plus a broadcast 1-row stats join, then a top-10
+    ordered by weight. Tie-broken by key for determinism; the factor
+    is int*int/int in doubles — bit-identical cross-engine."""
+    li = t(spark, sf_dir, "lineitem")
+    k = li.groupBy(F.col("l_suppkey").alias("key")).agg(F.count(F.lit(1)).alias("cnt"))
+    stats = k.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+        F.max("cnt").cast("bigint").alias("max_cnt"),
+        F.sum("cnt").cast("bigint").alias("total_rows"),
+    )
+    return (
+        k.crossJoin(F.broadcast(stats))
+        .select(
+            "key",
+            F.col("cnt").cast("bigint").alias("cnt"),
+            (F.col("cnt").cast("double") * F.col("n_keys") / F.col("total_rows")).alias(
+                "skew_factor"
+            ),
+        )
+        .orderBy(F.desc("cnt"), "key")
+        .limit(10)
+    )

@@ -422,3 +422,192 @@ def text_unigram_logprob(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "text_contamination_ngrams",
+    r"""
+    WITH w AS (
+        SELECT doc_id, source, STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+') AS words
+        FROM documents
+    ),
+    g AS (
+        SELECT doc_id, source, ARRAY_TO_STRING(LIST_SLICE(words, i, i + 3), ' ') AS ngram
+        FROM w, UNNEST(RANGE(1, LEN(words) - 2)) AS u(i)
+    ),
+    train AS (SELECT DISTINCT ngram FROM g WHERE source <> 'src19'),
+    eval_g AS (SELECT DISTINCT doc_id, ngram FROM g WHERE source = 'src19')
+    SELECT e.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_ngrams,
+           CAST(SUM(CASE WHEN t.ngram IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_contaminated,
+           CAST(SUM(CASE WHEN t.ngram IS NOT NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*)
+               AS contamination_rate
+    FROM eval_g e LEFT JOIN train t ON e.ngram = t.ngram
+    GROUP BY e.doc_id
+    ORDER BY e.doc_id
+    """,
+)
+def text_contamination_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Test-set contamination audit: fraction of each held-out doc's
+    distinct 4-grams (source='src19' as the eval split) that appear
+    anywhere in the training corpus — the WMT/GPT-style n-gram-overlap
+    decontamination check. Shape: posexplode words -> single window
+    pass assembling 4-grams via 3 leads (codegen'd, no quadratic
+    slice-per-index), distinct per side, then one equi-join on the
+    n-gram. At 100 TB the train side would be a bloom/minhash sketch;
+    here the exact join IS the oracle-checkable semantics. The rate is
+    an int/int division of identical counts — bit-identical across
+    engines, no rounding fudge needed."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("words")
+    )
+    pos_w = d.select("doc_id", "source", F.posexplode("words").alias("pos", "word"))
+    win = Window.partitionBy("doc_id").orderBy("pos")
+    grams = (
+        pos_w.select(
+            "doc_id",
+            "source",
+            F.concat_ws(
+                " ",
+                "word",
+                F.lead("word", 1).over(win),
+                F.lead("word", 2).over(win),
+                F.lead("word", 3).over(win),
+            ).alias("ngram"),
+            F.lead("word", 3).over(win).alias("_tail"),
+        )
+        .filter(F.col("_tail").isNotNull())
+        .drop("_tail")
+    )
+    train = grams.filter(F.col("source") != "src19").select("ngram").distinct()
+    eval_g = grams.filter(F.col("source") == "src19").select("doc_id", "ngram").distinct()
+    return (
+        eval_g.join(train.withColumn("_hit", F.lit(1)), "ngram", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_ngrams"),
+            F.sum(F.when(F.col("_hit").isNotNull(), 1).otherwise(0)).cast("bigint").alias("n_contaminated"),
+            (
+                F.sum(F.when(F.col("_hit").isNotNull(), 1).otherwise(0)).cast("double")
+                / F.count(F.lit(1))
+            ).alias("contamination_rate"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "text_segment_dedup",
+    r"""
+    WITH w AS (
+        SELECT doc_id, source, STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+') AS words
+        FROM documents
+    ),
+    segs AS (
+        SELECT doc_id, source,
+               ARRAY_TO_STRING(LIST_SLICE(words, s * 20 + 1, s * 20 + 20), ' ') AS seg
+        FROM w, UNNEST(RANGE(0, GREATEST(CAST(CEIL(LEN(words) / 20.0) AS BIGINT), 1))) AS u(s)
+    ),
+    seg_docs AS (SELECT seg, COUNT(DISTINCT doc_id) AS nd FROM segs GROUP BY seg)
+    SELECT s.source,
+           CAST(COUNT(*) AS BIGINT) AS n_segments,
+           CAST(COUNT(DISTINCT s.seg) AS BIGINT) AS n_distinct_segs,
+           CAST(SUM(CASE WHEN d.nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_cross_doc_dup,
+           CAST(SUM(CASE WHEN d.nd > 1 THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS boilerplate_rate
+    FROM segs s JOIN seg_docs d ON s.seg = d.seg
+    GROUP BY s.source
+    ORDER BY s.source
+    """,
+)
+def text_segment_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Paragraph-granularity dedup audit: chop each doc into 20-word
+    segments (the text has no newlines, so fixed word windows stand in
+    for paragraphs), count segments whose exact text recurs in >=2
+    distinct docs — the boilerplate/template-text detector that
+    paragraph-level dedup (a la CCNet/RefinedWeb) removes before
+    training. Segmenting is a LINEAR transform+slice (one slice per
+    segment, not per word — the O(words^2) shingle trap does not apply
+    at stride 20); the recurrence count is one groupBy(seg) +
+    countDistinct, joined back and rolled up per source. Rates are
+    int/int divisions — bit-identical cross-engine."""
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", "source", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("words")
+    )
+    segs = d.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                "transform(sequence(0, greatest(cast(ceil(size(words) / 20.0) as int), 1) - 1),"
+                " s -> array_join(slice(words, s * 20 + 1, 20), ' '))"
+            )
+        ).alias("seg"),
+    )
+    seg_docs = segs.groupBy("seg").agg(F.countDistinct("doc_id").alias("nd"))
+    dup = F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+    return (
+        segs.join(seg_docs, "seg")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_segments"),
+            F.countDistinct("seg").cast("bigint").alias("n_distinct_segs"),
+            dup.cast("bigint").alias("n_cross_doc_dup"),
+            (dup.cast("double") / F.count(F.lit(1))).alias("boilerplate_rate"),
+        )
+        .orderBy("source")
+    )
+
+
+@register(
+    "text_oov_rate",
+    r"""
+    WITH w AS (
+        SELECT doc_id, UNNEST(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+')) AS word
+        FROM documents
+    ),
+    tot AS (SELECT COUNT(*) AS n FROM w),
+    f AS (SELECT word, COUNT(*) AS c FROM w GROUP BY word),
+    vocab AS (SELECT word FROM f, tot WHERE c * 100 >= n)
+    SELECT w.doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_tokens,
+           CAST(SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_oov,
+           CAST(SUM(CASE WHEN v.word IS NULL THEN 1 ELSE 0 END) AS DOUBLE) / COUNT(*) AS oov_rate
+    FROM w LEFT JOIN vocab v ON w.word = v.word
+    GROUP BY w.doc_id
+    ORDER BY w.doc_id
+    """,
+)
+def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Vocabulary-coverage / OOV-rate scoring: build the corpus
+    vocabulary (words whose count clears a RELATIVE frequency floor —
+    c*100 >= total_tokens, a pure integer comparison so the cutoff is
+    scale-invariant and bit-identical cross-engine), then score each
+    doc by the fraction of tokens outside it. The tokenizer-coverage
+    gate run before committing a BPE vocab to a 100 TB corpus. Shape:
+    one explode, one word-frequency agg (map-side combined), the 1-row
+    total broadcast-crossed onto the tiny frequency table, and the
+    vocab broadcast back onto the exploded tokens — no driver
+    collection."""
+    w = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("word"))
+    )
+    tot = w.agg(F.count(F.lit(1)).alias("n"))
+    freq = w.groupBy("word").agg(F.count(F.lit(1)).alias("c"))
+    vocab = (
+        freq.crossJoin(F.broadcast(tot))
+        .filter(F.col("c") * 100 >= F.col("n"))
+        .select("word")
+        .withColumn("_in_vocab", F.lit(1))
+    )
+    oov = F.sum(F.when(F.col("_in_vocab").isNull(), 1).otherwise(0))
+    return (
+        w.join(F.broadcast(vocab), "word", "left")
+        .groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tokens"),
+            oov.cast("bigint").alias("n_oov"),
+            (oov.cast("double") / F.count(F.lit(1))).alias("oov_rate"),
+        )
+        .orderBy("doc_id")
+    )

@@ -37,6 +37,9 @@ ALLOWED_CROSS = {
     "sim_pca_topk",  # broadcast 1-row reduced probe vector
     "text_unigram_logprob",  # broadcast 1-row total-token count
     "dq_expectations",  # cross join of three 1-row violation summaries
+    "text_oov_rate",  # broadcast 1-row total-token count onto word freqs
+    "ev_funnel_conversion",  # cross join of three 1-row stage counts
+    "a21_skew_audit",  # broadcast 1-row key-cardinality stats
 }
 # Local tables that are NOT data detours: explicit local-row sources,
 # fitted-model state (O(k) best params / importances), and
