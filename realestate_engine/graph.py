@@ -1,0 +1,152 @@
+"""Iterative graph analytics on DataFrames: fixed-point PageRank.
+
+The customer–supplier trade graph (who bought from whom, via
+orders ⋈ lineitem) is mined with PageRank run as a driver-side loop of
+DataFrame transformations — each iteration is one distributed
+join + aggregate, with the rank state cached between iterations. This
+is the canonical Spark shape for iterative algorithms (same loop
+structure as MLlib's ALS/KMeans internals): the LOOP is on the driver,
+every step of WORK is on the cluster.
+
+Cross-engine determinism: ranks are kept in scaled integer arithmetic
+(micro-ranks, 1e12 = rank 1.0) so every contribution, damping multiply
+and sum is exact BIGINT math — commutative, order-independent, and
+bit-identical between Spark and DuckDB. Floating-point PageRank sums
+partition-ordered doubles and cannot be hash-compared across engines;
+fixed-point PageRank can. (Deterministic fixed-point accumulation is
+the standard trick for reproducible distributed aggregation.)
+
+Reference parity: the reference repo has no graph operator — this is
+north-star territory (duplicate clustering in dedup.py:385 is the
+other graph op; PageRank adds the iterative-convergence class).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from realestate_engine.registry import register, t
+
+SCALE = 1_000_000_000_000  # 1e12 micro-rank units per unit of rank
+DAMPING_NUM, DAMPING_DEN = 85, 100  # 0.85 as an exact ratio
+N_ITER = 3
+
+
+def trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Undirected customer<->supplier trade edges, one row per directed
+    pair: 'c<custkey>' <-> 's<suppkey>' for every (customer, supplier)
+    that co-occur on an order. Distinct-ing first keeps the edge list
+    a set (PageRank over a multigraph would double-count)."""
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            F.concat(F.lit("c"), F.col("o_custkey")).alias("c"),
+            F.concat(F.lit("s"), F.col("l_suppkey")).alias("s"),
+        )
+        .distinct()
+    )
+    return pairs.select(F.col("c").alias("src"), F.col("s").alias("dst")).unionAll(
+        pairs.select(F.col("s").alias("src"), F.col("c").alias("dst"))
+    )
+
+
+def pagerank_fixed_point(edges: DataFrame, n_iter: int = N_ITER) -> DataFrame:
+    """Fixed-point PageRank over an edge list (src, dst): returns
+    (node, rank_micro BIGINT). Every node in the edge list has out-
+    degree >= 1 (edges are bidirectional), so there is no dangling-mass
+    term. Per iteration: contribution = rank div out_degree (integer),
+    new rank = base + 85% of the contribution sum — all BIGINT."""
+    spark = edges.sparkSession
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    n_nodes = nodes.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    # base = floor(0.15 * SCALE / N), init = floor(SCALE / N): 1-row
+    # broadcast, exact integers.
+    ranks = (
+        nodes.crossJoin(F.broadcast(n_nodes))
+        .select("node", F.expr(f"{SCALE} div n").alias("rank_micro"), "n")
+    )
+    edges_deg = edges.join(deg, "src").cache()
+    for _ in range(n_iter):
+        contrib = (
+            edges_deg.join(
+                ranks.select(F.col("node").alias("src"), "rank_micro", "n"), "src"
+            )
+            .select("dst", F.expr("rank_micro div d").alias("contrib"), "n")
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("inflow"), F.first("n").alias("n"))
+        )
+        ranks = contrib.select(
+            F.col("dst").alias("node"),
+            F.expr(
+                f"(15 * {SCALE}) div (100 * n) + ({DAMPING_NUM} * inflow) div {DAMPING_DEN}"
+            ).alias("rank_micro"),
+            "n",
+        )
+    return ranks.select("node", "rank_micro")
+
+
+_PAGERANK_ORACLE = f"""
+    WITH pairs AS (
+        SELECT DISTINCT 'c' || o_custkey AS c, 's' || l_suppkey AS s
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    edges AS (
+        SELECT c AS src, s AS dst FROM pairs
+        UNION ALL
+        SELECT s AS src, c AS dst FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    nn AS (SELECT COUNT(*) AS n FROM nodes),
+    deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+    r0 AS (SELECT node, {SCALE} // n AS rank_micro FROM nodes, nn),
+    r1 AS (
+        SELECT e.dst AS node,
+               (15 * {SCALE}) // (100 * ANY_VALUE(nn.n))
+                 + (85 * SUM(r.rank_micro // deg.d)) // 100 AS rank_micro
+        FROM edges e
+        JOIN deg ON deg.src = e.src
+        JOIN r0 r ON r.node = e.src
+        CROSS JOIN nn
+        GROUP BY e.dst
+    ),
+    r2 AS (
+        SELECT e.dst AS node,
+               (15 * {SCALE}) // (100 * ANY_VALUE(nn.n))
+                 + (85 * SUM(r.rank_micro // deg.d)) // 100 AS rank_micro
+        FROM edges e
+        JOIN deg ON deg.src = e.src
+        JOIN r1 r ON r.node = e.src
+        CROSS JOIN nn
+        GROUP BY e.dst
+    ),
+    r3 AS (
+        SELECT e.dst AS node,
+               (15 * {SCALE}) // (100 * ANY_VALUE(nn.n))
+                 + (85 * SUM(r.rank_micro // deg.d)) // 100 AS rank_micro
+        FROM edges e
+        JOIN deg ON deg.src = e.src
+        JOIN r2 r ON r.node = e.src
+        CROSS JOIN nn
+        GROUP BY e.dst
+    )
+    SELECT node, CAST(rank_micro AS BIGINT) AS rank_micro
+    FROM r3
+    ORDER BY rank_micro DESC, node
+    LIMIT 50
+"""
+
+
+@register("graph_pagerank_trade", _PAGERANK_ORACLE)
+def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Iterative PageRank (3 fixed-point iterations, damping 0.85) over
+    the bipartite customer<->supplier trade graph; top-50 hubs. The
+    oracle unrolls the identical integer recurrence as three chained
+    CTEs — every arithmetic step is BIGINT, so Spark and DuckDB agree
+    bit-for-bit (a floating-point PageRank could not be hash-compared:
+    its per-group sums are partition-order dependent)."""
+    ranks = pagerank_fixed_point(trade_edges(spark, sf_dir), N_ITER)
+    return ranks.orderBy(F.desc("rank_micro"), "node").limit(50)

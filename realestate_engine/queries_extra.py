@@ -912,3 +912,43 @@ def a21_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), "key")
         .limit(10)
     )
+
+
+@register("s12_xml_roundtrip", "SELECT r_regionkey, r_name FROM region")
+def s12_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S12: native XML sink + scan (Spark 4 built-in, no external
+    package): write region as <region> row elements, read back with an
+    explicit schema + rowTag. Completes the source/sink matrix
+    (CSV/parquet/ORC/JSON/XML/binary). Explicit read schema — XML
+    inference double-scans, same rule as the JSON source."""
+    out = tempfile.mkdtemp(prefix="re_s12_xml_")
+    t(spark, sf_dir, "region").select("r_regionkey", "r_name").write.mode("overwrite").option(
+        "rowTag", "region"
+    ).format("xml").save(out)
+    schema = T.StructType(
+        [
+            T.StructField("r_regionkey", T.IntegerType(), True),
+            T.StructField("r_name", T.StringType(), True),
+        ]
+    )
+    return spark.read.schema(schema).option("rowTag", "region").format("xml").load(out)
+
+
+@register("s13_binaryfile_scan")  # paths/sizes are filesystem facts → rows-only + pytest
+def s13_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S13: binaryFile source — the ingestion path for opaque media
+    blobs (images/audio/video) feeding the MM* multimodal operators:
+    each file becomes (path, modificationTime, length, content:binary).
+    Here it scans the sf dir's parquet files themselves as opaque
+    blobs and derives per-extension stats; pytest asserts lengths
+    match os.path.getsize. At 100 TB this is how raw media lands in a
+    DataFrame without a decode step in the scan."""
+    files = spark.read.format("binaryFile").load(sf_dir + "/*.parquet")
+    return (
+        files.select(
+            F.regexp_extract(F.col("path"), r"([^/]+)\.parquet$", 1).alias("table_name"),
+            F.col("length").cast("bigint").alias("n_bytes"),
+            F.length(F.col("content")).cast("bigint").alias("content_bytes"),
+        )
+        .orderBy("table_name")
+    )

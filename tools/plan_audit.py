@@ -40,6 +40,7 @@ ALLOWED_CROSS = {
     "text_oov_rate",  # broadcast 1-row total-token count onto word freqs
     "ev_funnel_conversion",  # cross join of three 1-row stage counts
     "a21_skew_audit",  # broadcast 1-row key-cardinality stats
+    "graph_pagerank_trade",  # broadcast 1-row node count into rank init
 }
 # Local tables that are NOT data detours: explicit local-row sources,
 # fitted-model state (O(k) best params / importances), and
