@@ -952,3 +952,139 @@ def s13_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("table_name")
     )
+
+
+@register(
+    "s14_compaction_roundtrip",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
+    FROM lineitem
+    """,
+)
+def s14_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S14: small-file compaction — the table-maintenance pass every
+    100 TB lake needs: a fragmented table (64 shards here; millions of
+    small files in production) is rewritten into ceil(bytes / 128 MB)
+    right-sized files. Target file count comes from listing the
+    fragmented output's sizes (metadata only — no data through the
+    driver); the oracle proves the rewrite is content-preserving by
+    aggregating the compacted copy. coalesce() (not repartition)
+    avoids a shuffle: compaction only narrows partitioning."""
+    import math
+    import os
+
+    frag_dir = tempfile.mkdtemp(prefix="re_s14_frag_")
+    out_dir = tempfile.mkdtemp(prefix="re_s14_compact_")
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    li.repartition(64).write.mode("overwrite").parquet(frag_dir)
+    frag = spark.read.parquet(frag_dir)
+    n_bytes = sum(
+        os.path.getsize(os.path.join(frag_dir, f))
+        for f in os.listdir(frag_dir)
+        if f.endswith(".parquet")
+    )
+    target_files = max(1, math.ceil(n_bytes / (128 * 1024 * 1024)))
+    frag.coalesce(target_files).write.mode("overwrite").parquet(out_dir)
+    return spark.read.parquet(out_dir).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.expr("CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)"))
+        .cast("bigint")
+        .alias("total_cents"),
+        F.countDistinct("l_orderkey").cast("bigint").alias("n_orders"),
+    )
+
+
+@register(
+    "s15_schema_evolution_merge",
+    """
+    SELECT o_orderkey, o_totalprice, NULL AS o_comment_len
+    FROM orders WHERE o_orderkey % 2 = 0
+    UNION ALL
+    SELECT o_orderkey, o_totalprice, CAST(LENGTH(o_orderpriority) AS BIGINT) AS o_comment_len
+    FROM orders WHERE o_orderkey % 2 = 1
+    ORDER BY o_orderkey
+    """,
+)
+def s15_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S15: schema evolution on read — an old partition written with 2
+    columns and a new partition with an added column are scanned as ONE
+    table via mergeSchema; missing columns null-fill. The ubiquitous
+    lake situation (columns added over months of ingest) that a
+    fixed-schema engine can't read at all. Footer-merge only — no data
+    rewrite."""
+    base = tempfile.mkdtemp(prefix="re_s15_evo_")
+    o = t(spark, sf_dir, "orders")
+    o.filter(F.col("o_orderkey") % 2 == 0).select("o_orderkey", "o_totalprice").write.mode(
+        "overwrite"
+    ).parquet(base + "/p=old")
+    o.filter(F.col("o_orderkey") % 2 == 1).select(
+        "o_orderkey",
+        "o_totalprice",
+        F.length("o_orderpriority").cast("bigint").alias("o_comment_len"),
+    ).write.mode("overwrite").parquet(base + "/p=new")
+    return (
+        spark.read.option("mergeSchema", "true")
+        .parquet(base + "/p=old", base + "/p=new")
+        .select("o_orderkey", "o_totalprice", "o_comment_len")
+        .orderBy("o_orderkey")
+    )
+
+
+def _interleave_bits_expr(x: str, y: str) -> str:
+    """Morton/Z-value bit interleave of two 16-bit ints as pure
+    div/mod/mul arithmetic — the SAME expression string runs on Spark
+    and DuckDB (FLOOR-division and % are cross-engine-exact; no
+    dialect-specific shift operators)."""
+    terms = []
+    for i in range(16):
+        terms.append(f"(CAST(FLOOR({x} / {1 << i}) AS BIGINT) % 2) * {1 << (2 * i)}")
+        terms.append(f"(CAST(FLOOR({y} / {1 << i}) AS BIGINT) % 2) * {1 << (2 * i + 1)}")
+    return " + ".join(terms)
+
+
+_ZVAL = _interleave_bits_expr("xm", "ym")
+
+
+@register(
+    "s16_zorder_layout",
+    f"""
+    WITH keyed AS (
+        SELECT o_orderkey,
+               o_custkey % 65536 AS xm,
+               DATE_DIFF('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) % 65536 AS ym
+        FROM orders
+    )
+    SELECT o_orderkey, CAST({_ZVAL} AS BIGINT) AS zval
+    FROM keyed
+    ORDER BY o_orderkey
+    """,
+)
+def s16_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S16: Z-order (Morton-curve) data layout — interleave the bits of
+    two filter dimensions (customer, order day) into one clustering
+    key, then repartitionByRange + sortWithinPartitions + write so
+    parquet row-group min/max stats are tight on BOTH dimensions at
+    once. This is the lakehouse multi-dimensional-clustering op (Delta
+    OPTIMIZE ZORDER) that single-column sorting can't give you: at
+    100 TB it turns either-dimension point queries into file skips.
+    The z-value is pure integer arithmetic from one shared expression
+    string — bit-identical across engines; pytest asserts the physical
+    files have narrow per-file custkey spreads."""
+    out = tempfile.mkdtemp(prefix="re_s16_zorder_")
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        (F.col("o_custkey") % 65536).alias("xm"),
+        (F.datediff(F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")) % 65536).alias(
+            "ym"
+        ),
+    )
+    z = o.select("o_orderkey", "xm", "ym", F.expr(_ZVAL).cast("bigint").alias("zval"))
+    (
+        z.repartitionByRange(8, "zval")
+        .sortWithinPartitions("zval")
+        .write.mode("overwrite")
+        .parquet(out)
+    )
+    return spark.read.parquet(out).select("o_orderkey", "zval").orderBy("o_orderkey")

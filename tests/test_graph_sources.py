@@ -63,3 +63,47 @@ def test_binaryfile_lengths_match_filesystem(spark, sf_dir):
         path = os.path.join(sf_dir, r["table_name"] + ".parquet")
         assert r["n_bytes"] == os.path.getsize(path)
         assert r["content_bytes"] == r["n_bytes"]
+
+
+def _py_interleave(x: int, y: int) -> int:
+    z = 0
+    for i in range(16):
+        z |= ((x >> i) & 1) << (2 * i)
+        z |= ((y >> i) & 1) << (2 * i + 1)
+    return z
+
+
+def test_zorder_expr_matches_python(spark):
+    from realestate_engine.queries_extra import _interleave_bits_expr
+
+    rows = [(x, y) for x in (0, 1, 5, 150, 255, 65535) for y in (0, 3, 77, 2433, 65535)]
+    df = spark.createDataFrame(rows, ["xm", "ym"]).select(
+        "xm", "ym", F.expr(_interleave_bits_expr("xm", "ym")).cast("bigint").alias("zval")
+    )
+    for r in df.collect():
+        assert r["zval"] == _py_interleave(r["xm"], r["ym"]), (r["xm"], r["ym"])
+
+
+def test_zorder_layout_localizes_both_dims(spark, tmp_path):
+    from realestate_engine.queries_extra import _interleave_bits_expr
+
+    # balanced 256x256 grid: 16 range partitions must narrow BOTH dims
+    grid = spark.range(256 * 256).select(
+        (F.col("id") % 256).alias("xm"), (F.col("id") / 256).cast("bigint").alias("ym")
+    )
+    z = grid.select("xm", "ym", F.expr(_interleave_bits_expr("xm", "ym")).alias("zval"))
+    out = str(tmp_path / "zorder")
+    z.repartitionByRange(16, "zval").sortWithinPartitions("zval").write.parquet(out)
+    per_file = (
+        spark.read.parquet(out)
+        .groupBy(F.input_file_name().alias("f"))
+        .agg(
+            (F.max("xm") - F.min("xm")).alias("xspread"),
+            (F.max("ym") - F.min("ym")).alias("yspread"),
+        )
+        .agg(F.avg("xspread").alias("x"), F.avg("yspread").alias("y"))
+        .collect()[0]
+    )
+    # global spread is 255 on each dim; z-order files must be local in both
+    assert per_file["x"] < 0.55 * 255, per_file
+    assert per_file["y"] < 0.55 * 255, per_file
