@@ -69,7 +69,11 @@ def pagerank_fixed_point(edges: DataFrame, n_iter: int = N_ITER) -> DataFrame:
         nodes.crossJoin(F.broadcast(n_nodes))
         .select("node", F.expr(f"{SCALE} div n").alias("rank_micro"), "n")
     )
-    edges_deg = edges.join(deg, "src").cache()
+    # Partition the (static) edge list by src ONCE and cache it in
+    # that layout: every iteration's ranks join then shuffles only the
+    # small rank vector to the edges, never the edges themselves — the
+    # Pregel/GraphX distribution strategy.
+    edges_deg = edges.join(deg, "src").repartition("src").cache()
     for _ in range(n_iter):
         contrib = (
             edges_deg.join(
