@@ -1088,3 +1088,55 @@ def s16_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
         .parquet(out)
     )
     return spark.read.parquet(out).select("o_orderkey", "zval").orderBy("o_orderkey")
+
+
+@register(
+    "s17_python_datasource",
+    """
+    SELECT d.range AS device_id,
+           r.range AS reading_idx,
+           (1103515245 * (d.range * 100000 + r.range) + 12345) % 2147483648 AS reading
+    FROM range(8) d, range(500) r
+    ORDER BY device_id, reading_idx
+    """,
+)
+def s17_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S17: custom Python DataSource (Spark 4 extension point) — a
+    partitioned generator source: one InputPartition per device, each
+    executor-side partition yielding its device's readings from a
+    deterministic integer LCG (no driver data movement; planning sees
+    only partition METADATA). This is how a bespoke feed (sensor
+    fleet, sharded REST API, proprietary format) plugs into the scan
+    path with real parallelism. Classes are defined in-function so
+    cloudpickle ships them by value to executors. The LCG is pure
+    integer arithmetic — the oracle regenerates it exactly in SQL."""
+    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
+
+    n_devices, n_readings = 8, 500
+
+    class SensorSource(DataSource):
+        @classmethod
+        def name(cls) -> str:
+            return "sensor_lcg"
+
+        def schema(self) -> str:
+            return "device_id BIGINT, reading_idx BIGINT, reading BIGINT"
+
+        def reader(self, schema):  # noqa: ANN001
+            return SensorReader()
+
+    class SensorReader(DataSourceReader):
+        def partitions(self):
+            return [InputPartition(d) for d in range(n_devices)]
+
+        def read(self, partition):
+            d = partition.value
+            for idx in range(n_readings):
+                yield (d, idx, (1103515245 * (d * 100000 + idx) + 12345) % 2147483648)
+
+    spark.dataSource.register(SensorSource)
+    return (
+        spark.read.format("sensor_lcg")
+        .load()
+        .orderBy("device_id", "reading_idx")
+    )

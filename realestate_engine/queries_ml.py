@@ -270,3 +270,42 @@ def m14_multiclass_classification(spark: SparkSession, sf_dir: str) -> DataFrame
             / F.count(F.lit(1))
         ).alias("train_accuracy"),
     )
+
+
+@register("m15_text_featurization")  # MLlib fit state (vocab order ties) → rows-only
+def m15_text_featurization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M15: the MLlib text-featurization pipeline — Tokenizer →
+    CountVectorizer (corpus-fit vocabulary) → IDF (log((n+1)/(df+1))
+    down-weighting) → Normalizer (L2) — the classic sparse-vector
+    text representation (the distributed counterpart of the manual
+    oracle-checked TF-IDF in text.py:103). Per-doc invariants are
+    returned as columns (vector dimension == fitted vocab size; L2
+    norm == 1 within fp tolerance; nnz <= tokens) and asserted in
+    pytest; the fitted vocabulary ORDER is count-tie-arbitrary, so
+    scores are rows-only rather than hash-compared."""
+    from pyspark.ml import Pipeline as MLPipeline
+    from pyspark.ml.feature import CountVectorizer, IDF, Normalizer, Tokenizer
+
+    docs = t(spark, sf_dir, "documents").select("doc_id", F.lower(F.trim("text")).alias("text"))
+    pipe = MLPipeline(
+        stages=[
+            Tokenizer(inputCol="text", outputCol="tokens"),
+            CountVectorizer(inputCol="tokens", outputCol="tf", minDF=1.0),
+            IDF(inputCol="tf", outputCol="tfidf"),
+            Normalizer(inputCol="tfidf", outputCol="features", p=2.0),
+        ]
+    )
+    fitted = pipe.fit(docs)
+    vocab_size = len(fitted.stages[1].vocabulary)
+    out = fitted.transform(docs)
+    arr = vector_to_array(F.col("features"))
+    return out.select(
+        "doc_id",
+        F.lit(vocab_size).cast("bigint").alias("vocab_size"),
+        F.size(arr).cast("bigint").alias("dim"),
+        F.aggregate(
+            arr, F.lit(0).cast("bigint"), lambda acc, v: acc + F.when(v != 0.0, 1).otherwise(0)
+        ).alias("nnz"),
+        F.aggregate(arr, F.lit(0.0), lambda acc, v: acc + v * v).alias("sq_norm"),
+        F.size("tokens").cast("bigint").alias("n_tokens"),
+    ).orderBy("doc_id")

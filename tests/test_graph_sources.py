@@ -107,3 +107,14 @@ def test_zorder_layout_localizes_both_dims(spark, tmp_path):
     # global spread is 255 on each dim; z-order files must be local in both
     assert per_file["x"] < 0.55 * 255, per_file
     assert per_file["y"] < 0.55 * 255, per_file
+
+
+def test_mllib_text_featurization_invariants(spark, sf_dir):
+    from realestate_engine.queries_ml import m15_text_featurization
+
+    rows = m15_text_featurization(spark, sf_dir).collect()
+    assert len(rows) == 500
+    for r in rows:
+        assert r["dim"] == r["vocab_size"] > 0
+        assert 0 < r["nnz"] <= min(r["n_tokens"], r["vocab_size"])
+        assert abs(r["sq_norm"] - 1.0) < 1e-9
