@@ -16,7 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from realestate_engine.registry import register, t
+from realestate_engine.registry import ORACLES, register, t
 
 
 @register("s10_orc_roundtrip", "SELECT n_nationkey, n_name, n_regionkey FROM nation")
@@ -1139,4 +1139,82 @@ def s17_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
         spark.read.format("sensor_lcg")
         .load()
         .orderBy("device_id", "reading_idx")
+    )
+
+
+@register(
+    "sql_recursive_reachability",
+    """
+    WITH RECURSIVE pairs AS (
+        SELECT DISTINCT 'c' || o_custkey AS c, 's' || l_suppkey AS s
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    edges AS (
+        SELECT c AS src, s AS dst FROM pairs
+        UNION ALL
+        SELECT s AS src, c AS dst FROM pairs
+    ),
+    root AS (SELECT 'c' || MIN(o_custkey) AS node FROM orders),
+    reach(node, depth) AS (
+        SELECT node, 0 FROM root
+        UNION ALL
+        SELECT e.dst, r.depth + 1
+        FROM reach r JOIN edges e ON e.src = r.node
+        WHERE r.depth < 2
+    )
+    SELECT node, CAST(MIN(depth) AS BIGINT) AS hops
+    FROM reach
+    GROUP BY node
+    ORDER BY hops, node
+    """,
+)
+def sql_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL2: recursive CTE (Spark 4 WITH RECURSIVE) — bounded BFS from
+    the lowest-key customer over the trade graph, reporting each
+    reachable node's hop distance. The iterative-closure class
+    expressed DECLARATIVELY: Catalyst unions each frontier expansion
+    (a join per level) exactly like graph.py's PageRank loop, but
+    driven by the engine, not the driver. Depth-capped at 2 — the
+    bipartite graph is cyclic, and an unbounded closure over cycles
+    never terminates under UNION ALL semantics. Same SQL text runs on
+    both engines (the oracle IS this query)."""
+    import re
+
+    t(spark, sf_dir, "orders").createOrReplaceTempView("_rr_orders")
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("_rr_lineitem")
+    # same SQL text as the oracle, with table names scoped to private
+    # temp views (bare names would leak into later spark.sql queries)
+    sql = re.sub(r"\b(orders|lineitem)\b", r"_rr_\1", ORACLES["sql_recursive_reachability"])
+    return spark.sql(sql)
+
+
+@register(
+    "f17_variant_extract",
+    """
+    SELECT CAST(CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT) % 10 AS BIGINT) AS k_bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(JSON_EXTRACT_STRING(props, '$.k') AS BIGINT)) AS BIGINT) AS k_total
+    FROM events
+    GROUP BY k_bucket
+    ORDER BY k_bucket
+    """,
+)
+def f17_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F17: VARIANT semi-structured type (Spark 4) — parse the events
+    props JSON into VARIANT once and extract typed paths with
+    variant_get, the open-schema path for JSON columns whose shape
+    drifts (vs F12's from_json, which needs the struct declared up
+    front). VARIANT keeps a parsed binary form, so repeated path
+    extraction doesn't re-parse the string. Oracle states the same
+    extraction with DuckDB's JSON operators."""
+    ev = t(spark, sf_dir, "events")
+    k = F.expr("variant_get(parse_json(props), '$.k', 'bigint')")
+    return (
+        ev.select((k % 10).alias("k_bucket"), k.alias("k"))
+        .groupBy("k_bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum("k").cast("bigint").alias("k_total"),
+        )
+        .orderBy("k_bucket")
     )
