@@ -1218,3 +1218,154 @@ def f17_variant_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k_bucket")
     )
+
+
+# Count-min sketch parameters: d=3 pairwise-independent-ish hash rows
+# over the prime 2^31-1, w=64 buckets. Pure integer arithmetic so the
+# identical formulas run on both engines.
+_CMS_HASHES = [(7919, 104729), (12289, 65537), (40503, 99991)]
+_CMS_P = 2147483647
+_CMS_W = 64
+
+
+@register(
+    "a22_count_min_sketch",
+    f"""
+    WITH buckets AS (
+        {" UNION ALL ".join(
+            f'''SELECT {i} AS h, ((l_suppkey * {a} + {b}) % {_CMS_P}) % {_CMS_W} AS bucket
+                FROM lineitem'''
+            for i, (a, b) in enumerate(_CMS_HASHES)
+        )}
+    ),
+    cms AS (SELECT h, bucket, COUNT(*) AS cnt FROM buckets GROUP BY h, bucket),
+    truth AS (
+        SELECT l_suppkey AS key, COUNT(*) AS true_cnt FROM lineitem GROUP BY l_suppkey
+    ),
+    probes AS (SELECT key, true_cnt FROM truth ORDER BY true_cnt DESC, key LIMIT 20),
+    est AS (
+        SELECT p.key, p.true_cnt, MIN(c.cnt) AS cms_est
+        FROM probes p JOIN cms c
+          ON {" OR ".join(
+            f'''(c.h = {i} AND c.bucket = ((p.key * {a} + {b}) % {_CMS_P}) % {_CMS_W})'''
+            for i, (a, b) in enumerate(_CMS_HASHES)
+        )}
+        GROUP BY p.key, p.true_cnt
+    )
+    SELECT key, CAST(true_cnt AS BIGINT) AS true_cnt, CAST(cms_est AS BIGINT) AS cms_est
+    FROM est
+    ORDER BY true_cnt DESC, key
+    """,
+)
+def a22_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A22: distributed count-min sketch — d=3 x w=64 counter matrix
+    built with ONE map-side-combined aggregate over the 3x-exploded
+    key stream; point estimates for the top-20 keys are the MIN across
+    the d rows (each an upper bound: collisions only inflate). The
+    mergeable frequency sketch for 100 TB streams: the (h, bucket)
+    grid is O(d*w) regardless of cardinality, and two sketches merge
+    by cell-wise addition (same property a18's HLL rollup exercises
+    for distincts). Integer LCG hashing mod a Mersenne prime — the
+    identical formula runs on both engines, so even the collision
+    pattern is bit-identical."""
+    li = t(spark, sf_dir, "lineitem").select("l_suppkey")
+    rows = [
+        li.select(
+            F.lit(i).alias("h"),
+            (((F.col("l_suppkey") * a + b) % _CMS_P) % _CMS_W).alias("bucket"),
+        )
+        for i, (a, b) in enumerate(_CMS_HASHES)
+    ]
+    buckets = rows[0].unionAll(rows[1]).unionAll(rows[2])
+    cms = buckets.groupBy("h", "bucket").agg(F.count(F.lit(1)).alias("cnt"))
+    truth = li.groupBy(F.col("l_suppkey").alias("key")).agg(F.count(F.lit(1)).alias("true_cnt"))
+    probes = truth.orderBy(F.desc("true_cnt"), "key").limit(20)
+    # explode each probe into its d (h, bucket) lookups so the sketch
+    # probe stays an equi-join (an OR-of-equalities would plan as a
+    # nested loop)
+    probe_buckets = probes.select(
+        "key",
+        "true_cnt",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(i).alias("h"),
+                        (((F.col("key") * a + b) % _CMS_P) % _CMS_W).alias("bucket"),
+                    )
+                    for i, (a, b) in enumerate(_CMS_HASHES)
+                ]
+            )
+        ).alias("hb"),
+    ).select("key", "true_cnt", "hb.h", "hb.bucket")
+    est = (
+        probe_buckets.join(F.broadcast(cms), ["h", "bucket"])
+        .groupBy("key", "true_cnt")
+        .agg(F.min("cnt").alias("cms_est"))
+    )
+    return est.select(
+        "key",
+        F.col("true_cnt").cast("bigint").alias("true_cnt"),
+        F.col("cms_est").cast("bigint").alias("cms_est"),
+    ).orderBy(F.desc("true_cnt"), "key")
+
+
+@register(
+    "s18_permissive_corrupt_json",
+    """
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM supplier) AS n_good,
+           CAST(7 AS BIGINT) AS n_corrupt,
+           (SELECT CAST(SUM(s_suppkey) AS BIGINT) FROM supplier) AS good_key_total
+    """,
+)
+def s18_permissive_corrupt_json(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S18: dirty-feed ingestion — JSON scan in PERMISSIVE mode with a
+    _corrupt_record column: well-formed rows parse, malformed lines
+    (7 planted: truncated JSON, bare text, wrong bracket...) land
+    intact in the corrupt column instead of killing the job — the
+    quarantine pattern for 100 TB feeds where FAILFAST is operationally
+    impossible and DROPMALFORMED silently loses data. The count of
+    good/corrupt rows is the oracle-checked audit a quarantine pipeline
+    emits. (The scan is cached: Spark refuses to filter on ONLY the
+    corrupt column from a lazy scan, since column pruning would elide
+    the parse that defines it.)"""
+    import os
+
+    out = tempfile.mkdtemp(prefix="re_s18_json_")
+    t(spark, sf_dir, "supplier").select("s_suppkey", "s_name").write.mode("overwrite").json(out)
+    bad = [
+        '{"s_suppkey": 1, "s_name": ',
+        "not json at all",
+        '{"s_suppkey": "}',
+        "[1, 2,",
+        '{"s_suppkey": 2 "s_name": "x"}',
+        "{{}}",
+        '"dangling',
+    ]
+    with open(os.path.join(out, "part-corrupt.json"), "w") as f:
+        f.write("\n".join(bad) + "\n")
+    schema = T.StructType(
+        [
+            T.StructField("s_suppkey", T.LongType(), True),
+            T.StructField("s_name", T.StringType(), True),
+            T.StructField("_corrupt_record", T.StringType(), True),
+        ]
+    )
+    df = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .json(out)
+        .cache()
+    )
+    return df.agg(
+        F.sum(F.when(F.col("_corrupt_record").isNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_good"),
+        F.sum(F.when(F.col("_corrupt_record").isNotNull(), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_corrupt"),
+        F.sum(F.when(F.col("_corrupt_record").isNull(), F.col("s_suppkey"))).cast("bigint").alias(
+            "good_key_total"
+        ),
+    )
