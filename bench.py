@@ -37,6 +37,10 @@ HEADLINE = [
     "tpch_q18_large_orders",
     "tpch_q9_product_profit",
     "tpch_q21_waiting_supplier",
+    "graph_pagerank_trade",
+    "j6_spatial_grid_join",
+    "text_contamination_ngrams",
+    "corpus_clean_pipeline",
 ]
 
 

@@ -35,16 +35,20 @@ N_ITER = 3
 
 def trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Undirected customer<->supplier trade edges, one row per directed
-    pair: 'c<custkey>' <-> 's<suppkey>' for every (customer, supplier)
-    that co-occur on an order. Distinct-ing first keeps the edge list
-    a set (PageRank over a multigraph would double-count)."""
+    pair, for every (customer, supplier) that co-occur on an order.
+    Node ids are PACKED BIGINTs — customer = 2*custkey, supplier =
+    2*suppkey + 1 — not strings: at 100 TB the edge distinct and every
+    iteration's shuffle hash/compare 8-byte ints instead of variable-
+    length strings (and the narrow key halves shuffle bytes).
+    Distinct-ing first keeps the edge list a set (PageRank over a
+    multigraph would double-count)."""
     o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
     pairs = (
         li.join(o, li.l_orderkey == o.o_orderkey)
         .select(
-            F.concat(F.lit("c"), F.col("o_custkey")).alias("c"),
-            F.concat(F.lit("s"), F.col("l_suppkey")).alias("s"),
+            (F.col("o_custkey") * 2).alias("c"),
+            (F.col("l_suppkey") * 2 + 1).alias("s"),
         )
         .distinct()
     )
@@ -95,7 +99,7 @@ def pagerank_fixed_point(edges: DataFrame, n_iter: int = N_ITER) -> DataFrame:
 
 _PAGERANK_ORACLE = f"""
     WITH pairs AS (
-        SELECT DISTINCT 'c' || o_custkey AS c, 's' || l_suppkey AS s
+        SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
         FROM lineitem JOIN orders ON l_orderkey = o_orderkey
     ),
     edges AS (
@@ -137,7 +141,7 @@ _PAGERANK_ORACLE = f"""
         CROSS JOIN nn
         GROUP BY e.dst
     )
-    SELECT node, CAST(rank_micro AS BIGINT) AS rank_micro
+    SELECT CAST(node AS BIGINT) AS node, CAST(rank_micro AS BIGINT) AS rank_micro
     FROM r3
     ORDER BY rank_micro DESC, node
     LIMIT 50

@@ -1369,3 +1369,62 @@ def s18_permissive_corrupt_json(spark: SparkSession, sf_dir: str) -> DataFrame:
             "good_key_total"
         ),
     )
+
+
+@register(
+    "dq_drift_audit",
+    """
+    WITH bucketed AS (
+        SELECT CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+               CASE WHEN o_orderdate < TIMESTAMP '1998-01-01' THEN 'a' ELSE 'b' END AS period
+        FROM orders
+    ),
+    counts AS (
+        SELECT bucket,
+               CAST(SUM(CASE WHEN period = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+               CAST(SUM(CASE WHEN period = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        FROM bucketed GROUP BY bucket
+    ),
+    tot AS (SELECT SUM(n_a) AS ta, SUM(n_b) AS tb FROM counts)
+    SELECT bucket, n_a, n_b,
+           CAST(n_a AS DOUBLE) / ta AS share_a,
+           CAST(n_b AS DOUBLE) / tb AS share_b,
+           ABS(CAST(n_a AS DOUBLE) / ta - CAST(n_b AS DOUBLE) / tb) AS drift
+    FROM counts, tot
+    ORDER BY bucket
+    """,
+)
+def dq_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ2: distribution-drift audit between two time periods — the
+    monitoring gate that catches upstream schema/behavior changes
+    before a model trains on drifted data. Price-bucket shares per
+    period plus per-bucket L1 drift |share_a - share_b|; the L1 form
+    (not PSI) keeps every value an int/int division or a subtraction
+    of identical doubles — bit-identical cross-engine, where PSI's
+    ln() would inherit libm variance. One scan, one agg, a broadcast
+    1-row totals join."""
+    b = t(spark, sf_dir, "orders").select(
+        F.floor(F.col("o_totalprice") / 50000.0).cast("bigint").alias("bucket"),
+        F.when(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"), "a")
+        .otherwise("b")
+        .alias("period"),
+    )
+    counts = b.groupBy("bucket").agg(
+        F.sum(F.when(F.col("period") == "a", 1).otherwise(0)).cast("bigint").alias("n_a"),
+        F.sum(F.when(F.col("period") == "b", 1).otherwise(0)).cast("bigint").alias("n_b"),
+    )
+    tot = counts.agg(F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb"))
+    share_a = F.col("n_a").cast("double") / F.col("ta")
+    share_b = F.col("n_b").cast("double") / F.col("tb")
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            "n_a",
+            "n_b",
+            share_a.alias("share_a"),
+            share_b.alias("share_b"),
+            F.abs(share_a - share_b).alias("drift"),
+        )
+        .orderBy("bucket")
+    )

@@ -611,3 +611,44 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "text_inverted_index",
+    r"""
+    WITH w AS (
+        SELECT DISTINCT doc_id,
+               UNNEST(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+')) AS word
+        FROM documents
+    )
+    SELECT word,
+           CAST(COUNT(*) AS BIGINT) AS doc_freq,
+           LIST(doc_id ORDER BY doc_id) AS postings
+    FROM w
+    GROUP BY word
+    ORDER BY word
+    """,
+)
+def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Inverted index build: term -> sorted posting list of doc_ids +
+    document frequency — the IR/search-index primitive (and the
+    retrieval half of a RAG corpus pipeline). One explode + distinct,
+    one groupBy(word) with collect_list; postings sorted in-plan with
+    sort_array so the array value is deterministic and hash-comparable
+    against DuckDB's LIST(... ORDER BY). At 100 TB posting lists for
+    stopword-grade terms skew — the degree-cap (keep df below a
+    threshold or bucket-split hot terms) composes on top; here every
+    list is bounded by the doc count."""
+    w = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id", F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("word"))
+        .distinct()
+    )
+    return (
+        w.groupBy("word")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("doc_freq"),
+            F.sort_array(F.collect_list("doc_id")).alias("postings"),
+        )
+        .orderBy("word")
+    )

@@ -49,8 +49,9 @@ def test_pagerank_hub_ordering(spark, sf_dir):
     assert 0 < len(rows) <= 50
     ranks = [r["rank_micro"] for r in rows]
     assert ranks == sorted(ranks, reverse=True)
-    # suppliers aggregate many customers' mass -> the top hub is an 's' node
-    assert rows[0]["node"].startswith("s")
+    # suppliers aggregate many customers' mass -> the top hub is a
+    # supplier (odd packed id: node = 2*suppkey + 1)
+    assert rows[0]["node"] % 2 == 1
 
 
 def test_binaryfile_lengths_match_filesystem(spark, sf_dir):

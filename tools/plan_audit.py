@@ -41,6 +41,7 @@ ALLOWED_CROSS = {
     "ev_funnel_conversion",  # cross join of three 1-row stage counts
     "a21_skew_audit",  # broadcast 1-row key-cardinality stats
     "graph_pagerank_trade",  # broadcast 1-row node count into rank init
+    "dq_drift_audit",  # broadcast 1-row period totals
 }
 # Local tables that are NOT data detours: explicit local-row sources,
 # fitted-model state (O(k) best params / importances), and
