@@ -63,21 +63,33 @@ def pagerank_fixed_point(edges: DataFrame, n_iter: int = N_ITER) -> DataFrame:
     degree >= 1 (edges are bidirectional), so there is no dangling-mass
     term. Per iteration: contribution = rank div out_degree (integer),
     new rank = base + 85% of the contribution sum — all BIGINT."""
-    spark = edges.sparkSession
-    nodes = edges.select(F.col("src").alias("node")).distinct()
+    from pyspark.sql import Window
+
+    # Partition the (static) edge list by src ONCE, attach out-degree
+    # with a window count in that same layout (no self-join), and cache
+    # the result. Everything downstream — node set, node count, and all
+    # n_iter rank joins — reads this one cached artifact, so the
+    # expensive edge build (lineitem ⋈ orders + distinct) runs exactly
+    # once. Every iteration then shuffles only the small rank vector to
+    # the edges, never the edges themselves — the Pregel/GraphX
+    # distribution strategy.
+    edges_deg = (
+        edges.repartition("src")
+        .select(
+            "src",
+            "dst",
+            F.count(F.lit(1)).over(Window.partitionBy("src")).alias("d"),
+        )
+        .cache()
+    )
+    nodes = edges_deg.select(F.col("src").alias("node")).distinct()
     n_nodes = nodes.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-    deg = edges.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     # base = floor(0.15 * SCALE / N), init = floor(SCALE / N): 1-row
     # broadcast, exact integers.
     ranks = (
         nodes.crossJoin(F.broadcast(n_nodes))
         .select("node", F.expr(f"{SCALE} div n").alias("rank_micro"), "n")
     )
-    # Partition the (static) edge list by src ONCE and cache it in
-    # that layout: every iteration's ranks join then shuffles only the
-    # small rank vector to the edges, never the edges themselves — the
-    # Pregel/GraphX distribution strategy.
-    edges_deg = edges.join(deg, "src").repartition("src").cache()
     for _ in range(n_iter):
         contrib = (
             edges_deg.join(
