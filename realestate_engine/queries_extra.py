@@ -1428,3 +1428,128 @@ def dq_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "p13_hash_split",
+    """
+    WITH tagged AS (
+        SELECT o_orderkey,
+               CASE WHEN SUBSTR(MD5(CAST(o_orderkey AS VARCHAR)), 1, 1) < 'c' THEN 'train'
+                    WHEN SUBSTR(MD5(CAST(o_orderkey AS VARCHAR)), 1, 1) < 'e' THEN 'val'
+                    ELSE 'test' END AS split
+        FROM orders
+    )
+    SELECT split,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM tagged GROUP BY split ORDER BY split
+    """,
+)
+def p13_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P13: content-hash train/val/test split — the reproducible
+    alternative to seeded randomSplit (p11). Split membership is a pure
+    function of the row key (first hex nibble of md5: 12/16 train,
+    2/16 val, 2/16 test), so it is stable across engines, reruns,
+    cluster sizes, and data re-partitioning — the property a 100 TB
+    pipeline needs so that adding rows tomorrow never reshuffles
+    yesterday's assignments (randomSplit re-deals everything). Narrow,
+    no shuffle until the audit agg."""
+    tagged = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.when(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1) < "c", "train")
+        .when(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 1) < "e", "val")
+        .otherwise("test")
+        .alias("split"),
+    )
+    return (
+        tagged.groupBy("split")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("o_orderkey").cast("bigint").alias("min_key"),
+            F.max("o_orderkey").cast("bigint").alias("max_key"),
+        )
+        .orderBy("split")
+    )
+
+
+_SQL_GROUP_BY_ALL = """
+    SELECT o_orderstatus,
+           o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM {orders}
+    GROUP BY ALL
+    ORDER BY ALL
+"""
+
+
+@register("sql_group_by_all", _SQL_GROUP_BY_ALL.format(orders="orders"))
+def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL3: GROUP BY ALL / ORDER BY ALL — the analyst-ergonomics SQL
+    surface (Spark >= 3.4, DuckDB native): every non-aggregate select
+    item becomes a grouping key. The oracle runs the IDENTICAL text.
+    Money summed in exact integer cents (FLOOR per the cross-engine
+    rounding rule), divided never — hash-stable on both engines."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("_sql_gba_orders")
+    return spark.sql(_SQL_GROUP_BY_ALL.format(orders="_sql_gba_orders"))
+
+
+_SQL_LATERAL_TOPK = """
+    SELECT n_name, t.c_name, t.c_acctbal
+    FROM {nation},
+    LATERAL (
+        SELECT c_name, c_acctbal
+        FROM {customer}
+        WHERE c_nationkey = n_nationkey
+        ORDER BY c_acctbal DESC, c_name
+        LIMIT 2
+    ) t
+    ORDER BY n_name, c_acctbal DESC, c_name
+"""
+
+
+@register(
+    "j7_lateral_topk",
+    _SQL_LATERAL_TOPK.format(nation="nation", customer="customer"),
+)
+def j7_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J7: correlated LATERAL subquery join (top-2 customers per
+    nation) — the SQL-standard per-row subquery surface (Spark >= 3.2,
+    DuckDB native; identical text both engines). Catalyst rewrites the
+    correlated limit into a ranked window under the hood, so the
+    physical plan is the same distributed top-k-per-group as o3, not
+    25 sequential probes — which is why the form survives scale-up."""
+    t(spark, sf_dir, "nation").createOrReplaceTempView("_sql_lat_nation")
+    t(spark, sf_dir, "customer").createOrReplaceTempView("_sql_lat_customer")
+    return spark.sql(
+        _SQL_LATERAL_TOPK.format(nation="_sql_lat_nation", customer="_sql_lat_customer")
+    )
+
+
+@register(
+    "s19_text_source",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
+           CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars,
+           CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct_lines
+    FROM documents
+    """,
+)
+def s19_text_source(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S19: line-oriented text sink + source (spark.read/write.text) —
+    the rawest corpus ingestion format (one doc per line, the shape of
+    most public web-text dumps). Writes the document texts as .txt
+    part-files, reads them back with the distributed line reader, and
+    audits count/chars/distinct against the parquet ground truth (the
+    oracle recomputes the same audit straight from the table; the
+    testdata texts are single-line, so lines == docs)."""
+    out = tempfile.mkdtemp(prefix="re_s19_text_")
+    t(spark, sf_dir, "documents").select("text").write.mode("overwrite").text(out)
+    lines = spark.read.text(out)
+    return lines.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
+        F.sum(F.length("value")).cast("bigint").alias("total_chars"),
+        F.countDistinct("value").cast("bigint").alias("n_distinct_lines"),
+    )

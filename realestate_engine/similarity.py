@@ -240,3 +240,90 @@ def sim_pca_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("euclidean_dist", "vec_id")
         .limit(20)
     )
+
+
+@register(
+    "sim_quantize_int8",
+    """
+    WITH scaled AS (
+        SELECT vec_id,
+               NULLIF(LIST_MAX(LIST_TRANSFORM(embedding, x -> ABS(CAST(x AS DOUBLE)))), 0.0)
+                   AS max_abs
+        FROM embeddings
+    )
+    SELECT e.vec_id,
+           CAST(s.max_abs AS DOUBLE) AS max_abs,
+           LIST_TRANSFORM(e.embedding,
+               x -> CAST(FLOOR(CAST(x AS DOUBLE) * 127.0 / s.max_abs) AS BIGINT)) AS q
+    FROM embeddings e JOIN scaled s ON s.vec_id = e.vec_id
+    ORDER BY e.vec_id
+    """,
+)
+def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N7: per-vector symmetric int8 scalar quantization — the storage
+    tier of every large ANN index (4x smaller than float32, SIMD int8
+    dot products). q_i = floor(x_i * 127 / max|x|), kept alongside the
+    per-vector scale so dot products can be de-quantized. Pure
+    higher-order expressions, zero shuffle — at 100 TB this is a
+    map-only rewrite pass. FLOOR (not round) and exact float->double
+    promotion keep Spark and DuckDB bit-identical; NULLIF guards the
+    all-zero vector."""
+    e = t(spark, sf_dir, "embeddings")
+    max_abs = F.nullif(
+        F.array_max(F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))),
+        F.lit(0.0),
+    )
+    with_scale = e.select("vec_id", "embedding", max_abs.alias("max_abs"))
+    return with_scale.select(
+        "vec_id",
+        F.col("max_abs").cast("double").alias("max_abs"),
+        F.transform(
+            F.col("embedding"),
+            lambda x: F.floor(x.cast("double") * F.lit(127.0) / F.col("max_abs")).cast("bigint"),
+        ).alias("q"),
+    ).orderBy("vec_id")
+
+
+@register(
+    "sim_label_centroids",
+    """
+    WITH elems AS (
+        SELECT label,
+               GENERATE_SUBSCRIPTS(embedding, 1) AS pos,
+               UNNEST(embedding) AS x
+        FROM embeddings
+    )
+    SELECT label,
+           CAST(pos AS BIGINT) AS pos,
+           CAST(SUM(CAST(FLOOR(CAST(x AS DOUBLE) * 1000000) AS BIGINT)) AS BIGINT) AS sum_micro,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM elems
+    GROUP BY label, pos
+    ORDER BY label, pos
+    """,
+)
+def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N8: per-label centroid accumulation — the E-step of distributed
+    KMeans and the class-prototype build for IVF cell seeding /
+    nearest-class-mean classification. posexplode + groupBy(label, pos)
+    gets map-side partial aggregation, so the shuffle carries one
+    partial sum per (label, pos, partition) — at 100 TB the shuffle is
+    O(labels x dims x partitions), independent of row count. Components
+    are fixed-point micro-units summed as exact BIGINTs (float group
+    sums are partition-order dependent and cannot be hash-compared);
+    the caller divides sum_micro/n for the float centroid."""
+    e = t(spark, sf_dir, "embeddings")
+    return (
+        e.select("label", F.posexplode(F.col("embedding")).alias("pos0", "x"))
+        .select(
+            "label",
+            (F.col("pos0") + 1).cast("bigint").alias("pos"),
+            F.floor(F.col("x").cast("double") * 1000000).cast("bigint").alias("micro"),
+        )
+        .groupBy("label", "pos")
+        .agg(
+            F.sum("micro").cast("bigint").alias("sum_micro"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+        .orderBy("label", "pos")
+    )

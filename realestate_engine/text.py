@@ -652,3 +652,136 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("word")
     )
+
+
+@register(
+    "t14_pii_redaction",
+    r"""
+    WITH planted AS (
+        SELECT c_custkey,
+               'Contact ' || c_name || ' at '
+                 || LOWER(REPLACE(c_name, '#', '.')) || '@example.com'
+                 || ' or call +1-800-' || CAST(c_custkey % 10000 AS VARCHAR)
+                 || ' today.' AS text
+        FROM customer
+    )
+    SELECT c_custkey,
+           REGEXP_REPLACE(
+               REGEXP_REPLACE(text, '[a-z0-9.]+@[a-z0-9.]+', '<EMAIL>', 'g'),
+               '\+1-800-[0-9]+', '<PHONE>', 'g') AS redacted,
+           CAST(LEN(REGEXP_EXTRACT_ALL(text, '[a-z0-9.]+@[a-z0-9.]+')) AS BIGINT) AS n_emails,
+           CAST(LEN(REGEXP_EXTRACT_ALL(text, '\+1-800-[0-9]+')) AS BIGINT) AS n_phones
+    FROM planted
+    ORDER BY c_custkey
+    """,
+)
+def t14_pii_redaction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T14: PII redaction — the compliance pass every LLM training
+    corpus runs before tokenization. Emails and phone numbers are
+    replaced with typed placeholders and per-doc redaction counts are
+    kept for the audit trail. The testdata carries no real PII, so the
+    query PLANTS deterministic emails/phones from the customer table
+    (both engines build the identical text) and then redacts them —
+    proving the regex surface end-to-end, not just on empty matches.
+    Pure regexp_replace/regexp_extract_all: narrow, no shuffle, scales
+    linearly; the regexes stay in RE2-compatible syntax so Spark (Java
+    regex) and DuckDB (RE2) agree."""
+    c = t(spark, sf_dir, "customer")
+    text = F.concat(
+        F.lit("Contact "),
+        F.col("c_name"),
+        F.lit(" at "),
+        F.lower(F.regexp_replace(F.col("c_name"), "#", ".")),
+        F.lit("@example.com or call +1-800-"),
+        (F.col("c_custkey") % 10000).cast("string"),
+        F.lit(" today."),
+    )
+    email_re = r"[a-z0-9.]+@[a-z0-9.]+"
+    phone_re = r"\+1-800-[0-9]+"
+    planted = c.select("c_custkey", text.alias("text"))
+    return planted.select(
+        "c_custkey",
+        F.regexp_replace(
+            F.regexp_replace(F.col("text"), email_re, "<EMAIL>"),
+            phone_re,
+            "<PHONE>",
+        ).alias("redacted"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(email_re), 0)).cast("bigint").alias("n_emails"),
+        F.size(F.regexp_extract_all(F.col("text"), F.lit(phone_re), 0)).cast("bigint").alias("n_phones"),
+    ).orderBy("c_custkey")
+
+
+@register(
+    "t15_collocations",
+    r"""
+    WITH w AS (
+        SELECT doc_id, STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+') AS words
+        FROM documents
+    ),
+    toks AS (
+        SELECT doc_id, UNNEST(words) AS word, GENERATE_SUBSCRIPTS(words, 1) AS i
+        FROM w
+    ),
+    uni AS (SELECT word, COUNT(*) AS nx FROM toks GROUP BY word),
+    nn AS (SELECT COUNT(*) AS n FROM toks),
+    big AS (
+        SELECT a.word AS w1, b.word AS w2, COUNT(*) AS n_xy
+        FROM toks a JOIN toks b ON a.doc_id = b.doc_id AND b.i = a.i + 1
+        GROUP BY a.word, b.word
+    )
+    SELECT w1, w2, CAST(n_xy AS BIGINT) AS n_xy,
+           CAST(u1.nx AS BIGINT) AS n_w1, CAST(u2.nx AS BIGINT) AS n_w2
+    FROM big
+    JOIN uni u1 ON u1.word = w1
+    JOIN uni u2 ON u2.word = w2
+    CROSS JOIN nn
+    WHERE n_xy >= 3 AND n_xy * n > 2 * u1.nx * u2.nx
+    ORDER BY n_xy DESC, w1, w2
+    """,
+)
+def t15_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T15: collocation mining — bigrams whose observed frequency beats
+    2x the independence expectation (lift > 2), the phrase-detection
+    primitive behind tokenizer vocab construction (word2phrase, BPE
+    merges). The lift test n_xy*N > 2*n_x*n_y is pure integer
+    cross-multiplication — no log/PMI floats, so Spark and DuckDB agree
+    bit-for-bit. Spark builds bigrams with zip_with against the
+    1-shifted word array (no positional self-join, unlike the oracle,
+    which can afford the O(n) index join): one explode + three
+    hash-aggs + two joins on word keys; the 1-row total is a broadcast
+    cross join."""
+    d = t(spark, sf_dir, "documents")
+    words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    pairs = F.filter(
+        F.zip_with(
+            words,
+            F.slice(words, 2, F.greatest(F.size(words) - 1, F.lit(0))),
+            lambda a, b: F.struct(a.alias("w1"), b.alias("w2")),
+        ),
+        lambda s: s["w2"].isNotNull(),
+    )
+    toks = d.select(F.explode(words).alias("word"))
+    uni = toks.groupBy("word").agg(F.count(F.lit(1)).alias("nx"))
+    nn = toks.agg(F.count(F.lit(1)).alias("n"))
+    big = (
+        d.select(F.explode(pairs).alias("p"))
+        .select(F.col("p.w1").alias("w1"), F.col("p.w2").alias("w2"))
+        .groupBy("w1", "w2")
+        .agg(F.count(F.lit(1)).alias("n_xy"))
+    )
+    u1 = uni.select(F.col("word").alias("w1"), F.col("nx").alias("nx1"))
+    u2 = uni.select(F.col("word").alias("w2"), F.col("nx").alias("nx2"))
+    return (
+        big.join(u1, "w1")
+        .join(u2, "w2")
+        .crossJoin(F.broadcast(nn))
+        .where((F.col("n_xy") >= 3) & (F.col("n_xy") * F.col("n") > 2 * F.col("nx1") * F.col("nx2")))
+        .select(
+            "w1",
+            "w2",
+            F.col("n_xy").cast("bigint").alias("n_xy"),
+            F.col("nx1").cast("bigint").alias("n_w1"),
+            F.col("nx2").cast("bigint").alias("n_w2"),
+        )
+        .orderBy(F.desc("n_xy"), "w1", "w2")
+    )

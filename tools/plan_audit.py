@@ -42,6 +42,7 @@ ALLOWED_CROSS = {
     "a21_skew_audit",  # broadcast 1-row key-cardinality stats
     "graph_pagerank_trade",  # broadcast 1-row node count into rank init
     "dq_drift_audit",  # broadcast 1-row period totals
+    "t15_collocations",  # broadcast 1-row total-token count
 }
 # Local tables that are NOT data detours: explicit local-row sources,
 # fitted-model state (O(k) best params / importances), and
