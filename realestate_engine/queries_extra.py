@@ -1553,3 +1553,163 @@ def s19_text_source(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.length("value")).cast("bigint").alias("total_chars"),
         F.countDistinct("value").cast("bigint").alias("n_distinct_lines"),
     )
+
+
+@register(
+    "ev3_attribution",
+    """
+    WITH purchases AS (
+        SELECT event_id AS purchase_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    clicks AS (
+        SELECT event_id AS click_id, user_id, ts FROM events WHERE event_type = 'click'
+    ),
+    touches AS (
+        SELECT p.purchase_id, c.click_id, c.ts AS click_ts
+        FROM purchases p
+        JOIN clicks c ON c.user_id = p.user_id
+                     AND c.ts < p.ts
+                     AND c.ts >= p.ts - INTERVAL 1 HOUR
+    )
+    SELECT purchase_id, click_id,
+           CAST(10000 // COUNT(*) OVER (PARTITION BY purchase_id) AS BIGINT) AS credit_bp,
+           click_ts = MIN(click_ts) OVER (PARTITION BY purchase_id) AS is_first,
+           click_ts = MAX(click_ts) OVER (PARTITION BY purchase_id) AS is_last
+    FROM touches
+    ORDER BY purchase_id, click_id
+    """,
+)
+def ev3_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EV3: multi-touch attribution — split each purchase's credit
+    across the clicks in its trailing 1-hour window (linear model, with
+    first/last-touch flags for the position models). The click-purchase
+    pairing is an equi-join on the user key with a time-range residual
+    — hash-partitioned by user, never a cross join — and the credit
+    split 10000 div n is exact integer basis points (a 1/n double would
+    be summable but not hash-comparable). Window counts per purchase
+    ride the same partitioning."""
+    ev = t(spark, sf_dir, "events")
+    from pyspark.sql import Window
+
+    p = ev.where(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    c = ev.where(F.col("event_type") == "click").select(
+        F.col("event_id").alias("click_id"), F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts")
+    )
+    touches = p.join(
+        c,
+        (F.col("c_user") == F.col("user_id"))
+        & (F.col("click_ts") < F.col("p_ts"))
+        & (F.col("click_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
+    )
+    w = Window.partitionBy("purchase_id")
+    return (
+        touches.select(
+            "purchase_id",
+            "click_id",
+            F.expr("10000 div count(*) over (partition by purchase_id)").cast("bigint").alias("credit_bp"),
+            (F.col("click_ts") == F.min("click_ts").over(w)).alias("is_first"),
+            (F.col("click_ts") == F.max("click_ts").over(w)).alias("is_last"),
+        )
+        .orderBy("purchase_id", "click_id")
+    )
+
+
+@register(
+    "p14_dense_reid",
+    """
+    SELECT doc_id,
+           CAST(ROW_NUMBER() OVER (ORDER BY doc_id) AS BIGINT) AS new_id
+    FROM documents
+    ORDER BY doc_id
+    """,
+)
+def p14_dense_reid(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P14: dense global re-enumeration (assign contiguous ids 1..N in
+    key order) WITHOUT the single-partition global window that a naive
+    ROW_NUMBER() OVER (ORDER BY ...) plans — the classic zipWithIndex
+    problem, solved relationally: range-partition by the key, count
+    rows per partition (tiny agg), turn counts into per-partition base
+    offsets with a window over the 32-row partition table, broadcast
+    the offsets back, and add a within-partition row_number. Every
+    stage is distributed; the only serial structure is the 32-row
+    offset ledger. The oracle states the semantics with the plain
+    global window DuckDB can afford."""
+    from pyspark.sql import Window
+
+    d = (
+        t(spark, sf_dir, "documents")
+        .select("doc_id")
+        .repartitionByRange(32, "doc_id")
+        .withColumn("pid", F.spark_partition_id())
+        .localCheckpoint()  # pin partition assignment: both branches below must see identical pids
+    )
+    counts = d.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
+    offsets = counts.select(
+        "pid",
+        (
+            F.sum("cnt").over(Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1))
+        ).alias("base"),
+    ).fillna({"base": 0})
+    w_in = Window.partitionBy("pid").orderBy("doc_id")
+    return (
+        d.join(F.broadcast(offsets), "pid")
+        .select(
+            "doc_id",
+            (F.col("base") + F.row_number().over(w_in)).cast("bigint").alias("new_id"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "graph_triangle_count",
+    """
+    WITH pp AS (
+        SELECT DISTINCT a.l_partkey AS pa, b.l_partkey AS pb
+        FROM lineitem a
+        JOIN lineitem b ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+    ),
+    tri AS (
+        SELECT COUNT(*) AS n_triangles
+        FROM pp e1
+        JOIN pp e2 ON e2.pa = e1.pb
+        JOIN pp e3 ON e3.pa = e1.pa AND e3.pb = e2.pb
+    )
+    SELECT CAST((SELECT COUNT(*) FROM pp) AS BIGINT) AS n_edges,
+           CAST(n_triangles AS BIGINT) AS n_triangles
+    FROM tri
+    """,
+)
+def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G2: triangle counting on the co-purchase part graph (parts that
+    appear on the same order are connected). The standard distributed
+    formulation: orient every edge low->high part key (kills the 3x
+    double-count and halves the wedge fan-out), build wedges by joining
+    edges on the shared middle vertex, then close each wedge with a
+    third edge-join — two shuffle joins on integer keys, no iteration.
+    The edge list is built once and cached; at 100 TB the wedge join is
+    the skew point (hot vertices) and composes with the a21/x4 salting
+    ops. Integer counts, bit-exact."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a = li.alias("a")
+    b = li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .select(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
+        .distinct()
+        .cache()
+    )
+    e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+    wedges = e1.join(e2, F.col("e2.pa") == F.col("e1.pb"))
+    tri = wedges.join(
+        e3,
+        (F.col("e3.pa") == F.col("e1.pa")) & (F.col("e3.pb") == F.col("e2.pb")),
+    ).agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    n_edges = edges.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    return n_edges.crossJoin(tri).select("n_edges", "n_triangles")

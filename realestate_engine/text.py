@@ -785,3 +785,55 @@ def t15_collocations(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("n_xy"), "w1", "w2")
     )
+
+
+@register(
+    "text_sparse_dot_pairs",
+    r"""
+    WITH toks AS (
+        SELECT doc_id, UNNEST(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+')) AS word
+        FROM documents
+    ),
+    tf AS (SELECT doc_id, word, COUNT(*) AS tf FROM toks GROUP BY doc_id, word),
+    df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
+    kept AS (SELECT tf.doc_id, tf.word, tf.tf FROM tf JOIN df USING (word) WHERE df.df <= 50),
+    pairs AS (
+        SELECT a.doc_id AS doc_a, b.doc_id AS doc_b,
+               SUM(a.tf * b.tf) AS dot
+        FROM kept a JOIN kept b ON a.word = b.word AND a.doc_id < b.doc_id
+        GROUP BY a.doc_id, b.doc_id
+    )
+    SELECT doc_a, doc_b, CAST(dot AS BIGINT) AS dot
+    FROM pairs
+    ORDER BY dot DESC, doc_a, doc_b
+    LIMIT 20
+    """,
+)
+def text_sparse_dot_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T17: sparse document-pair similarity via an inverted-index join
+    — the scalable alternative to densifying TF vectors and
+    cross-joining: explode to (doc, term, tf), self-join on the term
+    key, sum tf products per pair. Document-frequency pruning (df <=
+    50) is both the IR-standard stopword cut AND the skew guard: a
+    stopword-grade term with df=d fans out d^2/2 pairs, so capping df
+    bounds the worst key's join output — the difference between a
+    workable and a runaway plan at 100 TB. Raw-count dot products stay
+    in exact BIGINTs (a tf-idf weighting would be float and
+    non-hash-comparable)."""
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("word")
+    )
+    tf = toks.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    df = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    kept = tf.join(df.where(F.col("df") <= 50), "word")
+    a = kept.select(F.col("word"), F.col("doc_id").alias("doc_a"), F.col("tf").alias("tf_a"))
+    b = kept.select(F.col("word"), F.col("doc_id").alias("doc_b"), F.col("tf").alias("tf_b"))
+    return (
+        a.join(b, "word")
+        .where(F.col("doc_a") < F.col("doc_b"))
+        .groupBy("doc_a", "doc_b")
+        .agg(F.sum(F.col("tf_a") * F.col("tf_b")).cast("bigint").alias("dot"))
+        .orderBy(F.desc("dot"), "doc_a", "doc_b")
+        .limit(20)
+    )

@@ -43,6 +43,7 @@ ALLOWED_CROSS = {
     "graph_pagerank_trade",  # broadcast 1-row node count into rank init
     "dq_drift_audit",  # broadcast 1-row period totals
     "t15_collocations",  # broadcast 1-row total-token count
+    "graph_triangle_count",  # cross join of two 1-row counts
 }
 # Local tables that are NOT data detours: explicit local-row sources,
 # fitted-model state (O(k) best params / importances), and
@@ -56,6 +57,7 @@ ALLOWED_LOCAL = {
     "dedup_clusters",  # iterative propagation localCheckpoints each round
     "dedup_canonical_selection",  # builds on dedup_clusters' checkpointed lineage
     "p11_train_test_split",  # returns O(1) split-audit scalars
+    "p14_dense_reid",  # localCheckpoint pins partition ids for the offset ledger
 }
 
 
