@@ -1,0 +1,90 @@
+"""Invariant tests for the round-2 extension operators (beyond the
+oracle hash-compare): redaction completeness, split partitioning,
+quantization bounds, dense-id contiguity, attribution credit caps,
+lateral top-k shape."""
+
+from __future__ import annotations
+
+from realestate_engine.registry import QUERIES, load_all
+
+load_all()
+
+
+def test_pii_redaction_removes_all_pii(spark, sf_dir):
+    rows = QUERIES["t14_pii_redaction"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert "@" not in r["redacted"]
+        assert "+1-800-" not in r["redacted"]
+        assert "<EMAIL>" in r["redacted"] and "<PHONE>" in r["redacted"]
+        assert r["n_emails"] == 1 and r["n_phones"] == 1
+
+
+def test_hash_split_partitions_every_row(spark, sf_dir):
+    rows = {r["split"]: r["n"] for r in QUERIES["p13_hash_split"](spark, sf_dir).collect()}
+    total = spark.read.parquet(f"{sf_dir}/orders.parquet").count()
+    assert sum(rows.values()) == total
+    # 12/16 : 2/16 : 2/16 expectation — train strictly dominates
+    assert rows["train"] > rows["val"] and rows["train"] > rows["test"]
+
+
+def test_quantize_int8_bounds_and_width(spark, sf_dir):
+    rows = QUERIES["sim_quantize_int8"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert len(r["q"]) == 64
+        assert all(-128 <= v <= 127 for v in r["q"])
+        # the max-|x| component quantizes to +/-126..127 by construction
+        assert max(abs(v) for v in r["q"]) >= 126
+
+
+def test_label_centroids_account_for_every_vector(spark, sf_dir):
+    rows = QUERIES["sim_label_centroids"](spark, sf_dir).collect()
+    n_vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    at_pos1 = [r for r in rows if r["pos"] == 1]
+    assert sum(r["n"] for r in at_pos1) == n_vecs
+    assert {r["pos"] for r in rows} == set(range(1, 65))
+
+
+def test_dense_reid_contiguous(spark, sf_dir):
+    rows = QUERIES["p14_dense_reid"](spark, sf_dir).collect()
+    ids = [r["new_id"] for r in rows]
+    assert ids == list(range(1, len(rows) + 1))
+    # key order preserved
+    docs = [r["doc_id"] for r in rows]
+    assert docs == sorted(docs)
+
+
+def test_attribution_credit_caps(spark, sf_dir):
+    rows = QUERIES["ev3_attribution"](spark, sf_dir).collect()
+    assert rows
+    by_purchase: dict[int, list] = {}
+    for r in rows:
+        by_purchase.setdefault(r["purchase_id"], []).append(r)
+    for grp in by_purchase.values():
+        # linear split: same credit per touch, total <= 10000
+        assert len({r["credit_bp"] for r in grp}) == 1
+        assert grp[0]["credit_bp"] * len(grp) <= 10000
+        assert any(r["is_first"] for r in grp) and any(r["is_last"] for r in grp)
+
+
+def test_lateral_topk_shape(spark, sf_dir):
+    rows = QUERIES["j7_lateral_topk"](spark, sf_dir).collect()
+    per_nation: dict[str, list] = {}
+    for r in rows:
+        per_nation.setdefault(r["n_name"], []).append(r["c_acctbal"])
+    assert all(len(v) <= 2 for v in per_nation.values())
+    assert all(v == sorted(v, reverse=True) for v in per_nation.values())
+
+
+def test_triangle_count_nonnegative(spark, sf_dir):
+    r = QUERIES["graph_triangle_count"](spark, sf_dir).collect()[0]
+    assert r["n_edges"] > 0 and r["n_triangles"] >= 0
+
+
+def test_sparse_dot_pairs_ordered_and_positive(spark, sf_dir):
+    rows = QUERIES["text_sparse_dot_pairs"](spark, sf_dir).collect()
+    dots = [r["dot"] for r in rows]
+    assert dots == sorted(dots, reverse=True)
+    assert all(d > 0 for d in dots)
+    assert all(r["doc_a"] < r["doc_b"] for r in rows)
