@@ -302,3 +302,45 @@ def test_observe_metrics_single_pass(spark, sf_dir):
     ).first()
     assert got["n_rows"] == direct.n_rows
     assert got["cents"] == direct.cents
+
+
+def test_streaming_checkpoint_restart_no_reprocessing(spark, sf_dir, tmp_path):
+    """Exactly-once across restarts: a file-source stream with a
+    checkpoint processes half the input, stops, the other half lands,
+    and a RESTARTED query (same checkpoint dir) picks up only the new
+    files — the sink ends with every row exactly once. This is the
+    operational property that lets a 100 TB/day ingest pipeline crash
+    and resume without double-counting."""
+    from realestate_engine.registry import t as load_table
+    from realestate_engine.streaming import streamify
+
+    events = load_table(spark, sf_dir, "events").select("event_id", "event_type", "value")
+    half1 = events.where(F.col("event_id") % 2 == 0)
+    half2 = events.where(F.col("event_id") % 2 == 1)
+    src = str(tmp_path / "ckpt_src")
+    sink = str(tmp_path / "ckpt_sink")
+    ckpt = str(tmp_path / "ckpt_state")
+
+    half1.write.mode("append").parquet(src)
+
+    def run_once():
+        stream = streamify(spark, src, events.schema)
+
+        def append_batch(df, _epoch):
+            df.write.mode("append").parquet(sink)
+
+        q = stream.writeStream.foreachBatch(append_batch).option(
+            "checkpointLocation", ckpt
+        ).trigger(availableNow=True).start()
+        q.awaitTermination(120)
+
+    run_once()
+    n_after_first = spark.read.parquet(sink).count()
+    assert n_after_first == half1.count()
+
+    half2.write.mode("append").parquet(src)
+    run_once()
+
+    got = spark.read.parquet(sink)
+    assert got.count() == events.count()  # nothing dropped, nothing doubled
+    assert got.select("event_id").distinct().count() == events.count()
