@@ -1713,3 +1713,153 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
     n_edges = edges.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
     return n_edges.crossJoin(tri).select("n_edges", "n_triangles")
+
+
+@register(
+    "dq3_snapshot_diff",
+    """
+    WITH old AS (
+        SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders WHERE o_orderdate < TIMESTAMP '1997-07-01'
+    ),
+    new AS (
+        SELECT o_orderkey,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                 + CASE WHEN o_orderkey % 97 = 0 THEN 100 ELSE 0 END AS cents
+        FROM orders WHERE o_orderkey % 113 <> 0
+    ),
+    j AS (
+        SELECT CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                    WHEN n.o_orderkey IS NULL THEN 'removed'
+                    WHEN o.cents <> n.cents THEN 'changed'
+                    ELSE 'unchanged' END AS status
+        FROM old o FULL JOIN new n ON n.o_orderkey = o.o_orderkey
+    )
+    SELECT status, CAST(COUNT(*) AS BIGINT) AS n
+    FROM j GROUP BY status ORDER BY status
+    """,
+)
+def dq3_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ3: snapshot reconciliation — classify every key across two
+    table versions as added / removed / changed / unchanged via one
+    full outer join on the key, comparing content in exact integer
+    cents. This is the regression gate for pipeline rewrites ("does v2
+    produce the same table?") and the CDC audit for incremental loads.
+    Both engines derive the two versions from orders with the same
+    deterministic perturbation (price bump on keys %97, key drop on
+    %113), so all four classes are exercised. One shuffle join keyed by
+    the PK; at 100 TB both sides prune to the compared columns."""
+    o = t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    old = o.where(F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp")).select(
+        F.col("o_orderkey").alias("k_old"), cents.alias("c_old")
+    )
+    new = o.where(F.col("o_orderkey") % 113 != 0).select(
+        F.col("o_orderkey").alias("k_new"),
+        (cents + F.when(F.col("o_orderkey") % 97 == 0, 100).otherwise(0)).alias("c_new"),
+    )
+    j = old.join(new, old.k_old == new.k_new, "full_outer").select(
+        F.when(F.col("k_old").isNull(), "added")
+        .when(F.col("k_new").isNull(), "removed")
+        .when(F.col("c_old") != F.col("c_new"), "changed")
+        .otherwise("unchanged")
+        .alias("status")
+    )
+    return (
+        j.groupBy("status")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy("status")
+    )
+
+
+@register(
+    "ev4_transition_matrix",
+    """
+    WITH seq AS (
+        SELECT user_id, event_type,
+               LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
+        FROM events
+    )
+    SELECT prev_type, event_type, CAST(COUNT(*) AS BIGINT) AS n
+    FROM seq WHERE prev_type IS NOT NULL
+    GROUP BY prev_type, event_type
+    ORDER BY prev_type, event_type
+    """,
+)
+def ev4_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EV4: first-order behavior transition matrix — counts of
+    consecutive (prev event -> event) pairs per user timeline, the
+    Markov-chain sufficient statistic behind next-action prediction,
+    funnel leak diagnosis, and bot detection (improbable transition
+    signatures). One window pass partitioned by user (ordered by ts
+    with the event id as total-order tiebreak — deterministic under
+    timestamp collisions), one hash agg. State per user is O(1); the
+    shuffle is keyed by user then by type pair — both well-spread at
+    100 TB."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select("user_id", "event_type", F.lag("event_type").over(w).alias("prev_type"))
+    return (
+        seq.where(F.col("prev_type").isNotNull())
+        .groupBy("prev_type", "event_type")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy("prev_type", "event_type")
+    )
+
+
+@register(
+    "dq4_mad_outliers",
+    """
+    WITH c AS (
+        SELECT o_orderpriority AS grp,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    med AS (SELECT grp, quantile_cont(cents, 0.5) AS med_cents FROM c GROUP BY grp),
+    dev AS (
+        SELECT c.grp, c.cents, ABS(c.cents - m.med_cents) AS adev
+        FROM c JOIN med m ON m.grp = c.grp
+    ),
+    mad AS (SELECT grp, quantile_cont(adev, 0.5) AS mad_cents FROM dev GROUP BY grp)
+    SELECT d.grp,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN d.adev > 3 * x.mad_cents THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           ANY_VALUE(x.mad_cents) AS mad_cents
+    FROM dev d JOIN mad x ON x.grp = d.grp
+    GROUP BY d.grp
+    ORDER BY d.grp
+    """,
+)
+def dq4_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ4: robust outlier detection via median absolute deviation —
+    the screening rule that, unlike mean/stddev z-scores, is not itself
+    dragged by the outliers it hunts (50% breakdown point). Two exact
+    grouped medians (integer cents -> interpolation on binary-exact
+    halves, so Spark's percentile and DuckDB's quantile_cont agree
+    bit-for-bit) chained by joins on the group key, then a |x - med| >
+    3*MAD flag count. At 100 TB swap the exact medians for
+    approx_percentile sketches (a6) — same plan shape, bounded memory."""
+    o = t(spark, sf_dir, "orders")
+    c = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    med = c.groupBy("grp").agg(F.percentile("cents", F.lit(0.5)).alias("med_cents"))
+    dev = c.join(med, "grp").select(
+        "grp", "cents", F.abs(F.col("cents") - F.col("med_cents")).alias("adev")
+    )
+    mad = dev.groupBy("grp").agg(F.percentile("adev", F.lit(0.5)).alias("mad_cents"))
+    return (
+        dev.join(mad, "grp")
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.when(F.col("adev") > 3 * F.col("mad_cents"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_outliers"),
+            F.first("mad_cents").alias("mad_cents"),
+        )
+        .orderBy("grp")
+    )
