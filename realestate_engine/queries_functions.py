@@ -830,3 +830,40 @@ def p11_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(train.count(), test.count(), o.count(), overlap)],
         "n_train long, n_test long, n_total long, n_overlap long",
     )
+
+
+@register(
+    "f16_mom_growth",
+    """
+    WITH m AS (
+        SELECT DATE_TRUNC('month', o_orderdate) AS month,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+        FROM orders GROUP BY 1
+    )
+    SELECT month, rev_cents,
+           CAST(LAG(rev_cents) OVER (ORDER BY month) AS BIGINT) AS prev_cents,
+           CAST(rev_cents - LAG(rev_cents) OVER (ORDER BY month) AS BIGINT) AS diff_cents
+    FROM m ORDER BY month
+    """,
+)
+def f16_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F16: month-over-month growth — the reporting staple (monthly
+    rollup + lag window + delta). Everything stays in exact integer
+    cents: the monthly sums are BIGINT, the lag and the difference are
+    BIGINT, so the result hash-compares across engines with no float
+    rounding. The ordered window over ~monthly rows is tiny (months,
+    not rows); the heavy lifting is the one partial-aggregated rollup
+    shuffle."""
+    from pyspark.sql import Window
+
+    o = t(spark, sf_dir, "orders")
+    m = o.groupBy(F.date_trunc("month", "o_orderdate").alias("month")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).cast("bigint").alias("rev_cents")
+    )
+    w = Window.orderBy("month")
+    return m.select(
+        "month",
+        "rev_cents",
+        F.lag("rev_cents").over(w).cast("bigint").alias("prev_cents"),
+        (F.col("rev_cents") - F.lag("rev_cents").over(w)).cast("bigint").alias("diff_cents"),
+    ).orderBy("month")

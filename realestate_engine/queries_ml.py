@@ -309,3 +309,71 @@ def m15_text_featurization(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.aggregate(arr, F.lit(0.0), lambda acc, v: acc + v * v).alias("sq_norm"),
         F.size("tokens").cast("bigint").alias("n_tokens"),
     ).orderBy("doc_id")
+
+
+@register("m16_als_recommend")  # iterative factorization → rows-only (invariants in tests)
+def m16_als_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M16: ALS collaborative filtering over the customer-part purchase
+    matrix (ratings = summed order quantity) — the canonical Spark
+    iterative-ML workload (block-partitioned alternating least squares;
+    each iteration is a pair of distributed solves, the factor blocks
+    co-partitioned with the rating blocks). Returns top-3 part
+    recommendations per customer for the 20 lowest customer keys.
+    Seeded and rank-16; rows-only (float factor math is
+    iteration-order dependent, not SQL-expressible)."""
+    from pyspark.ml.recommendation import ALS
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    ratings = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("o_custkey").cast("int").alias("user"),
+            F.col("l_partkey").cast("int").alias("item"),
+        )
+        .agg(F.sum("l_quantity").cast("float").alias("rating"))
+    )
+    als = ALS(
+        rank=16, maxIter=5, regParam=0.1, seed=SEED,
+        userCol="user", itemCol="item", ratingCol="rating",
+        coldStartStrategy="drop", implicitPrefs=False,
+    )
+    model = als.fit(ratings)
+    users = ratings.select("user").distinct().orderBy("user").limit(20)
+    recs = model.recommendForUserSubset(users, 3)
+    return recs.select(
+        "user",
+        F.posexplode("recommendations").alias("rank0", "rec"),
+    ).select(
+        F.col("user").cast("bigint").alias("user"),
+        (F.col("rank0") + 1).cast("bigint").alias("rec_rank"),
+        F.col("rec.item").cast("bigint").alias("item"),
+        F.col("rec.rating").cast("double").alias("score"),
+    ).orderBy("user", "rec_rank")
+
+
+@register("m17_isotonic_calibration")  # PAV fit state → rows-only (monotonicity tested)
+def m17_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M17: isotonic regression (distributed pool-adjacent-violators)
+    fitting the monotone map quantity -> expected line price; the
+    calibration primitive for turning raw model scores into monotone
+    probabilities (score calibration is its main production use).
+    Spark parallelizes PAV per-partition then merges boundary
+    violations. Returns the fitted step function evaluated on the
+    distinct quantity grid; rows-only (the pooled boundaries come from
+    an iterative merge)."""
+    from pyspark.ml.feature import VectorAssembler as VA
+    from pyspark.ml.regression import IsotonicRegression
+
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("double").alias("x"),
+        F.col("l_extendedprice").cast("double").alias("y"),
+    )
+    data = VA(inputCols=["x"], outputCol="features").transform(li)
+    model = IsotonicRegression(featuresCol="features", labelCol="y", isotonic=True).fit(data)
+    grid = data.select("x", "features").distinct()
+    return (
+        model.transform(grid)
+        .select(F.col("x").alias("quantity"), F.col("prediction").alias("calibrated_price"))
+        .orderBy("quantity")
+    )

@@ -88,3 +88,35 @@ def test_sparse_dot_pairs_ordered_and_positive(spark, sf_dir):
     assert dots == sorted(dots, reverse=True)
     assert all(d > 0 for d in dots)
     assert all(r["doc_a"] < r["doc_b"] for r in rows)
+
+
+def test_als_recommendations_shape(spark, sf_dir):
+    rows = QUERIES["m16_als_recommend"](spark, sf_dir).collect()
+    assert rows
+    by_user: dict[int, list] = {}
+    for r in rows:
+        by_user.setdefault(r["user"], []).append(r)
+    assert len(by_user) <= 20
+    import math
+    for grp in by_user.values():
+        assert [g["rec_rank"] for g in grp] == list(range(1, len(grp) + 1))
+        scores = [g["score"] for g in grp]
+        assert all(math.isfinite(s) for s in scores)
+        assert scores == sorted(scores, reverse=True)  # ranked by predicted score
+
+
+def test_isotonic_predictions_monotone(spark, sf_dir):
+    rows = QUERIES["m17_isotonic_calibration"](spark, sf_dir).collect()
+    assert len(rows) > 10
+    xs = [r["quantity"] for r in rows]
+    ys = [r["calibrated_price"] for r in rows]
+    assert xs == sorted(xs)
+    assert all(a <= b + 1e-9 for a, b in zip(ys, ys[1:]))  # non-decreasing
+
+
+def test_mom_growth_diff_consistency(spark, sf_dir):
+    rows = QUERIES["f16_mom_growth"](spark, sf_dir).collect()
+    assert rows[0]["prev_cents"] is None
+    for prev, cur in zip(rows, rows[1:]):
+        assert cur["prev_cents"] == prev["rev_cents"]
+        assert cur["diff_cents"] == cur["rev_cents"] - prev["rev_cents"]
