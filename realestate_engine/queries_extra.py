@@ -1863,3 +1863,58 @@ def dq4_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("grp")
     )
+
+
+@register(
+    "a23_equidepth_histogram",
+    """
+    WITH c AS (
+        SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+    ),
+    cuts AS (
+        SELECT quantile_cont(cents, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qs
+        FROM c
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(cents) AS BIGINT) AS lo_cents,
+           CAST(MAX(cents) AS BIGINT) AS hi_cents
+    FROM (
+        SELECT c.cents,
+               1 + LEN(LIST_FILTER(cuts.qs, q -> q < c.cents)) AS bucket
+        FROM c, cuts
+    )
+    GROUP BY bucket ORDER BY bucket
+    """,
+)
+def a23_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A23: equi-depth (equal-frequency) histogram — the optimizer-
+    statistics / data-profiling counterpart of a16's equi-width
+    width_bucket. A naive NTILE(10) OVER (ORDER BY ...) funnels the
+    whole table through ONE partition; instead the decile cut points
+    come from one distributed exact-percentile aggregate (integer
+    cents — bit-identical interpolation both engines), broadcast as a
+    1-row array, and each row counts the cuts below it — a map-side
+    expression, no global sort. Ties at a boundary land on the same
+    side in both engines (strict <)."""
+    o = t(spark, sf_dir, "orders")
+    c = o.select(F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"))
+    cuts = c.agg(
+        F.percentile(
+            "cents", F.array(*[F.lit(x / 10.0) for x in range(1, 10)])
+        ).alias("qs")
+    )
+    return (
+        c.crossJoin(F.broadcast(cuts))
+        .select(
+            "cents",
+            (1 + F.size(F.filter(F.col("qs"), lambda q: q < F.col("cents")))).alias("bucket"),
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("cents").cast("bigint").alias("lo_cents"),
+            F.max("cents").cast("bigint").alias("hi_cents"),
+        )
+        .orderBy("bucket")
+    )

@@ -388,3 +388,85 @@ def x8_incremental_agg_maintenance(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "x10_join_ivm",
+    """
+    WITH ao AS (SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderkey % 7 <> 0),
+    da AS (SELECT o_orderkey, o_orderpriority FROM orders WHERE o_orderkey % 7 = 0),
+    bo AS (SELECT l_orderkey, CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+           FROM lineitem WHERE l_linenumber < 5),
+    db AS (SELECT l_orderkey, CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+           FROM lineitem WHERE l_linenumber >= 5),
+    maintained AS (
+        SELECT o_orderpriority, SUM(cents) AS cents, COUNT(*) AS n FROM (
+            SELECT ao.o_orderpriority, bo.cents FROM ao JOIN bo ON bo.l_orderkey = ao.o_orderkey
+            UNION ALL
+            SELECT da.o_orderpriority, bo.cents FROM da JOIN bo ON bo.l_orderkey = da.o_orderkey
+            UNION ALL
+            SELECT ao.o_orderpriority, db.cents FROM ao JOIN db ON db.l_orderkey = ao.o_orderkey
+            UNION ALL
+            SELECT da.o_orderpriority, db.cents FROM da JOIN db ON db.l_orderkey = da.o_orderkey
+        ) GROUP BY 1
+    ),
+    direct AS (
+        SELECT o_orderpriority, SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS cents,
+               COUNT(*) AS n
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+        GROUP BY 1
+    )
+    SELECT m.o_orderpriority,
+           CAST(m.n AS BIGINT) AS n_items,
+           CAST(m.cents AS BIGINT) AS rev_cents,
+           (m.cents = d.cents AND m.n = d.n) AS matches_direct
+    FROM maintained m JOIN direct d USING (o_orderpriority)
+    ORDER BY o_orderpriority
+    """,
+)
+def x10_join_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X10: incremental JOIN view maintenance — the delta rule
+    J(A∪ΔA, B∪ΔB) = A⋈B ∪ ΔA⋈B ∪ A⋈ΔB ∪ ΔA⋈ΔB, the identity that
+    lets a materialized join view absorb a day's inserts by joining
+    only the deltas against the base (plus the tiny ΔA⋈ΔB corner)
+    instead of re-running the full join. Extends x8 (aggregate IVM) to
+    the join operator; together they cover the two relational-view
+    classes that dominate warehouse materializations. The query splits
+    both inputs deterministically, maintains the view from the four
+    parts, and proves in-plan that the result matches a direct full
+    join (matches_direct). All money in exact integer cents."""
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_linenumber",
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents"),
+    )
+    ao = o.where(F.col("o_orderkey") % 7 != 0)
+    da = o.where(F.col("o_orderkey") % 7 == 0)
+    bo = li.where(F.col("l_linenumber") < 5).select("l_orderkey", "cents")
+    db = li.where(F.col("l_linenumber") >= 5).select("l_orderkey", "cents")
+
+    def j(a, b):
+        return a.join(b, b.l_orderkey == a.o_orderkey).select("o_orderpriority", "cents")
+
+    maintained = (
+        j(ao, bo).unionAll(j(da, bo)).unionAll(j(ao, db)).unionAll(j(da, db))
+        .groupBy("o_orderpriority")
+        .agg(F.sum("cents").alias("m_cents"), F.count(F.lit(1)).alias("m_n"))
+    )
+    direct = (
+        o.join(li, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderpriority")
+        .agg(F.sum("cents").alias("d_cents"), F.count(F.lit(1)).alias("d_n"))
+    )
+    return (
+        maintained.join(direct, "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            F.col("m_n").cast("bigint").alias("n_items"),
+            F.col("m_cents").cast("bigint").alias("rev_cents"),
+            ((F.col("m_cents") == F.col("d_cents")) & (F.col("m_n") == F.col("d_n"))).alias(
+                "matches_direct"
+            ),
+        )
+        .orderBy("o_orderpriority")
+    )

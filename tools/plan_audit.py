@@ -45,6 +45,7 @@ ALLOWED_CROSS = {
     "t15_collocations",  # broadcast 1-row total-token count
     "graph_triangle_count",  # cross join of two 1-row counts
     "m16_als_recommend",  # MLlib blocked factor cross join (top-k per block, by design)
+    "a23_equidepth_histogram",  # broadcast 1-row decile cut array
 }
 # Local tables that are NOT data detours: explicit local-row sources,
 # fitted-model state (O(k) best params / importances), and
