@@ -115,12 +115,28 @@ _MINHASH_COEFFS = [
 ]
 
 
+def hashed_shingle_df(
+    df: DataFrame, id_col: str, text_col: str, shingle_n: int = 3
+) -> DataFrame:
+    """The (id, sh: array<long>) hashed-shingle relation, hash-
+    partitioned by id. Split out so a pipeline that needs the shingle
+    sets twice (signature build + candidate verification) can compute
+    and cache them ONCE — the interpreted higher-order shingling is the
+    dominant cost of the whole LSH pipeline."""
+    return (
+        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_text"))
+        .repartition(F.col("id"))
+        .select("id", shingle_hashes(F.col("_text"), shingle_n).alias("sh"))
+    )
+
+
 def minhash_signature_df(
     df: DataFrame,
     id_col: str,
     text_col: str,
     num_hashes: int = 16,
     shingle_n: int = 3,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """MinHash sketch as (id, mh0..mhK): shingle ONCE, crc32 once per
     shingle, then K cheap affine transforms reduced by groupBy-min.
@@ -131,14 +147,13 @@ def minhash_signature_df(
     shingling K times per row (~100× slower measured at sf0.1). Here
     shingling runs once per row, the min-agg gets map-side partial
     aggregation, and the shuffle carries only K longs per doc. The
-    leading repartition(id) parallelizes single-split local reads and
-    hash-partitions by id so the groupBy needs no second exchange."""
+    hashed_shingle_df repartition(id) parallelizes single-split local
+    reads and hash-partitions by id so the groupBy needs no second
+    exchange. Pass ``shingles`` (a cached hashed_shingle_df) to reuse
+    an already-computed shingle relation."""
     p = _MINHASH_PRIME
-    exploded = (
-        df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_text"))
-        .repartition(F.col("id"))
-        .select("id", F.explode(shingle_hashes(F.col("_text"), shingle_n)).alias("h"))
-    )
+    src = shingles if shingles is not None else hashed_shingle_df(df, id_col, text_col, shingle_n)
+    exploded = src.select("id", F.explode("sh").alias("h"))
     aggs = [
         F.min((F.col("h") * F.lit(a % p) + F.lit(b)) % F.lit(p)).alias(f"mh{i}")
         for i, (a, b) in enumerate(_MINHASH_COEFFS[:num_hashes])
@@ -153,6 +168,7 @@ def minhash_lsh_candidates(
     num_hashes: int = 16,
     bands: int = 8,
     shingle_n: int = 3,
+    shingles: DataFrame | None = None,
 ) -> DataFrame:
     """LSH candidate pairs: band the signature, self-join on
     (band_index, band_hash) buckets, dedup pairs. The join is keyed by
@@ -164,7 +180,7 @@ def minhash_lsh_candidates(
     (1/b)^(1/r) ≈ 0.35 Jaccard with catch probability ≥0.999 at j=0.75
     — 4×4 banding (threshold 0.71) misses ~20%% of j≈0.75 near-dups."""
     rows_per_band = num_hashes // bands
-    sig = minhash_signature_df(df, id_col, text_col, num_hashes, shingle_n)
+    sig = minhash_signature_df(df, id_col, text_col, num_hashes, shingle_n, shingles)
     banded = sig.select(
         "id",
         F.posexplode(
@@ -196,10 +212,15 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     the exact Jaccard of each candidate attached (verification stage of
     the LSH pipeline). Deterministic: fixed hash family, fixed banding."""
     d = t(spark, sf_dir, "documents")
-    cands = minhash_lsh_candidates(d, "doc_id", "text")
+    # Shingle the corpus ONCE and cache: the signature build and the
+    # candidate verification below both read this relation — without
+    # the cache each is a separate full interpreted-HOF shingling pass
+    # (measured ~40% of the query at sf0.1).
+    sh_rel = hashed_shingle_df(d, "doc_id", "text").cache()
+    cands = minhash_lsh_candidates(d, "doc_id", "text", shingles=sh_rel)
     # hashed shingle sets: jaccard over 3-gram hashes == jaccard over
     # 3-gram strings up to crc32 collisions (~1e-7 per pair)
-    sh = d.select(F.col("doc_id"), shingle_hashes(F.col("text")).alias("sh"))
+    sh = sh_rel.select(F.col("id").alias("doc_id"), "sh")
     # Verification reads the (expensive) shingle sets in ONE pass: explode
     # each candidate pair to its two doc ids, join the shingle relation
     # once (pairs are small → broadcast, the corpus is never shuffled),
