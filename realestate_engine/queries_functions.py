@@ -867,3 +867,51 @@ def f16_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lag("rev_cents").over(w).cast("bigint").alias("prev_cents"),
         (F.col("rev_cents") - F.lag("rev_cents").over(w)).cast("bigint").alias("diff_cents"),
     ).orderBy("month")
+
+
+@register(
+    "f18_url_parsing",
+    """
+    WITH urls AS (
+        SELECT doc_id,
+               'https://' || source || '.example.org/docs/' || lang || '/'
+                 || CAST(doc_id AS VARCHAR) || '?ref=corpus&page='
+                 || CAST(doc_id % 7 AS VARCHAR) AS url
+        FROM documents
+    )
+    SELECT doc_id,
+           REGEXP_EXTRACT(url, '^[a-z]+://([^/]+)', 1) AS host,
+           REGEXP_EXTRACT(url, '^[a-z]+://[^/]+(/[^?]*)', 1) AS path,
+           REGEXP_EXTRACT(url, 'page=([0-9]+)', 1) AS page_param
+    FROM urls
+    ORDER BY doc_id
+    """,
+)
+def f18_url_parsing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F18: URL decomposition — host / path / query-parameter
+    extraction, the first step of web-corpus curation (domain-level
+    quality lists, per-site dedup keys, crawl-frontier joins). Spark
+    side uses the BUILT-IN parse_url expression (JVM, codegen —
+    PARSE_URL(url, 'HOST'/'PATH'/'QUERY', key); the oracle states the
+    same extraction as anchored regexes since DuckDB has no URL
+    functions. URLs are planted deterministically from documents
+    columns so both engines see identical input. Narrow map-only
+    pass."""
+    d = t(spark, sf_dir, "documents")
+    url = F.concat(
+        F.lit("https://"),
+        F.col("source"),
+        F.lit(".example.org/docs/"),
+        F.col("lang"),
+        F.lit("/"),
+        F.col("doc_id").cast("string"),
+        F.lit("?ref=corpus&page="),
+        (F.col("doc_id") % 7).cast("string"),
+    )
+    u = d.select("doc_id", url.alias("url"))
+    return u.select(
+        "doc_id",
+        F.parse_url(F.col("url"), F.lit("HOST")).alias("host"),
+        F.parse_url(F.col("url"), F.lit("PATH")).alias("path"),
+        F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("page")).alias("page_param"),
+    ).orderBy("doc_id")

@@ -470,3 +470,77 @@ def x10_join_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+@register(
+    "x11_point_in_time_features",
+    """
+    WITH u AS (
+        SELECT user_id, ts, event_id, event_type, value
+        FROM events WHERE event_type IN ('click', 'view', 'purchase')
+    ),
+    enriched AS (
+        SELECT user_id, ts, event_id, event_type,
+               LAST_VALUE(CASE WHEN event_type = 'click' THEN value END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_click_value,
+               LAST_VALUE(CASE WHEN event_type = 'view' THEN value END IGNORE NULLS)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS last_view_value,
+               SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY user_id ORDER BY ts, event_id
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS prior_purchases
+        FROM u
+    )
+    SELECT event_id, user_id, last_click_value, last_view_value,
+           CAST(COALESCE(prior_purchases, 0) AS BIGINT) AS prior_purchases
+    FROM enriched WHERE event_type = 'purchase'
+    ORDER BY event_id
+    """,
+)
+def x11_point_in_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X11: point-in-time feature join — for every label event
+    (purchase) attach feature values exactly as they stood strictly
+    BEFORE the label's timestamp: last click value, last view value,
+    and running prior-purchase count. This is the feature-store
+    primitive that prevents label leakage in training-data generation,
+    and the multi-feature generalization of the X1 as-of join: instead
+    of one merge join per feature table, ALL feature streams union into
+    one user-partitioned ordered window pass (frame ...PRECEDING AND 1
+    PRECEDING = strictly-before semantics), so N features cost one
+    shuffle, not N. Raw values, no float aggregation — hash-stable."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events").where(
+        F.col("event_type").isin("click", "view", "purchase")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    enriched = ev.select(
+        "event_id",
+        "user_id",
+        "event_type",
+        F.last(F.when(F.col("event_type") == "click", F.col("value")), ignorenulls=True)
+        .over(w)
+        .alias("last_click_value"),
+        F.last(F.when(F.col("event_type") == "view", F.col("value")), ignorenulls=True)
+        .over(w)
+        .alias("last_view_value"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .over(w)
+        .alias("prior_purchases0"),
+    )
+    return (
+        enriched.where(F.col("event_type") == "purchase")
+        .select(
+            "event_id",
+            "user_id",
+            "last_click_value",
+            "last_view_value",
+            F.coalesce(F.col("prior_purchases0"), F.lit(0)).cast("bigint").alias("prior_purchases"),
+        )
+        .orderBy("event_id")
+    )
