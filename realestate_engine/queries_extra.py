@@ -1918,3 +1918,79 @@ def a23_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+@register(
+    "a25_bit_aggregates",
+    """
+    SELECT o_orderpriority,
+           CAST(BIT_OR(o_orderkey % 4096) AS BIGINT) AS mask_or,
+           CAST(BIT_AND(o_orderkey % 4096) AS BIGINT) AS mask_and,
+           CAST(BIT_XOR(o_orderkey % 4096) AS BIGINT) AS mask_xor,
+           CAST(BIT_COUNT(CAST(BIT_OR(o_orderkey % 4096) AS BIGINT)) AS BIGINT) AS bits_set,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def a25_bit_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A25: bitwise aggregate functions (bit_or / bit_and / bit_xor +
+    bit_count) — the building blocks of flag-mask rollups (permission
+    sets, feature-presence bitmaps) and a mergeable integer union
+    surrogate (or-ing per-partition masks commutes). Fully
+    commutative/associative integer math, so partial aggregation
+    applies and cross-engine hashes agree exactly."""
+    o = t(spark, sf_dir, "orders")
+    m = (F.col("o_orderkey") % 4096).alias("m")
+    return (
+        o.select("o_orderpriority", m)
+        .groupBy("o_orderpriority")
+        .agg(
+            F.bit_or("m").cast("bigint").alias("mask_or"),
+            F.bit_and("m").cast("bigint").alias("mask_and"),
+            F.bit_xor("m").cast("bigint").alias("mask_xor"),
+            F.bit_count(F.bit_or("m").cast("bigint")).cast("bigint").alias("bits_set"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+_SQL_PIVOT = """
+    SELECT * FROM (
+        SELECT o_orderpriority,
+               o_orderstatus,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM {orders}
+    )
+    PIVOT (
+        SUM(cents) FOR o_orderstatus IN ('F' AS f_cents, 'O' AS o_cents, 'P' AS p_cents)
+    )
+    ORDER BY o_orderpriority
+"""
+
+
+@register(
+    "sql_pivot_syntax",
+    """
+    SELECT o_orderpriority,
+           CAST(SUM(CASE WHEN o_orderstatus = 'F'
+                         THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) END) AS BIGINT) AS f_cents,
+           CAST(SUM(CASE WHEN o_orderstatus = 'O'
+                         THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) END) AS BIGINT) AS o_cents,
+           CAST(SUM(CASE WHEN o_orderstatus = 'P'
+                         THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) END) AS BIGINT) AS p_cents
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def sql_pivot_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL4: the SQL PIVOT clause (vs a11's DataFrame groupBy().pivot())
+    — Spark parses the standard subquery-PIVOT form; Catalyst rewrites
+    it to exactly the conditional aggregation the oracle states, so the
+    syntax sugar costs nothing at scale (one hash agg, partial-agg
+    eligible; integer cents keep it hash-exact)."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("_sql_pivot_orders")
+    return spark.sql(_SQL_PIVOT.format(orders="_sql_pivot_orders"))
