@@ -41,6 +41,9 @@ HEADLINE = [
     "j6_spatial_grid_join",
     "text_contamination_ngrams",
     "corpus_clean_pipeline",
+    "x11_point_in_time_features",
+    "a23_equidepth_histogram",
+    "text_sparse_dot_pairs",
 ]
 
 
