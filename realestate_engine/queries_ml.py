@@ -377,3 +377,71 @@ def m17_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("x").alias("quantity"), F.col("prediction").alias("calibrated_price"))
         .orderBy("quantity")
     )
+
+
+@register(
+    "m18_negative_sampling",
+    """
+    WITH pos AS (
+        SELECT DISTINCT o_custkey AS user, l_partkey AS item
+        FROM orders JOIN lineitem ON l_orderkey = o_orderkey
+    ),
+    np AS (SELECT COUNT(*) AS n_items FROM part),
+    cand AS (
+        SELECT p.user, k.k,
+               (p.user * 131 + p.item * 17 + k.k * 9973) % np.n_items AS neg_item
+        FROM pos p
+        CROSS JOIN np
+        CROSS JOIN (SELECT UNNEST([0, 1, 2, 3]) AS k) k
+    ),
+    neg AS (
+        SELECT c.user, c.k, c.neg_item
+        FROM cand c
+        ANTI JOIN pos ON pos.user = c.user AND pos.item = c.neg_item
+    )
+    SELECT user, k, CAST(neg_item AS BIGINT) AS neg_item
+    FROM neg WHERE user < 20
+    ORDER BY user, k, neg_item
+    """,
+)
+def m18_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M18: deterministic negative sampling — for every observed
+    (user, item) interaction, derive K=4 pseudo-random negative items
+    by integer hashing and ANTI-JOIN away accidental positives: the
+    training-pair generator for contrastive/implicit-feedback models
+    (BPR, two-tower retrieval). Hash-based (not rand()) so the sample
+    is reproducible across engines, reruns, and partitionings — the
+    same property as p13's hash split. The anti-join is the scalable
+    filter: hash-partitioned on the user key, never a broadcast of the
+    interaction table. Output windowed to user < 20 for a bounded
+    check."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    pos = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("user"), F.col("l_partkey").alias("item"))
+        .distinct()
+    )
+    np_ = t(spark, sf_dir, "part").agg(F.count(F.lit(1)).alias("n_items"))
+    ks = spark.range(4).select(F.col("id").alias("k"))
+    cand = (
+        pos.crossJoin(F.broadcast(np_))
+        .crossJoin(F.broadcast(ks))
+        .select(
+            "user",
+            "k",
+            ((F.col("user") * 131 + F.col("item") * 17 + F.col("k") * 9973) % F.col("n_items")).alias(
+                "neg_item"
+            ),
+        )
+    )
+    neg = cand.join(
+        pos.select("user", F.col("item").alias("neg_item")),
+        ["user", "neg_item"],
+        "left_anti",
+    )
+    return (
+        neg.where(F.col("user") < 20)
+        .select("user", "k", F.col("neg_item").cast("bigint").alias("neg_item"))
+        .orderBy("user", "k", "neg_item")
+    )

@@ -837,3 +837,72 @@ def text_sparse_dot_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("dot"), "doc_a", "doc_b")
         .limit(20)
     )
+
+
+def _bpe_pair_counts(vocab: DataFrame) -> DataFrame:
+    """Adjacent-symbol pair counts over a (sym array<string>, freq)
+    vocabulary, weighted by word frequency — one explode + hash agg."""
+    pairs = F.filter(
+        F.zip_with(
+            F.col("sym"),
+            F.slice(F.col("sym"), 2, F.greatest(F.size("sym") - 1, F.lit(0))),
+            lambda a, b: F.struct(a.alias("l"), b.alias("r")),
+        ),
+        lambda s: s["r"].isNotNull(),
+    )
+    return (
+        vocab.select(F.explode(pairs).alias("p"), "freq")
+        .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
+        .agg(F.sum("freq").alias("cnt"))
+    )
+
+
+@register("text_bpe_merge_rounds")  # iterative argmax loop → rows-only (exact reference test)
+def text_bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T18: byte-pair-encoding vocabulary induction — N=3 real BPE
+    merge rounds over the corpus word-frequency table, the core step of
+    tokenizer training (GPT-2/SentencePiece-class). Each round is one
+    distributed pair-count aggregate (explode + sum(freq), map-side
+    partials) followed by a 1-row argmax pull to the driver — the same
+    loop-on-driver/work-on-cluster shape as PageRank; the merge itself
+    is a space-joined regexp rewrite applied corpus-wide in parallel.
+    Tie-breaks are lexicographic, so the learned merges are fully
+    deterministic. Rows-only: the per-round argmax is iterative state,
+    not SQL-expressible; tests/test_new_ops.py re-derives the merges
+    with an exact Python reference."""
+    d = t(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("word")
+    )
+    vocab = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(F.split("word", "(?!^)").alias("sym"), "freq")
+        .localCheckpoint()
+    )
+    merges = []
+    for rnd in range(3):
+        top = (
+            _bpe_pair_counts(vocab)
+            .orderBy(F.desc("cnt"), "l", "r")
+            .limit(1)
+            .collect()[0]
+        )
+        merges.append((rnd + 1, top["l"], top["r"], int(top["cnt"])))
+        pat = "(?<= )\\Q" + top["l"] + "\\E \\Q" + top["r"] + "\\E(?= )"
+        vocab = vocab.select(
+            F.split(
+                F.trim(
+                    F.regexp_replace(
+                        F.concat(F.lit(" "), F.array_join("sym", " "), F.lit(" ")),
+                        pat,
+                        top["l"] + top["r"],
+                    )
+                ),
+                " ",
+            ).alias("sym"),
+            "freq",
+        ).localCheckpoint()
+    return spark.createDataFrame(
+        merges, "round int, left string, right string, pair_count bigint"
+    )

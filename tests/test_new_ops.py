@@ -120,3 +120,50 @@ def test_mom_growth_diff_consistency(spark, sf_dir):
     for prev, cur in zip(rows, rows[1:]):
         assert cur["prev_cents"] == prev["rev_cents"]
         assert cur["diff_cents"] == cur["rev_cents"] - prev["rev_cents"]
+
+
+def test_bpe_merges_match_exact_reference(spark, sf_dir):
+    """Re-derive the 3 BPE merges with an exact in-memory reference and
+    compare merge choices AND weighted pair counts."""
+    rows = QUERIES["text_bpe_merge_rounds"](spark, sf_dir).collect()
+    assert len(rows) == 3
+
+    import collections
+    import re
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("text").collect()
+    freq: collections.Counter = collections.Counter()
+    for r in docs:
+        for w in re.split(r"\s+", r["text"].strip().lower()):
+            freq[w] += 1
+    vocab = {tuple(w): n for w, n in freq.items()}
+
+    def pair_counts(v):
+        pc: collections.Counter = collections.Counter()
+        for sym, n in v.items():
+            for a, b in zip(sym, sym[1:]):
+                pc[(a, b)] += n
+        return pc
+
+    def merge(v, pair):
+        out = {}
+        joined = pair[0] + pair[1]
+        for sym, n in v.items():
+            s, i = [], 0
+            while i < len(sym):
+                if i + 1 < len(sym) and sym[i] == pair[0] and sym[i + 1] == pair[1]:
+                    s.append(joined)
+                    i += 2
+                else:
+                    s.append(sym[i])
+                    i += 1
+            out[tuple(s)] = out.get(tuple(s), 0) + n
+        return out
+
+    for r in rows:
+        pc = pair_counts(vocab)
+        # argmax with (count desc, l asc, r asc) tie-break
+        best = min(pc.items(), key=lambda kv: (-kv[1], kv[0][0], kv[0][1]))
+        assert (r["left"], r["right"]) == best[0]
+        assert r["pair_count"] == best[1]
+        vocab = merge(vocab, best[0])

@@ -46,6 +46,7 @@ ALLOWED_CROSS = {
     "graph_triangle_count",  # cross join of two 1-row counts
     "m16_als_recommend",  # MLlib blocked factor cross join (top-k per block, by design)
     "a23_equidepth_histogram",  # broadcast 1-row decile cut array
+    "m18_negative_sampling",  # broadcast 1-row item count + 4-row k range
 }
 # Local tables that are NOT data detours: explicit local-row sources,
 # fitted-model state (O(k) best params / importances), and
@@ -60,6 +61,7 @@ ALLOWED_LOCAL = {
     "dedup_canonical_selection",  # builds on dedup_clusters' checkpointed lineage
     "p11_train_test_split",  # returns O(1) split-audit scalars
     "p14_dense_reid",  # localCheckpoint pins partition ids for the offset ledger
+    "text_bpe_merge_rounds",  # returns O(rounds) learned merges (model state)
 }
 
 
