@@ -1994,3 +1994,151 @@ def sql_pivot_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
     eligible; integer cents keep it hash-exact)."""
     t(spark, sf_dir, "orders").createOrReplaceTempView("_sql_pivot_orders")
     return spark.sql(_SQL_PIVOT.format(orders="_sql_pivot_orders"))
+
+
+@register(
+    "j8_or_join_rewrite",
+    """
+    WITH pairs AS (
+        SELECT DISTINCT c.c_custkey, s.s_suppkey
+        FROM customer c JOIN supplier s
+          ON c.c_nationkey = s.s_nationkey
+          OR CAST(FLOOR(c.c_acctbal / 500) AS BIGINT) = CAST(FLOOR(s.s_acctbal / 500) AS BIGINT)
+        WHERE c.c_custkey < 100
+    )
+    SELECT c_custkey, CAST(COUNT(*) AS BIGINT) AS n_related
+    FROM pairs GROUP BY c_custkey ORDER BY c_custkey
+    """,
+)
+def j8_or_join_rewrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J8: disjunctive-predicate join, rewritten — `ON a = b OR c = d`
+    cannot hash-partition (no single key), so engines fall back to a
+    nested-loop scan: O(n*m) and a guaranteed 100 TB outage. The
+    standard rewrite: UNION of the two equi-joins (each
+    hash-partitionable) + DISTINCT to kill the rows matching both arms.
+    The oracle states the naive OR join (DuckDB can afford it at
+    sf0.01); the Spark side runs the rewrite — identical results,
+    scalable plan."""
+    c = t(spark, sf_dir, "customer").where(F.col("c_custkey") < 100).select(
+        "c_custkey", "c_nationkey", F.floor(F.col("c_acctbal") / 500).cast("bigint").alias("c_bal")
+    )
+    s = t(spark, sf_dir, "supplier").select(
+        "s_suppkey", "s_nationkey", F.floor(F.col("s_acctbal") / 500).cast("bigint").alias("s_bal")
+    )
+    arm1 = c.join(s, c.c_nationkey == s.s_nationkey).select("c_custkey", "s_suppkey")
+    arm2 = c.join(s, c.c_bal == s.s_bal).select("c_custkey", "s_suppkey")
+    pairs = arm1.unionAll(arm2).distinct()
+    return (
+        pairs.groupBy("c_custkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_related"))
+        .orderBy("c_custkey")
+    )
+
+
+@register(
+    "x12_salted_join",
+    """
+    WITH direct AS (
+        SELECT l_suppkey,
+               SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS cents,
+               COUNT(*) AS n
+        FROM lineitem JOIN supplier ON s_suppkey = l_suppkey
+        GROUP BY l_suppkey
+    )
+    SELECT l_suppkey,
+           CAST(n AS BIGINT) AS n_items,
+           CAST(cents AS BIGINT) AS rev_cents,
+           TRUE AS matches_direct
+    FROM direct
+    ORDER BY rev_cents DESC, l_suppkey
+    LIMIT 25
+    """,
+)
+def x12_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X12: salted skew join — the join-side counterpart of x4's salted
+    aggregation. A hot join key (one supplier on 10% of a 100 TB fact
+    table) funnels its whole fanout through one task; salting spreads
+    it: the fact side appends salt = pmod(hash(row), S), the dim side
+    replicates each row S times (dim × salt range — S·|dim| rows, still
+    tiny), and the join runs on (key, salt) — S-way parallel for every
+    key. The query joins BOTH ways and proves in-plan (matches_direct)
+    that per-key aggregates agree; the oracle states the plain join."""
+    S = 8
+    li = t(spark, sf_dir, "lineitem").select(
+        "l_suppkey", F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("cents")
+    )
+    sup = t(spark, sf_dir, "supplier").select("s_suppkey")
+    salted_fact = li.withColumn("salt", F.pmod(F.hash("l_suppkey", "cents"), F.lit(S)))
+    salted_dim = sup.crossJoin(
+        F.broadcast(li.sparkSession.range(S).select(F.col("id").cast("int").alias("salt")))
+    )
+    salted = (
+        salted_fact.join(
+            salted_dim,
+            (F.col("l_suppkey") == F.col("s_suppkey")) & (salted_fact.salt == salted_dim.salt),
+        )
+        .groupBy("l_suppkey")
+        .agg(F.sum("cents").alias("s_cents"), F.count(F.lit(1)).alias("s_n"))
+    )
+    direct = (
+        li.join(sup, li.l_suppkey == sup.s_suppkey)
+        .groupBy("l_suppkey")
+        .agg(F.sum("cents").alias("d_cents"), F.count(F.lit(1)).alias("d_n"))
+    )
+    return (
+        salted.join(direct, "l_suppkey")
+        .select(
+            "l_suppkey",
+            F.col("s_n").cast("bigint").alias("n_items"),
+            F.col("s_cents").cast("bigint").alias("rev_cents"),
+            ((F.col("s_cents") == F.col("d_cents")) & (F.col("s_n") == F.col("d_n"))).alias(
+                "matches_direct"
+            ),
+        )
+        .orderBy(F.desc("rev_cents"), "l_suppkey")
+        .limit(25)
+    )
+
+
+@register(
+    "dq5_benford_audit",
+    """
+    WITH d AS (
+        SELECT SUBSTR(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS digit
+        FROM orders WHERE o_totalprice > 0
+    ),
+    counts AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
+    tot AS (SELECT SUM(n) AS total FROM counts)
+    SELECT digit,
+           CAST(n AS BIGINT) AS n,
+           CAST(n AS DOUBLE) / total AS share
+    FROM counts, tot
+    ORDER BY digit
+    """,
+)
+def dq5_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ5: Benford first-digit audit — the classic fabricated-data /
+    fraud screen: naturally-occurring multiplicative amounts follow
+    P(d) = log10(1 + 1/d), so a first-digit histogram that deviates
+    hard (uniform digits, missing 1s) flags synthetic or tampered
+    values. The query emits the observed digit distribution (exact
+    integer counts; share is one int/int division — deterministic);
+    the log-expected curve stays driver-side to keep the result
+    hash-exact. One narrow scan + 9-group agg."""
+    o = t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 0)
+    d = o.select(
+        F.substring(F.round(F.col("o_totalprice") * 100).cast("bigint").cast("string"), 1, 1).alias(
+            "digit"
+        )
+    )
+    counts = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(F.sum("n").alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.col("n").cast("bigint").alias("n"),
+            (F.col("n").cast("double") / F.col("total")).alias("share"),
+        )
+        .orderBy("digit")
+    )

@@ -47,6 +47,8 @@ ALLOWED_CROSS = {
     "m16_als_recommend",  # MLlib blocked factor cross join (top-k per block, by design)
     "a23_equidepth_histogram",  # broadcast 1-row decile cut array
     "m18_negative_sampling",  # broadcast 1-row item count + 4-row k range
+    "x12_salted_join",  # broadcast 8-row salt range onto the dim side
+    "dq5_benford_audit",  # broadcast 1-row total count
 }
 # Local tables that are NOT data detours: explicit local-row sources,
 # fitted-model state (O(k) best params / importances), and
