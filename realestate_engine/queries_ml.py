@@ -445,3 +445,30 @@ def m18_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("user", "k", F.col("neg_item").cast("bigint").alias("neg_item"))
         .orderBy("user", "k", "neg_item")
     )
+
+
+@register("m19_fpgrowth_baskets")  # tree-mining fit → rows-only (supports re-counted in tests)
+def m19_fpgrowth_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M19: frequent-itemset mining with FP-Growth over order baskets
+    (basket = the set of parts on one order) — market-basket analysis,
+    the classic retail co-purchase workload and a distinct algorithm
+    class (conditional FP-tree recursion, parallelized per suffix
+    by MLlib). Returns frequent itemsets with exact support counts,
+    sorted for determinism. Supports are exact integers (tests
+    re-count 1- and 2-itemsets with plain SQL joins); the itemset
+    ENUMERATION is what SQL can't express, hence rows-only."""
+    from pyspark.ml.fpm import FPGrowth
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    baskets = li.groupBy("l_orderkey").agg(
+        F.array_sort(F.collect_set("l_partkey")).alias("items")
+    )
+    model = FPGrowth(itemsCol="items", minSupport=0.002, minConfidence=0.1).fit(baskets)
+    return (
+        model.freqItemsets.select(
+            F.array_sort(F.col("items")).alias("itemset"),
+            F.col("freq").cast("bigint").alias("support"),
+        )
+        .orderBy(F.desc("support"), F.col("itemset"))
+        .limit(100)
+    )

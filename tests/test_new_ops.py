@@ -167,3 +167,26 @@ def test_bpe_merges_match_exact_reference(spark, sf_dir):
         assert (r["left"], r["right"]) == best[0]
         assert r["pair_count"] == best[1]
         vocab = merge(vocab, best[0])
+
+
+def test_fpgrowth_supports_recounted(spark, sf_dir):
+    """Every reported 1- and 2-itemset support must equal a direct SQL
+    re-count over the baskets."""
+    rows = QUERIES["m19_fpgrowth_baskets"](spark, sf_dir).collect()
+    assert rows
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_orderkey", "l_partkey").distinct()
+    orders_with = {}
+    for r in li.collect():
+        orders_with.setdefault(r["l_partkey"], set()).add(r["l_orderkey"])
+    n_checked = 0
+    for r in rows:
+        items = r["itemset"]
+        if len(items) == 1:
+            assert len(orders_with[items[0]]) == r["support"]
+            n_checked += 1
+        elif len(items) == 2:
+            assert len(orders_with[items[0]] & orders_with[items[1]]) == r["support"]
+            n_checked += 1
+    assert n_checked > 0
+    sup = [r["support"] for r in rows]
+    assert sup == sorted(sup, reverse=True)

@@ -344,3 +344,36 @@ def test_streaming_checkpoint_restart_no_reprocessing(spark, sf_dir, tmp_path):
     got = spark.read.parquet(sink)
     assert got.count() == events.count()  # nothing dropped, nothing doubled
     assert got.select("event_id").distinct().count() == events.count()
+
+
+def test_streaming_session_window_roundtrip(spark, sf_dir, tmp_path):
+    """Session windows under a real stream: the same session_window
+    expression the batch oracle checks, run via readStream with
+    availableNow — append mode emits sessions closed by the watermark."""
+    from realestate_engine.registry import t as load_table
+    from realestate_engine.streaming import streamify
+
+    events = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "sess_src")
+    events.write.parquet(src)
+    stream = streamify(spark, src, events.schema)
+    sessions = (
+        stream.withWatermark("ts", "1 hour")
+        .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+    )
+    q = (
+        sessions.writeStream.format("memory")
+        .queryName("session_test")
+        .outputMode("append")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = spark.sql("SELECT count(*) AS n FROM session_test").first().n
+    batch_n = (
+        events.groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+        .agg(F.count(F.lit(1)).alias("n_events"))
+        .count()
+    )
+    assert 0 < got <= batch_n
