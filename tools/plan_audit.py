@@ -64,6 +64,7 @@ ALLOWED_LOCAL = {
     "p11_train_test_split",  # returns O(1) split-audit scalars
     "p14_dense_reid",  # localCheckpoint pins partition ids for the offset ledger
     "text_bpe_merge_rounds",  # returns O(rounds) learned merges (model state)
+    "m19_fpgrowth_baskets",  # MLlib FP-Growth freqItemsets is RDD-backed model output
 }
 
 
