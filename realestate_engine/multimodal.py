@@ -249,3 +249,94 @@ def mm_batch_resize(spark: SparkSession, sf_dir: str) -> DataFrame:
     return batch_resize(binary_df).select(
         "doc_id", "thumb_w", "thumb_h", "n_thumb_bytes"
     ).orderBy("doc_id")
+
+
+AHASH_SCHEMA = T.StructType(
+    [
+        T.StructField("doc_id", T.LongType(), True),
+        T.StructField("ahash", T.LongType(), True),
+    ]
+)
+
+
+def ahash_binary(binary_df: DataFrame, bits: int = 64) -> DataFrame:
+    """Average-hash over a binary payload column via Arrow-batched
+    mapInPandas: sample `bits` evenly-spaced byte positions, set bit i
+    iff sampled_byte > payload mean — the perceptual-hash pattern
+    (aHash/pHash) with the pixel decode replaced by the deterministic
+    byte fake, matching the module's stub policy. Output: (doc_id,
+    ahash int64). A production build swaps the sampling for a real
+    8x8-DCT over decoded pixels; the Spark plumbing is identical."""
+
+    def batches(it):
+        for pdf in it:
+            out_ids, out_hashes = [], []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(p)
+                if not b:
+                    out_ids.append(doc_id)
+                    out_hashes.append(0)
+                    continue
+                mean = sum(b) / len(b)
+                h = 0
+                for i in range(bits):
+                    pos = (i * len(b)) // bits
+                    if b[pos] > mean:
+                        h |= 1 << i
+                # keep int64-signed range (bit 63 set -> negative long)
+                if h >= 1 << 63:
+                    h -= 1 << 64
+                out_ids.append(doc_id)
+                out_hashes.append(h)
+            yield pd.DataFrame({"doc_id": out_ids, "ahash": out_hashes})
+
+    return binary_df.mapInPandas(batches, AHASH_SCHEMA)
+
+
+@register("mm_ahash_neardup")  # perceptual-hash pipeline → rows-only (exact reference test)
+def mm_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MM5: perceptual-hash near-duplicate detection over the binary
+    modality — the image-dedup counterpart of dedup_simhash: (1)
+    mapInPandas computes a 64-bit average-hash per payload, (2) the
+    hash splits into four 16-bit bands (pigeonhole: hamming <= 3
+    guarantees one exact band match), (3) candidates come from a
+    band-bucket self-join — never an all-pairs scan, (4) exact hamming
+    (bit_count of xor) filters to <= 3. Candidate volume scales with
+    bucket occupancy; at 100 TB the band join is the same shape as the
+    MinHash LSH join. Rows-only: tests re-derive hashes and pairs with
+    an exact Python reference."""
+    d = t(spark, sf_dir, "documents")
+    binary_df = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
+    hashes = ahash_binary(binary_df)
+    banded = hashes.select(
+        "doc_id",
+        "ahash",
+        F.posexplode(
+            F.array(*[F.shiftrightunsigned(F.col("ahash"), 16 * i).bitwiseAND(F.lit(0xFFFF)) for i in range(4)])
+        ).alias("band", "band_val"),
+    )
+    a, b = banded.alias("a"), banded.alias("b")
+    cands = (
+        a.join(
+            b,
+            (F.col("a.band") == F.col("b.band"))
+            & (F.col("a.band_val") == F.col("b.band_val"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .select(
+            F.col("a.doc_id").alias("id_a"),
+            F.col("b.doc_id").alias("id_b"),
+            F.col("a.ahash").alias("h_a"),
+            F.col("b.ahash").alias("h_b"),
+        )
+        .dropDuplicates(["id_a", "id_b"])
+    )
+    return (
+        cands.select(
+            "id_a",
+            "id_b",
+            F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).cast("int").alias("hamming"),
+        )
+        .where(F.col("hamming") <= 3)
+        .orderBy("id_a", "id_b")
+    )

@@ -190,3 +190,32 @@ def test_fpgrowth_supports_recounted(spark, sf_dir):
     assert n_checked > 0
     sup = [r["support"] for r in rows]
     assert sup == sorted(sup, reverse=True)
+
+
+def test_ahash_neardup_matches_exact_reference(spark, sf_dir):
+    """Recompute every 64-bit aHash and all hamming<=3 pairs in pure
+    Python; the banded-join pipeline must find exactly that set."""
+    rows = QUERIES["mm_ahash_neardup"](spark, sf_dir).collect()
+    got = {(r["id_a"], r["id_b"]): r["hamming"] for r in rows}
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text").collect()
+
+    def ahash(b: bytes, bits: int = 64) -> int:
+        if not b:
+            return 0
+        mean = sum(b) / len(b)
+        h = 0
+        for i in range(bits):
+            if b[(i * len(b)) // bits] > mean:
+                h |= 1 << i
+        return h
+
+    hashes = {r["doc_id"]: ahash(r["text"].encode("utf-8")) for r in docs}
+    ids = sorted(hashes)
+    expected = {}
+    for i, x in enumerate(ids):
+        for y in ids[i + 1:]:
+            d = bin(hashes[x] ^ hashes[y]).count("1")
+            if d <= 3:
+                expected[(x, y)] = d
+    assert got == expected
