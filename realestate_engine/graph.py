@@ -170,3 +170,42 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     its per-group sums are partition-order dependent)."""
     ranks = pagerank_fixed_point(trade_edges(spark, sf_dir), N_ITER)
     return ranks.orderBy(F.desc("rank_micro"), "node").limit(50)
+
+
+@register("graph_label_propagation")  # iterative mode updates → rows-only (exact reference test)
+def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G3: synchronous label propagation (3 rounds) over the trade
+    graph — community detection by iterated neighbor-majority vote:
+    each round every node adopts the most frequent label among its
+    neighbors, ties broken by smallest label, so the fixed point is
+    fully deterministic (no RNG, no update-order dependence). The loop
+    is the PageRank shape: cached src-partitioned edges, per round one
+    join (labels -> edges) + one count agg + one argmax-per-node pick
+    via max(struct(cnt, -label)) — partial-aggregated, shuffle keyed by
+    node. Returns (community, size) for the 25 largest communities.
+    Rows-only: tests re-run the identical recurrence in pure Python."""
+    from pyspark.sql import Window
+
+    edges = trade_edges(spark, sf_dir)
+    edges_p = edges.repartition("src").cache()
+    labels = edges_p.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(3):
+        votes = (
+            edges_p.join(labels.select(F.col("node").alias("dst"), "label"), "dst")
+            .groupBy("src", "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        labels = (
+            votes.groupBy("src")
+            .agg(F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("neg"))).alias("top"))
+            .select(F.col("src").alias("node"), (-F.col("top.neg")).alias("label"))
+        )
+    return (
+        labels.groupBy("label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("size"))
+        .select(F.col("label").cast("bigint").alias("community"), "size")
+        .orderBy(F.desc("size"), "community")
+        .limit(25)
+    )

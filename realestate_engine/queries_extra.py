@@ -2142,3 +2142,47 @@ def dq5_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("digit")
     )
+
+
+@register(
+    "p16_hash_priority_sample",
+    """
+    WITH ranked AS (
+        SELECT o_orderpriority, o_orderkey,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o_orderpriority
+                   ORDER BY MD5(CAST(o_orderkey AS VARCHAR)), o_orderkey
+               ) AS rn
+        FROM orders
+    )
+    SELECT o_orderpriority, CAST(o_orderkey AS BIGINT) AS o_orderkey, CAST(rn AS BIGINT) AS rn
+    FROM ranked WHERE rn <= 5
+    ORDER BY o_orderpriority, rn
+    """,
+)
+def p16_hash_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P16: deterministic per-group uniform sample via hash priorities
+    — rank each row within its group by the md5 of its key and keep the
+    top 5: a uniform-without-replacement sample (hash order is
+    pseudo-random w.r.t. any data attribute) that is REPRODUCIBLE
+    across engines, reruns, and cluster sizes, and composable (the
+    same row set survives re-sampling a superset — the property behind
+    consistent bottom-k sketches). rand()-based sampling has none of
+    these. One window pass per group key; at 100 TB swap row_number for
+    a min-k aggregate to avoid materializing full group sorts."""
+    from pyspark.sql import Window
+
+    o = t(spark, sf_dir, "orders")
+    w = Window.partitionBy("o_orderpriority").orderBy(
+        F.md5(F.col("o_orderkey").cast("string")), "o_orderkey"
+    )
+    return (
+        o.select(
+            "o_orderpriority",
+            F.col("o_orderkey").cast("bigint").alias("o_orderkey"),
+            F.row_number().over(w).alias("rn"),
+        )
+        .where(F.col("rn") <= 5)
+        .select("o_orderpriority", "o_orderkey", F.col("rn").cast("bigint").alias("rn"))
+        .orderBy("o_orderpriority", "rn")
+    )

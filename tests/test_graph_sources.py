@@ -119,3 +119,33 @@ def test_mllib_text_featurization_invariants(spark, sf_dir):
         assert r["dim"] == r["vocab_size"] > 0
         assert 0 < r["nnz"] <= min(r["n_tokens"], r["vocab_size"])
         assert abs(r["sq_norm"] - 1.0) < 1e-9
+
+
+def test_label_propagation_matches_exact_reference(spark, sf_dir):
+    """Re-run the 3-round synchronous mode/min recurrence in pure
+    Python over the same packed-int edge set; community sizes must
+    match exactly."""
+    import collections
+
+    from realestate_engine.registry import QUERIES
+
+    got = [(r["community"], r["size"]) for r in QUERIES["graph_label_propagation"](spark, sf_dir).collect()]
+
+    o = {r["o_orderkey"]: r["o_custkey"] for r in spark.read.parquet(f"{sf_dir}/orders.parquet").collect()}
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").select("l_orderkey", "l_suppkey").collect()
+    pairs = {(2 * o[r["l_orderkey"]], 2 * r["l_suppkey"] + 1) for r in li if r["l_orderkey"] in o}
+    adj = collections.defaultdict(set)
+    for c, s in pairs:
+        adj[c].add(s)
+        adj[s].add(c)
+    labels = {n: n for n in adj}
+    for _ in range(3):
+        new = {}
+        for n in adj:
+            votes = collections.Counter(labels[m] for m in adj[n])
+            # most frequent, ties -> smallest label
+            new[n] = min(votes, key=lambda l: (-votes[l], l))
+        labels = new
+    sizes = collections.Counter(labels.values())
+    expected = sorted(((lbl, n) for lbl, n in sizes.items()), key=lambda t: (-t[1], t[0]))[:25]
+    assert got == expected

@@ -377,3 +377,26 @@ def test_streaming_session_window_roundtrip(spark, sf_dir, tmp_path):
         .count()
     )
     assert 0 < got <= batch_n
+
+
+def test_nested_struct_schema_pruning(spark, sf_dir, tmp_path):
+    """Selecting one subfield of a struct column must prune the parquet
+    ReadSchema to that subfield — at 100 TB reading a whole struct for
+    one leaf is the difference between a narrow scan and the full
+    payload (spark.sql.optimizer.nestedSchemaPruning.enabled, default
+    on)."""
+    out = str(tmp_path / "nested")
+    spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey",
+        F.struct(
+            F.col("o_totalprice").alias("price"),
+            F.col("o_orderpriority").alias("priority"),
+            F.col("o_orderstatus").alias("status"),
+        ).alias("payload"),
+    ).write.mode("overwrite").parquet(out)
+    df = spark.read.parquet(out).select("o_orderkey", F.col("payload.price"))
+    plan = df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "formatted")
+    compact = plan.replace(" ", "")
+    # pruned leaf present, sibling leaves absent from the scan schema
+    assert "payload:struct<price:double>" in compact
+    assert "priority" not in compact and "status" not in compact
