@@ -2186,3 +2186,35 @@ def p16_hash_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("o_orderpriority", "o_orderkey", F.col("rn").cast("bigint").alias("rn"))
         .orderBy("o_orderpriority", "rn")
     )
+
+
+@register(
+    "s20_file_provenance",
+    """
+    SELECT 'orders.parquet' AS source_file,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM orders
+    """,
+)
+def s20_file_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S20: row provenance via input_file_name() — tag every row with
+    the file it came from and roll up per-file row counts and key
+    ranges: the ingestion-audit primitive (which landed file produced
+    these rows? did a file double-load?). At 100 TB this powers
+    file-level replay/quarantine without a full-table diff. The oracle
+    pins the expected single-file provenance."""
+    o = t(spark, sf_dir, "orders")
+    return (
+        o.select(
+            F.regexp_extract(F.input_file_name(), r"([^/]+)$", 1).alias("source_file"),
+            "o_orderkey",
+        )
+        .groupBy("source_file")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("o_orderkey").cast("bigint").alias("min_key"),
+            F.max("o_orderkey").cast("bigint").alias("max_key"),
+        )
+    )

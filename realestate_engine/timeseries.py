@@ -181,3 +181,58 @@ def ts_rolling_interval_window(spark: SparkSession, sf_dir: str) -> DataFrame:
             "value_last_hour"
         ),
     ).orderBy("event_id")
+
+
+@register(
+    "ts_cusum_changepoints",
+    """
+    WITH m AS (
+        SELECT DATE_TRUNC('month', o_orderdate) AS month,
+               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
+        FROM orders GROUP BY 1
+    ),
+    tot AS (SELECT SUM(cents) AS total, COUNT(*) AS n FROM m),
+    c AS (
+        SELECT month, cents,
+               SUM(cents * tot.n - tot.total) OVER (ORDER BY month) AS cusum_scaled,
+               tot.n AS n, tot.total AS total
+        FROM m, tot
+    )
+    SELECT month,
+           CAST(cents AS BIGINT) AS cents,
+           CAST(cusum_scaled AS BIGINT) AS cusum_scaled,
+           ABS(cusum_scaled) * 10 > total * 2 AS is_changepoint
+    FROM c
+    ORDER BY month
+    """,
+)
+def ts_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS4: CUSUM change-point detection over the monthly revenue
+    series — the classic sequential drift localizer: the cumulative sum
+    of deviations from the series mean drifts away from zero exactly
+    where the level shifts. Kept in EXACT integer arithmetic by scaling
+    out the division: cusum_scaled = Σ(n·xᵢ − total) equals
+    n·Σ(xᵢ − mean), and the threshold test |cusum|·10 > total·2 is the
+    cross-multiplied form of |cusum/n| > 0.2·mean — no floats anywhere,
+    so both engines agree bit-for-bit. One rollup + one ordered window
+    over O(months) rows (tiny after aggregation)."""
+    from pyspark.sql import Window
+
+    o = t(spark, sf_dir, "orders")
+    m = o.groupBy(F.date_trunc("month", "o_orderdate").alias("month")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("cents")
+    )
+    tot = m.agg(F.sum("cents").alias("total"), F.count(F.lit(1)).alias("n"))
+    w = Window.orderBy("month")
+    c = m.crossJoin(F.broadcast(tot)).select(
+        "month",
+        "cents",
+        F.sum(F.col("cents") * F.col("n") - F.col("total")).over(w).alias("cusum_scaled"),
+        "total",
+    )
+    return c.select(
+        "month",
+        F.col("cents").cast("bigint").alias("cents"),
+        F.col("cusum_scaled").cast("bigint").alias("cusum_scaled"),
+        (F.abs(F.col("cusum_scaled")) * 10 > F.col("total") * 2).alias("is_changepoint"),
+    ).orderBy("month")

@@ -49,6 +49,7 @@ ALLOWED_CROSS = {
     "m18_negative_sampling",  # broadcast 1-row item count + 4-row k range
     "x12_salted_join",  # broadcast 8-row salt range onto the dim side
     "dq5_benford_audit",  # broadcast 1-row total count
+    "ts_cusum_changepoints",  # broadcast 1-row series total/count
 }
 # Local tables that are NOT data detours: explicit local-row sources,
 # fitted-model state (O(k) best params / importances), and
