@@ -2218,3 +2218,34 @@ def s20_file_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.max("o_orderkey").cast("bigint").alias("max_key"),
         )
     )
+
+
+@register(
+    "p17_try_arithmetic",
+    """
+    SELECT l_orderkey, l_linenumber,
+           CASE WHEN (l_linenumber - 4) = 0 THEN NULL
+                ELSE l_extendedprice / (l_linenumber - 4) END AS price_ratio,
+           CAST(CASE WHEN (l_linenumber - 4) = 0 THEN 1 ELSE 0 END AS BIGINT) AS div_by_zero
+    FROM lineitem
+    WHERE l_orderkey < 200
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def p17_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P17: ANSI-safe arithmetic — Spark 4 runs in ANSI mode by
+    default, so a plain division by zero THROWS mid-job (at 100 TB:
+    after hours of progress). try_divide is the total-function form:
+    NULL on the poison row, job completes, and the audit column counts
+    the rows that would have killed the legacy pipeline. The divisor
+    (l_linenumber - 4) plants real zeros. The oracle states the
+    equivalent CASE guard — bitwise-identical doubles on the non-null
+    rows (one IEEE division)."""
+    li = t(spark, sf_dir, "lineitem").where(F.col("l_orderkey") < 200)
+    div = F.col("l_linenumber") - 4
+    return li.select(
+        "l_orderkey",
+        "l_linenumber",
+        F.try_divide(F.col("l_extendedprice"), div).alias("price_ratio"),
+        F.when(div == 0, 1).otherwise(0).cast("bigint").alias("div_by_zero"),
+    ).orderBy("l_orderkey", "l_linenumber")
