@@ -2249,3 +2249,54 @@ def p17_try_arithmetic(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.try_divide(F.col("l_extendedprice"), div).alias("price_ratio"),
         F.when(div == 0, 1).otherwise(0).cast("bigint").alias("div_by_zero"),
     ).orderBy("l_orderkey", "l_linenumber")
+
+
+@register(
+    "p18_rare_category_collapse",
+    """
+    WITH counts AS (
+        SELECT c_mktsegment, COUNT(*) AS n FROM customer GROUP BY c_mktsegment
+    ),
+    tot AS (SELECT SUM(n) AS total FROM counts),
+    mapped AS (
+        SELECT c.c_custkey,
+               CASE WHEN ct.n * 100 >= tot.total * 20 THEN c.c_mktsegment
+                    ELSE '__rare__' END AS segment
+        FROM customer c
+        JOIN counts ct ON ct.c_mktsegment = c.c_mktsegment
+        CROSS JOIN tot
+    )
+    SELECT segment, CAST(COUNT(*) AS BIGINT) AS n_rows
+    FROM mapped GROUP BY segment ORDER BY segment
+    """,
+)
+def p18_rare_category_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P18: rare-category collapsing — fold categories whose share
+    falls below a threshold into one '__rare__' bucket before
+    encoding. The reference PERSISTS this threshold
+    (RARE_CATEGORY_THRESHOLD=0.05, src/features/feature_engineering.py
+    :43,308) but never implements the collapse (SURVEY §8 Q2); this is
+    the op it intended. Keeps one-hot widths bounded as category
+    cardinality grows with data volume — the 100 TB failure mode is a
+    million-column encoder from long-tail categories. The share test
+    is cross-multiplied to integers (n·100 >= total·threshold%), so
+    both engines agree exactly. The threshold (20%) is chosen to split
+    the testdata's 5 roughly-equal segments into kept + collapsed,
+    exercising both branches."""
+    c = t(spark, sf_dir, "customer")
+    counts = c.groupBy("c_mktsegment").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(F.sum("n").alias("total"))
+    mapped = (
+        c.join(counts, "c_mktsegment")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.when(F.col("n") * 100 >= F.col("total") * 20, F.col("c_mktsegment"))
+            .otherwise("__rare__")
+            .alias("segment")
+        )
+    )
+    return (
+        mapped.groupBy("segment")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
+        .orderBy("segment")
+    )

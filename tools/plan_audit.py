@@ -50,6 +50,7 @@ ALLOWED_CROSS = {
     "x12_salted_join",  # broadcast 8-row salt range onto the dim side
     "dq5_benford_audit",  # broadcast 1-row total count
     "ts_cusum_changepoints",  # broadcast 1-row series total/count
+    "p18_rare_category_collapse",  # broadcast 1-row category total
 }
 # Local tables that are NOT data detours: explicit local-row sources,
 # fitted-model state (O(k) best params / importances), and
