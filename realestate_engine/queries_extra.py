@@ -2300,3 +2300,90 @@ def p18_rare_category_collapse(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows"))
         .orderBy("segment")
     )
+
+
+@register(
+    "ps1_pandas_api_groupby",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
+    FROM orders
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def ps1_pandas_api_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PS1: the pandas API on Spark (pyspark.pandas) — the third query
+    surface next to the DataFrame DSL and SQL: pandas syntax
+    (df.groupby().agg()) compiled onto the SAME distributed engine. A
+    pandas-fluent user writes this; Catalyst plans it identically to
+    a2/a4 (hash agg with partials — no driver materialization; the
+    ps.DataFrame wraps the distributed frame lazily). Money in integer
+    cents as everywhere."""
+    import pyspark.pandas as ps
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    psdf = o.pandas_api()
+    agg = psdf.groupby("o_orderpriority").agg(n=("cents", "count"), sum_cents=("cents", "sum"))
+    out = agg.reset_index().to_spark()
+    return out.select(
+        "o_orderpriority",
+        F.col("n").cast("bigint").alias("n"),
+        F.col("sum_cents").cast("bigint").alias("sum_cents"),
+    ).orderBy("o_orderpriority")
+
+
+@register(
+    "ev5_late_arrival_audit",
+    """
+    WITH ordered AS (
+        SELECT user_id, event_id, ts,
+               MAX(ts) OVER (PARTITION BY user_id ORDER BY event_id
+                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS max_seen
+        FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CASE WHEN ts < max_seen - INTERVAL 30 MINUTE THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_late
+    FROM ordered
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def ev5_late_arrival_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EV5: late-arrival audit — how out-of-order is the stream,
+    really? Per user (arrival order = event_id), an event is late if
+    its event time sits >30min behind the max event time already seen.
+    This is the measurement that justifies a watermark choice: the
+    n_late distribution IS the data loss you'd eat at that bound.
+    One window pass + one agg, integer counts."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("event_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    ordered = ev.select(
+        "user_id",
+        "ts",
+        F.max("ts").over(w).alias("max_seen"),
+    )
+    return (
+        ordered.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_events"),
+            F.sum(
+                F.when(F.col("ts") < F.col("max_seen") - F.expr("INTERVAL 30 MINUTE"), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_late"),
+        )
+        .orderBy("user_id")
+    )

@@ -915,3 +915,48 @@ def f18_url_parsing(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.parse_url(F.col("url"), F.lit("PATH")).alias("path"),
         F.parse_url(F.col("url"), F.lit("QUERY"), F.lit("page")).alias("page_param"),
     ).orderBy("doc_id")
+
+
+@register(
+    "f19_json_array_explode",
+    """
+    WITH j AS (
+        SELECT o_orderkey,
+               '[{"q":' || CAST(o_orderkey % 7 AS VARCHAR)
+                 || '},{"q":' || CAST(o_orderkey % 11 AS VARCHAR) || '}]' AS payload
+        FROM orders WHERE o_orderkey < 500
+    )
+    SELECT o_orderkey,
+           CAST(o_orderkey % 7 + o_orderkey % 11 AS BIGINT) AS q_sum,
+           CAST(2 AS BIGINT) AS n_elems
+    FROM j
+    ORDER BY o_orderkey
+    """,
+)
+def f19_json_array_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F19: JSON ARRAY parsing — from_json into array<struct>, then
+    aggregate over the parsed elements with a higher-order expression
+    (no explode-shuffle needed for per-row reductions). Completes the
+    semi-structured surface next to f12 (struct), f13 (map), f17
+    (VARIANT): ragged arrays-of-objects are the most common shape in
+    event payloads. The JSON is planted deterministically; the oracle
+    states the expected values directly from the generators, so the
+    check verifies Spark's parse produces exactly the planted
+    numbers."""
+    o = t(spark, sf_dir, "orders").where(F.col("o_orderkey") < 500)
+    payload = F.concat(
+        F.lit('[{"q":'),
+        (F.col("o_orderkey") % 7).cast("string"),
+        F.lit('},{"q":'),
+        (F.col("o_orderkey") % 11).cast("string"),
+        F.lit("}]"),
+    )
+    parsed = o.select(
+        "o_orderkey",
+        F.from_json(payload, "array<struct<q:bigint>>").alias("arr"),
+    )
+    return parsed.select(
+        "o_orderkey",
+        F.aggregate(F.col("arr"), F.lit(0).cast("bigint"), lambda acc, x: acc + x["q"]).alias("q_sum"),
+        F.size("arr").cast("bigint").alias("n_elems"),
+    ).orderBy("o_orderkey")

@@ -400,3 +400,25 @@ def test_nested_struct_schema_pruning(spark, sf_dir, tmp_path):
     # pruned leaf present, sibling leaves absent from the scan schema
     assert "payload:struct<price:double>" in compact
     assert "priority" not in compact and "status" not in compact
+
+
+def test_join_strategy_hints_control_physical_join(spark, sf_dir):
+    """Join hints steer the physical strategy: SHUFFLE_HASH produces a
+    ShuffledHashJoin, MERGE produces a SortMergeJoin — the manual
+    overrides for when AQE's choice is wrong at scale (e.g. forcing
+    hash when one side is known-small-per-partition but above the
+    broadcast threshold)."""
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet")
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet")
+
+    hash_join = o.join(c.hint("SHUFFLE_HASH"), o.o_custkey == c.c_custkey)
+    plan = hash_join._sc._jvm.PythonSQLUtils.explainString(
+        hash_join._jdf.queryExecution(), "formatted"
+    )
+    assert "ShuffledHashJoin" in plan
+
+    merge_join = o.join(c.hint("MERGE"), o.o_custkey == c.c_custkey)
+    plan = merge_join._sc._jvm.PythonSQLUtils.explainString(
+        merge_join._jdf.queryExecution(), "formatted"
+    )
+    assert "SortMergeJoin" in plan
