@@ -2387,3 +2387,53 @@ def ev5_late_arrival_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "s21_dynamic_partition_overwrite",
+    """
+    WITH base AS (
+        SELECT o_orderstatus,
+               CAST(o_orderkey + CASE WHEN o_orderstatus = 'O' THEN 1000000 ELSE 0 END AS BIGINT)
+                   AS adj_key
+        FROM orders
+    )
+    SELECT o_orderstatus,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(adj_key) AS BIGINT) AS key_sum
+    FROM base GROUP BY o_orderstatus ORDER BY o_orderstatus
+    """,
+)
+def s21_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S21: dynamic partition overwrite — the incremental-reload
+    primitive: rewriting one partition's data replaces ONLY the
+    partitions present in the written frame, leaving siblings intact
+    (partitionOverwriteMode=dynamic; static mode would truncate the
+    whole table). The query writes orders partitioned by status,
+    overwrites just the 'O' partition with shifted keys, reads the
+    table back and audits per-partition counts + key sums — the oracle
+    states the expected post-overwrite state. At 100 TB this is how
+    daily partitions reload without touching history."""
+    out = tempfile.mkdtemp(prefix="re_s21_dpo_")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
+    o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try:
+        (
+            o.where(F.col("o_orderstatus") == "O")
+            .select((F.col("o_orderkey") + 1000000).alias("o_orderkey"), "o_orderstatus")
+            .write.mode("overwrite")
+            .partitionBy("o_orderstatus")
+            .parquet(out)
+        )
+    finally:
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
+    back = spark.read.parquet(out)
+    return (
+        back.groupBy("o_orderstatus")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum("o_orderkey").cast("bigint").alias("key_sum"),
+        )
+        .orderBy("o_orderstatus")
+    )
