@@ -472,3 +472,52 @@ def m19_fpgrowth_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("support"), F.col("itemset"))
         .limit(100)
     )
+
+
+@register("m20_als_recall_eval")  # iterative factorization + eval → rows-only (bounds tested)
+def m20_als_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M20: offline recommender evaluation — leave-one-out hit@10.
+    Each user's single top-quantity item (ties -> smallest item id, so
+    the holdout is deterministic) is withheld; ALS trains on the rest;
+    a user scores a hit if the held-out item appears in their top-10
+    recommendations. This closes the recsys loop (m16 trains, m20
+    measures) with the metric that actually gates deployment. The
+    holdout split is a window row_number (one shuffle); the eval is an
+    array_contains over recommendForUserSubset output. Rows-only:
+    factor math is iteration-order dependent; tests bound the metric
+    to [0,1] and check the holdout accounting."""
+    from pyspark.ml.recommendation import ALS
+    from pyspark.sql import Window
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey", "l_quantity")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    ratings = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(
+            F.col("o_custkey").cast("int").alias("user"),
+            F.col("l_partkey").cast("int").alias("item"),
+        )
+        .agg(F.sum("l_quantity").cast("float").alias("rating"))
+    )
+    w = Window.partitionBy("user").orderBy(F.desc("rating"), "item")
+    ranked = ratings.withColumn("rn", F.row_number().over(w))
+    holdout = ranked.where(F.col("rn") == 1).select("user", F.col("item").alias("held_item"))
+    train = ranked.where(F.col("rn") > 1).drop("rn")
+    als = ALS(
+        rank=8, maxIter=3, regParam=0.1, seed=SEED,
+        userCol="user", itemCol="item", ratingCol="rating",
+        coldStartStrategy="drop", implicitPrefs=False,
+    )
+    model = als.fit(train)
+    users = train.select("user").distinct()
+    recs = model.recommendForUserSubset(users, 10).select(
+        "user", F.transform("recommendations", lambda r: r["item"]).alias("rec_items")
+    )
+    joined = holdout.join(recs, "user").select(
+        "user", F.array_contains("rec_items", F.col("held_item")).alias("hit")
+    )
+    return joined.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users_evaluated"),
+        F.sum(F.when(F.col("hit"), 1).otherwise(0)).cast("bigint").alias("n_hits"),
+        (F.sum(F.when(F.col("hit"), 1).otherwise(0)) / F.count(F.lit(1))).alias("recall_at_10"),
+    )

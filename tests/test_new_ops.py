@@ -219,3 +219,10 @@ def test_ahash_neardup_matches_exact_reference(spark, sf_dir):
             if d <= 3:
                 expected[(x, y)] = d
     assert got == expected
+
+
+def test_als_recall_eval_bounds(spark, sf_dir):
+    r = QUERIES["m20_als_recall_eval"](spark, sf_dir).first()
+    assert r["n_users_evaluated"] > 0
+    assert 0 <= r["n_hits"] <= r["n_users_evaluated"]
+    assert 0.0 <= r["recall_at_10"] <= 1.0

@@ -45,6 +45,7 @@ ALLOWED_CROSS = {
     "t15_collocations",  # broadcast 1-row total-token count
     "graph_triangle_count",  # cross join of two 1-row counts
     "m16_als_recommend",  # MLlib blocked factor cross join (top-k per block, by design)
+    "m20_als_recall_eval",  # same MLlib blocked factor cross join inside recommend
     "a23_equidepth_histogram",  # broadcast 1-row decile cut array
     "m18_negative_sampling",  # broadcast 1-row item count + 4-row k range
     "x12_salted_join",  # broadcast 8-row salt range onto the dim side
