@@ -458,29 +458,20 @@ def text_contamination_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     here the exact join IS the oracle-checkable semantics. The rate is
     an int/int division of identical counts — bit-identical across
     engines, no rounding fudge needed."""
-    d = t(spark, sf_dir, "documents").select(
-        "doc_id", "source", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("words")
-    )
-    pos_w = d.select("doc_id", "source", F.posexplode("words").alias("pos", "word"))
-    win = Window.partitionBy("doc_id").orderBy("pos")
-    grams = (
-        pos_w.select(
-            "doc_id",
-            "source",
-            F.concat_ws(
-                " ",
-                "word",
-                F.lead("word", 1).over(win),
-                F.lead("word", 2).over(win),
-                F.lead("word", 3).over(win),
-            ).alias("ngram"),
-            F.lead("word", 3).over(win).alias("_tail"),
-        )
-        .filter(F.col("_tail").isNotNull())
-        .drop("_tail")
-    )
+    from realestate_engine.dedup import word_shingles
+
+    d = t(spark, sf_dir, "documents")
+    # 4-grams via the zip_with shingle helper: a pure map-side
+    # higher-order expression (no posexplode -> window shuffle+sort),
+    # already distinct per doc. Cached because BOTH branches below
+    # (train corpus, eval split) read it — without the cache the
+    # whole gram assembly runs twice (same lesson as the MinHash
+    # shingle relation).
+    grams = d.select(
+        "doc_id", "source", F.explode(word_shingles(F.col("text"), 4)).alias("ngram")
+    ).cache()
     train = grams.filter(F.col("source") != "src19").select("ngram").distinct()
-    eval_g = grams.filter(F.col("source") == "src19").select("doc_id", "ngram").distinct()
+    eval_g = grams.filter(F.col("source") == "src19").select("doc_id", "ngram")
     return (
         eval_g.join(train.withColumn("_hit", F.lit(1)), "ngram", "left")
         .groupBy("doc_id")
