@@ -2437,3 +2437,36 @@ def s21_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFra
         )
         .orderBy("o_orderstatus")
     )
+
+
+@register(
+    "sql_session_variables",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_above
+    FROM orders
+    WHERE o_totalprice > 300000.0
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def sql_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL5: session variables (DECLARE / SET VARIABLE, Spark >= 4) —
+    the parameterization surface for SQL-first users: thresholds and
+    dates live in typed session variables instead of string-pasted
+    literals (injection-safe, plan-cache friendly). Catalyst folds the
+    variable to a constant at analysis, so the physical plan is
+    identical to the literal form the oracle states."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("_sql_var_orders")
+    spark.sql("DECLARE OR REPLACE VARIABLE price_floor DOUBLE")
+    spark.sql("SET VARIABLE price_floor = 300000.0")
+    return spark.sql(
+        """
+        SELECT o_orderpriority,
+               CAST(COUNT(*) AS BIGINT) AS n_above
+        FROM _sql_var_orders
+        WHERE o_totalprice > price_floor
+        GROUP BY o_orderpriority
+        ORDER BY o_orderpriority
+        """
+    )
