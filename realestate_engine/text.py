@@ -897,3 +897,61 @@ def text_bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         merges, "round int, left string, right string, pair_count bigint"
     )
+
+
+_BM25_QUERY_TERMS = ("data", "model", "spark")
+_BM25_K1, _BM25_B = 1.2, 0.75
+
+
+@register("text_bm25_ranking")  # float scoring → rows-only (exact reference test)
+def text_bm25_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T19: BM25 ranked retrieval — THE lexical relevance scorer
+    (Lucene/Elasticsearch default) over the documents table for a fixed
+    3-term query. Distributed shape: one token explode -> per-(doc,
+    term) tf + per-doc length, df and avgdl as tiny broadcast
+    aggregates, then the BM25 formula per (doc, query-term) and a
+    per-doc sum over <= 3 terms (a fixed-size expression sum, NOT a
+    partition-order-dependent aggregate, so the doubles are
+    reproducible). Top-20 via TakeOrderedAndProject with doc_id
+    tiebreak. Rows-only: log() makes cross-engine hashing unsafe;
+    tests replay the exact formula in Python and demand identical
+    ranking and scores to 1e-9."""
+    import math
+
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id", F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("word")
+    )
+    dl = toks.groupBy("doc_id").agg(F.count(F.lit(1)).alias("dl"))
+    n_and_avg = dl.agg(
+        F.count(F.lit(1)).alias("n_docs"), F.avg("dl").alias("avgdl")
+    )
+    tf = (
+        toks.where(F.col("word").isin(*_BM25_QUERY_TERMS))
+        .groupBy("doc_id", "word")
+        .agg(F.count(F.lit(1)).alias("tf"))
+    )
+    df_ = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
+    scored = (
+        tf.join(F.broadcast(df_), "word")
+        .join(dl, "doc_id")
+        .crossJoin(F.broadcast(n_and_avg))
+        .select(
+            "doc_id",
+            (
+                F.log((F.col("n_docs") - F.col("df") + 0.5) / (F.col("df") + 0.5) + 1.0)
+                * (F.col("tf") * (_BM25_K1 + 1))
+                / (
+                    F.col("tf")
+                    + _BM25_K1
+                    * (1 - _BM25_B + _BM25_B * F.col("dl") / F.col("avgdl"))
+                )
+            ).alias("term_score"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(F.round(F.sum("term_score"), 9).alias("bm25"))
+        .orderBy(F.desc("bm25"), "doc_id")
+        .limit(20)
+    )

@@ -226,3 +226,40 @@ def test_als_recall_eval_bounds(spark, sf_dir):
     assert r["n_users_evaluated"] > 0
     assert 0 <= r["n_hits"] <= r["n_users_evaluated"]
     assert 0.0 <= r["recall_at_10"] <= 1.0
+
+
+def test_bm25_matches_exact_reference(spark, sf_dir):
+    """Replay BM25 (k1=1.2, b=0.75, Lucene idf) in pure Python; the
+    distributed ranking must match exactly and scores to 1e-9."""
+    import collections
+    import math
+    import re
+
+    rows = QUERIES["text_bm25_ranking"](spark, sf_dir).collect()
+    assert rows
+
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text").collect()
+    terms = ("data", "model", "spark")
+    k1, b = 1.2, 0.75
+    tfs, dls = {}, {}
+    for r in docs:
+        words = re.split(r"\s+", r["text"].strip().lower())
+        dls[r["doc_id"]] = len(words)
+        c = collections.Counter(w for w in words if w in terms)
+        if c:
+            tfs[r["doc_id"]] = c
+    n_docs = len(docs)
+    avgdl = sum(dls.values()) / n_docs
+    dfs = collections.Counter(t_ for c in tfs.values() for t_ in c)
+    scores = {}
+    for doc_id, c in tfs.items():
+        s = 0.0
+        for t_, tf in sorted(c.items()):
+            idf = math.log((n_docs - dfs[t_] + 0.5) / (dfs[t_] + 0.5) + 1.0)
+            s += idf * (tf * (k1 + 1)) / (tf + k1 * (1 - b + b * dls[doc_id] / avgdl))
+        scores[doc_id] = round(s, 9)
+    expected = sorted(scores.items(), key=lambda kv: (-kv[1], kv[0]))[:20]
+    got = [(r["doc_id"], r["bm25"]) for r in rows]
+    assert [g[0] for g in got] == [e[0] for e in expected]
+    for (gd, gs), (ed, es) in zip(got, expected):
+        assert abs(gs - es) < 1e-9, (gd, gs, es)

@@ -52,6 +52,7 @@ ALLOWED_CROSS = {
     "dq5_benford_audit",  # broadcast 1-row total count
     "ts_cusum_changepoints",  # broadcast 1-row series total/count
     "p18_rare_category_collapse",  # broadcast 1-row category total
+    "text_bm25_ranking",  # broadcast 1-row n_docs/avgdl aggregate
 }
 # Local tables that are NOT data detours: explicit local-row sources,
 # fitted-model state (O(k) best params / importances), and
