@@ -209,3 +209,130 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("size"), "community")
         .limit(25)
     )
+
+
+_PPR_ORACLE = f"""
+    WITH pairs AS (
+        SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    edges AS (
+        SELECT c AS src, s AS dst FROM pairs
+        UNION ALL
+        SELECT s AS src, c AS dst FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    seeds AS (
+        SELECT DISTINCT c_custkey * 2 AS node FROM customer WHERE c_nationkey = 0
+    ),
+    sn AS (SELECT COUNT(*) AS n FROM seeds JOIN nodes USING (node)),
+    deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+    r0 AS (
+        SELECT n.node,
+               CASE WHEN s.node IS NOT NULL THEN {SCALE} // sn.n ELSE 0 END AS rank_micro
+        FROM nodes n LEFT JOIN seeds s ON s.node = n.node CROSS JOIN sn
+    ),
+    r1 AS (
+        SELECT e.dst AS node,
+               MAX(CASE WHEN s.node IS NOT NULL THEN (15 * {SCALE}) // (100 * sn.n) ELSE 0 END)
+                 + (85 * SUM(r.rank_micro // deg.d)) // 100 AS rank_micro
+        FROM edges e
+        JOIN deg ON deg.src = e.src
+        JOIN r0 r ON r.node = e.src
+        LEFT JOIN seeds s ON s.node = e.dst
+        CROSS JOIN sn
+        GROUP BY e.dst
+    ),
+    r2 AS (
+        SELECT e.dst AS node,
+               MAX(CASE WHEN s.node IS NOT NULL THEN (15 * {SCALE}) // (100 * sn.n) ELSE 0 END)
+                 + (85 * SUM(r.rank_micro // deg.d)) // 100 AS rank_micro
+        FROM edges e
+        JOIN deg ON deg.src = e.src
+        JOIN r1 r ON r.node = e.src
+        LEFT JOIN seeds s ON s.node = e.dst
+        CROSS JOIN sn
+        GROUP BY e.dst
+    ),
+    r3 AS (
+        SELECT e.dst AS node,
+               MAX(CASE WHEN s.node IS NOT NULL THEN (15 * {SCALE}) // (100 * sn.n) ELSE 0 END)
+                 + (85 * SUM(r.rank_micro // deg.d)) // 100 AS rank_micro
+        FROM edges e
+        JOIN deg ON deg.src = e.src
+        JOIN r2 r ON r.node = e.src
+        LEFT JOIN seeds s ON s.node = e.dst
+        CROSS JOIN sn
+        GROUP BY e.dst
+    )
+    SELECT CAST(node AS BIGINT) AS node, CAST(rank_micro AS BIGINT) AS rank_micro
+    FROM r3 WHERE rank_micro > 0
+    ORDER BY rank_micro DESC, node
+    LIMIT 50
+"""
+
+
+@register("graph_personalized_pagerank", _PPR_ORACLE)
+def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G4: personalized PageRank — random walks teleport back to a SEED
+    SET (nation-0 customers) instead of everywhere, so the stationary
+    mass measures proximity TO THE SEEDS: the graph-recommendation /
+    trust-propagation primitive (who does this cohort actually trade
+    with, transitively?). Same fixed-point BIGINT scheme as
+    graph_pagerank_trade (bit-exact vs the unrolled-CTE oracle); the
+    only changes are the seed-restricted init and base term. The seed
+    flag joins as a tiny broadcast; everything else reuses the cached
+    src-partitioned edge layout."""
+    from pyspark.sql import Window
+
+    edges = trade_edges(spark, sf_dir)
+    edges_deg = (
+        edges.repartition("src")
+        .select("src", "dst", F.count(F.lit(1)).over(Window.partitionBy("src")).alias("d"))
+        .cache()
+    )
+    nodes = edges_deg.select(F.col("src").alias("node")).distinct()
+    seeds = (
+        t(spark, sf_dir, "customer")
+        .where(F.col("c_nationkey") == 0)
+        .select((F.col("c_custkey") * 2).alias("node"))
+        .distinct()
+        .join(nodes, "node")
+    )
+    sn = seeds.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    seeded = nodes.join(seeds.withColumn("_s", F.lit(1)), "node", "left").crossJoin(
+        F.broadcast(sn)
+    )
+    ranks = seeded.select(
+        "node",
+        F.when(F.col("_s").isNotNull(), F.expr(f"{SCALE} div n")).otherwise(F.lit(0)).alias(
+            "rank_micro"
+        ),
+        "n",
+    )
+    seed_flag = seeds.select(F.col("node").alias("dst"), F.lit(1).alias("_sd"))
+    for _ in range(3):
+        contrib = (
+            edges_deg.join(ranks.select(F.col("node").alias("src"), "rank_micro", "n"), "src")
+            .select("dst", F.expr("rank_micro div d").alias("contrib"), "n")
+            .groupBy("dst")
+            .agg(F.sum("contrib").alias("inflow"), F.first("n").alias("n"))
+        )
+        ranks = (
+            contrib.join(F.broadcast(seed_flag), "dst", "left")
+            .select(
+                F.col("dst").alias("node"),
+                (
+                    F.when(F.col("_sd").isNotNull(), F.expr(f"(15 * {SCALE}) div (100 * n)"))
+                    .otherwise(F.lit(0))
+                    + F.expr("(85 * inflow) div 100")
+                ).alias("rank_micro"),
+                "n",
+            )
+        )
+    return (
+        ranks.where(F.col("rank_micro") > 0)
+        .select("node", "rank_micro")
+        .orderBy(F.desc("rank_micro"), "node")
+        .limit(50)
+    )
