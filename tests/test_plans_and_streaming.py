@@ -422,3 +422,50 @@ def test_join_strategy_hints_control_physical_join(spark, sf_dir):
         merge_join._jdf.queryExecution(), "formatted"
     )
     assert "SortMergeJoin" in plan
+
+
+def test_streaming_update_and_complete_modes(spark, sf_dir, tmp_path):
+    """The other two output modes: complete re-emits the full aggregate
+    table every trigger (bounded cardinality required); update emits
+    only rows whose aggregate changed. Both must agree with the batch
+    aggregate over the same input."""
+    from realestate_engine.registry import t as load_table
+    from realestate_engine.streaming import streamify
+
+    events = load_table(spark, sf_dir, "events")
+    src = str(tmp_path / "mode_src")
+    events.write.parquet(src)
+    stream = streamify(spark, src, events.schema)
+    agg = stream.groupBy("event_type").agg(F.count(F.lit(1)).alias("n"))
+
+    q = (
+        agg.writeStream.format("memory")
+        .queryName("mode_complete")
+        .outputMode("complete")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination(120)
+    got = {
+        r.event_type: r.n for r in spark.sql("SELECT * FROM mode_complete").collect()
+    }
+    batch = {
+        r.event_type: r.n
+        for r in events.groupBy("event_type").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert got == batch
+
+    q2 = (
+        agg.writeStream.format("memory")
+        .queryName("mode_update")
+        .outputMode("update")
+        .trigger(availableNow=True)
+        .start()
+    )
+    q2.awaitTermination(120)
+    # update mode emits the latest value per changed key; with one
+    # availableNow pass the last emission per key equals the batch total
+    upd = spark.sql(
+        "SELECT event_type, max(n) AS n FROM mode_update GROUP BY event_type"
+    ).collect()
+    assert {r.event_type: r.n for r in upd} == batch
