@@ -2470,3 +2470,122 @@ def sql_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY o_orderpriority
         """
     )
+
+
+@register(
+    "a26_rollup_shares",
+    """
+    WITH nat AS (
+        SELECT r.r_name AS region, n.n_name AS nation,
+               SUM(CAST(ROUND(c.c_acctbal * 100) AS BIGINT)) AS cents
+        FROM customer c
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey
+        GROUP BY r.r_name, n.n_name
+    )
+    SELECT region, nation,
+           CAST(cents AS BIGINT) AS cents,
+           CAST(SUM(cents) OVER (PARTITION BY region) AS BIGINT) AS region_cents,
+           CAST(cents AS DOUBLE) / SUM(cents) OVER (PARTITION BY region) AS share_of_region
+    FROM nat
+    ORDER BY region, nation
+    """,
+)
+def a26_rollup_shares(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A26: percent-of-parent in a dimension hierarchy — each nation's
+    share of its region's balance, the drill-down ratio every BI
+    frontend computes. One aggregate to the leaf grain, then a window
+    partitioned by the PARENT key re-derives the parent total without a
+    second scan or a self-join. Exact integer cents; the share is a
+    single int/int division (deterministic both engines). Dims
+    broadcast; the window is over O(nations) rows."""
+    from pyspark.sql import Window
+
+    c = t(spark, sf_dir, "customer")
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    nat = (
+        c.join(F.broadcast(n), c.c_nationkey == n.n_nationkey)
+        .join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy(F.col("r_name").alias("region"), F.col("n_name").alias("nation"))
+        .agg(F.sum(F.round(F.col("c_acctbal") * 100).cast("bigint")).alias("cents"))
+    )
+    w = Window.partitionBy("region")
+    return nat.select(
+        "region",
+        "nation",
+        F.col("cents").cast("bigint").alias("cents"),
+        F.sum("cents").over(w).cast("bigint").alias("region_cents"),
+        (F.col("cents").cast("double") / F.sum("cents").over(w)).alias("share_of_region"),
+    ).orderBy("region", "nation")
+
+
+@register(
+    "x13_scd2_lookup",
+    """
+    WITH versions AS (
+        SELECT o_custkey, o_orderkey, o_orderdate AS valid_from,
+               LEAD(o_orderdate) OVER (PARTITION BY o_custkey ORDER BY o_orderdate, o_orderkey)
+                   AS valid_to
+        FROM orders
+    ),
+    lookups AS (
+        SELECT f.o_orderkey AS fact_key, f.o_custkey, f.o_orderdate AS ts,
+               v.o_orderkey AS version_key
+        FROM orders f
+        JOIN versions v
+          ON v.o_custkey = f.o_custkey
+         AND v.valid_from <= f.o_orderdate
+         AND (v.valid_to IS NULL OR f.o_orderdate < v.valid_to)
+    )
+    SELECT o_custkey,
+           CAST(COUNT(*) AS BIGINT) AS n_lookups,
+           CAST(SUM(CASE WHEN fact_key = version_key THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_self_matched
+    FROM lookups
+    WHERE o_custkey < 100
+    GROUP BY o_custkey
+    ORDER BY o_custkey
+    """,
+)
+def x13_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X13: point-in-time dimension lookup against SCD2 validity
+    intervals — the consumer side of scd2_intervals: given a fact
+    timestamp, find the ONE version row whose [valid_from, valid_to)
+    interval covers it. Joins are equi on the entity key with the
+    interval residual as a filter — hash-partitionable, never a
+    nested loop (the key equi-join bounds candidates to one entity's
+    version history). The audit sums self-matches: each fact resolves
+    to its own version EXCEPT when two versions share a timestamp —
+    the [closed, open) interval gives the earlier tied version a
+    zero-length validity, so its fact resolves to the later one.
+    n_lookups - n_self_matched therefore counts exactly the timestamp
+    collisions: the interval semantics are observable in the output,
+    and both engines agree on them bit-for-bit."""
+    from pyspark.sql import Window
+
+    o = t(spark, sf_dir, "orders").select("o_custkey", "o_orderkey", "o_orderdate")
+    w = Window.partitionBy("o_custkey").orderBy("o_orderdate", "o_orderkey")
+    versions = o.select(
+        F.col("o_custkey").alias("v_cust"),
+        F.col("o_orderkey").alias("version_key"),
+        F.col("o_orderdate").alias("valid_from"),
+        F.lead("o_orderdate").over(w).alias("valid_to"),
+    )
+    lookups = o.join(
+        versions,
+        (F.col("o_custkey") == F.col("v_cust"))
+        & (F.col("valid_from") <= F.col("o_orderdate"))
+        & (F.col("valid_to").isNull() | (F.col("o_orderdate") < F.col("valid_to"))),
+    )
+    return (
+        lookups.where(F.col("o_custkey") < 100)
+        .groupBy("o_custkey")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lookups"),
+            F.sum(F.when(F.col("o_orderkey") == F.col("version_key"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_self_matched"),
+        )
+        .orderBy("o_custkey")
+    )
