@@ -2589,3 +2589,98 @@ def x13_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_custkey")
     )
+
+
+@register(
+    "ev6_session_funnel",
+    """
+    WITH ordered AS (
+        SELECT user_id, event_id, event_type, ts,
+               CASE WHEN EPOCH_US(ts) - LAG(EPOCH_US(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                         > 1800 * 1000000
+                    OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                    THEN 1 ELSE 0 END AS is_new_session
+        FROM events
+    ),
+    sess AS (
+        SELECT user_id, event_id, event_type, ts,
+               SUM(is_new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
+        FROM ordered
+    ),
+    per_session AS (
+        SELECT user_id, session_id,
+               MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
+               MIN(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
+               MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
+        FROM sess GROUP BY user_id, session_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
+           CAST(SUM(CASE WHEN first_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_viewed,
+           CAST(SUM(CASE WHEN first_view IS NOT NULL AND first_click > first_view
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click,
+           CAST(SUM(CASE WHEN first_view IS NOT NULL AND first_click > first_view
+                          AND first_purchase > first_click
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
+    FROM per_session
+    """,
+)
+def ev6_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EV6: within-session funnel — the composite product-analytics
+    pipeline: gap-sessionize (30-min inactivity, running-sum session
+    ids — the ts_sessionize_gap pattern) then require the strict
+    view -> click -> purchase ORDER inside each session (stage-ordered
+    conditional min-timestamps — the ev_funnel_conversion pattern,
+    scoped per session instead of per user-lifetime). Two window
+    passes over the same user partitioning + one agg; NULL-safe
+    ordering because `first_click > first_view` is NULL when either
+    stage is missing. Exact integer counts."""
+    from pyspark.sql import Window
+
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    ordered = ev.select(
+        "user_id",
+        "event_id",
+        "event_type",
+        "ts",
+        F.when(
+            F.lag("ts").over(w).isNull()
+            | (
+                (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w)))
+                > 1800 * 1_000_000
+            ),
+            1,
+        )
+        .otherwise(0)
+        .alias("is_new_session"),
+    )
+    sess = ordered.select(
+        "user_id",
+        "event_type",
+        "ts",
+        F.sum("is_new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("session_id"),
+    )
+    per_session = sess.groupBy("user_id", "session_id").agg(
+        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("first_view"),
+        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("first_click"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("first_purchase"),
+    )
+    return per_session.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
+        F.sum(F.when(F.col("first_view").isNotNull(), 1).otherwise(0)).cast("bigint").alias("n_viewed"),
+        F.sum(
+            F.when(F.col("first_view").isNotNull() & (F.col("first_click") > F.col("first_view")), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_view_click"),
+        F.sum(
+            F.when(
+                F.col("first_view").isNotNull()
+                & (F.col("first_click") > F.col("first_view"))
+                & (F.col("first_purchase") > F.col("first_click")),
+                1,
+            ).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("n_full_funnel"),
+    )
