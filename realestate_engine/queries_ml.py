@@ -521,3 +521,45 @@ def m20_als_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("hit"), 1).otherwise(0)).cast("bigint").alias("n_hits"),
         (F.sum(F.when(F.col("hit"), 1).otherwise(0)) / F.count(F.lit(1))).alias("recall_at_10"),
     )
+
+
+@register("m21_glm_poisson")  # IRLS fit → rows-only (deviance/coef invariants tested)
+def m21_glm_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M21: generalized linear model, Poisson family with log link —
+    count-target regression (items per order), the right likelihood
+    where squared loss is wrong: variance scales with the mean and
+    predictions must be positive. MLlib fits via distributed IRLS
+    (each iteration one weighted least-squares solve over the
+    cluster). Returns per-coefficient estimates plus training deviance
+    — the GLM goodness-of-fit statistic. Rows-only (IRLS is
+    iterative); tests bound deviance and check prediction positivity."""
+    from pyspark.ml.feature import VectorAssembler as VA
+    from pyspark.ml.regression import GeneralizedLinearRegression
+
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice", "o_orderdate")
+    counts = (
+        li.groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).cast("double").alias("n_items"))
+        .join(o, li.l_orderkey == o.o_orderkey)
+        .select(
+            "n_items",
+            (F.col("o_totalprice") / 100000.0).alias("f_price"),
+            (F.month("o_orderdate").cast("double") / 12.0).alias("f_month"),
+        )
+    )
+    data = VA(inputCols=["f_price", "f_month"], outputCol="features").transform(counts)
+    glm = GeneralizedLinearRegression(
+        family="poisson", link="log", labelCol="n_items", maxIter=25, regParam=0.0
+    )
+    model = glm.fit(data)
+    names = ["intercept", "f_price", "f_month"]
+    coefs = [float(model.intercept)] + [float(c) for c in model.coefficients]
+    summary = model.summary
+    rows = [
+        (n, c, float(summary.deviance), int(summary.degreesOfFreedom))
+        for n, c in zip(names, coefs)
+    ]
+    return spark.createDataFrame(
+        rows, "term string, estimate double, deviance double, dof long"
+    )

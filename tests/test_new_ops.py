@@ -263,3 +263,17 @@ def test_bm25_matches_exact_reference(spark, sf_dir):
     assert [g[0] for g in got] == [e[0] for e in expected]
     for (gd, gs), (ed, es) in zip(got, expected):
         assert abs(gs - es) < 1e-9, (gd, gs, es)
+
+
+def test_glm_poisson_fit_sane(spark, sf_dir):
+    rows = QUERIES["m21_glm_poisson"](spark, sf_dir).collect()
+    assert [r["term"] for r in rows] == ["intercept", "f_price", "f_month"]
+    import math
+    for r in rows:
+        assert math.isfinite(r["estimate"])
+        assert r["deviance"] >= 0 and r["dof"] > 0
+    # a refit must reproduce the same estimates (deterministic IRLS)
+    rows2 = QUERIES["m21_glm_poisson"](spark, sf_dir).collect()
+    assert [(r["term"], r["estimate"]) for r in rows] == [
+        (r["term"], r["estimate"]) for r in rows2
+    ]
