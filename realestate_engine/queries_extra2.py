@@ -1,0 +1,377 @@
+"""Additional operator coverage, batch 3: temporal weighting, data-
+quality audits, SQL subquery surface, exact money allocation, robust
+statistics, and customer segmentation.
+
+Every query keeps the cross-engine determinism rules from
+``registry.py``: money and measures are carried as exact BIGINT
+(cents / milli-units), group sums happen on integers, and any division
+happens exactly once at the end on the already-exact operands.
+
+Reference parity: the reference repo has none of these (its pipeline
+stops at feature engineering + regression); these are north-star
+operators a production lake needs around that pipeline.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession, Window
+from pyspark.sql import functions as F
+
+from realestate_engine.registry import register, t
+
+
+@register(
+    "x14_time_weighted_avg",
+    """
+    WITH iv AS (
+        SELECT user_id,
+               CAST(FLOOR(value * 1000) AS BIGINT) AS value_milli,
+               (LEAD(epoch_us(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
+                - epoch_us(ts)) // 1000000 AS dur_s
+        FROM events
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_intervals,
+           CAST(SUM(dur_s) AS BIGINT) AS total_s,
+           CAST(SUM(value_milli * dur_s) AS DOUBLE)
+             / CAST(NULLIF(SUM(dur_s), 0) AS DOUBLE) / 1000.0 AS twa_value
+    FROM iv
+    WHERE dur_s IS NOT NULL
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def x14_time_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X14: time-weighted average (interval-weighted aggregation) — the
+    sensor/billing semantics where a reading holds until the next one,
+    so a value held for an hour counts 3600x a value held a second.
+    Plain AVG over irregular samples is biased; TWA weights each value
+    by its holding duration.
+
+    Determinism: value -> exact milli-units, duration -> whole seconds
+    (integer division of epoch micros), so the weighted numerator and
+    denominator are exact BIGINT group sums (order-independent); ONE
+    double division at the end. The lead window is user-partitioned —
+    scales out on the user key with no global ordering."""
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    iv = ev.select(
+        "user_id",
+        F.floor(F.col("value") * 1000).alias("value_milli"),
+        (
+            (F.lead(F.unix_micros("ts")).over(w) - F.unix_micros("ts"))
+            / F.lit(1_000_000)
+        )
+        .cast("bigint")
+        .alias("dur_s"),
+    ).where(F.col("dur_s").isNotNull())
+    return (
+        iv.groupBy("user_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_intervals"),
+            F.sum("dur_s").cast("bigint").alias("total_s"),
+            (
+                F.sum(F.col("value_milli") * F.col("dur_s")).cast("double")
+                / F.nullif(F.sum("dur_s"), F.lit(0)).cast("double")
+                / F.lit(1000.0)
+            ).alias("twa_value"),
+        )
+        .orderBy("user_id")
+    )
+
+
+@register(
+    "dq6_functional_dependency",
+    """
+    WITH pk AS (
+        SELECT l_partkey AS k, COUNT(DISTINCT l_suppkey) AS nd, COUNT(*) AS n
+        FROM lineitem GROUP BY l_partkey
+    ),
+    ok AS (
+        SELECT l_orderkey AS k, COUNT(DISTINCT l_returnflag) AS nd, COUNT(*) AS n
+        FROM lineitem GROUP BY l_orderkey
+    )
+    SELECT fd, n_keys, n_violating_keys, max_distinct, n_violating_rows
+    FROM (
+        SELECT 'l_partkey->l_suppkey' AS fd,
+               CAST(COUNT(*) AS BIGINT) AS n_keys,
+               CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_violating_keys,
+               CAST(MAX(nd) AS BIGINT) AS max_distinct,
+               CAST(SUM(CASE WHEN nd > 1 THEN n ELSE 0 END) AS BIGINT) AS n_violating_rows
+        FROM pk
+        UNION ALL
+        SELECT 'l_orderkey->l_returnflag' AS fd,
+               CAST(COUNT(*) AS BIGINT),
+               CAST(SUM(CASE WHEN nd > 1 THEN 1 ELSE 0 END) AS BIGINT),
+               CAST(MAX(nd) AS BIGINT),
+               CAST(SUM(CASE WHEN nd > 1 THEN n ELSE 0 END) AS BIGINT)
+        FROM ok
+    )
+    ORDER BY fd
+    """,
+)
+def dq6_functional_dependency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ6: functional-dependency audit — does A determine B in the
+    data? Profilers (Metanome-style) phrase candidate FDs as 'every A
+    value maps to exactly one B value'; the violation count is the
+    repair workload. One groupBy per candidate (distributed, two-level
+    agg), then a tiny union of per-FD summary rows."""
+    li = t(spark, sf_dir, "lineitem")
+
+    def audit(key: str, dep: str, fd_name: str) -> DataFrame:
+        per_key = li.groupBy(F.col(key).alias("k")).agg(
+            F.countDistinct(dep).alias("nd"), F.count(F.lit(1)).alias("n")
+        )
+        return per_key.agg(
+            F.lit(fd_name).alias("fd"),
+            F.count(F.lit(1)).cast("bigint").alias("n_keys"),
+            F.sum(F.when(F.col("nd") > 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_violating_keys"),
+            F.max("nd").cast("bigint").alias("max_distinct"),
+            F.sum(F.when(F.col("nd") > 1, F.col("n")).otherwise(0))
+            .cast("bigint")
+            .alias("n_violating_rows"),
+        )
+
+    return (
+        audit("l_partkey", "l_suppkey", "l_partkey->l_suppkey")
+        .unionAll(audit("l_orderkey", "l_returnflag", "l_orderkey->l_returnflag"))
+        .orderBy("fd")
+    )
+
+
+_SQL_EXISTS = """
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_loyal_small
+    FROM {customer} c
+    WHERE EXISTS (SELECT 1 FROM {orders} o
+                  WHERE o.o_custkey = c.c_custkey AND o.o_orderstatus = 'F')
+      AND NOT EXISTS (SELECT 1 FROM {orders} o2
+                      WHERE o2.o_custkey = c.c_custkey
+                        AND o2.o_totalprice > 450000)
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+"""
+
+
+@register(
+    "sql_exists_subquery",
+    _SQL_EXISTS.format(customer="customer", orders="orders"),
+)
+def sql_exists_subquery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL6: correlated EXISTS / NOT EXISTS subqueries — the same SQL
+    text runs on both engines. Catalyst rewrites EXISTS to a left-semi
+    join and NOT EXISTS to a left-anti join (RewritePredicateSubquery),
+    so the physical plan is two hash joins on o_custkey — fully
+    distributed, no per-row subquery execution."""
+    t(spark, sf_dir, "customer").createOrReplaceTempView("_sql_ex_customer")
+    t(spark, sf_dir, "orders").createOrReplaceTempView("_sql_ex_orders")
+    return spark.sql(
+        _SQL_EXISTS.format(customer="_sql_ex_customer", orders="_sql_ex_orders")
+    )
+
+
+@register(
+    "x15_largest_remainder_allocation",
+    """
+    WITH base AS (
+        SELECT l.l_orderkey, l.l_linenumber,
+               CAST(FLOOR(o.o_totalprice * 100) AS BIGINT) AS total_cents,
+               CAST(l.l_quantity AS BIGINT) AS q
+        FROM lineitem l JOIN orders o ON l.l_orderkey = o.o_orderkey
+    ),
+    sh AS (
+        SELECT *,
+               SUM(q) OVER (PARTITION BY l_orderkey) AS big_q,
+               (total_cents * q) // SUM(q) OVER (PARTITION BY l_orderkey) AS floor_cents,
+               (total_cents * q) % SUM(q) OVER (PARTITION BY l_orderkey) AS rem
+        FROM base
+    ),
+    rk AS (
+        SELECT *,
+               total_cents - SUM(floor_cents) OVER (PARTITION BY l_orderkey) AS leftover,
+               ROW_NUMBER() OVER (PARTITION BY l_orderkey
+                                  ORDER BY rem DESC, l_linenumber) AS rn
+        FROM sh
+    )
+    SELECT l_orderkey, l_linenumber,
+           CAST(floor_cents + CASE WHEN rn <= leftover THEN 1 ELSE 0 END AS BIGINT)
+             AS alloc_cents
+    FROM rk
+    ORDER BY l_orderkey, l_linenumber
+    """,
+)
+def x15_largest_remainder_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X15: exact proportional allocation (largest-remainder method) —
+    split each order's total across its line items proportional to
+    quantity so the parts sum back to the whole EXACTLY. Naive
+    ROUND(total * q/Q) drifts by cents; largest-remainder gives each
+    row FLOOR(total*q/Q) and hands the leftover cents to the rows with
+    the biggest remainders (l_linenumber tiebreak → deterministic).
+    The billing/revenue-recognition primitive.
+
+    All windows share one l_orderkey partitioning → a single shuffle;
+    integer arithmetic throughout (max product ~5e7*50 << 2^63)."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_quantity")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice")
+    base = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        "l_orderkey",
+        "l_linenumber",
+        F.floor(F.col("o_totalprice") * 100).alias("total_cents"),
+        F.col("l_quantity").cast("bigint").alias("q"),
+    )
+    wp = Window.partitionBy("l_orderkey")
+    sh = base.select(
+        "l_orderkey",
+        "l_linenumber",
+        "total_cents",
+        F.expr("total_cents * q div sum(q) over (partition by l_orderkey)").alias(
+            "floor_cents"
+        ),
+        (F.col("total_cents") * F.col("q") % F.sum("q").over(wp)).alias("rem"),
+    )
+    rk = sh.select(
+        "l_orderkey",
+        "l_linenumber",
+        "floor_cents",
+        (F.col("total_cents") - F.sum("floor_cents").over(wp)).alias("leftover"),
+        F.row_number()
+        .over(Window.partitionBy("l_orderkey").orderBy(F.desc("rem"), "l_linenumber"))
+        .alias("rn"),
+    )
+    return rk.select(
+        "l_orderkey",
+        "l_linenumber",
+        (
+            F.col("floor_cents")
+            + F.when(F.col("rn") <= F.col("leftover"), 1).otherwise(0)
+        )
+        .cast("bigint")
+        .alias("alloc_cents"),
+    ).orderBy("l_orderkey", "l_linenumber")
+
+
+@register(
+    "a27_grouped_mode",
+    """
+    WITH cnt AS (
+        SELECT l_returnflag, l_linestatus,
+               CAST(l_quantity AS BIGINT) AS qty, COUNT(*) AS c
+        FROM lineitem GROUP BY l_returnflag, l_linestatus, CAST(l_quantity AS BIGINT)
+    )
+    SELECT l_returnflag, l_linestatus,
+           CAST(ARG_MAX(qty, c * 1000 - qty) AS BIGINT) AS mode_qty,
+           CAST(MAX(c) AS BIGINT) AS mode_count
+    FROM cnt
+    GROUP BY l_returnflag, l_linestatus
+    ORDER BY l_returnflag, l_linestatus
+    """,
+)
+def a27_grouped_mode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A27: deterministic grouped mode — the most frequent value per
+    group with an explicit smallest-value tiebreak. Built-in mode()
+    breaks ties arbitrarily (engine- and partition-order-dependent →
+    not reproducible); packing (count, -value) into one BIGINT priority
+    and taking arg_max makes the answer a pure function of the data.
+    Two-level aggregation: count per (group, value) shuffles on the
+    composite key (no skew), then a tiny per-group reduction."""
+    li = t(spark, sf_dir, "lineitem")
+    cnt = li.groupBy(
+        "l_returnflag",
+        "l_linestatus",
+        F.col("l_quantity").cast("bigint").alias("qty"),
+    ).agg(F.count(F.lit(1)).alias("c"))
+    return (
+        cnt.groupBy("l_returnflag", "l_linestatus")
+        .agg(
+            F.max_by("qty", F.col("c") * 1000 - F.col("qty"))
+            .cast("bigint")
+            .alias("mode_qty"),
+            F.max("c").cast("bigint").alias("mode_count"),
+        )
+        .orderBy("l_returnflag", "l_linestatus")
+    )
+
+
+@register(
+    "ev7_rfm_segmentation",
+    """
+    WITH cust AS (
+        SELECT o_custkey,
+               DATE_DIFF('day', CAST(MAX(o_orderdate) AS DATE),
+                         (SELECT CAST(MAX(o_orderdate) AS DATE) FROM orders)) AS rec_days,
+               CAST(COUNT(*) AS BIGINT) AS freq,
+               SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS mon_cents
+        FROM orders GROUP BY o_custkey
+    ),
+    cuts AS (
+        SELECT quantile_cont(rec_days, [0.2, 0.4, 0.6, 0.8]) AS rc,
+               quantile_cont(freq, [0.2, 0.4, 0.6, 0.8]) AS fc,
+               quantile_cont(mon_cents, [0.2, 0.4, 0.6, 0.8]) AS mc
+        FROM cust
+    )
+    SELECT r_score, f_score, m_score, CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM (
+        SELECT 1 + CAST(rec_days > rc[1] AS INT) + CAST(rec_days > rc[2] AS INT)
+                 + CAST(rec_days > rc[3] AS INT) + CAST(rec_days > rc[4] AS INT) AS r_score,
+               1 + CAST(freq > fc[1] AS INT) + CAST(freq > fc[2] AS INT)
+                 + CAST(freq > fc[3] AS INT) + CAST(freq > fc[4] AS INT) AS f_score,
+               1 + CAST(mon_cents > mc[1] AS INT) + CAST(mon_cents > mc[2] AS INT)
+                 + CAST(mon_cents > mc[3] AS INT) + CAST(mon_cents > mc[4] AS INT) AS m_score
+        FROM cust, cuts
+    )
+    GROUP BY r_score, f_score, m_score
+    ORDER BY r_score, f_score, m_score
+    """,
+)
+def ev7_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EV7: RFM customer segmentation — quintile scores on Recency
+    (days since last order, higher = staler), Frequency (order count)
+    and Monetary (lifetime cents), then segment population counts.
+
+    Scale shape: one groupBy(custkey) pass builds the RFM triple; the
+    four quintile cuts per dimension are ONE exact-percentile aggregate
+    producing a single 12-number row that broadcasts back (a23's
+    percentile-cuts-broadcast pattern — no global NTILE sort, no
+    1-partition window). Threshold scoring (not ranking) means ties
+    are handled identically in both engines; percentile interpolation
+    on exact integers is bit-identical cross-engine."""
+    o = t(spark, sf_dir, "orders")
+    max_date = o.agg(F.max(F.to_date("o_orderdate")).alias("gmax"))
+    cust = (
+        o.groupBy("o_custkey")
+        .agg(
+            F.max(F.to_date("o_orderdate")).alias("last_date"),
+            F.count(F.lit(1)).cast("bigint").alias("freq"),
+            F.sum(F.floor(F.col("o_totalprice") * 100)).alias("mon_cents"),
+        )
+        .crossJoin(F.broadcast(max_date))
+        .select(
+            F.datediff("gmax", "last_date").cast("bigint").alias("rec_days"),
+            "freq",
+            "mon_cents",
+        )
+    )
+    cuts = cust.agg(
+        F.expr("percentile(rec_days, array(0.2, 0.4, 0.6, 0.8))").alias("rc"),
+        F.expr("percentile(freq, array(0.2, 0.4, 0.6, 0.8))").alias("fc"),
+        F.expr("percentile(mon_cents, array(0.2, 0.4, 0.6, 0.8))").alias("mc"),
+    )
+
+    def score(col: str, cuts_col: str) -> F.Column:
+        e = F.lit(1)
+        for i in range(4):
+            e = e + (F.col(col) > F.col(cuts_col)[i]).cast("int")
+        return e
+
+    scored = cust.crossJoin(F.broadcast(cuts)).select(
+        score("rec_days", "rc").alias("r_score"),
+        score("freq", "fc").alias("f_score"),
+        score("mon_cents", "mc").alias("m_score"),
+    )
+    return (
+        scored.groupBy("r_score", "f_score", "m_score")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
+        .orderBy("r_score", "f_score", "m_score")
+    )

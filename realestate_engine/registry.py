@@ -78,4 +78,5 @@ def load_all() -> None:
     import realestate_engine.timeseries  # noqa: F401
     import realestate_engine.packing  # noqa: F401
     import realestate_engine.queries_extra  # noqa: F401
+    import realestate_engine.queries_extra2  # noqa: F401
     import realestate_engine.graph  # noqa: F401

@@ -277,3 +277,50 @@ def test_glm_poisson_fit_sane(spark, sf_dir):
     assert [(r["term"], r["estimate"]) for r in rows] == [
         (r["term"], r["estimate"]) for r in rows2
     ]
+
+
+def test_largest_remainder_allocation_sums_exactly(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    alloc = QUERIES["x15_largest_remainder_allocation"](spark, sf_dir)
+    per_order = alloc.groupBy("l_orderkey").agg(F.sum("alloc_cents").alias("s"))
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select(
+        "o_orderkey", F.floor(F.col("o_totalprice") * 100).alias("total_cents")
+    )
+    bad = (
+        per_order.join(o, per_order.l_orderkey == o.o_orderkey)
+        .where(F.col("s") != F.col("total_cents"))
+        .count()
+    )
+    assert bad == 0  # every order's parts sum back to the whole, to the cent
+
+
+def test_rfm_scores_bounded_and_conserve_customers(spark, sf_dir):
+    rows = QUERIES["ev7_rfm_segmentation"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 1 <= r["r_score"] <= 5 and 1 <= r["f_score"] <= 5 and 1 <= r["m_score"] <= 5
+    n_cust = (
+        spark.read.parquet(f"{sf_dir}/orders.parquet").select("o_custkey").distinct().count()
+    )
+    assert sum(r["n_customers"] for r in rows) == n_cust
+
+
+def test_grouped_mode_matches_pandas(spark, sf_dir):
+    rows = QUERIES["a27_grouped_mode"](spark, sf_dir).collect()
+    li = spark.read.parquet(f"{sf_dir}/lineitem.parquet").toPandas()
+    li["qty"] = li["l_quantity"].astype("int64")
+    for r in rows:
+        grp = li[(li.l_returnflag == r["l_returnflag"]) & (li.l_linestatus == r["l_linestatus"])]
+        vc = grp["qty"].value_counts()
+        top = vc[vc == vc.max()].index.min()  # smallest-value tiebreak
+        assert r["mode_qty"] == top and r["mode_count"] == vc.max()
+
+
+def test_time_weighted_avg_within_value_range(spark, sf_dir):
+    rows = QUERIES["x14_time_weighted_avg"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert r["n_intervals"] >= 1 and r["total_s"] >= 0
+        if r["twa_value"] is not None:
+            assert 0.0 <= r["twa_value"] <= 491.0  # convex combination of held values
