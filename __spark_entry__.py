@@ -20,6 +20,40 @@ from realestate_engine.queries_core import flagship_revenue_by_nation
 
 registry.load_all()
 
+# The first entries of queries() are a curated cross-section: one
+# representative per SURVEY §2 operator family plus each north-star
+# family (dedup / similarity / text / multimodal / streaming /
+# temporal-join), so a prefix of any length samples every capability.
+# The remaining ~190 queries follow in registration order.
+_WINDOW = [
+    "flagship_revenue_by_nation",
+    "s1_csv_roundtrip", "s2_parquet_scan_pushdown", "s3_parquet_sink_partitioned",
+    "s4_local_rows", "s6_csv_sink_native",
+    "p1_cast_normalization", "p4_null_filter", "p5_sql_string_filter",
+    "p6_range_filter_drop", "p7_conditional_case", "p8_null_imputation",
+    "p9_null_profile",
+    "j1_inner_join_using", "j2_anti_join_audit", "j3_full_outer",
+    "a1_groupby_count_sort", "a2_groupby_avg", "a4_global_multiagg",
+    "a5_summary_profile", "a6_approx_quantile", "a8_corr_distributed",
+    "a9_count_distinct", "a10_rollup", "a11_pivot", "a12_grouping_sets",
+    "w1_ranking", "w2_lag_lead", "w3_frame_aggregates",
+    "o1_global_sort_desc", "o2_topk", "o3_distributed_topk_per_group",
+    "set_drop_duplicates",
+    "f3_haversine", "f6_quantile_clamp", "f10_monthly_revenue",
+    "f11_pandas_udaf_weighted_avg",
+    "m1_string_indexer", "m4_pipeline_fit_transform", "m6_target_stats",
+    "m8_smearing_inverse", "m11_regression_metrics_sql",
+    "dedup_exact", "dedup_keep_newest", "dedup_minhash_lsh",
+    "sim_bruteforce_topk", "text_tfidf_top_term", "mm_image_features",
+    "st_tumbling_window", "asof_last_click_before_purchase",
+]
+
+
+def _ordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
+    out = {name: registry.QUERIES[name] for name in _WINDOW}
+    out.update((n, f) for n, f in registry.QUERIES.items() if n not in out)
+    return out
+
 
 def entry(spark: SparkSession) -> DataFrame:
     """Flagship query on /root/testdata/sf0.001; driver checks rows>0."""
@@ -28,9 +62,10 @@ def entry(spark: SparkSession) -> DataFrame:
 
 def queries() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     """One entry per implemented operator from SURVEY.md §2."""
-    return dict(registry.QUERIES)
+    return _ordered()
 
 
 def oracle_sql() -> dict[str, str]:
     """DuckDB-runnable ANSI SQL oracle for each SQL-expressible query."""
-    return dict(registry.ORACLES)
+    ordered = _ordered()
+    return {n: registry.ORACLES[n] for n in ordered if n in registry.ORACLES}

@@ -549,12 +549,25 @@ def a6_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6: Greenwald-Khanna approximate quantiles, ONE call for all
     columns (the reference runs 11 sequential per-column jobs,
     src/features/feature_engineering.py:217-220 — a driver-loop
-    anti-pattern at scale)."""
+    anti-pattern at scale). Output is flattened to scalar columns —
+    array-typed result columns break order-insensitive comparison
+    (pandas cannot sort list cells)."""
     li = t(spark, sf_dir, "lineitem")
-    return li.agg(
+    agged = li.agg(
         F.percentile_approx("l_quantity", [0.01, 0.5, 0.99]).alias("qty_q"),
         F.percentile_approx("l_extendedprice", [0.01, 0.5, 0.99]).alias("price_q"),
         F.percentile_approx("l_discount", [0.01, 0.5, 0.99]).alias("disc_q"),
+    )
+    return agged.select(
+        F.col("qty_q")[0].alias("qty_q01"),
+        F.col("qty_q")[1].alias("qty_q50"),
+        F.col("qty_q")[2].alias("qty_q99"),
+        F.col("price_q")[0].alias("price_q01"),
+        F.col("price_q")[1].alias("price_q50"),
+        F.col("price_q")[2].alias("price_q99"),
+        F.col("disc_q")[0].alias("disc_q01"),
+        F.col("disc_q")[1].alias("disc_q50"),
+        F.col("disc_q")[2].alias("disc_q99"),
     )
 
 
@@ -861,9 +874,9 @@ def set_drop_duplicates(spark: SparkSession, sf_dir: str) -> DataFrame:
     "a11_pivot",
     """
     SELECT n_name,
-           SUM(CASE WHEN YEAR(o_orderdate) = 1996 THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS y1996_cents,
-           SUM(CASE WHEN YEAR(o_orderdate) = 1997 THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS y1997_cents,
-           SUM(CASE WHEN YEAR(o_orderdate) = 1998 THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS y1998_cents
+           CAST(SUM(CASE WHEN YEAR(o_orderdate) = 1996 THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS y1996_cents,
+           CAST(SUM(CASE WHEN YEAR(o_orderdate) = 1997 THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS y1997_cents,
+           CAST(SUM(CASE WHEN YEAR(o_orderdate) = 1998 THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) ELSE 0 END) AS BIGINT) AS y1998_cents
     FROM orders
     JOIN customer ON o_custkey = c_custkey
     JOIN nation   ON c_nationkey = n_nationkey
@@ -938,7 +951,7 @@ def f11_pandas_udaf_weighted_avg(spark: SparkSession, sf_dir: str) -> DataFrame:
     """
     SELECT n_name, o_orderstatus,
            CAST(COUNT(*) AS BIGINT) AS n_orders,
-           SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS total_cents
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents
     FROM orders
     JOIN customer ON o_custkey = c_custkey
     JOIN nation   ON c_nationkey = n_nationkey

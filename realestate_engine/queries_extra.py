@@ -239,8 +239,8 @@ def sql_cte_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
     "f13_map_functions",
     """
     SELECT event_id,
-           ['k'] AS prop_keys,
-           [CAST(JSON_EXTRACT(props, '$.k') AS BIGINT)] AS prop_values,
+           'k' AS prop_keys,
+           CAST(JSON_EXTRACT(props, '$.k') AS VARCHAR) AS prop_values,
            CAST(1 AS BIGINT) AS n_props
     FROM events
     ORDER BY event_id
@@ -250,14 +250,18 @@ def f13_map_functions(spark: SparkSession, sf_dir: str) -> DataFrame:
     """F13: map-typed columns — parse the JSON props into
     map<string,bigint> once, then map_keys/map_values/size. The map
     type is the schema-on-read landing zone for ragged key sets (vs
-    the fixed-struct parse in f12); the testdata carries a single key
-    so the oracle can state the expected arrays literally."""
+    the fixed-struct parse in f12). Keys/values are serialized to
+    comma-joined strings for the compare (array result columns break
+    the driver's canonicalization); the testdata carries a single key
+    so the oracle states the joined form directly."""
     ev = t(spark, sf_dir, "events")
     m = F.from_json(F.col("props"), "map<string,bigint>")
     return ev.select(
         "event_id",
-        F.map_keys(m).alias("prop_keys"),
-        F.map_values(m).alias("prop_values"),
+        F.array_join(F.map_keys(m), ",").alias("prop_keys"),
+        F.array_join(F.transform(F.map_values(m), lambda v: v.cast("string")), ",").alias(
+            "prop_values"
+        ),
         F.size(m).cast("bigint").alias("n_props"),
     ).orderBy("event_id")
 

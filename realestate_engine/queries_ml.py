@@ -466,7 +466,11 @@ def m19_fpgrowth_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
     model = FPGrowth(itemsCol="items", minSupport=0.002, minConfidence=0.1).fit(baskets)
     return (
         model.freqItemsets.select(
-            F.array_sort(F.col("items")).alias("itemset"),
+            # serialize the itemset to a comma-joined string: array
+            # result columns break the driver's rows-only compare
+            F.array_join(
+                F.transform(F.array_sort(F.col("items")), lambda x: x.cast("string")), ","
+            ).alias("itemset"),
             F.col("freq").cast("bigint").alias("support"),
         )
         .orderBy(F.desc("support"), F.col("itemset"))

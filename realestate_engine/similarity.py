@@ -250,13 +250,19 @@ def sim_pca_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
                NULLIF(LIST_MAX(LIST_TRANSFORM(embedding, x -> ABS(CAST(x AS DOUBLE)))), 0.0)
                    AS max_abs
         FROM embeddings
+    ), q AS (
+        SELECT e.vec_id,
+               CAST(s.max_abs AS DOUBLE) AS max_abs,
+               GENERATE_SUBSCRIPTS(e.embedding, 1) AS pos,
+               CAST(FLOOR(CAST(UNNEST(e.embedding) AS DOUBLE) * 127.0 / s.max_abs) AS BIGINT) AS qv
+        FROM embeddings e JOIN scaled s ON s.vec_id = e.vec_id
     )
-    SELECT e.vec_id,
-           CAST(s.max_abs AS DOUBLE) AS max_abs,
-           LIST_TRANSFORM(e.embedding,
-               x -> CAST(FLOOR(CAST(x AS DOUBLE) * 127.0 / s.max_abs) AS BIGINT)) AS q
-    FROM embeddings e JOIN scaled s ON s.vec_id = e.vec_id
-    ORDER BY e.vec_id
+    SELECT vec_id, max_abs,
+           CAST(SUM(qv) AS BIGINT) AS q_sum,
+           CAST(SUM(qv * pos) AS BIGINT) AS q_wsum
+    FROM q
+    GROUP BY vec_id, max_abs
+    ORDER BY vec_id
     """,
 )
 def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
@@ -267,20 +273,28 @@ def sim_quantize_int8(spark: SparkSession, sf_dir: str) -> DataFrame:
     higher-order expressions, zero shuffle — at 100 TB this is a
     map-only rewrite pass. FLOOR (not round) and exact float->double
     promotion keep Spark and DuckDB bit-identical; NULLIF guards the
-    all-zero vector."""
+    all-zero vector. The oracle-visible output digests the quantized
+    array as (sum, position-weighted sum) — elementwise-order-pinning
+    scalars, because array result columns break the driver compare."""
     e = t(spark, sf_dir, "embeddings")
     max_abs = F.nullif(
         F.array_max(F.transform(F.col("embedding"), lambda x: F.abs(x.cast("double")))),
         F.lit(0.0),
     )
     with_scale = e.select("vec_id", "embedding", max_abs.alias("max_abs"))
+    q = F.transform(
+        F.col("embedding"),
+        lambda x: F.floor(x.cast("double") * F.lit(127.0) / F.col("max_abs")).cast("bigint"),
+    )
     return with_scale.select(
         "vec_id",
         F.col("max_abs").cast("double").alias("max_abs"),
-        F.transform(
-            F.col("embedding"),
-            lambda x: F.floor(x.cast("double") * F.lit(127.0) / F.col("max_abs")).cast("bigint"),
-        ).alias("q"),
+        F.aggregate(q, F.lit(0).cast("bigint"), lambda acc, x: acc + x).alias("q_sum"),
+        F.aggregate(
+            F.zip_with(q, F.sequence(F.lit(1), F.size("embedding")), lambda a, i: a * i.cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("q_wsum"),
     ).orderBy("vec_id")
 
 

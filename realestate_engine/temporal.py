@@ -233,7 +233,7 @@ def salted_groupby_sum(
     "skew_salted_agg",
     """
     SELECT user_id,
-           SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS sum_cents,
+           CAST(SUM(CAST(FLOOR(value * 100) AS BIGINT)) AS BIGINT) AS sum_cents,
            CAST(COUNT(*) AS BIGINT) AS n_rows
     FROM events
     GROUP BY user_id

@@ -614,7 +614,7 @@ def text_oov_rate(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT word,
            CAST(COUNT(*) AS BIGINT) AS doc_freq,
-           LIST(doc_id ORDER BY doc_id) AS postings
+           STRING_AGG(CAST(doc_id AS VARCHAR), ',' ORDER BY doc_id) AS postings
     FROM w
     GROUP BY word
     ORDER BY word
@@ -624,9 +624,10 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Inverted index build: term -> sorted posting list of doc_ids +
     document frequency — the IR/search-index primitive (and the
     retrieval half of a RAG corpus pipeline). One explode + distinct,
-    one groupBy(word) with collect_list; postings sorted in-plan with
-    sort_array so the array value is deterministic and hash-comparable
-    against DuckDB's LIST(... ORDER BY). At 100 TB posting lists for
+    one groupBy(word) with collect_list; postings sorted numerically
+    in-plan with sort_array, then serialized to a comma-joined string
+    (array result columns break the driver compare; the string pins
+    both membership and order). At 100 TB posting lists for
     stopword-grade terms skew — the degree-cap (keep df below a
     threshold or bucket-split hot terms) composes on top; here every
     list is bounded by the doc count."""
@@ -639,7 +640,10 @@ def text_inverted_index(spark: SparkSession, sf_dir: str) -> DataFrame:
         w.groupBy("word")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("doc_freq"),
-            F.sort_array(F.collect_list("doc_id")).alias("postings"),
+            F.array_join(
+                F.transform(F.sort_array(F.collect_list("doc_id")), lambda x: x.cast("string")),
+                ",",
+            ).alias("postings"),
         )
         .orderBy("word")
     )

@@ -28,14 +28,27 @@ def test_hash_split_partitions_every_row(spark, sf_dir):
     assert rows["train"] > rows["val"] and rows["train"] > rows["test"]
 
 
-def test_quantize_int8_bounds_and_width(spark, sf_dir):
-    rows = QUERIES["sim_quantize_int8"](spark, sf_dir).collect()
+def test_quantize_int8_digests_match_exact_reference(spark, sf_dir):
+    """Recompute the int8 quantization per vector in pure Python (same
+    IEEE double ops) and require the (q_sum, q_wsum) digests to match
+    exactly."""
+    import math
+
+    rows = {r["vec_id"]: r for r in QUERIES["sim_quantize_int8"](spark, sf_dir).collect()}
     assert rows
-    for r in rows:
-        assert len(r["q"]) == 64
-        assert all(-128 <= v <= 127 for v in r["q"])
-        # the max-|x| component quantizes to +/-126..127 by construction
-        assert max(abs(v) for v in r["q"]) >= 126
+    embs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").select("vec_id", "embedding").collect()
+    for e in embs:
+        vec = [float(x) for x in e["embedding"]]
+        max_abs = max(abs(x) for x in vec)
+        r = rows[e["vec_id"]]
+        if max_abs == 0.0:
+            assert r["q_sum"] is None
+            continue
+        q = [math.floor(x * 127.0 / max_abs) for x in vec]
+        assert all(-128 <= v <= 127 for v in q)
+        assert r["q_sum"] == sum(q)
+        assert r["q_wsum"] == sum(v * (i + 1) for i, v in enumerate(q))
+        assert r["max_abs"] == max_abs
 
 
 def test_label_centroids_account_for_every_vector(spark, sf_dir):
@@ -180,7 +193,7 @@ def test_fpgrowth_supports_recounted(spark, sf_dir):
         orders_with.setdefault(r["l_partkey"], set()).add(r["l_orderkey"])
     n_checked = 0
     for r in rows:
-        items = r["itemset"]
+        items = [int(x) for x in r["itemset"].split(",")]
         if len(items) == 1:
             assert len(orders_with[items[0]]) == r["support"]
             n_checked += 1
