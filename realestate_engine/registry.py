@@ -43,10 +43,15 @@ def register(name: str, sql: str | None = None) -> Callable[[QueryFn], QueryFn]:
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver testdata table.
 
-    The events table stores ts as parquet TIMESTAMP(NANOS), which Spark
-    cannot map to TimestampType natively — read it as long nanos and
-    convert to a microsecond timestamp (integer division, no precision
-    loss at the data's actual µs resolution).
+    The events table's ts column has varied across driver testdata
+    generations: parquet TIMESTAMP(NANOS) (unmappable natively — read
+    as long nanos via legacy.parquet.nanosAsLong and convert, no
+    precision loss at the data's µs resolution) or TIMESTAMP(MICROS)
+    with isAdjustedToUTC=false (read as TIMESTAMP_NTZ, which Spark 4
+    rejects in unix_micros/window functions). Normalize both to plain
+    TimestampType here; the session timezone is pinned UTC so the
+    NTZ→TZ cast preserves wall-clock values and matches DuckDB's naive
+    read of the same file.
     """
     from pyspark.sql import functions as F
 
@@ -57,8 +62,11 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     if name == "events":
         spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
         df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
-        if dict(df.dtypes).get("ts") == "bigint":
+        ts_type = dict(df.dtypes).get("ts")
+        if ts_type == "bigint":
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
+        elif ts_type == "timestamp_ntz":
+            df = df.withColumn("ts", F.col("ts").cast("timestamp"))
         return df
     return spark.read.parquet(f"{sf_dir}/{name}.parquet")
 
