@@ -341,3 +341,57 @@ def sim_label_centroids(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("label", "pos")
     )
+
+
+@register(
+    "sim_matryoshka_topk",
+    """
+    WITH sliced AS (
+        SELECT vec_id,
+               embedding[1:16]::DOUBLE[] AS e16,
+               embedding::DOUBLE[] AS e64
+        FROM embeddings
+    ),
+    p AS (SELECT e16 AS p16, e64 AS p64 FROM sliced WHERE vec_id = 0)
+    SELECT vec_id,
+           ROUND(LIST_DOT_PRODUCT(e16, p.p16)
+                 / (SQRT(LIST_DOT_PRODUCT(e16, e16)) * SQRT(LIST_DOT_PRODUCT(p.p16, p.p16))), 6)
+               AS cosine16,
+           ROUND(LIST_DOT_PRODUCT(e64, p.p64)
+                 / (SQRT(LIST_DOT_PRODUCT(e64, e64)) * SQRT(LIST_DOT_PRODUCT(p.p64, p.p64))), 6)
+               AS cosine64
+    FROM sliced CROSS JOIN p
+    ORDER BY cosine16 DESC, vec_id
+    LIMIT 20
+    """,
+)
+def sim_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N6: matryoshka-style truncated-embedding retrieval — rank by
+    cosine on the FIRST 16 of 64 dimensions (cosine renormalizes the
+    prefix implicitly), returning the full-dimension cosine alongside
+    for quality comparison. This is the standard cheap-first retrieval
+    trick for MRL-trained embeddings: a prefix scan reads/computes 1/4
+    of the vector bytes; re-ranking the short candidate list with full
+    vectors restores accuracy. At 100 TB the corpus stores the prefix
+    as its own column (column pruning skips the tail entirely); here
+    slice() keeps the demo single-table. Same plan shape as
+    sim_bruteforce_topk: 1-row broadcast probe, map-side cosine in
+    codegen, TakeOrderedAndProject — no corpus shuffle."""
+    e = t(spark, sf_dir, "embeddings").select(
+        "vec_id",
+        F.slice(F.col("embedding"), 1, 16).alias("e16"),
+        F.col("embedding").alias("e64"),
+    )
+    probe = e.filter(F.col("vec_id") == 0).select(
+        F.col("e16").alias("p16"), F.col("e64").alias("p64")
+    )
+    joined = e.crossJoin(F.broadcast(probe))
+    return (
+        joined.select(
+            "vec_id",
+            F.round(cosine_sim(F.col("e16"), F.col("p16")), 6).alias("cosine16"),
+            F.round(cosine_sim(F.col("e64"), F.col("p64")), 6).alias("cosine64"),
+        )
+        .orderBy(F.col("cosine16").desc(), "vec_id")
+        .limit(20)
+    )

@@ -959,3 +959,153 @@ def text_bm25_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("bm25"), "doc_id")
         .limit(20)
     )
+
+
+@register(
+    "corpus_token_budget",
+    r"""
+    WITH scored AS (
+        SELECT doc_id,
+               CAST(LEN(words) AS BIGINT) AS tok,
+               CAST((1000 * LEN(LIST_DISTINCT(words))) // LEN(words) AS BIGINT) AS score_milli
+        FROM (
+            SELECT doc_id, STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+') AS words
+            FROM documents
+        )
+    ),
+    b AS (SELECT SUM(tok) // 4 AS budget FROM scored),
+    c AS (
+        SELECT doc_id, score_milli, tok,
+               SUM(tok) OVER (ORDER BY score_milli DESC, doc_id) AS cum_tok
+        FROM scored
+    )
+    SELECT doc_id, score_milli, tok, CAST(cum_tok AS BIGINT) AS cum_tok
+    FROM c, b
+    WHERE cum_tok <= budget
+    ORDER BY cum_tok
+    """,
+)
+def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T9: budget-constrained corpus selection — keep the best documents
+    (by lexical-diversity score, unique-words-per-word in exact milli
+    units) until a token budget is exhausted: the "select top documents
+    until N tokens" step every pretraining-data pipeline runs after
+    scoring.
+
+    The cutoff needs a GLOBAL running sum in score order, and a naive
+    ``SUM() OVER (ORDER BY score)`` funnels the whole corpus through one
+    task (Spark warns `No Partition Defined for Window operation`).
+    Implemented instead as the scalable two-phase prefix sum:
+
+    1. ``repartitionByRange`` on (score DESC, doc_id) — the sort key is
+       a total order, so ranges partition the global order;
+    2. per-partition running sums via a window PARTITIONED by
+       ``spark_partition_id()`` (parallel, no global funnel);
+    3. per-partition totals (one tiny row per partition) get exclusive
+       prefix offsets via a window over that partition-count-sized
+       frame, broadcast back, and ``global cum = offset + local cum``.
+
+    At 100 TB step 3's frame is # partitions rows — KBs — while all
+    row-level work stays fully parallel. Same shape as p14_dense_reid's
+    zipWithIndex replacement (queries_extra.py:1627). The budget (total
+    tokens div 4) is a 1-row broadcast, never a driver constant."""
+    d = t(spark, sf_dir, "documents")
+    # Integer `div` (not `/`, which is double division in Spark) so the
+    # milli score matches DuckDB's `//` exactly.
+    scored = d.select(
+        "doc_id",
+        F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).cast("bigint").alias("tok"),
+        F.expr(
+            "CAST(1000 * size(array_distinct(split(lower(trim(text)), '\\\\s+'))) AS BIGINT) "
+            "div size(split(lower(trim(text)), '\\\\s+'))"
+        ).alias("score_milli"),
+    )
+    budget = scored.agg(F.expr("CAST(sum(tok) AS BIGINT) div 4").alias("budget"))
+
+    n_parts = 8
+    ranked = scored.repartitionByRange(
+        n_parts, F.col("score_milli").desc(), F.col("doc_id")
+    ).withColumn("pid", F.spark_partition_id())
+    w_local = (
+        Window.partitionBy("pid")
+        .orderBy(F.col("score_milli").desc(), "doc_id")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = ranked.withColumn("local_cum", F.sum("tok").over(w_local))
+    totals = ranked.groupBy("pid").agg(F.sum("tok").alias("ptot"))
+    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select("pid", F.coalesce(F.sum("ptot").over(w_off), F.lit(0)).alias("off"))
+    return (
+        local.join(F.broadcast(offsets), "pid")
+        .crossJoin(F.broadcast(budget))
+        .select(
+            "doc_id",
+            "score_milli",
+            "tok",
+            (F.col("off") + F.col("local_cum")).cast("bigint").alias("cum_tok"),
+            "budget",
+        )
+        .where(F.col("cum_tok") <= F.col("budget"))
+        .select("doc_id", "score_milli", "tok", "cum_tok")
+        .orderBy("cum_tok")
+    )
+
+
+@register(
+    "corpus_mixture_sample",
+    """
+    WITH rates(lang, rate_milli) AS (
+        VALUES ('en', 400), ('de', 800), ('es', 800), ('fr', 800), ('zh', 800)
+    ),
+    sel AS (
+        SELECT d.lang, r.rate_milli,
+               CASE WHEN (d.doc_id * 2654435761) % 1000 < r.rate_milli
+                    THEN 1 ELSE 0 END AS keep
+        FROM documents d JOIN rates r ON d.lang = r.lang
+    )
+    SELECT lang, CAST(rate_milli AS BIGINT) AS rate_milli,
+           CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(SUM(keep) AS BIGINT) AS n_kept
+    FROM sel GROUP BY lang, rate_milli ORDER BY lang
+    """,
+)
+def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T10: mixture rebalancing by deterministic hash sampling — the
+    corpus-composition step of a pretraining pipeline: downsample the
+    overrepresented language (en is ~44% of the corpus) toward a target
+    mixture by keeping each doc iff ``hash(doc_id) mod 1000 <
+    rate_milli[lang]``.
+
+    Hash-threshold sampling (vs ``rand()``) is reproducible across
+    engines/reruns/cluster sizes and composable: rerunning on a superset
+    keeps a superset, and unioning shards never double-samples. The
+    Knuth multiplicative hash here (``doc_id * 2654435761 mod 1000``,
+    exact BIGINT both engines) stands in for xxhash64(content) in
+    production — the arithmetic is portable to the DuckDB oracle, the
+    plan shape identical. Rates arrive as a broadcast dim (a real
+    mixture config table), not a CASE expression — at 100 TB the config
+    is data, joined map-side."""
+    rates = spark.createDataFrame(
+        [("en", 400), ("de", 800), ("es", 800), ("fr", 800), ("zh", 800)],
+        "lang string, rate_milli long",
+    )
+    d = t(spark, sf_dir, "documents")
+    keep = F.when(
+        (F.col("doc_id") * F.lit(2654435761)) % 1000 < F.col("rate_milli"), F.lit(1)
+    ).otherwise(F.lit(0))
+    return (
+        d.join(F.broadcast(rates), "lang")
+        .select("lang", "rate_milli", keep.alias("keep"))
+        .groupBy("lang", "rate_milli")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_total"),
+            F.sum("keep").cast("bigint").alias("n_kept"),
+        )
+        .select(
+            "lang",
+            F.col("rate_milli").cast("bigint").alias("rate_milli"),
+            "n_total",
+            "n_kept",
+        )
+        .orderBy("lang")
+    )

@@ -236,3 +236,69 @@ def ts_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cusum_scaled").cast("bigint").alias("cusum_scaled"),
         (F.abs(F.col("cusum_scaled")) * 10 > F.col("total") * 2).alias("is_changepoint"),
     ).orderBy("month")
+
+
+@register(
+    "ts_ewma_int",
+    """
+    WITH RECURSIVE seq AS (
+        SELECT user_id, event_id,
+               CAST(FLOOR(value * 1000) AS BIGINT) AS v,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    ew AS (
+        SELECT user_id, rn, v AS ewma FROM seq WHERE rn = 1
+        UNION ALL
+        SELECT s.user_id, s.rn, (e.ewma + s.v) // 2
+        FROM ew e JOIN seq s ON s.user_id = e.user_id AND s.rn = e.rn + 1
+    )
+    SELECT user_id,
+           CAST(MAX(rn) AS BIGINT) AS n_events,
+           CAST(ARG_MAX(ewma, rn) AS BIGINT) AS ewma_milli
+    FROM ew GROUP BY user_id ORDER BY user_id
+    """,
+)
+def ts_ewma_int(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS5: exponentially-weighted moving average per user (alpha=1/2),
+    the classic smoothing/feature op a sequential model pipeline needs.
+    EWMA is an order-dependent recurrence — not a commutative aggregate
+    — so it cannot be a groupBy.agg; it is the canonical applyInPandas
+    case: Spark shuffles each user's events to one Arrow batch, a
+    vectorized-adjacent Python loop runs the recurrence over the sorted
+    batch, and users process in parallel (150 users here; millions of
+    independent groups at 100 TB — the parallelism is the group count,
+    and no group outgrows one executor's memory since a user's history
+    is bounded).
+
+    Determinism: milli-scaled BIGINT state with `(prev + x) // 2` —
+    exact integer halving both engines (values are strictly positive,
+    so DuckDB/Spark truncating division and Python floor division
+    agree). The oracle states the same recurrence as a RECURSIVE CTE
+    stepping row_number within user. A float EWMA would drift by
+    summation order and could not be hash-compared."""
+    import math
+
+    import pandas as pd
+
+    ev = t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+
+    def ewma(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        state = None
+        for x in pdf["value"].to_numpy():
+            v = int(math.floor(x * 1000))
+            state = v if state is None else (state + v) // 2
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_events": [len(pdf)],
+                "ewma_milli": [state],
+            }
+        )
+
+    return (
+        ev.groupBy("user_id")
+        .applyInPandas(ewma, "user_id long, n_events long, ewma_milli long")
+        .orderBy("user_id")
+    )

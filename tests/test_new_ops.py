@@ -337,3 +337,51 @@ def test_time_weighted_avg_within_value_range(spark, sf_dir):
         assert r["n_intervals"] >= 1 and r["total_s"] >= 0
         if r["twa_value"] is not None:
             assert 0.0 <= r["twa_value"] <= 491.0  # convex combination of held values
+
+
+def test_token_budget_is_prefix_of_score_order(spark, sf_dir):
+    rows = QUERIES["corpus_token_budget"](spark, sf_dir).collect()
+    assert rows
+    # cum_tok is the running sum of tok in (score desc, doc_id) order
+    run = 0
+    for r in sorted(rows, key=lambda r: (-r["score_milli"], r["doc_id"])):
+        run += r["tok"]
+        assert r["cum_tok"] == run
+    # the selection is a prefix: everything dropped scores <= everything kept
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").toPandas()
+    total_docs = len(docs)
+    assert len(rows) < total_docs  # budget is 1/4 of tokens -> a strict subset
+
+
+def test_mixture_sample_matches_exact_recount(spark, sf_dir):
+    rows = {r["lang"]: r for r in QUERIES["corpus_mixture_sample"](spark, sf_dir).collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").toPandas()
+    rates = {"en": 400, "de": 800, "es": 800, "fr": 800, "zh": 800}
+    for lang, grp in docs.groupby("lang"):
+        kept = sum(1 for i in grp["doc_id"] if (int(i) * 2654435761) % 1000 < rates[lang])
+        assert rows[lang]["n_total"] == len(grp)
+        assert rows[lang]["n_kept"] == kept
+
+
+def test_ewma_matches_pure_python(spark, sf_dir):
+    import math
+
+    rows = {r["user_id"]: r for r in QUERIES["ts_ewma_int"](spark, sf_dir).collect()}
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").toPandas()
+    ev = ev.sort_values(["ts", "event_id"])
+    for uid, grp in ev.groupby("user_id"):
+        state = None
+        for x in grp["value"]:
+            v = int(math.floor(x * 1000))
+            state = v if state is None else (state + v) // 2
+        assert rows[uid]["n_events"] == len(grp)
+        assert rows[uid]["ewma_milli"] == state
+
+
+def test_matryoshka_prefix_selfmatch_and_bounds(spark, sf_dir):
+    rows = QUERIES["sim_matryoshka_topk"](spark, sf_dir).collect()
+    assert rows and rows[0]["vec_id"] == 0  # self-match ranks first
+    assert abs(rows[0]["cosine16"] - 1.0) < 1e-6 and abs(rows[0]["cosine64"] - 1.0) < 1e-6
+    for r in rows:
+        assert -1.000001 <= r["cosine16"] <= 1.000001
+        assert -1.000001 <= r["cosine64"] <= 1.000001

@@ -75,9 +75,24 @@ def audit_one(name, fn, sql, spark, con, sf) -> list[str]:
     if len(sdf) != len(odf):
         problems.append(f"rowcount spark={len(sdf)} oracle={len(odf)}")
         return problems
+    import datetime
+
     for c in sorted(sdf.columns):
         ks, ko = dtype_kind(sdf[c]), dtype_kind(odf[c])
         if ks != ko:
+            # Spark DateType arrives as object(datetime.date) while
+            # DuckDB DATE arrives as datetime64 — the driver's compare
+            # canonicalizes both (verified: p1_cast_normalization
+            # hash-matched in CORRECTNESS_r02 with this exact shape).
+            first = sdf[c].dropna()
+            if (
+                ks == "obj"
+                and ko == "ts"
+                and len(first)
+                and isinstance(first.iloc[0], datetime.date)
+            ):
+                sdf[c] = pd.to_datetime(sdf[c])
+                continue
             problems.append(f"DTYPE col {c}: spark={sdf[c].dtype}({ks}) oracle={odf[c].dtype}({ko})")
     if any(p.startswith(("COMPLEX", "DTYPE")) for p in problems):
         return problems
