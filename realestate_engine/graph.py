@@ -63,26 +63,20 @@ def pagerank_fixed_point(edges: DataFrame, n_iter: int = N_ITER) -> DataFrame:
     degree >= 1 (edges are bidirectional), so there is no dangling-mass
     term. Per iteration: contribution = rank div out_degree (integer),
     new rank = base + 85% of the contribution sum — all BIGINT."""
-    from pyspark.sql import Window
-
-    # Partition the (static) edge list by src ONCE, attach out-degree
-    # with a window count in that same layout (no self-join), and cache
-    # the result. Everything downstream — node set, node count, and all
-    # n_iter rank joins — reads this one cached artifact, so the
-    # expensive edge build (lineitem ⋈ orders + distinct) runs exactly
-    # once. Every iteration then shuffles only the small rank vector to
-    # the edges, never the edges themselves — the Pregel/GraphX
+    # Partition the (static) edge list by src ONCE and cache that
+    # narrow (src, dst) artifact. Out-degrees come from a groupBy on
+    # the SAME partitioning — a zero-shuffle partial aggregate — not a
+    # window count, which would materialize a per-partition sort of the
+    # whole edge list inside the cache build (measured ~2x the build
+    # cost at sf0.1). Everything downstream — node set, node count,
+    # degree join, and all n_iter rank joins — reuses the cached
+    # src-hash layout, so per iteration only the node-sized rank/degree
+    # frames shuffle (plus the unavoidable groupBy(dst) of
+    # contributions), never the edges themselves — the Pregel/GraphX
     # distribution strategy.
-    edges_deg = (
-        edges.repartition("src")
-        .select(
-            "src",
-            "dst",
-            F.count(F.lit(1)).over(Window.partitionBy("src")).alias("d"),
-        )
-        .cache()
-    )
-    nodes = edges_deg.select(F.col("src").alias("node")).distinct()
+    edges_p = edges.repartition("src").cache()
+    deg = edges_p.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    nodes = deg.select(F.col("src").alias("node"))
     n_nodes = nodes.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     # base = floor(0.15 * SCALE / N), init = floor(SCALE / N): 1-row
     # broadcast, exact integers.
@@ -91,11 +85,13 @@ def pagerank_fixed_point(edges: DataFrame, n_iter: int = N_ITER) -> DataFrame:
         .select("node", F.expr(f"{SCALE} div n").alias("rank_micro"), "n")
     )
     for _ in range(n_iter):
+        # node-sized: rank div degree per source, landing on the
+        # src-hash layout so the edge join below is colocated.
+        outflow = deg.join(
+            ranks.select(F.col("node").alias("src"), "rank_micro", "n"), "src"
+        ).select("src", F.expr("rank_micro div d").alias("contrib"), "n")
         contrib = (
-            edges_deg.join(
-                ranks.select(F.col("node").alias("src"), "rank_micro", "n"), "src"
-            )
-            .select("dst", F.expr("rank_micro div d").alias("contrib"), "n")
+            edges_p.join(outflow, "src")
             .groupBy("dst")
             .agg(F.sum("contrib").alias("inflow"), F.first("n").alias("n"))
         )
@@ -283,15 +279,13 @@ def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     only changes are the seed-restricted init and base term. The seed
     flag joins as a tiny broadcast; everything else reuses the cached
     src-partitioned edge layout."""
-    from pyspark.sql import Window
-
     edges = trade_edges(spark, sf_dir)
-    edges_deg = (
-        edges.repartition("src")
-        .select("src", "dst", F.count(F.lit(1)).over(Window.partitionBy("src")).alias("d"))
-        .cache()
-    )
-    nodes = edges_deg.select(F.col("src").alias("node")).distinct()
+    # Same cached-narrow-edges + zero-shuffle degree aggregate as
+    # pagerank_fixed_point (see its comment; the window-count variant
+    # pays a full edge sort in the cache build).
+    edges_p = edges.repartition("src").cache()
+    deg = edges_p.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    nodes = deg.select(F.col("src").alias("node"))
     seeds = (
         t(spark, sf_dir, "customer")
         .where(F.col("c_nationkey") == 0)
@@ -312,9 +306,11 @@ def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     seed_flag = seeds.select(F.col("node").alias("dst"), F.lit(1).alias("_sd"))
     for _ in range(3):
+        outflow = deg.join(
+            ranks.select(F.col("node").alias("src"), "rank_micro", "n"), "src"
+        ).select("src", F.expr("rank_micro div d").alias("contrib"), "n")
         contrib = (
-            edges_deg.join(ranks.select(F.col("node").alias("src"), "rank_micro", "n"), "src")
-            .select("dst", F.expr("rank_micro div d").alias("contrib"), "n")
+            edges_p.join(outflow, "src")
             .groupBy("dst")
             .agg(F.sum("contrib").alias("inflow"), F.first("n").alias("n"))
         )

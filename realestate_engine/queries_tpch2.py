@@ -480,10 +480,20 @@ def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q21 shape (EXISTS + NOT EXISTS): suppliers solely
     responsible for late multi-supplier 'F' orders. No
     l_receiptdate/l_commitdate in the testdata, so "late" is
-    l_shipdate > o_orderdate + 60 days (tpch_q4's proxy). The EXISTS
-    becomes a LEFT SEMI and the NOT EXISTS a LEFT ANTI join on
-    l_orderkey with the supplier-inequality as a join residual — all
-    three legs share the l_orderkey shuffle key."""
+    l_shipdate > o_orderdate + 60 days (tpch_q4's proxy).
+
+    The EXISTS/NOT-EXISTS pair is rewritten to per-order supplier
+    cardinalities (the standard Q21 decorrelation):
+    - EXISTS other-supplier lineitem  <=> the order's FULL supplier
+      set has >= 2 members (l1's own supplier is always a member);
+    - NOT EXISTS other LATE supplier  <=> the order's LATE supplier
+      set is exactly {l1.l_suppkey} <=> its size is 1.
+    The naive semi+anti formulation scans the late subplan twice and
+    lineitem three times; this form scans lineitem twice, gets the
+    late-set size from a collect_set window on the SAME l_orderkey
+    shuffle the late build already pays, and joins one 1-col-per-order
+    aggregate — every leg still keyed on l_orderkey, group sizes
+    bounded by lines-per-order, so the shape holds at 100 TB."""
     li = t(spark, sf_dir, "lineitem")
     o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     late = (
@@ -491,25 +501,20 @@ def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
         .select("l_orderkey", "l_suppkey")
     )
+    w = Window.partitionBy("l_orderkey")
+    sole_late = late.withColumn(
+        "n_supp_late", F.size(F.collect_set("l_suppkey").over(w))
+    ).filter(F.col("n_supp_late") == 1)
+    multi_supp = (
+        li.groupBy("l_orderkey")
+        .agg(F.countDistinct("l_suppkey").alias("n_supp_all"))
+        .filter(F.col("n_supp_all") >= 2)
+    )
     s = t(spark, sf_dir, "supplier")
     n = t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
-    l1 = late.alias("l1")
-    l2 = li.select("l_orderkey", "l_suppkey").alias("l2")
-    l3 = late.alias("l3")
     return (
-        l1.join(
-            l2,
-            (F.col("l1.l_orderkey") == F.col("l2.l_orderkey"))
-            & (F.col("l1.l_suppkey") != F.col("l2.l_suppkey")),
-            "left_semi",
-        )
-        .join(
-            l3,
-            (F.col("l1.l_orderkey") == F.col("l3.l_orderkey"))
-            & (F.col("l1.l_suppkey") != F.col("l3.l_suppkey")),
-            "left_anti",
-        )
-        .join(s, F.col("l1.l_suppkey") == s.s_suppkey)
+        sole_late.join(multi_supp, "l_orderkey")
+        .join(s, sole_late.l_suppkey == s.s_suppkey)
         .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))

@@ -1085,9 +1085,13 @@ def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     plan shape identical. Rates arrive as a broadcast dim (a real
     mixture config table), not a CASE expression — at 100 TB the config
     is data, joined map-side."""
-    rates = spark.createDataFrame(
-        [("en", 400), ("de", 800), ("es", 800), ("fr", 800), ("zh", 800)],
-        "lang string, rate_milli long",
+    # VALUES builds a LocalRelation — constant-folded into the plan,
+    # no RDD detour (createDataFrame over Python rows plans as a
+    # Scan ExistingRDD, which the plan audit rightly flags).
+    rates = spark.sql(
+        "SELECT lang, CAST(rate_milli AS BIGINT) AS rate_milli FROM VALUES "
+        "('en', 400), ('de', 800), ('es', 800), ('fr', 800), ('zh', 800) "
+        "AS t(lang, rate_milli)"
     )
     d = t(spark, sf_dir, "documents")
     keep = F.when(

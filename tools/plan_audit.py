@@ -53,6 +53,8 @@ ALLOWED_CROSS = {
     "dq5_benford_audit",  # broadcast 1-row total count
     "ts_cusum_changepoints",  # broadcast 1-row series total/count
     "p18_rare_category_collapse",  # broadcast 1-row category total
+    "corpus_token_budget",  # broadcast 1-row token-budget aggregate
+    "sim_matryoshka_topk",  # broadcast 1-row probe (prefix + full vector)
     "text_bm25_ranking",  # broadcast 1-row n_docs/avgdl aggregate
 }
 # Local tables that are NOT data detours: explicit local-row sources,
@@ -60,6 +62,7 @@ ALLOWED_CROSS = {
 # localCheckpoint lineage truncation (shows as Scan ExistingRDD).
 ALLOWED_LOCAL = {
     "s4_local_rows",
+    "corpus_mixture_sample",  # 5-row VALUES mixture-rate config dim (broadcast)
     "j4_null_safe_join",  # 3-row local status-decode dim (broadcast side)
     "sim_ivf_kmeans_topk",
     "m10_cross_validator",  # returns CV best-params (model state)
