@@ -76,3 +76,63 @@ def pack_documents_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.size(F.split(F.trim("text"), r"\s+")).cast("bigint").alias("n_tokens"),
     )
     return pack_greedy(d, budget=256, n_shards=8).orderBy("doc_id")
+
+
+@register(
+    "pack_length_buckets",
+    r"""
+    WITH toks AS (
+        SELECT doc_id,
+               LEN(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+')) AS tok
+        FROM documents
+    ),
+    bucketed AS (
+        SELECT doc_id, tok,
+               CAST(FLOOR(LOG2(GREATEST(tok, 1))) AS BIGINT) AS bucket
+        FROM toks
+    )
+    SELECT bucket,
+           CAST(POW(2, bucket) AS BIGINT) AS bucket_min_tok,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(MAX(tok) AS BIGINT) AS max_tok,
+           CAST(SUM(tok) AS BIGINT) AS sum_tok,
+           CAST(COUNT(*) * MAX(tok) - SUM(tok) AS BIGINT) AS padding_waste
+    FROM bucketed
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+)
+def pack_length_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PK2: length-bucketed batching accounting — group documents into
+    power-of-two token-length buckets and report the padding waste
+    (rows x bucket-max minus actual tokens) a padded batch of each
+    bucket would burn. This is the measurement behind dynamic batching
+    in training pipelines: uniform batches pad everything to the corpus
+    max; bucketing bounds waste to <2x within a bucket. One scan, one
+    partial-aggregated groupBy on a ~log2(max_len)-cardinality key —
+    at 100 TB the bucket count stays ~30 regardless of corpus size
+    (floor(log2) on a bounded token range), so the final reduce is
+    trivially small. floor(log2(tok)) is exact integer both engines."""
+    d = t(spark, sf_dir, "documents")
+    tok = F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+    b = (
+        d.select(F.floor(F.log2(F.greatest(tok, F.lit(1)))).cast("bigint").alias("bucket"),
+                 tok.cast("bigint").alias("tok"))
+    )
+    return (
+        b.groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.max("tok").cast("bigint").alias("max_tok"),
+            F.sum("tok").cast("bigint").alias("sum_tok"),
+        )
+        .select(
+            "bucket",
+            F.pow(F.lit(2.0), F.col("bucket").cast("double")).cast("bigint").alias("bucket_min_tok"),
+            "n_docs",
+            "max_tok",
+            "sum_tok",
+            (F.col("n_docs") * F.col("max_tok") - F.col("sum_tok")).cast("bigint").alias("padding_waste"),
+        )
+        .orderBy("bucket")
+    )

@@ -395,3 +395,47 @@ def sim_matryoshka_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cosine16").desc(), "vec_id")
         .limit(20)
     )
+
+
+@register(
+    "sim_hard_negatives",
+    """
+    WITH e AS (SELECT vec_id, label, embedding::DOUBLE[] AS emb FROM embeddings),
+    p AS (SELECT emb AS probe_vec, label AS probe_label FROM e WHERE vec_id = 0)
+    SELECT vec_id, label,
+           ROUND(LIST_DOT_PRODUCT(emb, p.probe_vec)
+                 / (SQRT(LIST_DOT_PRODUCT(emb, emb)) * SQRT(LIST_DOT_PRODUCT(p.probe_vec, p.probe_vec))), 6)
+               AS cosine
+    FROM e CROSS JOIN p
+    WHERE e.label <> p.probe_label
+    ORDER BY cosine DESC, vec_id
+    LIMIT 10
+    """,
+)
+def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N7: hard-negative mining — for an anchor embedding, the most
+    similar vectors with a DIFFERENT label: contrastive-training's
+    negative-sampling step (easy negatives are random; hard negatives
+    are the near-misses that carry the gradient signal). Plan shape is
+    brute-force top-k (1-row broadcast probe carrying vector AND label,
+    map-side cosine + label-inequality filter in codegen,
+    TakeOrderedAndProject) — the label filter prunes BEFORE the sort,
+    so the top-k heap never sees positives. At 100 TB the same query
+    runs per-anchor-batch against an LSH/IVF-bucketed corpus (see
+    sim_lsh_ann / sim_ivf_kmeans_topk); the mining semantics are
+    unchanged."""
+    e = t(spark, sf_dir, "embeddings")
+    probe = e.filter(F.col("vec_id") == 0).select(
+        F.col("embedding").alias("probe_vec"), F.col("label").alias("probe_label")
+    )
+    return (
+        e.crossJoin(F.broadcast(probe))
+        .where(F.col("label") != F.col("probe_label"))
+        .select(
+            "vec_id",
+            "label",
+            F.round(cosine_sim(F.col("embedding"), F.col("probe_vec")), 6).alias("cosine"),
+        )
+        .orderBy(F.col("cosine").desc(), "vec_id")
+        .limit(10)
+    )

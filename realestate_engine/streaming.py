@@ -230,3 +230,30 @@ def st_stream_static_enrich(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_mktsegment", "event_type")
     )
+
+
+def stream_stream_left_outer_purchases(
+    clicks: DataFrame, purchases: DataFrame, window: str = "1 hour", watermark: str = "2 hours"
+) -> DataFrame:
+    """ST6: stream-stream LEFT OUTER join — every purchase emits, with
+    click columns null when no click preceded it in ``window``. Outer
+    results cannot stream eagerly: a purchase may still find its match
+    later, so Spark holds it in state and emits the null-padded row
+    only once the watermark passes the join window's upper bound and no
+    match can arrive. This is the semantics that distinguishes
+    streaming outer joins from batch ones — correctness depends on the
+    watermark, and an unmatched row's latency is watermark + window.
+    State stays bounded exactly as in the inner variant (time-bound
+    condition on both sides). Streaming-vs-batch parity is tested in
+    tests/test_temporal.py::test_stream_stream_left_outer_matches_batch."""
+    c = clicks.select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"), F.col("event_id").alias("c_id")
+    ).withWatermark("c_ts", watermark)
+    p = purchases.select(
+        F.col("user_id").alias("p_user"), F.col("ts").alias("p_ts"), F.col("event_id").alias("p_id")
+    ).withWatermark("p_ts", watermark)
+    return p.join(
+        c,
+        F.expr(f"c_user = p_user AND c_ts > p_ts - INTERVAL {window} AND c_ts <= p_ts"),
+        "left_outer",
+    )

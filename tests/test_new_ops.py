@@ -385,3 +385,25 @@ def test_matryoshka_prefix_selfmatch_and_bounds(spark, sf_dir):
     for r in rows:
         assert -1.000001 <= r["cosine16"] <= 1.000001
         assert -1.000001 <= r["cosine64"] <= 1.000001
+
+
+def test_hard_negatives_exclude_probe_label(spark, sf_dir):
+    rows = QUERIES["sim_hard_negatives"](spark, sf_dir).collect()
+    assert len(rows) == 10
+    probe_label = (
+        spark.read.parquet(f"{sf_dir}/embeddings.parquet").where("vec_id = 0").first().label
+    )
+    cosines = [r["cosine"] for r in rows]
+    assert cosines == sorted(cosines, reverse=True)
+    for r in rows:
+        assert r["label"] != probe_label
+        assert -1.000001 <= r["cosine"] <= 1.000001
+
+
+def test_length_buckets_conserve_docs_and_bound_waste(spark, sf_dir):
+    rows = QUERIES["pack_length_buckets"](spark, sf_dir).collect()
+    n_docs_total = spark.read.parquet(f"{sf_dir}/documents.parquet").count()
+    assert sum(r["n_docs"] for r in rows) == n_docs_total
+    for r in rows:
+        assert r["padding_waste"] == r["n_docs"] * r["max_tok"] - r["sum_tok"] >= 0
+        assert r["bucket_min_tok"] <= r["max_tok"] < 2 * r["bucket_min_tok"]

@@ -219,3 +219,87 @@ def test_stream_stream_join_matches_batch(spark, sf_dir, tmp_path):
         & (F.col("c_ts") <= F.col("ts")),
     ).count()
     assert got == batch_n
+
+
+def test_stream_stream_left_outer_matches_batch(spark, sf_dir, tmp_path):
+    from realestate_engine.streaming import stream_stream_left_outer_purchases, streamify
+
+    events = t(spark, sf_dir, "events")
+    src = str(tmp_path / "sslo_src")
+    out = str(tmp_path / "sslo_out")
+    ckpt = str(tmp_path / "sslo_ckpt")
+    events.write.parquet(src)
+
+    def run_once():
+        stream = streamify(spark, src, events.schema)
+        clicks = stream.filter(F.col("event_type") == "click")
+        purchases = stream.filter(F.col("event_type") == "purchase")
+        q = (
+            stream_stream_left_outer_purchases(clicks, purchases)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(120)
+
+    # Outer rows only emit once the watermark passes their horizon, and
+    # the watermark only advances from data in COMPLETED batches — so
+    # drain the real data, then push the watermark past every real
+    # timestamp with two far-future sentinel batches (the second is
+    # needed because a batch evicts with the PREVIOUS batch's
+    # watermark). After that, streaming vs batch parity is exact.
+    run_once()
+    max_ts = events.agg(F.max("ts").alias("m")).first().m
+    for i, days in enumerate([30, 60]):
+        # one sentinel per SIDE: each withWatermark sits after its
+        # event_type filter, so both branches need future data to
+        # advance the (min-combined) global watermark
+        sent = spark.sql(
+            f"""SELECT CAST(-{2 * i + 1} AS BIGINT) AS event_id,
+                   TIMESTAMP '{max_ts}' + INTERVAL {days} DAYS AS ts,
+                   CAST(-1 AS BIGINT) AS user_id,
+                   'click' AS event_type, CAST(0.0 AS DOUBLE) AS value,
+                   '{{}}' AS props
+                UNION ALL
+                SELECT CAST(-{2 * i + 2} AS BIGINT),
+                   TIMESTAMP '{max_ts}' + INTERVAL {days} DAYS,
+                   CAST(-1 AS BIGINT), 'purchase', CAST(0.0 AS DOUBLE), '{{}}'"""
+        )
+        sent.select([F.col(f.name).cast(f.dataType) for f in events.schema.fields]).write.mode(
+            "append"
+        ).parquet(src)
+        run_once()
+
+    got = (
+        spark.read.parquet(out)
+        .where(F.col("p_user") != -1)
+        .agg(
+            F.count(F.when(F.col("c_id").isNotNull(), 1)).alias("n_matched"),
+            F.count(F.when(F.col("c_id").isNull(), 1)).alias("n_unmatched"),
+        )
+        .first()
+    )
+
+    bc = events.filter(F.col("event_type") == "click").select(
+        F.col("user_id").alias("c_user"), F.col("ts").alias("c_ts"), F.col("event_id").alias("c_id")
+    )
+    bp = events.filter(F.col("event_type") == "purchase").select("user_id", "ts", "event_id")
+    batch = (
+        bp.join(
+            bc,
+            (F.col("c_user") == F.col("user_id"))
+            & (F.col("c_ts") > F.col("ts") - F.expr("INTERVAL 1 HOUR"))
+            & (F.col("c_ts") <= F.col("ts")),
+            "left_outer",
+        )
+        .agg(
+            F.count(F.when(F.col("c_id").isNotNull(), 1)).alias("n_matched"),
+            F.count(F.when(F.col("c_id").isNull(), 1)).alias("n_unmatched"),
+        )
+        .first()
+    )
+    assert got.n_matched == batch.n_matched
+    assert got.n_unmatched == batch.n_unmatched
