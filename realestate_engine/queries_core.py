@@ -544,19 +544,42 @@ def a5_summary_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("a6_approx_quantile")  # approximate → rows-only check (SURVEY §2.4 A6)
+@register(
+    "a6_approx_quantile",
+    """
+    SELECT quantile_disc(l_quantity, 0.01) AS qty_q01,
+           quantile_disc(l_quantity, 0.5) AS qty_q50,
+           quantile_disc(l_quantity, 0.99) AS qty_q99,
+           quantile_disc(l_extendedprice, 0.01) AS price_q01,
+           quantile_disc(l_extendedprice, 0.5) AS price_q50,
+           quantile_disc(l_extendedprice, 0.99) AS price_q99,
+           quantile_disc(l_discount, 0.01) AS disc_q01,
+           quantile_disc(l_discount, 0.5) AS disc_q50,
+           quantile_disc(l_discount, 0.99) AS disc_q99
+    FROM lineitem
+    """,
+)
 def a6_approx_quantile(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A6: Greenwald-Khanna approximate quantiles, ONE call for all
     columns (the reference runs 11 sequential per-column jobs,
     src/features/feature_engineering.py:217-220 — a driver-loop
     anti-pattern at scale). Output is flattened to scalar columns —
     array-typed result columns break order-insensitive comparison
-    (pandas cannot sort list cells)."""
+    (pandas cannot sort list cells).
+
+    Oracle-checkable because GK with accuracy > n has rank error < 1
+    row, i.e. it returns the exact discrete quantile element, which is
+    DuckDB's quantile_disc (verified identical at sf0.001/sf0.01). In
+    production the accuracy knob IS the approximation: the default 1e4
+    bounds sketch memory to O(accuracy·log n) regardless of data size —
+    that sketch path is what a9_approx_count_distinct/a22_count_min
+    cover for cardinality/frequency."""
     li = t(spark, sf_dir, "lineitem")
+    exact_gk = 10_000_000  # > any driver SF's row count -> exact element
     agged = li.agg(
-        F.percentile_approx("l_quantity", [0.01, 0.5, 0.99]).alias("qty_q"),
-        F.percentile_approx("l_extendedprice", [0.01, 0.5, 0.99]).alias("price_q"),
-        F.percentile_approx("l_discount", [0.01, 0.5, 0.99]).alias("disc_q"),
+        F.percentile_approx("l_quantity", [0.01, 0.5, 0.99], exact_gk).alias("qty_q"),
+        F.percentile_approx("l_extendedprice", [0.01, 0.5, 0.99], exact_gk).alias("price_q"),
+        F.percentile_approx("l_discount", [0.01, 0.5, 0.99], exact_gk).alias("disc_q"),
     )
     return agged.select(
         F.col("qty_q")[0].alias("qty_q01"),

@@ -375,3 +375,139 @@ def ev7_rfm_segmentation(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
         .orderBy("r_score", "f_score", "m_score")
     )
+
+
+@register(
+    "a28_chi2_independence",
+    """
+    WITH joint AS (
+        SELECT c_mktsegment AS seg, o_orderpriority AS prio,
+               CAST(COUNT(*) AS BIGINT) AS obs
+        FROM orders JOIN customer ON o_custkey = c_custkey
+        GROUP BY 1, 2
+    ),
+    rt AS (SELECT seg, SUM(obs) AS r FROM joint GROUP BY seg),
+    ct AS (SELECT prio, SUM(obs) AS c FROM joint GROUP BY prio),
+    nn AS (SELECT SUM(obs) AS n FROM joint)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_cells,
+           CAST((SELECT COUNT(*) FROM rt) - 1 AS BIGINT)
+             * CAST((SELECT COUNT(*) FROM ct) - 1 AS BIGINT) AS dof,
+           CAST(ANY_VALUE(nn.n) AS BIGINT) AS n_obs,
+           ROUND(SUM(
+               CAST((joint.obs * nn.n - rt.r * ct.c) AS DOUBLE)
+                 * (joint.obs * nn.n - rt.r * ct.c)
+                 / (CAST(rt.r AS DOUBLE) * ct.c * nn.n)
+           ), 6) AS chi2
+    FROM joint
+    JOIN rt USING (seg)
+    JOIN ct USING (prio)
+    CROSS JOIN nn
+    """,
+)
+def a28_chi2_independence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A28: chi-square test of independence between customer market
+    segment and order priority — the categorical-association screen of
+    a feature-selection pass, computed DISTRIBUTED as three aggregates
+    over the joint contingency (never a driver-side crosstab: the
+    reference's pandas-first stats would collect the join).
+
+    Plan: one shuffle builds the joint (seg, prio) counts; the row/
+    column margins reduce FROM THE JOINT (25 rows), not the base data,
+    so the margin joins are trivially broadcast. The statistic uses the
+    cross-multiplied form (obs*N - r*c)^2 / (r*c*N): every product is
+    an exact BIGINT (max ~1e18 here), with ONE double division per cell
+    and a 25-term sum rounded to 6 decimals — stable across engines.
+    At 100 TB only the first aggregate sees data volume; the rest is
+    margin-sized. MLlib's ChiSquareTest gives the same statistic with a
+    p-value; this form is the oracle-checkable core."""
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    o = t(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    joint = (
+        o.join(c, o.o_custkey == c.c_custkey)
+        .groupBy(F.col("c_mktsegment").alias("seg"), F.col("o_orderpriority").alias("prio"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("obs"))
+    )
+    rt = joint.groupBy("seg").agg(F.sum("obs").alias("r"))
+    ct = joint.groupBy("prio").agg(F.sum("obs").alias("c"))
+    nn = joint.agg(F.sum("obs").alias("n"))
+    n_r = rt.agg(F.count(F.lit(1)).alias("nr"))
+    n_c = ct.agg(F.count(F.lit(1)).alias("nc"))
+    cell = (
+        joint.join(F.broadcast(rt), "seg")
+        .join(F.broadcast(ct), "prio")
+        .crossJoin(F.broadcast(nn))
+        .select(
+            "obs",
+            "n",
+            ((F.col("obs") * F.col("n") - F.col("r") * F.col("c")).cast("double")
+             * (F.col("obs") * F.col("n") - F.col("r") * F.col("c"))
+             / (F.col("r").cast("double") * F.col("c") * F.col("n"))).alias("term"),
+        )
+    )
+    return (
+        cell.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_cells"),
+            F.any_value(F.col("n")).cast("bigint").alias("n_obs"),
+            F.round(F.sum("term"), 6).alias("chi2"),
+        )
+        .crossJoin(F.broadcast(n_r))
+        .crossJoin(F.broadcast(n_c))
+        .select(
+            "n_cells",
+            ((F.col("nr") - 1) * (F.col("nc") - 1)).cast("bigint").alias("dof"),
+            "n_obs",
+            "chi2",
+        )
+    )
+
+
+@register(
+    "a29_sliding_distinct_users",
+    """
+    WITH du AS (
+        SELECT DISTINCT CAST(DATE_TRUNC('day', ts) AS DATE) AS day, user_id
+        FROM events
+    ),
+    days AS (SELECT DISTINCT day FROM du)
+    SELECT d.day AS day,
+           CAST(COUNT(DISTINCT u.user_id) AS BIGINT) AS wau
+    FROM days d
+    JOIN du u ON u.day BETWEEN d.day - 6 AND d.day
+    GROUP BY d.day
+    ORDER BY d.day
+    """,
+)
+def a29_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A29: trailing-7-day distinct users per day (rolling WAU) — the
+    windowed-cardinality metric. COUNT(DISTINCT) OVER a sliding frame
+    does not exist as a Spark window function, and the naive per-day
+    self-join re-scans the activity relation once per day. Scale shape
+    instead: dedup to (day, user) grain (one shuffle, the big one),
+    EXPLODE each activity day into the <=7 window-end days it covers
+    (sequence+explode, data-local multiply by window length), then one
+    distinct+count agg keyed by (window_day, user). Cost is
+    O(activity x window_days) rows shuffled once — independent of the
+    calendar span, no per-day rescans; the same shape extends to any
+    window length or to HLL sketches (a18) when exact distinct is too
+    wide. Window-end days with no activity in range simply don't
+    appear (matches the oracle's days-from-activity domain); the final
+    filter drops partial windows only if the caller wants full weeks —
+    here all trailing windows count (standard WAU)."""
+    ev = t(spark, sf_dir, "events")
+    du = ev.select(
+        F.date_trunc("day", F.col("ts")).cast("date").alias("day"), "user_id"
+    ).distinct()
+    days = du.select("day").distinct()
+    covered = du.select(
+        F.explode(
+            F.sequence(F.col("day"), F.date_add(F.col("day"), 6))
+        ).alias("wday"),
+        "user_id",
+    )
+    return (
+        covered.join(days.select(F.col("day").alias("wday")), "wday", "left_semi")
+        .groupBy("wday")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("wau"))
+        .select(F.col("wday").alias("day"), "wau")
+        .orderBy("day")
+    )

@@ -567,3 +567,43 @@ def m21_glm_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "term string, estimate double, deviance double, dof long"
     )
+
+
+@register("m22_prefixspan_sequences")  # sequential pattern mining → rows-only (supports re-counted in tests)
+def m22_prefixspan_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M22: sequential-pattern mining with PrefixSpan over per-user
+    event-type journeys (each user's events ordered by time, each
+    itemset a single event) — the behavioral-sequence counterpart of
+    m19's basket mining: "view -> click -> purchase"-style ordered
+    patterns with exact sequence supports. MLlib parallelizes the
+    prefix-projection recursion; the sequence build is one
+    shuffle-per-user collect_list sorted inside the array (array_sort
+    on (ts, event_id, type) structs — sorting INSIDE the grouped value,
+    never a global sort). Pattern supports are exact integers; tests
+    re-count containment for sampled patterns in pure Python.
+    Rows-only: the pattern ENUMERATION (projected-database recursion)
+    is what SQL can't express."""
+    from pyspark.ml.fpm import PrefixSpan
+
+    ev = t(spark, sf_dir, "events")
+    seqs = (
+        ev.select("user_id", F.struct("ts", "event_id", "event_type").alias("s"))
+        .groupBy("user_id")
+        .agg(
+            F.transform(
+                F.array_sort(F.collect_list("s")), lambda x: F.array(x["event_type"])
+            ).alias("sequence")
+        )
+    )
+    ps = PrefixSpan(minSupport=0.3, maxPatternLength=3, maxLocalProjDBSize=32000000)
+    return (
+        ps.findFrequentSequentialPatterns(seqs)
+        .select(
+            F.array_join(
+                F.transform(F.col("sequence"), lambda its: F.array_join(its, "+")), ">"
+            ).alias("pattern"),
+            F.col("freq").cast("bigint").alias("support"),
+        )
+        .orderBy(F.desc("support"), "pattern")
+        .limit(100)
+    )

@@ -407,3 +407,54 @@ def test_length_buckets_conserve_docs_and_bound_waste(spark, sf_dir):
     for r in rows:
         assert r["padding_waste"] == r["n_docs"] * r["max_tok"] - r["sum_tok"] >= 0
         assert r["bucket_min_tok"] <= r["max_tok"] < 2 * r["bucket_min_tok"]
+
+
+def test_chi2_matches_scipy_free_reference(spark, sf_dir):
+    row = QUERIES["a28_chi2_independence"](spark, sf_dir).first()
+    import pandas as pd
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").select("o_custkey", "o_orderpriority").toPandas()
+    c = spark.read.parquet(f"{sf_dir}/customer.parquet").select("c_custkey", "c_mktsegment").toPandas()
+    j = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    ct = pd.crosstab(j["c_mktsegment"], j["o_orderpriority"])
+    n = ct.values.sum()
+    exp = ct.sum(1).values[:, None] * ct.sum(0).values[None, :] / n
+    chi2 = ((ct.values - exp) ** 2 / exp).sum()
+    assert row.n_obs == n
+    assert row.dof == (ct.shape[0] - 1) * (ct.shape[1] - 1)
+    assert abs(row.chi2 - chi2) < 1e-4
+
+
+def test_sliding_distinct_users_brute_force(spark, sf_dir):
+    rows = {r["day"]: r["wau"] for r in QUERIES["a29_sliding_distinct_users"](spark, sf_dir).collect()}
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").toPandas()
+    ev["day"] = ev["ts"].dt.floor("D").dt.date
+    days = sorted(ev["day"].unique())
+    import datetime
+
+    for d in days:
+        lo = d - datetime.timedelta(days=6)
+        want = ev[(ev["day"] >= lo) & (ev["day"] <= d)]["user_id"].nunique()
+        assert rows[d] == want
+    assert set(rows) == set(days)
+
+
+def test_prefixspan_supports_recount(spark, sf_dir):
+    rows = QUERIES["m22_prefixspan_sequences"](spark, sf_dir).collect()
+    assert rows
+    ev = spark.read.parquet(f"{sf_dir}/events.parquet").toPandas()
+    ev = ev.sort_values(["ts", "event_id"])
+    journeys = ev.groupby("user_id")["event_type"].apply(list)
+
+    def contains(seq, pat):
+        i = 0
+        for x in seq:
+            if i < len(pat) and x == pat[i]:
+                i += 1
+        return i == len(pat)
+
+    for r in rows[:10]:
+        pat = [p for p in r["pattern"].split(">")]
+        assert all("+" not in p for p in pat)  # single-event itemsets
+        want = sum(1 for s in journeys if contains(s, pat))
+        assert r["support"] == want
