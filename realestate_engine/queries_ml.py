@@ -8,6 +8,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 from pyspark.ml import Pipeline
 from pyspark.ml.feature import Bucketizer, OneHotEncoder, StringIndexer, VectorAssembler
 from pyspark.ml.functions import vector_to_array
@@ -606,4 +607,131 @@ def m22_prefixspan_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("support"), "pattern")
         .limit(100)
+    )
+
+
+@register(
+    "m23_roc_auc_ranksum",
+    """
+    WITH scored AS (
+        SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS score_cents,
+               CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS label
+        FROM orders
+    ),
+    ranked AS (
+        SELECT label,
+               -- average rank over score ties, doubled to stay integral:
+               -- 2*avg_rank = rank_before_group*2 + (tie_count + 1)
+               CAST(2 * (RANK() OVER (ORDER BY score_cents) - 1)
+                    + COUNT(*) OVER (PARTITION BY score_cents) + 1 AS BIGINT)
+                   AS rank2
+        FROM scored
+    ),
+    agg AS (
+        SELECT CAST(SUM(CASE WHEN label = 1 THEN rank2 ELSE 0 END) AS BIGINT) AS pos_rank2,
+               CAST(SUM(label) AS BIGINT) AS np,
+               CAST(SUM(1 - label) AS BIGINT) AS nn
+        FROM ranked
+    )
+    SELECT np AS n_pos, nn AS n_neg,
+           ROUND((CAST(pos_rank2 AS DOUBLE) / 2 - CAST(np AS DOUBLE) * (np + 1) / 2)
+                 / (CAST(np AS DOUBLE) * nn), 6) AS auc
+    FROM agg
+    """,
+)
+def m23_roc_auc_ranksum(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M23: ROC AUC computed distributed via the Mann-Whitney rank-sum
+    identity — AUC = (R_pos - n_pos(n_pos+1)/2) / (n_pos*n_neg) with
+    average ranks over ties. BinaryClassificationEvaluator gives the
+    same number but trapezoid-integrates a collected curve; the
+    rank-sum form is two shuffles of scalars (label proxy: URGENT
+    priority; score: order value in cents).
+
+    Tie-exact trick: 2*avg_rank = 2*(rank-1) + tie_count + 1 is always
+    an INTEGER (avg rank is a half-integer), so the positive rank sum
+    is an exact BIGINT on both engines; one double division at the end.
+    Scale: the global rank() over score is the one total-order step —
+    at 100 TB replace with the two-phase range-partitioned prefix sum
+    of corpus_token_budget (same shape: rank = prefix count); the
+    rank-sum identity itself is aggregation-only."""
+    o = t(spark, sf_dir, "orders")
+    scored = o.select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("score_cents"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("label"),
+    )
+    w_rank = Window.orderBy("score_cents")
+    w_tie = Window.partitionBy("score_cents")
+    ranked = scored.select(
+        "label",
+        (
+            2 * (F.rank().over(w_rank) - 1) + F.count(F.lit(1)).over(w_tie) + 1
+        ).cast("bigint").alias("rank2"),
+    )
+    agg = ranked.agg(
+        F.sum(F.when(F.col("label") == 1, F.col("rank2")).otherwise(0)).cast("bigint").alias("pos_rank2"),
+        F.sum("label").cast("bigint").alias("np"),
+        F.sum(1 - F.col("label")).cast("bigint").alias("nn"),
+    )
+    return agg.select(
+        F.col("np").alias("n_pos"),
+        F.col("nn").alias("n_neg"),
+        F.round(
+            (F.col("pos_rank2").cast("double") / 2 - F.col("np").cast("double") * (F.col("np") + 1) / 2)
+            / (F.col("np").cast("double") * F.col("nn")),
+            6,
+        ).alias("auc"),
+    )
+
+
+@register("m24_aft_survival")  # parametric survival fit → rows-only (invariants in tests)
+def m24_aft_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M24: accelerated-failure-time survival regression — time from a
+    user's first click to first purchase, right-CENSORED at the last
+    observed event when no purchase happens: the churn / conversion-
+    latency model class, and the one regression family that handles
+    "hasn't happened yet" correctly (dropping censored users biases
+    toward fast converters). Label build is two first-event aggregates
+    on the user key (one shuffle each, reused partitioning); features
+    are per-user activity aggregates. MLlib's AFT fits a Weibull
+    log-linear model via distributed L-BFGS — deterministic for fixed
+    data/init. Returns the fitted coefficients plus quantile
+    predictions for a probe grid; rows-only (iterative optimizer), with
+    finiteness/positivity/monotonicity invariants in tests."""
+    from pyspark.ml.feature import VectorAssembler as VA
+    from pyspark.ml.regression import AFTSurvivalRegression
+
+    ev = t(spark, sf_dir, "events")
+    per_user = ev.groupBy("user_id").agg(
+        F.min("ts").alias("first_ts"),
+        F.max("ts").alias("last_ts"),
+        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("first_purchase"),
+        F.count(F.lit(1)).cast("double").alias("n_events"),
+        F.avg("value").alias("avg_value"),
+    )
+    labeled = per_user.select(
+        "n_events",
+        "avg_value",
+        F.when(F.col("first_purchase").isNotNull(), 1.0).otherwise(0.0).alias("censor"),
+        (
+            F.greatest(
+                (
+                    F.unix_micros(F.coalesce("first_purchase", "last_ts"))
+                    - F.unix_micros("first_ts")
+                ).cast("double")
+                / 86_400_000_000.0,
+                F.lit(1e-6),
+            )
+        ).alias("label"),
+    )
+    feats = VA(inputCols=["n_events", "avg_value"], outputCol="features").transform(labeled)
+    aft = AFTSurvivalRegression(
+        censorCol="censor", quantileProbabilities=[0.5], quantilesCol="q"
+    )
+    model = aft.fit(feats)
+    return spark.sql(
+        f"""SELECT 'intercept' AS term, CAST({model.intercept} AS DOUBLE) AS value
+            UNION ALL SELECT 'coef_n_events', CAST({model.coefficients[0]} AS DOUBLE)
+            UNION ALL SELECT 'coef_avg_value', CAST({model.coefficients[1]} AS DOUBLE)
+            UNION ALL SELECT 'scale', CAST({model.scale} AS DOUBLE)
+            ORDER BY term"""
     )

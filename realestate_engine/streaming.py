@@ -257,3 +257,78 @@ def stream_stream_left_outer_purchases(
         F.expr(f"c_user = p_user AND c_ts > p_ts - INTERVAL {window} AND c_ts <= p_ts"),
         "left_outer",
     )
+
+
+def stateful_sessions_event_timeout(events: DataFrame, gap_minutes: int = 30) -> DataFrame:
+    """ST8: gap-based sessionization as a CUSTOM stateful operator with
+    EVENT-TIME TIMEOUT — the streaming twin of the batch
+    ts_sessionize_gap window query, but sessions CLOSE and emit only
+    when the watermark passes last-event + gap, i.e. when no late event
+    can reopen them. This is the state-GC pattern session_window gives
+    you for free, reproduced in the arbitrary-state API where you also
+    control what the state holds (here: open-session aggregates; in an
+    ML pipeline: per-key feature accumulators).
+
+    Per key the state is ONE open session tuple (bounded by |users|);
+    each closed session emits exactly once, in (user, session start)
+    order per user because event-time timeouts fire in watermark order.
+    Emits (user_id, n_events, session_start, session_end)."""
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    gap_us = gap_minutes * 60 * 1_000_000
+
+    def update(key, pdfs, state: GroupState):
+        rows = [pdf for pdf in pdfs if len(pdf)]
+        if not rows:  # timeout firing: close and emit the open session
+            if state.exists:
+                start_us, end_us, n = state.get
+                state.remove()
+                yield pd.DataFrame(
+                    {
+                        "user_id": [key[0]],
+                        "n_events": [n],
+                        "session_start": [pd.Timestamp(start_us, unit="us")],
+                        "session_end": [pd.Timestamp(end_us, unit="us")],
+                    }
+                )
+            return
+        batch = pd.concat(rows).sort_values(["ts", "event_id"])
+        out = []
+        if state.exists:
+            start_us, end_us, n = state.get
+        else:
+            start_us, end_us, n = None, None, 0
+        for ts in batch["ts"]:
+            t_us = int(pd.Timestamp(ts).value // 1000)
+            if start_us is None:
+                start_us, end_us, n = t_us, t_us, 1
+            elif t_us - end_us > gap_us:
+                out.append((key[0], n, start_us, end_us))
+                start_us, end_us, n = t_us, t_us, 1
+            else:
+                end_us, n = t_us, n + 1
+        state.update((start_us, end_us, n))
+        # close the open session once the watermark clears its gap
+        state.setTimeoutTimestamp(end_us // 1000 + gap_minutes * 60 * 1000)
+        if out:
+            yield pd.DataFrame(
+                {
+                    "user_id": [o[0] for o in out],
+                    "n_events": [o[1] for o in out],
+                    "session_start": [pd.Timestamp(o[2], unit="us") for o in out],
+                    "session_end": [pd.Timestamp(o[3], unit="us") for o in out],
+                }
+            )
+
+    return (
+        events.withWatermark("ts", "2 hours")
+        .groupBy("user_id")
+        .applyInPandasWithState(
+            update,
+            outputStructType="user_id long, n_events long, session_start timestamp, session_end timestamp",
+            stateStructType="start_us long, end_us long, n long",
+            outputMode="append",
+            timeoutConf=GroupStateTimeout.EventTimeTimeout,
+        )
+    )

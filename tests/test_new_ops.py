@@ -458,3 +458,26 @@ def test_prefixspan_supports_recount(spark, sf_dir):
         assert all("+" not in p for p in pat)  # single-event itemsets
         want = sum(1 for s in journeys if contains(s, pat))
         assert r["support"] == want
+
+
+def test_roc_auc_matches_sklearn_free_reference(spark, sf_dir):
+    row = QUERIES["m23_roc_auc_ranksum"](spark, sf_dir).first()
+    import pandas as pd
+
+    o = spark.read.parquet(f"{sf_dir}/orders.parquet").toPandas()
+    score = (o["o_totalprice"] * 100).round().astype("int64")
+    label = (o["o_orderpriority"] == "1-URGENT").astype(int)
+    r = pd.Series(score).rank(method="average")
+    n_pos, n_neg = int(label.sum()), int((1 - label).sum())
+    auc = (r[label == 1].sum() - n_pos * (n_pos + 1) / 2) / (n_pos * n_neg)
+    assert row.n_pos == n_pos and row.n_neg == n_neg
+    assert abs(row.auc - auc) < 1e-6
+
+
+def test_aft_survival_fit_sane(spark, sf_dir):
+    rows = {r["term"]: r["value"] for r in QUERIES["m24_aft_survival"](spark, sf_dir).collect()}
+    import math
+
+    assert set(rows) == {"intercept", "coef_n_events", "coef_avg_value", "scale"}
+    assert all(math.isfinite(v) for v in rows.values())
+    assert rows["scale"] > 0

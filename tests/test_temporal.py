@@ -303,3 +303,53 @@ def test_stream_stream_left_outer_matches_batch(spark, sf_dir, tmp_path):
     )
     assert got.n_matched == batch.n_matched
     assert got.n_unmatched == batch.n_unmatched
+
+
+def test_stateful_sessions_event_timeout_match_batch(spark, sf_dir, tmp_path):
+    from realestate_engine.streaming import stateful_sessions_event_timeout, streamify
+
+    events = t(spark, sf_dir, "events")
+    src = str(tmp_path / "sess_src")
+    out = str(tmp_path / "sess_out")
+    ckpt = str(tmp_path / "sess_ckpt")
+    events.write.parquet(src)
+
+    def run_once():
+        stream = streamify(spark, src, events.schema)
+        q = (
+            stateful_sessions_event_timeout(stream)
+            .writeStream.format("parquet")
+            .option("path", out)
+            .option("checkpointLocation", ckpt)
+            .outputMode("append")
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination(180)
+
+    run_once()
+    max_ts = events.agg(F.max("ts").alias("m")).first().m
+    for i, days in enumerate([30, 60]):
+        sent = spark.sql(
+            f"""SELECT CAST(-{i + 1} AS BIGINT) AS event_id,
+                   TIMESTAMP '{max_ts}' + INTERVAL {days} DAYS AS ts,
+                   CAST(-1 AS BIGINT) AS user_id,
+                   'click' AS event_type, CAST(0.0 AS DOUBLE) AS value,
+                   '{{}}' AS props"""
+        )
+        sent.select([F.col(f.name).cast(f.dataType) for f in events.schema.fields]).write.mode(
+            "append"
+        ).parquet(src)
+        run_once()
+
+    got = sorted(
+        (r.user_id, r.n_events, r.session_start, r.session_end)
+        for r in spark.read.parquet(out).where(F.col("user_id") != -1).collect()
+    )
+    want = sorted(
+        (r.user_id, r.n_events, r.session_start, r.session_end)
+        for r in QUERIES["ts_sessionize_gap"](spark, sf_dir)
+        .select("user_id", "n_events", "session_start", "session_end")
+        .collect()
+    )
+    assert got == want
