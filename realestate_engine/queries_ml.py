@@ -735,3 +735,104 @@ def m24_aft_survival(spark: SparkSession, sf_dir: str) -> DataFrame:
             UNION ALL SELECT 'scale', CAST({model.scale} AS DOUBLE)
             ORDER BY term"""
     )
+
+
+def _km_pts_sql() -> str:
+    return """
+        SELECT vec_id,
+               CAST(FLOOR(embedding[1] * 1000000) AS BIGINT) AS d1,
+               CAST(FLOOR(embedding[2] * 1000000) AS BIGINT) AS d2,
+               CAST(FLOOR(embedding[3] * 1000000) AS BIGINT) AS d3,
+               CAST(FLOOR(embedding[4] * 1000000) AS BIGINT) AS d4
+        FROM embeddings
+    """
+
+
+def _km_iter_sql(prev: str, out_a: str, out_c: str) -> str:
+    """One unrolled Lloyd iteration: deterministic argmin assignment
+    (dist*4+cid packed key), then truncating-integer-mean centroids."""
+    return f"""
+    {out_a} AS (
+        SELECT vec_id,
+               CAST(MIN(((p.d1 - c.c1) * (p.d1 - c.c1) + (p.d2 - c.c2) * (p.d2 - c.c2)
+                       + (p.d3 - c.c3) * (p.d3 - c.c3) + (p.d4 - c.c4) * (p.d4 - c.c4)) * 4
+                        + c.cid) % 4 AS BIGINT) AS cid
+        FROM pts p CROSS JOIN {prev} c
+        GROUP BY vec_id
+    ),
+    {out_c} AS (
+        SELECT a.cid,
+               SUM(p.d1) // COUNT(*) AS c1, SUM(p.d2) // COUNT(*) AS c2,
+               SUM(p.d3) // COUNT(*) AS c3, SUM(p.d4) // COUNT(*) AS c4,
+               COUNT(*) AS n
+        FROM {out_a} a JOIN pts p USING (vec_id)
+        GROUP BY a.cid
+    )"""
+
+
+_KMEANS_ORACLE = f"""
+    WITH pts AS ({_km_pts_sql()}),
+    c0 AS (
+        SELECT CAST(vec_id AS BIGINT) AS cid, d1 AS c1, d2 AS c2, d3 AS c3, d4 AS c4
+        FROM pts WHERE vec_id IN (0, 1, 2)
+    ),
+    {_km_iter_sql("c0", "a1", "c1t")},
+    {_km_iter_sql("c1t", "a2", "c2t")}
+    SELECT cid, CAST(n AS BIGINT) AS n,
+           CAST(c1 AS BIGINT) AS c1, CAST(c2 AS BIGINT) AS c2,
+           CAST(c3 AS BIGINT) AS c3, CAST(c4 AS BIGINT) AS c4
+    FROM c2t ORDER BY cid
+"""
+
+
+@register("m25_kmeans_fixed_point", _KMEANS_ORACLE)
+def m25_kmeans_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M25: k-means (Lloyd's algorithm) as a bit-exact distributed
+    fixed-point iteration — the pagerank treatment applied to
+    clustering: coordinates in exact micro-units, squared distances and
+    centroid sums in BIGINT, argmin ties broken by packing
+    (dist*k + cid) into one integer key, centroid update by truncating
+    integer mean. Two unrolled iterations over the first 4 embedding
+    dims, k=3, seeds = vec_ids 0-2 (deterministic init — the floating
+    KMeans path with kmeans|| init is sim_ivf_kmeans_topk).
+
+    Spark shape per iteration: points x broadcast(k centroids) in
+    codegen (k rows — never a shuffle of points), min-agg keyed by
+    vec_id on the points partitioning, then one k-group aggregate for
+    new centroids. The driver loop holds NO data — the same
+    Pregel-style structure as MLlib's own KMeans, with every arithmetic
+    step reproducible in the DuckDB oracle's unrolled CTEs. Float
+    k-means cannot be hash-compared (per-cluster float sums are
+    partition-order dependent); fixed-point k-means can."""
+    e = t(spark, sf_dir, "embeddings")
+    pts = e.select(
+        "vec_id",
+        *[
+            F.floor(F.col("embedding")[i].cast("double") * 1_000_000)
+            .cast("bigint")
+            .alias(f"d{i + 1}")
+            for i in range(4)
+        ],
+    )
+    cents = pts.where(F.col("vec_id").isin(0, 1, 2)).select(
+        F.col("vec_id").cast("bigint").alias("cid"),
+        *[F.col(f"d{i + 1}").alias(f"c{i + 1}") for i in range(4)],
+    )
+    for _ in range(2):
+        dist = sum(
+            (F.col(f"d{i + 1}") - F.col(f"c{i + 1}")) * (F.col(f"d{i + 1}") - F.col(f"c{i + 1}"))
+            for i in range(4)
+        )
+        assign = (
+            pts.crossJoin(F.broadcast(cents))
+            .select("vec_id", *[f"d{i + 1}" for i in range(4)], (dist * 4 + F.col("cid")).alias("key"))
+            .groupBy("vec_id", *[f"d{i + 1}" for i in range(4)])
+            .agg((F.min("key") % 4).cast("bigint").alias("cid"))
+        )
+        cents = assign.groupBy("cid").agg(
+            *[F.expr(f"sum(d{i + 1}) div count(*)").alias(f"c{i + 1}") for i in range(4)],
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+    return cents.select(
+        "cid", "n", *[F.col(f"c{i + 1}").cast("bigint").alias(f"c{i + 1}") for i in range(4)]
+    ).orderBy("cid")

@@ -481,3 +481,13 @@ def test_aft_survival_fit_sane(spark, sf_dir):
     assert set(rows) == {"intercept", "coef_n_events", "coef_avg_value", "scale"}
     assert all(math.isfinite(v) for v in rows.values())
     assert rows["scale"] > 0
+
+
+def test_kmeans_fixed_point_partitions_all_vectors(spark, sf_dir):
+    rows = QUERIES["m25_kmeans_fixed_point"](spark, sf_dir).collect()
+    n_vecs = spark.read.parquet(f"{sf_dir}/embeddings.parquet").count()
+    assert sum(r["n"] for r in rows) == n_vecs
+    assert sorted(r["cid"] for r in rows) == [0, 1, 2]
+    for r in rows:
+        for c in ("c1", "c2", "c3", "c4"):
+            assert -2_000_000 <= r[c] <= 2_000_000  # micro-units of unit-ish floats

@@ -55,6 +55,7 @@ ALLOWED_CROSS = {
     "p18_rare_category_collapse",  # broadcast 1-row category total
     "corpus_token_budget",  # broadcast 1-row token-budget aggregate
     "sim_matryoshka_topk",  # broadcast 1-row probe (prefix + full vector)
+    "m25_kmeans_fixed_point",  # broadcast k=3 centroid rows per Lloyd iteration
     "text_bm25_ranking",  # broadcast 1-row n_docs/avgdl aggregate
 }
 # Local tables that are NOT data detours: explicit local-row sources,
