@@ -511,3 +511,78 @@ def a29_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("wday").alias("day"), "wau")
         .orderBy("day")
     )
+
+
+@register(
+    "a30_welch_ttest",
+    """
+    WITH g AS (
+        SELECT l_returnflag AS grp,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS s1,
+               CAST(SUM(CAST(l_quantity AS BIGINT) * CAST(l_quantity AS BIGINT)) AS BIGINT) AS s2
+        FROM lineitem WHERE l_returnflag IN ('R', 'N')
+        GROUP BY l_returnflag
+    ),
+    m AS (
+        SELECT
+            MAX(CASE WHEN grp = 'R' THEN n END) AS n1,
+            MAX(CASE WHEN grp = 'R' THEN s1 END) AS s1_1,
+            MAX(CASE WHEN grp = 'R' THEN s2 END) AS s2_1,
+            MAX(CASE WHEN grp = 'N' THEN n END) AS n2,
+            MAX(CASE WHEN grp = 'N' THEN s1 END) AS s1_2,
+            MAX(CASE WHEN grp = 'N' THEN s2 END) AS s2_2
+        FROM g
+    )
+    SELECT n1, n2,
+           ROUND(CAST(s1_1 AS DOUBLE) / n1, 6) AS mean_r,
+           ROUND(CAST(s1_2 AS DOUBLE) / n2, 6) AS mean_n,
+           ROUND((CAST(s1_1 AS DOUBLE) / n1 - CAST(s1_2 AS DOUBLE) / n2)
+                 / SQRT((CAST(n1 * s2_1 - s1_1 * s1_1 AS DOUBLE) / (CAST(n1 AS DOUBLE) * n1 * (n1 - 1)))
+                      + (CAST(n2 * s2_2 - s1_2 * s1_2 AS DOUBLE) / (CAST(n2 AS DOUBLE) * n2 * (n2 - 1)))), 6)
+               AS t_stat
+    FROM m
+    """,
+)
+def a30_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A30: Welch's unequal-variance two-sample t statistic — mean
+    l_quantity of returned (R) vs non-returned (N) lineitems: the A/B
+    comparison primitive, computed from distributable MOMENTS (n, Σx,
+    Σx²) rather than a variance pass: one partial-aggregated groupBy,
+    then scalar math on a 2-row frame. Variance uses the exact-integer
+    cross form (n·Σx² - (Σx)²) — quantity ≤ 50 keeps every product well
+    inside BIGINT — with double division LAST, so Spark and DuckDB agree
+    to the rounded 6 decimals. At 100 TB only the moments aggregate
+    touches data; adding Welch's dof or more groups is free scalar math
+    on the moment frame (the same moments feed a15's regression
+    aggregates)."""
+    li = t(spark, sf_dir, "lineitem").where(F.col("l_returnflag").isin("R", "N"))
+    q = F.col("l_quantity").cast("bigint")
+    g = li.groupBy(F.col("l_returnflag").alias("grp")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(q).cast("bigint").alias("s1"),
+        F.sum(q * q).cast("bigint").alias("s2"),
+    )
+    m = g.agg(
+        F.max(F.when(F.col("grp") == "R", F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("grp") == "R", F.col("s1"))).alias("s1_1"),
+        F.max(F.when(F.col("grp") == "R", F.col("s2"))).alias("s2_1"),
+        F.max(F.when(F.col("grp") == "N", F.col("n"))).alias("n2"),
+        F.max(F.when(F.col("grp") == "N", F.col("s1"))).alias("s1_2"),
+        F.max(F.when(F.col("grp") == "N", F.col("s2"))).alias("s2_2"),
+    )
+    var1 = (F.col("n1") * F.col("s2_1") - F.col("s1_1") * F.col("s1_1")).cast("double") / (
+        F.col("n1").cast("double") * F.col("n1") * (F.col("n1") - 1)
+    )
+    var2 = (F.col("n2") * F.col("s2_2") - F.col("s1_2") * F.col("s1_2")).cast("double") / (
+        F.col("n2").cast("double") * F.col("n2") * (F.col("n2") - 1)
+    )
+    mean1 = F.col("s1_1").cast("double") / F.col("n1")
+    mean2 = F.col("s1_2").cast("double") / F.col("n2")
+    return m.select(
+        "n1",
+        "n2",
+        F.round(mean1, 6).alias("mean_r"),
+        F.round(mean2, 6).alias("mean_n"),
+        F.round((mean1 - mean2) / F.sqrt(var1 + var2), 6).alias("t_stat"),
+    )

@@ -1020,12 +1020,17 @@ def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             "div size(split(lower(trim(text)), '\\\\s+'))"
         ).alias("score_milli"),
     )
-    budget = scored.agg(F.expr("CAST(sum(tok) AS BIGINT) div 4").alias("budget"))
-
     n_parts = 8
-    ranked = scored.repartitionByRange(
-        n_parts, F.col("score_milli").desc(), F.col("doc_id")
-    ).withColumn("pid", F.spark_partition_id())
+    # Cache the range-partitioned frame: the cumsum branch, the
+    # partition-totals branch, AND the budget all read it — without the
+    # cache each branch is its own full corpus scan + tokenization
+    # (the uncached plan showed 3 parquet scans). The budget comes from
+    # the tiny totals frame, not a data scan.
+    ranked = (
+        scored.repartitionByRange(n_parts, F.col("score_milli").desc(), F.col("doc_id"))
+        .withColumn("pid", F.spark_partition_id())
+        .cache()
+    )
     w_local = (
         Window.partitionBy("pid")
         .orderBy(F.col("score_milli").desc(), "doc_id")
@@ -1035,6 +1040,7 @@ def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
     totals = ranked.groupBy("pid").agg(F.sum("tok").alias("ptot"))
     w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
     offsets = totals.select("pid", F.coalesce(F.sum("ptot").over(w_off), F.lit(0)).alias("off"))
+    budget = totals.agg(F.expr("CAST(sum(ptot) AS BIGINT) div 4").alias("budget"))
     return (
         local.join(F.broadcast(offsets), "pid")
         .crossJoin(F.broadcast(budget))
