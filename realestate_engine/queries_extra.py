@@ -2688,3 +2688,65 @@ def ev6_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_full_funnel"),
     )
+
+
+@register(
+    "s22_csv_malformed_modes",
+    """
+    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM nation) AS n_good,
+           CAST(5 AS BIGINT) AS n_malformed,
+           (SELECT CAST(SUM(n_nationkey) AS BIGINT) FROM nation) AS good_key_total
+    """,
+)
+def s22_csv_malformed_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S22: CSV parse-mode matrix — the CSV twin of s18's JSON
+    quarantine. Five malformed lines (extra columns, too few columns,
+    unclosed quote, non-numeric key, stray quote char) are planted next
+    to a clean export of `nation`; the query reads the directory in
+    PERMISSIVE mode with a _corrupt_record column (quarantine: bad
+    lines survive as raw text) AND in DROPMALFORMED (bad lines vanish)
+    and reports the quarantine audit. Only the PERMISSIVE counts are
+    oracle-pinned: DROPMALFORMED's kept-set depends on parser column
+    pruning (a pruned scan that only needs column 1 cannot see a
+    wrong-token-count error in column 4), so its subset/containment
+    contract — and FAILFAST throwing on the first bad line, the mode
+    that is operationally wrong at 100 TB — are asserted relationally
+    in tests/test_new_ops.py instead of pinned to a parser version.
+    The PERMISSIVE scan is cached because Spark refuses to filter on
+    only the corrupt column of a lazy CSV scan."""
+    import os
+
+    out = tempfile.mkdtemp(prefix="re_s22_csv_")
+    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
+    n.write.mode("overwrite").option("header", "false").csv(out)
+    bad = [
+        "1,extra,2,3,4",          # too many columns
+        "2",                       # too few columns
+        '3,"unclosed quote,0',     # quote never closes
+        "notanint,BADLAND,0",      # key fails the LongType cast
+        "9,NINE,notanint",         # region fails the LongType cast
+    ]
+    with open(os.path.join(out, "part-malformed.csv"), "w") as f:
+        f.write("\n".join(bad) + "\n")
+    schema = T.StructType(
+        [
+            T.StructField("n_nationkey", T.LongType(), True),
+            T.StructField("n_name", T.StringType(), True),
+            T.StructField("n_regionkey", T.LongType(), True),
+            T.StructField("_corrupt_record", T.StringType(), True),
+        ]
+    )
+    permissive = (
+        spark.read.schema(schema)
+        .option("mode", "PERMISSIVE")
+        .option("columnNameOfCorruptRecord", "_corrupt_record")
+        .csv(out)
+        .cache()
+    )
+
+    audit = permissive.agg(
+        F.sum(F.when(F.col("_corrupt_record").isNull(), 1).otherwise(0)).cast("bigint").alias("n_good"),
+        F.sum(F.when(F.col("_corrupt_record").isNotNull(), 1).otherwise(0)).cast("bigint").alias("n_malformed"),
+        F.sum(F.when(F.col("_corrupt_record").isNull(), F.col("n_nationkey"))).cast("bigint").alias("good_key_total"),
+    )
+    return audit.select("n_good", "n_malformed", "good_key_total")

@@ -586,3 +586,67 @@ def a30_welch_ttest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.round(mean2, 6).alias("mean_n"),
         F.round((mean1 - mean2) / F.sqrt(var1 + var2), 6).alias("t_stat"),
     )
+
+
+@register(
+    "ev10_funnel_latency",
+    """
+    WITH fc AS (
+        SELECT user_id, MIN(ts) AS first_click
+        FROM events WHERE event_type = 'click' GROUP BY user_id
+    ),
+    fp AS (
+        SELECT e.user_id,
+               (epoch_us(MIN(e.ts)) - epoch_us(ANY_VALUE(fc.first_click))) // 1000000
+                   AS latency_s
+        FROM events e JOIN fc ON e.user_id = fc.user_id
+        WHERE e.event_type = 'purchase' AND e.ts >= fc.first_click
+        GROUP BY e.user_id
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_converted,
+           CAST(quantile_disc(latency_s, 0.5) AS BIGINT) AS p50_s,
+           CAST(quantile_disc(latency_s, 0.9) AS BIGINT) AS p90_s,
+           CAST(MAX(latency_s) AS BIGINT) AS max_s
+    FROM fp
+    """,
+)
+def ev10_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EV10: conversion-latency distribution — per user, whole seconds
+    from FIRST click to the first purchase at-or-after it, summarized
+    as exact discrete percentiles: the time-to-convert metric product
+    funnels report next to ev_funnel_conversion's rates. Two
+    first-event aggregates share the user_id shuffle key; latencies are
+    exact integer seconds (truncating division of epoch micros);
+    percentiles use the GK-with-accuracy>n trick (see
+    a6_approx_quantile) so the discrete element matches DuckDB's
+    quantile_disc bit-for-bit. Latency lives on a per-user frame
+    (bounded by |users|, not events) — at 100 TB the percentile sketch
+    is the only structure that sees the full latency vector, at
+    O(accuracy log n) memory."""
+    ev = t(spark, sf_dir, "events")
+    fc = (
+        ev.where(F.col("event_type") == "click")
+        .groupBy("user_id")
+        .agg(F.min("ts").alias("first_click"))
+    )
+    fp = (
+        ev.where(F.col("event_type") == "purchase")
+        .join(fc, "user_id")
+        .where(F.col("ts") >= F.col("first_click"))
+        .groupBy("user_id")
+        .agg(
+            (
+                (F.unix_micros(F.min("ts")) - F.unix_micros(F.any_value(F.col("first_click"))))
+                / F.lit(1_000_000)
+            )
+            .cast("bigint")
+            .alias("latency_s")
+        )
+    )
+    exact_gk = 10_000_000
+    return fp.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_converted"),
+        F.percentile_approx("latency_s", 0.5, exact_gk).cast("bigint").alias("p50_s"),
+        F.percentile_approx("latency_s", 0.9, exact_gk).cast("bigint").alias("p90_s"),
+        F.max("latency_s").cast("bigint").alias("max_s"),
+    )

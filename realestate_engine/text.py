@@ -1119,3 +1119,43 @@ def corpus_mixture_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lang")
     )
+
+
+@register(
+    "text_phrase_search",
+    r"""
+    WITH w AS (
+        SELECT doc_id, STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+') AS w
+        FROM documents
+    )
+    SELECT doc_id,
+           CAST(LEN(LIST_FILTER(RANGE(1, LEN(w)), i -> w[i] = 'table' AND w[i + 1] = 'hash'))
+                AS BIGINT) AS n_hits
+    FROM w
+    WHERE LEN(LIST_FILTER(RANGE(1, LEN(w)), i -> w[i] = 'table' AND w[i + 1] = 'hash')) > 0
+    ORDER BY doc_id
+    """,
+)
+def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T20: exact phrase search ("table hash", adjacent tokens) — the
+    positional-matching primitive behind phrase queries and n-gram
+    contamination checks. Computed as a PER-ROW higher-order-function
+    scan (filter over an index sequence testing w[i], w[i+1]) — no
+    explode, no self-join on positions, no shuffle at all: the plan is
+    scan -> codegen'd projection -> filter, embarrassingly parallel at
+    any corpus size. The inverted-index route (text_inverted_index
+    posting lists joined on doc + adjacent positions) is the right
+    shape when the corpus is indexed ONCE and queried many times; this
+    expression form wins for one-shot scans. Both engines evaluate the
+    identical lambda."""
+    d = t(spark, sf_dir, "documents")
+    hits = F.expr(
+        "size(filter(sequence(0, size(split(lower(trim(text)), '\\\\s+')) - 2), "
+        "i -> split(lower(trim(text)), '\\\\s+')[i] = 'table' "
+        "AND split(lower(trim(text)), '\\\\s+')[i + 1] = 'hash'))"
+    )
+    return (
+        d.select("doc_id", hits.cast("bigint").alias("n_hits"))
+        .where(F.col("n_hits") > 0)
+        .orderBy("doc_id")
+    )

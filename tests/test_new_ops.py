@@ -491,3 +491,45 @@ def test_kmeans_fixed_point_partitions_all_vectors(spark, sf_dir):
     for r in rows:
         for c in ("c1", "c2", "c3", "c4"):
             assert -2_000_000 <= r[c] <= 2_000_000  # micro-units of unit-ish floats
+
+
+def test_csv_mode_matrix_contracts(spark, sf_dir, tmp_path):
+    """DROPMALFORMED keeps a subset of PERMISSIVE's good rows;
+    FAILFAST throws on the first malformed line."""
+    import os
+
+    import pytest as _pytest
+    from pyspark.sql import functions as F
+    from pyspark.sql import types as T
+
+    out = str(tmp_path / "csv_modes")
+    n = spark.read.parquet(f"{sf_dir}/nation.parquet").select(
+        "n_nationkey", "n_name", "n_regionkey"
+    )
+    n.write.mode("overwrite").option("header", "false").csv(out)
+    bad = ["1,extra,2,3,4", "2", '3,"unclosed quote,0', "notanint,BADLAND,0", "9,NINE,notanint"]
+    with open(os.path.join(out, "part-malformed.csv"), "w") as f:
+        f.write("\n".join(bad) + "\n")
+    schema3 = T.StructType(
+        [
+            T.StructField("n_nationkey", T.LongType(), True),
+            T.StructField("n_name", T.StringType(), True),
+            T.StructField("n_regionkey", T.LongType(), True),
+        ]
+    )
+    n_clean = n.count()
+    # parse fully (all three columns referenced) so pruning can't hide errors
+    dropped = (
+        spark.read.schema(schema3).option("mode", "DROPMALFORMED").csv(out)
+        .select("n_nationkey", "n_name", "n_regionkey")
+        .collect()
+    )
+    assert n_clean <= len(dropped) <= n_clean + len(bad)
+    clean_keys = {r.n_nationkey for r in n.collect()}
+    kept_keys = [r.n_nationkey for r in dropped]
+    assert clean_keys <= set(kept_keys)  # never drops a well-formed row
+
+    with _pytest.raises(Exception):
+        spark.read.schema(schema3).option("mode", "FAILFAST").csv(out).select(
+            "n_nationkey", "n_name", "n_regionkey"
+        ).collect()

@@ -74,6 +74,7 @@ ALLOWED_LOCAL = {
     "p14_dense_reid",  # localCheckpoint pins partition ids for the offset ledger
     "text_bpe_merge_rounds",  # returns O(rounds) learned merges (model state)
     "m19_fpgrowth_baskets",  # MLlib FP-Growth freqItemsets is RDD-backed model output
+    "m22_prefixspan_sequences",  # MLlib PrefixSpan patterns are RDD-backed model output
     "m21_glm_poisson",  # returns O(k) coefficient rows (model state)
 }
 
