@@ -2750,3 +2750,78 @@ def s22_csv_malformed_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.when(F.col("_corrupt_record").isNull(), F.col("n_nationkey"))).cast("bigint").alias("good_key_total"),
     )
     return audit.select("n_good", "n_malformed", "good_key_total")
+
+
+@register(
+    "sql_execute_immediate",
+    """
+    SELECT c_mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
+    FROM customer
+    WHERE c_nationkey = 3
+    GROUP BY c_mktsegment
+    ORDER BY c_mktsegment
+    """,
+)
+def sql_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL6: EXECUTE IMMEDIATE with USING parameters (Spark >= 4) —
+    dynamic SQL with bind parameters instead of f-string splicing: the
+    text is parameterized once (? placeholders), values bind at
+    execution (injection-safe; same plan as the literal form). The
+    dynamic-SQL path a metadata-driven pipeline uses to run generated
+    query text safely."""
+    t(spark, sf_dir, "customer").createOrReplaceTempView("_sql_exec_customer")
+    return spark.sql(
+        """
+        EXECUTE IMMEDIATE
+        'SELECT c_mktsegment,
+                CAST(COUNT(*) AS BIGINT) AS n_customers,
+                CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
+         FROM _sql_exec_customer
+         WHERE c_nationkey = ?
+         GROUP BY c_mktsegment
+         ORDER BY c_mktsegment'
+        USING 3
+        """
+    )
+
+
+@register(
+    "sql_scalar_udf",
+    """
+    SELECT l_returnflag,
+           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
+               AS discounted_cents
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def sql_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL7: SQL-language scalar UDF (CREATE FUNCTION ... RETURN expr,
+    Spark >= 3.5) — engine extension WITHOUT leaving the JVM: the
+    function body is inlined into the plan by Catalyst (whole-stage
+    codegen, pushdown-transparent), unlike a Python UDF which would pin
+    a BatchEvalPython island into every caller. The right default for
+    shared business formulas (here: discounted price in exact cents);
+    Python/pandas UDFs stay the escape hatch for logic SQL can't say."""
+    t(spark, sf_dir, "lineitem").createOrReplaceTempView("_sql_udf_lineitem")
+    spark.sql("DROP TEMPORARY FUNCTION IF EXISTS discounted_cents_fn")
+    spark.sql(
+        """
+        CREATE TEMPORARY FUNCTION discounted_cents_fn(price DOUBLE, disc DOUBLE)
+        RETURNS BIGINT
+        RETURN CAST(ROUND(price * (1 - disc) * 100) AS BIGINT)
+        """
+    )
+    return spark.sql(
+        """
+        SELECT l_returnflag,
+               CAST(SUM(discounted_cents_fn(l_extendedprice, l_discount)) AS BIGINT)
+                   AS discounted_cents
+        FROM _sql_udf_lineitem
+        GROUP BY l_returnflag
+        ORDER BY l_returnflag
+        """
+    )

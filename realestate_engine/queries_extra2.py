@@ -650,3 +650,39 @@ def ev10_funnel_latency(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile_approx("latency_s", 0.9, exact_gk).cast("bigint").alias("p90_s"),
         F.max("latency_s").cast("bigint").alias("max_s"),
     )
+
+
+@register(
+    "a31_grouped_percentiles",
+    """
+    SELECT l_returnflag,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           quantile_disc(l_extendedprice, 0.5) AS p50_price,
+           quantile_disc(l_extendedprice, 0.95) AS p95_price,
+           quantile_disc(l_extendedprice, 0.99) AS p99_price
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def a31_grouped_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A31: per-group exact discrete percentiles (p50/p95/p99 price per
+    return flag) — the tail-latency-style summary, GROUPED: one
+    partial-aggregated GK sketch per group merged map-side, never a
+    per-group sort. The accuracy>n pin makes each group's element exact
+    (= DuckDB quantile_disc; see a6). At 100 TB with high-cardinality
+    groups, drop accuracy to its default: memory per group falls to
+    O(accuracy log n) and the answer degrades gracefully to rank-error
+    n/accuracy — the knob, not the plan, changes."""
+    li = t(spark, sf_dir, "lineitem")
+    exact_gk = 10_000_000
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.percentile_approx("l_extendedprice", 0.5, exact_gk).alias("p50_price"),
+            F.percentile_approx("l_extendedprice", 0.95, exact_gk).alias("p95_price"),
+            F.percentile_approx("l_extendedprice", 0.99, exact_gk).alias("p99_price"),
+        )
+        .orderBy("l_returnflag")
+    )
