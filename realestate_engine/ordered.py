@@ -1,0 +1,120 @@
+"""Global-order primitives without global funnels.
+
+A ``SUM() OVER (ORDER BY ...)`` with no PARTITION BY funnels every row
+through one task. This module provides the scalable replacement — the
+two-phase distributed prefix sum — and the operators built on it.
+See DESIGN.md "Global-order work without global funnels";
+corpus_token_budget (text.py) and p14_dense_reid (queries_extra.py)
+are the same shape.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import Column, DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from realestate_engine.registry import register, t
+
+
+def distributed_prefix_sum(
+    df: DataFrame,
+    order_cols: list[Column],
+    value_col: str,
+    n_parts: int = 8,
+    out_col: str = "cum",
+) -> DataFrame:
+    """Running sum of ``value_col`` in the TOTAL order given by
+    ``order_cols`` (must be a strict total order — include a unique
+    tiebreak), computed scale-out:
+
+    1. ``repartitionByRange`` on the order — ranges partition the
+       global order;
+    2. per-partition running sums via a window PARTITIONED BY
+       ``spark_partition_id()`` (parallel);
+    3. exclusive prefix offsets from the partition-totals frame
+       (#partitions rows — KBs at any data size), broadcast back.
+
+    Returns ``df``'s columns plus ``out_col``. The input is cached
+    (two branches read it: the cumsum and the totals)."""
+    ranked = (
+        df.repartitionByRange(n_parts, *order_cols)
+        .withColumn("_pid", F.spark_partition_id())
+        .cache()
+    )
+    w_local = (
+        Window.partitionBy("_pid")
+        .orderBy(*order_cols)
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = ranked.withColumn("_local_cum", F.sum(value_col).over(w_local))
+    totals = ranked.groupBy("_pid").agg(F.sum(value_col).alias("_ptot"))
+    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
+    offsets = totals.select(
+        "_pid", F.coalesce(F.sum("_ptot").over(w_off), F.lit(0)).alias("_off")
+    )
+    return (
+        local.join(F.broadcast(offsets), "_pid")
+        .withColumn(out_col, (F.col("_off") + F.col("_local_cum")).cast("bigint"))
+        .drop("_pid", "_local_cum", "_off")
+    )
+
+
+@register(
+    "x18_systematic_pps_sample",
+    r"""
+    WITH w AS (
+        SELECT doc_id,
+               CAST(LEN(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+')) AS BIGINT) AS wt
+        FROM documents
+    ),
+    c AS (
+        SELECT doc_id, wt,
+               SUM(wt) OVER (ORDER BY doc_id) AS cum
+        FROM w
+    ),
+    tot AS (SELECT SUM(wt) AS total FROM w),
+    grid AS (SELECT total // 50 AS step FROM tot)
+    SELECT doc_id, wt, CAST(cum AS BIGINT) AS cum
+    FROM c, grid
+    WHERE step > 0
+      AND (cum - 1) // step >= 1
+      AND ((cum - 1) // step) * step >= cum - wt
+    ORDER BY doc_id
+    """,
+)
+def x18_systematic_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X18: systematic probability-proportional-to-size sampling — lay
+    a deterministic grid of ~50 points over the cumulative token-weight
+    axis; a document is selected iff a grid point lands in its weight
+    interval [cum-wt, cum). Selection probability is proportional to
+    weight, with ZERO floating point and zero randomness: the exact
+    integer test is "the largest grid multiple <= cum-1 is >= cum-wt".
+    This is the weighted downsampling a training pipeline uses when it
+    must be reproducible across engines, reruns, and resharding
+    (rand()-based weighted sampling is none of these; the
+    Efraimidis-Spirakis priority form needs float logs).
+
+    The cumulative axis comes from distributed_prefix_sum (two-phase,
+    no global-window funnel); everything after is a per-row integer
+    predicate against a 1-row broadcast step. Docs heavier than one
+    step are selected with certainty (and would be selected
+    multiple grid times — reported once)."""
+    d = t(spark, sf_dir, "documents")
+    w = d.select(
+        "doc_id",
+        F.size(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).cast("bigint").alias("wt"),
+    )
+    c = distributed_prefix_sum(w, [F.col("doc_id")], "wt", out_col="cum")
+    step = c.agg(F.expr("CAST(sum(wt) AS BIGINT) div 50").alias("step"))
+    sel = (
+        c.crossJoin(F.broadcast(step))
+        .where(
+            (F.col("step") > 0)
+            & (F.expr("(cum - 1) div step") >= 1)
+            & (F.expr("(cum - 1) div step") * F.col("step") >= F.col("cum") - F.col("wt"))
+        )
+        .select("doc_id", "wt", "cum")
+        .orderBy("doc_id")
+    )
+    return sel

@@ -1020,37 +1020,17 @@ def corpus_token_budget(spark: SparkSession, sf_dir: str) -> DataFrame:
             "div size(split(lower(trim(text)), '\\\\s+'))"
         ).alias("score_milli"),
     )
-    n_parts = 8
-    # Cache the range-partitioned frame: the cumsum branch, the
-    # partition-totals branch, AND the budget all read it — without the
-    # cache each branch is its own full corpus scan + tokenization
-    # (the uncached plan showed 3 parquet scans). The budget comes from
-    # the tiny totals frame, not a data scan.
-    ranked = (
-        scored.repartitionByRange(n_parts, F.col("score_milli").desc(), F.col("doc_id"))
-        .withColumn("pid", F.spark_partition_id())
-        .cache()
+    from realestate_engine.ordered import distributed_prefix_sum
+
+    cum = distributed_prefix_sum(
+        scored, [F.col("score_milli").desc(), F.col("doc_id")], "tok", out_col="cum_tok"
     )
-    w_local = (
-        Window.partitionBy("pid")
-        .orderBy(F.col("score_milli").desc(), "doc_id")
-        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    )
-    local = ranked.withColumn("local_cum", F.sum("tok").over(w_local))
-    totals = ranked.groupBy("pid").agg(F.sum("tok").alias("ptot"))
-    w_off = Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = totals.select("pid", F.coalesce(F.sum("ptot").over(w_off), F.lit(0)).alias("off"))
-    budget = totals.agg(F.expr("CAST(sum(ptot) AS BIGINT) div 4").alias("budget"))
+    # budget from a data-sized aggregate over the SAME cached frame the
+    # prefix sum reads (one corpus scan total — the uncached naive plan
+    # scanned parquet three times)
+    budget = cum.agg(F.expr("CAST(sum(tok) AS BIGINT) div 4").alias("budget"))
     return (
-        local.join(F.broadcast(offsets), "pid")
-        .crossJoin(F.broadcast(budget))
-        .select(
-            "doc_id",
-            "score_milli",
-            "tok",
-            (F.col("off") + F.col("local_cum")).cast("bigint").alias("cum_tok"),
-            "budget",
-        )
+        cum.crossJoin(F.broadcast(budget))
         .where(F.col("cum_tok") <= F.col("budget"))
         .select("doc_id", "score_milli", "tok", "cum_tok")
         .orderBy("cum_tok")

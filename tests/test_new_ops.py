@@ -533,3 +533,27 @@ def test_csv_mode_matrix_contracts(spark, sf_dir, tmp_path):
         spark.read.schema(schema3).option("mode", "FAILFAST").csv(out).select(
             "n_nationkey", "n_name", "n_regionkey"
         ).collect()
+
+
+def test_pps_sample_weight_proportionality(spark, sf_dir):
+    rows = QUERIES["x18_systematic_pps_sample"](spark, sf_dir).collect()
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").toPandas()
+    import re
+
+    wt = {
+        int(r.doc_id): len(re.split(r"\s+", r.text.strip().lower()))
+        for r in docs.itertuples()
+    }
+    total = sum(wt.values())
+    step = total // 50
+    # exact replay of the integer grid rule over the doc_id order
+    cum, want = 0, []
+    for d in sorted(wt):
+        cum += wt[d]
+        hi = (cum - 1) // step
+        if step > 0 and hi >= 1 and hi * step >= cum - wt[d]:
+            want.append(d)
+    got = [r.doc_id for r in rows]
+    assert got == want
+    # every selected doc's interval really contains a grid point
+    assert len(got) <= 51

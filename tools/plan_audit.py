@@ -54,6 +54,7 @@ ALLOWED_CROSS = {
     "ts_cusum_changepoints",  # broadcast 1-row series total/count
     "p18_rare_category_collapse",  # broadcast 1-row category total
     "corpus_token_budget",  # broadcast 1-row token-budget aggregate
+    "x18_systematic_pps_sample",  # broadcast 1-row grid-step aggregate
     "sim_matryoshka_topk",  # broadcast 1-row probe (prefix + full vector)
     "m25_kmeans_fixed_point",  # broadcast k=3 centroid rows per Lloyd iteration
     "text_bm25_ranking",  # broadcast 1-row n_docs/avgdl aggregate
