@@ -836,3 +836,73 @@ def m25_kmeans_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cents.select(
         "cid", "n", *[F.col(f"c{i + 1}").cast("bigint").alias(f"c{i + 1}") for i in range(4)]
     ).orderBy("cid")
+
+
+@register(
+    "x19_rolling_origin_splits",
+    """
+    WITH b AS (
+        SELECT epoch_us(MIN(o_orderdate)) AS lo, epoch_us(MAX(o_orderdate)) AS hi
+        FROM orders
+    ),
+    folds AS (SELECT UNNEST([1, 2, 3]) AS fold),
+    cuts AS (
+        SELECT fold,
+               lo + fold * ((hi - lo) // 4) AS cut,
+               lo + (fold + 1) * ((hi - lo) // 4) AS nxt
+        FROM folds, b
+    )
+    SELECT fold,
+           CAST(TO_TIMESTAMP(cut // 1000000) AS TIMESTAMP) AS cutoff,
+           CAST((SELECT COUNT(*) FROM orders WHERE epoch_us(o_orderdate) < cut) AS BIGINT) AS n_train,
+           CAST((SELECT COUNT(*) FROM orders
+                 WHERE epoch_us(o_orderdate) >= cut AND epoch_us(o_orderdate) < nxt) AS BIGINT) AS n_test
+    FROM cuts
+    ORDER BY fold
+    """,
+)
+def x19_rolling_origin_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X19: rolling-origin (walk-forward) cross-validation splits — the
+    TEMPORAL split an ML pipeline must use when rows are events:
+    random K-fold (m10) leaks the future into training. Three folds
+    with cutoffs at exact quarter-points of the observed time span
+    (integer microsecond arithmetic, so fold boundaries are bit-stable);
+    each fold trains on everything strictly before its cutoff and
+    tests on the next quarter-window. The plan is one min/max aggregate
+    + a 3-row broadcast of cutoffs + one conditional-aggregation pass —
+    counts for ALL folds in a single scan, not one scan per fold (at
+    100 TB, K scans is the difference between minutes and hours)."""
+    # o_orderdate reads as TIMESTAMP_NTZ (parquet isAdjustedToUTC=false);
+    # unix_micros requires TIMESTAMP — cast preserves wall-clock under
+    # the pinned UTC session TZ. Cast AFTER the scan projection only
+    # (no filters ride this column here, so pushdown is unaffected).
+    o = t(spark, sf_dir, "orders").select(
+        F.unix_micros(F.col("o_orderdate").cast("timestamp")).alias("ts_us")
+    )
+    b = o.agg(F.min("ts_us").alias("lo"), F.max("ts_us").alias("hi"))
+    folds = spark.sql("SELECT explode(array(1, 2, 3)) AS fold")
+    cuts = folds.crossJoin(F.broadcast(b)).select(
+        "fold",
+        (F.col("lo") + F.col("fold") * F.expr("(hi - lo) div 4")).alias("cut"),
+        (F.col("lo") + (F.col("fold") + 1) * F.expr("(hi - lo) div 4")).alias("nxt"),
+    )
+    counted = (
+        o.crossJoin(F.broadcast(cuts))
+        .groupBy("fold", "cut")
+        .agg(
+            F.sum(F.when(F.col("ts_us") < F.col("cut"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_train"),
+            F.sum(
+                F.when((F.col("ts_us") >= F.col("cut")) & (F.col("ts_us") < F.col("nxt")), 1).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_test"),
+        )
+    )
+    return counted.select(
+        "fold",
+        F.timestamp_seconds(F.expr("cut div 1000000")).alias("cutoff"),
+        "n_train",
+        "n_test",
+    ).orderBy("fold")

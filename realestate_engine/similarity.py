@@ -439,3 +439,45 @@ def sim_hard_negatives(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("cosine").desc(), "vec_id")
         .limit(10)
     )
+
+
+@register(
+    "sim_norms_arrow",
+    """
+    SELECT vec_id,
+           CAST(FLOOR(SQRT(LIST_DOT_PRODUCT(embedding::DOUBLE[], embedding::DOUBLE[])) * 1000000)
+                AS BIGINT) AS l2_micro,
+           CAST(LEN(embedding) AS BIGINT) AS dim
+    FROM embeddings
+    ORDER BY vec_id
+    """,
+)
+def sim_norms_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N8: per-vector L2 norms via mapInArrow — the third Python API
+    tier after pandas UDFs and applyInPandas: the function receives raw
+    pyarrow RecordBatches (no pandas conversion at all), runs a
+    vectorized numpy reduction per batch, and yields RecordBatches
+    back. For numeric array columns this is the lowest-overhead Python
+    escape hatch — zero copies beyond Arrow itself, no index/object
+    boxing. Norms floor to integer micro-units so the numpy double
+    pipeline and DuckDB's list_dot_product agree bit-for-bit. Plan:
+    embarrassingly parallel map over batches, no shuffle (the output
+    sort is the driver compare's, not the operator's)."""
+    import pyarrow as pa
+
+    def norms(batches):
+        import numpy as np
+
+        for batch in batches:
+            vec_ids = batch.column("vec_id")
+            emb = batch.column("embedding")
+            # flatten the (possibly chunked) list array into a 2-D view
+            arr = emb.flatten().to_numpy(zero_copy_only=False).reshape(len(batch), -1)
+            l2 = np.floor(np.sqrt((arr.astype("float64") ** 2).sum(axis=1)) * 1_000_000)
+            yield pa.RecordBatch.from_arrays(
+                [vec_ids, pa.array(l2.astype("int64")), pa.array([arr.shape[1]] * len(batch), pa.int64())],
+                names=["vec_id", "l2_micro", "dim"],
+            )
+
+    e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
+    return e.mapInArrow(norms, "vec_id long, l2_micro long, dim long").orderBy("vec_id")
