@@ -906,3 +906,91 @@ def x19_rolling_origin_splits(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n_train",
         "n_test",
     ).orderBy("fold")
+
+
+# Shared Cramer's-rule formula text: evaluated verbatim by Spark
+# (selectExpr) AND by DuckDB (oracle SQL) over identically-named exact
+# integer moments, so every double op has the same operand order on
+# both engines.
+_OLS_DETS = """
+    CAST(n AS DOUBLE) * (CAST(s11 AS DOUBLE) * s22 - CAST(s12 AS DOUBLE) * s12)
+      - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) * s22 - CAST(s12 AS DOUBLE) * s2)
+      + CAST(s2 AS DOUBLE) * (CAST(s1 AS DOUBLE) * s12 - CAST(s11 AS DOUBLE) * s2)
+"""
+_OLS_D0 = """
+    CAST(sy AS DOUBLE) * (CAST(s11 AS DOUBLE) * s22 - CAST(s12 AS DOUBLE) * s12)
+      - CAST(s1 AS DOUBLE) * (CAST(s1y AS DOUBLE) * s22 - CAST(s12 AS DOUBLE) * s2y)
+      + CAST(s2 AS DOUBLE) * (CAST(s1y AS DOUBLE) * s12 - CAST(s11 AS DOUBLE) * s2y)
+"""
+_OLS_D1 = """
+    CAST(n AS DOUBLE) * (CAST(s1y AS DOUBLE) * s22 - CAST(s12 AS DOUBLE) * s2y)
+      - CAST(sy AS DOUBLE) * (CAST(s1 AS DOUBLE) * s22 - CAST(s12 AS DOUBLE) * s2)
+      + CAST(s2 AS DOUBLE) * (CAST(s1 AS DOUBLE) * s2y - CAST(s1y AS DOUBLE) * s2)
+"""
+_OLS_D2 = """
+    CAST(n AS DOUBLE) * (CAST(s11 AS DOUBLE) * s2y - CAST(s1y AS DOUBLE) * s12)
+      - CAST(s1 AS DOUBLE) * (CAST(s1 AS DOUBLE) * s2y - CAST(s1y AS DOUBLE) * s2)
+      + CAST(sy AS DOUBLE) * (CAST(s1 AS DOUBLE) * s12 - CAST(s11 AS DOUBLE) * s2)
+"""
+_OLS_MOMENTS_SQL = """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(x1) AS BIGINT) AS s1, CAST(SUM(x2) AS BIGINT) AS s2,
+           CAST(SUM(x1 * x1) AS BIGINT) AS s11, CAST(SUM(x2 * x2) AS BIGINT) AS s22,
+           CAST(SUM(x1 * x2) AS BIGINT) AS s12,
+           CAST(SUM(y) AS BIGINT) AS sy,
+           CAST(SUM(x1 * y) AS BIGINT) AS s1y, CAST(SUM(x2 * y) AS BIGINT) AS s2y
+    FROM (
+        SELECT CAST(l_quantity AS BIGINT) AS x1,
+               CAST(ROUND(l_discount * 1000) AS BIGINT) AS x2,
+               CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
+        FROM lineitem
+    )
+"""
+
+
+@register(
+    "m26_ols_normal_equations",
+    f"""
+    WITH m AS ({_OLS_MOMENTS_SQL})
+    SELECT n,
+           ROUND(({_OLS_D0}) / ({_OLS_DETS}), 4) AS beta0_cents,
+           ROUND(({_OLS_D1}) / ({_OLS_DETS}), 4) AS beta_qty_cents,
+           ROUND(({_OLS_D2}) / ({_OLS_DETS}), 4) AS beta_disc_cents
+    FROM m
+    """,
+)
+def m26_ols_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M26: multivariate OLS by normal equations, closed form — price
+    (cents) on quantity and discount (milli), fit in ONE aggregation
+    pass: nine exact-BIGINT moments (n, Σx, Σx², Σxy — every product
+    bounded well inside int64), then Cramer's rule on the 3x3 system in
+    doubles. Both engines evaluate the IDENTICAL formula text over
+    identical integer moments, so the division is the only float step
+    and the 4-decimal round is safely stable. This is how linear
+    regression actually distributes: the data pass is a partial-agg
+    shuffle of 9 scalars; the solve is O(p³) on the driver frame —
+    MLlib's LinearRegression(normal solver) does the same with p large
+    enough to need WLS. a15 is the univariate special case; m9/m10 the
+    iterative-optimizer tier."""
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("bigint").alias("x1"),
+        F.round(F.col("l_discount") * 1000).cast("bigint").alias("x2"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("y"),
+    )
+    m = li.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x1").cast("bigint").alias("s1"),
+        F.sum("x2").cast("bigint").alias("s2"),
+        F.sum(F.col("x1") * F.col("x1")).cast("bigint").alias("s11"),
+        F.sum(F.col("x2") * F.col("x2")).cast("bigint").alias("s22"),
+        F.sum(F.col("x1") * F.col("x2")).cast("bigint").alias("s12"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x1") * F.col("y")).cast("bigint").alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).cast("bigint").alias("s2y"),
+    )
+    return m.selectExpr(
+        "n",
+        f"ROUND(({_OLS_D0}) / ({_OLS_DETS}), 4) AS beta0_cents",
+        f"ROUND(({_OLS_D1}) / ({_OLS_DETS}), 4) AS beta_qty_cents",
+        f"ROUND(({_OLS_D2}) / ({_OLS_DETS}), 4) AS beta_disc_cents",
+    )
