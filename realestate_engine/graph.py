@@ -168,7 +168,42 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     return ranks.orderBy(F.desc("rank_micro"), "node").limit(50)
 
 
-@register("graph_label_propagation")  # iterative mode updates → rows-only (exact reference test)
+def _lp_round_sql(prev: str, out: str) -> str:
+    """One unrolled label-propagation round: per-node neighbor-label
+    vote counts, argmax with (cnt DESC, label ASC) tie-break."""
+    return f"""
+    {out} AS (
+        SELECT src AS node, label FROM (
+            SELECT e.src, l.label, COUNT(*) AS cnt
+            FROM edges e JOIN {prev} l ON l.node = e.dst
+            GROUP BY e.src, l.label
+        )
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY src ORDER BY cnt DESC, label ASC) = 1
+    )"""
+
+
+_LP_ORACLE = f"""
+    WITH pairs AS (
+        SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    edges AS (
+        SELECT c AS src, s AS dst FROM pairs
+        UNION ALL
+        SELECT s AS src, c AS dst FROM pairs
+    ),
+    l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+    {_lp_round_sql("l0", "l1")},
+    {_lp_round_sql("l1", "l2")},
+    {_lp_round_sql("l2", "l3")}
+    SELECT CAST(label AS BIGINT) AS community, CAST(COUNT(*) AS BIGINT) AS size
+    FROM l3 GROUP BY label
+    ORDER BY size DESC, community
+    LIMIT 25
+"""
+
+
+@register("graph_label_propagation", _LP_ORACLE)
 def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G3: synchronous label propagation (3 rounds) over the trade
     graph — community detection by iterated neighbor-majority vote:
@@ -179,7 +214,9 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     join (labels -> edges) + one count agg + one argmax-per-node pick
     via max(struct(cnt, -label)) — partial-aggregated, shuffle keyed by
     node. Returns (community, size) for the 25 largest communities.
-    Rows-only: tests re-run the identical recurrence in pure Python."""
+    Oracle: the identical recurrence unrolled as three chained CTEs
+    (integer counts + integer labels — no float anywhere, so the
+    argmax is bit-exact); tests additionally re-run it in pure Python."""
     from pyspark.sql import Window
 
     edges = trade_edges(spark, sf_dir)

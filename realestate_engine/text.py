@@ -162,11 +162,45 @@ _LANG_MARKERS = {
 }
 
 
-@register("text_langid")  # heuristic → rows-only check (unit-tested in pytest)
+_LANGID_ORACLE = (
+    r"""
+    WITH w AS (
+        SELECT doc_id, STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+') AS words
+        FROM documents
+    ),
+    profiles(lang, markers) AS (VALUES
+        """
+    + ", ".join(
+        "('{}', [{}])".format(lang, ", ".join(f"'{m}'" for m in markers))
+        for lang, markers in _LANG_MARKERS.items()
+    )
+    + r"""
+    ),
+    scored AS (
+        SELECT doc_id, lang,
+               CAST(LEN(LIST_FILTER(words, x -> LIST_CONTAINS(markers, x))) AS DOUBLE)
+                 / LEN(words) AS score
+        FROM w CROSS JOIN profiles
+    )
+    SELECT doc_id,
+           CASE WHEN score > 0 THEN lang ELSE 'und' END AS predicted_lang,
+           ROUND(score, 6) AS confidence
+    FROM scored
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY doc_id ORDER BY score DESC, lang DESC) = 1
+    ORDER BY doc_id
+    """
+)
+
+
+@register("text_langid", _LANGID_ORACLE)
 def text_langid(spark: SparkSession, sf_dir: str) -> DataFrame:
     """N-gram/marker-token language-ID heuristic: score each language
-    profile by marker hit-rate, take the argmax (ties → 'und'). One
-    pass, all native expressions."""
+    profile by marker hit-rate, take the argmax (Spark's array_max on
+    (score, lang) structs — score ties break to the lexicographically
+    LARGER lang, which the oracle's ORDER BY score DESC, lang DESC
+    reproduces; zero hits → 'und'). One pass, all native expressions;
+    both engines compute the identical hits/len double so the argmax
+    comparison is bit-stable."""
     d = t(spark, sf_dir, "documents")
     words = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
     scores = []
