@@ -340,3 +340,61 @@ def mm_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("hamming") <= 3)
         .orderBy("id_a", "id_b")
     )
+
+
+@register("mm_scene_cut")  # fake-codec frame hashes → rows-only (exact reference test)
+def mm_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MM7: scene-cut detection over the video modality — sample k
+    frames per 'video' (mm_frame_sample's fan-out), compute a 64-bit
+    average-hash per frame from the payload window at each offset
+    (same fake codec discipline as the image ops: the hash pipeline is
+    real, the decode is the stub), then flag a cut wherever the
+    hamming distance between CONSECUTIVE frame hashes exceeds the
+    threshold. The frame-to-frame comparison is a lag window
+    partitioned by video — bounded by frames-per-video, never a global
+    sort; per 100 TB of video the state is k hashes per key. Returns
+    per-video cut counts + mean consecutive hamming distance (exact
+    integers). Rows-only: the fake codec is Python; tests replay the
+    pipeline exactly."""
+    from pyspark.sql.window import Window
+
+    d = t(spark, sf_dir, "documents")
+    n_frames = 4
+    offsets = F.transform(
+        F.sequence(F.lit(0), F.lit(n_frames - 1)),
+        lambda i: (i * F.length("text") / n_frames).cast("int"),
+    )
+    frames = d.select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("payload"),
+        F.posexplode(offsets).alias("frame_idx", "byte_offset"),
+    ).select(
+        "doc_id",
+        "frame_idx",
+        # frame payload = 32-byte window at the offset (fake decode)
+        F.expr("substring(payload, byte_offset + 1, 32)").alias("frame_bytes"),
+    )
+    hashed = ahash_binary(
+        frames.select(
+            (F.col("doc_id") * 10 + F.col("frame_idx")).alias("doc_id"), F.col("frame_bytes").alias("payload")
+        )
+    ).select(
+        F.expr("doc_id div 10").alias("doc_id"),
+        (F.col("doc_id") % 10).alias("frame_idx"),
+        "ahash",
+    )
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    dist = hashed.select(
+        "doc_id",
+        "frame_idx",
+        F.bit_count(F.col("ahash").bitwiseXOR(F.lag("ahash").over(w))).alias("hamming"),
+    ).where(F.col("hamming").isNotNull())
+    return (
+        dist.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_transitions"),
+            F.sum(F.when(F.col("hamming") > 16, 1).otherwise(0)).cast("bigint").alias("n_cuts"),
+            F.sum("hamming").cast("bigint").alias("total_hamming"),
+        )
+        .orderBy("doc_id")
+    )

@@ -686,3 +686,72 @@ def a31_grouped_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "dq7_seasonal_anomaly",
+    """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               ISODOW(o_orderdate) - 1 AS dow,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents
+        FROM orders GROUP BY 1, 2
+    ),
+    med AS (
+        SELECT dow, CAST(quantile_disc(rev_cents, 0.5) AS BIGINT) AS med_cents
+        FROM daily GROUP BY dow
+    ),
+    dev AS (
+        SELECT daily.d, daily.dow, daily.rev_cents, med.med_cents,
+               ABS(daily.rev_cents - med.med_cents) AS adev
+        FROM daily JOIN med USING (dow)
+    ),
+    mad AS (
+        SELECT dow, CAST(quantile_disc(adev, 0.5) AS BIGINT) AS mad_cents
+        FROM dev GROUP BY dow
+    )
+    SELECT dev.d AS day, CAST(dev.dow AS BIGINT) AS dow,
+           dev.rev_cents, dev.med_cents, mad.mad_cents
+    FROM dev JOIN mad USING (dow)
+    WHERE dev.adev > 3 * mad.mad_cents
+    ORDER BY day
+    """,
+)
+def dq7_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ7: seasonality-aware anomaly flags — daily revenue compared to
+    its OWN day-of-week median with a 3x MAD band (weekends differ from
+    Tuesdays; a global band flags every Saturday). Median + MAD instead
+    of mean + stddev because both are outlier-robust — the anomaly
+    can't drag its own baseline. All arithmetic is exact: integer
+    cents, discrete medians via the GK accuracy>n pin (= DuckDB
+    quantile_disc), integer absolute deviations, integer 3*MAD
+    threshold — no float anywhere, so the flag set is bit-stable.
+    Scale: the raw scan reduces to a days-sized frame in one
+    partial-agg shuffle; the two median passes run on that tiny frame
+    (at 100 TB: still |days| rows). Day-of-week convention pinned to
+    0=Monday on both engines (Spark weekday(), DuckDB ISODOW-1)."""
+    o = t(spark, sf_dir, "orders")
+    exact_gk = 10_000_000
+    daily = (
+        o.groupBy(
+            F.col("o_orderdate").cast("date").alias("d"),
+            F.weekday("o_orderdate").alias("dow"),
+        )
+        .agg(F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).cast("bigint").alias("rev_cents"))
+    )
+    med = daily.groupBy("dow").agg(
+        F.percentile_approx("rev_cents", 0.5, exact_gk).cast("bigint").alias("med_cents")
+    )
+    dev = daily.join(F.broadcast(med), "dow").withColumn(
+        "adev", F.abs(F.col("rev_cents") - F.col("med_cents"))
+    )
+    mad = dev.groupBy("dow").agg(
+        F.percentile_approx("adev", 0.5, exact_gk).cast("bigint").alias("mad_cents")
+    )
+    return (
+        dev.join(F.broadcast(mad), "dow")
+        .where(F.col("adev") > 3 * F.col("mad_cents"))
+        .select("d", F.col("dow").cast("bigint").alias("dow"), "rev_cents", "med_cents", "mad_cents")
+        .withColumnRenamed("d", "day")
+        .orderBy("day")
+    )

@@ -557,3 +557,31 @@ def test_pps_sample_weight_proportionality(spark, sf_dir):
     assert got == want
     # every selected doc's interval really contains a grid point
     assert len(got) <= 51
+
+
+def test_scene_cut_exact_replay(spark, sf_dir):
+    rows = {r["doc_id"]: r for r in QUERIES["mm_scene_cut"](spark, sf_dir).collect()}
+    docs = spark.read.parquet(f"{sf_dir}/documents.parquet").select("doc_id", "text").collect()
+
+    def ahash(b: bytes, bits: int = 64) -> int:
+        if not b:
+            return 0
+        mean = sum(b) / len(b)
+        h = 0
+        for i in range(bits):
+            if b[(i * len(b)) // bits] > mean:
+                h |= 1 << i
+        return h  # unsigned; xor/popcount below is sign-agnostic
+
+    n_frames = 4
+    for r in docs[:50]:
+        payload = r.text.encode("utf-8")
+        hashes = []
+        for k in range(n_frames):
+            off = int(k * len(payload) / n_frames)
+            hashes.append(ahash(payload[off : off + 32]))
+        hams = [bin(a ^ b).count("1") for a, b in zip(hashes, hashes[1:])]
+        got = rows[r.doc_id]
+        assert got["n_transitions"] == len(hams)
+        assert got["total_hamming"] == sum(hams)
+        assert got["n_cuts"] == sum(1 for h in hams if h > 16)
