@@ -755,3 +755,61 @@ def dq7_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
         .withColumnRenamed("d", "day")
         .orderBy("day")
     )
+
+
+@register(
+    "x20_cdc_apply",
+    """
+    WITH log AS (
+        SELECT user_id AS k, ts, event_id,
+               CASE event_type WHEN 'signup' THEN 'I'
+                               WHEN 'error' THEN 'D'
+                               ELSE 'U' END AS op,
+               CAST(FLOOR(value * 100) AS BIGINT) AS val_cents
+        FROM events
+        WHERE event_type IN ('signup', 'click', 'view', 'purchase', 'error')
+    ),
+    last_op AS (
+        SELECT k, op, val_cents
+        FROM log
+        QUALIFY ROW_NUMBER() OVER (PARTITION BY k ORDER BY ts DESC, event_id DESC) = 1
+    )
+    SELECT k AS user_id, op AS last_op, val_cents
+    FROM last_op
+    WHERE op <> 'D'
+    ORDER BY user_id
+    """,
+)
+def x20_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X20: change-data-capture apply — collapse an ordered I/U/D
+    changelog (Debezium-shaped: signup=insert, activity=update,
+    error=delete here) into the final table state: per key the LAST
+    operation wins, and a last-op DELETE removes the key entirely.
+    This is the semantics x7's keep-latest upsert lacks (upsert never
+    forgets); the delete branch is what makes CDC replication and
+    GDPR-erasure pipelines correct.
+
+    Plan: one window rank per key ordered by (ts, event_id) DESC — a
+    single shuffle on the key, group state bounded by events-per-key —
+    then a filter. At 100 TB the same query runs incrementally: new
+    changelog batches fold in via x8's agg-state merge or as a
+    MERGE INTO against the materialized state; the batch form here is
+    the semantics oracle."""
+    ev = t(spark, sf_dir, "events")
+    log = ev.select(
+        F.col("user_id").alias("k"),
+        "ts",
+        "event_id",
+        F.when(F.col("event_type") == "signup", "I")
+        .when(F.col("event_type") == "error", "D")
+        .otherwise("U")
+        .alias("op"),
+        F.floor(F.col("value") * 100).cast("bigint").alias("val_cents"),
+    )
+    w = Window.partitionBy("k").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+    return (
+        log.withColumn("rn", F.row_number().over(w))
+        .where((F.col("rn") == 1) & (F.col("op") != "D"))
+        .select(F.col("k").alias("user_id"), F.col("op").alias("last_op"), "val_cents")
+        .orderBy("user_id")
+    )
