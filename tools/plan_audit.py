@@ -57,6 +57,10 @@ ALLOWED_CROSS = {
     "x18_systematic_pps_sample",  # broadcast 1-row grid-step aggregate
     "sim_matryoshka_topk",  # broadcast 1-row probe (prefix + full vector)
     "m25_kmeans_fixed_point",  # broadcast k=3 centroid rows per Lloyd iteration
+    "x19_rolling_origin_splits",  # broadcast 3-row fold-cutoff frame
+    "a28_chi2_independence",  # broadcast 1-row margin-count frames
+    "sim_hard_negatives",  # broadcast 1-row probe (vector + label)
+    "ev7_rfm_segmentation",  # broadcast 1-row quintile-cuts + max-date frames
     "text_bm25_ranking",  # broadcast 1-row n_docs/avgdl aggregate
 }
 # Local tables that are NOT data detours: explicit local-row sources,
