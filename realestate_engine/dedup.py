@@ -22,7 +22,7 @@ from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
-from realestate_engine.registry import register, t
+from realestate_engine.registry import ORACLES, register, t
 
 # ---------------------------------------------------------------------------
 # Exact + keep-newest (SQL-checkable)
@@ -592,3 +592,118 @@ def dedup_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def _mirror_distinct(e: DataFrame) -> DataFrame:
+    """Canonical undirected edge set as both directed pairs, no dups,
+    no self-loops."""
+    e = e.where(F.col("u") != F.col("v"))
+    return e.union(e.select(F.col("v").alias("u"), F.col("u").alias("v"))).distinct()
+
+
+def connected_components_twostar(
+    pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b", max_iter: int = 30
+) -> DataFrame:
+    """Connected components via alternating LARGE-STAR / SMALL-STAR
+    contractions (Kiveris et al., "Connected Components in MapReduce
+    and Beyond") — O(log n) rounds regardless of component DIAMETER,
+    vs min-label propagation's O(diameter) (connected_components
+    above). The variant to reach for when components can be long
+    chains (linked near-dup shingles, citation paths): at 100 TB a
+    10^6-hop chain is 20 two-star rounds vs 10^6 propagation rounds.
+
+    Per round, each phase is one groupBy (per-node min) + one join —
+    shuffles keyed on the node id, state bounded by degree:
+    - large-star: every node links its LARGER neighbors to its
+      smallest known node (min(N(u) ∪ {u}));
+    - small-star: every node links its smaller-or-self neighborhood
+      to that neighborhood's min.
+    Convergence = edge-set fixed point, detected by an O(1) driver
+    checksum (count + order-independent hash sum), not a data collect;
+    localCheckpoint truncates per-round lineage. Returns (doc_id,
+    cluster_id = component min), same contract as
+    connected_components."""
+    raw = pairs.select(
+        F.col(id_a).cast("long").alias("u"), F.col(id_b).cast("long").alias("v")
+    )
+    nodes = raw.select("u").union(raw.select(F.col("v").alias("u"))).distinct()
+    e = _mirror_distinct(raw).localCheckpoint()
+
+    def checksum(edges: DataFrame):
+        row = edges.agg(
+            F.count(F.lit(1)).alias("n"),
+            # xor-fold: order-independent, overflow-free under ANSI
+            F.expr("bit_xor(xxhash64(u, v))").alias("h"),
+        ).collect()[0]
+        return (row["n"], row["h"])
+
+    prev = checksum(e)
+    for _ in range(max_iter):
+        # large-star: m(u) = min(N(u) ∪ {u}); emit (v, m(u)) for v > u
+        m = e.groupBy("u").agg(F.min("v").alias("mn")).select(
+            "u", F.least("mn", F.col("u")).alias("m")
+        )
+        ls = (
+            e.join(m, "u")
+            .where(F.col("v") > F.col("u"))
+            .select(F.col("v").alias("u"), F.col("m").alias("v"))
+        )
+        e = _mirror_distinct(ls).localCheckpoint()
+        # small-star: over smaller-neighbor sets; emit (x, m) for every
+        # x in (N'(u) ∪ {u}) \ {m}
+        lt = e.where(F.col("v") < F.col("u"))
+        m2 = lt.groupBy("u").agg(F.min("v").alias("m"))
+        ss = lt.join(m2, "u").select(
+            F.when(F.col("v") == F.col("m"), F.col("u")).otherwise(F.col("v")).alias("u"),
+            F.col("m").alias("v"),
+        )
+        e = _mirror_distinct(ss).localCheckpoint()
+        cur = checksum(e)
+        if cur == prev:
+            break
+        prev = cur
+    # converged: stars point every member at the component min
+    labels = e.groupBy("u").agg(F.min("v").alias("mn")).select(
+        "u", F.least("mn", F.col("u")).alias("label")
+    )
+    return (
+        nodes.join(labels, "u", "left")
+        .select(
+            F.col("u").alias("doc_id"),
+            F.coalesce("label", F.col("u")).alias("cluster_id"),
+        )
+    )
+
+
+def _dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The >=0.5 word-set-Jaccard near-dup edge list dedup_clusters
+    builds (split out so both CC algorithms consume one definition)."""
+    d = t(spark, sf_dir, "documents").filter(F.col("n_chars") <= 200)
+    words = F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+    sh = d.select("doc_id", "lang", "source", words.alias("sh"))
+    a = sh.alias("a")
+    b = sh.alias("b")
+    jac = F.size(F.array_intersect("a.sh", "b.sh")).cast("double") / F.size(
+        F.array_union("a.sh", "b.sh")
+    )
+    return (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(jac >= 0.5)
+        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    )
+
+
+# same components, same oracle — only the iteration scheme differs
+@register("dedup_clusters_twostar", ORACLES["dedup_clusters"])
+def dedup_clusters_twostar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D9: dedup_clusters' exact output computed with the two-star
+    contraction instead of min-label propagation — O(log n) rounds vs
+    O(diameter); see connected_components_twostar. Shares
+    dedup_clusters' recursive-CTE oracle (identical answer by
+    construction)."""
+    return connected_components_twostar(_dup_pairs(spark, sf_dir)).orderBy("doc_id")

@@ -150,3 +150,38 @@ def test_hll_sketch_rollup_error_bound(spark, sf_dir):
     )
     all_row = [r for r in rows if r.o_orderpriority == "ALL"][0]
     assert abs(all_row.est_distinct - global_exact) <= max(2, 0.05 * global_exact)
+
+
+def test_twostar_cc_matches_propagation_and_handles_chains(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from realestate_engine.dedup import (
+        _dup_pairs,
+        connected_components,
+        connected_components_twostar,
+    )
+
+    # agreement on the real near-dup graph
+    pairs = _dup_pairs(spark, sf_dir)
+    a = {
+        (r.doc_id, r.cluster_id)
+        for r in connected_components(pairs).collect()
+    }
+    b = {
+        (r.doc_id, r.cluster_id)
+        for r in connected_components_twostar(pairs).collect()
+    }
+    assert a == b and a
+
+    # a 64-node chain + an isolated pair: worst case for diameter-bound
+    # propagation, ~log rounds for two-star
+    chain = spark.range(63).select(
+        F.col("id").alias("id_a"), (F.col("id") + 1).alias("id_b")
+    )
+    extra = spark.sql("SELECT 1000 AS id_a, 1001 AS id_b")
+    got = {
+        (r.doc_id, r.cluster_id)
+        for r in connected_components_twostar(chain.union(extra)).collect()
+    }
+    want = {(i, 0) for i in range(64)} | {(1000, 1000), (1001, 1000)}
+    assert got == want
