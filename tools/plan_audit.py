@@ -74,6 +74,7 @@ ALLOWED_LOCAL = {
     "m10_cross_validator",  # returns CV best-params (model state)
     "m12_feature_importances",  # returns k importances (model state)
     "dedup_clusters",  # iterative propagation localCheckpoints each round
+    "dedup_clusters_twostar",  # two-star contraction localCheckpoints each phase
     "dedup_canonical_selection",  # builds on dedup_clusters' checkpointed lineage
     "p11_train_test_split",  # returns O(1) split-audit scalars
     "p14_dense_reid",  # localCheckpoint pins partition ids for the offset ledger
