@@ -707,3 +707,70 @@ def dedup_clusters_twostar(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_clusters' recursive-CTE oracle (identical answer by
     construction)."""
     return connected_components_twostar(_dup_pairs(spark, sf_dir)).orderBy("doc_id")
+
+
+@register("dedup_minhash_incremental")  # sketch probe → rows-only (cross-checked vs full LSH in tests)
+def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """D10: INCREMENTAL MinHash dedup — the production shape: the
+    corpus is already banded/indexed; only the NEW batch (doc_id % 10
+    == 0 here) computes signatures and probes the index. The join is
+    new-batch bands x corpus bands on (band, band_hash) — cost scales
+    with batch size and bucket occupancy, NOT corpus size, and nothing
+    re-shingles the corpus (at 100 TB the banded index is a bucketed
+    table on disk; see write_bucketed). Self-join dedup re-pays the
+    whole corpus every day; this is the delta form that doesn't.
+    Returns (new_id, corpus_id, jaccard) verified-exact pairs.
+    Rows-only (crc32-family minhash has no DuckDB twin); tests assert
+    the candidate set equals the full self-join LSH's cross-split
+    pairs."""
+    d = t(spark, sf_dir, "documents")
+    is_new = F.col("doc_id") % 10 == 0
+    sh_rel = hashed_shingle_df(d, "doc_id", "text").cache()
+
+    def banded(ids: DataFrame) -> DataFrame:
+        sig = minhash_signature_df(d, "doc_id", "text", shingles=sh_rel.join(ids, "id", "left_semi"))
+        rows_per_band = 2
+        return sig.select(
+            "id",
+            F.posexplode(
+                F.array(
+                    *[
+                        F.hash(*[f"mh{i * rows_per_band + j}" for j in range(rows_per_band)])
+                        for i in range(8)
+                    ]
+                )
+            ).alias("band", "band_hash"),
+        )
+
+    new_ids = d.where(is_new).select(F.col("doc_id").alias("id"))
+    corpus_ids = d.where(~is_new).select(F.col("doc_id").alias("id"))
+    probe = banded(new_ids).alias("n")
+    index = banded(corpus_ids).alias("c")
+    cands = (
+        probe.join(
+            index,
+            (F.col("n.band") == F.col("c.band")) & (F.col("n.band_hash") == F.col("c.band_hash")),
+        )
+        .select(F.col("n.id").alias("new_id"), F.col("c.id").alias("corpus_id"))
+        .dropDuplicates()
+    )
+    # exact-jaccard verification from the cached shingle relation
+    sides = cands.select(
+        "new_id", "corpus_id", F.explode(F.array(F.col("new_id"), F.col("corpus_id"))).alias("id")
+    )
+    per_pair = (
+        sh_rel.join(F.broadcast(sides), "id")
+        .groupBy("new_id", "corpus_id")
+        .agg(
+            F.size(F.array_intersect(F.first("sh"), F.last("sh"))).alias("n_int"),
+            F.size(F.array_union(F.first("sh"), F.last("sh"))).alias("n_uni"),
+        )
+    )
+    return (
+        per_pair.select(
+            "new_id",
+            "corpus_id",
+            F.round(F.col("n_int").cast("double") / F.col("n_uni"), 6).alias("jaccard"),
+        )
+        .orderBy("new_id", "corpus_id")
+    )

@@ -185,3 +185,17 @@ def test_twostar_cc_matches_propagation_and_handles_chains(spark, sf_dir):
     }
     want = {(i, 0) for i in range(64)} | {(1000, 1000), (1001, 1000)}
     assert got == want
+
+
+def test_incremental_minhash_equals_cross_split_full_lsh(spark, sf_dir):
+    inc = {
+        (min(r.new_id, r.corpus_id), max(r.new_id, r.corpus_id)): r.jaccard
+        for r in QUERIES["dedup_minhash_incremental"](spark, sf_dir).collect()
+    }
+    full = {
+        (r.id_a, r.id_b): r.jaccard
+        for r in QUERIES["dedup_minhash_lsh"](spark, sf_dir).collect()
+        # keep only pairs with exactly one side in the "new batch"
+        if (r.id_a % 10 == 0) != (r.id_b % 10 == 0)
+    }
+    assert inc == full and inc
