@@ -813,3 +813,55 @@ def x20_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("k").alias("user_id"), F.col("op").alias("last_op"), "val_cents")
         .orderBy("user_id")
     )
+
+
+@register(
+    "dq8_id_gap_islands",
+    """
+    WITH ok AS (
+        SELECT event_id FROM events WHERE event_type <> 'error'
+    ),
+    grp AS (
+        SELECT event_id,
+               event_id - ROW_NUMBER() OVER (ORDER BY event_id) AS island_key
+        FROM ok
+    ),
+    islands AS (
+        SELECT CAST(MIN(event_id) AS BIGINT) AS island_start,
+               CAST(MAX(event_id) AS BIGINT) AS island_end,
+               CAST(COUNT(*) AS BIGINT) AS island_len
+        FROM grp GROUP BY island_key
+    )
+    SELECT island_start, island_end, island_len
+    FROM islands
+    ORDER BY island_len DESC, island_start
+    LIMIT 50
+    """,
+)
+def dq8_id_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ8: gaps-and-islands over a surrogate-key sequence — the
+    completeness audit that answers "which id ranges are missing?"
+    after filtering out quarantined rows (here: 'error' events play the
+    dropped records). Classic islands construction: id minus its row
+    number is constant within every contiguous run. The global
+    ROW_NUMBER is the one total-order step — here via a single window
+    (the id space is the audit target, usually modest); at 100 TB swap
+    in distributed_prefix_sum exactly as corpus_token_budget does —
+    rank = running count, same island_key arithmetic. Top-50 longest
+    islands returned (exact integers throughout)."""
+    ev = t(spark, sf_dir, "events").where(F.col("event_type") != "error")
+    w = Window.orderBy("event_id")
+    grp = ev.select(
+        "event_id", (F.col("event_id") - F.row_number().over(w)).alias("island_key")
+    )
+    return (
+        grp.groupBy("island_key")
+        .agg(
+            F.min("event_id").cast("bigint").alias("island_start"),
+            F.max("event_id").cast("bigint").alias("island_end"),
+            F.count(F.lit(1)).cast("bigint").alias("island_len"),
+        )
+        .select("island_start", "island_end", "island_len")
+        .orderBy(F.desc("island_len"), "island_start")
+        .limit(50)
+    )
