@@ -865,3 +865,47 @@ def dq8_id_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("island_len"), "island_start")
         .limit(50)
     )
+
+
+@register(
+    "ev11_pareto_concentration",
+    """
+    WITH per_user AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS cents
+        FROM orders GROUP BY o_custkey
+    ),
+    cut AS (SELECT CAST(quantile_disc(cents, 0.9) AS BIGINT) AS p90 FROM per_user)
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_users,
+           CAST(SUM(CASE WHEN cents > p90 THEN 1 ELSE 0 END) AS BIGINT) AS n_top,
+           CAST(SUM(CASE WHEN cents > p90 THEN cents ELSE 0 END) AS BIGINT) AS top_cents,
+           CAST(SUM(cents) AS BIGINT) AS total_cents,
+           ROUND(CAST(SUM(CASE WHEN cents > p90 THEN cents ELSE 0 END) AS DOUBLE)
+                 / SUM(cents), 6) AS top_share
+    FROM per_user, cut
+    """,
+)
+def ev11_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EV11: revenue-concentration (Pareto) audit — what share of total
+    revenue the strictly-above-p90 customers hold: the whale-dependence
+    metric behind "80/20" dashboards, and the skew signal that decides
+    when x4/x12 salting is worth it. One per-user aggregate, one exact
+    discrete p90 (GK accuracy>n, see a6), then a single conditional
+    aggregation against the 1-row broadcast cut — exact integer cents
+    everywhere, one double division for the share. The strict >
+    comparison pins tie semantics identically on both engines."""
+    o = t(spark, sf_dir, "orders")
+    per_user = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).cast("bigint").alias("cents")
+    )
+    cut = per_user.agg(
+        F.percentile_approx("cents", 0.9, 10_000_000).cast("bigint").alias("p90")
+    )
+    top = F.when(F.col("cents") > F.col("p90"), F.col("cents")).otherwise(F.lit(0))
+    return per_user.crossJoin(F.broadcast(cut)).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_users"),
+        F.sum(F.when(F.col("cents") > F.col("p90"), 1).otherwise(0)).cast("bigint").alias("n_top"),
+        F.sum(top).cast("bigint").alias("top_cents"),
+        F.sum("cents").cast("bigint").alias("total_cents"),
+        F.round(F.sum(top).cast("double") / F.sum("cents"), 6).alias("top_share"),
+    )
