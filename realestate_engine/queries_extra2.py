@@ -909,3 +909,70 @@ def ev11_pareto_concentration(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("cents").cast("bigint").alias("total_cents"),
         F.round(F.sum(top).cast("double") / F.sum("cents"), 6).alias("top_share"),
     )
+
+
+@register(
+    "a33_runs_test",
+    """
+    WITH daily AS (
+        SELECT CAST(o_orderdate AS DATE) AS d,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS rev
+        FROM orders GROUP BY 1
+    ),
+    med AS (SELECT CAST(quantile_disc(rev, 0.5) AS BIGINT) AS m FROM daily),
+    flagged AS (
+        SELECT d, CASE WHEN rev > m THEN 1 ELSE 0 END AS above
+        FROM daily, med
+    ),
+    runs AS (
+        SELECT CAST(1 + SUM(CASE WHEN above <> prev THEN 1 ELSE 0 END) AS BIGINT) AS r,
+               CAST(SUM(above) AS BIGINT) AS n1,
+               CAST(SUM(1 - above) AS BIGINT) AS n2
+        FROM (
+            SELECT above, LAG(above) OVER (ORDER BY d) AS prev
+            FROM flagged
+        )
+        WHERE prev IS NOT NULL OR TRUE
+    )
+    SELECT r AS n_runs, n1 AS n_above, n2 AS n_below,
+           ROUND((r - (2.0 * n1 * n2 / (n1 + n2) + 1))
+                 / SQRT(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                        / ((CAST(n1 + n2 AS DOUBLE)) * (n1 + n2) * (n1 + n2 - 1))), 6) AS z_score
+    FROM runs
+    """,
+)
+def a33_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A33: Wald-Wolfowitz runs test — is the daily-revenue sequence
+    random around its median, or does it trend/cluster? (|z| > 1.96
+    rejects randomness: too few runs = momentum, too many =
+    oscillation.) The sequence statistic (runs = 1 + sign changes via
+    lag) runs on the DAYS-sized frame — one partial-agg shuffle reduces
+    the raw scan, then the window sorts |days| rows regardless of data
+    size. Counts are exact integers (strict > vs the exact discrete
+    median pins ties); the z formula is evaluated over those integers
+    in the same operand order on both engines, rounded to 6."""
+    o = t(spark, sf_dir, "orders")
+    daily = o.groupBy(F.col("o_orderdate").cast("date").alias("d")).agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).cast("bigint").alias("rev")
+    )
+    med = daily.agg(F.percentile_approx("rev", 0.5, 10_000_000).cast("bigint").alias("m"))
+    flagged = daily.crossJoin(F.broadcast(med)).select(
+        "d", F.when(F.col("rev") > F.col("m"), 1).otherwise(0).alias("above")
+    )
+    w = Window.orderBy("d")
+    seq = flagged.select("above", F.lag("above").over(w).alias("prev"))
+    runs = seq.agg(
+        (1 + F.sum(F.when(F.col("above") != F.col("prev"), 1).otherwise(0)))
+        .cast("bigint")
+        .alias("r"),
+        F.sum("above").cast("bigint").alias("n1"),
+        F.sum(1 - F.col("above")).cast("bigint").alias("n2"),
+    )
+    return runs.selectExpr(
+        "r AS n_runs",
+        "n1 AS n_above",
+        "n2 AS n_below",
+        """ROUND((r - (2.0 * n1 * n2 / (n1 + n2) + 1))
+             / SQRT(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
+                    / ((CAST(n1 + n2 AS DOUBLE)) * (n1 + n2) * (n1 + n2 - 1))), 6) AS z_score""",
+    )

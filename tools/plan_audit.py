@@ -62,6 +62,7 @@ ALLOWED_CROSS = {
     "sim_hard_negatives",  # broadcast 1-row probe (vector + label)
     "ev7_rfm_segmentation",  # broadcast 1-row quintile-cuts + max-date frames
     "ev11_pareto_concentration",  # broadcast 1-row p90-cut frame
+    "a33_runs_test",  # broadcast 1-row median-cut frame
     "text_bm25_ranking",  # broadcast 1-row n_docs/avgdl aggregate
 }
 # Local tables that are NOT data detours: explicit local-row sources,
