@@ -20,32 +20,45 @@ from realestate_engine.queries_core import flagship_revenue_by_nation
 
 registry.load_all()
 
-# The first entries of queries() are a curated cross-section: one
-# representative per SURVEY §2 operator family plus each north-star
-# family (dedup / similarity / text / multimodal / streaming /
-# temporal-join), so a prefix of any length samples every capability.
-# The remaining ~190 queries follow in registration order.
+# The first entries of queries() are the driver's 50-query correctness
+# window. The driver caps CORRECTNESS_r{N}.json at 50 entries, so the
+# window ROTATES each round to accumulate driver-verified coverage:
+# round 3 verified the per-family representatives (all green, see
+# CORRECTNESS_r03.json); round 4 leads with the queries whose oracles
+# or plans are NEW this round (minhash/simhash/LSH-ANN upgraded from
+# rows-only to full oracles; dq8/m23 and the tiny-frame windows rebuilt
+# on distributed_prefix_sum / broadcast-join prefix sums) and fills the
+# rest with oracle-checked queries no driver round has seen yet —
+# 49 of 50 entries are new vs r03. The remaining queries follow in
+# registration order.
 _WINDOW = [
     "flagship_revenue_by_nation",
-    "s1_csv_roundtrip", "s2_parquet_scan_pushdown", "s3_parquet_sink_partitioned",
-    "s4_local_rows", "s6_csv_sink_native",
-    "p1_cast_normalization", "p4_null_filter", "p5_sql_string_filter",
-    "p6_range_filter_drop", "p7_conditional_case", "p8_null_imputation",
-    "p9_null_profile",
-    "j1_inner_join_using", "j2_anti_join_audit", "j3_full_outer",
-    "a1_groupby_count_sort", "a2_groupby_avg", "a4_global_multiagg",
-    "a5_summary_profile", "a6_approx_quantile", "a8_corr_distributed",
-    "a9_count_distinct", "a10_rollup", "a11_pivot", "a12_grouping_sets",
-    "w1_ranking", "w2_lag_lead", "w3_frame_aggregates",
-    "o1_global_sort_desc", "o2_topk", "o3_distributed_topk_per_group",
-    "set_drop_duplicates",
-    "f3_haversine", "f6_quantile_clamp", "f10_monthly_revenue",
-    "f11_pandas_udaf_weighted_avg",
-    "m1_string_indexer", "m4_pipeline_fit_transform", "m6_target_stats",
-    "m8_smearing_inverse", "m11_regression_metrics_sql",
-    "dedup_exact", "dedup_keep_newest", "dedup_minhash_lsh",
-    "sim_bruteforce_topk", "text_tfidf_top_term", "mm_image_features",
-    "st_tumbling_window", "asof_last_click_before_purchase",
+    # upgraded rows-only -> full oracle this round (portable hash family)
+    "dedup_minhash_lsh", "dedup_minhash_incremental", "dedup_simhash",
+    "sim_lsh_ann",
+    # plans rebuilt this round (no single-partition windows anywhere)
+    "dq8_id_gap_islands", "m23_roc_auc_ranksum", "x20_cdc_apply",
+    "f16_mom_growth", "a33_runs_test", "ts_cusum_changepoints",
+    "p14_dense_reid", "s22_csv_malformed_modes", "dedup_clusters_twostar",
+    "corpus_token_budget", "x18_systematic_pps_sample",
+    # never driver-verified: TPC-H core
+    "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
+    "tpch_q5_region_revenue", "tpch_q7_nation_volume",
+    "tpch_q9_product_profit", "tpch_q18_large_orders",
+    "tpch_q21_waiting_supplier", "tpch_q2_min_cost_supplier",
+    "tpch_q8_market_share", "tpch_q13_customer_distribution",
+    "tpch_q15_top_supplier", "tpch_q17_small_quantity_revenue",
+    "tpch_q22_sales_opportunity",
+    # never driver-verified: dedup / text / similarity north-star
+    "dedup_ngram_jaccard", "dedup_embedding_cosine", "dedup_clusters",
+    "text_token_count", "text_quality_score", "text_langid",
+    "text_fingerprint", "text_contamination_ngrams",
+    "corpus_clean_pipeline", "corpus_mixture_sample",
+    "sim_quantize_int8", "sim_label_centroids", "sim_matryoshka_topk",
+    # never driver-verified: streaming / temporal / graph / windows
+    "st_sliding_window", "st_session_window", "st_watermark_dedup",
+    "range_join_clicks_before_purchase", "graph_pagerank_trade",
+    "graph_triangle_count", "scd2_intervals", "x11_point_in_time_features",
 ]
 
 

@@ -11,9 +11,12 @@ Five strategies, all shuffle-bounded (never all-pairs over the corpus):
                 bits → bucket by band-of-bits and compare hamming.
 - n-gram Jaccard: exact verification metric for LSH candidates.
 
-No Python row-at-a-time UDFs: shingling, hashing (xxhash64/crc32),
-min-reduction and band extraction are all native SQL expressions inside
-whole-stage codegen.
+No Python row-at-a-time UDFs: shingling, hashing, min-reduction and
+band extraction are all native SQL expressions inside whole-stage
+codegen. The whole hash family (portable_hash32 = md5-prefix words,
+rolling-polynomial shingles + bands, affine minhash) is exact integer
+math DuckDB reproduces, so the sketch pipelines carry full value
+oracles instead of rows-only checks.
 """
 
 from __future__ import annotations
@@ -83,16 +86,32 @@ def word_shingles(text_col: Column, n: int = 3) -> Column:
     return F.array_distinct(F.filter(acc, lambda x: x.isNotNull()))
 
 
+def portable_hash32(col: Column) -> Column:
+    """32-bit string hash BOTH engines compute bit-identically: the
+    first 8 hex chars of md5 parsed as an integer. Spark:
+    conv(substr(md5(w),1,8),16,10); DuckDB:
+    ('0x' || substr(md5(w),1,8))::BIGINT. md5 hashes the UTF-8 bytes
+    on both sides, so the value is engine-portable — this is what lets
+    the whole minhash/simhash pipeline carry a DuckDB oracle (crc32,
+    the previous word hash, does not exist in DuckDB; xxhash64/murmur3
+    finalize differently per engine). Value range [0, 2^32)."""
+    return F.conv(F.substring(F.md5(col), 1, 8), 16, 10).cast("long")
+
+
 def shingle_hashes(text_col: Column, n: int = 3) -> Column:
     """Distinct word n-gram HASHES as array<long> — the allocation-free
     sibling of word_shingles for pipelines that only hash the shingles
-    (MinHash): crc32 each word once, then combine k-shifted hash arrays
-    with a rolling polynomial (a·P + b mod 2³¹-1) instead of string
-    concatenation. Same O(n·words) zip_with shape, ~3× cheaper per
-    element (integer ops vs string building). pmod keeps values in
-    [0, 2³¹) so ANSI-mode long arithmetic cannot overflow."""
+    (MinHash): portable_hash32 each word once, then combine k-shifted
+    hash arrays with a rolling polynomial (a·P + b mod 2³¹-1) instead
+    of string concatenation. Same O(n·words) zip_with shape, cheaper
+    per element (integer ops vs string building). pmod keeps values in
+    [0, 2³¹) so ANSI-mode long arithmetic cannot overflow; the initial
+    word hashes are < 2^32 so h*1000003 + h' < 2^52 — no overflow
+    before the first pmod. Every step is reproducible in DuckDB SQL
+    (see _minhash_pipeline_ctes), which is what makes the LSH queries
+    oracle-checkable end to end."""
     words = F.split(F.lower(F.trim(text_col)), r"\s+")
-    hashes = F.transform(words, lambda w: F.crc32(w))
+    hashes = F.transform(words, lambda w: portable_hash32(w))
     acc = hashes
     for k in range(1, n):
         acc = F.zip_with(
@@ -105,6 +124,18 @@ def shingle_hashes(text_col: Column, n: int = 3) -> Column:
 
 # Large primes for the (a*x + b) mod p family of minhash permutations.
 _MINHASH_PRIME = 2147483647  # 2^31 - 1
+_POLY = 1000003  # rolling-polynomial base shared by shingle + band hashing
+
+
+def _band_hash(mh_cols: list[str]) -> Column:
+    """Portable band hash: left-fold the band's signature lanes with the
+    same rolling polynomial as shingle_hashes (h·B + next mod p). Each
+    lane is already < p, so no overflow. Replaces F.hash (murmur3,
+    Spark-only) so the banding step has an exact DuckDB twin."""
+    h = F.col(mh_cols[0])
+    for c in mh_cols[1:]:
+        h = F.pmod(h * F.lit(_POLY) + F.col(c), F.lit(_MINHASH_PRIME))
+    return h
 _MINHASH_COEFFS = [
     (2971215073, 433494437), (1500450271, 2971215073), (982451653, 1500450271),
     (472882027, 982451653), (433494437, 87178291199 % _MINHASH_PRIME),
@@ -186,7 +217,7 @@ def minhash_lsh_candidates(
         F.posexplode(
             F.array(
                 *[
-                    F.hash(*[f"mh{i * rows_per_band + j}" for j in range(rows_per_band)])
+                    _band_hash([f"mh{i * rows_per_band + j}" for j in range(rows_per_band)])
                     for i in range(bands)
                 ]
             )
@@ -206,11 +237,89 @@ def minhash_lsh_candidates(
     )
 
 
-@register("dedup_minhash_lsh")  # sketch-based candidates → rows-only check
+def _minhash_oracle_ctes(num_hashes: int = 16, bands: int = 8) -> str:
+    """DuckDB CTE block reproducing the ENTIRE minhash pipeline
+    bit-for-bit: portable_hash32 word hashes → rolling-polynomial
+    3-gram shingle hashes → affine (a·h+b mod p) minhash lanes →
+    rolling-polynomial band hashes. Every step is exact integer math
+    both engines share, which is what upgrades the LSH queries from
+    rows-only to full value-hash oracle checks."""
+    p, B = _MINHASH_PRIME, _POLY
+    mins = ",\n               ".join(
+        f"MIN((h * {a % p} + {b}) % {p}) AS mh{i}"
+        for i, (a, b) in enumerate(_MINHASH_COEFFS[:num_hashes])
+    )
+    r = num_hashes // bands
+
+    def bh(i: int) -> str:
+        expr = f"mh{i * r}"
+        for j in range(1, r):
+            expr = f"({expr} * {B} + mh{i * r + j}) % {p}"
+        return expr
+
+    band_rows = "\n        UNION ALL ".join(
+        f"SELECT doc_id, {i} AS band, {bh(i)} AS band_hash FROM sig" for i in range(bands)
+    )
+    return rf"""
+    wh AS (
+        SELECT doc_id,
+               LIST_TRANSFORM(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+'),
+                              w -> ('0x' || SUBSTR(MD5(w), 1, 8))::BIGINT) AS hs
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               LIST_DISTINCT(LIST_TRANSFORM(
+                   RANGE(1, GREATEST(LEN(hs) - 1, 1)),
+                   i -> ((hs[i] * {B} + hs[i+1]) % {p} * {B} + hs[i+2]) % {p}
+               )) AS sh
+        FROM wh
+    ),
+    expl AS (SELECT doc_id, UNNEST(sh) AS h FROM sh),
+    sig AS (
+        SELECT doc_id,
+               {mins}
+        FROM expl GROUP BY doc_id
+    ),
+    banded AS (
+        {band_rows}
+    )"""
+
+
+_JACCARD_SELECT = """
+       ROUND(CAST(LEN(LIST_INTERSECT(sa.sh, sb.sh)) AS DOUBLE)
+             / LEN(LIST_DISTINCT(LIST_CONCAT(sa.sh, sb.sh))), 6) AS jaccard"""
+
+
+@register(
+    "dedup_minhash_lsh",
+    f"""
+    WITH {_minhash_oracle_ctes()},
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    )
+    SELECT c.id_a, c.id_b,{_JACCARD_SELECT}
+    FROM cand c
+    JOIN sh sa ON sa.doc_id = c.id_a
+    JOIN sh sb ON sb.doc_id = c.id_b
+    ORDER BY id_a, id_b
+    """,
+)
 def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MinHash-LSH near-duplicate candidate pairs over documents, with
     the exact Jaccard of each candidate attached (verification stage of
-    the LSH pipeline). Deterministic: fixed hash family, fixed banding."""
+    the LSH pipeline). Deterministic: fixed hash family, fixed banding
+    — and since round 4 every hash in the pipeline (portable_hash32
+    words, rolling-poly shingles, affine minhash, rolling-poly bands)
+    is exact integer math DuckDB reproduces, so the full candidate set
+    + jaccard values are oracle-checked, not rows-only.
+
+    The per-invocation .cache() of the shingle relation is keyed by
+    canonicalized plan, so repeated invocations reuse one entry (the
+    cache does not grow run-over-run); it is MB-scale at oracle SF and
+    LRU-evicted under pressure — deliberate, not a leak."""
     d = t(spark, sf_dir, "documents")
     # Shingle the corpus ONCE and cache: the signature build and the
     # candidate verification below both read this relation — without
@@ -219,7 +328,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     sh_rel = hashed_shingle_df(d, "doc_id", "text").cache()
     cands = minhash_lsh_candidates(d, "doc_id", "text", shingles=sh_rel)
     # hashed shingle sets: jaccard over 3-gram hashes == jaccard over
-    # 3-gram strings up to crc32 collisions (~1e-7 per pair)
+    # 3-gram strings up to 32-bit hash collisions (~1e-7 per pair)
     sh = sh_rel.select(F.col("id").alias("doc_id"), "sh")
     # Verification reads the (expensive) shingle sets in ONE pass: explode
     # each candidate pair to its two doc ids, join the shingle relation
@@ -307,11 +416,11 @@ def dedup_ngram_jaccard(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def simhash32(text_col: Column) -> Column:
-    """32-bit SimHash: per token crc32, each bit votes +1/-1, sign of the
-    per-bit sum forms the fingerprint. Expressed as a fold over the
-    token array — no UDF."""
+    """32-bit SimHash: per token portable_hash32, each bit votes +1/-1,
+    sign of the per-bit sum forms the fingerprint. Expressed as a fold
+    over the token array — no UDF."""
     tokens = F.split(F.lower(F.trim(text_col)), r"\s+")
-    hashes = F.transform(tokens, lambda w: F.crc32(w))
+    hashes = F.transform(tokens, lambda w: portable_hash32(w))
     # F.shiftleft/shiftright take Python-int bit counts only, so bit b of
     # h is extracted as floor(h / 2^b) % 2 (h < 2^32 « 2^53: exact).
     bit_sums = F.transform(
@@ -335,17 +444,19 @@ def simhash32(text_col: Column) -> Column:
 
 
 def simhash_df(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
-    """SimHash as a dataframe op: explode tokens, crc32 once per token,
-    then 32 bitwise vote-sums in one codegen'd groupBy (map-side partial
-    agg; shuffle carries 32 ints per doc). The column-expression form
-    (simhash32) is kept for composition but is interpreted per-bit —
-    this is the hot-path/scale form. Same fingerprint definition: bit b
-    set iff sum over tokens of (+1 if bit b of crc32(token) else -1) > 0."""
+    """SimHash as a dataframe op: explode tokens, portable_hash32 once
+    per token, then 32 bitwise vote-sums in one codegen'd groupBy
+    (map-side partial agg; shuffle carries 32 ints per doc). The
+    column-expression form (simhash32) is kept for composition but is
+    interpreted per-bit — this is the hot-path/scale form. Same
+    fingerprint definition: bit b set iff sum over tokens of (+1 if bit
+    b of hash(token) else -1) > 0. The hash family is engine-portable
+    (md5 prefix), which gives dedup_simhash a full DuckDB oracle."""
     tok = (
         df.select(F.col(id_col).alias("id"), F.col(text_col).alias("_text"))
         .repartition(F.col("id"))
         .select("id", F.explode(F.split(F.lower(F.trim("_text")), r"\s+")).alias("w"))
-        .select("id", F.crc32("w").alias("h"))
+        .select("id", portable_hash32(F.col("w")).alias("h"))
     )
     votes = [
         F.sum(
@@ -361,11 +472,44 @@ def simhash_df(df: DataFrame, id_col: str, text_col: str) -> DataFrame:
     return per_doc.select(F.col("id"), fingerprint.alias("simhash"))
 
 
-@register("dedup_simhash")  # bit-fingerprint → rows-only check
+def _simhash_oracle_sql() -> str:
+    """DuckDB twin of simhash_df: unnest tokens, portable_hash32 each,
+    32 per-bit vote sums, fingerprint = Σ 2^b over positive votes."""
+    votes = ",\n               ".join(
+        f"SUM(CASE WHEN (h // {1 << b}) % 2 = 1 THEN 1 ELSE -1 END) AS b{b}"
+        for b in range(32)
+    )
+    fp = "\n                 + ".join(
+        f"CASE WHEN b{b} > 0 THEN {1 << b} ELSE 0 END" for b in range(32)
+    )
+    return rf"""
+    WITH tok AS (
+        SELECT doc_id, UNNEST(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+')) AS w
+        FROM documents
+    ),
+    h AS (SELECT doc_id, ('0x' || SUBSTR(MD5(w), 1, 8))::BIGINT AS h FROM tok),
+    votes AS (
+        SELECT doc_id,
+               {votes}
+        FROM h GROUP BY doc_id
+    ),
+    fp AS (
+        SELECT doc_id,
+               CAST({fp} AS BIGINT) AS simhash
+        FROM votes
+    )
+    SELECT doc_id, simhash, simhash // 16777216 AS bucket
+    FROM fp ORDER BY doc_id
+    """
+
+
+@register("dedup_simhash", _simhash_oracle_sql())
 def dedup_simhash(spark: SparkSession, sf_dir: str) -> DataFrame:
     """SimHash fingerprints + bucket prefix (top 8 bits). Near-duplicate
     texts land in the same bucket; at scale, compare hamming distance
-    within buckets only."""
+    within buckets only. Oracle-checked since round 4: the portable
+    hash family makes the 32 vote-sums exact integer math on both
+    engines (see _simhash_oracle_sql)."""
     d = t(spark, sf_dir, "documents")
     return (
         simhash_df(d, "doc_id", "text")
@@ -469,9 +613,10 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
 
 
-@register(
-    "dedup_clusters",
-    r"""
+# Recursive transitive-closure clustering CTEs, shared by the three
+# cluster-derived oracles (dedup_clusters, dedup_clusters_twostar,
+# dedup_canonical_selection) so all compare against ONE definition.
+_CLUSTERS_CTES = r"""
     WITH RECURSIVE sh AS (
         SELECT doc_id, lang, source,
                LIST_DISTINCT(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+')) AS sh
@@ -493,10 +638,16 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
         SELECT src, dst FROM edges
         UNION
         SELECT r.src, e.dst FROM reach r JOIN edges e ON r.dst = e.src
-    )
-    SELECT src AS doc_id, CAST(LEAST(src, MIN(dst)) AS BIGINT) AS cluster_id
-    FROM reach GROUP BY src ORDER BY doc_id
-    """,
+    ),
+    clusters AS (
+        SELECT src AS doc_id, CAST(LEAST(src, MIN(dst)) AS BIGINT) AS cluster_id
+        FROM reach GROUP BY src
+    )"""
+
+
+@register(
+    "dedup_clusters",
+    _CLUSTERS_CTES + "\n    SELECT doc_id, cluster_id FROM clusters ORDER BY doc_id",
 )
 def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Duplicate CLUSTERS: connected components over the ≥0.5 word-set
@@ -560,16 +711,41 @@ def dedup_minhash_lsh_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("dedup_canonical_selection")  # builds on iterative clustering → rows-only
+@register(
+    "dedup_canonical_selection",
+    _CLUSTERS_CTES
+    + r""",
+    toks AS (
+        SELECT doc_id,
+               CAST(LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+')) AS BIGINT) AS n_tokens
+        FROM documents WHERE n_chars <= 200
+    ),
+    member AS (
+        SELECT c.doc_id, c.cluster_id, t.n_tokens
+        FROM clusters c JOIN toks t ON c.doc_id = t.doc_id
+    ),
+    canon AS (
+        SELECT cluster_id,
+               FIRST(doc_id ORDER BY n_tokens DESC, doc_id DESC) AS canonical_doc_id,
+               CAST(COUNT(*) AS BIGINT) AS cluster_size
+        FROM member GROUP BY cluster_id
+    )
+    SELECT m.doc_id, m.cluster_id, c.cluster_size,
+           m.doc_id = c.canonical_doc_id AS keep
+    FROM member m JOIN canon c ON m.cluster_id = c.cluster_id
+    ORDER BY m.doc_id
+    """,
+)
 def dedup_canonical_selection(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The last step of the dedup pipeline: inside each duplicate
     cluster keep ONE canonical document — the longest (token count,
     doc_id tiebreak), the rest become drop candidates. Composition:
     connected-component clusters (dedup_clusters) ⟕ token counts →
     max_by per cluster → flag. Everything after clustering is one
-    shuffle on cluster_id; singleton docs (no near-dup) pass through
-    as their own canonical. Rows-only because the cluster step is
-    iterative; the keep/drop invariants live in pytest."""
+    shuffle on cluster_id. Oracle-checked since round 4 by extending
+    the shared recursive-closure CTEs with the same deterministic
+    (n_tokens, doc_id) argmax; keep/drop invariants also live in
+    pytest."""
     clusters = dedup_clusters(spark, sf_dir)  # doc_id, cluster_id
     d = t(spark, sf_dir, "documents").filter(F.col("n_chars") <= 200)
     toks = d.select(
@@ -638,6 +814,7 @@ def connected_components_twostar(
         return (row["n"], row["h"])
 
     prev = checksum(e)
+    converged = False
     for _ in range(max_iter):
         # large-star: m(u) = min(N(u) ∪ {u}); emit (v, m(u)) for v > u
         m = e.groupBy("u").agg(F.min("v").alias("mn")).select(
@@ -660,8 +837,19 @@ def connected_components_twostar(
         e = _mirror_distinct(ss).localCheckpoint()
         cur = checksum(e)
         if cur == prev:
+            converged = True
             break
         prev = cur
+    if not converged:
+        # fail loudly rather than return possibly-wrong clusters: two-star
+        # converges in O(log n) rounds, so exhausting max_iter means the
+        # input is far larger than the budget assumed (or the checksum
+        # never reached a fixed point) — both are caller errors to surface
+        raise RuntimeError(
+            f"connected_components_twostar: no edge-set fixed point after "
+            f"{max_iter} rounds; raise max_iter (components of n nodes need "
+            f"~log2(n) rounds)"
+        )
     # converged: stars point every member at the component min
     labels = e.groupBy("u").agg(F.min("v").alias("mn")).select(
         "u", F.least("mn", F.col("u")).alias("label")
@@ -709,7 +897,23 @@ def dedup_clusters_twostar(spark: SparkSession, sf_dir: str) -> DataFrame:
     return connected_components_twostar(_dup_pairs(spark, sf_dir)).orderBy("doc_id")
 
 
-@register("dedup_minhash_incremental")  # sketch probe → rows-only (cross-checked vs full LSH in tests)
+@register(
+    "dedup_minhash_incremental",
+    f"""
+    WITH {_minhash_oracle_ctes()},
+    cand AS (
+        SELECT DISTINCT n.doc_id AS new_id, c.doc_id AS corpus_id
+        FROM banded n JOIN banded c
+          ON n.band = c.band AND n.band_hash = c.band_hash
+        WHERE n.doc_id % 10 = 0 AND c.doc_id % 10 <> 0
+    )
+    SELECT p.new_id, p.corpus_id,{_JACCARD_SELECT}
+    FROM cand p
+    JOIN sh sa ON sa.doc_id = p.new_id
+    JOIN sh sb ON sb.doc_id = p.corpus_id
+    ORDER BY new_id, corpus_id
+    """,
+)
 def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     """D10: INCREMENTAL MinHash dedup — the production shape: the
     corpus is already banded/indexed; only the NEW batch (doc_id % 10
@@ -720,9 +924,12 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     table on disk; see write_bucketed). Self-join dedup re-pays the
     whole corpus every day; this is the delta form that doesn't.
     Returns (new_id, corpus_id, jaccard) verified-exact pairs.
-    Rows-only (crc32-family minhash has no DuckDB twin); tests assert
-    the candidate set equals the full self-join LSH's cross-split
-    pairs."""
+    Oracle-checked since round 4 (portable hash family, see
+    _minhash_oracle_ctes): a per-doc signature depends only on that
+    doc's shingles, so split-wise signatures equal the oracle's
+    whole-corpus signatures filtered by split. Tests additionally
+    assert the candidate set equals the full self-join LSH's
+    cross-split pairs."""
     d = t(spark, sf_dir, "documents")
     is_new = F.col("doc_id") % 10 == 0
     sh_rel = hashed_shingle_df(d, "doc_id", "text").cache()
@@ -735,7 +942,7 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.posexplode(
                 F.array(
                     *[
-                        F.hash(*[f"mh{i * rows_per_band + j}" for j in range(rows_per_band)])
+                        _band_hash([f"mh{i * rows_per_band + j}" for j in range(rows_per_band)])
                         for i in range(8)
                     ]
                 )
@@ -754,7 +961,11 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("n.id").alias("new_id"), F.col("c.id").alias("corpus_id"))
         .dropDuplicates()
     )
-    # exact-jaccard verification from the cached shingle relation
+    # exact-jaccard verification from the cached shingle relation; each
+    # side is picked out explicitly with first(when(id == ...)) — unlike
+    # first/last, this stays correct even if a group ever held a row
+    # count other than exactly two (e.g. a missing shingle row now
+    # yields NULL jaccard, not a silent 1.0)
     sides = cands.select(
         "new_id", "corpus_id", F.explode(F.array(F.col("new_id"), F.col("corpus_id"))).alias("id")
     )
@@ -762,15 +973,19 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         sh_rel.join(F.broadcast(sides), "id")
         .groupBy("new_id", "corpus_id")
         .agg(
-            F.size(F.array_intersect(F.first("sh"), F.last("sh"))).alias("n_int"),
-            F.size(F.array_union(F.first("sh"), F.last("sh"))).alias("n_uni"),
+            F.first(F.when(F.col("id") == F.col("new_id"), F.col("sh")), ignorenulls=True).alias("sh_a"),
+            F.first(F.when(F.col("id") == F.col("corpus_id"), F.col("sh")), ignorenulls=True).alias("sh_b"),
         )
     )
     return (
         per_pair.select(
             "new_id",
             "corpus_id",
-            F.round(F.col("n_int").cast("double") / F.col("n_uni"), 6).alias("jaccard"),
+            F.round(
+                F.size(F.array_intersect("sh_a", "sh_b")).cast("double")
+                / F.size(F.array_union("sh_a", "sh_b")),
+                6,
+            ).alias("jaccard"),
         )
         .orderBy("new_id", "corpus_id")
     )

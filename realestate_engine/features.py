@@ -16,6 +16,21 @@ Semantics reproduced, scale bugs fixed:
 Deviation B2 (SURVEY §8): ``price_per_m2`` is added as an explicit
 train-only analytics column (the reference checks for it but never
 builds it).
+
+Deviation B3 (documented, intentional): ``is_house`` counts
+``property_type`` in {'house', 'villa', 'maison'} — the reference
+(src/features/feature_engineering.py:125) uses only {'house',
+'villa'}. The synthetic and the reference's French-market data both
+carry 'maison' rows; the reference flags them 0.0, which its own
+notebook (notebooks/02) treats as a data-quality wart. We keep the
+broader set and pin it in tests/test_features.py.
+
+Deviation B4 (documented, intentional): categorical nulls fill with
+'missing' — the reference (:91) fills 'unknown'. A constant sentinel
+is semantically equivalent through StringIndexer/OneHotEncoder (it
+becomes one category either way); 'missing' is kept because it cannot
+collide with a real 'unknown' category value in the wild. Pinned in
+tests/test_features.py.
 """
 
 from __future__ import annotations

@@ -36,7 +36,10 @@ def distributed_prefix_sum(
        (#partitions rows — KBs at any data size), broadcast back.
 
     Returns ``df``'s columns plus ``out_col``. The input is cached
-    (two branches read it: the cumsum and the totals)."""
+    (two branches read it: the cumsum and the totals); the cache is
+    keyed by canonicalized plan, so repeated invocations of the same
+    query reuse one entry rather than accumulating, and entries are
+    LRU-evicted under memory pressure — deliberate, not a leak."""
     ranked = (
         df.repartitionByRange(n_parts, *order_cols)
         .withColumn("_pid", F.spark_partition_id())
@@ -49,14 +52,30 @@ def distributed_prefix_sum(
     )
     local = ranked.withColumn("_local_cum", F.sum(value_col).over(w_local))
     totals = ranked.groupBy("_pid").agg(F.sum(value_col).alias("_ptot"))
-    w_off = Window.orderBy("_pid").rowsBetween(Window.unboundedPreceding, -1)
-    offsets = totals.select(
-        "_pid", F.coalesce(F.sum("_ptot").over(w_off), F.lit(0)).alias("_off")
-    )
+    offsets = exclusive_prefix_offsets(totals, "_pid", "_ptot", "_off")
     return (
         local.join(F.broadcast(offsets), "_pid")
         .withColumn(out_col, (F.col("_off") + F.col("_local_cum")).cast("bigint"))
         .drop("_pid", "_local_cum", "_off")
+    )
+
+
+def exclusive_prefix_offsets(
+    totals: DataFrame, key_col: str, tot_col: str, out_col: str = "_off"
+) -> DataFrame:
+    """Exclusive running sum over a TINY keyed frame (the per-partition
+    totals ledger: n_parts rows, KBs at any data size) as a broadcast
+    non-equi self-join instead of an unpartitioned window — the n² of a
+    ≤64-row frame is cheaper than a WindowExec, and it keeps the plans
+    free of single-partition window operators (the 'No Partition
+    Defined' warning then only ever signals a REAL full-table funnel).
+    Returns (key_col, out_col = Σ tot over keys strictly below)."""
+    a = totals.select(F.col(key_col)).alias("a")
+    b = totals.alias("b")
+    return (
+        a.join(F.broadcast(b), F.col(f"b.{key_col}") < F.col(f"a.{key_col}"), "left")
+        .groupBy(F.col(f"a.{key_col}").alias(key_col))
+        .agg(F.coalesce(F.sum(f"b.{tot_col}"), F.lit(0)).alias(out_col))
     )
 
 

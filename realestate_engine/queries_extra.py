@@ -16,6 +16,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
+from realestate_engine.ordered import exclusive_prefix_offsets
 from realestate_engine.registry import ORACLES, register, t
 
 
@@ -1635,8 +1636,8 @@ def p14_dense_reid(spark: SparkSession, sf_dir: str) -> DataFrame:
     ROW_NUMBER() OVER (ORDER BY ...) plans — the classic zipWithIndex
     problem, solved relationally: range-partition by the key, count
     rows per partition (tiny agg), turn counts into per-partition base
-    offsets with a window over the 32-row partition table, broadcast
-    the offsets back, and add a within-partition row_number. Every
+    offsets with a broadcast self-join over the 32-row partition table,
+    broadcast the offsets back, and add a within-partition row_number. Every
     stage is distributed; the only serial structure is the 32-row
     offset ledger. The oracle states the semantics with the plain
     global window DuckDB can afford."""
@@ -1650,12 +1651,9 @@ def p14_dense_reid(spark: SparkSession, sf_dir: str) -> DataFrame:
         .localCheckpoint()  # pin partition assignment: both branches below must see identical pids
     )
     counts = d.groupBy("pid").agg(F.count(F.lit(1)).alias("cnt"))
-    offsets = counts.select(
-        "pid",
-        (
-            F.sum("cnt").over(Window.orderBy("pid").rowsBetween(Window.unboundedPreceding, -1))
-        ).alias("base"),
-    ).fillna({"base": 0})
+    # 32-row ledger: broadcast non-equi self-join prefix sum (see
+    # ordered.exclusive_prefix_offsets) — no unpartitioned WindowExec
+    offsets = exclusive_prefix_offsets(counts, "pid", "cnt", "base")
     w_in = Window.partitionBy("pid").orderBy("doc_id")
     return (
         d.join(F.broadcast(offsets), "pid")
@@ -2716,7 +2714,12 @@ def s22_csv_malformed_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
     only the corrupt column of a lazy CSV scan."""
     import os
 
-    out = tempfile.mkdtemp(prefix="re_s22_csv_")
+    # stable path (not mkdtemp): repeated invocations overwrite one
+    # directory instead of accumulating temp dirs, and the identical
+    # path keeps the scan's canonicalized plan — and thus its cache
+    # entry — shared across runs
+    out = os.path.join(tempfile.gettempdir(), "re_s22_csv")
+    os.makedirs(out, exist_ok=True)
     n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
     n.write.mode("overwrite").option("header", "false").csv(out)
     bad = [

@@ -17,6 +17,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession, Window
 from pyspark.sql import functions as F
 
+from realestate_engine.ordered import distributed_prefix_sum
 from realestate_engine.registry import register, t
 
 
@@ -796,7 +797,12 @@ def x20_cdc_apply(spark: SparkSession, sf_dir: str) -> DataFrame:
     MERGE INTO against the materialized state; the batch form here is
     the semantics oracle."""
     ev = t(spark, sf_dir, "events")
-    log = ev.select(
+    # same domain filter as the oracle: a future event type outside the
+    # changelog vocabulary must be excluded on BOTH sides, not silently
+    # mapped to 'U' here while the oracle drops it
+    log = ev.where(
+        F.col("event_type").isin("signup", "click", "view", "purchase", "error")
+    ).select(
         F.col("user_id").alias("k"),
         "ts",
         "event_id",
@@ -844,15 +850,20 @@ def dq8_id_gap_islands(spark: SparkSession, sf_dir: str) -> DataFrame:
     after filtering out quarantined rows (here: 'error' events play the
     dropped records). Classic islands construction: id minus its row
     number is constant within every contiguous run. The global
-    ROW_NUMBER is the one total-order step — here via a single window
-    (the id space is the audit target, usually modest); at 100 TB swap
-    in distributed_prefix_sum exactly as corpus_token_budget does —
-    rank = running count, same island_key arithmetic. Top-50 longest
-    islands returned (exact integers throughout)."""
-    ev = t(spark, sf_dir, "events").where(F.col("event_type") != "error")
-    w = Window.orderBy("event_id")
-    grp = ev.select(
-        "event_id", (F.col("event_id") - F.row_number().over(w)).alias("island_key")
+    ROW_NUMBER is computed as a distributed_prefix_sum running count
+    over range partitions of event_id (two-phase, ordered.py) — no
+    single-partition global window anywhere in the plan, so the audit
+    scales with the table instead of funneling it through one task.
+    Top-50 longest islands returned (exact integers throughout)."""
+    ev = (
+        t(spark, sf_dir, "events")
+        .where(F.col("event_type") != "error")
+        .select("event_id", F.lit(1).alias("one"))
+    )
+    # rank = running count of rows in event_id order == ROW_NUMBER
+    ranked = distributed_prefix_sum(ev, [F.col("event_id")], "one", out_col="rn")
+    grp = ranked.select(
+        "event_id", (F.col("event_id") - F.col("rn")).alias("island_key")
     )
     return (
         grp.groupBy("island_key")
@@ -959,8 +970,18 @@ def a33_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
     flagged = daily.crossJoin(F.broadcast(med)).select(
         "d", F.when(F.col("rev") > F.col("m"), 1).otherwise(0).alias("above")
     )
-    w = Window.orderBy("d")
-    seq = flagged.select("above", F.lag("above").over(w).alias("prev"))
+    # days-sized frame: lag(above) = flag at the latest earlier day,
+    # via broadcast non-equi self-join + max_by (days² cells on an
+    # already-aggregated frame) instead of an unpartitioned window —
+    # keeps every plan free of single-partition WindowExec
+    fa = flagged.alias("fa")
+    fb = flagged.alias("fb")
+    seq = (
+        fa.join(F.broadcast(fb), F.col("fb.d") < F.col("fa.d"), "left")
+        .groupBy(F.col("fa.d").alias("d"), F.col("fa.above").alias("above"))
+        .agg(F.max_by(F.col("fb.above"), F.col("fb.d")).alias("prev"))
+        .select("above", "prev")
+    )
     runs = seq.agg(
         (1 + F.sum(F.when(F.col("above") != F.col("prev"), 1).otherwise(0)))
         .cast("bigint")

@@ -860,13 +860,26 @@ def f16_mom_growth(spark: SparkSession, sf_dir: str) -> DataFrame:
     m = o.groupBy(F.date_trunc("month", "o_orderdate").alias("month")).agg(
         F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).cast("bigint").alias("rev_cents")
     )
-    w = Window.orderBy("month")
-    return m.select(
-        "month",
-        "rev_cents",
-        F.lag("rev_cents").over(w).cast("bigint").alias("prev_cents"),
-        (F.col("rev_cents") - F.lag("rev_cents").over(w)).cast("bigint").alias("diff_cents"),
-    ).orderBy("month")
+    # months-sized frame: lag = value at the latest earlier month,
+    # fetched with a broadcast non-equi self-join + max_by (months²
+    # cells, trivial) instead of an unpartitioned window — keeps every
+    # plan free of single-partition WindowExec
+    a = m.alias("a")
+    b = m.alias("b")
+    return (
+        a.join(F.broadcast(b), F.col("b.month") < F.col("a.month"), "left")
+        .groupBy(
+            F.col("a.month").alias("month"), F.col("a.rev_cents").alias("rev_cents")
+        )
+        .agg(F.max_by(F.col("b.rev_cents"), F.col("b.month")).cast("bigint").alias("prev_cents"))
+        .select(
+            "month",
+            "rev_cents",
+            "prev_cents",
+            (F.col("rev_cents") - F.col("prev_cents")).cast("bigint").alias("diff_cents"),
+        )
+        .orderBy("month")
+    )
 
 
 @register(

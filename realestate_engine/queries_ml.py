@@ -14,6 +14,7 @@ from pyspark.ml.feature import Bucketizer, OneHotEncoder, StringIndexer, VectorA
 from pyspark.ml.functions import vector_to_array
 from pyspark.ml.regression import LinearRegression, RandomForestRegressor
 
+from realestate_engine.ordered import distributed_prefix_sum
 from realestate_engine.registry import register, t
 from realestate_engine.train import SEED
 
@@ -650,27 +651,33 @@ def m23_roc_auc_ranksum(spark: SparkSession, sf_dir: str) -> DataFrame:
     Tie-exact trick: 2*avg_rank = 2*(rank-1) + tie_count + 1 is always
     an INTEGER (avg rank is a half-integer), so the positive rank sum
     is an exact BIGINT on both engines; one double division at the end.
-    Scale: the global rank() over score is the one total-order step —
-    at 100 TB replace with the two-phase range-partitioned prefix sum
-    of corpus_token_budget (same shape: rank = prefix count); the
-    rank-sum identity itself is aggregation-only."""
+
+    Scale shape (round 4): aggregate per DISTINCT score first (one
+    hash-agg with map-side combine — the frame shrinks from rows to
+    distinct scores), then compute each score's rank as a
+    distributed_prefix_sum running count over range partitions
+    (ordered.py, two-phase — no single-partition global window). For a
+    tie group of size n starting after cum_before rows,
+    rank() = cum_before + 1, so 2*avg_rank = 2*cum_before + n + 1; the
+    positive rank sum folds in as Σ n_pos(s) · rank2(s)."""
     o = t(spark, sf_dir, "orders")
     scored = o.select(
         F.round(F.col("o_totalprice") * 100).cast("bigint").alias("score_cents"),
         F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("label"),
     )
-    w_rank = Window.orderBy("score_cents")
-    w_tie = Window.partitionBy("score_cents")
-    ranked = scored.select(
-        "label",
-        (
-            2 * (F.rank().over(w_rank) - 1) + F.count(F.lit(1)).over(w_tie) + 1
-        ).cast("bigint").alias("rank2"),
+    per_score = scored.groupBy("score_cents").agg(
+        F.count(F.lit(1)).alias("n"), F.sum("label").alias("npos_s")
+    )
+    cum = distributed_prefix_sum(per_score, [F.col("score_cents")], "n", out_col="cum")
+    ranked = cum.select(
+        "n",
+        "npos_s",
+        (2 * (F.col("cum") - F.col("n")) + F.col("n") + 1).cast("bigint").alias("rank2"),
     )
     agg = ranked.agg(
-        F.sum(F.when(F.col("label") == 1, F.col("rank2")).otherwise(0)).cast("bigint").alias("pos_rank2"),
-        F.sum("label").cast("bigint").alias("np"),
-        F.sum(1 - F.col("label")).cast("bigint").alias("nn"),
+        F.sum(F.col("npos_s") * F.col("rank2")).cast("bigint").alias("pos_rank2"),
+        F.sum("npos_s").cast("bigint").alias("np"),
+        F.sum(F.col("n") - F.col("npos_s")).cast("bigint").alias("nn"),
     )
     return agg.select(
         F.col("np").alias("n_pos"),

@@ -20,14 +20,53 @@ from pyspark.sql import functions as F
 from realestate_engine.dedup import cosine_sim
 from realestate_engine.registry import register, t
 
-# Deterministic pseudo-random hyperplanes: plane b, component i has sign
-# +1 iff crc32(f"{b}:{i}") is even. Reproducible across engines/runs.
+# Deterministic pseudo-random hyperplanes: plane b, component i has
+# sign +1 iff portable_hash32(f"{b}:{i}") is even (md5-prefix hash —
+# see dedup.portable_hash32). Reproducible across engines AND
+# expressible in DuckDB, so the LSH-ANN query carries a full oracle.
 
 
 def _hyperplane_sign(b: int, i_col: Column) -> Column:
-    return F.when(F.crc32(F.concat(F.lit(f"{b}:"), i_col.cast("string"))) % 2 == 0, F.lit(1.0)).otherwise(
-        F.lit(-1.0)
+    from realestate_engine.dedup import portable_hash32
+
+    return F.when(
+        portable_hash32(F.concat(F.lit(f"{b}:"), i_col.cast("string"))) % 2 == 0, F.lit(1.0)
+    ).otherwise(F.lit(-1.0))
+
+
+def _sql_hyperplane_proj(b: int) -> str:
+    """DuckDB projection of `embedding` onto hyperplane b — the exact
+    twin of lsh_bucket's per-plane fold (same element order, so the
+    double sum is bit-identical)."""
+    sign = (
+        f"CASE WHEN ('0x' || SUBSTR(MD5(CONCAT('{b}:', CAST(i - 1 AS VARCHAR))), 1, 8))::BIGINT"
+        f" % 2 = 0 THEN 1.0 ELSE -1.0 END"
     )
+    return (
+        f"LIST_AGGREGATE(LIST_TRANSFORM(RANGE(1, LEN(embedding) + 1),"
+        f" i -> embedding[i]::DOUBLE * ({sign})), 'sum')"
+    )
+
+
+def _lsh_ann_oracle_sql(bits: int = 4) -> str:
+    bucket = "\n             + ".join(
+        f"CASE WHEN {_sql_hyperplane_proj(b)} > 0 THEN {1 << b} ELSE 0 END" for b in range(bits)
+    )
+    return f"""
+    WITH bkt AS (
+        SELECT vec_id, embedding,
+               CAST({bucket} AS BIGINT) AS bucket
+        FROM embeddings
+    ),
+    p AS (SELECT embedding AS probe_vec, bucket AS probe_bucket FROM bkt WHERE vec_id = 0)
+    SELECT b.vec_id,
+           ROUND(LIST_DOT_PRODUCT(b.embedding::DOUBLE[], p.probe_vec::DOUBLE[])
+                 / (SQRT(LIST_DOT_PRODUCT(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))
+                    * SQRT(LIST_DOT_PRODUCT(p.probe_vec::DOUBLE[], p.probe_vec::DOUBLE[]))), 6) AS cosine
+    FROM bkt b JOIN p ON b.bucket = p.probe_bucket
+    ORDER BY cosine DESC, vec_id
+    LIMIT 20
+    """
 
 
 def lsh_bucket(vec: Column, bits: int = 8) -> Column:
@@ -82,11 +121,16 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(e, probe, k=20)
 
 
-@register("sim_lsh_ann")  # approximate → rows-only check (recall tested in pytest)
+@register("sim_lsh_ann", _lsh_ann_oracle_sql(bits=4))
 def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-k via random-hyperplane LSH: probe searches only its own
     bucket. At 100 TB the corpus is written bucketed/partitioned by this
-    key, so a probe reads ~1/2^bits of the data."""
+    key, so a probe reads ~1/2^bits of the data. Oracle-checked since
+    round 4: the hyperplane signs come from the portable md5-prefix
+    hash and the projections fold in identical element order on both
+    engines, so bucket assignment (and hence the exact candidate set)
+    is reproduced bit-for-bit in DuckDB; recall-vs-exact remains
+    pytest-covered."""
     e = t(spark, sf_dir, "embeddings")
     bucketed = e.withColumn("bucket", lsh_bucket(F.col("embedding"), bits=4))
     probe = bucketed.filter(F.col("vec_id") == 0).select(
@@ -97,11 +141,30 @@ def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     return cand.select("vec_id", cos.alias("cosine")).orderBy(F.col("cosine").desc(), "vec_id").limit(20)
 
 
-@register("sim_ivf_cells")  # rows-only: IVF cell assignment + per-cell stats
+@register(
+    "sim_ivf_cells",
+    """
+    WITH dims AS (SELECT UNNEST(RANGE(1, 65)) AS i),
+    comp AS (
+        SELECT label, i, SUM(embedding[i]::DOUBLE) AS s
+        FROM embeddings CROSS JOIN dims
+        GROUP BY label, i
+    ),
+    cnt AS (SELECT label, COUNT(*) AS n_vectors FROM embeddings GROUP BY label)
+    SELECT c.label AS label, n.n_vectors,
+           ROUND(SQRT(SUM((c.s / n.n_vectors) * (c.s / n.n_vectors))), 6) AS centroid_norm
+    FROM comp c JOIN cnt n ON c.label = n.label
+    GROUP BY c.label, n.n_vectors
+    ORDER BY c.label
+    """,
+)
 def sim_ivf_cells(spark: SparkSession, sf_dir: str) -> DataFrame:
     """IVF scaffolding: per-cell (here: label as the coarse cell; a
     seeded KMeans in production) centroid norms and occupancy — the
-    statistics an IVF probe planner needs to choose nprobe cells."""
+    statistics an IVF probe planner needs to choose nprobe cells.
+    Oracle-checked since round 4: per-dimension sums + norm are plain
+    double arithmetic; summation-order noise (~1e-13 relative) sits
+    far inside the round-to-6 + 1e-9-atol compare."""
     e = t(spark, sf_dir, "embeddings")
     dim = 64
     sums = e.groupBy("label").agg(

@@ -941,7 +941,35 @@ _BM25_QUERY_TERMS = ("data", "model", "spark")
 _BM25_K1, _BM25_B = 1.2, 0.75
 
 
-@register("text_bm25_ranking")  # float scoring → rows-only (exact reference test)
+@register(
+    "text_bm25_ranking",
+    r"""
+    WITH toks AS (
+        SELECT doc_id, UNNEST(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+')) AS word
+        FROM documents
+    ),
+    dl AS (SELECT doc_id, COUNT(*) AS dl FROM toks GROUP BY doc_id),
+    na AS (SELECT COUNT(*) AS n_docs, AVG(dl) AS avgdl FROM dl),
+    tf AS (
+        SELECT doc_id, word, COUNT(*) AS tf FROM toks
+        WHERE word IN ('data', 'model', 'spark') GROUP BY doc_id, word
+    ),
+    df AS (SELECT word, COUNT(*) AS df FROM tf GROUP BY word),
+    -- float literals carry e0 exponents: DuckDB parses bare 0.5 as
+    -- DECIMAL, whose division semantics differ from Spark's doubles
+    scored AS (
+        SELECT t.doc_id,
+               LN((n_docs - df.df + 0.5e0) / (df.df + 0.5e0) + 1.0e0)
+               * (t.tf * 2.2e0)
+               / (t.tf + 1.2e0 * (0.25e0 + 0.75e0 * l.dl / avgdl)) AS term_score
+        FROM tf t JOIN df ON t.word = df.word JOIN dl l ON t.doc_id = l.doc_id CROSS JOIN na
+    )
+    SELECT doc_id, ROUND(SUM(term_score), 9) AS bm25
+    FROM scored GROUP BY doc_id
+    ORDER BY bm25 DESC, doc_id
+    LIMIT 20
+    """,
+)
 def text_bm25_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T19: BM25 ranked retrieval — THE lexical relevance scorer
     (Lucene/Elasticsearch default) over the documents table for a fixed
@@ -951,9 +979,11 @@ def text_bm25_ranking(spark: SparkSession, sf_dir: str) -> DataFrame:
     per-doc sum over <= 3 terms (a fixed-size expression sum, NOT a
     partition-order-dependent aggregate, so the doubles are
     reproducible). Top-20 via TakeOrderedAndProject with doc_id
-    tiebreak. Rows-only: log() makes cross-engine hashing unsafe;
-    tests replay the exact formula in Python and demand identical
-    ranking and scores to 1e-9."""
+    tiebreak. Oracle-checked since round 4: the formula is written in
+    the same operand order on both engines and rounded to 9 decimals
+    (Math.log vs libm ln agree to ~1 ulp, far inside the checker's
+    1e-9 atol); tests additionally replay the exact formula in Python
+    and demand identical ranking and scores to 1e-9."""
     import math
 
     d = t(spark, sf_dir, "documents")

@@ -223,12 +223,22 @@ def ts_cusum_changepoints(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("cents")
     )
     tot = m.agg(F.sum("cents").alias("total"), F.count(F.lit(1)).alias("n"))
-    w = Window.orderBy("month")
-    c = m.crossJoin(F.broadcast(tot)).select(
-        "month",
-        "cents",
-        F.sum(F.col("cents") * F.col("n") - F.col("total")).over(w).alias("cusum_scaled"),
-        "total",
+    # months-sized frame: the running sum is a broadcast non-equi
+    # self-join (months² cells, trivial) instead of an unpartitioned
+    # window — keeps every plan free of single-partition WindowExec
+    mt = m.crossJoin(F.broadcast(tot))
+    a = mt.alias("a")
+    b = mt.alias("b")
+    c = (
+        a.join(F.broadcast(b), F.col("b.month") <= F.col("a.month"))
+        .groupBy(
+            F.col("a.month").alias("month"),
+            F.col("a.cents").alias("cents"),
+            F.col("a.total").alias("total"),
+        )
+        .agg(
+            F.sum(F.col("b.cents") * F.col("b.n") - F.col("b.total")).alias("cusum_scaled")
+        )
     )
     return c.select(
         "month",

@@ -120,6 +120,36 @@ def test_ep2_ep3_train_persist_reload_predict(listings_and_prices, tmp_path):
     assert single.predicted_price == pytest.approx(batch_row.predicted_price, rel=1e-9)
 
 
+def test_model_quality_story_heldout_and_stability(listings_and_prices):
+    """The model-quality story vs BASELINE.md, stated as a test: the
+    reference's headline RF numbers (rmse 403416.58 / r2 0.6033,
+    models/model_comparison.csv:2-4) are computed on its private
+    X_train.csv, which is a missing large blob upstream
+    (data/raw/.MISSING_LARGE_BLOBS:1) — raw-data parity is
+    unreproducible IN PRINCIPLE. What the repo asserts instead: on the
+    seeded synthetic listings, a deterministic 80/20 split trains an
+    RF whose HELD-OUT metrics are finite, clear r2 > 0.5, and are
+    bit-stable across identically-seeded runs."""
+    x, y = listings_and_prices
+    joined = x.join(y, "id_annonce")
+    is_test = F.pmod(F.xxhash64("id_annonce"), F.lit(5)) == 0
+    train, heldout = joined.filter(~is_test), joined.filter(is_test)
+    assert 0 < heldout.count() < 150
+
+    def run() -> dict[str, float]:
+        fe = FeatureEngineering(strict_mode=True)
+        feats = fe.fit_transform(train)
+        tt = TargetTransformer().fit(feats)
+        trainer = ModelTrainer(model_type="rf", label_col="log_price").train(tt.transform(feats))
+        return trainer.evaluate(tt.transform(fe.transform(heldout)))
+
+    m1, m2 = run(), run()
+    assert all(math.isfinite(v) for v in m1.values())
+    assert m1["r2"] > 0.5  # learnable signal survives the split
+    for k in m1:  # fixed SEED + same data → same model, same metrics
+        assert m1[k] == pytest.approx(m2[k], rel=1e-9)
+
+
 def test_cli_prepare_train_predict_roundtrip(listings_and_prices, tmp_path, capsys):
     """The three reference entry points as CLI commands: prepare → train
     → predict over CSV, artifacts on disk between steps."""

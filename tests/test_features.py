@@ -72,6 +72,29 @@ def test_haversine_known_distance(spark):
     assert 3.5 < row.distance_to_eiffel < 4.8
 
 
+def test_deviation_b3_is_house_includes_maison(spark):
+    # Deviation B3 (features.py module docstring): 'maison' counts as a
+    # house alongside the reference's {'house', 'villa'} — pinned so a
+    # silent regression back to the reference set fails loudly.
+    rows = [
+        _listing(id_annonce=10, property_type="maison"),
+        _listing(id_annonce=11, property_type="villa"),
+        _listing(id_annonce=12, property_type="apartment"),
+    ]
+    out = {r.id_annonce: r.is_house for r in add_derived_features(_df(spark, rows)).collect()}
+    assert out == {10: 1.0, 11: 1.0, 12: 0.0}
+
+
+def test_deviation_b4_categorical_fill_is_missing():
+    # Deviation B4: the categorical sentinel is 'missing' (reference
+    # uses 'unknown'); pinned here because transform correctness
+    # depends on fit/transform agreeing on one constant.
+    from realestate_engine.features import _CATEGORICAL_FILL, _NUMERIC_FILL
+
+    assert _CATEGORICAL_FILL == "missing"
+    assert _NUMERIC_FILL == 0.0
+
+
 def test_price_per_m2_deviation_b2(spark):
     df = _df(spark, [_listing()]).withColumn("price", __import__("pyspark.sql.functions", fromlist=["lit"]).lit(500000.0))
     row = add_price_per_m2(df).first()
