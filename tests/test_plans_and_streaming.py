@@ -90,6 +90,69 @@ def test_multimodal_mapinpandas_schema_and_determinism(spark):
     assert out.schema["mean_intensity"].dataType.typeName() == "double"
 
 
+def test_png_codec_roundtrip_and_filters():
+    """decode_png must invert encode_png bit-exactly AND reconstruct
+    rasters written with every PNG scanline filter (Sub/Up/Average/
+    Paeth), since real-world encoders choose filters per row."""
+    import struct
+    import zlib
+
+    import pytest
+
+    from realestate_engine.multimodal import _PNG_MAGIC, decode_png, encode_png
+
+    w, h = 5, 4
+    rgb = bytes((x * 17 + 3) % 256 for x in range(w * h * 3))
+    feats = decode_png(encode_png(w, h, rgb))
+    assert (feats["width"], feats["height"], feats["channels"]) == (w, h, 3)
+    assert feats["mean_intensity"] == round(sum(rgb) / len(rgb), 4)
+
+    # forward-filter the same raster with one of each filter per row,
+    # rebuild the PNG by hand, and demand identical reconstruction
+    stride, bpp = w * 3, 3
+    rows = [bytearray(rgb[y * stride : (y + 1) * stride]) for y in range(h)]
+
+    def paeth(a, b, c):
+        pa, pb, pc = abs(b - c), abs(a - c), abs(a + b - 2 * c)
+        return a if (pa <= pb and pa <= pc) else (b if pb <= pc else c)
+
+    raw = bytearray()
+    prev = bytearray(stride)
+    for y, f in enumerate([1, 2, 3, 4]):  # Sub, Up, Average, Paeth
+        cur = rows[y]
+        filt = bytearray(stride)
+        for i in range(stride):
+            a = cur[i - bpp] if i >= bpp else 0
+            b = prev[i]
+            c = prev[i - bpp] if i >= bpp else 0
+            pred = {1: a, 2: b, 3: (a + b) >> 1, 4: paeth(a, b, c)}[f]
+            filt[i] = (cur[i] - pred) & 0xFF
+        raw += bytes([f]) + filt
+        prev = cur
+
+    def chunk(ctype, data):
+        return (
+            struct.pack(">I", len(data)) + ctype + data
+            + struct.pack(">I", zlib.crc32(ctype + data) & 0xFFFFFFFF)
+        )
+
+    payload = (
+        _PNG_MAGIC
+        + chunk(b"IHDR", struct.pack(">IIBBBBB", w, h, 8, 2, 0, 0, 0))
+        + chunk(b"IDAT", zlib.compress(bytes(raw)))
+        + chunk(b"IEND", b"")
+    )
+    feats2 = decode_png(payload)
+    assert feats2["mean_intensity"] == round(sum(rgb) / len(rgb), 4)
+
+    with pytest.raises(NotImplementedError):  # 16-bit depth is out of scope
+        decode_png(
+            _PNG_MAGIC
+            + chunk(b"IHDR", struct.pack(">IIBBBBB", 1, 1, 16, 2, 0, 0, 0))
+            + chunk(b"IEND", b"")
+        )
+
+
 def test_asof_join_is_window_not_pair_join(spark, sf_dir):
     """The as-of join must compile to union + window (n+m rows per key),
     never a join that materializes per-key pairs."""

@@ -62,8 +62,17 @@ ALLOWED_CROSS = {
     "sim_hard_negatives",  # broadcast 1-row probe (vector + label)
     "ev7_rfm_segmentation",  # broadcast 1-row quintile-cuts + max-date frames
     "ev11_pareto_concentration",  # broadcast 1-row p90-cut frame
-    "a33_runs_test",  # broadcast 1-row median-cut frame
+    "a33_runs_test",  # broadcast 1-row median-cut frame + days-frame lag self-join
     "text_bm25_ranking",  # broadcast 1-row n_docs/avgdl aggregate
+    # tiny-frame prefix/lag computed as broadcast NON-EQUI self-joins
+    # (ordered.exclusive_prefix_offsets and the month/day-lag max_by
+    # joins): the joined frames are the n_parts partition-totals ledger
+    # or an already-aggregated months/days series — n² of a ≤O(10³)-row
+    # frame, chosen deliberately over an unpartitioned WindowExec
+    "dq8_id_gap_islands",  # prefix offsets over the n_parts totals ledger
+    "m23_roc_auc_ranksum",  # prefix offsets over the n_parts totals ledger
+    "p14_dense_reid",  # prefix offsets over the 32-row pid ledger
+    "f16_mom_growth",  # months-frame lag via broadcast max_by self-join
 }
 # Local tables that are NOT data detours: explicit local-row sources,
 # fitted-model state (O(k) best params / importances), and
