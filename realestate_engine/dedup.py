@@ -86,6 +86,15 @@ def word_shingles(text_col: Column, n: int = 3) -> Column:
     return F.array_distinct(F.filter(acc, lambda x: x.isNotNull()))
 
 
+def cache_once(df: DataFrame) -> DataFrame:
+    """cache() unless this exact (canonicalized) plan is already in the
+    cache manager — avoids the 'Asked to cache already cached data'
+    WARN when two queries share a cached relation (e.g. the shingle
+    relation of the batch and incremental LSH pipelines)."""
+    lvl = df.storageLevel
+    return df if (lvl.useMemory or lvl.useDisk) else df.cache()
+
+
 def portable_hash32(col: Column) -> Column:
     """32-bit string hash BOTH engines compute bit-identically: the
     first 8 hex chars of md5 parsed as an integer. Spark:
@@ -136,6 +145,8 @@ def _band_hash(mh_cols: list[str]) -> Column:
     for c in mh_cols[1:]:
         h = F.pmod(h * F.lit(_POLY) + F.col(c), F.lit(_MINHASH_PRIME))
     return h
+
+
 _MINHASH_COEFFS = [
     (2971215073, 433494437), (1500450271, 2971215073), (982451653, 1500450271),
     (472882027, 982451653), (433494437, 87178291199 % _MINHASH_PRIME),
@@ -325,7 +336,7 @@ def dedup_minhash_lsh(spark: SparkSession, sf_dir: str) -> DataFrame:
     # candidate verification below both read this relation — without
     # the cache each is a separate full interpreted-HOF shingling pass
     # (measured ~40% of the query at sf0.1).
-    sh_rel = hashed_shingle_df(d, "doc_id", "text").cache()
+    sh_rel = cache_once(hashed_shingle_df(d, "doc_id", "text"))
     cands = minhash_lsh_candidates(d, "doc_id", "text", shingles=sh_rel)
     # hashed shingle sets: jaccard over 3-gram hashes == jaccard over
     # 3-gram strings up to 32-bit hash collisions (~1e-7 per pair)
@@ -932,7 +943,7 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
     cross-split pairs."""
     d = t(spark, sf_dir, "documents")
     is_new = F.col("doc_id") % 10 == 0
-    sh_rel = hashed_shingle_df(d, "doc_id", "text").cache()
+    sh_rel = cache_once(hashed_shingle_df(d, "doc_id", "text"))
 
     def banded(ids: DataFrame) -> DataFrame:
         sig = minhash_signature_df(d, "doc_id", "text", shingles=sh_rel.join(ids, "id", "left_semi"))

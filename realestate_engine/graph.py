@@ -26,6 +26,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
+from realestate_engine.dedup import cache_once
 from realestate_engine.registry import register, t
 
 SCALE = 1_000_000_000_000  # 1e12 micro-rank units per unit of rank
@@ -74,7 +75,7 @@ def pagerank_fixed_point(edges: DataFrame, n_iter: int = N_ITER) -> DataFrame:
     # frames shuffle (plus the unavoidable groupBy(dst) of
     # contributions), never the edges themselves — the Pregel/GraphX
     # distribution strategy.
-    edges_p = edges.repartition("src").cache()
+    edges_p = cache_once(edges.repartition("src"))
     deg = edges_p.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     nodes = deg.select(F.col("src").alias("node"))
     n_nodes = nodes.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
@@ -220,7 +221,7 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     from pyspark.sql import Window
 
     edges = trade_edges(spark, sf_dir)
-    edges_p = edges.repartition("src").cache()
+    edges_p = cache_once(edges.repartition("src"))
     labels = edges_p.select(F.col("src").alias("node")).distinct().select(
         "node", F.col("node").alias("label")
     )
@@ -320,7 +321,7 @@ def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     # Same cached-narrow-edges + zero-shuffle degree aggregate as
     # pagerank_fixed_point (see its comment; the window-count variant
     # pays a full edge sort in the cache build).
-    edges_p = edges.repartition("src").cache()
+    edges_p = cache_once(edges.repartition("src"))
     deg = edges_p.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
     nodes = deg.select(F.col("src").alias("node"))
     seeds = (

@@ -259,11 +259,25 @@ def mm_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id")
 
 
-@register("mm_frame_sample")  # rows-only: video-style frame sampling plumbing
+@register(
+    "mm_frame_sample",
+    # (i·len)/4 truncated: Spark divides as double then casts (truncates);
+    # len/4 division by a power of two is exact in binary, so integer
+    # floor-div reproduces it exactly
+    """
+    SELECT doc_id,
+           CAST(i AS INTEGER) AS frame_idx,
+           CAST((i * LENGTH(text)) // 4 AS INTEGER) AS byte_offset
+    FROM documents CROSS JOIN (SELECT UNNEST(RANGE(0, 4)) AS i)
+    ORDER BY doc_id, frame_idx
+    """,
+)
 def mm_frame_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Frame-sampling shape for video columns: one input row fans out to
     k deterministic 'frames' (posexplode over computed offsets) — the
-    Spark-side pattern for per-frame feature extraction."""
+    Spark-side pattern for per-frame feature extraction. Oracle-checked
+    since round 4: the offsets are exact integer math (the /4 is a
+    power-of-two division, so double-then-truncate equals floor-div)."""
     d = t(spark, sf_dir, "documents")
     n_frames = 4
     offsets = F.transform(

@@ -40,10 +40,12 @@ def distributed_prefix_sum(
     keyed by canonicalized plan, so repeated invocations of the same
     query reuse one entry rather than accumulating, and entries are
     LRU-evicted under memory pressure — deliberate, not a leak."""
-    ranked = (
-        df.repartitionByRange(n_parts, *order_cols)
-        .withColumn("_pid", F.spark_partition_id())
-        .cache()
+    from realestate_engine.dedup import cache_once
+
+    ranked = cache_once(
+        df.repartitionByRange(n_parts, *order_cols).withColumn(
+            "_pid", F.spark_partition_id()
+        )
     )
     w_local = (
         Window.partitionBy("_pid")

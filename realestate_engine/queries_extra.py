@@ -17,6 +17,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
 from realestate_engine.ordered import exclusive_prefix_offsets
+from realestate_engine.dedup import cache_once
 from realestate_engine.registry import ORACLES, register, t
 
 
@@ -1361,8 +1362,8 @@ def s18_permissive_corrupt_json(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .json(out)
-        .cache()
     )
+    df = cache_once(df)
     return df.agg(
         F.sum(F.when(F.col("_corrupt_record").isNull(), 1).otherwise(0))
         .cast("bigint")
@@ -1705,8 +1706,8 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select(F.col("a.l_partkey").alias("pa"), F.col("b.l_partkey").alias("pb"))
         .distinct()
-        .cache()
     )
+    edges = cache_once(edges)
     e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
     wedges = e1.join(e2, F.col("e2.pa") == F.col("e1.pb"))
     tri = wedges.join(
@@ -2744,8 +2745,8 @@ def s22_csv_malformed_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
         .option("mode", "PERMISSIVE")
         .option("columnNameOfCorruptRecord", "_corrupt_record")
         .csv(out)
-        .cache()
     )
+    permissive = cache_once(permissive)
 
     audit = permissive.agg(
         F.sum(F.when(F.col("_corrupt_record").isNull(), 1).otherwise(0)).cast("bigint").alias("n_good"),

@@ -493,7 +493,13 @@ def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     late-set size from a collect_set window on the SAME l_orderkey
     shuffle the late build already pays, and joins one 1-col-per-order
     aggregate — every leg still keyed on l_orderkey, group sizes
-    bounded by lines-per-order, so the shape holds at 100 TB."""
+    bounded by lines-per-order, so the shape holds at 100 TB.
+
+    Join order (round 4): the nation-filtered supplier dim (1/25
+    selectivity) joins sole_late FIRST, so the l_orderkey join against
+    the per-order aggregate moves 25x fewer rows; AQE picks broadcast
+    for the filtered dim while it fits and degrades to shuffle at
+    dim sizes where broadcast would not."""
     li = t(spark, sf_dir, "lineitem")
     o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "F")
     late = (
@@ -512,10 +518,10 @@ def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     s = t(spark, sf_dir, "supplier")
     n = t(spark, sf_dir, "nation").filter(F.col("n_name") == "NATION_5")
+    s_nat = s.join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
     return (
-        sole_late.join(multi_supp, "l_orderkey")
-        .join(s, sole_late.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        sole_late.join(s_nat, sole_late.l_suppkey == s_nat.s_suppkey)
+        .join(multi_supp, "l_orderkey")
         .groupBy("s_name")
         .agg(F.count(F.lit(1)).alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")

@@ -492,7 +492,7 @@ def text_contamination_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     here the exact join IS the oracle-checkable semantics. The rate is
     an int/int division of identical counts — bit-identical across
     engines, no rounding fudge needed."""
-    from realestate_engine.dedup import word_shingles
+    from realestate_engine.dedup import cache_once, word_shingles
 
     d = t(spark, sf_dir, "documents")
     # 4-grams via the zip_with shingle helper: a pure map-side
@@ -501,9 +501,11 @@ def text_contamination_ngrams(spark: SparkSession, sf_dir: str) -> DataFrame:
     # (train corpus, eval split) read it — without the cache the
     # whole gram assembly runs twice (same lesson as the MinHash
     # shingle relation).
-    grams = d.select(
-        "doc_id", "source", F.explode(word_shingles(F.col("text"), 4)).alias("ngram")
-    ).cache()
+    grams = cache_once(
+        d.select(
+            "doc_id", "source", F.explode(word_shingles(F.col("text"), 4)).alias("ngram")
+        )
+    )
     train = grams.filter(F.col("source") != "src19").select("ngram").distinct()
     eval_g = grams.filter(F.col("source") == "src19").select("doc_id", "ngram")
     return (
