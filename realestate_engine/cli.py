@@ -7,6 +7,7 @@ against this engine.
     python -m realestate_engine.cli prepare --x X.csv --y y.csv --out data.parquet
     python -m realestate_engine.cli train   --data data.parquet --model-dir out/ [--model rf|lr|gbt] [--cv]
     python -m realestate_engine.cli predict --data X.csv --model-dir out/ --out preds.csv
+    python -m realestate_engine.cli serve   --model-dir out/ --port 8000   # webapp surface (EP5)
 
 Differences from the reference, by design:
 - explicit schema on CSV scans (inference is an extra full pass);
@@ -91,6 +92,20 @@ def cmd_predict(args: argparse.Namespace) -> None:
     print(json.dumps({"predictions": audit.n, "invalid": int(audit.n_invalid or 0), "out": args.out}))
 
 
+def cmd_serve(args: argparse.Namespace) -> None:
+    """EP5: the reference webapp's surface (src/webapp/app.py) as a
+    dependency-free HTTP JSON API — GET /health, POST /predict (one
+    listing as JSON), POST /predict_batch (CSV text body). Artifacts
+    load once per process, like the webapp's cached init_resources."""
+    from realestate_engine.serving import PredictionService, serve
+
+    spark = create_session("realestate_serve")
+    svc = PredictionService.load(spark, args.model_dir)
+    server = serve(svc, host=args.host, port=args.port)
+    print(json.dumps({"serving": f"http://{args.host}:{server.server_address[1]}"}), flush=True)
+    server.serve_forever()
+
+
 def cmd_corpus(args: argparse.Namespace) -> None:
     """EP4 (engine extension): LLM-corpus cleaning over a testdata-layout
     directory — near-dup clustering → canonical selection → write the
@@ -143,6 +158,14 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--sf-dir", required=True)
     p.add_argument("--out", required=True)
     p.set_defaults(fn=cmd_corpus)
+
+    p = sub.add_parser(
+        "serve", help="EP5: HTTP JSON prediction API (the webapp surface)"
+    )
+    p.add_argument("--model-dir", required=True)
+    p.add_argument("--host", default="127.0.0.1")
+    p.add_argument("--port", type=int, default=8000)
+    p.set_defaults(fn=cmd_serve)
 
     args = ap.parse_args(argv)
     args.fn(args)
