@@ -139,3 +139,44 @@ def x18_systematic_pps_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("doc_id")
     )
     return sel
+
+
+@register(
+    "a34_weighted_median_prefix",
+    """
+    WITH pv AS (
+        SELECT CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS v,
+               CAST(SUM(CAST(l_quantity AS BIGINT)) AS BIGINT) AS w
+        FROM lineitem GROUP BY 1
+    ),
+    c AS (SELECT v, w, SUM(w) OVER (ORDER BY v) AS cum FROM pv),
+    tot AS (SELECT SUM(w) AS t FROM pv)
+    SELECT CAST(MIN(v) AS BIGINT) AS weighted_median_cents
+    FROM c, tot WHERE cum * 2 >= t
+    """,
+)
+def a34_weighted_median_prefix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A34: EXACT weighted median (lower median) of extended price
+    weighted by quantity — the robust-statistics sibling of a20's exact
+    percentiles, for the common case where each row carries a weight
+    (revenue-weighted midpoints, token-weighted document stats).
+    percentile_approx cannot take weights; the exact form is: aggregate
+    weight per DISTINCT value (the frame shrinks rows -> distinct
+    values), cumulate weights in value order via distributed_prefix_sum
+    (two-phase, no global-window funnel), then the answer is the
+    smallest value whose cumulative weight reaches half the total —
+    one filtered aggregate against a 1-row broadcast. All BIGINT: the
+    2*cum >= total comparison is the cross-multiplied half, so no
+    division anywhere. The oracle states the same spec with the plain
+    global window DuckDB can afford."""
+    li = t(spark, sf_dir, "lineitem")
+    pv = li.groupBy(
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("v")
+    ).agg(F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("w"))
+    c = distributed_prefix_sum(pv, [F.col("v")], "w", out_col="cum")
+    tot = pv.agg(F.sum("w").alias("t"))
+    return (
+        c.crossJoin(F.broadcast(tot))
+        .where(F.col("cum") * 2 >= F.col("t"))
+        .agg(F.min("v").cast("bigint").alias("weighted_median_cents"))
+    )

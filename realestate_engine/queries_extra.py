@@ -10,6 +10,7 @@ aliased identically on both sides; counts cast to BIGINT.
 
 from __future__ import annotations
 
+import os
 import tempfile
 
 from pyspark.sql import DataFrame, SparkSession
@@ -1078,7 +1079,7 @@ def s16_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
     The z-value is pure integer arithmetic from one shared expression
     string — bit-identical across engines; pytest asserts the physical
     files have narrow per-file custkey spreads."""
-    out = tempfile.mkdtemp(prefix="re_s16_zorder_")
+    out = os.path.join(tempfile.gettempdir(), "re_s16_zorder")
     o = t(spark, sf_dir, "orders").select(
         "o_orderkey",
         (F.col("o_custkey") % 65536).alias("xm"),
@@ -2417,7 +2418,7 @@ def s21_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFra
     table back and audits per-partition counts + key sums — the oracle
     states the expected post-overwrite state. At 100 TB this is how
     daily partitions reload without touching history."""
-    out = tempfile.mkdtemp(prefix="re_s21_dpo_")
+    out = os.path.join(tempfile.gettempdir(), "re_s21_dpo")
     o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
     o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
     spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
@@ -2828,4 +2829,52 @@ def sql_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
         GROUP BY l_returnflag
         ORDER BY l_returnflag
         """
+    )
+
+
+@register(
+    "s23_dynamic_partition_pruning",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM orders
+    WHERE o_orderpriority LIKE '1-%' OR o_orderpriority LIKE '2-%'
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def s23_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S23: DYNAMIC partition pruning — the runtime half of partition
+    pruning (s2/s3 cover the static half): the fact table is stored
+    partitioned by o_orderpriority, and the selective predicate lives
+    on a DERIVED column of the dim side (is_high), so no static filter
+    on the partition column exists at plan time. Catalyst inserts a
+    dynamicpruning#N subquery into the fact scan's PartitionFilters:
+    the dim side runs first, its surviving join keys become an IN
+    filter, and the fact scan never opens the pruned partitions' files.
+    At 100 TB date-partitioned facts joined to filtered dims this is
+    the difference between scanning 3 partitions and 3000 — and it
+    cannot be written statically because the pruning set is computed AT
+    RUNTIME. Plan asserted in tests/test_plans_and_streaming.py; the
+    oracle states the post-join semantics directly."""
+    out = os.path.join(tempfile.gettempdir(), "re_s23_dpp")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice", "o_orderpriority")
+    o.write.mode("overwrite").partitionBy("o_orderpriority").parquet(out)
+    fact = spark.read.parquet(out)
+    dim = (
+        o.select("o_orderpriority")
+        .distinct()
+        .withColumn("is_high", F.col("o_orderpriority").substr(1, 1).isin("1", "2"))
+    )
+    return (
+        fact.join(dim.where(F.col("is_high")), "o_orderpriority")
+        .groupBy("o_orderpriority")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("revenue_cents"),
+        )
+        .orderBy("o_orderpriority")
     )

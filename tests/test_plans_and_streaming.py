@@ -90,6 +90,14 @@ def test_multimodal_mapinpandas_schema_and_determinism(spark):
     assert out.schema["mean_intensity"].dataType.typeName() == "double"
 
 
+def test_dynamic_partition_pruning_fires(spark, sf_dir):
+    """s23's fact scan must carry a dynamicpruning subquery in its
+    PartitionFilters — proof the pruning set is computed at runtime
+    from the filtered dim, not statically."""
+    plan = _plan(QUERIES["s23_dynamic_partition_pruning"](spark, sf_dir))
+    assert "dynamicpruning" in plan
+
+
 def test_png_codec_roundtrip_and_filters():
     """decode_png must invert encode_png bit-exactly AND reconstruct
     rasters written with every PNG scanline filter (Sub/Up/Average/

@@ -73,6 +73,7 @@ ALLOWED_CROSS = {
     "m23_roc_auc_ranksum",  # prefix offsets over the n_parts totals ledger
     "p14_dense_reid",  # prefix offsets over the 32-row pid ledger
     "f16_mom_growth",  # months-frame lag via broadcast max_by self-join
+    "a34_weighted_median_prefix",  # prefix offsets ledger + 1-row total broadcast
 }
 # Local tables that are NOT data detours: explicit local-row sources,
 # fitted-model state (O(k) best params / importances), and
