@@ -29,7 +29,7 @@ registry.load_all()
 # rows-only to full oracles; dq8/m23 and the tiny-frame windows rebuilt
 # on distributed_prefix_sum / broadcast-join prefix sums) and fills the
 # rest with oracle-checked queries no driver round has seen yet —
-# 49 of 50 entries are new vs r03. The remaining queries follow in
+# 48 of 50 entries are new vs r03. The remaining queries follow in
 # registration order.
 _WINDOW = [
     "flagship_revenue_by_nation",

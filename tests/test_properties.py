@@ -52,3 +52,82 @@ def test_pagerank_property(spark, raw_edges, n_iter):
     df = spark.createDataFrame(edges, ["src", "dst"])
     got = {r["node"]: r["rank_micro"] for r in pagerank_fixed_point(df, n_iter).collect()}
     assert got == _reference_pagerank(edges, n_iter)
+
+
+def test_portable_hash_pipeline_matches_duckdb(spark):
+    """Cross-engine property: the ENTIRE portable sketch pipeline —
+    md5-prefix word hashes, rolling-polynomial 3-gram shingles, affine
+    minhash lanes — produces bit-identical values in Spark and DuckDB
+    over adversarial texts (unicode, empty, 1-2 words, repeated words,
+    mixed whitespace). This is the foundation the LSH oracles stand on;
+    a divergence here silently poisons every sketch comparison."""
+    import random
+
+    import duckdb
+
+    from realestate_engine.dedup import (
+        _MINHASH_COEFFS,
+        _MINHASH_PRIME,
+        shingle_hashes,
+    )
+
+    rng = random.Random(1234)
+    words = ["data", "Data", "SPARK", "élève", "naïve", "模型", "x", "longer-word"]
+    texts = [
+        "",
+        "one",
+        "two words",
+        "a  b\tc\nd",  # mixed whitespace collapses identically
+        "répète répète répète naïve 模型 模型",
+    ] + [
+        " ".join(rng.choice(words) for _ in range(rng.randint(1, 30))) for _ in range(60)
+    ]
+    rows = [(i, t) for i, t in enumerate(texts)]
+
+    sdf = spark.createDataFrame(rows, "doc_id long, text string")
+    p = _MINHASH_PRIME
+    a0, b0 = _MINHASH_COEFFS[0]
+    spark_out = {
+        r["doc_id"]: (sorted(r["sh"]), r["mh0"])
+        for r in sdf.select(
+            "doc_id",
+            shingle_hashes(F.col("text")).alias("sh"),
+        )
+        .withColumn(
+            "mh0",
+            F.array_min(
+                F.transform("sh", lambda h: (h * F.lit(a0 % p) + F.lit(b0)) % F.lit(p))
+            ),
+        )
+        .collect()
+    }
+
+    con = duckdb.connect()
+    con.execute("CREATE TABLE docs(doc_id BIGINT, text VARCHAR)")
+    con.executemany("INSERT INTO docs VALUES (?, ?)", rows)
+    duck = con.execute(
+        rf"""
+        WITH wh AS (
+            SELECT doc_id,
+                   LIST_TRANSFORM(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+'),
+                                  w -> ('0x' || SUBSTR(MD5(w), 1, 8))::BIGINT) AS hs
+            FROM docs
+        ),
+        sh AS (
+            SELECT doc_id,
+                   LIST_DISTINCT(LIST_TRANSFORM(
+                       RANGE(1, GREATEST(LEN(hs) - 1, 1)),
+                       i -> ((hs[i] * 1000003 + hs[i+1]) % {p} * 1000003 + hs[i+2]) % {p}
+                   )) AS sh
+            FROM wh
+        )
+        SELECT doc_id, sh,
+               LIST_MIN(LIST_TRANSFORM(sh, h -> (h * {a0 % p} + {b0}) % {p})) AS mh0
+        FROM sh
+        """
+    ).fetchall()
+    duck_out = {d: (sorted(sh), mh0) for d, sh, mh0 in duck}
+
+    assert spark_out.keys() == duck_out.keys()
+    for k in spark_out:
+        assert spark_out[k] == duck_out[k], (k, texts[k], spark_out[k], duck_out[k])
