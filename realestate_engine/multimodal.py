@@ -470,18 +470,69 @@ def ahash_binary(binary_df: DataFrame, bits: int = 64) -> DataFrame:
     return binary_df.mapInPandas(batches, AHASH_SCHEMA)
 
 
-@register("mm_ahash_neardup")  # perceptual-hash pipeline → rows-only (exact reference test)
+@register(
+    "mm_ahash_neardup",
+    r"""
+    WITH bytes AS (
+        SELECT doc_id, HEX(ENCODE(text)) AS hx, OCTET_LENGTH(ENCODE(text)) AS n
+        FROM documents
+    ),
+    unrolled AS (
+        SELECT doc_id, n,
+               CAST(('0x' || SUBSTR(hx, CAST(i.i * 2 + 1 AS INTEGER), 2)) AS INTEGER) AS byte
+        FROM bytes, LATERAL (SELECT UNNEST(RANGE(n)) AS i) i
+    ),
+    means AS (
+        SELECT doc_id, SUM(byte) * 1.0 / ANY_VALUE(n) AS mean FROM unrolled GROUP BY doc_id
+    ),
+    sampled AS (
+        SELECT b.doc_id, bit.i AS bit_i,
+               CAST(('0x' || SUBSTR(b.hx, CAST((bit.i * b.n // 64) * 2 + 1 AS INTEGER), 2)) AS INTEGER) AS sbyte
+        FROM bytes b, LATERAL (SELECT UNNEST(RANGE(64)) AS i) bit
+        WHERE b.n > 0
+    ),
+    hashes AS (
+        -- signed two's-complement assembly: bit 63 contributes -2^63
+        -- directly (2**i would go through DOUBLE and drop low bits)
+        SELECT s.doc_id,
+               CAST(SUM(CASE WHEN s.sbyte > m.mean
+                        THEN CASE WHEN s.bit_i = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+                                  ELSE (CAST(1 AS BIGINT) << CAST(s.bit_i AS INTEGER)) END
+                        ELSE 0 END) AS BIGINT) AS ahash
+        FROM sampled s JOIN means m USING (doc_id)
+        GROUP BY s.doc_id
+        UNION ALL
+        SELECT doc_id, CAST(0 AS BIGINT) FROM bytes WHERE n = 0
+    ),
+    banded AS (
+        SELECT doc_id, ahash, b.b AS band,
+               ((ahash >> CAST(8 * b.b AS INTEGER)) & 255) AS band_val
+        FROM hashes, LATERAL (SELECT UNNEST(RANGE(8)) AS b) b
+    ),
+    cands AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b, a.ahash AS h_a, b.ahash AS h_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.band_val = b.band_val AND a.doc_id < b.doc_id
+    )
+    SELECT id_a, id_b, CAST(BIT_COUNT(XOR(h_a, h_b)) AS INTEGER) AS hamming
+    FROM cands WHERE BIT_COUNT(XOR(h_a, h_b)) <= 7
+    ORDER BY id_a, id_b
+    """,
+)
 def mm_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MM5: perceptual-hash near-duplicate detection over the binary
     modality — the image-dedup counterpart of dedup_simhash: (1)
     mapInPandas computes a 64-bit average-hash per payload, (2) the
-    hash splits into four 16-bit bands (pigeonhole: hamming <= 3
+    hash splits into eight 8-bit bands (pigeonhole: hamming <= 7
     guarantees one exact band match), (3) candidates come from a
     band-bucket self-join — never an all-pairs scan, (4) exact hamming
-    (bit_count of xor) filters to <= 3. Candidate volume scales with
+    (bit_count of xor) filters to <= 7. Candidate volume scales with
     bucket occupancy; at 100 TB the band join is the same shape as the
-    MinHash LSH join. Rows-only: tests re-derive hashes and pairs with
-    an exact Python reference."""
+    MinHash LSH join. Oracle-checked since round 4: the byte-sampled
+    aHash is exact integer/double math both engines reproduce (DuckDB
+    walks the blob via HEX + fixed-width SUBSTR; bit assembly uses
+    shifts, not 2**i, which would round through DOUBLE); tests also
+    re-derive hashes and pairs with an exact Python reference."""
     d = t(spark, sf_dir, "documents")
     binary_df = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
     hashes = ahash_binary(binary_df)
@@ -489,7 +540,7 @@ def mm_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "doc_id",
         "ahash",
         F.posexplode(
-            F.array(*[F.shiftrightunsigned(F.col("ahash"), 16 * i).bitwiseAND(F.lit(0xFFFF)) for i in range(4)])
+            F.array(*[F.shiftrightunsigned(F.col("ahash"), 8 * i).bitwiseAND(F.lit(0xFF)) for i in range(8)])
         ).alias("band", "band_val"),
     )
     a, b = banded.alias("a"), banded.alias("b")
@@ -514,7 +565,7 @@ def mm_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
             "id_b",
             F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).cast("int").alias("hamming"),
         )
-        .where(F.col("hamming") <= 3)
+        .where(F.col("hamming") <= 7)
         .orderBy("id_a", "id_b")
     )
 

@@ -14,8 +14,8 @@ here; this keeps every byte executor-side.
 
 Deterministic: shard = doc_id mod n_shards, docs packed in doc_id
 order, pack ids are shard-prefixed — repeated runs give identical
-assignments (rows-only driver check + invariant tests in
-tests/test_packing_timeseries.py).
+assignments (driver-checked against a recursive-CTE DuckDB oracle +
+invariant tests in tests/test_packing_timeseries.py).
 """
 
 from __future__ import annotations
@@ -65,12 +65,44 @@ def pack_greedy(docs: DataFrame, budget: int, n_shards: int) -> DataFrame:
     )
 
 
-@register("pack_documents_greedy")  # stateful per-shard scan → rows-only
+@register(
+    "pack_documents_greedy",
+    r"""
+    WITH RECURSIVE toks AS (
+        SELECT doc_id, doc_id % 8 AS shard,
+               CAST(LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+')) AS BIGINT) AS n_tokens
+        FROM documents
+    ),
+    ordered AS (
+        SELECT doc_id, shard, n_tokens,
+               ROW_NUMBER() OVER (PARTITION BY shard ORDER BY doc_id) AS rn
+        FROM toks
+    ),
+    walk(shard, rn, doc_id, n_tokens, pack_no, fill, seq) AS (
+        SELECT shard, rn, doc_id, n_tokens, CAST(0 AS BIGINT), n_tokens, CAST(0 AS BIGINT)
+        FROM ordered WHERE rn = 1
+        UNION ALL
+        SELECT o.shard, o.rn, o.doc_id, o.n_tokens,
+               CASE WHEN w.fill + o.n_tokens > 256 THEN w.pack_no + 1 ELSE w.pack_no END,
+               CASE WHEN w.fill + o.n_tokens > 256 THEN o.n_tokens ELSE w.fill + o.n_tokens END,
+               CASE WHEN w.fill + o.n_tokens > 256 THEN CAST(0 AS BIGINT) ELSE w.seq + 1 END
+        FROM walk w JOIN ordered o ON o.shard = w.shard AND o.rn = w.rn + 1
+    )
+    SELECT doc_id, CAST(shard AS BIGINT) AS shard,
+           CAST(shard * 1000000 + pack_no AS BIGINT) AS pack_id,
+           n_tokens, seq AS pack_seq
+    FROM walk ORDER BY doc_id
+    """,
+)
 def pack_documents_greedy(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Pack the documents table into 256-token windows (whitespace
-    token count) across 8 shards. Rows-only check: the assignment is
-    deterministic but the greedy scan is not SQL-expressible; the
-    budget/coverage/determinism invariants are pytest-enforced."""
+    token count) across 8 shards. Oracle-checked since round 4: the
+    per-shard greedy scan IS SQL-expressible as a linear recursive CTE
+    that threads (pack_no, fill, seq) through the doc_id-ordered rows
+    of every shard simultaneously — O(max rows per shard) recursion
+    depth, fine at oracle scale, while the Spark side stays the
+    applyInPandas per-shard scan that's linear at any scale. The
+    budget/coverage/determinism invariants remain pytest-enforced."""
     d = t(spark, sf_dir, "documents").select(
         "doc_id",
         F.size(F.split(F.trim("text"), r"\s+")).cast("bigint").alias("n_tokens"),
