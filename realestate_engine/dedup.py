@@ -90,7 +90,17 @@ def cache_once(df: DataFrame) -> DataFrame:
     """cache() unless this exact (canonicalized) plan is already in the
     cache manager — avoids the 'Asked to cache already cached data'
     WARN when two queries share a cached relation (e.g. the shingle
-    relation of the batch and incremental LSH pipelines)."""
+    relation of the batch and incremental LSH pipelines).
+
+    Lifetime contract: queries return LAZY DataFrames (the driver
+    materializes them), so unpersisting inside a query body would drop
+    the cache before first use. Instead the leak is BOUNDED: every
+    cached plan here is a pure function of sf_dir (sinks round-trip
+    through stable_tmp paths, not fresh mkdtemp dirs), so repeated
+    bench/correctness runs canonicalize to the same plan and re-use
+    the one existing entry rather than accumulating new ones; MEMORY
+    storage evicts LRU under pressure. A long-lived service embedding
+    this engine should call spark.catalog.clearCache() between jobs."""
     lvl = df.storageLevel
     return df if (lvl.useMemory or lvl.useDisk) else df.cache()
 

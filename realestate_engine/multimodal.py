@@ -570,7 +570,57 @@ def mm_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("mm_scene_cut")  # fake-codec frame hashes → rows-only (exact reference test)
+@register(
+    "mm_scene_cut",
+    r"""
+    WITH vids AS (
+        SELECT doc_id, HEX(ENCODE(text)) AS hx, LENGTH(text) AS nc FROM documents
+    ),
+    frames AS (
+        SELECT doc_id, f.i AS frame_idx,
+               SUBSTR(hx, CAST(((f.i * nc) // 4) * 2 + 1 AS INTEGER), 64) AS fhx
+        FROM vids, LATERAL (SELECT UNNEST(RANGE(4)) AS i) f
+    ),
+    fb AS (SELECT doc_id, frame_idx, fhx, LEN(fhx) // 2 AS n FROM frames),
+    unrolled AS (
+        SELECT doc_id, frame_idx, n,
+               CAST(('0x' || SUBSTR(fhx, CAST(i.i*2+1 AS INTEGER), 2)) AS INTEGER) AS byte
+        FROM fb, LATERAL (SELECT UNNEST(RANGE(n)) AS i) i
+    ),
+    means AS (
+        SELECT doc_id, frame_idx, SUM(byte)*1.0/ANY_VALUE(n) AS mean
+        FROM unrolled GROUP BY doc_id, frame_idx
+    ),
+    sampled AS (
+        SELECT fb.doc_id, fb.frame_idx, bit.i AS bit_i,
+               CAST(('0x' || SUBSTR(fb.fhx, CAST((bit.i * fb.n // 64)*2+1 AS INTEGER), 2)) AS INTEGER) AS sbyte
+        FROM fb, LATERAL (SELECT UNNEST(RANGE(64)) AS i) bit
+        WHERE fb.n > 0
+    ),
+    hashes AS (
+        SELECT s.doc_id, s.frame_idx,
+               CAST(SUM(CASE WHEN s.sbyte > m.mean
+                        THEN CASE WHEN s.bit_i = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+                                  ELSE (CAST(1 AS BIGINT) << CAST(s.bit_i AS INTEGER)) END
+                        ELSE 0 END) AS BIGINT) AS ahash
+        FROM sampled s JOIN means m ON s.doc_id = m.doc_id AND s.frame_idx = m.frame_idx
+        GROUP BY s.doc_id, s.frame_idx
+        UNION ALL
+        SELECT doc_id, frame_idx, CAST(0 AS BIGINT) FROM fb WHERE n = 0
+    ),
+    dist AS (
+        SELECT doc_id,
+               BIT_COUNT(XOR(ahash, LAG(ahash) OVER (PARTITION BY doc_id ORDER BY frame_idx))) AS hamming
+        FROM hashes
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_transitions,
+           CAST(SUM(CASE WHEN hamming > 16 THEN 1 ELSE 0 END) AS BIGINT) AS n_cuts,
+           CAST(SUM(hamming) AS BIGINT) AS total_hamming
+    FROM dist WHERE hamming IS NOT NULL
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+)
 def mm_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     """MM7: scene-cut detection over the video modality — sample k
     frames per 'video' (mm_frame_sample's fan-out), compute a 64-bit
@@ -582,8 +632,10 @@ def mm_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
     partitioned by video — bounded by frames-per-video, never a global
     sort; per 100 TB of video the state is k hashes per key. Returns
     per-video cut counts + mean consecutive hamming distance (exact
-    integers). Rows-only: the fake codec is Python; tests replay the
-    pipeline exactly."""
+    integers). Oracle-checked since round 4: the frame windows are
+    hex substrings of the same blob and the per-frame aHash is the
+    same shift-assembled integer math as mm_ahash_neardup's oracle;
+    tests also replay the pipeline exactly in Python."""
     from pyspark.sql.window import Window
 
     d = t(spark, sf_dir, "documents")

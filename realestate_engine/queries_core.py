@@ -24,7 +24,7 @@ from pyspark.sql import functions as F
 from pyspark.sql import types as T
 from pyspark.sql.window import Window
 
-from realestate_engine.registry import register, t
+from realestate_engine.registry import register, stable_tmp, t
 from realestate_engine.schemas import TESTDATA_SCHEMAS
 
 # ---------------------------------------------------------------------------
@@ -78,7 +78,7 @@ def s1_csv_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S1+S6: native CSV sink then explicit-schema CSV scan (reference
     scan: notebooks/00_prepare_data.py:43-53; reference sink detoured
     through pandas, src/webapp/app.py:153 — ours is distributed)."""
-    out = tempfile.mkdtemp(prefix="re_s1_csv_")
+    out = stable_tmp("s1_csv")
     t(spark, sf_dir, "region").write.mode("overwrite").option("header", "true").csv(out)
     return spark.read.option("header", "true").schema(TESTDATA_SCHEMAS["region"]).csv(out)
 
@@ -106,7 +106,7 @@ def s3_parquet_sink_partitioned(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S3: partitioned parquet sink + read-back (partition pruning is the
     scale path: a status-filtered scan reads one directory).
     Reference sink: notebooks/00_prepare_data.py:91 (no partitionBy)."""
-    out = tempfile.mkdtemp(prefix="re_s3_parquet_")
+    out = stable_tmp("s3_parquet")
     (
         t(spark, sf_dir, "orders")
         .select("o_orderkey", "o_totalprice", "o_orderstatus")
@@ -144,7 +144,7 @@ def s4_local_rows(spark: SparkSession, sf_dir: str) -> DataFrame:
 )
 def s6_csv_sink_native(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S6: distributed CSV sink (exact-typed columns) + read-back."""
-    out = tempfile.mkdtemp(prefix="re_s6_csv_")
+    out = stable_tmp("s6_csv")
     sub = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_linenumber", "l_returnflag")
     sub.write.mode("overwrite").option("header", "true").csv(out)
     schema = T.StructType(

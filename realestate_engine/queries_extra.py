@@ -19,7 +19,7 @@ from pyspark.sql import types as T
 
 from realestate_engine.ordered import exclusive_prefix_offsets
 from realestate_engine.dedup import cache_once
-from realestate_engine.registry import ORACLES, register, t
+from realestate_engine.registry import ORACLES, register, stable_tmp, t
 
 
 @register("s10_orc_roundtrip", "SELECT n_nationkey, n_name, n_regionkey FROM nation")
@@ -27,7 +27,7 @@ def s10_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S10: ORC sink + scan — Spark's second columnar format, same
     predicate-pushdown/column-pruning machinery as parquet. The ORC
     footer preserves exact types so no explicit read schema is needed."""
-    out = tempfile.mkdtemp(prefix="re_s10_orc_")
+    out = stable_tmp("s10_orc")
     t(spark, sf_dir, "nation").write.mode("overwrite").orc(out)
     return spark.read.orc(out).select("n_nationkey", "n_name", "n_regionkey")
 
@@ -37,7 +37,7 @@ def s11_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S11: JSON-lines sink + explicit-schema scan (schema-on-read:
     inference would double-scan and widen ints — an explicit schema is
     the scale path for JSON sources)."""
-    out = tempfile.mkdtemp(prefix="re_s11_json_")
+    out = stable_tmp("s11_json")
     t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey").write.mode(
         "overwrite"
     ).json(out)
@@ -928,7 +928,7 @@ def s12_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     explicit schema + rowTag. Completes the source/sink matrix
     (CSV/parquet/ORC/JSON/XML/binary). Explicit read schema — XML
     inference double-scans, same rule as the JSON source."""
-    out = tempfile.mkdtemp(prefix="re_s12_xml_")
+    out = stable_tmp("s12_xml")
     t(spark, sf_dir, "region").select("r_regionkey", "r_name").write.mode("overwrite").option(
         "rowTag", "region"
     ).format("xml").save(out)
@@ -982,8 +982,8 @@ def s14_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     import math
     import os
 
-    frag_dir = tempfile.mkdtemp(prefix="re_s14_frag_")
-    out_dir = tempfile.mkdtemp(prefix="re_s14_compact_")
+    frag_dir = stable_tmp("s14_frag")
+    out_dir = stable_tmp("s14_compact")
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
     li.repartition(64).write.mode("overwrite").parquet(frag_dir)
     frag = spark.read.parquet(frag_dir)
@@ -1021,7 +1021,7 @@ def s15_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
     lake situation (columns added over months of ingest) that a
     fixed-schema engine can't read at all. Footer-merge only — no data
     rewrite."""
-    base = tempfile.mkdtemp(prefix="re_s15_evo_")
+    base = stable_tmp("s15_evo")
     o = t(spark, sf_dir, "orders")
     o.filter(F.col("o_orderkey") % 2 == 0).select("o_orderkey", "o_totalprice").write.mode(
         "overwrite"
@@ -1338,7 +1338,7 @@ def s18_permissive_corrupt_json(spark: SparkSession, sf_dir: str) -> DataFrame:
     the parse that defines it.)"""
     import os
 
-    out = tempfile.mkdtemp(prefix="re_s18_json_")
+    out = stable_tmp("s18_json")
     t(spark, sf_dir, "supplier").select("s_suppkey", "s_name").write.mode("overwrite").json(out)
     bad = [
         '{"s_suppkey": 1, "s_name": ',
@@ -1552,7 +1552,7 @@ def s19_text_source(spark: SparkSession, sf_dir: str) -> DataFrame:
     audits count/chars/distinct against the parquet ground truth (the
     oracle recomputes the same audit straight from the table; the
     testdata texts are single-line, so lines == docs)."""
-    out = tempfile.mkdtemp(prefix="re_s19_text_")
+    out = stable_tmp("s19_text")
     t(spark, sf_dir, "documents").select("text").write.mode("overwrite").text(out)
     lines = spark.read.text(out)
     return lines.agg(
@@ -2873,6 +2873,71 @@ def s23_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n_orders"),
             F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("revenue_cents"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+def bucketed_orders_lineitem_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S24 core: write orders and lineitem as BUCKETED tables (8
+    buckets on the join key, sorted within buckets), then sort-merge
+    join them with ZERO exchanges — the bucket layout IS the shuffle,
+    paid once at write time and amortized over every subsequent join
+    on that key. tests/test_plans_and_streaming.py asserts the joined
+    plan contains a SortMergeJoin and no ShuffleExchange at all. At
+    100 TB this is the canonical co-located join: both fact tables
+    land bucketed by orderkey, and daily joins/rollups on that key
+    never shuffle the big sides again. The merge hint pins the
+    demonstration to SMJ (a broadcast join at oracle scale would also
+    be exchange-free, but for the wrong reason)."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
+    for name, df, key, path in [
+        ("re_s24_li", li, "l_orderkey", stable_tmp("s24_li")),
+        ("re_s24_o", o, "o_orderkey", stable_tmp("s24_o")),
+    ]:
+        spark.sql(f"DROP TABLE IF EXISTS {name}")
+        (
+            df.write.mode("overwrite")
+            .format("parquet")
+            .bucketBy(8, key)
+            .sortBy(key)
+            .option("path", path)
+            .saveAsTable(name)
+        )
+    ob = spark.table("re_s24_o").hint("merge")
+    lb = spark.table("re_s24_li")
+    return ob.join(lb, ob.o_orderkey == lb.l_orderkey)
+
+
+@register(
+    "s24_bucketed_join_no_shuffle",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
+           CAST(COUNT(*) AS BIGINT) AS n_items,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
+    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+    GROUP BY o_orderpriority
+    ORDER BY o_orderpriority
+    """,
+)
+def s24_bucketed_join_no_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S24: bucketed co-located join — the no-shuffle sort-merge join
+    over pre-bucketed tables (see bucketed_orders_lineitem_join for
+    the layout and the plan contract), rolled up per order priority.
+    The only exchange in this query's whole plan is the k-row
+    per-priority aggregate ABOVE the join; the two big scans feed the
+    SMJ directly from their bucket files."""
+    joined = bucketed_orders_lineitem_join(spark, sf_dir)
+    return (
+        joined.groupBy("o_orderpriority")
+        .agg(
+            F.count_distinct(F.col("o_orderkey")).cast("bigint").alias("n_orders"),
+            F.count(F.lit(1)).cast("bigint").alias("n_items"),
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
             .cast("bigint")
             .alias("revenue_cents"),
         )

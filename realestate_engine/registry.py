@@ -40,6 +40,20 @@ def register(name: str, sql: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
+def stable_tmp(name: str) -> str:
+    """Stable per-query scratch directory (not mkdtemp): repeated
+    bench/correctness runs overwrite ONE directory instead of
+    accumulating temp dirs, and the identical path keeps any cached
+    scan's canonicalized plan shared across runs. Safe because every
+    sink that round-trips through it writes mode('overwrite')."""
+    import os
+    import tempfile
+
+    out = os.path.join(tempfile.gettempdir(), f"re_{name}")
+    os.makedirs(out, exist_ok=True)
+    return out
+
+
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """Load one driver testdata table.
 

@@ -16,7 +16,7 @@ from __future__ import annotations
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from realestate_engine.registry import register, t
+from realestate_engine.registry import register, stable_tmp, t
 
 
 def tumbling_counts(events: DataFrame, window: str = "10 minutes", watermark: str = "30 minutes") -> DataFrame:
@@ -169,6 +169,82 @@ def stateful_user_totals(events: DataFrame) -> DataFrame:
         stateStructType="n long, total double",
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+
+
+@register(
+    "st_stateful_running_totals",
+    """
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def st_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST3 as a driver-checked query: run an ACTUAL streaming query —
+    parquet file source → applyInPandasWithState per-user running
+    (n_events, total_cents) → memory sink, Trigger.AvailableNow — then
+    read the sink and keep each user's LAST update (n_events is
+    strictly monotone per user across micro-batches, so max_by picks
+    the final state). The cents conversion happens Spark-side BEFORE
+    the Python state (F.round half-up, matching the oracle's ROUND),
+    so the stateful accumulator is exact integer math and the final
+    totals are independent of how availableNow slices micro-batches.
+    State is one (long, long) tuple per user — bounded by |users|.
+    The checkpoint is recreated per invocation (committed offsets
+    would otherwise mark the input as already processed and yield an
+    empty second run); the input snapshot overwrites one stable dir."""
+    import shutil
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "ts", F.round(F.col("value") * 100).cast("long").alias("value_cents")
+    )
+    src = stable_tmp("st3_events")
+    ev.write.mode("overwrite").parquet(src)
+    ckpt = stable_tmp("st3_ckpt")
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        n, cents = state.get if state.exists else (0, 0)
+        for pdf in pdfs:
+            n += len(pdf)
+            cents += int(pdf["value_cents"].sum())
+        state.update((n, cents))
+        yield pd.DataFrame(
+            {"user_id": [key[0]], "n_events": [n], "total_cents": [cents]}
+        )
+
+    stream = streamify(spark, src, ev.schema)
+    updates = stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType="user_id long, n_events long, total_cents long",
+        stateStructType="n long, cents long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    q = (
+        updates.writeStream.format("memory")
+        .queryName("re_st3_totals")
+        .outputMode("update")
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    sink = spark.table("re_st3_totals")
+    return (
+        sink.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("total_cents", "n_events").alias("total_cents"),
+        )
+        .orderBy("user_id")
     )
 
 

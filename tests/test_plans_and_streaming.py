@@ -540,3 +540,44 @@ def test_streaming_update_and_complete_modes(spark, sf_dir, tmp_path):
         "SELECT event_type, max(n) AS n FROM mode_update GROUP BY event_type"
     ).collect()
     assert {r.event_type: r.n for r in upd} == batch
+
+
+def test_bucketed_join_has_no_exchange(spark, sf_dir):
+    """S24 plan contract: both sides scan their bucket files directly
+    into the sort-merge join — zero ShuffleExchange nodes anywhere in
+    the executed join plan, and the scans report Bucketed: true."""
+    from realestate_engine.queries_extra import bucketed_orders_lineitem_join
+
+    j = bucketed_orders_lineitem_join(spark, sf_dir)
+    j.collect()
+    plan = j._jdf.queryExecution().executedPlan().toString()
+    assert "SortMergeJoin" in plan
+    assert "Exchange" not in plan
+    # AQE prints the initial plan alongside the final one, so the two
+    # bucketed scans can appear twice each
+    assert plan.count("Bucketed: true") >= 2
+
+
+def test_stateful_running_totals_matches_batch(spark, sf_dir):
+    """The availableNow streaming run's final per-user state equals the
+    batch aggregate regardless of micro-batch slicing."""
+    from realestate_engine.registry import QUERIES, t
+    from pyspark.sql import functions as F
+
+    got = {
+        r["user_id"]: (r["n_events"], r["total_cents"])
+        for r in QUERIES["st_stateful_running_totals"](spark, sf_dir).collect()
+    }
+    exp = {
+        r["user_id"]: (r["n"], r["cents"])
+        for r in (
+            t(spark, sf_dir, "events")
+            .groupBy("user_id")
+            .agg(
+                F.count(F.lit(1)).alias("n"),
+                F.sum(F.round(F.col("value") * 100).cast("long")).alias("cents"),
+            )
+            .collect()
+        )
+    }
+    assert got == exp
