@@ -49,12 +49,13 @@ _WINDOW = [
     "tpch_q8_market_share", "tpch_q13_customer_distribution",
     "tpch_q15_top_supplier", "tpch_q17_small_quantity_revenue",
     "tpch_q22_sales_opportunity",
+    # upgraded rows-only -> full oracle / brand-new this round
+    "pack_documents_greedy", "mm_ahash_neardup", "mm_scene_cut",
+    "st_stateful_running_totals", "s24_bucketed_join_no_shuffle",
     # never driver-verified: dedup / text / similarity north-star
     "dedup_ngram_jaccard", "dedup_embedding_cosine", "dedup_clusters",
     "text_token_count", "text_quality_score", "text_langid",
-    "text_fingerprint", "text_contamination_ngrams",
-    "corpus_clean_pipeline", "corpus_mixture_sample",
-    "sim_quantize_int8", "sim_label_centroids", "sim_matryoshka_topk",
+    "text_contamination_ngrams", "corpus_clean_pipeline",
     # never driver-verified: streaming / temporal / graph / windows
     "st_sliding_window", "st_session_window", "st_watermark_dedup",
     "range_join_clicks_before_purchase", "graph_pagerank_trade",

@@ -87,12 +87,13 @@ def main() -> None:
         .save()
     )
 
-    # best-of-2: single-shot timings swing ±2× on Python-worker and GC
-    # state; the minimum reflects the plan's steady-state cost
+    # best-of-3: single-shot timings swing ±2× on Python-worker and GC
+    # state (the first sf0.1 run of a plan is routinely 1.5-2x its
+    # steady state); the minimum reflects the plan's steady-state cost
     timings: dict[str, float] = {}
     for name in HEADLINE:
         best = float("inf")
-        for _ in range(2):
+        for _ in range(3):
             t0 = time.time()
             QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
             best = min(best, time.time() - t0)

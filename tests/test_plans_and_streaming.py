@@ -581,3 +581,45 @@ def test_stateful_running_totals_matches_batch(spark, sf_dir):
         )
     }
     assert got == exp
+
+
+def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
+    """Spark 4's runtime bloom-filter injection: a selective filter on
+    the dim side of a shuffle join plants a bloom filter on the fact
+    scan (might_contain(...) in the plan), skipping fact rows before
+    the shuffle — the row-level sibling of dynamic partition pruning
+    (s23). Default size thresholds target multi-GB scans, so the test
+    lowers them; at 100 TB the defaults fire on their own."""
+    from pyspark.sql import functions as F
+    from realestate_engine.registry import t
+
+    # creationSideThreshold is a MAXIMUM (the filtered dim must be
+    # smaller than it — default 10MB already holds); the application
+    # side must be LARGER than applicationSideScanSizeThreshold, whose
+    # 10GB default is what keeps the filter off at test scale. And the
+    # injector only fires for probable SHUFFLE joins — a broadcastable
+    # creation side suppresses it (broadcast join already prunes), so
+    # broadcast is disabled to reproduce the big-big join shape
+    confs = {
+        "spark.sql.optimizer.runtime.bloomFilter.applicationSideScanSizeThreshold": "0",
+        "spark.sql.autoBroadcastJoinThreshold": "-1",
+    }
+    old = {k: spark.conf.get(k) for k in confs}
+    try:
+        for k, v in confs.items():
+            spark.conf.set(k, v)
+        li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_quantity")
+        o = (
+            t(spark, sf_dir, "orders")
+            .where(F.col("o_orderpriority") == "1-URGENT")
+            .select("o_orderkey", "o_orderpriority")
+        )
+        j = li.join(o, li.l_orderkey == o.o_orderkey)
+        agg = j.groupBy("o_orderpriority").agg(F.sum("l_quantity").alias("qty"))
+        rows = agg.collect()
+        plan = agg._jdf.queryExecution().executedPlan().toString()
+        assert "might_contain" in plan, plan[:2000]
+        assert len(rows) == 1
+    finally:
+        for k, v in old.items():
+            spark.conf.set(k, v)

@@ -80,6 +80,7 @@ ALLOWED_CROSS = {
 # localCheckpoint lineage truncation (shows as Scan ExistingRDD).
 ALLOWED_LOCAL = {
     "s4_local_rows",
+    "st_stateful_running_totals",  # memory-sink rows of the real streaming run (O(|users|) state)
     "corpus_mixture_sample",  # 5-row VALUES mixture-rate config dim (broadcast)
     "j4_null_safe_join",  # 3-row local status-decode dim (broadcast side)
     "sim_ivf_kmeans_topk",
