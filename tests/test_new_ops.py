@@ -585,3 +585,41 @@ def test_scene_cut_exact_replay(spark, sf_dir):
         assert got["n_transitions"] == len(hams)
         assert got["total_hamming"] == sum(hams)
         assert got["n_cuts"] == sum(1 for h in hams if h > 16)
+
+
+def test_queries_survive_empty_tables(spark, sf_dir, tmp_path):
+    """Graceful degradation on 0-row inputs: a representative query per
+    family must plan and execute over an EMPTY copy of every table
+    (schema preserved, no rows) without raising — the behavior that
+    matters when a partition filter or upstream stage yields nothing.
+    Aggregation-only queries may return their single global row."""
+    import os
+
+    empty_dir = str(tmp_path / "sf_empty")
+    os.makedirs(empty_dir, exist_ok=True)
+    from realestate_engine.registry import QUERIES, t
+
+    for tbl in (
+        "region", "nation", "customer", "supplier", "part",
+        "orders", "lineitem", "events", "documents", "embeddings",
+    ):
+        t(spark, sf_dir, tbl).limit(0).write.mode("overwrite").parquet(
+            f"{empty_dir}/{tbl}.parquet"
+        )
+    representative = [
+        "flagship_revenue_by_nation",   # join + agg
+        "tpch_q1_pricing_summary",      # wide agg
+        "dedup_exact",                  # dedup family
+        "dedup_minhash_lsh",            # LSH pipeline (explode/groupBy)
+        "text_tfidf_top_term",          # text family (window over empty)
+        "st_tumbling_window",           # event-time windows
+        "pack_documents_greedy",        # applyInPandas stateful scan
+        "asof_last_click_before_purchase",  # union + window as-of
+        "w1_ranking",                   # ranking windows
+        "corpus_clean_pipeline",        # multi-stage filter chain
+        "mm_ahash_neardup",             # mapInPandas + band self-join
+        "x20_cdc_apply",                # changelog collapse
+    ]
+    for name in representative:
+        rows = QUERIES[name](spark, empty_dir).collect()
+        assert isinstance(rows, list), name
