@@ -228,15 +228,26 @@ def st_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         outputMode="update",
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
-    q = (
-        updates.writeStream.format("memory")
-        .queryName("re_st3_totals")
-        .outputMode("update")
-        .option("checkpointLocation", ckpt)
-        .trigger(availableNow=True)
-        .start()
-    )
-    q.awaitTermination()
+    # the state-store partition count is baked into the checkpoint at
+    # stream START from spark.sql.shuffle.partitions — pin it to the
+    # session's parallelism for the (fresh-checkpoint) run so a plain
+    # driver session doesn't spread tiny state over 200 partitions;
+    # restored after the stream finishes (it runs to completion here)
+    key = "spark.sql.shuffle.partitions"
+    old_parts = spark.conf.get(key)
+    try:
+        spark.conf.set(key, str(spark.sparkContext.defaultParallelism))
+        q = (
+            updates.writeStream.format("memory")
+            .queryName("re_st3_totals")
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set(key, old_parts)
     sink = spark.table("re_st3_totals")
     return (
         sink.groupBy("user_id")

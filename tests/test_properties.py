@@ -131,3 +131,48 @@ def test_portable_hash_pipeline_matches_duckdb(spark):
     assert spark_out.keys() == duck_out.keys()
     for k in spark_out:
         assert spark_out[k] == duck_out[k], (k, texts[k], spark_out[k], duck_out[k])
+
+
+@given(
+    tokens=st.lists(st.integers(1, 400), min_size=1, max_size=120),
+    budget=st.integers(16, 300),
+    n_shards=st.integers(1, 8),
+)
+@settings(**COMMON)
+def test_pack_greedy_property(spark, tokens, budget, n_shards):
+    """Randomized packing invariants vs an exact Python replay: every
+    doc assigned exactly once, per-pack fill <= budget unless the pack
+    is a single oversized doc, pack_seq contiguous in doc_id order, and
+    the whole assignment equal to the sequential reference."""
+    from realestate_engine.packing import pack_greedy
+
+    docs = [(i, n) for i, n in enumerate(tokens)]
+    df = spark.createDataFrame(docs, "doc_id long, n_tokens long")
+    got = {
+        r["doc_id"]: (r["shard"], r["pack_id"], r["pack_seq"])
+        for r in pack_greedy(df, budget=budget, n_shards=n_shards).collect()
+    }
+
+    # exact sequential reference per shard
+    exp = {}
+    for shard in range(n_shards):
+        pack_no, fill, seq = 0, 0, 0
+        for i, n in docs:
+            if i % n_shards != shard:
+                continue
+            if fill > 0 and fill + n > budget:
+                pack_no, fill, seq = pack_no + 1, 0, 0
+            exp[i] = (shard, shard * 1_000_000 + pack_no, seq)
+            fill += n
+            seq += 1
+    assert got == exp
+
+    # fill contract: over-budget packs must be singletons
+    fills: dict[int, int] = {}
+    members: dict[int, int] = {}
+    for i, n in docs:
+        pid = got[i][1]
+        fills[pid] = fills.get(pid, 0) + n
+        members[pid] = members.get(pid, 0) + 1
+    for pid, f in fills.items():
+        assert f <= budget or members[pid] == 1
