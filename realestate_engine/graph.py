@@ -370,3 +370,85 @@ def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank_micro"), "node")
         .limit(50)
     )
+
+
+KCORE_K = 3
+KCORE_ROUNDS = 8
+
+
+def kcore_peel(edges: DataFrame, k: int = KCORE_K, n_rounds: int = KCORE_ROUNDS) -> DataFrame:
+    """Bounded-round k-core peeling: each round drops every node whose
+    CURRENT degree is < k (and all its edges), simultaneously — the
+    synchronous peel, so the result is fully deterministic and
+    independent of any per-node processing order. After enough rounds
+    the edge set reaches the true k-core fixpoint; n_rounds bounds the
+    driver loop the same way N_ITER bounds PageRank, and the pytest
+    convergence check asserts the fixpoint is reached on the testdata
+    (an extra round is a no-op once converged).
+
+    Scale shape per round: one count agg on src (edges arrive mirrored,
+    so src-degree IS node-degree) + two semi-join filters keyed on the
+    same columns — all shuffles on node ids, state bounded by |nodes|.
+    localCheckpoint truncates the lineage so 8 rounds do not nest 8
+    join plans (the CC/two-star discipline, dedup.py)."""
+    e = edges
+    for _ in range(n_rounds):
+        deg = e.groupBy("src").agg(F.count(F.lit(1)).alias("deg"))
+        keep = deg.filter(F.col("deg") >= k).select("src")
+        e = (
+            e.join(keep, "src", "left_semi")
+            .join(keep.select(F.col("src").alias("dst")), "dst", "left_semi")
+            .select("src", "dst")
+            .localCheckpoint()
+        )
+    return (
+        e.groupBy("src")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("core_degree"))
+        .select(F.col("src").cast("bigint").alias("node"), "core_degree")
+    )
+
+
+def _kcore_round_sql(prev: str, out: str, k: int) -> str:
+    """One unrolled synchronous peel: recount degrees over the current
+    edge set, keep edges whose BOTH endpoints still have degree >= k."""
+    return f"""
+    d_{out} AS MATERIALIZED (SELECT src, COUNT(*) AS deg FROM {prev} GROUP BY src),
+    {out} AS MATERIALIZED (
+        SELECT e.src, e.dst FROM {prev} e
+        JOIN d_{out} a ON a.src = e.src AND a.deg >= {k}
+        JOIN d_{out} b ON b.src = e.dst AND b.deg >= {k}
+    )"""
+
+
+_KCORE_ORACLE = (
+    """
+    WITH pairs AS (
+        SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    e0 AS MATERIALIZED (
+        SELECT c AS src, s AS dst FROM pairs
+        UNION ALL
+        SELECT s AS src, c AS dst FROM pairs
+    )"""
+    + ","
+    + ",".join(
+        _kcore_round_sql(f"e{i}", f"e{i + 1}", KCORE_K) for i in range(KCORE_ROUNDS)
+    )
+    + f"""
+    SELECT CAST(src AS BIGINT) AS node, CAST(COUNT(*) AS BIGINT) AS core_degree
+    FROM e{KCORE_ROUNDS} GROUP BY src ORDER BY node
+    """
+)
+
+
+@register("graph_kcore", _KCORE_ORACLE)
+def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G5: k-core decomposition (k=3, 8 synchronous peeling rounds)
+    over the trade graph — the densest-substructure filter behind
+    community mining, spam/bot subgraph isolation, and graph-sample
+    pruning: repeatedly drop nodes with degree < k until only the
+    mutually-dense core remains. The oracle unrolls the identical
+    simultaneous peel as chained CTEs; integer node ids and counts make
+    every round hash-exact across engines."""
+    return kcore_peel(trade_edges(spark, sf_dir)).orderBy("node")

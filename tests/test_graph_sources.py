@@ -149,3 +149,17 @@ def test_label_propagation_matches_exact_reference(spark, sf_dir):
     sizes = collections.Counter(labels.values())
     expected = sorted(((lbl, n) for lbl, n in sizes.items()), key=lambda t: (-t[1], t[0]))[:25]
     assert got == expected
+
+
+def test_kcore_converged_and_degrees_hold(spark, sf_dir):
+    """8 peeling rounds must reach the true k-core fixpoint on the
+    testdata (round 9 changes nothing), and every surviving node's
+    degree within the core is >= k."""
+    from realestate_engine.graph import KCORE_K, kcore_peel, trade_edges
+
+    edges = trade_edges(spark, sf_dir)
+    got8 = {(r["node"], r["core_degree"]) for r in kcore_peel(edges, n_rounds=8).collect()}
+    got9 = {(r["node"], r["core_degree"]) for r in kcore_peel(edges, n_rounds=9).collect()}
+    assert got8 == got9  # fixpoint reached within the bounded rounds
+    assert got8  # the 3-core is non-empty on the trade graph
+    assert all(d >= KCORE_K for _, d in got8)

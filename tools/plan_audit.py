@@ -88,6 +88,7 @@ ALLOWED_LOCAL = {
     "m12_feature_importances",  # returns k importances (model state)
     "dedup_clusters",  # iterative propagation localCheckpoints each round
     "dedup_clusters_twostar",  # two-star contraction localCheckpoints each phase
+    "graph_kcore",  # bounded-round peel localCheckpoints each round
     "dedup_canonical_selection",  # builds on dedup_clusters' checkpointed lineage
     "p11_train_test_split",  # returns O(1) split-audit scalars
     "p14_dense_reid",  # localCheckpoint pins partition ids for the offset ledger
