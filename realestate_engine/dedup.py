@@ -1010,3 +1010,91 @@ def dedup_minhash_incremental(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("new_id", "corpus_id")
     )
+
+
+_CONTAINMENT_DF_CAP = 100  # drop shingles shared by more docs than this
+_CONTAINMENT_NUM, _CONTAINMENT_DEN = 8, 10  # threshold 0.8 as exact ratio
+
+
+@register(
+    "dedup_containment",
+    rf"""
+    WITH wh AS (
+        SELECT doc_id,
+               LIST_TRANSFORM(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+'),
+                              w -> ('0x' || SUBSTR(MD5(w), 1, 8))::BIGINT) AS hs
+        FROM documents
+    ),
+    sh AS (
+        SELECT doc_id,
+               LIST_DISTINCT(LIST_TRANSFORM(
+                   RANGE(1, GREATEST(LEN(hs) - 1, 1)),
+                   i -> ((hs[i] * {_POLY} + hs[i+1]) % {_MINHASH_PRIME} * {_POLY} + hs[i+2]) % {_MINHASH_PRIME}
+               )) AS sh
+        FROM wh
+    ),
+    rel AS (SELECT doc_id, UNNEST(sh) AS h FROM sh),
+    df AS (SELECT h, COUNT(*) AS c FROM rel GROUP BY h),
+    rel2 AS (SELECT r.doc_id, r.h FROM rel r JOIN df USING (h) WHERE c <= {_CONTAINMENT_DF_CAP}),
+    sizes AS (SELECT doc_id, COUNT(*) AS sz FROM rel2 GROUP BY doc_id),
+    shared AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b, COUNT(*) AS n_shared
+        FROM rel2 a JOIN rel2 b ON a.h = b.h AND a.doc_id <> b.doc_id
+        GROUP BY 1, 2
+    )
+    SELECT s.id_a AS doc_id, s.id_b AS container_id,
+           CAST(s.n_shared AS BIGINT) AS n_shared,
+           CAST(z.sz AS BIGINT) AS n_shingles,
+           ROUND(CAST(s.n_shared AS DOUBLE) / z.sz, 6) AS containment
+    FROM shared s JOIN sizes z ON z.doc_id = s.id_a
+    WHERE s.n_shared * {_CONTAINMENT_DEN} >= {_CONTAINMENT_NUM} * z.sz
+    ORDER BY doc_id, container_id
+    """,
+)
+def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Directional CONTAINMENT near-dup: flag (doc, container) pairs
+    where >= 80% of doc's 3-gram shingles also appear in container —
+    the asymmetric relation resemblance-Jaccard misses (a quote, a
+    boilerplate block, or a full inclusion scores high containment but
+    low Jaccard when the container is much longer). This is the
+    standard detector for train/eval contamination by INCLUSION and
+    for superset-copy dedup.
+
+    Pipeline: shingle once (shared portable hash family), build the
+    inverted shingle->doc index, CAP each shingle's document frequency
+    (df <= 100 — hot boilerplate shingles would otherwise make the
+    index self-join quadratic in the hottest posting list; the cap is
+    applied identically in the oracle), self-join the capped index to
+    count shared shingles per ordered pair, and test the threshold as
+    exact cross-multiplied integers. Candidate volume scales with
+    capped posting-list occupancy — never all-pairs. One shuffle on
+    shingle hash + one on the pair key; both keys are integers."""
+    d = t(spark, sf_dir, "documents")
+    sh_rel = cache_once(hashed_shingle_df(d, "doc_id", "text"))
+    rel = sh_rel.select(F.col("id").alias("doc_id"), F.explode("sh").alias("h"))
+    hot = (
+        rel.groupBy("h")
+        .agg(F.count(F.lit(1)).alias("c"))
+        .filter(F.col("c") <= _CONTAINMENT_DF_CAP)
+        .select("h")
+    )
+    rel2 = rel.join(hot, "h", "left_semi")
+    sizes = rel2.groupBy("doc_id").agg(F.count(F.lit(1)).alias("sz"))
+    a, b = rel2.alias("a"), rel2.alias("b")
+    shared = (
+        a.join(b, (F.col("a.h") == F.col("b.h")) & (F.col("a.doc_id") != F.col("b.doc_id")))
+        .groupBy(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+        .agg(F.count(F.lit(1)).alias("n_shared"))
+    )
+    return (
+        shared.join(sizes.select(F.col("doc_id").alias("id_a"), "sz"), "id_a")
+        .filter(F.col("n_shared") * _CONTAINMENT_DEN >= _CONTAINMENT_NUM * F.col("sz"))
+        .select(
+            F.col("id_a").alias("doc_id"),
+            F.col("id_b").alias("container_id"),
+            F.col("n_shared").cast("bigint").alias("n_shared"),
+            F.col("sz").cast("bigint").alias("n_shingles"),
+            F.round(F.col("n_shared") / F.col("sz"), 6).alias("containment"),
+        )
+        .orderBy("doc_id", "container_id")
+    )
