@@ -1205,3 +1205,113 @@ def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("n_hits") > 0)
         .orderBy("doc_id")
     )
+
+
+_TEMP_MIX_N = 1000  # target mixture size (docs)
+_TEMP_MIX_SCALE = 1_000_000_000_000  # sqrt fixed-point scale (1e12)
+
+
+@register(
+    "corpus_temperature_mixture",
+    f"""
+    WITH counts AS (
+        SELECT source, CAST(COUNT(*) AS BIGINT) AS n FROM documents GROUP BY source
+    ),
+    w AS (
+        SELECT source, n,
+               CAST(FLOOR(SQRT(CAST(n * {_TEMP_MIX_SCALE} AS DOUBLE))) AS BIGINT) AS wgt
+        FROM counts
+    ),
+    tot AS (SELECT SUM(wgt) AS total_w FROM w),
+    appo AS (
+        SELECT source, n, wgt,
+               ({_TEMP_MIX_N} * wgt) // total_w AS floor_k,
+               ({_TEMP_MIX_N} * wgt) % total_w AS rem,
+               {_TEMP_MIX_N} - SUM(({_TEMP_MIX_N} * wgt) // total_w) OVER () AS leftover
+        FROM w, tot
+    ),
+    budgets AS (
+        SELECT source, n,
+               floor_k + CASE WHEN ROW_NUMBER() OVER (ORDER BY rem DESC, source) <= leftover
+                              THEN 1 ELSE 0 END AS k
+        FROM appo
+    ),
+    ranked AS (
+        SELECT d.doc_id, d.source, b.k,
+               ROW_NUMBER() OVER (PARTITION BY d.source
+                                  ORDER BY (d.doc_id * 2654435761) % 999999937, d.doc_id) AS rk
+        FROM documents d JOIN budgets b ON d.source = b.source
+    )
+    SELECT doc_id, source FROM ranked WHERE rk <= k ORDER BY doc_id
+    """,
+)
+def corpus_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T19: temperature-based mixture sampling (alpha = 0.5) — rebalance
+    a multi-source corpus by sampling source i proportionally to
+    sqrt(n_i) instead of n_i, the standard move that up-weights small
+    sources without flattening the mixture entirely. Budgets come from
+    exact integer apportionment: weights are FLOOR(SQRT(n * 1e12)) —
+    IEEE sqrt is correctly rounded, so the BIGINT weight is
+    deterministic cross-engine (n * 1e12 < 2^53 up to ~9000 docs per
+    source per... scale the constant at larger corpora) — then
+    largest-remainder over BIGINT quotients (the x15 idiom; double
+    division never enters the rank). Selection within each source is
+    the Knuth-hash order used by corpus_mixture_sample: deterministic,
+    composable, engine-portable. A source with n < k contributes all
+    its docs (the mixture under-fills rather than over-samples).
+
+    Scale: one count agg, a broadcast budgets dim, and one window
+    ranked per source — the window partitions on source, so skew
+    follows source sizes; at 100 TB swap the row_number for the
+    hash-threshold form (keep iff hash < k/n scaled), which is
+    map-only and avoids the per-source sort at the cost of ±binomial
+    noise around k."""
+    d = t(spark, sf_dir, "documents")
+    counts = d.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    w = counts.select(
+        "source",
+        "n",
+        F.floor(F.sqrt((F.col("n") * _TEMP_MIX_SCALE).cast("double"))).cast("bigint").alias("wgt"),
+    )
+    tot = w.agg(F.sum("wgt").alias("total_w"))
+    appo = w.crossJoin(F.broadcast(tot)).select(
+        "source",
+        "n",
+        F.expr(f"({_TEMP_MIX_N} * wgt) div total_w").alias("floor_k"),
+        F.expr(f"({_TEMP_MIX_N} * wgt) % total_w").alias("rem"),
+    )
+    # leftover + remainder rank over the k-sources frame WITHOUT an
+    # unpartitioned window (the engine-wide invariant: no WindowExec
+    # with "No Partition Defined", even on tiny frames): the total is a
+    # 1-row broadcast agg, the rank a broadcast non-equi self-join —
+    # k² of a ~|sources|-row frame (the f16/ledger idiom).
+    sum_floor = appo.agg(F.sum("floor_k").alias("sum_floor"))
+    o = appo.select(F.col("rem").alias("o_rem"), F.col("source").alias("o_source"))
+    rn_expr = F.sum(
+        F.when(
+            (F.col("o_rem") > F.col("rem"))
+            | ((F.col("o_rem") == F.col("rem")) & (F.col("o_source") <= F.col("source"))),
+            1,
+        ).otherwise(0)
+    )
+    budgets = (
+        appo.crossJoin(F.broadcast(o))
+        .groupBy("source", "floor_k", "rem")
+        .agg(rn_expr.alias("rn"))
+        .crossJoin(F.broadcast(sum_floor))
+        .select(
+            "source",
+            (F.col("floor_k")
+             + F.when(F.col("rn") <= _TEMP_MIX_N - F.col("sum_floor"), 1).otherwise(0)
+             ).alias("k"),
+        )
+    )
+    ranked = d.join(F.broadcast(budgets), "source").withColumn(
+        "rk",
+        F.row_number().over(
+            Window.partitionBy("source").orderBy(
+                (F.col("doc_id") * F.lit(2654435761)) % F.lit(999999937), "doc_id"
+            )
+        ),
+    )
+    return ranked.filter(F.col("rk") <= F.col("k")).select("doc_id", "source").orderBy("doc_id")

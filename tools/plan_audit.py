@@ -74,6 +74,7 @@ ALLOWED_CROSS = {
     "p14_dense_reid",  # prefix offsets over the 32-row pid ledger
     "f16_mom_growth",  # months-frame lag via broadcast max_by self-join
     "a34_weighted_median_prefix",  # prefix offsets ledger + 1-row total broadcast
+    "corpus_temperature_mixture",  # remainder-rank self-join over the |sources|-row budgets frame
 }
 # Local tables that are NOT data detours: explicit local-row sources,
 # fitted-model state (O(k) best params / importances), and
