@@ -1098,3 +1098,50 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id", "container_id")
     )
+
+
+@register(
+    "dedup_leakage_safe_split",
+    _CLUSTERS_CTES
+    + """,
+    universe AS (
+        SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id
+        WHERE d.n_chars <= 200
+    )
+    SELECT doc_id, CAST(cluster_id AS BIGINT) AS cluster_id,
+           CASE WHEN (cluster_id * 2654435761) % 10 < 8 THEN 'train' ELSE 'test' END AS split
+    FROM universe
+    ORDER BY doc_id
+    """,
+)
+def dedup_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Leakage-safe train/test split: assign splits by NEAR-DUP CLUSTER,
+    not by document — a naive per-doc split puts one copy of a
+    near-duplicate pair in train and the other in test, and the model
+    is then evaluated on (a paraphrase of) its own training data. Here
+    every doc inherits its connected-component cluster id
+    (dedup_clusters; singletons form their own cluster), and the
+    80/20 split hashes the CLUSTER id with the same composable Knuth
+    hash the mixture samplers use — so a whole duplicate family lands
+    on one side, deterministically, on any engine and at any corpus
+    subset. This is the contamination-control step between dedup and
+    dataset publication in an LLM data pipeline.
+
+    Scale: clustering is the dominant cost (see dedup_clusters); the
+    split itself is a broadcast-joinable map of cluster ids — one hash
+    per row, no extra shuffle beyond the cluster join."""
+    d = t(spark, sf_dir, "documents").filter(F.col("n_chars") <= 200)
+    clusters = dedup_clusters(spark, sf_dir)  # doc_id, cluster_id (paired docs only)
+    universe = (
+        d.select("doc_id")
+        .join(clusters, "doc_id", "left")
+        .select("doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id"))
+    )
+    return universe.select(
+        "doc_id",
+        F.col("cluster_id").cast("bigint").alias("cluster_id"),
+        F.when((F.col("cluster_id") * F.lit(2654435761)) % 10 < 8, "train")
+        .otherwise("test")
+        .alias("split"),
+    ).orderBy("doc_id")

@@ -199,3 +199,24 @@ def test_incremental_minhash_equals_cross_split_full_lsh(spark, sf_dir):
         if (r.id_a % 10 == 0) != (r.id_b % 10 == 0)
     }
     assert inc == full and inc
+
+
+def test_leakage_safe_split_never_splits_a_cluster(spark, sf_dir):
+    """No near-dup cluster may straddle train and test, every eligible
+    doc is assigned exactly once, and both splits are non-empty at
+    sf0.001's duplicate density."""
+    from realestate_engine.registry import QUERIES
+
+    rows = QUERIES["dedup_leakage_safe_split"](spark, sf_dir).collect()
+    n_docs = (
+        spark.read.parquet(f"{sf_dir}/documents.parquet")
+        .where("n_chars <= 200")
+        .count()
+    )
+    assert len(rows) == n_docs
+    per_cluster = {}
+    for r in rows:
+        per_cluster.setdefault(r["cluster_id"], set()).add(r["split"])
+    assert all(len(s) == 1 for s in per_cluster.values())
+    splits = {r["split"] for r in rows}
+    assert splits == {"train", "test"}

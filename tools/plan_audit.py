@@ -91,6 +91,7 @@ ALLOWED_LOCAL = {
     "dedup_clusters_twostar",  # two-star contraction localCheckpoints each phase
     "graph_kcore",  # bounded-round peel localCheckpoints each round
     "dedup_canonical_selection",  # builds on dedup_clusters' checkpointed lineage
+    "dedup_leakage_safe_split",  # builds on dedup_clusters' checkpointed lineage
     "p11_train_test_split",  # returns O(1) split-audit scalars
     "p14_dense_reid",  # localCheckpoint pins partition ids for the offset ledger
     "text_bpe_merge_rounds",  # returns O(rounds) learned merges (model state)
