@@ -419,3 +419,73 @@ def stateful_sessions_event_timeout(events: DataFrame, gap_minutes: int = 30) ->
             timeoutConf=GroupStateTimeout.EventTimeTimeout,
         )
     )
+
+
+@register(
+    "st_stream_stream_join",
+    """
+    SELECT p.event_id AS purchase_id, c.event_id AS click_id,
+           p.user_id
+    FROM events p JOIN events c
+      ON c.user_id = p.user_id
+     AND c.ts > p.ts - INTERVAL 1 HOUR
+     AND c.ts <= p.ts
+    WHERE p.event_type = 'purchase' AND c.event_type = 'click'
+    ORDER BY purchase_id, click_id
+    """,
+)
+def st_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST6 as a driver-checked query: an ACTUAL stream-stream inner
+    join run — clicks and purchases as two parquet file streams, the
+    time-bounded join condition (click within the hour before the
+    purchase) bounding both buffers, availableNow trigger, memory sink
+    — compared against the batch inner join the oracle states. Inner
+    stream-stream joins emit matches as both sides arrive (the
+    watermark exists to GC state, not to gate emission), so the
+    availableNow run must produce EXACTLY the batch result — this
+    equality, checked by value hash, is the streaming-vs-batch parity
+    contract for joins. State per key is bounded by watermark + window
+    (2h + 1h of events), the property that lets a 100 TB/day
+    stream-stream join run indefinitely."""
+    import shutil
+
+    ev = t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    clicks_src = stable_tmp("st6_clicks")
+    purchases_src = stable_tmp("st6_purchases")
+    ev.where(F.col("event_type") == "click").drop("event_type").write.mode(
+        "overwrite"
+    ).parquet(clicks_src)
+    ev.where(F.col("event_type") == "purchase").drop("event_type").write.mode(
+        "overwrite"
+    ).parquet(purchases_src)
+    ckpt = stable_tmp("st6_ckpt")
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    schema = ev.drop("event_type").schema
+    joined = stream_stream_click_purchase_join(
+        streamify(spark, clicks_src, schema), streamify(spark, purchases_src, schema)
+    )
+    key = "spark.sql.shuffle.partitions"
+    old_parts = spark.conf.get(key)
+    try:
+        spark.conf.set(key, str(spark.sparkContext.defaultParallelism))
+        q = (
+            joined.writeStream.format("memory")
+            .queryName("re_st6_pairs")
+            .outputMode("append")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set(key, old_parts)
+    return (
+        spark.table("re_st6_pairs")
+        .select(
+            F.col("p_id").alias("purchase_id"),
+            F.col("c_id").alias("click_id"),
+            F.col("p_user").alias("user_id"),
+        )
+        .orderBy("purchase_id", "click_id")
+    )

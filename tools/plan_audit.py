@@ -82,6 +82,7 @@ ALLOWED_CROSS = {
 ALLOWED_LOCAL = {
     "s4_local_rows",
     "st_stateful_running_totals",  # memory-sink rows of the real streaming run (O(|users|) state)
+    "st_stream_stream_join",  # memory-sink rows of the real stream-stream join run
     "corpus_mixture_sample",  # 5-row VALUES mixture-rate config dim (broadcast)
     "j4_null_safe_join",  # 3-row local status-decode dim (broadcast side)
     "sim_ivf_kmeans_topk",
