@@ -489,3 +489,85 @@ def st_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("purchase_id", "click_id")
     )
+
+
+@register(
+    "st_foreachbatch_upsert_sink",
+    """
+    SELECT user_id, event_id AS last_event_id, ts AS last_ts,
+           CAST(ROUND(value * 100) AS BIGINT) AS last_value_cents
+    FROM events
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts DESC, event_id DESC) = 1
+    ORDER BY user_id
+    """,
+)
+def st_foreachbatch_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST4 as a driver-checked query: the foreachBatch UPSERT sink —
+    the pattern every production stream that maintains a keyed TABLE
+    (not an append log) uses: per micro-batch, merge the batch into
+    the materialized state keeping the newest row per key, write
+    atomically, repeat. Here the merge is read-state ∪ batch →
+    keep-latest window → overwrite (the parquet form of MERGE INTO;
+    on a lakehouse table the same callback issues a real MERGE).
+    After availableNow drains the source, the state table must equal
+    the batch keep-latest query the oracle states — upsert⁻-fold
+    equals final-wins, regardless of how the source was sliced into
+    batches, BECAUSE the merge is associative on (ts, event_id) order.
+    Batch ids are checkpoint-tracked, so a restart re-applies an
+    in-flight batch idempotently (same keys, same newest rows)."""
+    import shutil
+
+    from pyspark.sql.window import Window
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        F.round(F.col("value") * 100).cast("bigint").alias("value_cents"),
+    )
+    src = stable_tmp("st4_events")
+    ev.write.mode("overwrite").parquet(src)
+    state_dir = stable_tmp("st4_state")
+    shutil.rmtree(state_dir, ignore_errors=True)
+    ckpt = stable_tmp("st4_ckpt")
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
+
+    def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        s = batch_df.sparkSession
+        try:
+            current = s.read.parquet(state_dir)
+        except Exception:  # first batch: no state yet
+            current = None
+        merged = batch_df if current is None else current.unionByName(batch_df)
+        latest = (
+            merged.withColumn("rn", F.row_number().over(w))
+            .filter(F.col("rn") == 1)
+            .drop("rn")
+        )
+        # materialize BEFORE overwrite: the plan reads the same dir it
+        # replaces
+        out = latest.cache()
+        out.count()
+        out.write.mode("overwrite").parquet(state_dir)
+        out.unpersist()
+
+    q = (
+        streamify(spark, src, ev.schema)
+        .writeStream.foreachBatch(merge_batch)
+        .option("checkpointLocation", ckpt)
+        .trigger(availableNow=True)
+        .start()
+    )
+    q.awaitTermination()
+    return (
+        spark.read.parquet(state_dir)
+        .select(
+            "user_id",
+            F.col("event_id").alias("last_event_id"),
+            F.col("ts").alias("last_ts"),
+            F.col("value_cents").alias("last_value_cents"),
+        )
+        .orderBy("user_id")
+    )
