@@ -997,3 +997,82 @@ def a33_runs_test(spark: SparkSession, sf_dir: str) -> DataFrame:
              / SQRT(2.0 * n1 * n2 * (2.0 * n1 * n2 - n1 - n2)
                     / ((CAST(n1 + n2 AS DOUBLE)) * (n1 + n2) * (n1 + n2 - 1))), 6) AS z_score""",
     )
+
+
+@register(
+    "dq9_referential_integrity",
+    """
+    SELECT 'lineitem.l_orderkey -> orders' AS fk,
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS BIGINT) AS n_orphans
+    UNION ALL
+    SELECT 'lineitem.l_partkey -> part',
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM part p WHERE p.p_partkey = l.l_partkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem.l_suppkey -> supplier',
+           CAST((SELECT COUNT(*) FROM lineitem l
+                 WHERE NOT EXISTS (SELECT 1 FROM supplier s WHERE s.s_suppkey = l.l_suppkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'orders.o_custkey -> customer',
+           CAST((SELECT COUNT(*) FROM orders o
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = o.o_custkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'customer.c_nationkey -> nation',
+           CAST((SELECT COUNT(*) FROM customer c
+                 WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = c.c_nationkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'supplier.s_nationkey -> nation',
+           CAST((SELECT COUNT(*) FROM supplier s
+                 WHERE NOT EXISTS (SELECT 1 FROM nation n WHERE n.n_nationkey = s.s_nationkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'nation.n_regionkey -> region',
+           CAST((SELECT COUNT(*) FROM nation n
+                 WHERE NOT EXISTS (SELECT 1 FROM region r WHERE r.r_regionkey = n.n_regionkey)) AS BIGINT)
+    UNION ALL
+    SELECT 'events.user_id -> customer',
+           CAST((SELECT COUNT(*) FROM events e
+                 WHERE NOT EXISTS (SELECT 1 FROM customer c WHERE c.c_custkey = e.user_id)) AS BIGINT)
+    ORDER BY fk
+    """,
+)
+def dq9_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ9: whole-schema referential-integrity sweep — one query that
+    anti-joins every declared FK edge of the star schema and reports
+    orphan counts per edge (the audit a warehouse runs after every
+    load; a non-zero row is a broken pipeline, not a data fact). Each
+    leg is an anti join against the parent's key — Spark broadcasts
+    the small parents and shuffle-joins the big ones, every leg
+    partial-aggregates to ONE row before the 8-row union, so the sweep
+    costs one pass over each child table regardless of scale. events →
+    customer is intentionally included: user_id is only a SOFT
+    reference, so its orphan count documents the real referential
+    status of the event stream rather than assuming it."""
+    edges = [
+        ("lineitem.l_orderkey -> orders", "lineitem", "l_orderkey", "orders", "o_orderkey"),
+        ("lineitem.l_partkey -> part", "lineitem", "l_partkey", "part", "p_partkey"),
+        ("lineitem.l_suppkey -> supplier", "lineitem", "l_suppkey", "supplier", "s_suppkey"),
+        ("orders.o_custkey -> customer", "orders", "o_custkey", "customer", "c_custkey"),
+        ("customer.c_nationkey -> nation", "customer", "c_nationkey", "nation", "n_nationkey"),
+        ("supplier.s_nationkey -> nation", "supplier", "s_nationkey", "nation", "n_nationkey"),
+        ("nation.n_regionkey -> region", "nation", "n_regionkey", "region", "r_regionkey"),
+        ("events.user_id -> customer", "events", "user_id", "customer", "c_custkey"),
+    ]
+    parts = []
+    for fk, child, ck, parent, pk in edges:
+        orphans = (
+            t(spark, sf_dir, child)
+            .select(F.col(ck).alias("k"))
+            .join(
+                t(spark, sf_dir, parent).select(F.col(pk).alias("k")),
+                "k",
+                "left_anti",
+            )
+            .agg(F.count(F.lit(1)).cast("bigint").alias("n_orphans"))
+            .select(F.lit(fk).alias("fk"), "n_orphans")
+        )
+        parts.append(orphans)
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("fk")
