@@ -25,12 +25,15 @@ registry.load_all()
 # window ROTATES each round to accumulate driver-verified coverage:
 # round 3 verified the per-family representatives (all green, see
 # CORRECTNESS_r03.json); round 4 leads with the queries whose oracles
-# or plans are NEW this round (minhash/simhash/LSH-ANN upgraded from
-# rows-only to full oracles; dq8/m23 and the tiny-frame windows rebuilt
-# on distributed_prefix_sum / broadcast-join prefix sums) and fills the
-# rest with oracle-checked queries no driver round has seen yet —
-# 48 of 50 entries are new vs r03. The remaining queries follow in
-# registration order.
+# or plans are NEW this round (minhash/simhash/LSH-ANN/packing/aHash/
+# scene-cut upgraded from rows-only to full oracles; dq8/m23 and the
+# tiny-frame windows rebuilt on prefix sums; the brand-new k-core,
+# containment, temperature-mixture, leakage-safe-split, stream-stream
+# join, foreachBatch-upsert and referential-integrity operators) and
+# fills the rest with oracle-checked queries no driver round has seen
+# yet — 48 of 50 entries are new vs r03. The remaining queries follow
+# in registration order. TPC-H q2/q8/q13/q15/q17/q22 and x11 rotate
+# into round 5's window (all green in the local full sweep).
 _WINDOW = [
     "flagship_revenue_by_nation",
     # upgraded rows-only -> full oracle this round (portable hash family)
@@ -45,13 +48,13 @@ _WINDOW = [
     "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
     "tpch_q5_region_revenue", "tpch_q7_nation_volume",
     "tpch_q9_product_profit", "tpch_q18_large_orders",
-    "tpch_q21_waiting_supplier", "tpch_q2_min_cost_supplier",
-    "tpch_q8_market_share", "tpch_q13_customer_distribution",
-    "tpch_q15_top_supplier", "tpch_q17_small_quantity_revenue",
-    "tpch_q22_sales_opportunity",
+    "tpch_q21_waiting_supplier",
     # upgraded rows-only -> full oracle / brand-new this round
     "pack_documents_greedy", "mm_ahash_neardup", "mm_scene_cut",
     "st_stateful_running_totals", "s24_bucketed_join_no_shuffle",
+    "graph_kcore", "dedup_containment", "corpus_temperature_mixture",
+    "dedup_leakage_safe_split", "st_stream_stream_join",
+    "st_foreachbatch_upsert_sink", "dq9_referential_integrity",
     # never driver-verified: dedup / text / similarity north-star
     "dedup_ngram_jaccard", "dedup_embedding_cosine", "dedup_clusters",
     "text_token_count", "text_quality_score", "text_langid",
@@ -59,7 +62,7 @@ _WINDOW = [
     # never driver-verified: streaming / temporal / graph / windows
     "st_sliding_window", "st_session_window", "st_watermark_dedup",
     "range_join_clicks_before_purchase", "graph_pagerank_trade",
-    "graph_triangle_count", "scd2_intervals", "x11_point_in_time_features",
+    "graph_triangle_count", "scd2_intervals",
 ]
 
 
