@@ -16,6 +16,7 @@ import tempfile
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
+from pyspark.sql.window import Window
 
 from realestate_engine.ordered import exclusive_prefix_offsets
 from realestate_engine.dedup import cache_once
@@ -2942,4 +2943,43 @@ def s24_bucketed_join_no_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("revenue_cents"),
         )
         .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "w5_distribution_ranks",
+    """
+    SELECT c_custkey, c_nationkey,
+           CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_cents,
+           CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
+           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
+           ROUND(CUME_DIST() OVER w, 6) AS cume
+    FROM customer
+    WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
+    ORDER BY c_custkey
+    """,
+)
+def w5_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """W5: distribution-rank window functions — ntile (equal-count
+    buckets), percent_rank ((rank-1)/(n-1)) and cume_dist (fraction of
+    peers at-or-below) per nation over account balance. These are the
+    ranking functions a16/a23's histogram queries approximate
+    globally, here in their windowed per-group form (customer scoring,
+    per-segment percentile features). The order key carries a
+    c_custkey tiebreak so every rank is total and deterministic; the
+    two fractional ranks divide exact integers, so rounding to 6
+    decimals is engine-stable. One shuffle on the partition key,
+    group-size-bounded state — the standard scalable window."""
+    w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
+    return (
+        t(spark, sf_dir, "customer")
+        .select(
+            "c_custkey",
+            "c_nationkey",
+            F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal_cents"),
+            F.ntile(4).over(w).cast("int").alias("quartile"),
+            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
+            F.round(F.cume_dist().over(w), 6).alias("cume"),
+        )
+        .orderBy("c_custkey")
     )
