@@ -2983,3 +2983,76 @@ def w5_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("c_custkey")
     )
+
+
+@register(
+    "a35_ordered_string_agg",
+    """
+    SELECT r_name,
+           STRING_AGG(n_name, ',' ORDER BY n_name) AS nations,
+           CAST(COUNT(*) AS BIGINT) AS n_nations
+    FROM nation JOIN region ON r_regionkey = n_regionkey
+    GROUP BY r_name
+    ORDER BY r_name
+    """,
+)
+def a35_ordered_string_agg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A35: ordered string aggregation (LISTAGG/STRING_AGG) — the
+    report-building aggregate that concatenates group members in a
+    DEFINED order. Spark's collect_list gives partition-dependent
+    order, so the deterministic form is collect_list → sort_array →
+    concat_ws (same trick j7's top-3 uses for arrays); without the
+    sort the result is nondeterministic and no oracle could check it.
+    Per group the state is the member list — fine for enumeration
+    groups (here |nations| per region); unbounded groups should
+    aggregate, not concatenate."""
+    n = t(spark, sf_dir, "nation")
+    r = t(spark, sf_dir, "region")
+    return (
+        n.join(F.broadcast(r), n.n_regionkey == r.r_regionkey)
+        .groupBy("r_name")
+        .agg(
+            F.concat_ws(",", F.sort_array(F.collect_list("n_name"))).alias("nations"),
+            F.count(F.lit(1)).cast("bigint").alias("n_nations"),
+        )
+        .orderBy("r_name")
+    )
+
+
+@register(
+    "a36_covariance_aggregates",
+    """
+    SELECT l_returnflag,
+           ROUND(COVAR_POP(l_quantity, l_extendedprice), 4) AS covar_pop_qp,
+           ROUND(COVAR_SAMP(l_quantity, l_extendedprice), 4) AS covar_samp_qp,
+           ROUND(STDDEV_POP(l_quantity), 6) AS sd_pop_q,
+           ROUND(STDDEV_SAMP(l_quantity), 6) AS sd_samp_q,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY l_returnflag
+    ORDER BY l_returnflag
+    """,
+)
+def a36_covariance_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A36: covariance + stddev aggregate family (covar_pop/covar_samp,
+    stddev_pop/stddev_samp) per return flag — the second-moment
+    statistics behind feature scaling and portfolio-style analytics,
+    computed distributed with map-side partial moments (Spark's
+    declarative aggregate maintains (n, mean, M2/co-moment) per
+    partition and merges — the Welford/Chan parallel form). Rounded to
+    4-6 decimals on both engines: the merge order differs between
+    engines, so the last ulps of the double moments may too; rounding
+    at well-separated magnitudes makes the comparison engine-stable
+    (a8's corr discipline)."""
+    li = t(spark, sf_dir, "lineitem")
+    return (
+        li.groupBy("l_returnflag")
+        .agg(
+            F.round(F.covar_pop("l_quantity", "l_extendedprice"), 4).alias("covar_pop_qp"),
+            F.round(F.covar_samp("l_quantity", "l_extendedprice"), 4).alias("covar_samp_qp"),
+            F.round(F.stddev_pop("l_quantity"), 6).alias("sd_pop_q"),
+            F.round(F.stddev_samp("l_quantity"), 6).alias("sd_samp_q"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+        .orderBy("l_returnflag")
+    )
