@@ -1145,3 +1145,85 @@ def dedup_leakage_safe_split(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise("test")
         .alias("split"),
     ).orderBy("doc_id")
+
+
+@register(
+    "dedup_pipeline_summary",
+    _CLUSTERS_CTES
+    + r""",
+    toks AS (
+        SELECT doc_id,
+               CAST(LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+')) AS BIGINT) AS n_tokens
+        FROM documents WHERE n_chars <= 200
+    ),
+    member AS (
+        SELECT c.doc_id, c.cluster_id, t.n_tokens
+        FROM clusters c JOIN toks t ON c.doc_id = t.doc_id
+    ),
+    canon AS (
+        SELECT cluster_id,
+               FIRST(doc_id ORDER BY n_tokens DESC, doc_id DESC) AS canonical_doc_id
+        FROM member GROUP BY cluster_id
+    ),
+    universe AS (
+        SELECT d.doc_id, COALESCE(c.cluster_id, d.doc_id) AS cluster_id
+        FROM documents d LEFT JOIN clusters c ON c.doc_id = d.doc_id
+        WHERE d.n_chars <= 200
+    )
+    SELECT
+        CAST((SELECT COUNT(*) FROM toks) AS BIGINT) AS n_docs,
+        CAST((SELECT COUNT(*) FROM pairs) AS BIGINT) AS n_dup_pairs,
+        CAST((SELECT COUNT(DISTINCT cluster_id) FROM clusters) AS BIGINT) AS n_dup_clusters,
+        CAST((SELECT COUNT(*) FROM member m JOIN canon c ON m.cluster_id = c.cluster_id
+              WHERE m.doc_id <> c.canonical_doc_id) AS BIGINT) AS n_dropped,
+        CAST((SELECT COUNT(*) FROM universe
+              WHERE (cluster_id * 2654435761) % 10 < 8) AS BIGINT) AS n_train,
+        CAST((SELECT COUNT(*) FROM universe
+              WHERE (cluster_id * 2654435761) % 10 >= 8) AS BIGINT) AS n_test
+    """,
+)
+def dedup_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """The dedup pipeline END TO END in one audited row: corpus size →
+    near-dup pairs (>= 0.5 word-set Jaccard) → connected-component
+    clusters → non-canonical drop count → leakage-safe 80/20 split
+    sizes. This is the summary a data-curation run publishes alongside
+    the cleaned corpus; every number is the exact aggregate of a stage
+    that is ALSO individually oracle-checked (dedup_clusters,
+    dedup_canonical_selection, dedup_leakage_safe_split), so the
+    composition proves the stages agree with each other, not just each
+    with its own oracle. All stages reuse one clustering pass; the
+    six counts are O(1) aggregates of node-sized frames."""
+    d = t(spark, sf_dir, "documents").filter(F.col("n_chars") <= 200)
+    canon = dedup_canonical_selection(spark, sf_dir)  # doc_id, cluster_id, size, keep
+    split = dedup_leakage_safe_split(spark, sf_dir)  # doc_id, cluster_id, split
+    # pairs count: same >= 0.5 jaccard edge set the clusters are built on
+    words = F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+    sh = d.select("doc_id", "lang", "source", words.alias("sh"))
+    a, b = sh.alias("a"), sh.alias("b")
+    jac = F.size(F.array_intersect("a.sh", "b.sh")).cast("double") / F.size(
+        F.array_union("a.sh", "b.sh")
+    )
+    n_pairs = (
+        a.join(
+            b,
+            (F.col("a.lang") == F.col("b.lang"))
+            & (F.col("a.source") == F.col("b.source"))
+            & (F.col("a.doc_id") < F.col("b.doc_id")),
+        )
+        .filter(jac >= 0.5)
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_dup_pairs"))
+    )
+    n_docs = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+    canon_stats = canon.agg(
+        F.count_distinct("cluster_id").cast("bigint").alias("n_dup_clusters"),
+        F.sum(F.when(~F.col("keep"), 1).otherwise(0)).cast("bigint").alias("n_dropped"),
+    )
+    split_stats = split.agg(
+        F.sum(F.when(F.col("split") == "train", 1).otherwise(0)).cast("bigint").alias("n_train"),
+        F.sum(F.when(F.col("split") == "test", 1).otherwise(0)).cast("bigint").alias("n_test"),
+    )
+    return (
+        n_docs.crossJoin(F.broadcast(n_pairs))
+        .crossJoin(F.broadcast(canon_stats))
+        .crossJoin(F.broadcast(split_stats))
+    )

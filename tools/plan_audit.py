@@ -74,6 +74,7 @@ ALLOWED_CROSS = {
     "p14_dense_reid",  # prefix offsets over the 32-row pid ledger
     "f16_mom_growth",  # months-frame lag via broadcast max_by self-join
     "a34_weighted_median_prefix",  # prefix offsets ledger + 1-row total broadcast
+    "dedup_pipeline_summary",  # cross join of four 1-row stage-stat aggregates
     "corpus_temperature_mixture",  # remainder-rank self-join over the |sources|-row budgets frame
 }
 # Local tables that are NOT data detours: explicit local-row sources,
@@ -93,6 +94,7 @@ ALLOWED_LOCAL = {
     "graph_kcore",  # bounded-round peel localCheckpoints each round
     "dedup_canonical_selection",  # builds on dedup_clusters' checkpointed lineage
     "dedup_leakage_safe_split",  # builds on dedup_clusters' checkpointed lineage
+    "dedup_pipeline_summary",  # checkpointed clustering lineage; joins four 1-row stat frames
     "p11_train_test_split",  # returns O(1) split-audit scalars
     "p14_dense_reid",  # localCheckpoint pins partition ids for the offset ledger
     "text_bpe_merge_rounds",  # returns O(rounds) learned merges (model state)
