@@ -3056,3 +3056,51 @@ def a36_covariance_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_returnflag")
     )
+
+
+@register(
+    "a37_entropy_profile",
+    """
+    WITH counts AS (
+        SELECT source, lang, CAST(COUNT(*) AS BIGINT) AS n
+        FROM documents GROUP BY source, lang
+    ),
+    tot AS (SELECT source, SUM(n) AS n_src FROM counts GROUP BY source)
+    SELECT c.source,
+           CAST(t.n_src AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_langs,
+           ROUND(SUM(-(CAST(c.n AS DOUBLE) / t.n_src) * LN(CAST(c.n AS DOUBLE) / t.n_src)), 6) AS lang_entropy_nats
+    FROM counts c JOIN tot t ON c.source = t.source
+    GROUP BY c.source, t.n_src
+    ORDER BY c.source
+    """,
+)
+def a37_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A37: Shannon entropy of the language mix per source — the
+    diversity/drift statistic data-quality monitors track (a sudden
+    entropy drop means one language is flooding a source). Two
+    hash-aggregates: (source, lang) counts, then the entropy fold per
+    source — both partial-aggregated, output bounded by
+    |sources|x|langs|. The p*ln(p) terms are doubles; summands are
+    per-(source,lang) EXACT ratios of BIGINTs, the per-source sum has
+    ≤|langs| terms, and rounding to 6 decimals absorbs the one-ulp ln
+    differences between libm implementations (the a8/a36 discipline)."""
+    d = t(spark, sf_dir, "documents")
+    counts = d.groupBy("source", "lang").agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    tot = counts.groupBy("source").agg(F.sum("n").alias("n_src"))
+    p = F.col("n").cast("double") / F.col("n_src")
+    return (
+        counts.join(tot, "source")
+        .groupBy("source", "n_src")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_langs"),
+            F.round(F.sum(-p * F.log(p)), 6).alias("lang_entropy_nats"),
+        )
+        .select(
+            "source",
+            F.col("n_src").cast("bigint").alias("n_docs"),
+            "n_langs",
+            "lang_entropy_nats",
+        )
+        .orderBy("source")
+    )
