@@ -544,3 +544,121 @@ def sim_norms_arrow(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     e = t(spark, sf_dir, "embeddings").select("vec_id", "embedding")
     return e.mapInArrow(norms, "vec_id long, l2_micro long, dim long").orderBy("vec_id")
+
+
+_RRF_K = 60
+_RRF_TOPN = 50
+
+
+@register(
+    "sim_reciprocal_rank_fusion",
+    rf"""
+    WITH q AS (
+        SELECT LIST_DISTINCT(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+')) AS qwords,
+               LIST_DISTINCT(LIST_TRANSFORM(
+                   RANGE(1, GREATEST(LEN(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+')), 1)),
+                   i -> STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+')[i] || ' ' ||
+                        STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+')[i+1]
+               )) AS qbigrams
+        FROM documents WHERE doc_id = 0
+    ),
+    scored AS (
+        SELECT d.doc_id,
+               CAST(LEN(LIST_INTERSECT(
+                   LIST_DISTINCT(STRING_SPLIT_REGEX(LOWER(TRIM(d.text)), '\s+')), q.qwords
+               )) AS BIGINT) AS shared_words,
+               CAST(LEN(LIST_INTERSECT(
+                   LIST_DISTINCT(LIST_TRANSFORM(
+                       RANGE(1, GREATEST(LEN(STRING_SPLIT_REGEX(LOWER(TRIM(d.text)), '\s+')), 1)),
+                       i -> STRING_SPLIT_REGEX(LOWER(TRIM(d.text)), '\s+')[i] || ' ' ||
+                            STRING_SPLIT_REGEX(LOWER(TRIM(d.text)), '\s+')[i+1]
+                   )),
+                   q.qbigrams
+               )) AS BIGINT) AS shared_bigrams
+        FROM documents d, q
+        WHERE d.doc_id <> 0
+    ),
+    top_a AS (
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY shared_words DESC, doc_id) AS rnk
+        FROM scored QUALIFY rnk <= {_RRF_TOPN}
+    ),
+    top_b AS (
+        SELECT doc_id, ROW_NUMBER() OVER (ORDER BY shared_bigrams DESC, doc_id) AS rnk
+        FROM scored QUALIFY rnk <= {_RRF_TOPN}
+    ),
+    fused AS (
+        SELECT doc_id, SUM(1.0 / ({_RRF_K} + rnk)) AS rrf
+        FROM (SELECT * FROM top_a UNION ALL SELECT * FROM top_b)
+        GROUP BY doc_id
+    )
+    SELECT doc_id, ROUND(rrf, 6) AS rrf_score
+    FROM fused
+    ORDER BY rrf_score DESC, doc_id
+    LIMIT 20
+    """,
+)
+def sim_reciprocal_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hybrid retrieval via RECIPROCAL RANK FUSION — the standard way a
+    RAG stack merges rankings from heterogeneous retrievers (lexical +
+    semantic) without calibrating their incomparable scores: each
+    retriever contributes 1/(k + rank), k=60. Here the two retrievers
+    are integer-exact relevance signals against the probe document
+    (shared distinct words; shared distinct word bigrams), so every
+    rank — and therefore the fused score — is deterministic
+    cross-engine; a float-scored retriever would rank-flip on ulp ties.
+
+    Scale shape: the probe's word/bigram sets are a 1-row broadcast;
+    per-doc overlap counts are map-side array intersections; each
+    retriever's top-N comes from TakeOrdered (never a global sort);
+    and the rank assignment within the N-row candidate frame is the
+    broadcast rank-join idiom, not an unpartitioned window. Fusion
+    itself is one tiny groupBy over <= 2N rows."""
+    d = t(spark, sf_dir, "documents")
+    words = F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
+    w2 = F.split(F.lower(F.trim(F.col("text"))), r"\s+")
+    bigrams = F.array_distinct(
+        F.filter(
+            F.zip_with(w2, F.slice(w2, 2, F.size(w2)), lambda a, b: F.concat(a, F.lit(" "), b)),
+            lambda x: x.isNotNull(),
+        )
+    )
+    probe = d.filter(F.col("doc_id") == 0).select(
+        words.alias("qwords"), bigrams.alias("qbigrams")
+    )
+    scored = (
+        d.filter(F.col("doc_id") != 0)
+        .select("doc_id", words.alias("w"), bigrams.alias("b"))
+        .crossJoin(F.broadcast(probe))
+        .select(
+            "doc_id",
+            F.size(F.array_intersect("w", "qwords")).cast("bigint").alias("shared_words"),
+            F.size(F.array_intersect("b", "qbigrams")).cast("bigint").alias("shared_bigrams"),
+        )
+    )
+
+    def topn_ranked(col: str) -> DataFrame:
+        # TakeOrdered to the N-row candidate frame, then ranks via the
+        # broadcast self-join idiom (no unpartitioned window)
+        cand = scored.select("doc_id", col).orderBy(F.col(col).desc(), "doc_id").limit(_RRF_TOPN)
+        o = cand.select(F.col("doc_id").alias("o_id"), F.col(col).alias("o_v"))
+        rnk = F.sum(
+            F.when(
+                (F.col("o_v") > F.col(col))
+                | ((F.col("o_v") == F.col(col)) & (F.col("o_id") <= F.col("doc_id"))),
+                1,
+            ).otherwise(0)
+        )
+        return (
+            cand.crossJoin(F.broadcast(o))
+            .groupBy("doc_id", col)
+            .agg(rnk.alias("rnk"))
+            .select("doc_id", "rnk")
+        )
+
+    fused = (
+        topn_ranked("shared_words")
+        .unionByName(topn_ranked("shared_bigrams"))
+        .groupBy("doc_id")
+        .agg(F.round(F.sum(1.0 / (_RRF_K + F.col("rnk"))), 6).alias("rrf_score"))
+    )
+    return fused.orderBy(F.col("rrf_score").desc(), "doc_id").limit(20)
