@@ -1315,3 +1315,45 @@ def corpus_temperature_mixture(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
     )
     return ranked.filter(F.col("rk") <= F.col("k")).select("doc_id", "source").orderBy("doc_id")
+
+
+@register(
+    "corpus_global_shuffle",
+    """
+    WITH keyed AS (
+        SELECT doc_id,
+               (doc_id * 2654435761) % 999999937 AS shuffle_key,
+               CAST((doc_id * 1000003) % 8 AS BIGINT) AS shard
+        FROM documents
+    )
+    SELECT doc_id, shard,
+           CAST(ROW_NUMBER() OVER (PARTITION BY shard ORDER BY shuffle_key, doc_id) AS BIGINT) AS position
+    FROM keyed
+    ORDER BY doc_id
+    """,
+)
+def corpus_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T20: deterministic global shuffle for training — the step that
+    turns a sorted/clustered corpus into i.i.d.-looking training order
+    WITHOUT RNG state: shard = hash1(doc_id) mod n_shards, position
+    within shard = rank of hash2(doc_id). Reproducible across reruns,
+    engines and cluster sizes (the property rand()-based shuffles
+    lack), and composable: a re-shuffle after appending documents
+    leaves existing (shard, relative-order) pairs stable except where
+    new keys interleave. Plan: one narrow map for the two hashes, one
+    shuffle on shard, per-shard ranking windows bounded by corpus/8 —
+    at 100 TB raise n_shards so each shard's sort fits an executor
+    (position within shard is what training dataloaders consume;
+    no global total order is ever materialized)."""
+    d = t(spark, sf_dir, "documents")
+    keyed = d.select(
+        "doc_id",
+        ((F.col("doc_id") * F.lit(2654435761)) % F.lit(999999937)).alias("shuffle_key"),
+        ((F.col("doc_id") * F.lit(1000003)) % 8).cast("bigint").alias("shard"),
+    )
+    w = Window.partitionBy("shard").orderBy("shuffle_key", "doc_id")
+    return (
+        keyed.withColumn("position", F.row_number().over(w).cast("bigint"))
+        .select("doc_id", "shard", "position")
+        .orderBy("doc_id")
+    )
