@@ -2952,8 +2952,8 @@ def s24_bucketed_join_no_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
     SELECT c_custkey, c_nationkey,
            CAST(ROUND(c_acctbal * 100) AS BIGINT) AS bal_cents,
            CAST(NTILE(4) OVER w AS INTEGER) AS quartile,
-           ROUND(PERCENT_RANK() OVER w, 6) AS pct_rank,
-           ROUND(CUME_DIST() OVER w, 6) AS cume
+           CAST(FLOOR(PERCENT_RANK() OVER w * 1000000) AS BIGINT) AS pct_rank_micro,
+           CAST(FLOOR(CUME_DIST() OVER w * 1000000) AS BIGINT) AS cume_micro
     FROM customer
     WINDOW w AS (PARTITION BY c_nationkey ORDER BY c_acctbal, c_custkey)
     ORDER BY c_custkey
@@ -2967,8 +2967,11 @@ def w5_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
     globally, here in their windowed per-group form (customer scoring,
     per-segment percentile features). The order key carries a
     c_custkey tiebreak so every rank is total and deterministic; the
-    two fractional ranks divide exact integers, so rounding to 6
-    decimals is engine-stable. One shuffle on the partition key,
+    two fractional ranks are single IEEE divisions of exact integers —
+    bit-identical across engines — reported as FLOOR-scaled micro
+    units, because ROUND(x, 6) differs between engines exactly at
+    half-boundaries like 41/640 = .0640625 (bitten at sf0.1) while
+    FLOOR of the identical double cannot. One shuffle on the partition key,
     group-size-bounded state — the standard scalable window."""
     w = Window.partitionBy("c_nationkey").orderBy("c_acctbal", "c_custkey")
     return (
@@ -2978,8 +2981,8 @@ def w5_distribution_ranks(spark: SparkSession, sf_dir: str) -> DataFrame:
             "c_nationkey",
             F.round(F.col("c_acctbal") * 100).cast("bigint").alias("bal_cents"),
             F.ntile(4).over(w).cast("int").alias("quartile"),
-            F.round(F.percent_rank().over(w), 6).alias("pct_rank"),
-            F.round(F.cume_dist().over(w), 6).alias("cume"),
+            F.floor(F.percent_rank().over(w) * 1000000).cast("bigint").alias("pct_rank_micro"),
+            F.floor(F.cume_dist().over(w) * 1000000).cast("bigint").alias("cume_micro"),
         )
         .orderBy("c_custkey")
     )
