@@ -544,3 +544,99 @@ def x11_point_in_time_features(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+_J9_SESSION_CTE = """
+    {name} AS (
+        SELECT user_id,
+               MIN(ts) AS s_start,
+               MAX(ts) + INTERVAL 30 MINUTE AS s_end
+        FROM (
+            SELECT user_id, ts,
+                   SUM(new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_id
+            FROM (
+                SELECT user_id, ts, event_id,
+                       CASE WHEN EPOCH(ts) - EPOCH(LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id)) > 1800
+                                 OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
+                            THEN 1 ELSE 0 END AS new_session
+                FROM events WHERE event_type = '{etype}'
+            )
+        )
+        GROUP BY user_id, session_id
+    )"""
+
+
+@register(
+    "j9_interval_overlap_join",
+    "    WITH"
+    + _J9_SESSION_CTE.format(name="cs", etype="click")
+    + ","
+    + _J9_SESSION_CTE.format(name="ps", etype="purchase")
+    + """
+    SELECT c.user_id,
+           c.s_start AS click_session_start,
+           p.s_start AS purchase_session_start,
+           CAST(EPOCH_US(LEAST(c.s_end, p.s_end)) - EPOCH_US(GREATEST(c.s_start, p.s_start)) AS BIGINT)
+               AS overlap_micros
+    FROM cs c JOIN ps p
+      ON c.user_id = p.user_id
+     AND c.s_start <= p.s_end AND p.s_start <= c.s_end
+    ORDER BY c.user_id, click_session_start, purchase_session_start
+    """,
+)
+def j9_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J9: interval-overlap join — the last classic non-equi join shape
+    (x1 as-of = point-to-latest-point, x2 range = point-in-window; this
+    is WINDOW-to-WINDOW): which of each user's click sessions overlap
+    which purchase sessions. The naive form is an inequality join
+    (nested loop); the scale form bins every interval into the epoch
+    HOURS it spans (sequence + explode), equi-joins on (user, hour),
+    dedups, and applies the exact overlap predicate as a residual —
+    candidate volume scales with per-(user, hour) interval counts,
+    never |sessions|². Both interval sets come from one
+    session_window pass each (gap 30 min; end = last event + gap,
+    matching the oracle's gaps-and-islands construction), and
+    overlap_micros is an exact BIGINT microsecond difference
+    (second-truncated unix_timestamp diffs are off by one when the
+    endpoints carry sub-second fractions)."""
+    ev = t(spark, sf_dir, "events")
+
+    def sessions(etype: str, prefix: str) -> DataFrame:
+        return (
+            ev.where(F.col("event_type") == etype)
+            .groupBy(F.session_window("ts", "30 minutes").alias("w"), "user_id")
+            .agg(F.count(F.lit(1)).alias("n"))
+            .select(
+                "user_id",
+                F.col("w.start").alias(f"{prefix}_start"),
+                F.col("w.end").alias(f"{prefix}_end"),
+            )
+        )
+
+    def binned(df: DataFrame, prefix: str) -> DataFrame:
+        hours = F.sequence(
+            F.floor(F.unix_timestamp(f"{prefix}_start") / 3600).cast("long"),
+            F.floor(F.unix_timestamp(f"{prefix}_end") / 3600).cast("long"),
+        )
+        return df.select("user_id", f"{prefix}_start", f"{prefix}_end", F.explode(hours).alias("hr"))
+
+    cs = binned(sessions("click", "c"), "c")
+    ps = binned(sessions("purchase", "p"), "p")
+    pairs = (
+        cs.join(ps, ["user_id", "hr"])
+        .drop("hr")
+        .dropDuplicates(["user_id", "c_start", "p_start"])
+        .where((F.col("c_start") <= F.col("p_end")) & (F.col("p_start") <= F.col("c_end")))
+    )
+    return pairs.select(
+        "user_id",
+        F.col("c_start").alias("click_session_start"),
+        F.col("p_start").alias("purchase_session_start"),
+        (
+            F.unix_micros(F.least("c_end", "p_end"))
+            - F.unix_micros(F.greatest("c_start", "p_start"))
+        )
+        .cast("bigint")
+        .alias("overlap_micros"),
+    ).orderBy("user_id", "click_session_start", "purchase_session_start")
