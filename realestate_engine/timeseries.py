@@ -312,3 +312,81 @@ def ts_ewma_int(spark: SparkSession, sf_dir: str) -> DataFrame:
         .applyInPandas(ewma, "user_id long, n_events long, ewma_milli long")
         .orderBy("user_id")
     )
+
+
+@register(
+    "ts_holt_int",
+    """
+    WITH RECURSIVE seq AS (
+        SELECT user_id, event_id,
+               CAST(FLOOR(value * 1000) AS BIGINT) AS v,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    holt AS (
+        SELECT user_id, rn, v AS lvl, CAST(0 AS BIGINT) AS trend FROM seq WHERE rn = 1
+        UNION ALL
+        SELECT s.user_id, s.rn,
+               CAST(FLOOR((h.lvl + h.trend + s.v) / 2.0) AS BIGINT),
+               CAST(FLOOR((h.trend + CAST(FLOOR((h.lvl + h.trend + s.v) / 2.0) AS BIGINT) - h.lvl) / 2.0) AS BIGINT)
+        FROM holt h JOIN seq s ON s.user_id = h.user_id AND s.rn = h.rn + 1
+    )
+    SELECT user_id,
+           CAST(MAX(rn) AS BIGINT) AS n_events,
+           CAST(ARG_MAX(lvl, rn) AS BIGINT) AS level_milli,
+           CAST(ARG_MAX(trend, rn) AS BIGINT) AS trend_milli,
+           CAST(ARG_MAX(lvl, rn) + ARG_MAX(trend, rn) AS BIGINT) AS forecast_milli
+    FROM holt GROUP BY user_id ORDER BY user_id
+    """,
+)
+def ts_holt_int(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS6: Holt double-exponential smoothing per user (alpha = beta =
+    1/2) — EWMA (ts_ewma_int) plus a TREND component, the classic
+    short-horizon forecaster: level_t = (level+trend+v)/2,
+    trend_t = (trend + level_t - level_{t-1})/2, forecast = level +
+    trend. Same execution shape as the EWMA: the recurrence is
+    order-dependent so it runs as an applyInPandas loop over each
+    user's Arrow batch (parallelism = user count; per-group history is
+    bounded), and the oracle replays the identical recurrence as a
+    recursive CTE over row_number order.
+
+    Determinism: milli-scaled BIGINT state. Trend can go NEGATIVE, so
+    halving uses Python floor division mirrored as
+    FLOOR(x / 2.0)::BIGINT in DuckDB — DuckDB's integer `//` truncates
+    toward zero and would diverge on negative odd values (the sign
+    trap ts_ewma_int never hits because its values stay positive)."""
+    import math
+
+    import pandas as pd
+
+    ev = t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+
+    def holt(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        lvl = trend = None
+        for x in pdf["value"].to_numpy():
+            v = int(math.floor(x * 1000))
+            if lvl is None:
+                lvl, trend = v, 0
+            else:
+                new_lvl = (lvl + trend + v) // 2
+                trend = (trend + new_lvl - lvl) // 2
+                lvl = new_lvl
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_events": [len(pdf)],
+                "level_milli": [lvl],
+                "trend_milli": [trend],
+                "forecast_milli": [lvl + trend],
+            }
+        )
+
+    return (
+        ev.groupBy("user_id")
+        .applyInPandas(
+            holt,
+            "user_id long, n_events long, level_milli long, trend_milli long, forecast_milli long",
+        )
+        .orderBy("user_id")
+    )
