@@ -1076,3 +1076,78 @@ def dq9_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("fk")
+
+
+@register(
+    "dq10_uniqueness_audit",
+    """
+    SELECT 'customer.c_custkey' AS pk,
+           CAST((SELECT COUNT(*) FROM customer) AS BIGINT) AS n_rows,
+           CAST((SELECT COUNT(DISTINCT c_custkey) FROM customer) AS BIGINT) AS n_keys
+    UNION ALL
+    SELECT 'events.event_id',
+           CAST((SELECT COUNT(*) FROM events) AS BIGINT),
+           CAST((SELECT COUNT(DISTINCT event_id) FROM events) AS BIGINT)
+    UNION ALL
+    SELECT 'lineitem.(l_orderkey,l_linenumber,l_suppkey,l_partkey)',
+           CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
+           CAST((SELECT COUNT(DISTINCT (l_orderkey, l_linenumber, l_suppkey, l_partkey)) FROM lineitem) AS BIGINT)
+    UNION ALL
+    SELECT 'nation.n_nationkey',
+           CAST((SELECT COUNT(*) FROM nation) AS BIGINT),
+           CAST((SELECT COUNT(DISTINCT n_nationkey) FROM nation) AS BIGINT)
+    UNION ALL
+    SELECT 'orders.o_orderkey',
+           CAST((SELECT COUNT(*) FROM orders) AS BIGINT),
+           CAST((SELECT COUNT(DISTINCT o_orderkey) FROM orders) AS BIGINT)
+    UNION ALL
+    SELECT 'part.p_partkey',
+           CAST((SELECT COUNT(*) FROM part) AS BIGINT),
+           CAST((SELECT COUNT(DISTINCT p_partkey) FROM part) AS BIGINT)
+    UNION ALL
+    SELECT 'region.r_regionkey',
+           CAST((SELECT COUNT(*) FROM region) AS BIGINT),
+           CAST((SELECT COUNT(DISTINCT r_regionkey) FROM region) AS BIGINT)
+    UNION ALL
+    SELECT 'supplier.s_suppkey',
+           CAST((SELECT COUNT(*) FROM supplier) AS BIGINT),
+           CAST((SELECT COUNT(DISTINCT s_suppkey) FROM supplier) AS BIGINT)
+    ORDER BY pk
+    """,
+)
+def dq10_uniqueness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ10: primary-key uniqueness sweep — rows vs distinct keys for
+    every table's declared (or candidate) key, the load audit that
+    catches double-ingestion before joins fan out. Notably lineitem's
+    key must be the FULL (orderkey, linenumber, suppkey, partkey)
+    tuple: (l_orderkey, l_linenumber) alone is NOT unique in this
+    testdata — a fact several window tiebreaks in the engine already
+    encode, now stated as a checked row. Each leg is one
+    partial-aggregated count-distinct; the sweep is one pass per
+    table."""
+    keys = [
+        ("customer.c_custkey", "customer", ["c_custkey"]),
+        ("events.event_id", "events", ["event_id"]),
+        (
+            "lineitem.(l_orderkey,l_linenumber,l_suppkey,l_partkey)",
+            "lineitem",
+            ["l_orderkey", "l_linenumber", "l_suppkey", "l_partkey"],
+        ),
+        ("nation.n_nationkey", "nation", ["n_nationkey"]),
+        ("orders.o_orderkey", "orders", ["o_orderkey"]),
+        ("part.p_partkey", "part", ["p_partkey"]),
+        ("region.r_regionkey", "region", ["r_regionkey"]),
+        ("supplier.s_suppkey", "supplier", ["s_suppkey"]),
+    ]
+    parts = []
+    for pk, table, cols in keys:
+        parts.append(
+            t(spark, sf_dir, table).agg(
+                F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+                F.count_distinct(*[F.col(c) for c in cols]).cast("bigint").alias("n_keys"),
+            ).select(F.lit(pk).alias("pk"), "n_rows", "n_keys")
+        )
+    out = parts[0]
+    for p in parts[1:]:
+        out = out.unionByName(p)
+    return out.orderBy("pk")
