@@ -1001,3 +1001,106 @@ def m26_ols_normal_equations(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"ROUND(({_OLS_D1}) / ({_OLS_DETS}), 4) AS beta_qty_cents",
         f"ROUND(({_OLS_D2}) / ({_OLS_DETS}), 4) AS beta_disc_cents",
     )
+
+
+# round(1e6 / log2(rank+1)) for rank 1..10 — precomputed ONCE and shared
+# verbatim by both engines so NDCG needs no runtime log2 (whose last-ulp
+# behavior is not pinned by IEEE and could flip a floor at a boundary)
+_NDCG_DISC_MICRO = [
+    1000000, 630930, 500000, 430677, 386853,
+    356207, 333333, 315465, 301030, 289065,
+]
+
+
+@register(
+    "m27_ndcg_ranking_eval",
+    f"""
+    WITH disc(rnk, d) AS (
+        SELECT * FROM (VALUES {", ".join(f"({i + 1}, {d})" for i, d in enumerate(_NDCG_DISC_MICRO))})
+    ),
+    up AS (
+        SELECT o.o_custkey AS custkey, l.l_partkey AS partkey,
+               CAST(SUM(CAST(ROUND(l.l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS spend_cents,
+               CAST(SUM(CAST(l.l_quantity AS BIGINT)) AS BIGINT) AS qty
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+        GROUP BY 1, 2
+    ),
+    pred AS (
+        SELECT custkey, qty,
+               ROW_NUMBER() OVER (PARTITION BY custkey ORDER BY spend_cents DESC, partkey) AS rnk
+        FROM up QUALIFY rnk <= 10
+    ),
+    ideal AS (
+        SELECT custkey, qty,
+               ROW_NUMBER() OVER (PARTITION BY custkey ORDER BY qty DESC, partkey) AS rnk
+        FROM up QUALIFY rnk <= 10
+    ),
+    dcg AS (
+        SELECT custkey, SUM(qty * d) AS dcg_micro
+        FROM pred JOIN disc USING (rnk) GROUP BY custkey
+    ),
+    idcg AS (
+        SELECT custkey, SUM(qty * d) AS idcg_micro
+        FROM ideal JOIN disc USING (rnk) GROUP BY custkey
+    )
+    SELECT d.custkey,
+           CAST(d.dcg_micro AS BIGINT) AS dcg_micro,
+           CAST(i.idcg_micro AS BIGINT) AS idcg_micro,
+           CAST((d.dcg_micro * 1000000) // i.idcg_micro AS BIGINT) AS ndcg_micro
+    FROM dcg d JOIN idcg i USING (custkey)
+    ORDER BY custkey
+    """,
+)
+def m27_ndcg_ranking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M27: NDCG@10 ranking evaluation — grade a predicted per-customer
+    part ranking (by spend) against graded relevance (quantity bought)
+    with position-discounted gain, the standard recommender/retrieval
+    offline metric alongside m20's recall@k. Exactness: the 10 DCG
+    position discounts round(1e6/log2(r+1)) are PRECOMPUTED integer
+    constants shared verbatim by both engines, so DCG/IDCG are pure
+    BIGINT dot products and NDCG is one integer division — no runtime
+    log2, whose unpinned last ulp could flip a rounding at a boundary.
+    Plan: one (cust, part) aggregate, two per-customer top-10 windows
+    on that aggregate (partitioned — group-bounded), two k-row joins
+    against the broadcast 10-row discount dim."""
+    from pyspark.sql.window import Window
+
+    li = t(spark, sf_dir, "lineitem")
+    o = t(spark, sf_dir, "orders")
+    up = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy(F.col("o_custkey").alias("custkey"), F.col("l_partkey").alias("partkey"))
+        .agg(
+            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint")).cast("bigint").alias("spend_cents"),
+            F.sum(F.col("l_quantity").cast("bigint")).cast("bigint").alias("qty"),
+        )
+    )
+    disc = spark.sql(
+        "SELECT rnk, d FROM VALUES "
+        + ", ".join(f"({i + 1}, {d})" for i, d in enumerate(_NDCG_DISC_MICRO))
+        + " AS t(rnk, d)"
+    )
+    wp = Window.partitionBy("custkey").orderBy(F.col("spend_cents").desc(), "partkey")
+    wi = Window.partitionBy("custkey").orderBy(F.col("qty").desc(), "partkey")
+
+    def topk(w) -> DataFrame:
+        return (
+            up.withColumn("rnk", F.row_number().over(w))
+            .filter(F.col("rnk") <= 10)
+            .join(F.broadcast(disc), "rnk")
+            .groupBy("custkey")
+            .agg(F.sum(F.col("qty") * F.col("d")).cast("bigint").alias("g"))
+        )
+
+    dcg = topk(wp).withColumnRenamed("g", "dcg_micro")
+    idcg = topk(wi).withColumnRenamed("g", "idcg_micro")
+    return (
+        dcg.join(idcg, "custkey")
+        .select(
+            "custkey",
+            "dcg_micro",
+            "idcg_micro",
+            F.expr("(dcg_micro * 1000000) div idcg_micro").cast("bigint").alias("ndcg_micro"),
+        )
+        .orderBy("custkey")
+    )

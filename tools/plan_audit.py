@@ -102,6 +102,7 @@ ALLOWED_LOCAL = {
     "m19_fpgrowth_baskets",  # MLlib FP-Growth freqItemsets is RDD-backed model output
     "m22_prefixspan_sequences",  # MLlib PrefixSpan patterns are RDD-backed model output
     "m21_glm_poisson",  # returns O(k) coefficient rows (model state)
+    "m27_ndcg_ranking_eval",  # 10-row VALUES discount-constant dim (broadcast)
 }
 
 
