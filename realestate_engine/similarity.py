@@ -662,3 +662,54 @@ def sim_reciprocal_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.round(F.sum(1.0 / (_RRF_K + F.col("rnk"))), 6).alias("rrf_score"))
     )
     return fused.orderBy(F.col("rrf_score").desc(), "doc_id").limit(20)
+
+
+def _recall_oracle() -> str:
+    """Compose the ANN-recall oracle from the two already-registered
+    oracles (single source of truth: if the LSH or brute-force oracle
+    changes, this report's oracle follows automatically)."""
+    from realestate_engine.registry import ORACLES
+
+    ann = ORACLES["sim_lsh_ann"].strip()
+    assert ann.startswith("WITH")
+    cut = ann.index("SELECT b.vec_id")
+    prelude = ann[:cut].rstrip()  # "WITH bkt AS (...), p AS (...)"
+    assert prelude.endswith("),") or prelude.endswith(")")
+    if not prelude.endswith(","):
+        prelude += ","
+    return (
+        prelude
+        + "\n    ann AS (\n"
+        + ann[cut:]
+        + "\n    ),\n    exact AS (\n"
+        + ORACLES["sim_bruteforce_topk"]
+        + "\n    )\n"
+        + """
+    SELECT CAST(20 AS BIGINT) AS k,
+           CAST(COUNT(*) AS BIGINT) AS n_hits,
+           CAST((COUNT(*) * 1000000) // 20 AS BIGINT) AS recall_micro
+    FROM ann JOIN exact USING (vec_id)
+    """
+    )
+
+
+@register("sim_ann_recall_report", _recall_oracle())
+def sim_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N8: in-engine ANN quality report — recall@20 of the hyperplane
+    LSH index against the exact brute-force ranking for the probe
+    vector. Pytest already asserts a recall floor; this registers the
+    measurement itself as a driver-checked query (the observability a
+    production vector index ships with: recall regressions surface as
+    data, not as a silent quality drop). Both rankings are
+    deterministic (crc32 hyperplane signs; cosine ties broken by
+    vec_id), so the hit count is exact. Composition: the two existing
+    top-20 queries joined on vec_id and counted — O(k) work on top of
+    their plans."""
+    exact = sim_bruteforce_topk(spark, sf_dir).select("vec_id")
+    ann = sim_lsh_ann(spark, sf_dir).select("vec_id")
+    return ann.join(exact, "vec_id").agg(
+        F.lit(20).cast("bigint").alias("k"),
+        F.count(F.lit(1)).cast("bigint").alias("n_hits"),
+        F.expr("(count(1) * 1000000) div 20").cast("bigint").alias("recall_micro"),
+    )
+

@@ -61,6 +61,7 @@ ALLOWED_CROSS = {
     "a28_chi2_independence",  # broadcast 1-row margin-count frames
     "sim_hard_negatives",  # broadcast 1-row probe (vector + label)
     "sim_reciprocal_rank_fusion",  # broadcast 1-row probe sets + 50-row rank-join frames
+    "sim_ann_recall_report",  # composes the two probe-broadcast top-20 plans
     "ev7_rfm_segmentation",  # broadcast 1-row quintile-cuts + max-date frames
     "ev11_pareto_concentration",  # broadcast 1-row p90-cut frame
     "a33_runs_test",  # broadcast 1-row median-cut frame + days-frame lag self-join
