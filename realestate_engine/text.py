@@ -1357,3 +1357,64 @@ def corpus_global_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("doc_id", "shard", "position")
         .orderBy("doc_id")
     )
+
+
+@register(
+    "corpus_source_overlap",
+    r"""
+    WITH rel AS (
+        SELECT DISTINCT source, UNNEST(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+')) AS word
+        FROM documents
+    ),
+    sizes AS (SELECT source, CAST(COUNT(*) AS BIGINT) AS vocab FROM rel GROUP BY source),
+    shared AS (
+        SELECT a.source AS src_a, b.source AS src_b, CAST(COUNT(*) AS BIGINT) AS n_shared
+        FROM rel a JOIN rel b ON a.word = b.word AND a.source < b.source
+        GROUP BY 1, 2
+    )
+    SELECT s.src_a, s.src_b, s.n_shared,
+           za.vocab AS vocab_a, zb.vocab AS vocab_b,
+           CAST((s.n_shared * 1000000) // (za.vocab + zb.vocab - s.n_shared) AS BIGINT) AS jaccard_micro
+    FROM shared s
+    JOIN sizes za ON za.source = s.src_a
+    JOIN sizes zb ON zb.source = s.src_b
+    ORDER BY src_a, src_b
+    """,
+)
+def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T21: source-level vocabulary overlap matrix — pairwise Jaccard
+    of the distinct-word sets of every corpus source, the redundancy
+    diagnostic behind mixture design (two sources with near-identical
+    vocabulary contribute less diversity than their row counts
+    suggest; pair it with corpus_temperature_mixture when setting
+    weights). Computed as an inverted word->source index self-join:
+    each word contributes at most |sources|²/2 pairs (bounded by the
+    SOURCE count, ~20, regardless of corpus size — no df cap needed,
+    unlike the per-document containment join), then one integer
+    Jaccard per source pair. Output is |sources|²/2 rows whatever the
+    scale; jaccard is floor-scaled micro units (exact integers)."""
+    d = t(spark, sf_dir, "documents")
+    rel = (
+        d.select("source", F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("word"))
+        .distinct()
+    )
+    sizes = rel.groupBy("source").agg(F.count(F.lit(1)).cast("bigint").alias("vocab"))
+    a, b = rel.alias("a"), rel.alias("b")
+    shared = (
+        a.join(b, (F.col("a.word") == F.col("b.word")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(F.col("a.source").alias("src_a"), F.col("b.source").alias("src_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared"))
+    )
+    za = sizes.select(F.col("source").alias("src_a"), F.col("vocab").alias("vocab_a"))
+    zb = sizes.select(F.col("source").alias("src_b"), F.col("vocab").alias("vocab_b"))
+    return (
+        shared.join(F.broadcast(za), "src_a")
+        .join(F.broadcast(zb), "src_b")
+        .select(
+            "src_a", "src_b", "n_shared", "vocab_a", "vocab_b",
+            F.expr("(n_shared * 1000000) div (vocab_a + vocab_b - n_shared)")
+            .cast("bigint")
+            .alias("jaccard_micro"),
+        )
+        .orderBy("src_a", "src_b")
+    )
