@@ -678,3 +678,109 @@ def mm_scene_cut(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "mm_keyframe_select",
+    r"""
+    WITH vids AS (
+        SELECT doc_id, HEX(ENCODE(text)) AS hx, LENGTH(text) AS nc FROM documents
+    ),
+    frames AS (
+        SELECT doc_id, f.i AS frame_idx,
+               SUBSTR(hx, CAST(((f.i * nc) // 4) * 2 + 1 AS INTEGER), 64) AS fhx
+        FROM vids, LATERAL (SELECT UNNEST(RANGE(4)) AS i) f
+    ),
+    fb AS (SELECT doc_id, frame_idx, fhx, LEN(fhx) // 2 AS n FROM frames),
+    unrolled AS (
+        SELECT doc_id, frame_idx, n,
+               CAST(('0x' || SUBSTR(fhx, CAST(i.i*2+1 AS INTEGER), 2)) AS INTEGER) AS byte
+        FROM fb, LATERAL (SELECT UNNEST(RANGE(n)) AS i) i
+    ),
+    means AS (
+        SELECT doc_id, frame_idx, SUM(byte)*1.0/ANY_VALUE(n) AS mean
+        FROM unrolled GROUP BY doc_id, frame_idx
+    ),
+    sampled AS (
+        SELECT fb.doc_id, fb.frame_idx, bit.i AS bit_i,
+               CAST(('0x' || SUBSTR(fb.fhx, CAST((bit.i * fb.n // 64)*2+1 AS INTEGER), 2)) AS INTEGER) AS sbyte
+        FROM fb, LATERAL (SELECT UNNEST(RANGE(64)) AS i) bit
+        WHERE fb.n > 0
+    ),
+    hashes AS (
+        SELECT s.doc_id, s.frame_idx,
+               CAST(SUM(CASE WHEN s.sbyte > m.mean
+                        THEN CASE WHEN s.bit_i = 63 THEN CAST(-9223372036854775808 AS BIGINT)
+                                  ELSE (CAST(1 AS BIGINT) << CAST(s.bit_i AS INTEGER)) END
+                        ELSE 0 END) AS BIGINT) AS ahash
+        FROM sampled s JOIN means m ON s.doc_id = m.doc_id AND s.frame_idx = m.frame_idx
+        GROUP BY s.doc_id, s.frame_idx
+        UNION ALL
+        SELECT doc_id, frame_idx, CAST(0 AS BIGINT) FROM fb WHERE n = 0
+    ),
+    dist AS (
+        SELECT doc_id, frame_idx,
+               BIT_COUNT(XOR(ahash, LAG(ahash) OVER (PARTITION BY doc_id ORDER BY frame_idx))) AS hamming
+        FROM hashes
+    )
+    SELECT doc_id,
+           CAST(ARG_MIN(frame_idx, CAST(hamming AS BIGINT) * (-10) + frame_idx) AS BIGINT) AS keyframe_idx,
+           CAST(MAX(hamming) AS BIGINT) AS transition_hamming
+    FROM dist WHERE hamming IS NOT NULL
+    GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def mm_keyframe_select(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """MM8: keyframe selection — per 'video', pick the frame that
+    starts the STRONGEST scene transition (argmax of consecutive
+    frame-hash hamming distance, earliest frame on ties), the
+    thumbnail/representative-frame step after mm_scene_cut's
+    detection. Same frame-hash machinery as the scene-cut oracle; the
+    argmax is a deterministic min_by over the packed integer key
+    -10*hamming + frame_idx (hamming <= 64, frame_idx <= 3, so the
+    packing is collision-free) — DuckDB's ARG_MIN takes scalar keys
+    only, and the same key is used on both engines. Per video the state is k frame hashes;
+    the selection is one group-bounded aggregate."""
+    from pyspark.sql.window import Window
+
+    d = t(spark, sf_dir, "documents")
+    n_frames = 4
+    offsets = F.transform(
+        F.sequence(F.lit(0), F.lit(n_frames - 1)),
+        lambda i: (i * F.length("text") / n_frames).cast("int"),
+    )
+    frames = d.select(
+        "doc_id",
+        F.encode("text", "utf-8").alias("payload"),
+        F.posexplode(offsets).alias("frame_idx", "byte_offset"),
+    ).select(
+        "doc_id",
+        "frame_idx",
+        F.expr("substring(payload, byte_offset + 1, 32)").alias("frame_bytes"),
+    )
+    hashed = ahash_binary(
+        frames.select(
+            (F.col("doc_id") * 10 + F.col("frame_idx")).alias("doc_id"),
+            F.col("frame_bytes").alias("payload"),
+        )
+    ).select(
+        F.expr("doc_id div 10").alias("doc_id"),
+        (F.col("doc_id") % 10).alias("frame_idx"),
+        "ahash",
+    )
+    w = Window.partitionBy("doc_id").orderBy("frame_idx")
+    dist = hashed.select(
+        "doc_id",
+        "frame_idx",
+        F.bit_count(F.col("ahash").bitwiseXOR(F.lag("ahash").over(w))).alias("hamming"),
+    ).where(F.col("hamming").isNotNull())
+    return (
+        dist.groupBy("doc_id")
+        .agg(
+            F.min_by("frame_idx", F.col("hamming") * -10 + F.col("frame_idx"))
+            .cast("bigint")
+            .alias("keyframe_idx"),
+            F.max("hamming").cast("bigint").alias("transition_hamming"),
+        )
+        .orderBy("doc_id")
+    )
