@@ -452,3 +452,80 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
     simultaneous peel as chained CTEs; integer node ids and counts make
     every round hash-exact across engines."""
     return kcore_peel(trade_edges(spark, sf_dir)).orderBy("node")
+
+
+@register(
+    "graph_link_prediction",
+    """
+    WITH pairs AS (
+        SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    edges AS MATERIALIZED (
+        SELECT c AS src, s AS dst FROM pairs
+        UNION ALL
+        SELECT s AS src, c AS dst FROM pairs
+    ),
+    deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY src),
+    two_hop AS (
+        SELECT e1.src AS a, e2.dst AS b, CAST(COUNT(*) AS BIGINT) AS n_common
+        FROM edges e1 JOIN edges e2 ON e1.dst = e2.src AND e1.src < e2.dst
+        GROUP BY 1, 2
+    ),
+    cand AS (
+        SELECT t.a, t.b, t.n_common
+        FROM two_hop t
+        WHERE NOT EXISTS (SELECT 1 FROM edges e WHERE e.src = t.a AND e.dst = t.b)
+    )
+    SELECT c.a AS node_a, c.b AS node_b, c.n_common,
+           da.d AS deg_a, db.d AS deg_b,
+           CAST((c.n_common * 1000000) // (da.d + db.d - c.n_common) AS BIGINT) AS jaccard_micro
+    FROM cand c JOIN deg da ON da.src = c.a JOIN deg db ON db.src = c.b
+    ORDER BY jaccard_micro DESC, node_a, node_b
+    LIMIT 50
+    """,
+)
+def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G6: link prediction by common-neighbor Jaccard — score
+    NON-adjacent node pairs by |N(a) ∩ N(b)| / |N(a) ∪ N(b)|, the
+    classic unsupervised recommender for "who should trade next"
+    (here: customers with near-identical supplier sets, suppliers with
+    near-identical customer bases — the bipartite graph makes every
+    2-hop pair same-side and thus never an existing edge; the anti
+    join states the contract anyway). Candidates come from the 2-hop
+    join (the triangle-count shape — volume is sum of squared degrees,
+    bounded by the hub caps a real deployment puts on degree), common
+    counts and degrees are exact BIGINTs, and the Jaccard is
+    floor-scaled micro units. Top-50 via TakeOrdered."""
+    edges = trade_edges(spark, sf_dir)
+    e = cache_once(edges.repartition("src"))
+    deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    e1 = e.select(F.col("src").alias("a"), F.col("dst").alias("m"))
+    e2 = e.select(F.col("src").alias("m"), F.col("dst").alias("b"))
+    two_hop = (
+        e1.join(e2, "m")
+        .where(F.col("a") < F.col("b"))
+        .groupBy("a", "b")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
+    )
+    cand = two_hop.join(
+        e.select(F.col("src").alias("a"), F.col("dst").alias("b")), ["a", "b"], "left_anti"
+    )
+    da = deg.select(F.col("src").alias("a"), F.col("d").alias("deg_a"))
+    db = deg.select(F.col("src").alias("b"), F.col("d").alias("deg_b"))
+    return (
+        cand.join(da, "a")
+        .join(db, "b")
+        .select(
+            F.col("a").alias("node_a"),
+            F.col("b").alias("node_b"),
+            "n_common",
+            "deg_a",
+            "deg_b",
+            F.expr("(n_common * 1000000) div (deg_a + deg_b - n_common)")
+            .cast("bigint")
+            .alias("jaccard_micro"),
+        )
+        .orderBy(F.col("jaccard_micro").desc(), "node_a", "node_b")
+        .limit(50)
+    )
