@@ -1151,3 +1151,74 @@ def dq10_uniqueness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     for p in parts[1:]:
         out = out.unionByName(p)
     return out.orderBy("pk")
+
+
+@register(
+    "dq11_table_fingerprint",
+    """
+    WITH o AS (
+        SELECT COUNT(*) AS n,
+               SUM(('0x' || SUBSTR(MD5(CONCAT(CAST(o_orderkey AS VARCHAR), ':',
+                    CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR))), 1, 8))::BIGINT) AS fp
+        FROM orders
+    ),
+    l AS (
+        SELECT COUNT(*) AS n,
+               SUM(('0x' || SUBSTR(MD5(CONCAT(CAST(l_orderkey AS VARCHAR), ':',
+                    CAST(l_linenumber AS VARCHAR), ':', CAST(l_suppkey AS VARCHAR), ':',
+                    CAST(CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS VARCHAR))), 1, 8))::BIGINT) AS fp
+        FROM lineitem
+    ),
+    c AS (
+        SELECT COUNT(*) AS n,
+               SUM(('0x' || SUBSTR(MD5(CONCAT(CAST(c_custkey AS VARCHAR), ':',
+                    CAST(CAST(ROUND(c_acctbal * 100) AS BIGINT) AS VARCHAR))), 1, 8))::BIGINT) AS fp
+        FROM customer
+    )
+    SELECT 'customer' AS table_name, CAST(n AS BIGINT) AS n_rows, CAST(fp AS BIGINT) AS fingerprint FROM c
+    UNION ALL
+    SELECT 'lineitem', CAST(n AS BIGINT), CAST(fp AS BIGINT) FROM l
+    UNION ALL
+    SELECT 'orders', CAST(n AS BIGINT), CAST(fp AS BIGINT) FROM o
+    ORDER BY table_name
+    """,
+)
+def dq11_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ11: content fingerprints — an order-independent checksum per
+    table (SUM of a portable row hash over key + value columns), the
+    cheap equality proof replication/migration pipelines compare
+    instead of diffing rows: two copies agree iff (n_rows,
+    fingerprint) agree, across engines, partitionings and file
+    layouts. The row hash is the md5-prefix integer (portable_hash32)
+    of a canonical key:value string; the SUM is commutative so any
+    execution order gives the same BIGINT (2^32-bounded terms overflow
+    signed 64-bit only past ~2^31 rows — shard the sum by key range
+    beyond that). One map-side pass + 1-row aggregate per table."""
+    from realestate_engine.dedup import portable_hash32
+
+    def fp(df, parts) -> DataFrame:
+        key = F.concat_ws(":", *parts)
+        return df.agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.sum(portable_hash32(key)).cast("bigint").alias("fingerprint"),
+        )
+
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    c = t(spark, sf_dir, "customer")
+    rows = [
+        fp(c, [F.col("c_custkey").cast("string"),
+               F.round(F.col("c_acctbal") * 100).cast("bigint").cast("string")])
+        .select(F.lit("customer").alias("table_name"), "n_rows", "fingerprint"),
+        fp(li, [F.col("l_orderkey").cast("string"), F.col("l_linenumber").cast("string"),
+                F.col("l_suppkey").cast("string"),
+                F.round(F.col("l_extendedprice") * 100).cast("bigint").cast("string")])
+        .select(F.lit("lineitem").alias("table_name"), "n_rows", "fingerprint"),
+        fp(o, [F.col("o_orderkey").cast("string"),
+               F.round(F.col("o_totalprice") * 100).cast("bigint").cast("string")])
+        .select(F.lit("orders").alias("table_name"), "n_rows", "fingerprint"),
+    ]
+    out = rows[0]
+    for r in rows[1:]:
+        out = out.unionByName(r)
+    return out.orderBy("table_name")
