@@ -1104,3 +1104,65 @@ def m27_ndcg_ranking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("custkey")
     )
+
+
+@register(
+    "m28_confusion_matrix",
+    """
+    WITH c AS (
+        SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+               CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS label
+        FROM orders
+    ),
+    thr AS (SELECT quantile_cont(cents, 0.5) AS median_cents FROM c),
+    pred AS (
+        SELECT label, CASE WHEN c.cents > t.median_cents THEN 1 ELSE 0 END AS yhat
+        FROM c, thr t
+    ),
+    m AS (
+        SELECT CAST(SUM(CASE WHEN label = 1 AND yhat = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+               CAST(SUM(CASE WHEN label = 0 AND yhat = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+               CAST(SUM(CASE WHEN label = 1 AND yhat = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+               CAST(SUM(CASE WHEN label = 0 AND yhat = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+        FROM pred
+    )
+    SELECT tp, fp, fn, tn,
+           CAST((tp * 1000000) // (tp + fp) AS BIGINT) AS precision_micro,
+           CAST((tp * 1000000) // (tp + fn) AS BIGINT) AS recall_micro,
+           CAST((2 * tp * 1000000) // (2 * tp + fp + fn) AS BIGINT) AS f1_micro
+    FROM m
+    """,
+)
+def m28_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M28: binary-classification evaluation — confusion matrix +
+    precision/recall/F1 for a median-threshold classifier of URGENT
+    orders (the eval scaffold; swap the rule for a model score in
+    production — m23 covers the threshold-free AUC view of the same
+    problem). Exactness: counts are BIGINTs, the threshold is the
+    exact interpolated median of integer cents (a6/a23's quantile
+    discipline), and each metric is ONE integer division of count
+    expressions — F1 uses 2tp/(2tp+fp+fn) directly rather than
+    composing already-rounded precision/recall, so there is no double
+    rounding to diverge on. Plan: one scan, a 1-row broadcast
+    threshold, one map-side confusion aggregate."""
+    o = t(spark, sf_dir, "orders")
+    c = o.select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("label"),
+    )
+    thr = c.agg(F.percentile("cents", F.lit(0.5)).alias("median_cents"))
+    pred = c.crossJoin(F.broadcast(thr)).select(
+        "label", F.when(F.col("cents") > F.col("median_cents"), 1).otherwise(0).alias("yhat")
+    )
+    m = pred.agg(
+        F.sum(F.when((F.col("label") == 1) & (F.col("yhat") == 1), 1).otherwise(0)).cast("bigint").alias("tp"),
+        F.sum(F.when((F.col("label") == 0) & (F.col("yhat") == 1), 1).otherwise(0)).cast("bigint").alias("fp"),
+        F.sum(F.when((F.col("label") == 1) & (F.col("yhat") == 0), 1).otherwise(0)).cast("bigint").alias("fn"),
+        F.sum(F.when((F.col("label") == 0) & (F.col("yhat") == 0), 1).otherwise(0)).cast("bigint").alias("tn"),
+    )
+    return m.select(
+        "tp", "fp", "fn", "tn",
+        F.expr("(tp * 1000000) div (tp + fp)").cast("bigint").alias("precision_micro"),
+        F.expr("(tp * 1000000) div (tp + fn)").cast("bigint").alias("recall_micro"),
+        F.expr("(2 * tp * 1000000) div (2 * tp + fp + fn)").cast("bigint").alias("f1_micro"),
+    )

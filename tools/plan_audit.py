@@ -104,6 +104,7 @@ ALLOWED_LOCAL = {
     "m22_prefixspan_sequences",  # MLlib PrefixSpan patterns are RDD-backed model output
     "m21_glm_poisson",  # returns O(k) coefficient rows (model state)
     "m27_ndcg_ranking_eval",  # 10-row VALUES discount-constant dim (broadcast)
+    "m28_confusion_matrix",  # broadcast 1-row median-threshold aggregate
 }
 
 
