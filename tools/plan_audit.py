@@ -51,6 +51,7 @@ ALLOWED_CROSS = {
     "m18_negative_sampling",  # broadcast 1-row item count + 4-row k range
     "x12_salted_join",  # broadcast 8-row salt range onto the dim side
     "dq5_benford_audit",  # broadcast 1-row total count
+    "m28_confusion_matrix",  # broadcast 1-row median-threshold aggregate
     "ts_cusum_changepoints",  # broadcast 1-row series total/count
     "p18_rare_category_collapse",  # broadcast 1-row category total
     "corpus_token_budget",  # broadcast 1-row token-budget aggregate
@@ -104,7 +105,6 @@ ALLOWED_LOCAL = {
     "m22_prefixspan_sequences",  # MLlib PrefixSpan patterns are RDD-backed model output
     "m21_glm_poisson",  # returns O(k) coefficient rows (model state)
     "m27_ndcg_ranking_eval",  # 10-row VALUES discount-constant dim (broadcast)
-    "m28_confusion_matrix",  # broadcast 1-row median-threshold aggregate
 }
 
 
