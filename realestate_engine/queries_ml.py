@@ -1166,3 +1166,85 @@ def m28_confusion_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr("(tp * 1000000) div (tp + fn)").cast("bigint").alias("recall_micro"),
         F.expr("(2 * tp * 1000000) div (2 * tp + fp + fn)").cast("bigint").alias("f1_micro"),
     )
+
+
+@register(
+    "m29_lift_gains_table",
+    """
+    WITH c AS (
+        SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS score_cents,
+               CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS label
+        FROM orders
+    ),
+    cuts AS (
+        SELECT quantile_cont(score_cents, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qs
+        FROM c
+    ),
+    bucketed AS (
+        -- decile 1 = HIGHEST scores (model-eval convention)
+        SELECT 10 - LEN(LIST_FILTER(cuts.qs, q -> q < c.score_cents)) AS decile, label
+        FROM c, cuts
+    ),
+    agg AS (
+        SELECT decile,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(label) AS BIGINT) AS positives
+        FROM bucketed GROUP BY decile
+    ),
+    tot AS (SELECT SUM(n) AS n_all, SUM(positives) AS pos_all FROM agg)
+    SELECT a.decile, a.n, a.positives,
+           CAST(SUM(a.positives) OVER (ORDER BY a.decile) AS BIGINT) AS cum_positives,
+           CAST((a.positives * t.n_all * 1000000) // (a.n * t.pos_all) AS BIGINT) AS lift_micro
+    FROM agg a, tot t
+    ORDER BY a.decile
+    """,
+)
+def m29_lift_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M29: decile lift/gains table — the campaign-targeting eval: rank
+    orders by the score (price cents standing in for a model score),
+    split into equi-depth deciles via the broadcast percentile-cut
+    technique (a23 — never NTILE's unpartitioned global window), and
+    report per-decile positives plus lift = decile positive rate /
+    global rate as one exact integer expression
+    (positives*n_all*1e6)//(n*pos_all). Decile 1 holds the highest
+    scores. The cumulative-gains column folds the 10-row aggregate
+    ledger through the broadcast non-equi self-join idiom (the
+    no-single-partition-window invariant applies even to tiny frames).
+    One scan + 1-row cut broadcast + one shuffle to the 10-row frame."""
+    o = t(spark, sf_dir, "orders")
+    c = o.select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("score_cents"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("label"),
+    )
+    cuts = c.agg(
+        F.percentile("score_cents", F.array(*[F.lit(x / 10.0) for x in range(1, 10)])).alias("qs")
+    )
+    bucketed = c.crossJoin(F.broadcast(cuts)).select(
+        (10 - F.size(F.filter(F.col("qs"), lambda q: q < F.col("score_cents")))).alias("decile"),
+        "label",
+    )
+    agg = bucketed.groupBy("decile").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("label").cast("bigint").alias("positives"),
+    )
+    tot = agg.agg(F.sum("n").alias("n_all"), F.sum("positives").alias("pos_all"))
+    # cumulative gains over the 10-row ledger via the broadcast
+    # non-equi self-join idiom (the engine-wide no-single-partition-
+    # window invariant applies even to tiny frames)
+    o_frame = agg.select(F.col("decile").alias("o_decile"), F.col("positives").alias("o_pos"))
+    cum = (
+        agg.crossJoin(F.broadcast(o_frame))
+        .where(F.col("o_decile") <= F.col("decile"))
+        .groupBy("decile", "n", "positives")
+        .agg(F.sum("o_pos").cast("bigint").alias("cum_positives"))
+    )
+    return (
+        cum.crossJoin(F.broadcast(tot))
+        .select(
+            "decile", "n", "positives", "cum_positives",
+            F.expr("(positives * n_all * 1000000) div (n * pos_all)")
+            .cast("bigint")
+            .alias("lift_micro"),
+        )
+        .orderBy("decile")
+    )

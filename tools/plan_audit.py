@@ -52,6 +52,7 @@ ALLOWED_CROSS = {
     "x12_salted_join",  # broadcast 8-row salt range onto the dim side
     "dq5_benford_audit",  # broadcast 1-row total count
     "m28_confusion_matrix",  # broadcast 1-row median-threshold aggregate
+    "m29_lift_gains_table",  # 1-row cuts/totals broadcasts + 10-row ledger self-join
     "ts_cusum_changepoints",  # broadcast 1-row series total/count
     "p18_rare_category_collapse",  # broadcast 1-row category total
     "corpus_token_budget",  # broadcast 1-row token-budget aggregate
