@@ -1418,3 +1418,97 @@ def corpus_source_overlap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("src_a", "src_b")
     )
+
+
+_CDC_BOUNDARY_MOD = 16  # expected chunk length ~16 words
+_CDC_PRIME = 2147483647
+
+
+@register(
+    "text_cdc_chunk_dedup",
+    rf"""
+    WITH wh AS (
+        SELECT doc_id, w.i AS pos,
+               ('0x' || SUBSTR(MD5(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+')[w.i]), 1, 8))::BIGINT AS h
+        FROM documents,
+             LATERAL (SELECT UNNEST(RANGE(1, LEN(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+')) + 1)) AS i) w
+    ),
+    marked AS (
+        SELECT doc_id, pos, h,
+               SUM(CASE WHEN h % {_CDC_BOUNDARY_MOD} = 0 THEN 1 ELSE 0 END)
+                   OVER (PARTITION BY doc_id ORDER BY pos
+                         ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS chunk_no
+        FROM wh
+    ),
+    inchunk AS (
+        SELECT doc_id, COALESCE(chunk_no, 0) AS chunk_no, h,
+               ROW_NUMBER() OVER (PARTITION BY doc_id, COALESCE(chunk_no, 0) ORDER BY pos) AS k
+        FROM marked
+    ),
+    chunks AS (
+        SELECT doc_id, chunk_no,
+               CAST(SUM(h * k) % {_CDC_PRIME} AS BIGINT) AS fp,
+               CAST(COUNT(*) AS BIGINT) AS chunk_len
+        FROM inchunk GROUP BY doc_id, chunk_no
+    )
+    SELECT fp, chunk_len,
+           CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences
+    FROM chunks
+    GROUP BY fp, chunk_len
+    HAVING COUNT(DISTINCT doc_id) >= 2
+    ORDER BY n_docs DESC, fp
+    LIMIT 100
+    """,
+)
+def text_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T22: content-defined chunking dedup — the rsync/LBFS trick
+    applied to text: chunk boundaries fall AFTER any word whose
+    portable hash is 0 mod 16 (expected chunk ~16 words), so the
+    boundaries are a function of CONTENT, not position — inserting a
+    sentence shifts every fixed-window segment (text_segment_dedup's
+    blind spot) but leaves all other CDC chunks identical. Duplicate
+    chunks across >= 2 documents surface shared boilerplate at
+    sub-document granularity. The chunk fingerprint is a
+    position-weighted hash sum (h_i * i mod p) — order-sensitive yet a
+    pure aggregate, so no list fold is needed and both engines compute
+    it as plain SUM arithmetic (h < 2^32, i <= words-per-doc, products
+    < 2^48: no overflow before the mod). All windows partition by
+    doc (and chunk); the dedup group-by keys on the fingerprint."""
+    d = t(spark, sf_dir, "documents")
+    from realestate_engine.dedup import portable_hash32
+
+    words = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("pos0", "word"),
+    ).select("doc_id", (F.col("pos0") + 1).alias("pos"), portable_hash32(F.col("word")).alias("h"))
+    w_cum = (
+        Window.partitionBy("doc_id")
+        .orderBy("pos")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    marked = words.select(
+        "doc_id",
+        "pos",
+        "h",
+        F.coalesce(
+            F.sum(F.when(F.col("h") % _CDC_BOUNDARY_MOD == 0, 1).otherwise(0)).over(w_cum),
+            F.lit(0),
+        ).alias("chunk_no"),
+    )
+    w_in = Window.partitionBy("doc_id", "chunk_no").orderBy("pos")
+    inchunk = marked.withColumn("k", F.row_number().over(w_in))
+    chunks = inchunk.groupBy("doc_id", "chunk_no").agg(
+        (F.sum(F.col("h") * F.col("k")) % _CDC_PRIME).cast("bigint").alias("fp"),
+        F.count(F.lit(1)).cast("bigint").alias("chunk_len"),
+    )
+    return (
+        chunks.groupBy("fp", "chunk_len")
+        .agg(
+            F.count_distinct("doc_id").cast("bigint").alias("n_docs"),
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+        )
+        .filter(F.col("n_docs") >= 2)
+        .orderBy(F.col("n_docs").desc(), "fp")
+        .limit(100)
+    )
