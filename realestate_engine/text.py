@@ -1512,3 +1512,55 @@ def text_cdc_chunk_dedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("n_docs").desc(), "fp")
         .limit(100)
     )
+
+
+def _langid_confusion_oracle() -> str:
+    """Composed from the registered langid oracle: wrap its prediction
+    as a CTE and join actual labels — one source of truth."""
+    from realestate_engine.registry import ORACLES
+
+    lid = ORACLES["text_langid"].strip()
+    assert lid.startswith("WITH")
+    cut = lid.rindex("SELECT doc_id,")
+    prelude = lid[:cut].rstrip()
+    if not prelude.endswith(","):
+        prelude += ","
+    body = lid[cut:].replace("ORDER BY doc_id", "")
+    return (
+        prelude
+        + "\n    pred AS (\n"
+        + body
+        + "\n    )\n"
+        + """
+    SELECT d.lang AS actual_lang, p.predicted_lang,
+           CAST(COUNT(*) AS BIGINT) AS n_docs
+    FROM documents d JOIN pred p ON p.doc_id = d.doc_id
+    GROUP BY 1, 2
+    ORDER BY 1, 2
+    """
+    )
+
+
+@register("text_langid_confusion", None)
+def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T23: language-ID quality report — the confusion matrix of the
+    marker-token heuristic (text_langid) against the corpus's actual
+    lang labels, registered as a driver-checked query so the
+    heuristic's error structure is DATA (which languages it confuses,
+    how much lands in 'und'), not a one-off notebook check — the same
+    in-engine-observability move as sim_ann_recall_report. Exact
+    integer counts; the oracle wraps the registered langid oracle as a
+    CTE, keeping one source of truth for the prediction."""
+    pred = text_langid(spark, sf_dir).select("doc_id", "predicted_lang")
+    d = t(spark, sf_dir, "documents").select("doc_id", F.col("lang").alias("actual_lang"))
+    return (
+        d.join(pred, "doc_id")
+        .groupBy("actual_lang", "predicted_lang")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
+        .orderBy("actual_lang", "predicted_lang")
+    )
+
+
+from realestate_engine.registry import ORACLES as _ORACLES_T  # noqa: E402
+
+_ORACLES_T["text_langid_confusion"] = _langid_confusion_oracle()
