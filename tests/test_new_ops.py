@@ -623,3 +623,52 @@ def test_queries_survive_empty_tables(spark, sf_dir, tmp_path):
     for name in representative:
         rows = QUERIES[name](spark, empty_dir).collect()
         assert isinstance(rows, list), name
+
+
+def test_bucketed_join_rerun_same_session(spark, sf_dir):
+    """s24 must survive repeated invocation in ONE session (table
+    re-registration + overwrite of the stable bucket dirs)."""
+    a = QUERIES["s24_bucketed_join_no_shuffle"](spark, sf_dir).collect()
+    b = QUERIES["s24_bucketed_join_no_shuffle"](spark, sf_dir).collect()
+    assert a == b and len(a) == 5
+
+
+def test_table_fingerprint_is_layout_independent(spark, sf_dir):
+    """dq11's claim: the fingerprint is a commutative SUM, so any
+    partitioning/layout of the same rows yields the same value."""
+    from pyspark.sql import functions as F
+    from realestate_engine.dedup import portable_hash32
+    from realestate_engine.registry import t
+
+    o = t(spark, sf_dir, "orders")
+    key = F.concat_ws(
+        ":",
+        F.col("o_orderkey").cast("string"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").cast("string"),
+    )
+    base = o.agg(F.sum(portable_hash32(key)).alias("fp")).first()["fp"]
+    shuffled = (
+        o.repartition(7, "o_custkey").agg(F.sum(portable_hash32(key)).alias("fp")).first()["fp"]
+    )
+    assert base == shuffled
+    row = {r["table_name"]: r["fingerprint"] for r in QUERIES["dq11_table_fingerprint"](spark, sf_dir).collect()}
+    assert row["orders"] == base
+
+
+def test_temperature_mixture_budget_accounting(spark, sf_dir):
+    """Selected counts per source never exceed the source size, and the
+    total never exceeds the target N (a source smaller than its budget
+    under-fills rather than over-samples)."""
+    from pyspark.sql import functions as F
+    from realestate_engine.registry import t
+    from realestate_engine.text import _TEMP_MIX_N
+
+    sel = QUERIES["corpus_temperature_mixture"](spark, sf_dir)
+    per_src = {r["source"]: r["n"] for r in sel.groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()}
+    sizes = {
+        r["source"]: r["n"]
+        for r in t(spark, sf_dir, "documents").groupBy("source").agg(F.count(F.lit(1)).alias("n")).collect()
+    }
+    assert sum(per_src.values()) <= _TEMP_MIX_N
+    for src, n in per_src.items():
+        assert n <= sizes[src]
