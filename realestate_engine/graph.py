@@ -467,9 +467,12 @@ def graph_kcore(spark: SparkSession, sf_dir: str) -> DataFrame:
         SELECT s AS src, c AS dst FROM pairs
     ),
     deg AS (SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY src),
+    mid AS (SELECT src FROM deg WHERE d <= 64),
     two_hop AS (
         SELECT e1.src AS a, e2.dst AS b, CAST(COUNT(*) AS BIGINT) AS n_common
-        FROM edges e1 JOIN edges e2 ON e1.dst = e2.src AND e1.src < e2.dst
+        FROM edges e1
+        JOIN mid m ON m.src = e1.dst
+        JOIN edges e2 ON e1.dst = e2.src AND e1.src < e2.dst
         GROUP BY 1, 2
     ),
     cand AS (
@@ -493,17 +496,31 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
     near-identical customer bases — the bipartite graph makes every
     2-hop pair same-side and thus never an existing edge; the anti
     join states the contract anyway). Candidates come from the 2-hop
-    join (the triangle-count shape — volume is sum of squared degrees,
-    bounded by the hub caps a real deployment puts on degree), common
-    counts and degrees are exact BIGINTs, and the Jaccard is
-    floor-scaled micro units. Top-50 via TakeOrdered."""
+    join, whose volume is the sum of SQUARED middle-node degrees — so
+    hub middle nodes (degree > 64) are excluded from candidate
+    generation, identically on both engines: without the cap one
+    sf0.1 hub contributed ~10^8 pairs and OOM'd the driver, and a
+    neighbor shared via a node everyone touches is no similarity
+    signal (the same argument as the containment join's df cap).
+    n_common therefore counts common NON-HUB neighbors; the Jaccard
+    denominators keep full degrees. Counts are exact BIGINTs, the
+    Jaccard floor-scaled micro units, top-50 via TakeOrdered."""
     edges = trade_edges(spark, sf_dir)
     e = cache_once(edges.repartition("src"))
     deg = e.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    # HUB CAP on the middle node: the 2-hop expansion is sum of deg(m)^2
+    # over common neighbors m, so one hub with degree 10^4 contributes
+    # 10^8 pairs (OOM'd the sweep at sf0.1 before the cap). Neighbors
+    # shared via a node everyone touches carry no similarity signal
+    # anyway (the df-cap argument from dedup_containment), so middle
+    # nodes above degree 64 are excluded from candidate generation;
+    # Jaccard denominators still use FULL degrees.
+    mid = deg.filter(F.col("d") <= 64).select(F.col("src").alias("m"))
     e1 = e.select(F.col("src").alias("a"), F.col("dst").alias("m"))
     e2 = e.select(F.col("src").alias("m"), F.col("dst").alias("b"))
     two_hop = (
-        e1.join(e2, "m")
+        e1.join(mid, "m", "left_semi")
+        .join(e2, "m")
         .where(F.col("a") < F.col("b"))
         .groupBy("a", "b")
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_common"))
