@@ -64,6 +64,17 @@ def create_session(
     if master:
         builder = builder.master(master)
     conf = dict(_BASE_CONF)
+    if master and master.startswith("local"):
+        # Spark's 1g default driver heap is the whole JVM in local mode;
+        # a long session (hundreds of queries, cached shingle/edge
+        # relations, accumulated broadcasts) exhausts it and then even a
+        # 16k-row broadcast build fails ("Not enough memory to build and
+        # broadcast"). Size the local JVM like the single machine it is.
+        # Only effective at JVM creation — getOrCreate on a live session
+        # keeps its existing heap.
+        conf.setdefault(
+            "spark.driver.memory", os.environ.get("SPARK_GRAFT_DRIVER_MEM", "8g")
+        )
     if shuffle_partitions is None:
         cpus = os.environ.get("SPARK_GRAFT_CPUS")
         if cpus and cpus.isdigit():
