@@ -369,12 +369,20 @@ def m8_smearing_inverse(spark: SparkSession, sf_dir: str) -> DataFrame:
 def m11_regression_metrics_sql(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M11: rmse/mae/r2 as pure-SQL aggregates so the oracle can verify
     the metric math (reference evaluator: src/models/train.py:126-150).
-    The 'model' here is the deterministic per-priority mean predictor."""
+    The 'model' here is the deterministic per-priority mean predictor.
+    yhat (5 per-priority means) and ybar (1 global mean) are computed as
+    aggregates and broadcast-joined back — no window funnels the raw
+    orders rows through a single task (the oracle's OVER() form is the
+    spec, not the plan)."""
     o = t(spark, sf_dir, "orders")
-    pred = o.select(
-        F.col("o_totalprice").alias("y"),
-        F.avg("o_totalprice").over(Window.partitionBy("o_orderpriority")).alias("yhat"),
-        F.avg("o_totalprice").over(Window.partitionBy()).alias("ybar"),
+    per_prio = o.groupBy("o_orderpriority").agg(
+        F.avg("o_totalprice").alias("yhat")
+    )
+    global_mean = o.agg(F.avg("o_totalprice").alias("ybar"))
+    pred = (
+        o.join(F.broadcast(per_prio), "o_orderpriority")
+        .crossJoin(F.broadcast(global_mean))
+        .select(F.col("o_totalprice").alias("y"), "yhat", "ybar")
     )
     err = F.col("y") - F.col("yhat")
     return pred.agg(
@@ -801,34 +809,83 @@ def f12_json_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("p10_stratified_sample")  # seeded-RNG sampling → rows-only + pytest invariants
+@register(
+    "p10_stratified_sample",
+    """
+    SELECT event_type, CAST(COUNT(*) AS BIGINT) AS n_sampled
+    FROM events
+    WHERE ('0x' || SUBSTR(MD5(CAST(event_id AS VARCHAR)), 1, 8))::BIGINT % 1000 <
+          CASE event_type WHEN 'click' THEN 200 WHEN 'view' THEN 200
+                          WHEN 'error' THEN 500 ELSE 1000 END
+    GROUP BY event_type
+    ORDER BY event_type
+    """,
+)
 def p10_stratified_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """P10: stratified sampling via sampleBy — the class-balancing
-    primitive of a training-data pipeline (downsample the dominant
-    event types, keep the rare ones). Seeded for reproducibility; exact
-    membership is RNG-implementation-specific, so the driver check is
-    rows-only and pytest asserts per-stratum fractions."""
+    """P10: stratified sampling — the class-balancing primitive of a
+    training-data pipeline (downsample the dominant event types, keep
+    the rare ones). Membership is decided by a portable multiplicative
+    hash of the row key against a per-stratum permille threshold, NOT a
+    seeded RNG: the sample is then reproducible across engines, retries
+    and stragglers (a re-executed task re-selects the SAME rows — the
+    property that makes downstream incremental joins against the sample
+    safe), and the driver hash-compares the per-stratum counts exactly.
+    sampleBy(fractions, seed) is the API analogue; this is its
+    deterministic production form. Same fractions: click/view 20%,
+    error 50%, signup/purchase 100%."""
     ev = t(spark, sf_dir, "events")
-    fractions = {"click": 0.2, "view": 0.2, "signup": 1.0, "purchase": 1.0, "error": 0.5}
+    h = (
+        F.conv(F.substring(F.md5(F.col("event_id").cast("string")), 1, 8), 16, 10)
+        .cast("bigint")
+        % 1000
+    )
+    threshold = (
+        F.when(F.col("event_type").isin("click", "view"), 200)
+        .when(F.col("event_type") == "error", 500)
+        .otherwise(1000)
+    )
     return (
-        ev.sampleBy("event_type", fractions, seed=42)
+        ev.filter(h < threshold)
         .groupBy("event_type")
-        .agg(F.count(F.lit(1)).alias("n_sampled"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_sampled"))
         .orderBy("event_type")
     )
 
 
-@register("p11_train_test_split")  # seeded-RNG split → rows-only + pytest invariants
+@register(
+    "p11_train_test_split",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_total,
+           CAST(0 AS BIGINT) AS n_overlap,
+           TRUE AS partition_complete,
+           TRUE AS train_frac_ok
+    FROM orders
+    """,
+)
 def p11_train_test_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     """P11: seeded randomSplit (the 80/20 of the reference's EP2,
-    notebooks/03) — returns split sizes plus a disjointness audit
-    (overlap must be 0, union must equal the source)."""
+    notebooks/03). The split memberships are RNG-implementation-
+    specific, so the driver-checked row reports the DETERMINISTIC
+    properties a split must satisfy — total size, zero train∩test
+    overlap, train∪test == source, and the realized train fraction
+    within 0.75..0.85 — as values/booleans the oracle states exactly
+    (a broken split flips one and fails the hash); pytest asserts the
+    same invariants numerically. For a hash-deterministic split see
+    p13_hash_split and dedup_leakage_safe_split."""
     o = t(spark, sf_dir, "orders")
     train, test = o.randomSplit([0.8, 0.2], seed=42)
+    n_train, n_test, n_total = train.count(), test.count(), o.count()
     overlap = train.select("o_orderkey").intersect(test.select("o_orderkey")).count()
     return spark.createDataFrame(
-        [(train.count(), test.count(), o.count(), overlap)],
-        "n_train long, n_test long, n_total long, n_overlap long",
+        [
+            (
+                n_total,
+                overlap,
+                n_train + n_test == n_total,
+                0.75 <= n_train / max(n_total, 1) <= 0.85,
+            )
+        ],
+        "n_total long, n_overlap long, partition_complete boolean, train_frac_ok boolean",
     )
 
 

@@ -245,8 +245,8 @@ def tpch_q11_important_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
     of global supplier account balance (s_acctbal plays ps_supplycost×
     ps_availqty). The 5% threshold compares pure integers
     (bal_cents × 20 > global_cents) — no float boundary. The global
-    scalar comes from an unpartitioned window over the already-reduced
-    per-nation rows (25 rows — negligible single-partition step)."""
+    scalar is a 1-row aggregate broadcast cross-joined back (same idiom
+    as tpch_q22) — no unpartitioned window, even over 25 rows."""
     s = t(spark, sf_dir, "supplier")
     n = t(spark, sf_dir, "nation")
     per_nation = (
@@ -254,10 +254,9 @@ def tpch_q11_important_balance(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("n_name")
         .agg(F.sum(_cents("s_acctbal")).alias("bal_cents"))
     )
+    global_sum = per_nation.agg(F.sum("bal_cents").alias("global_cents"))
     return (
-        per_nation.withColumn(
-            "global_cents", F.sum("bal_cents").over(Window.partitionBy())
-        )
+        per_nation.crossJoin(F.broadcast(global_sum))
         .filter(F.col("bal_cents") * 20 > F.col("global_cents"))
         .select("n_name", (F.col("bal_cents") / 100.0).alias("total_balance"))
         .orderBy("n_name")
@@ -316,9 +315,11 @@ def tpch_q13_customer_distribution(spark: SparkSession, sf_dir: str) -> DataFram
 def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q15 shape (view + max scalar subquery): the supplier(s)
     with peak quarterly revenue. The revenue 'view' is computed once
-    and reused for both the max scalar and the final filter (window MAX
-    over the reduced per-supplier rows); the tie on exact integer units
-    makes `= MAX` deterministic across engines."""
+    and reused for both the max scalar and the final filter; the max is
+    a 1-row aggregate broadcast cross-joined back (per-supplier rows
+    grow with scale, so no single-partition window over them), and the
+    tie on exact integer units makes `= MAX` deterministic across
+    engines."""
     li = t(spark, sf_dir, "lineitem").filter(
         (F.col("l_shipdate") >= F.lit("1996-01-01").cast("timestamp"))
         & (F.col("l_shipdate") < F.lit("1996-04-01").cast("timestamp"))
@@ -326,9 +327,10 @@ def tpch_q15_top_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     revenue = li.groupBy(F.col("l_suppkey").alias("supplier_no")).agg(
         F.sum(_rev_units()).alias("total_units")
     )
+    max_rev = revenue.agg(F.max("total_units").alias("max_units"))
     s = t(spark, sf_dir, "supplier")
     return (
-        revenue.withColumn("max_units", F.max("total_units").over(Window.partitionBy()))
+        revenue.crossJoin(F.broadcast(max_rev))
         .filter(F.col("total_units") == F.col("max_units"))
         .join(F.broadcast(s), F.col("supplier_no") == s.s_suppkey)
         .select(

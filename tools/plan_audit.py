@@ -8,6 +8,9 @@ Flags:
 - LocalTableScan / Scan ExistingRDD inside relational queries (a
   driver-materialized detour), except the intentional local-row source;
 - BatchEvalPython anywhere (row-at-a-time Python);
+- unpartitioned window specs (windowspecdefinition with zero partition
+  expressions — the whole input funnels through ONE task; DESIGN.md's
+  no-single-partition-window invariant, machine-enforced);
 - parquet scans with no pushed filters when the query filters the scan
   column (informational).
 
@@ -32,6 +35,9 @@ ALLOWED_CROSS = {
     "sim_ivf_kmeans_topk",
     "text_tfidf_top_term",  # broadcast 1-row n_docs count
     "m8_smearing_inverse",  # broadcast 1-row sigma aggregate
+    "m11_regression_metrics_sql",  # broadcast 1-row global-mean aggregate
+    "tpch_q11_important_balance",  # broadcast 1-row global-balance aggregate
+    "tpch_q15_top_supplier",  # broadcast 1-row max-revenue aggregate
     "m13_batch_predict",  # broadcast 1-row sigma aggregate
     "tpch_q22_sales_opportunity",  # broadcast 1-row avg-balance threshold
     "sim_pca_topk",  # broadcast 1-row reduced probe vector
@@ -48,6 +54,7 @@ ALLOWED_CROSS = {
     "m16_als_recommend",  # MLlib blocked factor cross join (top-k per block, by design)
     "m20_als_recall_eval",  # same MLlib blocked factor cross join inside recommend
     "a23_equidepth_histogram",  # broadcast 1-row decile cut array
+    "a18_hll_sketch_rollup",  # broadcast 1-row global exact-distinct onto the union row
     "m18_negative_sampling",  # broadcast 1-row item count + 4-row k range
     "x12_salted_join",  # broadcast 8-row salt range onto the dim side
     "dq5_benford_audit",  # broadcast 1-row total count
@@ -109,6 +116,60 @@ ALLOWED_LOCAL = {
 }
 
 
+# Queries allowed an unpartitioned window spec: none. Tiny ordered
+# frames use the broadcast non-equi self-join rank idiom instead
+# (ordered.exclusive_prefix_offsets et al.); if a future query truly
+# needs one over a provably O(10^2)-row frame, add it here WITH the
+# row-count justification.
+ALLOWED_UNPARTITIONED_WINDOW: set[str] = set()
+
+
+def _unpartitioned_window_specs(plan: str) -> int:
+    """Count windowspecdefinition(...) occurrences with ZERO partition
+    expressions. Grammar: windowspecdefinition(part..., order..., frame)
+    where order args carry ' ASC'/' DESC' and the frame arg starts with
+    'specifiedwindowframe'. A spec whose top-level args are only
+    order/frame has no partitioning -> the whole input hits one task."""
+    hits = 0
+    start = 0
+    needle = "windowspecdefinition("
+    while True:
+        i = plan.find(needle, start)
+        if i < 0:
+            break
+        j = i + len(needle)
+        depth = 1
+        args: list[str] = []
+        buf: list[str] = []
+        while j < len(plan) and depth > 0:
+            ch = plan[j]
+            if ch == "(":
+                depth += 1
+            elif ch == ")":
+                depth -= 1
+                if depth == 0:
+                    break
+            elif ch == "," and depth == 1:
+                args.append("".join(buf).strip())
+                buf = []
+                j += 1
+                continue
+            buf.append(ch)
+            j += 1
+        if buf:
+            args.append("".join(buf).strip())
+        start = j
+        has_partition = any(
+            not a.startswith("specifiedwindowframe")
+            and " ASC" not in a
+            and " DESC" not in a
+            for a in args
+        )
+        if not has_partition:
+            hits += 1
+    return hits
+
+
 def main() -> int:
     ap = argparse.ArgumentParser()
     ap.add_argument("--sf", default="/root/testdata/sf0.001")
@@ -142,6 +203,10 @@ def main() -> int:
                     problems.append(op)
         if "BatchEvalPython" in plan:
             problems.append("BatchEvalPython")
+        if name not in ALLOWED_UNPARTITIONED_WINDOW:
+            n_unpart = _unpartitioned_window_specs(plan)
+            if n_unpart:
+                problems.append(f"UnpartitionedWindow x{n_unpart}")
         if problems:
             hard_flags.append(f"{name}: {', '.join(problems)}")
             print(f"FLAG {name}: {', '.join(problems)}")
