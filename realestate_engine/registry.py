@@ -40,16 +40,53 @@ def register(name: str, sql: str | None = None) -> Callable[[QueryFn], QueryFn]:
     return deco
 
 
-def stable_tmp(name: str) -> str:
-    """Stable per-query scratch directory (not mkdtemp): repeated
-    bench/correctness runs overwrite ONE directory instead of
-    accumulating temp dirs, and the identical path keeps any cached
-    scan's canonicalized plan shared across runs. Safe because every
-    sink that round-trips through it writes mode('overwrite')."""
-    import os
-    import tempfile
+_STABLE_ROOT: str | None = None
 
-    out = os.path.join(tempfile.gettempdir(), f"re_{name}")
+
+def _stable_root() -> str:
+    """Session-private root for all scratch dirs: namespaced by user +
+    repo checkout + PID (mode 0o700, ownership-checked, rmtree'd at
+    exit). Concurrent processes — pytest alongside check_oracle, the
+    driver alongside bench — get disjoint roots, so streaming
+    checkpoints and sink round-trips can't clobber each other's state
+    stores, and another user on a shared host can't pre-seed a
+    predictable /tmp path that we'd read back as query results."""
+    global _STABLE_ROOT
+    if _STABLE_ROOT is None:
+        import atexit
+        import getpass
+        import hashlib
+        import os
+        import shutil
+        import tempfile
+
+        repo = os.path.dirname(os.path.dirname(os.path.abspath(__file__)))
+        tag = hashlib.md5(repo.encode()).hexdigest()[:8]
+        root = os.path.join(
+            tempfile.gettempdir(),
+            f"re_{getpass.getuser()}_{tag}_{os.getpid()}",
+        )
+        os.makedirs(root, mode=0o700, exist_ok=True)
+        st = os.stat(root)
+        if hasattr(os, "getuid") and st.st_uid != os.getuid():
+            raise RuntimeError(f"scratch root {root} not owned by this user")
+        os.chmod(root, 0o700)
+        atexit.register(shutil.rmtree, root, ignore_errors=True)
+        _STABLE_ROOT = root
+    return _STABLE_ROOT
+
+
+def stable_tmp(name: str) -> str:
+    """Stable per-query scratch directory (not mkdtemp): within one
+    process, repeated bench/correctness runs overwrite ONE directory
+    instead of accumulating temp dirs, and the identical path keeps any
+    cached scan's canonicalized plan shared across runs. Safe because
+    every sink that round-trips through it writes mode('overwrite'),
+    and the per-process root (see _stable_root) isolates concurrent
+    sessions."""
+    import os
+
+    out = os.path.join(_stable_root(), f"re_{name}")
     os.makedirs(out, exist_ok=True)
     return out
 

@@ -535,10 +535,17 @@ def st_foreachbatch_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
     w = Window.partitionBy("user_id").orderBy(F.col("ts").desc(), F.col("event_id").desc())
 
     def merge_batch(batch_df: DataFrame, batch_id: int) -> None:
+        import os
+
+        from pyspark.errors import AnalysisException
+
         s = batch_df.sparkSession
         try:
             current = s.read.parquet(state_dir)
-        except Exception:  # first batch: no state yet
+            current.schema  # force resolution so a missing dir raises HERE
+        except AnalysisException:  # first batch: no state yet; any
+            # other failure (transient IO, corrupt file) must propagate
+            # rather than silently resetting state to the current batch
             current = None
         merged = batch_df if current is None else current.unionByName(batch_df)
         latest = (
@@ -546,12 +553,16 @@ def st_foreachbatch_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
             .filter(F.col("rn") == 1)
             .drop("rn")
         )
-        # materialize BEFORE overwrite: the plan reads the same dir it
-        # replaces
-        out = latest.cache()
-        out.count()
-        out.write.mode("overwrite").parquet(state_dir)
-        out.unpersist()
+        # write the merged state to a sibling dir, then swap: the merge
+        # plan never writes over the directory it is reading (cache()
+        # would not guarantee that — an evicted block recomputes against
+        # the dir mid-delete). The swap itself is two fast metadata ops
+        # with no reader in flight; on a lakehouse table this whole
+        # callback is a single atomic MERGE INTO instead.
+        next_dir = state_dir + "_next"
+        latest.write.mode("overwrite").parquet(next_dir)
+        shutil.rmtree(state_dir, ignore_errors=True)
+        os.rename(next_dir, state_dir)
 
     q = (
         streamify(spark, src, ev.schema)
