@@ -1045,7 +1045,7 @@ _CONTAINMENT_NUM, _CONTAINMENT_DEN = 8, 10  # threshold 0.8 as exact ratio
     SELECT s.id_a AS doc_id, s.id_b AS container_id,
            CAST(s.n_shared AS BIGINT) AS n_shared,
            CAST(z.sz AS BIGINT) AS n_shingles,
-           ROUND(CAST(s.n_shared AS DOUBLE) / z.sz, 6) AS containment
+           CAST(FLOOR(CAST(s.n_shared AS DOUBLE) / z.sz * 1e6) AS BIGINT) AS containment_micro
     FROM shared s JOIN sizes z ON z.doc_id = s.id_a
     WHERE s.n_shared * {_CONTAINMENT_DEN} >= {_CONTAINMENT_NUM} * z.sz
     ORDER BY doc_id, container_id
@@ -1094,7 +1094,12 @@ def dedup_containment(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("id_b").alias("container_id"),
             F.col("n_shared").cast("bigint").alias("n_shared"),
             F.col("sz").cast("bigint").alias("n_shingles"),
-            F.round(F.col("n_shared") / F.col("sz"), 6).alias("containment"),
+            # FLOOR-scaled micro units, not ROUND(x, 6): a ratio of
+            # small integers can land exactly on a 6-decimal half,
+            # where Spark (BigDecimal HALF_UP) and DuckDB (multiply-
+            # based double round) disagree by 1; the single IEEE
+            # division is bit-identical, so FLOOR is deterministic
+            F.floor(F.col("n_shared") / F.col("sz") * 1e6).cast("bigint").alias("containment_micro"),
         )
         .orderBy("doc_id", "container_id")
     )

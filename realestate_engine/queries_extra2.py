@@ -1091,7 +1091,11 @@ def dq9_referential_integrity(spark: SparkSession, sf_dir: str) -> DataFrame:
     UNION ALL
     SELECT 'lineitem.(l_orderkey,l_linenumber,l_suppkey,l_partkey)',
            CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT),
-           CAST((SELECT COUNT(DISTINCT (l_orderkey, l_linenumber, l_suppkey, l_partkey)) FROM lineitem) AS BIGINT)
+           CAST((SELECT COUNT(DISTINCT CONCAT(
+                    COALESCE(CAST(l_orderkey AS VARCHAR), chr(1)), ':',
+                    COALESCE(CAST(l_linenumber AS VARCHAR), chr(1)), ':',
+                    COALESCE(CAST(l_suppkey AS VARCHAR), chr(1)), ':',
+                    COALESCE(CAST(l_partkey AS VARCHAR), chr(1)))) FROM lineitem) AS BIGINT)
     UNION ALL
     SELECT 'nation.n_nationkey',
            CAST((SELECT COUNT(*) FROM nation) AS BIGINT),
@@ -1141,10 +1145,26 @@ def dq10_uniqueness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     ]
     parts = []
     for pk, table, cols in keys:
+        if len(cols) == 1:
+            # single-column: COUNT(DISTINCT col) skips NULLs
+            # identically in both engines
+            key_count = F.count_distinct(F.col(cols[0]))
+        else:
+            # multi-column: Spark's count_distinct drops a tuple if ANY
+            # field is null, DuckDB's row-tuple distinct keeps it — the
+            # exact condition a uniqueness audit must detect. Canonical
+            # sentinel key (chr(1) per null field) agrees on both sides
+            # and counts null-bearing tuples as distinct keys.
+            key_count = F.count_distinct(
+                F.concat_ws(
+                    ":",
+                    *[F.coalesce(F.col(c).cast("string"), F.lit("\x01")) for c in cols],
+                )
+            )
         parts.append(
             t(spark, sf_dir, table).agg(
                 F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-                F.count_distinct(*[F.col(c) for c in cols]).cast("bigint").alias("n_keys"),
+                key_count.cast("bigint").alias("n_keys"),
             ).select(F.lit(pk).alias("pk"), "n_rows", "n_keys")
         )
     out = parts[0]

@@ -587,13 +587,14 @@ _RRF_TOPN = 50
         FROM scored QUALIFY rnk <= {_RRF_TOPN}
     ),
     fused AS (
-        SELECT doc_id, SUM(1.0 / ({_RRF_K} + rnk)) AS rrf
+        SELECT doc_id,
+               CAST(SUM(CAST(FLOOR(1e6 / ({_RRF_K} + rnk)) AS BIGINT)) AS BIGINT) AS rrf_micro
         FROM (SELECT * FROM top_a UNION ALL SELECT * FROM top_b)
         GROUP BY doc_id
     )
-    SELECT doc_id, ROUND(rrf, 6) AS rrf_score
+    SELECT doc_id, rrf_micro
     FROM fused
-    ORDER BY rrf_score DESC, doc_id
+    ORDER BY rrf_micro DESC, doc_id
     LIMIT 20
     """,
 )
@@ -659,9 +660,18 @@ def sim_reciprocal_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
         topn_ranked("shared_words")
         .unionByName(topn_ranked("shared_bigrams"))
         .groupBy("doc_id")
-        .agg(F.round(F.sum(1.0 / (_RRF_K + F.col("rnk"))), 6).alias("rrf_score"))
+        # per-term FLOOR(1e6/(k+rank)) summed as integers: one IEEE
+        # division per term is bit-identical cross-engine, and the
+        # integer sum is order-free — unlike a float sum ROUNDed to 6
+        # decimals, which can flip at a decimal half-boundary when
+        # summation order differs between engines
+        .agg(
+            F.sum(F.floor(F.lit(1e6) / (_RRF_K + F.col("rnk"))).cast("bigint"))
+            .cast("bigint")
+            .alias("rrf_micro")
+        )
     )
-    return fused.orderBy(F.col("rrf_score").desc(), "doc_id").limit(20)
+    return fused.orderBy(F.col("rrf_micro").desc(), "doc_id").limit(20)
 
 
 def _recall_oracle() -> str:
