@@ -497,31 +497,58 @@ def f15_explode_outer(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("doc_id", "word")
 
 
-@register("a18_hll_sketch_rollup")  # sketch bytes are impl-specific → rows-only
+@register(
+    "a18_hll_sketch_rollup",
+    """
+    SELECT o_orderpriority,
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS exact_distinct,
+           TRUE AS est_within_5pct
+    FROM orders GROUP BY o_orderpriority
+    UNION ALL
+    SELECT 'ALL',
+           CAST(COUNT(DISTINCT o_custkey) AS BIGINT),
+           TRUE
+    FROM orders
+    ORDER BY o_orderpriority
+    """,
+)
 def a18_hll_sketch_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     """A18: mergeable HLL sketches (DataSketches) — per-priority
     distinct-customer sketches unioned into a global estimate WITHOUT
     re-scanning the fact table. This is the 100 TB distinct-count
     pattern: partial sketches combine associatively across partitions,
     days, or pre-aggregated rollup tables (exact COUNT(DISTINCT) can't
-    be rolled up; re-aggregating counts double-counts). pytest asserts
-    the estimates sit within HLL's error envelope of the exact counts."""
+    be rolled up; re-aggregating counts double-counts). The estimate
+    bytes are impl-specific, so the driver-checked row carries the
+    exact count plus a WITHIN-5%-of-exact boolean per group AND for
+    the sketch-union 'ALL' row (the oracle states TRUE — a drifting
+    sketch or a broken union flips it and fails the hash); pytest
+    additionally asserts the numeric error envelope."""
     o = t(spark, sf_dir, "orders")
     per_group = o.groupBy("o_orderpriority").agg(
         F.hll_sketch_agg("o_custkey").alias("sk"),
-        # exact counts ride along for the pytest error-bound check only;
-        # the rollup itself never touches them
         F.countDistinct("o_custkey").cast("bigint").alias("exact_distinct"),
     )
+
+    def ok(est, exact):
+        return F.abs(est - exact) <= F.greatest(F.lit(2), exact.cast("double") * 0.05)
+
+    est = F.hll_sketch_estimate("sk").cast("bigint")
     per = per_group.select(
         "o_orderpriority",
-        F.hll_sketch_estimate("sk").cast("bigint").alias("est_distinct"),
         "exact_distinct",
+        ok(est, F.col("exact_distinct")).alias("est_within_5pct"),
     )
-    rolled = per_group.agg(
-        F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("bigint").alias("est_distinct"),
-        F.max(F.lit(None).cast("bigint")).alias("exact_distinct"),
-    ).select(F.lit("ALL").alias("o_orderpriority"), "est_distinct", "exact_distinct")
+    global_exact = o.agg(F.countDistinct("o_custkey").cast("bigint").alias("exact_distinct"))
+    rolled = (
+        per_group.agg(F.hll_sketch_estimate(F.hll_union_agg("sk")).cast("bigint").alias("est"))
+        .crossJoin(F.broadcast(global_exact))
+        .select(
+            F.lit("ALL").alias("o_orderpriority"),
+            "exact_distinct",
+            ok(F.col("est"), F.col("exact_distinct")).alias("est_within_5pct"),
+        )
+    )
     return per.unionByName(rolled).orderBy("o_orderpriority")
 
 
@@ -2334,7 +2361,9 @@ def ps1_pandas_api_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     psdf = o.pandas_api()
     agg = psdf.groupby("o_orderpriority").agg(n=("cents", "count"), sum_cents=("cents", "sum"))
-    out = agg.reset_index().to_spark()
+    # index_col materializes the group key from the ps index directly —
+    # no reset_index + default-index warning on the to_spark boundary
+    out = agg.to_spark(index_col="o_orderpriority")
     return out.select(
         "o_orderpriority",
         F.col("n").cast("bigint").alias("n"),

@@ -274,25 +274,68 @@ def m14_multiclass_classification(spark: SparkSession, sf_dir: str) -> DataFrame
     )
 
 
-@register("m15_text_featurization")  # MLlib fit state (vocab order ties) → rows-only
+@register(
+    "m15_text_featurization",
+    r"""
+    WITH toks AS (
+        SELECT doc_id,
+               LIST_FILTER(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+'),
+                           x -> LEN(x) > 0) AS tk
+        FROM documents
+    ),
+    doc_terms AS (
+        SELECT doc_id, UNNEST(LIST_DISTINCT(tk)) AS term FROM toks
+    ),
+    df AS (
+        SELECT term, COUNT(*) AS df FROM doc_terms GROUP BY term
+    ),
+    vocab AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS v FROM df
+    ),
+    ndocs AS (
+        SELECT COUNT(*) AS n FROM documents
+    ),
+    nnz AS (
+        SELECT dt.doc_id, CAST(COUNT(*) AS BIGINT) AS nnz
+        FROM doc_terms dt JOIN df USING (term), ndocs
+        WHERE df.df < ndocs.n
+        GROUP BY dt.doc_id
+    )
+    SELECT t.doc_id,
+           vocab.v AS vocab_size,
+           vocab.v AS dim,
+           COALESCE(nnz.nnz, 0) AS nnz,
+           CAST(LEN(t.tk) AS BIGINT) AS n_tokens,
+           TRUE AS norm_ok
+    FROM toks t
+    CROSS JOIN vocab
+    LEFT JOIN nnz ON nnz.doc_id = t.doc_id
+    ORDER BY t.doc_id
+    """,
+)
 def m15_text_featurization(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M15: the MLlib text-featurization pipeline — Tokenizer →
+    """M15: the MLlib text-featurization pipeline — RegexTokenizer →
     CountVectorizer (corpus-fit vocabulary) → IDF (log((n+1)/(df+1))
     down-weighting) → Normalizer (L2) — the classic sparse-vector
     text representation (the distributed counterpart of the manual
-    oracle-checked TF-IDF in text.py:103). Per-doc invariants are
-    returned as columns (vector dimension == fitted vocab size; L2
-    norm == 1 within fp tolerance; nnz <= tokens) and asserted in
-    pytest; the fitted vocabulary ORDER is count-tie-arbitrary, so
-    scores are rows-only rather than hash-compared."""
+    oracle-checked TF-IDF in text.py:103). The fitted vocabulary ORDER
+    is count-tie-arbitrary, so raw scores can't hash-compare; instead
+    the driver-checked row carries the deterministic consequences of a
+    correct fit — vocab size == corpus distinct tokens, vector dim ==
+    vocab size, per-doc nnz == distinct tokens whose df < n_docs (an
+    everywhere-token gets idf 0 and drops out), token count, and the
+    L2-norm==1 invariant as a boolean the oracle states TRUE."""
     from pyspark.ml import Pipeline as MLPipeline
-    from pyspark.ml.feature import CountVectorizer, IDF, Normalizer, Tokenizer
+    from pyspark.ml.feature import CountVectorizer, IDF, Normalizer, RegexTokenizer
 
     docs = t(spark, sf_dir, "documents").select("doc_id", F.lower(F.trim("text")).alias("text"))
     pipe = MLPipeline(
         stages=[
-            Tokenizer(inputCol="text", outputCol="tokens"),
-            CountVectorizer(inputCol="tokens", outputCol="tf", minDF=1.0),
+            # \s+ with minTokenLength=1 (default) == the oracle's
+            # split+filter; the simple Tokenizer splits on single \s,
+            # which manufactures empty tokens on doubled whitespace
+            RegexTokenizer(inputCol="text", outputCol="tokens", pattern=r"\s+"),
+            CountVectorizer(inputCol="tokens", outputCol="tf", minDF=1.0, vocabSize=1 << 20),
             IDF(inputCol="tf", outputCol="tfidf"),
             Normalizer(inputCol="tfidf", outputCol="features", p=2.0),
         ]
@@ -301,15 +344,17 @@ def m15_text_featurization(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab_size = len(fitted.stages[1].vocabulary)
     out = fitted.transform(docs)
     arr = vector_to_array(F.col("features"))
+    nnz = F.aggregate(
+        arr, F.lit(0).cast("bigint"), lambda acc, v: acc + F.when(v != 0.0, 1).otherwise(0)
+    )
+    sq_norm = F.aggregate(arr, F.lit(0.0), lambda acc, v: acc + v * v)
     return out.select(
         "doc_id",
         F.lit(vocab_size).cast("bigint").alias("vocab_size"),
         F.size(arr).cast("bigint").alias("dim"),
-        F.aggregate(
-            arr, F.lit(0).cast("bigint"), lambda acc, v: acc + F.when(v != 0.0, 1).otherwise(0)
-        ).alias("nnz"),
-        F.aggregate(arr, F.lit(0.0), lambda acc, v: acc + v * v).alias("sq_norm"),
+        nnz.alias("nnz"),
         F.size("tokens").cast("bigint").alias("n_tokens"),
+        ((nnz == 0) | (F.abs(sq_norm - 1.0) < 1e-9)).alias("norm_ok"),
     ).orderBy("doc_id")
 
 

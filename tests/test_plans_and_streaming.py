@@ -217,8 +217,8 @@ def test_stratified_sample_fractions(spark, sf_dir):
 def test_train_test_split_disjoint_and_complete(spark, sf_dir):
     row = QUERIES["p11_train_test_split"](spark, sf_dir).first()
     assert row.n_overlap == 0
-    assert row.n_train + row.n_test == row.n_total
-    assert 0.7 < row.n_train / row.n_total < 0.9
+    assert row.partition_complete
+    assert row.train_frac_ok
 
 
 def test_foreach_batch_sink_roundtrip(spark, sf_dir, tmp_path):
