@@ -22,47 +22,48 @@ registry.load_all()
 
 # The first entries of queries() are the driver's 50-query correctness
 # window. The driver caps CORRECTNESS_r{N}.json at 50 entries, so the
-# window ROTATES each round to accumulate driver-verified coverage:
-# round 3 verified the per-family representatives (all green, see
-# CORRECTNESS_r03.json); round 4 leads with the queries whose oracles
-# or plans are NEW this round (minhash/simhash/LSH-ANN/packing/aHash/
-# scene-cut upgraded from rows-only to full oracles; dq8/m23 and the
-# tiny-frame windows rebuilt on prefix sums; the brand-new k-core,
-# containment, temperature-mixture, leakage-safe-split, stream-stream
-# join, foreachBatch-upsert and referential-integrity operators) and
-# fills the rest with oracle-checked queries no driver round has seen
-# yet — 48 of 50 entries are new vs r03. The remaining queries follow
-# in registration order. TPC-H q2/q8/q13/q15/q17/q22 and x11 rotate
-# into round 5's window (all green in the local full sweep).
+# window ROTATES each round to accumulate driver-verified coverage
+# (rounds 2-4 verified 114 distinct queries — see COVERAGE.md's
+# driver-window ledger). Round 5 leads with the queries whose plans or
+# result columns CHANGED this round (the three de-funneled windows
+# m11/q11/q15; containment + RRF moved to FLOOR-scaled micro columns;
+# dq10's null-exact key; the atomic-swap foreachBatch sink; ps1's
+# index_col), then the TPC-H shapes promised last round
+# (q2/q8/q13/q17/q22 + x11), the newest operators, and fills with
+# oracle-checked queries no driver round has seen — 46 of 50 entries
+# are new vs r01-r04. The remaining queries follow in registration
+# order.
 _WINDOW = [
     "flagship_revenue_by_nation",
-    # upgraded rows-only -> full oracle this round (portable hash family)
-    "dedup_minhash_lsh", "dedup_minhash_incremental", "dedup_simhash",
-    "sim_lsh_ann",
-    # plans rebuilt this round (no single-partition windows anywhere)
-    "dq8_id_gap_islands", "m23_roc_auc_ranksum", "x20_cdc_apply",
-    "f16_mom_growth", "a33_runs_test", "ts_cusum_changepoints",
-    "p14_dense_reid", "s22_csv_malformed_modes", "dedup_clusters_twostar",
-    "corpus_token_budget", "x18_systematic_pps_sample",
-    # never driver-verified: TPC-H core
-    "tpch_q1_pricing_summary", "tpch_q3_shipping_priority",
-    "tpch_q5_region_revenue", "tpch_q7_nation_volume",
-    "tpch_q9_product_profit", "tpch_q18_large_orders",
-    "tpch_q21_waiting_supplier",
-    # upgraded rows-only -> full oracle / brand-new this round
-    "pack_documents_greedy", "mm_ahash_neardup", "mm_scene_cut",
-    "st_stateful_running_totals", "s24_bucketed_join_no_shuffle",
-    "graph_kcore", "dedup_containment", "corpus_temperature_mixture",
-    "dedup_leakage_safe_split", "st_stream_stream_join",
-    "st_foreachbatch_upsert_sink", "dq9_referential_integrity",
-    # never driver-verified: dedup / text / similarity north-star
-    "dedup_ngram_jaccard", "dedup_embedding_cosine", "dedup_clusters",
-    "text_token_count", "text_quality_score", "text_langid",
-    "text_contamination_ngrams", "corpus_clean_pipeline",
-    # never driver-verified: streaming / temporal / graph / windows
-    "st_sliding_window", "st_session_window", "st_watermark_dedup",
-    "range_join_clicks_before_purchase", "graph_pagerank_trade",
-    "graph_triangle_count", "scd2_intervals",
+    # changed this round (re-verify under the driver)
+    "m11_regression_metrics_sql", "tpch_q11_important_balance",
+    "tpch_q15_top_supplier", "dedup_containment",
+    "sim_reciprocal_rank_fusion", "dq10_uniqueness_audit",
+    "st_foreachbatch_upsert_sink", "ps1_pandas_api_groupby",
+    # promised in round 4: remaining TPC-H shapes + point-in-time
+    "tpch_q2_min_cost_supplier", "tpch_q8_market_share",
+    "tpch_q13_customer_distribution", "tpch_q17_small_quantity_revenue",
+    "tpch_q22_sales_opportunity", "x11_point_in_time_features",
+    # newest operators (round-4 additions, never driver-verified)
+    "text_langid_confusion", "m29_lift_gains_table",
+    "m27_ndcg_ranking_eval", "j9_interval_overlap_join", "ts_holt_int",
+    "text_cdc_chunk_dedup", "mm_keyframe_select",
+    # never driver-verified: remaining TPC-H + stats/ML
+    "tpch_q16_supplier_count", "tpch_q20_potential_promotion",
+    "a34_weighted_median_prefix", "m25_kmeans_fixed_point",
+    "m26_ols_normal_equations", "m28_confusion_matrix",
+    # never driver-verified: similarity / text north-star
+    "sim_ivf_cells", "sim_matryoshka_topk", "sim_hard_negatives",
+    "sim_ann_recall_report", "text_bm25_ranking", "text_sparse_dot_pairs",
+    "corpus_global_shuffle", "corpus_source_overlap",
+    # never driver-verified: temporal / CDC / graph
+    "x7_upsert_keep_latest", "x10_join_ivm", "x13_scd2_lookup",
+    "graph_label_propagation", "graph_personalized_pagerank",
+    "graph_link_prediction", "ts_gapfill_locf", "ts_sessionize_gap",
+    # never driver-verified: multimodal / sources / SQL surface / DQ
+    "mm_png_decode", "mm_frame_sample", "s17_python_datasource",
+    "sql_recursive_reachability", "dq11_table_fingerprint",
+    "ev7_rfm_segmentation",
 ]
 
 

@@ -54,9 +54,20 @@ HEADLINE = [
 ]
 
 
+def _loadavg() -> list[float] | None:
+    """1/5/15-min load averages, so a bench JSON recorded on a
+    contended box carries its own discount factor (the r4 record was
+    +40% purely from machine load)."""
+    try:
+        return [round(x, 2) for x in os.getloadavg()]
+    except OSError:
+        return None
+
+
 def main() -> None:
     sf_dir = os.environ.get("SPARK_GRAFT_SF_DIR", "/root/testdata/sf0.1")
     cpus = os.environ.get("SPARK_GRAFT_CPUS", "32")
+    loadavg_start = _loadavg()
 
     from realestate_engine.registry import QUERIES, load_all
     from realestate_engine.session import create_session
@@ -139,6 +150,8 @@ def main() -> None:
                 "unit": "sec",
                 "queries": timings,
                 "sf": sf_val,
+                "loadavg_start": loadavg_start,
+                "loadavg_end": _loadavg(),
                 "duckdb": duck,
                 "duckdb_total": round(sum(duck.values()), 3),
                 # keep the comparison honest in BOTH directions: the

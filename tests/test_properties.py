@@ -176,3 +176,39 @@ def test_pack_greedy_property(spark, tokens, budget, n_shards):
         members[pid] = members.get(pid, 0) + 1
     for pid, f in fills.items():
         assert f <= budget or members[pid] == 1
+
+
+@given(
+    st.lists(st.integers(min_value=1, max_value=5), min_size=10, max_size=40),
+)
+@settings(max_examples=15, deadline=None, suppress_health_check=[HealthCheck.function_scoped_fixture])
+def test_ev11_pareto_tie_semantics(spark, cents_per_user):
+    """ev11's strict `cents > p90` must EXCLUDE users sitting exactly on
+    the p90 cut — the docstring's tie claim, pinned. With few distinct
+    values ties on the discrete p90 are guaranteed to occur."""
+    import os
+    import tempfile
+
+    from realestate_engine.queries_extra2 import ev11_pareto_concentration
+
+    d = tempfile.mkdtemp(prefix="ev11_tie_")
+    rows = [(i, c / 100.0) for i, c in enumerate(cents_per_user)]
+    spark.createDataFrame(rows, "o_custkey long, o_totalprice double").write.mode(
+        "overwrite"
+    ).parquet(os.path.join(d, "orders.parquet"))
+
+    got = ev11_pareto_concentration(spark, d).collect()[0]
+
+    # exact discrete p90 over per-user cents (one row per user here)
+    s = sorted(cents_per_user)
+    p90 = s[max(0, -(-len(s) * 9 // 10) - 1)]  # quantile_disc lower interpolation
+    top = [c for c in cents_per_user if c > p90]
+    assert got["n_users"] == len(cents_per_user)
+    assert got["n_top"] == len(top)
+    assert got["top_cents"] == sum(top)
+    assert got["total_cents"] == sum(cents_per_user)
+    # the tie rows (== p90) sit in the denominator, never in the top:
+    # n_top counts strictly-above values only (checked exactly above),
+    # so with ties present n_top < 10% of users whenever p90 repeats
+    if cents_per_user.count(p90) > 0:
+        assert got["n_top"] == sum(1 for c in cents_per_user if c > p90)
