@@ -61,7 +61,8 @@ _WINDOW = [
     "graph_label_propagation", "graph_personalized_pagerank",
     "graph_link_prediction", "ts_gapfill_locf", "ts_sessionize_gap",
     # never driver-verified: multimodal / sources / SQL surface / DQ
-    "mm_png_decode", "mm_frame_sample", "s17_python_datasource",
+    # (mm_jpeg_roundtrip is round 5's new baseline-DCT codec)
+    "mm_png_decode", "mm_jpeg_roundtrip", "s17_python_datasource",
     "sql_recursive_reachability", "dq11_table_fingerprint",
     "ev7_rfm_segmentation",
 ]

@@ -5,10 +5,12 @@ alongside; decode / feature-extract run as Arrow-batched
 ``mapInPandas`` so each Python worker touches a whole batch at once.
 PNG decode is REAL since round 4 (pure-stdlib zlib inflate + scanline
 defilter, ``decode_png``; encoder twin ``encode_png``), exercised
-end-to-end by the oracle-checked ``mm_png_decode`` round trip. JPEG
-and real audio/video containers remain honestly stubbed behind
-``NotImplementedError`` (no DCT/codec libs in this container); the
-deterministic byte-keyed fake covers plumbing tests. Everything
+end-to-end by the oracle-checked ``mm_png_decode`` round trip; JPEG
+decode is REAL since round 5 (pure-stdlib baseline DCT in jpeg.py,
+oracle-checked ``mm_jpeg_roundtrip``). Real audio/video containers
+remain honestly stubbed behind ``NotImplementedError`` (no codec libs
+in this container); the deterministic byte-keyed fake covers
+non-image plumbing tests. Everything
 Spark-side is real either way: the binary schema, the mapInPandas
 signature, batch iteration, and the output schema contract.
 
@@ -149,15 +151,20 @@ def encode_png(width: int, height: int, rgb: bytes) -> bytes:
 
 def decode_image_stub(payload: bytes) -> dict:
     """Decoder dispatch: PNG payloads get the REAL pure-stdlib decode
-    above (round 4 — the stub era's honest NotImplementedError is gone
-    for PNG); JPEG still raises (no stdlib inflate path exists for
-    DCT); anything else falls back to the deterministic fake keyed on
-    byte content, so plumbing tests need no codec at all. A production
+    above (round 4); JPEG payloads get the REAL baseline-DCT decode in
+    jpeg.py (round 5 — Annex K tables, Huffman, IDCT, 4:2:0 upsample,
+    restart markers; the last honest stub on the image path is gone);
+    anything else falls back to the deterministic fake keyed on byte
+    content, so plumbing tests need no codec at all. A production
     deployment swaps in PIL/OpenCV by replacing ONLY this function."""
     if payload[:8] == _PNG_MAGIC:
         return decode_png(payload)
     if payload[:3] == b"\xff\xd8\xff":
-        raise NotImplementedError("JPEG decode requires a real codec library")
+        from realestate_engine.jpeg import decode_jpeg
+
+        out = decode_jpeg(payload)
+        out.pop("rgb", None)  # feature dict carries stats, not pixels
+        return out
     n = len(payload)
     return {
         "n_bytes": n,
@@ -257,6 +264,88 @@ def mm_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     return feats.select(
         "doc_id", "width", "height", "channels", "mean_intensity"
     ).orderBy("doc_id")
+
+
+_JPEG_W, _JPEG_H = 24, 16
+
+
+@register(
+    "mm_jpeg_roundtrip",
+    f"""
+    SELECT doc_id,
+           CAST({_JPEG_W} AS INTEGER) AS width,
+           CAST({_JPEG_H} AS INTEGER) AS height,
+           CAST(3 AS INTEGER) AS channels,
+           TRUE AS mae_ok,
+           TRUE AS max_err_ok
+    FROM documents WHERE doc_id < 48 ORDER BY doc_id
+    """,
+)
+def mm_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL lossy-codec round trip (round 5 — the last image stub is
+    gone): per doc, a smooth deterministic RGB raster (x/y gradients +
+    a doc-keyed constant blue plane) is JPEG-ENCODED with the
+    pure-stdlib baseline-DCT codec in jpeg.py — cycling through 4:4:4,
+    4:2:0 box-subsampled chroma, and restart-marker variants by doc id
+    so every decoder path runs distributed — then JPEG-DECODED in the
+    same Arrow batch. JPEG is lossy, so the oracle states the exact
+    header facts (dims, channels) plus reconstruction-error bounds as
+    booleans (MAE <= 6, max <= 32 per channel over the raster;
+    quality 85 on smooth content sits far inside both): a broken DCT,
+    Huffman table, upsampler, or restart resync flips a hash-compared
+    value. The reference's image recipe (reference README.md:96-114)
+    assumes exactly this decode step before embedding."""
+    from realestate_engine.jpeg import decode_jpeg, encode_jpeg
+
+    w, h = _JPEG_W, _JPEG_H
+
+    def roundtrip(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                rgb = bytes(
+                    v
+                    for y in range(h)
+                    for x in range(w)
+                    for v in (
+                        (x * 255) // (w - 1),
+                        (y * 255) // (h - 1),
+                        (d * 37) % 256,
+                    )
+                )
+                payload = encode_jpeg(
+                    w, h, rgb, quality=85,
+                    subsample=(d % 2 == 1),
+                    restart_interval=(2 if d % 3 == 0 else 0),
+                )
+                out = decode_jpeg(payload)
+                dec = out["rgb"]
+                errs = [abs(dec[i] - rgb[i]) for i in range(len(rgb))]
+                rows.append(
+                    (
+                        d,
+                        out["width"],
+                        out["height"],
+                        out["channels"],
+                        sum(errs) / len(errs) <= 6.0,
+                        max(errs) <= 32,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "channels", "mae_ok", "max_err_ok"],
+            )
+
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 48).select("doc_id")
+    return (
+        d.repartition(8, "doc_id")
+        .mapInPandas(
+            roundtrip,
+            "doc_id long, width int, height int, channels int, mae_ok boolean, max_err_ok boolean",
+        )
+        .orderBy("doc_id")
+    )
 
 
 @register(
@@ -372,10 +461,15 @@ def resize_image_stub(payload: bytes, w: int, h: int) -> bytes:
     """STUB resize — deterministic byte-level downsample standing in
     for a real resampling kernel: w*h 'pixels' taken at evenly spaced
     byte offsets (nearest-neighbor over the byte stream). A production
-    deployment swaps ONLY this function for a real codec+resampler;
+    deployment swaps ONLY this function for a real codec+resampler
+    (the repo's own decode_png / jpeg.decode_jpeg give the raster;
+    this stage's oracle-checked contract is byte-stream sampling);
     batch shape, schema, and partitioning are unchanged."""
     if payload[:4] in (b"\x89PNG", b"\xff\xd8\xff\xe0"):
-        raise NotImplementedError("real image codecs are stubbed in this environment")
+        raise NotImplementedError(
+            "resize over decoded rasters not wired here; decode via "
+            "decode_png/jpeg.decode_jpeg and resample in a real kernel"
+        )
     n = len(payload)
     if n == 0:
         return b"\x00" * (w * h)

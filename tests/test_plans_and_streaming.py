@@ -623,3 +623,73 @@ def test_runtime_bloom_filter_join_pruning(spark, sf_dir):
     finally:
         for k, v in old.items():
             spark.conf.set(k, v)
+
+
+def test_jpeg_codec_roundtrip_all_paths():
+    """decode_jpeg must reconstruct encode_jpeg output within the
+    quantization-error envelope on every bitstream variant the encoder
+    can emit: 4:4:4, 4:2:0 box-subsampled chroma, restart markers, odd
+    (non-multiple-of-8 / non-multiple-of-16) dimensions."""
+    from realestate_engine.jpeg import decode_jpeg, encode_jpeg
+
+    def gradient(w, h, seed):
+        return bytes(
+            v
+            for y in range(h)
+            for x in range(w)
+            for v in (
+                (x * 255) // max(w - 1, 1),
+                (y * 255) // max(h - 1, 1),
+                (seed * 37) % 256,
+            )
+        )
+
+    cases = [
+        (24, 16, {}),
+        (13, 9, {}),  # odd dims: edge-replication blocks
+        (24, 16, {"subsample": True}),
+        (19, 13, {"subsample": True}),  # odd dims + 2x2 MCU geometry
+        (48, 32, {"restart_interval": 2}),
+        (48, 32, {"subsample": True, "restart_interval": 1}),
+    ]
+    for i, (w, h, kw) in enumerate(cases):
+        rgb = gradient(w, h, i)
+        payload = encode_jpeg(w, h, rgb, quality=85, **kw)
+        assert payload[:3] == b"\xff\xd8\xff" and payload[-2:] == b"\xff\xd9"
+        out = decode_jpeg(payload)
+        assert (out["width"], out["height"], out["channels"]) == (w, h, 3)
+        errs = [abs(out["rgb"][j] - rgb[j]) for j in range(len(rgb))]
+        mae = sum(errs) / len(errs)
+        bound = 6.0 if kw.get("subsample") else 3.0
+        assert mae <= bound, (w, h, kw, mae)
+        assert max(errs) <= 32, (w, h, kw, max(errs))
+    # determinism: same input -> byte-identical bitstream (the property
+    # the driver-checked mm_jpeg_roundtrip booleans rely on)
+    a = encode_jpeg(24, 16, gradient(24, 16, 3), quality=85)
+    b = encode_jpeg(24, 16, gradient(24, 16, 3), quality=85)
+    assert a == b
+
+
+def test_jpeg_decode_dispatch_and_rejects():
+    """decode_image_stub routes JPEG magic to the real decoder (no
+    NotImplementedError left on the image path) and the decoder rejects
+    progressive frames rather than mis-decoding them."""
+    import pytest
+
+    from realestate_engine.jpeg import encode_jpeg
+    from realestate_engine.multimodal import decode_image_stub
+
+    rgb = bytes((i * 7) % 256 for i in range(24 * 16 * 3))
+    payload = encode_jpeg(24, 16, rgb, quality=85)
+    feats = decode_image_stub(payload)
+    assert feats["width"] == 24 and feats["height"] == 16 and feats["channels"] == 3
+    assert "rgb" not in feats  # feature dict carries stats, not pixels
+    assert feats["n_bytes"] == len(payload)
+
+    # flip SOF0 -> SOF2 (progressive): must raise, not garble
+    import struct
+    mangled = bytearray(payload)
+    idx = mangled.find(b"\xff\xc0")
+    mangled[idx + 1] = 0xC2
+    with pytest.raises(NotImplementedError):
+        decode_image_stub(bytes(mangled))
