@@ -1,0 +1,390 @@
+"""Round-5 operator additions: Bloom-filter join pruning, GROUPING
+SETS, Merkle-style partition diffing, and WoE/IV feature binning.
+
+Each query pairs a Spark-first plan with a DuckDB oracle built on the
+repo's engine-portable integer idioms (md5-prefix hashes, integer
+cents, FLOOR-scaled micros, bit_or lane aggregates) so every value
+hash-compares across engines.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from realestate_engine.dedup import cache_once, portable_hash32
+from realestate_engine.registry import register, t
+
+# --- Bloom-filter semi-join pruning ----------------------------------------
+#
+# The 100 TB pattern Spark's own runtime row-group filtering implements
+# (spark.sql.optimizer.runtime.bloomFilter.enabled): build a compact
+# Bloom filter over the small side's join keys, broadcast it, and drop
+# non-matching fact rows BEFORE the shuffle. Here the filter is built
+# with engine-portable arithmetic (two affine md5-prefix hashes over
+# 2^16 bits packed into 1024 BIGINT lanes via bit_or), so DuckDB
+# replays the exact same bit array and the false-positive accounting
+# hash-compares. reference has no analogue; this is pure scale
+# machinery the engine needs at 100 TB.
+
+_BLOOM_BITS = 1 << 16
+_BLOOM_LANES = _BLOOM_BITS // 64
+# affine lane constants (same family as the minhash lanes in dedup.py)
+_BLOOM_A = (769, 1543)
+_BLOOM_B = (12289, 24593)
+_BLOOM_P = 2_147_483_647  # 2^31 - 1
+
+
+def _bloom_hash(key, i: int):
+    """i-th Bloom bit index of an integer key: affine transform of the
+    md5-prefix hash of its decimal string, mod 2^16. Integer math only."""
+    h = portable_hash32(key.cast("string"))
+    return ((h * _BLOOM_A[i] + _BLOOM_B[i]) % _BLOOM_P) % _BLOOM_BITS
+
+
+def _bloom_hash_sql(expr: str, i: int) -> str:
+    return (
+        f"((('0x' || SUBSTR(MD5(CAST({expr} AS VARCHAR)), 1, 8))::BIGINT"
+        f" * {_BLOOM_A[i]} + {_BLOOM_B[i]}) % {_BLOOM_P}) % {_BLOOM_BITS}"
+    )
+
+
+def _bit_sql(expr: str) -> str:
+    """1 << (expr) as BIGINT in DuckDB; bit 63 spelled as the min-BIGINT
+    literal because DuckDB raises on the overflowing shift (Spark's
+    shiftleft wraps)."""
+    return (
+        f"CASE WHEN ({expr}) = 63 THEN (-9223372036854775807 - 1) "
+        f"ELSE (1::BIGINT << ({expr})) END"
+    )
+
+
+@register(
+    "j10_bloom_join_prune",
+    f"""
+    WITH keys AS (
+        SELECT DISTINCT o_orderkey AS k
+        FROM orders WHERE o_orderpriority = '1-URGENT'
+    ),
+    bits AS (
+        SELECT {_bloom_hash_sql('k', 0)} AS b FROM keys
+        UNION ALL
+        SELECT {_bloom_hash_sql('k', 1)} AS b FROM keys
+    ),
+    bloom AS (
+        SELECT b // 64 AS lane, BIT_OR({_bit_sql('b % 64')}) AS lanebits
+        FROM bits GROUP BY 1
+    ),
+    probes AS (
+        SELECT l_orderkey,
+               {_bloom_hash_sql('l_orderkey', 0)} AS b0,
+               {_bloom_hash_sql('l_orderkey', 1)} AS b1
+        FROM lineitem
+    ),
+    candidates AS (
+        SELECT p.l_orderkey
+        FROM probes p
+        JOIN bloom m0 ON m0.lane = p.b0 // 64
+        JOIN bloom m1 ON m1.lane = p.b1 // 64
+        WHERE (m0.lanebits & ({_bit_sql('p.b0 % 64')})) <> 0
+          AND (m1.lanebits & ({_bit_sql('p.b1 % 64')})) <> 0
+    ),
+    stats AS (
+        SELECT CAST((SELECT COUNT(*) FROM keys) AS BIGINT) AS n_keys,
+               CAST((SELECT COUNT(*) FROM lineitem) AS BIGINT) AS n_probes,
+               CAST((SELECT COUNT(*) FROM candidates) AS BIGINT) AS n_candidates,
+               CAST((SELECT COUNT(*) FROM candidates c JOIN keys ON keys.k = c.l_orderkey)
+                    AS BIGINT) AS n_matched
+    )
+    SELECT n_keys, n_probes, n_candidates, n_matched,
+           n_candidates - n_matched AS n_false_pos,
+           CAST(FLOOR((n_candidates - n_matched) * 1e6 /
+                      GREATEST(n_probes - n_matched, 1)) AS BIGINT) AS fp_rate_micro
+    FROM stats
+    """,
+)
+def j10_bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J10: Bloom-filter semi-join pruning — build a 2^16-bit Bloom
+    filter (two affine md5-prefix hashes, bits packed into 1024 BIGINT
+    lanes by bit_or) over the urgent orders' keys, broadcast it, and
+    pre-filter lineitem before the real join would shuffle it. Reports
+    the pruning ledger: probe count, Bloom-passed candidates, exact
+    matches, false positives, and the realized FP rate in micros.
+
+    Scale shape: the filter is <= 1024 rows regardless of key count —
+    a broadcast, never a shuffle; each probe joins the broadcast lane
+    table twice (BroadcastHashJoin) and the fact table is reduced
+    BEFORE any wide operation. This is the manual form of Spark's
+    runtime bloomFilter rewrite, with portable math so the oracle can
+    replay the exact bit array."""
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    # the key set feeds the filter build, the exact-match flag AND the
+    # ledger count — cache it once (bounded, see cache_once contract)
+    keys = cache_once(
+        o.filter(F.col("o_orderpriority") == "1-URGENT")
+        .select(F.col("o_orderkey").alias("k"))
+        .distinct()
+    )
+    bits = keys.select(_bloom_hash(F.col("k"), 0).alias("b")).unionAll(
+        keys.select(_bloom_hash(F.col("k"), 1).alias("b"))
+    )
+    bloom = bits.groupBy((F.col("b") / 64).cast("long").alias("lane")).agg(
+        F.bit_or(F.expr("shiftleft(1L, CAST(b % 64 AS INT))")).alias("lanebits")
+    )
+    probes = li.select(
+        "l_orderkey",
+        _bloom_hash(F.col("l_orderkey"), 0).alias("b0"),
+        _bloom_hash(F.col("l_orderkey"), 1).alias("b1"),
+    )
+    m0 = bloom.select(F.col("lane").alias("lane0"), F.col("lanebits").alias("bits0"))
+    m1 = bloom.select(F.col("lane").alias("lane1"), F.col("lanebits").alias("bits1"))
+    candidates = (
+        probes.join(F.broadcast(m0), (F.col("b0") / 64).cast("long") == F.col("lane0"))
+        .join(F.broadcast(m1), (F.col("b1") / 64).cast("long") == F.col("lane1"))
+        .filter(
+            (F.col("bits0").bitwiseAND(F.expr("shiftleft(1L, CAST(b0 % 64 AS INT))")) != 0)
+            & (F.col("bits1").bitwiseAND(F.expr("shiftleft(1L, CAST(b1 % 64 AS INT))")) != 0)
+        )
+        .select("l_orderkey")
+    )
+    n_keys = keys.agg(F.count(F.lit(1)).cast("bigint").alias("n_keys"))
+    n_probes = li.agg(F.count(F.lit(1)).cast("bigint").alias("n_probes"))
+    # one pass over the candidate set yields BOTH ledger counts: flag
+    # each candidate against the key set and aggregate, instead of
+    # counting candidates twice. No forced broadcast here — the key
+    # set grows with the dim side, so Catalyst/AQE picks broadcast vs
+    # shuffle by its actual size (only the <=1024-row lane table is
+    # unconditionally broadcast-able)
+    cand_stats = (
+        candidates.join(
+            keys.withColumn("m", F.lit(1)),
+            candidates.l_orderkey == F.col("k"),
+            "left",
+        )
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_candidates"),
+            F.sum(F.when(F.col("m") == 1, 1).otherwise(0)).cast("bigint").alias("n_matched"),
+        )
+    )
+    out = n_keys.crossJoin(F.broadcast(n_probes)).crossJoin(F.broadcast(cand_stats))
+    return out.select(
+        "n_keys",
+        "n_probes",
+        "n_candidates",
+        "n_matched",
+        (F.col("n_candidates") - F.col("n_matched")).alias("n_false_pos"),
+        F.floor(
+            (F.col("n_candidates") - F.col("n_matched"))
+            * 1e6
+            / F.greatest(F.col("n_probes") - F.col("n_matched"), F.lit(1))
+        )
+        .cast("bigint")
+        .alias("fp_rate_micro"),
+    )
+
+
+@register(
+    "sql_grouping_sets",
+    """
+    SELECT COALESCE(l_returnflag, '(all)') AS returnflag,
+           COALESCE(l_linestatus, '(all)') AS linestatus,
+           CAST(GROUPING(l_returnflag) * 2 + GROUPING(l_linestatus) AS BIGINT) AS gid,
+           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS rev_cents,
+           CAST(COUNT(*) AS BIGINT) AS n
+    FROM lineitem
+    GROUP BY GROUPING SETS ((l_returnflag, l_linestatus), (l_returnflag), (l_linestatus), ())
+    ORDER BY gid, returnflag, linestatus
+    """,
+)
+def sql_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL surface: explicit GROUPING SETS with grouping_id
+    disambiguation — the general form behind rollup (a10) and cube
+    (a11), here with a non-hierarchical set list (both margins + total)
+    that neither rollup nor cube alone expresses. COALESCE + the
+    grouping bits distinguish 'NULL because aggregated away' from a
+    genuine NULL group value. One Expand + one hash aggregate; the
+    expand factor equals the number of sets (4), and partial
+    aggregation still applies before the shuffle."""
+    li = t(spark, sf_dir, "lineitem")
+    df = li.groupingSets(
+        [["l_returnflag", "l_linestatus"], ["l_returnflag"], ["l_linestatus"], []],
+        "l_returnflag",
+        "l_linestatus",
+    ).agg(
+        (F.grouping("l_returnflag") * 2 + F.grouping("l_linestatus"))
+        .cast("bigint")
+        .alias("gid"),
+        F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("rev_cents"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    return df.select(
+        F.coalesce("l_returnflag", F.lit("(all)")).alias("returnflag"),
+        F.coalesce("l_linestatus", F.lit("(all)")).alias("linestatus"),
+        "gid",
+        "rev_cents",
+        "n",
+    ).orderBy("gid", "returnflag", "linestatus")
+
+
+@register(
+    "dq12_merkle_bucket_diff",
+    """
+    WITH mutated AS (
+        SELECT o_orderkey,
+               CASE WHEN o_orderkey % 97 = 0
+                    THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) + 1
+                    ELSE CAST(ROUND(o_totalprice * 100) AS BIGINT) END AS cents
+        FROM orders
+    ),
+    a AS (
+        SELECT o_orderkey % 64 AS bucket,
+               CAST(SUM(('0x' || SUBSTR(MD5(CONCAT(CAST(o_orderkey AS VARCHAR), ':',
+                    CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR))), 1, 8))::BIGINT)
+                    AS BIGINT) AS fp,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM orders GROUP BY 1
+    ),
+    b AS (
+        SELECT o_orderkey % 64 AS bucket,
+               CAST(SUM(('0x' || SUBSTR(MD5(CONCAT(CAST(o_orderkey AS VARCHAR), ':',
+                    CAST(cents AS VARCHAR))), 1, 8))::BIGINT) AS BIGINT) AS fp,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM mutated GROUP BY 1
+    )
+    SELECT a.bucket, a.n AS n_rows,
+           (a.fp <> b.fp) AS differs
+    FROM a JOIN b ON a.bucket = b.bucket
+    WHERE a.fp <> b.fp
+    ORDER BY a.bucket
+    """,
+)
+def dq12_merkle_bucket_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ12: Merkle-style bucket diff — the anti-entropy primitive for
+    synchronizing two 100 TB copies of a table without comparing rows:
+    fingerprint each side per key-bucket (order-independent SUM of
+    portable row hashes), join the two 64-row fingerprint frames, and
+    only the buckets whose digests differ need row-level reconciliation
+    (here: a deterministic mutation of every 97th order's cents, so
+    exactly the buckets containing a multiple of 97 differ). Each side
+    is one partial-aggregated scan; the diff join touches 64 rows
+    regardless of table size — this is how dq11's whole-table
+    fingerprint generalizes into an incremental-repair plan."""
+    o = t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+
+    def side(cents_col) -> DataFrame:
+        row_fp = portable_hash32(
+            F.concat_ws(":", F.col("o_orderkey").cast("string"), cents_col.cast("string"))
+        )
+        return o.groupBy((F.col("o_orderkey") % 64).alias("bucket")).agg(
+            F.sum(row_fp).cast("bigint").alias("fp"),
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+        )
+
+    a = side(cents)
+    mutated = F.when(F.col("o_orderkey") % 97 == 0, cents + 1).otherwise(cents)
+    b = side(mutated)
+    return (
+        a.alias("a")
+        .join(b.alias("b"), "bucket")
+        .filter(F.col("a.fp") != F.col("b.fp"))
+        .select(
+            "bucket",
+            F.col("a.n").alias("n_rows"),
+            (F.col("a.fp") != F.col("b.fp")).alias("differs"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "m30_woe_iv_binning",
+    """
+    WITH base AS (
+        SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS pos
+        FROM orders
+    ),
+    cuts AS (
+        SELECT quantile_disc(cents, [0.2, 0.4, 0.6, 0.8]) AS qs FROM base
+    ),
+    binned AS (
+        SELECT pos,
+               CASE WHEN cents <= qs[1] THEN 0
+                    WHEN cents <= qs[2] THEN 1
+                    WHEN cents <= qs[3] THEN 2
+                    WHEN cents <= qs[4] THEN 3
+                    ELSE 4 END AS bin
+        FROM base, cuts
+    ),
+    tot AS (
+        SELECT SUM(pos) AS n_pos_tot, SUM(1 - pos) AS n_neg_tot FROM binned
+    ),
+    per_bin AS (
+        SELECT bin, CAST(SUM(pos) AS BIGINT) AS n_pos,
+               CAST(SUM(1 - pos) AS BIGINT) AS n_neg
+        FROM binned GROUP BY bin
+    )
+    SELECT CAST(bin AS BIGINT) AS bin, n_pos, n_neg,
+           CAST(FLOOR(LN((n_pos * 1.0 / n_pos_tot) / (n_neg * 1.0 / n_neg_tot)) * 1e6)
+                AS BIGINT) AS woe_micro
+    FROM per_bin, tot
+    ORDER BY bin
+    """,
+)
+def m30_woe_iv_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M30: weight-of-evidence feature binning — the credit-scoring /
+    feature-engineering classic: bucket a numeric feature into
+    population quintiles, then score each bin by ln((pos share)/(neg
+    share)). Label = order status 'F'. The quintile cuts are an exact
+    discrete quantile (GK accuracy > n, as a6/a23) broadcast as one
+    row; binning is a codegen'd CASE; one partial-aggregated groupBy
+    produces the 5-row ledger; totals broadcast back. WoE is reported
+    as FLOOR-scaled micros: the shares are single IEEE divisions and
+    ln is correctly-rounded-close across libm — floor-scaling absorbs
+    the last-ulp wobble that ROUND could flip at a half boundary."""
+    o = t(spark, sf_dir, "orders")
+    base = o.select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("pos"),
+    )
+    cuts = base.agg(
+        F.percentile_approx("cents", [0.2, 0.4, 0.6, 0.8], 10_000_000).alias("qs")
+    )
+    binned = base.crossJoin(F.broadcast(cuts)).select(
+        "pos",
+        F.when(F.col("cents") <= F.col("qs")[0], 0)
+        .when(F.col("cents") <= F.col("qs")[1], 1)
+        .when(F.col("cents") <= F.col("qs")[2], 2)
+        .when(F.col("cents") <= F.col("qs")[3], 3)
+        .otherwise(4)
+        .alias("bin"),
+    )
+    tot = binned.agg(
+        F.sum("pos").alias("n_pos_tot"), F.sum(1 - F.col("pos")).alias("n_neg_tot")
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.sum("pos").cast("bigint").alias("n_pos"),
+        F.sum(1 - F.col("pos")).cast("bigint").alias("n_neg"),
+    )
+    return (
+        per_bin.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("bin").cast("bigint").alias("bin"),
+            "n_pos",
+            "n_neg",
+            F.floor(
+                F.log(
+                    (F.col("n_pos") * 1.0 / F.col("n_pos_tot"))
+                    / (F.col("n_neg") * 1.0 / F.col("n_neg_tot"))
+                )
+                * 1e6
+            )
+            .cast("bigint")
+            .alias("woe_micro"),
+        )
+        .orderBy("bin")
+    )

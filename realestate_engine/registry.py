@@ -138,5 +138,6 @@ def load_all() -> None:
     import realestate_engine.packing  # noqa: F401
     import realestate_engine.queries_extra  # noqa: F401
     import realestate_engine.queries_extra2  # noqa: F401
+    import realestate_engine.queries_extra3  # noqa: F401
     import realestate_engine.graph  # noqa: F401
     import realestate_engine.ordered  # noqa: F401

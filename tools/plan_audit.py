@@ -55,6 +55,8 @@ ALLOWED_CROSS = {
     "m20_als_recall_eval",  # same MLlib blocked factor cross join inside recommend
     "a23_equidepth_histogram",  # broadcast 1-row decile cut array
     "a18_hll_sketch_rollup",  # broadcast 1-row global exact-distinct onto the union row
+    "j10_bloom_join_prune",  # cross join of four 1-row pruning-ledger aggregates
+    "m30_woe_iv_binning",  # broadcast 1-row quintile-cuts + class-totals frames
     "m18_negative_sampling",  # broadcast 1-row item count + 4-row k range
     "x12_salted_join",  # broadcast 8-row salt range onto the dim side
     "dq5_benford_audit",  # broadcast 1-row total count
