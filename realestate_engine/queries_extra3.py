@@ -35,18 +35,19 @@ _BLOOM_B = (12289, 24593)
 _BLOOM_P = 2_147_483_647  # 2^31 - 1
 
 
-def _bloom_hash(key, i: int):
-    """i-th Bloom bit index of an integer key: affine transform of the
-    md5-prefix hash of its decimal string, mod 2^16. Integer math only."""
-    h = portable_hash32(key.cast("string"))
+def _bloom_lane(h, i: int):
+    """i-th Bloom bit index from ONE md5-prefix hash: double hashing —
+    the md5 is computed once per key and both lanes are cheap affine
+    transforms of it (standard Bloom practice; halves the dominant
+    hash cost on both engines). Integer math only."""
     return ((h * _BLOOM_A[i] + _BLOOM_B[i]) % _BLOOM_P) % _BLOOM_BITS
 
 
-def _bloom_hash_sql(expr: str, i: int) -> str:
-    return (
-        f"((('0x' || SUBSTR(MD5(CAST({expr} AS VARCHAR)), 1, 8))::BIGINT"
-        f" * {_BLOOM_A[i]} + {_BLOOM_B[i]}) % {_BLOOM_P}) % {_BLOOM_BITS}"
-    )
+_BLOOM_H_SQL = "(('0x' || SUBSTR(MD5(CAST({e} AS VARCHAR)), 1, 8))::BIGINT)"
+
+
+def _bloom_lane_sql(hexpr: str, i: int) -> str:
+    return f"(({hexpr} * {_BLOOM_A[i]} + {_BLOOM_B[i]}) % {_BLOOM_P}) % {_BLOOM_BITS}"
 
 
 def _bit_sql(expr: str) -> str:
@@ -66,10 +67,13 @@ def _bit_sql(expr: str) -> str:
         SELECT DISTINCT o_orderkey AS k
         FROM orders WHERE o_orderpriority = '1-URGENT'
     ),
+    keyh AS (
+        SELECT {_BLOOM_H_SQL.format(e='k')} AS h FROM keys
+    ),
     bits AS (
-        SELECT {_bloom_hash_sql('k', 0)} AS b FROM keys
+        SELECT {_bloom_lane_sql('h', 0)} AS b FROM keyh
         UNION ALL
-        SELECT {_bloom_hash_sql('k', 1)} AS b FROM keys
+        SELECT {_bloom_lane_sql('h', 1)} AS b FROM keyh
     ),
     bloom AS (
         SELECT b // 64 AS lane, BIT_OR({_bit_sql('b % 64')}) AS lanebits
@@ -77,9 +81,9 @@ def _bit_sql(expr: str) -> str:
     ),
     probes AS (
         SELECT l_orderkey,
-               {_bloom_hash_sql('l_orderkey', 0)} AS b0,
-               {_bloom_hash_sql('l_orderkey', 1)} AS b1
-        FROM lineitem
+               {_bloom_lane_sql('h', 0)} AS b0,
+               {_bloom_lane_sql('h', 1)} AS b1
+        FROM (SELECT l_orderkey, {_BLOOM_H_SQL.format(e='l_orderkey')} AS h FROM lineitem)
     ),
     candidates AS (
         SELECT p.l_orderkey
@@ -126,16 +130,19 @@ def j10_bloom_join_prune(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("o_orderkey").alias("k"))
         .distinct()
     )
-    bits = keys.select(_bloom_hash(F.col("k"), 0).alias("b")).unionAll(
-        keys.select(_bloom_hash(F.col("k"), 1).alias("b"))
+    keyh = keys.select(portable_hash32(F.col("k").cast("string")).alias("h"))
+    bits = keyh.select(_bloom_lane(F.col("h"), 0).alias("b")).unionAll(
+        keyh.select(_bloom_lane(F.col("h"), 1).alias("b"))
     )
     bloom = bits.groupBy((F.col("b") / 64).cast("long").alias("lane")).agg(
         F.bit_or(F.expr("shiftleft(1L, CAST(b % 64 AS INT))")).alias("lanebits")
     )
     probes = li.select(
+        "l_orderkey", portable_hash32(F.col("l_orderkey").cast("string")).alias("h")
+    ).select(
         "l_orderkey",
-        _bloom_hash(F.col("l_orderkey"), 0).alias("b0"),
-        _bloom_hash(F.col("l_orderkey"), 1).alias("b1"),
+        _bloom_lane(F.col("h"), 0).alias("b0"),
+        _bloom_lane(F.col("h"), 1).alias("b1"),
     )
     m0 = bloom.select(F.col("lane").alias("lane0"), F.col("lanebits").alias("bits0"))
     m1 = bloom.select(F.col("lane").alias("lane1"), F.col("lanebits").alias("bits1"))
@@ -387,4 +394,229 @@ def m30_woe_iv_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("woe_micro"),
         )
         .orderBy("bin")
+    )
+
+
+@register(
+    "x21_retraction_ivm",
+    """
+    WITH base AS (
+        SELECT o_orderpriority, o_orderkey,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders WHERE o_orderkey % 5 <> 0
+    ),
+    deletes AS (
+        SELECT * FROM base WHERE o_orderkey % 10 = 1
+    ),
+    inserts AS (
+        SELECT o_orderpriority, o_orderkey,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders WHERE o_orderkey % 5 = 0
+    ),
+    state AS (
+        SELECT o_orderpriority, SUM(cents) AS cents, CAST(COUNT(*) AS BIGINT) AS n,
+               MIN(cents) AS min_cents
+        FROM base GROUP BY 1
+    ),
+    delta AS (
+        SELECT o_orderpriority, SUM(w * cents) AS cents, CAST(SUM(w) AS BIGINT) AS n
+        FROM (
+            SELECT o_orderpriority, cents, -1 AS w FROM deletes
+            UNION ALL
+            SELECT o_orderpriority, cents, 1 AS w FROM inserts
+        )
+        GROUP BY 1
+    ),
+    merged AS (
+        SELECT o_orderpriority, SUM(cents) AS cents, SUM(n) AS n
+        FROM (
+            SELECT o_orderpriority, cents, n FROM state
+            UNION ALL
+            SELECT o_orderpriority, cents, n FROM delta
+        )
+        GROUP BY 1
+    ),
+    final_rows AS (
+        SELECT o_orderpriority, cents FROM base
+        WHERE o_orderkey % 10 <> 1
+        UNION ALL
+        SELECT o_orderpriority, cents FROM inserts
+    ),
+    direct AS (
+        SELECT o_orderpriority, SUM(cents) AS cents, CAST(COUNT(*) AS BIGINT) AS n,
+               MIN(cents) AS min_cents
+        FROM final_rows GROUP BY 1
+    ),
+    min_hit AS (
+        SELECT s.o_orderpriority,
+               MAX(CASE WHEN d.cents = s.min_cents THEN 1 ELSE 0 END) AS hit
+        FROM state s LEFT JOIN deletes d ON d.o_orderpriority = s.o_orderpriority
+        GROUP BY 1
+    )
+    SELECT m.o_orderpriority,
+           CAST(m.n AS BIGINT) AS n_orders,
+           CAST(m.cents AS BIGINT) AS total_cents,
+           (m.cents = d.cents AND m.n = d.n) AS matches_direct,
+           CAST(d.min_cents AS BIGINT) AS min_cents,
+           (h.hit = 1) AS min_recomputed
+    FROM merged m
+    JOIN direct d USING (o_orderpriority)
+    JOIN min_hit h USING (o_orderpriority)
+    ORDER BY o_orderpriority
+    """,
+)
+def x21_retraction_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X21: incremental view maintenance UNDER DELETES — the case x8's
+    insert-only merge can't handle. A CDC batch arrives as signed rows
+    (+1 inserts, -1 retractions); SUM/COUNT state absorbs both by
+    weighted re-aggregation of mergeable integer state — no base
+    re-scan — and the plan carries its own proof (matches_direct
+    compares the maintained state against a direct recompute of the
+    post-CDC table). MIN is deliberately included as the
+    NON-retractable aggregate: when a retracted row equals the stored
+    group minimum the state can't answer, so the query surfaces
+    min_recomputed per group and takes the recompute fallback for the
+    min column only — exactly the split a production IVM pipeline
+    makes (accumulator aggregates absorb deltas; extrema trigger
+    per-group repair). All state is exact integer cents, so the merge
+    is associative and the oracle replays it bit-for-bit."""
+    o = t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    base = o.filter(F.col("o_orderkey") % 5 != 0).select(
+        "o_orderpriority", "o_orderkey", cents.alias("cents")
+    )
+    deletes = base.filter(F.col("o_orderkey") % 10 == 1)
+    inserts = o.filter(F.col("o_orderkey") % 5 == 0).select(
+        "o_orderpriority", "o_orderkey", cents.alias("cents")
+    )
+    state = base.groupBy("o_orderpriority").agg(
+        F.sum("cents").alias("cents"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.min("cents").alias("min_cents"),
+    )
+    delta = (
+        deletes.select("o_orderpriority", "cents", F.lit(-1).alias("w"))
+        .unionByName(inserts.select("o_orderpriority", "cents", F.lit(1).alias("w")))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.col("w") * F.col("cents")).alias("cents"),
+            F.sum("w").cast("bigint").alias("n"),
+        )
+    )
+    merged = (
+        state.select("o_orderpriority", "cents", "n")
+        .unionByName(delta)
+        .groupBy("o_orderpriority")
+        .agg(F.sum("cents").alias("cents"), F.sum("n").alias("n"))
+    )
+    final_rows = base.filter(F.col("o_orderkey") % 10 != 1).unionByName(inserts)
+    direct = final_rows.groupBy("o_orderpriority").agg(
+        F.sum("cents").alias("d_cents"),
+        F.count(F.lit(1)).cast("bigint").alias("d_n"),
+        F.min("cents").alias("d_min"),
+    )
+    min_hit = (
+        state.select("o_orderpriority", "min_cents")
+        .join(
+            deletes.select("o_orderpriority", F.col("cents").alias("del_cents")),
+            "o_orderpriority",
+            "left",
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.max(
+                F.when(F.col("del_cents") == F.col("min_cents"), 1).otherwise(0)
+            ).alias("hit")
+        )
+    )
+    return (
+        merged.join(direct, "o_orderpriority")
+        .join(min_hit, "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            F.col("n").cast("bigint").alias("n_orders"),
+            F.col("cents").cast("bigint").alias("total_cents"),
+            ((F.col("cents") == F.col("d_cents")) & (F.col("n") == F.col("d_n"))).alias(
+                "matches_direct"
+            ),
+            F.col("d_min").cast("bigint").alias("min_cents"),
+            (F.col("hit") == 1).alias("min_recomputed"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "dq13_psi_drift",
+    """
+    WITH bucketed AS (
+        SELECT CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+               CASE WHEN o_orderdate < TIMESTAMP '1998-01-01' THEN 'a' ELSE 'b' END AS period
+        FROM orders
+    ),
+    per AS (
+        SELECT bucket,
+               SUM(CASE WHEN period = 'a' THEN 1 ELSE 0 END) AS n_a,
+               SUM(CASE WHEN period = 'b' THEN 1 ELSE 0 END) AS n_b
+        FROM bucketed GROUP BY bucket
+    ),
+    tot AS (
+        SELECT SUM(n_a) AS tot_a, SUM(n_b) AS tot_b,
+               CAST(COUNT(*) AS BIGINT) AS k
+        FROM per
+    ),
+    terms AS (
+        SELECT CAST(FLOOR(((n_a + 1.0) / (tot_a + k) - (n_b + 1.0) / (tot_b + k))
+                    * LN(((n_a + 1.0) / (tot_a + k)) / ((n_b + 1.0) / (tot_b + k)))
+                    * 1e6) AS BIGINT) AS term_micro,
+               n_a, n_b
+        FROM per, tot
+    )
+    SELECT CAST(SUM(term_micro) AS BIGINT) AS psi_micro,
+           CAST(SUM(n_a) AS BIGINT) AS n_period_a,
+           CAST(SUM(n_b) AS BIGINT) AS n_period_b,
+           CAST(COUNT(*) AS BIGINT) AS n_buckets
+    FROM terms
+    """,
+)
+def dq13_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ13: population stability index between two periods — the
+    industry drift score dq2's L1 audit deliberately avoided because
+    PSI's ln() looked engine-unportable. The repo's integer-micro trick
+    makes it oracle-able after all: Laplace-smoothed shares ((n+1)/
+    (tot+k), so empty buckets never hit ln(0)) are single IEEE
+    divisions — bit-identical cross-engine — each bucket's
+    (pa-pb)·ln(pa/pb) term is FLOOR-scaled to integer micros
+    INDIVIDUALLY, and the integer sum is order-free where a float sum
+    would inherit summation-order ulps. One scan, one per-bucket
+    aggregate, a broadcast 1-row totals join; PSI > 0.2 is the
+    conventional 'retrain' alarm (here expressed in micros)."""
+    o = t(spark, sf_dir, "orders")
+    bucketed = o.select(
+        F.floor(F.col("o_totalprice") / 50000.0).cast("bigint").alias("bucket"),
+        F.when(
+            F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"), "a"
+        ).otherwise("b").alias("period"),
+    )
+    per = bucketed.groupBy("bucket").agg(
+        F.sum(F.when(F.col("period") == "a", 1).otherwise(0)).alias("n_a"),
+        F.sum(F.when(F.col("period") == "b", 1).otherwise(0)).alias("n_b"),
+    )
+    tot = per.agg(
+        F.sum("n_a").alias("tot_a"),
+        F.sum("n_b").alias("tot_b"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    pa = (F.col("n_a") + 1.0) / (F.col("tot_a") + F.col("k"))
+    pb = (F.col("n_b") + 1.0) / (F.col("tot_b") + F.col("k"))
+    terms = per.crossJoin(F.broadcast(tot)).select(
+        F.floor((pa - pb) * F.log(pa / pb) * 1e6).cast("bigint").alias("term_micro"),
+        "n_a",
+        "n_b",
+    )
+    return terms.agg(
+        F.sum("term_micro").cast("bigint").alias("psi_micro"),
+        F.sum("n_a").cast("bigint").alias("n_period_a"),
+        F.sum("n_b").cast("bigint").alias("n_period_b"),
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
     )

@@ -619,6 +619,10 @@ def test_queries_survive_empty_tables(spark, sf_dir, tmp_path):
         "corpus_clean_pipeline",        # multi-stage filter chain
         "mm_ahash_neardup",             # mapInPandas + band self-join
         "x20_cdc_apply",                # changelog collapse
+        "j10_bloom_join_prune",         # bloom build over an empty key set
+        "x21_retraction_ivm",           # IVM merge with no state and no deltas
+        "dq13_psi_drift",               # smoothed PSI over zero buckets
+        "mm_jpeg_roundtrip",            # codec pipeline over empty doc set
     ]
     for name in representative:
         rows = QUERIES[name](spark, empty_dir).collect()
