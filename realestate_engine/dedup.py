@@ -1232,3 +1232,111 @@ def dedup_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
         .crossJoin(F.broadcast(canon_stats))
         .crossJoin(F.broadcast(split_stats))
     )
+
+
+@register(
+    "dedup_lsh_recall_report",
+    f"""
+    WITH {_minhash_oracle_ctes()},
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    ),
+    meta AS (
+        SELECT doc_id, lang, source FROM documents WHERE n_chars <= 200
+    ),
+    universe AS (
+        SELECT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM meta a JOIN meta b
+          ON a.lang = b.lang AND a.source = b.source AND a.doc_id < b.doc_id
+    ),
+    truth AS (
+        SELECT u.id_a, u.id_b
+        FROM universe u
+        JOIN sh sa ON sa.doc_id = u.id_a
+        JOIN sh sb ON sb.doc_id = u.id_b
+        WHERE LEN(LIST_DISTINCT(LIST_CONCAT(sa.sh, sb.sh))) > 0
+          AND LEN(LIST_INTERSECT(sa.sh, sb.sh)) * 2
+              >= LEN(LIST_DISTINCT(LIST_CONCAT(sa.sh, sb.sh)))
+    ),
+    cand_u AS (
+        SELECT c.id_a, c.id_b
+        FROM cand c JOIN universe u ON u.id_a = c.id_a AND u.id_b = c.id_b
+    ),
+    hit AS (
+        SELECT c.id_a FROM cand_u c JOIN truth t
+          ON t.id_a = c.id_a AND t.id_b = c.id_b
+    ),
+    counts AS (
+        SELECT CAST((SELECT COUNT(*) FROM truth) AS BIGINT) AS n_true,
+               CAST((SELECT COUNT(*) FROM cand_u) AS BIGINT) AS n_candidates,
+               CAST((SELECT COUNT(*) FROM hit) AS BIGINT) AS n_hit
+    )
+    SELECT n_true, n_candidates, n_hit,
+           CAST(FLOOR(n_hit * 1e6 / GREATEST(n_true, 1)) AS BIGINT) AS recall_micro,
+           CAST(FLOOR(n_hit * 1e6 / GREATEST(n_candidates, 1)) AS BIGINT) AS precision_micro
+    FROM counts
+    """,
+)
+def dedup_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """In-engine quality report for the MinHash-LSH dedup pipeline —
+    the dedup twin of sim_ann_recall_report: against a bounded exact
+    ground truth (hashed-shingle Jaccard >= 0.5 over the same
+    (lang, source)-bucketed universe dedup_ngram_jaccard uses), how
+    many true near-dup pairs do the LSH bands catch (recall) and how
+    much of the candidate volume is real (precision)? The threshold
+    test is cross-multiplied integers (|A∩B|·2 >= |A∪B|) — no float
+    boundary — and both sides reuse the registered minhash CTEs, so
+    the banding S-curve this measures is exactly the production one.
+    A banding change that silently degrades recall flips these
+    hash-compared counts. Truth pairing is bucket-bounded (never
+    all-pairs); the shingle relation is computed once and cached."""
+    d = t(spark, sf_dir, "documents")
+    sh_rel = cache_once(hashed_shingle_df(d, "doc_id", "text"))
+    cands = minhash_lsh_candidates(d, "doc_id", "text", shingles=sh_rel)
+    meta = d.filter(F.col("n_chars") <= 200).select("doc_id", "lang", "source")
+    a, b = meta.alias("a"), meta.alias("b")
+    universe = a.join(
+        b,
+        (F.col("a.lang") == F.col("b.lang"))
+        & (F.col("a.source") == F.col("b.source"))
+        & (F.col("a.doc_id") < F.col("b.doc_id")),
+    ).select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
+    # one-pass shingle lookup for the universe pairs (same idiom as the
+    # LSH verification stage: explode pair -> join shingles once)
+    sides = universe.select(
+        "id_a", "id_b", F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias("doc_id")
+    )
+    sh = sh_rel.select(F.col("id").alias("doc_id"), "sh")
+    per_pair = (
+        sh.join(F.broadcast(sides), "doc_id")
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.first(F.when(F.col("doc_id") == F.col("id_a"), F.col("sh")), ignorenulls=True).alias("sh_a"),
+            F.first(F.when(F.col("doc_id") == F.col("id_b"), F.col("sh")), ignorenulls=True).alias("sh_b"),
+        )
+    )
+    inter = F.size(F.array_intersect("sh_a", "sh_b"))
+    union = F.size(F.array_union("sh_a", "sh_b"))
+    truth = per_pair.filter((union > 0) & (inter * 2 >= union)).select("id_a", "id_b")
+    cand_u = cands.join(universe, ["id_a", "id_b"])
+    hit = cand_u.join(truth, ["id_a", "id_b"], "left_semi")
+    n_true = truth.agg(F.count(F.lit(1)).cast("bigint").alias("n_true"))
+    n_cand = cand_u.agg(F.count(F.lit(1)).cast("bigint").alias("n_candidates"))
+    n_hit = hit.agg(F.count(F.lit(1)).cast("bigint").alias("n_hit"))
+    return (
+        n_true.crossJoin(F.broadcast(n_cand))
+        .crossJoin(F.broadcast(n_hit))
+        .select(
+            "n_true",
+            "n_candidates",
+            "n_hit",
+            F.floor(F.col("n_hit") * 1e6 / F.greatest(F.col("n_true"), F.lit(1)))
+            .cast("bigint")
+            .alias("recall_micro"),
+            F.floor(F.col("n_hit") * 1e6 / F.greatest(F.col("n_candidates"), F.lit(1)))
+            .cast("bigint")
+            .alias("precision_micro"),
+        )
+    )

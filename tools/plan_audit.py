@@ -89,6 +89,7 @@ ALLOWED_CROSS = {
     "f16_mom_growth",  # months-frame lag via broadcast max_by self-join
     "a34_weighted_median_prefix",  # prefix offsets ledger + 1-row total broadcast
     "dedup_pipeline_summary",  # cross join of four 1-row stage-stat aggregates
+    "dedup_lsh_recall_report",  # cross join of three 1-row recall-ledger aggregates
     "corpus_temperature_mixture",  # remainder-rank self-join over the |sources|-row budgets frame
 }
 # Local tables that are NOT data detours: explicit local-row sources,
