@@ -52,19 +52,21 @@ _WINDOW = [
     "tpch_q16_supplier_count", "tpch_q20_potential_promotion",
     "a34_weighted_median_prefix", "m25_kmeans_fixed_point",
     "m26_ols_normal_equations", "m28_confusion_matrix",
+    # brand-new round-5 operators (all certified sf0.001/0.01/0.1)
+    "j10_bloom_join_prune", "x21_retraction_ivm", "dq13_psi_drift",
+    "dq12_merkle_bucket_diff", "m30_woe_iv_binning", "sql_grouping_sets",
+    "dedup_lsh_recall_report", "a38_skyline_frontier",
     # never driver-verified: similarity / text north-star
-    "sim_ivf_cells", "sim_matryoshka_topk", "sim_hard_negatives",
-    "sim_ann_recall_report", "text_bm25_ranking", "text_sparse_dot_pairs",
-    "corpus_global_shuffle", "corpus_source_overlap",
+    "sim_ivf_cells", "sim_ann_recall_report", "text_bm25_ranking",
+    "text_sparse_dot_pairs",
     # never driver-verified: temporal / CDC / graph
     "x7_upsert_keep_latest", "x10_join_ivm", "x13_scd2_lookup",
     "graph_label_propagation", "graph_personalized_pagerank",
-    "graph_link_prediction", "ts_gapfill_locf", "ts_sessionize_gap",
-    # never driver-verified: multimodal / sources / SQL surface / DQ
+    "graph_link_prediction",
+    # never driver-verified: multimodal / SQL surface / DQ
     # (mm_jpeg_roundtrip is round 5's new baseline-DCT codec)
-    "mm_png_decode", "mm_jpeg_roundtrip", "s17_python_datasource",
+    "mm_png_decode", "mm_jpeg_roundtrip",
     "sql_recursive_reachability", "dq11_table_fingerprint",
-    "ev7_rfm_segmentation",
 ]
 
 

@@ -620,3 +620,100 @@ def dq13_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.sum("n_b").cast("bigint").alias("n_period_b"),
         F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
     )
+
+
+@register(
+    "a38_skyline_frontier",
+    """
+    WITH pts AS (
+        SELECT o_custkey,
+               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS x,
+               CAST(COUNT(*) AS BIGINT) AS y
+        FROM orders GROUP BY o_custkey
+    ),
+    sky AS (
+        SELECT x, y FROM pts q
+        WHERE NOT EXISTS (
+            SELECT 1 FROM pts p
+            WHERE p.x >= q.x AND p.y >= q.y AND (p.x > q.x OR p.y > q.y)
+        )
+    )
+    SELECT x AS total_cents, y AS n_orders,
+           CAST(COUNT(*) AS BIGINT) AS n_customers
+    FROM sky GROUP BY x, y
+    ORDER BY total_cents DESC
+    """,
+)
+def a38_skyline_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A38: 2-D skyline (Pareto frontier) — customers not dominated on
+    (total spend, order count), both maximized: the multi-objective
+    'best customers' query no single ORDER BY can answer. The oracle
+    states the textbook NOT-EXISTS dominance spec; the engine computes
+    it WITHOUT the quadratic pair test and WITHOUT a global sort:
+
+    1. collapse to one row per distinct x with max y (hash agg);
+    2. decile-bucket x by broadcast percentile cuts (a23 idiom);
+    3. per-bucket running max of y over x DESC — a PARTITIONED window
+       (bucket count ~n/10 rows each, never a 1-task funnel);
+    4. cross-bucket prefix max from the <=10-row bucket ledger via the
+       broadcast non-equi self-join idiom;
+    a point survives iff its y strictly exceeds the max y at any
+    strictly-greater x (within-bucket window ∪ higher-bucket ledger)
+    and it holds the max y of its own x group — the standard
+    grid-partitioned skyline, linear in n with one partitioned window.
+    Ties on both axes all survive (co-optimal points)."""
+    o = t(spark, sf_dir, "orders")
+    from pyspark.sql import Window
+
+    pts = o.groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).alias("x"),
+        F.count(F.lit(1)).cast("bigint").alias("y"),
+    )
+    per_x = pts.groupBy("x").agg(F.max("y").alias("max_y_at_x"))
+    cuts = per_x.agg(
+        F.percentile_approx("x", [i / 10 for i in range(1, 10)], 10_000_000).alias("qs")
+    )
+    bucketed = per_x.crossJoin(F.broadcast(cuts)).select(
+        "x",
+        "max_y_at_x",
+        F.aggregate(
+            "qs", F.lit(0), lambda acc, c: acc + F.when(F.col("x") > c, 1).otherwise(0)
+        ).alias("bucket"),
+    )
+    w = (
+        Window.partitionBy("bucket")
+        .orderBy(F.col("x").desc())
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    within = bucketed.withColumn(
+        "within_max", F.coalesce(F.max("max_y_at_x").over(w), F.lit(-1))
+    )
+    ledger = bucketed.groupBy("bucket").agg(F.max("max_y_at_x").alias("bmax"))
+    lo, hi = ledger.alias("lo"), ledger.alias("hi")
+    higher = (
+        lo.crossJoin(F.broadcast(hi))
+        .groupBy(F.col("lo.bucket").alias("bucket"))
+        .agg(
+            F.max(
+                F.when(F.col("hi.bucket") > F.col("lo.bucket"), F.col("hi.bmax"))
+            ).alias("hmax")
+        )
+    )
+    sky_x = (
+        within.join(F.broadcast(higher), "bucket", "left")
+        .withColumn("prefix_max", F.greatest("within_max", F.coalesce("hmax", F.lit(-1))))
+        .filter(F.col("max_y_at_x") > F.col("prefix_max"))
+        .select("x", "max_y_at_x")
+    )
+    return (
+        pts.join(F.broadcast(sky_x), "x")
+        .filter(F.col("y") == F.col("max_y_at_x"))
+        .groupBy("x", "y")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_customers"))
+        .select(
+            F.col("x").alias("total_cents"),
+            F.col("y").alias("n_orders"),
+            "n_customers",
+        )
+        .orderBy(F.col("total_cents").desc())
+    )

@@ -96,3 +96,54 @@ def test_grouping_sets_margins_reconcile(spark, sf_dir):
     assert sum(r.n for r in by_gid[0]) == total.n
     assert sum(r.rev_cents for r in by_gid[1]) == total.rev_cents
     assert sum(r.n for r in by_gid[2]) == total.n
+
+
+def test_skyline_matches_bruteforce_reference(spark):
+    """The grid-partitioned skyline must equal the quadratic dominance
+    spec on randomized small inputs — exercises bucket boundaries,
+    x-ties, y-ties, and co-optimal duplicate points."""
+    import os
+    import tempfile
+
+    from hypothesis import HealthCheck, given, settings
+    from hypothesis import strategies as st
+
+    from realestate_engine.queries_extra3 import a38_skyline_frontier
+
+    @given(
+        st.lists(
+            st.tuples(st.integers(min_value=1, max_value=4),  # orders per customer
+                      st.integers(min_value=1, max_value=6)),  # unit price
+            min_size=1, max_size=25,
+        )
+    )
+    @settings(max_examples=10, deadline=None,
+              suppress_health_check=[HealthCheck.function_scoped_fixture])
+    def run(spec):
+        d = tempfile.mkdtemp(prefix="sky_")
+        rows = []
+        for cust, (k, p) in enumerate(spec):
+            rows += [(cust, float(p))] * k
+        spark.createDataFrame(rows, "o_custkey long, o_totalprice double").write.mode(
+            "overwrite"
+        ).parquet(os.path.join(d, "orders.parquet"))
+
+        got = {
+            (r.total_cents, r.n_orders): r.n_customers
+            for r in a38_skyline_frontier(spark, d).collect()
+        }
+
+        pts = [(k * p * 100, k) for k, p in spec]
+        sky = [
+            q for q in pts
+            if not any(
+                p[0] >= q[0] and p[1] >= q[1] and (p[0] > q[0] or p[1] > q[1])
+                for p in pts
+            )
+        ]
+        exp = {}
+        for q in sky:
+            exp[q] = exp.get(q, 0) + 1
+        assert got == exp, (spec, got, exp)
+
+    run()
