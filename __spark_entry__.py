@@ -60,7 +60,8 @@ _WINDOW = [
     "sim_ivf_cells", "sim_ann_recall_report", "text_bm25_ranking",
     "text_sparse_dot_pairs",
     # never driver-verified: temporal / CDC / graph
-    "x7_upsert_keep_latest", "x10_join_ivm", "x13_scd2_lookup",
+    # (x22 is round 5's CDC-extract twin of x20's apply)
+    "x7_upsert_keep_latest", "x10_join_ivm", "x22_cdc_extract",
     "graph_label_propagation", "graph_personalized_pagerank",
     "graph_link_prediction",
     # never driver-verified: multimodal / SQL surface / DQ

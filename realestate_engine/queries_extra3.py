@@ -717,3 +717,77 @@ def a38_skyline_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("total_cents").desc())
     )
+
+
+@register(
+    "x22_cdc_extract",
+    """
+    WITH v1 AS (
+        SELECT o_orderkey AS k,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    v2 AS (
+        SELECT k,
+               CASE WHEN k % 97 = 0 THEN cents + 1 ELSE cents END AS cents
+        FROM v1 WHERE k % 89 <> 0
+        UNION ALL
+        SELECT k + 100000000 AS k, cents FROM v1 WHERE k % 101 = 0
+    )
+    SELECT COALESCE(v1.k, v2.k) AS k,
+           CASE WHEN v1.k IS NULL THEN 'I'
+                WHEN v2.k IS NULL THEN 'D'
+                ELSE 'U' END AS op,
+           v1.cents AS before_cents,
+           v2.cents AS after_cents
+    FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k
+    WHERE v1.k IS NULL OR v2.k IS NULL OR v1.cents <> v2.cents
+    ORDER BY k
+    """,
+)
+def x22_cdc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X22: CDC EXTRACTION — diff two table snapshots into the
+    insert/update/delete changelog that x20_cdc_apply consumes and
+    dq12's Merkle diff locates: the full snapshot-diff path of an
+    incremental pipeline (extract -> locate -> apply). v2 is a
+    deterministic mutation of orders (every 97th key repriced, every
+    89th deleted, every 101st re-inserted under a new key); the diff
+    is ONE full outer join on the key with unchanged rows filtered
+    out, so the changelog costs one co-partitioned shuffle regardless
+    of how few rows changed. At 100 TB the join keys would be
+    pre-bucketed (s24 idiom) or the diff scoped to the buckets dq12
+    flagged — extract-on-flagged-buckets turns a full-table diff into
+    a 64th of the work per mutated bucket."""
+    o = t(spark, sf_dir, "orders")
+    v1 = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    mutated = v1.filter(F.col("k") % 89 != 0).select(
+        "k",
+        F.when(F.col("k") % 97 == 0, F.col("cents") + 1).otherwise(F.col("cents")).alias("cents"),
+    )
+    inserted = v1.filter(F.col("k") % 101 == 0).select(
+        (F.col("k") + 100_000_000).alias("k"), "cents"
+    )
+    v2 = mutated.unionByName(inserted)
+    a = v1.alias("a")
+    b = v2.alias("b")
+    return (
+        a.join(b, F.col("a.k") == F.col("b.k"), "full_outer")
+        .filter(
+            F.col("a.k").isNull()
+            | F.col("b.k").isNull()
+            | (F.col("a.cents") != F.col("b.cents"))
+        )
+        .select(
+            F.coalesce(F.col("a.k"), F.col("b.k")).alias("k"),
+            F.when(F.col("a.k").isNull(), "I")
+            .when(F.col("b.k").isNull(), "D")
+            .otherwise("U")
+            .alias("op"),
+            F.col("a.cents").alias("before_cents"),
+            F.col("b.cents").alias("after_cents"),
+        )
+        .orderBy("k")
+    )
