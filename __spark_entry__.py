@@ -67,7 +67,7 @@ _WINDOW = [
     # never driver-verified: multimodal / SQL surface / DQ
     # (mm_jpeg_roundtrip is round 5's new baseline-DCT codec)
     "mm_png_decode", "mm_jpeg_roundtrip",
-    "sql_recursive_reachability", "dq11_table_fingerprint",
+    "sql_recursive_reachability", "m31_conformal_interval",
 ]
 
 

@@ -791,3 +791,95 @@ def x22_cdc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+@register(
+    "m31_conformal_interval",
+    """
+    WITH base AS (
+        SELECT o_orderpriority,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+               ('0x' || SUBSTR(MD5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT % 10 AS h
+        FROM orders
+    ),
+    cal AS (SELECT * FROM base WHERE h < 5),
+    tst AS (SELECT * FROM base WHERE h >= 5),
+    model AS (
+        SELECT o_orderpriority, SUM(cents) // COUNT(*) AS yhat_cents
+        FROM cal GROUP BY o_orderpriority
+    ),
+    cal_resid AS (
+        SELECT ABS(c.cents - m.yhat_cents) AS r
+        FROM cal c JOIN model m USING (o_orderpriority)
+    ),
+    q AS (
+        SELECT CAST(quantile_disc(r, 0.9) AS BIGINT) AS q90 FROM cal_resid
+    ),
+    scored AS (
+        SELECT CASE WHEN ABS(t.cents - m.yhat_cents) <= q.q90 THEN 1 ELSE 0 END AS covered
+        FROM tst t JOIN model m USING (o_orderpriority), q
+    )
+    SELECT CAST((SELECT q90 FROM q) AS BIGINT) AS q90_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           CAST(SUM(covered) AS BIGINT) AS n_covered,
+           CAST(FLOOR(SUM(covered) * 1e6 / COUNT(*)) AS BIGINT) AS coverage_micro,
+           (SUM(covered) * 100 >= COUNT(*) * 85) AS coverage_ok
+    FROM scored
+    """,
+)
+def m31_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M31: split-conformal prediction intervals — the
+    distribution-free uncertainty wrapper modern ML serving puts
+    around ANY point predictor: fit on a calibration split, take the
+    90th percentile of absolute calibration residuals as the interval
+    half-width, and report the realized coverage on the held-out
+    split (guaranteed >= 89%-ish by exchangeability). Everything is
+    engine-exact: the split is the portable md5 permille hash (p10's
+    idiom), the per-priority predictor is an INTEGER floor-mean
+    (SUM//COUNT — a float avg would differ by summation-order ulps),
+    residuals are exact cents, the q90 is an exact discrete quantile
+    (GK accuracy > n), and coverage is a cross-multiplied integer
+    test. Plan shape: two hash aggs, a 5-row model broadcast, a 1-row
+    quantile broadcast — no windows, no shuffles beyond the groupBys."""
+    o = t(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        (
+            F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10)
+            .cast("bigint")
+            % 10
+        ).alias("h"),
+    )
+    cal = base.filter(F.col("h") < 5)
+    tst = base.filter(F.col("h") >= 5)
+    # integer `div`, NOT float division + cast: sum/n as a double can
+    # round UP across an integer boundary where DuckDB's BIGINT // floors
+    model = (
+        cal.groupBy("o_orderpriority")
+        .agg(F.sum("cents").alias("s"), F.count(F.lit(1)).alias("n"))
+        .select("o_orderpriority", F.expr("s div n").alias("yhat_cents"))
+    )
+    cal_resid = cal.join(F.broadcast(model), "o_orderpriority").select(
+        F.abs(F.col("cents") - F.col("yhat_cents")).alias("r")
+    )
+    q = cal_resid.agg(
+        F.percentile_approx("r", 0.9, 10_000_000).cast("bigint").alias("q90")
+    )
+    scored = (
+        tst.join(F.broadcast(model), "o_orderpriority")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "q90",
+            F.when(
+                F.abs(F.col("cents") - F.col("yhat_cents")) <= F.col("q90"), 1
+            ).otherwise(0).alias("covered"),
+        )
+    )
+    return scored.agg(
+        F.max("q90").cast("bigint").alias("q90_cents"),
+        F.count(F.lit(1)).cast("bigint").alias("n_test"),
+        F.sum("covered").cast("bigint").alias("n_covered"),
+        F.floor(F.sum("covered") * 1e6 / F.count(F.lit(1))).cast("bigint").alias("coverage_micro"),
+        (F.sum("covered") * 100 >= F.count(F.lit(1)) * 85).alias("coverage_ok"),
+    )
