@@ -883,3 +883,92 @@ def m31_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.floor(F.sum("covered") * 1e6 / F.count(F.lit(1))).cast("bigint").alias("coverage_micro"),
         (F.sum("covered") * 100 >= F.count(F.lit(1)) * 85).alias("coverage_ok"),
     )
+
+
+# --- CM-sketch join-size estimation ----------------------------------------
+
+_CM_W = 1024  # cells per hash row
+_CM_A = (769, 1543, 3079)
+_CM_B = (12289, 24593, 49157)
+
+
+def _cm_cell(h, j: int):
+    return ((h * _CM_A[j] + _CM_B[j]) % _BLOOM_P) % _CM_W
+
+
+def _cm_cell_sql(hexpr: str, j: int) -> str:
+    return f"(({hexpr} * {_CM_A[j]} + {_CM_B[j]}) % {_BLOOM_P}) % {_CM_W}"
+
+
+@register(
+    "a39_selfjoin_size_sketch",
+    f"""
+    WITH keyed AS (
+        SELECT ('0x' || SUBSTR(MD5(CAST(l_suppkey AS VARCHAR)), 1, 8))::BIGINT AS h
+        FROM lineitem
+    ),
+    cells AS (
+        SELECT 0 AS j, {_cm_cell_sql('h', 0)} AS cell FROM keyed
+        UNION ALL SELECT 1, {_cm_cell_sql('h', 1)} FROM keyed
+        UNION ALL SELECT 2, {_cm_cell_sql('h', 2)} FROM keyed
+    ),
+    cm AS (
+        SELECT j, cell, CAST(COUNT(*) AS BIGINT) AS c
+        FROM cells GROUP BY j, cell
+    ),
+    est AS (
+        SELECT j, SUM(c * c) AS e FROM cm GROUP BY j
+    ),
+    exact AS (
+        SELECT CAST(SUM(c * c) AS BIGINT) AS x
+        FROM (SELECT CAST(COUNT(*) AS BIGINT) AS c FROM lineitem GROUP BY l_suppkey)
+    )
+    SELECT exact.x AS exact_size,
+           CAST((SELECT MIN(e) FROM est) AS BIGINT) AS estimated_size,
+           ((SELECT MIN(e) FROM est) >= exact.x) AS never_underestimates,
+           CAST(FLOOR(((SELECT MIN(e) FROM est) - exact.x) * 1e6 / exact.x) AS BIGINT)
+               AS over_micro
+    FROM exact
+    """,
+)
+def a39_selfjoin_size_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A39: join-size estimation from count-min sketches — the planner
+    primitive that decides broadcast vs shuffle vs salt BEFORE running
+    a join: the self-join size of lineitem on l_suppkey (the second
+    frequency moment Σc(k)², i.e. the join's output rows) estimated as
+    the MINIMUM over 3 hash rows of the sketch's cell-wise
+    sum-of-squares, against the exact value computed alongside. CM
+    inner products can only OVERestimate (colliding keys add cross
+    terms), so `never_underestimates` is a structural invariant the
+    oracle states, and `over_micro` is the realized overestimate. The
+    sketch is 3x1024 integer cells — constant size however many keys —
+    built with the repo's portable md5+affine hashes, so DuckDB
+    rebuilds it bit-for-bit. One scan feeds both sketch and exact; at
+    100 TB only the 3072-cell sketch would be kept per partition and
+    merged (cells add), never the per-key map."""
+    li = t(spark, sf_dir, "lineitem")
+    keyed = li.select(
+        portable_hash32(F.col("l_suppkey").cast("string")).alias("h")
+    )
+    cells = None
+    for j in range(3):
+        part = keyed.select(F.lit(j).alias("j"), _cm_cell(F.col("h"), j).alias("cell"))
+        cells = part if cells is None else cells.unionByName(part)
+    cm = cells.groupBy("j", "cell").agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+    est = cm.groupBy("j").agg(F.sum(F.col("c") * F.col("c")).alias("e"))
+    est_min = est.agg(F.min("e").cast("bigint").alias("estimated_size"))
+    exact = (
+        li.groupBy("l_suppkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .agg(F.sum(F.col("c") * F.col("c")).cast("bigint").alias("exact_size"))
+    )
+    return exact.crossJoin(F.broadcast(est_min)).select(
+        "exact_size",
+        "estimated_size",
+        (F.col("estimated_size") >= F.col("exact_size")).alias("never_underestimates"),
+        F.floor(
+            (F.col("estimated_size") - F.col("exact_size")) * 1e6 / F.col("exact_size")
+        )
+        .cast("bigint")
+        .alias("over_micro"),
+    )

@@ -59,6 +59,7 @@ ALLOWED_CROSS = {
     "dq13_psi_drift",  # broadcast 1-row period-totals frame onto the bucket ledger
     "a38_skyline_frontier",  # broadcast 1-row decile cuts + <=10-row bucket-ledger self-join
     "m31_conformal_interval",  # broadcast 1-row residual-quantile frame onto the test split
+    "a39_selfjoin_size_sketch",  # cross join of two 1-row size aggregates (exact vs sketch)
     "m30_woe_iv_binning",  # broadcast 1-row quintile-cuts + class-totals frames
     "m18_negative_sampling",  # broadcast 1-row item count + 4-row k range
     "x12_salted_join",  # broadcast 8-row salt range onto the dim side
