@@ -546,3 +546,99 @@ def graph_link_prediction(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("jaccard_micro").desc(), "node_a", "node_b")
         .limit(50)
     )
+
+
+# ---------------------------------------------------------------------------
+# HITS (hubs & authorities) on the DIRECTED customer->supplier graph
+# ---------------------------------------------------------------------------
+
+HITS_SCALE = 1_000_000  # hub/auth kept in 1e6 fixed-point units
+HITS_ROUNDS = 2
+
+
+def _hits_oracle() -> str:
+    scale = HITS_SCALE
+    ctes = [
+        f"""pairs AS MATERIALIZED (
+        SELECT DISTINCT o_custkey AS c, l_suppkey AS s
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    h0 AS MATERIALIZED (
+        SELECT DISTINCT c, {scale} AS hub FROM pairs
+    )"""
+    ]
+    prev_h = "h0"
+    for r in range(1, HITS_ROUNDS + 1):
+        ctes.append(
+            f"""araw{r} AS MATERIALIZED (
+        SELECT p.s, SUM(h.hub) AS raw
+        FROM pairs p JOIN {prev_h} h ON h.c = p.c GROUP BY p.s
+    ),
+    amax{r} AS (SELECT MAX(raw) AS m FROM araw{r}),
+    a{r} AS MATERIALIZED (
+        SELECT s, (raw * {scale}) // (SELECT m FROM amax{r}) AS auth FROM araw{r}
+    ),
+    hraw{r} AS MATERIALIZED (
+        SELECT p.c, SUM(a.auth) AS raw
+        FROM pairs p JOIN a{r} a ON a.s = p.s GROUP BY p.c
+    ),
+    hmax{r} AS (SELECT MAX(raw) AS m FROM hraw{r}),
+    h{r} AS MATERIALIZED (
+        SELECT c, (raw * {scale}) // (SELECT m FROM hmax{r}) AS hub FROM hraw{r}
+    )"""
+        )
+        prev_h = f"h{r}"
+    return (
+        "WITH "
+        + ",\n    ".join(ctes)
+        + f"""
+    SELECT CAST(s AS BIGINT) AS supplier, CAST(auth AS BIGINT) AS auth_micro
+    FROM a{HITS_ROUNDS}
+    ORDER BY auth_micro DESC, supplier
+    LIMIT 25
+    """
+    )
+
+
+@register("graph_hits_authorities", _hits_oracle())
+def graph_hits_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """HITS (hubs & authorities) on the DIRECTED customer->supplier
+    purchase graph: a supplier is authoritative when important hub
+    customers buy from it; a customer is a hub when it buys from
+    authoritative suppliers — the mutually-recursive eigenvector pair
+    PageRank's single score can't express (Kleinberg's algorithm).
+    Two full rounds of the alternating power iteration in BIGINT
+    fixed point, each half-step renormalized by the MAX raw score
+    ((raw * 1e6) div max — an exact integer division, where the
+    textbook L2 norm would be an irrational float no oracle could
+    replay). The loop is the pagerank_fixed_point shape: driver-side
+    rounds, per-round one colocated edge join + partial-aggregated
+    groupBy, node-sized frames shuffling against the cached directed
+    edge layout, the 1-row max broadcast back. Returns the top-25
+    authorities."""
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = cache_once(
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select(F.col("o_custkey").alias("c"), F.col("l_suppkey").alias("s"))
+        .distinct()
+        .repartition("c")
+    )
+    hub = pairs.select("c").distinct().select("c", F.lit(HITS_SCALE).alias("hub"))
+    auth = None
+    for _ in range(HITS_ROUNDS):
+        araw = pairs.join(hub, "c").groupBy("s").agg(F.sum("hub").alias("raw"))
+        amax = araw.agg(F.max("raw").alias("m"))
+        auth = araw.crossJoin(F.broadcast(amax)).select(
+            "s", F.expr(f"(raw * {HITS_SCALE}) div m").alias("auth")
+        )
+        hraw = pairs.join(auth, "s").groupBy("c").agg(F.sum("auth").alias("raw"))
+        hmax = hraw.agg(F.max("raw").alias("m"))
+        hub = hraw.crossJoin(F.broadcast(hmax)).select(
+            "c", F.expr(f"(raw * {HITS_SCALE}) div m").alias("hub")
+        )
+    return (
+        auth.select(F.col("s").cast("bigint").alias("supplier"), F.col("auth").cast("bigint").alias("auth_micro"))
+        .orderBy(F.col("auth_micro").desc(), "supplier")
+        .limit(25)
+    )

@@ -147,3 +147,36 @@ def test_skyline_matches_bruteforce_reference(spark):
         assert got == exp, (spec, got, exp)
 
     run()
+
+
+def test_hits_matches_exact_integer_reference(spark, sf_dir):
+    """Replay the max-renormalized integer HITS recurrence in pure
+    Python over the same directed edge set; the top-25 authority frame
+    must match value-for-value."""
+    from realestate_engine.graph import HITS_ROUNDS, HITS_SCALE
+
+    o = load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = {
+        (r.o_custkey, r.l_suppkey)
+        for r in li.join(o, li.l_orderkey == o.o_orderkey).collect()
+    }
+    hub = {c: HITS_SCALE for c, _ in pairs}
+    auth = {}
+    for _ in range(HITS_ROUNDS):
+        araw = {}
+        for c, s in pairs:
+            araw[s] = araw.get(s, 0) + hub[c]
+        amax = max(araw.values())
+        auth = {s: (v * HITS_SCALE) // amax for s, v in araw.items()}
+        hraw = {}
+        for c, s in pairs:
+            hraw[c] = hraw.get(c, 0) + auth[s]
+        hmax = max(hraw.values())
+        hub = {c: (v * HITS_SCALE) // hmax for c, v in hraw.items()}
+    exp = sorted(auth.items(), key=lambda kv: (-kv[1], kv[0]))[:25]
+    got = [
+        (r.supplier, r.auth_micro)
+        for r in QUERIES["graph_hits_authorities"](spark, sf_dir).collect()
+    ]
+    assert got == exp
