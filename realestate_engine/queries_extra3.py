@@ -972,3 +972,163 @@ def a39_selfjoin_size_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("over_micro"),
     )
+
+
+@register(
+    "a40_median_of_medians",
+    """
+    WITH cust AS (
+        SELECT c_nationkey,
+               CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents
+        FROM customer
+    ),
+    per_nation AS (
+        SELECT c_nationkey, CAST(quantile_disc(cents, 0.5) AS BIGINT) AS med
+        FROM cust GROUP BY c_nationkey
+    ),
+    mom AS (
+        SELECT CAST(quantile_disc(med, 0.5) AS BIGINT) AS mom FROM per_nation
+    ),
+    gl AS (
+        SELECT CAST(quantile_disc(cents, 0.5) AS BIGINT) AS gmed,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM cust
+    ),
+    rank_of AS (
+        SELECT CAST(SUM(CASE WHEN cents < mom THEN 1 ELSE 0 END) AS BIGINT) AS below
+        FROM cust, mom
+    )
+    SELECT gl.gmed AS global_median_cents,
+           mom.mom AS mom_cents,
+           CAST((SELECT COUNT(*) FROM per_nation) AS BIGINT) AS n_groups,
+           CAST(FLOOR(rank_of.below * 1e6 / gl.n) AS BIGINT) AS rank_of_mom_micro,
+           (rank_of.below * 5 >= gl.n AND rank_of.below * 5 <= gl.n * 4)
+               AS mom_within_band
+    FROM gl, mom, rank_of
+    """,
+)
+def a40_median_of_medians(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A40: federated quantiles — the median-of-medians a fleet of
+    sites (or a per-partition first pass) reports when raw rows can't
+    leave the group, against the true global median computed centrally:
+    per-nation exact medians (25 groups), their median, the global
+    median, and the MoM's exact rank in the global order (the quality
+    certificate — medians-of-groups always land in the middle band,
+    here checked as a cross-multiplied 20-80% test). All quantiles are
+    exact discrete elements (GK accuracy > n == quantile_disc), the
+    rank is an integer count — every column hash-compares. Plan: two
+    hash aggs + 1-row broadcasts; the 25-row medians frame is the only
+    'federated' traffic, exactly the point of the technique."""
+    c = t(spark, sf_dir, "customer")
+    cust = c.select(
+        "c_nationkey", F.round(F.col("c_acctbal") * 100).cast("bigint").alias("cents")
+    )
+    per_nation = cust.groupBy("c_nationkey").agg(
+        F.percentile_approx("cents", 0.5, 10_000_000).cast("bigint").alias("med")
+    )
+    mom = per_nation.agg(
+        F.percentile_approx("med", 0.5, 10_000_000).cast("bigint").alias("mom"),
+        F.count(F.lit(1)).cast("bigint").alias("n_groups"),
+    )
+    glob = cust.agg(
+        F.percentile_approx("cents", 0.5, 10_000_000).cast("bigint").alias("gmed"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+    )
+    ranked = (
+        cust.crossJoin(F.broadcast(mom))
+        .agg(
+            F.sum(F.when(F.col("cents") < F.col("mom"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("below"),
+            F.first("mom").alias("mom"),
+            F.first("n_groups").alias("n_groups"),
+        )
+    )
+    return ranked.crossJoin(F.broadcast(glob)).select(
+        F.col("gmed").alias("global_median_cents"),
+        F.col("mom").alias("mom_cents"),
+        "n_groups",
+        F.floor(F.col("below") * 1e6 / F.col("n")).cast("bigint").alias("rank_of_mom_micro"),
+        ((F.col("below") * 5 >= F.col("n")) & (F.col("below") * 5 <= F.col("n") * 4)).alias(
+            "mom_within_band"
+        ),
+    )
+
+
+@register(
+    "ev12_diff_in_diff",
+    """
+    WITH cells AS (
+        SELECT CASE WHEN o_custkey % 2 = 0 THEN 1 ELSE 0 END AS exposed,
+               CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01' THEN 1 ELSE 0 END AS post,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    m AS (
+        SELECT exposed, post,
+               SUM(cents) // COUNT(*) AS mean_cents,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM cells GROUP BY exposed, post
+    )
+    SELECT CAST(exposed AS BIGINT) AS exposed,
+           CAST(post AS BIGINT) AS post,
+           CAST(mean_cents AS BIGINT) AS mean_cents,
+           n,
+           CAST((SELECT (e1.mean_cents - e0.mean_cents) - (c1.mean_cents - c0.mean_cents)
+                 FROM m e1, m e0, m c1, m c0
+                 WHERE e1.exposed = 1 AND e1.post = 1 AND e0.exposed = 1 AND e0.post = 0
+                   AND c1.exposed = 0 AND c1.post = 1 AND c0.exposed = 0 AND c0.post = 0)
+                AS BIGINT) AS did_cents
+    FROM m
+    ORDER BY exposed, post
+    """,
+)
+def ev12_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EV12: difference-in-differences — the quasi-experimental readout
+    every growth team runs when an exposure wasn't randomized: compare
+    the exposed cohort's pre->post change in mean order value against
+    the control cohort's change over the same boundary; parallel-trend
+    deltas cancel and what remains is the treatment effect estimate.
+    Exposure here is the deterministic even-custkey cohort, the period
+    boundary 1998-01-01. Cell means are INTEGER floor-means
+    (SUM div COUNT — m31's trick: a float avg differs by summation-
+    order ulps), so the four cells and the DiD contrast are exact
+    BIGINTs. One scan, one 4-group partial-aggregated groupBy; the DiD
+    scalar is derived from the 4-row frame itself."""
+    o = t(spark, sf_dir, "orders")
+    cells = o.select(
+        F.when(F.col("o_custkey") % 2 == 0, 1).otherwise(0).alias("exposed"),
+        F.when(
+            F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"), 1
+        ).otherwise(0).alias("post"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    m = (
+        cells.groupBy("exposed", "post")
+        .agg(F.sum("cents").alias("s"), F.count(F.lit(1)).cast("bigint").alias("n"))
+        .select(
+            "exposed", "post", F.expr("s div n").alias("mean_cents"), "n"
+        )
+    )
+    # pivot the 4-row frame into one DiD scalar and broadcast it back
+    did = (
+        m.agg(
+            F.sum(
+                F.when((F.col("exposed") == 1) & (F.col("post") == 1), F.col("mean_cents"))
+                .when((F.col("exposed") == 1) & (F.col("post") == 0), -F.col("mean_cents"))
+                .when((F.col("exposed") == 0) & (F.col("post") == 1), -F.col("mean_cents"))
+                .otherwise(F.col("mean_cents"))
+            ).cast("bigint").alias("did_cents")
+        )
+    )
+    return (
+        m.crossJoin(F.broadcast(did))
+        .select(
+            F.col("exposed").cast("bigint").alias("exposed"),
+            F.col("post").cast("bigint").alias("post"),
+            F.col("mean_cents").cast("bigint").alias("mean_cents"),
+            "n",
+            "did_cents",
+        )
+        .orderBy("exposed", "post")
+    )

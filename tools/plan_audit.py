@@ -61,6 +61,8 @@ ALLOWED_CROSS = {
     "a38_skyline_frontier",  # broadcast 1-row decile cuts + <=10-row bucket-ledger self-join
     "m31_conformal_interval",  # broadcast 1-row residual-quantile frame onto the test split
     "a39_selfjoin_size_sketch",  # cross join of two 1-row size aggregates (exact vs sketch)
+    "a40_median_of_medians",  # broadcast 1-row MoM + global-median frames
+    "ev12_diff_in_diff",  # broadcast 1-row DiD contrast onto the 4-cell frame
     "m30_woe_iv_binning",  # broadcast 1-row quintile-cuts + class-totals frames
     "m18_negative_sampling",  # broadcast 1-row item count + 4-row k range
     "x12_salted_join",  # broadcast 8-row salt range onto the dim side
