@@ -1132,3 +1132,57 @@ def ev12_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("exposed", "post")
     )
+
+
+@register(
+    "p19_schema_drift_audit",
+    """
+    SELECT 'o_orderkey' AS column_name, 'bigint' AS v1_type, 'int' AS v2_type,
+           'type_changed' AS change
+    UNION ALL
+    SELECT 'o_orderpriority', 'string', NULL, 'removed'
+    UNION ALL
+    SELECT 'o_orderstatus', NULL, 'string', 'added'
+    UNION ALL
+    SELECT 'o_totalprice', 'double', 'double', 'unchanged'
+    ORDER BY column_name
+    """,
+)
+def p19_schema_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P19: schema-drift audit — diff the ACTUAL schemas of two written
+    table versions (the upstream-contract check that runs before any
+    data comparison makes sense): v2 narrows a key type, drops a
+    column, and adds another; the audit reads both parquet footers and
+    reports per-column added/removed/type_changed/unchanged. The
+    result frame is O(columns) driver metadata (like m10's CV params —
+    an allowlisted local frame); the oracle states the expected
+    contract literally, so a silent writer-side schema change flips
+    the hash. At 100 TB this is a footer-metadata operation — no data
+    pages are read."""
+    from realestate_engine.registry import stable_tmp
+
+    o = t(spark, sf_dir, "orders")
+    v1_dir, v2_dir = stable_tmp("p19_v1"), stable_tmp("p19_v2")
+    o.select("o_orderkey", "o_totalprice", "o_orderpriority").write.mode(
+        "overwrite"
+    ).parquet(v1_dir)
+    o.select(
+        F.col("o_orderkey").cast("int").alias("o_orderkey"),
+        "o_totalprice",
+        "o_orderstatus",
+    ).write.mode("overwrite").parquet(v2_dir)
+    s1 = dict(spark.read.parquet(v1_dir).dtypes)
+    s2 = dict(spark.read.parquet(v2_dir).dtypes)
+    rows = []
+    for col in sorted(set(s1) | set(s2)):
+        t1, t2 = s1.get(col), s2.get(col)
+        change = (
+            "added" if t1 is None
+            else "removed" if t2 is None
+            else "type_changed" if t1 != t2
+            else "unchanged"
+        )
+        rows.append((col, t1, t2, change))
+    return spark.createDataFrame(
+        rows, "column_name string, v1_type string, v2_type string, change string"
+    ).orderBy("column_name")

@@ -1564,3 +1564,96 @@ def text_langid_confusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 from realestate_engine.registry import ORACLES as _ORACLES_T  # noqa: E402
 
 _ORACLES_T["text_langid_confusion"] = _langid_confusion_oracle()
+
+
+@register(
+    "t19_zipf_fit",
+    r"""
+    WITH words AS (
+        SELECT UNNEST(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+'),
+                                  x -> LEN(x) > 0)) AS w
+        FROM documents
+    ),
+    freq AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM words GROUP BY w
+    ),
+    top AS (
+        SELECT w, f, ROW_NUMBER() OVER (ORDER BY f DESC, w) AS rnk
+        FROM freq QUALIFY rnk <= 100
+    ),
+    pts AS (
+        SELECT CAST(FLOOR(LN(rnk) * 1e6) AS BIGINT) AS x,
+               CAST(FLOOR(LN(f) * 1e6) AS BIGINT) AS y
+        FROM top
+    ),
+    s AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy, CAST(SUM(x * x) AS BIGINT) AS sxx
+        FROM pts
+    )
+    SELECT n AS n_points,
+           CAST((n * sxy - sx * sy) // ((n * sxx - sx * sx) // 1000000) AS BIGINT)
+               AS slope_micro,
+           CAST((sy - (((n * sxy - sx * sy) // ((n * sxx - sx * sx) // 1000000)) * sx) // 1000000)
+                // n AS BIGINT) AS intercept_micro
+    FROM s
+    """,
+)
+def t19_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T19: Zipf rank-frequency fit — the corpus-health statistic
+    (natural text has log-log slope near -1; scraped boilerplate and
+    synthetic spam bend it) as an OLS line over the top-100 word
+    frequencies. Determinism stack: top-100 by (freq DESC, word) from
+    TakeOrdered (never a global sort); ranks inside the 100-row frame
+    via the broadcast rank-join idiom (no unpartitioned window);
+    ln(rank)/ln(freq) FLOOR-scaled to integer micros PER POINT so the
+    OLS sums are order-free BIGINT arithmetic; slope and intercept
+    derived with integer division only. reference has no corpus
+    statistics; this extends text.py's quality family."""
+    d = t(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                lambda x: F.length(x) > 0,
+            )
+        ).alias("w")
+    )
+    freq = words.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+    top = freq.orderBy(F.col("f").desc(), "w").limit(100)
+    o = top.select(F.col("w").alias("o_w"), F.col("f").alias("o_f"))
+    rnk = F.sum(
+        F.when(
+            (F.col("o_f") > F.col("f"))
+            | ((F.col("o_f") == F.col("f")) & (F.col("o_w") <= F.col("w"))),
+            1,
+        ).otherwise(0)
+    )
+    ranked = (
+        top.crossJoin(F.broadcast(o))
+        .groupBy("w", "f")
+        .agg(rnk.alias("rnk"))
+    )
+    pts = ranked.select(
+        F.floor(F.log(F.col("rnk").cast("double")) * 1e6).cast("bigint").alias("x"),
+        F.floor(F.log(F.col("f").cast("double")) * 1e6).cast("bigint").alias("y"),
+    )
+    s = pts.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+    )
+
+    # Spark `div` and DuckDB `//` BOTH truncate toward zero on
+    # negatives (verified; the slope here is negative) — plain integer
+    # division is portable as long as every `/` in the oracle is `//`
+    slope = "((n * sxy - sx * sy) div ((n * sxx - sx * sx) div 1000000))"
+    intercept = f"((sy - (({slope} * sx) div 1000000)) div n)"
+    return s.select(
+        F.col("n").alias("n_points"),
+        F.expr(slope).cast("bigint").alias("slope_micro"),
+        F.expr(intercept).cast("bigint").alias("intercept_micro"),
+    )

@@ -63,6 +63,7 @@ ALLOWED_CROSS = {
     "a39_selfjoin_size_sketch",  # cross join of two 1-row size aggregates (exact vs sketch)
     "a40_median_of_medians",  # broadcast 1-row MoM + global-median frames
     "ev12_diff_in_diff",  # broadcast 1-row DiD contrast onto the 4-cell frame
+    "t19_zipf_fit",  # broadcast rank self-join over the 100-row top-words frame
     "m30_woe_iv_binning",  # broadcast 1-row quintile-cuts + class-totals frames
     "m18_negative_sampling",  # broadcast 1-row item count + 4-row k range
     "x12_salted_join",  # broadcast 8-row salt range onto the dim side
@@ -123,6 +124,7 @@ ALLOWED_LOCAL = {
     "m22_prefixspan_sequences",  # MLlib PrefixSpan patterns are RDD-backed model output
     "m21_glm_poisson",  # returns O(k) coefficient rows (model state)
     "m27_ndcg_ranking_eval",  # 10-row VALUES discount-constant dim (broadcast)
+    "p19_schema_drift_audit",  # O(columns) footer-metadata diff (driver-side by design)
 }
 
 
