@@ -1340,3 +1340,76 @@ def dedup_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("precision_micro"),
         )
     )
+
+
+_SWEEP_THRESHOLDS = (5, 6, 7, 8, 9)  # tenths: jaccard >= 0.5 .. 0.9
+
+
+@register(
+    "dedup_threshold_sweep",
+    f"""
+    WITH {_minhash_oracle_ctes()},
+    cand AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM banded a JOIN banded b
+          ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    ),
+    scored AS (
+        SELECT LEN(LIST_INTERSECT(sa.sh, sb.sh)) AS i,
+               LEN(LIST_DISTINCT(LIST_CONCAT(sa.sh, sb.sh))) AS u
+        FROM cand c
+        JOIN sh sa ON sa.doc_id = c.id_a
+        JOIN sh sb ON sb.doc_id = c.id_b
+    )
+    SELECT t.t * 10 AS threshold_pct,
+           CAST(SUM(CASE WHEN s.u > 0 AND s.i * 10 >= t.t * s.u THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_pairs
+    FROM scored s CROSS JOIN (SELECT UNNEST([{', '.join(str(t) for t in _SWEEP_THRESHOLDS)}]) AS t) t
+    GROUP BY t.t
+    ORDER BY threshold_pct
+    """,
+)
+def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Dedup THRESHOLD SWEEP — the tuning curve a pipeline owner reads
+    before picking the near-dup cutoff: for each candidate Jaccard
+    threshold (50..90%), how many LSH candidate pairs would be merged.
+    One pass computes each pair's exact intersect/union ONCE; the
+    five thresholds are a broadcast 5-row explode against the scored
+    frame with cross-multiplied integer tests (i*10 >= t*u) — the
+    sweep costs no more than one verification pass regardless of how
+    many thresholds are probed. Composes the registered minhash CTEs,
+    so the curve describes exactly the production candidate set."""
+    d = t(spark, sf_dir, "documents")
+    sh_rel = cache_once(hashed_shingle_df(d, "doc_id", "text"))
+    cands = minhash_lsh_candidates(d, "doc_id", "text", shingles=sh_rel)
+    sh = sh_rel.select(F.col("id").alias("doc_id"), "sh")
+    sides = cands.select(
+        "id_a", "id_b", F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias("doc_id")
+    )
+    per_pair = (
+        sh.join(F.broadcast(sides), "doc_id")
+        .groupBy("id_a", "id_b")
+        .agg(
+            F.first(F.when(F.col("doc_id") == F.col("id_a"), F.col("sh")), ignorenulls=True).alias("sh_a"),
+            F.first(F.when(F.col("doc_id") == F.col("id_b"), F.col("sh")), ignorenulls=True).alias("sh_b"),
+        )
+    )
+    scored = per_pair.select(
+        F.size(F.array_intersect("sh_a", "sh_b")).alias("i"),
+        F.size(F.array_union("sh_a", "sh_b")).alias("u"),
+    )
+    thresholds = F.array(*[F.lit(x) for x in _SWEEP_THRESHOLDS])
+    return (
+        scored.select("i", "u", F.explode(thresholds).alias("t"))
+        .groupBy("t")
+        .agg(
+            F.sum(
+                F.when((F.col("u") > 0) & (F.col("i") * 10 >= F.col("t") * F.col("u")), 1)
+                .otherwise(0)
+            )
+            .cast("bigint")
+            .alias("n_pairs")
+        )
+        .select((F.col("t") * 10).cast("bigint").alias("threshold_pct"), "n_pairs")
+        .orderBy("threshold_pct")
+    )

@@ -3136,3 +3136,87 @@ def a37_entropy_profile(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "a41_hll_set_algebra",
+    """
+    WITH a AS (
+        SELECT DISTINCT o_custkey AS k FROM orders
+        WHERE o_orderdate < TIMESTAMP '1998-01-01'
+    ),
+    b AS (
+        SELECT DISTINCT o_custkey AS k FROM orders
+        WHERE o_orderdate >= TIMESTAMP '1996-01-01'
+    )
+    SELECT CAST((SELECT COUNT(*) FROM a) AS BIGINT) AS exact_a,
+           CAST((SELECT COUNT(*) FROM b) AS BIGINT) AS exact_b,
+           CAST((SELECT COUNT(*) FROM (SELECT k FROM a UNION SELECT k FROM b)) AS BIGINT)
+               AS exact_union,
+           CAST((SELECT COUNT(*) FROM a JOIN b USING (k)) AS BIGINT) AS exact_intersection,
+           TRUE AS union_within_5pct,
+           TRUE AS intersection_within_15pct
+    """,
+)
+def a41_hll_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A41: HLL set algebra — the sketch-tier answer to "how many
+    users are in BOTH cohorts" when neither cohort's membership list
+    fits anywhere: |A∩B| estimated by inclusion-exclusion over three
+    mergeable sketches (est_A + est_B - est_A∪B; sketches union
+    losslessly, they never intersect directly). Exact counts ride
+    along as the oracle anchor, and the estimates are reported as
+    within-tolerance booleans — union inherits plain HLL error (5%
+    gate at ~10 standard errors), the I-E intersection compounds three
+    estimates' errors against a smaller denominator (15% gate; the
+    overlap here is a large fraction of either cohort, the regime
+    where I-E is actually usable — a tiny intersection would need a
+    different sketch). At 100 TB only the three fixed-size sketches
+    move; the exact legs exist for the gate."""
+    o = t(spark, sf_dir, "orders")
+    a = o.filter(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp")).select(
+        F.col("o_custkey").alias("k")
+    )
+    b = o.filter(F.col("o_orderdate") >= F.lit("1996-01-01").cast("timestamp")).select(
+        F.col("o_custkey").alias("k")
+    )
+    sk = (
+        a.select(F.lit("a").alias("side"), "k")
+        .unionByName(b.select(F.lit("b").alias("side"), "k"))
+        .groupBy("side")
+        .agg(F.hll_sketch_agg("k").alias("sk"))
+    )
+    ests = sk.agg(
+        F.max(F.when(F.col("side") == "a", F.hll_sketch_estimate("sk"))).alias("est_a"),
+        F.max(F.when(F.col("side") == "b", F.hll_sketch_estimate("sk"))).alias("est_b"),
+        F.hll_sketch_estimate(F.hll_union_agg("sk")).alias("est_u"),
+    )
+    exacts = (
+        a.agg(F.count_distinct("k").cast("bigint").alias("exact_a"))
+        .crossJoin(F.broadcast(b.agg(F.count_distinct("k").cast("bigint").alias("exact_b"))))
+        .crossJoin(
+            F.broadcast(
+                a.unionByName(b).agg(F.count_distinct("k").cast("bigint").alias("exact_union"))
+            )
+        )
+        .crossJoin(
+            F.broadcast(
+                a.join(b.distinct(), "k", "left_semi")
+                .agg(F.count_distinct("k").cast("bigint").alias("exact_intersection"))
+            )
+        )
+    )
+    est_i = F.col("est_a") + F.col("est_b") - F.col("est_u")
+    return exacts.crossJoin(F.broadcast(ests)).select(
+        "exact_a",
+        "exact_b",
+        "exact_union",
+        "exact_intersection",
+        (
+            F.abs(F.col("est_u") - F.col("exact_union"))
+            <= F.greatest(F.lit(2), F.col("exact_union").cast("double") * 0.05)
+        ).alias("union_within_5pct"),
+        (
+            F.abs(est_i - F.col("exact_intersection"))
+            <= F.greatest(F.lit(5), F.col("exact_intersection").cast("double") * 0.15)
+        ).alias("intersection_within_15pct"),
+    )
