@@ -640,3 +640,112 @@ def j9_interval_overlap_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("overlap_micros"),
     ).orderBy("user_id", "click_session_start", "purchase_session_start")
+
+
+@register(
+    "j12_nearest_event_join",
+    """
+    WITH p AS (
+        SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase'
+    ),
+    c AS (
+        SELECT user_id, ts, MIN(event_id) AS click_id
+        FROM events WHERE event_type = 'click'
+        GROUP BY user_id, ts
+    ),
+    b AS (
+        SELECT p.event_id, p.user_id, p.ts,
+               c.click_id AS b_id, c.ts AS b_ts
+        FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts >= c.ts
+    ),
+    f AS (
+        SELECT p.event_id, c.click_id AS f_id, c.ts AS f_ts
+        FROM p ASOF LEFT JOIN c ON p.user_id = c.user_id AND p.ts < c.ts
+    )
+    SELECT b.event_id, b.user_id,
+           CASE
+             WHEN b.b_id IS NULL AND f.f_id IS NULL THEN NULL
+             WHEN f.f_id IS NULL THEN b.b_id
+             WHEN b.b_id IS NULL THEN f.f_id
+             WHEN epoch_us(b.ts) - epoch_us(b.b_ts)
+                  <= epoch_us(f.f_ts) - epoch_us(b.ts) THEN b.b_id
+             ELSE f.f_id
+           END AS nearest_click_id,
+           CASE
+             WHEN b.b_id IS NULL AND f.f_id IS NULL THEN NULL
+             WHEN f.f_id IS NULL THEN epoch_us(b.b_ts) - epoch_us(b.ts)
+             WHEN b.b_id IS NULL THEN epoch_us(f.f_ts) - epoch_us(b.ts)
+             WHEN epoch_us(b.ts) - epoch_us(b.b_ts)
+                  <= epoch_us(f.f_ts) - epoch_us(b.ts)
+                  THEN epoch_us(b.b_ts) - epoch_us(b.ts)
+             ELSE epoch_us(f.f_ts) - epoch_us(b.ts)
+           END AS delta_us
+    FROM b JOIN f ON f.event_id = b.event_id
+    ORDER BY b.event_id
+    """,
+)
+def j12_nearest_event_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J12: NEAREST-event temporal join — each purchase annotated with
+    the click closest in time in EITHER direction (attribution when
+    the click can legitimately land after the purchase event arrives,
+    e.g. delayed client batching). Neither an as-of (backward-only)
+    nor a range join (all-in-window) answers this; the engine runs the
+    union+window as-of idiom TWICE — once forward, once on reversed
+    time — and picks the smaller |delta| (ties -> the earlier click;
+    equal-ts clicks are pre-collapsed to min event_id so both engines
+    break ties identically). Cost: two partitioned windows over n+m
+    rows per user — still no pair materialization, immune to hot-key
+    blowup. The signed delta_us (negative = click before purchase) is
+    exact integer microseconds on both engines."""
+    ev = t(spark, sf_dir, "events")
+    p = ev.filter(F.col("event_type") == "purchase").select("event_id", "user_id", "ts")
+    c = (
+        ev.filter(F.col("event_type") == "click")
+        .groupBy("user_id", "ts")
+        .agg(F.min("event_id").alias("click_id"))
+    )
+    from pyspark.sql import Window
+
+    # one union feeds both directional scans
+    u = p.select(
+        "user_id", "ts", F.col("event_id").alias("p_id"), F.lit(None).cast("long").alias("c_id")
+    ).unionByName(
+        c.select("user_id", "ts", F.lit(None).cast("long").alias("p_id"), F.col("click_id").alias("c_id"))
+    )
+    # backward (<=): clicks sort before purchases at equal ts so a
+    # same-instant click is visible
+    wb = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", F.when(F.col("c_id").isNotNull(), 0).otherwise(1))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    # forward (>): purchases sort before clicks at equal ts in the
+    # reversed scan so a same-instant click is NOT forward-visible
+    wf = (
+        Window.partitionBy("user_id")
+        .orderBy(F.col("ts").desc(), F.when(F.col("p_id").isNotNull(), 0).otherwise(1))
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    ann = (
+        u.withColumn("b_id", F.last(F.when(F.col("c_id").isNotNull(), F.col("c_id")), ignorenulls=True).over(wb))
+        .withColumn("b_ts", F.last(F.when(F.col("c_id").isNotNull(), F.col("ts")), ignorenulls=True).over(wb))
+        .withColumn("f_id", F.last(F.when(F.col("c_id").isNotNull(), F.col("c_id")), ignorenulls=True).over(wf))
+        .withColumn("f_ts", F.last(F.when(F.col("c_id").isNotNull(), F.col("ts")), ignorenulls=True).over(wf))
+        .filter(F.col("p_id").isNotNull())
+    )
+    dp = F.unix_micros(F.col("ts"))
+    db = dp - F.unix_micros(F.col("b_ts"))  # >= 0
+    df_ = F.unix_micros(F.col("f_ts")) - dp  # > 0
+    back_wins = F.col("f_id").isNull() | (F.col("b_id").isNotNull() & (db <= df_))
+    return ann.select(
+        F.col("p_id").alias("event_id"),
+        "user_id",
+        F.when(F.col("b_id").isNull() & F.col("f_id").isNull(), F.lit(None).cast("long"))
+        .when(back_wins, F.col("b_id"))
+        .otherwise(F.col("f_id"))
+        .alias("nearest_click_id"),
+        F.when(F.col("b_id").isNull() & F.col("f_id").isNull(), F.lit(None).cast("long"))
+        .when(back_wins, -db)
+        .otherwise(df_)
+        .alias("delta_us"),
+    ).orderBy("event_id")
