@@ -1186,3 +1186,79 @@ def p19_schema_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         rows, "column_name string, v1_type string, v2_type string, change string"
     ).orderBy("column_name")
+
+
+@register(
+    "a42_bitmap_distinct_rollup",
+    f"""
+    WITH lanes AS (
+        SELECT o_orderpriority,
+               o_custkey // 64 AS lane,
+               BIT_OR({_bit_sql('o_custkey % 64')}) AS bits
+        FROM orders
+        GROUP BY o_orderpriority, o_custkey // 64
+    ),
+    per_group AS (
+        SELECT o_orderpriority,
+               CAST(SUM(BIT_COUNT(bits)) AS BIGINT) AS n_distinct
+        FROM lanes GROUP BY o_orderpriority
+    ),
+    global_lanes AS (
+        SELECT lane, BIT_OR(bits) AS bits FROM lanes GROUP BY lane
+    ),
+    rolled AS (
+        SELECT CAST(SUM(BIT_COUNT(bits)) AS BIGINT) AS n_distinct
+        FROM global_lanes
+    ),
+    direct AS (
+        SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) AS n FROM orders
+    )
+    SELECT o_orderpriority, n_distinct,
+           (SELECT rolled.n_distinct = direct.n FROM rolled, direct) AS rollup_exact
+    FROM per_group
+    UNION ALL
+    SELECT 'ALL', rolled.n_distinct,
+           rolled.n_distinct = direct.n
+    FROM rolled, direct
+    ORDER BY o_orderpriority
+    """,
+)
+def a42_bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A42: EXACT mergeable distinct counts via bitmaps — the roaring-
+    bitmap pattern warehouses use when a18's HLL error is not
+    acceptable: per group, distinct customers are a set of 64-bit
+    lanes (lane = key div 64, bit = key mod 64) built by bit_or;
+    cardinality = sum of popcounts; and unlike plain counts the lane
+    bitmaps MERGE losslessly — the global figure is the OR of the
+    per-group lanes, never a rescan — with the in-plan proof
+    rollup_exact comparing the merged rollup to a direct
+    count-distinct. Lane state is |key-space|/64 bits spread across
+    ordinary rows (shuffled by lane like any aggregate), so the
+    pattern scales horizontally where a driver-side bitset cannot.
+    Spark's shiftleft wraps at bit 63 while DuckDB raises — the
+    oracle spells bit 63 as the min-BIGINT literal (j10's trick)."""
+    o = t(spark, sf_dir, "orders")
+    lanes = o.groupBy(
+        "o_orderpriority", (F.col("o_custkey") / 64).cast("long").alias("lane")
+    ).agg(F.bit_or(F.expr("shiftleft(1L, CAST(o_custkey % 64 AS INT))")).alias("bits"))
+    per_group = lanes.groupBy("o_orderpriority").agg(
+        F.sum(F.bit_count("bits")).cast("bigint").alias("n_distinct")
+    )
+    global_lanes = lanes.groupBy("lane").agg(F.bit_or("bits").alias("bits"))
+    rolled = global_lanes.agg(
+        F.sum(F.bit_count("bits")).cast("bigint").alias("n_distinct")
+    )
+    direct = o.agg(F.count_distinct("o_custkey").cast("bigint").alias("n"))
+    proof = rolled.crossJoin(F.broadcast(direct)).select(
+        F.col("n_distinct"), (F.col("n_distinct") == F.col("n")).alias("rollup_exact")
+    )
+    return (
+        per_group.crossJoin(F.broadcast(proof.select("rollup_exact")))
+        .select("o_orderpriority", "n_distinct", "rollup_exact")
+        .unionByName(
+            proof.select(
+                F.lit("ALL").alias("o_orderpriority"), "n_distinct", "rollup_exact"
+            )
+        )
+        .orderBy("o_orderpriority")
+    )
