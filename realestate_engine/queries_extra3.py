@@ -1262,3 +1262,124 @@ def a42_bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+_PERM_K = 20
+
+
+@register(
+    "m32_permutation_test",
+    f"""
+    WITH cells AS (
+        SELECT o_custkey,
+               CASE WHEN o_custkey % 2 = 0 THEN 1 ELSE 0 END AS exposed,
+               CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01' THEN 1 ELSE 0 END AS post,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    labeled AS (
+        SELECT r.i, cells.post, cells.cents,
+               CASE WHEN r.i = 0 THEN cells.exposed
+                    ELSE ('0x' || SUBSTR(MD5(CAST(cells.o_custkey AS VARCHAR) || ':' ||
+                          CAST(r.i AS VARCHAR)), 1, 8))::BIGINT % 2 END AS e
+        FROM cells CROSS JOIN (SELECT UNNEST(RANGE(0, {_PERM_K + 1})) AS i) r
+    ),
+    m AS (
+        SELECT i, e, post, SUM(cents) // COUNT(*) AS mean_cents
+        FROM labeled GROUP BY i, e, post
+    ),
+    did AS (
+        SELECT i,
+               SUM(CASE WHEN e = 1 AND post = 1 THEN mean_cents
+                        WHEN e = 1 AND post = 0 THEN -mean_cents
+                        WHEN e = 0 AND post = 1 THEN -mean_cents
+                        ELSE mean_cents END) AS d
+        FROM m GROUP BY i
+    )
+    SELECT CAST((SELECT d FROM did WHERE i = 0) AS BIGINT) AS observed_did_cents,
+           CAST({_PERM_K} AS BIGINT) AS n_perms,
+           CAST((SELECT COUNT(*) FROM did
+                 WHERE i > 0 AND ABS(d) >= ABS((SELECT d FROM did WHERE i = 0)))
+                AS BIGINT) AS n_as_extreme,
+           CAST(FLOOR((SELECT COUNT(*) FROM did
+                       WHERE i > 0 AND ABS(d) >= ABS((SELECT d FROM did WHERE i = 0)))
+                      * 1e6 / {_PERM_K}) AS BIGINT) AS p_micro
+    """,
+)
+def m32_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M32: permutation test for ev12's difference-in-differences —
+    the nonparametric significance check: re-assign the exposure label
+    {_PERM_K} times by a PORTABLE hash of (custkey, permutation index)
+    — deterministic 'randomness' both engines replay, the same trick
+    as the mixture samplers — recompute the integer DiD under each
+    null labeling, and report how many null DiDs are at least as
+    extreme as the observed one (the permutation p-value, in micros).
+    One pass: rows explode K+1 ways (i=0 is the REAL labeling), one
+    partial-aggregated groupBy over (K+1)x4 cells, a (K+1)-row DiD
+    frame — the data is scanned once however many permutations are
+    probed. Integer floor-means throughout (m31's div trick)."""
+    o = t(spark, sf_dir, "orders")
+    cells = o.select(
+        "o_custkey",
+        F.when(F.col("o_custkey") % 2 == 0, 1).otherwise(0).alias("exposed"),
+        F.when(
+            F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"), 1
+        ).otherwise(0).alias("post"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    perm_hash = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("o_custkey").cast("string"), F.col("i").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+    )
+    labeled = cells.select(
+        "post",
+        "cents",
+        F.explode(F.array(*[F.lit(i) for i in range(_PERM_K + 1)])).alias("i"),
+        "exposed",
+        "o_custkey",
+    ).select(
+        "i",
+        "post",
+        "cents",
+        F.when(F.col("i") == 0, F.col("exposed")).otherwise(perm_hash).alias("e"),
+    )
+    m = (
+        labeled.groupBy("i", "e", "post")
+        .agg(F.sum("cents").alias("s"), F.count(F.lit(1)).alias("n"))
+        .select("i", "e", "post", F.expr("s div n").alias("mean_cents"))
+    )
+    did = m.groupBy("i").agg(
+        F.sum(
+            F.when((F.col("e") == 1) & (F.col("post") == 1), F.col("mean_cents"))
+            .when((F.col("e") == 1) & (F.col("post") == 0), -F.col("mean_cents"))
+            .when((F.col("e") == 0) & (F.col("post") == 1), -F.col("mean_cents"))
+            .otherwise(F.col("mean_cents"))
+        ).alias("d")
+    )
+    obs = did.filter(F.col("i") == 0).select(F.col("d").alias("obs"))
+    return (
+        did.filter(F.col("i") > 0)
+        .crossJoin(F.broadcast(obs))
+        .agg(
+            F.first("obs").cast("bigint").alias("observed_did_cents"),
+            F.lit(_PERM_K).cast("bigint").alias("n_perms"),
+            F.sum(F.when(F.abs(F.col("d")) >= F.abs(F.col("obs")), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_as_extreme"),
+            F.floor(
+                F.sum(F.when(F.abs(F.col("d")) >= F.abs(F.col("obs")), 1).otherwise(0))
+                * 1e6
+                / _PERM_K
+            )
+            .cast("bigint")
+            .alias("p_micro"),
+        )
+    )
