@@ -1383,3 +1383,101 @@ def m32_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("p_micro"),
         )
     )
+
+
+_HQ_BUCKETS = 64
+_HQ_MAX_CENTS = 60_000_000  # fixed domain: orders totalprice < 600k
+
+
+@register(
+    "a43_histogram_quantile_rollup",
+    f"""
+    WITH cents AS (
+        SELECT o_orderpriority,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS c
+        FROM orders
+    ),
+    hist AS (
+        SELECT o_orderpriority,
+               LEAST(c * {_HQ_BUCKETS} // {_HQ_MAX_CENTS}, {_HQ_BUCKETS - 1}) AS bucket,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM cents GROUP BY 1, 2
+    ),
+    merged AS (
+        SELECT bucket, CAST(SUM(n) AS BIGINT) AS n FROM hist GROUP BY bucket
+    ),
+    tot AS (SELECT SUM(n) AS total FROM merged),
+    med_bucket AS (
+        SELECT MIN(bucket) AS mb FROM (
+            SELECT bucket,
+                   SUM(n) OVER (ORDER BY bucket) AS cum,
+                   (SELECT total FROM tot) AS total
+            FROM merged
+        ) WHERE cum * 2 >= total
+    ),
+    exact AS (
+        SELECT CAST(quantile_disc(c, 0.5) AS BIGINT) AS med FROM cents
+    )
+    SELECT CAST((SELECT mb FROM med_bucket) AS BIGINT) AS median_bucket,
+           CAST((SELECT mb FROM med_bucket) * {_HQ_MAX_CENTS} // {_HQ_BUCKETS} AS BIGINT)
+               AS bucket_lo_cents,
+           CAST(((SELECT mb FROM med_bucket) + 1) * {_HQ_MAX_CENTS} // {_HQ_BUCKETS} AS BIGINT)
+               AS bucket_hi_cents,
+           exact.med AS exact_median_cents,
+           (exact.med >= (SELECT mb FROM med_bucket) * {_HQ_MAX_CENTS} // {_HQ_BUCKETS}
+            AND exact.med < ((SELECT mb FROM med_bucket) + 1) * {_HQ_MAX_CENTS} // {_HQ_BUCKETS})
+               AS median_in_bucket
+    FROM exact
+    """,
+)
+def a43_histogram_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A43: mergeable quantiles via fixed-domain histograms — the
+    third tier of the quantile stack (a6/a20 exact; a34 weighted;
+    this one MERGEABLE): each group keeps a 64-bucket integer
+    histogram over a fixed cents domain; histograms merge by summing
+    buckets (associative, unlike any exact quantile state), and the
+    merged histogram answers the median to within one bucket width —
+    the in-plan proof checks the exact median falls inside the bucket
+    the merged sketch selects. The cumulative scan runs over the
+    <=64-row merged frame (tiny ordered frame — DuckDB windows it; the
+    Spark side uses the broadcast rank idiom, no unpartitioned
+    WindowExec). This is how a 1000-executor fleet reports latency
+    percentiles without shipping raw values."""
+    o = t(spark, sf_dir, "orders")
+    cents = o.select(
+        "o_orderpriority", F.round(F.col("o_totalprice") * 100).cast("bigint").alias("c")
+    )
+    bucket = F.least(
+        F.expr(f"c * {_HQ_BUCKETS} div {_HQ_MAX_CENTS}"), F.lit(_HQ_BUCKETS - 1)
+    )
+    hist = cents.groupBy("o_orderpriority", bucket.alias("bucket")).agg(
+        F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    merged = hist.groupBy("bucket").agg(F.sum("n").cast("bigint").alias("n"))
+    tot = merged.agg(F.sum("n").alias("total"))
+    # cumulative over the <=64-row bucket frame via the broadcast
+    # non-equi self-join idiom (no unpartitioned window)
+    m2 = merged.select(F.col("bucket").alias("b2"), F.col("n").alias("n2"))
+    cum = (
+        merged.crossJoin(F.broadcast(m2))
+        .filter(F.col("b2") <= F.col("bucket"))
+        .groupBy("bucket")
+        .agg(F.sum("n2").alias("cum"))
+    )
+    med_bucket = (
+        cum.crossJoin(F.broadcast(tot))
+        .filter(F.col("cum") * 2 >= F.col("total"))
+        .agg(F.min("bucket").cast("bigint").alias("mb"))
+    )
+    exact = cents.agg(
+        F.percentile_approx("c", 0.5, 10_000_000).cast("bigint").alias("med")
+    )
+    lo = F.expr(f"mb * {_HQ_MAX_CENTS} div {_HQ_BUCKETS}")
+    hi = F.expr(f"(mb + 1) * {_HQ_MAX_CENTS} div {_HQ_BUCKETS}")
+    return med_bucket.crossJoin(F.broadcast(exact)).select(
+        F.col("mb").alias("median_bucket"),
+        lo.cast("bigint").alias("bucket_lo_cents"),
+        hi.cast("bigint").alias("bucket_hi_cents"),
+        F.col("med").alias("exact_median_cents"),
+        ((F.col("med") >= lo) & (F.col("med") < hi)).alias("median_in_bucket"),
+    )
