@@ -1481,3 +1481,115 @@ def a43_histogram_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame
         F.col("med").alias("exact_median_cents"),
         ((F.col("med") >= lo) & (F.col("med") < hi)).alias("median_in_bucket"),
     )
+
+
+@register(
+    "x26_late_dimension_replay",
+    """
+    WITH dim_v1 AS (
+        SELECT c_custkey, c_nationkey FROM customer WHERE c_custkey % 10 <> 3
+    ),
+    facts AS (
+        SELECT o_orderkey, o_custkey,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    first_pass AS (
+        SELECT f.o_orderkey, f.o_custkey, f.cents, d.c_nationkey
+        FROM facts f LEFT JOIN dim_v1 d ON d.c_custkey = f.o_custkey
+    ),
+    resolved_v1 AS (
+        SELECT o_orderkey, c_nationkey, cents FROM first_pass WHERE c_nationkey IS NOT NULL
+    ),
+    parked AS (
+        SELECT o_orderkey, o_custkey, cents FROM first_pass WHERE c_nationkey IS NULL
+    ),
+    replay AS (
+        SELECT p.o_orderkey, c.c_nationkey, p.cents
+        FROM parked p JOIN customer c ON c.c_custkey = p.o_custkey
+    ),
+    final AS (
+        SELECT * FROM resolved_v1 UNION ALL SELECT * FROM replay
+    ),
+    direct AS (
+        SELECT f.o_orderkey, c.c_nationkey, f.cents
+        FROM facts f JOIN customer c ON c.c_custkey = f.o_custkey
+    )
+    SELECT CAST((SELECT COUNT(*) FROM facts) AS BIGINT) AS n_facts,
+           CAST((SELECT COUNT(*) FROM parked) AS BIGINT) AS n_parked,
+           CAST((SELECT COUNT(*) FROM replay) AS BIGINT) AS n_replayed,
+           CAST((SELECT COUNT(*) FROM final) AS BIGINT) AS n_final,
+           ((SELECT COUNT(*) FROM final) = (SELECT COUNT(*) FROM direct)
+            AND (SELECT COALESCE(SUM(c_nationkey * cents), 0) FROM final)
+                = (SELECT COALESCE(SUM(c_nationkey * cents), 0) FROM direct))
+               AS replay_complete
+    """,
+)
+def x26_late_dimension_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X26: LATE-ARRIVING DIMENSION handling — the pipeline pattern for
+    facts that reference dim rows not yet ingested: join against the
+    dim version available at load time (here v1 is missing every 10th
+    customer), PARK the orphaned facts instead of dropping or
+    null-filling them, and when the dim catches up REPLAY only the
+    parked rows — never the resolved ones. The in-plan proof compares
+    the union of first-pass hits + replayed rows against a direct join
+    on the complete dim (row count AND a value checksum), so a replay
+    that loses, duplicates, or mis-keys rows flips the hash-compared
+    boolean. Cost: the replay join touches |parked| rows — at 100 TB
+    that is the whole point (re-joining only the orphan fraction,
+    not re-running the full fact join)."""
+    c = t(spark, sf_dir, "customer")
+    dim_v1 = c.filter(F.col("c_custkey") % 10 != 3).select("c_custkey", "c_nationkey")
+    facts = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    first_pass = facts.join(
+        F.broadcast(dim_v1), facts.o_custkey == dim_v1.c_custkey, "left"
+    )
+    resolved = first_pass.filter(F.col("c_nationkey").isNotNull()).select(
+        "o_orderkey", "c_nationkey", "cents"
+    )
+    parked = first_pass.filter(F.col("c_nationkey").isNull()).select(
+        "o_orderkey", "o_custkey", "cents"
+    )
+    replay = parked.join(
+        F.broadcast(c.select(F.col("c_custkey").alias("k"), F.col("c_nationkey").alias("nk"))),
+        parked.o_custkey == F.col("k"),
+    ).select("o_orderkey", F.col("nk").alias("c_nationkey"), "cents")
+    final = resolved.unionByName(replay)
+    direct = facts.join(
+        F.broadcast(c.select("c_custkey", "c_nationkey")),
+        facts.o_custkey == F.col("c_custkey"),
+    ).select("o_orderkey", "c_nationkey", "cents")
+
+    def stats(df, label):
+        return df.agg(
+            F.count(F.lit(1)).cast("bigint").alias(f"n_{label}"),
+            F.coalesce(F.sum(F.col("c_nationkey") * F.col("cents")), F.lit(0))
+            .cast("bigint")
+            .alias(f"sum_{label}"),
+        )
+
+    n_facts = facts.agg(F.count(F.lit(1)).cast("bigint").alias("n_facts"))
+    n_parked = parked.agg(F.count(F.lit(1)).cast("bigint").alias("n_parked"))
+    n_replay = replay.agg(F.count(F.lit(1)).cast("bigint").alias("n_replayed"))
+    fin = stats(final, "final")
+    dir_ = stats(direct, "direct")
+    return (
+        n_facts.crossJoin(F.broadcast(n_parked))
+        .crossJoin(F.broadcast(n_replay))
+        .crossJoin(F.broadcast(fin))
+        .crossJoin(F.broadcast(dir_))
+        .select(
+            "n_facts",
+            "n_parked",
+            "n_replayed",
+            "n_final",
+            (
+                (F.col("n_final") == F.col("n_direct"))
+                & (F.col("sum_final") == F.col("sum_direct"))
+            ).alias("replay_complete"),
+        )
+    )

@@ -68,6 +68,7 @@ ALLOWED_CROSS = {
     "a42_bitmap_distinct_rollup",  # broadcast 1-row rollup-proof boolean onto the group frame
     "m32_permutation_test",  # broadcast 1-row observed-DiD frame onto the K-row null frame
     "a43_histogram_quantile_rollup",  # <=64-row bucket-ledger cumulative self-join + 1-row broadcasts
+    "x26_late_dimension_replay",  # cross join of five 1-row replay-ledger aggregates
     "m30_woe_iv_binning",  # broadcast 1-row quintile-cuts + class-totals frames
     "m18_negative_sampling",  # broadcast 1-row item count + 4-row k range
     "x12_salted_join",  # broadcast 8-row salt range onto the dim side
