@@ -32,7 +32,11 @@ registry.load_all()
 # (q2/q8/q13/q17/q22 + x11), the newest operators, and fills with
 # oracle-checked queries no driver round has seen — 46 of 50 entries
 # are new vs r01-r04. The remaining queries follow in registration
-# order.
+# order. Round 6's window should lead with the round-5 additions that
+# did not fit this window (graph_hits_authorities, a39-a43, ev12, m32,
+# t19, p19, x26, j12_nearest_event_join, dedup_threshold_sweep — all
+# certified sf0.001/0.01/0.1) plus never-verified fills from the
+# ledger in COVERAGE.md.
 _WINDOW = [
     "flagship_revenue_by_nation",
     # changed this round (re-verify under the driver)
