@@ -1593,3 +1593,95 @@ def x26_late_dimension_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("replay_complete"),
         )
     )
+
+
+@register(
+    "x25_bitemporal_asof",
+    """
+    WITH versions AS (
+        SELECT o_orderkey,
+               o_orderdate AS valid_from,
+               o_orderdate + INTERVAL 30 DAY AS valid_to,
+               o_orderdate AS tx_from,
+               o_orderdate + INTERVAL 10 DAY AS tx_to,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+               1 AS version
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey,
+               o_orderdate,
+               o_orderdate + INTERVAL 30 DAY,
+               o_orderdate + INTERVAL 10 DAY,
+               NULL,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) + 100,
+               2
+        FROM orders
+    ),
+    belief AS (
+        SELECT * FROM versions
+        WHERE valid_from <= TIMESTAMP '1997-06-20'
+          AND valid_to > TIMESTAMP '1997-06-20'
+          AND tx_from <= TIMESTAMP '1997-07-01'
+          AND (tx_to IS NULL OR tx_to > TIMESTAMP '1997-07-01')
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           CAST(SUM(CASE WHEN version = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_v1,
+           CAST(SUM(CASE WHEN version = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_v2,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+           (COUNT(*) = COUNT(DISTINCT o_orderkey)) AS one_version_per_key
+    FROM belief
+    """,
+)
+def x25_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X25: BITEMPORAL as-of — the two-axis time query SCD2 (x13, one
+    axis) cannot answer: "what did we BELIEVE on 1997-07-01 (transaction
+    time) the price valid on 1997-06-20 (valid time) was?". The ledger
+    carries both intervals per version (v1 as loaded; v2 a correction
+    recorded 10 days later, +100 cents, open transaction interval);
+    the query is two interval containments — pure pushdown-able
+    filters, no joins — and the audit boolean proves the bitemporal
+    invariant that exactly ONE version per key survives the double
+    containment (overlapping tx intervals would silently double-count
+    revenue). At 100 TB both axes are partition/cluster columns and
+    the containment prunes files."""
+    o = t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    base = o.select("o_orderkey", "o_orderdate", cents.alias("cents"))
+    v1 = base.select(
+        "o_orderkey",
+        F.col("o_orderdate").alias("valid_from"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")).alias("valid_to"),
+        F.col("o_orderdate").alias("tx_from"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 10 DAY")).alias("tx_to"),
+        "cents",
+        F.lit(1).alias("version"),
+    )
+    v2 = base.select(
+        "o_orderkey",
+        F.col("o_orderdate").alias("valid_from"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")).alias("valid_to"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 10 DAY")).alias("tx_from"),
+        F.lit(None).cast("timestamp").alias("tx_to"),
+        (F.col("cents") + 100).alias("cents"),
+        F.lit(2).alias("version"),
+    )
+    V = F.lit("1997-06-20").cast("timestamp")
+    T = F.lit("1997-07-01").cast("timestamp")
+    belief = (
+        v1.unionByName(v2)
+        .filter(
+            (F.col("valid_from") <= V)
+            & (F.col("valid_to") > V)
+            & (F.col("tx_from") <= T)
+            & (F.col("tx_to").isNull() | (F.col("tx_to") > T))
+        )
+    )
+    return belief.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("cents").cast("bigint").alias("sum_cents"),
+        F.sum(F.when(F.col("version") == 1, 1).otherwise(0)).cast("bigint").alias("n_v1"),
+        F.sum(F.when(F.col("version") == 2, 1).otherwise(0)).cast("bigint").alias("n_v2"),
+        F.count_distinct("o_orderkey").cast("bigint").alias("n_keys"),
+        (F.count(F.lit(1)) == F.count_distinct("o_orderkey")).alias("one_version_per_key"),
+    )
