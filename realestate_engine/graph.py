@@ -642,3 +642,69 @@ def graph_hits_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("auth_micro").desc(), "supplier")
         .limit(25)
     )
+
+
+@register(
+    "graph_degree_distribution",
+    """
+    WITH pairs AS (
+        SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    edges AS (
+        SELECT c AS src FROM pairs UNION ALL SELECT s FROM pairs
+    ),
+    deg AS (
+        SELECT src, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY src
+    ),
+    pow2 AS (SELECT UNNEST(RANGE(0, 32)) AS p),
+    binned AS (
+        SELECT src,
+               (SELECT COUNT(*) FROM pow2 WHERE (1::BIGINT << pow2.p) <= deg.d) - 1 AS bucket
+        FROM deg
+    )
+    SELECT CAST(bucket AS BIGINT) AS log2_degree,
+           CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST((1::BIGINT << bucket) AS BIGINT) AS degree_lo,
+           CAST((1::BIGINT << (bucket + 1)) - 1 AS BIGINT) AS degree_hi
+    FROM binned
+    GROUP BY bucket
+    ORDER BY log2_degree
+    """,
+)
+def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree distribution of the trade graph, log2-binned — the graph
+    diagnostic read before every algorithm choice here: a heavy tail
+    is what forces the link-prediction degree cap, the containment df
+    cap, and salting. The log2 bucket is computed EXACTLY by counting
+    powers of two <= degree against a broadcast 32-row constant frame
+    (float log2 flips on exact powers at the boundary; the popcount of
+    comparisons cannot). One groupBy for degrees, one for the
+    histogram, both partial-aggregated."""
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey")
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    pairs = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .select((F.col("o_custkey") * 2).alias("c"), (F.col("l_suppkey") * 2 + 1).alias("s"))
+        .distinct()
+    )
+    nodes = pairs.select(F.col("c").alias("src")).unionAll(pairs.select(F.col("s").alias("src")))
+    deg = nodes.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    pow2 = spark.range(0, 32).select(F.expr("shiftleft(1L, CAST(id AS INT))").alias("pw"))
+    binned = (
+        deg.crossJoin(F.broadcast(pow2))
+        .filter(F.col("pw") <= F.col("d"))
+        .groupBy("src")
+        .agg((F.count(F.lit(1)) - 1).alias("bucket"))
+    )
+    return (
+        binned.groupBy("bucket")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_nodes"))
+        .select(
+            F.col("bucket").cast("bigint").alias("log2_degree"),
+            "n_nodes",
+            F.expr("shiftleft(1L, CAST(bucket AS INT))").cast("bigint").alias("degree_lo"),
+            (F.expr("shiftleft(1L, CAST(bucket AS INT) + 1)") - 1).cast("bigint").alias("degree_hi"),
+        )
+        .orderBy("log2_degree")
+    )
