@@ -1685,3 +1685,67 @@ def x25_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count_distinct("o_orderkey").cast("bigint").alias("n_keys"),
         (F.count(F.lit(1)) == F.count_distinct("o_orderkey")).alias("one_version_per_key"),
     )
+
+
+@register(
+    "p22_survivorship_golden_record",
+    """
+    WITH ranked AS (
+        SELECT o_custkey, o_orderkey,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+               o_orderstatus, o_orderdate,
+               ROW_NUMBER() OVER (
+                   PARTITION BY o_custkey
+                   ORDER BY CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END DESC,
+                            o_orderdate DESC,
+                            CAST(ROUND(o_totalprice * 100) AS BIGINT) DESC,
+                            o_orderkey ASC
+               ) AS rn
+        FROM orders
+    )
+    SELECT o_custkey,
+           o_orderkey AS golden_orderkey,
+           o_orderstatus AS golden_status,
+           o_orderdate AS golden_date,
+           cents AS golden_cents
+    FROM ranked WHERE rn = 1
+    ORDER BY o_custkey
+    """,
+)
+def p22_survivorship_golden_record(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P22: survivorship (golden record) selection — the MDM rule
+    cascade that picks ONE surviving record per entity: prefer
+    finalized status, then the newest date, then the highest amount,
+    then the lowest key as the deterministic last resort. The engine
+    expresses the whole cascade as a single max_by over a packed
+    comparison struct — ONE partial-aggregated groupBy, no window and
+    no self-join (the oracle's ROW_NUMBER form is the spec; a window
+    would sort every group's rows where the aggregate keeps one
+    running champion per group map-side). The key tiebreak is negated
+    inside the struct so lexicographic struct max implements 'lowest
+    key wins'."""
+    o = t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    pref = F.when(F.col("o_orderstatus") == "F", 1).otherwise(0)
+    champ = F.max(
+        F.struct(
+            pref.alias("p"),
+            F.col("o_orderdate").alias("d"),
+            cents.alias("c"),
+            (-F.col("o_orderkey")).alias("nk"),
+            F.col("o_orderkey").alias("k"),
+            F.col("o_orderstatus").alias("st"),
+        )
+    ).alias("g")
+    return (
+        o.groupBy("o_custkey")
+        .agg(champ)
+        .select(
+            "o_custkey",
+            F.col("g.k").alias("golden_orderkey"),
+            F.col("g.st").alias("golden_status"),
+            F.col("g.d").alias("golden_date"),
+            F.col("g.c").alias("golden_cents"),
+        )
+        .orderBy("o_custkey")
+    )
