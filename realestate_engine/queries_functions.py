@@ -1030,3 +1030,59 @@ def f19_json_array_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.aggregate(F.col("arr"), F.lit(0).cast("bigint"), lambda acc, x: acc + x["q"]).alias("q_sum"),
         F.size("arr").cast("bigint").alias("n_elems"),
     ).orderBy("o_orderkey")
+
+
+@register(
+    "f22_business_days",
+    """
+    WITH d AS (
+        SELECT o_orderkey,
+               CAST(o_orderdate AS DATE) AS d1,
+               CAST(o_orderdate AS DATE) + CAST(o_orderkey % 45 AS INTEGER) AS d2
+        FROM orders
+    ),
+    b AS (
+        SELECT o_orderkey, d1, d2,
+               (d1 - DATE '1970-01-05') AS n1,
+               (d2 - DATE '1970-01-05') AS n2
+        FROM d
+    )
+    SELECT o_orderkey, d1, d2,
+           CAST((5 * (n2 // 7) + LEAST(n2 % 7, 5))
+              - (5 * (n1 // 7) + LEAST(n1 % 7, 5)) AS BIGINT) AS business_days
+    FROM b
+    ORDER BY o_orderkey
+    """,
+)
+def f22_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F22: business-day arithmetic in closed form — the SLA metric
+    (order age in working days) without a calendar-table join or a
+    per-day explode: map each date to its business-day ordinal
+    b(d) = 5*(n div 7) + min(n mod 7, 5) where n counts days from a
+    Monday epoch (1970-01-05), and subtract. Pure integer date math —
+    no per-row sequence generation, no UDF, bit-identical across
+    engines; a holiday calendar would add one broadcast anti-join.
+    The span here is o_orderkey%45 days so weekend straddles of every
+    phase are exercised."""
+    o = t(spark, sf_dir, "orders")
+    d1 = F.col("o_orderdate").cast("date")
+    d2 = F.date_add(d1, (F.col("o_orderkey") % 45).cast("int"))
+    n1 = F.datediff(d1, F.lit("1970-01-05").cast("date"))
+    n2 = F.datediff(d2, F.lit("1970-01-05").cast("date"))
+
+    def bday(n):
+        return 5 * F.expr(f"({n}) div 7") + F.least(F.expr(f"({n}) % 7"), F.lit(5))
+
+    out = o.select(
+        "o_orderkey",
+        d1.alias("d1"),
+        d2.alias("d2"),
+        n1.alias("_n1"),
+        n2.alias("_n2"),
+    ).select(
+        "o_orderkey",
+        "d1",
+        "d2",
+        (bday("_n2") - bday("_n1")).cast("bigint").alias("business_days"),
+    )
+    return out.orderBy("o_orderkey")
