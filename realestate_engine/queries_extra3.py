@@ -1749,3 +1749,77 @@ def p22_survivorship_golden_record(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("o_custkey")
     )
+
+
+@register(
+    "m33_oof_target_encoding",
+    """
+    WITH rows_f AS (
+        SELECT o_orderpriority,
+               ('0x' || SUBSTR(MD5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT % 5 AS fold,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    per_fold AS (
+        SELECT o_orderpriority, fold, SUM(cents) AS s, CAST(COUNT(*) AS BIGINT) AS n
+        FROM rows_f GROUP BY o_orderpriority, fold
+    ),
+    per_cat AS (
+        SELECT o_orderpriority, SUM(s) AS st, SUM(n) AS nt
+        FROM per_fold GROUP BY o_orderpriority
+    )
+    SELECT f.o_orderpriority,
+           CAST(f.fold AS BIGINT) AS fold,
+           f.n AS n_in_fold,
+           CAST((c.st - f.s) // (c.nt - f.n) AS BIGINT) AS oof_mean_cents,
+           CAST(c.st // c.nt AS BIGINT) AS full_mean_cents,
+           ((c.st - f.s) // (c.nt - f.n) <> c.st // c.nt OR f.n = 0) AS excludes_own_fold
+    FROM per_fold f JOIN per_cat c USING (o_orderpriority)
+    ORDER BY o_orderpriority, fold
+    """,
+)
+def m33_oof_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M33: OUT-OF-FOLD target encoding — the leakage-safe form of the
+    strongest categorical feature there is: each row's category is
+    encoded with the target mean computed over the OTHER hash folds
+    ((total - own_fold) / (n_total - n_own)), so a row never sees its
+    own target. Folds come from the portable md5 permille hash (p10's
+    idiom); means are integer floor-divisions of exact cent sums
+    (m31's trick), so every encoding value hash-compares. One
+    (category x fold) aggregate plus a category rollup — the
+    per-row encoded column at scale is one broadcast join of this
+    25-row frame back onto the facts. The excludes_own_fold flag
+    pins the leakage property: the OOF mean must differ from the full
+    mean wherever the fold is non-empty (identical means would imply
+    the fold contributed nothing to exclude)."""
+    o = t(spark, sf_dir, "orders")
+    rows_f = o.select(
+        "o_orderpriority",
+        (
+            F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10)
+            .cast("bigint")
+            % 5
+        ).alias("fold"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    per_fold = rows_f.groupBy("o_orderpriority", "fold").agg(
+        F.sum("cents").alias("s"), F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    per_cat = per_fold.groupBy("o_orderpriority").agg(
+        F.sum("s").alias("st"), F.sum("n").alias("nt")
+    )
+    return (
+        per_fold.join(F.broadcast(per_cat), "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            F.col("fold").cast("bigint").alias("fold"),
+            F.col("n").alias("n_in_fold"),
+            F.expr("(st - s) div (nt - n)").cast("bigint").alias("oof_mean_cents"),
+            F.expr("st div nt").cast("bigint").alias("full_mean_cents"),
+            (
+                (F.expr("(st - s) div (nt - n)") != F.expr("st div nt"))
+                | (F.col("n") == 0)
+            ).alias("excludes_own_fold"),
+        )
+        .orderBy("o_orderpriority", "fold")
+    )
