@@ -1657,3 +1657,69 @@ def t19_zipf_fit(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(slope).cast("bigint").alias("slope_micro"),
         F.expr(intercept).cast("bigint").alias("intercept_micro"),
     )
+
+
+@register(
+    "t21_source_reuse_matrix",
+    r"""
+    WITH segs AS (
+        SELECT DISTINCT source,
+               UNNEST(LIST_TRANSFORM(
+                   RANGE(0, GREATEST(CAST(CEIL(LEN(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+') ) / 20.0) AS INTEGER), 1)),
+                   s -> ARRAY_TO_STRING(LIST_SLICE(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+'),
+                                                   s * 20 + 1, s * 20 + 20), ' ')
+               )) AS seg
+        FROM documents
+    ),
+    df AS (
+        SELECT seg, COUNT(*) AS nsrc FROM segs GROUP BY seg
+    ),
+    capped AS (
+        SELECT s.source, s.seg FROM segs s JOIN df USING (seg) WHERE df.nsrc <= 10
+    )
+    SELECT a.source AS source_a, b.source AS source_b,
+           CAST(COUNT(*) AS BIGINT) AS n_shared_segments
+    FROM capped a JOIN capped b
+      ON a.seg = b.seg AND a.source < b.source
+    GROUP BY a.source, b.source
+    ORDER BY source_a, source_b
+    """,
+)
+def t21_source_reuse_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T21: cross-source text-reuse attribution — WHICH sources share
+    verbatim 20-word segments with which (the provenance question
+    after text_segment_dedup says boilerplate exists: syndication,
+    mirroring, or template reuse between feeds). Shape: distinct
+    (source, segment) pairs, a df-cap on segments present in > 10
+    sources (universal boilerplate would otherwise make the self-join
+    quadratic in the hottest segment — the containment join's cap
+    argument), then a segment-keyed self-join whose output is at most
+    |sources|^2 rows. The segment relation is linear in corpus size;
+    the join volume scales with capped per-segment source counts,
+    never all-pairs of documents."""
+    d = t(spark, sf_dir, "documents").select(
+        "source", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("words")
+    )
+    segs = (
+        d.select(
+            "source",
+            F.explode(
+                F.expr(
+                    "transform(sequence(0, greatest(cast(ceil(size(words) / 20.0) as int), 1) - 1),"
+                    " s -> array_join(slice(words, s * 20 + 1, 20), ' '))"
+                )
+            ).alias("seg"),
+        )
+        .distinct()
+    )
+    df_cap = segs.groupBy("seg").agg(F.count(F.lit(1)).alias("nsrc")).filter(
+        F.col("nsrc") <= 10
+    )
+    capped = segs.join(df_cap.select("seg"), "seg", "left_semi")
+    a, b = capped.alias("a"), capped.alias("b")
+    return (
+        a.join(b, (F.col("a.seg") == F.col("b.seg")) & (F.col("a.source") < F.col("b.source")))
+        .groupBy(F.col("a.source").alias("source_a"), F.col("b.source").alias("source_b"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_segments"))
+        .orderBy("source_a", "source_b")
+    )
