@@ -1309,8 +1309,12 @@ def dedup_lsh_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_a", "id_b", F.explode(F.array(F.col("id_a"), F.col("id_b"))).alias("doc_id")
     )
     sh = sh_rel.select(F.col("id").alias("doc_id"), "sh")
+    # No broadcast hint: `sides` is the exploded (lang,source)-bucketed
+    # all-pairs universe, O(sum bucket^2) rows — a hot bucket would blow
+    # driver memory if materialized for broadcast. Let AQE pick the
+    # strategy; a shuffle join on doc_id is identical in result.
     per_pair = (
-        sh.join(F.broadcast(sides), "doc_id")
+        sh.join(sides, "doc_id")
         .groupBy("id_a", "id_b")
         .agg(
             F.first(F.when(F.col("doc_id") == F.col("id_a"), F.col("sh")), ignorenulls=True).alias("sh_a"),
@@ -1361,7 +1365,7 @@ _SWEEP_THRESHOLDS = (5, 6, 7, 8, 9)  # tenths: jaccard >= 0.5 .. 0.9
         JOIN sh sa ON sa.doc_id = c.id_a
         JOIN sh sb ON sb.doc_id = c.id_b
     )
-    SELECT t.t * 10 AS threshold_pct,
+    SELECT CAST(t.t * 10 AS BIGINT) AS threshold_pct,
            CAST(SUM(CASE WHEN s.u > 0 AND s.i * 10 >= t.t * s.u THEN 1 ELSE 0 END)
                 AS BIGINT) AS n_pairs
     FROM scored s CROSS JOIN (SELECT UNNEST([{', '.join(str(t) for t in _SWEEP_THRESHOLDS)}]) AS t) t

@@ -650,7 +650,7 @@ def a9_approx_count_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
     the query (no exact shuffle of distinct values); here the exact
     counts ride along so the driver can hash-compare something
     deterministic — the HLL estimate itself is engine-specific, so it
-    is reported as a WITHIN-5%-of-exact boolean (the oracle states
+    is reported as a WITHIN-10%-of-exact boolean (the oracle states
     TRUE; a drifting sketch flips it and fails the hash)."""
     li = t(spark, sf_dir, "lineitem")
     # rsd 3% (vs the 5% default): the 10%-of-exact gate then sits at

@@ -899,6 +899,15 @@ def ev_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "retention_rate"
             ),
         )
+        # timestamp, not date, on the output: DateType reaches pandas
+        # as object while the oracle's DATE fetches as datetime64 (the
+        # f10_monthly_revenue idiom keeps both in the datetime family)
+        .select(
+            F.col("cohort_week").cast("timestamp").alias("cohort_week"),
+            "weeks_since",
+            "n_active",
+            "retention_rate",
+        )
         .orderBy("cohort_week", "weeks_since")
     )
 
@@ -1940,7 +1949,9 @@ def a23_equidepth_histogram(spark: SparkSession, sf_dir: str) -> DataFrame:
         c.crossJoin(F.broadcast(cuts))
         .select(
             "cents",
-            (1 + F.size(F.filter(F.col("qs"), lambda q: q < F.col("cents")))).alias("bucket"),
+            (1 + F.size(F.filter(F.col("qs"), lambda q: q < F.col("cents"))))
+            .cast("bigint")
+            .alias("bucket"),
         )
         .groupBy("bucket")
         .agg(

@@ -509,7 +509,11 @@ def a29_sliding_distinct_users(spark: SparkSession, sf_dir: str) -> DataFrame:
         covered.join(days.select(F.col("day").alias("wday")), "wday", "left_semi")
         .groupBy("wday")
         .agg(F.countDistinct("user_id").cast("bigint").alias("wau"))
-        .select(F.col("wday").alias("day"), "wau")
+        # timestamp, not date: Spark DateType reaches pandas as object
+        # (datetime.date) while DuckDB DATE fetches as datetime64 — the
+        # driver's type-strict hash needs both in the datetime family
+        # (same idiom as driver-green f10_monthly_revenue)
+        .select(F.col("wday").cast("timestamp").alias("day"), "wau")
         .orderBy("day")
     )
 
@@ -752,8 +756,15 @@ def dq7_seasonal_anomaly(spark: SparkSession, sf_dir: str) -> DataFrame:
     return (
         dev.join(F.broadcast(mad), "dow")
         .where(F.col("adev") > 3 * F.col("mad_cents"))
-        .select("d", F.col("dow").cast("bigint").alias("dow"), "rev_cents", "med_cents", "mad_cents")
-        .withColumnRenamed("d", "day")
+        # timestamp output (f10_monthly_revenue idiom): keeps the day
+        # column in the datetime family on both fetch paths
+        .select(
+            F.col("d").cast("timestamp").alias("day"),
+            F.col("dow").cast("bigint").alias("dow"),
+            "rev_cents",
+            "med_cents",
+            "mad_cents",
+        )
         .orderBy("day")
     )
 

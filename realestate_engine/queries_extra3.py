@@ -638,7 +638,7 @@ def dq13_psi_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
             WHERE p.x >= q.x AND p.y >= q.y AND (p.x > q.x OR p.y > q.y)
         )
     )
-    SELECT x AS total_cents, y AS n_orders,
+    SELECT CAST(x AS BIGINT) AS total_cents, CAST(y AS BIGINT) AS n_orders,
            CAST(COUNT(*) AS BIGINT) AS n_customers
     FROM sky GROUP BY x, y
     ORDER BY total_cents DESC

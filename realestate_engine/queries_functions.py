@@ -1047,7 +1047,8 @@ def f19_json_array_explode(spark: SparkSession, sf_dir: str) -> DataFrame:
                (d2 - DATE '1970-01-05') AS n2
         FROM d
     )
-    SELECT o_orderkey, d1, d2,
+    SELECT o_orderkey,
+           CAST(d1 AS TIMESTAMP) AS d1, CAST(d2 AS TIMESTAMP) AS d2,
            CAST((5 * (n2 // 7) + LEAST(n2 % 7, 5))
               - (5 * (n1 // 7) + LEAST(n1 % 7, 5)) AS BIGINT) AS business_days
     FROM b
@@ -1073,10 +1074,12 @@ def f22_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
     def bday(n):
         return 5 * F.expr(f"({n}) div 7") + F.least(F.expr(f"({n}) % 7"), F.lit(5))
 
+    # timestamps on the output (f10_monthly_revenue idiom): DateType
+    # reaches pandas as object while DuckDB DATE fetches as datetime64
     out = o.select(
         "o_orderkey",
-        d1.alias("d1"),
-        d2.alias("d2"),
+        d1.cast("timestamp").alias("d1"),
+        d2.cast("timestamp").alias("d2"),
         n1.alias("_n1"),
         n2.alias("_n2"),
     ).select(

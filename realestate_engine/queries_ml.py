@@ -446,7 +446,7 @@ def m17_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM cand c
         ANTI JOIN pos ON pos.user = c.user AND pos.item = c.neg_item
     )
-    SELECT user, k, CAST(neg_item AS BIGINT) AS neg_item
+    SELECT user, CAST(k AS BIGINT) AS k, CAST(neg_item AS BIGINT) AS neg_item
     FROM neg WHERE user < 20
     ORDER BY user, k, neg_item
     """,

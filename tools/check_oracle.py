@@ -43,6 +43,27 @@ def canon(df: pd.DataFrame) -> pd.DataFrame:
     return df
 
 
+def dtype_sig(s: pd.Series) -> str:
+    """Dtype-family signature mirroring the driver's type-strict hasher.
+
+    The driver hashes values with their physical type, so an int64
+    engine column against a float64 oracle column (DuckDB HUGEINT) or
+    an int32 one (un-cast small-int arithmetic) fails even when every
+    value is equal. canon()'s width-unifying coercion used to mask
+    exactly that class locally (a38, round 5) — compare signatures
+    BEFORE coercing.
+    """
+    if pd.api.types.is_bool_dtype(s):
+        return "bool"
+    if pd.api.types.is_integer_dtype(s):
+        return f"int{s.dtype.itemsize * 8}"
+    if pd.api.types.is_float_dtype(s):
+        return "float"  # width-tolerant: value compare uses atol anyway
+    if pd.api.types.is_datetime64_any_dtype(s):
+        return "datetime"
+    return "object"
+
+
 def compare(sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
     problems = []
     if len(sdf) != len(odf):
@@ -51,6 +72,33 @@ def compare(sdf: pd.DataFrame, odf: pd.DataFrame) -> list[str]:
     if scols != ocols:
         problems.append(f"columns spark={scols} oracle={ocols}")
         return problems
+    warnings = []
+    for c in scols:
+        ss, os_ = dtype_sig(sdf[c]), dtype_sig(odf[c])
+        if ss == os_:
+            continue
+        kinds = {ss, os_}
+        # Driver evidence (CORRECTNESS_r02/r03/r05): int-width drift
+        # (m29 int32-vs-int64) and Spark DateType objects vs DuckDB
+        # datetime64 (p1) hash GREEN under the driver — warn only.
+        # int-vs-float (a38: DuckDB HUGEINT -> float64 vs Spark int64)
+        # is the class the driver FAILS — hard error. int-with-nulls
+        # becomes float64 on BOTH fetch paths, so float/float still
+        # compares meaningfully.
+        import datetime as _dt
+
+        date_like = kinds == {"object", "datetime"} and all(
+            isinstance(v, (_dt.date, _dt.datetime))
+            for col in (sdf[c], odf[c])
+            if dtype_sig(col) == "object"
+            for v in col.dropna().head(5)
+        )
+        if all(k.startswith("int") for k in kinds) or date_like:
+            warnings.append(f"dtype-warn {c}: spark={sdf[c].dtype} oracle={odf[c].dtype}")
+        else:
+            problems.append(f"dtype {c}: spark={sdf[c].dtype} ({ss}) oracle={odf[c].dtype} ({os_})")
+    if warnings:
+        print("  " + "; ".join(warnings), file=sys.stderr)
     if problems:
         return problems
     a, b = canon(sdf), canon(odf)
