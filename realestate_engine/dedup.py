@@ -213,7 +213,7 @@ def minhash_signature_df(
     return exploded.groupBy("id").agg(*aggs)
 
 
-def minhash_lsh_candidates(
+def _banded_signature(
     df: DataFrame,
     id_col: str,
     text_col: str,
@@ -222,18 +222,11 @@ def minhash_lsh_candidates(
     shingle_n: int = 3,
     shingles: DataFrame | None = None,
 ) -> DataFrame:
-    """LSH candidate pairs: band the signature, self-join on
-    (band_index, band_hash) buckets, dedup pairs. The join is keyed by
-    bucket — candidate volume scales with bucket occupancy, never n²;
-    the identical sub-plans on both join sides collapse to a single
-    computation via AQE exchange reuse.
-
-    Default banding 8 bands × 2 rows: the S-curve threshold is
-    (1/b)^(1/r) ≈ 0.35 Jaccard with catch probability ≥0.999 at j=0.75
-    — 4×4 banding (threshold 0.71) misses ~20%% of j≈0.75 near-dups."""
+    """(id, band, band_hash) rows — the LSH bucket assignment shared by
+    candidate generation and the hot-bucket occupancy audit."""
     rows_per_band = num_hashes // bands
     sig = minhash_signature_df(df, id_col, text_col, num_hashes, shingle_n, shingles)
-    banded = sig.select(
+    return sig.select(
         "id",
         F.posexplode(
             F.array(
@@ -244,6 +237,47 @@ def minhash_lsh_candidates(
             )
         ).alias("band", "band_hash"),
     )
+
+
+def minhash_lsh_candidates(
+    df: DataFrame,
+    id_col: str,
+    text_col: str,
+    num_hashes: int = 16,
+    bands: int = 8,
+    shingle_n: int = 3,
+    shingles: DataFrame | None = None,
+    max_bucket_size: int | None = None,
+) -> DataFrame:
+    """LSH candidate pairs: band the signature, self-join on
+    (band_index, band_hash) buckets, dedup pairs. The join is keyed by
+    bucket — candidate volume scales with bucket occupancy, never n²;
+    the identical sub-plans on both join sides collapse to a single
+    computation via AQE exchange reuse.
+
+    Default banding 8 bands × 2 rows: the S-curve threshold is
+    (1/b)^(1/r) ≈ 0.35 Jaccard with catch probability ≥0.999 at j=0.75
+    — 4×4 banding (threshold 0.71) misses ~20%% of j≈0.75 near-dups.
+
+    ``max_bucket_size`` is the hot-bucket guard: a degenerate corpus
+    (10⁶ byte-identical docs) lands one bucket whose self-join is
+    quadratic. With a cap, buckets whose occupancy exceeds it are
+    excluded from pair generation — per-bucket work is bounded by
+    cap², and the identical-doc pathology is the one case exact
+    dedup (dedup_exact, run FIRST in any sane pipeline) already
+    collapses. Never silent: dedup_lsh_hot_bucket_guard reports the
+    excluded bucket/doc/pair-slot counts as data. Observed natural
+    occupancy is max 3 at sf0.01 and 14 at sf0.1, so the default
+    production cap of 16 changes nothing on real corpora."""
+    banded = _banded_signature(df, id_col, text_col, num_hashes, bands, shingle_n, shingles)
+    if max_bucket_size is not None:
+        ok = (
+            banded.groupBy("band", "band_hash")
+            .agg(F.count(F.lit(1)).alias("_occ"))
+            .filter(F.col("_occ") <= max_bucket_size)
+            .select("band", "band_hash")
+        )
+        banded = banded.join(ok, ["band", "band_hash"], "left_semi")
     left = banded.alias("a")
     right = banded.alias("b")
     return (
@@ -1417,3 +1451,76 @@ def dedup_threshold_sweep(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select((F.col("t") * 10).cast("bigint").alias("threshold_pct"), "n_pairs")
         .orderBy("threshold_pct")
     )
+
+
+_HOT_BUCKET_CAP = 16  # > max natural occupancy (3 at sf0.01, 14 at sf0.1)
+
+
+@register(
+    "dedup_lsh_hot_bucket_guard",
+    f"""
+    WITH {_minhash_oracle_ctes()},
+    occ AS (
+        SELECT band, band_hash, CAST(COUNT(*) AS BIGINT) AS occ
+        FROM banded GROUP BY band, band_hash
+    ),
+    ok_banded AS (
+        SELECT b.doc_id, b.band, b.band_hash
+        FROM banded b JOIN occ o
+          ON b.band = o.band AND b.band_hash = o.band_hash
+        WHERE o.occ <= {_HOT_BUCKET_CAP}
+    ),
+    guarded AS (
+        SELECT DISTINCT a.doc_id AS id_a, b.doc_id AS id_b
+        FROM ok_banded a JOIN ok_banded b
+          ON a.band = b.band AND a.band_hash = b.band_hash AND a.doc_id < b.doc_id
+    ),
+    stats AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_buckets,
+               CAST(SUM(CASE WHEN occ > {_HOT_BUCKET_CAP} THEN 1 ELSE 0 END) AS BIGINT) AS n_hot_buckets,
+               CAST(SUM(CASE WHEN occ > {_HOT_BUCKET_CAP} THEN occ ELSE 0 END) AS BIGINT) AS n_rows_in_hot,
+               CAST(SUM(CASE WHEN occ > {_HOT_BUCKET_CAP} THEN occ * (occ - 1) // 2 ELSE 0 END) AS BIGINT) AS dropped_pair_slots
+        FROM occ
+    )
+    SELECT s.n_buckets, s.n_hot_buckets, s.n_rows_in_hot, s.dropped_pair_slots,
+           CAST((SELECT COUNT(*) FROM guarded) AS BIGINT) AS n_pairs_emitted
+    FROM stats s
+    """,
+)
+def dedup_lsh_hot_bucket_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Hot-bucket guard audit for the MinHash-LSH candidate stage: how
+    many (band, band_hash) buckets exceed the occupancy cap, how many
+    banded rows sit in them, how many pair-slots (occ choose 2, the
+    per-bucket quadratic cost) the cap refuses to enumerate, and how
+    many candidate pairs the GUARDED generator emits. This is the
+    no-silent-caps contract: when a degenerate corpus (millions of
+    byte-identical documents — the case exact dedup upstream already
+    collapses) would make one bucket's self-join quadratic, the drop
+    is reported as data a pipeline owner can alert on, never an
+    invisible truncation. On the test corpora every count in the hot
+    columns is 0 and n_pairs_emitted equals the unguarded candidate
+    count (natural max occupancy 3 at sf0.01 / 14 at sf0.1 vs cap 16)
+    — the skewed-fixture pytest is what exercises the clamp.
+
+    Scale shape: occupancy is one partial-agg pass over the banded
+    rows (same shuffle key as candidate generation), the clamp is a
+    semi-join on the bucket key, and per-bucket join work is bounded
+    by cap² regardless of corpus degeneracy."""
+    d = t(spark, sf_dir, "documents")
+    sh_rel = cache_once(hashed_shingle_df(d, "doc_id", "text"))
+    banded = _banded_signature(d, "doc_id", "text", shingles=sh_rel)
+    occ = banded.groupBy("band", "band_hash").agg(F.count(F.lit(1)).alias("occ"))
+    hot = F.col("occ") > _HOT_BUCKET_CAP
+    stats = occ.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
+        F.sum(F.when(hot, 1).otherwise(0)).cast("bigint").alias("n_hot_buckets"),
+        F.sum(F.when(hot, F.col("occ")).otherwise(0)).cast("bigint").alias("n_rows_in_hot"),
+        F.sum(F.when(hot, (F.col("occ") * (F.col("occ") - 1)).cast("bigint") / 2).otherwise(0))
+        .cast("bigint")
+        .alias("dropped_pair_slots"),
+    )
+    guarded_pairs = minhash_lsh_candidates(
+        d, "doc_id", "text", shingles=sh_rel, max_bucket_size=_HOT_BUCKET_CAP
+    )
+    n_pairs = guarded_pairs.agg(F.count(F.lit(1)).cast("bigint").alias("n_pairs_emitted"))
+    return stats.crossJoin(F.broadcast(n_pairs))

@@ -121,6 +121,93 @@ def sim_bruteforce_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     return brute_force_topk(e, probe, k=20)
 
 
+def lsh_ann_topk(
+    corpus: DataFrame,
+    bits: int = 4,
+    multiprobe: int = 0,
+    k: int = 20,
+    id_col: str = "vec_id",
+    vec_col: str = "embedding",
+) -> DataFrame:
+    """Hyperplane-LSH ANN top-k for probe vec_id=0, with the two scale
+    knobs exposed (VERDICT r5 #6):
+
+    - ``bits``: bucket-count exponent. 2^bits buckets ⇒ a probe reads
+      ~corpus/2^bits. The registered 4-bit query is a test-scale
+      setting; at 100 TB you raise bits until per-bucket bytes fit an
+      executor read (e.g. 20 bits ⇒ ~1M buckets), because the corpus
+      is WRITTEN partitioned by bucket and bits only changes the
+      partition key — a parameter, not a rewrite.
+    - ``multiprobe``: also probe the buckets at Hamming distance 1 in
+      the first ``multiprobe`` bit positions (1+multiprobe buckets
+      total). Recovers the recall that higher bits cost (a neighbor
+      whose projection flips one sign lands one bit-flip away) at
+      linear, bounded extra read — the standard bits↑ + multi-probe
+      trade.
+
+    The probe side stays inside the plan: 1 row → at most 1+multiprobe
+    rows via explode, broadcast to an equi-join on the bucket key.
+    Every corpus vector has exactly one bucket and probe buckets are
+    distinct, so the join cannot duplicate candidates."""
+    bucketed = corpus.withColumn("bucket", lsh_bucket(F.col(vec_col), bits=bits))
+    probe = bucketed.filter(F.col(id_col) == 0).select(
+        F.col(vec_col).alias("probe_vec"), F.col("bucket").alias("pb")
+    )
+    neighbor_buckets = F.array(
+        F.col("pb"),
+        *[F.col("pb").bitwiseXOR(F.lit(1 << b)) for b in range(multiprobe)],
+    )
+    probes = probe.select(
+        "probe_vec", F.explode(neighbor_buckets).alias("probe_bucket")
+    )
+    cand = bucketed.join(F.broadcast(probes), F.col("bucket") == F.col("probe_bucket"))
+    cos = F.round(cosine_sim(F.col(vec_col), F.col("probe_vec")), 6)
+    return (
+        cand.select(F.col(id_col), cos.alias("cosine"))
+        .orderBy(F.col("cosine").desc(), F.col(id_col))
+        .limit(k)
+    )
+
+
+def _lsh_ann_multiprobe_oracle_sql(bits: int, multiprobe: int, k: int = 20) -> str:
+    """DuckDB twin of lsh_ann_topk(bits, multiprobe): same bucket
+    expression per bit, probe buckets = own bucket XOR each flipped
+    bit."""
+    bucket = "\n             + ".join(
+        f"CASE WHEN {_sql_hyperplane_proj(b)} > 0 THEN {1 << b} ELSE 0 END" for b in range(bits)
+    )
+    flips = ", ".join(["pb"] + [f"XOR(pb, {1 << b})" for b in range(multiprobe)])
+    return f"""
+    WITH bkt AS (
+        SELECT vec_id, embedding,
+               CAST({bucket} AS BIGINT) AS bucket
+        FROM embeddings
+    ),
+    p AS (SELECT embedding AS probe_vec, bucket AS pb FROM bkt WHERE vec_id = 0),
+    probes AS (SELECT probe_vec, UNNEST([{flips}]) AS probe_bucket FROM p)
+    SELECT b.vec_id,
+           ROUND(LIST_DOT_PRODUCT(b.embedding::DOUBLE[], p.probe_vec::DOUBLE[])
+                 / (SQRT(LIST_DOT_PRODUCT(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))
+                    * SQRT(LIST_DOT_PRODUCT(p.probe_vec::DOUBLE[], p.probe_vec::DOUBLE[]))), 6) AS cosine
+    FROM bkt b JOIN probes p ON b.bucket = p.probe_bucket
+    ORDER BY cosine DESC, vec_id
+    LIMIT {k}
+    """
+
+
+@register("sim_lsh_ann_multiprobe", _lsh_ann_multiprobe_oracle_sql(bits=12, multiprobe=12))
+def sim_lsh_ann_multiprobe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANN top-20 at the SCALE setting of the hyperplane index: 12 bits
+    (4096 buckets — each bucket ~1/4096 of the corpus instead of
+    sim_lsh_ann's 1/16) with Hamming-1 multi-probe over all 12 bit
+    positions (13 buckets read). This is the bits↑ + multi-probe
+    configuration PLANS.md prescribes for 100 TB, registered so its
+    exact candidate set is oracle-checked and its recall rides in
+    sim_ann_recall_report next to the 4-bit baseline."""
+    e = t(spark, sf_dir, "embeddings")
+    return lsh_ann_topk(e, bits=12, multiprobe=12, k=20)
+
+
 @register("sim_lsh_ann", _lsh_ann_oracle_sql(bits=4))
 def sim_lsh_ann(spark: SparkSession, sf_dir: str) -> DataFrame:
     """ANN top-k via random-hyperplane LSH: probe searches only its own
@@ -675,31 +762,30 @@ def sim_reciprocal_rank_fusion(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _recall_oracle() -> str:
-    """Compose the ANN-recall oracle from the two already-registered
-    oracles (single source of truth: if the LSH or brute-force oracle
-    changes, this report's oracle follows automatically)."""
+    """Compose the ANN-recall oracle from the already-registered ANN
+    oracles (single source of truth: if an LSH or brute-force oracle
+    changes, this report's oracle follows automatically). One leg per
+    index configuration — 4-bit single-probe baseline and the 12-bit
+    Hamming-1 multi-probe scale setting."""
     from realestate_engine.registry import ORACLES
 
-    ann = ORACLES["sim_lsh_ann"].strip()
-    assert ann.startswith("WITH")
-    cut = ann.index("SELECT b.vec_id")
-    prelude = ann[:cut].rstrip()  # "WITH bkt AS (...), p AS (...)"
-    assert prelude.endswith("),") or prelude.endswith(")")
-    if not prelude.endswith(","):
-        prelude += ","
-    return (
-        prelude
-        + "\n    ann AS (\n"
-        + ann[cut:]
-        + "\n    ),\n    exact AS (\n"
-        + ORACLES["sim_bruteforce_topk"]
-        + "\n    )\n"
-        + """
-    SELECT CAST(20 AS BIGINT) AS k,
+    def leg(config: str, bits: int, n_probe: int, ann_sql: str) -> str:
+        return f"""
+    SELECT '{config}' AS config,
+           CAST({bits} AS BIGINT) AS bits,
+           CAST({n_probe} AS BIGINT) AS n_probe_buckets,
+           CAST(20 AS BIGINT) AS k,
            CAST(COUNT(*) AS BIGINT) AS n_hits,
            CAST((COUNT(*) * 1000000) // 20 AS BIGINT) AS recall_micro
-    FROM ann JOIN exact USING (vec_id)
+    FROM ({ann_sql}) a
+    JOIN ({ORACLES["sim_bruteforce_topk"]}) e USING (vec_id)
     """
+
+    return (
+        leg("lsh_12bit_multiprobe", 12, 13, _lsh_ann_multiprobe_oracle_sql(12, 12))
+        + "\n    UNION ALL\n"
+        + leg("lsh_4bit", 4, 1, _lsh_ann_oracle_sql(bits=4))
+        + "\n    ORDER BY config\n"
     )
 
 
@@ -710,16 +796,30 @@ def sim_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     vector. Pytest already asserts a recall floor; this registers the
     measurement itself as a driver-checked query (the observability a
     production vector index ships with: recall regressions surface as
-    data, not as a silent quality drop). Both rankings are
+    data, not as a silent quality drop). All rankings are
     deterministic (crc32 hyperplane signs; cosine ties broken by
-    vec_id), so the hit count is exact. Composition: the two existing
-    top-20 queries joined on vec_id and counted — O(k) work on top of
-    their plans."""
+    vec_id), so the hit counts are exact. One row per index
+    configuration: the 4-bit single-probe baseline and the 12-bit
+    Hamming-1 multi-probe scale setting (r5 VERDICT #6 — 256-bucket
+    headroom is a test-scale artifact; this row is the datapoint that
+    the bits↑ + multi-probe knob holds recall). Composition: the
+    registered top-20 queries joined on vec_id and counted — O(k)
+    work on top of their plans."""
     exact = sim_bruteforce_topk(spark, sf_dir).select("vec_id")
-    ann = sim_lsh_ann(spark, sf_dir).select("vec_id")
-    return ann.join(exact, "vec_id").agg(
-        F.lit(20).cast("bigint").alias("k"),
-        F.count(F.lit(1)).cast("bigint").alias("n_hits"),
-        F.expr("(count(1) * 1000000) div 20").cast("bigint").alias("recall_micro"),
+
+    def leg(config: str, bits: int, n_probe: int, ann_df: DataFrame) -> DataFrame:
+        return ann_df.select("vec_id").join(exact, "vec_id").agg(
+            F.lit(config).alias("config"),
+            F.lit(bits).cast("bigint").alias("bits"),
+            F.lit(n_probe).cast("bigint").alias("n_probe_buckets"),
+            F.lit(20).cast("bigint").alias("k"),
+            F.count(F.lit(1)).cast("bigint").alias("n_hits"),
+            F.expr("(count(1) * 1000000) div 20").cast("bigint").alias("recall_micro"),
+        )
+
+    return (
+        leg("lsh_12bit_multiprobe", 12, 13, sim_lsh_ann_multiprobe(spark, sf_dir))
+        .unionByName(leg("lsh_4bit", 4, 1, sim_lsh_ann(spark, sf_dir)))
+        .orderBy("config")
     )
 

@@ -49,6 +49,7 @@ ALLOWED_CROSS = {
     "graph_pagerank_trade",  # broadcast 1-row node count into rank init
     "graph_hits_authorities",  # broadcast 1-row max-score frame per half-step renorm
     "graph_degree_distribution",  # broadcast 32-row powers-of-two constant frame
+    "dedup_lsh_hot_bucket_guard",  # cross join of two 1-row stat aggregates
     "graph_personalized_pagerank",  # broadcast 1-row seed count into rank init
     "dq_drift_audit",  # broadcast 1-row period totals
     "t15_collocations",  # broadcast 1-row total-token count
