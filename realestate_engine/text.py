@@ -888,7 +888,85 @@ def _bpe_pair_counts(vocab: DataFrame) -> DataFrame:
     )
 
 
-@register("text_bpe_merge_rounds")  # iterative argmax loop → rows-only (exact reference test)
+def _bpe_oracle_sql(rounds: int = 3) -> str:
+    r"""DuckDB twin of text_bpe_merge_rounds: the N-round driver loop
+    unrolled into chained CTEs (the label-propagation trick — VERDICT
+    r5 #7 upgraded this from rows-only).
+
+    Representation is (word, freq, pos, s) symbol rows, not lists, so
+    each round is plain SQL: pair counts = a pos+1 self-join; the
+    argmax = ORDER BY cnt DESC, l, r LIMIT 1 (Spark's exact
+    tie-break); the merge applies regexp_replace's left-to-right
+    non-overlap semantics exactly — in a run of consecutive matching
+    positions only every other one merges (parity via gaps-and-islands
+    on match positions), and a position consumed by its left
+    neighbor's merge is dropped. Windows here are DuckDB-side oracle
+    spec, not engine plans."""
+    parts = [
+        r"""
+    w AS (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
+        FROM (SELECT UNNEST(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+')) AS word
+              FROM documents)
+        GROUP BY word
+    ),
+    v0 AS (
+        SELECT word, freq,
+               UNNEST(RANGE(1, LENGTH(word) + 1)) AS pos,
+               UNNEST(STRING_SPLIT(word, '')) AS s
+        FROM w
+    )"""
+    ]
+    for k in range(rounds):
+        parts.append(f"""
+    pc{k} AS (
+        SELECT a.s AS l, b.s AS r, CAST(SUM(a.freq) AS BIGINT) AS cnt
+        FROM v{k} a JOIN v{k} b ON a.word = b.word AND b.pos = a.pos + 1
+        GROUP BY a.s, b.s
+    ),
+    m{k} AS (SELECT l, r, cnt FROM pc{k} ORDER BY cnt DESC, l, r LIMIT 1),
+    mt{k} AS (
+        SELECT a.word, a.freq, a.pos, a.s,
+               COALESCE(a.s = m.l AND b.s = m.r, FALSE) AS mat
+        FROM v{k} a
+        LEFT JOIN v{k} b ON a.word = b.word AND b.pos = a.pos + 1
+        CROSS JOIN m{k} m
+    ),
+    isl{k} AS (
+        SELECT word, freq, pos, s, mat,
+               CASE WHEN mat THEN pos - ROW_NUMBER() OVER
+                    (PARTITION BY word, mat ORDER BY pos) END AS island
+        FROM mt{k}
+    ),
+    mg{k} AS (
+        SELECT word, freq, pos, s, mat, island,
+               COALESCE(mat AND (pos - MIN(pos) OVER (PARTITION BY word, island))
+                            % 2 = 0, FALSE) AS do_merge
+        FROM isl{k}
+    ),
+    v{k + 1} AS (
+        SELECT word, freq,
+               ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS pos,
+               s
+        FROM (
+            SELECT c.word, c.freq, c.pos,
+                   CASE WHEN c.do_merge THEN (SELECT l || r FROM m{k}) ELSE c.s END AS s
+            FROM mg{k} c
+            LEFT JOIN mg{k} p ON p.word = c.word AND p.pos = c.pos - 1
+            WHERE NOT COALESCE(p.do_merge, FALSE)
+        )
+    )""")
+    finals = "\n    UNION ALL".join(
+        f"""
+    SELECT CAST({k + 1} AS INTEGER) AS round, l AS "left", r AS "right",
+           CAST(cnt AS BIGINT) AS pair_count
+    FROM m{k}"""
+        for k in range(rounds)
+    )
+    return "WITH" + ",".join(parts) + finals + "\n    ORDER BY round"
+
+
+@register("text_bpe_merge_rounds", _bpe_oracle_sql(rounds=3))
 def text_bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     """T18: byte-pair-encoding vocabulary induction — N=3 real BPE
     merge rounds over the corpus word-frequency table, the core step of
@@ -898,9 +976,12 @@ def text_bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     loop-on-driver/work-on-cluster shape as PageRank; the merge itself
     is a space-joined regexp rewrite applied corpus-wide in parallel.
     Tie-breaks are lexicographic, so the learned merges are fully
-    deterministic. Rows-only: the per-round argmax is iterative state,
-    not SQL-expressible; tests/test_new_ops.py re-derives the merges
-    with an exact Python reference."""
+    deterministic. Oracle-checked since round 6: the 3-round loop is
+    unrolled into chained DuckDB CTEs over symbol-position rows
+    (_bpe_oracle_sql), reproducing regexp_replace's left-to-right
+    non-overlap merge semantics exactly; tests/test_new_ops.py
+    additionally re-derives the merges with an exact Python
+    reference."""
     d = t(spark, sf_dir, "documents")
     words = d.select(
         F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("word")
@@ -908,7 +989,16 @@ def text_bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
     vocab = (
         words.groupBy("word")
         .agg(F.count(F.lit(1)).alias("freq"))
-        .select(F.split("word", "(?!^)").alias("sym"), "freq")
+        # split("(?!^)") on this Spark version emits a TRAILING EMPTY
+        # element (zero-width match at end-of-string), i.e. a phantom
+        # '' symbol whose (last_char, '') pair counts are word
+        # frequencies — large enough to WIN a merge round at sf0.1
+        # (caught by the round-6 DuckDB oracle; the in-memory
+        # reference test agreed but only ran at sf0.001). Filter it.
+        .select(
+            F.filter(F.split("word", "(?!^)"), lambda s: s != "").alias("sym"),
+            "freq",
+        )
         .localCheckpoint()
     )
     merges = []
