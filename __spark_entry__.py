@@ -23,55 +23,51 @@ registry.load_all()
 # The first entries of queries() are the driver's 50-query correctness
 # window. The driver caps CORRECTNESS_r{N}.json at 50 entries, so the
 # window ROTATES each round to accumulate driver-verified coverage
-# (rounds 2-4 verified 114 distinct queries — see COVERAGE.md's
-# driver-window ledger). Round 5 leads with the queries whose plans or
-# result columns CHANGED this round (the three de-funneled windows
-# m11/q11/q15; containment + RRF moved to FLOOR-scaled micro columns;
-# dq10's null-exact key; the atomic-swap foreachBatch sink; ps1's
-# index_col), then the TPC-H shapes promised last round
-# (q2/q8/q13/q17/q22 + x11), the newest operators, and fills with
-# oracle-checked queries no driver round has seen — 46 of 50 entries
-# are new vs r01-r04. The remaining queries follow in registration
-# order. Round 6's window should lead with the round-5 additions that
-# did not fit this window (graph_hits_authorities, a39-a43, ev12, m32,
-# t19, p19, x26, j12_nearest_event_join, dedup_threshold_sweep — all
-# certified sf0.001/0.01/0.1) plus never-verified fills from the
-# ledger in COVERAGE.md.
+# (rounds 2-5 verified 158 distinct queries — see COVERAGE.md's
+# driver-window ledger). Round 6 leads with the round's changed/new
+# queries: the a38 HUGEINT oracle fix plus every query whose output
+# dtype was harmonized for the driver's type-strict hash (a23, a29,
+# dq7, ev_cohort, f22, m18, dedup_threshold_sweep), a9's rework
+# (last driver evidence was an r02 fail), the de-broadcast
+# dedup_lsh_recall_report, the new hot-bucket guard + 12-bit
+# multi-probe ANN + two-config recall report, and text_bpe (new
+# oracle + the phantom-empty-symbol fix it caught). Then the round-5
+# additions that never got a window slot, and never-verified fills
+# (simple functions, ML featurizers, remaining TPC-H). Round 7's
+# window should fill from the remaining ~110 never-verified ledger
+# entries in COVERAGE.md (the sql_* surface, s1x sources, ev/ts/dq
+# families, corpus/text remainder).
 _WINDOW = [
     "flagship_revenue_by_nation",
-    # changed this round (re-verify under the driver)
-    "m11_regression_metrics_sql", "tpch_q11_important_balance",
-    "tpch_q15_top_supplier", "dedup_containment",
-    "sim_reciprocal_rank_fusion", "dq10_uniqueness_audit",
-    "st_foreachbatch_upsert_sink", "ps1_pandas_api_groupby",
-    # promised in round 4: remaining TPC-H shapes + point-in-time
-    "tpch_q2_min_cost_supplier", "tpch_q8_market_share",
-    "tpch_q13_customer_distribution", "tpch_q17_small_quantity_revenue",
-    "tpch_q22_sales_opportunity", "x11_point_in_time_features",
-    # newest operators (round-4 additions, never driver-verified)
-    "text_langid_confusion", "m29_lift_gains_table",
-    "m27_ndcg_ranking_eval", "j9_interval_overlap_join", "ts_holt_int",
-    "text_cdc_chunk_dedup", "mm_keyframe_select",
-    # never driver-verified: remaining TPC-H + stats/ML
-    "tpch_q16_supplier_count", "tpch_q20_potential_promotion",
-    "a34_weighted_median_prefix", "m25_kmeans_fixed_point",
-    "m26_ols_normal_equations", "m28_confusion_matrix",
-    # brand-new round-5 operators (all certified sf0.001/0.01/0.1)
-    "j10_bloom_join_prune", "x21_retraction_ivm", "dq13_psi_drift",
-    "dq12_merkle_bucket_diff", "m30_woe_iv_binning", "sql_grouping_sets",
-    "dedup_lsh_recall_report", "a38_skyline_frontier",
-    # never driver-verified: similarity / text north-star
-    "sim_ivf_cells", "sim_ann_recall_report", "text_bm25_ranking",
-    "text_sparse_dot_pairs",
-    # never driver-verified: temporal / CDC / graph
-    # (x22 is round 5's CDC-extract twin of x20's apply)
-    "x7_upsert_keep_latest", "x10_join_ivm", "x22_cdc_extract",
-    "graph_label_propagation", "graph_personalized_pagerank",
-    "graph_link_prediction",
-    # never driver-verified: multimodal / SQL surface / DQ
-    # (mm_jpeg_roundtrip is round 5's new baseline-DCT codec)
-    "mm_png_decode", "mm_jpeg_roundtrip",
-    "sql_recursive_reachability", "m31_conformal_interval",
+    # changed this round (oracle dtype harmonization / plan changes)
+    "a38_skyline_frontier", "dedup_threshold_sweep",
+    "a9_approx_count_distinct", "dedup_lsh_recall_report",
+    "a23_equidepth_histogram", "a29_sliding_distinct_users",
+    "dq7_seasonal_anomaly", "ev_cohort_retention",
+    "f22_business_days", "m18_negative_sampling",
+    # brand-new round-6 operators (all certified sf0.001/0.01/0.1)
+    "dedup_lsh_hot_bucket_guard", "sim_lsh_ann_multiprobe",
+    "sim_ann_recall_report", "text_bpe_merge_rounds",
+    # round-5 additions that did not fit the r5 window
+    "graph_hits_authorities", "a39_selfjoin_size_sketch",
+    "a40_median_of_medians", "a41_hll_set_algebra",
+    "a42_bitmap_distinct_rollup", "a43_histogram_quantile_rollup",
+    "ev12_diff_in_diff", "m32_permutation_test",
+    "t19_zipf_fit", "p19_schema_drift_audit",
+    "x26_late_dimension_replay", "j12_nearest_event_join",
+    "x25_bitemporal_asof", "p22_survivorship_golden_record",
+    "m33_oof_target_encoding", "t21_source_reuse_matrix",
+    "graph_degree_distribution",
+    # never driver-verified: scalar-function + ML-featurizer surface
+    "f2_exp", "f4_guarded_ratio", "f5_isin_flag", "f8_coalesce_lit",
+    "f10_dates", "f10_strings", "f10_arrays",
+    "m2_onehot_encoder", "m3_vector_assembler", "m5_bucketizer",
+    "m7_log_transform",
+    # never driver-verified: remaining TPC-H
+    "tpch_q4_priority_late_ship", "tpch_q6_forecast_revenue",
+    "tpch_q10_returned_items", "tpch_q12_priority_classes",
+    "tpch_q14_promo_revenue", "tpch_q19_disjunctive_revenue",
+    "f12_json_extract",
 ]
 
 
