@@ -426,7 +426,12 @@ def test_chi2_matches_scipy_free_reference(spark, sf_dir):
 
 
 def test_sliding_distinct_users_brute_force(spark, sf_dir):
-    rows = {r["day"]: r["wau"] for r in QUERIES["a29_sliding_distinct_users"](spark, sf_dir).collect()}
+    # a29 emits timestamps (datetime-family alignment with the DuckDB
+    # oracle, round 6) — key the comparison by calendar date
+    rows = {
+        r["day"].date(): r["wau"]
+        for r in QUERIES["a29_sliding_distinct_users"](spark, sf_dir).collect()
+    }
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").toPandas()
     ev["day"] = ev["ts"].dt.floor("D").dt.date
     days = sorted(ev["day"].unique())
