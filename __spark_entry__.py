@@ -67,7 +67,8 @@ _WINDOW = [
     "tpch_q4_priority_late_ship", "tpch_q6_forecast_revenue",
     "tpch_q10_returned_items", "tpch_q12_priority_classes",
     "tpch_q14_promo_revenue", "tpch_q19_disjunctive_revenue",
-    "f12_json_extract",
+    # upgraded rows-only -> full oracle this round (read_blob)
+    "s13_binaryfile_scan",
 ]
 
 

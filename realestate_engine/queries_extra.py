@@ -978,15 +978,27 @@ def s12_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.read.schema(schema).option("rowTag", "region").format("xml").load(out)
 
 
-@register("s13_binaryfile_scan")  # paths/sizes are filesystem facts → rows-only + pytest
+@register(
+    "s13_binaryfile_scan",
+    # The driver compares at sf0.01, so the blob glob names that dir;
+    # tools/check_oracle.py rewrites the path for other --sf runs.
+    r"""
+    SELECT regexp_extract(filename, '([^/]+)\.parquet$', 1) AS table_name,
+           CAST(size AS BIGINT) AS n_bytes,
+           CAST(OCTET_LENGTH(content) AS BIGINT) AS content_bytes
+    FROM read_blob('/root/testdata/sf0.01/*.parquet')
+    ORDER BY table_name
+    """,
+)
 def s13_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
     """S13: binaryFile source — the ingestion path for opaque media
     blobs (images/audio/video) feeding the MM* multimodal operators:
     each file becomes (path, modificationTime, length, content:binary).
     Here it scans the sf dir's parquet files themselves as opaque
-    blobs and derives per-extension stats; pytest asserts lengths
-    match os.path.getsize. At 100 TB this is how raw media lands in a
-    DataFrame without a decode step in the scan."""
+    blobs and derives per-extension stats; the DuckDB oracle reads the
+    same files with read_blob, proving both the metadata column and
+    the loaded bytes agree with the filesystem. At 100 TB this is how
+    raw media lands in a DataFrame without a decode step in the scan."""
     files = spark.read.format("binaryFile").load(sf_dir + "/*.parquet")
     return (
         files.select(

@@ -148,7 +148,10 @@ def main() -> int:
             n_rowsonly += 1
             continue
         try:
-            odf = con.execute(ORACLES[name]).fetchdf()
+            # Filesystem-fact oracles (s13 read_blob) name the driver's
+            # fixed sf0.01 dir; rewrite for local multi-SF runs.
+            sql = ORACLES[name].replace("/root/testdata/sf0.01", args.sf)
+            odf = con.execute(sql).fetchdf()
         except Exception as e:
             print(f"FAIL {name}: oracle error: {e}")
             n_fail += 1
