@@ -7,10 +7,12 @@ PNG decode is REAL since round 4 (pure-stdlib zlib inflate + scanline
 defilter, ``decode_png``; encoder twin ``encode_png``), exercised
 end-to-end by the oracle-checked ``mm_png_decode`` round trip; JPEG
 decode is REAL since round 5 (pure-stdlib baseline DCT in jpeg.py,
-oracle-checked ``mm_jpeg_roundtrip``). Real audio/video containers
-remain honestly stubbed behind ``NotImplementedError`` (no codec libs
-in this container); the deterministic byte-keyed fake covers
-non-image plumbing tests. Everything
+oracle-checked ``mm_jpeg_roundtrip``); RIFF/WAVE PCM audio is REAL
+since round 6 (pure-stdlib chunk walk in wav.py, oracle-checked
+``mm_wav_roundtrip``). Entropy-coded audio (FLAC/Ogg/MP3) and video
+containers remain honestly stubbed behind ``NotImplementedError`` (no
+codec libs in this container); the deterministic byte-keyed fake
+covers non-image plumbing tests. Everything
 Spark-side is real either way: the binary schema, the mapInPandas
 signature, batch iteration, and the output schema contract.
 
@@ -393,12 +395,25 @@ _STUB_SAMPLE_RATE = 16000  # 16 kHz mono, 1 byte/sample in the fake codec
 
 
 def decode_audio_stub(payload: bytes) -> dict:
-    """STUB audio decoder — deterministic fake (librosa/soundfile are not
-    in this container). Treats the payload as 8-bit mono PCM at 16 kHz;
-    a production deployment replaces ONLY this function. Raises for
-    payloads declaring a real container format."""
-    if payload[:4] in (b"RIFF", b"fLaC", b"OggS"):
-        raise NotImplementedError("real audio codecs are stubbed in this environment")
+    """Audio decoder front-end. RIFF/WAVE payloads decode for REAL via
+    wav.py (round 6 — chunk walk + PCM8/PCM16 unpack); entropy-coded
+    containers (FLAC/Ogg) stay honestly stubbed (no codec libs in this
+    container). Anything else is treated as the deterministic raw
+    8-bit-mono-PCM-at-16kHz stand-in used by the plumbing tests."""
+    if payload[:4] == b"RIFF":
+        from realestate_engine.wav import decode_wav
+
+        w = decode_wav(payload)
+        n = len(w["samples"])
+        rms = (sum(s * s for s in w["samples"]) / n) ** 0.5 if n else 0.0
+        return {
+            "n_bytes": len(payload),
+            "sample_rate": w["sample_rate"],
+            "duration_ms": w["n_frames"] * 1000 // w["sample_rate"],
+            "rms": round(rms, 4),
+        }
+    if payload[:4] in (b"fLaC", b"OggS"):
+        raise NotImplementedError("entropy-coded audio (FLAC/Ogg) is stubbed in this environment")
     n = len(payload)
     rms = (sum(b * b for b in payload) / n) ** 0.5 if n else 0.0
     return {
@@ -442,6 +457,107 @@ def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     binary_df = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
     feats = extract_audio_features(binary_df)
     return feats.select("doc_id", "n_bytes", "sample_rate", "duration_ms")
+
+
+@register(
+    "mm_wav_roundtrip",
+    """
+    WITH params AS (
+      SELECT doc_id AS d,
+             CASE WHEN doc_id % 2 = 0 THEN 8 ELSE 16 END AS bits,
+             CASE WHEN doc_id % 5 = 0 THEN 2 ELSE 1 END AS channels,
+             CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END AS sample_rate,
+             256 + (doc_id % 4) * 64 AS n_frames
+      FROM documents WHERE doc_id < 60
+    ), expand AS (
+      SELECT d, bits, channels, sample_rate, n_frames,
+             ((d * 31 + i.i * 7 + c.c * 13)
+                % CASE WHEN bits = 8 THEN 256 ELSE 4096 END)
+               - CASE WHEN bits = 8 THEN 128 ELSE 2048 END AS s
+      FROM params
+      JOIN (SELECT UNNEST(RANGE(0, 512)) AS i) i ON i.i < n_frames
+      JOIN (SELECT UNNEST(RANGE(0, 2)) AS c) c ON c.c < channels
+    )
+    SELECT d AS doc_id,
+           CAST(sample_rate AS INTEGER) AS sample_rate,
+           CAST(channels AS INTEGER) AS channels,
+           CAST(bits AS INTEGER) AS bits,
+           CAST(n_frames AS BIGINT) AS n_frames,
+           CAST(n_frames * 1000 // sample_rate AS BIGINT) AS duration_ms,
+           CAST(SUM(ABS(s)) AS BIGINT) AS sum_abs,
+           CAST(SUM(s) AS BIGINT) AS sum_val
+    FROM expand
+    GROUP BY d, sample_rate, channels, bits, n_frames
+    ORDER BY doc_id
+    """,
+)
+def mm_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL audio-container round trip (round 6 — the RIFF gate at the
+    old multimodal.py:401 is gone): per doc, a deterministic integer
+    waveform ((d·31 + i·7 + c·13) mod M, signed-rebased) is WAV-ENCODED
+    with the pure-stdlib PCM codec in wav.py — cycling 8/16-bit,
+    mono/stereo, three sample rates, and an odd-length LIST/INFO
+    metadata chunk by doc id so every chunk-walk path (including RIFF
+    pad bytes) runs distributed — then WAV-DECODED in the same Arrow
+    batch. All emitted columns come from the DECODED container; the
+    oracle recomputes them analytically, so a broken header field,
+    sample pack/unpack, interleave, or chunk skip flips a
+    hash-compared value. Completes the codec matrix next to
+    mm_png_decode / mm_jpeg_roundtrip."""
+    from realestate_engine.wav import decode_wav, encode_wav
+
+    def roundtrip(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                bits = 8 if d % 2 == 0 else 16
+                channels = 2 if d % 5 == 0 else 1
+                rate = (8000, 16000, 44100)[d % 3]
+                n_frames = 256 + (d % 4) * 64
+                mod, base = (256, 128) if bits == 8 else (4096, 2048)
+                samples = [
+                    (d * 31 + i * 7 + c * 13) % mod - base
+                    for i in range(n_frames)
+                    for c in range(channels)
+                ]
+                info = (
+                    [(b"LIST", b"INFOIART" + b"\x07\x00\x00\x00graft\x00!")]
+                    if d % 3 == 0
+                    else None
+                )
+                out = decode_wav(encode_wav(rate, channels, bits, samples, info))
+                dec = out["samples"]
+                rows.append(
+                    (
+                        d,
+                        out["sample_rate"],
+                        out["channels"],
+                        out["bits"],
+                        out["n_frames"],
+                        out["n_frames"] * 1000 // out["sample_rate"],
+                        sum(abs(s) for s in dec),
+                        sum(dec),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "sample_rate", "channels", "bits",
+                    "n_frames", "duration_ms", "sum_abs", "sum_val",
+                ],
+            )
+
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 60).select("doc_id")
+    return (
+        d.repartition(8, "doc_id")
+        .mapInPandas(
+            roundtrip,
+            "doc_id long, sample_rate int, channels int, bits int, "
+            "n_frames long, duration_ms long, sum_abs long, sum_val long",
+        )
+        .orderBy("doc_id")
+    )
 
 
 RESIZE_SCHEMA = T.StructType(

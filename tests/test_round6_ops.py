@@ -90,3 +90,65 @@ def test_multiprobe_widens_candidate_set(spark, sf_dir):
     multi = {r.vec_id for r in lsh_ann_topk(e, bits=12, multiprobe=12, k=1000).collect()}
     assert single <= multi
     assert 0 in single  # the probe always finds itself
+
+
+# ---- round 6: real RIFF/WAVE PCM codec (wav.py) ----
+
+
+def test_wav_roundtrip_all_param_combos():
+    from realestate_engine.wav import decode_wav, encode_wav
+
+    for bits in (8, 16):
+        mod, base = (256, 128) if bits == 8 else (4096, 2048)
+        for ch in (1, 2, 3):
+            for rate in (8000, 16000, 44100):
+                samples = [((7 * i + 13 * c) % mod) - base for i in range(97) for c in range(ch)]
+                out = decode_wav(encode_wav(rate, ch, bits, samples))
+                assert out["samples"] == samples
+                assert (out["sample_rate"], out["channels"], out["bits"]) == (rate, ch, bits)
+                assert out["n_frames"] == 97
+
+
+def test_wav_decoder_skips_metadata_chunks_with_odd_padding():
+    from realestate_engine.wav import decode_wav, encode_wav
+
+    samples = list(range(-50, 50))
+    # odd-length chunk exercises the RIFF pad byte on the walk
+    blob = encode_wav(8000, 1, 16, samples, [(b"LIST", b"INFOIART\x07\x00\x00\x00graft\x00!")])
+    bare = encode_wav(8000, 1, 16, samples)
+    assert decode_wav(blob)["samples"] == decode_wav(bare)["samples"] == samples
+
+
+def test_wav_decoder_error_and_unsupported_paths():
+    import struct
+
+    import pytest
+
+    from realestate_engine.wav import decode_wav, encode_wav
+
+    with pytest.raises(ValueError):
+        decode_wav(b"not a riff at all")
+    with pytest.raises(ValueError):
+        decode_wav(b"RIFF\x04\x00\x00\x00WAVE")  # no fmt/data chunks
+    blob = encode_wav(8000, 1, 16, [1, 2, 3])
+    with pytest.raises(ValueError):
+        decode_wav(blob[:-2])  # truncated data chunk
+    non_pcm = bytearray(blob)
+    struct.pack_into("<H", non_pcm, 20, 3)  # fmt.audio_format = IEEE float
+    with pytest.raises(NotImplementedError):
+        decode_wav(bytes(non_pcm))
+
+
+def test_extract_audio_features_decodes_riff_for_real(spark):
+    import pandas as pd
+
+    from realestate_engine.multimodal import extract_audio_features
+    from realestate_engine.wav import encode_wav
+
+    samples = [((i * 11) % 4096) - 2048 for i in range(16000)]  # exactly 1s at 16 kHz
+    blob = encode_wav(16000, 1, 16, samples)
+    df = spark.createDataFrame(pd.DataFrame({"doc_id": [1], "payload": [blob]}))
+    row = extract_audio_features(df).collect()[0]
+    assert row.sample_rate == 16000 and row.duration_ms == 1000
+    exact_rms = (sum(s * s for s in samples) / len(samples)) ** 0.5
+    assert abs(row.rms - round(exact_rms, 4)) < 1e-9
