@@ -708,3 +708,112 @@ def graph_degree_distribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("log2_degree")
     )
+
+
+_TRIANGLE_ORACLE = """
+    WITH pairs AS (
+        SELECT DISTINCT a.l_suppkey AS u, b.l_suppkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_suppkey < b.l_suppkey
+    ),
+    deg AS (
+        SELECT n, CAST(COUNT(*) AS BIGINT) AS d
+        FROM (SELECT u AS n FROM pairs UNION ALL SELECT v FROM pairs)
+        GROUP BY n
+    ),
+    oriented AS (
+        SELECT CASE WHEN (du.d, p.u) < (dv.d, p.v) THEN p.u ELSE p.v END AS src,
+               CASE WHEN (du.d, p.u) < (dv.d, p.v) THEN p.v ELSE p.u END AS dst
+        FROM pairs p
+        JOIN deg du ON du.n = p.u
+        JOIN deg dv ON dv.n = p.v
+    ),
+    tri AS (
+        SELECT COUNT(*) AS n
+        FROM oriented e1
+        JOIN oriented e2 ON e2.src = e1.dst
+        JOIN oriented e3 ON e3.src = e1.src AND e3.dst = e2.dst
+    ),
+    wedges AS (SELECT SUM(d * (d - 1) / 2) AS n FROM deg)
+    SELECT CAST((SELECT COUNT(*) FROM deg) AS BIGINT) AS n_nodes,
+           CAST((SELECT COUNT(*) FROM pairs) AS BIGINT) AS n_edges,
+           CAST(wedges.n AS BIGINT) AS n_wedges,
+           CAST(tri.n AS BIGINT) AS n_triangles,
+           CAST(3 * tri.n * 1000000 // wedges.n AS BIGINT) AS clustering_coeff_micro
+    FROM tri, wedges
+"""
+
+
+@register("graph_clustering_coefficient", _TRIANGLE_ORACLE)
+def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Global clustering coefficient (transitivity) of the supplier
+    co-purchase graph — exact wedge + triangle census. Complements
+    graph_triangle_count (part graph, id-oriented) with the
+    DEGREE-ordered orientation: every undirected edge points from its
+    (degree, id)-smaller endpoint to the larger, so each triangle is
+    counted once AND every wedge join fans out from the low-degree
+    endpoint — a degree-D hub emits oriented out-edges only toward
+    higher-degree nodes, bounding the e1⋈e2 wedge volume by O(m^1.5)
+    total instead of sum-of-D^2 under id ordering (the difference
+    between finishing and not on a power-law graph at 100 TB). Wedge
+    count comes from the exact degree census (sum d·(d-1)/2); the
+    coefficient 3·triangles/wedges is reported in integer micro-units
+    so the hash compare is bit-exact. The customer-supplier trade
+    graph itself is bipartite and triangle-free — the supplier
+    projection is where community structure lives."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = cache_once(
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_suppkey") < F.col("b.l_suppkey")),
+        )
+        .select(F.col("a.l_suppkey").alias("u"), F.col("b.l_suppkey").alias("v"))
+        .distinct()
+    )
+    deg = (
+        pairs.select(F.col("u").alias("n"))
+        .unionAll(pairs.select(F.col("v").alias("n")))
+        .groupBy("n")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    )
+    du, dv = deg.alias("du"), deg.alias("dv")
+    lower = (F.col("du.d") < F.col("dv.d")) | (
+        (F.col("du.d") == F.col("dv.d")) & (F.col("u") < F.col("v"))
+    )
+    oriented = cache_once(
+        pairs.join(du, F.col("du.n") == F.col("u"))
+        .join(dv, F.col("dv.n") == F.col("v"))
+        .select(
+            F.when(lower, F.col("u")).otherwise(F.col("v")).alias("src"),
+            F.when(lower, F.col("v")).otherwise(F.col("u")).alias("dst"),
+        )
+    )
+    e1, e2, e3 = oriented.alias("e1"), oriented.alias("e2"), oriented.alias("e3")
+    tri = (
+        e1.join(e2, F.col("e2.src") == F.col("e1.dst"))
+        .join(
+            e3,
+            (F.col("e3.src") == F.col("e1.src")) & (F.col("e3.dst") == F.col("e2.dst")),
+        )
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_triangles"))
+    )
+    stats = pairs.agg(F.count(F.lit(1)).cast("bigint").alias("n_edges"))
+    dstats = deg.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+        F.sum(F.expr("d * (d - 1) / 2")).cast("bigint").alias("n_wedges"),
+    )
+    return (
+        tri.crossJoin(F.broadcast(stats))
+        .crossJoin(F.broadcast(dstats))
+        .select(
+            "n_nodes",
+            "n_edges",
+            "n_wedges",
+            "n_triangles",
+            F.expr("CAST(3 * n_triangles * 1000000 DIV n_wedges AS BIGINT)").alias(
+                "clustering_coeff_micro"
+            ),
+        )
+    )

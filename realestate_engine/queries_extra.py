@@ -3243,3 +3243,97 @@ def a41_hll_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.greatest(F.lit(5), F.col("exact_intersection").cast("double") * 0.15)
         ).alias("intersection_within_15pct"),
     )
+
+
+
+
+# --- Min/max data-skipping effectiveness audit -------------------------------
+
+_DQ14_PROBE_HI = 255  # the y-only probe predicate: y <= 255
+_DQ14_Z = _interleave_bits_expr("x", "y")
+
+
+@register(
+    "dq14_skipping_audit",
+    f"""
+    WITH pts AS (
+        SELECT (l_partkey * 769 + 12289) % 2147483647 % 1024 AS x,
+               (l_suppkey * 1543 + 24593) % 2147483647 % 1024 AS y
+        FROM lineitem
+    ),
+    keyed AS (
+        SELECT x, y,
+               ({_DQ14_Z}) // 65536 AS z_bucket,
+               x // 64 AS linear_bucket
+        FROM pts
+    ),
+    layouts AS (
+        SELECT 'zorder' AS layout, z_bucket AS bucket, x, y FROM keyed
+        UNION ALL
+        SELECT 'linear' AS layout, linear_bucket AS bucket, x, y FROM keyed
+    )
+    SELECT layout, CAST(bucket AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(x) AS INTEGER) AS x_min, CAST(MAX(x) AS INTEGER) AS x_max,
+           CAST(MIN(y) AS INTEGER) AS y_min, CAST(MAX(y) AS INTEGER) AS y_max,
+           MIN(y) <= {_DQ14_PROBE_HI} AS scanned_by_y_probe
+    FROM layouts
+    GROUP BY layout, bucket
+    ORDER BY layout, bucket
+    """,
+)
+def dq14_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ14: min/max data-skipping effectiveness audit — the
+    measurement half of s16_zorder_layout (which produces the layout;
+    this query quantifies what the layout BUYS). Points hash-spread
+    over a 1024x1024 domain are tiled 16 ways under two layouts:
+    `zorder` tiles by the top bits of the s16 Morton key (compact
+    ~256x256 squares), `linear` by the leading dimension only (thin
+    full-height strips). Output is the min/max footer stats a parquet
+    file would carry per tile plus the verdict column
+    `scanned_by_y_probe`: which tiles a y-only predicate (y <= 255)
+    must read. Same rows, same tile count — layout is the only
+    variable — and z-order scans 4 of 16 tiles where linear scans all
+    16: a dimension the sort order ignores gets NO skipping, which is
+    the decision input for z-ordering a 100 TB table (pin: the r6
+    round's pytest asserts zorder strictly beats linear). Tiling by
+    top key bits is deterministic (no repartitionByRange sampling),
+    one groupBy, bit-exact integers end to end."""
+    li = t(spark, sf_dir, "lineitem").select(
+        ((F.col("l_partkey") * 769 + 12289) % 2147483647 % 1024).alias("x"),
+        ((F.col("l_suppkey") * 1543 + 24593) % 2147483647 % 1024).alias("y"),
+    )
+    keyed = li.select(
+        "x",
+        "y",
+        (F.expr(_DQ14_Z) / F.lit(65536)).cast("bigint").alias("z_bucket"),
+        (F.col("x") / F.lit(64)).cast("bigint").alias("linear_bucket"),
+    )
+    layouts = keyed.select(
+        F.lit("zorder").alias("layout"), F.col("z_bucket").alias("bucket"), "x", "y"
+    ).unionAll(
+        keyed.select(
+            F.lit("linear").alias("layout"), F.col("linear_bucket").alias("bucket"), "x", "y"
+        )
+    )
+    return (
+        layouts.groupBy("layout", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("x").cast("int").alias("x_min"),
+            F.max("x").cast("int").alias("x_max"),
+            F.min("y").cast("int").alias("y_min"),
+            F.max("y").cast("int").alias("y_max"),
+        )
+        .select(
+            "layout",
+            F.col("bucket").cast("bigint").alias("bucket"),
+            "n_rows",
+            "x_min",
+            "x_max",
+            "y_min",
+            "y_max",
+            (F.col("y_min") <= F.lit(_DQ14_PROBE_HI)).alias("scanned_by_y_probe"),
+        )
+        .orderBy("layout", "bucket")
+    )

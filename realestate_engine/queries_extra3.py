@@ -1823,3 +1823,4 @@ def m33_oof_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority", "fold")
     )
+

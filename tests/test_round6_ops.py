@@ -152,3 +152,29 @@ def test_extract_audio_features_decodes_riff_for_real(spark):
     assert row.sample_rate == 16000 and row.duration_ms == 1000
     exact_rms = (sum(s * s for s in samples) / len(samples)) ** 0.5
     assert abs(row.rms - round(exact_rms, 4)) < 1e-9
+
+
+# ---- round 6: clustering coefficient, Count-Min, Z-order layout ----
+
+
+def test_clustering_coefficient_census_invariants(spark, sf_dir):
+    r = QUERIES["graph_clustering_coefficient"](spark, sf_dir).collect()[0]
+    assert r.n_nodes > 0 and r.n_edges > 0
+    # every triangle closes exactly 3 wedges; coefficient in [0, 1e6]
+    assert 3 * r.n_triangles <= r.n_wedges
+    assert 0 <= r.clustering_coeff_micro <= 1_000_000
+    assert r.clustering_coeff_micro == 3 * r.n_triangles * 1_000_000 // r.n_wedges
+
+
+def test_zorder_tiles_skip_where_linear_cannot(spark, sf_dir):
+    rows = QUERIES["dq14_skipping_audit"](spark, sf_dir).collect()
+    by_layout: dict = {}
+    for r in rows:
+        s = by_layout.setdefault(r.layout, {"rows": 0, "scanned": 0, "tiles": 0})
+        s["rows"] += r.n_rows
+        s["tiles"] += 1
+        s["scanned"] += bool(r.scanned_by_y_probe)
+    z, lin = by_layout["zorder"], by_layout["linear"]
+    assert z["rows"] == lin["rows"]  # same data, layout is the only variable
+    # the y-only probe must scan strictly fewer z-tiles than linear strips
+    assert z["scanned"] < lin["scanned"]

@@ -54,6 +54,7 @@ ALLOWED_CROSS = {
     "dq_drift_audit",  # broadcast 1-row period totals
     "t15_collocations",  # broadcast 1-row total-token count
     "graph_triangle_count",  # cross join of two 1-row counts
+    "graph_clustering_coefficient",  # cross join of three 1-row census aggregates
     "m16_als_recommend",  # MLlib blocked factor cross join (top-k per block, by design)
     "m20_als_recall_eval",  # same MLlib blocked factor cross join inside recommend
     "a23_equidepth_histogram",  # broadcast 1-row decile cut array
