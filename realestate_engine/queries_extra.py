@@ -3337,3 +3337,115 @@ def dq14_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("layout", "bucket")
     )
+
+
+# --- Observation API: single-pass pipeline metrics ---------------------------
+
+
+@register(
+    "dq15_observe_metrics",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+           CAST(COUNT(CASE WHEN o_totalprice > 100000 THEN 1 END) AS BIGINT) AS n_large,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def dq15_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ15: pipeline health metrics via ``df.observe`` (Spark's
+    Observation API) — row counts, value totals, and range bounds
+    accumulated ON THE SAME PASS that writes the pipeline's real
+    output, instead of a second full scan per metric (the reference's
+    webapp runs one count() per column — app.py:74-101 — which is the
+    anti-pattern this replaces; at 100 TB a duplicate metrics scan is
+    a duplicate 100 TB read). The observed slice is written to a
+    parquet sink as the \"real\" job; the observation rides the write
+    job's tasks, and the returned 1-row frame is the metric record a
+    pipeline would persist to its run ledger. The oracle recomputes
+    the same aggregates relationally — observe()'s accumulator path
+    must agree with the declarative path bit-exactly (integer cents)."""
+    from pyspark.sql import Observation
+
+    obs = Observation("dq15")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    observed = o.observe(
+        obs,
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).cast("bigint").alias("total_cents"),
+        F.count(F.when(F.col("o_totalprice") > 100000, 1)).cast("bigint").alias("n_large"),
+        F.min("o_orderkey").cast("bigint").alias("min_key"),
+        F.max("o_orderkey").cast("bigint").alias("max_key"),
+    )
+    out = stable_tmp("dq15_observed_slice")
+    observed.write.mode("overwrite").parquet(out)  # the action the metrics ride on
+    m = obs.get  # O(1) driver-side metric record, not a data detour
+    return spark.createDataFrame(
+        [(m["n_rows"], m["total_cents"], m["n_large"], m["min_key"], m["max_key"])],
+        schema="n_rows long, total_cents long, n_large long, min_key long, max_key long",
+    )
+
+
+# --- Privacy: k-anonymity / l-diversity audit --------------------------------
+
+_KANON_K = 5
+_KANON_L = 2
+
+
+@register(
+    "dq16_k_anonymity",
+    f"""
+    WITH classes AS (
+        SELECT c_nationkey, c_mktsegment,
+               COUNT(*) AS class_size,
+               COUNT(DISTINCT c_acctbal < 0) AS l_distinct
+        FROM customer
+        GROUP BY c_nationkey, c_mktsegment
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(SUM(class_size) AS BIGINT) AS n_rows,
+           CAST(MIN(class_size) AS BIGINT) AS k_min,
+           CAST(COUNT(CASE WHEN class_size < {_KANON_K} THEN 1 END) AS BIGINT) AS n_classes_below_k,
+           CAST(SUM(CASE WHEN class_size < {_KANON_K} THEN class_size ELSE 0 END) * 1000000
+                // SUM(class_size) AS BIGINT) AS rows_at_risk_micro,
+           CAST(MIN(l_distinct) AS BIGINT) AS l_min,
+           CAST(COUNT(CASE WHEN l_distinct < {_KANON_L} THEN 1 END) AS BIGINT) AS n_classes_below_l
+    FROM classes
+    """,
+)
+def dq16_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ16: k-anonymity / l-diversity audit — the privacy gate a
+    training-data release runs AFTER redaction (t14_pii_redaction
+    scrubs direct identifiers; this measures whether the QUASI
+    identifiers still single people out). Rows sharing a
+    quasi-identifier tuple (nation, market segment) form an
+    equivalence class: k-anonymity requires every class >= k members
+    (small classes re-identify), l-diversity requires >= l distinct
+    sensitive values per class (a uniform class leaks the attribute
+    without re-identification). Output is the release-decision record:
+    smallest class, classes below k={_KANON_K}, fraction of rows at
+    re-identification risk (exact micro units), and the l={_KANON_L}
+    diversity floor over the sensitive bit (account in arrears). One
+    groupBy + one aggregate — at 100 TB the class census shuffles only
+    the quasi-identifier key space."""
+    classes = (
+        t(spark, sf_dir, "customer")
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("class_size"),
+            F.countDistinct(F.col("c_acctbal") < 0).alias("l_distinct"),
+        )
+    )
+    return classes.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.sum("class_size").cast("bigint").alias("n_rows"),
+        F.min("class_size").cast("bigint").alias("k_min"),
+        F.count(F.when(F.col("class_size") < _KANON_K, 1)).cast("bigint").alias("n_classes_below_k"),
+        F.expr(
+            f"CAST(SUM(CASE WHEN class_size < {_KANON_K} THEN class_size ELSE 0 END) * 1000000"
+            " DIV SUM(class_size) AS BIGINT)"
+        ).alias("rows_at_risk_micro"),
+        F.min("l_distinct").cast("bigint").alias("l_min"),
+        F.count(F.when(F.col("l_distinct") < _KANON_L, 1)).cast("bigint").alias("n_classes_below_l"),
+    )

@@ -17,7 +17,7 @@ from __future__ import annotations
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
 
-from realestate_engine.dedup import cosine_sim
+from realestate_engine.dedup import cache_once, cosine_sim
 from realestate_engine.registry import register, t
 
 # Deterministic pseudo-random hyperplanes: plane b, component i has
@@ -823,3 +823,221 @@ def sim_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("config")
     )
 
+
+# ---------------------------------------------------------------------------
+# Product quantization with asymmetric distance computation (PQ-ADC)
+# ---------------------------------------------------------------------------
+#
+# The memory-side ANN technique the scalar path (sim_quantize_int8)
+# can't reach: instead of narrowing each COMPONENT to int8, PQ cuts
+# the 64-dim vector into M=8 subvectors and snaps each to one of K=16
+# shared centroids — the whole vector becomes M 4-bit codes (4 bytes,
+# a 64x compression), and query distance is a table lookup per
+# subspace (Jegou et al., "Product Quantization for Nearest Neighbor
+# Search"). At 100 TB this is what lets a billion-vector index live in
+# executor memory. Codebooks are TRAINED here with one distributed
+# Lloyd round (integer fixed point, the m25 idiom) from deterministic
+# lattice seeds — data-blind seeds alone rank poorly (recall@10 ~0.1
+# measured), one refinement round moves every centroid onto the data.
+# Every distance is exact BIGINT math on FLOOR-milli components, so
+# DuckDB reproduces seeds, the Lloyd update, codes, LUTs, and the
+# final ranking bit-for-bit.
+
+_PQ_M = 8  # subspaces
+_PQ_SUBDIM = 8  # dims per subspace (8*8 = 64)
+_PQ_K = 16  # centroids per subspace -> 4-bit codes
+_PQ_SHIFT = 2048  # > max |milli component|; makes the mean's numerator
+# nonnegative so truncating DIV equals floor division on BOTH engines
+# (floor(s/n) = (s + SHIFT*n) DIV n - SHIFT; DuckDB // floors, Spark
+# DIV truncates — they agree only for nonnegative numerators)
+
+_PQ_SEED_SQL = "((c * 31 + m * 17 + j * 7) % 21 - 10) * 50"
+
+
+@register(
+    "sim_pq_adc",
+    f"""
+    WITH e AS (
+        SELECT vec_id,
+               LIST_TRANSFORM(embedding, v -> CAST(FLOOR(CAST(v AS DOUBLE) * 1000) AS BIGINT)) AS vint
+        FROM embeddings
+    ),
+    grid AS (
+        SELECT m.m, c.c, j.j, {_PQ_SEED_SQL} AS comp
+        FROM (SELECT UNNEST(RANGE(0, {_PQ_M})) AS m) m,
+             (SELECT UNNEST(RANGE(0, {_PQ_K})) AS c) c,
+             (SELECT UNNEST(RANGE(0, {_PQ_SUBDIM})) AS j) j
+    ),
+    dist0 AS (
+        SELECT e.vec_id, g.m, g.c,
+               SUM((e.vint[g.m * {_PQ_SUBDIM} + g.j + 1] - g.comp)
+                 * (e.vint[g.m * {_PQ_SUBDIM} + g.j + 1] - g.comp)) AS d
+        FROM e, grid g GROUP BY 1, 2, 3
+    ),
+    code0 AS (
+        SELECT vec_id, m, MIN(d * {_PQ_K} + c) % {_PQ_K} AS c FROM dist0 GROUP BY 1, 2
+    ),
+    assigned AS (
+        SELECT k.m, k.c, j.j, e.vint[k.m * {_PQ_SUBDIM} + j.j + 1] AS val
+        FROM code0 k JOIN e USING (vec_id),
+             (SELECT UNNEST(RANGE(0, {_PQ_SUBDIM})) AS j) j
+    ),
+    lloyd AS (
+        SELECT m, c, j,
+               (SUM(val) + {_PQ_SHIFT} * COUNT(*)) // COUNT(*) - {_PQ_SHIFT} AS comp
+        FROM assigned GROUP BY 1, 2, 3
+    ),
+    trained AS (
+        SELECT g.m, g.c, g.j, COALESCE(l.comp, g.comp) AS comp
+        FROM grid g LEFT JOIN lloyd l ON l.m = g.m AND l.c = g.c AND l.j = g.j
+    ),
+    dist1 AS (
+        SELECT e.vec_id, tr.m, tr.c,
+               SUM((e.vint[tr.m * {_PQ_SUBDIM} + tr.j + 1] - tr.comp)
+                 * (e.vint[tr.m * {_PQ_SUBDIM} + tr.j + 1] - tr.comp)) AS d
+        FROM e, trained tr GROUP BY 1, 2, 3
+    ),
+    codes AS (
+        SELECT vec_id, m, MIN(d * {_PQ_K} + c) % {_PQ_K} AS code FROM dist1 GROUP BY 1, 2
+    ),
+    lut AS (SELECT m, c, d FROM dist1 WHERE vec_id = 0),
+    adc AS (
+        SELECT cd.vec_id, SUM(l.d) AS adc_dist
+        FROM codes cd JOIN lut l ON l.m = cd.m AND l.c = cd.code
+        WHERE cd.vec_id <> 0 GROUP BY 1
+    ),
+    q AS (SELECT vint FROM e WHERE vec_id = 0),
+    exact AS (
+        SELECT e.vec_id,
+               SUM((e.vint[j.j + 1] - q.vint[j.j + 1])
+                 * (e.vint[j.j + 1] - q.vint[j.j + 1])) AS l2_exact
+        FROM e, q, (SELECT UNNEST(RANGE(0, {_PQ_M * _PQ_SUBDIM})) AS j) j
+        WHERE e.vec_id <> 0 GROUP BY 1
+    )
+    SELECT a.vec_id,
+           CAST(a.adc_dist AS BIGINT) AS adc_dist,
+           CAST(x.l2_exact AS BIGINT) AS l2_exact
+    FROM adc a JOIN exact x USING (vec_id)
+    ORDER BY adc_dist, a.vec_id
+    LIMIT 10
+    """,
+)
+def sim_pq_adc(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PQ-ADC top-10 with a one-round distributed Lloyd-trained
+    codebook. Stages, all linear in the corpus: (1) FLOOR-milli
+    integerization (map-only); (2) seed assignment — each vector's
+    M subvectors join the broadcast M*K seed grid, argmin made
+    tie-free by minimizing the single integer dist*K + c; (3) the
+    Lloyd update — one groupBy((m, code, j)) floor-mean, empty
+    clusters keep their seed via the left join; (4) encoding against
+    the trained 128-row broadcast codebook; (5) ADC — the probe's
+    M*K LUT (one row of the same dist frame) broadcast-joined to the
+    codes, summed per vector. No full-width arithmetic touches the
+    database side at query time, which is the PQ payoff. `l2_exact`
+    rides along so quantization error is visible data; ties broken by
+    vec_id; everything BIGINT so the DuckDB oracle replays training
+    and ranking bit-for-bit."""
+    e = cache_once(
+        t(spark, sf_dir, "embeddings").select(
+            "vec_id",
+            F.transform(
+                "embedding", lambda v: F.floor(v.cast("double") * 1000).cast("long")
+            ).alias("vint"),
+        )
+    )
+    sub = e.select(
+        "vec_id",
+        F.explode(
+            F.array(
+                *[
+                    F.struct(
+                        F.lit(m).alias("m"),
+                        F.slice("vint", m * _PQ_SUBDIM + 1, _PQ_SUBDIM).alias("sv"),
+                    )
+                    for m in range(_PQ_M)
+                ]
+            )
+        ).alias("s"),
+    ).select("vec_id", "s.m", "s.sv")
+
+    def centroid_grid(spark: SparkSession) -> DataFrame:
+        return (
+            spark.range(_PQ_M * _PQ_K)
+            .select(
+                (F.col("id") / _PQ_K).cast("long").alias("m"),
+                (F.col("id") % _PQ_K).alias("c"),
+            )
+            .select(
+                "m",
+                "c",
+                F.transform(
+                    F.sequence(F.lit(0), F.lit(_PQ_SUBDIM - 1)),
+                    lambda j: ((F.col("c") * 31 + F.col("m") * 17 + j * 7) % 21 - 10) * 50,
+                ).alias("cent"),
+            )
+        )
+
+    def sub_dists(cents: DataFrame) -> DataFrame:
+        """(vec_id, m, c, d): squared L2 from every subvector to every
+        centroid of its subspace — the M*K-per-vector encode frame."""
+        return sub.join(F.broadcast(cents), "m").select(
+            "vec_id",
+            "m",
+            "c",
+            F.aggregate(
+                F.zip_with("sv", "cent", lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, d: acc + d,
+            ).alias("d"),
+        )
+
+    seeds = centroid_grid(spark)
+    code0 = (
+        sub_dists(seeds)
+        .groupBy("vec_id", "m")
+        .agg((F.min(F.col("d") * _PQ_K + F.col("c")) % _PQ_K).alias("c"))
+    )
+    assigned = code0.join(sub, ["vec_id", "m"]).select(
+        "m", "c", F.posexplode("sv").alias("j", "val")
+    )
+    lloyd = (
+        assigned.groupBy("m", "c", "j")
+        .agg(F.sum("val").alias("s"), F.count(F.lit(1)).alias("n"))
+        # exact integer floor-mean: nonneg numerator makes truncating
+        # DIV equal floor division (mirrors the oracle's // exactly)
+        .select("m", "c", "j", F.expr(f"(s + {_PQ_SHIFT} * n) DIV n - {_PQ_SHIFT}").alias("comp"))
+    )
+    seed_flat = seeds.select("m", "c", F.posexplode("cent").alias("j", "seed_comp"))
+    trained = (
+        seed_flat.join(lloyd, ["m", "c", "j"], "left")
+        .select("m", "c", "j", F.coalesce("comp", "seed_comp").alias("comp"))
+        .groupBy("m", "c")
+        .agg(F.array_sort(F.collect_list(F.struct("j", "comp"))).alias("jc"))
+        .select("m", "c", F.transform("jc", lambda x: x["comp"]).alias("cent"))
+    )
+    dist1 = cache_once(sub_dists(trained))
+    codes = (
+        dist1.filter(F.col("vec_id") != 0)
+        .groupBy("vec_id", "m")
+        .agg((F.min(F.col("d") * _PQ_K + F.col("c")) % _PQ_K).alias("code"))
+    )
+    lut = dist1.filter(F.col("vec_id") == 0).select("m", F.col("c").alias("code"), "d")
+    adc = (
+        codes.join(F.broadcast(lut), ["m", "code"])
+        .groupBy("vec_id")
+        .agg(F.sum("d").cast("bigint").alias("adc_dist"))
+    )
+    probe = e.filter(F.col("vec_id") == 0).select(F.col("vint").alias("q_vint"))
+    exact = (
+        e.filter(F.col("vec_id") != 0)
+        .crossJoin(F.broadcast(probe))
+        .select(
+            "vec_id",
+            F.aggregate(
+                F.zip_with("vint", "q_vint", lambda a, b: (a - b) * (a - b)),
+                F.lit(0).cast("long"),
+                lambda acc, d: acc + d,
+            ).cast("bigint").alias("l2_exact"),
+        )
+    )
+    return adc.join(exact, "vec_id").orderBy("adc_dist", "vec_id").limit(10)

@@ -154,7 +154,7 @@ def test_extract_audio_features_decodes_riff_for_real(spark):
     assert abs(row.rms - round(exact_rms, 4)) < 1e-9
 
 
-# ---- round 6: clustering coefficient, Count-Min, Z-order layout ----
+# ---- round 6: clustering coefficient, Z-order skipping audit ----
 
 
 def test_clustering_coefficient_census_invariants(spark, sf_dir):
@@ -178,3 +178,103 @@ def test_zorder_tiles_skip_where_linear_cannot(spark, sf_dir):
     assert z["rows"] == lin["rows"]  # same data, layout is the only variable
     # the y-only probe must scan strictly fewer z-tiles than linear strips
     assert z["scanned"] < lin["scanned"]
+
+
+def test_prefix_filter_prunes_and_loses_nothing(spark, sf_dir):
+    """The candidate set must be a tiny fraction of all pairs, and the
+    oracle equivalence (checked by check_oracle) plus this subset
+    relation pin losslessness: every verified pair is a candidate."""
+    from pyspark.sql import functions as F
+
+    from realestate_engine.dedup import prefix_filter_candidates, word_shingles
+    from realestate_engine.registry import t
+
+    d = (
+        t(spark, sf_dir, "documents")
+        .filter(F.col("n_chars") <= 200)
+        .select("doc_id", word_shingles(F.col("text"), 3).alias("toks"))
+    )
+    n = d.count()
+    cand = {(r.id_a, r.id_b) for r in prefix_filter_candidates(d).collect()}
+    assert len(cand) < 0.05 * (n * (n - 1) // 2)  # real pruning, not a pass-through
+    result = {(r.id_a, r.id_b) for r in QUERIES["dedup_prefix_filter_join"](spark, sf_dir).collect()}
+    assert result <= cand  # verify stage only ever filters candidates
+
+
+def test_observe_metrics_match_direct_aggregation(spark, sf_dir):
+    from pyspark.sql import functions as F
+
+    from realestate_engine.registry import t
+
+    row = QUERIES["dq15_observe_metrics"](spark, sf_dir).collect()[0]
+    direct = (
+        t(spark, sf_dir, "orders")
+        .filter(F.col("o_orderstatus") == "O")
+        .agg(
+            F.count(F.lit(1)).alias("n_rows"),
+            F.min("o_orderkey").alias("min_key"),
+            F.max("o_orderkey").alias("max_key"),
+        )
+        .collect()[0]
+    )
+    assert (row.n_rows, row.min_key, row.max_key) == (direct.n_rows, direct.min_key, direct.max_key)
+    assert row.n_large <= row.n_rows
+
+
+def test_k_anonymity_audit_bounds(spark, sf_dir):
+    r = QUERIES["dq16_k_anonymity"](spark, sf_dir).collect()[0]
+    assert r.n_classes > 0 and r.n_rows > 0
+    assert 1 <= r.k_min and r.n_classes_below_k <= r.n_classes
+    assert 0 <= r.rows_at_risk_micro <= 1_000_000
+    assert 1 <= r.l_min <= 2  # sensitive bit -> at most 2 distinct values
+
+
+def test_pq_adc_matches_independent_numpy_replay(spark, sf_dir):
+    """Bit-exact independent reference: replay seed assignment, the
+    Lloyd round, encoding, and ADC in numpy integer math and demand
+    the Spark top-10 matches exactly; also pin Lloyd's theorem (the
+    refinement round strictly reduces total quantization cost here)."""
+    import numpy as np
+    import pandas as pd
+
+    M, SUB, K, SHIFT = 8, 8, 16, 2048
+    pdf = pd.read_parquet(f"{sf_dir}/embeddings.parquet")
+    vint = np.floor(np.stack(pdf["embedding"].values).astype(np.float64) * 1000).astype(np.int64)
+    vec_ids = pdf["vec_id"].values.astype(np.int64)
+    n = len(vec_ids)
+    m_idx, c_idx, j_idx = np.meshgrid(np.arange(M), np.arange(K), np.arange(SUB), indexing="ij")
+    seeds = ((c_idx * 31 + m_idx * 17 + j_idx * 7) % 21 - 10) * 50  # (M,K,SUB)
+    subv = vint.reshape(n, M, SUB)
+
+    def dists(cents):  # (n, M, K)
+        return ((subv[:, :, None, :] - cents[None, :, :, :]) ** 2).sum(axis=3)
+
+    d0 = dists(seeds)
+    code0 = ((d0 * K + np.arange(K)[None, None, :]).min(axis=2)) % K  # (n, M)
+    cost0 = d0.min(axis=2).sum()
+    trained = seeds.copy()
+    for m in range(M):
+        for c in range(K):
+            sel = subv[code0[:, m] == c, m, :]
+            if len(sel):
+                s = sel.sum(axis=0).astype(np.int64)
+                cnt = len(sel)
+                trained[m, c] = (s + SHIFT * cnt) // cnt - SHIFT
+    d1 = dists(trained)
+    cost1 = d1.min(axis=2).sum()
+    assert cost1 < cost0  # the Lloyd round must reduce quantization cost
+    codes = ((d1 * K + np.arange(K)[None, None, :]).min(axis=2)) % K
+    probe_pos = int(np.where(vec_ids == 0)[0][0])
+    lut = d1[probe_pos]  # (M, K)
+    adc = lut[np.arange(M)[None, :], codes].sum(axis=1)
+    l2 = ((vint - vint[probe_pos]) ** 2).sum(axis=1)
+    mask = vec_ids != 0
+    order = np.lexsort((vec_ids[mask], adc[mask]))[:10]
+    expect = [
+        (int(vec_ids[mask][i]), int(adc[mask][i]), int(l2[mask][i])) for i in order
+    ]
+    got = [
+        (r.vec_id, r.adc_dist, r.l2_exact)
+        for r in QUERIES["sim_pq_adc"](spark, sf_dir).collect()
+    ]
+    assert got == expect

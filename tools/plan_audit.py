@@ -87,6 +87,7 @@ ALLOWED_CROSS = {
     "x19_rolling_origin_splits",  # broadcast 3-row fold-cutoff frame
     "a28_chi2_independence",  # broadcast 1-row margin-count frames
     "sim_hard_negatives",  # broadcast 1-row probe (vector + label)
+    "sim_pq_adc",  # broadcast 1-row probe vector (the ADC lookup table source)
     "sim_reciprocal_rank_fusion",  # broadcast 1-row probe sets + 50-row rank-join frames
     "sim_ann_recall_report",  # composes the two probe-broadcast top-20 plans
     "ev7_rfm_segmentation",  # broadcast 1-row quintile-cuts + max-date frames
@@ -133,6 +134,7 @@ ALLOWED_LOCAL = {
     "m21_glm_poisson",  # returns O(k) coefficient rows (model state)
     "m27_ndcg_ranking_eval",  # 10-row VALUES discount-constant dim (broadcast)
     "p19_schema_drift_audit",  # O(columns) footer-metadata diff (driver-side by design)
+    "dq15_observe_metrics",  # returns the O(1) Observation metric record of a real write job
 }
 
 
