@@ -58,9 +58,14 @@ _WINDOW = [
     "x25_bitemporal_asof", "p22_survivorship_golden_record",
     "m33_oof_target_encoding", "t21_source_reuse_matrix",
     "graph_degree_distribution",
-    # never driver-verified: scalar-function + ML-featurizer surface
-    "f2_exp", "f4_guarded_ratio", "f5_isin_flag", "f8_coalesce_lit",
-    "f10_dates", "f10_strings", "f10_arrays",
+    # brand-new round-6 operators, second wave (all certified
+    # sf0.001/0.01, several at 0.1): real WAV codec round trip,
+    # degree-ordered clustering coefficient, skipping audit, exact
+    # PPJoin, observe() metrics, k-anonymity, Lloyd-trained PQ-ADC
+    "mm_wav_roundtrip", "graph_clustering_coefficient",
+    "dq14_skipping_audit", "dedup_prefix_filter_join",
+    "dq15_observe_metrics", "dq16_k_anonymity", "sim_pq_adc",
+    # never driver-verified: ML-featurizer surface
     "m2_onehot_encoder", "m3_vector_assembler", "m5_bucketizer",
     "m7_log_transform",
     # never driver-verified: remaining TPC-H
