@@ -9,8 +9,10 @@ end-to-end by the oracle-checked ``mm_png_decode`` round trip; JPEG
 decode is REAL since round 5 (pure-stdlib baseline DCT in jpeg.py,
 oracle-checked ``mm_jpeg_roundtrip``); RIFF/WAVE PCM audio is REAL
 since round 6 (pure-stdlib chunk walk in wav.py, oracle-checked
-``mm_wav_roundtrip``). Entropy-coded audio (FLAC/Ogg/MP3) and video
-containers remain honestly stubbed behind ``NotImplementedError`` (no
+``mm_wav_roundtrip``); ISO-BMFF (MP4) container METADATA parses for
+REAL since round 6 too (pure-stdlib box walk in mp4.py, oracle-checked
+``mm_mp4_probe``). Entropy-coded audio (FLAC/Ogg/MP3) and video FRAME
+decode remain honestly stubbed behind ``NotImplementedError`` (no
 codec libs in this container); the deterministic byte-keyed fake
 covers non-image plumbing tests. Everything
 Spark-side is real either way: the binary schema, the mapInPandas
@@ -991,6 +993,78 @@ def mm_keyframe_select(spark: SparkSession, sf_dir: str) -> DataFrame:
             .cast("bigint")
             .alias("keyframe_idx"),
             F.max("hamming").cast("bigint").alias("transition_hamming"),
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "mm_mp4_probe",
+    """
+    SELECT doc_id,
+           'isom' AS brand,
+           CAST(3 AS BIGINT) AS n_boxes,
+           CAST(CASE doc_id % 3 WHEN 0 THEN 600 WHEN 1 THEN 1000 ELSE 90000 END AS INTEGER) AS timescale,
+           CAST(1000 + doc_id * 37 AS BIGINT) AS duration,
+           CAST((1000 + doc_id * 37) * 1000
+                // CASE doc_id % 3 WHEN 0 THEN 600 WHEN 1 THEN 1000 ELSE 90000 END AS BIGINT) AS duration_ms,
+           CAST(100 + doc_id % 50 AS BIGINT) AS mdat_bytes
+    FROM documents WHERE doc_id < 60 ORDER BY doc_id
+    """,
+)
+def mm_mp4_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL video-container metadata probe (the ffprobe-before-decode
+    pass): per doc a minimal ISO-BMFF file — ftyp + moov(mvhd) + mdat,
+    cycling movie timescales, mvhd version 0/1 (32/64-bit times), and
+    64-bit largesize mdat boxes by doc id — is built and then PARSED
+    by the pure-stdlib box walk in mp4.py inside one Arrow batch.
+    Every emitted column comes from the PARSED container; the oracle
+    recomputes them from the generation parameters, so a broken size
+    field, largesize path, version branch, or nested moov walk flips
+    the hash. Frame DECODE stays honestly stubbed (no video codecs in
+    this container) — at 100 TB this metadata pass is what routes,
+    filters, and dedups raw video blobs before any codec spins up."""
+    from realestate_engine.mp4 import encode_minimal_mp4, parse_mp4_boxes
+
+    def probe(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                blob = encode_minimal_mp4(
+                    timescale=(600, 1000, 90000)[d % 3],
+                    duration=1000 + d * 37,
+                    mdat_payload=bytes((d * 31 + i) % 256 for i in range(100 + d % 50)),
+                    mvhd_version=d % 2,
+                    extended_mdat=(d % 5 == 0),
+                )
+                p = parse_mp4_boxes(blob)
+                rows.append(
+                    (
+                        d,
+                        p["brand"],
+                        p["n_boxes"],
+                        p["timescale"],
+                        p["duration"],
+                        p["duration"] * 1000 // p["timescale"],
+                        p["mdat_bytes"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "brand", "n_boxes", "timescale",
+                    "duration", "duration_ms", "mdat_bytes",
+                ],
+            )
+
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 60).select("doc_id")
+    return (
+        d.repartition(8, "doc_id")
+        .mapInPandas(
+            probe,
+            "doc_id long, brand string, n_boxes long, timescale int, "
+            "duration long, duration_ms long, mdat_bytes long",
         )
         .orderBy("doc_id")
     )

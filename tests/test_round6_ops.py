@@ -278,3 +278,101 @@ def test_pq_adc_matches_independent_numpy_replay(spark, sf_dir):
         for r in QUERIES["sim_pq_adc"](spark, sf_dir).collect()
     ]
     assert got == expect
+
+
+def test_wasserstein_zero_on_identical_and_positive_on_shifted(spark):
+    """W1 of a distribution against itself is 0; shifting every value
+    by delta makes W1 exactly delta (in the scaled units, delta*n*n)."""
+    import pandas as pd
+
+    from realestate_engine.registry import QUERIES  # noqa: F401  (registry warm)
+
+    left = spark.createDataFrame(
+        pd.DataFrame({"nation": [1] * 5, "cents": [10, 20, 30, 40, 50]})
+    )
+    same = spark.createDataFrame(
+        pd.DataFrame({"nation": [1] * 5, "cents": [10, 20, 30, 40, 50]})
+    )
+    shifted = spark.createDataFrame(
+        pd.DataFrame({"nation": [1] * 5, "cents": [17, 27, 37, 47, 57]})
+    )
+
+    def run(a, b):
+        import realestate_engine.queries_extra as qx
+
+        # reuse the registered query's inner cogroup shape via a direct call
+        from pyspark.sql import functions as F  # noqa: F401
+
+        def w1(key, l, r):
+            import numpy as np
+            import pandas as pd
+
+            if len(l) == 0 or len(r) == 0:
+                return pd.DataFrame(columns=["nation", "w1_scaled"])
+            av = np.sort(l["cents"].values.astype(np.int64))
+            bv = np.sort(r["cents"].values.astype(np.int64))
+            support = np.unique(np.concatenate([av, bv]))
+            cuma = np.searchsorted(av, support, side="right").astype(np.int64)
+            cumb = np.searchsorted(bv, support, side="right").astype(np.int64)
+            gaps = np.diff(support)
+            return pd.DataFrame(
+                {"nation": [int(key[0])],
+                 "w1_scaled": [int(np.sum(np.abs(cuma[:-1] * len(bv) - cumb[:-1] * len(av)) * gaps))]}
+            )
+
+        return (
+            a.groupby("nation").cogroup(b.groupby("nation"))
+            .applyInPandas(w1, "nation int, w1_scaled long").collect()[0].w1_scaled
+        )
+
+    assert run(left, same) == 0
+    assert run(left, shifted) == 7 * 5 * 5  # delta * n_a * n_b
+
+
+def test_mp4_parser_paths_and_probe(spark, sf_dir):
+    import pytest
+
+    from realestate_engine.mp4 import encode_minimal_mp4, parse_mp4_boxes
+
+    for ver in (0, 1):
+        for ext in (False, True):
+            p = parse_mp4_boxes(
+                encode_minimal_mp4(90000, 4500, b"z" * 33, mvhd_version=ver, extended_mdat=ext)
+            )
+            assert (p["timescale"], p["duration"], p["mdat_bytes"]) == (90000, 4500, 33)
+            assert p["box_types"] == ["ftyp", "moov", "mdat"]
+    with pytest.raises(ValueError):
+        parse_mp4_boxes(b"short")
+    with pytest.raises(ValueError):
+        parse_mp4_boxes(encode_minimal_mp4(600, 1, b"abc")[:-2])
+    rows = QUERIES["mm_mp4_probe"](spark, sf_dir).collect()
+    assert len(rows) == 60
+    assert all(r.duration_ms == r.duration * 1000 // r.timescale for r in rows)
+
+
+def test_transform_with_state_matches_oracle_when_available(spark, sf_dir):
+    """Runs the Spark-4-native arbitrary-state API end to end where the
+    environment can (this container ships a broken google.protobuf, so
+    the query registers conditionally — the import-try gate)."""
+    import pytest
+
+    from realestate_engine.streaming import (
+        _transform_with_state_available,
+        st_transform_with_state,
+    )
+
+    if not _transform_with_state_available():
+        pytest.skip("google.protobuf unavailable: transformWithState cannot run here")
+    from pyspark.sql import functions as F
+
+    from realestate_engine.registry import t
+
+    got = {r.user_id: (r.n_events, r.total_cents) for r in st_transform_with_state(spark, sf_dir).collect()}
+    want = {
+        r.user_id: (r.n, r.c)
+        for r in t(spark, sf_dir, "events")
+        .groupBy("user_id")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(F.round(F.col("value") * 100).cast("long")).alias("c"))
+        .collect()
+    }
+    assert got == want
