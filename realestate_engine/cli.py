@@ -131,6 +131,18 @@ def cmd_corpus(args: argparse.Namespace) -> None:
     print(json.dumps({"docs_in": n_in, "docs_kept": n_out, "near_dups_dropped": n_dropped, "out": args.out}))
 
 
+def cmd_eda(args: argparse.Namespace) -> None:
+    """EP6: the reference notebook's EDA figure set as distributed
+    aggregates rendered to dependency-free SVG (plotting.eda_report)."""
+    from realestate_engine.io import read_parquet
+    from realestate_engine.plotting import eda_report
+
+    spark = create_session("realestate_eda")
+    df = read_parquet(spark, args.data)
+    paths = eda_report(df, args.out)
+    print(json.dumps({"figures": len(paths), "out": args.out}))
+
+
 def main(argv: list[str] | None = None) -> None:
     ap = argparse.ArgumentParser(prog="realestate_engine")
     sub = ap.add_subparsers(dest="cmd", required=True)
@@ -166,6 +178,11 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--host", default="127.0.0.1")
     p.add_argument("--port", type=int, default=8000)
     p.set_defaults(fn=cmd_serve)
+
+    p = sub.add_parser("eda", help="EP6: distributed EDA figures to SVG (notebook 01 parity)")
+    p.add_argument("--data", required=True, help="prepared listings parquet (with price)")
+    p.add_argument("--out", required=True, help="output directory for .svg figures")
+    p.set_defaults(fn=cmd_eda)
 
     args = ap.parse_args(argv)
     args.fn(args)

@@ -143,3 +143,78 @@ def test_http_api_end_to_end(service, tmp_path):
     finally:
         server.shutdown()
         server.server_close()
+
+
+def test_form_page_serves_and_default_submission_predicts(service):
+    """GET / returns the interactive form with the reference webapp's
+    exact fields and option lists; POSTing the form's default payload
+    (what the inline JS assembles) yields a prediction."""
+    from realestate_engine.serving import _CATS, _NUMS, render_form_page
+
+    svc, _x = service
+    server = serve(svc, port=0)
+    port = server.server_address[1]
+    thread = threading.Thread(target=server.serve_forever, daemon=True)
+    thread.start()
+    try:
+        base = f"http://127.0.0.1:{port}"
+        with urllib.request.urlopen(f"{base}/", timeout=30) as r:
+            assert r.headers["Content-Type"].startswith("text/html")
+            html = r.read().decode()
+        assert html == render_form_page()
+        for name in list(_CATS) + [n for n, *_ in _NUMS]:
+            assert f'name="{name}"' in html
+        for opt in _CATS["exposition"]:
+            assert f"<option>{opt}</option>" in html
+        # the payload the page's JS builds from untouched defaults
+        payload = {
+            "energy_performance_value": None, "ghg_value": None,
+            "nb_parking_places": 0, "nb_boxes": 0, "nb_photos": 0,
+            "property_type": "maison", "energy_performance_category": "A",
+            "ghg_category": "A", "exposition": "Nord",
+        }
+        for name, _label, default, _step in _NUMS:
+            payload[name] = default
+        req = urllib.request.Request(f"{base}/predict", data=json.dumps(payload).encode())
+        with urllib.request.urlopen(req, timeout=120) as r:
+            out = json.load(r)
+        assert out["predicted_price"] > 0
+    finally:
+        server.shutdown()
+
+
+def test_eda_report_distributed_figures(service, tmp_path):
+    """The notebook-01 EDA set: every figure is a distributed aggregate
+    rendered to well-formed SVG; histogram bar count matches the
+    aggregate; output is deterministic."""
+    from xml.etree import ElementTree
+
+    from realestate_engine.plotting import eda_report
+
+    _svc, x = service
+    df = x.withColumn("price", F.col("size") * 3000.0 + F.col("nb_rooms") * 20000.0 + 50000.0)
+    out1 = tmp_path / "eda1"
+    paths = eda_report(df, str(out1))
+    names = {p.rsplit("/", 1)[-1] for p in paths}
+    assert {
+        "missing_values.svg", "price_distribution.svg", "price_distribution_log.svg",
+        "geographic_distribution.svg", "correlation_matrix.svg",
+        "distribution_property_type.svg", "avg_price_by_property_type.svg",
+    } <= names
+    for p in paths:
+        root = ElementTree.parse(p).getroot()
+        assert root.tag.endswith("svg")
+    # histogram carries one rect per bin + the surface rect
+    hist = ElementTree.parse(str(out1 / "price_distribution.svg")).getroot()
+    rects = [e for e in hist.iter() if e.tag.endswith("rect")]
+    assert len(rects) == 51
+    # correlation heatmap: (1 + numerics)^2 annotated cells, values in [-1, 1]
+    heat = ElementTree.parse(str(out1 / "correlation_matrix.svg")).getroot()
+    cells = [e for e in heat.iter() if e.tag.endswith("rect")][1:]
+    texts = [e.text for e in heat.iter() if e.tag.endswith("text") and e.text and "." in e.text]
+    assert len(cells) == 49
+    assert all(-1.0 <= float(t) <= 1.0 for t in texts if t.replace("-", "").replace(".", "").isdigit())
+    # determinism: a second run renders byte-identical SVGs
+    out2 = tmp_path / "eda2"
+    eda_report(df, str(out2))
+    assert (out1 / "correlation_matrix.svg").read_text() == (out2 / "correlation_matrix.svg").read_text()
