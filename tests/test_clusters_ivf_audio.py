@@ -53,8 +53,12 @@ def test_audio_stub_decode_and_mapinpandas(spark):
     d = decode_audio_stub(bytes([3, 4]))
     assert d["rms"] == pytest.approx((25 / 2) ** 0.5, abs=1e-4)
     assert d["duration_ms"] == 0  # 2 samples at 16 kHz
+    # round 6: RIFF routes to the REAL wav.py decoder — a malformed
+    # container is a ValueError; only entropy-coded audio stays stubbed
+    with pytest.raises(ValueError):
+        decode_audio_stub(b"RIFF\xff\xff\xff\xffWAVE")
     with pytest.raises(NotImplementedError):
-        decode_audio_stub(b"RIFF....WAVE")
+        decode_audio_stub(b"fLaC....")
 
     df = spark.createDataFrame(
         [(1, bytearray(bytes(range(160)))), (2, bytearray(b""))], "doc_id long, payload binary"
