@@ -1824,3 +1824,304 @@ def m33_oof_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("o_orderpriority", "fold")
     )
 
+
+
+# --- Kaplan-Meier survival table ---------------------------------------------
+
+
+@register(
+    "ev13_kaplan_meier",
+    """
+    WITH done AS (
+        SELECT l_orderkey, MAX(CAST(l_shipdate AS DATE)) AS done_date
+        FROM lineitem GROUP BY 1
+    ),
+    subj AS (
+        SELECT DATE_DIFF('day', CAST(o.o_orderdate AS DATE), d.done_date) AS dur,
+               CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END AS ev
+        FROM orders o JOIN done d ON d.l_orderkey = o.o_orderkey
+    ),
+    per AS (
+        SELECT dur, COUNT(*) AS n, SUM(ev) AS d, COUNT(*) - SUM(ev) AS c
+        FROM subj GROUP BY dur
+    ),
+    at_risk AS (
+        SELECT a.dur, a.d, a.c, SUM(b.n) AS n_at_risk
+        FROM per a JOIN per b ON b.dur >= a.dur
+        GROUP BY a.dur, a.d, a.c
+    ),
+    terms AS (
+        SELECT dur, d, c, n_at_risk,
+               CASE WHEN d > 0 AND d < n_at_risk
+                    THEN CAST(FLOOR(LN((n_at_risk - d) * 1.0 / n_at_risk) * 1e6) AS BIGINT)
+                    WHEN d > 0 THEN NULL
+                    ELSE CAST(0 AS BIGINT) END AS term_micro
+        FROM at_risk
+    )
+    SELECT CAST(a.dur AS INTEGER) AS t_days,
+           CAST(a.n_at_risk AS BIGINT) AS n_at_risk,
+           CAST(a.d AS BIGINT) AS n_events,
+           CAST(a.c AS BIGINT) AS n_censored,
+           CAST(SUM(b.term_micro) AS BIGINT) AS surv_log_micro
+    FROM terms a JOIN terms b ON b.dur <= a.dur
+    WHERE a.d > 0
+    GROUP BY a.dur, a.n_at_risk, a.d, a.c
+    ORDER BY t_days
+    """,
+)
+def ev13_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EV13: Kaplan-Meier survival table — the NONPARAMETRIC
+    complement to m24's parametric AFT fit. Study framing: time from
+    order placement to full delivery (last lineitem ship); orders
+    not yet finalized ('O'/'P') are right-censored at their observed
+    duration. Emits the classic KM table at each event time: number
+    at risk, events, censored, and the log survival curve as the
+    cumulative sum of FLOOR-micro ln((n-d)/n) terms — the dq13 idiom
+    that makes a product of fractions hash-comparable across engines
+    (each ln is one IEEE double op, each term an integer, the sum
+    order-free). Scale shape: subjects collapse to a per-duration
+    census first (ONE groupBy; duration domain is the bounded
+    order-to-ship day range, ~130 values), then both the
+    at-risk suffix count and the cumulative hazard run as broadcast
+    non-equi self-joins over that tiny frame — the repo's standard
+    alternative to an unpartitioned window, O(days^2) of a hundreds-row
+    frame, never a subjects-sized sort. The d = n_at_risk boundary
+    (everyone at risk dies at once: S hits exact 0, ln undefined)
+    yields NULL by the same CASE on both engines."""
+    li = t(spark, sf_dir, "lineitem").groupBy("l_orderkey").agg(
+        F.max(F.col("l_shipdate").cast("date")).alias("done_date")
+    )
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderstatus")
+    subj = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        F.datediff("done_date", F.col("o_orderdate").cast("date")).alias("dur"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("ev"),
+    )
+    per = subj.groupBy("dur").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("ev").alias("d"),
+        (F.count(F.lit(1)) - F.sum("ev")).alias("c"),
+    )
+    a, b = per.alias("a"), per.alias("b")
+    at_risk = (
+        a.join(F.broadcast(b), F.col("b.dur") >= F.col("a.dur"))
+        .groupBy(F.col("a.dur").alias("dur"), F.col("a.d").alias("d"), F.col("a.c").alias("c"))
+        .agg(F.sum("b.n").alias("n_at_risk"))
+    )
+    terms = at_risk.select(
+        "dur",
+        "d",
+        "c",
+        "n_at_risk",
+        F.when(
+            (F.col("d") > 0) & (F.col("d") < F.col("n_at_risk")),
+            F.floor(
+                F.log((F.col("n_at_risk") - F.col("d")) * 1.0 / F.col("n_at_risk")) * 1e6
+            ).cast("long"),
+        )
+        .when(F.col("d") > 0, F.lit(None).cast("long"))
+        .otherwise(F.lit(0).cast("long"))
+        .alias("term_micro"),
+    )
+    ta, tb = terms.alias("ta"), terms.alias("tb")
+    return (
+        ta.join(F.broadcast(tb), F.col("tb.dur") <= F.col("ta.dur"))
+        .filter(F.col("ta.d") > 0)
+        .groupBy(
+            F.col("ta.dur").cast("int").alias("t_days"),
+            F.col("ta.n_at_risk").cast("bigint").alias("n_at_risk"),
+            F.col("ta.d").cast("bigint").alias("n_events"),
+            F.col("ta.c").cast("bigint").alias("n_censored"),
+        )
+        .agg(F.sum("tb.term_micro").cast("bigint").alias("surv_log_micro"))
+        .orderBy("t_days")
+    )
+
+
+# --- Fellegi-Sunter probabilistic record linkage -----------------------------
+
+
+@register(
+    "er_fellegi_sunter",
+    """
+    WITH cts AS (
+        SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
+               CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents
+        FROM customer
+    ),
+    dirty AS (
+        SELECT c_custkey AS d_custkey,
+               CASE WHEN c_custkey % 7 = 0 THEN 'Cstmr' || SUBSTRING(c_name, 9)
+                    WHEN c_custkey % 3 = 0 THEN c_name || 'x'
+                    ELSE c_name END AS d_name,
+               c_nationkey AS d_nationkey,
+               c_mktsegment AS d_mktsegment,
+               cents + CASE WHEN c_custkey % 5 = 0 THEN 7 ELSE 0 END AS d_cents
+        FROM cts
+    ),
+    pairs AS (
+        SELECT CASE WHEN levenshtein(d.d_name, c.c_name) <= 1 THEN 1 ELSE 0 END AS name_agree,
+               CASE WHEN d.d_cents = c.cents THEN 1 ELSE 0 END AS cents_agree,
+               CASE WHEN CAST(FLOOR(d.d_cents / 100000.0) AS BIGINT)
+                         = CAST(FLOOR(c.cents / 100000.0) AS BIGINT) THEN 1 ELSE 0 END AS band_agree,
+               CASE WHEN d.d_custkey = c.c_custkey THEN 1 ELSE 0 END AS is_match
+        FROM dirty d
+        JOIN cts c ON d.d_nationkey = c.c_nationkey AND d.d_mktsegment = c.c_mktsegment
+    ),
+    rates AS (
+        SELECT CAST(SUM(is_match) AS BIGINT) AS m_tot,
+               CAST(COUNT(*) - SUM(is_match) AS BIGINT) AS u_tot,
+               CAST(SUM(name_agree * is_match) AS BIGINT) AS ma_name,
+               CAST(SUM(name_agree * (1 - is_match)) AS BIGINT) AS ua_name,
+               CAST(SUM(cents_agree * is_match) AS BIGINT) AS ma_cents,
+               CAST(SUM(cents_agree * (1 - is_match)) AS BIGINT) AS ua_cents,
+               CAST(SUM(band_agree * is_match) AS BIGINT) AS ma_band,
+               CAST(SUM(band_agree * (1 - is_match)) AS BIGINT) AS ua_band
+        FROM pairs
+    ),
+    pat AS (
+        SELECT name_agree, cents_agree, band_agree,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(is_match) AS BIGINT) AS n_matches
+        FROM pairs GROUP BY 1, 2, 3
+    )
+    SELECT CAST(p.name_agree AS INTEGER) AS name_agree,
+           CAST(p.cents_agree AS INTEGER) AS cents_agree,
+           CAST(p.band_agree AS INTEGER) AS band_agree,
+           p.n_pairs, p.n_matches,
+           CAST(CASE WHEN p.name_agree = 1
+                THEN CAST(FLOOR(LN((r.ma_name + 1) * (r.u_tot + 2) * 1.0
+                                   / ((r.ua_name + 1) * (r.m_tot + 2))) * 1e6) AS BIGINT)
+                ELSE CAST(FLOOR(LN((r.m_tot - r.ma_name + 1) * (r.u_tot + 2) * 1.0
+                                   / ((r.u_tot - r.ua_name + 1) * (r.m_tot + 2))) * 1e6) AS BIGINT) END
+             + CASE WHEN p.cents_agree = 1
+                THEN CAST(FLOOR(LN((r.ma_cents + 1) * (r.u_tot + 2) * 1.0
+                                   / ((r.ua_cents + 1) * (r.m_tot + 2))) * 1e6) AS BIGINT)
+                ELSE CAST(FLOOR(LN((r.m_tot - r.ma_cents + 1) * (r.u_tot + 2) * 1.0
+                                   / ((r.u_tot - r.ua_cents + 1) * (r.m_tot + 2))) * 1e6) AS BIGINT) END
+             + CASE WHEN p.band_agree = 1
+                THEN CAST(FLOOR(LN((r.ma_band + 1) * (r.u_tot + 2) * 1.0
+                                   / ((r.ua_band + 1) * (r.m_tot + 2))) * 1e6) AS BIGINT)
+                ELSE CAST(FLOOR(LN((r.m_tot - r.ma_band + 1) * (r.u_tot + 2) * 1.0
+                                   / ((r.u_tot - r.ua_band + 1) * (r.m_tot + 2))) * 1e6) AS BIGINT) END
+             AS BIGINT) AS weight_micro
+    FROM pat p CROSS JOIN rates r
+    ORDER BY name_agree DESC, cents_agree DESC, band_agree DESC
+    """,
+)
+def er_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ER: Fellegi-Sunter probabilistic record linkage — the missing
+    entity-resolution family member between j5's blocked fuzzy join
+    (candidate generation) and p22's survivorship (post-merge). A
+    deterministically perturbed copy of customer (name edit at
+    custkey%3/%7, +7-cent balance shift at %5) is linked back against
+    the clean table: candidates come ONLY from (nationkey, mktsegment)
+    blocks — never all-pairs, the same blocking posture as j5 — and
+    each candidate pair is scored on a 3-field comparison vector
+    (levenshtein<=1 name agreement, exact cents, $1000 balance band).
+    m_k = P(agree|match) and u_k = P(agree|non-match) are estimated
+    from the blocked pairs in ONE global aggregate (ground truth =
+    same custkey; Laplace +1/+2 smoothing so no zero cell can reach
+    the log), and the classic per-pattern log-likelihood weight
+    sum(ln(m/u) or ln((1-m)/(1-u))) is emitted per agreement pattern
+    in FLOOR-micro integers — exact-product BIGINT numerators (all
+    < 2^53), ONE IEEE division, one libm ln per field, the dq13 idiom
+    that hash-compares across engines. Scale shape: the pair join is
+    a blocked equi-join (a hash join, never cartesian), the rates
+    frame is a broadcast 1-row aggregate, and the pattern rollup has
+    at most 8 groups; at 100 TB you refine the blocking key (add a
+    name-prefix leg), not the algorithm."""
+    c = t(spark, sf_dir, "customer").select(
+        "c_custkey",
+        "c_name",
+        "c_nationkey",
+        "c_mktsegment",
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    dirty = c.select(
+        F.col("c_custkey").alias("d_custkey"),
+        F.when(
+            F.col("c_custkey") % 7 == 0,
+            F.concat(F.lit("Cstmr"), F.expr("substring(c_name, 9)")),
+        )
+        .when(F.col("c_custkey") % 3 == 0, F.concat(F.col("c_name"), F.lit("x")))
+        .otherwise(F.col("c_name"))
+        .alias("d_name"),
+        F.col("c_nationkey").alias("d_nationkey"),
+        F.col("c_mktsegment").alias("d_mktsegment"),
+        (
+            F.col("cents")
+            + F.when(F.col("c_custkey") % 5 == 0, F.lit(7)).otherwise(F.lit(0))
+        ).alias("d_cents"),
+    )
+    pairs = cache_once(
+        dirty.join(
+            c,
+            (F.col("d_nationkey") == F.col("c_nationkey"))
+            & (F.col("d_mktsegment") == F.col("c_mktsegment")),
+        ).select(
+            F.when(F.levenshtein("d_name", "c_name") <= 1, 1).otherwise(0).alias("name_agree"),
+            F.when(F.col("d_cents") == F.col("cents"), 1).otherwise(0).alias("cents_agree"),
+            F.when(
+                F.floor(F.col("d_cents") / F.lit(100000.0)).cast("long")
+                == F.floor(F.col("cents") / F.lit(100000.0)).cast("long"),
+                1,
+            )
+            .otherwise(0)
+            .alias("band_agree"),
+            F.when(F.col("d_custkey") == F.col("c_custkey"), 1).otherwise(0).alias("is_match"),
+        )
+    )
+    rates = pairs.agg(
+        F.sum("is_match").cast("long").alias("m_tot"),
+        (F.count(F.lit(1)) - F.sum("is_match")).cast("long").alias("u_tot"),
+        F.sum(F.col("name_agree") * F.col("is_match")).cast("long").alias("ma_name"),
+        F.sum(F.col("name_agree") * (1 - F.col("is_match"))).cast("long").alias("ua_name"),
+        F.sum(F.col("cents_agree") * F.col("is_match")).cast("long").alias("ma_cents"),
+        F.sum(F.col("cents_agree") * (1 - F.col("is_match"))).cast("long").alias("ua_cents"),
+        F.sum(F.col("band_agree") * F.col("is_match")).cast("long").alias("ma_band"),
+        F.sum(F.col("band_agree") * (1 - F.col("is_match"))).cast("long").alias("ua_band"),
+    )
+    pat = pairs.groupBy("name_agree", "cents_agree", "band_agree").agg(
+        F.count(F.lit(1)).cast("long").alias("n_pairs"),
+        F.sum("is_match").cast("long").alias("n_matches"),
+    )
+
+    def w(agree_col: str, ma: str, ua: str):
+        agree_w = F.floor(
+            F.log(
+                ((F.col(ma) + 1) * (F.col("u_tot") + 2)).cast("double")
+                / ((F.col(ua) + 1) * (F.col("m_tot") + 2))
+            )
+            * 1e6
+        ).cast("long")
+        disagree_w = F.floor(
+            F.log(
+                ((F.col("m_tot") - F.col(ma) + 1) * (F.col("u_tot") + 2)).cast("double")
+                / ((F.col("u_tot") - F.col(ua) + 1) * (F.col("m_tot") + 2))
+            )
+            * 1e6
+        ).cast("long")
+        return F.when(F.col(agree_col) == 1, agree_w).otherwise(disagree_w)
+
+    return (
+        pat.crossJoin(F.broadcast(rates))
+        .select(
+            F.col("name_agree").cast("int").alias("name_agree"),
+            F.col("cents_agree").cast("int").alias("cents_agree"),
+            F.col("band_agree").cast("int").alias("band_agree"),
+            "n_pairs",
+            "n_matches",
+            (
+                w("name_agree", "ma_name", "ua_name")
+                + w("cents_agree", "ma_cents", "ua_cents")
+                + w("band_agree", "ma_band", "ua_band")
+            )
+            .cast("long")
+            .alias("weight_micro"),
+        )
+        .orderBy(
+            F.col("name_agree").desc(),
+            F.col("cents_agree").desc(),
+            F.col("band_agree").desc(),
+        )
+    )

@@ -93,6 +93,8 @@ ALLOWED_CROSS = {
     "ev7_rfm_segmentation",  # broadcast 1-row quintile-cuts + max-date frames
     "ev11_pareto_concentration",  # broadcast 1-row p90-cut frame
     "a33_runs_test",  # broadcast 1-row median-cut frame + days-frame lag self-join
+    "ev13_kaplan_meier",  # two broadcast non-equi self-joins over the ~130-row duration census
+    "er_fellegi_sunter",  # broadcast 1-row m/u-rates aggregate onto the <=8-row pattern rollup
     "text_bm25_ranking",  # broadcast 1-row n_docs/avgdl aggregate
     # tiny-frame prefix/lag computed as broadcast NON-EQUI self-joins
     # (ordered.exclusive_prefix_offsets and the month/day-lag max_by
