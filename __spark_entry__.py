@@ -37,8 +37,11 @@ registry.load_all()
 # window should fill from the remaining ~110 never-verified ledger
 # entries in COVERAGE.md (the sql_* surface, s1x sources, ev/ts/dq
 # families, corpus/text remainder), plus the round-6 late additions
-# that missed this window: dq17_wasserstein_drift, mm_mp4_probe, and
-# the f2/f4/f5/f8/f10x3 fills displaced by the second-wave swap.
+# that missed this window: dq17_wasserstein_drift, mm_mp4_probe,
+# ev13_kaplan_meier, er_fellegi_sunter, the third-wave operators
+# (dedup_semdedup, t22_url_canonicalize, m34_calibration_bins,
+# mm_phash_dct, ev14_uplift_qini), and the f2/f4/f5/f8/f10x3 fills
+# displaced by the second-wave swap.
 _WINDOW = [
     "flagship_revenue_by_nation",
     # changed this round (oracle dtype harmonization / plan changes)

@@ -1640,3 +1640,84 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         "id_b",
         F.expr("CAST(inter * 1000000 DIV uni AS BIGINT)").alias("jaccard_micro"),
     ).orderBy("id_a", "id_b")
+
+
+# ---------------------------------------------------------------------------
+# SemDeDup — semantic dedup by embedding-cluster cosine pruning
+# ---------------------------------------------------------------------------
+
+_SEMDEDUP_BITS = 6  # sign-quantization dims -> 2^6 = 64 cells
+_SEMDEDUP_TAU = 0.2  # cosine threshold on the ROUND(.., 4) value
+
+
+def _semdedup_oracle_sql() -> str:
+    """DuckDB twin of dedup_semdedup: identical sign-bit cell id,
+    intra-cell pairwise cosine (double-widened, ROUND 4 — the proven
+    dedup_embedding_cosine idiom), per-item max over lower-id
+    neighbours, keep-decision at tau."""
+    bits = " + ".join(
+        f"CASE WHEN embedding[{i + 1}]::DOUBLE > 0 THEN {1 << i} ELSE 0 END"
+        for i in range(_SEMDEDUP_BITS)
+    )
+    return f"""
+    WITH cell AS (
+        SELECT vec_id, embedding, CAST({bits} AS BIGINT) AS cell FROM embeddings
+    ),
+    mx AS (
+        SELECT b.vec_id AS vec_id,
+               MAX(ROUND(LIST_DOT_PRODUCT(a.embedding::DOUBLE[], b.embedding::DOUBLE[])
+                     / (SQRT(LIST_DOT_PRODUCT(a.embedding::DOUBLE[], a.embedding::DOUBLE[]))
+                        * SQRT(LIST_DOT_PRODUCT(b.embedding::DOUBLE[], b.embedding::DOUBLE[]))), 4)) AS mc
+        FROM cell a JOIN cell b ON a.cell = b.cell AND a.vec_id < b.vec_id
+        GROUP BY b.vec_id
+    )
+    SELECT c.vec_id, c.cell,
+           COALESCE(mx.mc, -1.0) AS max_prior_cosine,
+           CAST(CASE WHEN COALESCE(mx.mc, -1.0) < {_SEMDEDUP_TAU} THEN 1 ELSE 0 END AS BIGINT) AS kept
+    FROM cell c LEFT JOIN mx ON c.vec_id = mx.vec_id
+    ORDER BY c.vec_id
+    """
+
+
+@register("dedup_semdedup", _semdedup_oracle_sql())
+def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SemDeDup (Abbas et al., 2023, arXiv:2303.09540): semantic
+    deduplication of an embedding corpus — cluster, then inside each
+    cluster drop every item whose cosine to an earlier-kept item
+    exceeds tau, keeping one representative per semantic neighbourhood.
+
+    Spark-first shape: the cluster id is a deterministic sign-bit
+    quantization of the first 6 dimensions (the oracle-able stand-in
+    for the paper's k-means step; the MLlib k-means variant of the
+    same bucket-then-prune shape is sim_ivf_kmeans_topk), the pair
+    space is per-cell (64 cells, occupancy-bounded — never corpus²),
+    and the keep rule compares each item only against LOWER-id
+    neighbours, so the decision is a single max-aggregate, not an
+    iterative scan. One shuffle keys the self-join by cell, one more
+    the max-agg by vec_id; both AQE-degradable. At 100 TB the cell id
+    widens to more bits exactly like sim_lsh_ann_multiprobe's
+    parameterization; hot cells fall under the same occupancy-cap
+    pattern as dedup_lsh_hot_bucket_guard."""
+    e = t(spark, sf_dir, "embeddings")
+    bit = None
+    for i in range(_SEMDEDUP_BITS):
+        term = F.when(F.element_at("embedding", i + 1).cast("double") > 0, F.lit(1 << i)).otherwise(F.lit(0))
+        bit = term if bit is None else bit + term
+    cells = e.select("vec_id", "embedding", bit.cast("long").alias("cell"))
+    a, b = cells.alias("a"), cells.alias("b")
+    cos = F.round(cosine_sim(F.col("a.embedding"), F.col("b.embedding")), 4)
+    mx = (
+        a.join(b, (F.col("a.cell") == F.col("b.cell")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        .groupBy(F.col("b.vec_id").alias("vec_id"))
+        .agg(F.max(cos).alias("mc"))
+    )
+    return (
+        cells.join(mx, "vec_id", "left")
+        .select(
+            "vec_id",
+            "cell",
+            F.coalesce(F.col("mc"), F.lit(-1.0)).alias("max_prior_cosine"),
+            F.when(F.coalesce(F.col("mc"), F.lit(-1.0)) < _SEMDEDUP_TAU, F.lit(1)).otherwise(F.lit(0)).cast("long").alias("kept"),
+        )
+        .orderBy("vec_id")
+    )

@@ -2125,3 +2125,157 @@ def er_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
             F.col("band_agree").desc(),
         )
     )
+
+
+@register(
+    "m34_calibration_bins",
+    """
+    WITH scored AS (
+        SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+               CASE WHEN o_orderpriority LIKE '1-%' OR o_orderpriority LIKE '2-%'
+                    THEN 1 ELSE 0 END AS y
+        FROM orders
+    ),
+    binned AS (
+        SELECT LEAST(9, cents // 5000000) AS bin, cents, y FROM scored
+    )
+    SELECT CAST(bin AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(y) AS BIGINT) AS positives,
+           CAST(SUM(y) * 1000000 // COUNT(*) AS BIGINT) AS rate_micro,
+           CAST(SUM(cents) // COUNT(*) AS BIGINT) AS avg_cents
+    FROM binned GROUP BY bin ORDER BY bin
+    """,
+)
+def m34_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M34: calibration / reliability table — the model-monitoring
+    counterpart to m31_conformal_interval: bucket a score into fixed
+    equal-width bins and report the empirical positive rate per bin
+    (the reliability-diagram input; a well-calibrated score has
+    rate ~ bin midpoint). The score here is the deterministic
+    order-value signal (integer cents; fixed edges, so bin assignment
+    is exact integer math — no NTILE global window, no float edge
+    hazard) and the outcome is the high-priority flag. rate in exact
+    integer micros (positives*1e6 div n), the repo-wide ratio idiom.
+
+    Scale: single hash-agg on a 10-value key — partial aggregation
+    collapses everything map-side; the shuffle moves ≤10 rows per
+    task regardless of corpus size."""
+    o = t(spark, sf_dir, "orders")
+    scored = o.select(
+        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        F.when(
+            F.col("o_orderpriority").startswith("1-") | F.col("o_orderpriority").startswith("2-"),
+            F.lit(1),
+        ).otherwise(F.lit(0)).alias("y"),
+    )
+    binned = scored.select(F.least(F.lit(9), F.expr("cents div 5000000")).cast("long").alias("bin"), "cents", "y")
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("y").cast("long").alias("positives"),
+            F.expr("CAST(SUM(y) * 1000000 DIV COUNT(*) AS BIGINT)").alias("rate_micro"),
+            F.expr("CAST(SUM(cents) DIV COUNT(*) AS BIGINT)").alias("avg_cents"),
+        )
+        .orderBy("bin")
+    )
+
+
+@register(
+    "ev14_uplift_qini",
+    """
+    WITH pop AS (
+        SELECT c_custkey,
+               ('0x' || SUBSTR(MD5('u' || CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT % 2 AS treated,
+               LEAST(9, GREATEST(0, CAST(ROUND(c_acctbal * 100) AS BIGINT) + 100000) // 120000) AS bin
+        FROM customer
+    ),
+    outcome AS (
+        SELECT o_custkey, 1 AS y FROM orders GROUP BY o_custkey
+        HAVING SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) >= 50000000
+    ),
+    scored AS (
+        SELECT p.bin, p.treated, COALESCE(o.y, 0) AS y
+        FROM pop p LEFT JOIN outcome o ON p.c_custkey = o.o_custkey
+    ),
+    per_bin AS (
+        SELECT bin,
+               SUM(CASE WHEN treated = 1 THEN 1 ELSE 0 END) AS nt,
+               SUM(CASE WHEN treated = 0 THEN 1 ELSE 0 END) AS nc,
+               SUM(CASE WHEN treated = 1 THEN y ELSE 0 END) AS yt,
+               SUM(CASE WHEN treated = 0 THEN y ELSE 0 END) AS yc
+        FROM scored GROUP BY bin
+    ),
+    cum AS (
+        SELECT b.bin,
+               SUM(b2.nt) AS cnt, SUM(b2.nc) AS cnc,
+               SUM(b2.yt) AS cyt, SUM(b2.yc) AS cyc
+        FROM per_bin b JOIN per_bin b2 ON b2.bin >= b.bin
+        GROUP BY b.bin
+    )
+    SELECT CAST(bin AS BIGINT) AS bin,
+           CAST(cnt AS BIGINT) AS cum_treated, CAST(cnc AS BIGINT) AS cum_control,
+           CAST(cyt AS BIGINT) AS cum_y_treated, CAST(cyc AS BIGINT) AS cum_y_control,
+           CAST((cyt * cnc - cyc * cnt) * 1000000 // cnc AS BIGINT) AS qini_micro
+    FROM cum ORDER BY bin
+    """,
+)
+def ev14_uplift_qini(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EV14: uplift-modeling Qini curve — the causal counterpart of
+    m34_calibration_bins: customers hash-split into treatment/control
+    (the portable-md5 coin, the repo's A/B idiom since m32), outcome =
+    lifetime order value over a threshold, score bins = fixed
+    integer-cent acctbal edges (descending richness proxy). Per
+    descending-score prefix: cumulative treated/control counts and
+    responders, and the Qini value Q(k) = Yt_k - Yc_k * Nt_k/Nc_k in
+    exact integer micros via cross-multiplication (no float division
+    either engine).
+
+    The 10-row cumulative runs as the broadcast non-equi self-join
+    (b2.bin >= b.bin) — the repo's no-unpartitioned-window idiom: the
+    heavy work (per-customer outcome agg, bin agg) is ordinary
+    partial-agg shuffles; only the 10-row frontier is quadratic, and
+    10x10 is free. At 100 TB nothing changes: bins are fixed, the
+    per-bin table is O(10) regardless of population."""
+    c = t(spark, sf_dir, "customer")
+    pop = c.select(
+        "c_custkey",
+        (portable_hash32(F.concat(F.lit("u"), F.col("c_custkey").cast("string"))) % 2).alias("treated"),
+        F.greatest(F.lit(0).cast("long"), F.expr("CAST(ROUND(c_acctbal * 100) AS BIGINT) + 100000")).alias("raw"),
+    ).select("c_custkey", "treated", F.expr("CAST(least(9, raw div 120000) AS BIGINT)").alias("bin"))
+    outcome = (
+        t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(F.expr("SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))").alias("cents"))
+        .filter(F.col("cents") >= 50000000)
+        .select("o_custkey", F.lit(1).alias("y"))
+    )
+    scored = pop.join(outcome, pop.c_custkey == outcome.o_custkey, "left").select(
+        "bin", "treated", F.coalesce(F.col("y"), F.lit(0)).alias("y")
+    )
+    per_bin = scored.groupBy("bin").agg(
+        F.sum(F.when(F.col("treated") == 1, 1).otherwise(0)).alias("nt"),
+        F.sum(F.when(F.col("treated") == 0, 1).otherwise(0)).alias("nc"),
+        F.sum(F.when(F.col("treated") == 1, F.col("y")).otherwise(0)).alias("yt"),
+        F.sum(F.when(F.col("treated") == 0, F.col("y")).otherwise(0)).alias("yc"),
+    )
+    b, b2 = per_bin.alias("b"), F.broadcast(per_bin.alias("b2"))
+    cum = (
+        b.join(b2, F.col("b2.bin") >= F.col("b.bin"))
+        .groupBy(F.col("b.bin").alias("bin"))
+        .agg(
+            F.sum("b2.nt").alias("cnt"),
+            F.sum("b2.nc").alias("cnc"),
+            F.sum("b2.yt").alias("cyt"),
+            F.sum("b2.yc").alias("cyc"),
+        )
+    )
+    return cum.select(
+        F.col("bin").cast("long").alias("bin"),
+        F.col("cnt").cast("long").alias("cum_treated"),
+        F.col("cnc").cast("long").alias("cum_control"),
+        F.col("cyt").cast("long").alias("cum_y_treated"),
+        F.col("cyc").cast("long").alias("cum_y_control"),
+        F.expr("CAST((cyt * cnc - cyc * cnt) * 1000000 DIV cnc AS BIGINT)").alias("qini_micro"),
+    ).orderBy("bin")

@@ -1813,3 +1813,103 @@ def t21_source_reuse_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_shared_segments"))
         .orderBy("source_a", "source_b")
     )
+
+
+# ---------------------------------------------------------------------------
+# URL canonicalization (crawl-corpus dedup key)
+# ---------------------------------------------------------------------------
+
+
+@register(
+    "t22_url_canonicalize",
+    r"""
+    WITH raw AS (
+        SELECT 'https://Shop' || CAST(o_custkey % 50 AS VARCHAR) || '.Example.COM/item/'
+               || CAST(o_orderkey % 100 AS VARCHAR)
+               || CASE WHEN o_orderkey % 2 = 0
+                       THEN '?page=' || CAST(o_custkey % 5 AS VARCHAR)
+                            || '&utm_source=s' || CAST(o_orderkey % 7 AS VARCHAR)
+                       ELSE '?utm_campaign=c' || CAST(o_orderkey % 3 AS VARCHAR) END
+               || CASE WHEN o_orderkey % 5 = 0 THEN '#frag' ELSE '' END AS url
+        FROM orders
+    ),
+    canon AS (
+        SELECT LOWER(REGEXP_EXTRACT(url, '^https://([^/?#]+)', 1)) AS host,
+               'https://' || LOWER(REGEXP_EXTRACT(url, '^https://([^/?#]+)', 1))
+               || REGEXP_EXTRACT(url, '^https://[^/?#]+([^?#]*)', 1)
+               || CASE WHEN REGEXP_EXTRACT(url, '[?&]page=([0-9]+)', 1) <> ''
+                       THEN '?page=' || REGEXP_EXTRACT(url, '[?&]page=([0-9]+)', 1)
+                       ELSE '' END AS canonical
+        FROM raw
+    )
+    SELECT host,
+           REGEXP_EXTRACT(host, '([a-z0-9-]+\.[a-z]+)$', 1) AS domain,
+           CAST(COUNT(*) AS BIGINT) AS n_urls,
+           CAST(COUNT(DISTINCT canonical) AS BIGINT) AS n_canonical,
+           CAST(COUNT(*) - COUNT(DISTINCT canonical) AS BIGINT) AS n_dupes
+    FROM canon GROUP BY host
+    ORDER BY host
+    """,
+)
+def t22_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T22: URL canonicalization — the first dedup key of every
+    crawl-derived corpus (CommonCrawl WET processing drops ~2-3x by
+    canonical-URL before any content hashing). Tracking params
+    (utm_*), fragments, and host case are non-identity; real routing
+    params (page) are identity. The canonical form is REBUILT from
+    parsed parts (scheme + lowercased host + path + whitelisted
+    params) rather than surgically regex-deleted — the rebuild is
+    order-insensitive to junk-param position and engine-portable
+    (RE2-safe patterns, no lookarounds). URLs are PLANTED
+    deterministically from orders (the testdata carries none), the
+    same idiom as t14_pii_redaction's planted emails.
+
+    Scale: pure per-row string expressions inside whole-stage codegen,
+    one hash-agg by host — the groupBy is the only shuffle; at 100 TB
+    host is the natural partition key and COUNT(DISTINCT canonical)
+    becomes the partial-agg-friendly distinct Spark already plans."""
+    raw = t(spark, sf_dir, "orders").select(
+        F.concat(
+            F.lit("https://Shop"),
+            (F.col("o_custkey") % 50).cast("string"),
+            F.lit(".Example.COM/item/"),
+            (F.col("o_orderkey") % 100).cast("string"),
+            F.when(
+                F.col("o_orderkey") % 2 == 0,
+                F.concat(
+                    F.lit("?page="),
+                    (F.col("o_custkey") % 5).cast("string"),
+                    F.lit("&utm_source=s"),
+                    (F.col("o_orderkey") % 7).cast("string"),
+                ),
+            ).otherwise(F.concat(F.lit("?utm_campaign=c"), (F.col("o_orderkey") % 3).cast("string"))),
+            F.when(F.col("o_orderkey") % 5 == 0, F.lit("#frag")).otherwise(F.lit("")),
+        ).alias("url")
+    )
+    host = F.lower(F.regexp_extract("url", r"^https://([^/?#]+)", 1))
+    path = F.regexp_extract("url", r"^https://[^/?#]+([^?#]*)", 1)
+    page = F.regexp_extract("url", r"[?&]page=([0-9]+)", 1)
+    canon = raw.select(
+        host.alias("host"),
+        F.concat(
+            F.lit("https://"),
+            host,
+            path,
+            F.when(page != "", F.concat(F.lit("?page="), page)).otherwise(F.lit("")),
+        ).alias("canonical"),
+    )
+    return (
+        canon.groupBy("host")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_urls"),
+            F.countDistinct("canonical").cast("long").alias("n_canonical"),
+        )
+        .select(
+            "host",
+            F.regexp_extract("host", r"([a-z0-9-]+\.[a-z]+)$", 1).alias("domain"),
+            "n_urls",
+            "n_canonical",
+            (F.col("n_urls") - F.col("n_canonical")).cast("long").alias("n_dupes"),
+        )
+        .orderBy("host")
+    )

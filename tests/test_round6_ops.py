@@ -376,3 +376,80 @@ def test_transform_with_state_matches_oracle_when_available(spark, sf_dir):
         .collect()
     }
     assert got == want
+
+
+# ---------------------------------------------------------------------------
+# Round-6 third wave: semdedup / URL canonicalization / calibration
+# ---------------------------------------------------------------------------
+
+SF = "/root/testdata/sf0.001"
+
+
+def test_semdedup_keeps_first_per_neighbourhood(spark):
+    out = QUERIES["dedup_semdedup"](spark, SF).collect()
+    by_id = {r["vec_id"]: r for r in out}
+    # every cell's lowest-id member has no prior neighbour -> kept
+    first_of_cell = {}
+    for r in out:
+        if r["cell"] not in first_of_cell or r["vec_id"] < first_of_cell[r["cell"]]:
+            first_of_cell[r["cell"]] = r["vec_id"]
+    for cell, vid in first_of_cell.items():
+        assert by_id[vid]["max_prior_cosine"] == -1.0
+        assert by_id[vid]["kept"] == 1
+    # keep-decision is exactly the threshold rule
+    for r in out:
+        assert r["kept"] == (1 if r["max_prior_cosine"] < 0.2 else 0)
+    # the prune actually fires on this corpus
+    assert any(r["kept"] == 0 for r in out)
+
+
+def test_url_canonicalize_collapses_tracking_variants(spark):
+    out = QUERIES["t22_url_canonicalize"](spark, SF).collect()
+    assert all(r["domain"] == "example.com" for r in out)
+    assert all(r["host"].startswith("shop") for r in out)  # lowercased
+    # utm/fragment variants collapse: strictly fewer canonicals than urls
+    assert sum(r["n_dupes"] for r in out) > 0
+    for r in out:
+        assert r["n_urls"] == r["n_canonical"] + r["n_dupes"]
+
+
+def test_calibration_bins_partition_orders(spark):
+    from realestate_engine.registry import t as load
+
+    out = QUERIES["m34_calibration_bins"](spark, SF).collect()
+    total = load(spark, SF, "orders").count()
+    assert sum(r["n"] for r in out) == total
+    for r in out:
+        assert 0 <= r["rate_micro"] <= 1_000_000
+        assert r["positives"] <= r["n"]
+        assert 0 <= r["bin"] <= 9
+
+
+def test_phash_dct_structure(spark):
+    out = QUERIES["mm_phash_dct"](spark, SF).collect()
+    assert len(out) == 500
+    for r in out[:50]:
+        # exactly 31 of the 63 AC bits set (top-31 median rule), bit 0 clear
+        ph = r["phash"] & ((1 << 64) - 1)
+        assert bin(ph).count("1") == 31
+        assert ph & 1 == 0
+        assert r["dc"] > 0  # DC = sum of pixels * 1e12 scale, strictly positive
+
+    # identical texts must collide, distinct-enough texts must not all collide
+    hashes = {r["phash"] for r in out}
+    assert len(hashes) > 10
+
+
+def test_uplift_qini_monotone_population(spark):
+    out = QUERIES["ev14_uplift_qini"](spark, SF).collect()
+    assert [r["bin"] for r in out] == sorted(r["bin"] for r in out)
+    # prefix populations shrink as the score cutoff rises
+    pops = [r["cum_treated"] + r["cum_control"] for r in out]
+    assert pops == sorted(pops, reverse=True)
+    # bin 0's prefix covers everyone
+    from realestate_engine.registry import t as load
+
+    assert pops[0] == load(spark, SF, "customer").count()
+    for r in out:
+        assert r["cum_y_treated"] <= r["cum_treated"]
+        assert r["cum_y_control"] <= r["cum_control"]

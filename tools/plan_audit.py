@@ -94,6 +94,7 @@ ALLOWED_CROSS = {
     "ev11_pareto_concentration",  # broadcast 1-row p90-cut frame
     "a33_runs_test",  # broadcast 1-row median-cut frame + days-frame lag self-join
     "ev13_kaplan_meier",  # two broadcast non-equi self-joins over the ~130-row duration census
+    "ev14_uplift_qini",  # broadcast non-equi prefix self-join over the 10-row score-bin ledger
     "er_fellegi_sunter",  # broadcast 1-row m/u-rates aggregate onto the <=8-row pattern rollup
     "text_bm25_ranking",  # broadcast 1-row n_docs/avgdl aggregate
     # tiny-frame prefix/lag computed as broadcast NON-EQUI self-joins
@@ -137,6 +138,7 @@ ALLOWED_LOCAL = {
     "m27_ndcg_ranking_eval",  # 10-row VALUES discount-constant dim (broadcast)
     "p19_schema_drift_audit",  # O(columns) footer-metadata diff (driver-side by design)
     "dq15_observe_metrics",  # returns the O(1) Observation metric record of a real write job
+    "mm_phash_dct",  # 128-row fixed-point DCT cosine basis dim (broadcast VALUES, not data)
 }
 
 
