@@ -671,12 +671,14 @@ def test_jpeg_codec_roundtrip_all_paths():
 
 
 def test_jpeg_decode_dispatch_and_rejects():
-    """decode_image_stub routes JPEG magic to the real decoder (no
-    NotImplementedError left on the image path) and the decoder rejects
-    progressive frames rather than mis-decoding them."""
+    """decode_image_stub routes JPEG magic to the real decoder, REAL
+    progressive (SOF2) payloads decode identically to baseline, a
+    baseline stream mislabeled SOF2 is rejected as an illegal scan
+    script (not garbled), and lossless (SOF3) still raises the honest
+    NotImplementedError."""
     import pytest
 
-    from realestate_engine.jpeg import encode_jpeg
+    from realestate_engine.jpeg import decode_jpeg, encode_jpeg, encode_jpeg_progressive
     from realestate_engine.multimodal import decode_image_stub
 
     rgb = bytes((i * 7) % 256 for i in range(24 * 16 * 3))
@@ -686,10 +688,22 @@ def test_jpeg_decode_dispatch_and_rejects():
     assert "rgb" not in feats  # feature dict carries stats, not pixels
     assert feats["n_bytes"] == len(payload)
 
-    # flip SOF0 -> SOF2 (progressive): must raise, not garble
-    import struct
+    # REAL progressive stream: decodes, and reconstructs bit-identically
+    # to baseline (both successive-approximation chains run to Al=0)
+    prog = encode_jpeg_progressive(24, 16, rgb, quality=85)
+    assert decode_jpeg(prog)["rgb"] == decode_jpeg(payload)["rgb"]
+    pfeats = decode_image_stub(prog)
+    assert pfeats["width"] == 24 and pfeats["channels"] == 3
+
+    # a BASELINE entropy stream mislabeled SOF2 has an illegal scan
+    # script (progressive cannot mix the DC and AC bands in one scan)
     mangled = bytearray(payload)
     idx = mangled.find(b"\xff\xc0")
     mangled[idx + 1] = 0xC2
+    with pytest.raises(ValueError):
+        decode_image_stub(bytes(mangled))
+
+    # lossless (SOF3) remains an honest stub
+    mangled[idx + 1] = 0xC3
     with pytest.raises(NotImplementedError):
         decode_image_stub(bytes(mangled))

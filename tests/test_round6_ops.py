@@ -453,3 +453,30 @@ def test_uplift_qini_monotone_population(spark):
     for r in out:
         assert r["cum_y_treated"] <= r["cum_treated"]
         assert r["cum_y_control"] <= r["cum_control"]
+
+
+def test_progressive_jpeg_bit_identical_to_baseline():
+    """Progressive (SOF2) encode→decode reconstructs BIT-IDENTICALLY to
+    the baseline stream of the same raster, across dimensions that
+    split the padded/true block grids, qualities that vary coefficient
+    density, and content that exercises ZRL/EOB-run/refinement paths."""
+    import random
+
+    from realestate_engine.jpeg import decode_jpeg, encode_jpeg, encode_jpeg_progressive
+
+    rng = random.Random(11)
+    cases = []
+    for w, h in [(20, 12), (17, 9), (16, 16), (31, 7)]:
+        cases.append((w, h, 85, bytes(rng.randrange(256) for _ in range(w * h * 3))))
+    cases.append((24, 16, 10, bytes(rng.randrange(256) for _ in range(24 * 16 * 3))))
+    cases.append((24, 16, 95, bytes(rng.randrange(256) for _ in range(24 * 16 * 3))))
+    cases.append((24, 16, 85, bytes([128]) * (24 * 16 * 3)))  # all-EOB blocks
+    for w, h, q, rgb in cases:
+        for ss in (False, True):
+            base = decode_jpeg(encode_jpeg(w, h, rgb, q, subsample=ss))
+            prog_payload = encode_jpeg_progressive(w, h, rgb, q, subsample=ss)
+            prog = decode_jpeg(prog_payload)
+            assert prog["rgb"] == base["rgb"], (w, h, q, ss)
+            # the stream really is progressive: SOF2 marker, 8 scans
+            assert b"\xff\xc2" in prog_payload
+            assert prog_payload.count(b"\xff\xda") == 8
