@@ -11,12 +11,15 @@ oracle-checked ``mm_jpeg_roundtrip``) and covers PROGRESSIVE (SOF2)
 since round 6 (multi-scan successive approximation, oracle-checked
 ``mm_jpeg_progressive``); RIFF/WAVE PCM audio is REAL
 since round 6 (pure-stdlib chunk walk in wav.py, oracle-checked
-``mm_wav_roundtrip``); ISO-BMFF (MP4) container METADATA parses for
-REAL since round 6 too (pure-stdlib box walk in mp4.py, oracle-checked
-``mm_mp4_probe``). Entropy-coded audio (FLAC/Ogg/MP3) and video FRAME
-decode remain honestly stubbed behind ``NotImplementedError`` (no
-codec libs in this container); the deterministic byte-keyed fake
-covers non-image plumbing tests. Everything
+``mm_wav_roundtrip``); FLAC — rice-coded linear prediction — decodes
+and encodes for REAL since round 6 second wave (flac.py,
+oracle-checked ``mm_flac_roundtrip``); ISO-BMFF (MP4) container
+METADATA parses for REAL since round 6 too (pure-stdlib box walk in
+mp4.py, oracle-checked ``mm_mp4_probe``). Perceptual audio (Ogg/MP3)
+and video FRAME decode remain honestly stubbed behind
+``NotImplementedError`` (MDCT/psychoacoustics and video codecs need
+real libraries this container lacks); the deterministic byte-keyed
+fake covers non-image plumbing tests. Everything
 Spark-side is real either way: the binary schema, the mapInPandas
 signature, batch iteration, and the output schema contract.
 
@@ -488,10 +491,24 @@ _STUB_SAMPLE_RATE = 16000  # 16 kHz mono, 1 byte/sample in the fake codec
 
 def decode_audio_stub(payload: bytes) -> dict:
     """Audio decoder front-end. RIFF/WAVE payloads decode for REAL via
-    wav.py (round 6 — chunk walk + PCM8/PCM16 unpack); entropy-coded
-    containers (FLAC/Ogg) stay honestly stubbed (no codec libs in this
-    container). Anything else is treated as the deterministic raw
+    wav.py (round 6 — chunk walk + PCM8/PCM16 unpack) and fLaC payloads
+    via the REAL rice-coded FLAC decoder in flac.py (round 6, second
+    wave); perceptual codecs (MP3/Ogg-Vorbis) stay honestly stubbed
+    (MDCT + psychoacoustics need real codec libraries this container
+    lacks). Anything else is treated as the deterministic raw
     8-bit-mono-PCM-at-16kHz stand-in used by the plumbing tests."""
+    if payload[:4] == b"fLaC":
+        from realestate_engine.flac import decode_flac
+
+        f = decode_flac(payload)
+        n = len(f["samples"])
+        rms = (sum(s * s for s in f["samples"]) / n) ** 0.5 if n else 0.0
+        return {
+            "n_bytes": len(payload),
+            "sample_rate": f["sample_rate"],
+            "duration_ms": f["n_frames"] * 1000 // f["sample_rate"],
+            "rms": round(rms, 4),
+        }
     if payload[:4] == b"RIFF":
         from realestate_engine.wav import decode_wav
 
@@ -504,8 +521,8 @@ def decode_audio_stub(payload: bytes) -> dict:
             "duration_ms": w["n_frames"] * 1000 // w["sample_rate"],
             "rms": round(rms, 4),
         }
-    if payload[:4] in (b"fLaC", b"OggS"):
-        raise NotImplementedError("entropy-coded audio (FLAC/Ogg) is stubbed in this environment")
+    if payload[:4] == b"OggS":
+        raise NotImplementedError("perceptual audio (Ogg/MP3) is stubbed in this environment")
     n = len(payload)
     rms = (sum(b * b for b in payload) / n) ** 0.5 if n else 0.0
     return {
@@ -549,6 +566,99 @@ def mm_audio_features(spark: SparkSession, sf_dir: str) -> DataFrame:
     binary_df = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
     feats = extract_audio_features(binary_df)
     return feats.select("doc_id", "n_bytes", "sample_rate", "duration_ms")
+
+
+@register(
+    "mm_flac_roundtrip",
+    """
+    WITH params AS (
+      SELECT doc_id AS d,
+             CASE WHEN doc_id % 5 = 0 THEN 2 ELSE 1 END AS channels,
+             CASE doc_id % 3 WHEN 0 THEN 8000 WHEN 1 THEN 16000 ELSE 44100 END AS sample_rate,
+             256 + (doc_id % 4) * 64 AS n_frames
+      FROM documents WHERE doc_id < 60
+    ), expand AS (
+      SELECT d, channels, sample_rate, n_frames,
+             ((d * 31 + i.i * 7 + c.c * 13) % 4096) - 2048 AS s
+      FROM params
+      JOIN (SELECT UNNEST(RANGE(0, 512)) AS i) i ON i.i < n_frames
+      JOIN (SELECT UNNEST(RANGE(0, 2)) AS c) c ON c.c < channels
+    )
+    SELECT d AS doc_id,
+           CAST(sample_rate AS INTEGER) AS sample_rate,
+           CAST(channels AS INTEGER) AS channels,
+           CAST(n_frames AS BIGINT) AS n_frames,
+           CAST(n_frames * 1000 // sample_rate AS BIGINT) AS duration_ms,
+           TRUE AS lossless,
+           TRUE AS compressed,
+           CAST(SUM(ABS(s)) AS BIGINT) AS sum_abs,
+           CAST(SUM(s) AS BIGINT) AS sum_val
+    FROM expand GROUP BY d, sample_rate, channels, n_frames
+    ORDER BY doc_id
+    """,
+)
+def mm_flac_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL entropy-coded audio round trip: the deterministic sawtooth
+    waveform of mm_wav_roundtrip (16-bit arm) is FLAC-ENCODED with the
+    pure-stdlib rice-coded fixed-predictor encoder in flac.py — stereo
+    rows (every 5th doc) trigger the decorrelation choice, the
+    sawtooth's linear segments exercise orders 1-2, the modulo wrap
+    exercises escape-sized residuals — then FLAC-DECODED in the same
+    Arrow batch with CRC-8/CRC-16/MD5 verification. FLAC is lossless,
+    so the oracle recomputes sum_abs/sum_val of the DECODED samples
+    analytically and the `lossless` boolean pins decode(encode(x))==x
+    sample-for-sample; `compressed` pins that prediction actually
+    bought something (payload < raw PCM + header slack). Perceptual
+    codecs (Ogg/MP3) remain the only stubbed audio path."""
+    from realestate_engine.flac import decode_flac, encode_flac
+
+    def roundtrip(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                channels = 2 if d % 5 == 0 else 1
+                sample_rate = (8000, 16000, 44100)[d % 3]
+                n_frames = 256 + (d % 4) * 64
+                samples = [
+                    ((d * 31 + i * 7 + c * 13) % 4096) - 2048
+                    for i in range(n_frames)
+                    for c in range(channels)
+                ]
+                payload = encode_flac(sample_rate, channels, samples, blocksize=256)
+                dec = decode_flac(payload)
+                rows.append(
+                    (
+                        d,
+                        dec["sample_rate"],
+                        dec["channels"],
+                        dec["n_frames"],
+                        dec["n_frames"] * 1000 // dec["sample_rate"],
+                        dec["samples"] == samples,
+                        len(payload) < 2 * len(samples) + 128,
+                        sum(abs(v) for v in dec["samples"]),
+                        sum(dec["samples"]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "sample_rate", "channels", "n_frames",
+                    "duration_ms", "lossless", "compressed", "sum_abs", "sum_val",
+                ],
+            )
+
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 60).select("doc_id")
+    return (
+        d.repartition(8, "doc_id")
+        .mapInPandas(
+            roundtrip,
+            "doc_id long, sample_rate int, channels int, n_frames long, "
+            "duration_ms long, lossless boolean, compressed boolean, "
+            "sum_abs bigint, sum_val bigint",
+        )
+        .orderBy("doc_id")
+    )
 
 
 @register(

@@ -53,12 +53,20 @@ def test_audio_stub_decode_and_mapinpandas(spark):
     d = decode_audio_stub(bytes([3, 4]))
     assert d["rms"] == pytest.approx((25 / 2) ** 0.5, abs=1e-4)
     assert d["duration_ms"] == 0  # 2 samples at 16 kHz
-    # round 6: RIFF routes to the REAL wav.py decoder — a malformed
-    # container is a ValueError; only entropy-coded audio stays stubbed
+    # round 6: RIFF routes to the REAL wav.py decoder and fLaC to the
+    # REAL flac.py decoder — malformed containers are ValueErrors; only
+    # perceptual audio (Ogg/MP3) stays stubbed
     with pytest.raises(ValueError):
         decode_audio_stub(b"RIFF\xff\xff\xff\xffWAVE")
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         decode_audio_stub(b"fLaC....")
+    with pytest.raises(NotImplementedError):
+        decode_audio_stub(b"OggS....")
+    from realestate_engine.flac import encode_flac
+
+    flac = decode_audio_stub(encode_flac(16000, 1, [100] * 1600))
+    assert flac["sample_rate"] == 16000 and flac["duration_ms"] == 100
+    assert flac["rms"] == pytest.approx(100.0, abs=1e-4)
 
     df = spark.createDataFrame(
         [(1, bytearray(bytes(range(160)))), (2, bytearray(b""))], "doc_id long, payload binary"
