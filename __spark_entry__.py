@@ -40,8 +40,9 @@ registry.load_all()
 # that missed this window: dq17_wasserstein_drift, mm_mp4_probe,
 # ev13_kaplan_meier, er_fellegi_sunter, the third-wave operators
 # (dedup_semdedup, t22_url_canonicalize, m34_calibration_bins,
-# mm_phash_dct, ev14_uplift_qini), and the f2/f4/f5/f8/f10x3 fills
-# displaced by the second-wave swap.
+# mm_phash_dct, ev14_uplift_qini, mm_jpeg_lossless, tpch_q14,
+# tpch_q19), and the f2/f4/f5/f8/f10x3 fills displaced by the
+# second-wave swap.
 _WINDOW = [
     "flagship_revenue_by_nation",
     # changed this round (oracle dtype harmonization / plan changes)
@@ -76,7 +77,9 @@ _WINDOW = [
     # never driver-verified: remaining TPC-H
     "tpch_q4_priority_late_ship", "tpch_q6_forecast_revenue",
     "tpch_q10_returned_items", "tpch_q12_priority_classes",
-    "tpch_q14_promo_revenue", "tpch_q19_disjunctive_revenue",
+    # third wave: REAL progressive JPEG + REAL FLAC round trips (the
+    # round's codec milestones; tpch_q14/q19 moved to the r7 fills)
+    "mm_jpeg_progressive", "mm_flac_roundtrip",
     # upgraded rows-only -> full oracle this round (read_blob)
     "s13_binaryfile_scan",
 ]

@@ -168,12 +168,14 @@ def encode_png(width: int, height: int, rgb: bytes) -> bytes:
 
 def decode_image_stub(payload: bytes) -> dict:
     """Decoder dispatch: PNG payloads get the REAL pure-stdlib decode
-    above (round 4); JPEG payloads get the REAL baseline-DCT decode in
-    jpeg.py (round 5 — Annex K tables, Huffman, IDCT, 4:2:0 upsample,
-    restart markers; the last honest stub on the image path is gone);
-    anything else falls back to the deterministic fake keyed on byte
-    content, so plumbing tests need no codec at all. A production
-    deployment swaps in PIL/OpenCV by replacing ONLY this function."""
+    above (round 4); JPEG payloads get the REAL decode in jpeg.py —
+    baseline DCT (round 5: Annex K tables, Huffman, IDCT, 4:2:0
+    upsample, restart markers), PROGRESSIVE multi-scan (round 6), and
+    LOSSLESS Annex-H predictive (round 6) — so NO image format on this
+    path is stubbed; anything else falls back to the deterministic
+    fake keyed on byte content, so plumbing tests need no codec at
+    all. A production deployment swaps in PIL/OpenCV by replacing ONLY
+    this function."""
     if payload[:8] == _PNG_MAGIC:
         return decode_png(payload)
     if payload[:3] == b"\xff\xd8\xff":
@@ -181,6 +183,8 @@ def decode_image_stub(payload: bytes) -> dict:
 
         out = decode_jpeg(payload)
         out.pop("rgb", None)  # feature dict carries stats, not pixels
+        out.pop("samples", None)
+        out.pop("precision", None)
         return out
     n = len(payload)
     return {
@@ -440,6 +444,77 @@ def mm_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
             roundtrip,
             "doc_id long, width int, height int, channels int, "
             "identical_to_baseline boolean, mae_ok boolean",
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "mm_jpeg_lossless",
+    r"""
+    WITH bytes AS (
+        SELECT doc_id, HEX(ENCODE(text)) AS hx, OCTET_LENGTH(ENCODE(text)) AS n
+        FROM documents WHERE doc_id < 48
+    ),
+    px AS (
+        SELECT doc_id,
+               CAST(('0x' || SUBSTR(hx, CAST((i.i * n // 256) * 2 + 1 AS INTEGER), 2)) AS BIGINT) AS pv
+        FROM bytes, LATERAL (SELECT UNNEST(RANGE(256)) AS i) i
+    )
+    SELECT doc_id,
+           CAST(16 AS INTEGER) AS width,
+           CAST(16 AS INTEGER) AS height,
+           CAST(1 AS INTEGER) AS channels,
+           TRUE AS lossless,
+           CAST(SUM(pv) AS BIGINT) AS sum_px,
+           CAST(SUM(pv * pv) AS BIGINT) AS sum_sq
+    FROM px GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def mm_jpeg_lossless(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL lossless JPEG (SOF3) round trip — the image-codec surface
+    is now COMPLETE: baseline, progressive AND lossless all decode for
+    real. Per doc, a 16x16 grayscale raster planted from the document
+    bytes (the mm_phash_dct pixel recipe) is encoded with the Annex-H
+    predictive encoder (predictor selector cycles 1-7 by doc id so
+    every predictor runs distributed) and decoded back; `lossless`
+    pins sample-exactness and the oracle recomputes sum/sum-of-squares
+    of the DECODED pixels analytically from the same bytes — a slip in
+    any predictor, the modulo-65536 wraparound, or the SSSS=16 path
+    flips a hash-compared value."""
+    from realestate_engine.jpeg import decode_jpeg, encode_jpeg_lossless
+
+    def roundtrip(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for d, txt in zip(pdf["doc_id"], pdf["text"]):
+                d = int(d)
+                b = txt.encode("utf-8")
+                img = [b[(i * len(b)) // 256] for i in range(256)]
+                dec = decode_jpeg(encode_jpeg_lossless(16, 16, img, predictor=1 + d % 7))
+                rows.append(
+                    (
+                        d,
+                        dec["width"],
+                        dec["height"],
+                        dec["channels"],
+                        dec["samples"] == img,
+                        sum(dec["samples"]),
+                        sum(v * v for v in dec["samples"]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "width", "height", "channels", "lossless", "sum_px", "sum_sq"],
+            )
+
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 48).select("doc_id", "text")
+    return (
+        d.repartition(8, "doc_id")
+        .mapInPandas(
+            roundtrip,
+            "doc_id long, width int, height int, channels int, "
+            "lossless boolean, sum_px bigint, sum_sq bigint",
         )
         .orderBy("doc_id")
     )

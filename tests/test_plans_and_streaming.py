@@ -703,7 +703,16 @@ def test_jpeg_decode_dispatch_and_rejects():
     with pytest.raises(ValueError):
         decode_image_stub(bytes(mangled))
 
-    # lossless (SOF3) remains an honest stub
+    # a baseline stream relabeled SOF3 carries an illegal lossless scan
+    # (predictor selector 0); REAL lossless streams decode exactly
     mangled[idx + 1] = 0xC3
-    with pytest.raises(NotImplementedError):
+    with pytest.raises(ValueError):
         decode_image_stub(bytes(mangled))
+
+    from realestate_engine.jpeg import encode_jpeg_lossless
+
+    gray = [(x * 3 + y * 5) % 256 for y in range(16) for x in range(24)]
+    lossless = decode_jpeg(encode_jpeg_lossless(24, 16, gray))
+    assert lossless["samples"] == gray and lossless["channels"] == 1
+    lfeats = decode_image_stub(encode_jpeg_lossless(24, 16, gray))
+    assert lfeats["width"] == 24 and "samples" not in lfeats

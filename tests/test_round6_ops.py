@@ -480,3 +480,23 @@ def test_progressive_jpeg_bit_identical_to_baseline():
             # the stream really is progressive: SOF2 marker, 8 scans
             assert b"\xff\xc2" in prog_payload
             assert prog_payload.count(b"\xff\xda") == 8
+
+
+def test_lossless_jpeg_all_predictors_exact():
+    import random
+
+    from realestate_engine.jpeg import decode_jpeg, encode_jpeg_lossless
+
+    rng = random.Random(13)
+    for w, h, prec in [(24, 16, 8), (17, 9, 8), (20, 12, 12), (9, 5, 16)]:
+        maxv = (1 << prec) - 1
+        img = [rng.randrange(maxv + 1) for _ in range(w * h)]
+        for sel in range(1, 8):
+            dec = decode_jpeg(encode_jpeg_lossless(w, h, img, precision=prec, predictor=sel))
+            assert dec["samples"] == img, (w, h, prec, sel)
+            assert dec["precision"] == prec
+    # prediction compresses smooth content losslessly
+    smooth = [(x + y) // 2 for y in range(64) for x in range(64)]
+    payload = encode_jpeg_lossless(64, 64, smooth)
+    assert len(payload) < 64 * 64 * 0.6
+    assert decode_jpeg(payload)["samples"] == smooth
