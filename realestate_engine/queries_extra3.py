@@ -2279,3 +2279,173 @@ def ev14_uplift_qini(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("cyc").cast("long").alias("cum_y_control"),
         F.expr("CAST((cyt * cnc - cyc * cnt) * 1000000 DIV cnc AS BIGINT)").alias("qini_micro"),
     ).orderBy("bin")
+
+
+@register(
+    "dq18_ks_test",
+    """
+    WITH tagged AS (
+        SELECT c.c_nationkey AS nation,
+               CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents,
+               CASE WHEN o.o_orderdate < TIMESTAMP '1998-01-01' THEN 0 ELSE 1 END AS period
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    per_value AS (
+        SELECT nation, cents,
+               SUM(CASE WHEN period = 0 THEN 1 ELSE 0 END) AS a,
+               SUM(CASE WHEN period = 1 THEN 1 ELSE 0 END) AS b
+        FROM tagged GROUP BY nation, cents
+    ),
+    cum AS (
+        SELECT nation,
+               ABS(SUM(a) OVER (PARTITION BY nation ORDER BY cents)
+                     * SUM(b) OVER (PARTITION BY nation)
+                   - SUM(b) OVER (PARTITION BY nation ORDER BY cents)
+                     * SUM(a) OVER (PARTITION BY nation)) AS gap,
+               SUM(a) OVER (PARTITION BY nation) AS na,
+               SUM(b) OVER (PARTITION BY nation) AS nb
+        FROM per_value
+    )
+    SELECT CAST(nation AS BIGINT) AS nation,
+           CAST(ANY_VALUE(na) AS BIGINT) AS n_pre,
+           CAST(ANY_VALUE(nb) AS BIGINT) AS n_post,
+           CAST(MAX(gap) * 1000000 // (ANY_VALUE(na) * ANY_VALUE(nb)) AS BIGINT) AS ks_micro,
+           CAST(CASE WHEN MAX(gap) * 10 > ANY_VALUE(na) * ANY_VALUE(nb)
+                THEN 1 ELSE 0 END AS BIGINT) AS drifted
+    FROM cum GROUP BY nation ORDER BY nation
+    """,
+)
+def dq18_ks_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ18: two-sample Kolmogorov-Smirnov drift test per nation — the
+    nonparametric sibling of dq13_psi_drift (binned) and
+    dq17_wasserstein_drift (transport): KS = max ECDF gap between the
+    pre-/post-1998 order-value samples. Everything stays exact
+    integer: the gap |F_a - F_b| is cross-multiplied
+    (|ca*nb - cb*na| over na*nb), reported in floor micros, and the
+    drift flag is the 0.1-threshold comparison done as integers too —
+    nothing for libm to disagree on.
+
+    Plan shape: hash-agg to distinct (nation, cents) first (collapses
+    ties and bounds the window input), then cumulative sums over a
+    window PARTITIONED by nation (no global funnel; the per-nation
+    totals ride the same partition), one final max-agg. At 100 TB the
+    dedup-then-window pattern keeps per-task state at the distinct
+    value count of one nation, and nation is the natural partition
+    key."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    from pyspark.sql.window import Window
+
+    tagged = o.join(F.broadcast(c.select("c_custkey", "c_nationkey")), o.o_custkey == F.col("c_custkey")).select(
+        F.col("c_nationkey").alias("nation"),
+        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        F.when(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"), 0).otherwise(1).alias("period"),
+    )
+    per_value = tagged.groupBy("nation", "cents").agg(
+        F.sum(F.when(F.col("period") == 0, 1).otherwise(0)).alias("a"),
+        F.sum(F.when(F.col("period") == 1, 1).otherwise(0)).alias("b"),
+    )
+    w_cum = Window.partitionBy("nation").orderBy("cents")
+    w_tot = Window.partitionBy("nation")
+    cum = per_value.select(
+        "nation",
+        F.abs(
+            F.sum("a").over(w_cum) * F.sum("b").over(w_tot)
+            - F.sum("b").over(w_cum) * F.sum("a").over(w_tot)
+        ).alias("gap"),
+        F.sum("a").over(w_tot).alias("na"),
+        F.sum("b").over(w_tot).alias("nb"),
+    )
+    return (
+        cum.groupBy(F.col("nation").cast("long").alias("nation"))
+        .agg(
+            F.first("na").cast("long").alias("n_pre"),
+            F.first("nb").cast("long").alias("n_post"),
+            F.expr("CAST(MAX(gap) * 1000000 DIV (FIRST(na) * FIRST(nb)) AS BIGINT)").alias("ks_micro"),
+            F.expr(
+                "CAST(CASE WHEN MAX(gap) * 10 > FIRST(na) * FIRST(nb) THEN 1 ELSE 0 END AS BIGINT)"
+            ).alias("drifted"),
+        )
+        .orderBy("nation")
+    )
+
+
+@register(
+    "ts7_theil_sen_trend",
+    """
+    WITH monthly AS (
+        SELECT c.c_nationkey AS nation,
+               CAST(YEAR(o.o_orderdate) * 12 + MONTH(o.o_orderdate) AS BIGINT) AS m,
+               SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS rev
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+        GROUP BY nation, m
+    ),
+    slopes AS (
+        SELECT a.nation,
+               (b.rev - a.rev) * 1000 // (b.m - a.m) AS slope_milli,
+               ROW_NUMBER() OVER (
+                   PARTITION BY a.nation
+                   ORDER BY (b.rev - a.rev) * 1000 // (b.m - a.m), a.m, b.m
+               ) AS rn,
+               COUNT(*) OVER (PARTITION BY a.nation) AS np
+        FROM monthly a JOIN monthly b ON a.nation = b.nation AND a.m < b.m
+    )
+    SELECT CAST(nation AS BIGINT) AS nation,
+           CAST(ANY_VALUE(np) AS BIGINT) AS n_pairs,
+           CAST(MAX(CASE WHEN rn = (np + 1) // 2 THEN slope_milli END) AS BIGINT)
+               AS median_slope_milli
+    FROM slopes GROUP BY nation ORDER BY nation
+    """,
+)
+def ts7_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS7: Theil-Sen robust trend per nation — the median of all
+    pairwise slopes of the monthly-revenue series, immune to the
+    outlier months that wreck the OLS fit (t19_zipf_fit's estimator).
+    Slopes are exact integers (cents*1000 per month, both engines'
+    integer division truncating toward zero identically) and the
+    median is the deterministic lower median by (slope, m1, m2)
+    ROW_NUMBER — no float quantile anywhere.
+
+    Scale: the pair join is per-nation over the ~80-row monthly
+    aggregate (6.4k pairs/nation, CONSTANT in corpus size — the raw
+    scan collapses to months first), the ranking window is partitioned
+    by nation. At 100 TB only the first aggregation grows; the
+    Theil-Sen stage is fixed work."""
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    from pyspark.sql.window import Window
+
+    monthly = (
+        o.join(F.broadcast(c.select("c_custkey", "c_nationkey")), o.o_custkey == F.col("c_custkey"))
+        .groupBy(
+            F.col("c_nationkey").alias("nation"),
+            (F.year("o_orderdate") * 12 + F.month("o_orderdate")).cast("long").alias("m"),
+        )
+        .agg(F.expr("SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))").alias("rev"))
+    )
+    a, b = monthly.alias("a"), monthly.alias("b")
+    slopes = a.join(
+        b, (F.col("a.nation") == F.col("b.nation")) & (F.col("a.m") < F.col("b.m"))
+    ).select(
+        F.col("a.nation").alias("nation"),
+        F.expr("(b.rev - a.rev) * 1000 DIV (b.m - a.m)").alias("slope_milli"),
+        F.col("a.m").alias("m1"),
+        F.col("b.m").alias("m2"),
+    )
+    w_rank = Window.partitionBy("nation").orderBy("slope_milli", "m1", "m2")
+    w_n = Window.partitionBy("nation")
+    ranked = slopes.select(
+        "nation",
+        "slope_milli",
+        F.row_number().over(w_rank).alias("rn"),
+        F.count(F.lit(1)).over(w_n).alias("np"),
+    )
+    return (
+        ranked.groupBy(F.col("nation").cast("long").alias("nation"))
+        .agg(
+            F.first("np").cast("long").alias("n_pairs"),
+            F.expr("CAST(MAX(CASE WHEN rn = (np + 1) DIV 2 THEN slope_milli END) AS BIGINT)")
+            .alias("median_slope_milli"),
+        )
+        .orderBy("nation")
+    )

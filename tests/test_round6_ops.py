@@ -500,3 +500,54 @@ def test_lossless_jpeg_all_predictors_exact():
     payload = encode_jpeg_lossless(64, 64, smooth)
     assert len(payload) < 64 * 64 * 0.6
     assert decode_jpeg(payload)["samples"] == smooth
+
+
+def test_ks_test_bounds_and_degenerate_identity(spark):
+    out = QUERIES["dq18_ks_test"](spark, SF).collect()
+    assert len(out) > 0
+    for r in out:
+        assert 0 <= r["ks_micro"] <= 1_000_000
+        assert r["drifted"] == (1 if r["ks_micro"] > 100_000 else 0)
+        assert r["n_pre"] > 0 and r["n_post"] > 0
+    # identical samples -> KS = 0 (pure-python ECDF replay cross-check)
+    import random
+
+    rng = random.Random(3)
+    a = sorted(rng.randrange(100) for _ in range(50))
+    ca = cb = 0
+    gap = 0
+    from collections import Counter
+
+    ka, kb = Counter(a), Counter(a)
+    for v in sorted(set(a)):
+        ca += ka[v]
+        cb += kb[v]
+        gap = max(gap, abs(ca * len(a) - cb * len(a)))
+    assert gap == 0
+
+
+def test_theil_sen_matches_numpy_reference(spark):
+    out = {r["nation"]: r for r in QUERIES["ts7_theil_sen_trend"](spark, SF).collect()}
+    assert len(out) > 0
+    from realestate_engine.registry import t as load
+
+    import pandas as pd
+
+    o = load(spark, SF, "orders").toPandas()
+    c = load(spark, SF, "customer").toPandas()
+    df = o.merge(c, left_on="o_custkey", right_on="c_custkey")
+    df["m"] = df["o_orderdate"].dt.year * 12 + df["o_orderdate"].dt.month
+    df["cents"] = (df["o_totalprice"] * 100).round().astype("int64")
+    for nation, g in df.groupby("c_nationkey"):
+        monthly = g.groupby("m")["cents"].sum().sort_index()
+        ms, revs = list(monthly.index), list(monthly.values)
+        slopes = sorted(
+            (int(revs[j] - revs[i]) * 1000 // int(ms[j] - ms[i])
+             if (revs[j] - revs[i]) * (ms[j] - ms[i]) >= 0
+             else -((-int(revs[j] - revs[i]) * 1000) // int(ms[j] - ms[i])))
+            for i in range(len(ms)) for j in range(i + 1, len(ms))
+        )
+        want = slopes[(len(slopes) + 1) // 2 - 1]
+        got = out[nation]["median_slope_milli"]
+        assert got == want, (nation, got, want)
+        assert out[nation]["n_pairs"] == len(slopes)
