@@ -2449,3 +2449,167 @@ def ts7_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+@register(
+    "x27_compaction_planner",
+    """
+    WITH files AS (
+        SELECT CAST(YEAR(l_shipdate) * 100 + MONTH(l_shipdate) AS BIGINT) AS part,
+               CAST(l_suppkey % 8 AS BIGINT) AS file_id,
+               CAST(COUNT(*) * 128 AS BIGINT) AS bytes
+        FROM lineitem GROUP BY part, file_id
+    ),
+    planned AS (
+        SELECT part, file_id, bytes,
+               COALESCE(SUM(bytes) OVER (
+                   PARTITION BY part ORDER BY bytes DESC, file_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        FROM files
+    )
+    SELECT part,
+           CAST(cum_before // 65536 AS BIGINT) AS compaction_group,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(bytes) AS BIGINT) AS group_bytes,
+           CAST(SUM(CASE WHEN bytes < 16384 THEN 1 ELSE 0 END) AS BIGINT) AS n_small_files
+    FROM planned
+    GROUP BY part, compaction_group
+    ORDER BY part, compaction_group
+    """,
+)
+def x27_compaction_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X27: small-file compaction planning — the lakehouse maintenance
+    op every 100 TB table needs (thousands of tiny files per partition
+    kill scan throughput; OPTIMIZE/rewrite jobs consume a plan exactly
+    like this). The file inventory is simulated from lineitem
+    ((ship-month, supplier-bucket) -> bytes proxy); within each
+    partition, files ordered largest-first are assigned to compaction
+    groups by EXCLUSIVE-prefix-sum div target (64 KiB here) — the
+    deterministic one-window formulation of greedy size packing (the
+    same running-state idea as pack_documents_greedy, but closed-form:
+    group = floor(bytes-before / target), no recursion needed).
+    Output: one row per (partition, group) with file count, group
+    bytes, and the small-file census driving the rewrite decision.
+
+    Scale: one hash-agg builds the inventory (tiny: files-per-
+    partition, not rows), the window is PARTITIONED by the table
+    partition, and the plan is O(files) regardless of data volume."""
+    li = t(spark, sf_dir, "lineitem")
+    from pyspark.sql.window import Window
+
+    files = li.groupBy(
+        (F.year("l_shipdate") * 100 + F.month("l_shipdate")).cast("long").alias("part"),
+        (F.col("l_suppkey") % 8).cast("long").alias("file_id"),
+    ).agg((F.count(F.lit(1)) * 128).cast("long").alias("bytes"))
+    w = (
+        Window.partitionBy("part")
+        .orderBy(F.col("bytes").desc(), "file_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    planned = files.select(
+        "part",
+        "file_id",
+        "bytes",
+        F.coalesce(F.sum("bytes").over(w), F.lit(0)).alias("cum_before"),
+    )
+    return (
+        planned.groupBy("part", F.expr("CAST(cum_before DIV 65536 AS BIGINT)").alias("compaction_group"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.sum("bytes").cast("long").alias("group_bytes"),
+            F.sum(F.when(F.col("bytes") < 16384, 1).otherwise(0)).cast("long").alias("n_small_files"),
+        )
+        .orderBy("part", "compaction_group")
+    )
+
+
+@register(
+    "p23_pseudonymize_join_audit",
+    """
+    WITH c_tok AS (
+        SELECT ('0x' || SUBSTR(MD5('pepper-' || CAST(c_custkey AS VARCHAR)), 1, 12))::BIGINT AS c_tok,
+               c_nationkey
+        FROM customer
+    ),
+    o_tok AS (
+        SELECT ('0x' || SUBSTR(MD5('pepper-' || CAST(o_custkey AS VARCHAR)), 1, 12))::BIGINT AS o_tok,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    joined AS (
+        SELECT c.c_nationkey AS nation, o.cents
+        FROM o_tok o JOIN c_tok c ON o.o_tok = c.c_tok
+    ),
+    direct AS (
+        SELECT c.c_nationkey AS nation, CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    collisions AS (
+        SELECT COUNT(*) - COUNT(DISTINCT c_tok) AS n FROM c_tok
+    )
+    SELECT j.nation,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(j.cents) AS BIGINT) AS revenue_cents,
+           CAST(CASE WHEN COUNT(*) = (SELECT COUNT(*) FROM direct d WHERE d.nation = j.nation)
+                      AND SUM(j.cents) = (SELECT SUM(d.cents) FROM direct d WHERE d.nation = j.nation)
+                THEN 1 ELSE 0 END AS BIGINT) AS join_preserved,
+           CAST((SELECT n FROM collisions) AS BIGINT) AS token_collisions
+    FROM joined j GROUP BY j.nation ORDER BY j.nation
+    """,
+)
+def p23_pseudonymize_join_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P23: join-preserving pseudonymization — the GDPR-compliance
+    counterpart of t14_pii_redaction: the natural key (custkey) is
+    replaced on BOTH tables with a keyed-hash surrogate (48-bit md5
+    token with a pepper, the portable-hash family), and the audit
+    proves analytics survive tokenization: per nation, the
+    surrogate-key join reproduces the direct join's row count and
+    revenue exactly (join_preserved), and the token space is
+    collision-free on this population (token_collisions = 0 — at
+    100 TB the token widens, same 5-character change as every hash in
+    this repo).
+
+    Plan shape: tokenization is a per-row codegen'd expression (no
+    lookup-table shuffle — deterministic keyed hashing is exactly what
+    makes pseudonymized joins scale); the audit joins are ordinary
+    shuffle joins; the collision census is one distinct-agg broadcast
+    onto the group frame."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+
+    def tok(col):
+        return F.conv(F.substring(F.md5(F.concat(F.lit("pepper-"), col.cast("string"))), 1, 12), 16, 10).cast("long")
+
+    c_tok = c.select(tok(F.col("c_custkey")).alias("c_tok"), "c_nationkey")
+    o_tok = o.select(
+        tok(F.col("o_custkey")).alias("o_tok"),
+        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    joined = (
+        o_tok.join(c_tok, o_tok.o_tok == c_tok.c_tok)
+        .groupBy(F.col("c_nationkey").alias("nation"))
+        .agg(F.count(F.lit(1)).cast("long").alias("n_orders"), F.sum("cents").cast("long").alias("revenue_cents"))
+    )
+    direct = (
+        o.join(F.broadcast(c.select("c_custkey", "c_nationkey")), o.o_custkey == F.col("c_custkey"))
+        .groupBy(F.col("c_nationkey").alias("nation"))
+        .agg(F.count(F.lit(1)).cast("long").alias("d_n"), F.expr("CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)").alias("d_rev"))
+    )
+    collisions = c_tok.agg(
+        (F.count(F.lit(1)) - F.countDistinct("c_tok")).cast("long").alias("token_collisions")
+    )
+    return (
+        joined.join(direct, "nation")
+        .crossJoin(F.broadcast(collisions))
+        .select(
+            "nation",
+            "n_orders",
+            "revenue_cents",
+            F.when((F.col("n_orders") == F.col("d_n")) & (F.col("revenue_cents") == F.col("d_rev")), 1)
+            .otherwise(0)
+            .cast("long")
+            .alias("join_preserved"),
+            "token_collisions",
+        )
+        .orderBy("nation")
+    )

@@ -551,3 +551,30 @@ def test_theil_sen_matches_numpy_reference(spark):
         got = out[nation]["median_slope_milli"]
         assert got == want, (nation, got, want)
         assert out[nation]["n_pairs"] == len(slopes)
+
+
+def test_compaction_planner_groups_bounded(spark):
+    out = QUERIES["x27_compaction_planner"](spark, SF).collect()
+    assert len(out) > 0
+    from collections import defaultdict
+
+    by_part = defaultdict(list)
+    for r in out:
+        by_part[r["part"]].append(r)
+    for part, rows in by_part.items():
+        groups = sorted(r["compaction_group"] for r in rows)
+        assert groups == sorted(set(groups))
+        # every group except possibly the last is filled past the target
+        # only when a single file exceeds it; group ids are prefix-div so
+        # they are monotone in cumulative bytes
+        assert all(g >= 0 for g in groups)
+        assert sum(r["n_files"] for r in rows) >= len(rows)
+
+
+def test_pseudonymize_preserves_joins(spark):
+    out = QUERIES["p23_pseudonymize_join_audit"](spark, SF).collect()
+    assert len(out) > 0
+    for r in out:
+        assert r["join_preserved"] == 1
+        assert r["token_collisions"] == 0
+        assert r["n_orders"] > 0 and r["revenue_cents"] > 0
