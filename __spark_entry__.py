@@ -40,9 +40,10 @@ registry.load_all()
 # that missed this window: dq17_wasserstein_drift, mm_mp4_probe,
 # ev13_kaplan_meier, er_fellegi_sunter, the third-wave operators
 # (dedup_semdedup, t22_url_canonicalize, m34_calibration_bins,
-# mm_phash_dct, ev14_uplift_qini, mm_jpeg_lossless, tpch_q14,
-# tpch_q19), and the f2/f4/f5/f8/f10x3 fills displaced by the
-# second-wave swap.
+# mm_phash_dct, ev14_uplift_qini, mm_jpeg_lossless, dq18_ks_test,
+# ts7_theil_sen_trend, x27_compaction_planner,
+# p23_pseudonymize_join_audit, tpch_q14, tpch_q19), and the
+# f2/f4/f5/f8/f10x3 fills displaced by the second-wave swap.
 _WINDOW = [
     "flagship_revenue_by_nation",
     # changed this round (oracle dtype harmonization / plan changes)
