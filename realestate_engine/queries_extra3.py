@@ -2613,3 +2613,133 @@ def p23_pseudonymize_join_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+_PSM_ORACLE = """
+    WITH pop AS (
+        SELECT c_custkey AS k, c_nationkey AS nation,
+               CAST(ROUND(c_acctbal * 100) AS BIGINT) AS score,
+               ('0x' || SUBSTR(MD5('psm-' || CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT % 2 AS treated
+        FROM customer
+    ),
+    outcome AS (
+        SELECT o_custkey AS ok, CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+        FROM orders GROUP BY o_custkey
+    ),
+    ranked AS (
+        SELECT p.k, p.nation, p.score, p.treated, COALESCE(o.y, 0) AS y,
+               LAST_VALUE(CASE WHEN treated = 0 THEN score END IGNORE NULLS) OVER w_prev AS ps,
+               LAST_VALUE(CASE WHEN treated = 0 THEN k END IGNORE NULLS) OVER w_prev AS pk,
+               FIRST_VALUE(CASE WHEN treated = 0 THEN score END IGNORE NULLS) OVER w_next AS ns,
+               FIRST_VALUE(CASE WHEN treated = 0 THEN k END IGNORE NULLS) OVER w_next AS nk
+        FROM pop p LEFT JOIN outcome o ON p.k = o.ok
+        WINDOW
+          w_prev AS (PARTITION BY nation ORDER BY score, k
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
+          w_next AS (PARTITION BY nation ORDER BY score, k
+                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
+    ),
+    matched AS (
+        SELECT nation, k, y, score,
+               CASE WHEN ps IS NULL AND ns IS NULL THEN NULL
+                    WHEN ns IS NULL THEN pk
+                    WHEN ps IS NULL THEN nk
+                    WHEN (score - ps) <= (ns - score) THEN pk ELSE nk END AS mk,
+               CASE WHEN ps IS NULL AND ns IS NULL THEN NULL
+                    WHEN ns IS NULL THEN score - ps
+                    WHEN ps IS NULL THEN ns - score
+                    WHEN (score - ps) <= (ns - score) THEN score - ps ELSE ns - score END AS dist
+        FROM ranked WHERE treated = 1
+    )
+    SELECT CAST(m.nation AS BIGINT) AS nation,
+           CAST(COUNT(*) AS BIGINT) AS n_treated,
+           CAST(COUNT(m.mk) AS BIGINT) AS n_matched,
+           CAST(CASE WHEN COUNT(m.mk) = 0 THEN NULL
+                ELSE SUM(CASE WHEN m.mk IS NOT NULL THEN m.y - COALESCE(oc.y, 0) END)
+                     // COUNT(m.mk) END AS BIGINT) AS att_cents,
+           CAST(CASE WHEN COUNT(m.mk) = 0 THEN NULL
+                ELSE SUM(m.dist) // COUNT(m.mk) END AS BIGINT) AS avg_match_dist_cents
+    FROM matched m LEFT JOIN outcome oc ON m.mk = oc.ok
+    GROUP BY m.nation ORDER BY nation
+"""
+
+
+@register("ev16_propensity_match", _PSM_ORACLE)
+def ev16_propensity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EV16: propensity-score matching (with replacement) — completes
+    the causal toolkit (ev12 DiD, ev14 Qini, m32 permutation): each
+    hash-treated customer is matched to its nearest control on the
+    score axis WITHIN nation, and the ATT is the matched outcome gap.
+    Nearest-neighbor-on-a-sort-key is the as-of join's symmetric twin:
+    one nation-PARTITIONED ordered window gives every row its last
+    preceding and first following control (ignorenulls last/first),
+    and the closer one wins with deterministic tie-break toward the
+    lower score — no per-treated scan, no cross join, all integer
+    cents.
+
+    Scale: the sort is per-nation (the shuffle key), controls are
+    reusable so no iterative assignment pass, and the match is O(n log
+    n) in the partition — at 100 TB this is exactly the sorted-merge
+    shape AQE loves."""
+    from pyspark.sql.window import Window
+
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    pop = c.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_nationkey").alias("nation"),
+        F.expr("CAST(ROUND(c_acctbal * 100) AS BIGINT)").alias("score"),
+        (portable_hash32(F.concat(F.lit("psm-"), F.col("c_custkey").cast("string"))) % 2).alias("treated"),
+    )
+    outcome = o.groupBy(F.col("o_custkey").alias("ok")).agg(
+        F.expr("CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)").alias("y")
+    )
+    w_prev = Window.partitionBy("nation").orderBy("score", "k").rowsBetween(Window.unboundedPreceding, -1)
+    w_next = Window.partitionBy("nation").orderBy("score", "k").rowsBetween(1, Window.unboundedFollowing)
+    ctl_score = F.when(F.col("treated") == 0, F.col("score"))
+    ctl_key = F.when(F.col("treated") == 0, F.col("k"))
+    ranked = (
+        pop.join(outcome, pop.k == outcome.ok, "left")
+        .select("k", "nation", "score", "treated", F.coalesce("y", F.lit(0)).alias("y"))
+        .select(
+            "*",
+            F.last(ctl_score, ignorenulls=True).over(w_prev).alias("ps"),
+            F.last(ctl_key, ignorenulls=True).over(w_prev).alias("pk"),
+            F.first(ctl_score, ignorenulls=True).over(w_next).alias("ns"),
+            F.first(ctl_key, ignorenulls=True).over(w_next).alias("nk"),
+        )
+    )
+    prev_closer = (F.col("score") - F.col("ps")) <= (F.col("ns") - F.col("score"))
+    matched = ranked.filter(F.col("treated") == 1).select(
+        "nation",
+        "y",
+        F.when(F.col("ps").isNull() & F.col("ns").isNull(), F.lit(None))
+        .when(F.col("ns").isNull(), F.col("pk"))
+        .when(F.col("ps").isNull(), F.col("nk"))
+        .when(prev_closer, F.col("pk"))
+        .otherwise(F.col("nk"))
+        .alias("mk"),
+        F.when(F.col("ps").isNull() & F.col("ns").isNull(), F.lit(None))
+        .when(F.col("ns").isNull(), F.col("score") - F.col("ps"))
+        .when(F.col("ps").isNull(), F.col("ns") - F.col("score"))
+        .when(prev_closer, F.col("score") - F.col("ps"))
+        .otherwise(F.col("ns") - F.col("score"))
+        .alias("dist"),
+    )
+    oc = outcome.select(F.col("ok").alias("c_ok"), F.col("y").alias("cy"))
+    return (
+        matched.join(oc, matched.mk == oc.c_ok, "left")
+        .groupBy(F.col("nation").cast("long").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_treated"),
+            F.count("mk").cast("long").alias("n_matched"),
+            F.expr(
+                "CAST(CASE WHEN COUNT(mk) = 0 THEN NULL ELSE "
+                "SUM(CASE WHEN mk IS NOT NULL THEN y - COALESCE(cy, 0) END) DIV COUNT(mk) END AS BIGINT)"
+            ).alias("att_cents"),
+            F.expr(
+                "CAST(CASE WHEN COUNT(mk) = 0 THEN NULL ELSE SUM(dist) DIV COUNT(mk) END AS BIGINT)"
+            ).alias("avg_match_dist_cents"),
+        )
+        .orderBy("nation")
+    )

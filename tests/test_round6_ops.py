@@ -578,3 +578,32 @@ def test_pseudonymize_preserves_joins(spark):
         assert r["join_preserved"] == 1
         assert r["token_collisions"] == 0
         assert r["n_orders"] > 0 and r["revenue_cents"] > 0
+
+
+def test_propensity_match_nearest_by_construction(spark):
+    out = QUERIES["ev16_propensity_match"](spark, SF).collect()
+    assert len(out) > 0
+    for r in out:
+        assert r["n_matched"] <= r["n_treated"]
+        if r["n_matched"]:
+            assert r["avg_match_dist_cents"] >= 0
+    # cross-check one nation against a brute-force nearest-control scan
+    from realestate_engine.registry import t as load
+
+    c = load(spark, SF, "customer").toPandas()
+    c["score"] = (c["c_acctbal"] * 100).round().astype("int64")
+    import hashlib
+
+    c["treated"] = c["c_custkey"].map(
+        lambda k: int(hashlib.md5(f"psm-{k}".encode()).hexdigest()[:8], 16) % 2
+    )
+    g = c[c["c_nationkey"] == c["c_nationkey"].iloc[0]]
+    controls = g[g["treated"] == 0]
+    dists = []
+    for _, row in g[g["treated"] == 1].iterrows():
+        if len(controls):
+            dists.append(int((controls["score"] - row["score"]).abs().min()))
+    if dists:
+        nation = int(g["c_nationkey"].iloc[0])
+        got = next(r for r in out if r["nation"] == nation)
+        assert got["avg_match_dist_cents"] == sum(dists) // len(dists)
