@@ -1913,3 +1913,90 @@ def t22_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("host")
     )
+
+
+@register(
+    "t23_bigram_perplexity",
+    r"""
+    WITH w AS (
+        SELECT doc_id, STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+') AS words
+        FROM documents
+    ),
+    bg AS (
+        SELECT doc_id, words[i] AS w1, words[i + 1] AS w2
+        FROM w, UNNEST(RANGE(1, GREATEST(LEN(words), 1))) AS u(i)
+    ),
+    big_counts AS (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cb FROM bg GROUP BY w1, w2
+    ),
+    uni_counts AS (
+        SELECT w1, CAST(COUNT(*) AS BIGINT) AS cw FROM bg GROUP BY w1
+    ),
+    vocab AS (
+        SELECT CAST(COUNT(DISTINCT w2) AS BIGINT) AS v FROM bg
+    ),
+    scored AS (
+        SELECT g.doc_id,
+               CAST(FLOOR(LN((b.cb + 1.0) / (u.cw + (SELECT v FROM vocab))) * 1000000)
+                    AS BIGINT) AS lp_micro
+        FROM bg g
+        JOIN big_counts b ON g.w1 = b.w1 AND g.w2 = b.w2
+        JOIN uni_counts u ON g.w1 = u.w1
+    )
+    SELECT doc_id,
+           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
+           CAST(SUM(-lp_micro) AS BIGINT) AS neg_logprob_micro,
+           CAST(SUM(-lp_micro) // COUNT(*) AS BIGINT) AS avg_nll_micro
+    FROM scored GROUP BY doc_id ORDER BY doc_id
+    """,
+)
+def t23_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T23: bigram-LM perplexity scoring — the actual CCNet/RefinedWeb
+    quality gate shape (text_unigram_logprob's contextual upgrade): a
+    Laplace-smoothed corpus bigram model P(w2|w1) = (C(w1,w2)+1) /
+    (C(w1)+V) scores every transition, and each document reports its
+    total and mean negative log-likelihood. High-perplexity docs (rare
+    transitions) are the noise a production filter drops. Each ln term
+    is FLOOR-scaled to integer micros BEFORE summing — the repo's
+    order-free float-sum idiom — and the ln input is a single IEEE
+    division of exact integers, bit-identical across engines.
+
+    Scale: two count shuffles (bigram, unigram) with map-side partial
+    aggregation, broadcast model join back onto the token stream
+    (at 100 TB: top-K model with a default score, or pre-partition by
+    w1 — what production LM filters do), one per-doc regroup. The
+    bigram stream itself comes from a doc-PARTITIONED lag window."""
+    from pyspark.sql.window import Window
+
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.trim("text")), r"\s+")).alias("pos", "w2"),
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    bg = toks.select(
+        "doc_id", F.lag("w2").over(w_doc).alias("w1"), "w2"
+    ).filter(F.col("w1").isNotNull())
+    big_counts = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("cb"))
+    uni_counts = bg.groupBy("w1").agg(F.count(F.lit(1)).cast("long").alias("cw"))
+    vocab = bg.agg(F.countDistinct("w2").cast("long").alias("v"))
+    scored = (
+        bg.join(F.broadcast(big_counts), ["w1", "w2"])
+        .join(F.broadcast(uni_counts), "w1")
+        .crossJoin(F.broadcast(vocab))
+        .select(
+            "doc_id",
+            F.floor(F.log((F.col("cb") + 1.0) / (F.col("cw") + F.col("v"))) * 1000000)
+            .cast("long")
+            .alias("lp_micro"),
+        )
+    )
+    return (
+        scored.groupBy("doc_id")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
+            F.sum(-F.col("lp_micro")).cast("long").alias("neg_logprob_micro"),
+            F.expr("CAST(SUM(-lp_micro) DIV COUNT(*) AS BIGINT)").alias("avg_nll_micro"),
+        )
+        .orderBy("doc_id")
+    )

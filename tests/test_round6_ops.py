@@ -607,3 +607,32 @@ def test_propensity_match_nearest_by_construction(spark):
         nation = int(g["c_nationkey"].iloc[0])
         got = next(r for r in out if r["nation"] == nation)
         assert got["avg_match_dist_cents"] == sum(dists) // len(dists)
+
+
+def test_bigram_perplexity_reference_replay(spark):
+    out = {r["doc_id"]: r for r in QUERIES["t23_bigram_perplexity"](spark, SF).collect()}
+    from collections import Counter
+    import math
+
+    from realestate_engine.registry import t as load
+
+    docs = load(spark, SF, "documents").select("doc_id", "text").toPandas()
+    bigrams = {}
+    cb, cw = Counter(), Counter()
+    vocab = set()
+    for _, row in docs.iterrows():
+        ws = row["text"].strip().lower().split()
+        bgs = list(zip(ws, ws[1:]))
+        bigrams[row["doc_id"]] = bgs
+        for a, b in bgs:
+            cb[(a, b)] += 1
+            cw[a] += 1
+            vocab.add(b)
+    v = len(vocab)
+    for doc_id, bgs in list(bigrams.items())[:40]:
+        if not bgs:
+            assert doc_id not in out
+            continue
+        terms = [math.floor(math.log((cb[(a, b)] + 1.0) / (cw[a] + v)) * 1_000_000) for a, b in bgs]
+        assert out[doc_id]["n_bigrams"] == len(bgs)
+        assert out[doc_id]["neg_logprob_micro"] == -sum(terms)

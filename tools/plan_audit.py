@@ -42,6 +42,7 @@ ALLOWED_CROSS = {
     "tpch_q22_sales_opportunity",  # broadcast 1-row avg-balance threshold
     "sim_pca_topk",  # broadcast 1-row reduced probe vector
     "text_unigram_logprob",  # broadcast 1-row total-token count
+    "t23_bigram_perplexity",  # broadcast 1-row vocab-size aggregate onto the token stream
     "dq_expectations",  # cross join of three 1-row violation summaries
     "text_oov_rate",  # broadcast 1-row total-token count onto word freqs
     "ev_funnel_conversion",  # cross join of three 1-row stage counts
