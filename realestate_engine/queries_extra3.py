@@ -2743,3 +2743,90 @@ def ev16_propensity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+@register(
+    "m35_partial_dependence",
+    """
+    WITH pop AS (
+        SELECT c_custkey AS k, c_mktsegment AS mkt,
+               LEAST(9, GREATEST(0, CAST(ROUND(c_acctbal * 100) AS BIGINT) + 100000) // 120000)
+                   AS bucket
+        FROM customer
+    ),
+    outcome AS (
+        SELECT o_custkey AS ok, CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+        FROM orders GROUP BY o_custkey
+    ),
+    joined AS (
+        SELECT p.k, p.mkt, p.bucket, COALESCE(o.y, 0) AS y
+        FROM pop p LEFT JOIN outcome o ON p.k = o.ok
+    ),
+    bucket_means AS (
+        SELECT bucket, CAST(SUM(y) // COUNT(*) AS BIGINT) AS bm FROM joined GROUP BY bucket
+    ),
+    resid AS (
+        SELECT j.mkt, j.y - b.bm AS r
+        FROM joined j JOIN bucket_means b ON j.bucket = b.bucket
+    ),
+    mkt_adj AS (
+        SELECT mkt, CAST(SUM(r) // COUNT(*) AS BIGINT) AS madj FROM resid GROUP BY mkt
+    ),
+    pop_adj AS (
+        SELECT CAST(SUM(m.madj) // COUNT(*) AS BIGINT) AS mean_adj
+        FROM joined j JOIN mkt_adj m ON j.mkt = m.mkt
+    )
+    SELECT b.bucket,
+           CAST(b.bm AS BIGINT) AS bucket_mean_cents,
+           CAST(b.bm + (SELECT mean_adj FROM pop_adj) AS BIGINT) AS pdp_cents,
+           CAST((SELECT mean_adj FROM pop_adj) AS BIGINT) AS population_adj_cents
+    FROM bucket_means b ORDER BY b.bucket
+    """,
+)
+def m35_partial_dependence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M35: partial-dependence table — the model-explainability
+    companion to m12_feature_importances: for the additive two-term
+    model fitted right here (bucket mean of lifetime order value +
+    market-segment residual adjustment, all integer floor-means — the
+    m6 target-stats idiom), PDP(bucket g) = E_population[f(g, mkt_i)]
+    = bucket_mean(g) + mean_i(mkt_adj(mkt_i)). Because the model is
+    additive, the expectation collapses to one broadcast scalar — the
+    PDP grid never cross-joins the population (the naive PDP is
+    grid x N; the factored one is O(grid + N), which is the 100 TB
+    point of this query).
+
+    Plan: three hash-aggs (bucket means, residual adjustments,
+    population mean adjustment) chained by broadcast joins; output is
+    the 10-row grid."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    pop = c.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("mkt"),
+        F.expr(
+            "CAST(least(9, greatest(CAST(0 AS BIGINT), CAST(ROUND(c_acctbal * 100) AS BIGINT) + 100000) DIV 120000) AS BIGINT)"
+        ).alias("bucket"),
+    )
+    outcome = o.groupBy(F.col("o_custkey").alias("ok")).agg(
+        F.expr("CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)").alias("y")
+    )
+    joined = pop.join(outcome, pop.k == outcome.ok, "left").select(
+        "k", "mkt", "bucket", F.coalesce("y", F.lit(0)).alias("y")
+    )
+    bucket_means = joined.groupBy("bucket").agg(F.expr("CAST(SUM(y) DIV COUNT(*) AS BIGINT)").alias("bm"))
+    resid = joined.join(F.broadcast(bucket_means), "bucket").select("mkt", (F.col("y") - F.col("bm")).alias("r"))
+    mkt_adj = resid.groupBy("mkt").agg(F.expr("CAST(SUM(r) DIV COUNT(*) AS BIGINT)").alias("madj"))
+    pop_adj = (
+        joined.join(F.broadcast(mkt_adj), "mkt")
+        .agg(F.expr("CAST(SUM(madj) DIV COUNT(*) AS BIGINT)").alias("mean_adj"))
+    )
+    return (
+        bucket_means.crossJoin(F.broadcast(pop_adj))
+        .select(
+            "bucket",
+            F.col("bm").cast("long").alias("bucket_mean_cents"),
+            (F.col("bm") + F.col("mean_adj")).cast("long").alias("pdp_cents"),
+            F.col("mean_adj").cast("long").alias("population_adj_cents"),
+        )
+        .orderBy("bucket")
+    )

@@ -636,3 +636,12 @@ def test_bigram_perplexity_reference_replay(spark):
         terms = [math.floor(math.log((cb[(a, b)] + 1.0) / (cw[a] + v)) * 1_000_000) for a, b in bgs]
         assert out[doc_id]["n_bigrams"] == len(bgs)
         assert out[doc_id]["neg_logprob_micro"] == -sum(terms)
+
+
+def test_partial_dependence_additive_identity(spark):
+    out = QUERIES["m35_partial_dependence"](spark, SF).collect()
+    assert 1 <= len(out) <= 10
+    adj = {r["population_adj_cents"] for r in out}
+    assert len(adj) == 1  # one population scalar
+    for r in out:
+        assert r["pdp_cents"] == r["bucket_mean_cents"] + r["population_adj_cents"]

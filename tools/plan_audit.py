@@ -96,6 +96,7 @@ ALLOWED_CROSS = {
     "a33_runs_test",  # broadcast 1-row median-cut frame + days-frame lag self-join
     "ev13_kaplan_meier",  # two broadcast non-equi self-joins over the ~130-row duration census
     "ev14_uplift_qini",  # broadcast non-equi prefix self-join over the 10-row score-bin ledger
+    "m35_partial_dependence",  # broadcast 1-row population-adjustment scalar onto the 10-row grid
     "p23_pseudonymize_join_audit",  # broadcast 1-row collision-census aggregate onto the nation frame
     "er_fellegi_sunter",  # broadcast 1-row m/u-rates aggregate onto the <=8-row pattern rollup
     "text_bm25_ranking",  # broadcast 1-row n_docs/avgdl aggregate
