@@ -2000,3 +2000,69 @@ def t23_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "t24_weighted_sample_aes",
+    """
+    WITH keyed AS (
+        SELECT source, doc_id, n_chars,
+               CAST(FLOOR(
+                   LN((('0x' || SUBSTR(MD5('aes-' || CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT + 1)
+                      / 4294967296.0)
+                   * 1000000000.0 / n_chars) AS BIGINT) AS key_nano
+        FROM documents WHERE n_chars > 0
+    ),
+    ranked AS (
+        SELECT source, doc_id, n_chars, key_nano,
+               ROW_NUMBER() OVER (PARTITION BY source ORDER BY key_nano DESC, doc_id) AS rk
+        FROM keyed
+    )
+    SELECT source, CAST(rk AS BIGINT) AS rank, doc_id, CAST(n_chars AS BIGINT) AS weight,
+           key_nano
+    FROM ranked WHERE rk <= 5
+    ORDER BY source, rank
+    """,
+)
+def t24_weighted_sample_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T24: weighted sampling WITHOUT replacement per stratum —
+    Efraimidis-Spirakis exponential keys (A-ES): each doc draws
+    u = (hash+1)/2^32 from the portable-md5 family (an exact dyadic
+    rational, so the double is bit-identical on both engines) and is
+    ranked by ln(u)/w, w = n_chars; the top-k per source is a
+    weight-proportional sample, reproducible forever from the key
+    alone (the seeded-RNG sampling p10/p16 can't be replayed
+    cross-engine; this can, which is why it carries a full value
+    oracle). The key is FLOOR-scaled to integer nanos — the repo's
+    order-free float idiom — with doc_id tiebreak so a FLOOR collision
+    cannot flip membership.
+
+    Scale: one scan computes keys in codegen, one shuffle partitions
+    by stratum, and the top-k window is source-PARTITIONED. At 100 TB
+    swap the window for the distributed top-k-per-group idiom (o3) if
+    strata are huge; the key math is unchanged."""
+    from pyspark.sql.window import Window
+
+    d = t(spark, sf_dir, "documents").filter(F.col("n_chars") > 0)
+    from realestate_engine.dedup import portable_hash32
+
+    u = (portable_hash32(F.concat(F.lit("aes-"), F.col("doc_id").cast("string"))) + 1) / F.lit(4294967296.0)
+    keyed = d.select(
+        "source",
+        "doc_id",
+        "n_chars",
+        F.floor(F.log(u) * 1000000000.0 / F.col("n_chars")).cast("long").alias("key_nano"),
+    )
+    w = Window.partitionBy("source").orderBy(F.col("key_nano").desc(), "doc_id")
+    return (
+        keyed.withColumn("rk", F.row_number().over(w))
+        .filter(F.col("rk") <= 5)
+        .select(
+            "source",
+            F.col("rk").cast("long").alias("rank"),
+            "doc_id",
+            F.col("n_chars").cast("long").alias("weight"),
+            "key_nano",
+        )
+        .orderBy("source", "rank")
+    )

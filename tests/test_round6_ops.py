@@ -645,3 +645,25 @@ def test_partial_dependence_additive_identity(spark):
     assert len(adj) == 1  # one population scalar
     for r in out:
         assert r["pdp_cents"] == r["bucket_mean_cents"] + r["population_adj_cents"]
+
+
+def test_weighted_sample_is_weight_biased_and_replayable(spark):
+    out = QUERIES["t24_weighted_sample_aes"](spark, SF).collect()
+    assert len(out) > 0
+    by_src = {}
+    for r in out:
+        by_src.setdefault(r["source"], []).append(r)
+    from realestate_engine.registry import t as load
+
+    docs = load(spark, SF, "documents").toPandas()
+    overall_mean = docs[docs["n_chars"] > 0]["n_chars"].mean()
+    sampled_mean = sum(r["weight"] for r in out) / len(out)
+    # weight-proportional sampling must over-represent heavy docs
+    assert sampled_mean > overall_mean
+    for rows in by_src.values():
+        assert [r["rank"] for r in sorted(rows, key=lambda r: r["rank"])] == list(range(1, len(rows) + 1))
+        keys = [r["key_nano"] for r in sorted(rows, key=lambda r: r["rank"])]
+        assert keys == sorted(keys, reverse=True)
+    # replayability: a second run returns the identical sample
+    again = QUERIES["t24_weighted_sample_aes"](spark, SF).collect()
+    assert sorted(map(tuple, again)) == sorted(map(tuple, out))
