@@ -42,7 +42,9 @@ registry.load_all()
 # (dedup_semdedup, t22_url_canonicalize, m34_calibration_bins,
 # mm_phash_dct, ev14_uplift_qini, mm_jpeg_lossless, dq18_ks_test,
 # ts7_theil_sen_trend, x27_compaction_planner,
-# p23_pseudonymize_join_audit, tpch_q14, tpch_q19), and the
+# p23_pseudonymize_join_audit, ev16_propensity_match,
+# t23_bigram_perplexity, m35_partial_dependence,
+# t24_weighted_sample_aes, tpch_q14, tpch_q19), and the
 # f2/f4/f5/f8/f10x3 fills displaced by the second-wave swap.
 _WINDOW = [
     "flagship_revenue_by_nation",
