@@ -1089,3 +1089,94 @@ def f22_business_days(spark: SparkSession, sf_dir: str) -> DataFrame:
         (bday("_n2") - bday("_n1")).cast("bigint").alias("business_days"),
     )
     return out.orderBy("o_orderkey")
+
+
+_GEOHASH_ALPHABET = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+
+def _geohash_terms(ix: str, iy: str) -> str:
+    """Interleave 15 lon bits and 15 lat bits (lon leads, per the
+    geohash spec) as a sum of shift terms — same generated-SQL trick
+    as the simhash vote assembly; identical text runs on both
+    engines."""
+    return " + ".join(
+        f"((({ix}) // {1 << j}) % 2) * {1 << (2 * j + 1)}"
+        f" + ((({iy}) // {1 << j}) % 2) * {1 << (2 * j)}"
+        for j in range(15)
+    )
+
+
+def _geohash_oracle_sql() -> str:
+    ix = "(lon_micro + 180000000) * 32768 // 360000000"
+    iy = "(lat_micro + 90000000) * 32768 // 180000000"
+    chars = " || ".join(
+        f"SUBSTR('{_GEOHASH_ALPHABET}', CAST((g // {1 << (25 - 5 * i)}) % 32 AS INTEGER) + 1, 1)"
+        for i in range(6)
+    )
+    return f"""
+    WITH pts AS (
+        SELECT c_custkey,
+               41000000 + (c_custkey % 1000) * 10000 AS lat_micro,
+               -5000000 + (c_custkey % 1500) * 10000 AS lon_micro
+        FROM customer
+    ),
+    cells AS (
+        SELECT c_custkey, CAST({_geohash_terms(ix, iy)} AS BIGINT) AS g FROM pts
+    ),
+    hashed AS (
+        SELECT c_custkey, {chars} AS geohash FROM cells
+    )
+    SELECT SUBSTR(geohash, 1, 4) AS geohash4,
+           CAST(COUNT(*) AS BIGINT) AS n_customers,
+           MIN(geohash) AS example_geohash
+    FROM hashed GROUP BY geohash4 ORDER BY geohash4
+    """
+
+
+@register("f25_geohash_buckets", _geohash_oracle_sql())
+def f25_geohash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F25: geohash encoding — the spatial partition/bucketing key that
+    makes geo joins scale (neighbors share prefixes, so a prefix
+    equi-join replaces the quadratic distance join; j6's integer grid
+    is the same idea without the interchange format). Implemented in
+    EXACT integer math end to end: coordinates are planted as integer
+    micros (the F3 idiom, no float in sight), cell indices are integer
+    divisions, the 30-bit lon/lat interleave is a generated
+    sum-of-shift-terms (the simhash assembly trick), and base32 chars
+    come from SUBSTR on the standard alphabet. Output: customers per
+    4-char prefix (~20 km cells) with an example full 6-char hash.
+
+    Plan: pure per-row codegen expressions + one hash-agg on the
+    prefix — the only shuffle; at 100 TB geohash4 is exactly the
+    partition key you'd bucket by."""
+    c = t(spark, sf_dir, "customer")
+    ix = "(lon_micro + 180000000) * 32768 DIV 360000000"
+    iy = "(lat_micro + 90000000) * 32768 DIV 180000000"
+    terms = " + ".join(
+        f"((({ix}) DIV {1 << j}) % 2) * {1 << (2 * j + 1)}"
+        f" + ((({iy}) DIV {1 << j}) % 2) * {1 << (2 * j)}"
+        for j in range(15)
+    )
+    chars = [
+        F.substring(
+            F.lit(_GEOHASH_ALPHABET),
+            F.expr(f"CAST((g DIV {1 << (25 - 5 * i)}) % 32 AS INT) + 1").cast("int"),
+            1,
+        )
+        for i in range(6)
+    ]
+    pts = c.select(
+        "c_custkey",
+        (F.lit(41000000) + (F.col("c_custkey") % 1000) * 10000).cast("long").alias("lat_micro"),
+        (F.lit(-5000000) + (F.col("c_custkey") % 1500) * 10000).cast("long").alias("lon_micro"),
+    )
+    cells = pts.select("c_custkey", F.expr(f"CAST({terms} AS BIGINT)").alias("g"))
+    hashed = cells.select("c_custkey", F.concat(*chars).alias("geohash"))
+    return (
+        hashed.groupBy(F.substring("geohash", 1, 4).alias("geohash4"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_customers"),
+            F.min("geohash").alias("example_geohash"),
+        )
+        .orderBy("geohash4")
+    )

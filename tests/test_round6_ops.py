@@ -667,3 +667,37 @@ def test_weighted_sample_is_weight_biased_and_replayable(spark):
     # replayability: a second run returns the identical sample
     again = QUERIES["t24_weighted_sample_aes"](spark, SF).collect()
     assert sorted(map(tuple, again)) == sorted(map(tuple, out))
+
+
+def test_geohash_matches_reference_library_semantics(spark):
+    """Cross-check the SQL bit-interleave against an independent pure-
+    Python geohash encoder on the same quantized grid."""
+    out = QUERIES["f25_geohash_buckets"](spark, SF).collect()
+    assert len(out) > 0
+    alphabet = "0123456789bcdefghjkmnpqrstuvwxyz"
+
+    def ref_geohash(lat_micro: int, lon_micro: int) -> str:
+        ix = (lon_micro + 180_000_000) * 32768 // 360_000_000
+        iy = (lat_micro + 90_000_000) * 32768 // 180_000_000
+        g = 0
+        for j in range(15):
+            g |= ((ix >> j) & 1) << (2 * j + 1)
+            g |= ((iy >> j) & 1) << (2 * j)
+        return "".join(alphabet[(g >> (25 - 5 * i)) & 31] for i in range(6))
+
+    from collections import Counter, defaultdict
+
+    from realestate_engine.registry import t as load
+
+    keys = [r["c_custkey"] for r in load(spark, SF, "customer").select("c_custkey").collect()]
+    want = Counter()
+    examples = defaultdict(list)
+    for k in keys:
+        h = ref_geohash(41_000_000 + (k % 1000) * 10_000, -5_000_000 + (k % 1500) * 10_000)
+        want[h[:4]] += 1
+        examples[h[:4]].append(h)
+    got = {r["geohash4"]: r for r in out}
+    assert set(got) == set(want)
+    for p, n in want.items():
+        assert got[p]["n_customers"] == n
+        assert got[p]["example_geohash"] == min(examples[p])
