@@ -2830,3 +2830,88 @@ def m35_partial_dependence(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+def _zorder_oracle_sql() -> str:
+    inter = " + ".join(
+        f"((d1 // {1 << j}) % 2) * {1 << (2 * j + 1)} + ((d2 // {1 << j}) % 2) * {1 << (2 * j)}"
+        for j in range(10)
+    )
+    return f"""
+    WITH pts AS (
+        SELECT c_custkey % 1024 AS d1,
+               LEAST(1023, GREATEST(0, CAST(ROUND(c_acctbal * 100) AS BIGINT) + 100000) // 1200)
+                   AS d2
+        FROM customer
+    ),
+    keyed AS (
+        SELECT d1, d2, CAST({inter} AS BIGINT) AS z FROM pts
+    ),
+    files AS (
+        SELECT 'zorder' AS layout, z // 16384 AS file_id, d2 FROM keyed
+        UNION ALL
+        SELECT 'linear' AS layout, d1 // 16 AS file_id, d2 FROM keyed
+    ),
+    stats AS (
+        SELECT layout, file_id, MIN(d2) AS mn, MAX(d2) AS mx, COUNT(*) AS n_rows
+        FROM files GROUP BY layout, file_id
+    )
+    SELECT layout,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(CASE WHEN mn <= 400 AND mx >= 300 THEN 1 ELSE 0 END) AS BIGINT)
+               AS files_scanned,
+           CAST(SUM(CASE WHEN mn <= 400 AND mx >= 300 THEN n_rows ELSE 0 END) AS BIGINT)
+               AS rows_scanned,
+           CAST(SUM(CASE WHEN mn <= 400 AND mx >= 300 THEN 0 ELSE 1 END) AS BIGINT)
+               AS files_pruned
+    FROM stats GROUP BY layout ORDER BY layout
+    """
+
+
+@register("x28_zorder_clustering_audit", _zorder_oracle_sql())
+def x28_zorder_clustering_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X28: Z-order clustering audit — the quantified case for
+    multi-dimensional layout at 100 TB: rows carry two independent
+    dimensions (key bucket, value bucket); files are simulated under
+    (a) Z-ORDER layout (files = ranges of the 20-bit Morton interleave
+    of both dims — the f25 bit trick re-aimed at clustering) and (b)
+    the naive linear layout (files = ranges of dim-1 only). The audit
+    replays min/max data skipping for a dim-2 probe range against
+    each layout's per-file zone map: the linear layout scans every
+    file (dim-2 spreads uniformly through all of them), the Z-ordered
+    layout prunes most — the exact effect OPTIMIZE ZORDER buys, stated
+    as hash-checked numbers instead of a slogan.
+
+    Plan: codegen'd interleave, one hash-agg for the zone maps, one
+    2-row rollup."""
+    c = t(spark, sf_dir, "customer")
+    inter = " + ".join(
+        f"((d1 DIV {1 << j}) % 2) * {1 << (2 * j + 1)} + ((d2 DIV {1 << j}) % 2) * {1 << (2 * j)}"
+        for j in range(10)
+    )
+    pts = c.select(
+        (F.col("c_custkey") % 1024).cast("long").alias("d1"),
+        F.expr(
+            "CAST(least(1023, greatest(CAST(0 AS BIGINT),"
+            " CAST(ROUND(c_acctbal * 100) AS BIGINT) + 100000) DIV 1200) AS BIGINT)"
+        ).alias("d2"),
+    )
+    keyed = pts.select("d1", "d2", F.expr(f"CAST({inter} AS BIGINT)").alias("z"))
+    z_files = keyed.select(F.lit("zorder").alias("layout"), F.expr("z DIV 16384").alias("file_id"), "d2")
+    lin_files = keyed.select(F.lit("linear").alias("layout"), F.expr("d1 DIV 16").alias("file_id"), "d2")
+    stats = (
+        z_files.unionByName(lin_files)
+        .groupBy("layout", "file_id")
+        .agg(F.min("d2").alias("mn"), F.max("d2").alias("mx"), F.count(F.lit(1)).alias("n_rows"))
+    )
+    hit = (F.col("mn") <= 400) & (F.col("mx") >= 300)
+    return (
+        stats.groupBy("layout")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.sum(F.when(hit, 1).otherwise(0)).cast("long").alias("files_scanned"),
+            F.sum(F.when(hit, F.col("n_rows")).otherwise(0)).cast("long").alias("rows_scanned"),
+            F.sum(F.when(hit, 0).otherwise(1)).cast("long").alias("files_pruned"),
+        )
+        .orderBy("layout")
+    )

@@ -701,3 +701,13 @@ def test_geohash_matches_reference_library_semantics(spark):
     for p, n in want.items():
         assert got[p]["n_customers"] == n
         assert got[p]["example_geohash"] == min(examples[p])
+
+
+def test_zorder_actually_prunes(spark):
+    out = {r["layout"]: r for r in QUERIES["x28_zorder_clustering_audit"](spark, SF).collect()}
+    assert set(out) == {"zorder", "linear"}
+    # the whole point: z-order prunes files the linear layout cannot
+    assert out["zorder"]["files_pruned"] > out["linear"]["files_pruned"]
+    assert out["zorder"]["rows_scanned"] < out["linear"]["rows_scanned"]
+    for r in out.values():
+        assert r["files_scanned"] + r["files_pruned"] == r["n_files"]
