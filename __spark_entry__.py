@@ -44,7 +44,8 @@ registry.load_all()
 # ts7_theil_sen_trend, x27_compaction_planner,
 # p23_pseudonymize_join_audit, ev16_propensity_match,
 # t23_bigram_perplexity, m35_partial_dependence,
-# t24_weighted_sample_aes, tpch_q14, tpch_q19), and the
+# t24_weighted_sample_aes, f25_geohash_buckets,
+# x28_zorder_clustering_audit, tpch_q14, tpch_q19), and the
 # f2/f4/f5/f8/f10x3 fills displaced by the second-wave swap.
 _WINDOW = [
     "flagship_revenue_by_nation",
