@@ -2915,3 +2915,115 @@ def x28_zorder_clustering_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("layout")
     )
+
+
+# Poisson(1) inverse-CDF thresholds on u in [0, 2^32): P(W<=k) * 2^32
+# rounded once in host Python, injected verbatim into both engines.
+_POIS1_T = [1580030169, 3160060337, 3950075422, 4213413783, 4279248374, 4292415292]
+
+
+def _poisson_bootstrap_oracle() -> str:
+    w_case = " ".join(
+        f"WHEN u < {t} THEN {k}" for k, t in enumerate(_POIS1_T)
+    )
+    return f"""
+    WITH rows_ AS (
+        SELECT o_orderkey AS k, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    reps AS (SELECT UNNEST(RANGE(0, 32)) AS r),
+    hashed AS (
+        SELECT r.r, rows_.cents,
+               ('0x' || SUBSTR(MD5('bs' || CAST(r.r AS VARCHAR) || '-' || CAST(rows_.k AS VARCHAR)), 1, 8))::BIGINT AS u
+        FROM rows_ CROSS JOIN reps r
+    ),
+    weighted AS (
+        SELECT r, cents, CASE {w_case} ELSE {len(_POIS1_T)} END AS w
+        FROM hashed
+    ),
+    rep_means AS (
+        SELECT r, CAST(SUM(w * cents) // SUM(w) AS BIGINT) AS mean_cents
+        FROM weighted GROUP BY r HAVING SUM(w) > 0
+    ),
+    ranked AS (
+        SELECT mean_cents, ROW_NUMBER() OVER (ORDER BY mean_cents, mean_cents) AS rk,
+               COUNT(*) OVER () AS n
+        FROM rep_means
+    ),
+    point AS (SELECT CAST(SUM(cents) // COUNT(*) AS BIGINT) AS pm FROM rows_)
+    SELECT CAST((SELECT pm FROM point) AS BIGINT) AS point_mean_cents,
+           CAST(MAX(CASE WHEN rk = 1 THEN mean_cents END) AS BIGINT) AS ci_lo_cents,
+           CAST(MAX(CASE WHEN rk = n THEN mean_cents END) AS BIGINT) AS ci_hi_cents,
+           CAST(ANY_VALUE(n) AS BIGINT) AS n_replicates
+    FROM ranked
+    """
+
+
+@register("m36_poisson_bootstrap_ci", _poisson_bootstrap_oracle())
+def m36_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M36: Poisson bootstrap — THE resampling method that works at
+    100 TB (multinomial bootstrap needs the global N per resample;
+    Poisson(1) weights are independent per row, so every replicate is
+    one weighted aggregate in the SAME single pass over the data).
+    Here 32 replicates of the mean order value: each (row, replicate)
+    draws its weight from the portable-md5 u via fixed integer
+    inverse-CDF thresholds (computed once in host Python — no float
+    RNG in either engine), replicate means are exact integer
+    floor-means, and the CI endpoints are order statistics of the
+    32-row replicate frame (min/max here = the ~3%/97% envelope at
+    K=32; K is a parameter).
+
+    Plan: one scan fans out x32 via a broadcast replicate range (the
+    m32/m18 K-row idiom), partial aggregation collapses map-side, and
+    the order-statistics window runs over 32 rows partitioned...
+    deliberately ordered GLOBALLY — but over a 32-row frame, which is
+    the documented broadcast-scale exception class; see plan_audit
+    allowlist entry."""
+    o = t(spark, sf_dir, "orders")
+    from pyspark.sql.window import Window
+
+    rows_ = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    reps = t(spark, sf_dir, "orders").sparkSession.range(0, 32).select(F.col("id").alias("r"))
+    u = F.conv(
+        F.substring(F.md5(F.concat(F.lit("bs"), F.col("r").cast("string"), F.lit("-"), F.col("k").cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    w_expr = F.lit(len(_POIS1_T))
+    for kk in range(len(_POIS1_T) - 1, -1, -1):
+        w_expr = F.when(u < _POIS1_T[kk], kk).otherwise(w_expr)
+    weighted = rows_.crossJoin(F.broadcast(reps)).select("r", "cents", w_expr.alias("w"))
+    rep_means = (
+        weighted.groupBy("r")
+        .agg(F.expr("CAST(SUM(w * cents) DIV SUM(w) AS BIGINT)").alias("mean_cents"), F.sum("w").alias("tw"))
+        .filter(F.col("tw") > 0)
+        .select("r", "mean_cents")
+    )
+    # order statistics over the 32-row replicate frame: broadcast
+    # non-equi rank (the repo's no-global-window idiom)
+    a, b = rep_means.alias("a"), F.broadcast(rep_means.alias("b"))
+    ranked = (
+        a.join(b, (F.col("b.mean_cents") < F.col("a.mean_cents")) | ((F.col("b.mean_cents") == F.col("a.mean_cents")) & (F.col("b.r") <= F.col("a.r"))))
+        .groupBy(F.col("a.r").alias("r"), F.col("a.mean_cents").alias("mean_cents"))
+        .agg(F.count(F.lit(1)).alias("rk"))
+    )
+    n_reps = rep_means.agg(F.count(F.lit(1)).alias("n"))
+    point = rows_.agg(F.expr("CAST(SUM(cents) DIV COUNT(*) AS BIGINT)").alias("pm"))
+    return (
+        ranked.crossJoin(F.broadcast(n_reps))
+        .agg(
+            F.max(F.when(F.col("rk") == 1, F.col("mean_cents"))).cast("long").alias("ci_lo_cents"),
+            F.max(F.when(F.col("rk") == F.col("n"), F.col("mean_cents"))).cast("long").alias("ci_hi_cents"),
+            F.first("n").cast("long").alias("n_replicates"),
+        )
+        .crossJoin(F.broadcast(point))
+        .select(
+            F.col("pm").cast("long").alias("point_mean_cents"),
+            "ci_lo_cents",
+            "ci_hi_cents",
+            "n_replicates",
+        )
+    )

@@ -711,3 +711,14 @@ def test_zorder_actually_prunes(spark):
     assert out["zorder"]["rows_scanned"] < out["linear"]["rows_scanned"]
     for r in out.values():
         assert r["files_scanned"] + r["files_pruned"] == r["n_files"]
+
+
+def test_poisson_bootstrap_ci_brackets_point(spark):
+    rows = QUERIES["m36_poisson_bootstrap_ci"](spark, SF).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    assert r["n_replicates"] == 32
+    assert r["ci_lo_cents"] <= r["point_mean_cents"] <= r["ci_hi_cents"]
+    # the interval is non-degenerate but tight around the mean
+    width = r["ci_hi_cents"] - r["ci_lo_cents"]
+    assert 0 < width < r["point_mean_cents"]
