@@ -3027,3 +3027,76 @@ def m36_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_replicates",
         )
     )
+
+
+def _hrw_oracle_sql() -> str:
+    return """
+    WITH shards7 AS (SELECT UNNEST(RANGE(0, 7)) AS s),
+    shards8 AS (SELECT UNNEST(RANGE(0, 8)) AS s),
+    a7 AS (
+        SELECT doc_id, ARG_MAX(s, h) AS shard FROM (
+            SELECT d.doc_id, s.s,
+                   ('0x' || SUBSTR(MD5('hrw-' || CAST(s.s AS VARCHAR) || '-' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT * 16 + s.s AS h
+            FROM documents d CROSS JOIN shards7 s
+        ) GROUP BY doc_id
+    ),
+    a8 AS (
+        SELECT doc_id, ARG_MAX(s, h) AS shard FROM (
+            SELECT d.doc_id, s.s,
+                   ('0x' || SUBSTR(MD5('hrw-' || CAST(s.s AS VARCHAR) || '-' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT * 16 + s.s AS h
+            FROM documents d CROSS JOIN shards8 s
+        ) GROUP BY doc_id
+    )
+    SELECT CAST(a8.shard AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN a7.shard <> a8.shard THEN 1 ELSE 0 END) AS BIGINT) AS n_moved_in
+    FROM a8 JOIN a7 ON a8.doc_id = a7.doc_id
+    GROUP BY a8.shard ORDER BY shard
+    """
+
+
+@register("x29_rendezvous_sharding", _hrw_oracle_sql())
+def x29_rendezvous_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X29: rendezvous (highest-random-weight) sharding — how you grow
+    a 100 TB cluster from 7 to 8 shards WITHOUT reshuffling the world:
+    each doc goes to the shard with the highest hash(shard, doc), so
+    adding shard 7 steals ~1/8 of every old shard's docs and moves
+    NOTHING between old shards. The output states that property as
+    hash-checked numbers: per new-layout shard, total docs and docs
+    that changed assignment — n_moved_in is nonzero ONLY for shard 7
+    (the test pins it; consistent-hash rings buy the same guarantee
+    with worse balance). The weight is the portable-md5 hash with the
+    shard id folded into the low bits as the deterministic tiebreak.
+
+    Plan: two broadcast fan-outs (x7, x8 — constant frames), two
+    max_by aggregates keyed by doc, one join + rollup. Linear in the
+    corpus, constant in shard count."""
+    d = t(spark, sf_dir, "documents").select("doc_id")
+
+    def assign(k: int):
+        shards = d.sparkSession.range(0, k).select(F.col("id").alias("s"))
+        h = (
+            portable_hash32(
+                F.concat(F.lit("hrw-"), F.col("s").cast("string"), F.lit("-"), F.col("doc_id").cast("string"))
+            )
+            * 16
+            + F.col("s")
+        ).alias("h")
+        return (
+            d.crossJoin(F.broadcast(shards))
+            .select("doc_id", "s", h)
+            .groupBy("doc_id")
+            .agg(F.expr("max_by(s, h)").alias("shard"))
+        )
+
+    a7 = assign(7).select(F.col("doc_id"), F.col("shard").alias("shard7"))
+    a8 = assign(8).select(F.col("doc_id"), F.col("shard").alias("shard8"))
+    return (
+        a8.join(a7, "doc_id")
+        .groupBy(F.col("shard8").cast("long").alias("shard"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("shard7") != F.col("shard8"), 1).otherwise(0)).cast("long").alias("n_moved_in"),
+        )
+        .orderBy("shard")
+    )

@@ -722,3 +722,16 @@ def test_poisson_bootstrap_ci_brackets_point(spark):
     # the interval is non-degenerate but tight around the mean
     width = r["ci_hi_cents"] - r["ci_lo_cents"]
     assert 0 < width < r["point_mean_cents"]
+
+
+def test_rendezvous_moves_only_into_the_new_shard(spark):
+    out = {r["shard"]: r for r in QUERIES["x29_rendezvous_sharding"](spark, SF).collect()}
+    assert set(out) <= set(range(8))
+    # HRW minimal movement: the only shard receiving moved docs is the new one
+    for shard, r in out.items():
+        if shard != 7:
+            assert r["n_moved_in"] == 0, (shard, r)
+    assert 7 in out and out[7]["n_moved_in"] == out[7]["n_docs"]
+    total = sum(r["n_docs"] for r in out.values())
+    # ~1/8 of the corpus moves (loose bound for a 500-doc sample)
+    assert 0.04 * total < out[7]["n_docs"] < 0.22 * total
