@@ -3100,3 +3100,135 @@ def x29_rendezvous_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+@register(
+    "ev17_cuped_adjustment",
+    """
+    WITH pop AS (
+        SELECT c_custkey AS k,
+               CAST(ROUND(c_acctbal * 100) AS BIGINT) AS x,
+               ('0x' || SUBSTR(MD5('cuped-' || CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT % 2 AS t
+        FROM customer
+    ),
+    outcome AS (
+        SELECT o_custkey AS ok, CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+        FROM orders GROUP BY o_custkey
+    ),
+    units AS (
+        SELECT p.k, p.t, p.x, COALESCE(o.y, 0) AS y
+        FROM pop p LEFT JOIN outcome o ON p.k = o.ok
+    ),
+    means AS (
+        SELECT CAST(SUM(x) // COUNT(*) AS BIGINT) AS mx,
+               CAST(SUM(y) // COUNT(*) AS BIGINT) AS my,
+               COUNT(*) AS n
+        FROM units
+    ),
+    centered AS (
+        SELECT u.k, u.t, u.y, u.x - m.mx AS cx, u.y - m.my AS cy
+        FROM units u CROSS JOIN means m
+    ),
+    theta AS (
+        SELECT CAST(SUM(cx * cy) * 1000 // SUM(cx * cx) AS BIGINT) AS th
+        FROM centered
+    ),
+    adjusted AS (
+        SELECT c.t, c.y, c.cy,
+               (c.y * 1000 - t.th * c.cx) // 1000 AS ya
+        FROM centered c CROSS JOIN theta t
+    ),
+    arm AS (
+        SELECT t,
+               COUNT(*) AS n,
+               CAST(SUM(y) // COUNT(*) AS BIGINT) AS mean_y,
+               CAST(SUM(ya) // COUNT(*) AS BIGINT) AS mean_ya
+        FROM adjusted GROUP BY t
+    ),
+    adj_mean AS (
+        SELECT CAST(SUM(ya) // COUNT(*) AS BIGINT) AS mya FROM adjusted
+    ),
+    vars_ AS (
+        SELECT CAST(SUM(((a.cy) // 100) * ((a.cy) // 100)) // COUNT(*) AS BIGINT) AS var_u_h,
+               CAST(SUM(((a.ya - m.mya) // 100) * ((a.ya - m.mya) // 100)) // COUNT(*) AS BIGINT) AS var_a_h
+        FROM adjusted a CROSS JOIN adj_mean m
+    )
+    SELECT (SELECT th FROM theta) AS theta_milli,
+           CAST((SELECT MAX(CASE WHEN t = 1 THEN mean_y END) - MAX(CASE WHEN t = 0 THEN mean_y END) FROM arm) AS BIGINT) AS effect_unadj_cents,
+           CAST((SELECT MAX(CASE WHEN t = 1 THEN mean_ya END) - MAX(CASE WHEN t = 0 THEN mean_ya END) FROM arm) AS BIGINT) AS effect_cuped_cents,
+           CAST(100 - var_a_h * 100 // var_u_h AS BIGINT) AS var_reduction_pct,
+           CAST((SELECT MAX(CASE WHEN t = 1 THEN n END) FROM arm) AS BIGINT) AS n_treated,
+           CAST((SELECT MAX(CASE WHEN t = 0 THEN n END) FROM arm) AS BIGINT) AS n_control
+    FROM vars_
+    """,
+)
+def ev17_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EV17: CUPED variance reduction — the experimentation-platform
+    standard (Deng et al., WSDM'13): adjust the experiment metric with
+    the pre-experiment covariate, ya = y - theta*(x - E[x]), theta =
+    cov(x,y)/var(x), and the treatment-effect estimate keeps its mean
+    while its variance drops by corr²(x,y). Everything is exact
+    integer arithmetic in a fixed overflow budget: center FIRST (so
+    cross-products stay under int64 — the naive n*Σxy form overflows
+    at 1e21), theta in FLOOR-milli, adjusted outcomes in floor-cents,
+    variances over hectocent deviations. Output: theta, both effect
+    estimates, the realized variance-reduction percentage, arm sizes.
+
+    Plan: three global aggregates chained by 1-row broadcast cross
+    joins (the repo's no-global-window scalar idiom) plus one 2-row
+    arm rollup — every pass is a map-side-combining scan."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    pop = c.select(
+        F.col("c_custkey").alias("k"),
+        F.expr("CAST(ROUND(c_acctbal * 100) AS BIGINT)").alias("x"),
+        (portable_hash32(F.concat(F.lit("cuped-"), F.col("c_custkey").cast("string"))) % 2).alias("t"),
+    )
+    outcome = o.groupBy(F.col("o_custkey").alias("ok")).agg(
+        F.expr("CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)").alias("y")
+    )
+    units = pop.join(outcome, pop.k == outcome.ok, "left").select(
+        "k", "t", "x", F.coalesce("y", F.lit(0)).alias("y")
+    )
+    means = units.agg(
+        F.expr("CAST(SUM(x) DIV COUNT(*) AS BIGINT)").alias("mx"),
+        F.expr("CAST(SUM(y) DIV COUNT(*) AS BIGINT)").alias("my"),
+    )
+    centered = units.crossJoin(F.broadcast(means)).select(
+        "k", "t", "y", (F.col("x") - F.col("mx")).alias("cx"), (F.col("y") - F.col("my")).alias("cy")
+    )
+    theta = centered.agg(F.expr("CAST(SUM(cx * cy) * 1000 DIV SUM(cx * cx) AS BIGINT)").alias("th"))
+    adjusted = centered.crossJoin(F.broadcast(theta)).select(
+        "t", "y", "cy", F.expr("(y * 1000 - th * cx) DIV 1000").alias("ya"), "th"
+    )
+    arm = adjusted.groupBy("t").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.expr("CAST(SUM(y) DIV COUNT(*) AS BIGINT)").alias("mean_y"),
+        F.expr("CAST(SUM(ya) DIV COUNT(*) AS BIGINT)").alias("mean_ya"),
+    )
+    arm_row = arm.agg(
+        F.expr("CAST(MAX(CASE WHEN t = 1 THEN mean_y END) - MAX(CASE WHEN t = 0 THEN mean_y END) AS BIGINT)").alias("effect_unadj_cents"),
+        F.expr("CAST(MAX(CASE WHEN t = 1 THEN mean_ya END) - MAX(CASE WHEN t = 0 THEN mean_ya END) AS BIGINT)").alias("effect_cuped_cents"),
+        F.expr("CAST(MAX(CASE WHEN t = 1 THEN n END) AS BIGINT)").alias("n_treated"),
+        F.expr("CAST(MAX(CASE WHEN t = 0 THEN n END) AS BIGINT)").alias("n_control"),
+    )
+    adj_mean = adjusted.agg(F.expr("CAST(SUM(ya) DIV COUNT(*) AS BIGINT)").alias("mya"))
+    vars_ = (
+        adjusted.crossJoin(F.broadcast(adj_mean))
+        .agg(
+            F.expr("CAST(SUM((cy DIV 100) * (cy DIV 100)) DIV COUNT(*) AS BIGINT)").alias("var_u_h"),
+            F.expr("CAST(SUM(((ya - mya) DIV 100) * ((ya - mya) DIV 100)) DIV COUNT(*) AS BIGINT)").alias("var_a_h"),
+        )
+    )
+    return (
+        vars_.crossJoin(F.broadcast(theta))
+        .crossJoin(F.broadcast(arm_row))
+        .select(
+            F.col("th").cast("long").alias("theta_milli"),
+            "effect_unadj_cents",
+            "effect_cuped_cents",
+            F.expr("CAST(100 - var_a_h * 100 DIV var_u_h AS BIGINT)").alias("var_reduction_pct"),
+            "n_treated",
+            "n_control",
+        )
+    )

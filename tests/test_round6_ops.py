@@ -735,3 +735,16 @@ def test_rendezvous_moves_only_into_the_new_shard(spark):
     total = sum(r["n_docs"] for r in out.values())
     # ~1/8 of the corpus moves (loose bound for a 500-doc sample)
     assert 0.04 * total < out[7]["n_docs"] < 0.22 * total
+
+
+def test_cuped_reduces_variance_and_is_unbiased_under_null(spark):
+    rows = QUERIES["ev17_cuped_adjustment"](spark, SF).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    # hash treatment is independent of everything -> true effect ~ 0;
+    # CUPED must not blow the estimate up
+    assert abs(r["effect_cuped_cents"]) <= abs(r["effect_unadj_cents"]) * 3 + 10_000_000
+    # acctbal correlates weakly with order totals at best, but the
+    # adjustment must never INCREASE variance (theta is the optimum)
+    assert r["var_reduction_pct"] >= 0
+    assert r["n_treated"] + r["n_control"] > 0

@@ -73,6 +73,7 @@ ALLOWED_CROSS = {
     "m32_permutation_test",  # broadcast 1-row observed-DiD frame onto the K-row null frame
     "m36_poisson_bootstrap_ci",  # 32-row replicate fan-out broadcast + 32-row order-stat rank join
     "x29_rendezvous_sharding",  # broadcast 7/8-row shard-range fan-outs (constant frames)
+    "ev17_cuped_adjustment",  # chained 1-row broadcast scalars (means, theta, arm effects, variances)
     "a43_histogram_quantile_rollup",  # <=64-row bucket-ledger cumulative self-join + 1-row broadcasts
     "x26_late_dimension_replay",  # cross join of five 1-row replay-ledger aggregates
     "m30_woe_iv_binning",  # broadcast 1-row quintile-cuts + class-totals frames
