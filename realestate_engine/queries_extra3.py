@@ -3232,3 +3232,96 @@ def ev17_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_control",
         )
     )
+
+
+@register(
+    "ev18_shapley_attribution",
+    """
+    WITH touched AS (
+        SELECT user_id,
+               MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
+             + MAX(CASE WHEN event_type = 'click' THEN 2 ELSE 0 END)
+             + MAX(CASE WHEN event_type = 'signup' THEN 4 ELSE 0 END) AS bits,
+               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
+        FROM events GROUP BY user_id
+    ),
+    seen AS (
+        SELECT bits, COUNT(*) AS n_s, SUM(conv) AS c_s FROM touched GROUP BY bits
+    ),
+    subsets AS (
+        SELECT u.s AS bits,
+               COALESCE((SELECT CAST(c_s * 1000000 // n_s AS BIGINT) FROM seen WHERE seen.bits = u.s), 0) AS v
+        FROM (SELECT UNNEST(RANGE(0, 8)) AS s) u
+    ),
+    channels(ch, b) AS (VALUES ('view', 1), ('click', 2), ('signup', 4)),
+    marginals AS (
+        SELECT c.ch,
+               CASE BIT_COUNT(s0.bits) WHEN 0 THEN 2 WHEN 1 THEN 1 ELSE 2 END
+                 * (s1.v - s0.v) AS term
+        FROM channels c
+        JOIN subsets s0 ON (s0.bits & c.b) = 0
+        JOIN subsets s1 ON s1.bits = (s0.bits | c.b)
+    )
+    SELECT ch AS channel,
+           CAST(SUM(term) // 6 AS BIGINT) AS shapley_micro
+    FROM marginals GROUP BY ch ORDER BY channel
+    """,
+)
+def ev18_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EV18: exact Shapley channel attribution — the game-theoretic
+    upgrade over ev3's last-click rule (the marketing-measurement
+    standard): each channel's credit is its average marginal lift in
+    conversion rate across every coalition it can join. With 3
+    channels the coalition space is 8 subsets, so Shapley is EXACT —
+    characteristic values v(S) are floor-micro conversion rates per
+    observed touch-bitmap (unobserved subsets contribute v=0), and the
+    weights |S|!(n-|S|-1)!/n! become the integers {2,1,2}/6, so the
+    whole computation is integer arithmetic over an 8-row frame.
+
+    Plan: one hash-agg to per-user bitmaps (the only data-sized
+    shuffle), one to the 8-row coalition census; the Shapley sum is a
+    broadcast 3x8 join. At 100 TB only the bitmap agg grows; 10+
+    channels would need sampled coalitions (the documented frontier —
+    exact Shapley is exponential by nature)."""
+    ev = t(spark, sf_dir, "events")
+    touched = ev.groupBy("user_id").agg(
+        (
+            F.max(F.when(F.col("event_type") == "view", 1).otherwise(0))
+            + F.max(F.when(F.col("event_type") == "click", 2).otherwise(0))
+            + F.max(F.when(F.col("event_type") == "signup", 4).otherwise(0))
+        ).alias("bits"),
+        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("conv"),
+    )
+    seen = touched.groupBy("bits").agg(
+        F.count(F.lit(1)).alias("n_s"), F.sum("conv").alias("c_s")
+    )
+    allsets = ev.sparkSession.range(0, 8).select(F.col("id").cast("int").alias("bits"))
+    subsets = (
+        allsets.join(seen, "bits", "left")
+        .select(
+            "bits",
+            F.coalesce(F.expr("CAST(c_s * 1000000 DIV n_s AS BIGINT)"), F.lit(0)).alias("v"),
+        )
+    )
+    channels = ev.sparkSession.createDataFrame([("view", 1), ("click", 2), ("signup", 4)], "ch string, b int")
+    s0 = subsets.select(F.col("bits").alias("bits0"), F.col("v").alias("v0"))
+    s1 = subsets.select(F.col("bits").alias("bits1"), F.col("v").alias("v1"))
+    marginals = (
+        F.broadcast(channels)
+        .join(F.broadcast(s0), F.expr("(bits0 & b) = 0"))
+        .join(F.broadcast(s1), F.expr("bits1 = (bits0 | b)"))
+        .select(
+            "ch",
+            (
+                F.when(F.bit_count("bits0") == 0, 2)
+                .when(F.bit_count("bits0") == 1, 1)
+                .otherwise(2)
+                * (F.col("v1") - F.col("v0"))
+            ).alias("term"),
+        )
+    )
+    return (
+        marginals.groupBy(F.col("ch").alias("channel"))
+        .agg(F.expr("CAST(SUM(term) DIV 6 AS BIGINT)").alias("shapley_micro"))
+        .orderBy("channel")
+    )

@@ -748,3 +748,25 @@ def test_cuped_reduces_variance_and_is_unbiased_under_null(spark):
     # adjustment must never INCREASE variance (theta is the optimum)
     assert r["var_reduction_pct"] >= 0
     assert r["n_treated"] + r["n_control"] > 0
+
+
+def test_shapley_efficiency_axiom(spark):
+    """Shapley values must sum to v(grand coalition) - v(empty set)."""
+    out = {r["channel"]: r["shapley_micro"] for r in QUERIES["ev18_shapley_attribution"](spark, SF).collect()}
+    assert set(out) == {"view", "click", "signup"}
+    from realestate_engine.registry import t as load
+
+    ev = load(spark, SF, "events").toPandas()
+    import pandas as pd
+
+    g = ev.groupby("user_id")["event_type"].agg(set)
+    bits = g.map(lambda s: (1 if "view" in s else 0) + (2 if "click" in s else 0) + (4 if "signup" in s else 0))
+    conv = g.map(lambda s: 1 if "purchase" in s else 0)
+    df = pd.DataFrame({"bits": bits, "conv": conv})
+    stats = df.groupby("bits")["conv"].agg(["count", "sum"])
+    v = {s: 0 for s in range(8)}
+    for s, row in stats.iterrows():
+        v[s] = int(row["sum"]) * 1_000_000 // int(row["count"])
+    total = sum(out.values())
+    # efficiency up to the three DIV-6 floors
+    assert abs(total - (v[7] - v[0])) <= 3

@@ -74,6 +74,7 @@ ALLOWED_CROSS = {
     "m36_poisson_bootstrap_ci",  # 32-row replicate fan-out broadcast + 32-row order-stat rank join
     "x29_rendezvous_sharding",  # broadcast 7/8-row shard-range fan-outs (constant frames)
     "ev17_cuped_adjustment",  # chained 1-row broadcast scalars (means, theta, arm effects, variances)
+    "ev18_shapley_attribution",  # broadcast 3x8 coalition-frame joins (constant size by construction)
     "a43_histogram_quantile_rollup",  # <=64-row bucket-ledger cumulative self-join + 1-row broadcasts
     "x26_late_dimension_replay",  # cross join of five 1-row replay-ledger aggregates
     "m30_woe_iv_binning",  # broadcast 1-row quintile-cuts + class-totals frames
@@ -145,6 +146,7 @@ ALLOWED_LOCAL = {
     "p19_schema_drift_audit",  # O(columns) footer-metadata diff (driver-side by design)
     "dq15_observe_metrics",  # returns the O(1) Observation metric record of a real write job
     "mm_phash_dct",  # 128-row fixed-point DCT cosine basis dim (broadcast VALUES, not data)
+    "ev18_shapley_attribution",  # 3-row channel VALUES dim (broadcast)
 }
 
 
