@@ -3325,3 +3325,208 @@ def ev18_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.expr("CAST(SUM(term) DIV 6 AS BIGINT)").alias("shapley_micro"))
         .orderBy("channel")
     )
+
+
+@register(
+    "a44_trimmed_mean",
+    """
+    WITH vals AS (
+        SELECT c.c_nationkey AS nation, CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders o JOIN customer c ON o.o_custkey = c.c_custkey
+    ),
+    ranked AS (
+        SELECT nation, cents,
+               ROW_NUMBER() OVER (PARTITION BY nation ORDER BY cents, cents) AS rk,
+               COUNT(*) OVER (PARTITION BY nation) AS n
+        FROM vals
+    )
+    SELECT CAST(nation AS BIGINT) AS nation,
+           CAST(ANY_VALUE(n) AS BIGINT) AS n,
+           CAST(SUM(cents) // COUNT(*) AS BIGINT) AS raw_mean_cents,
+           CAST(SUM(CASE WHEN rk > n // 10 AND rk <= n - n // 10 THEN cents END)
+                // SUM(CASE WHEN rk > n // 10 AND rk <= n - n // 10 THEN 1 ELSE 0 END)
+                AS BIGINT) AS trimmed_mean_cents,
+           CAST(SUM(CASE WHEN rk <= n // 10 OR rk > n - n // 10 THEN 1 ELSE 0 END) AS BIGINT)
+               AS n_trimmed
+    FROM ranked GROUP BY nation ORDER BY nation
+    """,
+)
+def a44_trimmed_mean(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A44: 10%-trimmed mean per nation — the robust-metric hygiene
+    every experimentation/monitoring platform applies before comparing
+    heavy-tailed money metrics (one whale order moves a raw mean;
+    the trimmed mean drops the top and bottom decile COUNT exactly,
+    floor(n/10) each side, by rank). Rank ties break on the value
+    itself so trimming is deterministic; means are exact integer
+    floor-division.
+
+    Plan: one join, one nation-PARTITIONED ranking window (the
+    repo-wide no-global-window discipline), one final hash-agg — the
+    window input is the per-nation order list, which is also the
+    natural 100 TB partition."""
+    from pyspark.sql.window import Window
+
+    o = t(spark, sf_dir, "orders")
+    c = t(spark, sf_dir, "customer")
+    vals = o.join(F.broadcast(c.select("c_custkey", "c_nationkey")), o.o_custkey == F.col("c_custkey")).select(
+        F.col("c_nationkey").alias("nation"),
+        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    w_rk = Window.partitionBy("nation").orderBy("cents")
+    w_n = Window.partitionBy("nation")
+    ranked = vals.select(
+        "nation",
+        "cents",
+        F.row_number().over(w_rk).alias("rk"),
+        F.count(F.lit(1)).over(w_n).alias("n"),
+    )
+    keep = (F.col("rk") > F.expr("n DIV 10")) & (F.col("rk") <= F.expr("n - n DIV 10"))
+    return (
+        ranked.groupBy(F.col("nation").cast("long").alias("nation"))
+        .agg(
+            F.first("n").cast("long").alias("n"),
+            F.expr("CAST(SUM(cents) DIV COUNT(*) AS BIGINT)").alias("raw_mean_cents"),
+            F.expr(
+                "CAST(SUM(CASE WHEN rk > n DIV 10 AND rk <= n - n DIV 10 THEN cents END)"
+                " DIV SUM(CASE WHEN rk > n DIV 10 AND rk <= n - n DIV 10 THEN 1 ELSE 0 END) AS BIGINT)"
+            ).alias("trimmed_mean_cents"),
+            F.sum(F.when(~keep, 1).otherwise(0)).cast("long").alias("n_trimmed"),
+        )
+        .orderBy("nation")
+    )
+
+
+_ALLEN_CASE = """
+    CASE
+        WHEN ae < bs THEN 'before'
+        WHEN as_ > be THEN 'after'
+        WHEN as_ = bs AND ae = be THEN 'equals'
+        WHEN ae = bs THEN 'meets'
+        WHEN as_ = be THEN 'met_by'
+        WHEN as_ = bs AND ae < be THEN 'starts'
+        WHEN as_ = bs AND ae > be THEN 'started_by'
+        WHEN ae = be AND as_ > bs THEN 'finishes'
+        WHEN ae = be AND as_ < bs THEN 'finished_by'
+        WHEN as_ > bs AND ae < be THEN 'during'
+        WHEN as_ < bs AND ae > be THEN 'contains'
+        WHEN as_ < bs AND ae > bs AND ae < be THEN 'overlaps'
+        ELSE 'overlapped_by'
+    END
+"""
+
+
+@register(
+    "j13_allen_interval_algebra",
+    f"""
+    WITH iv AS (
+        SELECT user_id, event_type,
+               EPOCH_US(MIN(ts)) AS s, EPOCH_US(MAX(ts)) AS e
+        FROM events GROUP BY user_id, event_type
+    ),
+    pairs AS (
+        SELECT a.event_type AS type_a, b.event_type AS type_b,
+               a.s AS as_, a.e AS ae, b.s AS bs, b.e AS be
+        FROM iv a JOIN iv b
+          ON a.user_id = b.user_id AND a.event_type < b.event_type
+    )
+    SELECT type_a, type_b, {_ALLEN_CASE} AS relation,
+           CAST(COUNT(*) AS BIGINT) AS n_pairs
+    FROM pairs GROUP BY type_a, type_b, relation
+    ORDER BY type_a, type_b, relation
+    """,
+)
+def j13_allen_interval_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J13: Allen's interval algebra — the COMPLETE temporal-relation
+    classification (all 13 relations: before/meets/overlaps/starts/
+    during/finishes, inverses, equals) that the asof/range/interval
+    joins (j9/j12/temporal.py) each hard-code one slice of. Per user,
+    each event type's activity span [min ts, max ts] is an interval;
+    every type pair is classified with ONE branch-ordered CASE over
+    exact epoch-microsecond integers (the SAME SQL text runs on both
+    engines — equality cases are decided before containment, so the
+    cascade is total and unambiguous), then the corpus rolls up to
+    (type_a, type_b, relation) counts — the temporal-profile
+    fingerprint of the event stream.
+
+    Plan: one (user, type) agg, one per-user self-join (bounded: 5
+    types -> 10 pairs per user), one rollup — all partial-agg
+    shuffles keyed by user then by the 75-value rollup key."""
+    ev = t(spark, sf_dir, "events")
+    iv = ev.groupBy("user_id", "event_type").agg(
+        F.unix_micros(F.min("ts")).alias("s"), F.unix_micros(F.max("ts")).alias("e")
+    )
+    a = iv.select(F.col("user_id"), F.col("event_type").alias("type_a"), F.col("s").alias("as_"), F.col("e").alias("ae"))
+    b = iv.select(F.col("user_id").alias("ub"), F.col("event_type").alias("type_b"), F.col("s").alias("bs"), F.col("e").alias("be"))
+    pairs = a.join(b, (a.user_id == b.ub) & (F.col("type_a") < F.col("type_b")))
+    return (
+        pairs.select("type_a", "type_b", F.expr(_ALLEN_CASE).alias("relation"))
+        .groupBy("type_a", "type_b", "relation")
+        .agg(F.count(F.lit(1)).cast("long").alias("n_pairs"))
+        .orderBy("type_a", "type_b", "relation")
+    )
+
+
+@register(
+    "f26_snowflake_ids",
+    """
+    WITH ordered AS (
+        SELECT event_id, EPOCH_MS(ts) AS ts_ms,
+               CAST(user_id % 32 AS BIGINT) AS worker,
+               ROW_NUMBER() OVER (
+                   PARTITION BY user_id % 32, EPOCH_MS(ts)
+                   ORDER BY event_id) - 1 AS seq
+        FROM events
+    ),
+    ids AS (
+        SELECT event_id, worker,
+               ts_ms * 131072 + worker * 4096 + seq AS snowflake_id
+        FROM ordered WHERE seq < 4096
+    )
+    SELECT CAST(worker AS BIGINT) AS worker,
+           CAST(COUNT(*) AS BIGINT) AS n_ids,
+           CAST(COUNT(DISTINCT snowflake_id) AS BIGINT) AS n_distinct,
+           CAST(MIN(snowflake_id) AS BIGINT) AS min_id,
+           CAST(MAX(snowflake_id) AS BIGINT) AS max_id
+    FROM ids GROUP BY worker ORDER BY worker
+    """,
+)
+def f26_snowflake_ids(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F26: Snowflake-style distributed ID generation — the
+    coordination-free unique-id scheme every large ingest pipeline
+    uses: id = timestamp_ms << 17 | worker << 12 | sequence (5 worker
+    bits, 12 sequence bits here). The sequence is a ROW_NUMBER
+    partitioned by (worker, millisecond) with a deterministic
+    tiebreak, so ids are unique BY CONSTRUCTION without any global
+    counter — exactly why the scheme scales: each worker mints ids
+    from local state only. The audit reports per-worker id counts,
+    distinct counts (uniqueness evidence the test pins globally) and
+    id ranges (time-ordering evidence: ids sort by timestamp across
+    workers).
+
+    Plan: one partitioned ranking window + one hash-agg; the window
+    key (worker, ms) is tiny per partition — no global funnel."""
+    from pyspark.sql.window import Window
+
+    ev = t(spark, sf_dir, "events")
+    w = Window.partitionBy(F.expr("user_id % 32"), F.expr("unix_millis(ts)")).orderBy("event_id")
+    ordered = ev.select(
+        "event_id",
+        F.expr("unix_millis(ts)").alias("ts_ms"),
+        F.expr("CAST(user_id % 32 AS BIGINT)").alias("worker"),
+        (F.row_number().over(w) - 1).alias("seq"),
+    )
+    ids = ordered.filter(F.col("seq") < 4096).select(
+        "event_id",
+        "worker",
+        (F.col("ts_ms") * 131072 + F.col("worker") * 4096 + F.col("seq")).alias("snowflake_id"),
+    )
+    return (
+        ids.groupBy(F.col("worker").cast("long").alias("worker"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_ids"),
+            F.countDistinct("snowflake_id").cast("long").alias("n_distinct"),
+            F.min("snowflake_id").cast("long").alias("min_id"),
+            F.max("snowflake_id").cast("long").alias("max_id"),
+        )
+        .orderBy("worker")
+    )
