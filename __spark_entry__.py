@@ -47,7 +47,9 @@ registry.load_all()
 # t24_weighted_sample_aes, f25_geohash_buckets,
 # x28_zorder_clustering_audit, m36_poisson_bootstrap_ci,
 # x29_rendezvous_sharding, ev17_cuped_adjustment,
-# ev18_shapley_attribution, tpch_q14, tpch_q19), and the
+# ev18_shapley_attribution, a44_trimmed_mean,
+# j13_allen_interval_algebra, f26_snowflake_ids, tpch_q14,
+# tpch_q19), and the
 # f2/f4/f5/f8/f10x3 fills displaced by the second-wave swap.
 _WINDOW = [
     "flagship_revenue_by_nation",
