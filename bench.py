@@ -54,6 +54,33 @@ HEADLINE = [
 ]
 
 
+def _prior_run() -> tuple[int | None, dict[str, float], dict[str, float]]:
+    """(round, spark_s, duckdb_s) per query from the newest
+    BENCH_r*.json. The driver's BENCH files may truncate the JSON
+    line, so the two flat dicts are regex-extracted, not json-parsed."""
+    import glob
+    import re
+
+    runs = sorted(
+        glob.glob(os.path.join(os.path.dirname(os.path.abspath(__file__)), "BENCH_r*.json"))
+    )
+    if not runs:
+        return None, {}, {}
+    prior_round = int(re.search(r"BENCH_r(\d+)", runs[-1]).group(1))
+    text = open(runs[-1]).read()
+
+    def block(key: str) -> dict[str, float]:
+        m = re.search(r'\\?"%s\\?": \{([^{}]*)\}' % key, text)
+        if not m:
+            return {}
+        return {
+            k: float(v)
+            for k, v in re.findall(r'\\?"([a-z0-9_]+)\\?": ([0-9.]+)', m.group(1))
+        }
+
+    return prior_round, block("queries"), block("duckdb")
+
+
 def _loadavg() -> list[float] | None:
     """1/5/15-min load averages, so a bench JSON recorded on a
     contended box carries its own discount factor (the r4 record was
@@ -153,6 +180,28 @@ def main() -> None:
             best = min(best, time.time() - t0)
         duck[name] = round(best, 3)
 
+    # drift guard vs the previous round: flag a query only when BOTH
+    # its wall AND its spark/duckdb ratio regressed >25%. Wall alone
+    # is the box (everything slows together); ratio alone is the
+    # DuckDB co-measurement's own noise (the r6 run's contended
+    # DuckDB timings deflated every ratio, so a ratio-only rule
+    # false-flagged 12 flat-wall queries). A genuine engine
+    # regression moves both.
+    prior_round, prior_spark, prior_duck = _prior_run()
+    prior_ratio = {
+        q: prior_spark[q] / prior_duck[q] for q in prior_spark if prior_duck.get(q)
+    }
+    ratios = {
+        q: round(timings[q] / duck[q], 3) for q in timings if duck.get(q)
+    }
+    ratio_regressions = sorted(
+        q
+        for q, r in ratios.items()
+        if prior_ratio.get(q)
+        and r > 1.25 * prior_ratio[q]
+        and timings[q] > 1.25 * prior_spark[q]
+    )
+
     sf = sf_dir.rstrip("/").rsplit("sf", 1)[-1]
     try:
         sf_val = float(sf)
@@ -172,6 +221,9 @@ def main() -> None:
                 "contended_start": contended,
                 "contention_waits": waits,
                 "duckdb": duck,
+                "ratios": ratios,
+                "ratio_vs_round": prior_round,
+                "ratio_regressions": ratio_regressions,
                 "duckdb_total": round(sum(duck.values()), 3),
                 # keep the comparison honest in BOTH directions: the
                 # pagerank oracle is an unrolled recursive closure (a

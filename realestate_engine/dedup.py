@@ -1515,7 +1515,9 @@ def dedup_lsh_hot_bucket_guard(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.count(F.lit(1)).cast("bigint").alias("n_buckets"),
         F.sum(F.when(hot, 1).otherwise(0)).cast("bigint").alias("n_hot_buckets"),
         F.sum(F.when(hot, F.col("occ")).otherwise(0)).cast("bigint").alias("n_rows_in_hot"),
-        F.sum(F.when(hot, (F.col("occ") * (F.col("occ") - 1)).cast("bigint") / 2).otherwise(0))
+        # integer DIV end to end (matches the oracle's `//`): float /2
+        # summed as double loses exactness past 2^53 pair slots
+        F.sum(F.when(hot, F.expr("(CAST(occ AS BIGINT) * (occ - 1)) DIV 2")).otherwise(0))
         .cast("bigint")
         .alias("dropped_pair_slots"),
     )
@@ -1592,11 +1594,12 @@ def prefix_filter_candidates(docs: DataFrame) -> DataFrame:
                         STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+')[i+2])
                )) AS toks
         FROM documents WHERE n_chars <= 200
-    )
+    ),
+    ne AS (SELECT * FROM d WHERE LEN(toks) > 0)
     SELECT a.doc_id AS id_a, b.doc_id AS id_b,
            CAST(LEN(LIST_INTERSECT(a.toks, b.toks)) * 1000000
                 // LEN(LIST_DISTINCT(LIST_CONCAT(a.toks, b.toks))) AS BIGINT) AS jaccard_micro
-    FROM d a JOIN d b ON a.doc_id < b.doc_id
+    FROM ne a JOIN ne b ON a.doc_id < b.doc_id
     WHERE LEN(LIST_INTERSECT(a.toks, b.toks)) * {_PPJOIN_DEN}
           >= LEN(LIST_DISTINCT(LIST_CONCAT(a.toks, b.toks))) * {_PPJOIN_NUM}
     ORDER BY id_a, id_b
@@ -1621,6 +1624,12 @@ def dedup_prefix_filter_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         t(spark, sf_dir, "documents")
         .filter(F.col("n_chars") <= 200)
         .select("doc_id", word_shingles(F.col("text"), 3).alias("toks"))
+        # empty shingle sets can never reach the threshold, but the
+        # brute-force oracle's LEN(...)*num >= LEN(...)*den admits
+        # 0 >= 0 pairs with a NULL jaccard (integer //0) — exclude
+        # them on BOTH sides so row-count parity survives any future
+        # corpus with <3-word short docs (ADVICE r6)
+        .filter(F.size("toks") > 0)
     )
     cand = prefix_filter_candidates(d)
     da, db = d.alias("da"), d.alias("db")

@@ -23,35 +23,6 @@ from realestate_engine.dedup import cache_once
 from realestate_engine.registry import ORACLES, register, stable_tmp, t
 
 
-@register("s10_orc_roundtrip", "SELECT n_nationkey, n_name, n_regionkey FROM nation")
-def s10_orc_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S10: ORC sink + scan — Spark's second columnar format, same
-    predicate-pushdown/column-pruning machinery as parquet. The ORC
-    footer preserves exact types so no explicit read schema is needed."""
-    out = stable_tmp("s10_orc")
-    t(spark, sf_dir, "nation").write.mode("overwrite").orc(out)
-    return spark.read.orc(out).select("n_nationkey", "n_name", "n_regionkey")
-
-
-@register("s11_json_roundtrip", "SELECT s_suppkey, s_name, s_nationkey FROM supplier")
-def s11_json_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S11: JSON-lines sink + explicit-schema scan (schema-on-read:
-    inference would double-scan and widen ints — an explicit schema is
-    the scale path for JSON sources)."""
-    out = stable_tmp("s11_json")
-    t(spark, sf_dir, "supplier").select("s_suppkey", "s_name", "s_nationkey").write.mode(
-        "overwrite"
-    ).json(out)
-    schema = T.StructType(
-        [
-            T.StructField("s_suppkey", T.LongType(), True),
-            T.StructField("s_name", T.StringType(), True),
-            T.StructField("s_nationkey", T.IntegerType(), True),
-        ]
-    )
-    return spark.read.schema(schema).json(out)
-
-
 @register(
     "a12_unpivot_part_metrics",
     """
@@ -214,29 +185,6 @@ def a16_histogram_width_bucket(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
-
-
-_SQL_CTE = """
-    WITH po AS (
-        SELECT o_orderpriority,
-               CAST(COUNT(*) AS BIGINT) AS n_orders,
-               SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS cents
-        FROM {orders} GROUP BY o_orderpriority
-    )
-    SELECT o_orderpriority, n_orders,
-           cents / CAST(100 AS DOUBLE) AS total_price
-    FROM po WHERE n_orders > 0 ORDER BY o_orderpriority
-"""
-
-
-@register("sql_cte_entry", _SQL_CTE.format(orders="orders"))
-def sql_cte_entry(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SQL front-end entry: the engine accepts raw ANSI SQL with CTEs
-    over registered views — the exact text the oracle runs (modulo the
-    view name), proving the spark.sql path, not just the DataFrame
-    DSL. Same Catalyst plan either way."""
-    t(spark, sf_dir, "orders").createOrReplaceTempView("_sql_orders")
-    return spark.sql(_SQL_CTE.format(orders="_sql_orders"))
 
 
 @register(
@@ -639,46 +587,6 @@ def a19_crosstab(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "dq_expectations",
-    """
-    SELECT
-        (SELECT CAST(COUNT(*) AS BIGINT) FROM orders WHERE o_orderkey IS NULL) AS null_order_keys,
-        (SELECT CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) FROM orders) AS dup_order_keys,
-        (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
-          WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS orphan_lineitems,
-        (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem WHERE l_extendedprice <= 0 OR l_quantity <= 0) AS nonpositive_lines,
-        (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem WHERE l_discount < 0 OR l_discount > 1) AS bad_discounts
-    """,
-)
-def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DQ1: declarative data-quality expectations — primary-key
-    integrity (null/duplicate keys), referential integrity (orphan
-    facts via LEFT ANTI), and domain constraints, summarized as one
-    violations row. The gate every production pipeline runs before
-    publishing a partition; each expectation is a distributed aggregate
-    or anti-join, no driver-side row checks."""
-    o = t(spark, sf_dir, "orders")
-    li = t(spark, sf_dir, "lineitem")
-    key_stats = o.agg(
-        F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)).cast("bigint").alias("null_order_keys"),
-        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).cast("bigint").alias("dup_order_keys"),
-    )
-    orphans = (
-        li.join(o.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey"), "left_anti")
-        .agg(F.count(F.lit(1)).alias("orphan_lineitems"))
-    )
-    domains = li.agg(
-        F.sum(F.when((F.col("l_extendedprice") <= 0) | (F.col("l_quantity") <= 0), 1).otherwise(0))
-        .cast("bigint")
-        .alias("nonpositive_lines"),
-        F.sum(F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1).otherwise(0))
-        .cast("bigint")
-        .alias("bad_discounts"),
-    )
-    return key_stats.crossJoin(orphans).crossJoin(domains)
-
-
-@register(
     "a20_exact_percentiles",
     """
     SELECT l_returnflag,
@@ -779,140 +687,6 @@ def j6_spatial_grid_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "ev_funnel_conversion",
-    """
-    WITH v AS (
-        SELECT user_id, MIN(ts) AS t FROM events WHERE event_type = 'view' GROUP BY user_id
-    ),
-    c AS (
-        SELECT e.user_id, MIN(e.ts) AS t
-        FROM events e JOIN v ON e.user_id = v.user_id AND e.ts > v.t
-        WHERE e.event_type = 'click' GROUP BY e.user_id
-    ),
-    p AS (
-        SELECT e.user_id, MIN(e.ts) AS t
-        FROM events e JOIN c ON e.user_id = c.user_id AND e.ts > c.t
-        WHERE e.event_type = 'purchase' GROUP BY e.user_id
-    )
-    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM v) AS n_viewed,
-           (SELECT CAST(COUNT(*) AS BIGINT) FROM c) AS n_clicked,
-           (SELECT CAST(COUNT(*) AS BIGINT) FROM p) AS n_purchased,
-           (SELECT CAST(COUNT(*) AS DOUBLE) FROM c) / (SELECT COUNT(*) FROM v) AS view_to_click,
-           (SELECT CAST(COUNT(*) AS DOUBLE) FROM p) / (SELECT COUNT(*) FROM c) AS click_to_purchase
-    """,
-)
-def ev_funnel_conversion(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Ordered funnel analysis: users who viewed, then clicked strictly
-    AFTER their first view, then purchased strictly AFTER that first
-    click — the product-analytics conversion funnel with event-order
-    semantics (not mere type membership). Each stage is a conditional
-    min-aggregate keyed on user_id joined to the prior stage; all three
-    shuffles share the user_id key so the exchange is reused across
-    stages. Rates are int/int divisions — bit-identical cross-engine."""
-    ev = t(spark, sf_dir, "events")
-    v = ev.filter(F.col("event_type") == "view").groupBy("user_id").agg(F.min("ts").alias("vt"))
-    c = (
-        ev.filter(F.col("event_type") == "click")
-        .join(v, "user_id")
-        .filter(F.col("ts") > F.col("vt"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("ct"))
-    )
-    p = (
-        ev.filter(F.col("event_type") == "purchase")
-        .join(c, "user_id")
-        .filter(F.col("ts") > F.col("ct"))
-        .groupBy("user_id")
-        .agg(F.min("ts").alias("pt"))
-    )
-    nv = v.agg(F.count(F.lit(1)).cast("bigint").alias("n_viewed"))
-    nc = c.agg(F.count(F.lit(1)).cast("bigint").alias("n_clicked"))
-    np_ = p.agg(F.count(F.lit(1)).cast("bigint").alias("n_purchased"))
-    return (
-        nv.crossJoin(nc)
-        .crossJoin(np_)
-        .select(
-            "n_viewed",
-            "n_clicked",
-            "n_purchased",
-            (F.col("n_clicked").cast("double") / F.col("n_viewed")).alias("view_to_click"),
-            (F.col("n_purchased").cast("double") / F.col("n_clicked")).alias("click_to_purchase"),
-        )
-    )
-
-
-@register(
-    "ev_cohort_retention",
-    """
-    WITH firsts AS (
-        SELECT user_id, CAST(DATE_TRUNC('week', MIN(ts)) AS DATE) AS cohort_week
-        FROM events GROUP BY user_id
-    ),
-    activity AS (
-        SELECT DISTINCT e.user_id, f.cohort_week,
-               DATE_DIFF('day', f.cohort_week, CAST(DATE_TRUNC('week', e.ts) AS DATE)) // 7
-                   AS weeks_since
-        FROM events e JOIN firsts f ON e.user_id = f.user_id
-    ),
-    sizes AS (SELECT cohort_week, COUNT(*) AS cohort_size FROM firsts GROUP BY cohort_week)
-    SELECT a.cohort_week AS cohort_week,
-           CAST(a.weeks_since AS BIGINT) AS weeks_since,
-           CAST(COUNT(*) AS BIGINT) AS n_active,
-           CAST(COUNT(*) AS DOUBLE) / ANY_VALUE(s.cohort_size) AS retention_rate
-    FROM activity a JOIN sizes s ON a.cohort_week = s.cohort_week
-    GROUP BY a.cohort_week, a.weeks_since
-    ORDER BY a.cohort_week, a.weeks_since
-    """,
-)
-def ev_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """Cohort retention matrix: users grouped by first-activity week
-    (weekly cohorts — the testdata spans one month), tracked by
-    weeks-since-cohort activity, normalized by cohort size — THE
-    lifecycle analytics query. Shape: first-event agg (user key),
-    distinct (user, week) activity join, cohort-size broadcast join,
-    final rollup. weeks_since is day-difference // 7 of week-truncated
-    DATEs — exact integers on both engines."""
-    ev = t(spark, sf_dir, "events")
-    firsts = ev.groupBy("user_id").agg(
-        F.date_trunc("week", F.min("ts")).cast("date").alias("cohort_week")
-    )
-    activity = (
-        ev.join(firsts, "user_id")
-        .select(
-            "user_id",
-            "cohort_week",
-            F.floor(
-                F.datediff(F.date_trunc("week", F.col("ts")).cast("date"), F.col("cohort_week")) / 7
-            )
-            .cast("bigint")
-            .alias("weeks_since"),
-        )
-        .distinct()
-    )
-    sizes = firsts.groupBy("cohort_week").agg(F.count(F.lit(1)).alias("cohort_size"))
-    return (
-        activity.join(F.broadcast(sizes), "cohort_week")
-        .groupBy("cohort_week", "weeks_since")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_active"),
-            (F.count(F.lit(1)).cast("double") / F.any_value(F.col("cohort_size"))).alias(
-                "retention_rate"
-            ),
-        )
-        # timestamp, not date, on the output: DateType reaches pandas
-        # as object while the oracle's DATE fetches as datetime64 (the
-        # f10_monthly_revenue idiom keeps both in the datetime family)
-        .select(
-            F.col("cohort_week").cast("timestamp").alias("cohort_week"),
-            "weeks_since",
-            "n_active",
-            "retention_rate",
-        )
-        .orderBy("cohort_week", "weeks_since")
-    )
-
-
-@register(
     "a21_skew_audit",
     """
     WITH k AS (SELECT l_suppkey AS key, COUNT(*) AS cnt FROM lineitem GROUP BY l_suppkey),
@@ -956,292 +730,6 @@ def a21_skew_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cnt"), "key")
         .limit(10)
     )
-
-
-@register("s12_xml_roundtrip", "SELECT r_regionkey, r_name FROM region")
-def s12_xml_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S12: native XML sink + scan (Spark 4 built-in, no external
-    package): write region as <region> row elements, read back with an
-    explicit schema + rowTag. Completes the source/sink matrix
-    (CSV/parquet/ORC/JSON/XML/binary). Explicit read schema — XML
-    inference double-scans, same rule as the JSON source."""
-    out = stable_tmp("s12_xml")
-    t(spark, sf_dir, "region").select("r_regionkey", "r_name").write.mode("overwrite").option(
-        "rowTag", "region"
-    ).format("xml").save(out)
-    schema = T.StructType(
-        [
-            T.StructField("r_regionkey", T.IntegerType(), True),
-            T.StructField("r_name", T.StringType(), True),
-        ]
-    )
-    return spark.read.schema(schema).option("rowTag", "region").format("xml").load(out)
-
-
-@register(
-    "s13_binaryfile_scan",
-    # The driver compares at sf0.01, so the blob glob names that dir;
-    # tools/check_oracle.py rewrites the path for other --sf runs.
-    r"""
-    SELECT regexp_extract(filename, '([^/]+)\.parquet$', 1) AS table_name,
-           CAST(size AS BIGINT) AS n_bytes,
-           CAST(OCTET_LENGTH(content) AS BIGINT) AS content_bytes
-    FROM read_blob('/root/testdata/sf0.01/*.parquet')
-    ORDER BY table_name
-    """,
-)
-def s13_binaryfile_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S13: binaryFile source — the ingestion path for opaque media
-    blobs (images/audio/video) feeding the MM* multimodal operators:
-    each file becomes (path, modificationTime, length, content:binary).
-    Here it scans the sf dir's parquet files themselves as opaque
-    blobs and derives per-extension stats; the DuckDB oracle reads the
-    same files with read_blob, proving both the metadata column and
-    the loaded bytes agree with the filesystem. At 100 TB this is how
-    raw media lands in a DataFrame without a decode step in the scan."""
-    files = spark.read.format("binaryFile").load(sf_dir + "/*.parquet")
-    return (
-        files.select(
-            F.regexp_extract(F.col("path"), r"([^/]+)\.parquet$", 1).alias("table_name"),
-            F.col("length").cast("bigint").alias("n_bytes"),
-            F.length(F.col("content")).cast("bigint").alias("content_bytes"),
-        )
-        .orderBy("table_name")
-    )
-
-
-@register(
-    "s14_compaction_roundtrip",
-    """
-    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
-           CAST(COUNT(DISTINCT l_orderkey) AS BIGINT) AS n_orders
-    FROM lineitem
-    """,
-)
-def s14_compaction_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S14: small-file compaction — the table-maintenance pass every
-    100 TB lake needs: a fragmented table (64 shards here; millions of
-    small files in production) is rewritten into ceil(bytes / 128 MB)
-    right-sized files. Target file count comes from listing the
-    fragmented output's sizes (metadata only — no data through the
-    driver); the oracle proves the rewrite is content-preserving by
-    aggregating the compacted copy. coalesce() (not repartition)
-    avoids a shuffle: compaction only narrows partitioning."""
-    import math
-    import os
-
-    frag_dir = stable_tmp("s14_frag")
-    out_dir = stable_tmp("s14_compact")
-    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
-    li.repartition(64).write.mode("overwrite").parquet(frag_dir)
-    frag = spark.read.parquet(frag_dir)
-    n_bytes = sum(
-        os.path.getsize(os.path.join(frag_dir, f))
-        for f in os.listdir(frag_dir)
-        if f.endswith(".parquet")
-    )
-    target_files = max(1, math.ceil(n_bytes / (128 * 1024 * 1024)))
-    frag.coalesce(target_files).write.mode("overwrite").parquet(out_dir)
-    return spark.read.parquet(out_dir).agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-        F.sum(F.expr("CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)"))
-        .cast("bigint")
-        .alias("total_cents"),
-        F.countDistinct("l_orderkey").cast("bigint").alias("n_orders"),
-    )
-
-
-@register(
-    "s15_schema_evolution_merge",
-    """
-    SELECT o_orderkey, o_totalprice, NULL AS o_comment_len
-    FROM orders WHERE o_orderkey % 2 = 0
-    UNION ALL
-    SELECT o_orderkey, o_totalprice, CAST(LENGTH(o_orderpriority) AS BIGINT) AS o_comment_len
-    FROM orders WHERE o_orderkey % 2 = 1
-    ORDER BY o_orderkey
-    """,
-)
-def s15_schema_evolution_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S15: schema evolution on read — an old partition written with 2
-    columns and a new partition with an added column are scanned as ONE
-    table via mergeSchema; missing columns null-fill. The ubiquitous
-    lake situation (columns added over months of ingest) that a
-    fixed-schema engine can't read at all. Footer-merge only — no data
-    rewrite."""
-    base = stable_tmp("s15_evo")
-    o = t(spark, sf_dir, "orders")
-    o.filter(F.col("o_orderkey") % 2 == 0).select("o_orderkey", "o_totalprice").write.mode(
-        "overwrite"
-    ).parquet(base + "/p=old")
-    o.filter(F.col("o_orderkey") % 2 == 1).select(
-        "o_orderkey",
-        "o_totalprice",
-        F.length("o_orderpriority").cast("bigint").alias("o_comment_len"),
-    ).write.mode("overwrite").parquet(base + "/p=new")
-    return (
-        spark.read.option("mergeSchema", "true")
-        .parquet(base + "/p=old", base + "/p=new")
-        .select("o_orderkey", "o_totalprice", "o_comment_len")
-        .orderBy("o_orderkey")
-    )
-
-
-def _interleave_bits_expr(x: str, y: str) -> str:
-    """Morton/Z-value bit interleave of two 16-bit ints as pure
-    div/mod/mul arithmetic — the SAME expression string runs on Spark
-    and DuckDB (FLOOR-division and % are cross-engine-exact; no
-    dialect-specific shift operators)."""
-    terms = []
-    for i in range(16):
-        terms.append(f"(CAST(FLOOR({x} / {1 << i}) AS BIGINT) % 2) * {1 << (2 * i)}")
-        terms.append(f"(CAST(FLOOR({y} / {1 << i}) AS BIGINT) % 2) * {1 << (2 * i + 1)}")
-    return " + ".join(terms)
-
-
-_ZVAL = _interleave_bits_expr("xm", "ym")
-
-
-@register(
-    "s16_zorder_layout",
-    f"""
-    WITH keyed AS (
-        SELECT o_orderkey,
-               o_custkey % 65536 AS xm,
-               DATE_DIFF('day', DATE '1992-01-01', CAST(o_orderdate AS DATE)) % 65536 AS ym
-        FROM orders
-    )
-    SELECT o_orderkey, CAST({_ZVAL} AS BIGINT) AS zval
-    FROM keyed
-    ORDER BY o_orderkey
-    """,
-)
-def s16_zorder_layout(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S16: Z-order (Morton-curve) data layout — interleave the bits of
-    two filter dimensions (customer, order day) into one clustering
-    key, then repartitionByRange + sortWithinPartitions + write so
-    parquet row-group min/max stats are tight on BOTH dimensions at
-    once. This is the lakehouse multi-dimensional-clustering op (Delta
-    OPTIMIZE ZORDER) that single-column sorting can't give you: at
-    100 TB it turns either-dimension point queries into file skips.
-    The z-value is pure integer arithmetic from one shared expression
-    string — bit-identical across engines; pytest asserts the physical
-    files have narrow per-file custkey spreads."""
-    out = os.path.join(tempfile.gettempdir(), "re_s16_zorder")
-    o = t(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        (F.col("o_custkey") % 65536).alias("xm"),
-        (F.datediff(F.col("o_orderdate").cast("date"), F.lit("1992-01-01").cast("date")) % 65536).alias(
-            "ym"
-        ),
-    )
-    z = o.select("o_orderkey", "xm", "ym", F.expr(_ZVAL).cast("bigint").alias("zval"))
-    (
-        z.repartitionByRange(8, "zval")
-        .sortWithinPartitions("zval")
-        .write.mode("overwrite")
-        .parquet(out)
-    )
-    return spark.read.parquet(out).select("o_orderkey", "zval").orderBy("o_orderkey")
-
-
-@register(
-    "s17_python_datasource",
-    """
-    SELECT d.range AS device_id,
-           r.range AS reading_idx,
-           (1103515245 * (d.range * 100000 + r.range) + 12345) % 2147483648 AS reading
-    FROM range(8) d, range(500) r
-    ORDER BY device_id, reading_idx
-    """,
-)
-def s17_python_datasource(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S17: custom Python DataSource (Spark 4 extension point) — a
-    partitioned generator source: one InputPartition per device, each
-    executor-side partition yielding its device's readings from a
-    deterministic integer LCG (no driver data movement; planning sees
-    only partition METADATA). This is how a bespoke feed (sensor
-    fleet, sharded REST API, proprietary format) plugs into the scan
-    path with real parallelism. Classes are defined in-function so
-    cloudpickle ships them by value to executors. The LCG is pure
-    integer arithmetic — the oracle regenerates it exactly in SQL."""
-    from pyspark.sql.datasource import DataSource, DataSourceReader, InputPartition
-
-    n_devices, n_readings = 8, 500
-
-    class SensorSource(DataSource):
-        @classmethod
-        def name(cls) -> str:
-            return "sensor_lcg"
-
-        def schema(self) -> str:
-            return "device_id BIGINT, reading_idx BIGINT, reading BIGINT"
-
-        def reader(self, schema):  # noqa: ANN001
-            return SensorReader()
-
-    class SensorReader(DataSourceReader):
-        def partitions(self):
-            return [InputPartition(d) for d in range(n_devices)]
-
-        def read(self, partition):
-            d = partition.value
-            for idx in range(n_readings):
-                yield (d, idx, (1103515245 * (d * 100000 + idx) + 12345) % 2147483648)
-
-    spark.dataSource.register(SensorSource)
-    return (
-        spark.read.format("sensor_lcg")
-        .load()
-        .orderBy("device_id", "reading_idx")
-    )
-
-
-@register(
-    "sql_recursive_reachability",
-    """
-    WITH RECURSIVE pairs AS (
-        SELECT DISTINCT 'c' || o_custkey AS c, 's' || l_suppkey AS s
-        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
-    ),
-    edges AS (
-        SELECT c AS src, s AS dst FROM pairs
-        UNION ALL
-        SELECT s AS src, c AS dst FROM pairs
-    ),
-    root AS (SELECT 'c' || MIN(o_custkey) AS node FROM orders),
-    reach(node, depth) AS (
-        SELECT node, 0 FROM root
-        UNION ALL
-        SELECT e.dst, r.depth + 1
-        FROM reach r JOIN edges e ON e.src = r.node
-        WHERE r.depth < 2
-    )
-    SELECT node, CAST(MIN(depth) AS BIGINT) AS hops
-    FROM reach
-    GROUP BY node
-    ORDER BY hops, node
-    """,
-)
-def sql_recursive_reachability(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SQL2: recursive CTE (Spark 4 WITH RECURSIVE) — bounded BFS from
-    the lowest-key customer over the trade graph, reporting each
-    reachable node's hop distance. The iterative-closure class
-    expressed DECLARATIVELY: Catalyst unions each frontier expansion
-    (a join per level) exactly like graph.py's PageRank loop, but
-    driven by the engine, not the driver. Depth-capped at 2 — the
-    bipartite graph is cyclic, and an unbounded closure over cycles
-    never terminates under UNION ALL semantics. Same SQL text runs on
-    both engines (the oracle IS this query)."""
-    import re
-
-    t(spark, sf_dir, "orders").createOrReplaceTempView("_rr_orders")
-    t(spark, sf_dir, "lineitem").createOrReplaceTempView("_rr_lineitem")
-    # same SQL text as the oracle, with table names scoped to private
-    # temp views (bare names would leak into later spark.sql queries)
-    sql = re.sub(r"\b(orders|lineitem)\b", r"_rr_\1", ORACLES["sql_recursive_reachability"])
-    return spark.sql(sql)
 
 
 @register(
@@ -1367,126 +855,6 @@ def a22_count_min_sketch(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "s18_permissive_corrupt_json",
-    """
-    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM supplier) AS n_good,
-           CAST(7 AS BIGINT) AS n_corrupt,
-           (SELECT CAST(SUM(s_suppkey) AS BIGINT) FROM supplier) AS good_key_total
-    """,
-)
-def s18_permissive_corrupt_json(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S18: dirty-feed ingestion — JSON scan in PERMISSIVE mode with a
-    _corrupt_record column: well-formed rows parse, malformed lines
-    (7 planted: truncated JSON, bare text, wrong bracket...) land
-    intact in the corrupt column instead of killing the job — the
-    quarantine pattern for 100 TB feeds where FAILFAST is operationally
-    impossible and DROPMALFORMED silently loses data. The count of
-    good/corrupt rows is the oracle-checked audit a quarantine pipeline
-    emits. (The scan is cached: Spark refuses to filter on ONLY the
-    corrupt column from a lazy scan, since column pruning would elide
-    the parse that defines it.)"""
-    import os
-
-    out = stable_tmp("s18_json")
-    t(spark, sf_dir, "supplier").select("s_suppkey", "s_name").write.mode("overwrite").json(out)
-    bad = [
-        '{"s_suppkey": 1, "s_name": ',
-        "not json at all",
-        '{"s_suppkey": "}',
-        "[1, 2,",
-        '{"s_suppkey": 2 "s_name": "x"}',
-        "{{}}",
-        '"dangling',
-    ]
-    with open(os.path.join(out, "part-corrupt.json"), "w") as f:
-        f.write("\n".join(bad) + "\n")
-    schema = T.StructType(
-        [
-            T.StructField("s_suppkey", T.LongType(), True),
-            T.StructField("s_name", T.StringType(), True),
-            T.StructField("_corrupt_record", T.StringType(), True),
-        ]
-    )
-    df = (
-        spark.read.schema(schema)
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", "_corrupt_record")
-        .json(out)
-    )
-    df = cache_once(df)
-    return df.agg(
-        F.sum(F.when(F.col("_corrupt_record").isNull(), 1).otherwise(0))
-        .cast("bigint")
-        .alias("n_good"),
-        F.sum(F.when(F.col("_corrupt_record").isNotNull(), 1).otherwise(0))
-        .cast("bigint")
-        .alias("n_corrupt"),
-        F.sum(F.when(F.col("_corrupt_record").isNull(), F.col("s_suppkey"))).cast("bigint").alias(
-            "good_key_total"
-        ),
-    )
-
-
-@register(
-    "dq_drift_audit",
-    """
-    WITH bucketed AS (
-        SELECT CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) AS bucket,
-               CASE WHEN o_orderdate < TIMESTAMP '1998-01-01' THEN 'a' ELSE 'b' END AS period
-        FROM orders
-    ),
-    counts AS (
-        SELECT bucket,
-               CAST(SUM(CASE WHEN period = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
-               CAST(SUM(CASE WHEN period = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
-        FROM bucketed GROUP BY bucket
-    ),
-    tot AS (SELECT SUM(n_a) AS ta, SUM(n_b) AS tb FROM counts)
-    SELECT bucket, n_a, n_b,
-           CAST(n_a AS DOUBLE) / ta AS share_a,
-           CAST(n_b AS DOUBLE) / tb AS share_b,
-           ABS(CAST(n_a AS DOUBLE) / ta - CAST(n_b AS DOUBLE) / tb) AS drift
-    FROM counts, tot
-    ORDER BY bucket
-    """,
-)
-def dq_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DQ2: distribution-drift audit between two time periods — the
-    monitoring gate that catches upstream schema/behavior changes
-    before a model trains on drifted data. Price-bucket shares per
-    period plus per-bucket L1 drift |share_a - share_b|; the L1 form
-    (not PSI) keeps every value an int/int division or a subtraction
-    of identical doubles — bit-identical cross-engine, where PSI's
-    ln() would inherit libm variance. One scan, one agg, a broadcast
-    1-row totals join."""
-    b = t(spark, sf_dir, "orders").select(
-        F.floor(F.col("o_totalprice") / 50000.0).cast("bigint").alias("bucket"),
-        F.when(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"), "a")
-        .otherwise("b")
-        .alias("period"),
-    )
-    counts = b.groupBy("bucket").agg(
-        F.sum(F.when(F.col("period") == "a", 1).otherwise(0)).cast("bigint").alias("n_a"),
-        F.sum(F.when(F.col("period") == "b", 1).otherwise(0)).cast("bigint").alias("n_b"),
-    )
-    tot = counts.agg(F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb"))
-    share_a = F.col("n_a").cast("double") / F.col("ta")
-    share_b = F.col("n_b").cast("double") / F.col("tb")
-    return (
-        counts.crossJoin(F.broadcast(tot))
-        .select(
-            "bucket",
-            "n_a",
-            "n_b",
-            share_a.alias("share_a"),
-            share_b.alias("share_b"),
-            F.abs(share_a - share_b).alias("drift"),
-        )
-        .orderBy("bucket")
-    )
-
-
-@register(
     "p13_hash_split",
     """
     WITH tagged AS (
@@ -1530,28 +898,6 @@ def p13_hash_split(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_SQL_GROUP_BY_ALL = """
-    SELECT o_orderstatus,
-           o_orderpriority,
-           CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS sum_cents
-    FROM {orders}
-    GROUP BY ALL
-    ORDER BY ALL
-"""
-
-
-@register("sql_group_by_all", _SQL_GROUP_BY_ALL.format(orders="orders"))
-def sql_group_by_all(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SQL3: GROUP BY ALL / ORDER BY ALL — the analyst-ergonomics SQL
-    surface (Spark >= 3.4, DuckDB native): every non-aggregate select
-    item becomes a grouping key. The oracle runs the IDENTICAL text.
-    Money summed in exact integer cents (FLOOR per the cross-engine
-    rounding rule), divided never — hash-stable on both engines."""
-    t(spark, sf_dir, "orders").createOrReplaceTempView("_sql_gba_orders")
-    return spark.sql(_SQL_GROUP_BY_ALL.format(orders="_sql_gba_orders"))
-
-
 _SQL_LATERAL_TOPK = """
     SELECT n_name, t.c_name, t.c_acctbal
     FROM {nation},
@@ -1581,94 +927,6 @@ def j7_lateral_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
     t(spark, sf_dir, "customer").createOrReplaceTempView("_sql_lat_customer")
     return spark.sql(
         _SQL_LATERAL_TOPK.format(nation="_sql_lat_nation", customer="_sql_lat_customer")
-    )
-
-
-@register(
-    "s19_text_source",
-    """
-    SELECT CAST(COUNT(*) AS BIGINT) AS n_lines,
-           CAST(SUM(LENGTH(text)) AS BIGINT) AS total_chars,
-           CAST(COUNT(DISTINCT text) AS BIGINT) AS n_distinct_lines
-    FROM documents
-    """,
-)
-def s19_text_source(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S19: line-oriented text sink + source (spark.read/write.text) —
-    the rawest corpus ingestion format (one doc per line, the shape of
-    most public web-text dumps). Writes the document texts as .txt
-    part-files, reads them back with the distributed line reader, and
-    audits count/chars/distinct against the parquet ground truth (the
-    oracle recomputes the same audit straight from the table; the
-    testdata texts are single-line, so lines == docs)."""
-    out = stable_tmp("s19_text")
-    t(spark, sf_dir, "documents").select("text").write.mode("overwrite").text(out)
-    lines = spark.read.text(out)
-    return lines.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_lines"),
-        F.sum(F.length("value")).cast("bigint").alias("total_chars"),
-        F.countDistinct("value").cast("bigint").alias("n_distinct_lines"),
-    )
-
-
-@register(
-    "ev3_attribution",
-    """
-    WITH purchases AS (
-        SELECT event_id AS purchase_id, user_id, ts FROM events WHERE event_type = 'purchase'
-    ),
-    clicks AS (
-        SELECT event_id AS click_id, user_id, ts FROM events WHERE event_type = 'click'
-    ),
-    touches AS (
-        SELECT p.purchase_id, c.click_id, c.ts AS click_ts
-        FROM purchases p
-        JOIN clicks c ON c.user_id = p.user_id
-                     AND c.ts < p.ts
-                     AND c.ts >= p.ts - INTERVAL 1 HOUR
-    )
-    SELECT purchase_id, click_id,
-           CAST(10000 // COUNT(*) OVER (PARTITION BY purchase_id) AS BIGINT) AS credit_bp,
-           click_ts = MIN(click_ts) OVER (PARTITION BY purchase_id) AS is_first,
-           click_ts = MAX(click_ts) OVER (PARTITION BY purchase_id) AS is_last
-    FROM touches
-    ORDER BY purchase_id, click_id
-    """,
-)
-def ev3_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EV3: multi-touch attribution — split each purchase's credit
-    across the clicks in its trailing 1-hour window (linear model, with
-    first/last-touch flags for the position models). The click-purchase
-    pairing is an equi-join on the user key with a time-range residual
-    — hash-partitioned by user, never a cross join — and the credit
-    split 10000 div n is exact integer basis points (a 1/n double would
-    be summable but not hash-comparable). Window counts per purchase
-    ride the same partitioning."""
-    ev = t(spark, sf_dir, "events")
-    from pyspark.sql import Window
-
-    p = ev.where(F.col("event_type") == "purchase").select(
-        F.col("event_id").alias("purchase_id"), "user_id", F.col("ts").alias("p_ts")
-    )
-    c = ev.where(F.col("event_type") == "click").select(
-        F.col("event_id").alias("click_id"), F.col("user_id").alias("c_user"), F.col("ts").alias("click_ts")
-    )
-    touches = p.join(
-        c,
-        (F.col("c_user") == F.col("user_id"))
-        & (F.col("click_ts") < F.col("p_ts"))
-        & (F.col("click_ts") >= F.col("p_ts") - F.expr("INTERVAL 1 HOUR")),
-    )
-    w = Window.partitionBy("purchase_id")
-    return (
-        touches.select(
-            "purchase_id",
-            "click_id",
-            F.expr("10000 div count(*) over (partition by purchase_id)").cast("bigint").alias("credit_bp"),
-            (F.col("click_ts") == F.min("click_ts").over(w)).alias("is_first"),
-            (F.col("click_ts") == F.max("click_ts").over(w)).alias("is_last"),
-        )
-        .orderBy("purchase_id", "click_id")
     )
 
 
@@ -1769,156 +1027,6 @@ def graph_triangle_count(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "dq3_snapshot_diff",
-    """
-    WITH old AS (
-        SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
-        FROM orders WHERE o_orderdate < TIMESTAMP '1997-07-01'
-    ),
-    new AS (
-        SELECT o_orderkey,
-               CAST(ROUND(o_totalprice * 100) AS BIGINT)
-                 + CASE WHEN o_orderkey % 97 = 0 THEN 100 ELSE 0 END AS cents
-        FROM orders WHERE o_orderkey % 113 <> 0
-    ),
-    j AS (
-        SELECT CASE WHEN o.o_orderkey IS NULL THEN 'added'
-                    WHEN n.o_orderkey IS NULL THEN 'removed'
-                    WHEN o.cents <> n.cents THEN 'changed'
-                    ELSE 'unchanged' END AS status
-        FROM old o FULL JOIN new n ON n.o_orderkey = o.o_orderkey
-    )
-    SELECT status, CAST(COUNT(*) AS BIGINT) AS n
-    FROM j GROUP BY status ORDER BY status
-    """,
-)
-def dq3_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DQ3: snapshot reconciliation — classify every key across two
-    table versions as added / removed / changed / unchanged via one
-    full outer join on the key, comparing content in exact integer
-    cents. This is the regression gate for pipeline rewrites ("does v2
-    produce the same table?") and the CDC audit for incremental loads.
-    Both engines derive the two versions from orders with the same
-    deterministic perturbation (price bump on keys %97, key drop on
-    %113), so all four classes are exercised. One shuffle join keyed by
-    the PK; at 100 TB both sides prune to the compared columns."""
-    o = t(spark, sf_dir, "orders")
-    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
-    old = o.where(F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp")).select(
-        F.col("o_orderkey").alias("k_old"), cents.alias("c_old")
-    )
-    new = o.where(F.col("o_orderkey") % 113 != 0).select(
-        F.col("o_orderkey").alias("k_new"),
-        (cents + F.when(F.col("o_orderkey") % 97 == 0, 100).otherwise(0)).alias("c_new"),
-    )
-    j = old.join(new, old.k_old == new.k_new, "full_outer").select(
-        F.when(F.col("k_old").isNull(), "added")
-        .when(F.col("k_new").isNull(), "removed")
-        .when(F.col("c_old") != F.col("c_new"), "changed")
-        .otherwise("unchanged")
-        .alias("status")
-    )
-    return (
-        j.groupBy("status")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-        .orderBy("status")
-    )
-
-
-@register(
-    "ev4_transition_matrix",
-    """
-    WITH seq AS (
-        SELECT user_id, event_type,
-               LAG(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS prev_type
-        FROM events
-    )
-    SELECT prev_type, event_type, CAST(COUNT(*) AS BIGINT) AS n
-    FROM seq WHERE prev_type IS NOT NULL
-    GROUP BY prev_type, event_type
-    ORDER BY prev_type, event_type
-    """,
-)
-def ev4_transition_matrix(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EV4: first-order behavior transition matrix — counts of
-    consecutive (prev event -> event) pairs per user timeline, the
-    Markov-chain sufficient statistic behind next-action prediction,
-    funnel leak diagnosis, and bot detection (improbable transition
-    signatures). One window pass partitioned by user (ordered by ts
-    with the event id as total-order tiebreak — deterministic under
-    timestamp collisions), one hash agg. State per user is O(1); the
-    shuffle is keyed by user then by type pair — both well-spread at
-    100 TB."""
-    from pyspark.sql import Window
-
-    ev = t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    seq = ev.select("user_id", "event_type", F.lag("event_type").over(w).alias("prev_type"))
-    return (
-        seq.where(F.col("prev_type").isNotNull())
-        .groupBy("prev_type", "event_type")
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
-        .orderBy("prev_type", "event_type")
-    )
-
-
-@register(
-    "dq4_mad_outliers",
-    """
-    WITH c AS (
-        SELECT o_orderpriority AS grp,
-               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
-        FROM orders
-    ),
-    med AS (SELECT grp, quantile_cont(cents, 0.5) AS med_cents FROM c GROUP BY grp),
-    dev AS (
-        SELECT c.grp, c.cents, ABS(c.cents - m.med_cents) AS adev
-        FROM c JOIN med m ON m.grp = c.grp
-    ),
-    mad AS (SELECT grp, quantile_cont(adev, 0.5) AS mad_cents FROM dev GROUP BY grp)
-    SELECT d.grp,
-           CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(CASE WHEN d.adev > 3 * x.mad_cents THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
-           ANY_VALUE(x.mad_cents) AS mad_cents
-    FROM dev d JOIN mad x ON x.grp = d.grp
-    GROUP BY d.grp
-    ORDER BY d.grp
-    """,
-)
-def dq4_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DQ4: robust outlier detection via median absolute deviation —
-    the screening rule that, unlike mean/stddev z-scores, is not itself
-    dragged by the outliers it hunts (50% breakdown point). Two exact
-    grouped medians (integer cents -> interpolation on binary-exact
-    halves, so Spark's percentile and DuckDB's quantile_cont agree
-    bit-for-bit) chained by joins on the group key, then a |x - med| >
-    3*MAD flag count. At 100 TB swap the exact medians for
-    approx_percentile sketches (a6) — same plan shape, bounded memory."""
-    o = t(spark, sf_dir, "orders")
-    c = o.select(
-        F.col("o_orderpriority").alias("grp"),
-        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
-    )
-    med = c.groupBy("grp").agg(F.percentile("cents", F.lit(0.5)).alias("med_cents"))
-    dev = c.join(med, "grp").select(
-        "grp", "cents", F.abs(F.col("cents") - F.col("med_cents")).alias("adev")
-    )
-    mad = dev.groupBy("grp").agg(F.percentile("adev", F.lit(0.5)).alias("mad_cents"))
-    return (
-        dev.join(mad, "grp")
-        .groupBy("grp")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n"),
-            F.sum(F.when(F.col("adev") > 3 * F.col("mad_cents"), 1).otherwise(0))
-            .cast("bigint")
-            .alias("n_outliers"),
-            F.first("mad_cents").alias("mad_cents"),
-        )
-        .orderBy("grp")
-    )
-
-
-@register(
     "a23_equidepth_histogram",
     """
     WITH c AS (
@@ -2010,45 +1118,6 @@ def a25_bit_aggregates(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
-
-
-_SQL_PIVOT = """
-    SELECT * FROM (
-        SELECT o_orderpriority,
-               o_orderstatus,
-               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
-        FROM {orders}
-    )
-    PIVOT (
-        SUM(cents) FOR o_orderstatus IN ('F' AS f_cents, 'O' AS o_cents, 'P' AS p_cents)
-    )
-    ORDER BY o_orderpriority
-"""
-
-
-@register(
-    "sql_pivot_syntax",
-    """
-    SELECT o_orderpriority,
-           CAST(SUM(CASE WHEN o_orderstatus = 'F'
-                         THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) END) AS BIGINT) AS f_cents,
-           CAST(SUM(CASE WHEN o_orderstatus = 'O'
-                         THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) END) AS BIGINT) AS o_cents,
-           CAST(SUM(CASE WHEN o_orderstatus = 'P'
-                         THEN CAST(ROUND(o_totalprice * 100) AS BIGINT) END) AS BIGINT) AS p_cents
-    FROM orders
-    GROUP BY o_orderpriority
-    ORDER BY o_orderpriority
-    """,
-)
-def sql_pivot_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SQL4: the SQL PIVOT clause (vs a11's DataFrame groupBy().pivot())
-    — Spark parses the standard subquery-PIVOT form; Catalyst rewrites
-    it to exactly the conditional aggregation the oracle states, so the
-    syntax sugar costs nothing at scale (one hash agg, partial-agg
-    eligible; integer cents keep it hash-exact)."""
-    t(spark, sf_dir, "orders").createOrReplaceTempView("_sql_pivot_orders")
-    return spark.sql(_SQL_PIVOT.format(orders="_sql_pivot_orders"))
 
 
 @register(
@@ -2156,50 +1225,6 @@ def x12_salted_join(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "dq5_benford_audit",
-    """
-    WITH d AS (
-        SELECT SUBSTR(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS digit
-        FROM orders WHERE o_totalprice > 0
-    ),
-    counts AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
-    tot AS (SELECT SUM(n) AS total FROM counts)
-    SELECT digit,
-           CAST(n AS BIGINT) AS n,
-           CAST(n AS DOUBLE) / total AS share
-    FROM counts, tot
-    ORDER BY digit
-    """,
-)
-def dq5_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DQ5: Benford first-digit audit — the classic fabricated-data /
-    fraud screen: naturally-occurring multiplicative amounts follow
-    P(d) = log10(1 + 1/d), so a first-digit histogram that deviates
-    hard (uniform digits, missing 1s) flags synthetic or tampered
-    values. The query emits the observed digit distribution (exact
-    integer counts; share is one int/int division — deterministic);
-    the log-expected curve stays driver-side to keep the result
-    hash-exact. One narrow scan + 9-group agg."""
-    o = t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 0)
-    d = o.select(
-        F.substring(F.round(F.col("o_totalprice") * 100).cast("bigint").cast("string"), 1, 1).alias(
-            "digit"
-        )
-    )
-    counts = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
-    tot = counts.agg(F.sum("n").alias("total"))
-    return (
-        counts.crossJoin(F.broadcast(tot))
-        .select(
-            "digit",
-            F.col("n").cast("bigint").alias("n"),
-            (F.col("n").cast("double") / F.col("total")).alias("share"),
-        )
-        .orderBy("digit")
-    )
-
-
-@register(
     "p16_hash_priority_sample",
     """
     WITH ranked AS (
@@ -2240,38 +1265,6 @@ def p16_hash_priority_sample(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") <= 5)
         .select("o_orderpriority", "o_orderkey", F.col("rn").cast("bigint").alias("rn"))
         .orderBy("o_orderpriority", "rn")
-    )
-
-
-@register(
-    "s20_file_provenance",
-    """
-    SELECT 'orders.parquet' AS source_file,
-           CAST(COUNT(*) AS BIGINT) AS n_rows,
-           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
-           CAST(MAX(o_orderkey) AS BIGINT) AS max_key
-    FROM orders
-    """,
-)
-def s20_file_provenance(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S20: row provenance via input_file_name() — tag every row with
-    the file it came from and roll up per-file row counts and key
-    ranges: the ingestion-audit primitive (which landed file produced
-    these rows? did a file double-load?). At 100 TB this powers
-    file-level replay/quarantine without a full-table diff. The oracle
-    pins the expected single-file provenance."""
-    o = t(spark, sf_dir, "orders")
-    return (
-        o.select(
-            F.regexp_extract(F.input_file_name(), r"([^/]+)$", 1).alias("source_file"),
-            "o_orderkey",
-        )
-        .groupBy("source_file")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-            F.min("o_orderkey").cast("bigint").alias("min_key"),
-            F.max("o_orderkey").cast("bigint").alias("max_key"),
-        )
     )
 
 
@@ -2395,141 +1388,6 @@ def ps1_pandas_api_groupby(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "ev5_late_arrival_audit",
-    """
-    WITH ordered AS (
-        SELECT user_id, event_id, ts,
-               MAX(ts) OVER (PARTITION BY user_id ORDER BY event_id
-                             ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING) AS max_seen
-        FROM events
-    )
-    SELECT user_id,
-           CAST(COUNT(*) AS BIGINT) AS n_events,
-           CAST(SUM(CASE WHEN ts < max_seen - INTERVAL 30 MINUTE THEN 1 ELSE 0 END) AS BIGINT)
-               AS n_late
-    FROM ordered
-    GROUP BY user_id
-    ORDER BY user_id
-    """,
-)
-def ev5_late_arrival_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EV5: late-arrival audit — how out-of-order is the stream,
-    really? Per user (arrival order = event_id), an event is late if
-    its event time sits >30min behind the max event time already seen.
-    This is the measurement that justifies a watermark choice: the
-    n_late distribution IS the data loss you'd eat at that bound.
-    One window pass + one agg, integer counts."""
-    from pyspark.sql import Window
-
-    ev = t(spark, sf_dir, "events")
-    w = (
-        Window.partitionBy("user_id")
-        .orderBy("event_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    ordered = ev.select(
-        "user_id",
-        "ts",
-        F.max("ts").over(w).alias("max_seen"),
-    )
-    return (
-        ordered.groupBy("user_id")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_events"),
-            F.sum(
-                F.when(F.col("ts") < F.col("max_seen") - F.expr("INTERVAL 30 MINUTE"), 1).otherwise(0)
-            )
-            .cast("bigint")
-            .alias("n_late"),
-        )
-        .orderBy("user_id")
-    )
-
-
-@register(
-    "s21_dynamic_partition_overwrite",
-    """
-    WITH base AS (
-        SELECT o_orderstatus,
-               CAST(o_orderkey + CASE WHEN o_orderstatus = 'O' THEN 1000000 ELSE 0 END AS BIGINT)
-                   AS adj_key
-        FROM orders
-    )
-    SELECT o_orderstatus,
-           CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(adj_key) AS BIGINT) AS key_sum
-    FROM base GROUP BY o_orderstatus ORDER BY o_orderstatus
-    """,
-)
-def s21_dynamic_partition_overwrite(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S21: dynamic partition overwrite — the incremental-reload
-    primitive: rewriting one partition's data replaces ONLY the
-    partitions present in the written frame, leaving siblings intact
-    (partitionOverwriteMode=dynamic; static mode would truncate the
-    whole table). The query writes orders partitioned by status,
-    overwrites just the 'O' partition with shifted keys, reads the
-    table back and audits per-partition counts + key sums — the oracle
-    states the expected post-overwrite state. At 100 TB this is how
-    daily partitions reload without touching history."""
-    out = os.path.join(tempfile.gettempdir(), "re_s21_dpo")
-    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderstatus")
-    o.write.mode("overwrite").partitionBy("o_orderstatus").parquet(out)
-    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
-    try:
-        (
-            o.where(F.col("o_orderstatus") == "O")
-            .select((F.col("o_orderkey") + 1000000).alias("o_orderkey"), "o_orderstatus")
-            .write.mode("overwrite")
-            .partitionBy("o_orderstatus")
-            .parquet(out)
-        )
-    finally:
-        spark.conf.set("spark.sql.sources.partitionOverwriteMode", "static")
-    back = spark.read.parquet(out)
-    return (
-        back.groupBy("o_orderstatus")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n"),
-            F.sum("o_orderkey").cast("bigint").alias("key_sum"),
-        )
-        .orderBy("o_orderstatus")
-    )
-
-
-@register(
-    "sql_session_variables",
-    """
-    SELECT o_orderpriority,
-           CAST(COUNT(*) AS BIGINT) AS n_above
-    FROM orders
-    WHERE o_totalprice > 300000.0
-    GROUP BY o_orderpriority
-    ORDER BY o_orderpriority
-    """,
-)
-def sql_session_variables(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SQL5: session variables (DECLARE / SET VARIABLE, Spark >= 4) —
-    the parameterization surface for SQL-first users: thresholds and
-    dates live in typed session variables instead of string-pasted
-    literals (injection-safe, plan-cache friendly). Catalyst folds the
-    variable to a constant at analysis, so the physical plan is
-    identical to the literal form the oracle states."""
-    t(spark, sf_dir, "orders").createOrReplaceTempView("_sql_var_orders")
-    spark.sql("DECLARE OR REPLACE VARIABLE price_floor DOUBLE")
-    spark.sql("SET VARIABLE price_floor = 300000.0")
-    return spark.sql(
-        """
-        SELECT o_orderpriority,
-               CAST(COUNT(*) AS BIGINT) AS n_above
-        FROM _sql_var_orders
-        WHERE o_totalprice > price_floor
-        GROUP BY o_orderpriority
-        ORDER BY o_orderpriority
-        """
-    )
-
-
-@register(
     "a26_rollup_shares",
     """
     WITH nat AS (
@@ -2645,356 +1503,6 @@ def x13_scd2_lookup(spark: SparkSession, sf_dir: str) -> DataFrame:
             .alias("n_self_matched"),
         )
         .orderBy("o_custkey")
-    )
-
-
-@register(
-    "ev6_session_funnel",
-    """
-    WITH ordered AS (
-        SELECT user_id, event_id, event_type, ts,
-               CASE WHEN EPOCH_US(ts) - LAG(EPOCH_US(ts)) OVER (PARTITION BY user_id ORDER BY ts, event_id)
-                         > 1800 * 1000000
-                    OR LAG(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) IS NULL
-                    THEN 1 ELSE 0 END AS is_new_session
-        FROM events
-    ),
-    sess AS (
-        SELECT user_id, event_id, event_type, ts,
-               SUM(is_new_session) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS session_id
-        FROM ordered
-    ),
-    per_session AS (
-        SELECT user_id, session_id,
-               MIN(CASE WHEN event_type = 'view' THEN ts END) AS first_view,
-               MIN(CASE WHEN event_type = 'click' THEN ts END) AS first_click,
-               MIN(CASE WHEN event_type = 'purchase' THEN ts END) AS first_purchase
-        FROM sess GROUP BY user_id, session_id
-    )
-    SELECT CAST(COUNT(*) AS BIGINT) AS n_sessions,
-           CAST(SUM(CASE WHEN first_view IS NOT NULL THEN 1 ELSE 0 END) AS BIGINT) AS n_viewed,
-           CAST(SUM(CASE WHEN first_view IS NOT NULL AND first_click > first_view
-                         THEN 1 ELSE 0 END) AS BIGINT) AS n_view_click,
-           CAST(SUM(CASE WHEN first_view IS NOT NULL AND first_click > first_view
-                          AND first_purchase > first_click
-                         THEN 1 ELSE 0 END) AS BIGINT) AS n_full_funnel
-    FROM per_session
-    """,
-)
-def ev6_session_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EV6: within-session funnel — the composite product-analytics
-    pipeline: gap-sessionize (30-min inactivity, running-sum session
-    ids — the ts_sessionize_gap pattern) then require the strict
-    view -> click -> purchase ORDER inside each session (stage-ordered
-    conditional min-timestamps — the ev_funnel_conversion pattern,
-    scoped per session instead of per user-lifetime). Two window
-    passes over the same user partitioning + one agg; NULL-safe
-    ordering because `first_click > first_view` is NULL when either
-    stage is missing. Exact integer counts."""
-    from pyspark.sql import Window
-
-    ev = t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    ordered = ev.select(
-        "user_id",
-        "event_id",
-        "event_type",
-        "ts",
-        F.when(
-            F.lag("ts").over(w).isNull()
-            | (
-                (F.unix_micros(F.col("ts")) - F.unix_micros(F.lag("ts").over(w)))
-                > 1800 * 1_000_000
-            ),
-            1,
-        )
-        .otherwise(0)
-        .alias("is_new_session"),
-    )
-    sess = ordered.select(
-        "user_id",
-        "event_type",
-        "ts",
-        F.sum("is_new_session").over(w.rowsBetween(Window.unboundedPreceding, 0)).alias("session_id"),
-    )
-    per_session = sess.groupBy("user_id", "session_id").agg(
-        F.min(F.when(F.col("event_type") == "view", F.col("ts"))).alias("first_view"),
-        F.min(F.when(F.col("event_type") == "click", F.col("ts"))).alias("first_click"),
-        F.min(F.when(F.col("event_type") == "purchase", F.col("ts"))).alias("first_purchase"),
-    )
-    return per_session.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_sessions"),
-        F.sum(F.when(F.col("first_view").isNotNull(), 1).otherwise(0)).cast("bigint").alias("n_viewed"),
-        F.sum(
-            F.when(F.col("first_view").isNotNull() & (F.col("first_click") > F.col("first_view")), 1).otherwise(0)
-        )
-        .cast("bigint")
-        .alias("n_view_click"),
-        F.sum(
-            F.when(
-                F.col("first_view").isNotNull()
-                & (F.col("first_click") > F.col("first_view"))
-                & (F.col("first_purchase") > F.col("first_click")),
-                1,
-            ).otherwise(0)
-        )
-        .cast("bigint")
-        .alias("n_full_funnel"),
-    )
-
-
-@register(
-    "s22_csv_malformed_modes",
-    """
-    SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM nation) AS n_good,
-           CAST(5 AS BIGINT) AS n_malformed,
-           (SELECT CAST(SUM(n_nationkey) AS BIGINT) FROM nation) AS good_key_total
-    """,
-)
-def s22_csv_malformed_modes(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S22: CSV parse-mode matrix — the CSV twin of s18's JSON
-    quarantine. Five malformed lines (extra columns, too few columns,
-    unclosed quote, non-numeric key, stray quote char) are planted next
-    to a clean export of `nation`; the query reads the directory in
-    PERMISSIVE mode with a _corrupt_record column (quarantine: bad
-    lines survive as raw text) AND in DROPMALFORMED (bad lines vanish)
-    and reports the quarantine audit. Only the PERMISSIVE counts are
-    oracle-pinned: DROPMALFORMED's kept-set depends on parser column
-    pruning (a pruned scan that only needs column 1 cannot see a
-    wrong-token-count error in column 4), so its subset/containment
-    contract — and FAILFAST throwing on the first bad line, the mode
-    that is operationally wrong at 100 TB — are asserted relationally
-    in tests/test_new_ops.py instead of pinned to a parser version.
-    The PERMISSIVE scan is cached because Spark refuses to filter on
-    only the corrupt column of a lazy CSV scan."""
-    import os
-
-    # stable path (not mkdtemp): repeated invocations overwrite one
-    # directory instead of accumulating temp dirs, and the identical
-    # path keeps the scan's canonicalized plan — and thus its cache
-    # entry — shared across runs
-    out = os.path.join(tempfile.gettempdir(), "re_s22_csv")
-    os.makedirs(out, exist_ok=True)
-    n = t(spark, sf_dir, "nation").select("n_nationkey", "n_name", "n_regionkey")
-    n.write.mode("overwrite").option("header", "false").csv(out)
-    bad = [
-        "1,extra,2,3,4",          # too many columns
-        "2",                       # too few columns
-        '3,"unclosed quote,0',     # quote never closes
-        "notanint,BADLAND,0",      # key fails the LongType cast
-        "9,NINE,notanint",         # region fails the LongType cast
-    ]
-    with open(os.path.join(out, "part-malformed.csv"), "w") as f:
-        f.write("\n".join(bad) + "\n")
-    schema = T.StructType(
-        [
-            T.StructField("n_nationkey", T.LongType(), True),
-            T.StructField("n_name", T.StringType(), True),
-            T.StructField("n_regionkey", T.LongType(), True),
-            T.StructField("_corrupt_record", T.StringType(), True),
-        ]
-    )
-    permissive = (
-        spark.read.schema(schema)
-        .option("mode", "PERMISSIVE")
-        .option("columnNameOfCorruptRecord", "_corrupt_record")
-        .csv(out)
-    )
-    permissive = cache_once(permissive)
-
-    audit = permissive.agg(
-        F.sum(F.when(F.col("_corrupt_record").isNull(), 1).otherwise(0)).cast("bigint").alias("n_good"),
-        F.sum(F.when(F.col("_corrupt_record").isNotNull(), 1).otherwise(0)).cast("bigint").alias("n_malformed"),
-        F.sum(F.when(F.col("_corrupt_record").isNull(), F.col("n_nationkey"))).cast("bigint").alias("good_key_total"),
-    )
-    return audit.select("n_good", "n_malformed", "good_key_total")
-
-
-@register(
-    "sql_execute_immediate",
-    """
-    SELECT c_mktsegment,
-           CAST(COUNT(*) AS BIGINT) AS n_customers,
-           CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
-    FROM customer
-    WHERE c_nationkey = 3
-    GROUP BY c_mktsegment
-    ORDER BY c_mktsegment
-    """,
-)
-def sql_execute_immediate(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SQL6: EXECUTE IMMEDIATE with USING parameters (Spark >= 4) —
-    dynamic SQL with bind parameters instead of f-string splicing: the
-    text is parameterized once (? placeholders), values bind at
-    execution (injection-safe; same plan as the literal form). The
-    dynamic-SQL path a metadata-driven pipeline uses to run generated
-    query text safely."""
-    t(spark, sf_dir, "customer").createOrReplaceTempView("_sql_exec_customer")
-    return spark.sql(
-        """
-        EXECUTE IMMEDIATE
-        'SELECT c_mktsegment,
-                CAST(COUNT(*) AS BIGINT) AS n_customers,
-                CAST(SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS BIGINT) AS bal_cents
-         FROM _sql_exec_customer
-         WHERE c_nationkey = ?
-         GROUP BY c_mktsegment
-         ORDER BY c_mktsegment'
-        USING 3
-        """
-    )
-
-
-@register(
-    "sql_scalar_udf",
-    """
-    SELECT l_returnflag,
-           CAST(SUM(CAST(ROUND(l_extendedprice * (1 - l_discount) * 100) AS BIGINT)) AS BIGINT)
-               AS discounted_cents
-    FROM lineitem
-    GROUP BY l_returnflag
-    ORDER BY l_returnflag
-    """,
-)
-def sql_scalar_udf(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SQL7: SQL-language scalar UDF (CREATE FUNCTION ... RETURN expr,
-    Spark >= 3.5) — engine extension WITHOUT leaving the JVM: the
-    function body is inlined into the plan by Catalyst (whole-stage
-    codegen, pushdown-transparent), unlike a Python UDF which would pin
-    a BatchEvalPython island into every caller. The right default for
-    shared business formulas (here: discounted price in exact cents);
-    Python/pandas UDFs stay the escape hatch for logic SQL can't say."""
-    t(spark, sf_dir, "lineitem").createOrReplaceTempView("_sql_udf_lineitem")
-    spark.sql("DROP TEMPORARY FUNCTION IF EXISTS discounted_cents_fn")
-    spark.sql(
-        """
-        CREATE TEMPORARY FUNCTION discounted_cents_fn(price DOUBLE, disc DOUBLE)
-        RETURNS BIGINT
-        RETURN CAST(ROUND(price * (1 - disc) * 100) AS BIGINT)
-        """
-    )
-    return spark.sql(
-        """
-        SELECT l_returnflag,
-               CAST(SUM(discounted_cents_fn(l_extendedprice, l_discount)) AS BIGINT)
-                   AS discounted_cents
-        FROM _sql_udf_lineitem
-        GROUP BY l_returnflag
-        ORDER BY l_returnflag
-        """
-    )
-
-
-@register(
-    "s23_dynamic_partition_pruning",
-    """
-    SELECT o_orderpriority,
-           CAST(COUNT(*) AS BIGINT) AS n_orders,
-           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
-    FROM orders
-    WHERE o_orderpriority LIKE '1-%' OR o_orderpriority LIKE '2-%'
-    GROUP BY o_orderpriority
-    ORDER BY o_orderpriority
-    """,
-)
-def s23_dynamic_partition_pruning(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S23: DYNAMIC partition pruning — the runtime half of partition
-    pruning (s2/s3 cover the static half): the fact table is stored
-    partitioned by o_orderpriority, and the selective predicate lives
-    on a DERIVED column of the dim side (is_high), so no static filter
-    on the partition column exists at plan time. Catalyst inserts a
-    dynamicpruning#N subquery into the fact scan's PartitionFilters:
-    the dim side runs first, its surviving join keys become an IN
-    filter, and the fact scan never opens the pruned partitions' files.
-    At 100 TB date-partitioned facts joined to filtered dims this is
-    the difference between scanning 3 partitions and 3000 — and it
-    cannot be written statically because the pruning set is computed AT
-    RUNTIME. Plan asserted in tests/test_plans_and_streaming.py; the
-    oracle states the post-join semantics directly."""
-    out = os.path.join(tempfile.gettempdir(), "re_s23_dpp")
-    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice", "o_orderpriority")
-    o.write.mode("overwrite").partitionBy("o_orderpriority").parquet(out)
-    fact = spark.read.parquet(out)
-    dim = (
-        o.select("o_orderpriority")
-        .distinct()
-        .withColumn("is_high", F.col("o_orderpriority").substr(1, 1).isin("1", "2"))
-    )
-    return (
-        fact.join(dim.where(F.col("is_high")), "o_orderpriority")
-        .groupBy("o_orderpriority")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
-            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
-            .cast("bigint")
-            .alias("revenue_cents"),
-        )
-        .orderBy("o_orderpriority")
-    )
-
-
-def bucketed_orders_lineitem_join(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S24 core: write orders and lineitem as BUCKETED tables (8
-    buckets on the join key, sorted within buckets), then sort-merge
-    join them with ZERO exchanges — the bucket layout IS the shuffle,
-    paid once at write time and amortized over every subsequent join
-    on that key. tests/test_plans_and_streaming.py asserts the joined
-    plan contains a SortMergeJoin and no ShuffleExchange at all. At
-    100 TB this is the canonical co-located join: both fact tables
-    land bucketed by orderkey, and daily joins/rollups on that key
-    never shuffle the big sides again. The merge hint pins the
-    demonstration to SMJ (a broadcast join at oracle scale would also
-    be exchange-free, but for the wrong reason)."""
-    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
-    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderpriority")
-    for name, df, key, path in [
-        ("re_s24_li", li, "l_orderkey", stable_tmp("s24_li")),
-        ("re_s24_o", o, "o_orderkey", stable_tmp("s24_o")),
-    ]:
-        spark.sql(f"DROP TABLE IF EXISTS {name}")
-        (
-            df.write.mode("overwrite")
-            .format("parquet")
-            .bucketBy(8, key)
-            .sortBy(key)
-            .option("path", path)
-            .saveAsTable(name)
-        )
-    ob = spark.table("re_s24_o").hint("merge")
-    lb = spark.table("re_s24_li")
-    return ob.join(lb, ob.o_orderkey == lb.l_orderkey)
-
-
-@register(
-    "s24_bucketed_join_no_shuffle",
-    """
-    SELECT o_orderpriority,
-           CAST(COUNT(DISTINCT o.o_orderkey) AS BIGINT) AS n_orders,
-           CAST(COUNT(*) AS BIGINT) AS n_items,
-           CAST(SUM(CAST(ROUND(l_extendedprice * 100) AS BIGINT)) AS BIGINT) AS revenue_cents
-    FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
-    GROUP BY o_orderpriority
-    ORDER BY o_orderpriority
-    """,
-)
-def s24_bucketed_join_no_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """S24: bucketed co-located join — the no-shuffle sort-merge join
-    over pre-bucketed tables (see bucketed_orders_lineitem_join for
-    the layout and the plan contract), rolled up per order priority.
-    The only exchange in this query's whole plan is the k-row
-    per-priority aggregate ABOVE the join; the two big scans feed the
-    SMJ directly from their bucket files."""
-    joined = bucketed_orders_lineitem_join(spark, sf_dir)
-    return (
-        joined.groupBy("o_orderpriority")
-        .agg(
-            F.count_distinct(F.col("o_orderkey")).cast("bigint").alias("n_orders"),
-            F.count(F.lit(1)).cast("bigint").alias("n_items"),
-            F.sum(F.round(F.col("l_extendedprice") * 100).cast("bigint"))
-            .cast("bigint")
-            .alias("revenue_cents"),
-        )
-        .orderBy("o_orderpriority")
     )
 
 
@@ -3243,308 +1751,3 @@ def a41_hll_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.greatest(F.lit(5), F.col("exact_intersection").cast("double") * 0.15)
         ).alias("intersection_within_15pct"),
     )
-
-
-
-
-# --- Min/max data-skipping effectiveness audit -------------------------------
-
-_DQ14_PROBE_HI = 255  # the y-only probe predicate: y <= 255
-_DQ14_Z = _interleave_bits_expr("x", "y")
-
-
-@register(
-    "dq14_skipping_audit",
-    f"""
-    WITH pts AS (
-        SELECT (l_partkey * 769 + 12289) % 2147483647 % 1024 AS x,
-               (l_suppkey * 1543 + 24593) % 2147483647 % 1024 AS y
-        FROM lineitem
-    ),
-    keyed AS (
-        SELECT x, y,
-               ({_DQ14_Z}) // 65536 AS z_bucket,
-               x // 64 AS linear_bucket
-        FROM pts
-    ),
-    layouts AS (
-        SELECT 'zorder' AS layout, z_bucket AS bucket, x, y FROM keyed
-        UNION ALL
-        SELECT 'linear' AS layout, linear_bucket AS bucket, x, y FROM keyed
-    )
-    SELECT layout, CAST(bucket AS BIGINT) AS bucket,
-           CAST(COUNT(*) AS BIGINT) AS n_rows,
-           CAST(MIN(x) AS INTEGER) AS x_min, CAST(MAX(x) AS INTEGER) AS x_max,
-           CAST(MIN(y) AS INTEGER) AS y_min, CAST(MAX(y) AS INTEGER) AS y_max,
-           MIN(y) <= {_DQ14_PROBE_HI} AS scanned_by_y_probe
-    FROM layouts
-    GROUP BY layout, bucket
-    ORDER BY layout, bucket
-    """,
-)
-def dq14_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DQ14: min/max data-skipping effectiveness audit — the
-    measurement half of s16_zorder_layout (which produces the layout;
-    this query quantifies what the layout BUYS). Points hash-spread
-    over a 1024x1024 domain are tiled 16 ways under two layouts:
-    `zorder` tiles by the top bits of the s16 Morton key (compact
-    ~256x256 squares), `linear` by the leading dimension only (thin
-    full-height strips). Output is the min/max footer stats a parquet
-    file would carry per tile plus the verdict column
-    `scanned_by_y_probe`: which tiles a y-only predicate (y <= 255)
-    must read. Same rows, same tile count — layout is the only
-    variable — and z-order scans 4 of 16 tiles where linear scans all
-    16: a dimension the sort order ignores gets NO skipping, which is
-    the decision input for z-ordering a 100 TB table (pin: the r6
-    round's pytest asserts zorder strictly beats linear). Tiling by
-    top key bits is deterministic (no repartitionByRange sampling),
-    one groupBy, bit-exact integers end to end."""
-    li = t(spark, sf_dir, "lineitem").select(
-        ((F.col("l_partkey") * 769 + 12289) % 2147483647 % 1024).alias("x"),
-        ((F.col("l_suppkey") * 1543 + 24593) % 2147483647 % 1024).alias("y"),
-    )
-    keyed = li.select(
-        "x",
-        "y",
-        (F.expr(_DQ14_Z) / F.lit(65536)).cast("bigint").alias("z_bucket"),
-        (F.col("x") / F.lit(64)).cast("bigint").alias("linear_bucket"),
-    )
-    layouts = keyed.select(
-        F.lit("zorder").alias("layout"), F.col("z_bucket").alias("bucket"), "x", "y"
-    ).unionAll(
-        keyed.select(
-            F.lit("linear").alias("layout"), F.col("linear_bucket").alias("bucket"), "x", "y"
-        )
-    )
-    return (
-        layouts.groupBy("layout", "bucket")
-        .agg(
-            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-            F.min("x").cast("int").alias("x_min"),
-            F.max("x").cast("int").alias("x_max"),
-            F.min("y").cast("int").alias("y_min"),
-            F.max("y").cast("int").alias("y_max"),
-        )
-        .select(
-            "layout",
-            F.col("bucket").cast("bigint").alias("bucket"),
-            "n_rows",
-            "x_min",
-            "x_max",
-            "y_min",
-            "y_max",
-            (F.col("y_min") <= F.lit(_DQ14_PROBE_HI)).alias("scanned_by_y_probe"),
-        )
-        .orderBy("layout", "bucket")
-    )
-
-
-# --- Observation API: single-pass pipeline metrics ---------------------------
-
-
-@register(
-    "dq15_observe_metrics",
-    """
-    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
-           CAST(COUNT(CASE WHEN o_totalprice > 100000 THEN 1 END) AS BIGINT) AS n_large,
-           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
-           CAST(MAX(o_orderkey) AS BIGINT) AS max_key
-    FROM orders WHERE o_orderstatus = 'O'
-    """,
-)
-def dq15_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DQ15: pipeline health metrics via ``df.observe`` (Spark's
-    Observation API) — row counts, value totals, and range bounds
-    accumulated ON THE SAME PASS that writes the pipeline's real
-    output, instead of a second full scan per metric (the reference's
-    webapp runs one count() per column — app.py:74-101 — which is the
-    anti-pattern this replaces; at 100 TB a duplicate metrics scan is
-    a duplicate 100 TB read). The observed slice is written to a
-    parquet sink as the \"real\" job; the observation rides the write
-    job's tasks, and the returned 1-row frame is the metric record a
-    pipeline would persist to its run ledger. The oracle recomputes
-    the same aggregates relationally — observe()'s accumulator path
-    must agree with the declarative path bit-exactly (integer cents)."""
-    from pyspark.sql import Observation
-
-    obs = Observation("dq15")
-    o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
-    observed = o.observe(
-        obs,
-        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).cast("bigint").alias("total_cents"),
-        F.count(F.when(F.col("o_totalprice") > 100000, 1)).cast("bigint").alias("n_large"),
-        F.min("o_orderkey").cast("bigint").alias("min_key"),
-        F.max("o_orderkey").cast("bigint").alias("max_key"),
-    )
-    out = stable_tmp("dq15_observed_slice")
-    observed.write.mode("overwrite").parquet(out)  # the action the metrics ride on
-    m = obs.get  # O(1) driver-side metric record, not a data detour
-    return spark.createDataFrame(
-        [(m["n_rows"], m["total_cents"], m["n_large"], m["min_key"], m["max_key"])],
-        schema="n_rows long, total_cents long, n_large long, min_key long, max_key long",
-    )
-
-
-# --- Privacy: k-anonymity / l-diversity audit --------------------------------
-
-_KANON_K = 5
-_KANON_L = 2
-
-
-@register(
-    "dq16_k_anonymity",
-    f"""
-    WITH classes AS (
-        SELECT c_nationkey, c_mktsegment,
-               COUNT(*) AS class_size,
-               COUNT(DISTINCT c_acctbal < 0) AS l_distinct
-        FROM customer
-        GROUP BY c_nationkey, c_mktsegment
-    )
-    SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
-           CAST(SUM(class_size) AS BIGINT) AS n_rows,
-           CAST(MIN(class_size) AS BIGINT) AS k_min,
-           CAST(COUNT(CASE WHEN class_size < {_KANON_K} THEN 1 END) AS BIGINT) AS n_classes_below_k,
-           CAST(SUM(CASE WHEN class_size < {_KANON_K} THEN class_size ELSE 0 END) * 1000000
-                // SUM(class_size) AS BIGINT) AS rows_at_risk_micro,
-           CAST(MIN(l_distinct) AS BIGINT) AS l_min,
-           CAST(COUNT(CASE WHEN l_distinct < {_KANON_L} THEN 1 END) AS BIGINT) AS n_classes_below_l
-    FROM classes
-    """,
-)
-def dq16_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DQ16: k-anonymity / l-diversity audit — the privacy gate a
-    training-data release runs AFTER redaction (t14_pii_redaction
-    scrubs direct identifiers; this measures whether the QUASI
-    identifiers still single people out). Rows sharing a
-    quasi-identifier tuple (nation, market segment) form an
-    equivalence class: k-anonymity requires every class >= k members
-    (small classes re-identify), l-diversity requires >= l distinct
-    sensitive values per class (a uniform class leaks the attribute
-    without re-identification). Output is the release-decision record:
-    smallest class, classes below k={_KANON_K}, fraction of rows at
-    re-identification risk (exact micro units), and the l={_KANON_L}
-    diversity floor over the sensitive bit (account in arrears). One
-    groupBy + one aggregate — at 100 TB the class census shuffles only
-    the quasi-identifier key space."""
-    classes = (
-        t(spark, sf_dir, "customer")
-        .groupBy("c_nationkey", "c_mktsegment")
-        .agg(
-            F.count(F.lit(1)).alias("class_size"),
-            F.countDistinct(F.col("c_acctbal") < 0).alias("l_distinct"),
-        )
-    )
-    return classes.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
-        F.sum("class_size").cast("bigint").alias("n_rows"),
-        F.min("class_size").cast("bigint").alias("k_min"),
-        F.count(F.when(F.col("class_size") < _KANON_K, 1)).cast("bigint").alias("n_classes_below_k"),
-        F.expr(
-            f"CAST(SUM(CASE WHEN class_size < {_KANON_K} THEN class_size ELSE 0 END) * 1000000"
-            " DIV SUM(class_size) AS BIGINT)"
-        ).alias("rows_at_risk_micro"),
-        F.min("l_distinct").cast("bigint").alias("l_min"),
-        F.count(F.when(F.col("l_distinct") < _KANON_L, 1)).cast("bigint").alias("n_classes_below_l"),
-    )
-
-
-# --- Exact Wasserstein-1 drift via cogrouped pandas --------------------------
-
-
-@register(
-    "dq17_wasserstein_drift",
-    """
-    WITH a AS (SELECT c_nationkey AS nation, CAST(ROUND(c_acctbal * 100) AS BIGINT) AS v FROM customer),
-    b AS (SELECT s_nationkey AS nation, CAST(ROUND(s_acctbal * 100) AS BIGINT) AS v FROM supplier),
-    na AS (SELECT nation, COUNT(*) AS n_a FROM a GROUP BY 1),
-    nb AS (SELECT nation, COUNT(*) AS n_b FROM b GROUP BY 1),
-    support AS (
-        SELECT nation, v, SUM(ca) AS ca, SUM(cb) AS cb FROM (
-            SELECT nation, v, 1 AS ca, 0 AS cb FROM a
-            UNION ALL
-            SELECT nation, v, 0 AS ca, 1 AS cb FROM b
-        ) GROUP BY 1, 2
-    ),
-    steps AS (
-        SELECT nation, v,
-               SUM(ca) OVER (PARTITION BY nation ORDER BY v) AS cuma,
-               SUM(cb) OVER (PARTITION BY nation ORDER BY v) AS cumb,
-               LEAD(v) OVER (PARTITION BY nation ORDER BY v) AS nxt
-        FROM support
-    ),
-    w AS (
-        SELECT s.nation,
-               SUM(ABS(s.cuma * nb.n_b - s.cumb * na.n_a) * (s.nxt - s.v)) AS w1_scaled,
-               ANY_VALUE(na.n_a) AS n_a, ANY_VALUE(nb.n_b) AS n_b
-        FROM steps s JOIN na USING (nation) JOIN nb USING (nation)
-        WHERE s.nxt IS NOT NULL
-        GROUP BY 1
-    )
-    SELECT CAST(nation AS INTEGER) AS nation,
-           CAST(n_a AS BIGINT) AS n_a,
-           CAST(n_b AS BIGINT) AS n_b,
-           CAST(w1_scaled AS BIGINT) AS w1_scaled,
-           CAST(w1_scaled * 1000000 // (n_a * n_b) AS BIGINT) AS w1_microcents
-    FROM w ORDER BY nation
-    """,
-)
-def dq17_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """DQ17: EXACT Wasserstein-1 (earth mover's) distance between two
-    empirical distributions per group — customer vs supplier account
-    balances by nation — the bin-free complement to dq13's PSI: PSI
-    needs a bucketing choice and smoothing; W1 is parameter-free and
-    metrizes the actual cost of moving mass. Computed per nation in
-    integer cents: W1 = integral |CDF_a - CDF_b|, cross-multiplied by
-    n_a*n_b so every step term is exact BIGINT (reported both scaled
-    and in micro-cents). Spark side runs as cogrouped Arrow pandas
-    (``groupby().cogroup().applyInPandas`` — the one Python-UDF API
-    shape the repo didn't yet exercise): both sides arrive pre-grouped
-    per key, so the merge-sorted CDF walk touches one nation's two
-    samples at a time — at 100 TB each group is one task, never a
-    global sort. The DuckDB oracle replays the same walk relationally
-    (partitioned windows over the union support)."""
-    import numpy as np
-
-    c = t(spark, sf_dir, "customer").select(
-        F.col("c_nationkey").cast("int").alias("nation"),
-        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
-    )
-    s = t(spark, sf_dir, "supplier").select(
-        F.col("s_nationkey").cast("int").alias("nation"),
-        F.round(F.col("s_acctbal") * 100).cast("long").alias("cents"),
-    )
-
-    def w1(key, left, right):
-        import pandas as pd
-
-        if len(left) == 0 or len(right) == 0:
-            return pd.DataFrame(
-                columns=["nation", "n_a", "n_b", "w1_scaled", "w1_microcents"]
-            )
-        a = np.sort(left["cents"].values.astype(np.int64))
-        b = np.sort(right["cents"].values.astype(np.int64))
-        na, nb = len(a), len(b)
-        support = np.unique(np.concatenate([a, b]))
-        cuma = np.searchsorted(a, support, side="right").astype(np.int64)
-        cumb = np.searchsorted(b, support, side="right").astype(np.int64)
-        gaps = np.diff(support)
-        w1_scaled = int(np.sum(np.abs(cuma[:-1] * nb - cumb[:-1] * na) * gaps))
-        return pd.DataFrame(
-            {
-                "nation": [int(key[0])],
-                "n_a": [na],
-                "n_b": [nb],
-                "w1_scaled": [w1_scaled],
-                "w1_microcents": [w1_scaled * 1_000_000 // (na * nb)],
-            }
-        )
-
-    out = (
-        c.groupby("nation")
-        .cogroup(s.groupby("nation"))
-        .applyInPandas(w1, "nation int, n_a long, n_b long, w1_scaled long, w1_microcents long")
-    )
-    return out.orderBy("nation")

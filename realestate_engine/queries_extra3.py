@@ -308,245 +308,6 @@ def dq12_merkle_bucket_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "m30_woe_iv_binning",
-    """
-    WITH base AS (
-        SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
-               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS pos
-        FROM orders
-    ),
-    cuts AS (
-        SELECT quantile_disc(cents, [0.2, 0.4, 0.6, 0.8]) AS qs FROM base
-    ),
-    binned AS (
-        SELECT pos,
-               CASE WHEN cents <= qs[1] THEN 0
-                    WHEN cents <= qs[2] THEN 1
-                    WHEN cents <= qs[3] THEN 2
-                    WHEN cents <= qs[4] THEN 3
-                    ELSE 4 END AS bin
-        FROM base, cuts
-    ),
-    tot AS (
-        SELECT SUM(pos) AS n_pos_tot, SUM(1 - pos) AS n_neg_tot FROM binned
-    ),
-    per_bin AS (
-        SELECT bin, CAST(SUM(pos) AS BIGINT) AS n_pos,
-               CAST(SUM(1 - pos) AS BIGINT) AS n_neg
-        FROM binned GROUP BY bin
-    )
-    SELECT CAST(bin AS BIGINT) AS bin, n_pos, n_neg,
-           CAST(FLOOR(LN((n_pos * 1.0 / n_pos_tot) / (n_neg * 1.0 / n_neg_tot)) * 1e6)
-                AS BIGINT) AS woe_micro
-    FROM per_bin, tot
-    ORDER BY bin
-    """,
-)
-def m30_woe_iv_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M30: weight-of-evidence feature binning — the credit-scoring /
-    feature-engineering classic: bucket a numeric feature into
-    population quintiles, then score each bin by ln((pos share)/(neg
-    share)). Label = order status 'F'. The quintile cuts are an exact
-    discrete quantile (GK accuracy > n, as a6/a23) broadcast as one
-    row; binning is a codegen'd CASE; one partial-aggregated groupBy
-    produces the 5-row ledger; totals broadcast back. WoE is reported
-    as FLOOR-scaled micros: the shares are single IEEE divisions and
-    ln is correctly-rounded-close across libm — floor-scaling absorbs
-    the last-ulp wobble that ROUND could flip at a half boundary."""
-    o = t(spark, sf_dir, "orders")
-    base = o.select(
-        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
-        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("pos"),
-    )
-    cuts = base.agg(
-        F.percentile_approx("cents", [0.2, 0.4, 0.6, 0.8], 10_000_000).alias("qs")
-    )
-    binned = base.crossJoin(F.broadcast(cuts)).select(
-        "pos",
-        F.when(F.col("cents") <= F.col("qs")[0], 0)
-        .when(F.col("cents") <= F.col("qs")[1], 1)
-        .when(F.col("cents") <= F.col("qs")[2], 2)
-        .when(F.col("cents") <= F.col("qs")[3], 3)
-        .otherwise(4)
-        .alias("bin"),
-    )
-    tot = binned.agg(
-        F.sum("pos").alias("n_pos_tot"), F.sum(1 - F.col("pos")).alias("n_neg_tot")
-    )
-    per_bin = binned.groupBy("bin").agg(
-        F.sum("pos").cast("bigint").alias("n_pos"),
-        F.sum(1 - F.col("pos")).cast("bigint").alias("n_neg"),
-    )
-    return (
-        per_bin.crossJoin(F.broadcast(tot))
-        .select(
-            F.col("bin").cast("bigint").alias("bin"),
-            "n_pos",
-            "n_neg",
-            F.floor(
-                F.log(
-                    (F.col("n_pos") * 1.0 / F.col("n_pos_tot"))
-                    / (F.col("n_neg") * 1.0 / F.col("n_neg_tot"))
-                )
-                * 1e6
-            )
-            .cast("bigint")
-            .alias("woe_micro"),
-        )
-        .orderBy("bin")
-    )
-
-
-@register(
-    "x21_retraction_ivm",
-    """
-    WITH base AS (
-        SELECT o_orderpriority, o_orderkey,
-               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
-        FROM orders WHERE o_orderkey % 5 <> 0
-    ),
-    deletes AS (
-        SELECT * FROM base WHERE o_orderkey % 10 = 1
-    ),
-    inserts AS (
-        SELECT o_orderpriority, o_orderkey,
-               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
-        FROM orders WHERE o_orderkey % 5 = 0
-    ),
-    state AS (
-        SELECT o_orderpriority, SUM(cents) AS cents, CAST(COUNT(*) AS BIGINT) AS n,
-               MIN(cents) AS min_cents
-        FROM base GROUP BY 1
-    ),
-    delta AS (
-        SELECT o_orderpriority, SUM(w * cents) AS cents, CAST(SUM(w) AS BIGINT) AS n
-        FROM (
-            SELECT o_orderpriority, cents, -1 AS w FROM deletes
-            UNION ALL
-            SELECT o_orderpriority, cents, 1 AS w FROM inserts
-        )
-        GROUP BY 1
-    ),
-    merged AS (
-        SELECT o_orderpriority, SUM(cents) AS cents, SUM(n) AS n
-        FROM (
-            SELECT o_orderpriority, cents, n FROM state
-            UNION ALL
-            SELECT o_orderpriority, cents, n FROM delta
-        )
-        GROUP BY 1
-    ),
-    final_rows AS (
-        SELECT o_orderpriority, cents FROM base
-        WHERE o_orderkey % 10 <> 1
-        UNION ALL
-        SELECT o_orderpriority, cents FROM inserts
-    ),
-    direct AS (
-        SELECT o_orderpriority, SUM(cents) AS cents, CAST(COUNT(*) AS BIGINT) AS n,
-               MIN(cents) AS min_cents
-        FROM final_rows GROUP BY 1
-    ),
-    min_hit AS (
-        SELECT s.o_orderpriority,
-               MAX(CASE WHEN d.cents = s.min_cents THEN 1 ELSE 0 END) AS hit
-        FROM state s LEFT JOIN deletes d ON d.o_orderpriority = s.o_orderpriority
-        GROUP BY 1
-    )
-    SELECT m.o_orderpriority,
-           CAST(m.n AS BIGINT) AS n_orders,
-           CAST(m.cents AS BIGINT) AS total_cents,
-           (m.cents = d.cents AND m.n = d.n) AS matches_direct,
-           CAST(d.min_cents AS BIGINT) AS min_cents,
-           (h.hit = 1) AS min_recomputed
-    FROM merged m
-    JOIN direct d USING (o_orderpriority)
-    JOIN min_hit h USING (o_orderpriority)
-    ORDER BY o_orderpriority
-    """,
-)
-def x21_retraction_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X21: incremental view maintenance UNDER DELETES — the case x8's
-    insert-only merge can't handle. A CDC batch arrives as signed rows
-    (+1 inserts, -1 retractions); SUM/COUNT state absorbs both by
-    weighted re-aggregation of mergeable integer state — no base
-    re-scan — and the plan carries its own proof (matches_direct
-    compares the maintained state against a direct recompute of the
-    post-CDC table). MIN is deliberately included as the
-    NON-retractable aggregate: when a retracted row equals the stored
-    group minimum the state can't answer, so the query surfaces
-    min_recomputed per group and takes the recompute fallback for the
-    min column only — exactly the split a production IVM pipeline
-    makes (accumulator aggregates absorb deltas; extrema trigger
-    per-group repair). All state is exact integer cents, so the merge
-    is associative and the oracle replays it bit-for-bit."""
-    o = t(spark, sf_dir, "orders")
-    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
-    base = o.filter(F.col("o_orderkey") % 5 != 0).select(
-        "o_orderpriority", "o_orderkey", cents.alias("cents")
-    )
-    deletes = base.filter(F.col("o_orderkey") % 10 == 1)
-    inserts = o.filter(F.col("o_orderkey") % 5 == 0).select(
-        "o_orderpriority", "o_orderkey", cents.alias("cents")
-    )
-    state = base.groupBy("o_orderpriority").agg(
-        F.sum("cents").alias("cents"),
-        F.count(F.lit(1)).cast("bigint").alias("n"),
-        F.min("cents").alias("min_cents"),
-    )
-    delta = (
-        deletes.select("o_orderpriority", "cents", F.lit(-1).alias("w"))
-        .unionByName(inserts.select("o_orderpriority", "cents", F.lit(1).alias("w")))
-        .groupBy("o_orderpriority")
-        .agg(
-            F.sum(F.col("w") * F.col("cents")).alias("cents"),
-            F.sum("w").cast("bigint").alias("n"),
-        )
-    )
-    merged = (
-        state.select("o_orderpriority", "cents", "n")
-        .unionByName(delta)
-        .groupBy("o_orderpriority")
-        .agg(F.sum("cents").alias("cents"), F.sum("n").alias("n"))
-    )
-    final_rows = base.filter(F.col("o_orderkey") % 10 != 1).unionByName(inserts)
-    direct = final_rows.groupBy("o_orderpriority").agg(
-        F.sum("cents").alias("d_cents"),
-        F.count(F.lit(1)).cast("bigint").alias("d_n"),
-        F.min("cents").alias("d_min"),
-    )
-    min_hit = (
-        state.select("o_orderpriority", "min_cents")
-        .join(
-            deletes.select("o_orderpriority", F.col("cents").alias("del_cents")),
-            "o_orderpriority",
-            "left",
-        )
-        .groupBy("o_orderpriority")
-        .agg(
-            F.max(
-                F.when(F.col("del_cents") == F.col("min_cents"), 1).otherwise(0)
-            ).alias("hit")
-        )
-    )
-    return (
-        merged.join(direct, "o_orderpriority")
-        .join(min_hit, "o_orderpriority")
-        .select(
-            "o_orderpriority",
-            F.col("n").cast("bigint").alias("n_orders"),
-            F.col("cents").cast("bigint").alias("total_cents"),
-            ((F.col("cents") == F.col("d_cents")) & (F.col("n") == F.col("d_n"))).alias(
-                "matches_direct"
-            ),
-            F.col("d_min").cast("bigint").alias("min_cents"),
-            (F.col("hit") == 1).alias("min_recomputed"),
-        )
-        .orderBy("o_orderpriority")
-    )
-
-
-@register(
     "dq13_psi_drift",
     """
     WITH bucketed AS (
@@ -716,172 +477,6 @@ def a38_skyline_frontier(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_customers",
         )
         .orderBy(F.col("total_cents").desc())
-    )
-
-
-@register(
-    "x22_cdc_extract",
-    """
-    WITH v1 AS (
-        SELECT o_orderkey AS k,
-               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
-        FROM orders
-    ),
-    v2 AS (
-        SELECT k,
-               CASE WHEN k % 97 = 0 THEN cents + 1 ELSE cents END AS cents
-        FROM v1 WHERE k % 89 <> 0
-        UNION ALL
-        SELECT k + 100000000 AS k, cents FROM v1 WHERE k % 101 = 0
-    )
-    SELECT COALESCE(v1.k, v2.k) AS k,
-           CASE WHEN v1.k IS NULL THEN 'I'
-                WHEN v2.k IS NULL THEN 'D'
-                ELSE 'U' END AS op,
-           v1.cents AS before_cents,
-           v2.cents AS after_cents
-    FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k
-    WHERE v1.k IS NULL OR v2.k IS NULL OR v1.cents <> v2.cents
-    ORDER BY k
-    """,
-)
-def x22_cdc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X22: CDC EXTRACTION — diff two table snapshots into the
-    insert/update/delete changelog that x20_cdc_apply consumes and
-    dq12's Merkle diff locates: the full snapshot-diff path of an
-    incremental pipeline (extract -> locate -> apply). v2 is a
-    deterministic mutation of orders (every 97th key repriced, every
-    89th deleted, every 101st re-inserted under a new key); the diff
-    is ONE full outer join on the key with unchanged rows filtered
-    out, so the changelog costs one co-partitioned shuffle regardless
-    of how few rows changed. At 100 TB the join keys would be
-    pre-bucketed (s24 idiom) or the diff scoped to the buckets dq12
-    flagged — extract-on-flagged-buckets turns a full-table diff into
-    a 64th of the work per mutated bucket."""
-    o = t(spark, sf_dir, "orders")
-    v1 = o.select(
-        F.col("o_orderkey").alias("k"),
-        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
-    )
-    mutated = v1.filter(F.col("k") % 89 != 0).select(
-        "k",
-        F.when(F.col("k") % 97 == 0, F.col("cents") + 1).otherwise(F.col("cents")).alias("cents"),
-    )
-    inserted = v1.filter(F.col("k") % 101 == 0).select(
-        (F.col("k") + 100_000_000).alias("k"), "cents"
-    )
-    v2 = mutated.unionByName(inserted)
-    a = v1.alias("a")
-    b = v2.alias("b")
-    return (
-        a.join(b, F.col("a.k") == F.col("b.k"), "full_outer")
-        .filter(
-            F.col("a.k").isNull()
-            | F.col("b.k").isNull()
-            | (F.col("a.cents") != F.col("b.cents"))
-        )
-        .select(
-            F.coalesce(F.col("a.k"), F.col("b.k")).alias("k"),
-            F.when(F.col("a.k").isNull(), "I")
-            .when(F.col("b.k").isNull(), "D")
-            .otherwise("U")
-            .alias("op"),
-            F.col("a.cents").alias("before_cents"),
-            F.col("b.cents").alias("after_cents"),
-        )
-        .orderBy("k")
-    )
-
-
-@register(
-    "m31_conformal_interval",
-    """
-    WITH base AS (
-        SELECT o_orderpriority,
-               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
-               ('0x' || SUBSTR(MD5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT % 10 AS h
-        FROM orders
-    ),
-    cal AS (SELECT * FROM base WHERE h < 5),
-    tst AS (SELECT * FROM base WHERE h >= 5),
-    model AS (
-        SELECT o_orderpriority, SUM(cents) // COUNT(*) AS yhat_cents
-        FROM cal GROUP BY o_orderpriority
-    ),
-    cal_resid AS (
-        SELECT ABS(c.cents - m.yhat_cents) AS r
-        FROM cal c JOIN model m USING (o_orderpriority)
-    ),
-    q AS (
-        SELECT CAST(quantile_disc(r, 0.9) AS BIGINT) AS q90 FROM cal_resid
-    ),
-    scored AS (
-        SELECT CASE WHEN ABS(t.cents - m.yhat_cents) <= q.q90 THEN 1 ELSE 0 END AS covered
-        FROM tst t JOIN model m USING (o_orderpriority), q
-    )
-    SELECT CAST((SELECT q90 FROM q) AS BIGINT) AS q90_cents,
-           CAST(COUNT(*) AS BIGINT) AS n_test,
-           CAST(SUM(covered) AS BIGINT) AS n_covered,
-           CAST(FLOOR(SUM(covered) * 1e6 / COUNT(*)) AS BIGINT) AS coverage_micro,
-           (SUM(covered) * 100 >= COUNT(*) * 85) AS coverage_ok
-    FROM scored
-    """,
-)
-def m31_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M31: split-conformal prediction intervals — the
-    distribution-free uncertainty wrapper modern ML serving puts
-    around ANY point predictor: fit on a calibration split, take the
-    90th percentile of absolute calibration residuals as the interval
-    half-width, and report the realized coverage on the held-out
-    split (guaranteed >= 89%-ish by exchangeability). Everything is
-    engine-exact: the split is the portable md5 permille hash (p10's
-    idiom), the per-priority predictor is an INTEGER floor-mean
-    (SUM//COUNT — a float avg would differ by summation-order ulps),
-    residuals are exact cents, the q90 is an exact discrete quantile
-    (GK accuracy > n), and coverage is a cross-multiplied integer
-    test. Plan shape: two hash aggs, a 5-row model broadcast, a 1-row
-    quantile broadcast — no windows, no shuffles beyond the groupBys."""
-    o = t(spark, sf_dir, "orders")
-    base = o.select(
-        "o_orderpriority",
-        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
-        (
-            F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10)
-            .cast("bigint")
-            % 10
-        ).alias("h"),
-    )
-    cal = base.filter(F.col("h") < 5)
-    tst = base.filter(F.col("h") >= 5)
-    # integer `div`, NOT float division + cast: sum/n as a double can
-    # round UP across an integer boundary where DuckDB's BIGINT // floors
-    model = (
-        cal.groupBy("o_orderpriority")
-        .agg(F.sum("cents").alias("s"), F.count(F.lit(1)).alias("n"))
-        .select("o_orderpriority", F.expr("s div n").alias("yhat_cents"))
-    )
-    cal_resid = cal.join(F.broadcast(model), "o_orderpriority").select(
-        F.abs(F.col("cents") - F.col("yhat_cents")).alias("r")
-    )
-    q = cal_resid.agg(
-        F.percentile_approx("r", 0.9, 10_000_000).cast("bigint").alias("q90")
-    )
-    scored = (
-        tst.join(F.broadcast(model), "o_orderpriority")
-        .crossJoin(F.broadcast(q))
-        .select(
-            "q90",
-            F.when(
-                F.abs(F.col("cents") - F.col("yhat_cents")) <= F.col("q90"), 1
-            ).otherwise(0).alias("covered"),
-        )
-    )
-    return scored.agg(
-        F.max("q90").cast("bigint").alias("q90_cents"),
-        F.count(F.lit(1)).cast("bigint").alias("n_test"),
-        F.sum("covered").cast("bigint").alias("n_covered"),
-        F.floor(F.sum("covered") * 1e6 / F.count(F.lit(1))).cast("bigint").alias("coverage_micro"),
-        (F.sum("covered") * 100 >= F.count(F.lit(1)) * 85).alias("coverage_ok"),
     )
 
 
@@ -1056,85 +651,6 @@ def a40_median_of_medians(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "ev12_diff_in_diff",
-    """
-    WITH cells AS (
-        SELECT CASE WHEN o_custkey % 2 = 0 THEN 1 ELSE 0 END AS exposed,
-               CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01' THEN 1 ELSE 0 END AS post,
-               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
-        FROM orders
-    ),
-    m AS (
-        SELECT exposed, post,
-               SUM(cents) // COUNT(*) AS mean_cents,
-               CAST(COUNT(*) AS BIGINT) AS n
-        FROM cells GROUP BY exposed, post
-    )
-    SELECT CAST(exposed AS BIGINT) AS exposed,
-           CAST(post AS BIGINT) AS post,
-           CAST(mean_cents AS BIGINT) AS mean_cents,
-           n,
-           CAST((SELECT (e1.mean_cents - e0.mean_cents) - (c1.mean_cents - c0.mean_cents)
-                 FROM m e1, m e0, m c1, m c0
-                 WHERE e1.exposed = 1 AND e1.post = 1 AND e0.exposed = 1 AND e0.post = 0
-                   AND c1.exposed = 0 AND c1.post = 1 AND c0.exposed = 0 AND c0.post = 0)
-                AS BIGINT) AS did_cents
-    FROM m
-    ORDER BY exposed, post
-    """,
-)
-def ev12_diff_in_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EV12: difference-in-differences — the quasi-experimental readout
-    every growth team runs when an exposure wasn't randomized: compare
-    the exposed cohort's pre->post change in mean order value against
-    the control cohort's change over the same boundary; parallel-trend
-    deltas cancel and what remains is the treatment effect estimate.
-    Exposure here is the deterministic even-custkey cohort, the period
-    boundary 1998-01-01. Cell means are INTEGER floor-means
-    (SUM div COUNT — m31's trick: a float avg differs by summation-
-    order ulps), so the four cells and the DiD contrast are exact
-    BIGINTs. One scan, one 4-group partial-aggregated groupBy; the DiD
-    scalar is derived from the 4-row frame itself."""
-    o = t(spark, sf_dir, "orders")
-    cells = o.select(
-        F.when(F.col("o_custkey") % 2 == 0, 1).otherwise(0).alias("exposed"),
-        F.when(
-            F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"), 1
-        ).otherwise(0).alias("post"),
-        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
-    )
-    m = (
-        cells.groupBy("exposed", "post")
-        .agg(F.sum("cents").alias("s"), F.count(F.lit(1)).cast("bigint").alias("n"))
-        .select(
-            "exposed", "post", F.expr("s div n").alias("mean_cents"), "n"
-        )
-    )
-    # pivot the 4-row frame into one DiD scalar and broadcast it back
-    did = (
-        m.agg(
-            F.sum(
-                F.when((F.col("exposed") == 1) & (F.col("post") == 1), F.col("mean_cents"))
-                .when((F.col("exposed") == 1) & (F.col("post") == 0), -F.col("mean_cents"))
-                .when((F.col("exposed") == 0) & (F.col("post") == 1), -F.col("mean_cents"))
-                .otherwise(F.col("mean_cents"))
-            ).cast("bigint").alias("did_cents")
-        )
-    )
-    return (
-        m.crossJoin(F.broadcast(did))
-        .select(
-            F.col("exposed").cast("bigint").alias("exposed"),
-            F.col("post").cast("bigint").alias("post"),
-            F.col("mean_cents").cast("bigint").alias("mean_cents"),
-            "n",
-            "did_cents",
-        )
-        .orderBy("exposed", "post")
-    )
-
-
-@register(
     "p19_schema_drift_audit",
     """
     SELECT 'o_orderkey' AS column_name, 'bigint' AS v1_type, 'int' AS v2_type,
@@ -1264,127 +780,6 @@ def a42_bitmap_distinct_rollup(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-_PERM_K = 20
-
-
-@register(
-    "m32_permutation_test",
-    f"""
-    WITH cells AS (
-        SELECT o_custkey,
-               CASE WHEN o_custkey % 2 = 0 THEN 1 ELSE 0 END AS exposed,
-               CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01' THEN 1 ELSE 0 END AS post,
-               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
-        FROM orders
-    ),
-    labeled AS (
-        SELECT r.i, cells.post, cells.cents,
-               CASE WHEN r.i = 0 THEN cells.exposed
-                    ELSE ('0x' || SUBSTR(MD5(CAST(cells.o_custkey AS VARCHAR) || ':' ||
-                          CAST(r.i AS VARCHAR)), 1, 8))::BIGINT % 2 END AS e
-        FROM cells CROSS JOIN (SELECT UNNEST(RANGE(0, {_PERM_K + 1})) AS i) r
-    ),
-    m AS (
-        SELECT i, e, post, SUM(cents) // COUNT(*) AS mean_cents
-        FROM labeled GROUP BY i, e, post
-    ),
-    did AS (
-        SELECT i,
-               SUM(CASE WHEN e = 1 AND post = 1 THEN mean_cents
-                        WHEN e = 1 AND post = 0 THEN -mean_cents
-                        WHEN e = 0 AND post = 1 THEN -mean_cents
-                        ELSE mean_cents END) AS d
-        FROM m GROUP BY i
-    )
-    SELECT CAST((SELECT d FROM did WHERE i = 0) AS BIGINT) AS observed_did_cents,
-           CAST({_PERM_K} AS BIGINT) AS n_perms,
-           CAST((SELECT COUNT(*) FROM did
-                 WHERE i > 0 AND ABS(d) >= ABS((SELECT d FROM did WHERE i = 0)))
-                AS BIGINT) AS n_as_extreme,
-           CAST(FLOOR((SELECT COUNT(*) FROM did
-                       WHERE i > 0 AND ABS(d) >= ABS((SELECT d FROM did WHERE i = 0)))
-                      * 1e6 / {_PERM_K}) AS BIGINT) AS p_micro
-    """,
-)
-def m32_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M32: permutation test for ev12's difference-in-differences —
-    the nonparametric significance check: re-assign the exposure label
-    {_PERM_K} times by a PORTABLE hash of (custkey, permutation index)
-    — deterministic 'randomness' both engines replay, the same trick
-    as the mixture samplers — recompute the integer DiD under each
-    null labeling, and report how many null DiDs are at least as
-    extreme as the observed one (the permutation p-value, in micros).
-    One pass: rows explode K+1 ways (i=0 is the REAL labeling), one
-    partial-aggregated groupBy over (K+1)x4 cells, a (K+1)-row DiD
-    frame — the data is scanned once however many permutations are
-    probed. Integer floor-means throughout (m31's div trick)."""
-    o = t(spark, sf_dir, "orders")
-    cells = o.select(
-        "o_custkey",
-        F.when(F.col("o_custkey") % 2 == 0, 1).otherwise(0).alias("exposed"),
-        F.when(
-            F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"), 1
-        ).otherwise(0).alias("post"),
-        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
-    )
-    perm_hash = (
-        F.conv(
-            F.substring(
-                F.md5(F.concat_ws(":", F.col("o_custkey").cast("string"), F.col("i").cast("string"))),
-                1,
-                8,
-            ),
-            16,
-            10,
-        ).cast("bigint")
-        % 2
-    )
-    labeled = cells.select(
-        "post",
-        "cents",
-        F.explode(F.array(*[F.lit(i) for i in range(_PERM_K + 1)])).alias("i"),
-        "exposed",
-        "o_custkey",
-    ).select(
-        "i",
-        "post",
-        "cents",
-        F.when(F.col("i") == 0, F.col("exposed")).otherwise(perm_hash).alias("e"),
-    )
-    m = (
-        labeled.groupBy("i", "e", "post")
-        .agg(F.sum("cents").alias("s"), F.count(F.lit(1)).alias("n"))
-        .select("i", "e", "post", F.expr("s div n").alias("mean_cents"))
-    )
-    did = m.groupBy("i").agg(
-        F.sum(
-            F.when((F.col("e") == 1) & (F.col("post") == 1), F.col("mean_cents"))
-            .when((F.col("e") == 1) & (F.col("post") == 0), -F.col("mean_cents"))
-            .when((F.col("e") == 0) & (F.col("post") == 1), -F.col("mean_cents"))
-            .otherwise(F.col("mean_cents"))
-        ).alias("d")
-    )
-    obs = did.filter(F.col("i") == 0).select(F.col("d").alias("obs"))
-    return (
-        did.filter(F.col("i") > 0)
-        .crossJoin(F.broadcast(obs))
-        .agg(
-            F.first("obs").cast("bigint").alias("observed_did_cents"),
-            F.lit(_PERM_K).cast("bigint").alias("n_perms"),
-            F.sum(F.when(F.abs(F.col("d")) >= F.abs(F.col("obs")), 1).otherwise(0))
-            .cast("bigint")
-            .alias("n_as_extreme"),
-            F.floor(
-                F.sum(F.when(F.abs(F.col("d")) >= F.abs(F.col("obs")), 1).otherwise(0))
-                * 1e6
-                / _PERM_K
-            )
-            .cast("bigint")
-            .alias("p_micro"),
-        )
-    )
-
-
 _HQ_BUCKETS = 64
 _HQ_MAX_CENTS = 60_000_000  # fixed domain: orders totalprice < 600k
 
@@ -1484,210 +879,6 @@ def a43_histogram_quantile_rollup(spark: SparkSession, sf_dir: str) -> DataFrame
 
 
 @register(
-    "x26_late_dimension_replay",
-    """
-    WITH dim_v1 AS (
-        SELECT c_custkey, c_nationkey FROM customer WHERE c_custkey % 10 <> 3
-    ),
-    facts AS (
-        SELECT o_orderkey, o_custkey,
-               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
-        FROM orders
-    ),
-    first_pass AS (
-        SELECT f.o_orderkey, f.o_custkey, f.cents, d.c_nationkey
-        FROM facts f LEFT JOIN dim_v1 d ON d.c_custkey = f.o_custkey
-    ),
-    resolved_v1 AS (
-        SELECT o_orderkey, c_nationkey, cents FROM first_pass WHERE c_nationkey IS NOT NULL
-    ),
-    parked AS (
-        SELECT o_orderkey, o_custkey, cents FROM first_pass WHERE c_nationkey IS NULL
-    ),
-    replay AS (
-        SELECT p.o_orderkey, c.c_nationkey, p.cents
-        FROM parked p JOIN customer c ON c.c_custkey = p.o_custkey
-    ),
-    final AS (
-        SELECT * FROM resolved_v1 UNION ALL SELECT * FROM replay
-    ),
-    direct AS (
-        SELECT f.o_orderkey, c.c_nationkey, f.cents
-        FROM facts f JOIN customer c ON c.c_custkey = f.o_custkey
-    )
-    SELECT CAST((SELECT COUNT(*) FROM facts) AS BIGINT) AS n_facts,
-           CAST((SELECT COUNT(*) FROM parked) AS BIGINT) AS n_parked,
-           CAST((SELECT COUNT(*) FROM replay) AS BIGINT) AS n_replayed,
-           CAST((SELECT COUNT(*) FROM final) AS BIGINT) AS n_final,
-           ((SELECT COUNT(*) FROM final) = (SELECT COUNT(*) FROM direct)
-            AND (SELECT COALESCE(SUM(c_nationkey * cents), 0) FROM final)
-                = (SELECT COALESCE(SUM(c_nationkey * cents), 0) FROM direct))
-               AS replay_complete
-    """,
-)
-def x26_late_dimension_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X26: LATE-ARRIVING DIMENSION handling — the pipeline pattern for
-    facts that reference dim rows not yet ingested: join against the
-    dim version available at load time (here v1 is missing every 10th
-    customer), PARK the orphaned facts instead of dropping or
-    null-filling them, and when the dim catches up REPLAY only the
-    parked rows — never the resolved ones. The in-plan proof compares
-    the union of first-pass hits + replayed rows against a direct join
-    on the complete dim (row count AND a value checksum), so a replay
-    that loses, duplicates, or mis-keys rows flips the hash-compared
-    boolean. Cost: the replay join touches |parked| rows — at 100 TB
-    that is the whole point (re-joining only the orphan fraction,
-    not re-running the full fact join)."""
-    c = t(spark, sf_dir, "customer")
-    dim_v1 = c.filter(F.col("c_custkey") % 10 != 3).select("c_custkey", "c_nationkey")
-    facts = t(spark, sf_dir, "orders").select(
-        "o_orderkey",
-        "o_custkey",
-        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
-    )
-    first_pass = facts.join(
-        F.broadcast(dim_v1), facts.o_custkey == dim_v1.c_custkey, "left"
-    )
-    resolved = first_pass.filter(F.col("c_nationkey").isNotNull()).select(
-        "o_orderkey", "c_nationkey", "cents"
-    )
-    parked = first_pass.filter(F.col("c_nationkey").isNull()).select(
-        "o_orderkey", "o_custkey", "cents"
-    )
-    replay = parked.join(
-        F.broadcast(c.select(F.col("c_custkey").alias("k"), F.col("c_nationkey").alias("nk"))),
-        parked.o_custkey == F.col("k"),
-    ).select("o_orderkey", F.col("nk").alias("c_nationkey"), "cents")
-    final = resolved.unionByName(replay)
-    direct = facts.join(
-        F.broadcast(c.select("c_custkey", "c_nationkey")),
-        facts.o_custkey == F.col("c_custkey"),
-    ).select("o_orderkey", "c_nationkey", "cents")
-
-    def stats(df, label):
-        return df.agg(
-            F.count(F.lit(1)).cast("bigint").alias(f"n_{label}"),
-            F.coalesce(F.sum(F.col("c_nationkey") * F.col("cents")), F.lit(0))
-            .cast("bigint")
-            .alias(f"sum_{label}"),
-        )
-
-    n_facts = facts.agg(F.count(F.lit(1)).cast("bigint").alias("n_facts"))
-    n_parked = parked.agg(F.count(F.lit(1)).cast("bigint").alias("n_parked"))
-    n_replay = replay.agg(F.count(F.lit(1)).cast("bigint").alias("n_replayed"))
-    fin = stats(final, "final")
-    dir_ = stats(direct, "direct")
-    return (
-        n_facts.crossJoin(F.broadcast(n_parked))
-        .crossJoin(F.broadcast(n_replay))
-        .crossJoin(F.broadcast(fin))
-        .crossJoin(F.broadcast(dir_))
-        .select(
-            "n_facts",
-            "n_parked",
-            "n_replayed",
-            "n_final",
-            (
-                (F.col("n_final") == F.col("n_direct"))
-                & (F.col("sum_final") == F.col("sum_direct"))
-            ).alias("replay_complete"),
-        )
-    )
-
-
-@register(
-    "x25_bitemporal_asof",
-    """
-    WITH versions AS (
-        SELECT o_orderkey,
-               o_orderdate AS valid_from,
-               o_orderdate + INTERVAL 30 DAY AS valid_to,
-               o_orderdate AS tx_from,
-               o_orderdate + INTERVAL 10 DAY AS tx_to,
-               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
-               1 AS version
-        FROM orders
-        UNION ALL
-        SELECT o_orderkey,
-               o_orderdate,
-               o_orderdate + INTERVAL 30 DAY,
-               o_orderdate + INTERVAL 10 DAY,
-               NULL,
-               CAST(ROUND(o_totalprice * 100) AS BIGINT) + 100,
-               2
-        FROM orders
-    ),
-    belief AS (
-        SELECT * FROM versions
-        WHERE valid_from <= TIMESTAMP '1997-06-20'
-          AND valid_to > TIMESTAMP '1997-06-20'
-          AND tx_from <= TIMESTAMP '1997-07-01'
-          AND (tx_to IS NULL OR tx_to > TIMESTAMP '1997-07-01')
-    )
-    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
-           CAST(SUM(cents) AS BIGINT) AS sum_cents,
-           CAST(SUM(CASE WHEN version = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_v1,
-           CAST(SUM(CASE WHEN version = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_v2,
-           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
-           (COUNT(*) = COUNT(DISTINCT o_orderkey)) AS one_version_per_key
-    FROM belief
-    """,
-)
-def x25_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X25: BITEMPORAL as-of — the two-axis time query SCD2 (x13, one
-    axis) cannot answer: "what did we BELIEVE on 1997-07-01 (transaction
-    time) the price valid on 1997-06-20 (valid time) was?". The ledger
-    carries both intervals per version (v1 as loaded; v2 a correction
-    recorded 10 days later, +100 cents, open transaction interval);
-    the query is two interval containments — pure pushdown-able
-    filters, no joins — and the audit boolean proves the bitemporal
-    invariant that exactly ONE version per key survives the double
-    containment (overlapping tx intervals would silently double-count
-    revenue). At 100 TB both axes are partition/cluster columns and
-    the containment prunes files."""
-    o = t(spark, sf_dir, "orders")
-    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
-    base = o.select("o_orderkey", "o_orderdate", cents.alias("cents"))
-    v1 = base.select(
-        "o_orderkey",
-        F.col("o_orderdate").alias("valid_from"),
-        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")).alias("valid_to"),
-        F.col("o_orderdate").alias("tx_from"),
-        (F.col("o_orderdate") + F.expr("INTERVAL 10 DAY")).alias("tx_to"),
-        "cents",
-        F.lit(1).alias("version"),
-    )
-    v2 = base.select(
-        "o_orderkey",
-        F.col("o_orderdate").alias("valid_from"),
-        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")).alias("valid_to"),
-        (F.col("o_orderdate") + F.expr("INTERVAL 10 DAY")).alias("tx_from"),
-        F.lit(None).cast("timestamp").alias("tx_to"),
-        (F.col("cents") + 100).alias("cents"),
-        F.lit(2).alias("version"),
-    )
-    V = F.lit("1997-06-20").cast("timestamp")
-    T = F.lit("1997-07-01").cast("timestamp")
-    belief = (
-        v1.unionByName(v2)
-        .filter(
-            (F.col("valid_from") <= V)
-            & (F.col("valid_to") > V)
-            & (F.col("tx_from") <= T)
-            & (F.col("tx_to").isNull() | (F.col("tx_to") > T))
-        )
-    )
-    return belief.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
-        F.sum("cents").cast("bigint").alias("sum_cents"),
-        F.sum(F.when(F.col("version") == 1, 1).otherwise(0)).cast("bigint").alias("n_v1"),
-        F.sum(F.when(F.col("version") == 2, 1).otherwise(0)).cast("bigint").alias("n_v2"),
-        F.count_distinct("o_orderkey").cast("bigint").alias("n_keys"),
-        (F.count(F.lit(1)) == F.count_distinct("o_orderkey")).alias("one_version_per_key"),
-    )
-
-
-@register(
     "p22_survivorship_golden_record",
     """
     WITH ranked AS (
@@ -1749,536 +940,6 @@ def p22_survivorship_golden_record(spark: SparkSession, sf_dir: str) -> DataFram
         )
         .orderBy("o_custkey")
     )
-
-
-@register(
-    "m33_oof_target_encoding",
-    """
-    WITH rows_f AS (
-        SELECT o_orderpriority,
-               ('0x' || SUBSTR(MD5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT % 5 AS fold,
-               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
-        FROM orders
-    ),
-    per_fold AS (
-        SELECT o_orderpriority, fold, SUM(cents) AS s, CAST(COUNT(*) AS BIGINT) AS n
-        FROM rows_f GROUP BY o_orderpriority, fold
-    ),
-    per_cat AS (
-        SELECT o_orderpriority, SUM(s) AS st, SUM(n) AS nt
-        FROM per_fold GROUP BY o_orderpriority
-    )
-    SELECT f.o_orderpriority,
-           CAST(f.fold AS BIGINT) AS fold,
-           f.n AS n_in_fold,
-           CAST((c.st - f.s) // (c.nt - f.n) AS BIGINT) AS oof_mean_cents,
-           CAST(c.st // c.nt AS BIGINT) AS full_mean_cents,
-           ((c.st - f.s) // (c.nt - f.n) <> c.st // c.nt OR f.n = 0) AS excludes_own_fold
-    FROM per_fold f JOIN per_cat c USING (o_orderpriority)
-    ORDER BY o_orderpriority, fold
-    """,
-)
-def m33_oof_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M33: OUT-OF-FOLD target encoding — the leakage-safe form of the
-    strongest categorical feature there is: each row's category is
-    encoded with the target mean computed over the OTHER hash folds
-    ((total - own_fold) / (n_total - n_own)), so a row never sees its
-    own target. Folds come from the portable md5 permille hash (p10's
-    idiom); means are integer floor-divisions of exact cent sums
-    (m31's trick), so every encoding value hash-compares. One
-    (category x fold) aggregate plus a category rollup — the
-    per-row encoded column at scale is one broadcast join of this
-    25-row frame back onto the facts. The excludes_own_fold flag
-    pins the leakage property: the OOF mean must differ from the full
-    mean wherever the fold is non-empty (identical means would imply
-    the fold contributed nothing to exclude)."""
-    o = t(spark, sf_dir, "orders")
-    rows_f = o.select(
-        "o_orderpriority",
-        (
-            F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10)
-            .cast("bigint")
-            % 5
-        ).alias("fold"),
-        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
-    )
-    per_fold = rows_f.groupBy("o_orderpriority", "fold").agg(
-        F.sum("cents").alias("s"), F.count(F.lit(1)).cast("bigint").alias("n")
-    )
-    per_cat = per_fold.groupBy("o_orderpriority").agg(
-        F.sum("s").alias("st"), F.sum("n").alias("nt")
-    )
-    return (
-        per_fold.join(F.broadcast(per_cat), "o_orderpriority")
-        .select(
-            "o_orderpriority",
-            F.col("fold").cast("bigint").alias("fold"),
-            F.col("n").alias("n_in_fold"),
-            F.expr("(st - s) div (nt - n)").cast("bigint").alias("oof_mean_cents"),
-            F.expr("st div nt").cast("bigint").alias("full_mean_cents"),
-            (
-                (F.expr("(st - s) div (nt - n)") != F.expr("st div nt"))
-                | (F.col("n") == 0)
-            ).alias("excludes_own_fold"),
-        )
-        .orderBy("o_orderpriority", "fold")
-    )
-
-
-
-# --- Kaplan-Meier survival table ---------------------------------------------
-
-
-@register(
-    "ev13_kaplan_meier",
-    """
-    WITH done AS (
-        SELECT l_orderkey, MAX(CAST(l_shipdate AS DATE)) AS done_date
-        FROM lineitem GROUP BY 1
-    ),
-    subj AS (
-        SELECT DATE_DIFF('day', CAST(o.o_orderdate AS DATE), d.done_date) AS dur,
-               CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END AS ev
-        FROM orders o JOIN done d ON d.l_orderkey = o.o_orderkey
-    ),
-    per AS (
-        SELECT dur, COUNT(*) AS n, SUM(ev) AS d, COUNT(*) - SUM(ev) AS c
-        FROM subj GROUP BY dur
-    ),
-    at_risk AS (
-        SELECT a.dur, a.d, a.c, SUM(b.n) AS n_at_risk
-        FROM per a JOIN per b ON b.dur >= a.dur
-        GROUP BY a.dur, a.d, a.c
-    ),
-    terms AS (
-        SELECT dur, d, c, n_at_risk,
-               CASE WHEN d > 0 AND d < n_at_risk
-                    THEN CAST(FLOOR(LN((n_at_risk - d) * 1.0 / n_at_risk) * 1e6) AS BIGINT)
-                    WHEN d > 0 THEN NULL
-                    ELSE CAST(0 AS BIGINT) END AS term_micro
-        FROM at_risk
-    )
-    SELECT CAST(a.dur AS INTEGER) AS t_days,
-           CAST(a.n_at_risk AS BIGINT) AS n_at_risk,
-           CAST(a.d AS BIGINT) AS n_events,
-           CAST(a.c AS BIGINT) AS n_censored,
-           CAST(SUM(b.term_micro) AS BIGINT) AS surv_log_micro
-    FROM terms a JOIN terms b ON b.dur <= a.dur
-    WHERE a.d > 0
-    GROUP BY a.dur, a.n_at_risk, a.d, a.c
-    ORDER BY t_days
-    """,
-)
-def ev13_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EV13: Kaplan-Meier survival table — the NONPARAMETRIC
-    complement to m24's parametric AFT fit. Study framing: time from
-    order placement to full delivery (last lineitem ship); orders
-    not yet finalized ('O'/'P') are right-censored at their observed
-    duration. Emits the classic KM table at each event time: number
-    at risk, events, censored, and the log survival curve as the
-    cumulative sum of FLOOR-micro ln((n-d)/n) terms — the dq13 idiom
-    that makes a product of fractions hash-comparable across engines
-    (each ln is one IEEE double op, each term an integer, the sum
-    order-free). Scale shape: subjects collapse to a per-duration
-    census first (ONE groupBy; duration domain is the bounded
-    order-to-ship day range, ~130 values), then both the
-    at-risk suffix count and the cumulative hazard run as broadcast
-    non-equi self-joins over that tiny frame — the repo's standard
-    alternative to an unpartitioned window, O(days^2) of a hundreds-row
-    frame, never a subjects-sized sort. The d = n_at_risk boundary
-    (everyone at risk dies at once: S hits exact 0, ln undefined)
-    yields NULL by the same CASE on both engines."""
-    li = t(spark, sf_dir, "lineitem").groupBy("l_orderkey").agg(
-        F.max(F.col("l_shipdate").cast("date")).alias("done_date")
-    )
-    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate", "o_orderstatus")
-    subj = o.join(li, o.o_orderkey == li.l_orderkey).select(
-        F.datediff("done_date", F.col("o_orderdate").cast("date")).alias("dur"),
-        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("ev"),
-    )
-    per = subj.groupBy("dur").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("ev").alias("d"),
-        (F.count(F.lit(1)) - F.sum("ev")).alias("c"),
-    )
-    a, b = per.alias("a"), per.alias("b")
-    at_risk = (
-        a.join(F.broadcast(b), F.col("b.dur") >= F.col("a.dur"))
-        .groupBy(F.col("a.dur").alias("dur"), F.col("a.d").alias("d"), F.col("a.c").alias("c"))
-        .agg(F.sum("b.n").alias("n_at_risk"))
-    )
-    terms = at_risk.select(
-        "dur",
-        "d",
-        "c",
-        "n_at_risk",
-        F.when(
-            (F.col("d") > 0) & (F.col("d") < F.col("n_at_risk")),
-            F.floor(
-                F.log((F.col("n_at_risk") - F.col("d")) * 1.0 / F.col("n_at_risk")) * 1e6
-            ).cast("long"),
-        )
-        .when(F.col("d") > 0, F.lit(None).cast("long"))
-        .otherwise(F.lit(0).cast("long"))
-        .alias("term_micro"),
-    )
-    ta, tb = terms.alias("ta"), terms.alias("tb")
-    return (
-        ta.join(F.broadcast(tb), F.col("tb.dur") <= F.col("ta.dur"))
-        .filter(F.col("ta.d") > 0)
-        .groupBy(
-            F.col("ta.dur").cast("int").alias("t_days"),
-            F.col("ta.n_at_risk").cast("bigint").alias("n_at_risk"),
-            F.col("ta.d").cast("bigint").alias("n_events"),
-            F.col("ta.c").cast("bigint").alias("n_censored"),
-        )
-        .agg(F.sum("tb.term_micro").cast("bigint").alias("surv_log_micro"))
-        .orderBy("t_days")
-    )
-
-
-# --- Fellegi-Sunter probabilistic record linkage -----------------------------
-
-
-@register(
-    "er_fellegi_sunter",
-    """
-    WITH cts AS (
-        SELECT c_custkey, c_name, c_nationkey, c_mktsegment,
-               CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents
-        FROM customer
-    ),
-    dirty AS (
-        SELECT c_custkey AS d_custkey,
-               CASE WHEN c_custkey % 7 = 0 THEN 'Cstmr' || SUBSTRING(c_name, 9)
-                    WHEN c_custkey % 3 = 0 THEN c_name || 'x'
-                    ELSE c_name END AS d_name,
-               c_nationkey AS d_nationkey,
-               c_mktsegment AS d_mktsegment,
-               cents + CASE WHEN c_custkey % 5 = 0 THEN 7 ELSE 0 END AS d_cents
-        FROM cts
-    ),
-    pairs AS (
-        SELECT CASE WHEN levenshtein(d.d_name, c.c_name) <= 1 THEN 1 ELSE 0 END AS name_agree,
-               CASE WHEN d.d_cents = c.cents THEN 1 ELSE 0 END AS cents_agree,
-               CASE WHEN CAST(FLOOR(d.d_cents / 100000.0) AS BIGINT)
-                         = CAST(FLOOR(c.cents / 100000.0) AS BIGINT) THEN 1 ELSE 0 END AS band_agree,
-               CASE WHEN d.d_custkey = c.c_custkey THEN 1 ELSE 0 END AS is_match
-        FROM dirty d
-        JOIN cts c ON d.d_nationkey = c.c_nationkey AND d.d_mktsegment = c.c_mktsegment
-    ),
-    rates AS (
-        SELECT CAST(SUM(is_match) AS BIGINT) AS m_tot,
-               CAST(COUNT(*) - SUM(is_match) AS BIGINT) AS u_tot,
-               CAST(SUM(name_agree * is_match) AS BIGINT) AS ma_name,
-               CAST(SUM(name_agree * (1 - is_match)) AS BIGINT) AS ua_name,
-               CAST(SUM(cents_agree * is_match) AS BIGINT) AS ma_cents,
-               CAST(SUM(cents_agree * (1 - is_match)) AS BIGINT) AS ua_cents,
-               CAST(SUM(band_agree * is_match) AS BIGINT) AS ma_band,
-               CAST(SUM(band_agree * (1 - is_match)) AS BIGINT) AS ua_band
-        FROM pairs
-    ),
-    pat AS (
-        SELECT name_agree, cents_agree, band_agree,
-               CAST(COUNT(*) AS BIGINT) AS n_pairs,
-               CAST(SUM(is_match) AS BIGINT) AS n_matches
-        FROM pairs GROUP BY 1, 2, 3
-    )
-    SELECT CAST(p.name_agree AS INTEGER) AS name_agree,
-           CAST(p.cents_agree AS INTEGER) AS cents_agree,
-           CAST(p.band_agree AS INTEGER) AS band_agree,
-           p.n_pairs, p.n_matches,
-           CAST(CASE WHEN p.name_agree = 1
-                THEN CAST(FLOOR(LN((r.ma_name + 1) * (r.u_tot + 2) * 1.0
-                                   / ((r.ua_name + 1) * (r.m_tot + 2))) * 1e6) AS BIGINT)
-                ELSE CAST(FLOOR(LN((r.m_tot - r.ma_name + 1) * (r.u_tot + 2) * 1.0
-                                   / ((r.u_tot - r.ua_name + 1) * (r.m_tot + 2))) * 1e6) AS BIGINT) END
-             + CASE WHEN p.cents_agree = 1
-                THEN CAST(FLOOR(LN((r.ma_cents + 1) * (r.u_tot + 2) * 1.0
-                                   / ((r.ua_cents + 1) * (r.m_tot + 2))) * 1e6) AS BIGINT)
-                ELSE CAST(FLOOR(LN((r.m_tot - r.ma_cents + 1) * (r.u_tot + 2) * 1.0
-                                   / ((r.u_tot - r.ua_cents + 1) * (r.m_tot + 2))) * 1e6) AS BIGINT) END
-             + CASE WHEN p.band_agree = 1
-                THEN CAST(FLOOR(LN((r.ma_band + 1) * (r.u_tot + 2) * 1.0
-                                   / ((r.ua_band + 1) * (r.m_tot + 2))) * 1e6) AS BIGINT)
-                ELSE CAST(FLOOR(LN((r.m_tot - r.ma_band + 1) * (r.u_tot + 2) * 1.0
-                                   / ((r.u_tot - r.ua_band + 1) * (r.m_tot + 2))) * 1e6) AS BIGINT) END
-             AS BIGINT) AS weight_micro
-    FROM pat p CROSS JOIN rates r
-    ORDER BY name_agree DESC, cents_agree DESC, band_agree DESC
-    """,
-)
-def er_fellegi_sunter(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """ER: Fellegi-Sunter probabilistic record linkage — the missing
-    entity-resolution family member between j5's blocked fuzzy join
-    (candidate generation) and p22's survivorship (post-merge). A
-    deterministically perturbed copy of customer (name edit at
-    custkey%3/%7, +7-cent balance shift at %5) is linked back against
-    the clean table: candidates come ONLY from (nationkey, mktsegment)
-    blocks — never all-pairs, the same blocking posture as j5 — and
-    each candidate pair is scored on a 3-field comparison vector
-    (levenshtein<=1 name agreement, exact cents, $1000 balance band).
-    m_k = P(agree|match) and u_k = P(agree|non-match) are estimated
-    from the blocked pairs in ONE global aggregate (ground truth =
-    same custkey; Laplace +1/+2 smoothing so no zero cell can reach
-    the log), and the classic per-pattern log-likelihood weight
-    sum(ln(m/u) or ln((1-m)/(1-u))) is emitted per agreement pattern
-    in FLOOR-micro integers — exact-product BIGINT numerators (all
-    < 2^53), ONE IEEE division, one libm ln per field, the dq13 idiom
-    that hash-compares across engines. Scale shape: the pair join is
-    a blocked equi-join (a hash join, never cartesian), the rates
-    frame is a broadcast 1-row aggregate, and the pattern rollup has
-    at most 8 groups; at 100 TB you refine the blocking key (add a
-    name-prefix leg), not the algorithm."""
-    c = t(spark, sf_dir, "customer").select(
-        "c_custkey",
-        "c_name",
-        "c_nationkey",
-        "c_mktsegment",
-        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
-    )
-    dirty = c.select(
-        F.col("c_custkey").alias("d_custkey"),
-        F.when(
-            F.col("c_custkey") % 7 == 0,
-            F.concat(F.lit("Cstmr"), F.expr("substring(c_name, 9)")),
-        )
-        .when(F.col("c_custkey") % 3 == 0, F.concat(F.col("c_name"), F.lit("x")))
-        .otherwise(F.col("c_name"))
-        .alias("d_name"),
-        F.col("c_nationkey").alias("d_nationkey"),
-        F.col("c_mktsegment").alias("d_mktsegment"),
-        (
-            F.col("cents")
-            + F.when(F.col("c_custkey") % 5 == 0, F.lit(7)).otherwise(F.lit(0))
-        ).alias("d_cents"),
-    )
-    pairs = cache_once(
-        dirty.join(
-            c,
-            (F.col("d_nationkey") == F.col("c_nationkey"))
-            & (F.col("d_mktsegment") == F.col("c_mktsegment")),
-        ).select(
-            F.when(F.levenshtein("d_name", "c_name") <= 1, 1).otherwise(0).alias("name_agree"),
-            F.when(F.col("d_cents") == F.col("cents"), 1).otherwise(0).alias("cents_agree"),
-            F.when(
-                F.floor(F.col("d_cents") / F.lit(100000.0)).cast("long")
-                == F.floor(F.col("cents") / F.lit(100000.0)).cast("long"),
-                1,
-            )
-            .otherwise(0)
-            .alias("band_agree"),
-            F.when(F.col("d_custkey") == F.col("c_custkey"), 1).otherwise(0).alias("is_match"),
-        )
-    )
-    rates = pairs.agg(
-        F.sum("is_match").cast("long").alias("m_tot"),
-        (F.count(F.lit(1)) - F.sum("is_match")).cast("long").alias("u_tot"),
-        F.sum(F.col("name_agree") * F.col("is_match")).cast("long").alias("ma_name"),
-        F.sum(F.col("name_agree") * (1 - F.col("is_match"))).cast("long").alias("ua_name"),
-        F.sum(F.col("cents_agree") * F.col("is_match")).cast("long").alias("ma_cents"),
-        F.sum(F.col("cents_agree") * (1 - F.col("is_match"))).cast("long").alias("ua_cents"),
-        F.sum(F.col("band_agree") * F.col("is_match")).cast("long").alias("ma_band"),
-        F.sum(F.col("band_agree") * (1 - F.col("is_match"))).cast("long").alias("ua_band"),
-    )
-    pat = pairs.groupBy("name_agree", "cents_agree", "band_agree").agg(
-        F.count(F.lit(1)).cast("long").alias("n_pairs"),
-        F.sum("is_match").cast("long").alias("n_matches"),
-    )
-
-    def w(agree_col: str, ma: str, ua: str):
-        agree_w = F.floor(
-            F.log(
-                ((F.col(ma) + 1) * (F.col("u_tot") + 2)).cast("double")
-                / ((F.col(ua) + 1) * (F.col("m_tot") + 2))
-            )
-            * 1e6
-        ).cast("long")
-        disagree_w = F.floor(
-            F.log(
-                ((F.col("m_tot") - F.col(ma) + 1) * (F.col("u_tot") + 2)).cast("double")
-                / ((F.col("u_tot") - F.col(ua) + 1) * (F.col("m_tot") + 2))
-            )
-            * 1e6
-        ).cast("long")
-        return F.when(F.col(agree_col) == 1, agree_w).otherwise(disagree_w)
-
-    return (
-        pat.crossJoin(F.broadcast(rates))
-        .select(
-            F.col("name_agree").cast("int").alias("name_agree"),
-            F.col("cents_agree").cast("int").alias("cents_agree"),
-            F.col("band_agree").cast("int").alias("band_agree"),
-            "n_pairs",
-            "n_matches",
-            (
-                w("name_agree", "ma_name", "ua_name")
-                + w("cents_agree", "ma_cents", "ua_cents")
-                + w("band_agree", "ma_band", "ua_band")
-            )
-            .cast("long")
-            .alias("weight_micro"),
-        )
-        .orderBy(
-            F.col("name_agree").desc(),
-            F.col("cents_agree").desc(),
-            F.col("band_agree").desc(),
-        )
-    )
-
-
-@register(
-    "m34_calibration_bins",
-    """
-    WITH scored AS (
-        SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
-               CASE WHEN o_orderpriority LIKE '1-%' OR o_orderpriority LIKE '2-%'
-                    THEN 1 ELSE 0 END AS y
-        FROM orders
-    ),
-    binned AS (
-        SELECT LEAST(9, cents // 5000000) AS bin, cents, y FROM scored
-    )
-    SELECT CAST(bin AS BIGINT) AS bin,
-           CAST(COUNT(*) AS BIGINT) AS n,
-           CAST(SUM(y) AS BIGINT) AS positives,
-           CAST(SUM(y) * 1000000 // COUNT(*) AS BIGINT) AS rate_micro,
-           CAST(SUM(cents) // COUNT(*) AS BIGINT) AS avg_cents
-    FROM binned GROUP BY bin ORDER BY bin
-    """,
-)
-def m34_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M34: calibration / reliability table — the model-monitoring
-    counterpart to m31_conformal_interval: bucket a score into fixed
-    equal-width bins and report the empirical positive rate per bin
-    (the reliability-diagram input; a well-calibrated score has
-    rate ~ bin midpoint). The score here is the deterministic
-    order-value signal (integer cents; fixed edges, so bin assignment
-    is exact integer math — no NTILE global window, no float edge
-    hazard) and the outcome is the high-priority flag. rate in exact
-    integer micros (positives*1e6 div n), the repo-wide ratio idiom.
-
-    Scale: single hash-agg on a 10-value key — partial aggregation
-    collapses everything map-side; the shuffle moves ≤10 rows per
-    task regardless of corpus size."""
-    o = t(spark, sf_dir, "orders")
-    scored = o.select(
-        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("cents"),
-        F.when(
-            F.col("o_orderpriority").startswith("1-") | F.col("o_orderpriority").startswith("2-"),
-            F.lit(1),
-        ).otherwise(F.lit(0)).alias("y"),
-    )
-    binned = scored.select(F.least(F.lit(9), F.expr("cents div 5000000")).cast("long").alias("bin"), "cents", "y")
-    return (
-        binned.groupBy("bin")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n"),
-            F.sum("y").cast("long").alias("positives"),
-            F.expr("CAST(SUM(y) * 1000000 DIV COUNT(*) AS BIGINT)").alias("rate_micro"),
-            F.expr("CAST(SUM(cents) DIV COUNT(*) AS BIGINT)").alias("avg_cents"),
-        )
-        .orderBy("bin")
-    )
-
-
-@register(
-    "ev14_uplift_qini",
-    """
-    WITH pop AS (
-        SELECT c_custkey,
-               ('0x' || SUBSTR(MD5('u' || CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT % 2 AS treated,
-               LEAST(9, GREATEST(0, CAST(ROUND(c_acctbal * 100) AS BIGINT) + 100000) // 120000) AS bin
-        FROM customer
-    ),
-    outcome AS (
-        SELECT o_custkey, 1 AS y FROM orders GROUP BY o_custkey
-        HAVING SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) >= 50000000
-    ),
-    scored AS (
-        SELECT p.bin, p.treated, COALESCE(o.y, 0) AS y
-        FROM pop p LEFT JOIN outcome o ON p.c_custkey = o.o_custkey
-    ),
-    per_bin AS (
-        SELECT bin,
-               SUM(CASE WHEN treated = 1 THEN 1 ELSE 0 END) AS nt,
-               SUM(CASE WHEN treated = 0 THEN 1 ELSE 0 END) AS nc,
-               SUM(CASE WHEN treated = 1 THEN y ELSE 0 END) AS yt,
-               SUM(CASE WHEN treated = 0 THEN y ELSE 0 END) AS yc
-        FROM scored GROUP BY bin
-    ),
-    cum AS (
-        SELECT b.bin,
-               SUM(b2.nt) AS cnt, SUM(b2.nc) AS cnc,
-               SUM(b2.yt) AS cyt, SUM(b2.yc) AS cyc
-        FROM per_bin b JOIN per_bin b2 ON b2.bin >= b.bin
-        GROUP BY b.bin
-    )
-    SELECT CAST(bin AS BIGINT) AS bin,
-           CAST(cnt AS BIGINT) AS cum_treated, CAST(cnc AS BIGINT) AS cum_control,
-           CAST(cyt AS BIGINT) AS cum_y_treated, CAST(cyc AS BIGINT) AS cum_y_control,
-           CAST((cyt * cnc - cyc * cnt) * 1000000 // cnc AS BIGINT) AS qini_micro
-    FROM cum ORDER BY bin
-    """,
-)
-def ev14_uplift_qini(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EV14: uplift-modeling Qini curve — the causal counterpart of
-    m34_calibration_bins: customers hash-split into treatment/control
-    (the portable-md5 coin, the repo's A/B idiom since m32), outcome =
-    lifetime order value over a threshold, score bins = fixed
-    integer-cent acctbal edges (descending richness proxy). Per
-    descending-score prefix: cumulative treated/control counts and
-    responders, and the Qini value Q(k) = Yt_k - Yc_k * Nt_k/Nc_k in
-    exact integer micros via cross-multiplication (no float division
-    either engine).
-
-    The 10-row cumulative runs as the broadcast non-equi self-join
-    (b2.bin >= b.bin) — the repo's no-unpartitioned-window idiom: the
-    heavy work (per-customer outcome agg, bin agg) is ordinary
-    partial-agg shuffles; only the 10-row frontier is quadratic, and
-    10x10 is free. At 100 TB nothing changes: bins are fixed, the
-    per-bin table is O(10) regardless of population."""
-    c = t(spark, sf_dir, "customer")
-    pop = c.select(
-        "c_custkey",
-        (portable_hash32(F.concat(F.lit("u"), F.col("c_custkey").cast("string"))) % 2).alias("treated"),
-        F.greatest(F.lit(0).cast("long"), F.expr("CAST(ROUND(c_acctbal * 100) AS BIGINT) + 100000")).alias("raw"),
-    ).select("c_custkey", "treated", F.expr("CAST(least(9, raw div 120000) AS BIGINT)").alias("bin"))
-    outcome = (
-        t(spark, sf_dir, "orders")
-        .groupBy("o_custkey")
-        .agg(F.expr("SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT))").alias("cents"))
-        .filter(F.col("cents") >= 50000000)
-        .select("o_custkey", F.lit(1).alias("y"))
-    )
-    scored = pop.join(outcome, pop.c_custkey == outcome.o_custkey, "left").select(
-        "bin", "treated", F.coalesce(F.col("y"), F.lit(0)).alias("y")
-    )
-    per_bin = scored.groupBy("bin").agg(
-        F.sum(F.when(F.col("treated") == 1, 1).otherwise(0)).alias("nt"),
-        F.sum(F.when(F.col("treated") == 0, 1).otherwise(0)).alias("nc"),
-        F.sum(F.when(F.col("treated") == 1, F.col("y")).otherwise(0)).alias("yt"),
-        F.sum(F.when(F.col("treated") == 0, F.col("y")).otherwise(0)).alias("yc"),
-    )
-    b, b2 = per_bin.alias("b"), F.broadcast(per_bin.alias("b2"))
-    cum = (
-        b.join(b2, F.col("b2.bin") >= F.col("b.bin"))
-        .groupBy(F.col("b.bin").alias("bin"))
-        .agg(
-            F.sum("b2.nt").alias("cnt"),
-            F.sum("b2.nc").alias("cnc"),
-            F.sum("b2.yt").alias("cyt"),
-            F.sum("b2.yc").alias("cyc"),
-        )
-    )
-    return cum.select(
-        F.col("bin").cast("long").alias("bin"),
-        F.col("cnt").cast("long").alias("cum_treated"),
-        F.col("cnc").cast("long").alias("cum_control"),
-        F.col("cyt").cast("long").alias("cum_y_treated"),
-        F.col("cyc").cast("long").alias("cum_y_control"),
-        F.expr("CAST((cyt * cnc - cyc * cnt) * 1000000 DIV cnc AS BIGINT)").alias("qini_micro"),
-    ).orderBy("bin")
 
 
 @register(
@@ -2452,78 +1113,6 @@ def ts7_theil_sen_trend(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "x27_compaction_planner",
-    """
-    WITH files AS (
-        SELECT CAST(YEAR(l_shipdate) * 100 + MONTH(l_shipdate) AS BIGINT) AS part,
-               CAST(l_suppkey % 8 AS BIGINT) AS file_id,
-               CAST(COUNT(*) * 128 AS BIGINT) AS bytes
-        FROM lineitem GROUP BY part, file_id
-    ),
-    planned AS (
-        SELECT part, file_id, bytes,
-               COALESCE(SUM(bytes) OVER (
-                   PARTITION BY part ORDER BY bytes DESC, file_id
-                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
-        FROM files
-    )
-    SELECT part,
-           CAST(cum_before // 65536 AS BIGINT) AS compaction_group,
-           CAST(COUNT(*) AS BIGINT) AS n_files,
-           CAST(SUM(bytes) AS BIGINT) AS group_bytes,
-           CAST(SUM(CASE WHEN bytes < 16384 THEN 1 ELSE 0 END) AS BIGINT) AS n_small_files
-    FROM planned
-    GROUP BY part, compaction_group
-    ORDER BY part, compaction_group
-    """,
-)
-def x27_compaction_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X27: small-file compaction planning — the lakehouse maintenance
-    op every 100 TB table needs (thousands of tiny files per partition
-    kill scan throughput; OPTIMIZE/rewrite jobs consume a plan exactly
-    like this). The file inventory is simulated from lineitem
-    ((ship-month, supplier-bucket) -> bytes proxy); within each
-    partition, files ordered largest-first are assigned to compaction
-    groups by EXCLUSIVE-prefix-sum div target (64 KiB here) — the
-    deterministic one-window formulation of greedy size packing (the
-    same running-state idea as pack_documents_greedy, but closed-form:
-    group = floor(bytes-before / target), no recursion needed).
-    Output: one row per (partition, group) with file count, group
-    bytes, and the small-file census driving the rewrite decision.
-
-    Scale: one hash-agg builds the inventory (tiny: files-per-
-    partition, not rows), the window is PARTITIONED by the table
-    partition, and the plan is O(files) regardless of data volume."""
-    li = t(spark, sf_dir, "lineitem")
-    from pyspark.sql.window import Window
-
-    files = li.groupBy(
-        (F.year("l_shipdate") * 100 + F.month("l_shipdate")).cast("long").alias("part"),
-        (F.col("l_suppkey") % 8).cast("long").alias("file_id"),
-    ).agg((F.count(F.lit(1)) * 128).cast("long").alias("bytes"))
-    w = (
-        Window.partitionBy("part")
-        .orderBy(F.col("bytes").desc(), "file_id")
-        .rowsBetween(Window.unboundedPreceding, -1)
-    )
-    planned = files.select(
-        "part",
-        "file_id",
-        "bytes",
-        F.coalesce(F.sum("bytes").over(w), F.lit(0)).alias("cum_before"),
-    )
-    return (
-        planned.groupBy("part", F.expr("CAST(cum_before DIV 65536 AS BIGINT)").alias("compaction_group"))
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_files"),
-            F.sum("bytes").cast("long").alias("group_bytes"),
-            F.sum(F.when(F.col("bytes") < 16384, 1).otherwise(0)).cast("long").alias("n_small_files"),
-        )
-        .orderBy("part", "compaction_group")
-    )
-
-
-@register(
     "p23_pseudonymize_join_audit",
     """
     WITH c_tok AS (
@@ -2612,718 +1201,6 @@ def p23_pseudonymize_join_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
             "token_collisions",
         )
         .orderBy("nation")
-    )
-
-
-_PSM_ORACLE = """
-    WITH pop AS (
-        SELECT c_custkey AS k, c_nationkey AS nation,
-               CAST(ROUND(c_acctbal * 100) AS BIGINT) AS score,
-               ('0x' || SUBSTR(MD5('psm-' || CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT % 2 AS treated
-        FROM customer
-    ),
-    outcome AS (
-        SELECT o_custkey AS ok, CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
-        FROM orders GROUP BY o_custkey
-    ),
-    ranked AS (
-        SELECT p.k, p.nation, p.score, p.treated, COALESCE(o.y, 0) AS y,
-               LAST_VALUE(CASE WHEN treated = 0 THEN score END IGNORE NULLS) OVER w_prev AS ps,
-               LAST_VALUE(CASE WHEN treated = 0 THEN k END IGNORE NULLS) OVER w_prev AS pk,
-               FIRST_VALUE(CASE WHEN treated = 0 THEN score END IGNORE NULLS) OVER w_next AS ns,
-               FIRST_VALUE(CASE WHEN treated = 0 THEN k END IGNORE NULLS) OVER w_next AS nk
-        FROM pop p LEFT JOIN outcome o ON p.k = o.ok
-        WINDOW
-          w_prev AS (PARTITION BY nation ORDER BY score, k
-                     ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING),
-          w_next AS (PARTITION BY nation ORDER BY score, k
-                     ROWS BETWEEN 1 FOLLOWING AND UNBOUNDED FOLLOWING)
-    ),
-    matched AS (
-        SELECT nation, k, y, score,
-               CASE WHEN ps IS NULL AND ns IS NULL THEN NULL
-                    WHEN ns IS NULL THEN pk
-                    WHEN ps IS NULL THEN nk
-                    WHEN (score - ps) <= (ns - score) THEN pk ELSE nk END AS mk,
-               CASE WHEN ps IS NULL AND ns IS NULL THEN NULL
-                    WHEN ns IS NULL THEN score - ps
-                    WHEN ps IS NULL THEN ns - score
-                    WHEN (score - ps) <= (ns - score) THEN score - ps ELSE ns - score END AS dist
-        FROM ranked WHERE treated = 1
-    )
-    SELECT CAST(m.nation AS BIGINT) AS nation,
-           CAST(COUNT(*) AS BIGINT) AS n_treated,
-           CAST(COUNT(m.mk) AS BIGINT) AS n_matched,
-           CAST(CASE WHEN COUNT(m.mk) = 0 THEN NULL
-                ELSE SUM(CASE WHEN m.mk IS NOT NULL THEN m.y - COALESCE(oc.y, 0) END)
-                     // COUNT(m.mk) END AS BIGINT) AS att_cents,
-           CAST(CASE WHEN COUNT(m.mk) = 0 THEN NULL
-                ELSE SUM(m.dist) // COUNT(m.mk) END AS BIGINT) AS avg_match_dist_cents
-    FROM matched m LEFT JOIN outcome oc ON m.mk = oc.ok
-    GROUP BY m.nation ORDER BY nation
-"""
-
-
-@register("ev16_propensity_match", _PSM_ORACLE)
-def ev16_propensity_match(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EV16: propensity-score matching (with replacement) — completes
-    the causal toolkit (ev12 DiD, ev14 Qini, m32 permutation): each
-    hash-treated customer is matched to its nearest control on the
-    score axis WITHIN nation, and the ATT is the matched outcome gap.
-    Nearest-neighbor-on-a-sort-key is the as-of join's symmetric twin:
-    one nation-PARTITIONED ordered window gives every row its last
-    preceding and first following control (ignorenulls last/first),
-    and the closer one wins with deterministic tie-break toward the
-    lower score — no per-treated scan, no cross join, all integer
-    cents.
-
-    Scale: the sort is per-nation (the shuffle key), controls are
-    reusable so no iterative assignment pass, and the match is O(n log
-    n) in the partition — at 100 TB this is exactly the sorted-merge
-    shape AQE loves."""
-    from pyspark.sql.window import Window
-
-    c = t(spark, sf_dir, "customer")
-    o = t(spark, sf_dir, "orders")
-    pop = c.select(
-        F.col("c_custkey").alias("k"),
-        F.col("c_nationkey").alias("nation"),
-        F.expr("CAST(ROUND(c_acctbal * 100) AS BIGINT)").alias("score"),
-        (portable_hash32(F.concat(F.lit("psm-"), F.col("c_custkey").cast("string"))) % 2).alias("treated"),
-    )
-    outcome = o.groupBy(F.col("o_custkey").alias("ok")).agg(
-        F.expr("CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)").alias("y")
-    )
-    w_prev = Window.partitionBy("nation").orderBy("score", "k").rowsBetween(Window.unboundedPreceding, -1)
-    w_next = Window.partitionBy("nation").orderBy("score", "k").rowsBetween(1, Window.unboundedFollowing)
-    ctl_score = F.when(F.col("treated") == 0, F.col("score"))
-    ctl_key = F.when(F.col("treated") == 0, F.col("k"))
-    ranked = (
-        pop.join(outcome, pop.k == outcome.ok, "left")
-        .select("k", "nation", "score", "treated", F.coalesce("y", F.lit(0)).alias("y"))
-        .select(
-            "*",
-            F.last(ctl_score, ignorenulls=True).over(w_prev).alias("ps"),
-            F.last(ctl_key, ignorenulls=True).over(w_prev).alias("pk"),
-            F.first(ctl_score, ignorenulls=True).over(w_next).alias("ns"),
-            F.first(ctl_key, ignorenulls=True).over(w_next).alias("nk"),
-        )
-    )
-    prev_closer = (F.col("score") - F.col("ps")) <= (F.col("ns") - F.col("score"))
-    matched = ranked.filter(F.col("treated") == 1).select(
-        "nation",
-        "y",
-        F.when(F.col("ps").isNull() & F.col("ns").isNull(), F.lit(None))
-        .when(F.col("ns").isNull(), F.col("pk"))
-        .when(F.col("ps").isNull(), F.col("nk"))
-        .when(prev_closer, F.col("pk"))
-        .otherwise(F.col("nk"))
-        .alias("mk"),
-        F.when(F.col("ps").isNull() & F.col("ns").isNull(), F.lit(None))
-        .when(F.col("ns").isNull(), F.col("score") - F.col("ps"))
-        .when(F.col("ps").isNull(), F.col("ns") - F.col("score"))
-        .when(prev_closer, F.col("score") - F.col("ps"))
-        .otherwise(F.col("ns") - F.col("score"))
-        .alias("dist"),
-    )
-    oc = outcome.select(F.col("ok").alias("c_ok"), F.col("y").alias("cy"))
-    return (
-        matched.join(oc, matched.mk == oc.c_ok, "left")
-        .groupBy(F.col("nation").cast("long").alias("nation"))
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_treated"),
-            F.count("mk").cast("long").alias("n_matched"),
-            F.expr(
-                "CAST(CASE WHEN COUNT(mk) = 0 THEN NULL ELSE "
-                "SUM(CASE WHEN mk IS NOT NULL THEN y - COALESCE(cy, 0) END) DIV COUNT(mk) END AS BIGINT)"
-            ).alias("att_cents"),
-            F.expr(
-                "CAST(CASE WHEN COUNT(mk) = 0 THEN NULL ELSE SUM(dist) DIV COUNT(mk) END AS BIGINT)"
-            ).alias("avg_match_dist_cents"),
-        )
-        .orderBy("nation")
-    )
-
-
-@register(
-    "m35_partial_dependence",
-    """
-    WITH pop AS (
-        SELECT c_custkey AS k, c_mktsegment AS mkt,
-               LEAST(9, GREATEST(0, CAST(ROUND(c_acctbal * 100) AS BIGINT) + 100000) // 120000)
-                   AS bucket
-        FROM customer
-    ),
-    outcome AS (
-        SELECT o_custkey AS ok, CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
-        FROM orders GROUP BY o_custkey
-    ),
-    joined AS (
-        SELECT p.k, p.mkt, p.bucket, COALESCE(o.y, 0) AS y
-        FROM pop p LEFT JOIN outcome o ON p.k = o.ok
-    ),
-    bucket_means AS (
-        SELECT bucket, CAST(SUM(y) // COUNT(*) AS BIGINT) AS bm FROM joined GROUP BY bucket
-    ),
-    resid AS (
-        SELECT j.mkt, j.y - b.bm AS r
-        FROM joined j JOIN bucket_means b ON j.bucket = b.bucket
-    ),
-    mkt_adj AS (
-        SELECT mkt, CAST(SUM(r) // COUNT(*) AS BIGINT) AS madj FROM resid GROUP BY mkt
-    ),
-    pop_adj AS (
-        SELECT CAST(SUM(m.madj) // COUNT(*) AS BIGINT) AS mean_adj
-        FROM joined j JOIN mkt_adj m ON j.mkt = m.mkt
-    )
-    SELECT b.bucket,
-           CAST(b.bm AS BIGINT) AS bucket_mean_cents,
-           CAST(b.bm + (SELECT mean_adj FROM pop_adj) AS BIGINT) AS pdp_cents,
-           CAST((SELECT mean_adj FROM pop_adj) AS BIGINT) AS population_adj_cents
-    FROM bucket_means b ORDER BY b.bucket
-    """,
-)
-def m35_partial_dependence(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M35: partial-dependence table — the model-explainability
-    companion to m12_feature_importances: for the additive two-term
-    model fitted right here (bucket mean of lifetime order value +
-    market-segment residual adjustment, all integer floor-means — the
-    m6 target-stats idiom), PDP(bucket g) = E_population[f(g, mkt_i)]
-    = bucket_mean(g) + mean_i(mkt_adj(mkt_i)). Because the model is
-    additive, the expectation collapses to one broadcast scalar — the
-    PDP grid never cross-joins the population (the naive PDP is
-    grid x N; the factored one is O(grid + N), which is the 100 TB
-    point of this query).
-
-    Plan: three hash-aggs (bucket means, residual adjustments,
-    population mean adjustment) chained by broadcast joins; output is
-    the 10-row grid."""
-    c = t(spark, sf_dir, "customer")
-    o = t(spark, sf_dir, "orders")
-    pop = c.select(
-        F.col("c_custkey").alias("k"),
-        F.col("c_mktsegment").alias("mkt"),
-        F.expr(
-            "CAST(least(9, greatest(CAST(0 AS BIGINT), CAST(ROUND(c_acctbal * 100) AS BIGINT) + 100000) DIV 120000) AS BIGINT)"
-        ).alias("bucket"),
-    )
-    outcome = o.groupBy(F.col("o_custkey").alias("ok")).agg(
-        F.expr("CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)").alias("y")
-    )
-    joined = pop.join(outcome, pop.k == outcome.ok, "left").select(
-        "k", "mkt", "bucket", F.coalesce("y", F.lit(0)).alias("y")
-    )
-    bucket_means = joined.groupBy("bucket").agg(F.expr("CAST(SUM(y) DIV COUNT(*) AS BIGINT)").alias("bm"))
-    resid = joined.join(F.broadcast(bucket_means), "bucket").select("mkt", (F.col("y") - F.col("bm")).alias("r"))
-    mkt_adj = resid.groupBy("mkt").agg(F.expr("CAST(SUM(r) DIV COUNT(*) AS BIGINT)").alias("madj"))
-    pop_adj = (
-        joined.join(F.broadcast(mkt_adj), "mkt")
-        .agg(F.expr("CAST(SUM(madj) DIV COUNT(*) AS BIGINT)").alias("mean_adj"))
-    )
-    return (
-        bucket_means.crossJoin(F.broadcast(pop_adj))
-        .select(
-            "bucket",
-            F.col("bm").cast("long").alias("bucket_mean_cents"),
-            (F.col("bm") + F.col("mean_adj")).cast("long").alias("pdp_cents"),
-            F.col("mean_adj").cast("long").alias("population_adj_cents"),
-        )
-        .orderBy("bucket")
-    )
-
-
-def _zorder_oracle_sql() -> str:
-    inter = " + ".join(
-        f"((d1 // {1 << j}) % 2) * {1 << (2 * j + 1)} + ((d2 // {1 << j}) % 2) * {1 << (2 * j)}"
-        for j in range(10)
-    )
-    return f"""
-    WITH pts AS (
-        SELECT c_custkey % 1024 AS d1,
-               LEAST(1023, GREATEST(0, CAST(ROUND(c_acctbal * 100) AS BIGINT) + 100000) // 1200)
-                   AS d2
-        FROM customer
-    ),
-    keyed AS (
-        SELECT d1, d2, CAST({inter} AS BIGINT) AS z FROM pts
-    ),
-    files AS (
-        SELECT 'zorder' AS layout, z // 16384 AS file_id, d2 FROM keyed
-        UNION ALL
-        SELECT 'linear' AS layout, d1 // 16 AS file_id, d2 FROM keyed
-    ),
-    stats AS (
-        SELECT layout, file_id, MIN(d2) AS mn, MAX(d2) AS mx, COUNT(*) AS n_rows
-        FROM files GROUP BY layout, file_id
-    )
-    SELECT layout,
-           CAST(COUNT(*) AS BIGINT) AS n_files,
-           CAST(SUM(CASE WHEN mn <= 400 AND mx >= 300 THEN 1 ELSE 0 END) AS BIGINT)
-               AS files_scanned,
-           CAST(SUM(CASE WHEN mn <= 400 AND mx >= 300 THEN n_rows ELSE 0 END) AS BIGINT)
-               AS rows_scanned,
-           CAST(SUM(CASE WHEN mn <= 400 AND mx >= 300 THEN 0 ELSE 1 END) AS BIGINT)
-               AS files_pruned
-    FROM stats GROUP BY layout ORDER BY layout
-    """
-
-
-@register("x28_zorder_clustering_audit", _zorder_oracle_sql())
-def x28_zorder_clustering_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X28: Z-order clustering audit — the quantified case for
-    multi-dimensional layout at 100 TB: rows carry two independent
-    dimensions (key bucket, value bucket); files are simulated under
-    (a) Z-ORDER layout (files = ranges of the 20-bit Morton interleave
-    of both dims — the f25 bit trick re-aimed at clustering) and (b)
-    the naive linear layout (files = ranges of dim-1 only). The audit
-    replays min/max data skipping for a dim-2 probe range against
-    each layout's per-file zone map: the linear layout scans every
-    file (dim-2 spreads uniformly through all of them), the Z-ordered
-    layout prunes most — the exact effect OPTIMIZE ZORDER buys, stated
-    as hash-checked numbers instead of a slogan.
-
-    Plan: codegen'd interleave, one hash-agg for the zone maps, one
-    2-row rollup."""
-    c = t(spark, sf_dir, "customer")
-    inter = " + ".join(
-        f"((d1 DIV {1 << j}) % 2) * {1 << (2 * j + 1)} + ((d2 DIV {1 << j}) % 2) * {1 << (2 * j)}"
-        for j in range(10)
-    )
-    pts = c.select(
-        (F.col("c_custkey") % 1024).cast("long").alias("d1"),
-        F.expr(
-            "CAST(least(1023, greatest(CAST(0 AS BIGINT),"
-            " CAST(ROUND(c_acctbal * 100) AS BIGINT) + 100000) DIV 1200) AS BIGINT)"
-        ).alias("d2"),
-    )
-    keyed = pts.select("d1", "d2", F.expr(f"CAST({inter} AS BIGINT)").alias("z"))
-    z_files = keyed.select(F.lit("zorder").alias("layout"), F.expr("z DIV 16384").alias("file_id"), "d2")
-    lin_files = keyed.select(F.lit("linear").alias("layout"), F.expr("d1 DIV 16").alias("file_id"), "d2")
-    stats = (
-        z_files.unionByName(lin_files)
-        .groupBy("layout", "file_id")
-        .agg(F.min("d2").alias("mn"), F.max("d2").alias("mx"), F.count(F.lit(1)).alias("n_rows"))
-    )
-    hit = (F.col("mn") <= 400) & (F.col("mx") >= 300)
-    return (
-        stats.groupBy("layout")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_files"),
-            F.sum(F.when(hit, 1).otherwise(0)).cast("long").alias("files_scanned"),
-            F.sum(F.when(hit, F.col("n_rows")).otherwise(0)).cast("long").alias("rows_scanned"),
-            F.sum(F.when(hit, 0).otherwise(1)).cast("long").alias("files_pruned"),
-        )
-        .orderBy("layout")
-    )
-
-
-# Poisson(1) inverse-CDF thresholds on u in [0, 2^32): P(W<=k) * 2^32
-# rounded once in host Python, injected verbatim into both engines.
-_POIS1_T = [1580030169, 3160060337, 3950075422, 4213413783, 4279248374, 4292415292]
-
-
-def _poisson_bootstrap_oracle() -> str:
-    w_case = " ".join(
-        f"WHEN u < {t} THEN {k}" for k, t in enumerate(_POIS1_T)
-    )
-    return f"""
-    WITH rows_ AS (
-        SELECT o_orderkey AS k, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
-        FROM orders
-    ),
-    reps AS (SELECT UNNEST(RANGE(0, 32)) AS r),
-    hashed AS (
-        SELECT r.r, rows_.cents,
-               ('0x' || SUBSTR(MD5('bs' || CAST(r.r AS VARCHAR) || '-' || CAST(rows_.k AS VARCHAR)), 1, 8))::BIGINT AS u
-        FROM rows_ CROSS JOIN reps r
-    ),
-    weighted AS (
-        SELECT r, cents, CASE {w_case} ELSE {len(_POIS1_T)} END AS w
-        FROM hashed
-    ),
-    rep_means AS (
-        SELECT r, CAST(SUM(w * cents) // SUM(w) AS BIGINT) AS mean_cents
-        FROM weighted GROUP BY r HAVING SUM(w) > 0
-    ),
-    ranked AS (
-        SELECT mean_cents, ROW_NUMBER() OVER (ORDER BY mean_cents, mean_cents) AS rk,
-               COUNT(*) OVER () AS n
-        FROM rep_means
-    ),
-    point AS (SELECT CAST(SUM(cents) // COUNT(*) AS BIGINT) AS pm FROM rows_)
-    SELECT CAST((SELECT pm FROM point) AS BIGINT) AS point_mean_cents,
-           CAST(MAX(CASE WHEN rk = 1 THEN mean_cents END) AS BIGINT) AS ci_lo_cents,
-           CAST(MAX(CASE WHEN rk = n THEN mean_cents END) AS BIGINT) AS ci_hi_cents,
-           CAST(ANY_VALUE(n) AS BIGINT) AS n_replicates
-    FROM ranked
-    """
-
-
-@register("m36_poisson_bootstrap_ci", _poisson_bootstrap_oracle())
-def m36_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """M36: Poisson bootstrap — THE resampling method that works at
-    100 TB (multinomial bootstrap needs the global N per resample;
-    Poisson(1) weights are independent per row, so every replicate is
-    one weighted aggregate in the SAME single pass over the data).
-    Here 32 replicates of the mean order value: each (row, replicate)
-    draws its weight from the portable-md5 u via fixed integer
-    inverse-CDF thresholds (computed once in host Python — no float
-    RNG in either engine), replicate means are exact integer
-    floor-means, and the CI endpoints are order statistics of the
-    32-row replicate frame (min/max here = the ~3%/97% envelope at
-    K=32; K is a parameter).
-
-    Plan: one scan fans out x32 via a broadcast replicate range (the
-    m32/m18 K-row idiom), partial aggregation collapses map-side, and
-    the order-statistics window runs over 32 rows partitioned...
-    deliberately ordered GLOBALLY — but over a 32-row frame, which is
-    the documented broadcast-scale exception class; see plan_audit
-    allowlist entry."""
-    o = t(spark, sf_dir, "orders")
-    from pyspark.sql.window import Window
-
-    rows_ = o.select(
-        F.col("o_orderkey").alias("k"),
-        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("cents"),
-    )
-    reps = t(spark, sf_dir, "orders").sparkSession.range(0, 32).select(F.col("id").alias("r"))
-    u = F.conv(
-        F.substring(F.md5(F.concat(F.lit("bs"), F.col("r").cast("string"), F.lit("-"), F.col("k").cast("string"))), 1, 8),
-        16,
-        10,
-    ).cast("long")
-    w_expr = F.lit(len(_POIS1_T))
-    for kk in range(len(_POIS1_T) - 1, -1, -1):
-        w_expr = F.when(u < _POIS1_T[kk], kk).otherwise(w_expr)
-    weighted = rows_.crossJoin(F.broadcast(reps)).select("r", "cents", w_expr.alias("w"))
-    rep_means = (
-        weighted.groupBy("r")
-        .agg(F.expr("CAST(SUM(w * cents) DIV SUM(w) AS BIGINT)").alias("mean_cents"), F.sum("w").alias("tw"))
-        .filter(F.col("tw") > 0)
-        .select("r", "mean_cents")
-    )
-    # order statistics over the 32-row replicate frame: broadcast
-    # non-equi rank (the repo's no-global-window idiom)
-    a, b = rep_means.alias("a"), F.broadcast(rep_means.alias("b"))
-    ranked = (
-        a.join(b, (F.col("b.mean_cents") < F.col("a.mean_cents")) | ((F.col("b.mean_cents") == F.col("a.mean_cents")) & (F.col("b.r") <= F.col("a.r"))))
-        .groupBy(F.col("a.r").alias("r"), F.col("a.mean_cents").alias("mean_cents"))
-        .agg(F.count(F.lit(1)).alias("rk"))
-    )
-    n_reps = rep_means.agg(F.count(F.lit(1)).alias("n"))
-    point = rows_.agg(F.expr("CAST(SUM(cents) DIV COUNT(*) AS BIGINT)").alias("pm"))
-    return (
-        ranked.crossJoin(F.broadcast(n_reps))
-        .agg(
-            F.max(F.when(F.col("rk") == 1, F.col("mean_cents"))).cast("long").alias("ci_lo_cents"),
-            F.max(F.when(F.col("rk") == F.col("n"), F.col("mean_cents"))).cast("long").alias("ci_hi_cents"),
-            F.first("n").cast("long").alias("n_replicates"),
-        )
-        .crossJoin(F.broadcast(point))
-        .select(
-            F.col("pm").cast("long").alias("point_mean_cents"),
-            "ci_lo_cents",
-            "ci_hi_cents",
-            "n_replicates",
-        )
-    )
-
-
-def _hrw_oracle_sql() -> str:
-    return """
-    WITH shards7 AS (SELECT UNNEST(RANGE(0, 7)) AS s),
-    shards8 AS (SELECT UNNEST(RANGE(0, 8)) AS s),
-    a7 AS (
-        SELECT doc_id, ARG_MAX(s, h) AS shard FROM (
-            SELECT d.doc_id, s.s,
-                   ('0x' || SUBSTR(MD5('hrw-' || CAST(s.s AS VARCHAR) || '-' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT * 16 + s.s AS h
-            FROM documents d CROSS JOIN shards7 s
-        ) GROUP BY doc_id
-    ),
-    a8 AS (
-        SELECT doc_id, ARG_MAX(s, h) AS shard FROM (
-            SELECT d.doc_id, s.s,
-                   ('0x' || SUBSTR(MD5('hrw-' || CAST(s.s AS VARCHAR) || '-' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT * 16 + s.s AS h
-            FROM documents d CROSS JOIN shards8 s
-        ) GROUP BY doc_id
-    )
-    SELECT CAST(a8.shard AS BIGINT) AS shard,
-           CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(SUM(CASE WHEN a7.shard <> a8.shard THEN 1 ELSE 0 END) AS BIGINT) AS n_moved_in
-    FROM a8 JOIN a7 ON a8.doc_id = a7.doc_id
-    GROUP BY a8.shard ORDER BY shard
-    """
-
-
-@register("x29_rendezvous_sharding", _hrw_oracle_sql())
-def x29_rendezvous_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """X29: rendezvous (highest-random-weight) sharding — how you grow
-    a 100 TB cluster from 7 to 8 shards WITHOUT reshuffling the world:
-    each doc goes to the shard with the highest hash(shard, doc), so
-    adding shard 7 steals ~1/8 of every old shard's docs and moves
-    NOTHING between old shards. The output states that property as
-    hash-checked numbers: per new-layout shard, total docs and docs
-    that changed assignment — n_moved_in is nonzero ONLY for shard 7
-    (the test pins it; consistent-hash rings buy the same guarantee
-    with worse balance). The weight is the portable-md5 hash with the
-    shard id folded into the low bits as the deterministic tiebreak.
-
-    Plan: two broadcast fan-outs (x7, x8 — constant frames), two
-    max_by aggregates keyed by doc, one join + rollup. Linear in the
-    corpus, constant in shard count."""
-    d = t(spark, sf_dir, "documents").select("doc_id")
-
-    def assign(k: int):
-        shards = d.sparkSession.range(0, k).select(F.col("id").alias("s"))
-        h = (
-            portable_hash32(
-                F.concat(F.lit("hrw-"), F.col("s").cast("string"), F.lit("-"), F.col("doc_id").cast("string"))
-            )
-            * 16
-            + F.col("s")
-        ).alias("h")
-        return (
-            d.crossJoin(F.broadcast(shards))
-            .select("doc_id", "s", h)
-            .groupBy("doc_id")
-            .agg(F.expr("max_by(s, h)").alias("shard"))
-        )
-
-    a7 = assign(7).select(F.col("doc_id"), F.col("shard").alias("shard7"))
-    a8 = assign(8).select(F.col("doc_id"), F.col("shard").alias("shard8"))
-    return (
-        a8.join(a7, "doc_id")
-        .groupBy(F.col("shard8").cast("long").alias("shard"))
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_docs"),
-            F.sum(F.when(F.col("shard7") != F.col("shard8"), 1).otherwise(0)).cast("long").alias("n_moved_in"),
-        )
-        .orderBy("shard")
-    )
-
-
-@register(
-    "ev17_cuped_adjustment",
-    """
-    WITH pop AS (
-        SELECT c_custkey AS k,
-               CAST(ROUND(c_acctbal * 100) AS BIGINT) AS x,
-               ('0x' || SUBSTR(MD5('cuped-' || CAST(c_custkey AS VARCHAR)), 1, 8))::BIGINT % 2 AS t
-        FROM customer
-    ),
-    outcome AS (
-        SELECT o_custkey AS ok, CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
-        FROM orders GROUP BY o_custkey
-    ),
-    units AS (
-        SELECT p.k, p.t, p.x, COALESCE(o.y, 0) AS y
-        FROM pop p LEFT JOIN outcome o ON p.k = o.ok
-    ),
-    means AS (
-        SELECT CAST(SUM(x) // COUNT(*) AS BIGINT) AS mx,
-               CAST(SUM(y) // COUNT(*) AS BIGINT) AS my,
-               COUNT(*) AS n
-        FROM units
-    ),
-    centered AS (
-        SELECT u.k, u.t, u.y, u.x - m.mx AS cx, u.y - m.my AS cy
-        FROM units u CROSS JOIN means m
-    ),
-    theta AS (
-        SELECT CAST(SUM(cx * cy) * 1000 // SUM(cx * cx) AS BIGINT) AS th
-        FROM centered
-    ),
-    adjusted AS (
-        SELECT c.t, c.y, c.cy,
-               (c.y * 1000 - t.th * c.cx) // 1000 AS ya
-        FROM centered c CROSS JOIN theta t
-    ),
-    arm AS (
-        SELECT t,
-               COUNT(*) AS n,
-               CAST(SUM(y) // COUNT(*) AS BIGINT) AS mean_y,
-               CAST(SUM(ya) // COUNT(*) AS BIGINT) AS mean_ya
-        FROM adjusted GROUP BY t
-    ),
-    adj_mean AS (
-        SELECT CAST(SUM(ya) // COUNT(*) AS BIGINT) AS mya FROM adjusted
-    ),
-    vars_ AS (
-        SELECT CAST(SUM(((a.cy) // 100) * ((a.cy) // 100)) // COUNT(*) AS BIGINT) AS var_u_h,
-               CAST(SUM(((a.ya - m.mya) // 100) * ((a.ya - m.mya) // 100)) // COUNT(*) AS BIGINT) AS var_a_h
-        FROM adjusted a CROSS JOIN adj_mean m
-    )
-    SELECT (SELECT th FROM theta) AS theta_milli,
-           CAST((SELECT MAX(CASE WHEN t = 1 THEN mean_y END) - MAX(CASE WHEN t = 0 THEN mean_y END) FROM arm) AS BIGINT) AS effect_unadj_cents,
-           CAST((SELECT MAX(CASE WHEN t = 1 THEN mean_ya END) - MAX(CASE WHEN t = 0 THEN mean_ya END) FROM arm) AS BIGINT) AS effect_cuped_cents,
-           CAST(100 - var_a_h * 100 // var_u_h AS BIGINT) AS var_reduction_pct,
-           CAST((SELECT MAX(CASE WHEN t = 1 THEN n END) FROM arm) AS BIGINT) AS n_treated,
-           CAST((SELECT MAX(CASE WHEN t = 0 THEN n END) FROM arm) AS BIGINT) AS n_control
-    FROM vars_
-    """,
-)
-def ev17_cuped_adjustment(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EV17: CUPED variance reduction — the experimentation-platform
-    standard (Deng et al., WSDM'13): adjust the experiment metric with
-    the pre-experiment covariate, ya = y - theta*(x - E[x]), theta =
-    cov(x,y)/var(x), and the treatment-effect estimate keeps its mean
-    while its variance drops by corr²(x,y). Everything is exact
-    integer arithmetic in a fixed overflow budget: center FIRST (so
-    cross-products stay under int64 — the naive n*Σxy form overflows
-    at 1e21), theta in FLOOR-milli, adjusted outcomes in floor-cents,
-    variances over hectocent deviations. Output: theta, both effect
-    estimates, the realized variance-reduction percentage, arm sizes.
-
-    Plan: three global aggregates chained by 1-row broadcast cross
-    joins (the repo's no-global-window scalar idiom) plus one 2-row
-    arm rollup — every pass is a map-side-combining scan."""
-    c = t(spark, sf_dir, "customer")
-    o = t(spark, sf_dir, "orders")
-    pop = c.select(
-        F.col("c_custkey").alias("k"),
-        F.expr("CAST(ROUND(c_acctbal * 100) AS BIGINT)").alias("x"),
-        (portable_hash32(F.concat(F.lit("cuped-"), F.col("c_custkey").cast("string"))) % 2).alias("t"),
-    )
-    outcome = o.groupBy(F.col("o_custkey").alias("ok")).agg(
-        F.expr("CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)").alias("y")
-    )
-    units = pop.join(outcome, pop.k == outcome.ok, "left").select(
-        "k", "t", "x", F.coalesce("y", F.lit(0)).alias("y")
-    )
-    means = units.agg(
-        F.expr("CAST(SUM(x) DIV COUNT(*) AS BIGINT)").alias("mx"),
-        F.expr("CAST(SUM(y) DIV COUNT(*) AS BIGINT)").alias("my"),
-    )
-    centered = units.crossJoin(F.broadcast(means)).select(
-        "k", "t", "y", (F.col("x") - F.col("mx")).alias("cx"), (F.col("y") - F.col("my")).alias("cy")
-    )
-    theta = centered.agg(F.expr("CAST(SUM(cx * cy) * 1000 DIV SUM(cx * cx) AS BIGINT)").alias("th"))
-    adjusted = centered.crossJoin(F.broadcast(theta)).select(
-        "t", "y", "cy", F.expr("(y * 1000 - th * cx) DIV 1000").alias("ya"), "th"
-    )
-    arm = adjusted.groupBy("t").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.expr("CAST(SUM(y) DIV COUNT(*) AS BIGINT)").alias("mean_y"),
-        F.expr("CAST(SUM(ya) DIV COUNT(*) AS BIGINT)").alias("mean_ya"),
-    )
-    arm_row = arm.agg(
-        F.expr("CAST(MAX(CASE WHEN t = 1 THEN mean_y END) - MAX(CASE WHEN t = 0 THEN mean_y END) AS BIGINT)").alias("effect_unadj_cents"),
-        F.expr("CAST(MAX(CASE WHEN t = 1 THEN mean_ya END) - MAX(CASE WHEN t = 0 THEN mean_ya END) AS BIGINT)").alias("effect_cuped_cents"),
-        F.expr("CAST(MAX(CASE WHEN t = 1 THEN n END) AS BIGINT)").alias("n_treated"),
-        F.expr("CAST(MAX(CASE WHEN t = 0 THEN n END) AS BIGINT)").alias("n_control"),
-    )
-    adj_mean = adjusted.agg(F.expr("CAST(SUM(ya) DIV COUNT(*) AS BIGINT)").alias("mya"))
-    vars_ = (
-        adjusted.crossJoin(F.broadcast(adj_mean))
-        .agg(
-            F.expr("CAST(SUM((cy DIV 100) * (cy DIV 100)) DIV COUNT(*) AS BIGINT)").alias("var_u_h"),
-            F.expr("CAST(SUM(((ya - mya) DIV 100) * ((ya - mya) DIV 100)) DIV COUNT(*) AS BIGINT)").alias("var_a_h"),
-        )
-    )
-    return (
-        vars_.crossJoin(F.broadcast(theta))
-        .crossJoin(F.broadcast(arm_row))
-        .select(
-            F.col("th").cast("long").alias("theta_milli"),
-            "effect_unadj_cents",
-            "effect_cuped_cents",
-            F.expr("CAST(100 - var_a_h * 100 DIV var_u_h AS BIGINT)").alias("var_reduction_pct"),
-            "n_treated",
-            "n_control",
-        )
-    )
-
-
-@register(
-    "ev18_shapley_attribution",
-    """
-    WITH touched AS (
-        SELECT user_id,
-               MAX(CASE WHEN event_type = 'view' THEN 1 ELSE 0 END)
-             + MAX(CASE WHEN event_type = 'click' THEN 2 ELSE 0 END)
-             + MAX(CASE WHEN event_type = 'signup' THEN 4 ELSE 0 END) AS bits,
-               MAX(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END) AS conv
-        FROM events GROUP BY user_id
-    ),
-    seen AS (
-        SELECT bits, COUNT(*) AS n_s, SUM(conv) AS c_s FROM touched GROUP BY bits
-    ),
-    subsets AS (
-        SELECT u.s AS bits,
-               COALESCE((SELECT CAST(c_s * 1000000 // n_s AS BIGINT) FROM seen WHERE seen.bits = u.s), 0) AS v
-        FROM (SELECT UNNEST(RANGE(0, 8)) AS s) u
-    ),
-    channels(ch, b) AS (VALUES ('view', 1), ('click', 2), ('signup', 4)),
-    marginals AS (
-        SELECT c.ch,
-               CASE BIT_COUNT(s0.bits) WHEN 0 THEN 2 WHEN 1 THEN 1 ELSE 2 END
-                 * (s1.v - s0.v) AS term
-        FROM channels c
-        JOIN subsets s0 ON (s0.bits & c.b) = 0
-        JOIN subsets s1 ON s1.bits = (s0.bits | c.b)
-    )
-    SELECT ch AS channel,
-           CAST(SUM(term) // 6 AS BIGINT) AS shapley_micro
-    FROM marginals GROUP BY ch ORDER BY channel
-    """,
-)
-def ev18_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """EV18: exact Shapley channel attribution — the game-theoretic
-    upgrade over ev3's last-click rule (the marketing-measurement
-    standard): each channel's credit is its average marginal lift in
-    conversion rate across every coalition it can join. With 3
-    channels the coalition space is 8 subsets, so Shapley is EXACT —
-    characteristic values v(S) are floor-micro conversion rates per
-    observed touch-bitmap (unobserved subsets contribute v=0), and the
-    weights |S|!(n-|S|-1)!/n! become the integers {2,1,2}/6, so the
-    whole computation is integer arithmetic over an 8-row frame.
-
-    Plan: one hash-agg to per-user bitmaps (the only data-sized
-    shuffle), one to the 8-row coalition census; the Shapley sum is a
-    broadcast 3x8 join. At 100 TB only the bitmap agg grows; 10+
-    channels would need sampled coalitions (the documented frontier —
-    exact Shapley is exponential by nature)."""
-    ev = t(spark, sf_dir, "events")
-    touched = ev.groupBy("user_id").agg(
-        (
-            F.max(F.when(F.col("event_type") == "view", 1).otherwise(0))
-            + F.max(F.when(F.col("event_type") == "click", 2).otherwise(0))
-            + F.max(F.when(F.col("event_type") == "signup", 4).otherwise(0))
-        ).alias("bits"),
-        F.max(F.when(F.col("event_type") == "purchase", 1).otherwise(0)).alias("conv"),
-    )
-    seen = touched.groupBy("bits").agg(
-        F.count(F.lit(1)).alias("n_s"), F.sum("conv").alias("c_s")
-    )
-    allsets = ev.sparkSession.range(0, 8).select(F.col("id").cast("int").alias("bits"))
-    subsets = (
-        allsets.join(seen, "bits", "left")
-        .select(
-            "bits",
-            F.coalesce(F.expr("CAST(c_s * 1000000 DIV n_s AS BIGINT)"), F.lit(0)).alias("v"),
-        )
-    )
-    channels = ev.sparkSession.createDataFrame([("view", 1), ("click", 2), ("signup", 4)], "ch string, b int")
-    s0 = subsets.select(F.col("bits").alias("bits0"), F.col("v").alias("v0"))
-    s1 = subsets.select(F.col("bits").alias("bits1"), F.col("v").alias("v1"))
-    marginals = (
-        F.broadcast(channels)
-        .join(F.broadcast(s0), F.expr("(bits0 & b) = 0"))
-        .join(F.broadcast(s1), F.expr("bits1 = (bits0 | b)"))
-        .select(
-            "ch",
-            (
-                F.when(F.bit_count("bits0") == 0, 2)
-                .when(F.bit_count("bits0") == 1, 1)
-                .otherwise(2)
-                * (F.col("v1") - F.col("v0"))
-            ).alias("term"),
-        )
-    )
-    return (
-        marginals.groupBy(F.col("ch").alias("channel"))
-        .agg(F.expr("CAST(SUM(term) DIV 6 AS BIGINT)").alias("shapley_micro"))
-        .orderBy("channel")
     )
 
 

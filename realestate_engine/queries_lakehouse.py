@@ -1,0 +1,674 @@
+"""Lakehouse-maintenance operators, split out of queries_extra3.py
+(round 7, mechanical move — no semantic change): retraction IVM, CDC
+extract, bitemporal as-of, late-dimension replay, compaction
+planning, Z-order clustering audit, rendezvous sharding.
+
+Engine-portable integer idioms throughout (md5-prefix hashes, integer
+cents, FLOOR-scaled micros) so every value hash-compares vs DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql.window import Window
+
+from realestate_engine.dedup import cache_once, portable_hash32
+from realestate_engine.registry import register, t
+
+
+@register(
+    "x21_retraction_ivm",
+    """
+    WITH base AS (
+        SELECT o_orderpriority, o_orderkey,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders WHERE o_orderkey % 5 <> 0
+    ),
+    deletes AS (
+        SELECT * FROM base WHERE o_orderkey % 10 = 1
+    ),
+    inserts AS (
+        SELECT o_orderpriority, o_orderkey,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders WHERE o_orderkey % 5 = 0
+    ),
+    state AS (
+        SELECT o_orderpriority, SUM(cents) AS cents, CAST(COUNT(*) AS BIGINT) AS n,
+               MIN(cents) AS min_cents
+        FROM base GROUP BY 1
+    ),
+    delta AS (
+        SELECT o_orderpriority, SUM(w * cents) AS cents, CAST(SUM(w) AS BIGINT) AS n
+        FROM (
+            SELECT o_orderpriority, cents, -1 AS w FROM deletes
+            UNION ALL
+            SELECT o_orderpriority, cents, 1 AS w FROM inserts
+        )
+        GROUP BY 1
+    ),
+    merged AS (
+        SELECT o_orderpriority, SUM(cents) AS cents, SUM(n) AS n
+        FROM (
+            SELECT o_orderpriority, cents, n FROM state
+            UNION ALL
+            SELECT o_orderpriority, cents, n FROM delta
+        )
+        GROUP BY 1
+    ),
+    final_rows AS (
+        SELECT o_orderpriority, cents FROM base
+        WHERE o_orderkey % 10 <> 1
+        UNION ALL
+        SELECT o_orderpriority, cents FROM inserts
+    ),
+    direct AS (
+        SELECT o_orderpriority, SUM(cents) AS cents, CAST(COUNT(*) AS BIGINT) AS n,
+               MIN(cents) AS min_cents
+        FROM final_rows GROUP BY 1
+    ),
+    min_hit AS (
+        SELECT s.o_orderpriority,
+               MAX(CASE WHEN d.cents = s.min_cents THEN 1 ELSE 0 END) AS hit
+        FROM state s LEFT JOIN deletes d ON d.o_orderpriority = s.o_orderpriority
+        GROUP BY 1
+    )
+    SELECT m.o_orderpriority,
+           CAST(m.n AS BIGINT) AS n_orders,
+           CAST(m.cents AS BIGINT) AS total_cents,
+           (m.cents = d.cents AND m.n = d.n) AS matches_direct,
+           CAST(d.min_cents AS BIGINT) AS min_cents,
+           (h.hit = 1) AS min_recomputed
+    FROM merged m
+    JOIN direct d USING (o_orderpriority)
+    JOIN min_hit h USING (o_orderpriority)
+    ORDER BY o_orderpriority
+    """,
+)
+def x21_retraction_ivm(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X21: incremental view maintenance UNDER DELETES — the case x8's
+    insert-only merge can't handle. A CDC batch arrives as signed rows
+    (+1 inserts, -1 retractions); SUM/COUNT state absorbs both by
+    weighted re-aggregation of mergeable integer state — no base
+    re-scan — and the plan carries its own proof (matches_direct
+    compares the maintained state against a direct recompute of the
+    post-CDC table). MIN is deliberately included as the
+    NON-retractable aggregate: when a retracted row equals the stored
+    group minimum the state can't answer, so the query surfaces
+    min_recomputed per group and takes the recompute fallback for the
+    min column only — exactly the split a production IVM pipeline
+    makes (accumulator aggregates absorb deltas; extrema trigger
+    per-group repair). All state is exact integer cents, so the merge
+    is associative and the oracle replays it bit-for-bit."""
+    o = t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    base = o.filter(F.col("o_orderkey") % 5 != 0).select(
+        "o_orderpriority", "o_orderkey", cents.alias("cents")
+    )
+    deletes = base.filter(F.col("o_orderkey") % 10 == 1)
+    inserts = o.filter(F.col("o_orderkey") % 5 == 0).select(
+        "o_orderpriority", "o_orderkey", cents.alias("cents")
+    )
+    state = base.groupBy("o_orderpriority").agg(
+        F.sum("cents").alias("cents"),
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.min("cents").alias("min_cents"),
+    )
+    delta = (
+        deletes.select("o_orderpriority", "cents", F.lit(-1).alias("w"))
+        .unionByName(inserts.select("o_orderpriority", "cents", F.lit(1).alias("w")))
+        .groupBy("o_orderpriority")
+        .agg(
+            F.sum(F.col("w") * F.col("cents")).alias("cents"),
+            F.sum("w").cast("bigint").alias("n"),
+        )
+    )
+    merged = (
+        state.select("o_orderpriority", "cents", "n")
+        .unionByName(delta)
+        .groupBy("o_orderpriority")
+        .agg(F.sum("cents").alias("cents"), F.sum("n").alias("n"))
+    )
+    final_rows = base.filter(F.col("o_orderkey") % 10 != 1).unionByName(inserts)
+    direct = final_rows.groupBy("o_orderpriority").agg(
+        F.sum("cents").alias("d_cents"),
+        F.count(F.lit(1)).cast("bigint").alias("d_n"),
+        F.min("cents").alias("d_min"),
+    )
+    min_hit = (
+        state.select("o_orderpriority", "min_cents")
+        .join(
+            deletes.select("o_orderpriority", F.col("cents").alias("del_cents")),
+            "o_orderpriority",
+            "left",
+        )
+        .groupBy("o_orderpriority")
+        .agg(
+            F.max(
+                F.when(F.col("del_cents") == F.col("min_cents"), 1).otherwise(0)
+            ).alias("hit")
+        )
+    )
+    return (
+        merged.join(direct, "o_orderpriority")
+        .join(min_hit, "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            F.col("n").cast("bigint").alias("n_orders"),
+            F.col("cents").cast("bigint").alias("total_cents"),
+            ((F.col("cents") == F.col("d_cents")) & (F.col("n") == F.col("d_n"))).alias(
+                "matches_direct"
+            ),
+            F.col("d_min").cast("bigint").alias("min_cents"),
+            (F.col("hit") == 1).alias("min_recomputed"),
+        )
+        .orderBy("o_orderpriority")
+    )
+
+
+@register(
+    "x22_cdc_extract",
+    """
+    WITH v1 AS (
+        SELECT o_orderkey AS k,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    v2 AS (
+        SELECT k,
+               CASE WHEN k % 97 = 0 THEN cents + 1 ELSE cents END AS cents
+        FROM v1 WHERE k % 89 <> 0
+        UNION ALL
+        SELECT k + 100000000 AS k, cents FROM v1 WHERE k % 101 = 0
+    )
+    SELECT COALESCE(v1.k, v2.k) AS k,
+           CASE WHEN v1.k IS NULL THEN 'I'
+                WHEN v2.k IS NULL THEN 'D'
+                ELSE 'U' END AS op,
+           v1.cents AS before_cents,
+           v2.cents AS after_cents
+    FROM v1 FULL OUTER JOIN v2 ON v1.k = v2.k
+    WHERE v1.k IS NULL OR v2.k IS NULL OR v1.cents <> v2.cents
+    ORDER BY k
+    """,
+)
+def x22_cdc_extract(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X22: CDC EXTRACTION — diff two table snapshots into the
+    insert/update/delete changelog that x20_cdc_apply consumes and
+    dq12's Merkle diff locates: the full snapshot-diff path of an
+    incremental pipeline (extract -> locate -> apply). v2 is a
+    deterministic mutation of orders (every 97th key repriced, every
+    89th deleted, every 101st re-inserted under a new key); the diff
+    is ONE full outer join on the key with unchanged rows filtered
+    out, so the changelog costs one co-partitioned shuffle regardless
+    of how few rows changed. At 100 TB the join keys would be
+    pre-bucketed (s24 idiom) or the diff scoped to the buckets dq12
+    flagged — extract-on-flagged-buckets turns a full-table diff into
+    a 64th of the work per mutated bucket."""
+    o = t(spark, sf_dir, "orders")
+    v1 = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    mutated = v1.filter(F.col("k") % 89 != 0).select(
+        "k",
+        F.when(F.col("k") % 97 == 0, F.col("cents") + 1).otherwise(F.col("cents")).alias("cents"),
+    )
+    inserted = v1.filter(F.col("k") % 101 == 0).select(
+        (F.col("k") + 100_000_000).alias("k"), "cents"
+    )
+    v2 = mutated.unionByName(inserted)
+    a = v1.alias("a")
+    b = v2.alias("b")
+    return (
+        a.join(b, F.col("a.k") == F.col("b.k"), "full_outer")
+        .filter(
+            F.col("a.k").isNull()
+            | F.col("b.k").isNull()
+            | (F.col("a.cents") != F.col("b.cents"))
+        )
+        .select(
+            F.coalesce(F.col("a.k"), F.col("b.k")).alias("k"),
+            F.when(F.col("a.k").isNull(), "I")
+            .when(F.col("b.k").isNull(), "D")
+            .otherwise("U")
+            .alias("op"),
+            F.col("a.cents").alias("before_cents"),
+            F.col("b.cents").alias("after_cents"),
+        )
+        .orderBy("k")
+    )
+
+
+@register(
+    "x26_late_dimension_replay",
+    """
+    WITH dim_v1 AS (
+        SELECT c_custkey, c_nationkey FROM customer WHERE c_custkey % 10 <> 3
+    ),
+    facts AS (
+        SELECT o_orderkey, o_custkey,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    first_pass AS (
+        SELECT f.o_orderkey, f.o_custkey, f.cents, d.c_nationkey
+        FROM facts f LEFT JOIN dim_v1 d ON d.c_custkey = f.o_custkey
+    ),
+    resolved_v1 AS (
+        SELECT o_orderkey, c_nationkey, cents FROM first_pass WHERE c_nationkey IS NOT NULL
+    ),
+    parked AS (
+        SELECT o_orderkey, o_custkey, cents FROM first_pass WHERE c_nationkey IS NULL
+    ),
+    replay AS (
+        SELECT p.o_orderkey, c.c_nationkey, p.cents
+        FROM parked p JOIN customer c ON c.c_custkey = p.o_custkey
+    ),
+    final AS (
+        SELECT * FROM resolved_v1 UNION ALL SELECT * FROM replay
+    ),
+    direct AS (
+        SELECT f.o_orderkey, c.c_nationkey, f.cents
+        FROM facts f JOIN customer c ON c.c_custkey = f.o_custkey
+    )
+    SELECT CAST((SELECT COUNT(*) FROM facts) AS BIGINT) AS n_facts,
+           CAST((SELECT COUNT(*) FROM parked) AS BIGINT) AS n_parked,
+           CAST((SELECT COUNT(*) FROM replay) AS BIGINT) AS n_replayed,
+           CAST((SELECT COUNT(*) FROM final) AS BIGINT) AS n_final,
+           ((SELECT COUNT(*) FROM final) = (SELECT COUNT(*) FROM direct)
+            AND (SELECT COALESCE(SUM(c_nationkey * cents), 0) FROM final)
+                = (SELECT COALESCE(SUM(c_nationkey * cents), 0) FROM direct))
+               AS replay_complete
+    """,
+)
+def x26_late_dimension_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X26: LATE-ARRIVING DIMENSION handling — the pipeline pattern for
+    facts that reference dim rows not yet ingested: join against the
+    dim version available at load time (here v1 is missing every 10th
+    customer), PARK the orphaned facts instead of dropping or
+    null-filling them, and when the dim catches up REPLAY only the
+    parked rows — never the resolved ones. The in-plan proof compares
+    the union of first-pass hits + replayed rows against a direct join
+    on the complete dim (row count AND a value checksum), so a replay
+    that loses, duplicates, or mis-keys rows flips the hash-compared
+    boolean. Cost: the replay join touches |parked| rows — at 100 TB
+    that is the whole point (re-joining only the orphan fraction,
+    not re-running the full fact join)."""
+    c = t(spark, sf_dir, "customer")
+    dim_v1 = c.filter(F.col("c_custkey") % 10 != 3).select("c_custkey", "c_nationkey")
+    facts = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    first_pass = facts.join(
+        F.broadcast(dim_v1), facts.o_custkey == dim_v1.c_custkey, "left"
+    )
+    resolved = first_pass.filter(F.col("c_nationkey").isNotNull()).select(
+        "o_orderkey", "c_nationkey", "cents"
+    )
+    parked = first_pass.filter(F.col("c_nationkey").isNull()).select(
+        "o_orderkey", "o_custkey", "cents"
+    )
+    replay = parked.join(
+        F.broadcast(c.select(F.col("c_custkey").alias("k"), F.col("c_nationkey").alias("nk"))),
+        parked.o_custkey == F.col("k"),
+    ).select("o_orderkey", F.col("nk").alias("c_nationkey"), "cents")
+    final = resolved.unionByName(replay)
+    direct = facts.join(
+        F.broadcast(c.select("c_custkey", "c_nationkey")),
+        facts.o_custkey == F.col("c_custkey"),
+    ).select("o_orderkey", "c_nationkey", "cents")
+
+    def stats(df, label):
+        return df.agg(
+            F.count(F.lit(1)).cast("bigint").alias(f"n_{label}"),
+            F.coalesce(F.sum(F.col("c_nationkey") * F.col("cents")), F.lit(0))
+            .cast("bigint")
+            .alias(f"sum_{label}"),
+        )
+
+    n_facts = facts.agg(F.count(F.lit(1)).cast("bigint").alias("n_facts"))
+    n_parked = parked.agg(F.count(F.lit(1)).cast("bigint").alias("n_parked"))
+    n_replay = replay.agg(F.count(F.lit(1)).cast("bigint").alias("n_replayed"))
+    fin = stats(final, "final")
+    dir_ = stats(direct, "direct")
+    return (
+        n_facts.crossJoin(F.broadcast(n_parked))
+        .crossJoin(F.broadcast(n_replay))
+        .crossJoin(F.broadcast(fin))
+        .crossJoin(F.broadcast(dir_))
+        .select(
+            "n_facts",
+            "n_parked",
+            "n_replayed",
+            "n_final",
+            (
+                (F.col("n_final") == F.col("n_direct"))
+                & (F.col("sum_final") == F.col("sum_direct"))
+            ).alias("replay_complete"),
+        )
+    )
+
+
+@register(
+    "x25_bitemporal_asof",
+    """
+    WITH versions AS (
+        SELECT o_orderkey,
+               o_orderdate AS valid_from,
+               o_orderdate + INTERVAL 30 DAY AS valid_to,
+               o_orderdate AS tx_from,
+               o_orderdate + INTERVAL 10 DAY AS tx_to,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+               1 AS version
+        FROM orders
+        UNION ALL
+        SELECT o_orderkey,
+               o_orderdate,
+               o_orderdate + INTERVAL 30 DAY,
+               o_orderdate + INTERVAL 10 DAY,
+               NULL,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) + 100,
+               2
+        FROM orders
+    ),
+    belief AS (
+        SELECT * FROM versions
+        WHERE valid_from <= TIMESTAMP '1997-06-20'
+          AND valid_to > TIMESTAMP '1997-06-20'
+          AND tx_from <= TIMESTAMP '1997-07-01'
+          AND (tx_to IS NULL OR tx_to > TIMESTAMP '1997-07-01')
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(cents) AS BIGINT) AS sum_cents,
+           CAST(SUM(CASE WHEN version = 1 THEN 1 ELSE 0 END) AS BIGINT) AS n_v1,
+           CAST(SUM(CASE WHEN version = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_v2,
+           CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) AS n_keys,
+           (COUNT(*) = COUNT(DISTINCT o_orderkey)) AS one_version_per_key
+    FROM belief
+    """,
+)
+def x25_bitemporal_asof(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X25: BITEMPORAL as-of — the two-axis time query SCD2 (x13, one
+    axis) cannot answer: "what did we BELIEVE on 1997-07-01 (transaction
+    time) the price valid on 1997-06-20 (valid time) was?". The ledger
+    carries both intervals per version (v1 as loaded; v2 a correction
+    recorded 10 days later, +100 cents, open transaction interval);
+    the query is two interval containments — pure pushdown-able
+    filters, no joins — and the audit boolean proves the bitemporal
+    invariant that exactly ONE version per key survives the double
+    containment (overlapping tx intervals would silently double-count
+    revenue). At 100 TB both axes are partition/cluster columns and
+    the containment prunes files."""
+    o = t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    base = o.select("o_orderkey", "o_orderdate", cents.alias("cents"))
+    v1 = base.select(
+        "o_orderkey",
+        F.col("o_orderdate").alias("valid_from"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")).alias("valid_to"),
+        F.col("o_orderdate").alias("tx_from"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 10 DAY")).alias("tx_to"),
+        "cents",
+        F.lit(1).alias("version"),
+    )
+    v2 = base.select(
+        "o_orderkey",
+        F.col("o_orderdate").alias("valid_from"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 30 DAY")).alias("valid_to"),
+        (F.col("o_orderdate") + F.expr("INTERVAL 10 DAY")).alias("tx_from"),
+        F.lit(None).cast("timestamp").alias("tx_to"),
+        (F.col("cents") + 100).alias("cents"),
+        F.lit(2).alias("version"),
+    )
+    V = F.lit("1997-06-20").cast("timestamp")
+    T = F.lit("1997-07-01").cast("timestamp")
+    belief = (
+        v1.unionByName(v2)
+        .filter(
+            (F.col("valid_from") <= V)
+            & (F.col("valid_to") > V)
+            & (F.col("tx_from") <= T)
+            & (F.col("tx_to").isNull() | (F.col("tx_to") > T))
+        )
+    )
+    return belief.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum("cents").cast("bigint").alias("sum_cents"),
+        F.sum(F.when(F.col("version") == 1, 1).otherwise(0)).cast("bigint").alias("n_v1"),
+        F.sum(F.when(F.col("version") == 2, 1).otherwise(0)).cast("bigint").alias("n_v2"),
+        F.count_distinct("o_orderkey").cast("bigint").alias("n_keys"),
+        (F.count(F.lit(1)) == F.count_distinct("o_orderkey")).alias("one_version_per_key"),
+    )
+
+
+@register(
+    "x27_compaction_planner",
+    """
+    WITH files AS (
+        SELECT CAST(YEAR(l_shipdate) * 100 + MONTH(l_shipdate) AS BIGINT) AS part,
+               CAST(l_suppkey % 8 AS BIGINT) AS file_id,
+               CAST(COUNT(*) * 128 AS BIGINT) AS bytes
+        FROM lineitem GROUP BY part, file_id
+    ),
+    planned AS (
+        SELECT part, file_id, bytes,
+               COALESCE(SUM(bytes) OVER (
+                   PARTITION BY part ORDER BY bytes DESC, file_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND 1 PRECEDING), 0) AS cum_before
+        FROM files
+    )
+    SELECT part,
+           CAST(cum_before // 65536 AS BIGINT) AS compaction_group,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(bytes) AS BIGINT) AS group_bytes,
+           CAST(SUM(CASE WHEN bytes < 16384 THEN 1 ELSE 0 END) AS BIGINT) AS n_small_files
+    FROM planned
+    GROUP BY part, compaction_group
+    ORDER BY part, compaction_group
+    """,
+)
+def x27_compaction_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X27: small-file compaction planning — the lakehouse maintenance
+    op every 100 TB table needs (thousands of tiny files per partition
+    kill scan throughput; OPTIMIZE/rewrite jobs consume a plan exactly
+    like this). The file inventory is simulated from lineitem
+    ((ship-month, supplier-bucket) -> bytes proxy); within each
+    partition, files ordered largest-first are assigned to compaction
+    groups by EXCLUSIVE-prefix-sum div target (64 KiB here) — the
+    deterministic one-window formulation of greedy size packing (the
+    same running-state idea as pack_documents_greedy, but closed-form:
+    group = floor(bytes-before / target), no recursion needed).
+    Output: one row per (partition, group) with file count, group
+    bytes, and the small-file census driving the rewrite decision.
+
+    Scale: one hash-agg builds the inventory (tiny: files-per-
+    partition, not rows), the window is PARTITIONED by the table
+    partition, and the plan is O(files) regardless of data volume."""
+    li = t(spark, sf_dir, "lineitem")
+    from pyspark.sql.window import Window
+
+    files = li.groupBy(
+        (F.year("l_shipdate") * 100 + F.month("l_shipdate")).cast("long").alias("part"),
+        (F.col("l_suppkey") % 8).cast("long").alias("file_id"),
+    ).agg((F.count(F.lit(1)) * 128).cast("long").alias("bytes"))
+    w = (
+        Window.partitionBy("part")
+        .orderBy(F.col("bytes").desc(), "file_id")
+        .rowsBetween(Window.unboundedPreceding, -1)
+    )
+    planned = files.select(
+        "part",
+        "file_id",
+        "bytes",
+        F.coalesce(F.sum("bytes").over(w), F.lit(0)).alias("cum_before"),
+    )
+    return (
+        planned.groupBy("part", F.expr("CAST(cum_before DIV 65536 AS BIGINT)").alias("compaction_group"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.sum("bytes").cast("long").alias("group_bytes"),
+            F.sum(F.when(F.col("bytes") < 16384, 1).otherwise(0)).cast("long").alias("n_small_files"),
+        )
+        .orderBy("part", "compaction_group")
+    )
+
+
+def _zorder_oracle_sql() -> str:
+    inter = " + ".join(
+        f"((d1 // {1 << j}) % 2) * {1 << (2 * j + 1)} + ((d2 // {1 << j}) % 2) * {1 << (2 * j)}"
+        for j in range(10)
+    )
+    return f"""
+    WITH pts AS (
+        SELECT c_custkey % 1024 AS d1,
+               LEAST(1023, GREATEST(0, CAST(ROUND(c_acctbal * 100) AS BIGINT) + 100000) // 1200)
+                   AS d2
+        FROM customer
+    ),
+    keyed AS (
+        SELECT d1, d2, CAST({inter} AS BIGINT) AS z FROM pts
+    ),
+    files AS (
+        SELECT 'zorder' AS layout, z // 16384 AS file_id, d2 FROM keyed
+        UNION ALL
+        SELECT 'linear' AS layout, d1 // 16 AS file_id, d2 FROM keyed
+    ),
+    stats AS (
+        SELECT layout, file_id, MIN(d2) AS mn, MAX(d2) AS mx, COUNT(*) AS n_rows
+        FROM files GROUP BY layout, file_id
+    )
+    SELECT layout,
+           CAST(COUNT(*) AS BIGINT) AS n_files,
+           CAST(SUM(CASE WHEN mn <= 400 AND mx >= 300 THEN 1 ELSE 0 END) AS BIGINT)
+               AS files_scanned,
+           CAST(SUM(CASE WHEN mn <= 400 AND mx >= 300 THEN n_rows ELSE 0 END) AS BIGINT)
+               AS rows_scanned,
+           CAST(SUM(CASE WHEN mn <= 400 AND mx >= 300 THEN 0 ELSE 1 END) AS BIGINT)
+               AS files_pruned
+    FROM stats GROUP BY layout ORDER BY layout
+    """
+
+
+@register("x28_zorder_clustering_audit", _zorder_oracle_sql())
+def x28_zorder_clustering_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X28: Z-order clustering audit — the quantified case for
+    multi-dimensional layout at 100 TB: rows carry two independent
+    dimensions (key bucket, value bucket); files are simulated under
+    (a) Z-ORDER layout (files = ranges of the 20-bit Morton interleave
+    of both dims — the f25 bit trick re-aimed at clustering) and (b)
+    the naive linear layout (files = ranges of dim-1 only). The audit
+    replays min/max data skipping for a dim-2 probe range against
+    each layout's per-file zone map: the linear layout scans every
+    file (dim-2 spreads uniformly through all of them), the Z-ordered
+    layout prunes most — the exact effect OPTIMIZE ZORDER buys, stated
+    as hash-checked numbers instead of a slogan.
+
+    Plan: codegen'd interleave, one hash-agg for the zone maps, one
+    2-row rollup."""
+    c = t(spark, sf_dir, "customer")
+    inter = " + ".join(
+        f"((d1 DIV {1 << j}) % 2) * {1 << (2 * j + 1)} + ((d2 DIV {1 << j}) % 2) * {1 << (2 * j)}"
+        for j in range(10)
+    )
+    pts = c.select(
+        (F.col("c_custkey") % 1024).cast("long").alias("d1"),
+        F.expr(
+            "CAST(least(1023, greatest(CAST(0 AS BIGINT),"
+            " CAST(ROUND(c_acctbal * 100) AS BIGINT) + 100000) DIV 1200) AS BIGINT)"
+        ).alias("d2"),
+    )
+    keyed = pts.select("d1", "d2", F.expr(f"CAST({inter} AS BIGINT)").alias("z"))
+    z_files = keyed.select(F.lit("zorder").alias("layout"), F.expr("z DIV 16384").alias("file_id"), "d2")
+    lin_files = keyed.select(F.lit("linear").alias("layout"), F.expr("d1 DIV 16").alias("file_id"), "d2")
+    stats = (
+        z_files.unionByName(lin_files)
+        .groupBy("layout", "file_id")
+        .agg(F.min("d2").alias("mn"), F.max("d2").alias("mx"), F.count(F.lit(1)).alias("n_rows"))
+    )
+    hit = (F.col("mn") <= 400) & (F.col("mx") >= 300)
+    return (
+        stats.groupBy("layout")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_files"),
+            F.sum(F.when(hit, 1).otherwise(0)).cast("long").alias("files_scanned"),
+            F.sum(F.when(hit, F.col("n_rows")).otherwise(0)).cast("long").alias("rows_scanned"),
+            F.sum(F.when(hit, 0).otherwise(1)).cast("long").alias("files_pruned"),
+        )
+        .orderBy("layout")
+    )
+
+
+def _hrw_oracle_sql() -> str:
+    return """
+    WITH shards7 AS (SELECT UNNEST(RANGE(0, 7)) AS s),
+    shards8 AS (SELECT UNNEST(RANGE(0, 8)) AS s),
+    a7 AS (
+        SELECT doc_id, ARG_MAX(s, h) AS shard FROM (
+            SELECT d.doc_id, s.s,
+                   ('0x' || SUBSTR(MD5('hrw-' || CAST(s.s AS VARCHAR) || '-' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT * 16 + s.s AS h
+            FROM documents d CROSS JOIN shards7 s
+        ) GROUP BY doc_id
+    ),
+    a8 AS (
+        SELECT doc_id, ARG_MAX(s, h) AS shard FROM (
+            SELECT d.doc_id, s.s,
+                   ('0x' || SUBSTR(MD5('hrw-' || CAST(s.s AS VARCHAR) || '-' || CAST(d.doc_id AS VARCHAR)), 1, 8))::BIGINT * 16 + s.s AS h
+            FROM documents d CROSS JOIN shards8 s
+        ) GROUP BY doc_id
+    )
+    SELECT CAST(a8.shard AS BIGINT) AS shard,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN a7.shard <> a8.shard THEN 1 ELSE 0 END) AS BIGINT) AS n_moved_in
+    FROM a8 JOIN a7 ON a8.doc_id = a7.doc_id
+    GROUP BY a8.shard ORDER BY shard
+    """
+
+
+@register("x29_rendezvous_sharding", _hrw_oracle_sql())
+def x29_rendezvous_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X29: rendezvous (highest-random-weight) sharding — how you grow
+    a 100 TB cluster from 7 to 8 shards WITHOUT reshuffling the world:
+    each doc goes to the shard with the highest hash(shard, doc), so
+    adding shard 7 steals ~1/8 of every old shard's docs and moves
+    NOTHING between old shards. The output states that property as
+    hash-checked numbers: per new-layout shard, total docs and docs
+    that changed assignment — n_moved_in is nonzero ONLY for shard 7
+    (the test pins it; consistent-hash rings buy the same guarantee
+    with worse balance). The weight is the portable-md5 hash with the
+    shard id folded into the low bits as the deterministic tiebreak.
+
+    Plan: two broadcast fan-outs (x7, x8 — constant frames), two
+    max_by aggregates keyed by doc, one join + rollup. Linear in the
+    corpus, constant in shard count."""
+    d = t(spark, sf_dir, "documents").select("doc_id")
+
+    def assign(k: int):
+        shards = d.sparkSession.range(0, k).select(F.col("id").alias("s"))
+        h = (
+            portable_hash32(
+                F.concat(F.lit("hrw-"), F.col("s").cast("string"), F.lit("-"), F.col("doc_id").cast("string"))
+            )
+            * 16
+            + F.col("s")
+        ).alias("h")
+        return (
+            d.crossJoin(F.broadcast(shards))
+            .select("doc_id", "s", h)
+            .groupBy("doc_id")
+            .agg(F.expr("max_by(s, h)").alias("shard"))
+        )
+
+    a7 = assign(7).select(F.col("doc_id"), F.col("shard").alias("shard7"))
+    a8 = assign(8).select(F.col("doc_id"), F.col("shard").alias("shard8"))
+    return (
+        a8.join(a7, "doc_id")
+        .groupBy(F.col("shard8").cast("long").alias("shard"))
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n_docs"),
+            F.sum(F.when(F.col("shard7") != F.col("shard8"), 1).otherwise(0)).cast("long").alias("n_moved_in"),
+        )
+        .orderBy("shard")
+    )

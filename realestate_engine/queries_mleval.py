@@ -1,0 +1,647 @@
+"""ML evaluation / statistics operators, split out of
+queries_extra3.py (round 7, mechanical move — no semantic change):
+WoE/IV binning, conformal intervals, permutation tests, OOF target
+encoding, calibration bins, partial dependence, Poisson bootstrap.
+
+Engine-portable integer idioms throughout (md5-prefix hashes, integer
+cents, FLOOR-scaled micros) so every value hash-compares vs DuckDB.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from realestate_engine.dedup import cache_once, portable_hash32
+from realestate_engine.registry import register, t
+
+
+@register(
+    "m30_woe_iv_binning",
+    """
+    WITH base AS (
+        SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS pos
+        FROM orders
+    ),
+    cuts AS (
+        SELECT quantile_disc(cents, [0.2, 0.4, 0.6, 0.8]) AS qs FROM base
+    ),
+    binned AS (
+        SELECT pos,
+               CASE WHEN cents <= qs[1] THEN 0
+                    WHEN cents <= qs[2] THEN 1
+                    WHEN cents <= qs[3] THEN 2
+                    WHEN cents <= qs[4] THEN 3
+                    ELSE 4 END AS bin
+        FROM base, cuts
+    ),
+    tot AS (
+        SELECT SUM(pos) AS n_pos_tot, SUM(1 - pos) AS n_neg_tot FROM binned
+    ),
+    per_bin AS (
+        SELECT bin, CAST(SUM(pos) AS BIGINT) AS n_pos,
+               CAST(SUM(1 - pos) AS BIGINT) AS n_neg
+        FROM binned GROUP BY bin
+    )
+    SELECT CAST(bin AS BIGINT) AS bin, n_pos, n_neg,
+           CAST(FLOOR(LN((n_pos * 1.0 / n_pos_tot) / (n_neg * 1.0 / n_neg_tot)) * 1e6)
+                AS BIGINT) AS woe_micro
+    FROM per_bin, tot
+    ORDER BY bin
+    """,
+)
+def m30_woe_iv_binning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M30: weight-of-evidence feature binning — the credit-scoring /
+    feature-engineering classic: bucket a numeric feature into
+    population quintiles, then score each bin by ln((pos share)/(neg
+    share)). Label = order status 'F'. The quintile cuts are an exact
+    discrete quantile (GK accuracy > n, as a6/a23) broadcast as one
+    row; binning is a codegen'd CASE; one partial-aggregated groupBy
+    produces the 5-row ledger; totals broadcast back. WoE is reported
+    as FLOOR-scaled micros: the shares are single IEEE divisions and
+    ln is correctly-rounded-close across libm — floor-scaling absorbs
+    the last-ulp wobble that ROUND could flip at a half boundary."""
+    o = t(spark, sf_dir, "orders")
+    base = o.select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("pos"),
+    )
+    cuts = base.agg(
+        F.percentile_approx("cents", [0.2, 0.4, 0.6, 0.8], 10_000_000).alias("qs")
+    )
+    binned = base.crossJoin(F.broadcast(cuts)).select(
+        "pos",
+        F.when(F.col("cents") <= F.col("qs")[0], 0)
+        .when(F.col("cents") <= F.col("qs")[1], 1)
+        .when(F.col("cents") <= F.col("qs")[2], 2)
+        .when(F.col("cents") <= F.col("qs")[3], 3)
+        .otherwise(4)
+        .alias("bin"),
+    )
+    tot = binned.agg(
+        F.sum("pos").alias("n_pos_tot"), F.sum(1 - F.col("pos")).alias("n_neg_tot")
+    )
+    per_bin = binned.groupBy("bin").agg(
+        F.sum("pos").cast("bigint").alias("n_pos"),
+        F.sum(1 - F.col("pos")).cast("bigint").alias("n_neg"),
+    )
+    return (
+        per_bin.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("bin").cast("bigint").alias("bin"),
+            "n_pos",
+            "n_neg",
+            F.floor(
+                F.log(
+                    (F.col("n_pos") * 1.0 / F.col("n_pos_tot"))
+                    / (F.col("n_neg") * 1.0 / F.col("n_neg_tot"))
+                )
+                * 1e6
+            )
+            .cast("bigint")
+            .alias("woe_micro"),
+        )
+        .orderBy("bin")
+    )
+
+
+@register(
+    "m31_conformal_interval",
+    """
+    WITH base AS (
+        SELECT o_orderpriority,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+               ('0x' || SUBSTR(MD5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT % 10 AS h
+        FROM orders
+    ),
+    cal AS (SELECT * FROM base WHERE h < 5),
+    tst AS (SELECT * FROM base WHERE h >= 5),
+    model AS (
+        SELECT o_orderpriority, SUM(cents) // COUNT(*) AS yhat_cents
+        FROM cal GROUP BY o_orderpriority
+    ),
+    cal_resid AS (
+        SELECT ABS(c.cents - m.yhat_cents) AS r
+        FROM cal c JOIN model m USING (o_orderpriority)
+    ),
+    q AS (
+        SELECT CAST(quantile_disc(r, 0.9) AS BIGINT) AS q90 FROM cal_resid
+    ),
+    scored AS (
+        SELECT CASE WHEN ABS(t.cents - m.yhat_cents) <= q.q90 THEN 1 ELSE 0 END AS covered
+        FROM tst t JOIN model m USING (o_orderpriority), q
+    )
+    SELECT CAST((SELECT q90 FROM q) AS BIGINT) AS q90_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           CAST(SUM(covered) AS BIGINT) AS n_covered,
+           CAST(FLOOR(SUM(covered) * 1e6 / COUNT(*)) AS BIGINT) AS coverage_micro,
+           (SUM(covered) * 100 >= COUNT(*) * 85) AS coverage_ok
+    FROM scored
+    """,
+)
+def m31_conformal_interval(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M31: split-conformal prediction intervals — the
+    distribution-free uncertainty wrapper modern ML serving puts
+    around ANY point predictor: fit on a calibration split, take the
+    90th percentile of absolute calibration residuals as the interval
+    half-width, and report the realized coverage on the held-out
+    split (guaranteed >= 89%-ish by exchangeability). Everything is
+    engine-exact: the split is the portable md5 permille hash (p10's
+    idiom), the per-priority predictor is an INTEGER floor-mean
+    (SUM//COUNT — a float avg would differ by summation-order ulps),
+    residuals are exact cents, the q90 is an exact discrete quantile
+    (GK accuracy > n), and coverage is a cross-multiplied integer
+    test. Plan shape: two hash aggs, a 5-row model broadcast, a 1-row
+    quantile broadcast — no windows, no shuffles beyond the groupBys."""
+    o = t(spark, sf_dir, "orders")
+    base = o.select(
+        "o_orderpriority",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        (
+            F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10)
+            .cast("bigint")
+            % 10
+        ).alias("h"),
+    )
+    cal = base.filter(F.col("h") < 5)
+    tst = base.filter(F.col("h") >= 5)
+    # integer `div`, NOT float division + cast: sum/n as a double can
+    # round UP across an integer boundary where DuckDB's BIGINT // floors
+    model = (
+        cal.groupBy("o_orderpriority")
+        .agg(F.sum("cents").alias("s"), F.count(F.lit(1)).alias("n"))
+        .select("o_orderpriority", F.expr("s div n").alias("yhat_cents"))
+    )
+    cal_resid = cal.join(F.broadcast(model), "o_orderpriority").select(
+        F.abs(F.col("cents") - F.col("yhat_cents")).alias("r")
+    )
+    q = cal_resid.agg(
+        F.percentile_approx("r", 0.9, 10_000_000).cast("bigint").alias("q90")
+    )
+    scored = (
+        tst.join(F.broadcast(model), "o_orderpriority")
+        .crossJoin(F.broadcast(q))
+        .select(
+            "q90",
+            F.when(
+                F.abs(F.col("cents") - F.col("yhat_cents")) <= F.col("q90"), 1
+            ).otherwise(0).alias("covered"),
+        )
+    )
+    return scored.agg(
+        F.max("q90").cast("bigint").alias("q90_cents"),
+        F.count(F.lit(1)).cast("bigint").alias("n_test"),
+        F.sum("covered").cast("bigint").alias("n_covered"),
+        F.floor(F.sum("covered") * 1e6 / F.count(F.lit(1))).cast("bigint").alias("coverage_micro"),
+        (F.sum("covered") * 100 >= F.count(F.lit(1)) * 85).alias("coverage_ok"),
+    )
+
+
+_PERM_K = 20
+
+
+@register(
+    "m32_permutation_test",
+    f"""
+    WITH cells AS (
+        SELECT o_custkey,
+               CASE WHEN o_custkey % 2 = 0 THEN 1 ELSE 0 END AS exposed,
+               CASE WHEN o_orderdate >= TIMESTAMP '1998-01-01' THEN 1 ELSE 0 END AS post,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    labeled AS (
+        SELECT r.i, cells.post, cells.cents,
+               CASE WHEN r.i = 0 THEN cells.exposed
+                    ELSE ('0x' || SUBSTR(MD5(CAST(cells.o_custkey AS VARCHAR) || ':' ||
+                          CAST(r.i AS VARCHAR)), 1, 8))::BIGINT % 2 END AS e
+        FROM cells CROSS JOIN (SELECT UNNEST(RANGE(0, {_PERM_K + 1})) AS i) r
+    ),
+    m AS (
+        SELECT i, e, post, SUM(cents) // COUNT(*) AS mean_cents
+        FROM labeled GROUP BY i, e, post
+    ),
+    did AS (
+        SELECT i,
+               SUM(CASE WHEN e = 1 AND post = 1 THEN mean_cents
+                        WHEN e = 1 AND post = 0 THEN -mean_cents
+                        WHEN e = 0 AND post = 1 THEN -mean_cents
+                        ELSE mean_cents END) AS d
+        FROM m GROUP BY i
+    )
+    SELECT CAST((SELECT d FROM did WHERE i = 0) AS BIGINT) AS observed_did_cents,
+           CAST({_PERM_K} AS BIGINT) AS n_perms,
+           CAST((SELECT COUNT(*) FROM did
+                 WHERE i > 0 AND ABS(d) >= ABS((SELECT d FROM did WHERE i = 0)))
+                AS BIGINT) AS n_as_extreme,
+           CAST(FLOOR((SELECT COUNT(*) FROM did
+                       WHERE i > 0 AND ABS(d) >= ABS((SELECT d FROM did WHERE i = 0)))
+                      * 1e6 / {_PERM_K}) AS BIGINT) AS p_micro
+    """,
+)
+def m32_permutation_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M32: permutation test for ev12's difference-in-differences —
+    the nonparametric significance check: re-assign the exposure label
+    {_PERM_K} times by a PORTABLE hash of (custkey, permutation index)
+    — deterministic 'randomness' both engines replay, the same trick
+    as the mixture samplers — recompute the integer DiD under each
+    null labeling, and report how many null DiDs are at least as
+    extreme as the observed one (the permutation p-value, in micros).
+    One pass: rows explode K+1 ways (i=0 is the REAL labeling), one
+    partial-aggregated groupBy over (K+1)x4 cells, a (K+1)-row DiD
+    frame — the data is scanned once however many permutations are
+    probed. Integer floor-means throughout (m31's div trick)."""
+    o = t(spark, sf_dir, "orders")
+    cells = o.select(
+        "o_custkey",
+        F.when(F.col("o_custkey") % 2 == 0, 1).otherwise(0).alias("exposed"),
+        F.when(
+            F.col("o_orderdate") >= F.lit("1998-01-01").cast("timestamp"), 1
+        ).otherwise(0).alias("post"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    perm_hash = (
+        F.conv(
+            F.substring(
+                F.md5(F.concat_ws(":", F.col("o_custkey").cast("string"), F.col("i").cast("string"))),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("bigint")
+        % 2
+    )
+    labeled = cells.select(
+        "post",
+        "cents",
+        F.explode(F.array(*[F.lit(i) for i in range(_PERM_K + 1)])).alias("i"),
+        "exposed",
+        "o_custkey",
+    ).select(
+        "i",
+        "post",
+        "cents",
+        F.when(F.col("i") == 0, F.col("exposed")).otherwise(perm_hash).alias("e"),
+    )
+    m = (
+        labeled.groupBy("i", "e", "post")
+        .agg(F.sum("cents").alias("s"), F.count(F.lit(1)).alias("n"))
+        .select("i", "e", "post", F.expr("s div n").alias("mean_cents"))
+    )
+    did = m.groupBy("i").agg(
+        F.sum(
+            F.when((F.col("e") == 1) & (F.col("post") == 1), F.col("mean_cents"))
+            .when((F.col("e") == 1) & (F.col("post") == 0), -F.col("mean_cents"))
+            .when((F.col("e") == 0) & (F.col("post") == 1), -F.col("mean_cents"))
+            .otherwise(F.col("mean_cents"))
+        ).alias("d")
+    )
+    obs = did.filter(F.col("i") == 0).select(F.col("d").alias("obs"))
+    return (
+        did.filter(F.col("i") > 0)
+        .crossJoin(F.broadcast(obs))
+        .agg(
+            F.first("obs").cast("bigint").alias("observed_did_cents"),
+            F.lit(_PERM_K).cast("bigint").alias("n_perms"),
+            F.sum(F.when(F.abs(F.col("d")) >= F.abs(F.col("obs")), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_as_extreme"),
+            F.floor(
+                F.sum(F.when(F.abs(F.col("d")) >= F.abs(F.col("obs")), 1).otherwise(0))
+                * 1e6
+                / _PERM_K
+            )
+            .cast("bigint")
+            .alias("p_micro"),
+        )
+    )
+
+
+@register(
+    "m33_oof_target_encoding",
+    """
+    WITH rows_f AS (
+        SELECT o_orderpriority,
+               ('0x' || SUBSTR(MD5(CAST(o_orderkey AS VARCHAR)), 1, 8))::BIGINT % 5 AS fold,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    per_fold AS (
+        SELECT o_orderpriority, fold, SUM(cents) AS s, CAST(COUNT(*) AS BIGINT) AS n
+        FROM rows_f GROUP BY o_orderpriority, fold
+    ),
+    per_cat AS (
+        SELECT o_orderpriority, SUM(s) AS st, SUM(n) AS nt
+        FROM per_fold GROUP BY o_orderpriority
+    )
+    SELECT f.o_orderpriority,
+           CAST(f.fold AS BIGINT) AS fold,
+           f.n AS n_in_fold,
+           CAST((c.st - f.s) // (c.nt - f.n) AS BIGINT) AS oof_mean_cents,
+           CAST(c.st // c.nt AS BIGINT) AS full_mean_cents,
+           ((c.st - f.s) // (c.nt - f.n) <> c.st // c.nt OR f.n = 0) AS excludes_own_fold
+    FROM per_fold f JOIN per_cat c USING (o_orderpriority)
+    ORDER BY o_orderpriority, fold
+    """,
+)
+def m33_oof_target_encoding(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M33: OUT-OF-FOLD target encoding — the leakage-safe form of the
+    strongest categorical feature there is: each row's category is
+    encoded with the target mean computed over the OTHER hash folds
+    ((total - own_fold) / (n_total - n_own)), so a row never sees its
+    own target. Folds come from the portable md5 permille hash (p10's
+    idiom); means are integer floor-divisions of exact cent sums
+    (m31's trick), so every encoding value hash-compares. One
+    (category x fold) aggregate plus a category rollup — the
+    per-row encoded column at scale is one broadcast join of this
+    25-row frame back onto the facts. The excludes_own_fold flag
+    pins the leakage property: the OOF mean must differ from the full
+    mean wherever the fold is non-empty (identical means would imply
+    the fold contributed nothing to exclude)."""
+    o = t(spark, sf_dir, "orders")
+    rows_f = o.select(
+        "o_orderpriority",
+        (
+            F.conv(F.substring(F.md5(F.col("o_orderkey").cast("string")), 1, 8), 16, 10)
+            .cast("bigint")
+            % 5
+        ).alias("fold"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    per_fold = rows_f.groupBy("o_orderpriority", "fold").agg(
+        F.sum("cents").alias("s"), F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    per_cat = per_fold.groupBy("o_orderpriority").agg(
+        F.sum("s").alias("st"), F.sum("n").alias("nt")
+    )
+    return (
+        per_fold.join(F.broadcast(per_cat), "o_orderpriority")
+        .select(
+            "o_orderpriority",
+            F.col("fold").cast("bigint").alias("fold"),
+            F.col("n").alias("n_in_fold"),
+            F.expr("(st - s) div (nt - n)").cast("bigint").alias("oof_mean_cents"),
+            F.expr("st div nt").cast("bigint").alias("full_mean_cents"),
+            (
+                (F.expr("(st - s) div (nt - n)") != F.expr("st div nt"))
+                | (F.col("n") == 0)
+            ).alias("excludes_own_fold"),
+        )
+        .orderBy("o_orderpriority", "fold")
+    )
+
+
+@register(
+    "m34_calibration_bins",
+    """
+    WITH scored AS (
+        SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+               CASE WHEN o_orderpriority LIKE '1-%' OR o_orderpriority LIKE '2-%'
+                    THEN 1 ELSE 0 END AS y
+        FROM orders
+    ),
+    binned AS (
+        SELECT LEAST(9, cents // 5000000) AS bin, cents, y FROM scored
+    )
+    SELECT CAST(bin AS BIGINT) AS bin,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(y) AS BIGINT) AS positives,
+           CAST(SUM(y) * 1000000 // COUNT(*) AS BIGINT) AS rate_micro,
+           CAST(SUM(cents) // COUNT(*) AS BIGINT) AS avg_cents
+    FROM binned GROUP BY bin ORDER BY bin
+    """,
+)
+def m34_calibration_bins(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M34: calibration / reliability table — the model-monitoring
+    counterpart to m31_conformal_interval: bucket a score into fixed
+    equal-width bins and report the empirical positive rate per bin
+    (the reliability-diagram input; a well-calibrated score has
+    rate ~ bin midpoint). The score here is the deterministic
+    order-value signal (integer cents; fixed edges, so bin assignment
+    is exact integer math — no NTILE global window, no float edge
+    hazard) and the outcome is the high-priority flag. rate in exact
+    integer micros (positives*1e6 div n), the repo-wide ratio idiom.
+
+    Scale: single hash-agg on a 10-value key — partial aggregation
+    collapses everything map-side; the shuffle moves ≤10 rows per
+    task regardless of corpus size."""
+    o = t(spark, sf_dir, "orders")
+    scored = o.select(
+        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("cents"),
+        F.when(
+            F.col("o_orderpriority").startswith("1-") | F.col("o_orderpriority").startswith("2-"),
+            F.lit(1),
+        ).otherwise(F.lit(0)).alias("y"),
+    )
+    binned = scored.select(F.least(F.lit(9), F.expr("cents div 5000000")).cast("long").alias("bin"), "cents", "y")
+    return (
+        binned.groupBy("bin")
+        .agg(
+            F.count(F.lit(1)).cast("long").alias("n"),
+            F.sum("y").cast("long").alias("positives"),
+            F.expr("CAST(SUM(y) * 1000000 DIV COUNT(*) AS BIGINT)").alias("rate_micro"),
+            F.expr("CAST(SUM(cents) DIV COUNT(*) AS BIGINT)").alias("avg_cents"),
+        )
+        .orderBy("bin")
+    )
+
+
+@register(
+    "m35_partial_dependence",
+    """
+    WITH pop AS (
+        SELECT c_custkey AS k, c_mktsegment AS mkt,
+               LEAST(9, GREATEST(0, CAST(ROUND(c_acctbal * 100) AS BIGINT) + 100000) // 120000)
+                   AS bucket
+        FROM customer
+    ),
+    outcome AS (
+        SELECT o_custkey AS ok, CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS y
+        FROM orders GROUP BY o_custkey
+    ),
+    joined AS (
+        SELECT p.k, p.mkt, p.bucket, COALESCE(o.y, 0) AS y
+        FROM pop p LEFT JOIN outcome o ON p.k = o.ok
+    ),
+    bucket_means AS (
+        SELECT bucket, CAST(SUM(y) // COUNT(*) AS BIGINT) AS bm FROM joined GROUP BY bucket
+    ),
+    resid AS (
+        SELECT j.mkt, j.y - b.bm AS r
+        FROM joined j JOIN bucket_means b ON j.bucket = b.bucket
+    ),
+    mkt_adj AS (
+        SELECT mkt, CAST(SUM(r) // COUNT(*) AS BIGINT) AS madj FROM resid GROUP BY mkt
+    ),
+    pop_adj AS (
+        SELECT CAST(SUM(m.madj) // COUNT(*) AS BIGINT) AS mean_adj
+        FROM joined j JOIN mkt_adj m ON j.mkt = m.mkt
+    )
+    SELECT b.bucket,
+           CAST(b.bm AS BIGINT) AS bucket_mean_cents,
+           CAST(b.bm + (SELECT mean_adj FROM pop_adj) AS BIGINT) AS pdp_cents,
+           CAST((SELECT mean_adj FROM pop_adj) AS BIGINT) AS population_adj_cents
+    FROM bucket_means b ORDER BY b.bucket
+    """,
+)
+def m35_partial_dependence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M35: partial-dependence table — the model-explainability
+    companion to m12_feature_importances: for the additive two-term
+    model fitted right here (bucket mean of lifetime order value +
+    market-segment residual adjustment, all integer floor-means — the
+    m6 target-stats idiom), PDP(bucket g) = E_population[f(g, mkt_i)]
+    = bucket_mean(g) + mean_i(mkt_adj(mkt_i)). Because the model is
+    additive, the expectation collapses to one broadcast scalar — the
+    PDP grid never cross-joins the population (the naive PDP is
+    grid x N; the factored one is O(grid + N), which is the 100 TB
+    point of this query).
+
+    Plan: three hash-aggs (bucket means, residual adjustments,
+    population mean adjustment) chained by broadcast joins; output is
+    the 10-row grid."""
+    c = t(spark, sf_dir, "customer")
+    o = t(spark, sf_dir, "orders")
+    pop = c.select(
+        F.col("c_custkey").alias("k"),
+        F.col("c_mktsegment").alias("mkt"),
+        F.expr(
+            "CAST(least(9, greatest(CAST(0 AS BIGINT), CAST(ROUND(c_acctbal * 100) AS BIGINT) + 100000) DIV 120000) AS BIGINT)"
+        ).alias("bucket"),
+    )
+    outcome = o.groupBy(F.col("o_custkey").alias("ok")).agg(
+        F.expr("CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)").alias("y")
+    )
+    joined = pop.join(outcome, pop.k == outcome.ok, "left").select(
+        "k", "mkt", "bucket", F.coalesce("y", F.lit(0)).alias("y")
+    )
+    bucket_means = joined.groupBy("bucket").agg(F.expr("CAST(SUM(y) DIV COUNT(*) AS BIGINT)").alias("bm"))
+    resid = joined.join(F.broadcast(bucket_means), "bucket").select("mkt", (F.col("y") - F.col("bm")).alias("r"))
+    mkt_adj = resid.groupBy("mkt").agg(F.expr("CAST(SUM(r) DIV COUNT(*) AS BIGINT)").alias("madj"))
+    pop_adj = (
+        joined.join(F.broadcast(mkt_adj), "mkt")
+        .agg(F.expr("CAST(SUM(madj) DIV COUNT(*) AS BIGINT)").alias("mean_adj"))
+    )
+    return (
+        bucket_means.crossJoin(F.broadcast(pop_adj))
+        .select(
+            "bucket",
+            F.col("bm").cast("long").alias("bucket_mean_cents"),
+            (F.col("bm") + F.col("mean_adj")).cast("long").alias("pdp_cents"),
+            F.col("mean_adj").cast("long").alias("population_adj_cents"),
+        )
+        .orderBy("bucket")
+    )
+
+
+# Poisson(1) inverse-CDF thresholds on u in [0, 2^32): P(W<=k) * 2^32
+# rounded once in host Python, injected verbatim into both engines.
+_POIS1_T = [1580030169, 3160060337, 3950075422, 4213413783, 4279248374, 4292415292]
+
+
+def _poisson_bootstrap_oracle() -> str:
+    w_case = " ".join(
+        f"WHEN u < {t} THEN {k}" for k, t in enumerate(_POIS1_T)
+    )
+    return f"""
+    WITH rows_ AS (
+        SELECT o_orderkey AS k, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    reps AS (SELECT UNNEST(RANGE(0, 32)) AS r),
+    hashed AS (
+        SELECT r.r, rows_.cents,
+               ('0x' || SUBSTR(MD5('bs' || CAST(r.r AS VARCHAR) || '-' || CAST(rows_.k AS VARCHAR)), 1, 8))::BIGINT AS u
+        FROM rows_ CROSS JOIN reps r
+    ),
+    weighted AS (
+        SELECT r, cents, CASE {w_case} ELSE {len(_POIS1_T)} END AS w
+        FROM hashed
+    ),
+    rep_means AS (
+        SELECT r, CAST(SUM(w * cents) // SUM(w) AS BIGINT) AS mean_cents
+        FROM weighted GROUP BY r HAVING SUM(w) > 0
+    ),
+    ranked AS (
+        SELECT mean_cents, ROW_NUMBER() OVER (ORDER BY mean_cents, mean_cents) AS rk,
+               COUNT(*) OVER () AS n
+        FROM rep_means
+    ),
+    point AS (SELECT CAST(SUM(cents) // COUNT(*) AS BIGINT) AS pm FROM rows_)
+    SELECT CAST((SELECT pm FROM point) AS BIGINT) AS point_mean_cents,
+           CAST(MAX(CASE WHEN rk = 1 THEN mean_cents END) AS BIGINT) AS ci_lo_cents,
+           CAST(MAX(CASE WHEN rk = n THEN mean_cents END) AS BIGINT) AS ci_hi_cents,
+           CAST(ANY_VALUE(n) AS BIGINT) AS n_replicates
+    FROM ranked
+    """
+
+
+@register("m36_poisson_bootstrap_ci", _poisson_bootstrap_oracle())
+def m36_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M36: Poisson bootstrap — THE resampling method that works at
+    100 TB (multinomial bootstrap needs the global N per resample;
+    Poisson(1) weights are independent per row, so every replicate is
+    one weighted aggregate in the SAME single pass over the data).
+    Here 32 replicates of the mean order value: each (row, replicate)
+    draws its weight from the portable-md5 u via fixed integer
+    inverse-CDF thresholds (computed once in host Python — no float
+    RNG in either engine), replicate means are exact integer
+    floor-means, and the CI endpoints are order statistics of the
+    32-row replicate frame (min/max here = the ~3%/97% envelope at
+    K=32; K is a parameter).
+
+    Plan: one scan fans out x32 via a broadcast replicate range (the
+    m32/m18 K-row idiom), partial aggregation collapses map-side, and
+    the order-statistics window runs over 32 rows partitioned...
+    deliberately ordered GLOBALLY — but over a 32-row frame, which is
+    the documented broadcast-scale exception class; see plan_audit
+    allowlist entry."""
+    o = t(spark, sf_dir, "orders")
+    from pyspark.sql.window import Window
+
+    rows_ = o.select(
+        F.col("o_orderkey").alias("k"),
+        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT)").alias("cents"),
+    )
+    reps = t(spark, sf_dir, "orders").sparkSession.range(0, 32).select(F.col("id").alias("r"))
+    u = F.conv(
+        F.substring(F.md5(F.concat(F.lit("bs"), F.col("r").cast("string"), F.lit("-"), F.col("k").cast("string"))), 1, 8),
+        16,
+        10,
+    ).cast("long")
+    w_expr = F.lit(len(_POIS1_T))
+    for kk in range(len(_POIS1_T) - 1, -1, -1):
+        w_expr = F.when(u < _POIS1_T[kk], kk).otherwise(w_expr)
+    weighted = rows_.crossJoin(F.broadcast(reps)).select("r", "cents", w_expr.alias("w"))
+    rep_means = (
+        weighted.groupBy("r")
+        .agg(F.expr("CAST(SUM(w * cents) DIV SUM(w) AS BIGINT)").alias("mean_cents"), F.sum("w").alias("tw"))
+        .filter(F.col("tw") > 0)
+        .select("r", "mean_cents")
+    )
+    # order statistics over the 32-row replicate frame: broadcast
+    # non-equi rank (the repo's no-global-window idiom)
+    a, b = rep_means.alias("a"), F.broadcast(rep_means.alias("b"))
+    ranked = (
+        a.join(b, (F.col("b.mean_cents") < F.col("a.mean_cents")) | ((F.col("b.mean_cents") == F.col("a.mean_cents")) & (F.col("b.r") <= F.col("a.r"))))
+        .groupBy(F.col("a.r").alias("r"), F.col("a.mean_cents").alias("mean_cents"))
+        .agg(F.count(F.lit(1)).alias("rk"))
+    )
+    n_reps = rep_means.agg(F.count(F.lit(1)).alias("n"))
+    point = rows_.agg(F.expr("CAST(SUM(cents) DIV COUNT(*) AS BIGINT)").alias("pm"))
+    return (
+        ranked.crossJoin(F.broadcast(n_reps))
+        .agg(
+            F.max(F.when(F.col("rk") == 1, F.col("mean_cents"))).cast("long").alias("ci_lo_cents"),
+            F.max(F.when(F.col("rk") == F.col("n"), F.col("mean_cents"))).cast("long").alias("ci_hi_cents"),
+            F.first("n").cast("long").alias("n_replicates"),
+        )
+        .crossJoin(F.broadcast(point))
+        .select(
+            F.col("pm").cast("long").alias("point_mean_cents"),
+            "ci_lo_cents",
+            "ci_hi_cents",
+            "n_replicates",
+        )
+    )

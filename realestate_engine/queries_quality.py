@@ -1,0 +1,770 @@
+"""Data-quality / audit operators, split out of queries_extra.py
+(round 7, mechanical move — no semantic change): expectation suites,
+drift audits, snapshot diffs, MAD outliers, Benford, skipping-index
+audit, observe() metrics, k-anonymity, and Wasserstein drift.
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+from pyspark.sql import types as T
+from pyspark.sql.window import Window
+
+from realestate_engine.dedup import cache_once
+from realestate_engine.queries_sources_sql import _interleave_bits_expr
+from realestate_engine.registry import register, stable_tmp, t
+
+
+@register(
+    "dq_expectations",
+    """
+    SELECT
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM orders WHERE o_orderkey IS NULL) AS null_order_keys,
+        (SELECT CAST(COUNT(*) - COUNT(DISTINCT o_orderkey) AS BIGINT) FROM orders) AS dup_order_keys,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem l
+          WHERE NOT EXISTS (SELECT 1 FROM orders o WHERE o.o_orderkey = l.l_orderkey)) AS orphan_lineitems,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem WHERE l_extendedprice <= 0 OR l_quantity <= 0) AS nonpositive_lines,
+        (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem WHERE l_discount < 0 OR l_discount > 1) AS bad_discounts
+    """,
+)
+def dq_expectations(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ1: declarative data-quality expectations — primary-key
+    integrity (null/duplicate keys), referential integrity (orphan
+    facts via LEFT ANTI), and domain constraints, summarized as one
+    violations row. The gate every production pipeline runs before
+    publishing a partition; each expectation is a distributed aggregate
+    or anti-join, no driver-side row checks."""
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    key_stats = o.agg(
+        F.sum(F.when(F.col("o_orderkey").isNull(), 1).otherwise(0)).cast("bigint").alias("null_order_keys"),
+        (F.count(F.lit(1)) - F.countDistinct("o_orderkey")).cast("bigint").alias("dup_order_keys"),
+    )
+    orphans = (
+        li.join(o.select("o_orderkey"), li.l_orderkey == F.col("o_orderkey"), "left_anti")
+        .agg(F.count(F.lit(1)).alias("orphan_lineitems"))
+    )
+    domains = li.agg(
+        F.sum(F.when((F.col("l_extendedprice") <= 0) | (F.col("l_quantity") <= 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("nonpositive_lines"),
+        F.sum(F.when((F.col("l_discount") < 0) | (F.col("l_discount") > 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("bad_discounts"),
+    )
+    return key_stats.crossJoin(orphans).crossJoin(domains)
+
+
+@register(
+    "dq_drift_audit",
+    """
+    WITH bucketed AS (
+        SELECT CAST(FLOOR(o_totalprice / 50000.0) AS BIGINT) AS bucket,
+               CASE WHEN o_orderdate < TIMESTAMP '1998-01-01' THEN 'a' ELSE 'b' END AS period
+        FROM orders
+    ),
+    counts AS (
+        SELECT bucket,
+               CAST(SUM(CASE WHEN period = 'a' THEN 1 ELSE 0 END) AS BIGINT) AS n_a,
+               CAST(SUM(CASE WHEN period = 'b' THEN 1 ELSE 0 END) AS BIGINT) AS n_b
+        FROM bucketed GROUP BY bucket
+    ),
+    tot AS (SELECT SUM(n_a) AS ta, SUM(n_b) AS tb FROM counts)
+    SELECT bucket, n_a, n_b,
+           CAST(n_a AS DOUBLE) / ta AS share_a,
+           CAST(n_b AS DOUBLE) / tb AS share_b,
+           ABS(CAST(n_a AS DOUBLE) / ta - CAST(n_b AS DOUBLE) / tb) AS drift
+    FROM counts, tot
+    ORDER BY bucket
+    """,
+)
+def dq_drift_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ2: distribution-drift audit between two time periods — the
+    monitoring gate that catches upstream schema/behavior changes
+    before a model trains on drifted data. Price-bucket shares per
+    period plus per-bucket L1 drift |share_a - share_b|; the L1 form
+    (not PSI) keeps every value an int/int division or a subtraction
+    of identical doubles — bit-identical cross-engine, where PSI's
+    ln() would inherit libm variance. One scan, one agg, a broadcast
+    1-row totals join."""
+    b = t(spark, sf_dir, "orders").select(
+        F.floor(F.col("o_totalprice") / 50000.0).cast("bigint").alias("bucket"),
+        F.when(F.col("o_orderdate") < F.lit("1998-01-01").cast("timestamp"), "a")
+        .otherwise("b")
+        .alias("period"),
+    )
+    counts = b.groupBy("bucket").agg(
+        F.sum(F.when(F.col("period") == "a", 1).otherwise(0)).cast("bigint").alias("n_a"),
+        F.sum(F.when(F.col("period") == "b", 1).otherwise(0)).cast("bigint").alias("n_b"),
+    )
+    tot = counts.agg(F.sum("n_a").alias("ta"), F.sum("n_b").alias("tb"))
+    share_a = F.col("n_a").cast("double") / F.col("ta")
+    share_b = F.col("n_b").cast("double") / F.col("tb")
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "bucket",
+            "n_a",
+            "n_b",
+            share_a.alias("share_a"),
+            share_b.alias("share_b"),
+            F.abs(share_a - share_b).alias("drift"),
+        )
+        .orderBy("bucket")
+    )
+
+
+@register(
+    "dq3_snapshot_diff",
+    """
+    WITH old AS (
+        SELECT o_orderkey, CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders WHERE o_orderdate < TIMESTAMP '1997-07-01'
+    ),
+    new AS (
+        SELECT o_orderkey,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT)
+                 + CASE WHEN o_orderkey % 97 = 0 THEN 100 ELSE 0 END AS cents
+        FROM orders WHERE o_orderkey % 113 <> 0
+    ),
+    j AS (
+        SELECT CASE WHEN o.o_orderkey IS NULL THEN 'added'
+                    WHEN n.o_orderkey IS NULL THEN 'removed'
+                    WHEN o.cents <> n.cents THEN 'changed'
+                    ELSE 'unchanged' END AS status
+        FROM old o FULL JOIN new n ON n.o_orderkey = o.o_orderkey
+    )
+    SELECT status, CAST(COUNT(*) AS BIGINT) AS n
+    FROM j GROUP BY status ORDER BY status
+    """,
+)
+def dq3_snapshot_diff(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ3: snapshot reconciliation — classify every key across two
+    table versions as added / removed / changed / unchanged via one
+    full outer join on the key, comparing content in exact integer
+    cents. This is the regression gate for pipeline rewrites ("does v2
+    produce the same table?") and the CDC audit for incremental loads.
+    Both engines derive the two versions from orders with the same
+    deterministic perturbation (price bump on keys %97, key drop on
+    %113), so all four classes are exercised. One shuffle join keyed by
+    the PK; at 100 TB both sides prune to the compared columns."""
+    o = t(spark, sf_dir, "orders")
+    cents = F.round(F.col("o_totalprice") * 100).cast("bigint")
+    old = o.where(F.col("o_orderdate") < F.lit("1997-07-01").cast("timestamp")).select(
+        F.col("o_orderkey").alias("k_old"), cents.alias("c_old")
+    )
+    new = o.where(F.col("o_orderkey") % 113 != 0).select(
+        F.col("o_orderkey").alias("k_new"),
+        (cents + F.when(F.col("o_orderkey") % 97 == 0, 100).otherwise(0)).alias("c_new"),
+    )
+    j = old.join(new, old.k_old == new.k_new, "full_outer").select(
+        F.when(F.col("k_old").isNull(), "added")
+        .when(F.col("k_new").isNull(), "removed")
+        .when(F.col("c_old") != F.col("c_new"), "changed")
+        .otherwise("unchanged")
+        .alias("status")
+    )
+    return (
+        j.groupBy("status")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+        .orderBy("status")
+    )
+
+
+@register(
+    "dq4_mad_outliers",
+    """
+    WITH c AS (
+        SELECT o_orderpriority AS grp,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    med AS (SELECT grp, quantile_cont(cents, 0.5) AS med_cents FROM c GROUP BY grp),
+    dev AS (
+        SELECT c.grp, c.cents, ABS(c.cents - m.med_cents) AS adev
+        FROM c JOIN med m ON m.grp = c.grp
+    ),
+    mad AS (SELECT grp, quantile_cont(adev, 0.5) AS mad_cents FROM dev GROUP BY grp)
+    SELECT d.grp,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(SUM(CASE WHEN d.adev > 3 * x.mad_cents THEN 1 ELSE 0 END) AS BIGINT) AS n_outliers,
+           ANY_VALUE(x.mad_cents) AS mad_cents
+    FROM dev d JOIN mad x ON x.grp = d.grp
+    GROUP BY d.grp
+    ORDER BY d.grp
+    """,
+)
+def dq4_mad_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ4: robust outlier detection via median absolute deviation —
+    the screening rule that, unlike mean/stddev z-scores, is not itself
+    dragged by the outliers it hunts (50% breakdown point). Two exact
+    grouped medians (integer cents -> interpolation on binary-exact
+    halves, so Spark's percentile and DuckDB's quantile_cont agree
+    bit-for-bit) chained by joins on the group key, then a |x - med| >
+    3*MAD flag count. At 100 TB swap the exact medians for
+    approx_percentile sketches (a6) — same plan shape, bounded memory."""
+    o = t(spark, sf_dir, "orders")
+    c = o.select(
+        F.col("o_orderpriority").alias("grp"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    med = c.groupBy("grp").agg(F.percentile("cents", F.lit(0.5)).alias("med_cents"))
+    dev = c.join(med, "grp").select(
+        "grp", "cents", F.abs(F.col("cents") - F.col("med_cents")).alias("adev")
+    )
+    mad = dev.groupBy("grp").agg(F.percentile("adev", F.lit(0.5)).alias("mad_cents"))
+    return (
+        dev.join(mad, "grp")
+        .groupBy("grp")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(F.when(F.col("adev") > 3 * F.col("mad_cents"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_outliers"),
+            F.first("mad_cents").alias("mad_cents"),
+        )
+        .orderBy("grp")
+    )
+
+
+@register(
+    "dq5_benford_audit",
+    """
+    WITH d AS (
+        SELECT SUBSTR(CAST(CAST(ROUND(o_totalprice * 100) AS BIGINT) AS VARCHAR), 1, 1) AS digit
+        FROM orders WHERE o_totalprice > 0
+    ),
+    counts AS (SELECT digit, COUNT(*) AS n FROM d GROUP BY digit),
+    tot AS (SELECT SUM(n) AS total FROM counts)
+    SELECT digit,
+           CAST(n AS BIGINT) AS n,
+           CAST(n AS DOUBLE) / total AS share
+    FROM counts, tot
+    ORDER BY digit
+    """,
+)
+def dq5_benford_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ5: Benford first-digit audit — the classic fabricated-data /
+    fraud screen: naturally-occurring multiplicative amounts follow
+    P(d) = log10(1 + 1/d), so a first-digit histogram that deviates
+    hard (uniform digits, missing 1s) flags synthetic or tampered
+    values. The query emits the observed digit distribution (exact
+    integer counts; share is one int/int division — deterministic);
+    the log-expected curve stays driver-side to keep the result
+    hash-exact. One narrow scan + 9-group agg."""
+    o = t(spark, sf_dir, "orders").where(F.col("o_totalprice") > 0)
+    d = o.select(
+        F.substring(F.round(F.col("o_totalprice") * 100).cast("bigint").cast("string"), 1, 1).alias(
+            "digit"
+        )
+    )
+    counts = d.groupBy("digit").agg(F.count(F.lit(1)).alias("n"))
+    tot = counts.agg(F.sum("n").alias("total"))
+    return (
+        counts.crossJoin(F.broadcast(tot))
+        .select(
+            "digit",
+            F.col("n").cast("bigint").alias("n"),
+            (F.col("n").cast("double") / F.col("total")).alias("share"),
+        )
+        .orderBy("digit")
+    )
+
+
+
+
+# --- Min/max data-skipping effectiveness audit -------------------------------
+
+_DQ14_PROBE_HI = 255  # the y-only probe predicate: y <= 255
+_DQ14_Z = _interleave_bits_expr("x", "y")
+
+
+@register(
+    "dq14_skipping_audit",
+    f"""
+    WITH pts AS (
+        SELECT (l_partkey * 769 + 12289) % 2147483647 % 1024 AS x,
+               (l_suppkey * 1543 + 24593) % 2147483647 % 1024 AS y
+        FROM lineitem
+    ),
+    keyed AS (
+        SELECT x, y,
+               ({_DQ14_Z}) // 65536 AS z_bucket,
+               x // 64 AS linear_bucket
+        FROM pts
+    ),
+    layouts AS (
+        SELECT 'zorder' AS layout, z_bucket AS bucket, x, y FROM keyed
+        UNION ALL
+        SELECT 'linear' AS layout, linear_bucket AS bucket, x, y FROM keyed
+    )
+    SELECT layout, CAST(bucket AS BIGINT) AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(MIN(x) AS INTEGER) AS x_min, CAST(MAX(x) AS INTEGER) AS x_max,
+           CAST(MIN(y) AS INTEGER) AS y_min, CAST(MAX(y) AS INTEGER) AS y_max,
+           MIN(y) <= {_DQ14_PROBE_HI} AS scanned_by_y_probe
+    FROM layouts
+    GROUP BY layout, bucket
+    ORDER BY layout, bucket
+    """,
+)
+def dq14_skipping_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ14: min/max data-skipping effectiveness audit — the
+    measurement half of s16_zorder_layout (which produces the layout;
+    this query quantifies what the layout BUYS). Points hash-spread
+    over a 1024x1024 domain are tiled 16 ways under two layouts:
+    `zorder` tiles by the top bits of the s16 Morton key (compact
+    ~256x256 squares), `linear` by the leading dimension only (thin
+    full-height strips). Output is the min/max footer stats a parquet
+    file would carry per tile plus the verdict column
+    `scanned_by_y_probe`: which tiles a y-only predicate (y <= 255)
+    must read. Same rows, same tile count — layout is the only
+    variable — and z-order scans 4 of 16 tiles where linear scans all
+    16: a dimension the sort order ignores gets NO skipping, which is
+    the decision input for z-ordering a 100 TB table (pin: the r6
+    round's pytest asserts zorder strictly beats linear). Tiling by
+    top key bits is deterministic (no repartitionByRange sampling),
+    one groupBy, bit-exact integers end to end."""
+    li = t(spark, sf_dir, "lineitem").select(
+        ((F.col("l_partkey") * 769 + 12289) % 2147483647 % 1024).alias("x"),
+        ((F.col("l_suppkey") * 1543 + 24593) % 2147483647 % 1024).alias("y"),
+    )
+    keyed = li.select(
+        "x",
+        "y",
+        (F.expr(_DQ14_Z) / F.lit(65536)).cast("bigint").alias("z_bucket"),
+        (F.col("x") / F.lit(64)).cast("bigint").alias("linear_bucket"),
+    )
+    layouts = keyed.select(
+        F.lit("zorder").alias("layout"), F.col("z_bucket").alias("bucket"), "x", "y"
+    ).unionAll(
+        keyed.select(
+            F.lit("linear").alias("layout"), F.col("linear_bucket").alias("bucket"), "x", "y"
+        )
+    )
+    return (
+        layouts.groupBy("layout", "bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.min("x").cast("int").alias("x_min"),
+            F.max("x").cast("int").alias("x_max"),
+            F.min("y").cast("int").alias("y_min"),
+            F.max("y").cast("int").alias("y_max"),
+        )
+        .select(
+            "layout",
+            F.col("bucket").cast("bigint").alias("bucket"),
+            "n_rows",
+            "x_min",
+            "x_max",
+            "y_min",
+            "y_max",
+            (F.col("y_min") <= F.lit(_DQ14_PROBE_HI)).alias("scanned_by_y_probe"),
+        )
+        .orderBy("layout", "bucket")
+    )
+
+
+# --- Observation API: single-pass pipeline metrics ---------------------------
+
+
+@register(
+    "dq15_observe_metrics",
+    """
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT) AS total_cents,
+           CAST(COUNT(CASE WHEN o_totalprice > 100000 THEN 1 END) AS BIGINT) AS n_large,
+           CAST(MIN(o_orderkey) AS BIGINT) AS min_key,
+           CAST(MAX(o_orderkey) AS BIGINT) AS max_key
+    FROM orders WHERE o_orderstatus = 'O'
+    """,
+)
+def dq15_observe_metrics(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ15: pipeline health metrics via ``df.observe`` (Spark's
+    Observation API) — row counts, value totals, and range bounds
+    accumulated ON THE SAME PASS that writes the pipeline's real
+    output, instead of a second full scan per metric (the reference's
+    webapp runs one count() per column — app.py:74-101 — which is the
+    anti-pattern this replaces; at 100 TB a duplicate metrics scan is
+    a duplicate 100 TB read). The observed slice is written to a
+    parquet sink as the \"real\" job; the observation rides the write
+    job's tasks, and the returned 1-row frame is the metric record a
+    pipeline would persist to its run ledger. The oracle recomputes
+    the same aggregates relationally — observe()'s accumulator path
+    must agree with the declarative path bit-exactly (integer cents)."""
+    from pyspark.sql import Observation
+
+    obs = Observation("dq15")
+    o = t(spark, sf_dir, "orders").filter(F.col("o_orderstatus") == "O")
+    observed = o.observe(
+        obs,
+        F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint")).cast("bigint").alias("total_cents"),
+        F.count(F.when(F.col("o_totalprice") > 100000, 1)).cast("bigint").alias("n_large"),
+        F.min("o_orderkey").cast("bigint").alias("min_key"),
+        F.max("o_orderkey").cast("bigint").alias("max_key"),
+    )
+    out = stable_tmp("dq15_observed_slice")
+    observed.write.mode("overwrite").parquet(out)  # the action the metrics ride on
+    m = obs.get  # O(1) driver-side metric record, not a data detour
+    return spark.createDataFrame(
+        [(m["n_rows"], m["total_cents"], m["n_large"], m["min_key"], m["max_key"])],
+        schema="n_rows long, total_cents long, n_large long, min_key long, max_key long",
+    )
+
+
+# --- Privacy: k-anonymity / l-diversity audit --------------------------------
+
+_KANON_K = 5
+_KANON_L = 2
+
+
+@register(
+    "dq16_k_anonymity",
+    f"""
+    WITH classes AS (
+        SELECT c_nationkey, c_mktsegment,
+               COUNT(*) AS class_size,
+               COUNT(DISTINCT c_acctbal < 0) AS l_distinct
+        FROM customer
+        GROUP BY c_nationkey, c_mktsegment
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_classes,
+           CAST(SUM(class_size) AS BIGINT) AS n_rows,
+           CAST(MIN(class_size) AS BIGINT) AS k_min,
+           CAST(COUNT(CASE WHEN class_size < {_KANON_K} THEN 1 END) AS BIGINT) AS n_classes_below_k,
+           CAST(SUM(CASE WHEN class_size < {_KANON_K} THEN class_size ELSE 0 END) * 1000000
+                // SUM(class_size) AS BIGINT) AS rows_at_risk_micro,
+           CAST(MIN(l_distinct) AS BIGINT) AS l_min,
+           CAST(COUNT(CASE WHEN l_distinct < {_KANON_L} THEN 1 END) AS BIGINT) AS n_classes_below_l
+    FROM classes
+    """,
+)
+def dq16_k_anonymity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ16: k-anonymity / l-diversity audit — the privacy gate a
+    training-data release runs AFTER redaction (t14_pii_redaction
+    scrubs direct identifiers; this measures whether the QUASI
+    identifiers still single people out). Rows sharing a
+    quasi-identifier tuple (nation, market segment) form an
+    equivalence class: k-anonymity requires every class >= k members
+    (small classes re-identify), l-diversity requires >= l distinct
+    sensitive values per class (a uniform class leaks the attribute
+    without re-identification). Output is the release-decision record:
+    smallest class, classes below k={_KANON_K}, fraction of rows at
+    re-identification risk (exact micro units), and the l={_KANON_L}
+    diversity floor over the sensitive bit (account in arrears). One
+    groupBy + one aggregate — at 100 TB the class census shuffles only
+    the quasi-identifier key space."""
+    classes = (
+        t(spark, sf_dir, "customer")
+        .groupBy("c_nationkey", "c_mktsegment")
+        .agg(
+            F.count(F.lit(1)).alias("class_size"),
+            F.countDistinct(F.col("c_acctbal") < 0).alias("l_distinct"),
+        )
+    )
+    return classes.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_classes"),
+        F.sum("class_size").cast("bigint").alias("n_rows"),
+        F.min("class_size").cast("bigint").alias("k_min"),
+        F.count(F.when(F.col("class_size") < _KANON_K, 1)).cast("bigint").alias("n_classes_below_k"),
+        F.expr(
+            f"CAST(SUM(CASE WHEN class_size < {_KANON_K} THEN class_size ELSE 0 END) * 1000000"
+            " DIV SUM(class_size) AS BIGINT)"
+        ).alias("rows_at_risk_micro"),
+        F.min("l_distinct").cast("bigint").alias("l_min"),
+        F.count(F.when(F.col("l_distinct") < _KANON_L, 1)).cast("bigint").alias("n_classes_below_l"),
+    )
+
+
+# --- Exact Wasserstein-1 drift via cogrouped pandas --------------------------
+
+
+@register(
+    "dq17_wasserstein_drift",
+    """
+    WITH a AS (SELECT c_nationkey AS nation, CAST(ROUND(c_acctbal * 100) AS BIGINT) AS v FROM customer),
+    b AS (SELECT s_nationkey AS nation, CAST(ROUND(s_acctbal * 100) AS BIGINT) AS v FROM supplier),
+    na AS (SELECT nation, COUNT(*) AS n_a FROM a GROUP BY 1),
+    nb AS (SELECT nation, COUNT(*) AS n_b FROM b GROUP BY 1),
+    support AS (
+        SELECT nation, v, SUM(ca) AS ca, SUM(cb) AS cb FROM (
+            SELECT nation, v, 1 AS ca, 0 AS cb FROM a
+            UNION ALL
+            SELECT nation, v, 0 AS ca, 1 AS cb FROM b
+        ) GROUP BY 1, 2
+    ),
+    steps AS (
+        SELECT nation, v,
+               SUM(ca) OVER (PARTITION BY nation ORDER BY v) AS cuma,
+               SUM(cb) OVER (PARTITION BY nation ORDER BY v) AS cumb,
+               LEAD(v) OVER (PARTITION BY nation ORDER BY v) AS nxt
+        FROM support
+    ),
+    w AS (
+        SELECT s.nation,
+               SUM(ABS(s.cuma * nb.n_b - s.cumb * na.n_a) * (s.nxt - s.v)) AS w1_scaled,
+               ANY_VALUE(na.n_a) AS n_a, ANY_VALUE(nb.n_b) AS n_b
+        FROM steps s JOIN na USING (nation) JOIN nb USING (nation)
+        WHERE s.nxt IS NOT NULL
+        GROUP BY 1
+    )
+    SELECT CAST(nation AS INTEGER) AS nation,
+           CAST(n_a AS BIGINT) AS n_a,
+           CAST(n_b AS BIGINT) AS n_b,
+           CAST(w1_scaled AS BIGINT) AS w1_scaled,
+           CAST(w1_scaled * 1000000 // (n_a * n_b) AS BIGINT) AS w1_microcents
+    FROM w ORDER BY nation
+    """,
+)
+def dq17_wasserstein_drift(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ17: EXACT Wasserstein-1 (earth mover's) distance between two
+    empirical distributions per group — customer vs supplier account
+    balances by nation — the bin-free complement to dq13's PSI: PSI
+    needs a bucketing choice and smoothing; W1 is parameter-free and
+    metrizes the actual cost of moving mass. Computed per nation in
+    integer cents: W1 = integral |CDF_a - CDF_b|, cross-multiplied by
+    n_a*n_b so every step term is exact BIGINT (reported both scaled
+    and in micro-cents). Spark side runs as cogrouped Arrow pandas
+    (``groupby().cogroup().applyInPandas`` — the one Python-UDF API
+    shape the repo didn't yet exercise): both sides arrive pre-grouped
+    per key, so the merge-sorted CDF walk touches one nation's two
+    samples at a time — at 100 TB each group is one task, never a
+    global sort. The DuckDB oracle replays the same walk relationally
+    (partitioned windows over the union support)."""
+    import numpy as np
+
+    c = t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").cast("int").alias("nation"),
+        F.round(F.col("c_acctbal") * 100).cast("long").alias("cents"),
+    )
+    s = t(spark, sf_dir, "supplier").select(
+        F.col("s_nationkey").cast("int").alias("nation"),
+        F.round(F.col("s_acctbal") * 100).cast("long").alias("cents"),
+    )
+
+    def w1(key, left, right):
+        import pandas as pd
+
+        if len(left) == 0 or len(right) == 0:
+            return pd.DataFrame(
+                columns=["nation", "n_a", "n_b", "w1_scaled", "w1_microcents"]
+            )
+        a = np.sort(left["cents"].values.astype(np.int64))
+        b = np.sort(right["cents"].values.astype(np.int64))
+        na, nb = len(a), len(b)
+        support = np.unique(np.concatenate([a, b]))
+        cuma = np.searchsorted(a, support, side="right").astype(np.int64)
+        cumb = np.searchsorted(b, support, side="right").astype(np.int64)
+        gaps = np.diff(support)
+        w1_scaled = int(np.sum(np.abs(cuma[:-1] * nb - cumb[:-1] * na) * gaps))
+        return pd.DataFrame(
+            {
+                "nation": [int(key[0])],
+                "n_a": [na],
+                "n_b": [nb],
+                "w1_scaled": [w1_scaled],
+                "w1_microcents": [w1_scaled * 1_000_000 // (na * nb)],
+            }
+        )
+
+    out = (
+        c.groupby("nation")
+        .cogroup(s.groupby("nation"))
+        .applyInPandas(w1, "nation int, n_a long, n_b long, w1_scaled long, w1_microcents long")
+    )
+    return out.orderBy("nation")
+
+
+# --- Privacy: t-closeness (distribution distance per quasi-class) ------------
+#
+# Completes the anonymity-audit ladder next to dq16 (k-anonymity +
+# distinct l-diversity): a class can be k-anonymous and l-diverse yet
+# still leak if its SENSITIVE-attribute distribution differs sharply
+# from the table's. t-closeness (Li et al., ICDE'07) bounds, per
+# quasi-identifier class, the distance between the class's sensitive
+# distribution and the global one — for categorical attributes the
+# total-variation distance. TVD here is EXACT cross-multiplied
+# integers (|cnt_g·N − cnt·n_g| summed, one floor-division at the
+# end), the repo's threshold idiom, so both engines agree bit-for-bit.
+
+_TCLOSE_T_MICRO = 200_000  # t = 0.2
+
+
+@register(
+    "dq19_t_closeness",
+    f"""
+    WITH cls AS (
+        SELECT c_nationkey AS nation, c_mktsegment AS seg, COUNT(*) AS cnt
+        FROM customer GROUP BY 1, 2
+    ),
+    gseg AS (SELECT seg, SUM(cnt) AS gcnt FROM cls GROUP BY 1),
+    tot AS (SELECT SUM(cnt) AS n FROM cls),
+    per_class AS (SELECT nation, SUM(cnt) AS n_g FROM cls GROUP BY 1),
+    terms AS (
+        SELECT p.nation, p.n_g,
+               SUM(ABS(COALESCE(c.cnt, 0) * t.n - g.gcnt * p.n_g)) AS num
+        FROM per_class p
+        CROSS JOIN gseg g
+        CROSS JOIN tot t
+        LEFT JOIN cls c ON c.nation = p.nation AND c.seg = g.seg
+        GROUP BY 1, 2
+    )
+    SELECT CAST(nation AS BIGINT) AS nation,
+           CAST(n_g AS BIGINT) AS class_size,
+           CAST(num * 1000000 // (2 * (SELECT n FROM tot) * n_g) AS BIGINT) AS tvd_micro,
+           num * 1000000 // (2 * (SELECT n FROM tot) * n_g) > {_TCLOSE_T_MICRO} AS breaches_t
+    FROM terms
+    ORDER BY nation
+    """,
+)
+def dq19_t_closeness(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-nation t-closeness audit of c_mktsegment: exact
+    total-variation distance between each nation's segment
+    distribution and the global one, in integer micro-units
+    (TVD = Σ|cnt_g·N − cnt·n_g| / (2·N·n_g), cross-multiplied so the
+    only division is the final floor). Plan: one hash-agg over
+    (nation, segment), the 5-row global segment frame and the 1-row
+    total broadcast back onto the ~nations·segments grid (LEFT join
+    supplies the zero cells a missing segment contributes), one more
+    hash-agg per nation. At 100 TB: two linear aggregations plus
+    broadcast joins against sub-kilobyte frames — nothing scales with
+    row count but the first scan. The cross-multiplied integers hold
+    to ~4·10^18 (N·n_g·10^6), i.e. past 10^6 rows per class; beyond
+    that swap to per-class micro shares first."""
+    c = t(spark, sf_dir, "customer")
+    cls = c.groupBy(
+        F.col("c_nationkey").alias("nation"), F.col("c_mktsegment").alias("seg")
+    ).agg(F.count(F.lit(1)).alias("cnt"))
+    cls = cache_once(cls)
+    glob = cls.groupBy("seg").agg(F.sum("cnt").alias("gcnt"))
+    tot = cls.agg(F.sum("cnt").alias("n"))
+    per_class = cls.groupBy("nation").agg(F.sum("cnt").alias("n_g"))
+    grid = (
+        per_class.crossJoin(F.broadcast(glob))
+        .crossJoin(F.broadcast(tot))
+        .join(cls, ["nation", "seg"], "left")
+        .select(
+            "nation",
+            "n_g",
+            "n",
+            F.abs(F.coalesce(F.col("cnt"), F.lit(0)) * F.col("n") - F.col("gcnt") * F.col("n_g")).alias(
+                "term"
+            ),
+        )
+    )
+    out = grid.groupBy("nation", "n_g", "n").agg(F.sum("term").alias("num"))
+    tvd = F.expr("(num * 1000000) DIV (2 * n * n_g)")
+    return (
+        out.select(
+            F.col("nation").cast("bigint").alias("nation"),
+            F.col("n_g").cast("bigint").alias("class_size"),
+            tvd.cast("bigint").alias("tvd_micro"),
+            (tvd > _TCLOSE_T_MICRO).alias("breaches_t"),
+        )
+        .orderBy("nation")
+    )
+
+
+# --- Differential privacy: deterministic discrete-Laplace counts -------------
+#
+# The DP release pattern for counting queries (Ghosh-Roughgarden-
+# Sundararajan's geometric mechanism): add two-sided-geometric noise
+# with alpha = e^-eps to every count. Real deployments draw the noise
+# from a CSPRNG; HERE the draw is derandomized through the repo's
+# portable-hash trick (the m36 Poisson-bootstrap idiom) so both
+# engines sample the IDENTICAL noise and the release hash-compares:
+# u = md5-prefix hash of the cell key (uniform on [0, 2^32)), mapped
+# through the EXACT integer inverse CDF of the alpha=1/3 (eps=ln 3)
+# discrete Laplace — whose probabilities are exact rationals
+# (P(0)=1/2, P(±k)=a^k/3... denominators are powers of 3), so the
+# threshold table below is exact, computed once in host Python with
+# Fractions and inlined as literals on BOTH engines. Tails beyond ±8
+# (probability < 2·10^-4) clamp to ±8.
+
+_DP_ALPHA_NUM, _DP_ALPHA_DEN = 1, 3  # alpha = 1/3  (eps = ln 3)
+_DP_MAX_K = 8
+
+
+def _dp_thresholds() -> list[tuple[int, int]]:
+    """(threshold, noise) pairs: noise(h) = first k (scanning k =
+    -8..8) with h < threshold_k, where threshold_k = floor(2^32 *
+    CDF(k)) under the exact rational discrete-Laplace CDF."""
+    from fractions import Fraction
+
+    a = Fraction(_DP_ALPHA_NUM, _DP_ALPHA_DEN)
+    p0 = (1 - a) / (1 + a)
+    out = []
+    cdf = Fraction(0)
+    for k in range(-_DP_MAX_K, _DP_MAX_K + 1):
+        p = p0 if k == 0 else p0 * a ** abs(k)
+        if k == -_DP_MAX_K:  # left tail clamps here
+            p += sum(p0 * a**j for j in range(_DP_MAX_K + 1, 64))
+        cdf += p
+        thr = (cdf.numerator * (1 << 32)) // cdf.denominator
+        out.append((thr if k < _DP_MAX_K else 1 << 32, k))
+    return out
+
+
+def _dp_noise_case_sql(hexpr: str) -> str:
+    whens = " ".join(
+        f"WHEN {hexpr} < {thr} THEN ({k})" for thr, k in _dp_thresholds()
+    )
+    return f"CASE {whens} END"
+
+
+@register(
+    "p24_dp_noisy_counts",
+    f"""
+    WITH cells AS (
+        SELECT c_nationkey AS nation, c_mktsegment AS seg, CAST(COUNT(*) AS BIGINT) AS cnt
+        FROM customer GROUP BY 1, 2
+    ),
+    noised AS (
+        SELECT nation, seg, cnt,
+               {_dp_noise_case_sql("(('0x' || SUBSTR(MD5('dp|' || nation || '|' || seg), 1, 8))::BIGINT)")} AS noise
+        FROM cells
+    )
+    SELECT CAST(nation AS BIGINT) AS nation, seg,
+           CAST(noise AS BIGINT) AS noise,
+           CAST(GREATEST(cnt + noise, 0) AS BIGINT) AS noisy_count
+    FROM noised
+    ORDER BY nation, seg
+    """,
+)
+def p24_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Differentially-private release of the (nation, segment) count
+    table via the geometric mechanism at eps = ln 3 — noise drawn
+    deterministically per cell from the portable md5 hash pushed
+    through the exact integer inverse CDF (threshold literals shared
+    verbatim with the oracle), post-processed with the standard
+    clamp-at-zero. Plan: one hash-agg over the quasi-grid, then pure
+    per-row codegen'd expression work (md5 + a 17-branch CASE) — at
+    100 TB the mechanism costs exactly one aggregation; swapping the
+    derandomized hash for a CSPRNG draw is a one-line change that
+    does not touch the plan. (The derandomization is what makes the
+    release oracle-checkable; a keyed-hash DP variant is also a real
+    pattern — e.g. reproducible DP releases keyed on a secret.)"""
+    from realestate_engine.dedup import portable_hash32
+
+    cells = (
+        t(spark, sf_dir, "customer")
+        .groupBy(F.col("c_nationkey").alias("nation"), F.col("c_mktsegment").alias("seg"))
+        .agg(F.count(F.lit(1)).cast("bigint").alias("cnt"))
+    )
+    h = portable_hash32(
+        F.concat(F.lit("dp|"), F.col("nation").cast("string"), F.lit("|"), F.col("seg"))
+    )
+    # WHEN-chain in ascending threshold order (first match wins)
+    noise = None
+    for thr, k in _dp_thresholds():
+        cond = h < F.lit(thr)
+        noise = F.when(cond, k) if noise is None else noise.when(cond, k)
+    out = cells.withColumn("noise", noise.cast("long"))
+    return out.select(
+        F.col("nation").cast("bigint").alias("nation"),
+        "seg",
+        "noise",
+        F.greatest(F.col("cnt") + F.col("noise"), F.lit(0)).cast("bigint").alias("noisy_count"),
+    ).orderBy("nation", "seg")

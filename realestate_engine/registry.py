@@ -139,5 +139,10 @@ def load_all() -> None:
     import realestate_engine.queries_extra  # noqa: F401
     import realestate_engine.queries_extra2  # noqa: F401
     import realestate_engine.queries_extra3  # noqa: F401
+    import realestate_engine.queries_sources_sql  # noqa: F401
+    import realestate_engine.queries_experiments  # noqa: F401
+    import realestate_engine.queries_quality  # noqa: F401
+    import realestate_engine.queries_mleval  # noqa: F401
+    import realestate_engine.queries_lakehouse  # noqa: F401
     import realestate_engine.graph  # noqa: F401
     import realestate_engine.ordered  # noqa: F401

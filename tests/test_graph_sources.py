@@ -8,7 +8,7 @@ import os
 from pyspark.sql import functions as F
 
 from realestate_engine.graph import SCALE, pagerank_fixed_point
-from realestate_engine.queries_extra import s13_binaryfile_scan
+from realestate_engine.queries_sources_sql import s13_binaryfile_scan
 
 
 def _reference_pagerank(edges: list[tuple[str, str]], n_iter: int) -> dict[str, int]:
@@ -75,7 +75,7 @@ def _py_interleave(x: int, y: int) -> int:
 
 
 def test_zorder_expr_matches_python(spark):
-    from realestate_engine.queries_extra import _interleave_bits_expr
+    from realestate_engine.queries_sources_sql import _interleave_bits_expr
 
     rows = [(x, y) for x in (0, 1, 5, 150, 255, 65535) for y in (0, 3, 77, 2433, 65535)]
     df = spark.createDataFrame(rows, ["xm", "ym"]).select(
@@ -86,7 +86,7 @@ def test_zorder_expr_matches_python(spark):
 
 
 def test_zorder_layout_localizes_both_dims(spark, tmp_path):
-    from realestate_engine.queries_extra import _interleave_bits_expr
+    from realestate_engine.queries_sources_sql import _interleave_bits_expr
 
     # balanced 256x256 grid: 16 range partitions must narrow BOTH dims
     grid = spark.range(256 * 256).select(

@@ -546,7 +546,7 @@ def test_bucketed_join_has_no_exchange(spark, sf_dir):
     """S24 plan contract: both sides scan their bucket files directly
     into the sort-merge join — zero ShuffleExchange nodes anywhere in
     the executed join plan, and the scans report Bucketed: true."""
-    from realestate_engine.queries_extra import bucketed_orders_lineitem_join
+    from realestate_engine.queries_sources_sql import bucketed_orders_lineitem_join
 
     j = bucketed_orders_lineitem_join(spark, sf_dir)
     j.collect()
@@ -674,8 +674,8 @@ def test_jpeg_decode_dispatch_and_rejects():
     """decode_image_stub routes JPEG magic to the real decoder, REAL
     progressive (SOF2) payloads decode identically to baseline, a
     baseline stream mislabeled SOF2 is rejected as an illegal scan
-    script (not garbled), and lossless (SOF3) still raises the honest
-    NotImplementedError."""
+    script (not garbled), and SOF3 decodes for real — an illegal
+    lossless scan (predictor selector 0) raises ValueError."""
     import pytest
 
     from realestate_engine.jpeg import decode_jpeg, encode_jpeg, encode_jpeg_progressive

@@ -24,7 +24,7 @@ COMMON = dict(
 )
 @settings(**COMMON)
 def test_zorder_interleave_property(spark, pairs):
-    from realestate_engine.queries_extra import _interleave_bits_expr
+    from realestate_engine.queries_sources_sql import _interleave_bits_expr
 
     df = spark.createDataFrame(pairs, ["xm", "ym"]).select(
         "xm", "ym", F.expr(_interleave_bits_expr("xm", "ym")).cast("bigint").alias("zval")
