@@ -15,10 +15,14 @@ since round 6 (pure-stdlib chunk walk in wav.py, oracle-checked
 and encodes for REAL since round 6 second wave (flac.py,
 oracle-checked ``mm_flac_roundtrip``); ISO-BMFF (MP4) container
 METADATA parses for REAL since round 6 too (pure-stdlib box walk in
-mp4.py, oracle-checked ``mm_mp4_probe``). Perceptual audio (Ogg/MP3)
-and video FRAME decode remain honestly stubbed behind
-``NotImplementedError`` (MDCT/psychoacoustics and video codecs need
-real libraries this container lacks); the deterministic byte-keyed
+mp4.py, oracle-checked ``mm_mp4_probe``); Ogg and MP3 container
+METADATA parses for REAL since round 7 (CRC-verified page walk in
+ogg.py, frame-header walk in mp3.py — oracle-checked
+``mm_ogg_probe``/``mm_mp3_probe``), completing the audio container
+surface. Only perceptual SAMPLE decode (Vorbis/MP3 DSP) and video
+FRAME decode remain honestly stubbed behind ``NotImplementedError``
+(MDCT/psychoacoustics and video codecs need real libraries this
+container lacks); the deterministic byte-keyed
 fake covers non-image plumbing tests. Everything
 Spark-side is real either way: the binary schema, the mapInPandas
 signature, batch iteration, and the output schema contract.
@@ -453,7 +457,9 @@ def mm_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
     "mm_jpeg_lossless",
     r"""
     WITH bytes AS (
-        SELECT doc_id, HEX(ENCODE(text)) AS hx, OCTET_LENGTH(ENCODE(text)) AS n
+        SELECT doc_id,
+               COALESCE(NULLIF(HEX(ENCODE(text)), ''), '00') AS hx,
+               GREATEST(OCTET_LENGTH(ENCODE(text)), 1) AS n
         FROM documents WHERE doc_id < 48
     ),
     px AS (
@@ -489,7 +495,9 @@ def mm_jpeg_lossless(spark: SparkSession, sf_dir: str) -> DataFrame:
             rows = []
             for d, txt in zip(pdf["doc_id"], pdf["text"]):
                 d = int(d)
-                b = txt.encode("utf-8")
+                # empty docs: plant a zero raster (oracle mirrors via
+                # COALESCE(NULLIF(hx,''),'00') / GREATEST(n,1))
+                b = txt.encode("utf-8") or b"\x00"
                 img = [b[(i * len(b)) // 256] for i in range(256)]
                 dec = decode_jpeg(encode_jpeg_lossless(16, 16, img, predictor=1 + d % 7))
                 rows.append(
@@ -568,9 +576,11 @@ def decode_audio_stub(payload: bytes) -> dict:
     """Audio decoder front-end. RIFF/WAVE payloads decode for REAL via
     wav.py (round 6 — chunk walk + PCM8/PCM16 unpack) and fLaC payloads
     via the REAL rice-coded FLAC decoder in flac.py (round 6, second
-    wave); perceptual codecs (MP3/Ogg-Vorbis) stay honestly stubbed
-    (MDCT + psychoacoustics need real codec libraries this container
-    lacks). Anything else is treated as the deterministic raw
+    wave); perceptual codecs (MP3/Ogg-Vorbis) stay honestly stubbed at
+    the SAMPLE level (MDCT + psychoacoustics need real codec libraries
+    this container lacks) — container metadata for both parses for
+    real via ogg.py/mp3.py (mm_ogg_probe / mm_mp3_probe).
+    Anything else is treated as the deterministic raw
     8-bit-mono-PCM-at-16kHz stand-in used by the plumbing tests."""
     if payload[:4] == b"fLaC":
         from realestate_engine.flac import decode_flac
@@ -597,7 +607,9 @@ def decode_audio_stub(payload: bytes) -> dict:
             "rms": round(rms, 4),
         }
     if payload[:4] == b"OggS":
-        raise NotImplementedError("perceptual audio (Ogg/MP3) is stubbed in this environment")
+        raise NotImplementedError(
+            "Vorbis sample decode (DSP) is stubbed; mm_ogg_probe parses container metadata"
+        )
     n = len(payload)
     rms = (sum(b * b for b in payload) / n) ** 0.5 if n else 0.0
     return {
@@ -684,7 +696,8 @@ def mm_flac_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
     analytically and the `lossless` boolean pins decode(encode(x))==x
     sample-for-sample; `compressed` pins that prediction actually
     bought something (payload < raw PCM + header slack). Perceptual
-    codecs (Ogg/MP3) remain the only stubbed audio path."""
+    SAMPLE decode (Ogg/MP3 DSP) remains the only stubbed audio path —
+    their containers probe for real (mm_ogg_probe / mm_mp3_probe)."""
     from realestate_engine.flac import decode_flac, encode_flac
 
     def roundtrip(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
@@ -1345,6 +1358,174 @@ def mm_mp4_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+@register(
+    "mm_ogg_probe",
+    """
+    WITH params AS (
+        SELECT doc_id,
+               CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 22050
+                               WHEN 2 THEN 44100 ELSE 48000 END AS sr
+        FROM documents WHERE doc_id < 60
+    )
+    SELECT doc_id,
+           CAST(100 + doc_id AS BIGINT) AS serial,
+           CAST(3 AS BIGINT) AS n_pages,
+           CAST(sr AS INTEGER) AS sample_rate,
+           CAST(1 + doc_id % 2 AS INTEGER) AS channels,
+           CAST(2 AS BIGINT) AS n_comments,
+           'doc-' || doc_id AS title,
+           CAST(((doc_id + 1) * sr // 2) * 1000 // sr AS BIGINT) AS duration_ms
+    FROM params ORDER BY doc_id
+    """,
+)
+def mm_ogg_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL Ogg/Vorbis container probe (the audio ffprobe pass): per doc
+    a minimal Ogg physical stream — BOS identification page, comment
+    page, EOS page carrying the granule position — is built with
+    cycling sample rates/channel counts and a TITLE tag, then PARSED
+    back by ogg.py's page walk inside one Arrow batch, with every
+    page's Ogg-flavor CRC-32 (poly 0x04c11db7, unreflected — not
+    zlib's) verified. Every emitted column comes from the PARSED
+    container; the oracle recomputes them from the generation
+    parameters, so a broken lacing walk, CRC table, granule→duration
+    conversion, or comment-header scan flips the hash. Vorbis DSP
+    (setup/audio packets) stays honestly stubbed — at 100 TB this
+    metadata pass routes, filters and dedups raw audio blobs before
+    any psychoacoustic decode spins up."""
+    from realestate_engine.ogg import encode_minimal_ogg_vorbis, parse_ogg
+
+    def probe(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                sr = (8000, 22050, 44100, 48000)[d % 4]
+                blob = encode_minimal_ogg_vorbis(
+                    sample_rate=sr,
+                    channels=1 + d % 2,
+                    comments=[("TITLE", f"doc-{d}"), ("SOURCE", "testdata")],
+                    serial=100 + d,
+                    granule=(d + 1) * sr // 2,
+                )
+                p = parse_ogg(blob)
+                rows.append(
+                    (
+                        d,
+                        p["serial"],
+                        p["n_pages"],
+                        p["sample_rate"],
+                        p["channels"],
+                        p["n_comments"],
+                        p["comments"]["TITLE"],
+                        p["duration_ms"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "serial", "n_pages", "sample_rate",
+                    "channels", "n_comments", "title", "duration_ms",
+                ],
+            )
+
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 60).select("doc_id")
+    return (
+        d.repartition(8, "doc_id")
+        .mapInPandas(
+            probe,
+            "doc_id long, serial long, n_pages long, sample_rate int, "
+            "channels int, n_comments long, title string, duration_ms long",
+        )
+        .orderBy("doc_id")
+    )
+
+
+@register(
+    "mm_mp3_probe",
+    """
+    WITH params AS (
+        SELECT doc_id,
+               CASE doc_id % 3 WHEN 0 THEN 128 WHEN 1 THEN 192 ELSE 320 END AS br,
+               CASE (doc_id // 3) % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END AS sr,
+               3 + doc_id % 5 AS nf
+        FROM documents WHERE doc_id < 60
+    )
+    SELECT doc_id,
+           CAST(nf AS BIGINT) AS n_frames,
+           CAST(br AS INTEGER) AS bitrate_kbps,
+           CAST(sr AS INTEGER) AS sample_rate,
+           CAST(nf * 1152 * 1000 // sr AS BIGINT) AS duration_ms,
+           doc_id % 2 = 0 AS has_id3v2,
+           doc_id % 3 = 0 AS has_id3v1,
+           CAST(nf * (144 * br * 1000 // sr) + nf // 2 AS BIGINT) AS audio_bytes
+    FROM params ORDER BY doc_id
+    """,
+)
+def mm_mp3_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL MPEG-1 Layer III frame-header probe: per doc a minimal MP3
+    stream — cycling bitrate (128/192/320 kbps) and sample rate
+    (44.1/48/32 kHz), 3-7 frames with the padding bit alternating,
+    ID3v2 front tag on even docs, ID3v1 trailer on every third — is
+    built and PARSED back by mp3.py's frame walk (sync check, table
+    lookups, 144·br/sr+padding frame stride, synchsafe ID3v2 skip,
+    ID3v1 detection) inside one Arrow batch. Every emitted column
+    comes from the PARSED stream; the oracle recomputes them
+    analytically (duration = frames·1152/sr, audio_bytes = the exact
+    frame-stride sum), so a wrong table entry, padding handling, or
+    tag skip flips the hash. Sample decode (psychoacoustics) stays
+    honestly stubbed, mirroring mm_ogg_probe."""
+    from realestate_engine.mp3 import encode_minimal_mp3, parse_mp3
+
+    _BR_IDX = {128: 9, 192: 11, 320: 14}
+    _SR_IDX = {44100: 0, 48000: 1, 32000: 2}
+
+    def probe(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                br = (128, 192, 320)[d % 3]
+                sr = (44100, 48000, 32000)[(d // 3) % 3]
+                blob = encode_minimal_mp3(
+                    _BR_IDX[br],
+                    _SR_IDX[sr],
+                    n_frames=3 + d % 5,
+                    id3v2_payload=b"m" * (11 + d) if d % 2 == 0 else b"",
+                    id3v1=(d % 3 == 0),
+                )
+                p = parse_mp3(blob)
+                rows.append(
+                    (
+                        d,
+                        p["n_frames"],
+                        p["bitrate_kbps"],
+                        p["sample_rate"],
+                        p["duration_ms"],
+                        p["has_id3v2"],
+                        p["has_id3v1"],
+                        p["audio_bytes"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_frames", "bitrate_kbps", "sample_rate",
+                    "duration_ms", "has_id3v2", "has_id3v1", "audio_bytes",
+                ],
+            )
+
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 60).select("doc_id")
+    return (
+        d.repartition(8, "doc_id")
+        .mapInPandas(
+            probe,
+            "doc_id long, n_frames long, bitrate_kbps int, sample_rate int, "
+            "duration_ms long, has_id3v2 boolean, has_id3v1 boolean, audio_bytes long",
+        )
+        .orderBy("doc_id")
+    )
+
+
 # ---------------------------------------------------------------------------
 # pHash: REAL 2-D DCT perceptual hash over decoded PNG pixels
 # ---------------------------------------------------------------------------
@@ -1379,7 +1560,9 @@ def _phash_oracle_sql() -> str:
     n2 = _PHASH_N * _PHASH_N
     return f"""
     WITH bytes AS (
-        SELECT doc_id, HEX(ENCODE(text)) AS hx, OCTET_LENGTH(ENCODE(text)) AS n
+        SELECT doc_id,
+               COALESCE(NULLIF(HEX(ENCODE(text)), ''), '00') AS hx,
+               GREATEST(OCTET_LENGTH(ENCODE(text)), 1) AS n
         FROM documents
     ),
     px AS (
@@ -1447,7 +1630,9 @@ def mm_phash_dct(spark: SparkSession, sf_dir: str) -> DataFrame:
         for pdf in it:
             ids, pixes = [], []
             for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
-                b = bytes(p)
+                # empty docs plant a zero raster (oracle: COALESCE/
+                # GREATEST guards in _phash_oracle_sql)
+                b = bytes(p) or b"\x00"
                 v = [b[(i * len(b)) // n2] for i in range(n2)]
                 rgb = bytes(c for x in v for c in (x, x, x))
                 png = encode_png(n, n, rgb)

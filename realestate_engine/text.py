@@ -2066,3 +2066,99 @@ def t24_weighted_sample_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source", "rank")
     )
+
+
+@register(
+    "t25_kneser_ney_bigram",
+    r"""
+    WITH w AS (
+        SELECT doc_id, STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+') AS words
+        FROM documents
+    ),
+    bg AS (
+        SELECT words[i] AS w1, words[i + 1] AS w2
+        FROM w, UNNEST(RANGE(1, GREATEST(LEN(words), 1))) AS u(i)
+    ),
+    big_counts AS (
+        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cb FROM bg GROUP BY w1, w2
+    ),
+    ctx AS (
+        SELECT w1, CAST(SUM(cb) AS BIGINT) AS cw,
+               CAST(COUNT(*) AS BIGINT) AS n1s
+        FROM big_counts GROUP BY w1
+    ),
+    cont AS (
+        SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1p FROM big_counts GROUP BY w2
+    ),
+    types AS (SELECT CAST(COUNT(*) AS BIGINT) AS tt FROM big_counts)
+    SELECT b.w1, b.w2, b.cb,
+           CAST((4 * b.cb - 3) * 1000000 // (4 * x.cw) AS BIGINT) AS t1_micro,
+           CAST(3 * x.n1s * p.n1p * 1000000 // (4 * x.cw * (SELECT tt FROM types))
+                AS BIGINT) AS t2_micro,
+           CAST((4 * b.cb - 3) * 1000000 // (4 * x.cw)
+                + 3 * x.n1s * p.n1p * 1000000 // (4 * x.cw * (SELECT tt FROM types))
+                AS BIGINT) AS pkn_micro
+    FROM big_counts b JOIN ctx x ON b.w1 = x.w1 JOIN cont p ON b.w2 = p.w2
+    ORDER BY b.cb DESC, b.w1, b.w2
+    LIMIT 25
+    """,
+)
+def t25_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T25: interpolated Kneser-Ney bigram probabilities — the actual
+    n-gram-LM smoothing standard (Chen & Goodman '98), upgrading t23's
+    Laplace gate: P_KN(w2|w1) = max(c(w1,w2)-D, 0)/c(w1·) +
+    D·N1+(w1·)/c(w1·) · N1+(·w2)/|bigram types|, with the canonical
+    discount D = 0.75 carried as the EXACT rational 3/4 — so both
+    terms are pure integer arithmetic ((4c-3)/4cw and 3·N1s·N1p /
+    (4·cw·T)), FLOOR-scaled to micros separately (each one integer
+    division, order-free, bit-identical across engines; every
+    numerator is nonnegative so truncating DIV == floor on both).
+    The continuation probability N1+(·w2)/T — "how many distinct
+    contexts precede w2" — is what makes KN the right unigram
+    fallback where raw frequency over-scores burst words; the top-25
+    bigrams by count are reported with both terms visible.
+
+    Scale: one bigram count shuffle with map-side combine, then all
+    model statistics (context totals, distinct successors/
+    predecessors, the 1-row type count) derive from the COUNTED
+    bigram-type frame — each a further aggregation of an
+    already-collapsed relation, never a second pass over the corpus.
+    Final ranking is TakeOrdered (top-k, no global sort materialized).
+    At 100 TB this is exactly the distributed KN estimation layout:
+    count once, aggregate the count table three ways, join small."""
+    from realestate_engine.dedup import cache_once
+
+    d = t(spark, sf_dir, "documents")
+    toks = d.select(
+        "doc_id",
+        F.posexplode(F.split(F.lower(F.trim("text")), r"\s+")).alias("pos", "w2"),
+    )
+    w_doc = Window.partitionBy("doc_id").orderBy("pos")
+    bg = toks.select(
+        F.lag("w2").over(w_doc).alias("w1"), "w2"
+    ).filter(F.col("w1").isNotNull())
+    big_counts = cache_once(
+        bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("cb"))
+    )
+    ctx = big_counts.groupBy("w1").agg(
+        F.sum("cb").cast("long").alias("cw"), F.count(F.lit(1)).cast("long").alias("n1s")
+    )
+    cont = big_counts.groupBy("w2").agg(F.count(F.lit(1)).cast("long").alias("n1p"))
+    types = big_counts.agg(F.count(F.lit(1)).cast("long").alias("tt"))
+    t1 = F.expr("((4 * cb - 3) * 1000000) DIV (4 * cw)")
+    t2 = F.expr("(3 * n1s * n1p * 1000000) DIV (4 * cw * tt)")
+    return (
+        big_counts.join(ctx, "w1")
+        .join(cont, "w2")
+        .crossJoin(F.broadcast(types))
+        .select(
+            "w1",
+            "w2",
+            "cb",
+            t1.cast("long").alias("t1_micro"),
+            t2.cast("long").alias("t2_micro"),
+            (t1 + t2).cast("long").alias("pkn_micro"),
+        )
+        .orderBy(F.desc("cb"), "w1", "w2")
+        .limit(25)
+    )

@@ -1,0 +1,130 @@
+"""Round-7 additions: Ogg/Vorbis and MP3 container probes (the audio
+metadata surface is now complete: WAV + FLAC decode for real,
+Ogg/MP3/MP4 probe for real; only perceptual sample decode is
+stubbed), plus regression pins for the round's ADVICE fixes."""
+
+from __future__ import annotations
+
+import pytest
+
+
+def test_ogg_roundtrip_and_error_paths():
+    from realestate_engine.ogg import encode_minimal_ogg_vorbis, ogg_crc, parse_ogg
+
+    s = encode_minimal_ogg_vorbis(48000, 1, [("TITLE", "x")], serial=9, granule=96000)
+    p = parse_ogg(s)
+    assert (p["sample_rate"], p["channels"], p["serial"]) == (48000, 1, 9)
+    assert p["duration_ms"] == 2000 and p["n_pages"] == 3
+    assert p["vendor"] == "realestate_engine" and p["comments"]["TITLE"] == "x"
+
+    # the CRC is the Ogg flavor, not zlib's: known divergence on b"OggS"
+    import zlib
+
+    assert ogg_crc(b"OggS") != zlib.crc32(b"OggS")
+
+    # any flipped byte breaks the page CRC
+    b = bytearray(s)
+    b[50] ^= 0x01
+    with pytest.raises(ValueError, match="CRC"):
+        parse_ogg(bytes(b))
+
+    with pytest.raises(ValueError, match="capture pattern"):
+        parse_ogg(b"RIFFxxxx")
+
+    # a third packet (Vorbis setup/audio) is the honest codec boundary
+    from realestate_engine.ogg import _page
+
+    extra = s + _page(9, 3, 96000, [b"\x05vorbis-setup"], 0x00)
+    with pytest.raises(NotImplementedError):
+        parse_ogg(extra)
+
+
+def test_ogg_packet_spans_lacing_boundary():
+    """A packet of exactly 255·k bytes needs a terminating 0 lacing
+    value; the comment header is padded past 255 bytes to prove the
+    multi-lacing reassembly path."""
+    from realestate_engine.ogg import encode_minimal_ogg_vorbis, parse_ogg
+
+    long_val = "v" * 600  # comment packet > 2 lacing segments
+    p = parse_ogg(encode_minimal_ogg_vorbis(8000, 2, [("PAD", long_val)]))
+    assert p["comments"]["PAD"] == long_val
+
+
+def test_mp3_roundtrip_and_error_paths():
+    from realestate_engine.mp3 import decode_mp3_samples, encode_minimal_mp3, parse_mp3
+
+    m = encode_minimal_mp3(11, 2, 4, id3v2_payload=b"t" * 40, id3v1=True)  # 192kbps 32kHz
+    p = parse_mp3(m)
+    assert (p["bitrate_kbps"], p["sample_rate"], p["n_frames"]) == (192, 32000, 4)
+    assert p["duration_ms"] == 4 * 1152 * 1000 // 32000
+    assert p["has_id3v2"] and p["has_id3v1"]
+    # audio_bytes == the exact frame-stride sum (padding alternates 0,1)
+    flen = 144 * 192 * 1000 // 32000
+    assert p["audio_bytes"] == 4 * flen + 2
+
+    with pytest.raises(ValueError, match="sync"):
+        parse_mp3(b"\x00\x00\x00\x00" * 4)
+    # truncating the last frame must be detected, not silently dropped
+    with pytest.raises(ValueError, match="overruns"):
+        parse_mp3(encode_minimal_mp3(9, 0, 2)[:-3])
+    with pytest.raises(NotImplementedError):
+        decode_mp3_samples(m)
+
+
+def test_probe_queries_match_generation_params(spark, sf_dir):
+    """mm_ogg_probe / mm_mp3_probe emit PARSED values; spot-check a few
+    rows against the generation recipe independently of the oracle."""
+    from realestate_engine.registry import QUERIES, load_all
+
+    load_all()
+    ogg = {r.doc_id: r for r in QUERIES["mm_ogg_probe"](spark, sf_dir).collect()}
+    assert ogg[0].sample_rate == 8000 and ogg[0].channels == 1
+    assert ogg[5].sample_rate == 22050 and ogg[5].channels == 2
+    assert ogg[7].title == "doc-7" and ogg[7].n_comments == 2
+    assert ogg[3].duration_ms == ((4 * 48000) // 2) * 1000 // 48000
+
+    mp3 = {r.doc_id: r for r in QUERIES["mm_mp3_probe"](spark, sf_dir).collect()}
+    assert mp3[0].bitrate_kbps == 128 and mp3[0].has_id3v2 and mp3[0].has_id3v1
+    assert mp3[4].bitrate_kbps == 192 and mp3[4].sample_rate == 48000
+    assert mp3[4].n_frames == 7 and not mp3[4].has_id3v1
+
+
+def test_prefix_filter_join_tolerates_empty_shingle_docs(spark):
+    """ADVICE r6: docs with <3 words (empty 3-gram shingle set) must be
+    excluded on BOTH engine and oracle sides — the engine path is
+    pinned here by running the same candidate pipeline over a corpus
+    containing such a doc."""
+    import pandas as pd
+
+    from realestate_engine.dedup import prefix_filter_candidates, word_shingles
+    from pyspark.sql import functions as F
+
+    docs = spark.createDataFrame(
+        pd.DataFrame(
+            {
+                "doc_id": [1, 2, 3],
+                "text": ["one two", "alpha beta gamma delta", "alpha beta gamma delta"],
+            }
+        )
+    )
+    d = docs.select("doc_id", word_shingles(F.col("text"), 3).alias("toks")).filter(
+        F.size("toks") > 0
+    )
+    cand = prefix_filter_candidates(d).collect()
+    assert {(r.id_a, r.id_b) for r in cand} == {(2, 3)}  # the short doc never pairs
+
+
+def test_hot_bucket_guard_integer_pair_slots(spark):
+    """ADVICE r6: dropped_pair_slots must be exact integer DIV, not a
+    float /2 — occ=5 gives exactly 10."""
+    import pandas as pd
+    from pyspark.sql import functions as F
+
+    occ = spark.createDataFrame(pd.DataFrame({"occ": [5, 3, 1]}))
+    got = occ.agg(
+        F.sum(F.expr("(CAST(occ AS BIGINT) * (occ - 1)) DIV 2")).cast("bigint").alias("p")
+    ).first()
+    assert got.p == 10 + 3 + 0
+    assert occ.agg(F.sum(F.expr("(CAST(occ AS BIGINT) * (occ - 1)) DIV 2")).cast("bigint")).schema[
+        0
+    ].dataType.typeName() == "long"
