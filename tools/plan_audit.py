@@ -83,6 +83,9 @@ ALLOWED_CROSS = {
     "dq5_benford_audit",  # broadcast 1-row total count
     "m28_confusion_matrix",  # broadcast 1-row median-threshold aggregate
     "m29_lift_gains_table",  # 1-row cuts/totals broadcasts + 10-row ledger self-join
+    "dq19_t_closeness",  # broadcast 5-row segment-totals + 1-row total frames onto the class grid
+    "sim_ivf_pq",  # broadcast 8-row cell grid + 1-row query + <=2-row probe-cell frames
+    "t25_kneser_ney_bigram",  # broadcast 1-row bigram-type count onto the counted type frame
     "ts_cusum_changepoints",  # broadcast 1-row series total/count
     "p18_rare_category_collapse",  # broadcast 1-row category total
     "corpus_token_budget",  # broadcast 1-row token-budget aggregate
