@@ -1180,3 +1180,144 @@ def f25_geohash_buckets(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("geohash4")
     )
+
+
+# --- F27: IPv4 parse + longest-prefix-match CIDR classification -------------
+#
+# The log-pipeline staple: parse dotted-quad strings to u32 integers
+# and classify each against a CIDR table by LONGEST matching prefix
+# (the routing-table rule, not first-match). Prefix membership is
+# pure integer arithmetic — ip DIV 2^(32-len) == net DIV 2^(32-len) —
+# with the per-block divisor precomputed in host Python and inlined
+# as a literal on BOTH engines, so no shift/pow2 divergence exists.
+
+_CIDR_BLOCKS = [
+    # (name, cidr, network u32, mask length)
+    ("corp-a", "10.0.0.0/9", 10 << 24, 9),
+    ("corp-b", "10.128.0.0/9", (10 << 24) | (128 << 16), 9),
+    ("svc-42", "10.0.42.0/24", (10 << 24) | (42 << 8), 24),
+]
+
+
+def _cidr_values_sql() -> str:
+    rows = ", ".join(
+        f"('{n}', '{c}', {net // (1 << (32 - ln))}, {1 << (32 - ln)}, {ln})"
+        for n, c, net, ln in _CIDR_BLOCKS
+    )
+    return f"(VALUES {rows}) AS b(block_name, cidr, net_prefix, divisor, masklen)"
+
+
+@register(
+    "f27_ipv4_cidr",
+    f"""
+    WITH ips AS (
+        SELECT '10.' || ((o_orderkey // 65536) % 256) || '.'
+                     || ((o_orderkey // 256) % 256) || '.'
+                     || (o_orderkey % 256) AS ip_str
+        FROM orders
+    ),
+    parsed AS (
+        SELECT ip_str,
+               CAST(STRING_SPLIT(ip_str, '.')[1] AS BIGINT) * 16777216
+             + CAST(STRING_SPLIT(ip_str, '.')[2] AS BIGINT) * 65536
+             + CAST(STRING_SPLIT(ip_str, '.')[3] AS BIGINT) * 256
+             + CAST(STRING_SPLIT(ip_str, '.')[4] AS BIGINT) AS ip
+        FROM ips
+    ),
+    matched AS (
+        SELECT p.ip, b.block_name, b.cidr, b.masklen,
+               ROW_NUMBER() OVER (PARTITION BY p.ip, p.ip_str
+                                  ORDER BY b.masklen DESC, b.block_name) AS rn
+        FROM parsed p JOIN {_cidr_values_sql()}
+          ON p.ip // b.divisor = b.net_prefix
+    )
+    SELECT block_name, cidr,
+           CAST(COUNT(*) AS BIGINT) AS n_ips,
+           CAST(MIN(ip) AS BIGINT) AS min_ip,
+           CAST(MAX(ip) AS BIGINT) AS max_ip
+    FROM matched WHERE rn = 1
+    GROUP BY block_name, cidr
+    ORDER BY block_name
+    """,
+)
+def f27_ipv4_cidr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F27: IPv4 dotted-quad parsing and longest-prefix-match CIDR
+    classification — synthesized client IPs (one per order, planted
+    into 10.0.0.0/8 from the order key so the parse is a verifiable
+    round trip) are split/cast back to u32 and routed against a CIDR
+    table by the routing rule: the MOST SPECIFIC matching prefix
+    wins (the /24 carve-out beats its covering /9). Membership is
+    a fan-out-by-masklen EQUI-join: each ip is exploded once per
+    distinct prefix length in the table (a compile-time constant,
+    <=33 for IPv4), that length's prefix computed by shiftright, and
+    the pair (masklen, prefix) broadcast-HASH-joined against
+    (masklen, net_prefix); the winner is a row_number over the <=3
+    matches per ip, PARTITIONED by ip. Plan: string split +
+    arithmetic in one codegen'd projection, BroadcastHashJoin (no
+    nested loop), per-ip dedup, one hash-agg — at 100 TB a linear
+    scan with constant fan-out and broadcast join state, the shape
+    of every enrich-by-routing-table pass in a log pipeline, and it
+    stays a hash join even when the block table grows to 1e6 rows."""
+    o = t(spark, sf_dir, "orders").select("o_orderkey")
+    ips = o.select(
+        F.concat(
+            F.lit("10."),
+            (F.expr("o_orderkey div 65536") % 256).cast("string"),
+            F.lit("."),
+            (F.expr("o_orderkey div 256") % 256).cast("string"),
+            F.lit("."),
+            (F.col("o_orderkey") % 256).cast("string"),
+        ).alias("ip_str")
+    )
+    oct_ = F.split(F.col("ip_str"), r"\.")
+    parsed = ips.select(
+        "ip_str",
+        (
+            oct_.getItem(0).cast("bigint") * 16777216
+            + oct_.getItem(1).cast("bigint") * 65536
+            + oct_.getItem(2).cast("bigint") * 256
+            + oct_.getItem(3).cast("bigint")
+        ).alias("ip"),
+    )
+    # Block table built from spark.range (Range scan, not a driver-side
+    # ExistingRDD) — element_at over array literals, 1-indexed.
+    idx = (F.col("id") + 1).cast("int")
+    blocks = spark.range(len(_CIDR_BLOCKS)).select(
+        F.element_at(F.array(*[F.lit(n) for n, _, _, _ in _CIDR_BLOCKS]), idx).alias("block_name"),
+        F.element_at(F.array(*[F.lit(c) for _, c, _, _ in _CIDR_BLOCKS]), idx).alias("cidr"),
+        F.element_at(
+            F.array(*[F.lit(net // (1 << (32 - ln))) for _, _, net, ln in _CIDR_BLOCKS]), idx
+        ).alias("net_prefix"),
+        F.element_at(F.array(*[F.lit(ln) for _, _, _, ln in _CIDR_BLOCKS]), idx).alias("masklen"),
+    )
+    # Longest-prefix match as an EQUI-join: fan each ip out by the
+    # distinct masklens in the table (x|masklens|, a compile-time
+    # constant), compute that length's prefix, and broadcast-HASH-join
+    # on (masklen, prefix). No nested loop anywhere — the shape that
+    # holds when the routing table is 1e6 blocks, because the join key
+    # is exact equality, fan-out <= 33, and the dim side broadcasts.
+    masklens = sorted({ln for _, _, _, ln in _CIDR_BLOCKS})
+    prefix = F.lit(None).cast("bigint")
+    for ln in masklens:
+        prefix = F.when(
+            F.col("masklen") == ln, F.shiftright(F.col("ip"), 32 - ln)
+        ).otherwise(prefix)
+    fan = parsed.withColumn(
+        "masklen", F.explode(F.array(*[F.lit(ln) for ln in masklens]))
+    ).withColumn("prefix", prefix)
+    matched = fan.join(
+        F.broadcast(blocks),
+        (fan["masklen"] == blocks["masklen"]) & (F.col("prefix") == F.col("net_prefix")),
+        "inner",
+    ).drop(blocks["masklen"])
+    w_ip = Window.partitionBy("ip", "ip_str").orderBy(F.desc("masklen"), "block_name")
+    best = matched.withColumn("rn", F.row_number().over(w_ip)).filter(F.col("rn") == 1)
+    return (
+        best.groupBy("block_name", "cidr")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_ips"),
+            F.min("ip").cast("bigint").alias("min_ip"),
+            F.max("ip").cast("bigint").alias("max_ip"),
+        )
+        .orderBy("block_name")
+    )

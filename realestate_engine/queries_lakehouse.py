@@ -672,3 +672,69 @@ def x29_rendezvous_sharding(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("shard")
     )
+
+
+# --- X31: transaction-log snapshot replay (Delta-protocol semantics) --------
+
+_DL_SNAPSHOT_V = 7  # time-travel target version
+
+
+@register(
+    "x31_delta_log_replay",
+    f"""
+    WITH files AS (
+        SELECT doc_id AS file_id,
+               doc_id // 4 AS add_version,
+               CASE WHEN doc_id % 3 = 0 AND doc_id // 4 + 3 <= 9
+                    THEN doc_id // 4 + 3 END AS remove_version,
+               CAST(100 + doc_id * 7 AS BIGINT) AS rows_count,
+               CAST(1000 + doc_id * 13 AS BIGINT) AS bytes
+        FROM documents WHERE doc_id < 40
+    )
+    SELECT CAST(file_id AS BIGINT) AS file_id,
+           CAST(add_version AS BIGINT) AS add_version,
+           CAST(remove_version AS BIGINT) AS remove_version,
+           add_version <= {_DL_SNAPSHOT_V}
+             AND (remove_version IS NULL OR remove_version > {_DL_SNAPSHOT_V}) AS live_at_v,
+           rows_count, bytes
+    FROM files
+    ORDER BY file_id
+    """,
+)
+def x31_delta_log_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X31: lakehouse transaction-log replay — the Delta/Iceberg
+    time-travel primitive: a snapshot AS OF version V is the set of
+    ADD actions at versions <= V minus the REMOVE actions at versions
+    <= V (add/remove reconciliation, Delta protocol §Action
+    Reconciliation). The log here is generated deterministically from
+    doc ids (4 files per commit, every third file compacted away 3
+    commits later) and replayed RELATIONALLY: the live-set predicate
+    is one codegen'd boolean per file — no driver loop over versions,
+    no log scan per query. At 100 TB the log is Kb-per-commit
+    metadata while the data is Tb: snapshot resolution must stay a
+    metadata-only relational pass exactly like this, and the same
+    add/remove algebra drives VACUUM eligibility (remove_version
+    rows are the tombstones). Oracle recomputes the reconciliation
+    from the same generation parameters."""
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 40)
+    files = d.select(
+        F.col("doc_id").alias("file_id"),
+        F.expr("doc_id div 4").alias("add_version"),
+        F.when(
+            (F.col("doc_id") % 3 == 0) & (F.expr("doc_id div 4") + 3 <= 9),
+            F.expr("doc_id div 4") + 3,
+        ).alias("remove_version"),
+        (F.lit(100) + F.col("doc_id") * 7).cast("bigint").alias("rows_count"),
+        (F.lit(1000) + F.col("doc_id") * 13).cast("bigint").alias("bytes"),
+    )
+    live = (F.col("add_version") <= _DL_SNAPSHOT_V) & (
+        F.col("remove_version").isNull() | (F.col("remove_version") > _DL_SNAPSHOT_V)
+    )
+    return files.select(
+        F.col("file_id").cast("bigint").alias("file_id"),
+        F.col("add_version").cast("bigint").alias("add_version"),
+        F.col("remove_version").cast("bigint").alias("remove_version"),
+        live.alias("live_at_v"),
+        "rows_count",
+        "bytes",
+    ).orderBy("file_id")

@@ -645,3 +645,106 @@ def m36_poisson_bootstrap_ci(spark: SparkSession, sf_dir: str) -> DataFrame:
             "n_replicates",
         )
     )
+
+
+# --- M37: exact SHAP explanations for the closed-form linear model ----------
+#
+# For a linear model f(x) = b0 + Σ b_i x_i with independent-feature
+# value function, the Shapley value has the CLOSED FORM
+# phi_i(x) = b_i (x_i - mean(x_i)) — no 2^p coalition enumeration
+# (Lundberg & Lee 2017, Corollary 1). Reusing m26's Cramer's-rule
+# betas (identical formula TEXT over identical BIGINT moments on both
+# engines) keeps every double op bit-reproducible; the only new float
+# work is one multiply per feature. The efficiency axiom
+# base + Σ phi_i = prediction is emitted as data.
+
+from realestate_engine.queries_ml import _OLS_D1, _OLS_D2, _OLS_DETS, _OLS_MOMENTS_SQL
+
+
+@register(
+    "m37_linear_shap",
+    f"""
+    WITH m AS ({_OLS_MOMENTS_SQL}),
+    rows_ AS (
+        SELECT l_orderkey, l_linenumber,
+               CAST(l_quantity AS BIGINT) AS x1,
+               CAST(ROUND(l_discount * 1000) AS BIGINT) AS x2,
+               CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS y
+        FROM lineitem
+        ORDER BY l_orderkey, l_linenumber, l_suppkey, l_partkey
+        LIMIT 10
+    )
+    SELECT r.l_orderkey, r.l_linenumber, r.x1, r.x2, r.y,
+           ROUND((({_OLS_D1}) / ({_OLS_DETS}))
+                 * (CAST(r.x1 AS DOUBLE) - CAST(s1 AS DOUBLE) / n), 4) AS phi_qty_cents,
+           ROUND((({_OLS_D2}) / ({_OLS_DETS}))
+                 * (CAST(r.x2 AS DOUBLE) - CAST(s2 AS DOUBLE) / n), 4) AS phi_disc_cents,
+           ROUND(CAST(sy AS DOUBLE) / n, 4) AS base_cents,
+           ROUND(CAST(sy AS DOUBLE) / n
+                 + (({_OLS_D1}) / ({_OLS_DETS}))
+                   * (CAST(r.x1 AS DOUBLE) - CAST(s1 AS DOUBLE) / n)
+                 + (({_OLS_D2}) / ({_OLS_DETS}))
+                   * (CAST(r.x2 AS DOUBLE) - CAST(s2 AS DOUBLE) / n), 4) AS prediction_cents
+    FROM rows_ r CROSS JOIN m
+    ORDER BY r.l_orderkey, r.l_linenumber
+    """,
+)
+def m37_linear_shap(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M37: exact per-row SHAP attributions for the m26 OLS price model
+    — phi_i = beta_i·(x_i − mean(x_i)), the closed form Shapley takes
+    for linear models, so the explanation is EXACT, not a sampling
+    estimate. One moment pass (9 BIGINT scalars, broadcast) explains
+    any number of rows with pure codegen'd arithmetic — the 100 TB
+    posture for model explanation: no per-row kernel regressions, no
+    coalition enumeration, one cross join against a 1-row model frame.
+    base + Σ phi = prediction is emitted per row (the efficiency
+    axiom as visible data); both engines evaluate the IDENTICAL
+    formula text over identical integer moments so the 4-decimal
+    round is stable."""
+    li = t(spark, sf_dir, "lineitem")
+    feats = li.select(
+        "l_orderkey",
+        "l_linenumber",
+        "l_suppkey",
+        "l_partkey",
+        F.col("l_quantity").cast("bigint").alias("x1"),
+        F.round(F.col("l_discount") * 1000).cast("bigint").alias("x2"),
+        F.round(F.col("l_extendedprice") * 100).cast("bigint").alias("y"),
+    )
+    sample = (
+        feats.orderBy("l_orderkey", "l_linenumber", "l_suppkey", "l_partkey")
+        .limit(10)
+        .select("l_orderkey", "l_linenumber", "x1", "x2", "y")
+    )
+    m = feats.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x1").cast("bigint").alias("s1"),
+        F.sum("x2").cast("bigint").alias("s2"),
+        F.sum(F.col("x1") * F.col("x1")).cast("bigint").alias("s11"),
+        F.sum(F.col("x2") * F.col("x2")).cast("bigint").alias("s22"),
+        F.sum(F.col("x1") * F.col("x2")).cast("bigint").alias("s12"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x1") * F.col("y")).cast("bigint").alias("s1y"),
+        F.sum(F.col("x2") * F.col("y")).cast("bigint").alias("s2y"),
+    )
+    return (
+        sample.crossJoin(F.broadcast(m))
+        .selectExpr(
+            "l_orderkey",
+            "l_linenumber",
+            "x1",
+            "x2",
+            "y",
+            f"ROUND((({_OLS_D1}) / ({_OLS_DETS}))"
+            " * (CAST(x1 AS DOUBLE) - CAST(s1 AS DOUBLE) / n), 4) AS phi_qty_cents",
+            f"ROUND((({_OLS_D2}) / ({_OLS_DETS}))"
+            " * (CAST(x2 AS DOUBLE) - CAST(s2 AS DOUBLE) / n), 4) AS phi_disc_cents",
+            "ROUND(CAST(sy AS DOUBLE) / n, 4) AS base_cents",
+            f"ROUND(CAST(sy AS DOUBLE) / n"
+            f" + (({_OLS_D1}) / ({_OLS_DETS}))"
+            " * (CAST(x1 AS DOUBLE) - CAST(s1 AS DOUBLE) / n)"
+            f" + (({_OLS_D2}) / ({_OLS_DETS}))"
+            " * (CAST(x2 AS DOUBLE) - CAST(s2 AS DOUBLE) / n), 4) AS prediction_cents",
+        )
+        .orderBy("l_orderkey", "l_linenumber")
+    )

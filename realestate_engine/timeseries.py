@@ -390,3 +390,111 @@ def ts_holt_int(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "ts8_holt_winters_int",
+    """
+    WITH RECURSIVE seq AS (
+        SELECT user_id, event_id,
+               CAST(FLOOR(value * 1000) AS BIGINT) AS v,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    hw AS (
+        SELECT user_id, rn, v AS lvl, CAST(0 AS BIGINT) AS trend,
+               CAST(0 AS BIGINT) AS s0, CAST(0 AS BIGINT) AS s1,
+               CAST(0 AS BIGINT) AS s2, CAST(0 AS BIGINT) AS s3
+        FROM seq WHERE rn = 1
+        UNION ALL
+        SELECT s.user_id, s.rn,
+               CAST(FLOOR((s.v
+                    - CASE (s.rn - 1) % 4 WHEN 0 THEN h.s0 WHEN 1 THEN h.s1
+                                          WHEN 2 THEN h.s2 ELSE h.s3 END
+                    + h.lvl + h.trend) / 2.0) AS BIGINT) AS lvl,
+               CAST(FLOOR((h.trend
+                    + CAST(FLOOR((s.v
+                        - CASE (s.rn - 1) % 4 WHEN 0 THEN h.s0 WHEN 1 THEN h.s1
+                                              WHEN 2 THEN h.s2 ELSE h.s3 END
+                        + h.lvl + h.trend) / 2.0) AS BIGINT)
+                    - h.lvl) / 2.0) AS BIGINT) AS trend,
+               CASE WHEN (s.rn - 1) % 4 = 0 THEN CAST(FLOOR((s.v
+                        - CAST(FLOOR((s.v - h.s0 + h.lvl + h.trend) / 2.0) AS BIGINT)
+                        + h.s0) / 2.0) AS BIGINT) ELSE h.s0 END AS s0,
+               CASE WHEN (s.rn - 1) % 4 = 1 THEN CAST(FLOOR((s.v
+                        - CAST(FLOOR((s.v - h.s1 + h.lvl + h.trend) / 2.0) AS BIGINT)
+                        + h.s1) / 2.0) AS BIGINT) ELSE h.s1 END AS s1,
+               CASE WHEN (s.rn - 1) % 4 = 2 THEN CAST(FLOOR((s.v
+                        - CAST(FLOOR((s.v - h.s2 + h.lvl + h.trend) / 2.0) AS BIGINT)
+                        + h.s2) / 2.0) AS BIGINT) ELSE h.s2 END AS s2,
+               CASE WHEN (s.rn - 1) % 4 = 3 THEN CAST(FLOOR((s.v
+                        - CAST(FLOOR((s.v - h.s3 + h.lvl + h.trend) / 2.0) AS BIGINT)
+                        + h.s3) / 2.0) AS BIGINT) ELSE h.s3 END AS s3
+        FROM hw h JOIN seq s ON s.user_id = h.user_id AND s.rn = h.rn + 1
+    )
+    SELECT user_id,
+           CAST(MAX(rn) AS BIGINT) AS n_events,
+           CAST(ARG_MAX(lvl, rn) AS BIGINT) AS level_milli,
+           CAST(ARG_MAX(trend, rn) AS BIGINT) AS trend_milli,
+           CAST(ARG_MAX(lvl, rn) + ARG_MAX(trend, rn)
+                + CASE MAX(rn) % 4 WHEN 0 THEN ARG_MAX(s0, rn) WHEN 1 THEN ARG_MAX(s1, rn)
+                                   WHEN 2 THEN ARG_MAX(s2, rn) ELSE ARG_MAX(s3, rn) END
+                AS BIGINT) AS forecast_milli
+    FROM hw GROUP BY user_id ORDER BY user_id
+    """,
+)
+def ts8_holt_winters_int(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS8: additive Holt-Winters per user (alpha = beta = gamma = 1/2,
+    season length 4) — ts_holt_int plus a SEASONAL component, the full
+    classical triple: level_t = (v − s_i + level + trend)/2,
+    trend_t = (trend + level_t − level)/2, s_i' = (v − level_t + s_i)/2
+    with i = (t−1) mod 4, cold-started at s = 0 so the seasonal
+    profile is LEARNED from the data (deterministic, no init heuristic
+    to mirror). Forecast = level + trend + s_{next}. Execution shape
+    as its siblings: per-user applyInPandas loop (order-dependent
+    recurrence; parallelism = users, per-group history bounded), and
+    the oracle replays the identical recurrence as a recursive CTE
+    threading all four seasonal states as rotating columns. All state
+    milli-scaled BIGINT; every halving is FLOOR(x/2.0) (the ts_holt
+    negative-odd sign rule — seasonals and trend go negative)."""
+    import math
+
+    import pandas as pd
+
+    ev = t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
+
+    def hw(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        lvl = trend = None
+        season = [0, 0, 0, 0]
+        rn = 0
+        for x in pdf["value"].to_numpy():
+            v = int(math.floor(x * 1000))
+            rn += 1
+            if lvl is None:
+                lvl, trend = v, 0
+                continue
+            i = (rn - 1) % 4
+            new_lvl = (v - season[i] + lvl + trend) // 2
+            trend = (trend + new_lvl - lvl) // 2
+            season[i] = (v - new_lvl + season[i]) // 2
+            lvl = new_lvl
+        nxt = season[rn % 4]
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_events": [rn],
+                "level_milli": [lvl],
+                "trend_milli": [trend],
+                "forecast_milli": [lvl + trend + nxt],
+            }
+        )
+
+    return (
+        ev.groupBy("user_id")
+        .applyInPandas(
+            hw,
+            "user_id long, n_events long, level_milli long, trend_milli long, forecast_milli long",
+        )
+        .orderBy("user_id")
+    )

@@ -120,6 +120,7 @@ ALLOWED_CROSS = {
     "dedup_pipeline_summary",  # cross join of four 1-row stage-stat aggregates
     "dedup_lsh_recall_report",  # cross join of three 1-row recall-ledger aggregates
     "corpus_temperature_mixture",  # remainder-rank self-join over the |sources|-row budgets frame
+    "m37_linear_shap",  # broadcast 1-row OLS-moments frame (the fitted model) onto the explained rows
 }
 # Local tables that are NOT data detours: explicit local-row sources,
 # fitted-model state (O(k) best params / importances), and
