@@ -832,3 +832,94 @@ def graph_clustering_coefficient(spark: SparkSession, sf_dir: str) -> DataFrame:
             ),
         )
     )
+
+
+# --- Multi-source BFS hop distance (frontier-free min-propagation) ----------
+
+_BFS_ROUNDS = 3
+
+
+def _bfs_round_sql(prev: str, out: str) -> str:
+    """One unrolled min-hop round: dist' = MIN(dist, 1 + min over
+    in-neighbors). UNION ALL then MIN-group — no frontier set needed,
+    monotone convergence."""
+    return f"""
+    {out} AS MATERIALIZED (
+        SELECT node, MIN(dist) AS dist FROM (
+            SELECT node, dist FROM {prev}
+            UNION ALL
+            SELECT e.dst AS node, d.dist + 1 AS dist
+            FROM edges e JOIN {prev} d ON d.node = e.src
+        ) GROUP BY node
+    )"""
+
+
+_BFS_ORACLE = f"""
+    WITH pairs AS (
+        SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    edges AS MATERIALIZED (
+        SELECT c AS src, s AS dst FROM pairs
+        UNION ALL
+        SELECT s AS src, c AS dst FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    d0 AS (
+        SELECT node, CAST(0 AS BIGINT) AS dist FROM nodes
+        WHERE node % 2 = 1 AND node // 2 <= 3
+    ),
+    {",".join(_bfs_round_sql(f"d{i}", f"d{i + 1}") for i in range(_BFS_ROUNDS))}
+    SELECT CAST(hop AS BIGINT) AS hop, CAST(COUNT(*) AS BIGINT) AS n_nodes,
+           CAST(MIN(node) AS BIGINT) AS min_node, CAST(MAX(node) AS BIGINT) AS max_node
+    FROM (
+        SELECT n.node, COALESCE(d.dist, -1) AS hop
+        FROM nodes n LEFT JOIN d{_BFS_ROUNDS} d ON d.node = n.node
+    )
+    GROUP BY hop ORDER BY hop
+"""
+
+
+@register("graph_bfs_hops", _BFS_ORACLE)
+def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Multi-source BFS hop distance over the trade graph: seeds are
+    suppliers 1-3 (packed ids 2k+1), and {n} rounds of min-hop
+    propagation label every node with its distance (hop <= {n}) or -1
+    (beyond the horizon). Each round is UNION ALL(current labels,
+    neighbor labels + 1) -> MIN per node — the frontier-free monotone
+    form: no visited-set state, re-relaxations are idempotent, so the
+    rounds are plain shuffles on the 8-byte node key and the oracle
+    unrolls them as chained MATERIALIZED CTEs. Scale: identical
+    posture to pagerank_fixed_point (cached src-partitioned edges
+    reused every round, node-keyed hash aggs); at 100 TB the same
+    plan runs with AQE-sized exchanges — BFS via joins is exactly how
+    GraphX/Pregel lowers it. Output is the hop histogram with
+    min/max node ids as a content fingerprint.""".format(n=_BFS_ROUNDS)
+    edges = cache_once(trade_edges(spark, sf_dir).repartition("src"))
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    dist = nodes.where((F.col("node") % 2 == 1) & (F.expr("node div 2") <= 3)).select(
+        "node", F.lit(0).cast("bigint").alias("dist")
+    )
+    for _ in range(_BFS_ROUNDS):
+        relaxed = (
+            edges.join(dist, edges.src == dist.node)
+            .select(F.col("dst").alias("node"), (F.col("dist") + 1).alias("dist"))
+        )
+        dist = (
+            dist.unionByName(relaxed)
+            .groupBy("node")
+            .agg(F.min("dist").alias("dist"))
+        )
+    labeled = nodes.join(dist, "node", "left").select(
+        "node", F.coalesce(F.col("dist"), F.lit(-1)).alias("hop")
+    )
+    return (
+        labeled.groupBy("hop")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_nodes"),
+            F.min("node").cast("bigint").alias("min_node"),
+            F.max("node").cast("bigint").alias("max_node"),
+        )
+        .select(F.col("hop").cast("bigint").alias("hop"), "n_nodes", "min_node", "max_node")
+        .orderBy("hop")
+    )

@@ -1231,3 +1231,133 @@ def ev18_shapley_attribution(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.expr("CAST(SUM(term) DIV 6 AS BIGINT)").alias("shapley_micro"))
         .orderBy("channel")
     )
+
+
+# --- ER2: sorted-neighborhood blocking (Hernandez-Stolfo SNM) ----------------
+
+
+@register(
+    "er2_sorted_neighborhood",
+    """
+    WITH dirty AS (
+        SELECT c_custkey AS ck,
+               CASE WHEN c_custkey % 7 = 0 THEN 'Cstmr' || SUBSTRING(c_name, 9)
+                    WHEN c_custkey % 3 = 0 THEN c_name || 'x'
+                    ELSE c_name END AS name
+        FROM customer
+    ),
+    recs AS (
+        SELECT 0 AS src, c_custkey AS ck, c_name AS name FROM customer
+        UNION ALL
+        SELECT 1 AS src, ck, name FROM dirty
+    ),
+    ranked AS (
+        SELECT src, ck, name,
+               ROW_NUMBER() OVER (ORDER BY name, src, ck) AS pos
+        FROM recs
+    ),
+    deltas AS (SELECT UNNEST([1, 2, 3]) AS delta),
+    per AS (
+        SELECT dl.delta,
+               COUNT(*) AS n_pairs,
+               SUM(CASE WHEN a.ck = b.ck AND a.src <> b.src THEN 1 ELSE 0 END)
+                 AS n_matches
+        FROM ranked a
+        JOIN deltas dl ON TRUE
+        JOIN ranked b ON b.pos = a.pos + dl.delta
+        GROUP BY dl.delta
+    ),
+    tot AS (SELECT COUNT(*) AS n_true FROM customer)
+    SELECT CAST(p.delta AS BIGINT) AS window_delta,
+           CAST(p.n_pairs AS BIGINT) AS n_pairs,
+           CAST(p.n_matches AS BIGINT) AS n_matches,
+           CAST(SUM(q.n_matches) AS BIGINT) AS cum_matches,
+           CAST(SUM(q.n_matches) * 1000000 // ANY_VALUE(tot.n_true) AS BIGINT)
+             AS recall_micro
+    FROM per p JOIN per q ON q.delta <= p.delta CROSS JOIN tot
+    GROUP BY p.delta, p.n_pairs, p.n_matches
+    ORDER BY p.delta
+    """,
+)
+def er2_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ER2: sorted-neighborhood-method blocking (Hernandez & Stolfo) —
+    the OTHER classic candidate generator next to er_fellegi_sunter's
+    attribute blocking: sort the unioned clean+dirty records by the
+    name key and compare only records <= w positions apart. Reports,
+    per window offset 1..3, the candidate volume, true matches caught
+    (same custkey, opposite source), cumulative matches, and micro
+    recall vs the planted truth — the %7 'Cstmr' prefix corruption
+    sorts far away and is exactly the class SNM is known to miss,
+    so recall plateaus below 1 (the published SNM weakness, visible
+    as data). Scale: the GLOBAL sort position is assigned WITHOUT a
+    global window — records bucket by an order-consistent 12-char
+    name prefix, rank within buckets (partitioned window), and add
+    exclusive per-bucket offsets from the tiny counts ledger
+    (ordered.exclusive_prefix_offsets, the p14 idiom); neighbor
+    pairing is then an EQUI-join on pos+delta. Every stage is a hash
+    shuffle or broadcast of a KB ledger — no funnel, no all-pairs."""
+    from realestate_engine.ordered import exclusive_prefix_offsets
+
+    c = t(spark, sf_dir, "customer").select("c_custkey", "c_name")
+    dirty = c.select(
+        F.col("c_custkey").alias("ck"),
+        F.when(
+            F.col("c_custkey") % 7 == 0,
+            F.concat(F.lit("Cstmr"), F.expr("substring(c_name, 9)")),
+        )
+        .when(F.col("c_custkey") % 3 == 0, F.concat(F.col("c_name"), F.lit("x")))
+        .otherwise(F.col("c_name"))
+        .alias("name"),
+    )
+    recs = (
+        c.select(F.lit(0).alias("src"), F.col("c_custkey").alias("ck"), F.col("c_name").alias("name"))
+        .unionByName(dirty.select(F.lit(1).alias("src"), "ck", "name"))
+        .withColumn("bucket", F.substring("name", 1, 12))
+    )
+    counts = recs.groupBy("bucket").agg(F.count(F.lit(1)).alias("tot"))
+    offs = exclusive_prefix_offsets(counts, "bucket", "tot")
+    w_b = Window.partitionBy("bucket").orderBy("name", "src", "ck")
+    ranked = cache_once(
+        recs.withColumn("rn", F.row_number().over(w_b))
+        .join(F.broadcast(offs), "bucket")
+        .select("src", "ck", "name", (F.col("_off") + F.col("rn")).alias("pos"))
+    )
+    a = ranked.alias("a").withColumn("delta", F.explode(F.array(F.lit(1), F.lit(2), F.lit(3))))
+    b = ranked.alias("b")
+    per = (
+        a.join(b, F.col("b.pos") == F.col("a.pos") + F.col("delta"))
+        .groupBy("delta")
+        .agg(
+            F.count(F.lit(1)).alias("n_pairs"),
+            F.sum(
+                F.when(
+                    (F.col("a.ck") == F.col("b.ck")) & (F.col("a.src") != F.col("b.src")), 1
+                ).otherwise(0)
+            ).alias("n_matches"),
+        )
+    )
+    n_true = c.agg(F.count(F.lit(1)).alias("n_true"))
+    p, q = per.alias("p"), per.alias("q")
+    return (
+        p.join(F.broadcast(q), F.col("q.delta") <= F.col("p.delta"))
+        .crossJoin(F.broadcast(n_true))
+        .groupBy(
+            F.col("p.delta").alias("window_delta"),
+            F.col("p.n_pairs").alias("n_pairs"),
+            F.col("p.n_matches").alias("n_matches"),
+        )
+        .agg(
+            F.sum("q.n_matches").cast("bigint").alias("cum_matches"),
+            F.expr("CAST(sum(q.n_matches) * 1000000 DIV any_value(n_true) AS BIGINT)").alias(
+                "recall_micro"
+            ),
+        )
+        .select(
+            F.col("window_delta").cast("bigint").alias("window_delta"),
+            F.col("n_pairs").cast("bigint").alias("n_pairs"),
+            F.col("n_matches").cast("bigint").alias("n_matches"),
+            "cum_matches",
+            "recall_micro",
+        )
+        .orderBy("window_delta")
+    )

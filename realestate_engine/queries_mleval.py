@@ -748,3 +748,118 @@ def m37_linear_shap(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("l_orderkey", "l_linenumber")
     )
+
+
+# --- M38: Viterbi decoding (max-plus HMM DP) over user event streams --------
+#
+# A 2-state HMM (casual browser vs active buyer) decoded over each
+# user's time-ordered event stream. All scores are integer centi-log
+# weights (larger = better), so the max-plus recurrence
+#   s_j(t) = emit_j(obs_t) + MAX_i(s_i(t-1) + trans_ij)
+# is exact integer arithmetic on both engines. The max-plus matrix
+# product is ASSOCIATIVE, so at 100 TB the per-user chain can be
+# segment-parallelized (per-split 2x2 max-plus matrices combined in a
+# tree) — here each user's history is bounded, so the applyInPandas
+# per-user loop (parallelism = users) is the right local shape, the
+# same contract as ts_holt_int / ts8_holt_winters_int.
+
+_VIT_START = (-10, -100)          # start scores (state0 casual, state1 buyer)
+_VIT_TRANS = (-5, -80, -70, -10)  # t00, t01, t10, t11
+_VIT_EMIT0 = (-10, -150, -60)     # casual:  browse, convert, error
+_VIT_EMIT1 = (-40, -30, -90)      # buyer:   browse, convert, error
+
+_VIT_OBS_SQL = (
+    "CASE WHEN event_type IN ('click', 'view') THEN 0 "
+    "WHEN event_type IN ('purchase', 'signup') THEN 1 ELSE 2 END"
+)
+
+
+def _vit_emit_sql(col: str, emit: tuple[int, int, int]) -> str:
+    return f"CASE {col} WHEN 0 THEN {emit[0]} WHEN 1 THEN {emit[1]} ELSE {emit[2]} END"
+
+
+@register(
+    "m38_viterbi_decode",
+    f"""
+    WITH RECURSIVE seq AS (
+        SELECT user_id,
+               {_VIT_OBS_SQL} AS obs,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn
+        FROM events
+    ),
+    vit AS (
+        SELECT user_id, rn,
+               CAST({_VIT_START[0]} + {_vit_emit_sql("obs", _VIT_EMIT0)} AS BIGINT) AS s0,
+               CAST({_VIT_START[1]} + {_vit_emit_sql("obs", _VIT_EMIT1)} AS BIGINT) AS s1
+        FROM seq WHERE rn = 1
+        UNION ALL
+        SELECT s.user_id, s.rn,
+               {_vit_emit_sql("s.obs", _VIT_EMIT0)}
+                 + GREATEST(v.s0 + {_VIT_TRANS[0]}, v.s1 + {_VIT_TRANS[2]}) AS s0,
+               {_vit_emit_sql("s.obs", _VIT_EMIT1)}
+                 + GREATEST(v.s0 + {_VIT_TRANS[1]}, v.s1 + {_VIT_TRANS[3]}) AS s1
+        FROM vit v JOIN seq s ON s.user_id = v.user_id AND s.rn = v.rn + 1
+    )
+    SELECT user_id,
+           CAST(MAX(rn) AS BIGINT) AS n_events,
+           CAST(ARG_MAX(s0, rn) AS BIGINT) AS score_casual,
+           CAST(ARG_MAX(s1, rn) AS BIGINT) AS score_buyer,
+           CAST(CASE WHEN ARG_MAX(s0, rn) >= ARG_MAX(s1, rn) THEN 0 ELSE 1 END
+                AS BIGINT) AS best_state,
+           CAST(GREATEST(ARG_MAX(s0, rn), ARG_MAX(s1, rn)) AS BIGINT) AS best_score
+    FROM vit GROUP BY user_id ORDER BY user_id
+    """,
+)
+def m38_viterbi_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M38: Viterbi (max-plus) decoding of a 2-state HMM over each
+    user's time-ordered events — the sequence-labeling primitive under
+    sessionized behavior models. Observations collapse event_type to
+    {{browse, convert, error}}; emission/transition weights are integer
+    centi-log scores, so every DP step is exact BIGINT addition + MAX
+    and the DuckDB oracle replays the identical recurrence as a
+    recursive CTE threading both state scores. Ends-state scores,
+    the argmax state (tie -> casual), and the best score are emitted
+    per user. Scale: the per-user loop is applyInPandas (bounded
+    history, parallelism = users); because max-plus products are
+    associative, a 100 TB deployment re-expresses the same recurrence
+    as a segment-tree of 2x2 max-plus matrix products — the algebra
+    is chosen so that rewrite changes no output bit."""
+    import pandas as pd
+
+    ev = t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "event_type")
+    e0, e1 = _VIT_EMIT0, _VIT_EMIT1
+    t00, t01, t10, t11 = _VIT_TRANS
+
+    def viterbi(pdf: pd.DataFrame) -> pd.DataFrame:
+        pdf = pdf.sort_values(["ts", "event_id"])
+        obs = [
+            0 if et in ("click", "view") else 1 if et in ("purchase", "signup") else 2
+            for et in pdf["event_type"]
+        ]
+        s0 = _VIT_START[0] + e0[obs[0]]
+        s1 = _VIT_START[1] + e1[obs[0]]
+        for o in obs[1:]:
+            s0, s1 = (
+                e0[o] + max(s0 + t00, s1 + t10),
+                e1[o] + max(s0 + t01, s1 + t11),
+            )
+        return pd.DataFrame(
+            {
+                "user_id": [int(pdf["user_id"].iloc[0])],
+                "n_events": [len(obs)],
+                "score_casual": [s0],
+                "score_buyer": [s1],
+                "best_state": [0 if s0 >= s1 else 1],
+                "best_score": [max(s0, s1)],
+            }
+        )
+
+    return (
+        ev.groupBy("user_id")
+        .applyInPandas(
+            viterbi,
+            "user_id long, n_events long, score_casual long, score_buyer long, "
+            "best_state long, best_score long",
+        )
+        .orderBy("user_id")
+    )

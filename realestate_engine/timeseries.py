@@ -498,3 +498,98 @@ def ts8_holt_winters_int(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+@register(
+    "ts9_seasonal_decompose",
+    """
+    WITH daily AS (
+        SELECT DATE_DIFF('day', DATE '2024-01-01', ts::DATE) AS day_idx,
+               SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS v_milli
+        FROM events GROUP BY 1
+    ),
+    trend AS (
+        SELECT a.day_idx, a.v_milli,
+               CASE WHEN COUNT(b.day_idx) = 7
+                    THEN SUM(b.v_milli) // 7 END AS trend_milli
+        FROM daily a JOIN daily b
+          ON b.day_idx BETWEEN a.day_idx - 3 AND a.day_idx + 3
+        GROUP BY a.day_idx, a.v_milli
+    ),
+    detr AS (
+        SELECT day_idx, day_idx % 7 AS dow, v_milli - trend_milli AS d_milli
+        FROM trend WHERE trend_milli IS NOT NULL
+    ),
+    seasonal AS (
+        SELECT dow, CAST(COUNT(*) AS BIGINT) AS n_days,
+               SUM(d_milli) // COUNT(*) AS seasonal_milli
+        FROM detr GROUP BY dow
+    )
+    SELECT CAST(s.dow AS BIGINT) AS dow, s.n_days,
+           CAST(s.seasonal_milli AS BIGINT) AS seasonal_milli,
+           CAST(SUM(ABS(d.d_milli - s.seasonal_milli)) // s.n_days AS BIGINT)
+             AS mad_remainder_milli
+    FROM seasonal s JOIN detr d ON d.dow = s.dow
+    GROUP BY s.dow, s.n_days, s.seasonal_milli
+    ORDER BY s.dow
+    """,
+)
+def ts9_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS9: classical additive seasonal decomposition of the daily
+    event-value series — centered 7-day moving-average trend (full
+    windows only), detrend, weekly seasonal index per day-of-week
+    (day_idx % 7, calendar-free), and the mean absolute remainder as
+    the decomposition-quality metric. Exactness: each event value is
+    FLOOR-milli'd BEFORE summation (BIGINT sums are order-free where
+    a double sum is not); the MA and both per-dow means are integer
+    divisions. Scale shape: the raw scan collapses to one row per day
+    FIRST (a hash agg — at 100 TB the daily frame is O(years) ~ 1e3
+    rows), then the +/-3-day band self-join runs on that tiny
+    broadcast frame — deliberately chosen over an unpartitioned
+    ordered window, which would funnel the series through one task
+    (DESIGN.md no-global-window invariant)."""
+    ev = t(spark, sf_dir, "events").select(
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("day_idx"),
+        F.floor(F.col("value") * 1000).cast("bigint").alias("v_milli"),
+    )
+    daily = ev.groupBy("day_idx").agg(F.sum("v_milli").alias("v_milli"))
+    a, b = daily.alias("a"), daily.alias("b")
+    trend = (
+        a.join(
+            F.broadcast(b),
+            (F.col("b.day_idx") >= F.col("a.day_idx") - 3)
+            & (F.col("b.day_idx") <= F.col("a.day_idx") + 3),
+        )
+        .groupBy(F.col("a.day_idx").alias("day_idx"), F.col("a.v_milli").alias("v_milli"))
+        .agg(
+            F.when(
+                F.count(F.col("b.day_idx")) == 7,
+                F.expr("sum(b.v_milli) div 7"),
+            ).alias("trend_milli")
+        )
+    )
+    detr = trend.where(F.col("trend_milli").isNotNull()).select(
+        "day_idx",
+        (F.col("day_idx") % 7).alias("dow"),
+        (F.col("v_milli") - F.col("trend_milli")).alias("d_milli"),
+    )
+    seasonal = detr.groupBy("dow").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.expr("sum(d_milli) div count(*)").alias("seasonal_milli"),
+    )
+    return (
+        detr.join(F.broadcast(seasonal), "dow")
+        .groupBy("dow", "n_days", F.col("seasonal_milli"))
+        .agg(
+            F.expr("sum(abs(d_milli - seasonal_milli)) div n_days")
+            .cast("bigint")
+            .alias("mad_remainder_milli")
+        )
+        .select(
+            F.col("dow").cast("bigint").alias("dow"),
+            "n_days",
+            F.col("seasonal_milli").cast("bigint").alias("seasonal_milli"),
+            "mad_remainder_milli",
+        )
+        .orderBy("dow")
+    )

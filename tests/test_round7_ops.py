@@ -177,3 +177,86 @@ def test_ivf_pq_prunes_and_ranks_sanely(spark, sf_dir):
     # code rate allows.
     retrieved_mean = sum(r.l2_exact for r in rows) / len(rows)
     assert retrieved_mean < 0.9 * corpus_mean, (retrieved_mean, corpus_mean)
+
+
+def test_linear_shap_efficiency_axiom(spark, sf_dir):
+    """m37: base + sum(phi) must equal the prediction (Shapley
+    efficiency) up to the independent 4-decimal rounds."""
+    from realestate_engine.registry import QUERIES, load_all
+
+    load_all()
+    rows = QUERIES["m37_linear_shap"](spark, sf_dir).collect()
+    assert len(rows) == 10
+    for r in rows:
+        gap = abs(r.base_cents + r.phi_qty_cents + r.phi_disc_cents - r.prediction_cents)
+        assert gap <= 0.0201, (r, gap)
+    # attributions are non-trivial: at least one row moves off base
+    assert any(abs(r.phi_qty_cents) > 1 for r in rows)
+
+
+def test_delta_log_replay_reconciliation(spark, sf_dir):
+    """x31: live_at_v must equal the add/remove reconciliation
+    recomputed independently from the emitted versions."""
+    from realestate_engine.queries_lakehouse import _DL_SNAPSHOT_V, x31_delta_log_replay
+
+    rows = x31_delta_log_replay(spark, sf_dir).collect()
+    assert len(rows) == 40
+    for r in rows:
+        expect = r.add_version <= _DL_SNAPSHOT_V and (
+            r.remove_version is None or r.remove_version > _DL_SNAPSHOT_V
+        )
+        assert r.live_at_v == expect, r
+    # the log is non-degenerate: some tombstones, some live, some future
+    assert any(r.remove_version is not None for r in rows)
+    assert any(r.live_at_v for r in rows) and any(not r.live_at_v for r in rows)
+
+
+def test_ipv4_cidr_longest_prefix_wins(spark, sf_dir):
+    """f27: the /24 carve-out must beat its covering /9 (routing-rule
+    LPM, not first-match), and block totals must partition the ips."""
+    from realestate_engine.queries_functions import f27_ipv4_cidr
+    from realestate_engine.registry import t
+
+    rows = {r.block_name: r for r in f27_ipv4_cidr(spark, sf_dir).collect()}
+    lo, hi = (10 << 24) | (42 << 8), ((10 << 24) | (42 << 8)) + 255
+    if "svc-42" in rows:
+        assert rows["svc-42"].min_ip >= lo and rows["svc-42"].max_ip <= hi
+        # corp-a still exists and is not swallowed by the carve-out
+        assert rows["corp-a"].n_ips > 0
+    n_orders = t(spark, sf_dir, "orders").count()
+    assert sum(r.n_ips for r in rows.values()) == n_orders
+
+
+def test_holt_winters_recurrence_replay(spark, sf_dir):
+    """ts8: replay the triple recurrence independently in pure Python
+    over the parquet (pandas read, outside Spark) for 3 users."""
+    import math
+
+    import duckdb
+
+    from realestate_engine.timeseries import ts8_holt_winters_int
+
+    got = {r.user_id: r for r in ts8_holt_winters_int(spark, sf_dir).collect()}
+    con = duckdb.connect()
+    pdf = con.execute(
+        f"SELECT user_id, event_id, ts, value FROM '{sf_dir}/events.parquet' "
+        "WHERE user_id IN (1, 2, 3) ORDER BY user_id, ts, event_id"
+    ).fetchdf()
+    for uid, g in pdf.groupby("user_id"):
+        lvl = trend = None
+        season = [0, 0, 0, 0]
+        rn = 0
+        for x in g["value"]:
+            v = int(math.floor(float(x) * 1000))
+            rn += 1
+            if lvl is None:
+                lvl, trend = v, 0
+                continue
+            i = (rn - 1) % 4
+            new_lvl = (v - season[i] + lvl + trend) // 2
+            trend = (trend + new_lvl - lvl) // 2
+            season[i] = (v - new_lvl + season[i]) // 2
+            lvl = new_lvl
+        r = got[uid]
+        assert (r.n_events, r.level_milli, r.trend_milli) == (rn, lvl, trend), uid
+        assert r.forecast_milli == lvl + trend + season[rn % 4], uid

@@ -121,6 +121,8 @@ ALLOWED_CROSS = {
     "dedup_lsh_recall_report",  # cross join of three 1-row recall-ledger aggregates
     "corpus_temperature_mixture",  # remainder-rank self-join over the |sources|-row budgets frame
     "m37_linear_shap",  # broadcast 1-row OLS-moments frame (the fitted model) onto the explained rows
+    "ts9_seasonal_decompose",  # +/-3-day band self-join over the O(days) daily frame (vs a global-window funnel)
+    "er2_sorted_neighborhood",  # exclusive_prefix_offsets ledger + <=3-row cum self-join + 1-row total broadcast
 }
 # Local tables that are NOT data detours: explicit local-row sources,
 # fitted-model state (O(k) best params / importances), and
