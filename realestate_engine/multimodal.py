@@ -1674,3 +1674,110 @@ def mm_phash_dct(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     dc = coef.filter((F.col("u") == 0) & (F.col("v") == 0)).select("doc_id", F.col("coeff").alias("dc"))
     return ph.join(dc, "doc_id").orderBy("doc_id")
+
+
+# --- mm_gif_roundtrip: REAL GIF87a/89a codec (variable-width LZW) -----------
+
+
+@register(
+    "mm_gif_roundtrip",
+    """
+    WITH params AS (
+      SELECT doc_id AS d,
+             8 + (doc_id % 5) * 6 AS width,
+             6 + (doc_id % 4) * 7 AS height,
+             1 << (1 + (doc_id % 4)) AS n_colors,
+             doc_id % 2 = 1 AS interlaced,
+             doc_id % 3 = 0 AS gif89
+      FROM documents WHERE doc_id < 48
+    ),
+    px AS (
+      SELECT p.d, p.width, p.height, p.n_colors, p.interlaced, p.gif89,
+             (p.d * 7 + x.x * 3 + y.y * 5) % p.n_colors AS idx,
+             1 + (x.x * 31 + y.y * 17) % 97 AS wgt
+      FROM params p
+      JOIN (SELECT UNNEST(RANGE(0, 32)) AS x) x ON x.x < p.width
+      JOIN (SELECT UNNEST(RANGE(0, 27)) AS y) y ON y.y < p.height
+    )
+    SELECT d AS doc_id,
+           CAST(width AS INTEGER) AS width,
+           CAST(height AS INTEGER) AS height,
+           CAST(n_colors AS INTEGER) AS n_colors,
+           interlaced, gif89, gif89 AS has_gce,
+           TRUE AS lossless,
+           CAST(SUM(idx) AS BIGINT) AS sum_idx,
+           CAST(SUM(idx * wgt) AS BIGINT) AS moment
+    FROM px
+    GROUP BY d, width, height, n_colors, interlaced, gif89
+    ORDER BY doc_id
+    """,
+)
+def mm_gif_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL GIF round trip — the sixth real codec (PNG, 3x JPEG, WAV,
+    FLAC, now GIF): per doc a deterministic indexed-color field
+    ((d·7 + x·3 + y·5) mod n_colors) is GIF-ENCODED with gif.py's
+    variable-width LSB-first LZW (dictionary growth through every
+    code-width step, CLEAR/reset at 4096, sub-block framing, 4-pass
+    interlace on odd docs, GIF89a + GCE on every third doc) and
+    GIF-DECODED in the same Arrow batch. ``lossless`` compares the
+    decoded pixels AND palette to the originals; ``moment`` is a
+    position-weighted sum over the DECODED raster, so a wrong
+    interlace de-permutation flips the hash even though the plain
+    pixel sum would not. The oracle recomputes every column
+    analytically from the generation recipe. Scale: mapInPandas over
+    doc_id-partitioned batches — embarrassingly parallel, no shuffle,
+    the standard multimodal decode posture."""
+    from realestate_engine.gif import decode_gif, encode_gif
+
+    def roundtrip(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w = 8 + (d % 5) * 6
+                h = 6 + (d % 4) * 7
+                n = 1 << (1 + (d % 4))
+                interlace = d % 2 == 1
+                gif89 = d % 3 == 0
+                pal = [((i * 37) % 256, (i * 11) % 256, (i * 91) % 256) for i in range(n)]
+                px = [(d * 7 + x * 3 + y * 5) % n for y in range(h) for x in range(w)]
+                dec = decode_gif(
+                    encode_gif(w, h, pal, px, interlace=interlace, gif89=gif89)
+                )
+                got = dec["pixels"]
+                rows.append(
+                    (
+                        d,
+                        dec["width"],
+                        dec["height"],
+                        len(dec["palette"]),
+                        dec["interlaced"],
+                        dec["gif89"],
+                        dec["has_gce"],
+                        got == px and dec["palette"] == pal,
+                        sum(got),
+                        sum(
+                            v * (1 + (x * 31 + y * 17) % 97)
+                            for y in range(dec["height"])
+                            for x, v in enumerate(got[y * dec["width"] : (y + 1) * dec["width"]])
+                        ),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "n_colors", "interlaced",
+                    "gif89", "has_gce", "lossless", "sum_idx", "moment",
+                ],
+            )
+
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 48).select("doc_id")
+    return (
+        d.repartition(8, "doc_id")
+        .mapInPandas(
+            roundtrip,
+            "doc_id long, width int, height int, n_colors int, interlaced boolean, "
+            "gif89 boolean, has_gce boolean, lossless boolean, sum_idx bigint, moment bigint",
+        )
+        .orderBy("doc_id")
+    )

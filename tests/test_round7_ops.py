@@ -260,3 +260,45 @@ def test_holt_winters_recurrence_replay(spark, sf_dir):
         r = got[uid]
         assert (r.n_events, r.level_milli, r.trend_milli) == (rn, lvl, trend), uid
         assert r.forecast_milli == lvl + trend + season[rn % 4], uid
+
+
+def test_gif_codec_roundtrip_and_error_paths():
+    """gif.py: LZW width escalation, 4096 CLEAR/reset, interlace
+    permutation, and strict decode errors."""
+    import random
+
+    from realestate_engine.gif import decode_gif, encode_gif
+
+    pal4 = [((i * 37) % 256, (i * 11) % 256, (i * 91) % 256) for i in range(4)]
+
+    # interlace round trip on a known raster (de-permutation correct)
+    px = [(x + y) % 4 for y in range(10) for x in range(5)]
+    out = decode_gif(encode_gif(5, 10, pal4, px, interlace=True))
+    assert out["pixels"] == px and out["interlaced"]
+
+    # dictionary reset at 4096 entries: incompressible binary raster
+    rnd = random.Random(7)
+    big = [rnd.randrange(2) for _ in range(300 * 60)]
+    dec = decode_gif(encode_gif(300, 60, [(0, 0, 0), (255, 255, 255)], big))
+    assert dec["pixels"] == big
+
+    # EOI exactly on a table-full width boundary (the encoder's
+    # phantom-insert fix): alternating 33-pixel column
+    alt = [(y * 5 + 7) % 2 for y in range(33)]
+    assert decode_gif(encode_gif(1, 33, [(0, 0, 0), (1, 1, 1)], alt))["pixels"] == alt
+
+    # GIF89a carries a GCE; 87a does not
+    assert decode_gif(encode_gif(2, 2, pal4, [0, 1, 2, 3], gif89=True))["has_gce"]
+    assert not decode_gif(encode_gif(2, 2, pal4, [0, 1, 2, 3]))["has_gce"]
+
+    import pytest as _pytest
+
+    with _pytest.raises(ValueError, match="signature"):
+        decode_gif(b"NOTGIF" + b"\x00" * 20)
+    blob = encode_gif(4, 4, pal4, [0] * 16)
+    with _pytest.raises(ValueError):
+        decode_gif(blob[:-2])  # truncated (trailer gone)
+    with _pytest.raises(ValueError):
+        encode_gif(2, 2, pal4[:3], [0] * 4)  # non-power-of-two palette
+    with _pytest.raises(ValueError):
+        encode_gif(2, 2, pal4, [0, 1, 2, 9])  # index out of range
