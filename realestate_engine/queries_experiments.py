@@ -1361,3 +1361,100 @@ def er2_sorted_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("window_delta")
     )
+
+
+# --- EV19: sequential probability ratio test (Wald SPRT) per user -----------
+#
+# H0: conversion rate p0 = 0.15 vs H1: p1 = 0.25, alpha = beta = 0.05.
+# The per-event log-likelihood increments and the decision bounds are
+# HOST-computed floor-micro literals (no runtime libm), so the whole
+# test is exact BIGINT prefix sums + a first-crossing argmin.
+
+_SPRT_INC_CONV = 510825     # floor(ln(p1/p0) * 1e6)
+_SPRT_INC_NON = -125164     # floor(ln((1-p1)/(1-p0)) * 1e6)
+_SPRT_A = 2944438           # floor(ln((1-a)/a) * 1e6): accept H1 at/above
+_SPRT_B = -2944439          # floor(ln(a/(1-a)) * 1e6): accept H0 at/below
+
+
+@register(
+    "ev19_sprt_user",
+    f"""
+    WITH seq AS (
+        SELECT user_id,
+               ROW_NUMBER() OVER (PARTITION BY user_id ORDER BY ts, event_id) AS rn,
+               SUM(CASE WHEN event_type = 'purchase'
+                        THEN {_SPRT_INC_CONV} ELSE {_SPRT_INC_NON} END)
+                 OVER (PARTITION BY user_id ORDER BY ts, event_id
+                       ROWS UNBOUNDED PRECEDING) AS cum
+        FROM events
+    ),
+    crossing AS (
+        SELECT user_id,
+               MIN(CASE WHEN cum >= {_SPRT_A} OR cum <= {_SPRT_B} THEN rn END)
+                 AS stop_rn
+        FROM seq GROUP BY user_id
+    )
+    SELECT s.user_id,
+           CAST(MAX(s.rn) AS BIGINT) AS n_events,
+           CAST(ANY_VALUE(c.stop_rn) AS BIGINT) AS stop_rn,
+           CASE WHEN ANY_VALUE(c.stop_rn) IS NULL THEN 'continue'
+                WHEN ARG_MIN(s.cum, CASE WHEN s.rn = c.stop_rn THEN 0 ELSE 1 END)
+                     >= {_SPRT_A} THEN 'accept_h1'
+                ELSE 'accept_h0' END AS decision,
+           CAST(ARG_MAX(s.cum, s.rn) AS BIGINT) AS final_llr_micro
+    FROM seq s JOIN crossing c ON c.user_id = s.user_id
+    GROUP BY s.user_id
+    ORDER BY s.user_id
+    """,
+)
+def ev19_sprt_user(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EV19: Wald's sequential probability ratio test run over each
+    user's event stream — the early-stopping primitive under every
+    modern sequential experimentation platform: the cumulative
+    log-likelihood ratio of H1 (p=0.25 conversion) vs H0 (p=0.15) is
+    a per-user ordered prefix sum of TWO integer constants
+    (host-precomputed floor-micro ln terms — zero runtime libm), the
+    decision is the first boundary crossing (accept H1 at/above
+    ln((1-a)/a), H0 at/below ln(a/(1-a))), users that never cross
+    keep sampling ('continue'). All windows PARTITIONED by user —
+    parallelism = users, no funnel; at 100 TB this is one shuffle on
+    user_id and codegen'd running sums, the same plan at any scale."""
+    ev = t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "event_type")
+    w_ord = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    seq = ev.select(
+        "user_id",
+        F.row_number().over(w_ord).alias("rn"),
+        F.sum(
+            F.when(F.col("event_type") == "purchase", F.lit(_SPRT_INC_CONV)).otherwise(
+                F.lit(_SPRT_INC_NON)
+            )
+        )
+        .over(w_ord.rowsBetween(Window.unboundedPreceding, 0))
+        .alias("cum"),
+    )
+    crossing = seq.groupBy("user_id").agg(
+        F.min(
+            F.when((F.col("cum") >= _SPRT_A) | (F.col("cum") <= _SPRT_B), F.col("rn"))
+        ).alias("stop_rn")
+    )
+    joined = seq.join(crossing, "user_id")
+    return (
+        joined.groupBy("user_id")
+        .agg(
+            F.max("rn").cast("bigint").alias("n_events"),
+            F.any_value("stop_rn").cast("bigint").alias("stop_rn"),
+            F.when(F.any_value("stop_rn").isNull(), F.lit("continue"))
+            .when(
+                F.min_by(
+                    F.col("cum"),
+                    F.when(F.col("rn") == F.col("stop_rn"), F.lit(0)).otherwise(F.lit(1)),
+                )
+                >= _SPRT_A,
+                F.lit("accept_h1"),
+            )
+            .otherwise(F.lit("accept_h0"))
+            .alias("decision"),
+            F.max_by("cum", "rn").cast("bigint").alias("final_llr_micro"),
+        )
+        .orderBy("user_id")
+    )

@@ -1321,3 +1321,73 @@ def f27_ipv4_cidr(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("block_name")
     )
+
+
+# --- F29: Soundex phonetic encoding + blocking census ------------------------
+
+_SOUNDEX_MAP = "01230120022455012623010202"  # a..z -> Soundex digit classes
+
+
+def _soundex_expr(col: str, duck: bool) -> str:
+    """Simplified American Soundex as ONE shared expression tree:
+    translate to digit classes, collapse runs per digit (RE2 has no
+    backreferences, so the collapse is 7 chained single-digit
+    replaces — portable where '(\\d)\\1+' is not), drop the first
+    letter's code slot, strip vowel zeros, pad to 3. The h/w
+    adjacency exception of full Soundex is deliberately omitted on
+    BOTH engines (simplified variant, stated here)."""
+    g = ", 'g'" if duck else ""
+    x = f"translate({col}, 'abcdefghijklmnopqrstuvwxyz', '{_SOUNDEX_MAP}')"
+    for d in "0123456":
+        x = f"regexp_replace({x}, '{d}{{2,}}', '{d}'{g})"
+    x = f"replace(substr({x}, 2), '0', '')"
+    return f"upper(substr({col}, 1, 1)) || substr({x} || '000', 1, 3)"
+
+
+@register(
+    "f29_soundex_blocking",
+    f"""
+    WITH words AS (
+        SELECT UNNEST(STRING_SPLIT(p_name, ' ')) AS w FROM part
+    ),
+    coded AS (
+        SELECT w, {_soundex_expr("w", duck=True)} AS sdx FROM words WHERE w <> ''
+    )
+    SELECT sdx,
+           CAST(COUNT(*) AS BIGINT) AS n_words,
+           CAST(COUNT(DISTINCT w) AS BIGINT) AS n_distinct,
+           MIN(w) AS example
+    FROM coded
+    GROUP BY sdx
+    ORDER BY n_words DESC, sdx
+    LIMIT 25
+    """,
+)
+def f29_soundex_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F29: Soundex phonetic encoding (simplified — no h/w adjacency
+    exception, identically on both engines) over the part-name word
+    corpus, reported as a blocking census: bucket code, word volume,
+    distinct spellings absorbed, an example word. Soundex is the
+    classic cheap blocking key for entity resolution (pairs with
+    er_fellegi_sunter / er2_sorted_neighborhood): phonetically-close
+    misspellings land in one bucket, so the candidate join is an
+    equi-join on the code. The encoding is pure codegen'd string ops
+    (translate + 7 run-collapse regexp_replaces + pad) — RE2 lacks
+    backreferences, so the per-digit collapse chain is the portable
+    form of '(\\d)\\1+'. One scan, one hash agg, TakeOrdered 25;
+    embarrassingly scalable."""
+    p = t(spark, sf_dir, "part").select("p_name")
+    words = p.select(F.explode(F.split(F.col("p_name"), " ")).alias("w")).where(
+        F.col("w") != ""
+    )
+    coded = words.select("w", F.expr(_soundex_expr("w", duck=False)).alias("sdx"))
+    return (
+        coded.groupBy("sdx")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_words"),
+            F.countDistinct("w").cast("bigint").alias("n_distinct"),
+            F.min("w").alias("example"),
+        )
+        .orderBy(F.desc("n_words"), "sdx")
+        .limit(25)
+    )

@@ -863,3 +863,154 @@ def m38_viterbi_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --- M39: exact gradient-boosted stumps (3 rounds, depth-1 trees) ------------
+#
+# Squared-loss GBM with depth-1 regression trees over a fixed
+# candidate-split grid is EXACTLY expressible as relational algebra:
+# each round is one hash-agg of per-candidate sufficient statistics
+# (n, sum r on each side), an argmax, and one codegen'd residual
+# update — no sampling, no per-row Python. Leaf values floor to
+# integers so residuals stay BIGINT through all rounds; the split
+# score (sum_L^2/n_L + sum_R^2/n_R, the variance-gain numerator) is
+# one fixed IEEE expression tree FLOOR-scaled to micros, bit-equal
+# across engines.
+
+_GBM_ROUNDS = 3
+_GBM_CUTS = tuple(range(5, 50, 5))
+
+
+def _gbm_cand_sql() -> str:
+    return f"(SELECT UNNEST([{', '.join(map(str, _GBM_CUTS))}]) AS cut)"
+
+
+def _gbm_round_sql(prev: str, stats: str, best: str, nxt: str) -> str:
+    """One GBM round: per-candidate stats -> best split -> update."""
+    return f"""
+    {stats} AS (
+        SELECT c.cut,
+               SUM(CASE WHEN r.x <= c.cut THEN 1 ELSE 0 END) AS n_l,
+               SUM(CASE WHEN r.x <= c.cut THEN r.r ELSE 0 END) AS s_l,
+               SUM(CASE WHEN r.x > c.cut THEN 1 ELSE 0 END) AS n_r,
+               SUM(CASE WHEN r.x > c.cut THEN r.r ELSE 0 END) AS s_r
+        FROM {prev} r CROSS JOIN {_gbm_cand_sql()} c
+        GROUP BY c.cut
+    ),
+    {best} AS (
+        SELECT ARG_MAX(cut, CAST(FLOOR(
+                   CAST(s_l AS DOUBLE) * CAST(s_l AS DOUBLE) / n_l
+                    + CAST(s_r AS DOUBLE) * CAST(s_r AS DOUBLE) / n_r
+               ) AS BIGINT) * 100 - cut) AS cut,
+               MAX(CAST(FLOOR(
+                   CAST(s_l AS DOUBLE) * CAST(s_l AS DOUBLE) / n_l
+                    + CAST(s_r AS DOUBLE) * CAST(s_r AS DOUBLE) / n_r
+               ) AS BIGINT) * 100 - cut) AS score_adj,
+               ARG_MAX(s_l // n_l, CAST(FLOOR(
+                   CAST(s_l AS DOUBLE) * CAST(s_l AS DOUBLE) / n_l
+                    + CAST(s_r AS DOUBLE) * CAST(s_r AS DOUBLE) / n_r
+               ) AS BIGINT) * 100 - cut) AS v_l,
+               ARG_MAX(s_r // n_r, CAST(FLOOR(
+                   CAST(s_l AS DOUBLE) * CAST(s_l AS DOUBLE) / n_l
+                    + CAST(s_r AS DOUBLE) * CAST(s_r AS DOUBLE) / n_r
+               ) AS BIGINT) * 100 - cut) AS v_r
+        FROM {stats}
+    ),
+    {nxt} AS MATERIALIZED (
+        SELECT r.x,
+               r.r - CASE WHEN r.x <= b.cut THEN b.v_l ELSE b.v_r END AS r
+        FROM {prev} r CROSS JOIN {best} b
+    )"""
+
+
+_GBM_ORACLE = f"""
+    WITH r0 AS MATERIALIZED (
+        SELECT CAST(l_quantity AS BIGINT) AS x,
+               CAST(FLOOR(l_extendedprice / 100) AS BIGINT) AS r
+        FROM lineitem
+    ),
+    {",".join(_gbm_round_sql(f"r{i}", f"st{i}", f"b{i}", f"r{i + 1}") for i in range(_GBM_ROUNDS))}
+    SELECT * FROM (
+        {" UNION ALL ".join(
+            f'''SELECT CAST({i} AS BIGINT) AS round,
+                       CAST(b{i}.cut AS BIGINT) AS cut,
+                       CAST(b{i}.v_l AS BIGINT) AS leaf_left,
+                       CAST(b{i}.v_r AS BIGINT) AS leaf_right,
+                       (SELECT CAST(SUM(r * r) // COUNT(*) AS BIGINT) FROM r{i + 1})
+                         AS mse_after
+                FROM b{i}'''
+            for i in range(_GBM_ROUNDS)
+        )}
+    ) ORDER BY round
+"""
+
+
+@register("m39_gbm_stumps", _GBM_ORACLE)
+def m39_gbm_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M39: exact gradient-boosted regression stumps — 3 squared-loss
+    rounds of depth-1 trees on l_quantity predicting floor-dollar
+    l_extendedprice, candidate splits on a fixed grid (5..45 step 5).
+    Each round: ONE hash-agg computes every candidate's sufficient
+    stats simultaneously (a 9-row broadcast fan-out, map-side
+    combinable), the winner is an arg_max on the variance-gain score
+    (a single IEEE expression FLOORed to whole units — the integer part
+    is ~1e15 at sf0.1, ample precision, and micro-scaling would overflow
+    int64; score*100 - cut makes the
+    tiebreak injective), leaf values are floor means so residuals
+    stay integer, and the update is one codegen'd CASE — the whole
+    learner is scans + hash-aggs + 1-row broadcasts, Catalyst-
+    optimizable end to end, unlike a driver-looped MLlib fit. Emits
+    per round the chosen cut, both leaf values, and the post-round
+    integer MSE. At 100 TB each round is one pass; rounds chain
+    linearly like pagerank's unrolled iterations."""
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("bigint").alias("x"),
+        F.floor(F.col("l_extendedprice") / 100).cast("bigint").alias("r"),
+    )
+    cand = spark.range(5, 50, 5).select(F.col("id").cast("bigint").alias("cut"))
+    score = (
+        "CAST(FLOOR(CAST(s_l AS DOUBLE) * CAST(s_l AS DOUBLE) / n_l"
+        " + CAST(s_r AS DOUBLE) * CAST(s_r AS DOUBLE) / n_r) AS BIGINT)"
+        " * 100 - cut"
+    )
+    cur = cache_once(li)
+    out_rows = []
+    for i in range(_GBM_ROUNDS):
+        stats = (
+            cur.crossJoin(F.broadcast(cand))
+            .groupBy("cut")
+            .agg(
+                F.sum(F.when(F.col("x") <= F.col("cut"), 1).otherwise(0)).alias("n_l"),
+                F.sum(F.when(F.col("x") <= F.col("cut"), F.col("r")).otherwise(0)).alias("s_l"),
+                F.sum(F.when(F.col("x") > F.col("cut"), 1).otherwise(0)).alias("n_r"),
+                F.sum(F.when(F.col("x") > F.col("cut"), F.col("r")).otherwise(0)).alias("s_r"),
+            )
+        )
+        best = stats.agg(
+            F.expr(f"max_by(cut, {score})").alias("cut"),
+            F.expr(f"max_by(s_l div n_l, {score})").alias("v_l"),
+            F.expr(f"max_by(s_r div n_r, {score})").alias("v_r"),
+        )
+        cur = cache_once(
+            cur.crossJoin(F.broadcast(best)).select(
+                "x",
+                (
+                    F.col("r")
+                    - F.when(F.col("x") <= F.col("cut"), F.col("v_l")).otherwise(F.col("v_r"))
+                ).alias("r"),
+            )
+        )
+        mse = cur.agg(F.expr("CAST(sum(r * r) DIV count(*) AS BIGINT)").alias("mse_after"))
+        out_rows.append(
+            best.crossJoin(F.broadcast(mse)).select(
+                F.lit(i).cast("bigint").alias("round"),
+                F.col("cut").cast("bigint").alias("cut"),
+                F.col("v_l").cast("bigint").alias("leaf_left"),
+                F.col("v_r").cast("bigint").alias("leaf_right"),
+                "mse_after",
+            )
+        )
+    res = out_rows[0]
+    for r_ in out_rows[1:]:
+        res = res.unionByName(r_)
+    return res.orderBy("round")

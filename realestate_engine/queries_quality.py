@@ -768,3 +768,83 @@ def p24_dp_noisy_counts(spark: SparkSession, sf_dir: str) -> DataFrame:
         "noise",
         F.greatest(F.col("cnt") + F.col("noise"), F.lit(0)).cast("bigint").alias("noisy_count"),
     ).orderBy("nation", "seg")
+
+
+# --- P25: Neyman-optimal stratified sampling allocation ----------------------
+
+_NEYMAN_TOTAL = 1000  # sample budget to allocate
+
+
+@register(
+    "p25_neyman_allocation",
+    f"""
+    WITH strata AS (
+        SELECT c_nationkey AS nation,
+               COUNT(*) AS n_h,
+               SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS s1,
+               SUM(CAST(ROUND(c_acctbal * 100) AS BIGINT)
+                   * CAST(ROUND(c_acctbal * 100) AS BIGINT)) AS s2
+        FROM customer GROUP BY c_nationkey
+    ),
+    weights AS (
+        SELECT nation, n_h,
+               CAST(FLOOR(SQRT(CAST(n_h * s2 - s1 * s1 AS DOUBLE))) AS BIGINT) AS w_h
+        FROM strata
+    ),
+    tot AS (SELECT SUM(w_h) AS w_tot FROM weights)
+    SELECT CAST(w.nation AS BIGINT) AS nation,
+           CAST(w.n_h AS BIGINT) AS n_h,
+           w.w_h,
+           CAST({_NEYMAN_TOTAL} * w.w_h // t.w_tot AS BIGINT) AS alloc_h,
+           CAST({_NEYMAN_TOTAL} * w.w_h * 1000000 // t.w_tot
+                - ({_NEYMAN_TOTAL} * w.w_h // t.w_tot) * 1000000 AS BIGINT)
+             AS remainder_micro
+    FROM weights w CROSS JOIN tot t
+    ORDER BY nation
+    """,
+)
+def p25_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P25: Neyman-optimal allocation of a fixed sample budget across
+    strata — n_h proportional to N_h * S_h, the variance-minimizing
+    stratified design (Neyman 1934), the principled version of
+    p10_stratified_sample's fixed fractions. Exactness: N_h*S_h is
+    computed as SQRT(N_h*SUM(x^2) - SUM(x)^2) over integer cents —
+    the radicand is an exact BIGINT (no float mean subtraction), the
+    BIGINT->DOUBLE cast rounds identically on both engines, and IEEE
+    SQRT is correctly rounded, so FLOOR of it is deterministic.
+    Allocations are integer floor shares of the budget with the
+    sub-unit remainder emitted in micros (feed x15's largest-
+    remainder pass to distribute the leftovers). Scale: one hash agg
+    over the scan + a 1-row total broadcast — the allocation itself
+    never touches row data again, so at 100 TB this is metadata."""
+    c = t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nation"),
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("cents"),
+    )
+    strata = c.groupBy("nation").agg(
+        F.count(F.lit(1)).alias("n_h"),
+        F.sum("cents").alias("s1"),
+        F.sum(F.col("cents") * F.col("cents")).alias("s2"),
+    )
+    weights = strata.select(
+        "nation",
+        "n_h",
+        F.floor(F.sqrt((F.col("n_h") * F.col("s2") - F.col("s1") * F.col("s1")).cast("double")))
+        .cast("bigint")
+        .alias("w_h"),
+    )
+    tot = weights.agg(F.sum("w_h").alias("w_tot"))
+    b = _NEYMAN_TOTAL
+    return (
+        weights.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("nation").cast("bigint").alias("nation"),
+            F.col("n_h").cast("bigint").alias("n_h"),
+            "w_h",
+            F.expr(f"CAST({b} * w_h DIV w_tot AS BIGINT)").alias("alloc_h"),
+            F.expr(
+                f"CAST({b} * w_h * 1000000 DIV w_tot - ({b} * w_h DIV w_tot) * 1000000 AS BIGINT)"
+            ).alias("remainder_micro"),
+        )
+        .orderBy("nation")
+    )

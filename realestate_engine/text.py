@@ -2162,3 +2162,162 @@ def t25_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("cb"), "w1", "w2")
         .limit(25)
     )
+
+
+# --- T26: WordPiece-style greedy longest-match tokenization ------------------
+#
+# The inference-side half of subword tokenization (text_bpe_merge_rounds
+# trains merges; this SEGMENTS with a fixed vocab): at each position
+# take the LONGEST vocab token that matches, advance, repeat. The
+# insight that keeps it relational: the greedy choice at (word, pos)
+# is a pure function of (word, pos, vocab) — so ALL choices are
+# precomputed as one equi-join + per-(word,pos) argmax, and the
+# tokenization itself is just a 12-step WALK over that choice table
+# (bounded by the word-length cap), with no per-row Python anywhere.
+
+_WP_TOP_PREFIXES = 40
+_WP_MAX_WLEN = 12
+_WP_MAX_TLEN = 4
+
+
+@register(
+    "t26_wordpiece_tokenize",
+    f"""
+    WITH RECURSIVE words AS (
+        SELECT word, COUNT(*) AS wcount
+        FROM (
+            SELECT UNNEST(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+')) AS word
+            FROM documents
+        )
+        WHERE word ~ '^[a-z]+$' AND LEN(word) <= {_WP_MAX_WLEN}
+        GROUP BY word
+    ),
+    prefixes AS (
+        SELECT SUBSTR(word, 1, l.l) AS tok, SUM(wcount) AS cnt
+        FROM words JOIN (SELECT UNNEST(RANGE(2, {_WP_MAX_TLEN + 1})) AS l) l
+          ON LEN(word) >= l.l
+        GROUP BY 1
+        ORDER BY cnt DESC, tok
+        LIMIT {_WP_TOP_PREFIXES}
+    ),
+    vocab AS (
+        SELECT tok FROM prefixes
+        UNION ALL
+        SELECT CHR(CAST(97 + i AS INTEGER)) AS tok FROM (SELECT UNNEST(RANGE(0, 26)) AS i)
+    ),
+    grid AS (
+        SELECT w.word, p.p AS pos, SUBSTR(w.word, p.p, l.l) AS sub, l.l
+        FROM words w
+        JOIN (SELECT UNNEST(RANGE(1, {_WP_MAX_WLEN + 1})) AS p) p
+          ON p.p <= LEN(w.word)
+        JOIN (SELECT UNNEST(RANGE(1, {_WP_MAX_TLEN + 1})) AS l) l
+          ON p.p + l.l - 1 <= LEN(w.word)
+    ),
+    choice AS (
+        SELECT word, pos, sub AS tok, pos + l AS next_pos
+        FROM (
+            SELECT g.word, g.pos, g.sub, g.l,
+                   ROW_NUMBER() OVER (PARTITION BY g.word, g.pos
+                                      ORDER BY g.l DESC) AS rn
+            FROM grid g JOIN vocab v ON g.sub = v.tok
+        ) WHERE rn = 1
+    ),
+    walk AS (
+        SELECT word, 1 AS pos
+        FROM words
+        UNION ALL
+        SELECT c.word, c.next_pos
+        FROM walk k JOIN choice c ON c.word = k.word AND c.pos = k.pos
+    ),
+    toks AS (
+        SELECT c.tok, w.wcount, c.word
+        FROM walk k
+        JOIN choice c ON c.word = k.word AND c.pos = k.pos
+        JOIN words w ON w.word = k.word
+    )
+    SELECT tok, CAST(SUM(wcount) AS BIGINT) AS total_count,
+           CAST(COUNT(DISTINCT word) AS BIGINT) AS n_words
+    FROM toks GROUP BY tok
+    ORDER BY total_count DESC, tok
+    LIMIT 25
+    """,
+)
+def t26_wordpiece_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T26: WordPiece-style greedy longest-match segmentation with a
+    corpus-derived vocab (26 single letters + the top-40 most frequent
+    2..4-char word prefixes, tie-broken lexically) — the inference
+    half of subword tokenization next to text_bpe_merge_rounds'
+    training half. Fully relational: the greedy choice at every
+    (word, pos) is ONE equi-join of the (pos, len) substring grid
+    against the broadcast vocab + a per-(word,pos) argmax window;
+    tokenization is then a {w}-step bounded walk over that cached
+    choice table (an inner join per step — words drop out when they
+    finish), and the oracle replays the identical walk as a recursive
+    CTE. Greedy progress is guaranteed (singles cover [a-z]), so
+    every walk terminates. Emits the top-25 tokens by occurrence-
+    weighted count. Scale: distinct-word domain (Zipf-bounded),
+    constant-size vocab broadcast, every join an equi hash join —
+    the 100 TB tokenizer is this exact plan with a bigger vocab
+    table.""".format(w=_WP_MAX_WLEN)
+    from realestate_engine.dedup import cache_once
+
+    d = t(spark, sf_dir, "documents").select("text")
+    raw = d.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("word")
+    )
+    words = cache_once(
+        raw.where(
+            F.col("word").rlike("^[a-z]+$") & (F.length("word") <= _WP_MAX_WLEN)
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wcount"))
+    )
+    lens = spark.range(2, _WP_MAX_TLEN + 1).select(F.col("id").cast("int").alias("l"))
+    prefixes = (
+        words.join(F.broadcast(lens), F.length("word") >= F.col("l"))
+        .select(F.expr("substring(word, 1, l)").alias("tok"), "wcount")
+        .groupBy("tok")
+        .agg(F.sum("wcount").alias("cnt"))
+        .orderBy(F.desc("cnt"), "tok")
+        .limit(_WP_TOP_PREFIXES)
+    )
+    singles = spark.range(26).select(F.expr("char(97 + id)").alias("tok"))
+    vocab = prefixes.select("tok").unionByName(singles)
+    pos_l = (
+        spark.range(1, _WP_MAX_WLEN + 1)
+        .select(F.col("id").cast("int").alias("pos"))
+        .crossJoin(
+            spark.range(1, _WP_MAX_TLEN + 1).select(F.col("id").cast("int").alias("l"))
+        )
+    )
+    grid = words.join(
+        F.broadcast(pos_l),
+        (F.col("pos") <= F.length("word"))
+        & (F.col("pos") + F.col("l") - 1 <= F.length("word")),
+    ).select("word", "pos", "l", F.expr("substring(word, pos, l)").alias("sub"))
+    w_choice = Window.partitionBy("word", "pos").orderBy(F.desc("l"))
+    choice = cache_once(
+        grid.join(F.broadcast(vocab), grid.sub == vocab.tok)
+        .withColumn("rn", F.row_number().over(w_choice))
+        .where(F.col("rn") == 1)
+        .select("word", "pos", F.col("sub").alias("tok"), (F.col("pos") + F.col("l")).alias("next_pos"))
+    )
+    state = words.select("word", F.lit(1).alias("pos"))
+    emitted = []
+    for _ in range(_WP_MAX_WLEN):
+        step = state.join(choice, ["word", "pos"])
+        emitted.append(step.select("word", "tok"))
+        state = step.select("word", F.col("next_pos").alias("pos"))
+    toks = emitted[0]
+    for e in emitted[1:]:
+        toks = toks.unionByName(e)
+    return (
+        toks.join(words, "word")
+        .groupBy("tok")
+        .agg(
+            F.sum("wcount").cast("bigint").alias("total_count"),
+            F.countDistinct("word").cast("bigint").alias("n_words"),
+        )
+        .orderBy(F.desc("total_count"), "tok")
+        .limit(25)
+    )

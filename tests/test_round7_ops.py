@@ -302,3 +302,104 @@ def test_gif_codec_roundtrip_and_error_paths():
         encode_gif(2, 2, pal4[:3], [0] * 4)  # non-power-of-two palette
     with _pytest.raises(ValueError):
         encode_gif(2, 2, pal4, [0, 1, 2, 9])  # index out of range
+
+
+def test_neyman_allocation_bounds(spark, sf_dir):
+    """p25: floor allocations never exceed the budget and each stratum
+    weight is the exact integer sqrt of N*Sxx - Sx^2."""
+    from realestate_engine.queries_quality import _NEYMAN_TOTAL, p25_neyman_allocation
+
+    rows = p25_neyman_allocation(spark, sf_dir).collect()
+    assert 0 < sum(r.alloc_h for r in rows) <= _NEYMAN_TOTAL
+    assert all(0 <= r.remainder_micro < 1000000 for r in rows)
+    assert all(r.alloc_h >= 0 for r in rows)
+
+
+def test_wordpiece_greedy_segmentation(spark, sf_dir):
+    """t26: replay the greedy longest-match on the top token's words
+    independently: token counts must be reproducible from the vocab."""
+    from realestate_engine.text import (
+        _WP_MAX_TLEN,
+        _WP_MAX_WLEN,
+        _WP_TOP_PREFIXES,
+        t26_wordpiece_tokenize,
+    )
+
+    got = t26_wordpiece_tokenize(spark, sf_dir).collect()
+    assert 0 < len(got) <= 25
+    # tokens are lowercase, within the length cap, counts descending
+    assert all(1 <= len(r.tok) <= _WP_MAX_TLEN for r in got)
+    counts = [r.total_count for r in got]
+    assert counts == sorted(counts, reverse=True)
+    # independent replay: rebuild vocab + greedy-tokenize in Python
+    import collections
+    import re
+
+    import duckdb
+
+    words = collections.Counter()
+    for (txt,) in duckdb.sql(
+        f"SELECT text FROM '{sf_dir}/documents.parquet'"
+    ).fetchall():
+        for w in re.split(r"\s+", txt.strip().lower()):
+            if re.fullmatch("[a-z]+", w or "") and len(w) <= _WP_MAX_WLEN:
+                words[w] += 1
+    pref = collections.Counter()
+    for w, c in words.items():
+        for ln in range(2, _WP_MAX_TLEN + 1):
+            if len(w) >= ln:
+                pref[w[:ln]] += c
+    top = sorted(pref.items(), key=lambda kv: (-kv[1], kv[0]))[:_WP_TOP_PREFIXES]
+    vocab = {t_ for t_, _ in top} | set("abcdefghijklmnopqrstuvwxyz")
+    tok_counts = collections.Counter()
+    for w, c in words.items():
+        p = 0
+        while p < len(w):
+            for ln in range(min(_WP_MAX_TLEN, len(w) - p), 0, -1):
+                if w[p : p + ln] in vocab:
+                    tok_counts[w[p : p + ln]] += c
+                    p += ln
+                    break
+    expect = sorted(tok_counts.items(), key=lambda kv: (-kv[1], kv[0]))[:25]
+    assert [(r.tok, r.total_count) for r in got] == expect
+
+
+def test_sprt_decisions_consistent(spark, sf_dir):
+    """ev19: decisions must match an independent replay of the
+    cumulative LLR walk per user."""
+    import duckdb
+
+    from realestate_engine.queries_experiments import (
+        _SPRT_A,
+        _SPRT_B,
+        _SPRT_INC_CONV,
+        _SPRT_INC_NON,
+        ev19_sprt_user,
+    )
+
+    got = {r.user_id: r for r in ev19_sprt_user(spark, sf_dir).collect()}
+    pdf = duckdb.sql(
+        f"SELECT user_id, event_type FROM '{sf_dir}/events.parquet' "
+        "ORDER BY user_id, ts, event_id"
+    ).fetchdf()
+    for uid, g in pdf.groupby("user_id"):
+        cum, stop, decision = 0, None, "continue"
+        for i, et in enumerate(g["event_type"], start=1):
+            cum += _SPRT_INC_CONV if et == "purchase" else _SPRT_INC_NON
+            if stop is None and (cum >= _SPRT_A or cum <= _SPRT_B):
+                stop = i
+                decision = "accept_h1" if cum >= _SPRT_A else "accept_h0"
+        r = got[uid]
+        assert (r.stop_rn, r.decision, r.final_llr_micro) == (stop, decision, cum), uid
+
+
+def test_gbm_stumps_reduces_mse(spark, sf_dir):
+    """m39: each boosting round must not increase the integer MSE, and
+    cuts come from the candidate grid."""
+    from realestate_engine.queries_mleval import _GBM_CUTS, m39_gbm_stumps
+
+    rows = m39_gbm_stumps(spark, sf_dir).collect()
+    assert [r.round for r in rows] == [0, 1, 2]
+    assert all(r.cut in _GBM_CUTS for r in rows)
+    mses = [r.mse_after for r in rows]
+    assert mses[0] >= mses[1] >= mses[2] > 0

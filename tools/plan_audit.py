@@ -123,6 +123,9 @@ ALLOWED_CROSS = {
     "m37_linear_shap",  # broadcast 1-row OLS-moments frame (the fitted model) onto the explained rows
     "ts9_seasonal_decompose",  # +/-3-day band self-join over the O(days) daily frame (vs a global-window funnel)
     "er2_sorted_neighborhood",  # exclusive_prefix_offsets ledger + <=3-row cum self-join + 1-row total broadcast
+    "p25_neyman_allocation",  # broadcast 1-row weight-total onto the 25-row strata frame
+    "t26_wordpiece_tokenize",  # broadcast 3/48-row (len, pos) constant grids onto the word domain
+    "m39_gbm_stumps",  # 9-row candidate-cut fan-out + 1-row best-split/mse broadcasts per round
 }
 # Local tables that are NOT data detours: explicit local-row sources,
 # fitted-model state (O(k) best params / importances), and
