@@ -1781,3 +1781,109 @@ def mm_gif_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- mm_mjpeg_avi: REAL video decode (RIFF/AVI container + MJPG frames) ------
+
+
+@register(
+    "mm_mjpeg_avi",
+    f"""
+    WITH params AS (
+      SELECT doc_id,
+             10 + (doc_id % 3) * 5 AS fps,
+             3 + doc_id % 3 AS n_frames
+      FROM documents WHERE doc_id < 48
+    )
+    SELECT doc_id,
+           CAST({_JPEG_W} AS INTEGER) AS width,
+           CAST({_JPEG_H} AS INTEGER) AS height,
+           CAST(n_frames AS BIGINT) AS n_frames,
+           CAST(fps AS BIGINT) AS fps,
+           CAST(n_frames * (1000000 // fps) // 1000 AS BIGINT) AS duration_ms,
+           TRUE AS idx_consistent,
+           TRUE AS container_bit_exact,
+           TRUE AS all_mae_ok
+    FROM params ORDER BY doc_id
+    """,
+)
+def mm_mjpeg_avi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL end-to-end VIDEO decode (the last media family): per doc a
+    3-5 frame Motion-JPEG AVI is built — each frame a REAL baseline
+    JPEG (jpeg.py) of a deterministic raster whose blue plane advances
+    per frame — then the RIFF/AVI container is walked (avi.py: hdrl/
+    strl headers, movi 00dc chunks, idx1), every frame entropy-decoded
+    back to pixels, all inside one Arrow batch. Hash-compared checks:
+    idx1 agrees with the actual chunk layout (a real index-integrity
+    audit), the container returns frame bytes bit-exactly, and every
+    DECODED frame reconstructs within the jpeg-roundtrip error bounds
+    (MAE<=6, max<=32). With this, video joins image/audio as
+    decode-for-real; only INTER-frame codecs (motion compensation)
+    remain out of scope, documented in avi.py. Scale: mapInPandas
+    over doc-partitioned batches, no shuffle."""
+    from realestate_engine.avi import decode_avi_mjpeg, encode_avi_mjpeg
+    from realestate_engine.jpeg import decode_jpeg, encode_jpeg
+
+    w, h = _JPEG_W, _JPEG_H
+
+    def roundtrip(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                fps = 10 + (d % 3) * 5
+                n_frames = 3 + d % 3
+                rasters = [
+                    bytes(
+                        v
+                        for y in range(h)
+                        for x in range(w)
+                        for v in (
+                            (x * 255) // (w - 1),
+                            (y * 255) // (h - 1),
+                            (d * 37 + f * 11) % 256,
+                        )
+                    )
+                    for f in range(n_frames)
+                ]
+                frames = [
+                    encode_jpeg(w, h, r, quality=85, subsample=(d % 2 == 1))
+                    for r in rasters
+                ]
+                out = decode_avi_mjpeg(encode_avi_mjpeg(w, h, fps, frames))
+                mae_ok = True
+                for fr, raster in zip(out["frames"], rasters):
+                    dec = decode_jpeg(fr)["rgb"]
+                    errs = [abs(dec[i] - raster[i]) for i in range(len(raster))]
+                    mae_ok = mae_ok and sum(errs) / len(errs) <= 6.0 and max(errs) <= 32
+                rows.append(
+                    (
+                        d,
+                        out["width"],
+                        out["height"],
+                        out["n_frames"],
+                        out["fps"],
+                        out["n_frames"] * out["us_per_frame"] // 1000,
+                        out["idx_consistent"],
+                        out["frames"] == frames,
+                        mae_ok,
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "n_frames", "fps",
+                    "duration_ms", "idx_consistent", "container_bit_exact", "all_mae_ok",
+                ],
+            )
+
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 48).select("doc_id")
+    return (
+        d.repartition(8, "doc_id")
+        .mapInPandas(
+            roundtrip,
+            "doc_id long, width int, height int, n_frames long, fps long, duration_ms long, "
+            "idx_consistent boolean, container_bit_exact boolean, all_mae_ok boolean",
+        )
+        .orderBy("doc_id")
+    )

@@ -403,3 +403,41 @@ def test_gbm_stumps_reduces_mse(spark, sf_dir):
     assert all(r.cut in _GBM_CUTS for r in rows)
     mses = [r.mse_after for r in rows]
     assert mses[0] >= mses[1] >= mses[2] > 0
+
+
+def test_avi_mjpeg_container_and_error_paths():
+    """avi.py: header facts, idx1 integrity, JPEG frame round trip,
+    strict errors, codec gate."""
+    import pytest as _pytest
+
+    from realestate_engine.avi import decode_avi_mjpeg, encode_avi_mjpeg
+    from realestate_engine.jpeg import decode_jpeg, encode_jpeg
+
+    w, h = 16, 8
+    frames = [
+        encode_jpeg(
+            w, h,
+            bytes((x * 7 + y * 3 + f * 11) % 256 for y in range(h) for x in range(w) for _ in range(3)),
+            quality=85,
+        )
+        for f in range(3)
+    ]
+    blob = encode_avi_mjpeg(w, h, 15, frames)
+    out = decode_avi_mjpeg(blob)
+    assert (out["width"], out["height"], out["n_frames"], out["fps"]) == (w, h, 3, 15)
+    assert out["us_per_frame"] == 1_000_000 // 15
+    assert out["idx_consistent"] and out["has_index_flag"]
+    assert out["frames"] == frames
+    assert decode_jpeg(out["frames"][0])["width"] == w
+
+    with _pytest.raises(ValueError, match="signature"):
+        decode_avi_mjpeg(b"RIFX" + blob[4:])
+    with _pytest.raises(ValueError):
+        decode_avi_mjpeg(blob[:-10])
+    mutated = bytearray(blob)
+    i = blob.index(b"MJPG")
+    mutated[i : i + 4] = b"H264"
+    with _pytest.raises((NotImplementedError, ValueError)):
+        decode_avi_mjpeg(bytes(mutated))
+    with _pytest.raises(ValueError):
+        encode_avi_mjpeg(w, h, 0, frames)  # fps must be positive
