@@ -1751,3 +1751,85 @@ def a41_hll_set_algebra(spark: SparkSession, sf_dir: str) -> DataFrame:
             <= F.greatest(F.lit(5), F.col("exact_intersection").cast("double") * 0.15)
         ).alias("intersection_within_15pct"),
     )
+
+
+# --- A45: K-minimum-values distinct sketch (exact-replayable) ----------------
+
+_KMV_K = 64
+
+
+@register(
+    "a45_kmv_distinct",
+    f"""
+    WITH hashed AS (
+        SELECT DISTINCT event_type,
+               ('0x' || SUBSTR(MD5(CAST(user_id AS VARCHAR)), 1, 8))::BIGINT AS h
+        FROM events
+    ),
+    ranked AS (
+        SELECT event_type, h,
+               ROW_NUMBER() OVER (PARTITION BY event_type ORDER BY h) AS rn,
+               COUNT(*) OVER (PARTITION BY event_type) AS n_hashes
+        FROM hashed
+    ),
+    sk AS (
+        SELECT event_type,
+               ANY_VALUE(n_hashes) AS n_exact,
+               MAX(CASE WHEN rn = {_KMV_K} THEN h END) AS h_k
+        FROM ranked WHERE rn <= {_KMV_K}
+        GROUP BY event_type
+    )
+    SELECT event_type,
+           CAST(n_exact AS BIGINT) AS exact_distinct,
+           CAST(CASE WHEN n_exact < {_KMV_K} THEN n_exact
+                     ELSE ({_KMV_K - 1}) * 4294967296 // h_k END AS BIGINT)
+             AS kmv_estimate,
+           ABS(CASE WHEN n_exact < {_KMV_K} THEN n_exact
+                    ELSE ({_KMV_K - 1}) * 4294967296 // h_k END - n_exact) * 100
+             <= 40 * n_exact AS within_40pct
+    FROM sk ORDER BY event_type
+    """,
+)
+def a45_kmv_distinct(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A45: K-minimum-values distinct-count sketch (Bar-Yossef et al.)
+    per event_type — the third mergeable-cardinality family next to
+    a18/a41's HLL and a9's exact/approx pair, and unlike HLL the KMV
+    sketch is EXACTLY replayable cross-engine: the portable md5-prefix
+    hash is uniform on [0, 2^32), the sketch is the K smallest
+    distinct hash values (a bottom-K — unions by keeping the K
+    smallest of a merge, the textbook mergeable summary), and the
+    estimator (K-1)·2^32 // h_K is one integer division. Below K
+    distinct values the sketch IS the exact set (n_exact branch,
+    taken at small SFs; the estimator branch takes over at sf0.1's
+    1500 users). The within-40pct boolean gates the estimate against
+    the exact count (~3 standard errors at K=64). Scale: DISTINCT
+    hash-agg then a per-group bottom-K window — both map-side
+    combinable; only K values per group ever reach the final task."""
+    ev = t(spark, sf_dir, "events").select("event_type", "user_id")
+    hashed = ev.select(
+        "event_type",
+        F.conv(F.substring(F.md5(F.col("user_id").cast("string")), 1, 8), 16, 10)
+        .cast("long")
+        .alias("h"),
+    ).distinct()
+    w_g = Window.partitionBy("event_type").orderBy("h")
+    w_c = Window.partitionBy("event_type")
+    ranked = hashed.select(
+        "event_type",
+        "h",
+        F.row_number().over(w_g).alias("rn"),
+        F.count(F.lit(1)).over(w_c).alias("n_hashes"),
+    ).where(F.col("rn") <= _KMV_K)
+    sk = ranked.groupBy("event_type").agg(
+        F.any_value("n_hashes").alias("n_exact"),
+        F.max(F.when(F.col("rn") == _KMV_K, F.col("h"))).alias("h_k"),
+    )
+    est = F.when(F.col("n_exact") < _KMV_K, F.col("n_exact")).otherwise(
+        F.expr(f"({_KMV_K - 1}) * 4294967296 div h_k")
+    )
+    return sk.select(
+        "event_type",
+        F.col("n_exact").cast("bigint").alias("exact_distinct"),
+        est.cast("bigint").alias("kmv_estimate"),
+        (F.abs(est - F.col("n_exact")) * 100 <= F.col("n_exact") * 40).alias("within_40pct"),
+    ).orderBy("event_type")
