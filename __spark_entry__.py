@@ -32,9 +32,17 @@ registry.load_all()
 # evidence). 49 new names → cumulative ledger target 254. Round 8
 # should rotate the streaming family (st_tumbling/sliding/session/
 # watermark_dedup/stream_stream/foreachbatch, last driver-checked
-# r4/r5) back in per VERDICT r6 #5, then keep draining the
-# never-verified ledger: ev3-ev11, dq_expectations/dq_drift/dq3-dq6,
-# the f1x fills (f2/f4/f5/f8/f10x3, f12-f19), t14/t15, corpus_*,
+# r4/r5) back in per VERDICT r6 #5, LEAD with round 7's 22 new
+# never-verified operators (mm_ogg_probe, mm_mp3_probe,
+# t25_kneser_ney_bigram, dq19_t_closeness, p24_dp_noisy_counts,
+# sim_ivf_pq, m37_linear_shap, x31_delta_log_replay, f27_ipv4_cidr,
+# ts8_holt_winters_int, m38_viterbi_decode, graph_bfs_hops,
+# ts9_seasonal_decompose, er2_sorted_neighborhood, mm_gif_roundtrip,
+# p25_neyman_allocation, t26_wordpiece_tokenize, ev19_sprt_user,
+# m39_gbm_stumps, f29_soundex_blocking, mm_mjpeg_avi,
+# a45_kmv_distinct), then keep draining the never-verified ledger:
+# ev3-ev11, dq_expectations/dq_drift/dq3-dq6, the f1x fills
+# (f2/f4/f5/f8/f10x3, f12-f19), t14/t15, corpus_*,
 # text_* remainder, sim_* remainder, m15/m17 ML-adjacent oracles,
 # x8/x12-x15/x19, a1x-a3x remainder, j4-j8, p1x, w4/w5,
 # pack_length_buckets, ts_gapfill/sessionize/rolling, mm_frame/

@@ -1417,3 +1417,86 @@ def sim_ivf_pq(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy("adc_dist", "vec_id")
         .limit(10)
     )
+
+
+# --- N17: binary (sign-bit) quantization + Hamming top-k ---------------------
+
+
+def _bin_code_sql(lohalf: bool, duck: bool) -> str:
+    """Pack 32 sign bits into one BIGINT (two halves avoid the bit-63
+    sign trap: DuckDB raises on 1::BIGINT << 63). Identical CASE/shift
+    arithmetic on both engines; element access is 1-based in both
+    DuckDB lists and Spark element_at."""
+    base = 0 if lohalf else 32
+    if duck:
+        return (
+            f"LIST_SUM(LIST_TRANSFORM(RANGE(0, 32), i -> "
+            f"CASE WHEN embedding[CAST(i + {base + 1} AS INTEGER)] > 0 "
+            f"THEN (1::BIGINT << CAST(i AS INTEGER)) ELSE 0::BIGINT END))"
+        )
+    return (
+        f"aggregate(sequence(0, 31), 0L, (acc, i) -> acc + "
+        f"CASE WHEN element_at(embedding, i + {base + 1}) > 0 "
+        f"THEN shiftleft(1L, i) ELSE 0L END)"
+    )
+
+
+@register(
+    "sim_binary_hamming_topk",
+    f"""
+    WITH codes AS (
+        SELECT vec_id, label,
+               {_bin_code_sql(True, duck=True)} AS lo,
+               {_bin_code_sql(False, duck=True)} AS hi
+        FROM embeddings
+    ),
+    p AS (SELECT lo AS plo, hi AS phi FROM codes WHERE vec_id = 0)
+    SELECT c.vec_id, CAST(c.label AS INTEGER) AS label,
+           CAST(BIT_COUNT(XOR(c.lo, p.plo)) + BIT_COUNT(XOR(c.hi, p.phi)) AS BIGINT)
+             AS hamming
+    FROM codes c CROSS JOIN p
+    ORDER BY hamming, c.vec_id
+    LIMIT 20
+    """,
+)
+def sim_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N17: binary embedding quantization — each 64-dim float vector
+    collapses to 64 SIGN BITS packed into two BIGINTs (two 32-bit
+    halves, sidestepping the engine-divergent bit-63 shift), and
+    similarity search becomes popcount(XOR) Hamming ranking: a 32x
+    storage cut and the fastest scan primitive there is (SIMD
+    popcount over 16 bytes/vector). The sign quantizer is the
+    matryoshka/int8 family's extreme point and the standard first
+    filter of binary-rescore pipelines. Everything is exact integer
+    arithmetic after the x > 0 comparison, so the DuckDB oracle
+    replays the codes and the ranking bit-for-bit. Scale: codes are a
+    map-only projection; the probe is a 1-row broadcast; at 100 TB
+    you shard the scan by a code prefix (the partition key IS the
+    first bits of the code) and rescore survivors with the float
+    vectors — this query is that pipeline's filter stage."""
+    e = t(spark, sf_dir, "embeddings")
+    codes = cache_once(
+        e.select(
+            "vec_id",
+            "label",
+            F.expr(_bin_code_sql(True, duck=False)).alias("lo"),
+            F.expr(_bin_code_sql(False, duck=False)).alias("hi"),
+        )
+    )
+    probe = codes.where(F.col("vec_id") == 0).select(
+        F.col("lo").alias("plo"), F.col("hi").alias("phi")
+    )
+    return (
+        codes.crossJoin(F.broadcast(probe))
+        .select(
+            "vec_id",
+            F.col("label").cast("int").alias("label"),
+            (
+                F.bit_count(F.expr("lo ^ plo")) + F.bit_count(F.expr("hi ^ phi"))
+            )
+            .cast("bigint")
+            .alias("hamming"),
+        )
+        .orderBy("hamming", "vec_id")
+        .limit(20)
+    )
