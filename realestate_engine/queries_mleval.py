@@ -11,6 +11,7 @@ from __future__ import annotations
 
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from realestate_engine.dedup import cache_once, portable_hash32
 from realestate_engine.registry import register, t
@@ -1014,3 +1015,142 @@ def m39_gbm_stumps(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r_ in out_rows[1:]:
         res = res.unionByName(r_)
     return res.orderBy("round")
+
+
+# --- M41: multinomial naive Bayes (train + score + confusion), pure SQL ------
+
+
+@register(
+    "m41_naive_bayes",
+    """
+    WITH train AS (
+        SELECT p_partkey, p_brand AS brand,
+               UNNEST(STRING_SPLIT(p_name, ' ')) AS word
+        FROM part WHERE p_partkey % 5 <> 0
+    ),
+    test AS (
+        SELECT p_partkey, p_brand AS actual,
+               UNNEST(STRING_SPLIT(p_name, ' ')) AS word
+        FROM part WHERE p_partkey % 5 = 0
+    ),
+    cwb AS (SELECT brand, word, COUNT(*) AS c FROM train GROUP BY brand, word),
+    totb AS (
+        SELECT brand, COUNT(*) AS tot_w, COUNT(DISTINCT p_partkey) AS n_docs
+        FROM train GROUP BY brand
+    ),
+    gl AS (
+        SELECT (SELECT COUNT(DISTINCT word) FROM train) AS v,
+               (SELECT COUNT(DISTINCT p_partkey) FROM train) AS n_train
+    ),
+    scored AS (
+        SELECT tw.p_partkey, tw.actual, b.brand,
+               SUM(CAST(FLOOR(LN(CAST(COALESCE(c.c, 0) + 1 AS DOUBLE)
+                                 / CAST(b.tot_w + gl.v AS DOUBLE)) * 1000000)
+                        AS BIGINT)) AS word_score
+        FROM test tw
+        CROSS JOIN totb b
+        CROSS JOIN gl
+        LEFT JOIN cwb c ON c.brand = b.brand AND c.word = tw.word
+        GROUP BY tw.p_partkey, tw.actual, b.brand
+    ),
+    ranked AS (
+        SELECT p_partkey, actual, brand,
+               ROW_NUMBER() OVER (
+                   PARTITION BY p_partkey
+                   ORDER BY word_score
+                            + CAST(FLOOR(LN(CAST(b.n_docs AS DOUBLE)
+                                            / CAST(gl.n_train AS DOUBLE)) * 1000000)
+                                   AS BIGINT) DESC,
+                            brand) AS rn
+        FROM scored s
+        JOIN totb b USING (brand)
+        CROSS JOIN gl
+    )
+    SELECT actual AS brand,
+           CAST(COUNT(*) AS BIGINT) AS n_test,
+           CAST(SUM(CASE WHEN brand = actual THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_correct,
+           CAST(SUM(CASE WHEN brand = actual THEN 1 ELSE 0 END) * 1000000
+                // COUNT(*) AS BIGINT) AS accuracy_micro
+    FROM ranked WHERE rn = 1
+    GROUP BY actual
+    ORDER BY actual
+    """,
+)
+def m41_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M41: multinomial naive Bayes trained, scored, and evaluated
+    entirely in relational algebra — word-given-brand likelihoods from
+    the 80% train split (partkey mod 5), Laplace +1 smoothing so no
+    zero cell reaches the log, argmax posterior over the brand frame
+    for each held-out part, per-brand confusion rollup. Every
+    log term follows the er_fellegi_sunter/dq13 exactness idiom:
+    exact-integer numerator and denominator, ONE IEEE division, one
+    libm ln, FLOOR to micros — order-free BIGINT sums after that.
+    The 25-row brand frame fans out broadcast; unseen words fall to
+    the smoothing floor via LEFT join + COALESCE. Scale: training is
+    two hash-aggs; scoring is an equi-join against the (brand, word)
+    table — at 100 TB the model is a broadcast dim and scoring stays
+    a map-side join, the textbook distributed-NB layout."""
+    p = t(spark, sf_dir, "part")
+    words = p.select(
+        "p_partkey",
+        F.col("p_brand").alias("brand"),
+        F.explode(F.split("p_name", " ")).alias("word"),
+    )
+    train = words.where(F.col("p_partkey") % 5 != 0)
+    test = words.where(F.col("p_partkey") % 5 == 0).select(
+        "p_partkey", F.col("brand").alias("actual"), "word"
+    )
+    cwb = train.groupBy("brand", "word").agg(F.count(F.lit(1)).alias("c"))
+    totb = train.groupBy("brand").agg(
+        F.count(F.lit(1)).alias("tot_w"),
+        F.countDistinct("p_partkey").alias("n_docs"),
+    )
+    gl = train.agg(
+        F.countDistinct("word").alias("v"),
+        F.countDistinct("p_partkey").alias("n_train"),
+    )
+    scored = (
+        test.crossJoin(F.broadcast(totb))
+        .crossJoin(F.broadcast(gl))
+        .join(F.broadcast(cwb), ["brand", "word"], "left")
+        .groupBy("p_partkey", "actual", "brand")
+        .agg(
+            F.sum(
+                F.expr(
+                    "CAST(FLOOR(LN(CAST(COALESCE(c, 0) + 1 AS DOUBLE)"
+                    " / CAST(tot_w + v AS DOUBLE)) * 1000000) AS BIGINT)"
+                )
+            ).alias("word_score")
+        )
+    )
+    w_doc = Window.partitionBy("p_partkey").orderBy(
+        F.desc(
+            F.col("word_score")
+            + F.expr(
+                "CAST(FLOOR(LN(CAST(n_docs AS DOUBLE) / CAST(n_train AS DOUBLE))"
+                " * 1000000) AS BIGINT)"
+            )
+        ),
+        "brand",
+    )
+    ranked = (
+        scored.join(F.broadcast(totb.select("brand", "n_docs")), "brand")
+        .crossJoin(F.broadcast(gl.select("n_train")))
+        .withColumn("rn", F.row_number().over(w_doc))
+        .where(F.col("rn") == 1)
+    )
+    return (
+        ranked.groupBy(F.col("actual").alias("brand"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_test"),
+            F.sum(F.when(F.col("brand") == F.col("actual"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_correct"),
+            F.expr(
+                "CAST(sum(CASE WHEN brand = actual THEN 1 ELSE 0 END) * 1000000"
+                " DIV count(*) AS BIGINT)"
+            ).alias("accuracy_micro"),
+        )
+        .orderBy("brand")
+    )

@@ -127,6 +127,7 @@ ALLOWED_CROSS = {
     "t26_wordpiece_tokenize",  # broadcast 3/48-row (len, pos) constant grids onto the word domain
     "m39_gbm_stumps",  # 9-row candidate-cut fan-out + 1-row best-split/mse broadcasts per round
     "sim_binary_hamming_topk",  # broadcast 1-row probe code pair (the sim-family probe posture)
+    "m41_naive_bayes",  # 25-row brand-frame fan-out + 1-row vocab/prior broadcasts (the NB model is a dim)
 }
 # Local tables that are NOT data detours: explicit local-row sources,
 # fitted-model state (O(k) best params / importances), and
