@@ -848,3 +848,82 @@ def p25_neyman_allocation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("nation")
     )
+
+
+# --- DQ20: inclusion-dependency (foreign-key) discovery -----------------------
+
+_IND_CANDIDATES = [
+    # (child table, child col, parent table, parent col)
+    ("lineitem", "l_orderkey", "orders", "o_orderkey"),
+    ("lineitem", "l_partkey", "part", "p_partkey"),
+    ("lineitem", "l_suppkey", "supplier", "s_suppkey"),
+    ("orders", "o_custkey", "customer", "c_custkey"),
+    ("customer", "c_nationkey", "nation", "n_nationkey"),
+    ("nation", "n_regionkey", "region", "r_regionkey"),
+    # deliberate negative control: order keys are NOT customer keys
+    ("orders", "o_orderkey", "customer", "c_custkey"),
+]
+
+
+def _ind_leg_sql(ct: str, cc: str, pt: str, pc: str) -> str:
+    return f"""
+    SELECT '{ct}.{cc}' AS child, '{pt}.{pc}' AS parent,
+           CAST(n_child AS BIGINT) AS n_child_distinct,
+           CAST(n_orphan AS BIGINT) AS n_orphans,
+           n_orphan = 0 AS is_inclusion,
+           CAST((n_child - n_orphan) * 1000000 // n_child AS BIGINT)
+             AS containment_micro
+    FROM (
+        SELECT COUNT(*) AS n_child,
+               SUM(CASE WHEN p.{pc} IS NULL THEN 1 ELSE 0 END) AS n_orphan
+        FROM (SELECT DISTINCT {cc} FROM {ct}) c
+        LEFT JOIN (SELECT DISTINCT {pc} FROM {pt}) p ON p.{pc} = c.{cc}
+    )"""
+
+
+@register(
+    "dq20_inclusion_dependencies",
+    " UNION ALL ".join(_ind_leg_sql(*cand) for cand in _IND_CANDIDATES)
+    + " ORDER BY child, parent",
+)
+def dq20_inclusion_dependencies(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ20: inclusion-dependency discovery — the data-profiling pass
+    that finds FOREIGN KEYS in undocumented data (Bauckmann et al.,
+    SPIDER): for each candidate column pair, is every distinct child
+    value contained in the parent's distinct values? Each candidate
+    is DISTINCT-reduce on both sides then one LEFT join orphan count
+    — never row-level joins, so a 100 TB fact table collapses to its
+    key cardinality before any pairing. Six true FKs of the TPC-H
+    schema plus one deliberate negative control (order keys vs
+    customer keys) whose containment ratio documents what a near-miss
+    looks like. Emits distinct counts, orphan counts, the boolean,
+    and floor-micro containment. The same skeleton generalizes to
+    candidate generation over all column pairs with type/min-max
+    prefilters — this query IS the verification leg."""
+    legs = []
+    for ct, cc, pt, pc in _IND_CANDIDATES:
+        child = t(spark, sf_dir, ct).select(F.col(cc).alias("v")).distinct()
+        parent = t(spark, sf_dir, pt).select(F.col(pc).alias("pv")).distinct()
+        agg = (
+            child.join(parent, child.v == parent.pv, "left")
+            .agg(
+                F.count(F.lit(1)).alias("n_child"),
+                F.sum(F.when(F.col("pv").isNull(), 1).otherwise(0)).alias("n_orphan"),
+            )
+        )
+        legs.append(
+            agg.select(
+                F.lit(f"{ct}.{cc}").alias("child"),
+                F.lit(f"{pt}.{pc}").alias("parent"),
+                F.col("n_child").cast("bigint").alias("n_child_distinct"),
+                F.col("n_orphan").cast("bigint").alias("n_orphans"),
+                (F.col("n_orphan") == 0).alias("is_inclusion"),
+                F.expr("CAST((n_child - n_orphan) * 1000000 DIV n_child AS BIGINT)").alias(
+                    "containment_micro"
+                ),
+            )
+        )
+    res = legs[0]
+    for leg in legs[1:]:
+        res = res.unionByName(leg)
+    return res.orderBy("child", "parent")
