@@ -927,3 +927,92 @@ def dq20_inclusion_dependencies(spark: SparkSession, sf_dir: str) -> DataFrame:
     for leg in legs[1:]:
         res = res.unionByName(leg)
     return res.orderBy("child", "parent")
+
+
+# --- P26: quantile normalization against a reference distribution ------------
+
+_QN_B = 20  # bands
+
+
+@register(
+    "p26_quantile_normalization",
+    f"""
+    WITH src AS (
+        SELECT CAST(ROUND(c_acctbal * 100) AS BIGINT) AS cents FROM customer
+    ),
+    tgt AS (
+        SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents FROM orders
+    ),
+    cuts AS (
+        SELECT quantile_cont(cents,
+            [{", ".join(str(i / _QN_B) for i in range(1, _QN_B))}]) AS qs
+        FROM src
+    ),
+    mids AS (
+        SELECT quantile_cont(cents,
+            [{", ".join(str((2 * i - 1) / (2 * _QN_B)) for i in range(1, _QN_B + 1))}]) AS ms
+        FROM tgt
+    )
+    SELECT bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_src,
+           CAST(MIN(cents) AS BIGINT) AS src_lo_cents,
+           CAST(MAX(cents) AS BIGINT) AS src_hi_cents,
+           CAST(FLOOR(ANY_VALUE(ms[CAST(bucket AS INTEGER)])) AS BIGINT)
+             AS normalized_cents
+    FROM (
+        SELECT s.cents,
+               1 + LEN(LIST_FILTER(cuts.qs, q -> q < s.cents)) AS bucket,
+               mids.ms
+        FROM src s, cuts, mids
+    )
+    GROUP BY bucket ORDER BY bucket
+    """,
+)
+def p26_quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """P26: quantile normalization — remap customer balances onto the
+    order-price distribution by rank (the genomics/feature-scaling
+    standard: every value is replaced by the reference distribution's
+    value at ITS OWN quantile). Distribution-shape transfer with zero
+    parametric assumptions. Execution is the a23 no-funnel discipline
+    twice over: 19 source cuts + 20 reference mid-quantiles come from
+    two exact-percentile aggregates (integer cents, bit-identical
+    interpolation), both broadcast as 1-row arrays; each row's band is
+    a map-side cuts-below-me count (never an NTILE global sort), and
+    the normalized value is one element_at. Emits the 20-band mapping
+    table with band occupancy. At 100 TB: two agg passes + one
+    map-only rewrite."""
+    c = t(spark, sf_dir, "customer").select(
+        F.round(F.col("c_acctbal") * 100).cast("bigint").alias("cents")
+    )
+    o = t(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents")
+    )
+    cuts = c.agg(
+        F.percentile("cents", F.array(*[F.lit(i / _QN_B) for i in range(1, _QN_B)])).alias("qs")
+    )
+    mids = o.agg(
+        F.percentile(
+            "cents", F.array(*[F.lit((2 * i - 1) / (2 * _QN_B)) for i in range(1, _QN_B + 1)])
+        ).alias("ms")
+    )
+    return (
+        c.crossJoin(F.broadcast(cuts))
+        .crossJoin(F.broadcast(mids))
+        .select(
+            "cents",
+            (1 + F.size(F.filter(F.col("qs"), lambda q: q < F.col("cents"))))
+            .cast("bigint")
+            .alias("bucket"),
+            "ms",
+        )
+        .groupBy("bucket")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_src"),
+            F.min("cents").cast("bigint").alias("src_lo_cents"),
+            F.max("cents").cast("bigint").alias("src_hi_cents"),
+            F.floor(F.any_value(F.expr("element_at(ms, CAST(bucket AS INT))")))
+            .cast("bigint")
+            .alias("normalized_cents"),
+        )
+        .orderBy("bucket")
+    )

@@ -128,6 +128,7 @@ ALLOWED_CROSS = {
     "m39_gbm_stumps",  # 9-row candidate-cut fan-out + 1-row best-split/mse broadcasts per round
     "sim_binary_hamming_topk",  # broadcast 1-row probe code pair (the sim-family probe posture)
     "m41_naive_bayes",  # 25-row brand-frame fan-out + 1-row vocab/prior broadcasts (the NB model is a dim)
+    "p26_quantile_normalization",  # broadcast 1-row cut/mid-quantile arrays (the a23 posture, twice)
 }
 # Local tables that are NOT data detours: explicit local-row sources,
 # fitted-model state (O(k) best params / importances), and
