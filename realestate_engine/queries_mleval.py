@@ -1154,3 +1154,71 @@ def m41_naive_bayes(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("brand")
     )
+
+
+# --- M42: feature hashing (the hashing trick) with collision census ----------
+
+_FH_D = 64  # hashed feature dimension
+
+
+@register(
+    "m42_feature_hashing",
+    f"""
+    WITH words AS (
+        SELECT p_partkey, UNNEST(STRING_SPLIT(p_name, ' ')) AS w FROM part
+    ),
+    hashed AS (
+        SELECT w,
+               ('0x' || SUBSTR(MD5(w), 1, 8))::BIGINT % {_FH_D} AS bucket,
+               CASE WHEN ('0x' || SUBSTR(MD5(w), 9, 1))::BIGINT % 2 = 0
+                    THEN 1 ELSE -1 END AS sign
+        FROM words
+    )
+    SELECT CAST(bucket AS BIGINT) AS bucket,
+           CAST(COUNT(DISTINCT w) AS BIGINT) AS n_distinct_words,
+           CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+           CAST(SUM(sign) AS BIGINT) AS net_signed_count,
+           MIN(w) AS example_word
+    FROM hashed
+    GROUP BY bucket
+    ORDER BY bucket
+    """,
+)
+def m42_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M42: the hashing trick (Weinberger et al.) over the part-name
+    word stream — vocabulary-free featurization into {_FH_D} buckets
+    with a SIGNED second hash (the trick's unbiasedness device: colliding
+    words cancel in expectation rather than summing), which is how
+    text features reach a fixed-width model without a fitted
+    vocabulary — the m15/StringIndexer alternative that needs NO
+    training pass and survives vocabulary drift. Both hashes are
+    md5-prefix integers (the portable_hash32 idiom, second nibble for
+    the sign), so the bucket map and the signed sums replay
+    bit-identically. The census emitted per bucket — distinct words
+    absorbed, occurrences, NET signed count (cancellation visible as
+    data), an example — is exactly the collision audit you run before
+    committing to a dimension. One scan, one hash agg; at 100 TB the
+    featurizer is a map-only projection."""
+    p = t(spark, sf_dir, "part")
+    words = p.select(F.explode(F.split("p_name", " ")).alias("w"))
+    hashed = words.select(
+        "w",
+        (F.conv(F.substring(F.md5("w"), 1, 8), 16, 10).cast("long") % _FH_D).alias("bucket"),
+        F.when(
+            F.conv(F.substring(F.md5("w"), 9, 1), 16, 10).cast("long") % 2 == 0, 1
+        )
+        .otherwise(-1)
+        .alias("sign"),
+    )
+    return (
+        hashed.groupBy("bucket")
+        .agg(
+            F.countDistinct("w").cast("bigint").alias("n_distinct_words"),
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+            F.sum("sign").cast("bigint").alias("net_signed_count"),
+            F.min("w").alias("example_word"),
+        )
+        .select(F.col("bucket").cast("bigint").alias("bucket"), "n_distinct_words",
+                "n_occurrences", "net_signed_count", "example_word")
+        .orderBy("bucket")
+    )

@@ -880,3 +880,48 @@ def s24_bucketed_join_no_shuffle(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("o_orderpriority")
     )
+
+
+# --- sql_pipe_syntax: Spark 4.x SQL pipe operators ----------------------------
+
+_PIPE_SQL = """
+    FROM {orders} AS o
+    JOIN {customer} AS c ON c.c_custkey = o.o_custkey
+    |> WHERE o.o_orderstatus <> 'P'
+    |> EXTEND CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents
+    |> AGGREGATE CAST(COUNT(*) AS BIGINT) AS n_orders,
+                 CAST(SUM(cents) AS BIGINT) AS revenue_cents
+       GROUP BY c.c_mktsegment AS mktsegment
+    |> WHERE n_orders > 0
+    |> ORDER BY mktsegment
+"""
+
+
+@register(
+    "sql_pipe_syntax",
+    """
+    SELECT c.c_mktsegment AS mktsegment,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(SUM(CAST(ROUND(o.o_totalprice * 100) AS BIGINT)) AS BIGINT)
+             AS revenue_cents
+    FROM orders o JOIN customer c ON c.c_custkey = o.o_custkey
+    WHERE o.o_orderstatus <> 'P'
+    GROUP BY c.c_mktsegment
+    HAVING COUNT(*) > 0
+    ORDER BY mktsegment
+    """,
+)
+def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL PIPE syntax (Spark 4.x |> operators, the SQL:2023-era
+    linear composition form): the same segment-revenue rollup as plain
+    ANSI, written as FROM |> WHERE |> EXTEND |> AGGREGATE ... GROUP BY
+    |> WHERE |> ORDER BY — each stage consumes the previous one's
+    output top-to-bottom, the way the DataFrame DSL reads. Catalyst
+    lowers it to the identical logical plan as the ANSI text the
+    oracle runs (DuckDB has no pipe form), so this pins BOTH that the
+    front-end accepts the syntax and that its semantics match the
+    classic formulation — aggregate aliasing, post-aggregation WHERE
+    (pipe's HAVING), EXTEND's computed column."""
+    t(spark, sf_dir, "orders").createOrReplaceTempView("_pipe_orders")
+    t(spark, sf_dir, "customer").createOrReplaceTempView("_pipe_customer")
+    return spark.sql(_PIPE_SQL.format(orders="_pipe_orders", customer="_pipe_customer"))

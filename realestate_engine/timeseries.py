@@ -593,3 +593,72 @@ def ts9_seasonal_decompose(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("dow")
     )
+
+
+@register(
+    "ts10_autocorrelation",
+    """
+    WITH daily AS (
+        SELECT DATE_DIFF('day', DATE '2024-01-01', ts::DATE) AS day_idx,
+               SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS v
+        FROM events GROUP BY 1
+    ),
+    mu AS (SELECT SUM(v) // COUNT(*) AS m FROM daily),
+    dev AS (SELECT day_idx, v - mu.m AS d FROM daily, mu),
+    den AS (SELECT SUM(d * d) AS ss FROM dev),
+    lags AS (SELECT UNNEST(RANGE(1, 8)) AS lag),
+    num AS (
+        SELECT l.lag, COUNT(*) AS n, SUM(a.d * b.d) AS sxy
+        FROM dev a
+        JOIN lags l ON TRUE
+        JOIN dev b ON b.day_idx = a.day_idx + l.lag
+        GROUP BY l.lag
+    )
+    SELECT CAST(lag AS BIGINT) AS lag,
+           CAST(n AS BIGINT) AS n_pairs,
+           CAST(FLOOR(CAST(sxy AS DOUBLE) / CAST(den.ss AS DOUBLE) * 1000000)
+                AS BIGINT) AS acf_micro
+    FROM num, den ORDER BY lag
+    """,
+)
+def ts10_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS10: sample autocorrelation of the daily event-value series at
+    lags 1..7 — the diagnostic that motivates ts9's seasonal model
+    (weekly data shows an ACF peak at lag 7). The series is CENTERED
+    on the integer-floor global mean BEFORE any product (the ev17
+    overflow lesson: the uncentered n*sxy - sx*sy form crosses 2^63
+    once daily totals reach ~1e10 milli), so deviation products stay
+    exact BIGINT at every SF; the classical estimator
+    r_k = sum(d_t d_{t+k}) / sum(d^2) is then ONE IEEE division
+    FLOORed to micros. Lag pairs come from an EQUI-join (lag exploded
+    onto one side, key = day_idx + lag) — no banded nested loop. At
+    100 TB the raw scan collapses to O(days) rows first; everything
+    after is arithmetic on a KB frame."""
+    ev = t(spark, sf_dir, "events").select(
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("day_idx"),
+        F.floor(F.col("value") * 1000).cast("bigint").alias("v"),
+    )
+    daily = ev.groupBy("day_idx").agg(F.sum("v").alias("v"))
+    mu = daily.agg(F.expr("sum(v) div count(*)").alias("m"))
+    dev = daily.crossJoin(F.broadcast(mu)).select(
+        "day_idx", (F.col("v") - F.col("m")).alias("d")
+    )
+    den = dev.agg(F.sum(F.col("d") * F.col("d")).alias("ss"))
+    a = dev.withColumn("lag", F.explode(F.array(*[F.lit(k) for k in range(1, 8)])))
+    b = dev.select(F.col("day_idx").alias("b_day"), F.col("d").alias("bd"))
+    num = (
+        a.join(F.broadcast(b), F.col("b_day") == F.col("day_idx") + F.col("lag"))
+        .groupBy("lag")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum(F.col("d") * F.col("bd")).alias("sxy"))
+    )
+    return (
+        num.crossJoin(F.broadcast(den))
+        .select(
+            F.col("lag").cast("bigint").alias("lag"),
+            F.col("n").cast("bigint").alias("n_pairs"),
+            F.expr(
+                "CAST(FLOOR(CAST(sxy AS DOUBLE) / CAST(ss AS DOUBLE) * 1000000) AS BIGINT)"
+            ).alias("acf_micro"),
+        )
+        .orderBy("lag")
+    )
