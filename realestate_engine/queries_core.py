@@ -1037,3 +1037,111 @@ def a12_grouping_sets(spark: SparkSession, sf_dir: str) -> DataFrame:
         ORDER BY n_name NULLS FIRST, o_orderstatus NULLS FIRST
         """
     )
+
+
+# --- J15: point-in-polygon spatial join (exact integer ray casting) ----------
+
+_PIP_POLYGONS = [
+    # pid, vertex list (integer grid 0..999); one convex, one concave L
+    (0, [(100, 100), (600, 150), (650, 550), (150, 500)]),
+    (1, [(500, 500), (950, 500), (950, 950), (700, 950), (700, 700), (500, 700)]),
+]
+
+
+def _pip_edges_sql() -> str:
+    rows = []
+    for pid, verts in _PIP_POLYGONS:
+        n = len(verts)
+        for i, (x1, y1) in enumerate(verts):
+            x2, y2 = verts[(i + 1) % n]
+            rows.append(f"({pid}, {x1}, {y1}, {x2}, {y2})")
+    return f"(VALUES {', '.join(rows)}) AS e(pid, x1, y1, x2, y2)"
+
+
+@register(
+    "j15_point_in_polygon",
+    f"""
+    WITH pts AS (
+        SELECT c_custkey AS pk,
+               (c_custkey * 7919) % 1000 AS px,
+               (c_custkey * 104729) % 1000 AS py
+        FROM customer
+    ),
+    crossings AS (
+        SELECT p.pk, e.pid,
+               SUM(CASE WHEN (e.y1 > p.py) <> (e.y2 > p.py)
+                         AND (CASE WHEN e.y2 - e.y1 > 0
+                                   THEN (p.px - e.x1) * (e.y2 - e.y1)
+                                        < (e.x2 - e.x1) * (p.py - e.y1)
+                                   ELSE (p.px - e.x1) * (e.y2 - e.y1)
+                                        > (e.x2 - e.x1) * (p.py - e.y1) END)
+                        THEN 1 ELSE 0 END) AS n_cross
+        FROM pts p JOIN {_pip_edges_sql()} ON TRUE
+        GROUP BY p.pk, e.pid
+    )
+    SELECT CAST(pid AS BIGINT) AS pid,
+           CAST(SUM(CASE WHEN n_cross % 2 = 1 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_inside,
+           CAST(COUNT(*) AS BIGINT) AS n_points,
+           CAST(MIN(CASE WHEN n_cross % 2 = 1 THEN pk END) AS BIGINT)
+             AS first_inside_key
+    FROM crossings GROUP BY pid ORDER BY pid
+    """,
+)
+def j15_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J15: point-in-polygon containment join — the geofencing /
+    region-assignment primitive beyond j6's grid join, via the
+    even-odd ray-casting rule done in EXACT integer arithmetic: the
+    usual slope division is replaced by a cross-multiplied comparison
+    whose direction flips with sign(dy), so no float ever enters and
+    both engines count identical crossings (boundary-degenerate cases
+    land deterministically on the same side). Points are a key-derived
+    integer grid; polygons (one convex quad, one concave hexagon — the
+    concave case is why even-odd counting is needed at all) fan out as
+    a constant 10-edge broadcast. At 100 TB you'd prefilter with j6's
+    grid cells (bbox -> candidate polygons) and run exactly this exact
+    test on the survivors; this query IS that verification stage."""
+    c = t(spark, sf_dir, "customer").select("c_custkey")
+    pts = c.select(
+        F.col("c_custkey").alias("pk"),
+        ((F.col("c_custkey") * 7919) % 1000).alias("px"),
+        ((F.col("c_custkey") * 104729) % 1000).alias("py"),
+    )
+    idx = (F.col("id") + 1).cast("int")
+    flat = []
+    for pid, verts in _PIP_POLYGONS:
+        n = len(verts)
+        for i, (x1, y1) in enumerate(verts):
+            x2, y2 = verts[(i + 1) % n]
+            flat.append((pid, x1, y1, x2, y2))
+    edges = spark.range(len(flat)).select(
+        *[
+            F.element_at(F.array(*[F.lit(r[j]) for r in flat]), idx).alias(nm)
+            for j, nm in enumerate(("pid", "x1", "y1", "x2", "y2"))
+        ]
+    )
+    lhs = (F.col("px") - F.col("x1")) * (F.col("y2") - F.col("y1"))
+    rhs = (F.col("x2") - F.col("x1")) * (F.col("py") - F.col("y1"))
+    crossing = (
+        ((F.col("y1") > F.col("py")) != (F.col("y2") > F.col("py")))
+        & F.when(F.col("y2") - F.col("y1") > 0, lhs < rhs).otherwise(lhs > rhs)
+    )
+    crossings = (
+        pts.crossJoin(F.broadcast(edges))
+        .groupBy("pk", "pid")
+        .agg(F.sum(F.when(crossing, 1).otherwise(0)).alias("n_cross"))
+    )
+    return (
+        crossings.groupBy("pid")
+        .agg(
+            F.sum(F.when(F.col("n_cross") % 2 == 1, 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_inside"),
+            F.count(F.lit(1)).cast("bigint").alias("n_points"),
+            F.min(F.when(F.col("n_cross") % 2 == 1, F.col("pk")))
+            .cast("bigint")
+            .alias("first_inside_key"),
+        )
+        .select(F.col("pid").cast("bigint").alias("pid"), "n_inside", "n_points", "first_inside_key")
+        .orderBy("pid")
+    )

@@ -925,3 +925,54 @@ def sql_pipe_syntax(spark: SparkSession, sf_dir: str) -> DataFrame:
     t(spark, sf_dir, "orders").createOrReplaceTempView("_pipe_orders")
     t(spark, sf_dir, "customer").createOrReplaceTempView("_pipe_customer")
     return spark.sql(_PIPE_SQL.format(orders="_pipe_orders", customer="_pipe_customer"))
+
+
+# --- sql_collation: Spark 4 collation-aware comparison semantics --------------
+
+_COLLATE_SQL = """
+    WITH mangled AS (
+        SELECT CASE c_custkey % 3
+                 WHEN 0 THEN UPPER(c_mktsegment)
+                 WHEN 1 THEN LOWER(c_mktsegment)
+                 ELSE c_mktsegment END AS seg
+        FROM {customer}
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT seg) AS BIGINT) AS n_distinct_cs,
+           CAST(COUNT(DISTINCT seg COLLATE UTF8_LCASE) AS BIGINT) AS n_distinct_ci,
+           CAST(SUM(CASE WHEN seg COLLATE UTF8_LCASE = 'building' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_building_ci
+    FROM mangled
+"""
+
+
+@register(
+    "sql_collation",
+    """
+    WITH mangled AS (
+        SELECT CASE c_custkey % 3
+                 WHEN 0 THEN UPPER(c_mktsegment)
+                 WHEN 1 THEN LOWER(c_mktsegment)
+                 ELSE c_mktsegment END AS seg
+        FROM customer
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_rows,
+           CAST(COUNT(DISTINCT seg) AS BIGINT) AS n_distinct_cs,
+           CAST(COUNT(DISTINCT LOWER(seg)) AS BIGINT) AS n_distinct_ci,
+           CAST(SUM(CASE WHEN LOWER(seg) = 'building' THEN 1 ELSE 0 END)
+                AS BIGINT) AS n_building_ci
+    FROM mangled
+    """,
+)
+def sql_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL collations (Spark 4 COLLATE): case-mangled segments counted
+    under binary semantics vs UTF8_LCASE — collation-aware DISTINCT
+    collapses the three case variants per segment and collation-aware
+    equality matches them without rewriting the data, which is the
+    point of engine-level collations vs the LOWER() scrubbing the
+    oracle must use (DuckDB default has no UTF8_LCASE). Pins that the
+    collated distinct-count and predicate semantics equal the
+    canonical-form computation. Collation compares hash-agg exactly
+    like any string — no plan change, no funnel."""
+    t(spark, sf_dir, "customer").createOrReplaceTempView("_coll_customer")
+    return spark.sql(_COLLATE_SQL.format(customer="_coll_customer"))

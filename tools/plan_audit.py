@@ -130,6 +130,7 @@ ALLOWED_CROSS = {
     "m41_naive_bayes",  # 25-row brand-frame fan-out + 1-row vocab/prior broadcasts (the NB model is a dim)
     "p26_quantile_normalization",  # broadcast 1-row cut/mid-quantile arrays (the a23 posture, twice)
     "ts10_autocorrelation",  # broadcast 1-row mean/denominator scalars onto the O(days) frame
+    "j15_point_in_polygon",  # constant 10-edge polygon fan-out broadcast (grid-prefiltered at scale)
 }
 # Local tables that are NOT data detours: explicit local-row sources,
 # fitted-model state (O(k) best params / importances), and
