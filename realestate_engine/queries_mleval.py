@@ -1222,3 +1222,126 @@ def m42_feature_hashing(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_occurrences", "net_signed_count", "example_word")
         .orderBy("bucket")
     )
+
+
+# --- M43: logistic regression via Newton/IRLS, 3 unrolled rounds --------------
+#
+# Intercept + one feature (l_quantity), label = (l_returnflag = 'R').
+# The whole fit is THREE aggregate passes: each Newton step needs only
+# five sufficient statistics (g0, g1, H00, H01, H11), and with
+# probabilities FLOOR-micro'd to integers BEFORE summation every sum
+# is an exact BIGINT (float sums would be partition-order-dependent).
+# The 2x2 solve runs in DOUBLE (H products cross 2^63) as one fixed
+# IEEE expression tree, floored back to integer micros. Unit algebra:
+# with p_micro ~ 1e6 p and w_int = p_micro(1e6-p_micro)//1e6 ~ 1e6 w,
+# both g_int and H_int carry the same 1e6 factor, so the natural-unit
+# Newton step is exactly solve(H_int, g_int) — no rescaling.
+
+_LR_ROUNDS = 3
+
+_LR_P = (
+    "CAST(FLOOR(1000000 / (1 + EXP(-(CAST(b0 AS DOUBLE)"
+    " + CAST(b1 AS DOUBLE) * x) / 1000000))) AS BIGINT)"
+)
+
+
+def _lr_step_sql(feats: str, prev: str, stats: str, nxt: str) -> str:
+    return f"""
+    {stats} AS (
+        SELECT ANY_VALUE(b.b0) AS b0, ANY_VALUE(b.b1) AS b1,
+               SUM(f.y * 1000000 - p) AS g0,
+               SUM(f.x * (f.y * 1000000 - p)) AS g1,
+               SUM(p * (1000000 - p) // 1000000) AS h00,
+               SUM(f.x * (p * (1000000 - p) // 1000000)) AS h01,
+               SUM(f.x * f.x * (p * (1000000 - p) // 1000000)) AS h11
+        FROM (SELECT x, y, {_LR_P} AS p FROM {feats} f2 CROSS JOIN {prev} b2) f
+        CROSS JOIN {prev} b
+    ),
+    {nxt} AS (
+        SELECT b0 + CAST(FLOOR((CAST(h11 AS DOUBLE) * g0 - CAST(h01 AS DOUBLE) * g1)
+               / (CAST(h00 AS DOUBLE) * h11 - CAST(h01 AS DOUBLE) * h01) * 1000000)
+               AS BIGINT) AS b0,
+               b1 + CAST(FLOOR((CAST(h00 AS DOUBLE) * g1 - CAST(h01 AS DOUBLE) * g0)
+               / (CAST(h00 AS DOUBLE) * h11 - CAST(h01 AS DOUBLE) * h01) * 1000000)
+               AS BIGINT) AS b1
+        FROM {stats}
+    )"""
+
+
+_LR_ORACLE = f"""
+    WITH feats AS MATERIALIZED (
+        SELECT CAST(l_quantity AS BIGINT) AS x,
+               CASE WHEN l_returnflag = 'R' THEN 1 ELSE 0 END AS y
+        FROM lineitem
+    ),
+    b0 AS (SELECT CAST(0 AS BIGINT) AS b0, CAST(0 AS BIGINT) AS b1),
+    {",".join(_lr_step_sql("feats", f"b{i}", f"st{i}", f"b{i + 1}") for i in range(_LR_ROUNDS))}
+    SELECT * FROM (
+        {" UNION ALL ".join(
+            f"SELECT CAST({i + 1} AS BIGINT) AS round, b0 AS b0_micro, b1 AS b1_micro FROM b{i + 1}"
+            for i in range(_LR_ROUNDS)
+        )}
+    ) ORDER BY round
+"""
+
+
+@register("m43_logreg_newton", _LR_ORACLE)
+def m43_logreg_newton(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M43: logistic regression fit by Newton-Raphson/IRLS entirely in
+    relational algebra — three unrolled Newton steps, each ONE
+    aggregate pass collecting the five sufficient statistics
+    (gradient + 2x2 Hessian) with per-row sigmoid probabilities
+    FLOOR-micro'd to integers BEFORE summation, so all sums are exact
+    BIGINT and partition-order-free; the 2x2 Cramer solve runs as one
+    fixed IEEE double tree (integer Hessian products would cross
+    2^63) and floors back to integer micro coefficients. Completes
+    the from-scratch relational-ML suite (m25 k-means, m26 OLS, m39
+    GBM, m41 NB): the canonical GLM fit with zero driver-side math —
+    every iteration is a scan + hash-agg + 1-row broadcast, the shape
+    that runs unchanged on 100 TB (MLlib's own LBFGS does the same
+    pass structure with more comms)."""
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("bigint").alias("x"),
+        F.when(F.col("l_returnflag") == "R", 1).otherwise(0).alias("y"),
+    )
+    feats = cache_once(li)
+    b = None  # current params frame (1 row: b0, b1)
+    params_rows = []
+    for i in range(_LR_ROUNDS):
+        if b is None:
+            cur = feats.select(
+                "x", "y", F.lit(0).cast("bigint").alias("b0"), F.lit(0).cast("bigint").alias("b1")
+            )
+        else:
+            cur = feats.crossJoin(F.broadcast(b))
+        scored = cur.select("x", "y", "b0", "b1", F.expr(_LR_P).alias("p"))
+        stats = scored.agg(
+            F.any_value("b0").alias("b0"),
+            F.any_value("b1").alias("b1"),
+            F.sum(F.col("y") * 1000000 - F.col("p")).alias("g0"),
+            F.sum(F.col("x") * (F.col("y") * 1000000 - F.col("p"))).alias("g1"),
+            F.sum(F.expr("p * (1000000 - p) div 1000000")).alias("h00"),
+            F.sum(F.col("x") * F.expr("p * (1000000 - p) div 1000000")).alias("h01"),
+            F.sum(F.col("x") * F.col("x") * F.expr("p * (1000000 - p) div 1000000")).alias("h11"),
+        )
+        b = stats.select(
+            F.expr(
+                "b0 + CAST(FLOOR((CAST(h11 AS DOUBLE) * g0 - CAST(h01 AS DOUBLE) * g1)"
+                " / (CAST(h00 AS DOUBLE) * h11 - CAST(h01 AS DOUBLE) * h01) * 1000000) AS BIGINT)"
+            ).alias("b0"),
+            F.expr(
+                "b1 + CAST(FLOOR((CAST(h00 AS DOUBLE) * g1 - CAST(h01 AS DOUBLE) * g0)"
+                " / (CAST(h00 AS DOUBLE) * h11 - CAST(h01 AS DOUBLE) * h01) * 1000000) AS BIGINT)"
+            ).alias("b1"),
+        )
+        params_rows.append(
+            b.select(
+                F.lit(i + 1).cast("bigint").alias("round"),
+                F.col("b0").cast("bigint").alias("b0_micro"),
+                F.col("b1").cast("bigint").alias("b1_micro"),
+            )
+        )
+    res = params_rows[0]
+    for r_ in params_rows[1:]:
+        res = res.unionByName(r_)
+    return res.orderBy("round")

@@ -441,3 +441,30 @@ def test_avi_mjpeg_container_and_error_paths():
         decode_avi_mjpeg(bytes(mutated))
     with _pytest.raises(ValueError):
         encode_avi_mjpeg(w, h, 0, frames)  # fps must be positive
+
+
+def test_logreg_newton_converges_sanely(spark, sf_dir):
+    """m43: Newton iterates must head toward the empirical log-odds
+    and successive steps must shrink."""
+    import math
+
+    import duckdb
+
+    from realestate_engine.queries_mleval import m43_logreg_newton
+
+    rows = m43_logreg_newton(spark, sf_dir).collect()
+    assert [r.round for r in rows] == [1, 2, 3]
+    # step sizes shrink (Newton is locally quadratic)
+    d1 = abs(rows[1].b0_micro - rows[0].b0_micro) + abs(rows[1].b1_micro - rows[0].b1_micro)
+    d2 = abs(rows[2].b0_micro - rows[1].b0_micro) + abs(rows[2].b1_micro - rows[1].b1_micro)
+    assert d2 < d1
+    # intercept-only sanity: the fitted mean probability at the mean x
+    # should approximate the base rate within a few points
+    base = duckdb.sql(
+        f"SELECT AVG(CASE WHEN l_returnflag = 'R' THEN 1.0 ELSE 0 END), AVG(l_quantity) "
+        f"FROM '{sf_dir}/lineitem.parquet'"
+    ).fetchone()
+    rate, mean_x = float(base[0]), float(base[1])
+    b0, b1 = rows[2].b0_micro / 1e6, rows[2].b1_micro / 1e6
+    p_at_mean = 1 / (1 + math.exp(-(b0 + b1 * mean_x)))
+    assert abs(p_at_mean - rate) < 0.05, (p_at_mean, rate)

@@ -131,6 +131,7 @@ ALLOWED_CROSS = {
     "p26_quantile_normalization",  # broadcast 1-row cut/mid-quantile arrays (the a23 posture, twice)
     "ts10_autocorrelation",  # broadcast 1-row mean/denominator scalars onto the O(days) frame
     "j15_point_in_polygon",  # constant 10-edge polygon fan-out broadcast (grid-prefiltered at scale)
+    "m43_logreg_newton",  # 1-row parameter broadcast per Newton step (the m25/m39 iterate posture)
 }
 # Local tables that are NOT data detours: explicit local-row sources,
 # fitted-model state (O(k) best params / importances), and
