@@ -19,11 +19,15 @@ mp4.py, oracle-checked ``mm_mp4_probe``); Ogg and MP3 container
 METADATA parses for REAL since round 7 (CRC-verified page walk in
 ogg.py, frame-header walk in mp3.py — oracle-checked
 ``mm_ogg_probe``/``mm_mp3_probe``), completing the audio container
-surface. Only perceptual SAMPLE decode (Vorbis/MP3 DSP) and video
-FRAME decode remain honestly stubbed behind ``NotImplementedError``
-(MDCT/psychoacoustics and video codecs need real libraries this
-container lacks); the deterministic byte-keyed
-fake covers non-image plumbing tests. Everything
+surface. Video FRAMES decode for REAL since round 7 via Motion-JPEG
+AVI (avi.py container walk + jpeg.py per-frame decode, oracle-checked
+``mm_mjpeg_avi``); GIF decodes for real too (gif.py, LZW +
+interlace, ``mm_gif_roundtrip``). Only perceptual SAMPLE decode
+(Vorbis/MP3 DSP) and INTER-frame video codecs (motion compensation)
+remain honestly stubbed behind ``NotImplementedError``
+(MDCT/psychoacoustics and H.26x need real libraries this container
+lacks); the deterministic byte-keyed fake covers non-image plumbing
+tests. Everything
 Spark-side is real either way: the binary schema, the mapInPandas
 signature, batch iteration, and the output schema contract.
 
