@@ -923,3 +923,200 @@ def graph_bfs_hops(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("hop").cast("bigint").alias("hop"), "n_nodes", "min_node", "max_node")
         .orderBy("hop")
     )
+
+
+# --- Boruvka minimum spanning forest (2 rounds, star contraction) ------------
+
+_MST_ROUNDS = 2
+_MST_JUMPS = 4  # pointer-jump passes per round (contracts depth <= 2^4)
+_MST_WMOD = 1048576  # weights live in [0, 2^20)
+
+
+def _mst_round_sql(r: int) -> str:
+    """One Boruvka round over labels l{r}: relabel edges, per-component
+    arg-min outgoing edge, 2-cycle break, 4 pointer jumps."""
+    j_chain = ",\n    ".join(
+        f"j{r}_{k} AS MATERIALIZED (SELECT a.c, b.parent FROM "
+        f"{'parx' + str(r) if k == 1 else f'j{r}_{k - 1}'} a "
+        f"JOIN {'parx' + str(r) if k == 1 else f'j{r}_{k - 1}'} b ON b.c = a.parent)"
+        for k in range(1, _MST_JUMPS + 1)
+    )
+    return f"""
+    er{r} AS (
+        SELECT la.label AS ca, lb.label AS cb, e.key, e.wsmall, e.lo, e.hi
+        FROM ek e
+        JOIN l{r} la ON la.node = e.src
+        JOIN l{r} lb ON lb.node = e.dst
+        WHERE la.label <> lb.label
+    ),
+    ch{r} AS MATERIALIZED (
+        SELECT ca AS c, ARG_MIN(cb, key) AS p, ARG_MIN(wsmall, key) AS w,
+               ARG_MIN(lo, key) AS elo, ARG_MIN(hi, key) AS ehi
+        FROM er{r} GROUP BY ca
+    ),
+    par{r} AS (
+        SELECT a.c, CASE WHEN b.p = a.c THEN LEAST(a.c, a.p) ELSE a.p END AS parent
+        FROM ch{r} a JOIN ch{r} b ON b.c = a.p
+    ),
+    parx{r} AS MATERIALIZED (
+        SELECT l.label AS c, COALESCE(p.parent, l.label) AS parent
+        FROM (SELECT DISTINCT label FROM l{r}) l
+        LEFT JOIN par{r} p ON p.c = l.label
+    ),
+    {j_chain},
+    l{r + 1} AS MATERIALIZED (
+        SELECT l.node, j.parent AS label
+        FROM l{r} l JOIN j{r}_{_MST_JUMPS} j ON j.c = l.label
+    ),
+    added{r} AS (
+        SELECT COUNT(*) AS n_edges,
+               COALESCE(SUM(w), 0) AS weight
+        FROM (SELECT DISTINCT elo, ehi, w FROM ch{r})
+    ),
+    stat{r} AS (
+        SELECT CAST({r} AS BIGINT) AS round,
+               CAST(a.n_edges AS BIGINT) AS n_edges_added,
+               CAST(a.weight AS BIGINT) AS weight_added,
+               CAST((SELECT COUNT(DISTINCT label) FROM l{r + 1}) AS BIGINT)
+                 AS n_components_after,
+               CAST((SELECT COUNT(*) FROM j{r}_{_MST_JUMPS} x
+                     JOIN j{r}_{_MST_JUMPS} y ON y.c = x.parent
+                     WHERE y.parent <> x.parent) AS BIGINT) AS not_converged
+        FROM added{r} a
+    )"""
+
+
+_MST_ORACLE = f"""
+    WITH pairs AS (
+        SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    ek AS MATERIALIZED (
+        SELECT src, dst, lo, hi, w % {_MST_WMOD} AS wsmall,
+               (w % {_MST_WMOD}) * 1099511627776 + lo * 1048576 + hi AS key
+        FROM (
+            SELECT src, dst,
+                   LEAST(src, dst) AS lo, GREATEST(src, dst) AS hi,
+                   (LEAST(src, dst) * 1000003 + GREATEST(src, dst))
+                     % 2147483647 AS w
+            FROM (
+                SELECT c AS src, s AS dst FROM pairs
+                UNION ALL
+                SELECT s AS src, c AS dst FROM pairs
+            )
+        )
+    ),
+    l0 AS MATERIALIZED (SELECT DISTINCT src AS node, src AS label FROM ek),
+    {",".join(_mst_round_sql(r) for r in range(_MST_ROUNDS))}
+    SELECT * FROM ({" UNION ALL ".join(f"SELECT * FROM stat{r}" for r in range(_MST_ROUNDS))})
+    ORDER BY round
+"""
+
+
+@register("graph_boruvka_msf", _MST_ORACLE)
+def graph_boruvka_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Boruvka minimum spanning forest over the trade graph — the
+    classic O(log n)-round distributed MST: every component picks its
+    minimum outgoing edge (deterministic total order: a 2^20 hash
+    weight with the (lo, hi) endpoint pair packed below it in one
+    BIGINT sort key), mutual choices break to the smaller component id
+    (the only cycle Boruvka can create is a 2-cycle), and components
+    contract by {j} pointer-jump passes (depth 2^{j} — convergence is
+    EMITTED AS DATA: not_converged counts non-fixed-point labels and
+    is pinned 0 in tests at every SF, so an insufficient jump budget
+    is visible, not silent). Two rounds; per round the added-edge
+    count, added weight, surviving component count, and the
+    convergence census. Scale shape: everything is node-scale
+    equi-joins against the cached packed-int edge list — per-component
+    argmin is one hash-agg, contraction is label-frame joins; no
+    all-pairs anywhere. Oracle replays both rounds as unrolled
+    MATERIALIZED CTEs.""".format(j=_MST_JUMPS)
+    edges = trade_edges(spark, sf_dir)
+    lo = F.least("src", "dst")
+    hi = F.greatest("src", "dst")
+    w = (lo * 1000003 + hi) % 2147483647
+    # Eager localCheckpoint, NOT cache_once: each pointer jump self-joins
+    # the previous frame, so a lazy plan doubles per jump (2^(rounds*jumps)
+    # analysis blow-up — the first attempt ran minutes at sf0.001 before
+    # this truncation). Same fix as dedup's connected components.
+    ek = edges.select(
+        "src",
+        "dst",
+        lo.alias("lo"),
+        hi.alias("hi"),
+        (w % _MST_WMOD).alias("wsmall"),
+        ((w % _MST_WMOD) * 1099511627776 + lo * 1048576 + hi).alias("key"),
+    ).localCheckpoint()
+    labels = ek.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    stats_rows = []
+    for r in range(_MST_ROUNDS):
+        la = labels.select(F.col("node").alias("src"), F.col("label").alias("ca"))
+        lb = labels.select(F.col("node").alias("dst"), F.col("label").alias("cb"))
+        er = (
+            ek.join(la, "src").join(lb, "dst").where(F.col("ca") != F.col("cb"))
+        )
+        ch = er.groupBy(F.col("ca").alias("c")).agg(
+            F.min_by("cb", "key").alias("p"),
+            F.min_by("wsmall", "key").alias("w"),
+            F.min_by("lo", "key").alias("elo"),
+            F.min_by("hi", "key").alias("ehi"),
+        ).localCheckpoint()
+        chb = ch.select(F.col("c").alias("b_c"), F.col("p").alias("b_p"))
+        par = ch.join(chb, F.col("b_c") == F.col("p")).select(
+            "c",
+            F.when(F.col("b_p") == F.col("c"), F.least("c", "p"))
+            .otherwise(F.col("p"))
+            .alias("parent"),
+        )
+        parx = (
+            labels.select("label").distinct()
+            .join(par, F.col("label") == F.col("c"), "left")
+            .select(
+                F.col("label").alias("c"),
+                F.coalesce("parent", F.col("label")).alias("parent"),
+            )
+            .localCheckpoint()
+        )
+        jump = parx
+        for _ in range(_MST_JUMPS):
+            nxt = jump.join(
+                jump.select(F.col("c").alias("p_c"), F.col("parent").alias("p_parent")),
+                F.col("p_c") == F.col("parent"),
+            ).select("c", F.col("p_parent").alias("parent"))
+            jump = nxt.localCheckpoint()
+        labels = (
+            labels.join(jump.select(F.col("c").alias("label"), "parent"), "label")
+            .select("node", F.col("parent").alias("label"))
+            .localCheckpoint()
+        )
+        added = ch.select("elo", "ehi", "w").distinct().agg(
+            F.count(F.lit(1)).alias("n_edges"),
+            F.coalesce(F.sum("w"), F.lit(0)).alias("weight"),
+        )
+        ncomp = labels.agg(F.countDistinct("label").alias("nc"))
+        jj = jump.select(F.col("c").alias("x_c"), F.col("parent").alias("x_parent"))
+        nonfix = (
+            jj.join(
+                jump.select(F.col("c").alias("y_c"), F.col("parent").alias("y_parent")),
+                F.col("y_c") == F.col("x_parent"),
+            )
+            .where(F.col("y_parent") != F.col("x_parent"))
+            .agg(F.count(F.lit(1)).alias("bad"))
+        )
+        stats_rows.append(
+            added.crossJoin(F.broadcast(ncomp))
+            .crossJoin(F.broadcast(nonfix))
+            .select(
+                F.lit(r).cast("bigint").alias("round"),
+                F.col("n_edges").cast("bigint").alias("n_edges_added"),
+                F.col("weight").cast("bigint").alias("weight_added"),
+                F.col("nc").cast("bigint").alias("n_components_after"),
+                F.col("bad").cast("bigint").alias("not_converged"),
+            )
+        )
+    res = stats_rows[0]
+    for s_ in stats_rows[1:]:
+        res = res.unionByName(s_)
+    return res.orderBy("round")

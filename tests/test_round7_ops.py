@@ -468,3 +468,21 @@ def test_logreg_newton_converges_sanely(spark, sf_dir):
     b0, b1 = rows[2].b0_micro / 1e6, rows[2].b1_micro / 1e6
     p_at_mean = 1 / (1 + math.exp(-(b0 + b1 * mean_x)))
     assert abs(p_at_mean - rate) < 0.05, (p_at_mean, rate)
+
+
+def test_boruvka_msf_invariants(spark, sf_dir):
+    """graph_boruvka_msf: forest edge-count algebra must hold —
+    cumulative edges = n_nodes - n_components_after — and every
+    round's contraction must report full convergence."""
+    from realestate_engine.graph import graph_boruvka_msf, trade_edges
+
+    rows = graph_boruvka_msf(spark, sf_dir).collect()
+    n_nodes = trade_edges(spark, sf_dir).select("src").distinct().count()
+    assert all(r.not_converged == 0 for r in rows)
+    cum = 0
+    for r in rows:
+        cum += r.n_edges_added
+        # a spanning forest never carries more edges than nodes-minus-components
+        assert cum == n_nodes - r.n_components_after, (cum, n_nodes, r)
+    assert rows[-1].n_components_after >= 1
+    assert all(r.weight_added >= 0 for r in rows)

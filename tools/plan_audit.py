@@ -132,6 +132,7 @@ ALLOWED_CROSS = {
     "ts10_autocorrelation",  # broadcast 1-row mean/denominator scalars onto the O(days) frame
     "j15_point_in_polygon",  # constant 10-edge polygon fan-out broadcast (grid-prefiltered at scale)
     "m43_logreg_newton",  # 1-row parameter broadcast per Newton step (the m25/m39 iterate posture)
+    "graph_boruvka_msf",  # cross join of three 1-row per-round stat aggregates
 }
 # Local tables that are NOT data detours: explicit local-row sources,
 # fitted-model state (O(k) best params / importances), and
@@ -148,6 +149,7 @@ ALLOWED_LOCAL = {
     "dedup_clusters",  # iterative propagation localCheckpoints each round
     "dedup_clusters_twostar",  # two-star contraction localCheckpoints each phase
     "graph_kcore",  # bounded-round peel localCheckpoints each round
+    "graph_boruvka_msf",  # Boruvka contraction localCheckpoints each jump (plan doubles per self-join otherwise)
     "dedup_canonical_selection",  # builds on dedup_clusters' checkpointed lineage
     "dedup_leakage_safe_split",  # builds on dedup_clusters' checkpointed lineage
     "dedup_pipeline_summary",  # checkpointed clustering lineage; joins four 1-row stat frames
