@@ -1458,3 +1458,83 @@ def ev19_sprt_user(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# --- EV20: MATCH_RECOGNIZE-style sequence pattern matching --------------------
+#
+# Event-type alphabet: s=signup, v=view, c=click, p=purchase, e=error.
+# Pattern 'sv+p' = signup, one-or-more views, purchase — the activation
+# funnel with STRICT contiguity (no intervening events), which plain
+# funnel queries (ev6) cannot express.
+
+_SEQ_PAT = "sv+p"
+_SEQ_SYM = (
+    "CASE event_type WHEN 'signup' THEN 's' WHEN 'view' THEN 'v' "
+    "WHEN 'click' THEN 'c' WHEN 'purchase' THEN 'p' ELSE 'e' END"
+)
+
+
+@register(
+    "ev20_sequence_pattern_match",
+    f"""
+    WITH seq AS (
+        SELECT user_id,
+               STRING_AGG({_SEQ_SYM}, '' ORDER BY ts, event_id) AS s
+        FROM events GROUP BY user_id
+    )
+    SELECT user_id,
+           CAST(LEN(s) AS BIGINT) AS n_events,
+           CAST(LEN(REGEXP_EXTRACT_ALL(s, '{_SEQ_PAT}')) AS BIGINT) AS n_matches,
+           CAST(CASE WHEN LEN(REGEXP_EXTRACT_ALL(s, '{_SEQ_PAT}')) > 0
+                     THEN LEN(REGEXP_EXTRACT(s, '^(.*?){_SEQ_PAT}', 1)) + 1
+                     ELSE 0 END AS BIGINT) AS first_match_pos,
+           SUBSTR(MD5(s), 1, 8) AS seq_fingerprint
+    FROM seq ORDER BY user_id
+    """,
+)
+def ev20_sequence_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EV20: sequence pattern matching over event streams — the
+    MATCH_RECOGNIZE idea (SQL:2016 row-pattern recognition) in its
+    portable poor-man's form: each user's time-ordered events collapse
+    to a symbol string (deterministic ORDER BY ts, event_id
+    aggregation), and the pattern 'sv+p' (signup, >=1 CONTIGUOUS
+    views, purchase — strict adjacency, which set-based funnels like
+    ev6 cannot state) runs as a plain regex: non-overlapping match
+    count, first match position (prefix-capture length — identical
+    leftmost-match semantics in RE2 and Java regex for backreference-
+    free patterns), and an md5 fingerprint pinning the full sequence
+    construction. Scale: one groupBy-user shuffle; per-user strings
+    are bounded by per-user activity (the same contract as every
+    applyInPandas recurrence here) and the regex is codegen'd
+    JVM-side — no Python. For unbounded histories you'd window the
+    string by session (ts_sessionize_gap) first."""
+    ev = t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
+    seq = (
+        ev.select("user_id", F.struct("ts", "event_id").alias("k"), F.expr(_SEQ_SYM).alias("sym"))
+        .groupBy("user_id")
+        .agg(
+            F.array_join(
+                F.transform(
+                    F.array_sort(F.collect_list(F.struct(F.col("k"), F.col("sym")))),
+                    lambda x: x.sym,
+                ),
+                "",
+            ).alias("s")
+        )
+    )
+    return seq.select(
+        "user_id",
+        F.length("s").cast("bigint").alias("n_events"),
+        F.size(F.expr(f"regexp_extract_all(s, '{_SEQ_PAT}', 0)")).cast("bigint").alias("n_matches"),
+        # Spark regexp_extract returns '' (not NULL) on no match, so the
+        # position must be gated on an explicit match-exists test or
+        # non-matching users would read position 1 here and 0 in DuckDB.
+        F.when(
+            F.size(F.expr(f"regexp_extract_all(s, '{_SEQ_PAT}', 0)")) > 0,
+            F.length(F.regexp_extract("s", f"^(.*?){_SEQ_PAT}", 1)) + 1,
+        )
+        .otherwise(0)
+        .cast("bigint")
+        .alias("first_match_pos"),
+        F.substring(F.md5("s"), 1, 8).alias("seq_fingerprint"),
+    ).orderBy("user_id")
