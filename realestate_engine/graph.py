@@ -1120,3 +1120,127 @@ def graph_boruvka_msf(spark: SparkSession, sf_dir: str) -> DataFrame:
     for s_ in stats_rows[1:]:
         res = res.unionByName(s_)
     return res.orderBy("round")
+
+
+# --- Deterministic random walks (hash-keyed next-hop sampling) ----------------
+
+_WALK_STEPS = 3
+
+
+def _walk_step_sql(r: int) -> str:
+    """Next hop from w{r}: per walk, the out-edge minimizing the
+    step-keyed portable hash — a deterministic stand-in for uniform
+    next-hop sampling that both engines replay."""
+    return f"""
+    w{r + 1} AS (
+        SELECT w.start_node,
+               ARG_MIN(e.dst, ('0x' || SUBSTR(MD5(
+                   CAST(e.src AS VARCHAR) || '_' || CAST(e.dst AS VARCHAR)
+                   || '_' || '{r}'), 1, 8))::BIGINT) AS node
+        FROM w{r} w JOIN ek2 e ON e.src = w.node
+        GROUP BY w.start_node
+    )"""
+
+
+_WALK_ORACLE = f"""
+    WITH pairs AS (
+        SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    ek2 AS MATERIALIZED (
+        SELECT c AS src, s AS dst FROM pairs
+        UNION ALL
+        SELECT s AS src, c AS dst FROM pairs
+    ),
+    w0 AS (
+        SELECT DISTINCT src AS start_node, src AS node FROM ek2
+        WHERE src % 2 = 1 AND src // 2 <= 10
+    ),
+    {",".join(_walk_step_sql(r) for r in range(_WALK_STEPS))}
+    SELECT w0.start_node,
+           CAST(w1.node AS BIGINT) AS hop1,
+           CAST(w2.node AS BIGINT) AS hop2,
+           CAST(w3.node AS BIGINT) AS hop3,
+           CAST(1 + (w1.node <> w0.start_node)::INT
+                  + (w2.node <> w0.start_node AND w2.node <> w1.node)::INT
+                  + (w3.node <> w0.start_node AND w3.node <> w1.node
+                     AND w3.node <> w2.node)::INT AS BIGINT) AS n_distinct_visited
+    FROM w0 JOIN w1 USING (start_node) JOIN w2 USING (start_node)
+    JOIN w3 USING (start_node)
+    ORDER BY start_node
+"""
+
+
+@register("graph_deterministic_walks", _WALK_ORACLE)
+def graph_deterministic_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Deterministic random walks over the trade graph — the sampling
+    primitive under node2vec/DeepWalk-style graph embeddings and
+    negative-sampling pipelines, made REPLAYABLE: the next hop from u
+    at step t is the out-neighbor minimizing the portable md5 hash of
+    (u, v, t) — distributionally arbitrary like a seeded RNG, but a
+    pure function of the edge and step, so the walk is an exact
+    cross-engine fixed point (seeded RNG walks cannot carry an oracle;
+    this is the t24 Efraimidis-Spirakis trick applied to walks).
+    Three steps from each low-id supplier; emits the path and its
+    distinct-visit count (revisits happen — the walk is not
+    self-avoiding, visible as data). Scale: each step is ONE
+    equi-join of the walk frontier against the cached edge list +
+    a per-walk argmin hash-agg — walk count scales embarrassingly,
+    step count linearly; the 100 TB corpus walk is this exact plan
+    with a frontier of billions."""
+    edges = cache_once(trade_edges(spark, sf_dir))
+    starts = (
+        edges.select("src").distinct()
+        .where((F.col("src") % 2 == 1) & (F.expr("src div 2") <= 10))
+        .select(F.col("src").alias("start_node"), F.col("src").alias("node"))
+    )
+    hops = [starts]
+    for r in range(_WALK_STEPS):
+        cur = hops[-1].select("start_node", "node")
+        step_hash = F.conv(
+            F.substring(
+                F.md5(
+                    F.concat(
+                        F.col("src").cast("string"),
+                        F.lit("_"),
+                        F.col("dst").cast("string"),
+                        F.lit("_"),
+                        F.lit(str(r)),
+                    )
+                ),
+                1,
+                8,
+            ),
+            16,
+            10,
+        ).cast("long")
+        nxt = (
+            cur.join(edges, cur.node == edges.src)
+            .groupBy("start_node")
+            .agg(F.min_by("dst", step_hash).alias("node"))
+        )
+        hops.append(nxt)
+    w0, w1, w2, w3 = (
+        hops[0].select("start_node"),
+        hops[1].select("start_node", F.col("node").alias("hop1")),
+        hops[2].select("start_node", F.col("node").alias("hop2")),
+        hops[3].select("start_node", F.col("node").alias("hop3")),
+    )
+    joined = w0.join(w1, "start_node").join(w2, "start_node").join(w3, "start_node")
+    n_dist = (
+        F.lit(1)
+        + (F.col("hop1") != F.col("start_node")).cast("int")
+        + ((F.col("hop2") != F.col("start_node")) & (F.col("hop2") != F.col("hop1"))).cast("int")
+        + (
+            (F.col("hop3") != F.col("start_node"))
+            & (F.col("hop3") != F.col("hop1"))
+            & (F.col("hop3") != F.col("hop2"))
+        ).cast("int")
+    )
+    return joined.select(
+        "start_node",
+        F.col("hop1").cast("bigint").alias("hop1"),
+        F.col("hop2").cast("bigint").alias("hop2"),
+        F.col("hop3").cast("bigint").alias("hop3"),
+        n_dist.cast("bigint").alias("n_distinct_visited"),
+    ).orderBy("start_node")
