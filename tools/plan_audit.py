@@ -133,6 +133,7 @@ ALLOWED_CROSS = {
     "j15_point_in_polygon",  # constant 10-edge polygon fan-out broadcast (grid-prefiltered at scale)
     "m43_logreg_newton",  # 1-row parameter broadcast per Newton step (the m25/m39 iterate posture)
     "graph_boruvka_msf",  # cross join of three 1-row per-round stat aggregates
+    "a46_heavy_hitters_two_phase",  # <=5-row truth-frame rank self-join + 1-row candidate-count broadcast
 }
 # Local tables that are NOT data detours: explicit local-row sources,
 # fitted-model state (O(k) best params / importances), and
