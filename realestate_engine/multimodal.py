@@ -1891,3 +1891,102 @@ def mm_mjpeg_avi(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+# --- mm_tiff_probe: REAL TIFF/EXIF-style IFD walk (both byte orders) ----------
+
+
+@register(
+    "mm_tiff_probe",
+    """
+    WITH params AS (
+      SELECT doc_id,
+             8 + (doc_id % 5) * 4 AS width,
+             4 + (doc_id % 3) * 6 AS height,
+             1 + (doc_id % 8) AS orientation,
+             doc_id % 2 = 1 AS big_endian
+      FROM documents WHERE doc_id < 48
+    ),
+    px AS (
+      SELECT p.doc_id, p.width, p.height, p.orientation, p.big_endian,
+             (p.doc_id * 11 + i.i * 7) % 256 AS v
+      FROM params p
+      JOIN (SELECT UNNEST(RANGE(0, 448)) AS i) i ON i.i < p.width * p.height
+    )
+    SELECT doc_id,
+           CAST(width AS INTEGER) AS width,
+           CAST(height AS INTEGER) AS height,
+           CAST(orientation AS INTEGER) AS orientation,
+           big_endian,
+           'cam-' || CAST(doc_id % 4 AS VARCHAR) AS make,
+           CAST(9 AS INTEGER) AS n_ifd_entries,
+           CAST(SUM(v) AS BIGINT) AS strip_sum
+    FROM px
+    GROUP BY doc_id, width, height, orientation, big_endian
+    ORDER BY doc_id
+    """,
+)
+def mm_tiff_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL TIFF metadata probe — the IFD structure that also carries
+    EXIF inside JPEG APP1: per doc a single-strip grayscale classic
+    TIFF is encoded with doc-cycled dimensions, orientation 1..8, and
+    BOTH byte orders (odd docs write 'MM' big-endian — the classic
+    TIFF interop trap, exercised distributed), then strictly re-parsed
+    by tiff.py's IFD walk: typed tag entries, the value-or-offset
+    rule (ASCII Make/DateTime live behind offsets; SHORTs pack into
+    the first bytes of the inline slot, byte-order-sensitive), strip
+    geometry validation. Emits the parsed header facts plus the strip
+    checksum; the oracle recomputes all of it analytically, so a
+    byte-order slip, a mis-sized inline read, or a wrong offset flips
+    the hash. At 100 TB this orientation/timestamp pass is what runs
+    BEFORE any pixel decode spins up — metadata-only, column-pruned,
+    embarrassingly parallel."""
+    from realestate_engine.tiff import decode_tiff, encode_tiff
+
+    def probe(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w = 8 + (d % 5) * 4
+                h = 4 + (d % 3) * 6
+                orient = 1 + (d % 8)
+                px = bytes((d * 11 + i * 7) % 256 for i in range(w * h))
+                out = decode_tiff(
+                    encode_tiff(
+                        w, h, px,
+                        orientation=orient,
+                        make=f"cam-{d % 4}",
+                        big_endian=(d % 2 == 1),
+                    )
+                )
+                rows.append(
+                    (
+                        d,
+                        out["width"],
+                        out["height"],
+                        out["orientation"],
+                        out["big_endian"],
+                        out["make"],
+                        out["n_ifd_entries"],
+                        sum(out["pixels"]),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "orientation",
+                    "big_endian", "make", "n_ifd_entries", "strip_sum",
+                ],
+            )
+
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 48).select("doc_id")
+    return (
+        d.repartition(8, "doc_id")
+        .mapInPandas(
+            probe,
+            "doc_id long, width int, height int, orientation int, big_endian boolean, "
+            "make string, n_ifd_entries int, strip_sum bigint",
+        )
+        .orderBy("doc_id")
+    )

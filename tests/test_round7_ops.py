@@ -486,3 +486,33 @@ def test_boruvka_msf_invariants(spark, sf_dir):
         assert cum == n_nodes - r.n_components_after, (cum, n_nodes, r)
     assert rows[-1].n_components_after >= 1
     assert all(r.weight_added >= 0 for r in rows)
+
+
+def test_tiff_codec_byte_orders_and_errors():
+    """tiff.py: II/MM round trips, offset vs inline values, strict
+    errors, BigTIFF gate."""
+    import struct
+
+    import pytest as _pytest
+
+    from realestate_engine.tiff import decode_tiff, encode_tiff
+
+    for be in (False, True):
+        px = bytes((i * 3 + 1) % 256 for i in range(12 * 5))
+        out = decode_tiff(
+            encode_tiff(12, 5, px, orientation=6, make="x", big_endian=be)
+        )
+        assert (out["width"], out["height"], out["orientation"]) == (12, 5, 6)
+        assert out["pixels"] == px and out["big_endian"] == be and out["make"] == "x"
+
+    blob = encode_tiff(4, 4, bytes(16))
+    with _pytest.raises(ValueError, match="byte-order"):
+        decode_tiff(b"XX" + blob[2:])
+    with _pytest.raises(ValueError):
+        decode_tiff(blob[:20])
+    big = bytearray(blob)
+    struct.pack_into("<H", big, 2, 43)
+    with _pytest.raises(NotImplementedError):
+        decode_tiff(bytes(big))
+    with _pytest.raises(ValueError):
+        encode_tiff(4, 4, bytes(15))  # pixel-count mismatch
