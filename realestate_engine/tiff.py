@@ -71,7 +71,9 @@ def encode_tiff(
     ptrs = []
     pos = ptr_area
     for e in entries:
-        if isinstance(e[3], tuple) and e[3][0] == "ptr":
+        # spec: values whose total size fits in 4 bytes are stored
+        # INLINE in the value slot, never behind an offset
+        if isinstance(e[3], tuple) and e[3][0] == "ptr" and len(e[3][1]) > 4:
             ptrs.append((e, pos))
             pos += len(e[3][1]) + (len(e[3][1]) % 2)
     strip_at = pos
@@ -80,8 +82,12 @@ def encode_tiff(
     for e in entries:
         tag, typ, cnt, val = e
         if isinstance(val, tuple) and val[0] == "ptr":
-            at = next(p for ee, p in ptrs if ee is e)
-            out.extend(struct.pack(f"{bo}HHII", tag, typ, cnt, at))
+            if len(val[1]) <= 4:
+                out.extend(struct.pack(f"{bo}HHI", tag, typ, cnt))
+                out.extend(val[1].ljust(4, b"\x00"))
+            else:
+                at = next(p for ee, p in ptrs if ee is e)
+                out.extend(struct.pack(f"{bo}HHII", tag, typ, cnt, at))
         elif isinstance(val, tuple) and val[0] == "strip":
             out.extend(struct.pack(f"{bo}HHII", tag, typ, cnt, strip_at))
         elif typ == _T_SHORT:
