@@ -1391,3 +1391,90 @@ def f29_soundex_blocking(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("n_words"), "sdx")
         .limit(25)
     )
+
+
+# --- F30: Luhn check-digit validation -----------------------------------------
+#
+# Account numbers synthesized from custkeys (11 digits + the CORRECT
+# Luhn check digit for custkey % 3 != 0, an off-by-one corrupted digit
+# otherwise) — so the validator provably separates the planted
+# populations. The Luhn sum is computed positionally with shared
+# arithmetic: from the RIGHT, double every second digit, subtract 9
+# above 9.
+
+
+def _luhn_sql(col: str) -> str:
+    """Luhn sum of an 11-digit string + check digit = valid iff % 10 == 0.
+    Positions are 1-based from the LEFT over a fixed 12-digit layout,
+    so odd left positions are the doubled ones."""
+    terms = []
+    for i in range(1, 13):
+        d = f"CAST(SUBSTR({col}, {i}, 1) AS BIGINT)"
+        if i % 2 == 1:  # doubled lane for a 12-digit number
+            terms.append(f"(CASE WHEN {d} * 2 > 9 THEN {d} * 2 - 9 ELSE {d} * 2 END)")
+        else:
+            terms.append(d)
+    return " + ".join(terms)
+
+
+@register(
+    "f30_luhn_check",
+    f"""
+    WITH acct AS (
+        SELECT c_custkey,
+               LPAD(CAST(c_custkey * 97 + 11 AS VARCHAR), 11, '0') AS body
+        FROM customer
+    ),
+    with_check AS (
+        SELECT c_custkey,
+               body || CAST(
+                 CASE WHEN c_custkey % 3 <> 0
+                      THEN (10 - ({_luhn_sql("body || '0'")}) % 10) % 10
+                      ELSE ((10 - ({_luhn_sql("body || '0'")}) % 10) % 10 + 1) % 10
+                 END AS VARCHAR) AS acct_no
+        FROM acct
+    )
+    SELECT ({_luhn_sql("acct_no")}) % 10 = 0 AS luhn_valid,
+           CAST(COUNT(*) AS BIGINT) AS n,
+           CAST(MIN(c_custkey) AS BIGINT) AS min_key,
+           CAST(MAX(c_custkey) AS BIGINT) AS max_key
+    FROM with_check
+    GROUP BY 1 ORDER BY 1
+    """,
+)
+def f30_luhn_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """F30: Luhn (mod-10) check-digit validation — the checksum behind
+    card/IMEI/account identifiers and a standard ingest data-quality
+    gate. Account numbers are synthesized per customer with the TRUE
+    Luhn check digit for 2/3 of keys and an off-by-one corruption for
+    the rest, so the validator's output census (valid vs invalid
+    populations, with key ranges) proves it separates them exactly.
+    The digit-doubling sum is 12 shared SUBSTR/CASE terms — fixed
+    expression text both engines codegen; no UDF, no loop. Scale:
+    map-only projection + one 2-group hash agg."""
+    c = t(spark, sf_dir, "customer").select("c_custkey")
+    acct = c.select(
+        "c_custkey",
+        F.lpad((F.col("c_custkey") * 97 + 11).cast("string"), 11, "0").alias("body"),
+    )
+    body0 = _luhn_sql("body || '0'")
+    check_expr = f"(10 - ({body0}) % 10) % 10"
+    with_check = acct.select(
+        "c_custkey",
+        F.expr(
+            f"body || CAST(CASE WHEN c_custkey % 3 <> 0 THEN {check_expr} "
+            f"ELSE ({check_expr} + 1) % 10 END AS STRING)"
+        ).alias("acct_no"),
+    )
+    return (
+        with_check.select(
+            "c_custkey", F.expr(f"({_luhn_sql('acct_no')}) % 10 = 0").alias("luhn_valid")
+        )
+        .groupBy("luhn_valid")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.min("c_custkey").cast("bigint").alias("min_key"),
+            F.max("c_custkey").cast("bigint").alias("max_key"),
+        )
+        .orderBy("luhn_valid")
+    )

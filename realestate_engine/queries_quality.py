@@ -1016,3 +1016,75 @@ def p26_quantile_normalization(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# --- DQ21: cross-table financial reconciliation --------------------------------
+
+
+@register(
+    "dq21_order_reconciliation",
+    """
+    WITH li AS (
+        SELECT l_orderkey,
+               SUM(CAST(ROUND(l_extendedprice * (1 - l_discount)
+                              * (1 + l_tax) * 100) AS BIGINT)) AS li_cents
+        FROM lineitem GROUP BY l_orderkey
+    ),
+    rec AS (
+        SELECT o.o_orderkey,
+               CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS o_cents,
+               li.li_cents,
+               CAST(ROUND(o.o_totalprice * 100) AS BIGINT) - li.li_cents AS gap_cents
+        FROM orders o JOIN li ON li.l_orderkey = o.o_orderkey
+    )
+    SELECT CASE WHEN gap_cents = 0 THEN 'exact'
+                WHEN ABS(gap_cents) * 100 <= o_cents THEN 'within_1pct'
+                ELSE 'divergent' END AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_orders,
+           CAST(MIN(gap_cents) AS BIGINT) AS min_gap_cents,
+           CAST(MAX(gap_cents) AS BIGINT) AS max_gap_cents,
+           CAST(SUM(ABS(gap_cents)) AS BIGINT) AS total_abs_gap_cents
+    FROM rec GROUP BY 1 ORDER BY bucket
+    """,
+)
+def dq21_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ21: cross-table financial reconciliation — the month-end-close
+    audit: does each order header's total equal the sum of its line
+    items' extended * (1-discount) * (1+tax)? One per-order rollup,
+    one header join, and a gap census (exact / within-1% / divergent,
+    with min/max/total absolute gaps) — the drill-down starting point
+    when books don't balance. All money exact integer cents under ONE
+    stated rounding policy (ROUND per line, both engines' half-up
+    agrees on cent values); whatever relationship the data actually
+    has is REPORTED, not assumed — on this synthetic testdata the
+    census itself documents how the generator priced orders. Scale:
+    fact-fact equi-join on the order key, partial-agg rollup first;
+    the census frame is 3 rows at any data size."""
+    li = t(spark, sf_dir, "lineitem").groupBy("l_orderkey").agg(
+        F.sum(
+            F.round(
+                F.col("l_extendedprice") * (1 - F.col("l_discount")) * (1 + F.col("l_tax")) * 100
+            ).cast("bigint")
+        ).alias("li_cents")
+    )
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", F.round(F.col("o_totalprice") * 100).cast("bigint").alias("o_cents")
+    )
+    rec = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        "o_cents", (F.col("o_cents") - F.col("li_cents")).alias("gap_cents")
+    )
+    bucket = (
+        F.when(F.col("gap_cents") == 0, "exact")
+        .when(F.abs(F.col("gap_cents")) * 100 <= F.col("o_cents"), "within_1pct")
+        .otherwise("divergent")
+    )
+    return (
+        rec.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_orders"),
+            F.min("gap_cents").cast("bigint").alias("min_gap_cents"),
+            F.max("gap_cents").cast("bigint").alias("max_gap_cents"),
+            F.sum(F.abs(F.col("gap_cents"))).cast("bigint").alias("total_abs_gap_cents"),
+        )
+        .orderBy("bucket")
+    )
