@@ -1345,3 +1345,88 @@ def m43_logreg_newton(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r_ in params_rows[1:]:
         res = res.unionByName(r_)
     return res.orderBy("round")
+
+
+# --- M44: PCA leading component, closed form (2x2 eigenproblem) ---------------
+
+
+@register(
+    "m44_pca_closed_form",
+    """
+    WITH feats AS (
+        SELECT CAST(l_quantity AS BIGINT) AS x,
+               CAST(ROUND(l_discount * 1000) AS BIGINT) AS y
+        FROM lineitem
+    ),
+    m AS (
+        SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * x) AS sxx, SUM(x * y) AS sxy, SUM(y * y) AS syy
+        FROM feats
+    ),
+    cov AS (
+        SELECT n,
+               CAST(n * sxx - sx * sx AS DOUBLE) AS a,
+               CAST(n * sxy - sx * sy AS DOUBLE) AS b,
+               CAST(n * syy - sy * sy AS DOUBLE) AS c
+        FROM m
+    )
+    SELECT CAST(n AS BIGINT) AS n,
+           CAST(FLOOR(((a + c) / 2 + SQRT(((a - c) / 2) * ((a - c) / 2) + b * b))
+                      / (a + c) * 1000000) AS BIGINT) AS var_explained_micro,
+           CAST(FLOOR(b / SQRT(b * b + ((a + c) / 2
+                      + SQRT(((a - c) / 2) * ((a - c) / 2) + b * b) - a)
+                      * ((a + c) / 2 + SQRT(((a - c) / 2) * ((a - c) / 2) + b * b) - a))
+                      * 1000000) AS BIGINT) AS v1_micro,
+           CAST(FLOOR(((a + c) / 2 + SQRT(((a - c) / 2) * ((a - c) / 2) + b * b) - a)
+                      / SQRT(b * b + ((a + c) / 2
+                      + SQRT(((a - c) / 2) * ((a - c) / 2) + b * b) - a)
+                      * ((a + c) / 2 + SQRT(((a - c) / 2) * ((a - c) / 2) + b * b) - a))
+                      * 1000000) AS BIGINT) AS v2_micro
+    FROM cov
+    """,
+)
+def m44_pca_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M44: exact leading principal component of the 2-feature
+    (quantity, milli-discount) covariance — the 2x2 eigenproblem has
+    the closed form lambda = (a+c)/2 + sqrt(((a-c)/2)^2 + b^2) with
+    eigenvector (b, lambda - a), so the whole PCA is ONE moment
+    aggregate (five exact BIGINT sums via the n*Sxy - Sx*Sy scaled
+    form — no float means subtracted) followed by scalar IEEE
+    arithmetic floored to micros: explained-variance share and the
+    unit eigenvector, bit-equal across engines because every double
+    op sits in one fixed expression tree. The closed-form sibling of
+    sim_pca_topk's MLlib path and the eigen-analysis the m26/m43
+    moment discipline was built for. Scale: one scan, one 1-row
+    frame; the 'fit' never touches rows again."""
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("bigint").alias("x"),
+        F.round(F.col("l_discount") * 1000).cast("bigint").alias("y"),
+    )
+    m = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+        F.sum(F.col("y") * F.col("y")).alias("syy"),
+    )
+    cov = m.select(
+        "n",
+        F.expr("CAST(n * sxx - sx * sx AS DOUBLE)").alias("a"),
+        F.expr("CAST(n * sxy - sx * sy AS DOUBLE)").alias("b"),
+        F.expr("CAST(n * syy - sy * sy AS DOUBLE)").alias("c"),
+    )
+    lam = "((a + c) / 2 + SQRT(((a - c) / 2) * ((a - c) / 2) + b * b))"
+    return cov.select(
+        F.col("n").cast("bigint").alias("n"),
+        F.expr(f"CAST(FLOOR({lam} / (a + c) * 1000000) AS BIGINT)").alias(
+            "var_explained_micro"
+        ),
+        F.expr(
+            f"CAST(FLOOR(b / SQRT(b * b + ({lam} - a) * ({lam} - a)) * 1000000) AS BIGINT)"
+        ).alias("v1_micro"),
+        F.expr(
+            f"CAST(FLOOR(({lam} - a) / SQRT(b * b + ({lam} - a) * ({lam} - a)) * 1000000)"
+            " AS BIGINT)"
+        ).alias("v2_micro"),
+    )

@@ -976,3 +976,40 @@ def sql_collation(spark: SparkSession, sf_dir: str) -> DataFrame:
     like any string — no plan change, no funnel."""
     t(spark, sf_dir, "customer").createOrReplaceTempView("_coll_customer")
     return spark.sql(_COLLATE_SQL.format(customer="_coll_customer"))
+
+
+# --- sql_lateral_join: correlated LATERAL subquery ----------------------------
+
+_LATERAL_SQL = """
+    SELECT n.n_name AS nation,
+           t.c_name AS top_customer,
+           t.cents AS balance_cents
+    FROM {nation} n,
+    LATERAL (
+        SELECT c.c_name, CAST(ROUND(c.c_acctbal * 100) AS BIGINT) AS cents
+        FROM {customer} c
+        WHERE c.c_nationkey = n.n_nationkey
+        ORDER BY cents DESC, c.c_name
+        LIMIT 1
+    ) t
+    ORDER BY nation
+"""
+
+
+@register(
+    "sql_lateral_join",
+    _LATERAL_SQL.format(nation="nation", customer="customer"),
+)
+def sql_lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """SQL LATERAL correlated subquery (Spark 4 supports the ANSI
+    form): per nation, the top customer by balance via a correlated
+    ordered-LIMIT subquery — the SQL-surface twin of j7's DataFrame
+    lateral top-k. The EXACT same text runs on DuckDB as the oracle
+    (both engines speak LATERAL), so this pins not just acceptance of
+    the syntax but decorrelation semantics: Catalyst rewrites the
+    correlated limit into a window/aggregate plan rather than
+    re-executing the subquery per row — per-nation top-1 at 100 TB is
+    one shuffle, not |nation| scans."""
+    t(spark, sf_dir, "nation").createOrReplaceTempView("_lat_nation")
+    t(spark, sf_dir, "customer").createOrReplaceTempView("_lat_customer")
+    return spark.sql(_LATERAL_SQL.format(nation="_lat_nation", customer="_lat_customer"))
