@@ -1013,3 +1013,49 @@ def sql_lateral_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     t(spark, sf_dir, "nation").createOrReplaceTempView("_lat_nation")
     t(spark, sf_dir, "customer").createOrReplaceTempView("_lat_customer")
     return spark.sql(_LATERAL_SQL.format(nation="_lat_nation", customer="_lat_customer"))
+
+
+# --- S25: recursive directory discovery + glob-filtered scan -------------------
+
+
+@register(
+    "s25_recursive_glob_scan",
+    """
+    SELECT r_name,
+           CAST(COUNT(*) * 2 AS BIGINT) AS n_rows_both_layouts,
+           CAST(COUNT(*) AS BIGINT) AS n_rows_archive_only
+    FROM region
+    GROUP BY r_name ORDER BY r_name
+    """,
+)
+def s25_recursive_glob_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S25: recursive file discovery with glob filtering — the lake
+    hygiene pair every multi-team bucket needs: region is written
+    under TWO nesting conventions (year=2024/month=01/live/ and
+    archive/deep/nested/), then read back (a) with recursiveFileLookup
+    (partition-structure-agnostic full discovery — both copies) and
+    (b) with pathGlobFilter + recursion pinning only the archive
+    basename pattern. Emits per-region counts under each discovery
+    mode; the oracle states them from the base table (2x and 1x). At
+    100 TB discovery cost is driven by listing parallelism, not data
+    size — Spark's InMemoryFileIndex lists in parallel, and the glob
+    prunes BEFORE any footer read."""
+    base = stable_tmp("s25_layout")
+    r = t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    r.write.mode("overwrite").parquet(f"{base}/year=2024/month=01/live")
+    r.write.mode("overwrite").option("compression", "snappy").parquet(
+        f"{base}/archive/deep/nested"
+    )
+    all_rows = (
+        spark.read.option("recursiveFileLookup", "true").parquet(base)
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows_both_layouts"))
+    )
+    archive_only = (
+        spark.read.option("recursiveFileLookup", "true")
+        .option("pathGlobFilter", "*.parquet")
+        .parquet(f"{base}/archive")
+        .groupBy("r_name")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows_archive_only"))
+    )
+    return all_rows.join(archive_only, "r_name").orderBy("r_name")
