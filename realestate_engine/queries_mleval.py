@@ -1430,3 +1430,121 @@ def m44_pca_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS BIGINT)"
         ).alias("v2_micro"),
     )
+
+
+# --- M45: EM for a two-component Gaussian mixture (soft k-means form) ---------
+#
+# Feature: x = l_quantity + 100*(l_orderkey % 2) — PLANTED bimodality
+# (modes near 25 and 125), so EM has something real to find. Known
+# equal variances (sigma^2 = 400) and weights, so the E-step
+# responsibility is one sigmoid of the squared-distance difference
+# and the M-step is two weighted means — the canonical EM structure
+# with every cross-engine hazard removed: responsibilities are
+# FLOOR-micro'd per row BEFORE summation (exact BIGINT sums), and
+# each M-step mean is ONE IEEE division floored back to micros.
+
+_EM_ROUNDS = 2
+_EM_MU1_0 = 10_000_000   # micro units: start means 10 and 140
+_EM_MU2_0 = 140_000_000
+_EM_TWO_SSQ = 800.0e12   # 2 * sigma^2 * 1e12 (micro^2 scaling)
+
+_EM_R = (
+    "CAST(FLOOR(1000000 / (1 + EXP(-("
+    "CAST((x * 1000000 - mu2) AS DOUBLE) * CAST((x * 1000000 - mu2) AS DOUBLE)"
+    " - CAST((x * 1000000 - mu1) AS DOUBLE) * CAST((x * 1000000 - mu1) AS DOUBLE)"
+    f") / {_EM_TWO_SSQ}))) AS BIGINT)"
+)
+
+
+def _em_step_sql(feats: str, prev: str, nxt: str, r: int) -> str:
+    return f"""
+    rs{r} AS (
+        SELECT SUM(p.r) AS sr, SUM(p.r * p.x) AS srx,
+               SUM(1000000 - p.r) AS sq, SUM((1000000 - p.r) * p.x) AS sqx
+        FROM (SELECT x, {_EM_R} AS r FROM {feats} f CROSS JOIN {prev} b) p
+    ),
+    {nxt} AS (
+        SELECT CAST(FLOOR(CAST(srx AS DOUBLE) / CAST(sr AS DOUBLE) * 1000000)
+                    AS BIGINT) AS mu1,
+               CAST(FLOOR(CAST(sqx AS DOUBLE) / CAST(sq AS DOUBLE) * 1000000)
+                    AS BIGINT) AS mu2,
+               CAST(sr // 1000000 AS BIGINT) AS n_soft1
+        FROM rs{r}
+    )"""
+
+
+_EM_ORACLE = f"""
+    WITH feats AS MATERIALIZED (
+        SELECT CAST(l_quantity AS BIGINT) + 100 * (l_orderkey % 2) AS x
+        FROM lineitem
+    ),
+    e0 AS (SELECT CAST({_EM_MU1_0} AS BIGINT) AS mu1,
+                  CAST({_EM_MU2_0} AS BIGINT) AS mu2,
+                  CAST(0 AS BIGINT) AS n_soft1),
+    {",".join(_em_step_sql("feats", f"e{i}", f"e{i + 1}", i) for i in range(_EM_ROUNDS))}
+    SELECT * FROM (
+        {" UNION ALL ".join(
+            f"SELECT CAST({i + 1} AS BIGINT) AS round, mu1 AS mu1_micro,"
+            f" mu2 AS mu2_micro, n_soft1 FROM e{i + 1}"
+            for i in range(_EM_ROUNDS)
+        )}
+    ) ORDER BY round
+"""
+
+
+@register("m45_gmm_em", _EM_ORACLE)
+def m45_gmm_em(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M45: expectation-maximization for a two-component Gaussian
+    mixture (known equal variances/weights — the soft-k-means form
+    that isolates EM's soft-assignment structure) on a PLANTED bimodal
+    feature: the E-step responsibility is one sigmoid of the
+    squared-distance difference, FLOOR-micro'd per row so the four
+    M-step sufficient statistics are exact BIGINT sums; each M-step
+    mean is one IEEE division floored back to micro units. Two
+    unrolled rounds; emits the evolving means and the soft count of
+    component 1 — which converge onto the planted modes (pinned in
+    pytest). Completes EM next to the suite's Newton (m43), boosting
+    (m39), Lloyd (m25) and closed-form (m26/m44) fits: every classic
+    fit loop is now a scan + hash-agg + 1-row broadcast per round."""
+    li = t(spark, sf_dir, "lineitem").select(
+        (F.col("l_quantity").cast("bigint") + 100 * (F.col("l_orderkey") % 2)).alias("x")
+    )
+    feats = cache_once(li)
+    params = None
+    out = []
+    for i in range(_EM_ROUNDS):
+        if params is None:
+            cur = feats.select(
+                "x",
+                F.lit(_EM_MU1_0).cast("bigint").alias("mu1"),
+                F.lit(_EM_MU2_0).cast("bigint").alias("mu2"),
+            )
+        else:
+            cur = feats.crossJoin(F.broadcast(params.select("mu1", "mu2")))
+        rs = cur.select("x", F.expr(_EM_R).alias("r")).agg(
+            F.sum("r").alias("sr"),
+            F.sum(F.col("r") * F.col("x")).alias("srx"),
+            F.sum(1000000 - F.col("r")).alias("sq"),
+            F.sum((1000000 - F.col("r")) * F.col("x")).alias("sqx"),
+        )
+        params = rs.select(
+            F.expr(
+                "CAST(FLOOR(CAST(srx AS DOUBLE) / CAST(sr AS DOUBLE) * 1000000) AS BIGINT)"
+            ).alias("mu1"),
+            F.expr(
+                "CAST(FLOOR(CAST(sqx AS DOUBLE) / CAST(sq AS DOUBLE) * 1000000) AS BIGINT)"
+            ).alias("mu2"),
+            F.expr("CAST(sr DIV 1000000 AS BIGINT)").alias("n_soft1"),
+        )
+        out.append(
+            params.select(
+                F.lit(i + 1).cast("bigint").alias("round"),
+                F.col("mu1").alias("mu1_micro"),
+                F.col("mu2").alias("mu2_micro"),
+                "n_soft1",
+            )
+        )
+    res = out[0]
+    for o_ in out[1:]:
+        res = res.unionByName(o_)
+    return res.orderBy("round")

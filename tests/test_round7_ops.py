@@ -516,3 +516,17 @@ def test_tiff_codec_byte_orders_and_errors():
         decode_tiff(bytes(big))
     with _pytest.raises(ValueError):
         encode_tiff(4, 4, bytes(15))  # pixel-count mismatch
+
+
+def test_gmm_em_finds_planted_modes(spark, sf_dir):
+    """m45: the two EM means must land near the planted modes (~25 and
+    ~125) and the soft count near half the rows."""
+    from realestate_engine.queries_mleval import m45_gmm_em
+    from realestate_engine.registry import t
+
+    rows = m45_gmm_em(spark, sf_dir).collect()
+    final = rows[-1]
+    assert 20_000_000 < final.mu1_micro < 32_000_000
+    assert 118_000_000 < final.mu2_micro < 132_000_000
+    n = t(spark, sf_dir, "lineitem").count()
+    assert abs(final.n_soft1 - n / 2) < n * 0.1
