@@ -2321,3 +2321,66 @@ def t26_wordpiece_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("total_count"), "tok")
         .limit(25)
     )
+
+
+# --- T27: tokenizer comparison report ------------------------------------------
+
+
+@register(
+    "t27_tokenizer_comparison",
+    rf"""
+    WITH per_doc AS (
+        SELECT doc_id,
+               LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+')) AS n_ws,
+               LEN(REGEXP_EXTRACT_ALL(LOWER(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpeish,
+               LEN(REPLACE(text, ' ', '')) AS n_chars
+        FROM documents
+    )
+    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_ws) AS BIGINT) AS whitespace_tokens,
+           CAST(SUM(n_bpeish) AS BIGINT) AS bpeish_tokens,
+           CAST(SUM(n_chars) AS BIGINT) AS char_tokens,
+           CAST(SUM(n_bpeish) * 1000000 // SUM(n_ws) AS BIGINT)
+             AS bpeish_per_word_micro,
+           CAST(SUM(n_chars) * 1000000 // SUM(n_bpeish) AS BIGINT)
+             AS chars_per_bpeish_micro,
+           CAST(SUM(CASE WHEN n_bpeish > n_ws * 2 THEN 1 ELSE 0 END) AS BIGINT)
+             AS n_docs_fragmenting
+    FROM per_doc
+    """,
+)
+def t27_tokenizer_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T27: tokenizer fertility report — the budgeting table every
+    training-data plan starts from: the same corpus counted under
+    three tokenizer granularities (whitespace words, the BPE-ish
+    regex segmentation, raw characters) with the two fertility ratios
+    that convert between budgets (subword-per-word, chars-per-subword,
+    floor-micro) and a census of fragmenting documents (subwords >
+    2x words — the high-fertility tail that blows context budgets).
+    Token counts are the currency of 100 TB corpus planning
+    (corpus_token_budget spends them; pack_documents_greedy bins
+    them); this is the exchange-rate table. One scan, one global agg,
+    all integer."""
+    d = t(spark, sf_dir, "documents").select("text")
+    per_doc = d.select(
+        F.size(F.split(F.trim("text"), r"\s+")).alias("n_ws"),
+        F.size(
+            F.expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")
+        ).alias("n_bpeish"),
+        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).alias("n_chars"),
+    )
+    return per_doc.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+        F.sum("n_ws").cast("bigint").alias("whitespace_tokens"),
+        F.sum("n_bpeish").cast("bigint").alias("bpeish_tokens"),
+        F.sum("n_chars").cast("bigint").alias("char_tokens"),
+        F.expr("CAST(sum(n_bpeish) * 1000000 DIV sum(n_ws) AS BIGINT)").alias(
+            "bpeish_per_word_micro"
+        ),
+        F.expr("CAST(sum(n_chars) * 1000000 DIV sum(n_bpeish) AS BIGINT)").alias(
+            "chars_per_bpeish_micro"
+        ),
+        F.sum(F.when(F.col("n_bpeish") > F.col("n_ws") * 2, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_docs_fragmenting"),
+    )
