@@ -662,3 +662,116 @@ def ts10_autocorrelation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lag")
     )
+
+
+@register(
+    "ts11_decomposition_strength",
+    """
+    WITH daily AS (
+        SELECT DATE_DIFF('day', DATE '2024-01-01', ts::DATE) AS day_idx,
+               SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS v
+        FROM events GROUP BY 1
+    ),
+    trend AS (
+        SELECT a.day_idx, a.v,
+               CASE WHEN COUNT(b.day_idx) = 7 THEN SUM(b.v) // 7 END AS tr
+        FROM daily a JOIN daily b
+          ON b.day_idx BETWEEN a.day_idx - 3 AND a.day_idx + 3
+        GROUP BY a.day_idx, a.v
+    ),
+    detr AS (
+        SELECT day_idx, day_idx % 7 AS dow, v, tr, v - tr AS d
+        FROM trend WHERE tr IS NOT NULL
+    ),
+    seasonal AS (
+        SELECT dow, SUM(d) // COUNT(*) AS s FROM detr GROUP BY dow
+    ),
+    mu AS (SELECT SUM(v) // COUNT(*) AS m FROM daily),
+    parts AS (
+        SELECT d.d, d.d - se.s AS r,
+               d.tr + (d.d - se.s) - mu.m AS sa_c
+        FROM detr d JOIN seasonal se ON se.dow = d.dow, mu
+    ),
+    moms AS (
+        SELECT COUNT(*) AS n,
+               SUM(r) AS s_r, SUM(r * r) AS ss_r,
+               SUM(d) AS s_d, SUM(d * d) AS ss_d,
+               SUM(sa_c) AS s_sa, SUM(sa_c * sa_c) AS ss_sa
+        FROM parts
+    )
+    SELECT CAST(n AS BIGINT) AS n_days,
+           CAST(GREATEST(0, FLOOR((1.0 - CAST(n * ss_r - s_r * s_r AS DOUBLE)
+                / CAST(n * ss_sa - s_sa * s_sa AS DOUBLE)) * 1000000))
+                AS BIGINT) AS trend_strength_micro,
+           CAST(GREATEST(0, FLOOR((1.0 - CAST(n * ss_r - s_r * s_r AS DOUBLE)
+                / CAST(n * ss_d - s_d * s_d AS DOUBLE)) * 1000000))
+                AS BIGINT) AS seasonal_strength_micro
+    FROM moms
+    """,
+)
+def ts11_decomposition_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS11: trend and seasonal STRENGTH (Wang/Smith/Hyndman's feature
+    pair: 1 - Var(remainder)/Var(seasonally-adjusted) and
+    1 - Var(remainder)/Var(detrended)) computed from the ts9
+    decomposition — the two numbers a forecasting pipeline uses to
+    ROUTE series (strong-seasonal -> ts8 Holt-Winters, strong-trend ->
+    ts_holt, neither -> ts_ewma). Variances use the scaled integer
+    moment form (n*SS - S^2, exact BIGINT on the O(days) frame), each
+    strength is one IEEE division inside GREATEST(0, FLOOR(...)) —
+    deterministic cross-engine. Same no-funnel band-join discipline
+    as ts9; the whole statistic is metadata-sized after the daily
+    collapse."""
+    ev = t(spark, sf_dir, "events").select(
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("day_idx"),
+        F.floor(F.col("value") * 1000).cast("bigint").alias("v"),
+    )
+    daily = ev.groupBy("day_idx").agg(F.sum("v").alias("v"))
+    a, b = daily.alias("a"), daily.alias("b")
+    trend = (
+        a.join(
+            F.broadcast(b),
+            (F.col("b.day_idx") >= F.col("a.day_idx") - 3)
+            & (F.col("b.day_idx") <= F.col("a.day_idx") + 3),
+        )
+        .groupBy(F.col("a.day_idx").alias("day_idx"), F.col("a.v").alias("v"))
+        .agg(F.when(F.count(F.col("b.day_idx")) == 7, F.expr("sum(b.v) div 7")).alias("tr"))
+    )
+    detr = trend.where(F.col("tr").isNotNull()).select(
+        "day_idx", (F.col("day_idx") % 7).alias("dow"), "v", "tr",
+        (F.col("v") - F.col("tr")).alias("d"),
+    )
+    seasonal = detr.groupBy("dow").agg(F.expr("sum(d) div count(*)").alias("s"))
+    # center the seasonally-adjusted series on the global daily mean
+    # BEFORE the moment pass (the ts10/ev17 overflow rule: full-
+    # magnitude daily totals squared cross 2^63 at sf0.1; variance is
+    # translation-invariant, so any constant shift is free)
+    mu = daily.agg(F.expr("sum(v) div count(*)").alias("m"))
+    parts = (
+        detr.join(F.broadcast(seasonal), "dow")
+        .crossJoin(F.broadcast(mu))
+        .select(
+            "d",
+            (F.col("d") - F.col("s")).alias("r"),
+            (F.col("tr") + (F.col("d") - F.col("s")) - F.col("m")).alias("sa_c"),
+        )
+    )
+    moms = parts.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("r").alias("s_r"),
+        F.sum(F.col("r") * F.col("r")).alias("ss_r"),
+        F.sum("d").alias("s_d"),
+        F.sum(F.col("d") * F.col("d")).alias("ss_d"),
+        F.sum("sa_c").alias("s_sa"),
+        F.sum(F.col("sa_c") * F.col("sa_c")).alias("ss_sa"),
+    )
+    return moms.select(
+        F.col("n").cast("bigint").alias("n_days"),
+        F.expr(
+            "CAST(GREATEST(0, FLOOR((1.0 - CAST(n * ss_r - s_r * s_r AS DOUBLE)"
+            " / CAST(n * ss_sa - s_sa * s_sa AS DOUBLE)) * 1000000)) AS BIGINT)"
+        ).alias("trend_strength_micro"),
+        F.expr(
+            "CAST(GREATEST(0, FLOOR((1.0 - CAST(n * ss_r - s_r * s_r AS DOUBLE)"
+            " / CAST(n * ss_d - s_d * s_d AS DOUBLE)) * 1000000)) AS BIGINT)"
+        ).alias("seasonal_strength_micro"),
+    )

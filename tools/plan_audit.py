@@ -135,6 +135,7 @@ ALLOWED_CROSS = {
     "graph_boruvka_msf",  # cross join of three 1-row per-round stat aggregates
     "a46_heavy_hitters_two_phase",  # <=5-row truth-frame rank self-join + 1-row candidate-count broadcast
     "m45_gmm_em",  # 1-row mean-parameter broadcast per EM round (the m43 iterate posture)
+    "ts11_decomposition_strength",  # ts9 band self-join + 1-row mean broadcast onto the O(days) frame
 }
 # Local tables that are NOT data detours: explicit local-row sources,
 # fitted-model state (O(k) best params / importances), and
