@@ -1548,3 +1548,133 @@ def m45_gmm_em(spark: SparkSession, sf_dir: str) -> DataFrame:
     for o_ in out[1:]:
         res = res.unionByName(o_)
     return res.orderBy("round")
+
+
+# --- M46: exact depth-2 CART regression tree -----------------------------------
+#
+# Extends m39's one-agg-evaluates-every-split machinery one level
+# down: after the root split, BOTH children's best splits come from a
+# SINGLE grouped aggregate over (side, cut) — depth-d trees need d
+# passes, not 2^d, because siblings share the scan.
+
+
+@register(
+    "m46_cart_depth2",
+    f"""
+    WITH feats AS MATERIALIZED (
+        SELECT CAST(l_quantity AS BIGINT) AS x,
+               CAST(FLOOR(l_extendedprice / 100) AS BIGINT) AS r
+        FROM lineitem
+    ),
+    st0 AS (
+        SELECT c.cut,
+               SUM(CASE WHEN f.x <= c.cut THEN 1 ELSE 0 END) AS n_l,
+               SUM(CASE WHEN f.x <= c.cut THEN f.r ELSE 0 END) AS s_l,
+               SUM(CASE WHEN f.x > c.cut THEN 1 ELSE 0 END) AS n_r,
+               SUM(CASE WHEN f.x > c.cut THEN f.r ELSE 0 END) AS s_r
+        FROM feats f CROSS JOIN {_gbm_cand_sql()} c
+        GROUP BY c.cut
+    ),
+    root AS (
+        SELECT ARG_MAX(cut, CAST(FLOOR(
+                   CAST(s_l AS DOUBLE) * CAST(s_l AS DOUBLE) / n_l
+                   + CAST(s_r AS DOUBLE) * CAST(s_r AS DOUBLE) / n_r
+               ) AS BIGINT) * 100 - cut) AS root_cut
+        FROM st0
+    ),
+    st1 AS (
+        SELECT f.x <= root.root_cut AS left_side, c.cut,
+               SUM(CASE WHEN f.x <= c.cut THEN 1 ELSE 0 END) AS n_l,
+               SUM(CASE WHEN f.x <= c.cut THEN f.r ELSE 0 END) AS s_l,
+               SUM(CASE WHEN f.x > c.cut THEN 1 ELSE 0 END) AS n_r,
+               SUM(CASE WHEN f.x > c.cut THEN f.r ELSE 0 END) AS s_r
+        FROM feats f CROSS JOIN {_gbm_cand_sql()} c CROSS JOIN root
+        WHERE (f.x <= root.root_cut AND c.cut < root.root_cut)
+           OR (f.x > root.root_cut AND c.cut > root.root_cut)
+        GROUP BY 1, c.cut
+    ),
+    child AS (
+        SELECT left_side,
+               ARG_MAX(cut, CAST(FLOOR(
+                   CAST(s_l AS DOUBLE) * CAST(s_l AS DOUBLE) / GREATEST(n_l, 1)
+                   + CAST(s_r AS DOUBLE) * CAST(s_r AS DOUBLE) / GREATEST(n_r, 1)
+               ) AS BIGINT) * 100 - cut) AS cut,
+               ARG_MAX(s_l // GREATEST(n_l, 1), CAST(FLOOR(
+                   CAST(s_l AS DOUBLE) * CAST(s_l AS DOUBLE) / GREATEST(n_l, 1)
+                   + CAST(s_r AS DOUBLE) * CAST(s_r AS DOUBLE) / GREATEST(n_r, 1)
+               ) AS BIGINT) * 100 - cut) AS v_l,
+               ARG_MAX(s_r // GREATEST(n_r, 1), CAST(FLOOR(
+                   CAST(s_l AS DOUBLE) * CAST(s_l AS DOUBLE) / GREATEST(n_l, 1)
+                   + CAST(s_r AS DOUBLE) * CAST(s_r AS DOUBLE) / GREATEST(n_r, 1)
+               ) AS BIGINT) * 100 - cut) AS v_r
+        FROM st1 GROUP BY left_side
+    )
+    SELECT CASE WHEN c.left_side THEN 'left' ELSE 'right' END AS child,
+           CAST(r.root_cut AS BIGINT) AS root_cut,
+           CAST(c.cut AS BIGINT) AS child_cut,
+           CAST(c.v_l AS BIGINT) AS leaf_lo,
+           CAST(c.v_r AS BIGINT) AS leaf_hi
+    FROM child c CROSS JOIN root r
+    ORDER BY child
+    """,
+)
+def m46_cart_depth2(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M46: exact depth-2 CART regression tree — the m39 discipline
+    one level deeper, with the structural point made executable: BOTH
+    children's best splits come from ONE grouped aggregate keyed by
+    (side, candidate cut) — a depth-d tree is d scans, not 2^d,
+    because all siblings share each pass (this is how distributed
+    tree learners like XGBoost's hist method structure level-wise
+    growth). Candidate cuts are constrained to each child's region;
+    scores are whole-unit FLOOR variance gains with the injective
+    *100-cut tiebreak (the m39 overflow rule); leaf values are exact
+    integer floor-means. Emits the 4-leaf tree. Scale: two scans of
+    the cached features, each one hash-agg + 1-row broadcast."""
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("bigint").alias("x"),
+        F.floor(F.col("l_extendedprice") / 100).cast("bigint").alias("r"),
+    )
+    feats = cache_once(li)
+    cand = spark.range(5, 50, 5).select(F.col("id").cast("bigint").alias("cut"))
+    score = (
+        "CAST(FLOOR(CAST(s_l AS DOUBLE) * CAST(s_l AS DOUBLE) / GREATEST(n_l, 1)"
+        " + CAST(s_r AS DOUBLE) * CAST(s_r AS DOUBLE) / GREATEST(n_r, 1)) AS BIGINT)"
+        " * 100 - cut"
+    )
+
+    def split_stats(df, keys):
+        return df.groupBy(*keys).agg(
+            F.sum(F.when(F.col("x") <= F.col("cut"), 1).otherwise(0)).alias("n_l"),
+            F.sum(F.when(F.col("x") <= F.col("cut"), F.col("r")).otherwise(0)).alias("s_l"),
+            F.sum(F.when(F.col("x") > F.col("cut"), 1).otherwise(0)).alias("n_r"),
+            F.sum(F.when(F.col("x") > F.col("cut"), F.col("r")).otherwise(0)).alias("s_r"),
+        )
+
+    st0 = split_stats(feats.crossJoin(F.broadcast(cand)), ["cut"])
+    root = st0.agg(F.expr(f"max_by(cut, {score})").alias("root_cut"))
+    st1 = split_stats(
+        feats.crossJoin(F.broadcast(cand))
+        .crossJoin(F.broadcast(root))
+        .where(
+            ((F.col("x") <= F.col("root_cut")) & (F.col("cut") < F.col("root_cut")))
+            | ((F.col("x") > F.col("root_cut")) & (F.col("cut") > F.col("root_cut")))
+        )
+        .withColumn("left_side", F.col("x") <= F.col("root_cut")),
+        ["left_side", "cut"],
+    )
+    child = st1.groupBy("left_side").agg(
+        F.expr(f"max_by(cut, {score})").alias("cut"),
+        F.expr(f"max_by(s_l div GREATEST(n_l, 1), {score})").alias("v_l"),
+        F.expr(f"max_by(s_r div GREATEST(n_r, 1), {score})").alias("v_r"),
+    )
+    return (
+        child.crossJoin(F.broadcast(root))
+        .select(
+            F.when(F.col("left_side"), "left").otherwise("right").alias("child"),
+            F.col("root_cut").cast("bigint").alias("root_cut"),
+            F.col("cut").cast("bigint").alias("child_cut"),
+            F.col("v_l").cast("bigint").alias("leaf_lo"),
+            F.col("v_r").cast("bigint").alias("leaf_hi"),
+        )
+        .orderBy("child")
+    )

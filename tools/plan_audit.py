@@ -136,6 +136,7 @@ ALLOWED_CROSS = {
     "a46_heavy_hitters_two_phase",  # <=5-row truth-frame rank self-join + 1-row candidate-count broadcast
     "m45_gmm_em",  # 1-row mean-parameter broadcast per EM round (the m43 iterate posture)
     "ts11_decomposition_strength",  # ts9 band self-join + 1-row mean broadcast onto the O(days) frame
+    "m46_cart_depth2",  # 9-row cut fan-out + 1-row root-split broadcast (the m39 posture, one level down)
 }
 # Local tables that are NOT data detours: explicit local-row sources,
 # fitted-model state (O(k) best params / importances), and
