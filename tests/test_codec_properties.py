@@ -58,3 +58,73 @@ def test_progressive_equals_baseline_property(w, h, quality, subsample, data):
     base = decode_jpeg(encode_jpeg(w, h, rgb, quality, subsample=subsample))
     prog = decode_jpeg(encode_jpeg_progressive(w, h, rgb, quality, subsample=subsample))
     assert prog["rgb"] == base["rgb"]
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    w=st.integers(1, 48),
+    h=st.integers(1, 32),
+    nbits=st.integers(1, 8),
+    interlace=st.booleans(),
+    gif89=st.booleans(),
+    data=st.data(),
+)
+def test_gif_roundtrip_property(w, h, nbits, interlace, gif89, data):
+    from realestate_engine.gif import decode_gif, encode_gif
+
+    n = 1 << nbits
+    pal = [((i * 37) % 256, (i * 11) % 256, (i * 91) % 256) for i in range(n)]
+    px = data.draw(st.lists(st.integers(0, n - 1), min_size=w * h, max_size=w * h))
+    out = decode_gif(encode_gif(w, h, pal, px, interlace=interlace, gif89=gif89))
+    assert out["pixels"] == px
+    assert out["palette"] == pal
+    assert out["interlaced"] == interlace and out["gif89"] == gif89
+
+
+@settings(max_examples=30, deadline=None)
+@given(
+    w=st.integers(1, 32),
+    h=st.integers(1, 24),
+    orientation=st.integers(1, 8),
+    big_endian=st.booleans(),
+    make=st.text(
+        alphabet=st.characters(min_codepoint=32, max_codepoint=126), max_size=24
+    ),
+    data=st.data(),
+)
+def test_tiff_roundtrip_property(w, h, orientation, big_endian, make, data):
+    from realestate_engine.tiff import decode_tiff, encode_tiff
+
+    px = bytes(data.draw(st.lists(st.integers(0, 255), min_size=w * h, max_size=w * h)))
+    out = decode_tiff(
+        encode_tiff(w, h, px, orientation=orientation, make=make, big_endian=big_endian)
+    )
+    assert out["pixels"] == px
+    assert (out["width"], out["height"], out["orientation"]) == (w, h, orientation)
+    assert out["make"] == make and out["big_endian"] == big_endian
+
+
+@settings(max_examples=15, deadline=None)
+@given(
+    w=st.sampled_from([8, 16, 24]),
+    h=st.sampled_from([8, 16]),
+    fps=st.integers(1, 60),
+    n_frames=st.integers(1, 6),
+)
+def test_avi_container_bit_exact_property(w, h, fps, n_frames):
+    from realestate_engine.avi import decode_avi_mjpeg, encode_avi_mjpeg
+    from realestate_engine.jpeg import encode_jpeg
+
+    frames = [
+        encode_jpeg(
+            w, h,
+            bytes((x * 7 + y * 3 + f * 11) % 256 for y in range(h) for x in range(w) for _ in range(3)),
+            quality=85,
+        )
+        for f in range(n_frames)
+    ]
+    out = decode_avi_mjpeg(encode_avi_mjpeg(w, h, fps, frames))
+    assert out["frames"] == frames
+    assert out["idx_consistent"]
+    assert (out["n_frames"], out["fps"]) == (n_frames, fps)
+    assert out["us_per_frame"] == 1_000_000 // fps
