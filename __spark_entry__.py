@@ -32,15 +32,26 @@ registry.load_all()
 # evidence). 49 new names → cumulative ledger target 254. Round 8
 # should rotate the streaming family (st_tumbling/sliding/session/
 # watermark_dedup/stream_stream/foreachbatch, last driver-checked
-# r4/r5) back in per VERDICT r6 #5, LEAD with round 7's 22 new
-# never-verified operators (mm_ogg_probe, mm_mp3_probe,
+# r4/r5) back in per VERDICT r6 #5, LEAD with round 7's ~47 new
+# never-verified operators (first wave: mm_ogg_probe, mm_mp3_probe,
 # t25_kneser_ney_bigram, dq19_t_closeness, p24_dp_noisy_counts,
 # sim_ivf_pq, m37_linear_shap, x31_delta_log_replay, f27_ipv4_cidr,
 # ts8_holt_winters_int, m38_viterbi_decode, graph_bfs_hops,
 # ts9_seasonal_decompose, er2_sorted_neighborhood, mm_gif_roundtrip,
 # p25_neyman_allocation, t26_wordpiece_tokenize, ev19_sprt_user,
 # m39_gbm_stumps, f29_soundex_blocking, mm_mjpeg_avi,
-# a45_kmv_distinct), then keep draining the never-verified ledger:
+# a45_kmv_distinct; second wave: sim_binary_hamming_topk,
+# m41_naive_bayes, dq20_inclusion_dependencies,
+# p26_quantile_normalization, sql_pipe_syntax, ts10_autocorrelation,
+# m42_feature_hashing, j15_point_in_polygon, sql_collation,
+# m43_logreg_newton, graph_boruvka_msf, graph_deterministic_walks,
+# a46_heavy_hitters_two_phase, mm_tiff_probe, f30_luhn_check,
+# dq21_order_reconciliation, m44_pca_closed_form, sql_lateral_join,
+# s25_recursive_glob_scan, m45_gmm_em, t27_tokenizer_comparison,
+# ts11_decomposition_strength, ev20_sequence_pattern_match,
+# m46_cart_depth2 — two r8 windows' worth; prioritize the iterative/
+# recurrence classes first, they are the most fragile oracles), then
+# keep draining the never-verified ledger:
 # ev3-ev11, dq_expectations/dq_drift/dq3-dq6, the f1x fills
 # (f2/f4/f5/f8/f10x3, f12-f19), t14/t15, corpus_*,
 # text_* remainder, sim_* remainder, m15/m17 ML-adjacent oracles,
