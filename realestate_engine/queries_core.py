@@ -1145,3 +1145,73 @@ def j15_point_in_polygon(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("pid").cast("bigint").alias("pid"), "n_inside", "n_points", "first_inside_key")
         .orderBy("pid")
     )
+
+
+# --- J16: maximum concurrent intervals (delta-encoded stabbing) ---------------
+
+
+@register(
+    "j16_max_concurrent_intervals",
+    """
+    WITH iv AS (
+        SELECT user_id,
+               epoch_us(ts) AS s,
+               epoch_us(ts) + 1800 * 1000000 AS e
+        FROM events
+    ),
+    deltas AS (
+        SELECT user_id, s AS t, 1 AS d, 0 AS tie FROM iv
+        UNION ALL
+        SELECT user_id, e AS t, -1 AS d, 1 AS tie FROM iv
+    ),
+    runs AS (
+        SELECT user_id,
+               SUM(d) OVER (PARTITION BY user_id ORDER BY t, tie, d
+                            ROWS UNBOUNDED PRECEDING) AS conc
+        FROM deltas
+    )
+    SELECT user_id,
+           CAST(MAX(conc) AS BIGINT) AS max_concurrent,
+           CAST(COUNT(*) // 2 AS BIGINT) AS n_intervals
+    FROM runs GROUP BY user_id ORDER BY user_id
+    """,
+)
+def j16_max_concurrent_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """J16: maximum interval concurrency (the stabbing-depth /
+    room-booking classic) via DELTA ENCODING — each 30-minute activity
+    interval contributes a +1 at its start and a -1 at its end, and
+    peak concurrency is the max running sum over the ordered deltas.
+    This shape replaces the quadratic interval-overlap self-join
+    (j9's job) when only DEPTH is needed: 2n rows, one partitioned
+    window, no join at all. Ends sort AFTER coincident starts (tie
+    key) so a touching pair counts as overlapping — stated, and
+    identical on both engines via exact integer epoch-micros. Scale:
+    per-user windows (parallelism = users); a global concurrency
+    profile would use the two-phase prefix-sum ledger instead."""
+    ev = t(spark, sf_dir, "events").select("user_id", "ts")
+    iv = ev.select(
+        "user_id",
+        F.unix_micros("ts").alias("s"),
+        (F.unix_micros("ts") + 1800 * 1_000_000).alias("e"),
+    )
+    deltas = iv.select(
+        "user_id", F.col("s").alias("t"), F.lit(1).alias("d"), F.lit(0).alias("tie")
+    ).unionByName(
+        iv.select(
+            "user_id", F.col("e").alias("t"), F.lit(-1).alias("d"), F.lit(1).alias("tie")
+        )
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("t", "tie", "d")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    runs = deltas.select("user_id", F.sum("d").over(w).alias("conc"))
+    return (
+        runs.groupBy("user_id")
+        .agg(
+            F.max("conc").cast("bigint").alias("max_concurrent"),
+            F.expr("CAST(count(*) DIV 2 AS BIGINT)").alias("n_intervals"),
+        )
+        .orderBy("user_id")
+    )

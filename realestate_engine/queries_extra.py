@@ -1935,3 +1935,78 @@ def a46_heavy_hitters_two_phase(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+# --- A47: exact skewness / kurtosis via centered integer moments ---------------
+
+
+@register(
+    "a47_skew_kurtosis",
+    """
+    WITH x AS (
+        SELECT c_nationkey AS nation,
+               CAST(FLOOR(c_acctbal / 10) AS BIGINT) AS v
+        FROM customer
+    ),
+    mu AS (
+        SELECT nation, SUM(v) // COUNT(*) AS m FROM x GROUP BY nation
+    ),
+    d AS (
+        SELECT x.nation, x.v - mu.m AS d
+        FROM x JOIN mu ON mu.nation = x.nation
+    ),
+    moms AS (
+        SELECT nation, COUNT(*) AS n,
+               SUM(d) AS s1, SUM(d * d) AS s2,
+               SUM(d * d * d) AS s3, SUM(d * d * d * d) AS s4
+        FROM d GROUP BY nation
+    )
+    SELECT CAST(nation AS BIGINT) AS nation,
+           CAST(n AS BIGINT) AS n,
+           CAST(FLOOR(CAST(s3 AS DOUBLE) / n
+                / POW(CAST(s2 AS DOUBLE) / n, 1.5) * 1000000) AS BIGINT)
+             AS skewness_micro,
+           CAST(FLOOR(CAST(s4 AS DOUBLE) / n
+                / ((CAST(s2 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)) * 1000000)
+                AS BIGINT) AS kurtosis_micro
+    FROM moms ORDER BY nation
+    """,
+)
+def a47_skew_kurtosis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A47: per-nation skewness and kurtosis — the 3rd/4th-moment
+    shape statistics completing the a8/a36 moment family, under the
+    round's standing CENTER-FIRST rule taken one power further:
+    deviations from the integer-floor group mean in DECA-DOLLAR units
+    keep d^4 sums inside int64 at every SF (cents would cross 2^63 at
+    d^3 already), so all four power sums are exact order-free BIGINTs;
+    the two ratios are fixed IEEE trees (one POW, one division chain)
+    FLOORed to micros. Biased (population) form — stated, so the
+    oracle is the definition. Scale: one hash-agg for means, one for
+    the four power sums; 25-row output."""
+    c = t(spark, sf_dir, "customer").select(
+        F.col("c_nationkey").alias("nation"),
+        F.floor(F.col("c_acctbal") / 10).cast("bigint").alias("v"),
+    )
+    mu = c.groupBy("nation").agg(F.expr("sum(v) div count(*)").alias("m"))
+    d = c.join(F.broadcast(mu), "nation").select(
+        "nation", (F.col("v") - F.col("m")).alias("d")
+    )
+    moms = d.groupBy("nation").agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("d").alias("s1"),
+        F.sum(F.col("d") * F.col("d")).alias("s2"),
+        F.sum(F.col("d") * F.col("d") * F.col("d")).alias("s3"),
+        F.sum(F.col("d") * F.col("d") * F.col("d") * F.col("d")).alias("s4"),
+    )
+    return moms.select(
+        F.col("nation").cast("bigint").alias("nation"),
+        F.col("n").cast("bigint").alias("n"),
+        F.expr(
+            "CAST(FLOOR(CAST(s3 AS DOUBLE) / n"
+            " / POW(CAST(s2 AS DOUBLE) / n, 1.5) * 1000000) AS BIGINT)"
+        ).alias("skewness_micro"),
+        F.expr(
+            "CAST(FLOOR(CAST(s4 AS DOUBLE) / n"
+            " / ((CAST(s2 AS DOUBLE) / n) * (CAST(s2 AS DOUBLE) / n)) * 1000000) AS BIGINT)"
+        ).alias("kurtosis_micro"),
+    ).orderBy("nation")

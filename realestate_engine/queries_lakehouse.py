@@ -738,3 +738,89 @@ def x31_delta_log_replay(spark: SparkSession, sf_dir: str) -> DataFrame:
         "rows_count",
         "bytes",
     ).orderBy("file_id")
+
+
+# --- X32: CRDT counter merge (G-counter / PN-counter semantics) ----------------
+
+
+@register(
+    "x32_crdt_counter_merge",
+    """
+    WITH deltas AS (
+        -- three replicas report per-nation counter states at several
+        -- versions; a replica's state is the MAX version it reached
+        SELECT o_custkey % 25 AS nation,
+               o_orderkey % 3 AS replica,
+               o_orderkey // 3 % 7 AS version,
+               CASE WHEN o_orderstatus = 'F' THEN 1 ELSE 0 END AS is_neg,
+               1 + o_orderkey % 5 AS amount
+        FROM orders
+    ),
+    states AS (
+        -- per (nation, replica, polarity): the LUB = state at max version
+        -- G-counter rule: counters only grow, so merge = MAX per replica
+        SELECT nation, replica, is_neg,
+               MAX(version * 1000 + amount) AS packed
+        FROM deltas GROUP BY nation, replica, is_neg
+    ),
+    merged AS (
+        SELECT nation, is_neg, SUM(packed % 1000) AS total
+        FROM states GROUP BY nation, is_neg
+    )
+    SELECT CAST(nation AS BIGINT) AS nation,
+           CAST(COALESCE(SUM(CASE WHEN is_neg = 0 THEN total END), 0) AS BIGINT)
+             AS p_total,
+           CAST(COALESCE(SUM(CASE WHEN is_neg = 1 THEN total END), 0) AS BIGINT)
+             AS n_total,
+           CAST(COALESCE(SUM(CASE WHEN is_neg = 0 THEN total END), 0)
+              - COALESCE(SUM(CASE WHEN is_neg = 1 THEN total END), 0) AS BIGINT)
+             AS pn_value
+    FROM merged GROUP BY nation ORDER BY nation
+    """,
+)
+def x32_crdt_counter_merge(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X32: PN-counter CRDT merge — the eventually-consistent counter
+    (Shapiro et al.) as relational algebra: each replica's
+    contribution is a grow-only state, so merging replica reports is
+    MAX per (key, replica, polarity) — order- and duplicate-proof,
+    exactly why CRDTs suit at-least-once delivery — then the
+    counter's value is the sum of per-replica maxima, with the PN
+    form as two G-counters (increments minus decrements). MAX and SUM
+    are both associative-commutative, so the whole merge is ONE
+    partial-aggregating shuffle no matter how replica reports arrive
+    or repeat — the lakehouse pattern for idempotent metric ingestion
+    from unreliable emitters. Versions and amounts pack into one
+    BIGINT (version*1000 + amount) so 'state at max version' is a
+    plain MAX."""
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_custkey", "o_orderstatus")
+    deltas = o.select(
+        (F.col("o_custkey") % 25).alias("nation"),
+        (F.col("o_orderkey") % 3).alias("replica"),
+        (F.expr("o_orderkey div 3") % 7).alias("version"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("is_neg"),
+        (1 + F.col("o_orderkey") % 5).alias("amount"),
+    )
+    states = deltas.groupBy("nation", "replica", "is_neg").agg(
+        F.max(F.col("version") * 1000 + F.col("amount")).alias("packed")
+    )
+    merged = states.groupBy("nation", "is_neg").agg(
+        F.sum(F.col("packed") % 1000).alias("total")
+    )
+    return (
+        merged.groupBy("nation")
+        .agg(
+            F.coalesce(F.sum(F.when(F.col("is_neg") == 0, F.col("total"))), F.lit(0))
+            .cast("bigint")
+            .alias("p_total"),
+            F.coalesce(F.sum(F.when(F.col("is_neg") == 1, F.col("total"))), F.lit(0))
+            .cast("bigint")
+            .alias("n_total"),
+        )
+        .select(
+            F.col("nation").cast("bigint").alias("nation"),
+            "p_total",
+            "n_total",
+            (F.col("p_total") - F.col("n_total")).cast("bigint").alias("pn_value"),
+        )
+        .orderBy("nation")
+    )

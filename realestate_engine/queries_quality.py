@@ -1088,3 +1088,58 @@ def dq21_order_reconciliation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# --- DQ22: temporal-order constraint audit -------------------------------------
+
+
+@register(
+    "dq22_date_order_audit",
+    """
+    WITH joined AS (
+        SELECT l.l_shipdate, o.o_orderdate,
+               DATE_DIFF('day', o.o_orderdate::DATE, l.l_shipdate::DATE) AS lag_days
+        FROM lineitem l JOIN orders o ON o.o_orderkey = l.l_orderkey
+    )
+    SELECT CASE WHEN lag_days < 0 THEN 'violation_ship_before_order'
+                WHEN lag_days = 0 THEN 'same_day'
+                WHEN lag_days <= 30 THEN 'within_30d'
+                WHEN lag_days <= 120 THEN 'within_120d'
+                ELSE 'over_120d' END AS bucket,
+           CAST(COUNT(*) AS BIGINT) AS n_lineitems,
+           CAST(MIN(lag_days) AS BIGINT) AS min_lag_days,
+           CAST(MAX(lag_days) AS BIGINT) AS max_lag_days
+    FROM joined GROUP BY 1 ORDER BY bucket
+    """,
+)
+def dq22_date_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ22: temporal-order constraint audit — the cross-table
+    causality check every pipeline needs (nothing ships before it is
+    ordered): ship-vs-order lag per line item, bucketed into a
+    violation census plus a latency profile (same-day / 30d / 120d /
+    tail, with min/max lags). Violations would be the PIT-leakage
+    smoking gun x11's point-in-time discipline guards against —
+    here the constraint is AUDITED on the data rather than assumed.
+    One fact-fact equi-join (the l_orderkey shuffle every TPC-H query
+    pays), integer day arithmetic, 5-row census output."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_shipdate")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_orderdate")
+    joined = li.join(o, li.l_orderkey == o.o_orderkey).select(
+        F.datediff(F.to_date("l_shipdate"), F.to_date("o_orderdate")).alias("lag_days")
+    )
+    bucket = (
+        F.when(F.col("lag_days") < 0, "violation_ship_before_order")
+        .when(F.col("lag_days") == 0, "same_day")
+        .when(F.col("lag_days") <= 30, "within_30d")
+        .when(F.col("lag_days") <= 120, "within_120d")
+        .otherwise("over_120d")
+    )
+    return (
+        joined.groupBy(bucket.alias("bucket"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_lineitems"),
+            F.min("lag_days").cast("bigint").alias("min_lag_days"),
+            F.max("lag_days").cast("bigint").alias("max_lag_days"),
+        )
+        .orderBy("bucket")
+    )
