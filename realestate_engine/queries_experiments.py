@@ -1538,3 +1538,77 @@ def ev20_sequence_pattern_match(spark: SparkSession, sf_dir: str) -> DataFrame:
         .alias("first_match_pos"),
         F.substring(F.md5("s"), 1, 8).alias("seq_fingerprint"),
     ).orderBy("user_id")
+
+
+# --- EV21: two-proportion z-test (the A/B conversion staple) -------------------
+
+
+@register(
+    "ev21_two_proportion_ztest",
+    """
+    WITH assign AS (
+        SELECT user_id % 2 AS arm,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+        FROM events
+    ),
+    arms AS (
+        SELECT arm, COUNT(*) AS n, SUM(conv) AS x FROM assign GROUP BY arm
+    ),
+    w AS (
+        SELECT MAX(CASE WHEN arm = 0 THEN n END) AS n0,
+               MAX(CASE WHEN arm = 0 THEN x END) AS x0,
+               MAX(CASE WHEN arm = 1 THEN n END) AS n1,
+               MAX(CASE WHEN arm = 1 THEN x END) AS x1
+        FROM arms
+    )
+    SELECT CAST(n0 AS BIGINT) AS n_control, CAST(x0 AS BIGINT) AS conv_control,
+           CAST(n1 AS BIGINT) AS n_treat, CAST(x1 AS BIGINT) AS conv_treat,
+           CAST(FLOOR((CAST(x1 AS DOUBLE) / n1 - CAST(x0 AS DOUBLE) / n0) * 1000000)
+                AS BIGINT) AS lift_micro,
+           CAST(FLOOR((CAST(x1 AS DOUBLE) / n1 - CAST(x0 AS DOUBLE) / n0)
+                / SQRT((CAST(x0 + x1 AS DOUBLE) / (n0 + n1))
+                       * (1 - CAST(x0 + x1 AS DOUBLE) / (n0 + n1))
+                       * (1.0 / n0 + 1.0 / n1)) * 1000000) AS BIGINT) AS z_micro,
+           ABS(CAST(x1 AS DOUBLE) / n1 - CAST(x0 AS DOUBLE) / n0)
+             > 1.959964 * SQRT((CAST(x0 + x1 AS DOUBLE) / (n0 + n1))
+                       * (1 - CAST(x0 + x1 AS DOUBLE) / (n0 + n1))
+                       * (1.0 / n0 + 1.0 / n1)) AS significant_5pct
+    FROM w
+    """,
+)
+def ev21_two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EV21: pooled two-proportion z-test — THE conversion-rate A/B
+    readout (ev12's diff-in-diff and ev17's CUPED adjust it; this is
+    the baseline it adjusts FROM): arms by user parity, conversions =
+    purchase events, pooled-variance z statistic and the 5%
+    significance boolean. Everything flows from four exact integer
+    counts through one fixed IEEE tree (two divisions, one sqrt)
+    FLOORed to micros; the significance test is a float comparison of
+    the SAME two subtrees both engines build, so it hash-compares.
+    One hash-agg; at 100 TB the test is metadata after the count."""
+    ev = t(spark, sf_dir, "events").select(
+        (F.col("user_id") % 2).alias("arm"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("conv"),
+    )
+    arms = ev.groupBy("arm").agg(F.count(F.lit(1)).alias("n"), F.sum("conv").alias("x"))
+    w = arms.agg(
+        F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n0"),
+        F.max(F.when(F.col("arm") == 0, F.col("x"))).alias("x0"),
+        F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n1"),
+        F.max(F.when(F.col("arm") == 1, F.col("x"))).alias("x1"),
+    )
+    se = (
+        "SQRT((CAST(x0 + x1 AS DOUBLE) / (n0 + n1))"
+        " * (1 - CAST(x0 + x1 AS DOUBLE) / (n0 + n1))"
+        " * (1.0 / n0 + 1.0 / n1))"
+    )
+    diff = "(CAST(x1 AS DOUBLE) / n1 - CAST(x0 AS DOUBLE) / n0)"
+    return w.select(
+        F.col("n0").cast("bigint").alias("n_control"),
+        F.col("x0").cast("bigint").alias("conv_control"),
+        F.col("n1").cast("bigint").alias("n_treat"),
+        F.col("x1").cast("bigint").alias("conv_treat"),
+        F.expr(f"CAST(FLOOR({diff} * 1000000) AS BIGINT)").alias("lift_micro"),
+        F.expr(f"CAST(FLOOR({diff} / {se} * 1000000) AS BIGINT)").alias("z_micro"),
+        F.expr(f"ABS{diff} > 1.959964 * {se}").alias("significant_5pct"),
+    )

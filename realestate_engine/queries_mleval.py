@@ -1678,3 +1678,103 @@ def m46_cart_depth2(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("child")
     )
+
+
+# --- M48: decision-threshold tuning (F1-optimal over decile cuts) --------------
+
+
+@register(
+    "m48_f1_threshold_tuning",
+    """
+    WITH c AS (
+        SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents,
+               CASE WHEN o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS label
+        FROM orders
+    ),
+    cuts AS (
+        SELECT quantile_cont(cents, [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qs
+        FROM c
+    ),
+    fanned AS (
+        SELECT d.decile, c.label,
+               CASE WHEN c.cents > cuts.qs[CAST(d.decile AS INTEGER)]
+                    THEN 1 ELSE 0 END AS yhat
+        FROM c CROSS JOIN cuts
+        CROSS JOIN (SELECT UNNEST(RANGE(1, 10)) AS decile) d
+    ),
+    per AS (
+        SELECT decile,
+               SUM(CASE WHEN label = 1 AND yhat = 1 THEN 1 ELSE 0 END) AS tp,
+               SUM(CASE WHEN label = 0 AND yhat = 1 THEN 1 ELSE 0 END) AS fp,
+               SUM(CASE WHEN label = 1 AND yhat = 0 THEN 1 ELSE 0 END) AS fn
+        FROM fanned GROUP BY decile
+    ),
+    scored AS (
+        SELECT decile, tp, fp, fn,
+               (2 * tp * 1000000) // (2 * tp + fp + fn) AS f1_micro
+        FROM per
+    ),
+    best AS (SELECT MAX(f1_micro * 10 - decile) AS bkey FROM scored)
+    SELECT CAST(decile AS BIGINT) AS decile,
+           CAST(tp AS BIGINT) AS tp, CAST(fp AS BIGINT) AS fp,
+           CAST(fn AS BIGINT) AS fn,
+           CAST(f1_micro AS BIGINT) AS f1_micro,
+           f1_micro * 10 - decile = best.bkey AS is_best
+    FROM scored CROSS JOIN best
+    ORDER BY decile
+    """,
+)
+def m48_f1_threshold_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M48: decision-threshold tuning — the serving-side step after
+    m28's fixed-median confusion matrix: sweep the score threshold
+    over the nine population deciles (ONE percentile aggregate
+    broadcast, the a23 idiom; each row evaluates all nine thresholds
+    in a constant fan-out so the sweep is one hash-agg, not nine
+    scans) and emit the full F1 ledger with the argmax flagged
+    (injective f1*10 - decile key, ties to the lower threshold). The
+    m29 lift table ranks; this PICKS the operating point. Integer
+    cross-multiplied F1; 9-row output at any scale."""
+    o = t(spark, sf_dir, "orders")
+    c = o.select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("label"),
+    )
+    cuts = c.agg(
+        F.percentile("cents", F.array(*[F.lit(x / 10.0) for x in range(1, 10)])).alias("qs")
+    )
+    deciles = spark.range(1, 10).select(F.col("id").cast("int").alias("decile"))
+    fanned = (
+        c.crossJoin(F.broadcast(cuts))
+        .crossJoin(F.broadcast(deciles))
+        .select(
+            "decile",
+            "label",
+            F.when(
+                F.col("cents") > F.expr("element_at(qs, CAST(decile AS INT))"), 1
+            )
+            .otherwise(0)
+            .alias("yhat"),
+        )
+    )
+    per = fanned.groupBy("decile").agg(
+        F.sum(F.when((F.col("label") == 1) & (F.col("yhat") == 1), 1).otherwise(0)).alias("tp"),
+        F.sum(F.when((F.col("label") == 0) & (F.col("yhat") == 1), 1).otherwise(0)).alias("fp"),
+        F.sum(F.when((F.col("label") == 1) & (F.col("yhat") == 0), 1).otherwise(0)).alias("fn"),
+    )
+    scored = per.select(
+        "decile", "tp", "fp", "fn",
+        F.expr("(2 * tp * 1000000) DIV (2 * tp + fp + fn)").alias("f1_micro"),
+    )
+    best = scored.agg(F.max(F.col("f1_micro") * 10 - F.col("decile")).alias("bkey"))
+    return (
+        scored.crossJoin(F.broadcast(best))
+        .select(
+            F.col("decile").cast("bigint").alias("decile"),
+            F.col("tp").cast("bigint").alias("tp"),
+            F.col("fp").cast("bigint").alias("fp"),
+            F.col("fn").cast("bigint").alias("fn"),
+            F.col("f1_micro").cast("bigint").alias("f1_micro"),
+            (F.col("f1_micro") * 10 - F.col("decile") == F.col("bkey")).alias("is_best"),
+        )
+        .orderBy("decile")
+    )
