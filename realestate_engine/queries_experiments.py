@@ -1612,3 +1612,47 @@ def ev21_two_proportion_ztest(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"CAST(FLOOR({diff} / {se} * 1000000) AS BIGINT)").alias("z_micro"),
         F.expr(f"ABS{diff} > 1.959964 * {se}").alias("significant_5pct"),
     )
+
+
+# --- EV22: sample-ratio mismatch guardrail --------------------------------------
+
+
+@register(
+    "ev22_srm_check",
+    """
+    WITH counts AS (
+        SELECT SUM(CASE WHEN user_id % 2 = 0 THEN 1 ELSE 0 END) AS n0,
+               SUM(CASE WHEN user_id % 2 = 1 THEN 1 ELSE 0 END) AS n1
+        FROM (SELECT DISTINCT user_id FROM events)
+    )
+    SELECT CAST(n0 AS BIGINT) AS n_control,
+           CAST(n1 AS BIGINT) AS n_treat,
+           CAST(FLOOR(CAST((n0 - n1) * (n0 - n1) AS DOUBLE) / (n0 + n1) * 1000000)
+                AS BIGINT) AS chi2_micro,
+           CAST((n0 - n1) * (n0 - n1) AS DOUBLE) / (n0 + n1) > 3.841459
+             AS srm_detected
+    FROM counts
+    """,
+)
+def ev22_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EV22: sample-ratio mismatch — the guardrail every
+    experimentation platform runs BEFORE reading any metric (a
+    significant deviation from the designed 50/50 assignment means
+    the randomization is broken and ev12/ev17/ev21's readouts are
+    garbage): for a two-arm equal design the chi-square statistic
+    collapses to (n0-n1)^2/(n0+n1), one exact-integer expression plus
+    a fixed 3.84 (df=1, 5%) comparison. Counted over DISTINCT users
+    (assignment units), not events — the classic SRM pitfall is
+    counting exposures. One distinct-agg; metadata thereafter."""
+    ev = t(spark, sf_dir, "events").select("user_id").distinct()
+    counts = ev.agg(
+        F.sum(F.when(F.col("user_id") % 2 == 0, 1).otherwise(0)).alias("n0"),
+        F.sum(F.when(F.col("user_id") % 2 == 1, 1).otherwise(0)).alias("n1"),
+    )
+    chi2 = "CAST((n0 - n1) * (n0 - n1) AS DOUBLE) / (n0 + n1)"
+    return counts.select(
+        F.col("n0").cast("bigint").alias("n_control"),
+        F.col("n1").cast("bigint").alias("n_treat"),
+        F.expr(f"CAST(FLOOR({chi2} * 1000000) AS BIGINT)").alias("chi2_micro"),
+        F.expr(f"{chi2} > 3.841459").alias("srm_detected"),
+    )

@@ -1778,3 +1778,77 @@ def m48_f1_threshold_tuning(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# --- M49: ridge regression shrinkage path (closed form, centered) --------------
+
+_RIDGE_LAMBDAS = (0, 50, 200)  # per-row penalty; var(x) ~ 208, so 200 ~ halves beta
+
+
+@register(
+    "m49_ridge_closed_form",
+    f"""
+    WITH m AS (
+        SELECT COUNT(*) AS n, SUM(x) AS sx, SUM(y) AS sy,
+               SUM(x * x) AS sxx, SUM(x * y) AS sxy
+        FROM (
+            SELECT CAST(l_quantity AS BIGINT) AS x,
+                   CAST(FLOOR(l_extendedprice / 100) AS BIGINT) AS y
+            FROM lineitem
+        )
+    ),
+    lam AS (SELECT UNNEST([{", ".join(map(str, _RIDGE_LAMBDAS))}]) AS lambda)
+    SELECT CAST(lam.lambda AS BIGINT) AS lambda,
+           CAST(FLOOR(CAST(m.n * m.sxy - m.sx * m.sy AS DOUBLE)
+                / (CAST(m.n * m.sxx - m.sx * m.sx AS DOUBLE)
+                   + lam.lambda * CAST(m.n AS DOUBLE) * CAST(m.n AS DOUBLE))
+                * 1000000) AS BIGINT) AS beta_micro,
+           CAST(FLOOR(CAST(m.n * m.sxx - m.sx * m.sx AS DOUBLE)
+                / (CAST(m.n * m.sxx - m.sx * m.sx AS DOUBLE)
+                   + lam.lambda * CAST(m.n AS DOUBLE) * CAST(m.n AS DOUBLE))
+                * 1000000) AS BIGINT) AS shrinkage_micro
+    FROM m CROSS JOIN lam
+    ORDER BY lambda
+    """,
+)
+def m49_ridge_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M49: ridge regression shrinkage path — the L2-regularized
+    counterpart of m26's OLS in centered closed form: beta(lambda) =
+    Sxy / (Sxx + lambda*n) over the n-scaled exact-integer moments
+    (n*Sxy - Sx*Sy etc., the m44 discipline — no float means), with
+    the penalty entering as lambda*n^2 in scaled units so the SAME
+    lambda means the same per-row shrinkage at every SF. Emits beta
+    and the shrinkage factor Sxx/(Sxx+lambda*n) per lambda on a
+    3-value path (lambda=0 reproduces OLS exactly — the built-in
+    regression test). One moment aggregate, constant lambda fan-out;
+    at 100 TB the whole path costs one scan."""
+    li = t(spark, sf_dir, "lineitem").select(
+        F.col("l_quantity").cast("bigint").alias("x"),
+        F.floor(F.col("l_extendedprice") / 100).cast("bigint").alias("y"),
+    )
+    m = li.agg(
+        F.count(F.lit(1)).alias("n"),
+        F.sum("x").alias("sx"),
+        F.sum("y").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).alias("sxx"),
+        F.sum(F.col("x") * F.col("y")).alias("sxy"),
+    )
+    lam = spark.range(len(_RIDGE_LAMBDAS)).select(
+        F.element_at(
+            F.array(*[F.lit(v) for v in _RIDGE_LAMBDAS]), (F.col("id") + 1).cast("int")
+        ).alias("lambda")
+    )
+    num = "CAST(n * sxy - sx * sy AS DOUBLE)"
+    den = "(CAST(n * sxx - sx * sx AS DOUBLE) + lambda * CAST(n AS DOUBLE) * CAST(n AS DOUBLE))"
+    b = "CAST(n * sxx - sx * sx AS DOUBLE)"
+    return (
+        m.crossJoin(F.broadcast(lam))
+        .select(
+            F.col("lambda").cast("bigint").alias("lambda"),
+            F.expr(f"CAST(FLOOR({num} / {den} * 1000000) AS BIGINT)").alias("beta_micro"),
+            F.expr(f"CAST(FLOOR({b} / {den} * 1000000) AS BIGINT)").alias(
+                "shrinkage_micro"
+            ),
+        )
+        .orderBy("lambda")
+    )
