@@ -1143,3 +1143,142 @@ def dq22_date_order_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bucket")
     )
+
+
+# --- DQ23: DLP scan census (PII classes planted + detected per source) ---------
+
+
+@register(
+    "dq23_dlp_census",
+    r"""
+    WITH synth AS (
+        -- plant four PII classes into doc texts by doc id so detector
+        -- recall is provable: email, E.164 phone, SSN-shaped id,
+        -- 16-digit card-shaped number (Luhn NOT required — shape scan)
+        SELECT doc_id % 4 AS source,
+               text
+               || CASE WHEN doc_id % 3 = 0
+                       THEN ' reach user' || CAST(doc_id AS VARCHAR) || '@corp.example.org'
+                       ELSE '' END
+               || CASE WHEN doc_id % 5 = 0
+                       THEN ' call +14155550' || LPAD(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                       ELSE '' END
+               || CASE WHEN doc_id % 7 = 0
+                       THEN ' ssn 523-12-' || LPAD(CAST(doc_id % 10000 AS VARCHAR), 4, '0')
+                       ELSE '' END
+               || CASE WHEN doc_id % 11 = 0
+                       THEN ' card 4111111111111' || LPAD(CAST(doc_id % 1000 AS VARCHAR), 3, '0')
+                       ELSE '' END AS text,
+               doc_id
+        FROM documents
+    ),
+    scanned AS (
+        SELECT source,
+               LEN(REGEXP_EXTRACT_ALL(text, '[A-Za-z0-9._]+@[A-Za-z0-9.-]+\.[A-Za-z]{2,}')) AS n_email,
+               LEN(REGEXP_EXTRACT_ALL(text, '\+1[0-9]{10}')) AS n_phone,
+               LEN(REGEXP_EXTRACT_ALL(text, '[0-9]{3}-[0-9]{2}-[0-9]{4}')) AS n_ssn,
+               LEN(REGEXP_EXTRACT_ALL(text, '4[0-9]{15}')) AS n_card,
+               CASE WHEN doc_id % 3 = 0 THEN 1 ELSE 0 END
+                 + CASE WHEN doc_id % 5 = 0 THEN 1 ELSE 0 END
+                 + CASE WHEN doc_id % 7 = 0 THEN 1 ELSE 0 END
+                 + CASE WHEN doc_id % 11 = 0 THEN 1 ELSE 0 END AS n_planted
+        FROM synth
+    )
+    SELECT CAST(source AS BIGINT) AS source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(n_email) AS BIGINT) AS n_email,
+           CAST(SUM(n_phone) AS BIGINT) AS n_phone,
+           CAST(SUM(n_ssn) AS BIGINT) AS n_ssn,
+           CAST(SUM(n_card) AS BIGINT) AS n_card,
+           SUM(n_email + n_phone + n_ssn + n_card) >= SUM(n_planted) AS recall_complete,
+           CAST(SUM(CASE WHEN n_email + n_phone + n_ssn + n_card > 0
+                         THEN 1 ELSE 0 END) * 1000000 // COUNT(*) AS BIGINT)
+             AS docs_with_pii_micro
+    FROM scanned GROUP BY source ORDER BY source
+    """,
+)
+def dq23_dlp_census(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ23: DLP scan census — the compliance counterpart of t14's
+    redaction: four PII classes (email, E.164 phone, SSN-shaped,
+    card-shaped) are PLANTED into doc texts on coprime id cycles and
+    then detected by shape regexes, reported per source with a
+    recall_complete boolean (detected >= planted — provable because
+    the plants are constructed to match; organic false positives can
+    only push detected higher, visible in the per-class counts) and
+    the share of documents carrying any PII. This census is what
+    decides whether a corpus can ship to training at all; at 100 TB
+    it is one regex-codegen'd scan + a per-source hash-agg, and the
+    same classes feed t14's redaction when the answer is 'no'."""
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    synth = d.select(
+        (F.col("doc_id") % 4).alias("source"),
+        "doc_id",
+        F.concat(
+            F.col("text"),
+            F.when(
+                F.col("doc_id") % 3 == 0,
+                F.concat(
+                    F.lit(" reach user"),
+                    F.col("doc_id").cast("string"),
+                    F.lit("@corp.example.org"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 5 == 0,
+                F.concat(
+                    F.lit(" call +14155550"),
+                    F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 7 == 0,
+                F.concat(
+                    F.lit(" ssn 523-12-"),
+                    F.lpad((F.col("doc_id") % 10000).cast("string"), 4, "0"),
+                ),
+            ).otherwise(F.lit("")),
+            F.when(
+                F.col("doc_id") % 11 == 0,
+                F.concat(
+                    F.lit(" card 4111111111111"),
+                    F.lpad((F.col("doc_id") % 1000).cast("string"), 3, "0"),
+                ),
+            ).otherwise(F.lit("")),
+        ).alias("text"),
+    )
+    scanned = synth.select(
+        "source",
+        F.size(
+            F.expr(r"regexp_extract_all(text, '[A-Za-z0-9._]+@[A-Za-z0-9.-]+\\.[A-Za-z]{2,}', 0)")
+        ).alias("n_email"),
+        F.size(F.expr(r"regexp_extract_all(text, '\\+1[0-9]{10}', 0)")).alias("n_phone"),
+        F.size(F.expr(r"regexp_extract_all(text, '[0-9]{3}-[0-9]{2}-[0-9]{4}', 0)")).alias("n_ssn"),
+        F.size(F.expr(r"regexp_extract_all(text, '4[0-9]{15}', 0)")).alias("n_card"),
+        (
+            F.when(F.col("doc_id") % 3 == 0, 1).otherwise(0)
+            + F.when(F.col("doc_id") % 5 == 0, 1).otherwise(0)
+            + F.when(F.col("doc_id") % 7 == 0, 1).otherwise(0)
+            + F.when(F.col("doc_id") % 11 == 0, 1).otherwise(0)
+        ).alias("n_planted"),
+    )
+    return (
+        scanned.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            F.sum("n_email").cast("bigint").alias("n_email"),
+            F.sum("n_phone").cast("bigint").alias("n_phone"),
+            F.sum("n_ssn").cast("bigint").alias("n_ssn"),
+            F.sum("n_card").cast("bigint").alias("n_card"),
+            (
+                F.sum(F.col("n_email") + F.col("n_phone") + F.col("n_ssn") + F.col("n_card"))
+                >= F.sum("n_planted")
+            ).alias("recall_complete"),
+            F.expr(
+                "CAST(sum(CASE WHEN n_email + n_phone + n_ssn + n_card > 0 THEN 1 ELSE 0 END)"
+                " * 1000000 DIV count(*) AS BIGINT)"
+            ).alias("docs_with_pii_micro"),
+        )
+        .select(F.col("source").cast("bigint").alias("source"), "n_docs", "n_email",
+                "n_phone", "n_ssn", "n_card", "recall_complete", "docs_with_pii_micro")
+        .orderBy("source")
+    )
