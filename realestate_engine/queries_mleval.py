@@ -1852,3 +1852,131 @@ def m49_ridge_closed_form(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lambda")
     )
+
+
+# --- M50: Poisson regression via Newton scoring (exact relational IRLS) --------
+#
+# Count model: y = line items per order, x = order priority class
+# (0..4). Rate lambda = exp(b0 + b1 x); Newton scoring needs only
+# (g0, g1, H00, H01, H11) per round with lambda FLOOR-micro'd per row
+# — the m43 discipline applied to the log link.
+
+_POIS_ROUNDS = 3
+
+_POIS_LAM = (
+    "CAST(FLOOR(EXP((CAST(b0 AS DOUBLE) + CAST(b1 AS DOUBLE) * x) / 1000000)"
+    " * 1000000) AS BIGINT)"
+)
+
+
+def _pois_step_sql(feats: str, prev: str, stats: str, nxt: str) -> str:
+    return f"""
+    {stats} AS (
+        SELECT ANY_VALUE(b.b0) AS b0, ANY_VALUE(b.b1) AS b1,
+               SUM(p.y * 1000000 - p.lam) AS g0,
+               SUM(p.x * (p.y * 1000000 - p.lam)) AS g1,
+               SUM(p.lam) AS h00,
+               SUM(p.x * p.lam) AS h01,
+               SUM(p.x * p.x * p.lam) AS h11
+        FROM (SELECT x, y, {_POIS_LAM} AS lam FROM {feats} f CROSS JOIN {prev} b2) p
+        CROSS JOIN {prev} b
+    ),
+    {nxt} AS (
+        SELECT b0 + CAST(FLOOR((CAST(h11 AS DOUBLE) * g0 - CAST(h01 AS DOUBLE) * g1)
+               / (CAST(h00 AS DOUBLE) * h11 - CAST(h01 AS DOUBLE) * h01) * 1000000)
+               AS BIGINT) AS b0,
+               b1 + CAST(FLOOR((CAST(h00 AS DOUBLE) * g1 - CAST(h01 AS DOUBLE) * g0)
+               / (CAST(h00 AS DOUBLE) * h11 - CAST(h01 AS DOUBLE) * h01) * 1000000)
+               AS BIGINT) AS b1
+        FROM {stats}
+    )"""
+
+
+_POIS_ORACLE = f"""
+    WITH feats AS MATERIALIZED (
+        SELECT CASE o.o_orderpriority
+                 WHEN '1-URGENT' THEN 0 WHEN '2-HIGH' THEN 1 WHEN '3-MEDIUM' THEN 2
+                 WHEN '4-NOT SPECIFIED' THEN 3 ELSE 4 END AS x,
+               c.y
+        FROM orders o
+        JOIN (SELECT l_orderkey, COUNT(*) AS y FROM lineitem GROUP BY l_orderkey) c
+          ON c.l_orderkey = o.o_orderkey
+    ),
+    p0 AS (SELECT CAST(0 AS BIGINT) AS b0, CAST(0 AS BIGINT) AS b1),
+    {",".join(_pois_step_sql("feats", f"p{i}", f"ps{i}", f"p{i + 1}") for i in range(_POIS_ROUNDS))}
+    SELECT * FROM (
+        {" UNION ALL ".join(
+            f"SELECT CAST({i + 1} AS BIGINT) AS round, b0 AS b0_micro, b1 AS b1_micro FROM p{i + 1}"
+            for i in range(_POIS_ROUNDS)
+        )}
+    ) ORDER BY round
+"""
+
+
+@register("m50_poisson_newton", _POIS_ORACLE)
+def m50_poisson_newton(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M50: Poisson regression (log link) fit by Newton scoring,
+    entirely relational — the count-GLM sibling of m43's logistic
+    IRLS and the EXACT counterpart of m21's MLlib Poisson fit: per
+    round, per-row rates lambda = exp(eta) are FLOOR-micro'd before
+    summation so gradient and Hessian are exact BIGINT sums, and the
+    2x2 scoring step is one fixed IEEE tree. Modeled: line items per
+    order by priority class. Three unrolled rounds; scan + hash-agg +
+    1-row broadcast each — the GLM family (Gaussian m26, binomial
+    m43, Poisson m50) now all fit in pure SQL with hash-compared
+    coefficients."""
+    li = t(spark, sf_dir, "lineitem").groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).alias("y")
+    )
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.when(F.col("o_orderpriority") == "1-URGENT", 0)
+        .when(F.col("o_orderpriority") == "2-HIGH", 1)
+        .when(F.col("o_orderpriority") == "3-MEDIUM", 2)
+        .when(F.col("o_orderpriority") == "4-NOT SPECIFIED", 3)
+        .otherwise(4)
+        .alias("x"),
+    )
+    feats = cache_once(o.join(li, o.o_orderkey == li.l_orderkey).select("x", "y"))
+    b = None
+    out = []
+    for i in range(_POIS_ROUNDS):
+        if b is None:
+            cur = feats.select(
+                "x", "y",
+                F.lit(0).cast("bigint").alias("b0"),
+                F.lit(0).cast("bigint").alias("b1"),
+            )
+        else:
+            cur = feats.crossJoin(F.broadcast(b))
+        scored = cur.select("x", "y", "b0", "b1", F.expr(_POIS_LAM).alias("lam"))
+        stats = scored.agg(
+            F.any_value("b0").alias("b0"),
+            F.any_value("b1").alias("b1"),
+            F.sum(F.col("y") * 1000000 - F.col("lam")).alias("g0"),
+            F.sum(F.col("x") * (F.col("y") * 1000000 - F.col("lam"))).alias("g1"),
+            F.sum("lam").alias("h00"),
+            F.sum(F.col("x") * F.col("lam")).alias("h01"),
+            F.sum(F.col("x") * F.col("x") * F.col("lam")).alias("h11"),
+        )
+        b = stats.select(
+            F.expr(
+                "b0 + CAST(FLOOR((CAST(h11 AS DOUBLE) * g0 - CAST(h01 AS DOUBLE) * g1)"
+                " / (CAST(h00 AS DOUBLE) * h11 - CAST(h01 AS DOUBLE) * h01) * 1000000) AS BIGINT)"
+            ).alias("b0"),
+            F.expr(
+                "b1 + CAST(FLOOR((CAST(h00 AS DOUBLE) * g1 - CAST(h01 AS DOUBLE) * g0)"
+                " / (CAST(h00 AS DOUBLE) * h11 - CAST(h01 AS DOUBLE) * h01) * 1000000) AS BIGINT)"
+            ).alias("b1"),
+        )
+        out.append(
+            b.select(
+                F.lit(i + 1).cast("bigint").alias("round"),
+                F.col("b0").alias("b0_micro"),
+                F.col("b1").alias("b1_micro"),
+            )
+        )
+    res = out[0]
+    for r_ in out[1:]:
+        res = res.unionByName(r_)
+    return res.orderBy("round")

@@ -139,6 +139,7 @@ ALLOWED_CROSS = {
     "m46_cart_depth2",  # 9-row cut fan-out + 1-row root-split broadcast (the m39 posture, one level down)
     "m48_f1_threshold_tuning",  # 9-row decile fan-out + 1-row cuts/argmax broadcasts (the a23 posture)
     "m49_ridge_closed_form",  # 3-row lambda fan-out onto the 1-row moment frame
+    "m50_poisson_newton",  # 1-row parameter broadcast per scoring step (the m43/m45 posture)
 }
 # Local tables that are NOT data detours: explicit local-row sources,
 # fitted-model state (O(k) best params / importances), and
