@@ -176,32 +176,53 @@ def range_join_clicks_before_purchase(spark: SparkSession, sf_dir: str) -> DataF
 )
 def custom_running_total_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Custom stateful operator via the Arrow escape hatch: per-user
-    running total computed inside a grouped pandas function
-    (applyInPandas). The arithmetic is integer cents (floor, then int64
-    cumsum) so the result is bit-exact against the SQL-window oracle —
-    the pattern to follow when a Pandas UDF must agree with a
-    deterministic spec. One shuffle on the group key; batch size bounded
-    by the largest single user, not the corpus."""
-    import pandas as pd
+    running total as a partition-streaming mapInPandas. The input is
+    hash-partitioned on user_id (every user wholly in one partition) and
+    sorted within partitions by (user_id, ts, event_id); each Arrow
+    batch then computes a vectorized ``groupby(user_id).cumsum()`` and
+    threads an O(1) carry — only the batch-boundary user can continue
+    into the next batch under that sort. Python invocations scale with
+    partitions x Arrow batches, NOT group count: the r7 grouped
+    applyInPandas form paid one Python call per user (1,500 calls at
+    sf0.1; millions at 100 TB), this pays ~one per 10k-row batch. The
+    arithmetic is integer cents (floor, then int64 cumsum) so the result
+    is bit-exact against the SQL-window oracle. Width follows core
+    count, not data bytes: a measured sweep at sf0.1 (PLANS.md, r8) is
+    monotone — width 1 = 8.2s, 8 = 1.7s, 32 = 1.05s — because the cost
+    being parallelized is Python-side per-call overhead, and Spark's
+    reused Python workers make extra width ~free."""
 
-    def running(pdf: "pd.DataFrame") -> "pd.DataFrame":
+    def running_stream(batches):
         import numpy as np
 
-        pdf = pdf.sort_values(["ts", "event_id"]).reset_index(drop=True)
-        cents = np.floor(pdf["value"].to_numpy() * 100).astype("int64")
-        pdf["running_cents"] = cents.cumsum()
-        return pdf[["user_id", "event_id", "ts", "running_cents"]]
+        carry_user, carry_total = None, 0
+        for pdf in batches:
+            if pdf.empty:
+                continue
+            cents = np.floor(pdf["value"].to_numpy() * 100).astype("int64")
+            pdf = pdf.assign(_cents=cents)
+            csum = pdf.groupby("user_id", sort=False, dropna=False)["_cents"].cumsum()
+            if carry_user is not None:
+                csum = csum + np.where(
+                    pdf["user_id"].to_numpy() == carry_user, carry_total, 0
+                )
+            pdf["running_cents"] = csum
+            carry_user = pdf["user_id"].iloc[-1]
+            carry_total = int(pdf["running_cents"].iloc[-1])
+            yield pdf[["user_id", "event_id", "ts", "running_cents"]]
 
     ev = t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
-    # Explicit repartition by the group key: AQE would coalesce this
-    # small shuffle to ~1 partition, serializing every group through a
-    # single Python worker — for Arrow-bound stages parallelism beats
-    # shuffle-size heuristics, and the groupBy reuses this partitioning
-    # (no second exchange). AQE never coalesces user-specified
-    # repartitions with an explicit partition count.
+    # Explicit repartition with an explicit count: AQE would coalesce
+    # this ~2 MB shuffle to 1 partition, serializing every batch through
+    # a single Python worker (measured 8x slower at sf0.1).
     n_part = spark.sparkContext.defaultParallelism
-    return ev.repartition(n_part, "user_id").groupBy("user_id").applyInPandas(
-        running, schema="user_id long, event_id long, ts timestamp, running_cents long"
+    return (
+        ev.repartition(n_part, "user_id")
+        .sortWithinPartitions("user_id", "ts", "event_id")
+        .mapInPandas(
+            running_stream,
+            schema="user_id long, event_id long, ts timestamp, running_cents long",
+        )
     )
 
 
