@@ -1730,3 +1730,83 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("vec_id")
     )
+
+
+@register(
+    "dedup_substring_kgram",
+    r"""
+    WITH docs AS (
+        SELECT doc_id, source,
+               STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+') AS words
+        FROM documents
+    ),
+    grams AS (
+        SELECT doc_id, source,
+               ('0x' || SUBSTR(MD5(
+                   ARRAY_TO_STRING(LIST_SLICE(words, i, i + 19), ' ')
+               ), 1, 8))::BIGINT AS g_hash
+        FROM docs, UNNEST(RANGE(1, GREATEST(LEN(words) - 18, 1))) AS r(i)
+    ),
+    gram_census AS (
+        SELECT g_hash,
+               CAST(COUNT(*) AS BIGINT) AS n_occurrences,
+               CAST(COUNT(DISTINCT doc_id) AS BIGINT) AS n_docs,
+               CAST(COUNT(DISTINCT source) AS BIGINT) AS n_sources
+        FROM grams
+        GROUP BY g_hash
+        HAVING COUNT(DISTINCT doc_id) > 1
+    )
+    SELECT g_hash, n_occurrences, n_docs, n_sources
+    FROM gram_census
+    ORDER BY n_occurrences DESC, n_docs DESC, g_hash
+    LIMIT 100
+    """,
+)
+def dedup_substring_kgram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact substring-duplication census (Lee et al. 2022,
+    "Deduplicating Training Data Makes Language Models Better", the
+    ExactSubstr criterion at token granularity): every 20-token window
+    of every document is fingerprinted, and windows appearing in more
+    than one document are surfaced with occurrence / document / source
+    counts — the candidate set an ExactSubstr cut pass would remove.
+    Fingerprints use the engine-portable md5-prefix hash so the census
+    hash-compares exactly against DuckDB.
+
+    Plan: one explode producing ~n_tokens rows per doc (the window grid
+    is generated array-side inside codegen — ``sequence`` + ``slice`` —
+    so no self-join), then ONE hash aggregation keyed on the 64-bit
+    fingerprint. At 100 TB this is the scalable shape of suffix-array
+    dedup: the shuffle is an even hash partition on the fingerprint
+    (no all-pairs, no sort of the whole corpus), and the HAVING clause
+    prunes the unique ~99 % map-side-combinable mass before the top-k.
+    Cites reference coverage: the reference has no corpus operators at
+    all (README.md:96-114); beyond-reference north-star op."""
+    d = t(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id", "source", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("words")
+    )
+    grams = docs.select(
+        "doc_id",
+        "source",
+        F.explode(
+            F.expr(
+                # sequence(1, 0) counts DOWN ([1, 0]) in Spark, so the
+                # short-doc case needs an explicit empty array, not a
+                # greatest() clamp.
+                "transform(if(size(words) >= 20, sequence(1, size(words) - 19),"
+                " array()), i -> array_join(slice(words, i, 20), ' '))"
+            )
+        ).alias("gram"),
+    ).select("doc_id", "source", portable_hash32(F.col("gram")).alias("g_hash"))
+    census = (
+        grams.groupBy("g_hash")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_occurrences"),
+            F.countDistinct("doc_id").cast("bigint").alias("n_docs"),
+            F.countDistinct("source").cast("bigint").alias("n_sources"),
+        )
+        .filter(F.col("n_docs") > 1)
+    )
+    return census.orderBy(
+        F.col("n_occurrences").desc(), F.col("n_docs").desc(), "g_hash"
+    ).limit(100)

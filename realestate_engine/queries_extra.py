@@ -256,34 +256,6 @@ def f14_array_hof_topn(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 @register(
-    "scd2_intervals",
-    """
-    SELECT user_id, event_type, ts AS valid_from,
-           LEAD(ts) OVER (PARTITION BY user_id ORDER BY ts, event_id) AS valid_to,
-           event_id
-    FROM events
-    ORDER BY user_id, valid_from, event_id
-    """,
-)
-def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """SCD2 snapshot intervals: each event opens a validity window that
-    the next event for the same user closes (valid_to NULL = current
-    state) — the slowly-changing-dimension build step, one window pass,
-    shuffle on user_id only. event_id tiebreaks equal timestamps."""
-    from pyspark.sql.window import Window
-
-    ev = t(spark, sf_dir, "events")
-    w = Window.partitionBy("user_id").orderBy("ts", "event_id")
-    return ev.select(
-        "user_id",
-        "event_type",
-        F.col("ts").alias("valid_from"),
-        F.lead("ts").over(w).alias("valid_to"),
-        "event_id",
-    ).orderBy("user_id", "valid_from", "event_id")
-
-
-@register(
     "set_intersect_all",
     """
     SELECT l_suppkey AS suppkey FROM lineitem WHERE l_returnflag = 'R'

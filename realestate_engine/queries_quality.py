@@ -1282,3 +1282,180 @@ def dq23_dlp_census(spark: SparkSession, sf_dir: str) -> DataFrame:
                 "n_phone", "n_ssn", "n_card", "recall_complete", "docs_with_pii_micro")
         .orderBy("source")
     )
+
+
+@register(
+    "t29_gopher_quality_rules",
+    r"""
+    WITH docs AS (
+        SELECT doc_id, source,
+               STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+') AS words
+        FROM documents
+    ),
+    base AS (
+        SELECT doc_id, source,
+               CAST(LEN(words) AS BIGINT) AS n_words,
+               CAST(LIST_SUM(LIST_TRANSFORM(words, w -> LEN(w))) AS BIGINT) AS sum_len,
+               CAST(LEN(LIST_FILTER(words, w -> w IN
+                   ('the','a','of','and','to','in','is','on','for','with'))) AS BIGINT)
+                   AS n_stop
+        FROM docs
+    ),
+    bigrams AS (
+        SELECT doc_id, words[i] || ' ' || words[i + 1] AS bg
+        FROM docs, UNNEST(RANGE(1, GREATEST(LEN(words), 1))) AS r(i)
+    ),
+    bg_top AS (
+        SELECT doc_id, CAST(MAX(cnt) AS BIGINT) AS top_bigram_cnt
+        FROM (SELECT doc_id, bg, COUNT(*) AS cnt FROM bigrams GROUP BY doc_id, bg)
+        GROUP BY doc_id
+    ),
+    grams5 AS (
+        SELECT doc_id,
+               words[i] || ' ' || words[i+1] || ' ' || words[i+2] || ' ' ||
+               words[i+3] || ' ' || words[i+4] AS g5
+        FROM docs, UNNEST(RANGE(1, GREATEST(LEN(words) - 3, 1))) AS r(i)
+    ),
+    g5_stats AS (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_g5,
+               CAST(COUNT(DISTINCT g5) AS BIGINT) AS n_g5_distinct
+        FROM grams5 GROUP BY doc_id
+    ),
+    flags AS (
+        SELECT b.source,
+               (b.n_words < 20 OR b.n_words > 80) AS f_wordcount,
+               (b.sum_len < 3 * b.n_words OR b.sum_len > 8 * b.n_words) AS f_meanlen,
+               (b.n_stop < 2) AS f_stopword,
+               (COALESCE(g.top_bigram_cnt, 0) * 2 * 100 > 18 * b.n_words) AS f_bigram_rep,
+               (COALESCE(s.n_g5 - s.n_g5_distinct, 0) * 100 > 30 * COALESCE(s.n_g5, 1))
+                   AS f_dup5gram
+        FROM base b
+        LEFT JOIN bg_top g USING (doc_id)
+        LEFT JOIN g5_stats s USING (doc_id)
+    )
+    SELECT source,
+           CAST(COUNT(*) AS BIGINT) AS n_docs,
+           CAST(SUM(CASE WHEN f_wordcount THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_wordcount,
+           CAST(SUM(CASE WHEN f_meanlen THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_meanlen,
+           CAST(SUM(CASE WHEN f_stopword THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_stopword,
+           CAST(SUM(CASE WHEN f_bigram_rep THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_bigram_rep,
+           CAST(SUM(CASE WHEN f_dup5gram THEN 1 ELSE 0 END) AS BIGINT) AS n_fail_dup5gram,
+           CAST(SUM(CASE WHEN NOT (f_wordcount OR f_meanlen OR f_stopword
+                                   OR f_bigram_rep OR f_dup5gram)
+                         THEN 1 ELSE 0 END) AS BIGINT) AS n_pass_all
+    FROM flags
+    GROUP BY source
+    ORDER BY source
+    """,
+)
+def t29_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Gopher-style document quality census (Rae et al. 2021, Appendix
+    A1.1, adapted to the synthetic corpus): per source, how many
+    documents fail each composition/repetition rule — word count
+    outside [20, 80], mean word length outside [3, 8], fewer than two
+    stopwords, top word-bigram covering > 18 % of tokens, duplicate
+    5-gram share > 30 % — plus the pass-all count. Every threshold is a
+    cross-multiplied integer comparison (no float ratios), so the
+    census hash-compares exactly.
+
+    Plan: per-doc scalars (word count, summed lengths, stopword hits)
+    stay array-native inside whole-stage codegen via higher-order
+    functions — zero shuffles; the two repetition rules explode n-grams
+    and aggregate BY doc_id, so their shuffles scale with corpus size
+    on an even key, and the final census is one source-keyed hash agg.
+    Beyond-reference north-star op (LLM corpus quality filtering)."""
+    d = t(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id", "source", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("words")
+    )
+    stop_arr = F.array(*[F.lit(s) for s in
+                         ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")])
+    base = docs.select(
+        "doc_id",
+        "source",
+        F.size("words").cast("bigint").alias("n_words"),
+        F.aggregate(
+            F.transform("words", lambda w: F.length(w).cast("bigint")),
+            F.lit(0).cast("bigint"),
+            lambda acc, x: acc + x,
+        ).alias("sum_len"),
+        F.size(F.filter("words", lambda w: F.array_contains(stop_arr, w)))
+        .cast("bigint")
+        .alias("n_stop"),
+    )
+    bigrams = docs.select(
+        "doc_id",
+        F.explode(
+            F.filter(
+                F.zip_with(
+                    "words",
+                    F.slice("words", 2, F.greatest(F.size("words") - 1, F.lit(0))),
+                    lambda a, b: F.when(b.isNotNull(), F.concat_ws(" ", a, b)),
+                ),
+                lambda x: x.isNotNull(),
+            )
+        ).alias("bg"),
+    )
+    bg_top = (
+        bigrams.groupBy("doc_id", "bg")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .groupBy("doc_id")
+        .agg(F.max("cnt").cast("bigint").alias("top_bigram_cnt"))
+    )
+    grams5 = docs.select(
+        "doc_id",
+        F.explode(
+            F.expr(
+                # sequence(1, 0) counts DOWN ([1, 0]) in Spark, so the
+                # short-doc case needs an explicit empty array, not a
+                # greatest() clamp.
+                "transform(if(size(words) >= 5, sequence(1, size(words) - 4),"
+                " array()), i -> array_join(slice(words, i, 5), ' '))"
+            )
+        ).alias("g5"),
+    )
+    g5_stats = grams5.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_g5"),
+        F.countDistinct("g5").cast("bigint").alias("n_g5_distinct"),
+    )
+    flags = (
+        base.join(bg_top, "doc_id", "left")
+        .join(g5_stats, "doc_id", "left")
+        .select(
+            "source",
+            ((F.col("n_words") < 20) | (F.col("n_words") > 80)).alias("f_wordcount"),
+            (
+                (F.col("sum_len") < 3 * F.col("n_words"))
+                | (F.col("sum_len") > 8 * F.col("n_words"))
+            ).alias("f_meanlen"),
+            (F.col("n_stop") < 2).alias("f_stopword"),
+            (F.coalesce("top_bigram_cnt", F.lit(0)) * 2 * 100 > 18 * F.col("n_words")).alias(
+                "f_bigram_rep"
+            ),
+            (
+                F.coalesce(F.col("n_g5") - F.col("n_g5_distinct"), F.lit(0)) * 100
+                > 30 * F.coalesce("n_g5", F.lit(1))
+            ).alias("f_dup5gram"),
+        )
+    )
+    fail_cols = ["f_wordcount", "f_meanlen", "f_stopword", "f_bigram_rep", "f_dup5gram"]
+    aggs = [
+        F.sum(F.when(F.col(c), 1).otherwise(0)).cast("bigint").alias(f"n_fail_{c[2:]}")
+        for c in fail_cols
+    ]
+    pass_all = ~(
+        F.col("f_wordcount")
+        | F.col("f_meanlen")
+        | F.col("f_stopword")
+        | F.col("f_bigram_rep")
+        | F.col("f_dup5gram")
+    )
+    return (
+        flags.groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_docs"),
+            *aggs,
+            F.sum(F.when(pass_all, 1).otherwise(0)).cast("bigint").alias("n_pass_all"),
+        )
+        .orderBy("source")
+    )

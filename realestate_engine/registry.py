@@ -131,6 +131,7 @@ def load_all() -> None:
     import realestate_engine.dedup  # noqa: F401
     import realestate_engine.similarity  # noqa: F401
     import realestate_engine.text  # noqa: F401
+    import realestate_engine.tokenizers  # noqa: F401
     import realestate_engine.streaming  # noqa: F401
     import realestate_engine.temporal  # noqa: F401
     import realestate_engine.multimodal  # noqa: F401

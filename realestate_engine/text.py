@@ -870,163 +870,6 @@ def text_sparse_dot_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def _bpe_pair_counts(vocab: DataFrame) -> DataFrame:
-    """Adjacent-symbol pair counts over a (sym array<string>, freq)
-    vocabulary, weighted by word frequency — one explode + hash agg."""
-    pairs = F.filter(
-        F.zip_with(
-            F.col("sym"),
-            F.slice(F.col("sym"), 2, F.greatest(F.size("sym") - 1, F.lit(0))),
-            lambda a, b: F.struct(a.alias("l"), b.alias("r")),
-        ),
-        lambda s: s["r"].isNotNull(),
-    )
-    return (
-        vocab.select(F.explode(pairs).alias("p"), "freq")
-        .groupBy(F.col("p.l").alias("l"), F.col("p.r").alias("r"))
-        .agg(F.sum("freq").alias("cnt"))
-    )
-
-
-def _bpe_oracle_sql(rounds: int = 3) -> str:
-    r"""DuckDB twin of text_bpe_merge_rounds: the N-round driver loop
-    unrolled into chained CTEs (the label-propagation trick — VERDICT
-    r5 #7 upgraded this from rows-only).
-
-    Representation is (word, freq, pos, s) symbol rows, not lists, so
-    each round is plain SQL: pair counts = a pos+1 self-join; the
-    argmax = ORDER BY cnt DESC, l, r LIMIT 1 (Spark's exact
-    tie-break); the merge applies regexp_replace's left-to-right
-    non-overlap semantics exactly — in a run of consecutive matching
-    positions only every other one merges (parity via gaps-and-islands
-    on match positions), and a position consumed by its left
-    neighbor's merge is dropped. Windows here are DuckDB-side oracle
-    spec, not engine plans."""
-    parts = [
-        r"""
-    w AS (
-        SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
-        FROM (SELECT UNNEST(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+')) AS word
-              FROM documents)
-        GROUP BY word
-    ),
-    v0 AS (
-        SELECT word, freq,
-               UNNEST(RANGE(1, LENGTH(word) + 1)) AS pos,
-               UNNEST(STRING_SPLIT(word, '')) AS s
-        FROM w
-    )"""
-    ]
-    for k in range(rounds):
-        parts.append(f"""
-    pc{k} AS (
-        SELECT a.s AS l, b.s AS r, CAST(SUM(a.freq) AS BIGINT) AS cnt
-        FROM v{k} a JOIN v{k} b ON a.word = b.word AND b.pos = a.pos + 1
-        GROUP BY a.s, b.s
-    ),
-    m{k} AS (SELECT l, r, cnt FROM pc{k} ORDER BY cnt DESC, l, r LIMIT 1),
-    mt{k} AS (
-        SELECT a.word, a.freq, a.pos, a.s,
-               COALESCE(a.s = m.l AND b.s = m.r, FALSE) AS mat
-        FROM v{k} a
-        LEFT JOIN v{k} b ON a.word = b.word AND b.pos = a.pos + 1
-        CROSS JOIN m{k} m
-    ),
-    isl{k} AS (
-        SELECT word, freq, pos, s, mat,
-               CASE WHEN mat THEN pos - ROW_NUMBER() OVER
-                    (PARTITION BY word, mat ORDER BY pos) END AS island
-        FROM mt{k}
-    ),
-    mg{k} AS (
-        SELECT word, freq, pos, s, mat, island,
-               COALESCE(mat AND (pos - MIN(pos) OVER (PARTITION BY word, island))
-                            % 2 = 0, FALSE) AS do_merge
-        FROM isl{k}
-    ),
-    v{k + 1} AS (
-        SELECT word, freq,
-               ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS pos,
-               s
-        FROM (
-            SELECT c.word, c.freq, c.pos,
-                   CASE WHEN c.do_merge THEN (SELECT l || r FROM m{k}) ELSE c.s END AS s
-            FROM mg{k} c
-            LEFT JOIN mg{k} p ON p.word = c.word AND p.pos = c.pos - 1
-            WHERE NOT COALESCE(p.do_merge, FALSE)
-        )
-    )""")
-    finals = "\n    UNION ALL".join(
-        f"""
-    SELECT CAST({k + 1} AS INTEGER) AS round, l AS "left", r AS "right",
-           CAST(cnt AS BIGINT) AS pair_count
-    FROM m{k}"""
-        for k in range(rounds)
-    )
-    return "WITH" + ",".join(parts) + finals + "\n    ORDER BY round"
-
-
-@register("text_bpe_merge_rounds", _bpe_oracle_sql(rounds=3))
-def text_bpe_merge_rounds(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T18: byte-pair-encoding vocabulary induction — N=3 real BPE
-    merge rounds over the corpus word-frequency table, the core step of
-    tokenizer training (GPT-2/SentencePiece-class). Each round is one
-    distributed pair-count aggregate (explode + sum(freq), map-side
-    partials) followed by a 1-row argmax pull to the driver — the same
-    loop-on-driver/work-on-cluster shape as PageRank; the merge itself
-    is a space-joined regexp rewrite applied corpus-wide in parallel.
-    Tie-breaks are lexicographic, so the learned merges are fully
-    deterministic. Oracle-checked since round 6: the 3-round loop is
-    unrolled into chained DuckDB CTEs over symbol-position rows
-    (_bpe_oracle_sql), reproducing regexp_replace's left-to-right
-    non-overlap merge semantics exactly; tests/test_new_ops.py
-    additionally re-derives the merges with an exact Python
-    reference."""
-    d = t(spark, sf_dir, "documents")
-    words = d.select(
-        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("word")
-    )
-    vocab = (
-        words.groupBy("word")
-        .agg(F.count(F.lit(1)).alias("freq"))
-        # split("(?!^)") on this Spark version emits a TRAILING EMPTY
-        # element (zero-width match at end-of-string), i.e. a phantom
-        # '' symbol whose (last_char, '') pair counts are word
-        # frequencies — large enough to WIN a merge round at sf0.1
-        # (caught by the round-6 DuckDB oracle; the in-memory
-        # reference test agreed but only ran at sf0.001). Filter it.
-        .select(
-            F.filter(F.split("word", "(?!^)"), lambda s: s != "").alias("sym"),
-            "freq",
-        )
-        .localCheckpoint()
-    )
-    merges = []
-    for rnd in range(3):
-        top = (
-            _bpe_pair_counts(vocab)
-            .orderBy(F.desc("cnt"), "l", "r")
-            .limit(1)
-            .collect()[0]
-        )
-        merges.append((rnd + 1, top["l"], top["r"], int(top["cnt"])))
-        pat = "(?<= )\\Q" + top["l"] + "\\E \\Q" + top["r"] + "\\E(?= )"
-        vocab = vocab.select(
-            F.split(
-                F.trim(
-                    F.regexp_replace(
-                        F.concat(F.lit(" "), F.array_join("sym", " "), F.lit(" ")),
-                        pat,
-                        top["l"] + top["r"],
-                    )
-                ),
-                " ",
-            ).alias("sym"),
-            "freq",
-        ).localCheckpoint()
-    return spark.createDataFrame(
-        merges, "round int, left string, right string, pair_count bigint"
-    )
 
 
 _BM25_QUERY_TERMS = ("data", "model", "spark")
@@ -1915,92 +1758,6 @@ def t22_url_canonicalize(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "t23_bigram_perplexity",
-    r"""
-    WITH w AS (
-        SELECT doc_id, STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+') AS words
-        FROM documents
-    ),
-    bg AS (
-        SELECT doc_id, words[i] AS w1, words[i + 1] AS w2
-        FROM w, UNNEST(RANGE(1, GREATEST(LEN(words), 1))) AS u(i)
-    ),
-    big_counts AS (
-        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cb FROM bg GROUP BY w1, w2
-    ),
-    uni_counts AS (
-        SELECT w1, CAST(COUNT(*) AS BIGINT) AS cw FROM bg GROUP BY w1
-    ),
-    vocab AS (
-        SELECT CAST(COUNT(DISTINCT w2) AS BIGINT) AS v FROM bg
-    ),
-    scored AS (
-        SELECT g.doc_id,
-               CAST(FLOOR(LN((b.cb + 1.0) / (u.cw + (SELECT v FROM vocab))) * 1000000)
-                    AS BIGINT) AS lp_micro
-        FROM bg g
-        JOIN big_counts b ON g.w1 = b.w1 AND g.w2 = b.w2
-        JOIN uni_counts u ON g.w1 = u.w1
-    )
-    SELECT doc_id,
-           CAST(COUNT(*) AS BIGINT) AS n_bigrams,
-           CAST(SUM(-lp_micro) AS BIGINT) AS neg_logprob_micro,
-           CAST(SUM(-lp_micro) // COUNT(*) AS BIGINT) AS avg_nll_micro
-    FROM scored GROUP BY doc_id ORDER BY doc_id
-    """,
-)
-def t23_bigram_perplexity(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T23: bigram-LM perplexity scoring — the actual CCNet/RefinedWeb
-    quality gate shape (text_unigram_logprob's contextual upgrade): a
-    Laplace-smoothed corpus bigram model P(w2|w1) = (C(w1,w2)+1) /
-    (C(w1)+V) scores every transition, and each document reports its
-    total and mean negative log-likelihood. High-perplexity docs (rare
-    transitions) are the noise a production filter drops. Each ln term
-    is FLOOR-scaled to integer micros BEFORE summing — the repo's
-    order-free float-sum idiom — and the ln input is a single IEEE
-    division of exact integers, bit-identical across engines.
-
-    Scale: two count shuffles (bigram, unigram) with map-side partial
-    aggregation, broadcast model join back onto the token stream
-    (at 100 TB: top-K model with a default score, or pre-partition by
-    w1 — what production LM filters do), one per-doc regroup. The
-    bigram stream itself comes from a doc-PARTITIONED lag window."""
-    from pyspark.sql.window import Window
-
-    d = t(spark, sf_dir, "documents")
-    toks = d.select(
-        "doc_id",
-        F.posexplode(F.split(F.lower(F.trim("text")), r"\s+")).alias("pos", "w2"),
-    )
-    w_doc = Window.partitionBy("doc_id").orderBy("pos")
-    bg = toks.select(
-        "doc_id", F.lag("w2").over(w_doc).alias("w1"), "w2"
-    ).filter(F.col("w1").isNotNull())
-    big_counts = bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("cb"))
-    uni_counts = bg.groupBy("w1").agg(F.count(F.lit(1)).cast("long").alias("cw"))
-    vocab = bg.agg(F.countDistinct("w2").cast("long").alias("v"))
-    scored = (
-        bg.join(F.broadcast(big_counts), ["w1", "w2"])
-        .join(F.broadcast(uni_counts), "w1")
-        .crossJoin(F.broadcast(vocab))
-        .select(
-            "doc_id",
-            F.floor(F.log((F.col("cb") + 1.0) / (F.col("cw") + F.col("v"))) * 1000000)
-            .cast("long")
-            .alias("lp_micro"),
-        )
-    )
-    return (
-        scored.groupBy("doc_id")
-        .agg(
-            F.count(F.lit(1)).cast("long").alias("n_bigrams"),
-            F.sum(-F.col("lp_micro")).cast("long").alias("neg_logprob_micro"),
-            F.expr("CAST(SUM(-lp_micro) DIV COUNT(*) AS BIGINT)").alias("avg_nll_micro"),
-        )
-        .orderBy("doc_id")
-    )
-
 
 @register(
     "t24_weighted_sample_aes",
@@ -2068,319 +1825,109 @@ def t24_weighted_sample_aes(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
+
+_DSIR_TARGET_SOURCES = ("src0", "src1", "src2")
+
+
 @register(
-    "t25_kneser_ney_bigram",
+    "t28_dsir_importance_weights",
     r"""
-    WITH w AS (
-        SELECT doc_id, STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+') AS words
-        FROM documents
+    WITH words AS (
+        SELECT d.doc_id, d.source,
+               (d.source IN ('src0', 'src1', 'src2')) AS is_target,
+               UNNEST(STRING_SPLIT_REGEX(LOWER(TRIM(d.text)), '\s+')) AS word
+        FROM documents d
     ),
-    bg AS (
-        SELECT words[i] AS w1, words[i + 1] AS w2
-        FROM w, UNNEST(RANGE(1, GREATEST(LEN(words), 1))) AS u(i)
+    stats AS (
+        SELECT word,
+               CAST(SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+               CAST(SUM(CASE WHEN is_target THEN 0 ELSE 1 END) AS BIGINT) AS cr
+        FROM words GROUP BY word
     ),
-    big_counts AS (
-        SELECT w1, w2, CAST(COUNT(*) AS BIGINT) AS cb FROM bg GROUP BY w1, w2
+    totals AS (
+        SELECT CAST(SUM(ct) AS BIGINT) AS nt, CAST(SUM(cr) AS BIGINT) AS nr,
+               CAST(COUNT(*) AS BIGINT) AS v
+        FROM stats
     ),
-    ctx AS (
-        SELECT w1, CAST(SUM(cb) AS BIGINT) AS cw,
-               CAST(COUNT(*) AS BIGINT) AS n1s
-        FROM big_counts GROUP BY w1
+    weights AS (
+        SELECT word,
+               CAST(FLOOR(1000000.0 * (
+                   LN(CAST(ct + 1 AS DOUBLE)) - LN(CAST(nt + v AS DOUBLE))
+                   - LN(CAST(cr + 1 AS DOUBLE)) + LN(CAST(nr + v AS DOUBLE))
+               )) AS BIGINT) AS term_micro
+        FROM stats CROSS JOIN totals
     ),
-    cont AS (
-        SELECT w2, CAST(COUNT(*) AS BIGINT) AS n1p FROM big_counts GROUP BY w2
+    tf AS (
+        SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+        FROM words GROUP BY doc_id, word
     ),
-    types AS (SELECT CAST(COUNT(*) AS BIGINT) AS tt FROM big_counts)
-    SELECT b.w1, b.w2, b.cb,
-           CAST((4 * b.cb - 3) * 1000000 // (4 * x.cw) AS BIGINT) AS t1_micro,
-           CAST(3 * x.n1s * p.n1p * 1000000 // (4 * x.cw * (SELECT tt FROM types))
-                AS BIGINT) AS t2_micro,
-           CAST((4 * b.cb - 3) * 1000000 // (4 * x.cw)
-                + 3 * x.n1s * p.n1p * 1000000 // (4 * x.cw * (SELECT tt FROM types))
-                AS BIGINT) AS pkn_micro
-    FROM big_counts b JOIN ctx x ON b.w1 = x.w1 JOIN cont p ON b.w2 = p.w2
-    ORDER BY b.cb DESC, b.w1, b.w2
-    LIMIT 25
+    scored AS (
+        SELECT tf.doc_id, CAST(SUM(tf.tf * w.term_micro) AS BIGINT) AS dsir_logweight_micro
+        FROM tf JOIN weights w USING (word)
+        GROUP BY tf.doc_id
+    )
+    SELECT s.doc_id, d.source, s.dsir_logweight_micro
+    FROM scored s JOIN documents d USING (doc_id)
+    ORDER BY s.dsir_logweight_micro DESC, s.doc_id
+    LIMIT 50
     """,
 )
-def t25_kneser_ney_bigram(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T25: interpolated Kneser-Ney bigram probabilities — the actual
-    n-gram-LM smoothing standard (Chen & Goodman '98), upgrading t23's
-    Laplace gate: P_KN(w2|w1) = max(c(w1,w2)-D, 0)/c(w1·) +
-    D·N1+(w1·)/c(w1·) · N1+(·w2)/|bigram types|, with the canonical
-    discount D = 0.75 carried as the EXACT rational 3/4 — so both
-    terms are pure integer arithmetic ((4c-3)/4cw and 3·N1s·N1p /
-    (4·cw·T)), FLOOR-scaled to micros separately (each one integer
-    division, order-free, bit-identical across engines; every
-    numerator is nonnegative so truncating DIV == floor on both).
-    The continuation probability N1+(·w2)/T — "how many distinct
-    contexts precede w2" — is what makes KN the right unigram
-    fallback where raw frequency over-scores burst words; the top-25
-    bigrams by count are reported with both terms visible.
+def t28_dsir_importance_weights(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DSIR-style importance resampling weights (Xie et al. 2023,
+    "Data Selection for Language Models via Importance Resampling"):
+    score every raw document by the log-likelihood ratio of a
+    Laplace-smoothed unigram LM fit on a small TARGET slice (sources
+    src0-src2) vs the full raw remainder, then surface the top-50
+    most-target-like documents. The per-token log-ratio is computed
+    ONCE per vocabulary type and FLOOR-scaled to integer micros, so the
+    per-document sum Σ tf·term is exact BIGINT arithmetic — order-free
+    and bit-identical to the oracle (the ln() calls hit the same libm
+    on identical integer inputs in the same expression order).
 
-    Scale: one bigram count shuffle with map-side combine, then all
-    model statistics (context totals, distinct successors/
-    predecessors, the 1-row type count) derive from the COUNTED
-    bigram-type frame — each a further aggregation of an
-    already-collapsed relation, never a second pass over the corpus.
-    Final ranking is TakeOrdered (top-k, no global sort materialized).
-    At 100 TB this is exactly the distributed KN estimation layout:
-    count once, aggregate the count table three ways, join small."""
-    from realestate_engine.dedup import cache_once
-
+    Plan: one token explode feeding two hash aggregations (type stats,
+    per-doc tf); the vocabulary-sized weight table is broadcast into
+    the tf join (vocabulary ≪ corpus at any scale — at 100 TB the tf
+    side shuffles on doc_id only for its own agg, never the corpus on
+    word); totals ride a 1-row broadcast cross join. Beyond-reference
+    north-star op (LLM training-data curation)."""
     d = t(spark, sf_dir, "documents")
-    toks = d.select(
+    words = d.select(
         "doc_id",
-        F.posexplode(F.split(F.lower(F.trim("text")), r"\s+")).alias("pos", "w2"),
+        F.col("source").isin(*_DSIR_TARGET_SOURCES).alias("is_target"),
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("word"),
     )
-    w_doc = Window.partitionBy("doc_id").orderBy("pos")
-    bg = toks.select(
-        F.lag("w2").over(w_doc).alias("w1"), "w2"
-    ).filter(F.col("w1").isNotNull())
-    big_counts = cache_once(
-        bg.groupBy("w1", "w2").agg(F.count(F.lit(1)).cast("long").alias("cb"))
+    stats = words.groupBy("word").agg(
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).cast("bigint").alias("ct"),
+        F.sum(F.when(F.col("is_target"), 0).otherwise(1)).cast("bigint").alias("cr"),
     )
-    ctx = big_counts.groupBy("w1").agg(
-        F.sum("cb").cast("long").alias("cw"), F.count(F.lit(1)).cast("long").alias("n1s")
+    totals = stats.agg(
+        F.sum("ct").cast("bigint").alias("nt"),
+        F.sum("cr").cast("bigint").alias("nr"),
+        F.count(F.lit(1)).cast("bigint").alias("v"),
     )
-    cont = big_counts.groupBy("w2").agg(F.count(F.lit(1)).cast("long").alias("n1p"))
-    types = big_counts.agg(F.count(F.lit(1)).cast("long").alias("tt"))
-    t1 = F.expr("((4 * cb - 3) * 1000000) DIV (4 * cw)")
-    t2 = F.expr("(3 * n1s * n1p * 1000000) DIV (4 * cw * tt)")
-    return (
-        big_counts.join(ctx, "w1")
-        .join(cont, "w2")
-        .crossJoin(F.broadcast(types))
-        .select(
-            "w1",
-            "w2",
-            "cb",
-            t1.cast("long").alias("t1_micro"),
-            t2.cast("long").alias("t2_micro"),
-            (t1 + t2).cast("long").alias("pkn_micro"),
+    weights = stats.crossJoin(F.broadcast(totals)).select(
+        "word",
+        F.floor(
+            1000000.0
+            * (
+                F.log((F.col("ct") + 1).cast("double"))
+                - F.log((F.col("nt") + F.col("v")).cast("double"))
+                - F.log((F.col("cr") + 1).cast("double"))
+                + F.log((F.col("nr") + F.col("v")).cast("double"))
+            )
         )
-        .orderBy(F.desc("cb"), "w1", "w2")
-        .limit(25)
-    )
-
-
-# --- T26: WordPiece-style greedy longest-match tokenization ------------------
-#
-# The inference-side half of subword tokenization (text_bpe_merge_rounds
-# trains merges; this SEGMENTS with a fixed vocab): at each position
-# take the LONGEST vocab token that matches, advance, repeat. The
-# insight that keeps it relational: the greedy choice at (word, pos)
-# is a pure function of (word, pos, vocab) — so ALL choices are
-# precomputed as one equi-join + per-(word,pos) argmax, and the
-# tokenization itself is just a 12-step WALK over that choice table
-# (bounded by the word-length cap), with no per-row Python anywhere.
-
-_WP_TOP_PREFIXES = 40
-_WP_MAX_WLEN = 12
-_WP_MAX_TLEN = 4
-
-
-@register(
-    "t26_wordpiece_tokenize",
-    f"""
-    WITH RECURSIVE words AS (
-        SELECT word, COUNT(*) AS wcount
-        FROM (
-            SELECT UNNEST(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+')) AS word
-            FROM documents
-        )
-        WHERE word ~ '^[a-z]+$' AND LEN(word) <= {_WP_MAX_WLEN}
-        GROUP BY word
-    ),
-    prefixes AS (
-        SELECT SUBSTR(word, 1, l.l) AS tok, SUM(wcount) AS cnt
-        FROM words JOIN (SELECT UNNEST(RANGE(2, {_WP_MAX_TLEN + 1})) AS l) l
-          ON LEN(word) >= l.l
-        GROUP BY 1
-        ORDER BY cnt DESC, tok
-        LIMIT {_WP_TOP_PREFIXES}
-    ),
-    vocab AS (
-        SELECT tok FROM prefixes
-        UNION ALL
-        SELECT CHR(CAST(97 + i AS INTEGER)) AS tok FROM (SELECT UNNEST(RANGE(0, 26)) AS i)
-    ),
-    grid AS (
-        SELECT w.word, p.p AS pos, SUBSTR(w.word, p.p, l.l) AS sub, l.l
-        FROM words w
-        JOIN (SELECT UNNEST(RANGE(1, {_WP_MAX_WLEN + 1})) AS p) p
-          ON p.p <= LEN(w.word)
-        JOIN (SELECT UNNEST(RANGE(1, {_WP_MAX_TLEN + 1})) AS l) l
-          ON p.p + l.l - 1 <= LEN(w.word)
-    ),
-    choice AS (
-        SELECT word, pos, sub AS tok, pos + l AS next_pos
-        FROM (
-            SELECT g.word, g.pos, g.sub, g.l,
-                   ROW_NUMBER() OVER (PARTITION BY g.word, g.pos
-                                      ORDER BY g.l DESC) AS rn
-            FROM grid g JOIN vocab v ON g.sub = v.tok
-        ) WHERE rn = 1
-    ),
-    walk AS (
-        SELECT word, 1 AS pos
-        FROM words
-        UNION ALL
-        SELECT c.word, c.next_pos
-        FROM walk k JOIN choice c ON c.word = k.word AND c.pos = k.pos
-    ),
-    toks AS (
-        SELECT c.tok, w.wcount, c.word
-        FROM walk k
-        JOIN choice c ON c.word = k.word AND c.pos = k.pos
-        JOIN words w ON w.word = k.word
-    )
-    SELECT tok, CAST(SUM(wcount) AS BIGINT) AS total_count,
-           CAST(COUNT(DISTINCT word) AS BIGINT) AS n_words
-    FROM toks GROUP BY tok
-    ORDER BY total_count DESC, tok
-    LIMIT 25
-    """,
-)
-def t26_wordpiece_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T26: WordPiece-style greedy longest-match segmentation with a
-    corpus-derived vocab (26 single letters + the top-40 most frequent
-    2..4-char word prefixes, tie-broken lexically) — the inference
-    half of subword tokenization next to text_bpe_merge_rounds'
-    training half. Fully relational: the greedy choice at every
-    (word, pos) is ONE equi-join of the (pos, len) substring grid
-    against the broadcast vocab + a per-(word,pos) argmax window;
-    tokenization is then a {w}-step bounded walk over that cached
-    choice table (an inner join per step — words drop out when they
-    finish), and the oracle replays the identical walk as a recursive
-    CTE. Greedy progress is guaranteed (singles cover [a-z]), so
-    every walk terminates. Emits the top-25 tokens by occurrence-
-    weighted count. Scale: distinct-word domain (Zipf-bounded),
-    constant-size vocab broadcast, every join an equi hash join —
-    the 100 TB tokenizer is this exact plan with a bigger vocab
-    table.""".format(w=_WP_MAX_WLEN)
-    from realestate_engine.dedup import cache_once
-
-    d = t(spark, sf_dir, "documents").select("text")
-    raw = d.select(
-        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("word")
-    )
-    words = cache_once(
-        raw.where(
-            F.col("word").rlike("^[a-z]+$") & (F.length("word") <= _WP_MAX_WLEN)
-        )
-        .groupBy("word")
-        .agg(F.count(F.lit(1)).alias("wcount"))
-    )
-    lens = spark.range(2, _WP_MAX_TLEN + 1).select(F.col("id").cast("int").alias("l"))
-    prefixes = (
-        words.join(F.broadcast(lens), F.length("word") >= F.col("l"))
-        .select(F.expr("substring(word, 1, l)").alias("tok"), "wcount")
-        .groupBy("tok")
-        .agg(F.sum("wcount").alias("cnt"))
-        .orderBy(F.desc("cnt"), "tok")
-        .limit(_WP_TOP_PREFIXES)
-    )
-    singles = spark.range(26).select(F.expr("char(97 + id)").alias("tok"))
-    vocab = prefixes.select("tok").unionByName(singles)
-    pos_l = (
-        spark.range(1, _WP_MAX_WLEN + 1)
-        .select(F.col("id").cast("int").alias("pos"))
-        .crossJoin(
-            spark.range(1, _WP_MAX_TLEN + 1).select(F.col("id").cast("int").alias("l"))
-        )
-    )
-    grid = words.join(
-        F.broadcast(pos_l),
-        (F.col("pos") <= F.length("word"))
-        & (F.col("pos") + F.col("l") - 1 <= F.length("word")),
-    ).select("word", "pos", "l", F.expr("substring(word, pos, l)").alias("sub"))
-    w_choice = Window.partitionBy("word", "pos").orderBy(F.desc("l"))
-    choice = cache_once(
-        grid.join(F.broadcast(vocab), grid.sub == vocab.tok)
-        .withColumn("rn", F.row_number().over(w_choice))
-        .where(F.col("rn") == 1)
-        .select("word", "pos", F.col("sub").alias("tok"), (F.col("pos") + F.col("l")).alias("next_pos"))
-    )
-    state = words.select("word", F.lit(1).alias("pos"))
-    emitted = []
-    for _ in range(_WP_MAX_WLEN):
-        step = state.join(choice, ["word", "pos"])
-        emitted.append(step.select("word", "tok"))
-        state = step.select("word", F.col("next_pos").alias("pos"))
-    toks = emitted[0]
-    for e in emitted[1:]:
-        toks = toks.unionByName(e)
-    return (
-        toks.join(words, "word")
-        .groupBy("tok")
-        .agg(
-            F.sum("wcount").cast("bigint").alias("total_count"),
-            F.countDistinct("word").cast("bigint").alias("n_words"),
-        )
-        .orderBy(F.desc("total_count"), "tok")
-        .limit(25)
-    )
-
-
-# --- T27: tokenizer comparison report ------------------------------------------
-
-
-@register(
-    "t27_tokenizer_comparison",
-    rf"""
-    WITH per_doc AS (
-        SELECT doc_id,
-               LEN(STRING_SPLIT_REGEX(TRIM(text), '\s+')) AS n_ws,
-               LEN(REGEXP_EXTRACT_ALL(LOWER(text), '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpeish,
-               LEN(REPLACE(text, ' ', '')) AS n_chars
-        FROM documents
-    )
-    SELECT CAST(COUNT(*) AS BIGINT) AS n_docs,
-           CAST(SUM(n_ws) AS BIGINT) AS whitespace_tokens,
-           CAST(SUM(n_bpeish) AS BIGINT) AS bpeish_tokens,
-           CAST(SUM(n_chars) AS BIGINT) AS char_tokens,
-           CAST(SUM(n_bpeish) * 1000000 // SUM(n_ws) AS BIGINT)
-             AS bpeish_per_word_micro,
-           CAST(SUM(n_chars) * 1000000 // SUM(n_bpeish) AS BIGINT)
-             AS chars_per_bpeish_micro,
-           CAST(SUM(CASE WHEN n_bpeish > n_ws * 2 THEN 1 ELSE 0 END) AS BIGINT)
-             AS n_docs_fragmenting
-    FROM per_doc
-    """,
-)
-def t27_tokenizer_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """T27: tokenizer fertility report — the budgeting table every
-    training-data plan starts from: the same corpus counted under
-    three tokenizer granularities (whitespace words, the BPE-ish
-    regex segmentation, raw characters) with the two fertility ratios
-    that convert between budgets (subword-per-word, chars-per-subword,
-    floor-micro) and a census of fragmenting documents (subwords >
-    2x words — the high-fertility tail that blows context budgets).
-    Token counts are the currency of 100 TB corpus planning
-    (corpus_token_budget spends them; pack_documents_greedy bins
-    them); this is the exchange-rate table. One scan, one global agg,
-    all integer."""
-    d = t(spark, sf_dir, "documents").select("text")
-    per_doc = d.select(
-        F.size(F.split(F.trim("text"), r"\s+")).alias("n_ws"),
-        F.size(
-            F.expr("regexp_extract_all(lower(text), '[a-z]+|[0-9]+|[^a-z0-9 ]', 0)")
-        ).alias("n_bpeish"),
-        F.length(F.replace(F.col("text"), F.lit(" "), F.lit(""))).alias("n_chars"),
-    )
-    return per_doc.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_docs"),
-        F.sum("n_ws").cast("bigint").alias("whitespace_tokens"),
-        F.sum("n_bpeish").cast("bigint").alias("bpeish_tokens"),
-        F.sum("n_chars").cast("bigint").alias("char_tokens"),
-        F.expr("CAST(sum(n_bpeish) * 1000000 DIV sum(n_ws) AS BIGINT)").alias(
-            "bpeish_per_word_micro"
-        ),
-        F.expr("CAST(sum(n_chars) * 1000000 DIV sum(n_bpeish) AS BIGINT)").alias(
-            "chars_per_bpeish_micro"
-        ),
-        F.sum(F.when(F.col("n_bpeish") > F.col("n_ws") * 2, 1).otherwise(0))
         .cast("bigint")
-        .alias("n_docs_fragmenting"),
+        .alias("term_micro"),
+    )
+    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    scored = (
+        tf.join(F.broadcast(weights), "word")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("tf") * F.col("term_micro")).cast("bigint").alias("dsir_logweight_micro"))
+    )
+    return (
+        scored.join(d.select("doc_id", "source"), "doc_id")
+        .select("doc_id", "source", "dsir_logweight_micro")
+        .orderBy(F.col("dsir_logweight_micro").desc(), "doc_id")
+        .limit(50)
     )

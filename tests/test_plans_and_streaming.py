@@ -179,12 +179,17 @@ def test_range_join_is_hash_join_not_nested_loop(spark, sf_dir):
     assert ("SortMergeJoin" in plan) or ("BroadcastHashJoin" in plan) or ("ShuffledHashJoin" in plan)
 
 
-def test_custom_pandas_op_uses_arrow_grouped_path(spark, sf_dir):
-    """The applyInPandas custom op runs on the Arrow grouped-map path
-    (one shuffle on the group key), not row-at-a-time Python eval."""
+def test_custom_pandas_op_uses_arrow_stream_path(spark, sf_dir):
+    """The custom running-total op runs on the Arrow map-partitions path
+    (one shuffle on the group key + in-partition sort feeding
+    MapInPandas with O(1) carry state), not per-group grouped-map calls
+    and not row-at-a-time Python eval (see PLANS.md round-8 note)."""
     plan = _plan(QUERIES["custom_running_total_pandas"](spark, sf_dir))
-    assert "FlatMapGroupsInPandas" in plan
+    assert "MapInPandas" in plan
+    assert "FlatMapGroupsInPandas" not in plan
     assert "BatchEvalPython" not in plan
+    # the carry-state contract requires the in-partition sort
+    assert "Sort" in plan and "hashpartitioning(user_id" in plan
 
 
 def test_no_driver_materialization_in_relational_plans(spark, sf_dir):

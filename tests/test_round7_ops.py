@@ -318,7 +318,7 @@ def test_neyman_allocation_bounds(spark, sf_dir):
 def test_wordpiece_greedy_segmentation(spark, sf_dir):
     """t26: replay the greedy longest-match on the top token's words
     independently: token counts must be reproducible from the vocab."""
-    from realestate_engine.text import (
+    from realestate_engine.tokenizers import (
         _WP_MAX_TLEN,
         _WP_MAX_WLEN,
         _WP_TOP_PREFIXES,
