@@ -1244,3 +1244,140 @@ def graph_deterministic_walks(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("hop3").cast("bigint").alias("hop3"),
         n_dist.cast("bigint").alias("n_distinct_visited"),
     ).orderBy("start_node")
+
+
+# --- k-truss pruning census ---------------------------------------------------
+
+_KTRUSS_K = 4          # edges must sit in >= k-2 = 2 triangles to survive
+_KTRUSS_ROUNDS = 2
+
+
+def _ktruss_support_sql(edges: str, sup: str) -> str:
+    """Per-edge triangle support over a (u < v) edge CTE: each triangle
+    (a<b<c) is enumerated once by the two-wedge join, then its three
+    edge roles are unioned and counted."""
+    return f"""
+    {sup} AS MATERIALIZED (
+        SELECT u, v, CAST(COUNT(*) AS BIGINT) AS support
+        FROM (
+            SELECT t.a AS u, t.b AS v FROM (
+                SELECT e1.u AS a, e1.v AS b, e2.v AS c
+                FROM {edges} e1
+                JOIN {edges} e2 ON e2.u = e1.v
+                JOIN {edges} e3 ON e3.u = e1.u AND e3.v = e2.v
+            ) t
+            UNION ALL
+            SELECT t.b, t.c FROM (
+                SELECT e1.u AS a, e1.v AS b, e2.v AS c
+                FROM {edges} e1
+                JOIN {edges} e2 ON e2.u = e1.v
+                JOIN {edges} e3 ON e3.u = e1.u AND e3.v = e2.v
+            ) t
+            UNION ALL
+            SELECT t.a, t.c FROM (
+                SELECT e1.u AS a, e1.v AS b, e2.v AS c
+                FROM {edges} e1
+                JOIN {edges} e2 ON e2.u = e1.v
+                JOIN {edges} e3 ON e3.u = e1.u AND e3.v = e2.v
+            ) t
+        )
+        GROUP BY u, v
+    )"""
+
+
+_KTRUSS_ORACLE = f"""
+    WITH pairs AS MATERIALIZED (
+        SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= {_MIN_SUPPORT}
+    ),
+    {_ktruss_support_sql('pairs', 'sup1')},
+    e1 AS MATERIALIZED (
+        SELECT p.u, p.v FROM pairs p JOIN sup1 s ON s.u = p.u AND s.v = p.v
+        WHERE s.support >= {_KTRUSS_K - 2}
+    ),
+    {_ktruss_support_sql('e1', 'sup2')},
+    e2 AS MATERIALIZED (
+        SELECT p.u, p.v FROM e1 p JOIN sup2 s ON s.u = p.u AND s.v = p.v
+        WHERE s.support >= {_KTRUSS_K - 2}
+    )
+    SELECT round, n_edges_in, n_edges_out,
+           CAST(n_edges_in - n_edges_out AS BIGINT) AS n_removed
+    FROM (
+        SELECT 1 AS round,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM pairs) AS n_edges_in,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM e1) AS n_edges_out
+        UNION ALL
+        SELECT 2,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM e1),
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM e2)
+    )
+    ORDER BY round
+"""
+
+
+@register("graph_ktruss", _KTRUSS_ORACLE)
+def graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """k-truss pruning census (k = 4) over the min-support part
+    co-purchase graph: per round, every edge's triangle support is
+    counted (each (a<b<c) triangle enumerated ONCE by a two-wedge
+    join over the u<v edge list, then its three edge roles unioned)
+    and edges in fewer than k-2 triangles are removed. Two fixed
+    rounds; the census row per round (edges in / out / removed) is the
+    hash-compared convergence evidence — same posture as
+    graph_boruvka_msf.
+
+    Scale shape: support is the standard triangle-enumeration join
+    bounded by the min-support sparsifier (see
+    graph_clustering_coefficient — the raw projection densifies, the
+    support-filtered edge set stays ~3k across SFs); each round is
+    edge-keyed shuffles only, and the edge frame is localCheckpoint()ed
+    per round so the iterative self-join lineage stays flat (the
+    Boruvka lesson, PLANS.md r7)."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    edges = (
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= _MIN_SUPPORT)
+        .select("u", "v")
+        .localCheckpoint()
+    )
+    census = []
+    for rnd in range(1, _KTRUSS_ROUNDS + 1):
+        e1, e2, e3 = edges.alias("e1"), edges.alias("e2"), edges.alias("e3")
+        tris = (
+            e1.join(e2, F.col("e2.u") == F.col("e1.v"))
+            .join(
+                e3,
+                (F.col("e3.u") == F.col("e1.u")) & (F.col("e3.v") == F.col("e2.v")),
+            )
+            .select(
+                F.col("e1.u").alias("a"), F.col("e1.v").alias("b"), F.col("e2.v").alias("c")
+            )
+        )
+        roles = (
+            tris.select(F.col("a").alias("u"), F.col("b").alias("v"))
+            .unionAll(tris.select(F.col("b").alias("u"), F.col("c").alias("v")))
+            .unionAll(tris.select(F.col("a").alias("u"), F.col("c").alias("v")))
+        )
+        sup = roles.groupBy("u", "v").agg(F.count(F.lit(1)).cast("bigint").alias("support"))
+        n_in = edges.count()
+        edges = (
+            edges.join(sup, ["u", "v"])
+            .filter(F.col("support") >= _KTRUSS_K - 2)
+            .select("u", "v")
+            .localCheckpoint()
+        )
+        n_out = edges.count()
+        census.append((rnd, n_in, n_out, n_in - n_out))
+    return spark.createDataFrame(
+        census, "round int, n_edges_in bigint, n_edges_out bigint, n_removed bigint"
+    ).orderBy("round")

@@ -1290,246 +1290,6 @@ def mm_keyframe_select(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register(
-    "mm_mp4_probe",
-    """
-    SELECT doc_id,
-           'isom' AS brand,
-           CAST(3 AS BIGINT) AS n_boxes,
-           CAST(CASE doc_id % 3 WHEN 0 THEN 600 WHEN 1 THEN 1000 ELSE 90000 END AS INTEGER) AS timescale,
-           CAST(1000 + doc_id * 37 AS BIGINT) AS duration,
-           CAST((1000 + doc_id * 37) * 1000
-                // CASE doc_id % 3 WHEN 0 THEN 600 WHEN 1 THEN 1000 ELSE 90000 END AS BIGINT) AS duration_ms,
-           CAST(100 + doc_id % 50 AS BIGINT) AS mdat_bytes
-    FROM documents WHERE doc_id < 60 ORDER BY doc_id
-    """,
-)
-def mm_mp4_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL video-container metadata probe (the ffprobe-before-decode
-    pass): per doc a minimal ISO-BMFF file — ftyp + moov(mvhd) + mdat,
-    cycling movie timescales, mvhd version 0/1 (32/64-bit times), and
-    64-bit largesize mdat boxes by doc id — is built and then PARSED
-    by the pure-stdlib box walk in mp4.py inside one Arrow batch.
-    Every emitted column comes from the PARSED container; the oracle
-    recomputes them from the generation parameters, so a broken size
-    field, largesize path, version branch, or nested moov walk flips
-    the hash. Frame DECODE stays honestly stubbed (no video codecs in
-    this container) — at 100 TB this metadata pass is what routes,
-    filters, and dedups raw video blobs before any codec spins up."""
-    from realestate_engine.mp4 import encode_minimal_mp4, parse_mp4_boxes
-
-    def probe(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            rows = []
-            for d in pdf["doc_id"]:
-                d = int(d)
-                blob = encode_minimal_mp4(
-                    timescale=(600, 1000, 90000)[d % 3],
-                    duration=1000 + d * 37,
-                    mdat_payload=bytes((d * 31 + i) % 256 for i in range(100 + d % 50)),
-                    mvhd_version=d % 2,
-                    extended_mdat=(d % 5 == 0),
-                )
-                p = parse_mp4_boxes(blob)
-                rows.append(
-                    (
-                        d,
-                        p["brand"],
-                        p["n_boxes"],
-                        p["timescale"],
-                        p["duration"],
-                        p["duration"] * 1000 // p["timescale"],
-                        p["mdat_bytes"],
-                    )
-                )
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "doc_id", "brand", "n_boxes", "timescale",
-                    "duration", "duration_ms", "mdat_bytes",
-                ],
-            )
-
-    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 60).select("doc_id")
-    return (
-        d.repartition(8, "doc_id")
-        .mapInPandas(
-            probe,
-            "doc_id long, brand string, n_boxes long, timescale int, "
-            "duration long, duration_ms long, mdat_bytes long",
-        )
-        .orderBy("doc_id")
-    )
-
-
-@register(
-    "mm_ogg_probe",
-    """
-    WITH params AS (
-        SELECT doc_id,
-               CASE doc_id % 4 WHEN 0 THEN 8000 WHEN 1 THEN 22050
-                               WHEN 2 THEN 44100 ELSE 48000 END AS sr
-        FROM documents WHERE doc_id < 60
-    )
-    SELECT doc_id,
-           CAST(100 + doc_id AS BIGINT) AS serial,
-           CAST(3 AS BIGINT) AS n_pages,
-           CAST(sr AS INTEGER) AS sample_rate,
-           CAST(1 + doc_id % 2 AS INTEGER) AS channels,
-           CAST(2 AS BIGINT) AS n_comments,
-           'doc-' || doc_id AS title,
-           CAST(((doc_id + 1) * sr // 2) * 1000 // sr AS BIGINT) AS duration_ms
-    FROM params ORDER BY doc_id
-    """,
-)
-def mm_ogg_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL Ogg/Vorbis container probe (the audio ffprobe pass): per doc
-    a minimal Ogg physical stream — BOS identification page, comment
-    page, EOS page carrying the granule position — is built with
-    cycling sample rates/channel counts and a TITLE tag, then PARSED
-    back by ogg.py's page walk inside one Arrow batch, with every
-    page's Ogg-flavor CRC-32 (poly 0x04c11db7, unreflected — not
-    zlib's) verified. Every emitted column comes from the PARSED
-    container; the oracle recomputes them from the generation
-    parameters, so a broken lacing walk, CRC table, granule→duration
-    conversion, or comment-header scan flips the hash. Vorbis DSP
-    (setup/audio packets) stays honestly stubbed — at 100 TB this
-    metadata pass routes, filters and dedups raw audio blobs before
-    any psychoacoustic decode spins up."""
-    from realestate_engine.ogg import encode_minimal_ogg_vorbis, parse_ogg
-
-    def probe(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            rows = []
-            for d in pdf["doc_id"]:
-                d = int(d)
-                sr = (8000, 22050, 44100, 48000)[d % 4]
-                blob = encode_minimal_ogg_vorbis(
-                    sample_rate=sr,
-                    channels=1 + d % 2,
-                    comments=[("TITLE", f"doc-{d}"), ("SOURCE", "testdata")],
-                    serial=100 + d,
-                    granule=(d + 1) * sr // 2,
-                )
-                p = parse_ogg(blob)
-                rows.append(
-                    (
-                        d,
-                        p["serial"],
-                        p["n_pages"],
-                        p["sample_rate"],
-                        p["channels"],
-                        p["n_comments"],
-                        p["comments"]["TITLE"],
-                        p["duration_ms"],
-                    )
-                )
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "doc_id", "serial", "n_pages", "sample_rate",
-                    "channels", "n_comments", "title", "duration_ms",
-                ],
-            )
-
-    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 60).select("doc_id")
-    return (
-        d.repartition(8, "doc_id")
-        .mapInPandas(
-            probe,
-            "doc_id long, serial long, n_pages long, sample_rate int, "
-            "channels int, n_comments long, title string, duration_ms long",
-        )
-        .orderBy("doc_id")
-    )
-
-
-@register(
-    "mm_mp3_probe",
-    """
-    WITH params AS (
-        SELECT doc_id,
-               CASE doc_id % 3 WHEN 0 THEN 128 WHEN 1 THEN 192 ELSE 320 END AS br,
-               CASE (doc_id // 3) % 3 WHEN 0 THEN 44100 WHEN 1 THEN 48000 ELSE 32000 END AS sr,
-               3 + doc_id % 5 AS nf
-        FROM documents WHERE doc_id < 60
-    )
-    SELECT doc_id,
-           CAST(nf AS BIGINT) AS n_frames,
-           CAST(br AS INTEGER) AS bitrate_kbps,
-           CAST(sr AS INTEGER) AS sample_rate,
-           CAST(nf * 1152 * 1000 // sr AS BIGINT) AS duration_ms,
-           doc_id % 2 = 0 AS has_id3v2,
-           doc_id % 3 = 0 AS has_id3v1,
-           CAST(nf * (144 * br * 1000 // sr) + nf // 2 AS BIGINT) AS audio_bytes
-    FROM params ORDER BY doc_id
-    """,
-)
-def mm_mp3_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
-    """REAL MPEG-1 Layer III frame-header probe: per doc a minimal MP3
-    stream — cycling bitrate (128/192/320 kbps) and sample rate
-    (44.1/48/32 kHz), 3-7 frames with the padding bit alternating,
-    ID3v2 front tag on even docs, ID3v1 trailer on every third — is
-    built and PARSED back by mp3.py's frame walk (sync check, table
-    lookups, 144·br/sr+padding frame stride, synchsafe ID3v2 skip,
-    ID3v1 detection) inside one Arrow batch. Every emitted column
-    comes from the PARSED stream; the oracle recomputes them
-    analytically (duration = frames·1152/sr, audio_bytes = the exact
-    frame-stride sum), so a wrong table entry, padding handling, or
-    tag skip flips the hash. Sample decode (psychoacoustics) stays
-    honestly stubbed, mirroring mm_ogg_probe."""
-    from realestate_engine.mp3 import encode_minimal_mp3, parse_mp3
-
-    _BR_IDX = {128: 9, 192: 11, 320: 14}
-    _SR_IDX = {44100: 0, 48000: 1, 32000: 2}
-
-    def probe(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
-        for pdf in it:
-            rows = []
-            for d in pdf["doc_id"]:
-                d = int(d)
-                br = (128, 192, 320)[d % 3]
-                sr = (44100, 48000, 32000)[(d // 3) % 3]
-                blob = encode_minimal_mp3(
-                    _BR_IDX[br],
-                    _SR_IDX[sr],
-                    n_frames=3 + d % 5,
-                    id3v2_payload=b"m" * (11 + d) if d % 2 == 0 else b"",
-                    id3v1=(d % 3 == 0),
-                )
-                p = parse_mp3(blob)
-                rows.append(
-                    (
-                        d,
-                        p["n_frames"],
-                        p["bitrate_kbps"],
-                        p["sample_rate"],
-                        p["duration_ms"],
-                        p["has_id3v2"],
-                        p["has_id3v1"],
-                        p["audio_bytes"],
-                    )
-                )
-            yield pd.DataFrame(
-                rows,
-                columns=[
-                    "doc_id", "n_frames", "bitrate_kbps", "sample_rate",
-                    "duration_ms", "has_id3v2", "has_id3v1", "audio_bytes",
-                ],
-            )
-
-    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 60).select("doc_id")
-    return (
-        d.repartition(8, "doc_id")
-        .mapInPandas(
-            probe,
-            "doc_id long, n_frames long, bitrate_kbps int, sample_rate int, "
-            "duration_ms long, has_id3v2 boolean, has_id3v1 boolean, audio_bytes long",
-        )
-        .orderBy("doc_id")
-    )
-
-
 # ---------------------------------------------------------------------------
 # pHash: REAL 2-D DCT perceptual hash over decoded PNG pixels
 # ---------------------------------------------------------------------------

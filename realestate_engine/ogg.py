@@ -189,3 +189,44 @@ def parse_ogg(payload: bytes) -> dict:
     if len(packets) > 2:
         raise NotImplementedError("Vorbis setup/audio packets (DSP) are stubbed in this environment")
     return out
+
+
+def audit_ogg_pages(payload: bytes) -> list[dict]:
+    """Structural page walk that RECORDS per-page CRC validity instead
+    of raising (the integrity-audit counterpart of parse_ogg, which
+    rejects the stream at the first bad page): returns one dict per
+    page — {"seq", "header_type", "granule", "body_bytes", "crc_ok"}.
+    Structure errors (lost sync, truncation) still raise: a stream
+    whose lacing walk is broken has no well-defined page census, while
+    a bit-flipped body is exactly what the CRC exists to catch."""
+    if payload[:4] != b"OggS":
+        raise ValueError("not an Ogg stream (no OggS capture pattern)")
+    pos, out = 0, []
+    while pos < len(payload):
+        if payload[pos : pos + 4] != b"OggS":
+            raise ValueError(f"lost page sync at byte {pos}")
+        if pos + 27 > len(payload):
+            raise ValueError("truncated page header")
+        _v, htype, gpos, _serial, seq, crc = struct.unpack_from("<BBqIII", payload, pos + 4)
+        nseg = payload[pos + 26]
+        lacing = payload[pos + 27 : pos + 27 + nseg]
+        if len(lacing) < nseg:
+            raise ValueError("truncated lacing table")
+        body_at = pos + 27 + nseg
+        body_len = sum(lacing)
+        page_end = body_at + body_len
+        if page_end > len(payload):
+            raise ValueError("page body overruns stream")
+        check = bytearray(payload[pos:page_end])
+        check[22:26] = b"\x00\x00\x00\x00"
+        out.append(
+            {
+                "seq": seq,
+                "header_type": htype,
+                "granule": gpos,
+                "body_bytes": body_len,
+                "crc_ok": ogg_crc(bytes(check)) == crc,
+            }
+        )
+        pos = page_end
+    return out

@@ -1059,3 +1059,60 @@ def s25_recursive_glob_scan(spark: SparkSession, sf_dir: str) -> DataFrame:
         .agg(F.count(F.lit(1)).cast("bigint").alias("n_rows_archive_only"))
     )
     return all_rows.join(archive_only, "r_name").orderBy("r_name")
+
+
+@register(
+    "s26_csv_multiline_roundtrip",
+    r"""
+    SELECT doc_id,
+           CAST(LEN(payload) - LEN(REPLACE(payload, CHR(10), '')) + 1 AS BIGINT)
+               AS n_lines,
+           ('0x' || SUBSTR(MD5(payload), 1, 8))::BIGINT AS payload_hash
+    FROM (
+        SELECT doc_id,
+               'L1: ' || SUBSTR(text, 1, 40) || CHR(10) ||
+               'L2,"' || source || '",' || CHR(10) || 'L3 end' AS payload
+        FROM documents
+    )
+    ORDER BY doc_id
+    """,
+)
+def s26_csv_multiline_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """S26: CSV sink/scan round-trip for fields containing embedded
+    newlines, quotes, and commas — written quoted, read back with
+    ``multiLine`` enabled. The hash-compared output (line count +
+    md5-prefix of each payload) proves losslessness against an oracle
+    that never touches the file at all.
+
+    Scale note: multiLine CSV is the one text format Spark cannot
+    split inside a file (records cross line boundaries), so
+    parallelism = file count; the writer keeps the source partitioning
+    (one file per task) and the plan documents the constraint rather
+    than hiding it. For 100 TB ingest, prefer Parquet — this operator
+    exists because real corpora arrive as quoted CSV."""
+    out = stable_tmp("s26_csv_multiline")
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id",
+        F.concat(
+            F.lit("L1: "),
+            F.substring("text", 1, 40),
+            F.lit("\nL2,\""),
+            F.col("source"),
+            F.lit("\",\nL3 end"),
+        ).alias("payload"),
+    )
+    d.write.mode("overwrite").option("header", True).option("quoteAll", True).csv(out)
+    back = (
+        spark.read.option("header", True)
+        .option("multiLine", True)
+        .schema("doc_id long, payload string")
+        .csv(out)
+    )
+    n_lines = (
+        F.length("payload") - F.length(F.regexp_replace("payload", "\n", "")) + 1
+    ).cast("bigint")
+    return back.select(
+        "doc_id",
+        n_lines.alias("n_lines"),
+        F.conv(F.substring(F.md5("payload"), 1, 8), 16, 10).cast("long").alias("payload_hash"),
+    ).orderBy("doc_id")

@@ -135,6 +135,7 @@ def load_all() -> None:
     import realestate_engine.streaming  # noqa: F401
     import realestate_engine.temporal  # noqa: F401
     import realestate_engine.multimodal  # noqa: F401
+    import realestate_engine.queries_media_probes  # noqa: F401
     import realestate_engine.timeseries  # noqa: F401
     import realestate_engine.packing  # noqa: F401
     import realestate_engine.queries_extra  # noqa: F401

@@ -770,3 +770,73 @@ def j12_nearest_event_join(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(df_)
         .alias("delta_us"),
     ).orderBy("event_id")
+
+
+@register(
+    "j17_asof_nearest_event",
+    """
+    SELECT p_id AS event_id, user_id, nearest_click_id, delta_us
+    FROM (
+        SELECT p.event_id AS p_id, p.user_id,
+               c.event_id AS nearest_click_id,
+               CAST(EPOCH_US(c.ts) - EPOCH_US(p.ts) AS BIGINT) AS delta_us,
+               ROW_NUMBER() OVER (
+                   PARTITION BY p.event_id
+                   ORDER BY ABS(EPOCH_US(c.ts) - EPOCH_US(p.ts)), c.ts, c.event_id
+               ) AS rn
+        FROM (SELECT * FROM events WHERE event_type = 'purchase') p
+        JOIN (SELECT * FROM events WHERE event_type = 'click') c
+          ON c.user_id = p.user_id
+         AND c.ts >= p.ts - INTERVAL 1 HOUR
+         AND c.ts <= p.ts + INTERVAL 1 HOUR
+    )
+    WHERE rn = 1
+    ORDER BY event_id
+    """,
+)
+def j17_asof_nearest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Nearest-neighbor as-of join, BOTH directions: each purchase pairs
+    with its temporally closest click within +/-1 h for the same user
+    (ties: earlier click, then smaller id). Complements the backward-
+    only ASOF join (asof_last_click_before_purchase) — this is the
+    sensor-alignment/entity-snapping form.
+
+    Plan: the +/-window candidate set comes from the same binned
+    equi-join strategy as range_join_binned (left rows explode to the
+    three 1 h bins their window overlaps; exact predicate trims edges),
+    so there is NO interval cross join at any scale; the per-purchase
+    argmin is a purchase-keyed window. Candidate volume is bounded by
+    clicks-per-user-per-hour, not corpus size."""
+    ev = t(spark, sf_dir, "events")
+    win = 3600
+    p = ev.filter(F.col("event_type") == "purchase").select(
+        F.col("event_id").alias("p_id"), "user_id", F.col("ts").alias("p_ts")
+    )
+    c = ev.filter(F.col("event_type") == "click").select(
+        "user_id", F.col("ts").alias("c_ts"), F.col("event_id").alias("c_id")
+    )
+    p_epoch, c_epoch = F.unix_timestamp("p_ts"), F.unix_timestamp("c_ts")
+    pb = p.withColumn(
+        "_bin",
+        F.explode(
+            F.sequence(F.floor((p_epoch - win) / win), F.floor((p_epoch + win) / win))
+        ),
+    )
+    cb = c.withColumn("_bin", F.floor(c_epoch / win))
+    exact = (F.col("c_ts") >= F.col("p_ts") - F.expr(f"INTERVAL {win} SECOND")) & (
+        F.col("c_ts") <= F.col("p_ts") + F.expr(f"INTERVAL {win} SECOND")
+    )
+    cand = pb.join(cb, ["user_id", "_bin"]).filter(exact).drop("_bin")
+    delta = (F.unix_micros("c_ts") - F.unix_micros("p_ts")).cast("bigint")
+    pick = Window.partitionBy("p_id").orderBy(F.abs(delta), "c_ts", "c_id")
+    return (
+        cand.withColumn("rn", F.row_number().over(pick))
+        .filter(F.col("rn") == 1)
+        .select(
+            F.col("p_id").alias("event_id"),
+            "user_id",
+            F.col("c_id").alias("nearest_click_id"),
+            delta.alias("delta_us"),
+        )
+        .orderBy("event_id")
+    )

@@ -775,3 +775,93 @@ def ts11_decomposition_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
             " / CAST(n * ss_d - s_d * s_d AS DOUBLE)) * 1000000)) AS BIGINT)"
         ).alias("seasonal_strength_micro"),
     )
+
+
+@register(
+    "ts12_cusum_changepoint",
+    """
+    WITH base AS (
+        SELECT user_id, event_id, ts,
+               CAST(FLOOR(value * 1000) AS BIGINT) AS v
+        FROM events
+    ),
+    tot AS (
+        SELECT user_id,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(v) AS BIGINT) AS s
+        FROM base GROUP BY user_id
+    ),
+    pre AS (
+        SELECT b.user_id, b.event_id, b.ts, t.n, t.s,
+               CAST(t.n * SUM(b.v) OVER w
+                    - ROW_NUMBER() OVER w * t.s AS BIGINT) AS p
+        FROM base b JOIN tot t USING (user_id)
+        WINDOW w AS (PARTITION BY b.user_id ORDER BY b.ts, b.event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    stat AS (
+        SELECT user_id, event_id, ts, n,
+               CAST(p - MIN(p) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+                   AS cusum
+        FROM pre
+    )
+    SELECT user_id, n AS n_events,
+           CAST(cusum AS BIGINT) AS cusum_max_times_n,
+           event_id AS changepoint_event_id
+    FROM stat
+    QUALIFY ROW_NUMBER() OVER (PARTITION BY user_id
+                               ORDER BY cusum DESC, ts, event_id) = 1
+    ORDER BY user_id
+    """,
+)
+def ts12_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Per-user CUSUM changepoint scan in closed form: the classic
+    recursion S_i = max(0, S_{i-1} + (x_i - mean)) equals
+    P_i - min_{j<=i} P_j for prefix sums P of the mean-centered series,
+    so the scan is two partitioned window passes (prefix sum + running
+    min), NOT a recursive loop. Centering is exact-integer: deviations
+    are scaled by the per-user count (n*x_i - sum), so the emitted
+    statistic is n times the classic milli-unit CUSUM — BIGINT
+    throughout, no float mean. The changepoint is the earliest event
+    attaining the per-user maximum.
+
+    Plan: one groupBy for per-user (n, sum) joined back (shuffle on
+    user_id reused by both windows via the same partitioning), then a
+    partitioned argmax window. Nothing is unpartitioned; at 100 TB the
+    cost is two sorts of each user's slice, the shape streaming CUSUM
+    monitors (x14 time-weighted averages, st_stateful running totals)
+    compose with."""
+    ev = t(spark, sf_dir, "events")
+    base = ev.select(
+        "user_id", "event_id", "ts", F.floor(F.col("value") * 1000).cast("bigint").alias("v")
+    )
+    tot = base.groupBy("user_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"), F.sum("v").cast("bigint").alias("s")
+    )
+    w = (
+        Window.partitionBy("user_id")
+        .orderBy("ts", "event_id")
+        .rowsBetween(Window.unboundedPreceding, 0)
+    )
+    pre = base.join(tot, "user_id").withColumn(
+        "p",
+        (
+            F.col("n") * F.sum("v").over(w)
+            - F.row_number().over(Window.partitionBy("user_id").orderBy("ts", "event_id"))
+            * F.col("s")
+        ).cast("bigint"),
+    )
+    stat = pre.withColumn("cusum", (F.col("p") - F.min("p").over(w)).cast("bigint"))
+    pick = Window.partitionBy("user_id").orderBy(F.col("cusum").desc(), "ts", "event_id")
+    return (
+        stat.withColumn("rn", F.row_number().over(pick))
+        .filter(F.col("rn") == 1)
+        .select(
+            "user_id",
+            F.col("n").alias("n_events"),
+            F.col("cusum").alias("cusum_max_times_n"),
+            F.col("event_id").alias("changepoint_event_id"),
+        )
+        .orderBy("user_id")
+    )
