@@ -34,6 +34,7 @@ ALLOWED_CROSS = {
     "sim_lsh_ann",
     "sim_ivf_kmeans_topk",
     "text_tfidf_top_term",  # broadcast 1-row n_docs count
+    "t28_dsir_importance_weights",  # broadcast 1-row (Nt, Nr, V) totals aggregate
     "m8_smearing_inverse",  # broadcast 1-row sigma aggregate
     "m11_regression_metrics_sql",  # broadcast 1-row global-mean aggregate
     "tpch_q11_important_balance",  # broadcast 1-row global-balance aggregate
@@ -157,6 +158,7 @@ ALLOWED_LOCAL = {
     "dedup_clusters_twostar",  # two-star contraction localCheckpoints each phase
     "graph_kcore",  # bounded-round peel localCheckpoints each round
     "graph_boruvka_msf",  # Boruvka contraction localCheckpoints each jump (plan doubles per self-join otherwise)
+    "graph_ktruss",  # per-round edge-frame localCheckpoint (same lesson) + 2-row census frame
     "dedup_canonical_selection",  # builds on dedup_clusters' checkpointed lineage
     "dedup_leakage_safe_split",  # builds on dedup_clusters' checkpointed lineage
     "dedup_pipeline_summary",  # checkpointed clustering lineage; joins four 1-row stat frames
