@@ -801,8 +801,8 @@ def ts11_decomposition_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     stat AS (
         SELECT user_id, event_id, ts, n,
-               CAST(p - MIN(p) OVER (PARTITION BY user_id ORDER BY ts, event_id
-                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT)
+               CAST(p - LEAST(MIN(p) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 0) AS BIGINT)
                    AS cusum
         FROM pre
     )
@@ -818,7 +818,8 @@ def ts11_decomposition_strength(spark: SparkSession, sf_dir: str) -> DataFrame:
 def ts12_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Per-user CUSUM changepoint scan in closed form: the classic
     recursion S_i = max(0, S_{i-1} + (x_i - mean)) equals
-    P_i - min_{j<=i} P_j for prefix sums P of the mean-centered series,
+    P_i - min_{0<=j<=i} P_j for prefix sums P of the mean-centered
+    series (P_0 = 0, the empty prefix, included via LEAST(min, 0)),
     so the scan is two partitioned window passes (prefix sum + running
     min), NOT a recursive loop. Centering is exact-integer: deviations
     are scaled by the per-user count (n*x_i - sum), so the emitted
@@ -852,7 +853,9 @@ def ts12_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
             * F.col("s")
         ).cast("bigint"),
     )
-    stat = pre.withColumn("cusum", (F.col("p") - F.min("p").over(w)).cast("bigint"))
+    stat = pre.withColumn(
+        "cusum", (F.col("p") - F.least(F.min("p").over(w), F.lit(0))).cast("bigint")
+    )
     pick = Window.partitionBy("user_id").orderBy(F.col("cusum").desc(), "ts", "event_id")
     return (
         stat.withColumn("rn", F.row_number().over(pick))
