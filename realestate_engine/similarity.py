@@ -16,6 +16,7 @@ from __future__ import annotations
 
 from pyspark.sql import Column, DataFrame, SparkSession
 from pyspark.sql import functions as F
+from pyspark.sql.window import Window
 
 from realestate_engine.dedup import cache_once, cosine_sim
 from realestate_engine.registry import register, t
@@ -1499,4 +1500,137 @@ def sim_binary_hamming_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("hamming", "vec_id")
         .limit(20)
+    )
+
+
+_IVF_K = 8          # cells
+_IVF_D = 64         # embedding dims (all SFs)
+
+
+def _ivf_assign_sql(q: str, cents: str, out: str) -> str:
+    """One exact Lloyd assignment: integer squared L2 to every centroid,
+    argmin with (dist, cell) tiebreak."""
+    return f"""
+    {out} AS MATERIALIZED (
+        SELECT vec_id, cell, dist FROM (
+            SELECT q.vec_id, c.cell,
+                   CAST(SUM((q.qv - c.cv) * (q.qv - c.cv)) AS BIGINT) AS dist,
+                   ROW_NUMBER() OVER (
+                       PARTITION BY q.vec_id
+                       ORDER BY SUM((q.qv - c.cv) * (q.qv - c.cv)), c.cell
+                   ) AS rn
+            FROM {q} q JOIN {cents} c USING (dim)
+            GROUP BY q.vec_id, c.cell
+        ) WHERE rn = 1
+    )"""
+
+
+def _ivf_update_sql(q: str, assign: str, prev: str, out: str) -> str:
+    """Centroid update: per-(cell, dim) truncating integer mean, with
+    empty cells inheriting the previous centroid."""
+    return f"""
+    {out} AS MATERIALIZED (
+        SELECT p.cell, p.dim,
+               COALESCE(u.cv, p.cv) AS cv
+        FROM {prev} p
+        LEFT JOIN (
+            SELECT a.cell, q.dim, CAST(SUM(q.qv) // COUNT(*) AS BIGINT) AS cv
+            FROM {assign} a JOIN {q} q USING (vec_id)
+            GROUP BY a.cell, q.dim
+        ) u ON u.cell = p.cell AND u.dim = p.dim
+    )"""
+
+
+_IVF_BUILD_ORACLE = f"""
+    WITH q AS MATERIALIZED (
+        SELECT vec_id, i - 1 AS dim,
+               CAST(FLOOR(embedding[i] * 1000) AS BIGINT) AS qv
+        FROM embeddings, UNNEST(RANGE(1, {_IVF_D + 1})) AS r(i)
+    ),
+    c0 AS MATERIALIZED (
+        SELECT vec_id AS cell, dim, qv AS cv FROM q WHERE vec_id < {_IVF_K}
+    ),
+    {_ivf_assign_sql('q', 'c0', 'a1')},
+    {_ivf_update_sql('q', 'a1', 'c0', 'c1')},
+    {_ivf_assign_sql('q', 'c1', 'a2')},
+    {_ivf_update_sql('q', 'a2', 'c1', 'c2')},
+    {_ivf_assign_sql('q', 'c2', 'a3')}
+    SELECT cell,
+           CAST(COUNT(*) AS BIGINT) AS n_vectors,
+           CAST(SUM(dist) AS BIGINT) AS inertia
+    FROM a3
+    GROUP BY cell
+    ORDER BY cell
+"""
+
+
+@register("sim_ivf_build_exact", _IVF_BUILD_ORACLE)
+def sim_ivf_build_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT IVF coarse-quantizer training: two Lloyd iterations of
+    k = 8 k-means over milli-quantized embeddings, fully deterministic
+    (seed centroids = vec_id 0..7, argmin tiebroken by cell id,
+    truncating integer centroid means, empty cells inherit), so the
+    per-cell census after the final assignment — sizes + BIGINT
+    inertia — hash-compares against a DuckDB replay of the identical
+    unrolled recursion. Upgrades the IVF family's trainer from
+    rows-only evidence (sim_ivf_kmeans_topk wraps seeded MLlib KMeans)
+    to a bit-exact oracle.
+
+    Plan shape at 100 TB: the exploded (vec, dim, qv) relation is
+    computed once and cached; every assignment is a BROADCAST join of
+    the k x d centroid table into it (n·d·k partial rows combined
+    map-side by (vec, cell) before the argmin window, which partitions
+    by vec_id — thousands of vectors per task, no funnel); centroid
+    updates are (cell, dim)-keyed aggregates of k·d rows. Per-round
+    localCheckpoint keeps the iterative lineage flat (the Boruvka
+    lesson). This is the coarse-quantizer build that IVF-PQ
+    (sim_ivf_pq) consumes."""
+    emb = t(spark, sf_dir, "embeddings")
+    q = cache_once(
+        emb.select(
+            "vec_id", F.posexplode("embedding").alias("dim", "e")
+        ).select("vec_id", "dim", F.floor(F.col("e") * 1000).cast("bigint").alias("qv"))
+    )
+    cents = (
+        q.filter(F.col("vec_id") < _IVF_K)
+        .select(F.col("vec_id").alias("cell"), "dim", F.col("qv").alias("cv"))
+        .localCheckpoint()
+    )
+
+    def assign(c: DataFrame) -> DataFrame:
+        d2 = (F.col("qv") - F.col("cv")) * (F.col("qv") - F.col("cv"))
+        dists = (
+            q.join(F.broadcast(c), "dim")
+            .groupBy("vec_id", "cell")
+            .agg(F.sum(d2).cast("bigint").alias("dist"))
+        )
+        pick = Window.partitionBy("vec_id").orderBy("dist", "cell")
+        return (
+            dists.withColumn("rn", F.row_number().over(pick))
+            .filter(F.col("rn") == 1)
+            .select("vec_id", "cell", "dist")
+        )
+
+    def update(a: DataFrame, prev: DataFrame) -> DataFrame:
+        u = (
+            a.join(q, "vec_id")
+            .groupBy("cell", "dim")
+            .agg(F.expr("CAST(SUM(qv) DIV COUNT(*) AS BIGINT)").alias("ucv"))
+        )
+        return (
+            prev.join(u, ["cell", "dim"], "left")
+            .select("cell", "dim", F.coalesce("ucv", "cv").alias("cv"))
+            .localCheckpoint()
+        )
+
+    for _ in range(2):
+        cents = update(assign(cents), cents)
+    final = assign(cents)
+    return (
+        final.groupBy("cell")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_vectors"),
+            F.sum("dist").cast("bigint").alias("inertia"),
+        )
+        .orderBy("cell")
     )

@@ -689,3 +689,155 @@ def st_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 if _transform_with_state_available():  # pragma: no cover - environment-dependent
     register("st_transform_with_state", _TWS_ORACLE)(st_transform_with_state)
+
+
+_CUSUM_TARGET_CENTS = 5000  # fixed monitoring target (classic CUSUM tracks a known reference)
+
+
+@register(
+    "st_cusum_monitor",
+    f"""
+    WITH base AS (
+        SELECT user_id, ts, event_id,
+               CAST(ROUND(value * 100) AS BIGINT) - {_CUSUM_TARGET_CENTS} AS dev
+        FROM events
+    ),
+    pre AS (
+        SELECT user_id, ts, event_id,
+               CAST(SUM(dev) OVER w AS BIGINT) AS p
+        FROM base
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    stat AS (
+        SELECT user_id, ts, event_id,
+               CAST(p - LEAST(MIN(p) OVER w, 0) AS BIGINT) AS s
+        FROM pre
+        WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id
+                     ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW)
+    ),
+    fin AS (
+        SELECT user_id, s,
+               LAST_VALUE(s) OVER (PARTITION BY user_id ORDER BY ts, event_id
+                   ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING)
+                   AS s_final
+        FROM stat
+    )
+    SELECT user_id,
+           CAST(COUNT(*) AS BIGINT) AS n_events,
+           CAST(MAX(s) AS BIGINT) AS cusum_max_cents,
+           CAST(MAX(s_final) AS BIGINT) AS cusum_final_cents
+    FROM fin
+    GROUP BY user_id
+    ORDER BY user_id
+    """,
+)
+def st_cusum_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Streaming CUSUM drift monitor: per-user S_i = max(0, S_(i-1) +
+    (cents_i - target)) maintained as applyInPandasWithState state
+    across REAL micro-batches, with the running max emitted as the
+    alarm statistic. Determinism across batch slicing is engineered,
+    not assumed: the source snapshot is repartitionByRange(ts) +
+    sortWithinPartitions(ts) (ascending part files = ascending time
+    ranges) and the stream reads maxFilesPerTrigger=1, so every user's
+    rows arrive in global ts order and the order-SENSITIVE recursion
+    is reproducible — the file-source analogue of per-key Kafka
+    ordering. The oracle replays the recursion in closed form
+    (prefix sums minus running min including the empty prefix, the
+    ts12_cusum_changepoint identity) over the same integer cents.
+
+    State per user: (cusum, cusum_max, n) — three BIGINTs, bounded by
+    |users| forever. At 100 TB/day this is the canonical metric-drift
+    alarm: partitioned state, integer-exact, emit-on-update."""
+    import shutil
+
+    import glob
+    import os
+
+    ev = t(spark, sf_dir, "events").select(
+        "user_id",
+        "ts",
+        "event_id",
+        (F.round(F.col("value") * 100).cast("long") - _CUSUM_TARGET_CENTS).alias("dev"),
+    )
+    src = stable_tmp("st_cusum_src")
+    # Four ts-range slices written SEQUENTIALLY, each a single sorted
+    # file with an explicitly stamped, strictly increasing mtime:
+    # FileStreamSource orders files by modification time, and a single
+    # bulk write gives every part file the same mtime (measured: the
+    # resulting arbitrary order breaks the order-sensitive recursion).
+    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
+    lo_us, hi_us = int(lo.timestamp() * 1e6), int(hi.timestamp() * 1e6) + 1
+    step = (hi_us - lo_us + 3) // 4
+    for i in range(4):
+        cut_lo, cut_hi = lo_us + i * step, lo_us + (i + 1) * step
+        part = ev.filter(
+            (F.unix_micros("ts") >= cut_lo)
+            & (F.unix_micros("ts") < (cut_hi if i < 3 else hi_us))
+        )
+        before = set(glob.glob(src + "/part-*")) if i else set()
+        part.coalesce(1).sortWithinPartitions("ts", "event_id").write.mode(
+            "append" if i else "overwrite"
+        ).parquet(src)
+        for f in set(glob.glob(src + "/part-*")) - before:
+            os.utime(f, (1_000_000_000 + i, 1_000_000_000 + i))
+    ckpt = stable_tmp("st_cusum_ckpt")
+    shutil.rmtree(ckpt, ignore_errors=True)
+
+    import pandas as pd
+    from pyspark.sql.streaming.state import GroupState, GroupStateTimeout
+
+    def update(key, pdfs, state: GroupState):
+        cusum, cmax, n = state.get if state.exists else (0, 0, 0)
+        rows = [pdf for pdf in pdfs if len(pdf)]
+        if rows:
+            batch = pd.concat(rows).sort_values(["ts", "event_id"])
+            for dev in batch["dev"]:
+                cusum = max(0, cusum + int(dev))
+                cmax = max(cmax, cusum)
+            n += len(batch)
+        state.update((cusum, cmax, n))
+        yield pd.DataFrame(
+            {
+                "user_id": [key[0]],
+                "n_events": [n],
+                "cusum_max_cents": [cmax],
+                "cusum_final_cents": [cusum],
+            }
+        )
+
+    stream = spark.readStream.schema(ev.schema).option("maxFilesPerTrigger", 1).parquet(src)
+    updates = stream.groupBy("user_id").applyInPandasWithState(
+        update,
+        outputStructType=(
+            "user_id long, n_events long, cusum_max_cents long, cusum_final_cents long"
+        ),
+        stateStructType="cusum long, cmax long, n long",
+        outputMode="update",
+        timeoutConf=GroupStateTimeout.NoTimeout,
+    )
+    key = "spark.sql.shuffle.partitions"
+    old_parts = spark.conf.get(key)
+    try:
+        spark.conf.set(key, str(spark.sparkContext.defaultParallelism))
+        q = (
+            updates.writeStream.format("memory")
+            .queryName("re_st_cusum")
+            .outputMode("update")
+            .option("checkpointLocation", ckpt)
+            .trigger(availableNow=True)
+            .start()
+        )
+        q.awaitTermination()
+    finally:
+        spark.conf.set(key, old_parts)
+    sink = spark.table("re_st_cusum")
+    return (
+        sink.groupBy("user_id")
+        .agg(
+            F.max("n_events").alias("n_events"),
+            F.max_by("cusum_max_cents", "n_events").alias("cusum_max_cents"),
+            F.max_by("cusum_final_cents", "n_events").alias("cusum_final_cents"),
+        )
+        .orderBy("user_id")
+    )

@@ -183,3 +183,65 @@ def test_running_total_carry_spans_arrow_batches(spark, sf_dir):
         assert got.exceptAll(ref).count() == 0 and ref.exceptAll(got).count() == 0
     finally:
         spark.conf.set("spark.sql.execution.arrow.maxRecordsPerBatch", prev)
+
+
+def test_ivf_build_cells_partition_all_vectors(spark, sf_dir):
+    rows = QUERIES["sim_ivf_build_exact"](spark, sf_dir).collect()
+    from realestate_engine.registry import t as load_table
+
+    n_vecs = load_table(spark, sf_dir, "embeddings").count()
+    assert sum(r.n_vectors for r in rows) == n_vecs  # every vector lands in one cell
+    assert len(rows) <= 8 and all(0 <= r.cell < 8 for r in rows)
+    assert all(r.inertia >= 0 for r in rows)
+
+
+def test_ivf_build_lloyd_rounds_never_increase_inertia(spark, sf_dir):
+    """Re-run the exact trainer's assignment with the INITIAL centroids
+    and compare: two Lloyd rounds must not increase total inertia."""
+    from realestate_engine.registry import t as load_table
+
+    emb = load_table(spark, sf_dir, "embeddings")
+    q = emb.select("vec_id", F.posexplode("embedding").alias("dim", "e")).select(
+        "vec_id", "dim", F.floor(F.col("e") * 1000).cast("long").alias("qv")
+    )
+    c0 = q.filter(F.col("vec_id") < 8).select(
+        F.col("vec_id").alias("cell"), "dim", F.col("qv").alias("cv")
+    )
+    d2 = (F.col("qv") - F.col("cv")) * (F.col("qv") - F.col("cv"))
+    init_inertia = (
+        q.join(c0, "dim")
+        .groupBy("vec_id", "cell")
+        .agg(F.sum(d2).alias("dist"))
+        .groupBy("vec_id")
+        .agg(F.min("dist").alias("d"))
+        .agg(F.sum("d").alias("total"))
+        .first()
+        .total
+    )
+    trained = sum(r.inertia for r in QUERIES["sim_ivf_build_exact"](spark, sf_dir).collect())
+    assert trained <= init_inertia
+
+
+def test_streaming_cusum_matches_batch_recursion(spark, sf_dir):
+    """The multi-micro-batch stateful run must equal the single-pass
+    batch recursion — the streaming/batch parity contract."""
+    got = {r.user_id: r for r in QUERIES["st_cusum_monitor"](spark, sf_dir).collect()}
+    from realestate_engine.registry import t as load_table
+
+    ev = load_table(spark, sf_dir, "events").select("user_id", "ts", "event_id", "value").collect()
+    by: dict[int, list] = {}
+    for r in ev:
+        by.setdefault(r.user_id, []).append(r)
+    assert set(got) == set(by)
+    for uid, rows in by.items():
+        rows.sort(key=lambda r: (r.ts, r.event_id))
+        cusum = cmax = 0
+        for r in rows:
+            cusum = max(0, cusum + int(round(r.value * 100)) - 5000)
+            cmax = max(cmax, cusum)
+        g = got[uid]
+        assert (g.n_events, g.cusum_max_cents, g.cusum_final_cents) == (
+            len(rows),
+            cmax,
+            cusum,
+        ), uid

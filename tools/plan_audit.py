@@ -159,6 +159,8 @@ ALLOWED_LOCAL = {
     "graph_kcore",  # bounded-round peel localCheckpoints each round
     "graph_boruvka_msf",  # Boruvka contraction localCheckpoints each jump (plan doubles per self-join otherwise)
     "graph_ktruss",  # per-round edge-frame localCheckpoint (same lesson) + 2-row census frame
+    "sim_ivf_build_exact",  # k*d-row centroid frame localCheckpointed per Lloyd round
+    "st_cusum_monitor",  # memory-sink rows of the real stateful streaming run (O(|users|))
     "dedup_canonical_selection",  # builds on dedup_clusters' checkpointed lineage
     "dedup_leakage_safe_split",  # builds on dedup_clusters' checkpointed lineage
     "dedup_pipeline_summary",  # checkpointed clustering lineage; joins four 1-row stat frames
