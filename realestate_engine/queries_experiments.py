@@ -1656,3 +1656,147 @@ def ev22_srm_check(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(f"CAST(FLOOR({chi2} * 1000000) AS BIGINT)").alias("chi2_micro"),
         F.expr(f"{chi2} > 3.841459").alias("srm_detected"),
     )
+
+
+# Holm-Bonferroni critical values: chi2_inv(1 - 0.05/k, df=1) for
+# k = m..1 remaining tests, computed ONCE from the stdlib normal
+# quantile (NormalDist is deterministic); both the Spark query and the
+# DuckDB oracle embed the SAME literals, so only cross-side identity
+# (not quantile accuracy) matters for the hash.
+from statistics import NormalDist as _ND
+
+_HOLM_M = 5  # user_id%5 segments, arms by (user_id//5)%2: all cells populated even at sf0.001's 15 users
+_HOLM_CRIT2_MICRO = [
+    int(_ND().inv_cdf(1 - 0.05 / (2 * k)) ** 2 * 1_000_000) for k in range(1, _HOLM_M + 1)
+]  # index k-1 = critical z^2 (micro) when k tests remain
+
+
+def _holm_crit_values_sql() -> str:
+    return ", ".join(
+        f"({rank}, {_HOLM_CRIT2_MICRO[_HOLM_M - rank]})" for rank in range(1, _HOLM_M + 1)
+    )
+
+
+_EV23_ORACLE = f"""
+    WITH assign AS (
+        SELECT user_id % {_HOLM_M} AS seg, (user_id // {_HOLM_M}) % 2 AS arm,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+        FROM events
+    ),
+    arms AS (
+        SELECT seg,
+               MAX(CASE WHEN arm = 0 THEN n END) AS n0,
+               MAX(CASE WHEN arm = 0 THEN x END) AS x0,
+               MAX(CASE WHEN arm = 1 THEN n END) AS n1,
+               MAX(CASE WHEN arm = 1 THEN x END) AS x1
+        FROM (SELECT seg, arm, COUNT(*) AS n, SUM(conv) AS x
+              FROM assign GROUP BY seg, arm)
+        GROUP BY seg
+    ),
+    z AS (
+        SELECT seg, CAST(n0 + n1 AS BIGINT) AS n_total,
+               CAST(FLOOR(
+                   ((CAST(x1 AS DOUBLE) / n1 - CAST(x0 AS DOUBLE) / n0)
+                    * (CAST(x1 AS DOUBLE) / n1 - CAST(x0 AS DOUBLE) / n0))
+                   / ((CAST(x0 + x1 AS DOUBLE) / (n0 + n1))
+                      * (1 - CAST(x0 + x1 AS DOUBLE) / (n0 + n1))
+                      * (1.0 / n0 + 1.0 / n1)) * 1000000) AS BIGINT) AS z2_micro
+        FROM arms
+    ),
+    ranked AS (
+        SELECT a.seg, a.n_total, a.z2_micro,
+               CAST(1 + (SELECT COUNT(*) FROM z b
+                         WHERE (b.z2_micro, b.seg) > (a.z2_micro, a.seg))
+                    AS BIGINT) AS rank
+        FROM z a
+    ),
+    crit(rank, crit2_micro) AS (VALUES {_holm_crit_values_sql()}),
+    tested AS (
+        SELECT r.seg, r.n_total, r.z2_micro, r.rank,
+               r.z2_micro >= c.crit2_micro AS pass_own
+        FROM ranked r JOIN crit c USING (rank)
+    )
+    SELECT a.seg, a.n_total, a.z2_micro, a.rank,
+           a.pass_own AS rejected_raw,
+           MIN(CASE WHEN b.pass_own THEN 1 ELSE 0 END) = 1 AS rejected_holm
+    FROM tested a JOIN tested b ON b.rank <= a.rank
+    GROUP BY a.seg, a.n_total, a.z2_micro, a.rank, a.pass_own
+    ORDER BY a.rank
+"""
+
+
+@register("ev23_holm_bonferroni", _EV23_ORACLE)
+def ev23_holm_bonferroni(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EV23: Holm-Bonferroni step-down correction across m = 5
+    simultaneous conversion z-tests (user_id%5 segments, arms by
+    (user_id//5)%2 — populated on both arms at every SF) — the guard every multi-cell experiment readout
+    needs against alpha inflation. Each segment's pooled z^2 flows from
+    four exact counts through one fixed IEEE tree (the ev21 contract)
+    FLOORed to micros; critical chi-square values are stdlib-computed
+    constants embedded identically in query and oracle, so rejection
+    booleans are pure BIGINT comparisons. Ranking and the step-down
+    prefix-AND both use broadcast self-joins over the {m}-row frame —
+    the no-unpartitioned-window idiom (m11/q15 precedent) — so nothing
+    funnels at any scale; at 100 TB the correction is metadata after
+    one segment-keyed count."""
+    ev = t(spark, sf_dir, "events").select(
+        (F.col("user_id") % _HOLM_M).alias("seg"),
+        ((F.col("user_id") / _HOLM_M).cast("long") % 2).alias("arm"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("conv"),
+    )
+    arms = (
+        ev.groupBy("seg", "arm")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("conv").alias("x"))
+        .groupBy("seg")
+        .agg(
+            F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n0"),
+            F.max(F.when(F.col("arm") == 0, F.col("x"))).alias("x0"),
+            F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n1"),
+            F.max(F.when(F.col("arm") == 1, F.col("x"))).alias("x1"),
+        )
+    )
+    diff = "(CAST(x1 AS DOUBLE) / n1 - CAST(x0 AS DOUBLE) / n0)"
+    se2 = (
+        "((CAST(x0 + x1 AS DOUBLE) / (n0 + n1))"
+        " * (1 - CAST(x0 + x1 AS DOUBLE) / (n0 + n1))"
+        " * (1.0 / n0 + 1.0 / n1))"
+    )
+    z = arms.select(
+        "seg",
+        (F.col("n0") + F.col("n1")).cast("bigint").alias("n_total"),
+        F.expr(f"CAST(FLOOR(({diff} * {diff}) / {se2} * 1000000) AS BIGINT)").alias(
+            "z2_micro"
+        ),
+    )
+    a, b = z.alias("a"), z.alias("b")
+    worse = (F.col("b.z2_micro") > F.col("a.z2_micro")) | (
+        (F.col("b.z2_micro") == F.col("a.z2_micro")) & (F.col("b.seg") > F.col("a.seg"))
+    )
+    ranked = (
+        a.join(F.broadcast(b), worse, "left")
+        .groupBy("a.seg", "a.n_total", "a.z2_micro")
+        .agg((F.count(F.col("b.seg")) + 1).cast("bigint").alias("rank"))
+        .select(
+            F.col("seg"), F.col("n_total"), F.col("z2_micro"), F.col("rank")
+        )
+    )
+    crit = spark.createDataFrame(
+        [(rank, _HOLM_CRIT2_MICRO[_HOLM_M - rank]) for rank in range(1, _HOLM_M + 1)],
+        "rank bigint, crit2_micro bigint",
+    )
+    tested = ranked.join(F.broadcast(crit), "rank").select(
+        "seg", "n_total", "z2_micro", "rank",
+        (F.col("z2_micro") >= F.col("crit2_micro")).alias("pass_own"),
+    )
+    ta, tb = tested.alias("ta"), tested.alias("tb")
+    return (
+        ta.join(F.broadcast(tb), F.col("tb.rank") <= F.col("ta.rank"))
+        .groupBy("ta.seg", "ta.n_total", "ta.z2_micro", "ta.rank", "ta.pass_own")
+        .agg(F.min(F.col("tb.pass_own")).alias("rejected_holm"))
+        .select(
+            F.col("seg"), F.col("n_total"), F.col("z2_micro"), F.col("rank"),
+            F.col("pass_own").alias("rejected_raw"),
+            F.col("rejected_holm"),
+        )
+        .orderBy("rank")
+    )

@@ -1634,3 +1634,86 @@ def sim_ivf_build_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("cell")
     )
+
+
+@register(
+    "sim_coreset_sensitivity",
+    f"""
+    WITH q AS MATERIALIZED (
+        SELECT vec_id, i - 1 AS dim,
+               CAST(FLOOR(embedding[i] * 1000) AS BIGINT) AS qv
+        FROM embeddings, UNNEST(RANGE(1, {_IVF_D + 1})) AS r(i)
+    ),
+    c0 AS MATERIALIZED (
+        SELECT vec_id AS cell, dim, qv AS cv FROM q WHERE vec_id < {_IVF_K}
+    ),
+    dmin AS (
+        SELECT vec_id, CAST(MIN(dist) AS BIGINT) AS d_min FROM (
+            SELECT q.vec_id, c.cell,
+                   CAST(SUM((q.qv - c.cv) * (q.qv - c.cv)) AS BIGINT) AS dist
+            FROM q JOIN c0 c USING (dim)
+            GROUP BY q.vec_id, c.cell
+        ) GROUP BY vec_id
+    ),
+    tot AS (
+        SELECT CAST(SUM(d_min) AS BIGINT) AS total, CAST(COUNT(*) AS BIGINT) AS n
+        FROM dmin
+    )
+    SELECT d.vec_id, e.label, d.d_min,
+           CAST(1000000000 // t.n + d.d_min * 1000000000 // t.total AS BIGINT)
+               AS sens_nano
+    FROM dmin d CROSS JOIN tot t JOIN embeddings e USING (vec_id)
+    ORDER BY sens_nano DESC, d.vec_id
+    LIMIT 32
+    """,
+)
+def sim_coreset_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Sensitivity-sampling coreset weights (Bachem/Lucic/Krause
+    lightweight-coreset form): each vector's importance is the uniform
+    term 1/n plus its share d_min/Σd_min of squared distance to the
+    nearest seed centroid — the distribution coreset construction and
+    hard-example data pruning both sample from. Integer-exact: milli-
+    quantized vectors, BIGINT squared distances, FLOOR-nano shares
+    (d_min·1e9 peaks ~2.6e17, inside int64). Emits the 32 highest-
+    sensitivity (hardest) examples with labels.
+
+    Plan: the exploded (vec, dim, qv) relation joins the broadcast
+    k x d seed-centroid table (same shape as sim_ivf_build_exact's
+    assignment), per-vector min over k partials, 1-row totals rejoined
+    by broadcast cross join. At 100 TB sensitivity scoring is one
+    scan + one broadcast join — the cheap pre-pass that decides which
+    0.1 % of the corpus deserves expensive curation."""
+    emb = t(spark, sf_dir, "embeddings")
+    q = cache_once(
+        emb.select("vec_id", F.posexplode("embedding").alias("dim", "e")).select(
+            "vec_id", "dim", F.floor(F.col("e") * 1000).cast("bigint").alias("qv")
+        )
+    )
+    c0 = q.filter(F.col("vec_id") < _IVF_K).select(
+        F.col("vec_id").alias("cell"), "dim", F.col("qv").alias("cv")
+    )
+    d2 = (F.col("qv") - F.col("cv")) * (F.col("qv") - F.col("cv"))
+    dmin = (
+        q.join(F.broadcast(c0), "dim")
+        .groupBy("vec_id", "cell")
+        .agg(F.sum(d2).cast("bigint").alias("dist"))
+        .groupBy("vec_id")
+        .agg(F.min("dist").cast("bigint").alias("d_min"))
+    )
+    tot = dmin.agg(
+        F.sum("d_min").cast("bigint").alias("total"), F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    return (
+        dmin.crossJoin(F.broadcast(tot))
+        .join(emb.select("vec_id", "label"), "vec_id")
+        .select(
+            "vec_id",
+            "label",
+            "d_min",
+            F.expr(
+                "CAST(1000000000 DIV n + d_min * 1000000000 DIV total AS BIGINT)"
+            ).alias("sens_nano"),
+        )
+        .orderBy(F.col("sens_nano").desc(), "vec_id")
+        .limit(32)
+    )

@@ -245,3 +245,27 @@ def test_streaming_cusum_matches_batch_recursion(spark, sf_dir):
             cmax,
             cusum,
         ), uid
+
+
+def test_holm_stepdown_is_monotone(spark, sf_dir):
+    """Holm rejection is a prefix property: once a rank fails, no later
+    rank may be rejected; rejected_holm implies rejected_raw."""
+    rows = QUERIES["ev23_holm_bonferroni"](spark, sf_dir).collect()
+    assert [r.rank for r in rows] == list(range(1, len(rows) + 1))
+    seen_fail = False
+    for r in rows:
+        if r.rejected_holm:
+            assert r.rejected_raw and not seen_fail, r.rank
+        if not r.rejected_raw:
+            seen_fail = True
+        assert not (r.rejected_holm and seen_fail and not r.rejected_raw)
+
+
+def test_coreset_sensitivity_orders_by_distance(spark, sf_dir):
+    rows = QUERIES["sim_coreset_sensitivity"](spark, sf_dir).collect()
+    assert len(rows) == 32
+    sens = [r.sens_nano for r in rows]
+    assert sens == sorted(sens, reverse=True)
+    dmins = [r.d_min for r in rows]
+    assert dmins == sorted(dmins, reverse=True)  # sens is affine in d_min
+    assert all(r.d_min >= 0 for r in rows)

@@ -35,6 +35,8 @@ ALLOWED_CROSS = {
     "sim_ivf_kmeans_topk",
     "text_tfidf_top_term",  # broadcast 1-row n_docs count
     "t28_dsir_importance_weights",  # broadcast 1-row (Nt, Nr, V) totals aggregate
+    "ev23_holm_bonferroni",  # broadcast non-equi self-joins over the 5-row test frame (rank + step-down prefix AND)
+    "sim_coreset_sensitivity",  # broadcast 1-row (total, n) aggregate cross join
     "m8_smearing_inverse",  # broadcast 1-row sigma aggregate
     "m11_regression_metrics_sql",  # broadcast 1-row global-mean aggregate
     "tpch_q11_important_balance",  # broadcast 1-row global-balance aggregate
@@ -161,6 +163,7 @@ ALLOWED_LOCAL = {
     "graph_ktruss",  # per-round edge-frame localCheckpoint (same lesson) + 2-row census frame
     "sim_ivf_build_exact",  # k*d-row centroid frame localCheckpointed per Lloyd round
     "st_cusum_monitor",  # memory-sink rows of the real stateful streaming run (O(|users|))
+    "ev23_holm_bonferroni",  # 5-row constant critical-value dim (stdlib-computed literals, broadcast)
     "dedup_canonical_selection",  # builds on dedup_clusters' checkpointed lineage
     "dedup_leakage_safe_split",  # builds on dedup_clusters' checkpointed lineage
     "dedup_pipeline_summary",  # checkpointed clustering lineage; joins four 1-row stat frames
