@@ -1459,3 +1459,187 @@ def t29_gopher_quality_rules(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+_FUNNEL_QUALITY_SQL = r"""
+        SELECT doc_id, source, text,
+               CAST(LEN(words) AS BIGINT) AS n_words,
+               NOT (
+                   LEN(words) < 20 OR LEN(words) > 80
+                   OR LIST_SUM(LIST_TRANSFORM(words, w -> LEN(w))) < 3 * LEN(words)
+                   OR LIST_SUM(LIST_TRANSFORM(words, w -> LEN(w))) > 8 * LEN(words)
+                   OR LEN(LIST_FILTER(words, w -> w IN
+                       ('the','a','of','and','to','in','is','on','for','with'))) < 2
+               ) AS q_pass
+        FROM (SELECT doc_id, source, text,
+                     STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+') AS words
+              FROM documents)
+"""
+
+
+@register(
+    "corpus_curation_funnel",
+    rf"""
+    WITH quality AS MATERIALIZED ({_FUNNEL_QUALITY_SQL}),
+    deduped AS MATERIALIZED (
+        SELECT doc_id, source, text, n_words,
+               ROW_NUMBER() OVER (
+                   PARTITION BY MD5(LOWER(TRIM(text))) ORDER BY doc_id
+               ) = 1 AS is_canonical
+        FROM quality WHERE q_pass
+    ),
+    words AS (
+        SELECT d.doc_id, d.source,
+               (d.source IN ('src0', 'src1', 'src2')) AS is_target,
+               UNNEST(STRING_SPLIT_REGEX(LOWER(TRIM(d.text)), '\s+')) AS word
+        FROM documents d
+    ),
+    stats AS (
+        SELECT word,
+               CAST(SUM(CASE WHEN is_target THEN 1 ELSE 0 END) AS BIGINT) AS ct,
+               CAST(SUM(CASE WHEN is_target THEN 0 ELSE 1 END) AS BIGINT) AS cr
+        FROM words GROUP BY word
+    ),
+    totals AS (
+        SELECT CAST(SUM(ct) AS BIGINT) AS nt, CAST(SUM(cr) AS BIGINT) AS nr,
+               CAST(COUNT(*) AS BIGINT) AS v
+        FROM stats
+    ),
+    weights AS (
+        SELECT word,
+               CAST(FLOOR(1000000.0 * (
+                   LN(CAST(ct + 1 AS DOUBLE)) - LN(CAST(nt + v AS DOUBLE))
+                   - LN(CAST(cr + 1 AS DOUBLE)) + LN(CAST(nr + v AS DOUBLE))
+               )) AS BIGINT) AS term_micro
+        FROM stats CROSS JOIN totals
+    ),
+    doc_scores AS (
+        SELECT w.doc_id,
+               CAST(SUM(tf.tf * w2.term_micro) AS BIGINT) AS score
+        FROM (SELECT DISTINCT doc_id FROM words) w
+        JOIN (SELECT doc_id, word, CAST(COUNT(*) AS BIGINT) AS tf
+              FROM words GROUP BY doc_id, word) tf USING (doc_id)
+        JOIN weights w2 USING (word)
+        GROUP BY w.doc_id
+    ),
+    funnel AS (
+        SELECT q.source,
+               CAST(COUNT(*) AS BIGINT) AS n_raw,
+               CAST(SUM(CASE WHEN q.q_pass THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_pass_quality,
+               CAST(SUM(CASE WHEN d.is_canonical THEN 1 ELSE 0 END) AS BIGINT)
+                   AS n_after_dedup,
+               CAST(SUM(CASE WHEN d.is_canonical AND s.score >= 0 THEN 1 ELSE 0 END)
+                   AS BIGINT) AS n_selected,
+               CAST(SUM(CASE WHEN d.is_canonical AND s.score >= 0 THEN d.n_words
+                             ELSE 0 END) AS BIGINT) AS selected_tokens
+        FROM quality q
+        LEFT JOIN deduped d USING (doc_id)
+        LEFT JOIN doc_scores s USING (doc_id)
+        GROUP BY q.source
+    )
+    SELECT * FROM funnel ORDER BY source
+    """,
+)
+def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """END-TO-END corpus curation funnel — the round-8 composition
+    showpiece: per source, documents flow through (1) the Gopher-style
+    quality gate (the hot three rules of t29, array-native, zero
+    shuffles), (2) exact dedup on the normalized-text md5 (canonical =
+    smallest doc_id, one text-hash-keyed window), and (3) DSIR
+    target-likelihood selection (t28's integer log-ratio weights,
+    keep score >= 0 = more target-like than raw), emitting the census
+    n_raw -> n_pass_quality -> n_after_dedup -> n_selected plus the
+    surviving token budget. This is the pipeline a 100 TB pretraining
+    corpus actually runs, as ONE declarative plan: Catalyst sees all
+    three stages, so the quality filter prunes the dedup window's
+    input and the weight join only carries quality-passing canonical
+    docs. Every stage is integer/hash exact — the funnel
+    hash-compares bit-for-bit."""
+    d = t(spark, sf_dir, "documents")
+    docs = d.select(
+        "doc_id", "source", "text", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("words")
+    )
+    stop_arr = F.array(
+        *[F.lit(s) for s in ("the", "a", "of", "and", "to", "in", "is", "on", "for", "with")]
+    )
+    sum_len = F.aggregate(
+        F.transform("words", lambda w: F.length(w).cast("bigint")),
+        F.lit(0).cast("bigint"),
+        lambda acc, x: acc + x,
+    )
+    n_words = F.size("words").cast("bigint")
+    n_stop = F.size(F.filter("words", lambda w: F.array_contains(stop_arr, w))).cast("bigint")
+    quality = docs.select(
+        "doc_id",
+        "source",
+        "text",
+        n_words.alias("n_words"),
+        (
+            ~(
+                (n_words < 20)
+                | (n_words > 80)
+                | (sum_len < 3 * n_words)
+                | (sum_len > 8 * n_words)
+                | (n_stop < 2)
+            )
+        ).alias("q_pass"),
+    )
+    canon = Window.partitionBy(F.md5(F.lower(F.trim(F.col("text"))))).orderBy("doc_id")
+    deduped = (
+        quality.filter(F.col("q_pass"))
+        .withColumn("is_canonical", F.row_number().over(canon) == 1)
+        .select("doc_id", "is_canonical")
+    )
+    words = d.select(
+        "doc_id",
+        F.col("source").isin("src0", "src1", "src2").alias("is_target"),
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("word"),
+    )
+    stats = words.groupBy("word").agg(
+        F.sum(F.when(F.col("is_target"), 1).otherwise(0)).cast("bigint").alias("ct"),
+        F.sum(F.when(F.col("is_target"), 0).otherwise(1)).cast("bigint").alias("cr"),
+    )
+    totals = stats.agg(
+        F.sum("ct").cast("bigint").alias("nt"),
+        F.sum("cr").cast("bigint").alias("nr"),
+        F.count(F.lit(1)).cast("bigint").alias("v"),
+    )
+    weights = stats.crossJoin(F.broadcast(totals)).select(
+        "word",
+        F.floor(
+            1000000.0
+            * (
+                F.log((F.col("ct") + 1).cast("double"))
+                - F.log((F.col("nt") + F.col("v")).cast("double"))
+                - F.log((F.col("cr") + 1).cast("double"))
+                + F.log((F.col("nr") + F.col("v")).cast("double"))
+            )
+        )
+        .cast("bigint")
+        .alias("term_micro"),
+    )
+    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).cast("bigint").alias("tf"))
+    scores = (
+        tf.join(F.broadcast(weights), "word")
+        .groupBy("doc_id")
+        .agg(F.sum(F.col("tf") * F.col("term_micro")).cast("bigint").alias("score"))
+    )
+    sel = F.col("is_canonical") & (F.col("score") >= 0)
+    return (
+        quality.join(deduped, "doc_id", "left")
+        .join(scores, "doc_id", "left")
+        .groupBy("source")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_raw"),
+            F.sum(F.when(F.col("q_pass"), 1).otherwise(0)).cast("bigint").alias("n_pass_quality"),
+            F.sum(F.when(F.col("is_canonical"), 1).otherwise(0))
+            .cast("bigint")
+            .alias("n_after_dedup"),
+            F.sum(F.when(sel, 1).otherwise(0)).cast("bigint").alias("n_selected"),
+            F.sum(F.when(sel, F.col("n_words")).otherwise(0))
+            .cast("bigint")
+            .alias("selected_tokens"),
+        )
+        .orderBy("source")
+    )

@@ -1717,3 +1717,111 @@ def sim_coreset_sensitivity(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("sens_nano").desc(), "vec_id")
         .limit(32)
     )
+
+
+_KNN_K = 5
+_KNN_PROBES = 8  # vec_id < 8 are held out as probes
+
+
+@register(
+    "m51_knn_classifier",
+    f"""
+    WITH q AS MATERIALIZED (
+        SELECT vec_id, label, i - 1 AS dim,
+               CAST(FLOOR(embedding[i] * 1000) AS BIGINT) AS qv
+        FROM embeddings, UNNEST(RANGE(1, {_IVF_D + 1})) AS r(i)
+    ),
+    dists AS (
+        SELECT p.vec_id AS probe_id, p.label AS true_label,
+               g.vec_id AS nbr_id, g.label AS nbr_label,
+               CAST(SUM((p.qv - g.qv) * (p.qv - g.qv)) AS BIGINT) AS dist
+        FROM (SELECT * FROM q WHERE vec_id < {_KNN_PROBES}) p
+        JOIN (SELECT * FROM q WHERE vec_id >= {_KNN_PROBES}) g USING (dim)
+        GROUP BY 1, 2, 3, 4
+    ),
+    topk AS (
+        SELECT * FROM (
+            SELECT probe_id, true_label, nbr_id, nbr_label, dist,
+                   ROW_NUMBER() OVER (PARTITION BY probe_id
+                                      ORDER BY dist, nbr_id) AS rn
+            FROM dists
+        ) WHERE rn <= {_KNN_K}
+    ),
+    votes AS (
+        SELECT probe_id, true_label, nbr_label,
+               CAST(COUNT(*) AS BIGINT) AS n_votes,
+               CAST(MIN(dist) AS BIGINT) AS closest_dist
+        FROM topk GROUP BY 1, 2, 3
+    )
+    SELECT probe_id, true_label, nbr_label AS predicted_label,
+           n_votes, closest_dist,
+           nbr_label = true_label AS correct
+    FROM (
+        SELECT *, ROW_NUMBER() OVER (PARTITION BY probe_id
+                   ORDER BY n_votes DESC, closest_dist, nbr_label) AS pick
+        FROM votes
+    ) WHERE pick = 1
+    ORDER BY probe_id
+    """,
+)
+def m51_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Exact k-NN classification (k = 5, squared-L2 on milli-quantized
+    embeddings): the 8 held-out probe vectors are labeled by majority
+    vote of their 5 nearest gallery neighbors, ties broken by closest
+    distance then smallest label — fully deterministic BIGINT
+    arithmetic end to end.
+
+    Plan: the probe side is 8·d rows broadcast into the exploded
+    gallery relation (one scan, dim-keyed equi-join, per-(probe,
+    gallery) partial sums combined map-side); top-k and the vote are
+    probe-partitioned windows. Exactly the brute-force shape
+    sim_bruteforce_topk benches — at 100 TB the gallery side streams,
+    the probe side stays O(probes·d), and the IVF/LSH families
+    (sim_ivf_build_exact, sim_lsh_ann) provide the sub-linear
+    candidate generation this exact classifier re-ranks."""
+    emb = t(spark, sf_dir, "embeddings")
+    q = emb.select(
+        "vec_id", "label", F.posexplode("embedding").alias("dim", "e")
+    ).select("vec_id", "label", "dim", F.floor(F.col("e") * 1000).cast("bigint").alias("qv"))
+    probes = q.filter(F.col("vec_id") < _KNN_PROBES).select(
+        F.col("vec_id").alias("probe_id"),
+        F.col("label").alias("true_label"),
+        "dim",
+        F.col("qv").alias("pv"),
+    )
+    gallery = q.filter(F.col("vec_id") >= _KNN_PROBES).select(
+        F.col("vec_id").alias("nbr_id"), F.col("label").alias("nbr_label"), "dim", "qv"
+    )
+    d2 = (F.col("pv") - F.col("qv")) * (F.col("pv") - F.col("qv"))
+    dists = (
+        gallery.join(F.broadcast(probes), "dim")
+        .groupBy("probe_id", "true_label", "nbr_id", "nbr_label")
+        .agg(F.sum(d2).cast("bigint").alias("dist"))
+    )
+    topk = (
+        dists.withColumn(
+            "rn",
+            F.row_number().over(Window.partitionBy("probe_id").orderBy("dist", "nbr_id")),
+        )
+        .filter(F.col("rn") <= _KNN_K)
+    )
+    votes = topk.groupBy("probe_id", "true_label", "nbr_label").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_votes"),
+        F.min("dist").cast("bigint").alias("closest_dist"),
+    )
+    pick = Window.partitionBy("probe_id").orderBy(
+        F.col("n_votes").desc(), "closest_dist", "nbr_label"
+    )
+    return (
+        votes.withColumn("pick", F.row_number().over(pick))
+        .filter(F.col("pick") == 1)
+        .select(
+            "probe_id",
+            "true_label",
+            F.col("nbr_label").alias("predicted_label"),
+            "n_votes",
+            "closest_dist",
+            (F.col("nbr_label") == F.col("true_label")).alias("correct"),
+        )
+        .orderBy("probe_id")
+    )

@@ -269,3 +269,43 @@ def test_coreset_sensitivity_orders_by_distance(spark, sf_dir):
     dmins = [r.d_min for r in rows]
     assert dmins == sorted(dmins, reverse=True)  # sens is affine in d_min
     assert all(r.d_min >= 0 for r in rows)
+
+
+def test_knn_classifier_is_exact_vs_python_replay(spark, sf_dir):
+    got = {r.probe_id: r for r in QUERIES["m51_knn_classifier"](spark, sf_dir).collect()}
+    assert set(got) == set(range(8))
+    from realestate_engine.registry import t as load_table
+
+    import math
+
+    vecs = {
+        r.vec_id: ([math.floor(x * 1000) for x in r.embedding], r.label)
+        for r in load_table(spark, sf_dir, "embeddings").collect()
+    }
+    for pid in range(8):
+        pv, plabel = vecs[pid]
+        dists = sorted(
+            (sum((a - b) ** 2 for a, b in zip(pv, gv)), gid, glabel)
+            for gid, (gv, glabel) in vecs.items()
+            if gid >= 8
+        )[:5]
+        votes: dict[int, tuple[int, int]] = {}
+        for d, gid, gl in dists:
+            n, closest = votes.get(gl, (0, None))
+            votes[gl] = (n + 1, d if closest is None else min(closest, d))
+        pred = min(votes.items(), key=lambda kv: (-kv[1][0], kv[1][1], kv[0]))[0]
+        g = got[pid]
+        assert (g.predicted_label, g.true_label, g.correct) == (pred, plabel, pred == plabel)
+
+
+def test_curation_funnel_is_monotone_per_source(spark, sf_dir):
+    rows = QUERIES["corpus_curation_funnel"](spark, sf_dir).collect()
+    assert rows
+    total_raw = sum(r.n_raw for r in rows)
+    from realestate_engine.registry import t as load_table
+
+    assert total_raw == load_table(spark, sf_dir, "documents").count()
+    for r in rows:
+        assert r.n_raw >= r.n_pass_quality >= r.n_after_dedup >= r.n_selected >= 0
+        if r.n_selected:
+            assert r.selected_tokens >= 20 * r.n_selected  # quality gate floor

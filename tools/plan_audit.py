@@ -37,6 +37,7 @@ ALLOWED_CROSS = {
     "t28_dsir_importance_weights",  # broadcast 1-row (Nt, Nr, V) totals aggregate
     "ev23_holm_bonferroni",  # broadcast non-equi self-joins over the 5-row test frame (rank + step-down prefix AND)
     "sim_coreset_sensitivity",  # broadcast 1-row (total, n) aggregate cross join
+    "corpus_curation_funnel",  # broadcast 1-row (Nt, Nr, V) totals aggregate (the t28 DSIR stage)
     "m8_smearing_inverse",  # broadcast 1-row sigma aggregate
     "m11_regression_metrics_sql",  # broadcast 1-row global-mean aggregate
     "tpch_q11_important_balance",  # broadcast 1-row global-balance aggregate
