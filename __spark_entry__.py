@@ -38,9 +38,14 @@ registry.load_all()
 # Round 9 should lead with the wave-2 remainder (dq21_order_
 # reconciliation, s25_recursive_glob_scan, t27_tokenizer_comparison,
 # ts11_decomposition_strength, ev20_sequence_pattern_match,
-# sql_collation, m48_f1_threshold_tuning, m49_ridge_closed_form,
-# plus round 8's new additions), then keep draining the never-
-# verified ledger: ev3-ev11, dq_expectations/dq_drift/dq3-dq6, the
+# sql_collation, m48_f1_threshold_tuning, m49_ridge_closed_form)
+# plus round 8's 14 additions (t28_dsir_importance_weights,
+# t29_gopher_quality_rules, dedup_substring_kgram,
+# ts12_cusum_changepoint, graph_ktruss, j17_asof_nearest_event,
+# s26_csv_multiline_roundtrip, mm_ogg_crc_audit, sim_ivf_build_exact,
+# st_cusum_monitor, ev23_holm_bonferroni, sim_coreset_sensitivity,
+# m51_knn_classifier, corpus_curation_funnel — all sf0.1-certified
+# on arrival), then keep draining the never-verified ledger: ev3-ev11, dq_expectations/dq_drift/dq3-dq6, the
 # f1x fills (f2/f4/f5/f8/f10x3, f12-f19), t14/t15, corpus_*, text_*
 # remainder, sim_* remainder (norms_arrow/hard_negatives/label_
 # centroids/matryoshka/quantize_int8), m15 text featurization,
