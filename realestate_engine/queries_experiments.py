@@ -1800,3 +1800,77 @@ def ev23_holm_bonferroni(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rank")
     )
+
+
+# Power-analysis constants from the stdlib normal quantile (same
+# contract as ev23's critical values: identical literals both sides).
+_PWR_Z_SUM_SQ = (_ND().inv_cdf(0.975) + _ND().inv_cdf(0.80)) ** 2  # (z_{α/2} + z_β)²
+_PWR_DELTAS_MICRO = [10000, 20000, 30000, 40000, 50000]  # 1%..5% absolute lift
+
+
+@register(
+    "ev24_power_analysis",
+    f"""
+    WITH base AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_events,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS n_conv,
+               CAST(COUNT(DISTINCT user_id) AS BIGINT) AS n_users
+        FROM events
+    ),
+    grid(delta_micro) AS (VALUES {", ".join(f"({d})" for d in _PWR_DELTAS_MICRO)})
+    SELECT g.delta_micro,
+           CAST(FLOOR({_PWR_Z_SUM_SQ!r}
+               * 2 * (CAST(b.n_conv AS DOUBLE) / b.n_events)
+               * (1 - CAST(b.n_conv AS DOUBLE) / b.n_events)
+               / ((g.delta_micro / 1000000.0) * (g.delta_micro / 1000000.0)))
+               AS BIGINT) + 1 AS n_required_per_arm,
+           b.n_users,
+           b.n_users // 2 >= CAST(FLOOR({_PWR_Z_SUM_SQ!r}
+               * 2 * (CAST(b.n_conv AS DOUBLE) / b.n_events)
+               * (1 - CAST(b.n_conv AS DOUBLE) / b.n_events)
+               / ((g.delta_micro / 1000000.0) * (g.delta_micro / 1000000.0)))
+               AS BIGINT) + 1 AS feasible_by_users
+    FROM grid g CROSS JOIN base b
+    ORDER BY g.delta_micro
+    """,
+)
+def ev24_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EV24: A/B sample-size (power) analysis — for each minimum
+    detectable absolute lift in {{1..5}} %, the per-arm n required at
+    alpha = 5 % two-sided / 80 % power, n = (z_a/2 + z_b)^2 ·
+    2·p(1-p) / delta^2, with p the pooled conversion rate. The z
+    constants are stdlib-computed literals embedded identically in
+    query and oracle (the ev23 contract); n_required is
+    FLOOR(expr) + 1 — the smallest integer strictly above the float
+    bound, one fixed IEEE tree both sides. Feasibility compares
+    against observed distinct users per arm. The design-phase
+    counterpart of ev21 (the readout) and ev23 (the multiple-testing
+    guard); at 100 TB the analysis is metadata after one count."""
+    ev = t(spark, sf_dir, "events")
+    base = ev.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_events"),
+        F.sum(F.when(F.col("event_type") == "purchase", 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_conv"),
+        F.countDistinct("user_id").cast("bigint").alias("n_users"),
+    )
+    grid = spark.createDataFrame(
+        [(d,) for d in _PWR_DELTAS_MICRO], "delta_micro bigint"
+    )
+    n_req = (
+        f"CAST(FLOOR({_PWR_Z_SUM_SQ!r}"
+        " * 2 * (CAST(n_conv AS DOUBLE) / n_events)"
+        " * (1 - CAST(n_conv AS DOUBLE) / n_events)"
+        " / ((delta_micro / 1000000.0) * (delta_micro / 1000000.0))) AS BIGINT) + 1"
+    )
+    return (
+        grid.crossJoin(F.broadcast(base))
+        .selectExpr(
+            "delta_micro",
+            f"{n_req} AS n_required_per_arm",
+            "n_users",
+            f"n_users DIV 2 >= {n_req} AS feasible_by_users",
+        )
+        .orderBy("delta_micro")
+    )

@@ -852,3 +852,61 @@ def scd2_intervals(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.lead("ts").over(w).alias("valid_to"),
         "event_id",
     ).orderBy("user_id", "valid_from", "event_id")
+
+
+_VACUUM_RETENTION = 2  # versions kept beyond the snapshot
+
+
+@register(
+    "x33_vacuum_planner",
+    f"""
+    WITH files AS (
+        SELECT doc_id AS file_id,
+               doc_id // 4 AS add_version,
+               CASE WHEN doc_id % 3 = 0 AND doc_id // 4 + 3 <= 9
+                    THEN doc_id // 4 + 3 END AS remove_version,
+               CAST(1000 + doc_id * 13 AS BIGINT) AS bytes
+        FROM documents WHERE doc_id < 40
+    )
+    SELECT CAST(file_id AS BIGINT) AS file_id,
+           CAST(remove_version AS BIGINT) AS remove_version,
+           remove_version IS NOT NULL
+               AND remove_version <= {{v}} - {_VACUUM_RETENTION} AS vacuum_eligible,
+           CASE WHEN remove_version IS NOT NULL
+                     AND remove_version <= {{v}} - {_VACUUM_RETENTION}
+                THEN bytes ELSE 0 END AS bytes_reclaimable
+    FROM files
+    ORDER BY file_id
+    """.format(v=9),
+)
+def x33_vacuum_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X33: VACUUM eligibility over the x31 transaction log — a
+    tombstone (REMOVE action) may be physically deleted once its
+    remove_version falls behind the retention horizon (current version
+    9, retention {retention} versions), the Delta VACUUM rule. Pure
+    metadata algebra on the same synthetic log x31 replays: one
+    codegen'd boolean per file, bytes-reclaimable ledger alongside.
+    At 100 TB the planner reads Kb of log and emits the delete
+    manifest; no data file is touched until the manifest executes —
+    exactly how table maintenance must be planned at scale.""".format(
+        retention=_VACUUM_RETENTION
+    )
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 40)
+    v = 9
+    files = d.select(
+        F.col("doc_id").alias("file_id"),
+        F.when(
+            (F.col("doc_id") % 3 == 0) & (F.expr("doc_id div 4") + 3 <= 9),
+            F.expr("doc_id div 4") + 3,
+        ).alias("remove_version"),
+        (F.lit(1000) + F.col("doc_id") * 13).cast("bigint").alias("bytes"),
+    )
+    eligible = F.col("remove_version").isNotNull() & (
+        F.col("remove_version") <= v - _VACUUM_RETENTION
+    )
+    return files.select(
+        F.col("file_id").cast("bigint"),
+        F.col("remove_version").cast("bigint"),
+        eligible.alias("vacuum_eligible"),
+        F.when(eligible, F.col("bytes")).otherwise(0).alias("bytes_reclaimable"),
+    ).orderBy("file_id")

@@ -1980,3 +1980,102 @@ def m50_poisson_newton(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r_ in out[1:]:
         res = res.unionByName(r_)
     return res.orderBy("round")
+
+
+@register(
+    "m52_isotonic_pav_exact",
+    """
+    WITH binstats AS (
+        SELECT LEAST(9, CAST(FLOOR(value / 50) AS BIGINT)) AS bin,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS s,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1
+    ),
+    intervals AS (
+        SELECT j.bin AS j, k.bin AS k,
+               CAST(SUM(m.s) AS BIGINT) AS s_jk, CAST(SUM(m.n) AS BIGINT) AS n_jk,
+               CAST(SUM(m.s) * 1000000000000 // SUM(m.n) AS BIGINT) AS scaled
+        FROM binstats j
+        JOIN binstats k ON k.bin >= j.bin
+        JOIN binstats m ON m.bin BETWEEN j.bin AND k.bin
+        GROUP BY j.bin, k.bin
+    ),
+    inner_min AS (
+        SELECT b.bin, i.j, CAST(MIN(i.scaled) AS BIGINT) AS min_scaled
+        FROM binstats b
+        JOIN intervals i ON i.j <= b.bin AND i.k >= b.bin
+        GROUP BY b.bin, i.j
+    ),
+    iso AS (
+        SELECT bin, CAST(MAX(min_scaled) AS BIGINT) AS iso_scaled
+        FROM inner_min GROUP BY bin
+    )
+    SELECT b.bin, b.n, b.s,
+           CAST(b.s * 1000000 // b.n AS BIGINT) AS raw_rate_micro,
+           CAST(i.iso_scaled // 1000000 AS BIGINT) AS iso_rate_micro,
+           CAST(i.iso_scaled // 1000000 AS BIGINT)
+               <> CAST(b.s * 1000000 // b.n AS BIGINT) AS pooled
+    FROM binstats b JOIN iso i USING (bin)
+    ORDER BY b.bin
+    """,
+)
+def m52_isotonic_pav_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EXACT isotonic regression (the calibration fit) via the max-min
+    closed form: the pool-adjacent-violators solution at bin i equals
+    max_{j<=i} min_{k>=i} mean(y over bins j..k) — no sequential PAV
+    loop. Rational interval means are compared through an exact
+    integer order key, S·1e12 DIV N (distinct rationals with
+    denominators <= 1e6 differ by > 1e-12, so the floor key preserves
+    strict order; documented bound: event counts stay < 1e6 at the
+    oracle-gate SFs). Upgrades calibration from rows-only MLlib
+    evidence (m17_isotonic_calibration) to a bit-exact oracle.
+
+    Plan: one event scan -> 10-bin hash agg; everything after is
+    broadcast self-joins over the 10-row frame (10^3 interval
+    memberships, then max-of-min) — metadata-sized at any corpus
+    scale, the no-unpartitioned-window idiom throughout."""
+    ev = t(spark, sf_dir, "events").select(
+        F.least(F.lit(9), F.floor(F.col("value") / 50).cast("bigint")).alias("bin"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("conv"),
+    )
+    binstats = ev.groupBy("bin").agg(
+        F.sum("conv").cast("bigint").alias("s"), F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    j, k, m = binstats.alias("j"), binstats.alias("k"), binstats.alias("m")
+    intervals = (
+        j.join(F.broadcast(k), F.col("k.bin") >= F.col("j.bin"))
+        .join(
+            F.broadcast(m),
+            (F.col("m.bin") >= F.col("j.bin")) & (F.col("m.bin") <= F.col("k.bin")),
+        )
+        .groupBy(F.col("j.bin").alias("jb"), F.col("k.bin").alias("kb"))
+        .agg(
+            F.expr("CAST(SUM(m.s) * 1000000000000 DIV SUM(m.n) AS BIGINT)").alias("scaled")
+        )
+    )
+    b = binstats.alias("b")
+    inner_min = (
+        b.join(
+            F.broadcast(intervals),
+            (F.col("jb") <= F.col("b.bin")) & (F.col("kb") >= F.col("b.bin")),
+        )
+        .groupBy(F.col("b.bin").alias("bin"), F.col("jb"))
+        .agg(F.min("scaled").cast("bigint").alias("min_scaled"))
+    )
+    iso = inner_min.groupBy("bin").agg(F.max("min_scaled").cast("bigint").alias("iso_scaled"))
+    return (
+        binstats.join(F.broadcast(iso), "bin")
+        .select(
+            "bin",
+            "n",
+            "s",
+            F.expr("CAST(s * 1000000 DIV n AS BIGINT)").alias("raw_rate_micro"),
+            F.expr("CAST(iso_scaled DIV 1000000 AS BIGINT)").alias("iso_rate_micro"),
+            (
+                F.expr("CAST(iso_scaled DIV 1000000 AS BIGINT)")
+                != F.expr("CAST(s * 1000000 DIV n AS BIGINT)")
+            ).alias("pooled"),
+        )
+        .orderBy("bin")
+    )

@@ -309,3 +309,36 @@ def test_curation_funnel_is_monotone_per_source(spark, sf_dir):
         assert r.n_raw >= r.n_pass_quality >= r.n_after_dedup >= r.n_selected >= 0
         if r.n_selected:
             assert r.selected_tokens >= 20 * r.n_selected  # quality gate floor
+
+
+def test_isotonic_fit_is_monotone_and_pools_violations(spark, sf_dir):
+    rows = QUERIES["m52_isotonic_pav_exact"](spark, sf_dir).collect()
+    assert len(rows) >= 5
+    iso = [r.iso_rate_micro for r in rows]
+    assert iso == sorted(iso)  # the whole point of the fit
+    raw = [r.raw_rate_micro for r in rows]
+    if raw == sorted(raw):
+        assert not any(r.pooled for r in rows)  # already monotone -> identity
+    else:
+        assert any(r.pooled for r in rows)
+
+
+def test_power_analysis_grid_is_monotone(spark, sf_dir):
+    rows = QUERIES["ev24_power_analysis"](spark, sf_dir).collect()
+    assert [r.delta_micro for r in rows] == [10000, 20000, 30000, 40000, 50000]
+    ns = [r.n_required_per_arm for r in rows]
+    assert ns == sorted(ns, reverse=True)  # smaller detectable lift needs more n
+    assert all(n >= 1 for n in ns)
+
+
+def test_vacuum_planner_agrees_with_log_replay(spark, sf_dir):
+    """Eligibility must be consistent with x31's live-set algebra:
+    a vacuum-eligible file is never live at the snapshot."""
+    live = {r.file_id: r.live_at_v for r in QUERIES["x31_delta_log_replay"](spark, sf_dir).collect()}
+    for r in QUERIES["x33_vacuum_planner"](spark, sf_dir).collect():
+        if r.vacuum_eligible:
+            assert not live[r.file_id]
+            assert r.remove_version is not None and r.remove_version <= 7
+            assert r.bytes_reclaimable > 0
+        else:
+            assert r.bytes_reclaimable == 0

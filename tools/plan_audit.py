@@ -38,6 +38,8 @@ ALLOWED_CROSS = {
     "ev23_holm_bonferroni",  # broadcast non-equi self-joins over the 5-row test frame (rank + step-down prefix AND)
     "sim_coreset_sensitivity",  # broadcast 1-row (total, n) aggregate cross join
     "corpus_curation_funnel",  # broadcast 1-row (Nt, Nr, V) totals aggregate (the t28 DSIR stage)
+    "ev24_power_analysis",  # 5-row constant delta grid cross-joined with the 1-row pooled-rate aggregate
+    "m52_isotonic_pav_exact",  # broadcast non-equi self-joins over the 10-row bin frame (interval grid + max-min)
     "m8_smearing_inverse",  # broadcast 1-row sigma aggregate
     "m11_regression_metrics_sql",  # broadcast 1-row global-mean aggregate
     "tpch_q11_important_balance",  # broadcast 1-row global-balance aggregate
@@ -165,6 +167,7 @@ ALLOWED_LOCAL = {
     "sim_ivf_build_exact",  # k*d-row centroid frame localCheckpointed per Lloyd round
     "st_cusum_monitor",  # memory-sink rows of the real stateful streaming run (O(|users|))
     "ev23_holm_bonferroni",  # 5-row constant critical-value dim (stdlib-computed literals, broadcast)
+    "ev24_power_analysis",  # 5-row constant delta grid (stdlib-computed z constants, broadcast)
     "dedup_canonical_selection",  # builds on dedup_clusters' checkpointed lineage
     "dedup_leakage_safe_split",  # builds on dedup_clusters' checkpointed lineage
     "dedup_pipeline_summary",  # checkpointed clustering lineage; joins four 1-row stat frames
