@@ -2079,3 +2079,90 @@ def m52_isotonic_pav_exact(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("bin")
     )
+
+
+@register(
+    "m53_brier_decomposition",
+    """
+    WITH binstats AS (
+        SELECT LEAST(9, CAST(FLOOR(value / 50) AS BIGINT)) AS bin,
+               CAST(SUM(CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END)
+                    AS BIGINT) AS s,
+               CAST(COUNT(*) AS BIGINT) AS n
+        FROM events GROUP BY 1
+    ),
+    tot AS (
+        SELECT CAST(SUM(s) AS BIGINT) AS s_all, CAST(SUM(n) AS BIGINT) AS n_all
+        FROM binstats
+    )
+    SELECT
+        CAST((SELECT COUNT(*) FROM binstats) AS BIGINT) AS n_bins,
+        t.n_all,
+        -- reliability: sum_k n_k (pred_k - obs_k)^2 / N with pred = bin
+        -- midpoint rate (bin+0.5)/10 and obs = s_k/n_k; each per-bin
+        -- term FLOOR-scaled to integer nano BEFORE the sum (the
+        -- standing order-free rule), then one integer division
+        CAST(SUM(CAST(FLOOR(1000000000.0 *
+            b.n * ((b.bin + 0.5) / 10 - CAST(b.s AS DOUBLE) / b.n)
+                * ((b.bin + 0.5) / 10 - CAST(b.s AS DOUBLE) / b.n)) AS BIGINT))
+            // t.n_all AS BIGINT) AS reliability_nano,
+        -- resolution: sum_k n_k (obs_k - obs)^2 / N, same scaling
+        CAST(SUM(CAST(FLOOR(1000000000.0 *
+            b.n * (CAST(b.s AS DOUBLE) / b.n - CAST(t.s_all AS DOUBLE) / t.n_all)
+                * (CAST(b.s AS DOUBLE) / b.n - CAST(t.s_all AS DOUBLE) / t.n_all))
+            AS BIGINT)) // t.n_all AS BIGINT) AS resolution_nano,
+        -- uncertainty: obs (1 - obs)
+        CAST(FLOOR(1000000000.0 * (CAST(t.s_all AS DOUBLE) / t.n_all)
+            * (1 - CAST(t.s_all AS DOUBLE) / t.n_all)) AS BIGINT)
+            AS uncertainty_nano
+    FROM binstats b CROSS JOIN tot t
+    GROUP BY t.s_all, t.n_all
+    """,
+)
+def m53_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Murphy decomposition of the Brier score — reliability (how far
+    each bin's predicted rate sits from its observed rate), resolution
+    (how much bins separate from the base rate), uncertainty (base-rate
+    variance); Brier = REL - RES + UNC. Predictions are the m52 score
+    bins' midpoints, so m52 (the calibration FIT) and this (the
+    calibration DIAGNOSIS) share one binning. Each per-bin term runs
+    through one fixed IEEE tree and is FLOOR-scaled to integer nano
+    BEFORE summation (the standing order-free rule: float sums are
+    summation-order-sensitive, integer sums are not), then one integer
+    division by N; the corpus-scale sums (s, n) are exact BIGINTs from
+    the start.
+
+    Plan: one scan -> 10-row hash agg -> 1-row broadcast totals;
+    metadata after the count at any scale."""
+    ev = t(spark, sf_dir, "events").select(
+        F.least(F.lit(9), F.floor(F.col("value") / 50).cast("bigint")).alias("bin"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("conv"),
+    )
+    binstats = ev.groupBy("bin").agg(
+        F.sum("conv").cast("bigint").alias("s"), F.count(F.lit(1)).cast("bigint").alias("n")
+    )
+    tot = binstats.agg(
+        F.sum("s").cast("bigint").alias("s_all"), F.sum("n").cast("bigint").alias("n_all")
+    )
+    obs = "CAST(s AS DOUBLE) / n"
+    base = "CAST(s_all AS DOUBLE) / n_all"
+    pred = "(bin + 0.5) / 10"
+    return (
+        binstats.crossJoin(F.broadcast(tot))
+        .groupBy("s_all", "n_all")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_bins"),
+            F.expr(
+                f"CAST(SUM(CAST(FLOOR(1000000000.0 * n * ({pred} - {obs})"
+                f" * ({pred} - {obs})) AS BIGINT)) DIV n_all AS BIGINT)"
+            ).alias("reliability_nano"),
+            F.expr(
+                f"CAST(SUM(CAST(FLOOR(1000000000.0 * n * ({obs} - {base})"
+                f" * ({obs} - {base})) AS BIGINT)) DIV n_all AS BIGINT)"
+            ).alias("resolution_nano"),
+            F.expr(
+                f"CAST(FLOOR(1000000000.0 * ({base}) * (1 - {base})) AS BIGINT)"
+            ).alias("uncertainty_nano"),
+        )
+        .select("n_bins", "n_all", "reliability_nano", "resolution_nano", "uncertainty_nano")
+    )

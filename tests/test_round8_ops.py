@@ -342,3 +342,13 @@ def test_vacuum_planner_agrees_with_log_replay(spark, sf_dir):
             assert r.bytes_reclaimable > 0
         else:
             assert r.bytes_reclaimable == 0
+
+
+def test_brier_decomposition_identity_bounds(spark, sf_dir):
+    r = QUERIES["m53_brier_decomposition"](spark, sf_dir).first()
+    assert r.n_bins >= 5
+    # all components non-negative; uncertainty <= 1/4 (p(1-p) max)
+    assert r.reliability_nano >= 0 and r.resolution_nano >= 0
+    assert 0 <= r.uncertainty_nano <= 250_000_000
+    # resolution can never exceed uncertainty (variance decomposition)
+    assert r.resolution_nano <= r.uncertainty_nano + 1

@@ -40,6 +40,7 @@ ALLOWED_CROSS = {
     "corpus_curation_funnel",  # broadcast 1-row (Nt, Nr, V) totals aggregate (the t28 DSIR stage)
     "ev24_power_analysis",  # 5-row constant delta grid cross-joined with the 1-row pooled-rate aggregate
     "m52_isotonic_pav_exact",  # broadcast non-equi self-joins over the 10-row bin frame (interval grid + max-min)
+    "m53_brier_decomposition",  # broadcast 1-row base-rate totals onto the 10-row bin frame
     "m8_smearing_inverse",  # broadcast 1-row sigma aggregate
     "m11_regression_metrics_sql",  # broadcast 1-row global-mean aggregate
     "tpch_q11_important_balance",  # broadcast 1-row global-balance aggregate
