@@ -579,3 +579,96 @@ def t27_tokenizer_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
         .cast("bigint")
         .alias("n_docs_fragmenting"),
     )
+
+
+
+def _bpe_encode_oracle_sql(rounds: int = 3, k: int = 40) -> str:
+    """Token census after the learned merges: reuses the unrolled
+    _bpe_oracle_sql CTE chain but reads the FINAL symbol state instead
+    of the merge table."""
+    base = _bpe_oracle_sql(rounds)
+    # keep everything up to (and including) the last chained CTE, then
+    # replace the merge-table SELECT with the census over v{rounds}
+    cut = base.index("\n    SELECT CAST(1 AS INTEGER) AS round")
+    return (
+        base[:cut]
+        + f"""
+    SELECT s AS token,
+           CAST(SUM(freq) AS BIGINT) AS n_occurrences,
+           CAST(COUNT(DISTINCT word) AS BIGINT) AS n_word_types,
+           CAST(LENGTH(s) AS BIGINT) AS token_len
+    FROM v{rounds}
+    GROUP BY s
+    ORDER BY n_occurrences DESC, token
+    LIMIT {k}"""
+    )
+
+
+@register("t30_bpe_encode", _bpe_encode_oracle_sql(rounds=3, k=40))
+def t30_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T30: BPE ENCODING — the apply side of text_bpe_merge_rounds'
+    learn side, completing the tokenizer-training story: run the same
+    3 deterministic merge rounds, then emit the corpus as tokenized —
+    the top-40 subword census (occurrences weighted by word frequency,
+    distinct word types containing the token, token length). This is
+    the vocabulary/frequency table a tokenizer ships with.
+
+    Plan: identical loop posture to the learn query (per round one
+    pair-count aggregate + a 1-row argmax pull, merges applied
+    corpus-wide as a regexp rewrite, per-round localCheckpoint), plus
+    ONE final explode + hash agg for the census. The oracle reuses the
+    unrolled learn-CTE chain and reads the final symbol state, so any
+    divergence in merge application (the left-to-right non-overlap
+    subtlety) flips the hash."""
+    d = t(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("word")
+    )
+    vocab = (
+        words.groupBy("word")
+        .agg(F.count(F.lit(1)).alias("freq"))
+        .select(
+            "word",
+            F.filter(F.split("word", "(?!^)"), lambda s: s != "").alias("sym"),
+            "freq",
+        )
+        .localCheckpoint()
+    )
+    for _ in range(3):
+        top = (
+            _bpe_pair_counts(vocab)
+            .orderBy(F.desc("cnt"), "l", "r")
+            .limit(1)
+            .collect()[0]
+        )
+        pat = "(?<= )\\Q" + top["l"] + "\\E \\Q" + top["r"] + "\\E(?= )"
+        vocab = vocab.select(
+            "word",
+            F.split(
+                F.trim(
+                    F.regexp_replace(
+                        F.concat(F.lit(" "), F.array_join("sym", " "), F.lit(" ")),
+                        pat,
+                        top["l"] + top["r"],
+                    )
+                ),
+                " ",
+            ).alias("sym"),
+            "freq",
+        ).localCheckpoint()
+    return (
+        vocab.select("word", "freq", F.explode("sym").alias("token"))
+        .groupBy("token")
+        .agg(
+            F.sum("freq").cast("bigint").alias("n_occurrences"),
+            F.countDistinct("word").cast("bigint").alias("n_word_types"),
+        )
+        .select(
+            "token",
+            "n_occurrences",
+            "n_word_types",
+            F.length("token").cast("bigint").alias("token_len"),
+        )
+        .orderBy(F.col("n_occurrences").desc(), "token")
+        .limit(40)
+    )

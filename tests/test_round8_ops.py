@@ -352,3 +352,22 @@ def test_brier_decomposition_identity_bounds(spark, sf_dir):
     assert 0 <= r.uncertainty_nano <= 250_000_000
     # resolution can never exceed uncertainty (variance decomposition)
     assert r.resolution_nano <= r.uncertainty_nano + 1
+
+
+def test_bpe_encode_census_conserves_corpus_mass(spark, sf_dir):
+    """Total token occurrences across ALL tokens (not just top-40) must
+    equal corpus chars minus 1 per merge applied per word occurrence —
+    cheaper invariant: top tokens exist, lengths >= 1, and any token of
+    length > 1 must be buildable from the learned merges."""
+    rows = QUERIES["t30_bpe_encode"](spark, sf_dir).collect()
+    assert rows and len(rows) <= 40
+    merges = {
+        (r.left, r.right)
+        for r in QUERIES["text_bpe_merge_rounds"](spark, sf_dir).collect()
+    }
+    merged_tokens = {l + r for l, r in merges}
+    for r in rows:
+        assert r.token_len == len(r.token) >= 1
+        assert r.n_occurrences >= r.n_word_types >= 1
+        if r.token_len > 1:
+            assert r.token in merged_tokens, r.token

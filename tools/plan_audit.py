@@ -175,6 +175,7 @@ ALLOWED_LOCAL = {
     "p11_train_test_split",  # returns O(1) split-audit scalars
     "p14_dense_reid",  # localCheckpoint pins partition ids for the offset ledger
     "text_bpe_merge_rounds",  # returns O(rounds) learned merges (model state)
+    "t30_bpe_encode",  # per-round localCheckpoint of the merge loop (same posture as the learn query)
     "m19_fpgrowth_baskets",  # MLlib FP-Growth freqItemsets is RDD-backed model output
     "m22_prefixspan_sequences",  # MLlib PrefixSpan patterns are RDD-backed model output
     "m21_glm_poisson",  # returns O(k) coefficient rows (model state)
