@@ -212,3 +212,65 @@ def test_ev11_pareto_tie_semantics(spark, cents_per_user):
     # so with ties present n_top < 10% of users whenever p90 repeats
     if cents_per_user.count(p90) > 0:
         assert got["n_top"] == sum(1 for c in cents_per_user if c > p90)
+
+
+@given(devs=st.lists(st.integers(-1000, 1000), min_size=1, max_size=200))
+@settings(deadline=None, max_examples=200)
+def test_cusum_closed_form_identity(devs):
+    """ts12/st_cusum's closed form — S_i = P_i - min(0, min_{j<=i} P_j)
+    — equals the textbook recursion S_i = max(0, S_{i-1} + dev_i) for
+    EVERY prefix, on arbitrary integer deviation sequences."""
+    cusum, prefix, runmin = 0, 0, 0
+    for d in devs:
+        cusum = max(0, cusum + d)
+        prefix += d
+        runmin = min(runmin, prefix)
+        assert cusum == prefix - min(0, runmin) == prefix - runmin
+
+
+@given(
+    bins=st.lists(
+        st.tuples(st.integers(0, 50), st.integers(1, 60)), min_size=1, max_size=12
+    )
+)
+@settings(deadline=None, max_examples=200)
+def test_isotonic_max_min_equals_sequential_pav(bins):
+    """m52's closed form — iso(i) = max_{j<=i} min_{k>=i} mean(j..k) —
+    equals the sequential pool-adjacent-violators algorithm, on
+    arbitrary (successes, count) bins (s <= n enforced)."""
+    from fractions import Fraction
+
+    bins = [(min(s, n), n) for s, n in bins]
+    # sequential PAV with exact rational pools
+    pools: list[tuple[int, int]] = []  # (sum_s, sum_n)
+    for s, n in bins:
+        pools.append((s, n))
+        while len(pools) >= 2 and Fraction(pools[-2][0], pools[-2][1]) > Fraction(
+            pools[-1][0], pools[-1][1]
+        ):
+            s2, n2 = pools.pop()
+            s1, n1 = pools.pop()
+            pools.append((s1 + s2, n1 + n2))
+    # expand pools back to one fitted value per ORIGINAL bin (each pool
+    # covers consecutive bins whose counts sum to the pool's n)
+    fitted = []
+    it = iter(bins)
+    for s, n in pools:
+        consumed = 0
+        while consumed < n:
+            consumed += next(it)[1]
+            fitted.append(Fraction(s, n))
+    # closed form
+    m = len(bins)
+    prefix_s = [0]
+    prefix_n = [0]
+    for s, n in bins:
+        prefix_s.append(prefix_s[-1] + s)
+        prefix_n.append(prefix_n[-1] + n)
+
+    def mean(j, k):  # inclusive 0-based bins j..k
+        return Fraction(prefix_s[k + 1] - prefix_s[j], prefix_n[k + 1] - prefix_n[j])
+
+    for i in range(m):
+        closed = max(min(mean(j, k) for k in range(i, m)) for j in range(0, i + 1))
+        assert closed == fitted[i], (i, bins)
