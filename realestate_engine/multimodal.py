@@ -1750,3 +1750,100 @@ def mm_tiff_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+def audit_png_chunks(payload: bytes) -> list[dict]:
+    """Chunk walk that RECORDS per-chunk CRC validity (zlib CRC-32 over
+    type+data, the PNG spec rule) instead of trusting the stream —
+    the image counterpart of ogg.audit_ogg_pages. Structure errors
+    (bad magic, truncation) raise; a bit-flipped chunk body is what
+    the CRC exists to catch, so it flags, not raises."""
+    import struct
+    import zlib
+
+    if payload[:8] != _PNG_MAGIC:
+        raise ValueError("not a PNG (bad magic)")
+    pos, out = 8, []
+    while pos < len(payload):
+        if pos + 8 > len(payload):
+            raise ValueError("truncated chunk header")
+        (length,) = struct.unpack_from(">I", payload, pos)
+        ctype = payload[pos + 4 : pos + 8]
+        end = pos + 8 + length
+        if end + 4 > len(payload):
+            raise ValueError("chunk body overruns stream")
+        (crc,) = struct.unpack_from(">I", payload, end)
+        calc = zlib.crc32(payload[pos + 4 : end]) & 0xFFFFFFFF
+        out.append(
+            {
+                "ctype": ctype.decode("latin-1"),
+                "length": length,
+                "crc_ok": calc == crc,
+            }
+        )
+        pos = end + 4
+        if ctype == b"IEND":
+            break
+    return out
+
+
+@register(
+    "mm_png_crc_audit",
+    """
+    SELECT doc_id,
+           CAST(3 AS BIGINT) AS n_chunks,
+           CAST(CASE WHEN doc_id % 7 = 3 THEN 1 ELSE 0 END AS BIGINT) AS n_crc_bad,
+           CASE WHEN doc_id % 7 = 3 THEN 'IDAT' ELSE '' END AS first_bad_chunk,
+           CAST(4 + 2 * (doc_id % 3) AS BIGINT) AS width
+    FROM documents WHERE doc_id < 70 ORDER BY doc_id
+    """,
+)
+def mm_png_crc_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """PNG integrity audit with provable planted recall — the image
+    twin of mm_ogg_crc_audit (dq23 posture): per doc a real PNG is
+    encoded (deterministic gradient raster), docs with doc_id % 7 == 3
+    get one IDAT body byte bit-flipped, and the chunk walk recomputes
+    every chunk's zlib CRC-32 (PNG's CRC IS zlib's, unlike Ogg's —
+    the two audits together pin both CRC flavors). The oracle predicts
+    the planted rule exactly; a chunk-boundary or CRC bug either
+    misses a flip or flags a clean chunk, flipping the hash.
+
+    Same media plan shape as always: doc-id shuffle only, bytes
+    generated and audited inside one Arrow batch — the corrupt-blob
+    quarantine pass that precedes any pixel decode at 100 TB."""
+
+    def audit(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h = 4 + 2 * (d % 3), 3 + d % 2
+                rgb = bytes(
+                    (x * 37 + y * 11 + d) % 256
+                    for y in range(h)
+                    for x in range(w)
+                    for _ in range(3)
+                )
+                blob = encode_png(w, h, rgb)
+                if d % 7 == 3:
+                    b = bytearray(blob)
+                    idat_at = blob.index(b"IDAT")
+                    b[idat_at + 6] ^= 0x2A  # flip one IDAT body byte
+                    blob = bytes(b)
+                chunks = audit_png_chunks(blob)
+                bad = [c["ctype"] for c in chunks if not c["crc_ok"]]
+                rows.append((d, len(chunks), len(bad), bad[0] if bad else "", w))
+            yield pd.DataFrame(
+                rows,
+                columns=["doc_id", "n_chunks", "n_crc_bad", "first_bad_chunk", "width"],
+            )
+
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 70).select("doc_id")
+    return (
+        d.repartition(8, "doc_id")
+        .mapInPandas(
+            audit,
+            "doc_id long, n_chunks long, n_crc_bad long, first_bad_chunk string, width long",
+        )
+        .orderBy("doc_id")
+    )

@@ -371,3 +371,31 @@ def test_bpe_encode_census_conserves_corpus_mass(spark, sf_dir):
         assert r.n_occurrences >= r.n_word_types >= 1
         if r.token_len > 1:
             assert r.token in merged_tokens, r.token
+
+
+def test_png_crc_audit_recall_is_exactly_the_planted_rule(spark, sf_dir):
+    rows = QUERIES["mm_png_crc_audit"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        planted = r.doc_id % 7 == 3
+        assert (r.n_crc_bad, r.first_bad_chunk) == (
+            (1, "IDAT") if planted else (0, "")
+        ), f"doc {r.doc_id}"
+        assert r.n_chunks == 3
+
+
+def test_band_join_counts_match_brute_force(spark, sf_dir):
+    got = {r.p_partkey: r.n_band_neighbors for r in QUERIES["j18_band_join"](spark, sf_dir).collect()}
+    from realestate_engine.registry import t as load_table
+
+    prices = {
+        r.p_partkey: int(round(r.p_retailprice * 100))
+        for r in load_table(spark, sf_dir, "part").collect()
+    }
+    vals = sorted(prices.values())
+    import bisect
+
+    for pk, n in list(got.items())[:20]:
+        c = prices[pk]
+        brute = bisect.bisect_right(vals, c + 5) - bisect.bisect_left(vals, c - 5) - 1
+        assert n == brute, pk
