@@ -1874,3 +1874,85 @@ def ev24_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("delta_micro")
     )
+
+
+@register(
+    "ev25_cohort_retention",
+    """
+    WITH firsts AS (
+        SELECT user_id, MIN(CAST(ts AS DATE)) AS first_day
+        FROM events GROUP BY user_id
+    ),
+    activity AS (
+        SELECT DISTINCT e.user_id,
+               CAST(DATE_TRUNC('week', f.first_day) AS DATE) AS cohort_week,
+               CAST((CAST(CAST(ts AS DATE) AS DATE)
+                     - CAST(DATE_TRUNC('week', f.first_day) AS DATE)) // 7
+                    AS BIGINT) AS week_offset
+        FROM events e JOIN firsts f USING (user_id)
+    ),
+    cohort_sizes AS (
+        SELECT cohort_week, CAST(COUNT(*) AS BIGINT) AS n_users
+        FROM (SELECT DISTINCT user_id, cohort_week FROM activity)
+        GROUP BY cohort_week
+    )
+    SELECT a.cohort_week, a.week_offset,
+           CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_active,
+           s.n_users AS cohort_size,
+           CAST(COUNT(DISTINCT a.user_id) * 1000000 // s.n_users AS BIGINT)
+               AS retention_micro
+    FROM activity a JOIN cohort_sizes s USING (cohort_week)
+    WHERE a.week_offset <= 8
+    GROUP BY a.cohort_week, a.week_offset, s.n_users
+    ORDER BY a.cohort_week, a.week_offset
+    """,
+)
+def ev25_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EV25: the cohort retention matrix — users grouped by the week of
+    their FIRST event, retention = share of each cohort active k weeks
+    later (k <= 8) — the canonical growth-analytics readout no
+    experiment suite ships without. Week arithmetic stays in integer
+    days (date difference DIV 7 from the cohort's truncated week), the
+    share is an exact integer micro-division.
+
+    Plan: one groupBy for first-touch (user-keyed shuffle), the
+    activity grid as a distinct over (user, offset) — combiner-
+    friendly, bounded by users x 9 offsets — and the matrix as one
+    (cohort, offset)-keyed agg. At 100 TB retention is two shuffles
+    over user-sized relations, never event-sized joins."""
+    ev = t(spark, sf_dir, "events").select("user_id", F.col("ts").cast("date").alias("day"))
+    firsts = ev.groupBy("user_id").agg(F.min("day").alias("first_day"))
+    cohorted = firsts.select(
+        "user_id", F.date_trunc("week", "first_day").cast("date").alias("cohort_week")
+    )
+    activity = (
+        ev.join(cohorted, "user_id")
+        .select(
+            "user_id",
+            "cohort_week",
+            (F.datediff(F.col("day"), F.col("cohort_week")) / 7)
+            .cast("bigint")
+            .alias("week_offset"),
+        )
+        .distinct()
+    )
+    sizes = (
+        activity.select("user_id", "cohort_week")
+        .distinct()
+        .groupBy("cohort_week")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_users"))
+    )
+    return (
+        activity.filter(F.col("week_offset") <= 8)
+        .groupBy("cohort_week", "week_offset")
+        .agg(F.countDistinct("user_id").cast("bigint").alias("n_active"))
+        .join(F.broadcast(sizes), "cohort_week")
+        .select(
+            "cohort_week",
+            "week_offset",
+            "n_active",
+            F.col("n_users").alias("cohort_size"),
+            F.expr("CAST(n_active * 1000000 DIV n_users AS BIGINT)").alias("retention_micro"),
+        )
+        .orderBy("cohort_week", "week_offset")
+    )

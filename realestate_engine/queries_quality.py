@@ -1643,3 +1643,86 @@ def corpus_curation_funnel(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("source")
     )
+
+
+@register(
+    "dq24_pk_discovery",
+    """
+    WITH candidates AS (
+        SELECT 'o_orderkey' AS cols,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM orders) AS n_rows,
+               (SELECT CAST(COUNT(DISTINCT o_orderkey) AS BIGINT) FROM orders)
+                   AS n_distinct
+        UNION ALL
+        SELECT 'o_custkey',
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM orders),
+               (SELECT CAST(COUNT(DISTINCT o_custkey) AS BIGINT) FROM orders)
+        UNION ALL
+        SELECT 'l_orderkey,l_linenumber',
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+               (SELECT CAST(COUNT(DISTINCT l_orderkey * 100 + l_linenumber)
+                            AS BIGINT) FROM lineitem)
+        UNION ALL
+        SELECT 'l_orderkey,l_linenumber,l_suppkey,l_partkey',
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM lineitem),
+               (SELECT CAST(COUNT(DISTINCT
+                    ('0x' || SUBSTR(MD5(l_orderkey || '|' || l_linenumber || '|'
+                        || l_suppkey || '|' || l_partkey), 1, 12))::BIGINT)
+                    AS BIGINT) FROM lineitem)
+        UNION ALL
+        SELECT 'event_id',
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM events),
+               (SELECT CAST(COUNT(DISTINCT event_id) AS BIGINT) FROM events)
+    )
+    SELECT cols, n_rows, n_distinct,
+           n_distinct = n_rows AS is_unique_key,
+           CAST(n_rows - n_distinct AS BIGINT) AS n_duplicates
+    FROM candidates
+    ORDER BY cols
+    """,
+)
+def dq24_pk_discovery(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ24: primary-key discovery census over a fixed candidate list —
+    the profiling pass schema inference and dq10's uniqueness audit
+    both build on: each candidate (single column or composite) gets
+    exact row/distinct counts and a key verdict. Notably pins the
+    repo-wide trap in testdata shape: (l_orderkey, l_linenumber) is
+    NOT unique in lineitem — only the full 4-column composite is (the
+    window-tiebreak rule every lineitem query follows). Composite
+    candidates hash through the portable md5-prefix (12 hex chars —
+    collision odds over 1e6 rows ~1e-4, and identical on both
+    engines either way, so the verdict hash-compares regardless).
+
+    Plan: one distinct-agg per candidate over its own table scan —
+    Spark turns COUNT(DISTINCT) into expand + two-stage agg,
+    map-side-combined; at 100 TB each candidate costs one shuffle of
+    its distinct keys, and candidates run in one job via the union."""
+    o = t(spark, sf_dir, "orders")
+    li = t(spark, sf_dir, "lineitem")
+    ev = t(spark, sf_dir, "events")
+
+    def cand(name: str, df: DataFrame, expr: str) -> DataFrame:
+        return df.agg(
+            F.lit(name).alias("cols"),
+            F.count(F.lit(1)).cast("bigint").alias("n_rows"),
+            F.expr(f"CAST(COUNT(DISTINCT {expr}) AS BIGINT)").alias("n_distinct"),
+        )
+
+    full_key_hash = (
+        "CAST(CONV(SUBSTR(MD5(CONCAT(l_orderkey, '|', l_linenumber, '|',"
+        " l_suppkey, '|', l_partkey)), 1, 12), 16, 10) AS BIGINT)"
+    )
+    out = (
+        cand("o_orderkey", o, "o_orderkey")
+        .unionAll(cand("o_custkey", o, "o_custkey"))
+        .unionAll(cand("l_orderkey,l_linenumber", li, "l_orderkey * 100 + l_linenumber"))
+        .unionAll(cand("l_orderkey,l_linenumber,l_suppkey,l_partkey", li, full_key_hash))
+        .unionAll(cand("event_id", ev, "event_id"))
+    )
+    return out.select(
+        "cols",
+        "n_rows",
+        "n_distinct",
+        (F.col("n_distinct") == F.col("n_rows")).alias("is_unique_key"),
+        (F.col("n_rows") - F.col("n_distinct")).cast("bigint").alias("n_duplicates"),
+    ).orderBy("cols")

@@ -399,3 +399,29 @@ def test_band_join_counts_match_brute_force(spark, sf_dir):
         c = prices[pk]
         brute = bisect.bisect_right(vals, c + 5) - bisect.bisect_left(vals, c - 5) - 1
         assert n == brute, pk
+
+
+def test_cohort_retention_week_zero_is_full(spark, sf_dir):
+    rows = QUERIES["ev25_cohort_retention"](spark, sf_dir).collect()
+    assert rows
+    for r in rows:
+        assert 0 <= r.n_active <= r.cohort_size
+        assert 0 <= r.retention_micro <= 1_000_000
+        if r.week_offset == 0:
+            # every user is active in their own first week by construction
+            assert r.n_active == r.cohort_size and r.retention_micro == 1_000_000
+
+
+def test_pk_discovery_pins_the_lineitem_trap(spark, sf_dir):
+    rows = {r.cols: r for r in QUERIES["dq24_pk_discovery"](spark, sf_dir).collect()}
+    assert rows["o_orderkey"].is_unique_key
+    assert rows["event_id"].is_unique_key
+    assert not rows["o_custkey"].is_unique_key
+    assert not rows["l_orderkey,l_linenumber"].is_unique_key  # the repo-wide trap
+    # the 4-column composite is the real key at sf>=0.01; sf0.001's
+    # generated lineitem contains exactly ONE fully-duplicated row
+    # (orderkey 1294 line 4), so assert the census REPORTS it rather
+    # than assuming uniqueness the data doesn't have
+    full = rows["l_orderkey,l_linenumber,l_suppkey,l_partkey"]
+    assert full.n_duplicates <= 1
+    assert full.n_duplicates < rows["l_orderkey,l_linenumber"].n_duplicates
