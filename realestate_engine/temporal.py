@@ -840,3 +840,63 @@ def j17_asof_nearest_event(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_id")
     )
+
+
+@register(
+    "j18_band_join",
+    """
+    WITH p AS (
+        SELECT p_partkey, CAST(ROUND(p_retailprice * 100) AS BIGINT) AS cents
+        FROM part
+    )
+    SELECT a.p_partkey, a.cents AS price_cents,
+           CAST(COUNT(*) AS BIGINT) AS n_band_neighbors
+    FROM p a JOIN p b
+      ON b.p_partkey <> a.p_partkey
+     AND b.cents BETWEEN a.cents - 5 AND a.cents + 5
+    GROUP BY a.p_partkey, a.cents
+    ORDER BY n_band_neighbors DESC, a.p_partkey
+    LIMIT 50
+    """,
+)
+def j18_band_join(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Numeric band join (|price_a - price_b| <= 5 cents) executed as a
+    bucketed EQUI join, never an inequality join: each left row
+    explodes to the three 5-cent buckets its band can overlap, the
+    right side joins on its own bucket, and the exact band predicate
+    trims bucket-edge false positives — the numeric twin of the
+    temporal range join (range_join_binned) and the spatial grid join
+    (j6). Spark would otherwise execute the pure inequality condition
+    as a broadcast-nested-loop; bucketing makes it a hash join whose
+    candidate volume is band-density-bounded (|rows| x neighbors-per-
+    band), not |rows|^2. Integer cents end to end."""
+    p = t(spark, sf_dir, "part").select(
+        "p_partkey", F.round(F.col("p_retailprice") * 100).cast("bigint").alias("cents")
+    )
+    band = 5
+    a = p.withColumn(
+        "_b",
+        F.explode(
+            F.sequence(
+                F.floor((F.col("cents") - band) / band), F.floor((F.col("cents") + band) / band)
+            )
+        ),
+    )
+    b = p.select(
+        F.col("p_partkey").alias("b_key"),
+        F.col("cents").alias("b_cents"),
+        F.floor(F.col("cents") / band).alias("_b"),
+    )
+    return (
+        a.join(b, "_b")
+        .filter(
+            (F.col("b_key") != F.col("p_partkey"))
+            & (F.col("b_cents") >= F.col("cents") - band)
+            & (F.col("b_cents") <= F.col("cents") + band)
+        )
+        .groupBy("p_partkey", "cents")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_band_neighbors"))
+        .select(F.col("p_partkey"), F.col("cents").alias("price_cents"), "n_band_neighbors")
+        .orderBy(F.col("n_band_neighbors").desc(), "p_partkey")
+        .limit(50)
+    )
