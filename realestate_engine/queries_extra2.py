@@ -1253,3 +1253,95 @@ def dq11_table_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
     for r in rows[1:]:
         out = out.unionByName(r)
     return out.orderBy("table_name")
+
+
+@register(
+    "a50_anova_oneway",
+    """
+    WITH base AS (
+        SELECT o_orderpriority AS grp,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    g AS (
+        SELECT grp, CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(cents) AS BIGINT) AS s
+        FROM base GROUP BY grp
+    ),
+    tot AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS n_all, CAST(SUM(s) AS BIGINT) AS s_all,
+               CAST(COUNT(*) AS BIGINT) AS k
+        FROM g
+    ),
+    ss AS (
+        SELECT
+            (SELECT CAST(SUM(CAST(FLOOR(
+                 (cents - CAST(t.s_all AS DOUBLE) / t.n_all)
+               * (cents - CAST(t.s_all AS DOUBLE) / t.n_all) / 10000) AS BIGINT))
+               AS BIGINT) FROM base, tot t) AS ss_total_sq,
+            (SELECT CAST(SUM(CAST(FLOOR(g.n *
+                 (CAST(g.s AS DOUBLE) / g.n - CAST(t.s_all AS DOUBLE) / t.n_all)
+               * (CAST(g.s AS DOUBLE) / g.n - CAST(t.s_all AS DOUBLE) / t.n_all)
+               / 10000) AS BIGINT)) AS BIGINT) FROM g, tot t) AS ss_between_sq,
+            t.n_all, t.k
+        FROM tot t
+    )
+    SELECT k AS n_groups, n_all,
+           ss_between_sq AS ss_between_sq_units,
+           CAST(ss_total_sq - ss_between_sq AS BIGINT) AS ss_within_sq_units,
+           CAST(FLOOR(1000000.0
+               * (CAST(ss_between_sq AS DOUBLE) / (k - 1))
+               / (CAST(ss_total_sq - ss_between_sq AS DOUBLE) / (n_all - k)))
+               AS BIGINT) AS f_stat_micro
+    FROM ss
+    """,
+)
+def a50_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """One-way ANOVA across order priorities: between/within sums of
+    squares and the F statistic — the k-group generalization of a30's
+    Welch t-test. Per-row and per-group squared deviations run through
+    one fixed IEEE tree each and are FLOOR-scaled (to whole squared
+    currency units) BEFORE summation — the standing order-free rule —
+    so SS_between, SS_within, and the micro F all hash-compare.
+    SS_within = SS_total - SS_between (the ANOVA identity) instead of
+    a second per-row pass over group means.
+
+    Plan: one scan computes per-row terms against the 1-row broadcast
+    grand mean; group stats are a 5-row frame. At 100 TB the test is
+    one map-side-combinable aggregation."""
+    o = t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    g = o.groupBy("grp").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"), F.sum("cents").cast("bigint").alias("s")
+    )
+    tot = g.agg(
+        F.sum("n").cast("bigint").alias("n_all"),
+        F.sum("s").cast("bigint").alias("s_all"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    dev = "(cents - CAST(s_all AS DOUBLE) / n_all)"
+    ss_total = (
+        o.crossJoin(F.broadcast(tot))
+        .selectExpr(f"CAST(FLOOR({dev} * {dev} / 10000) AS BIGINT) AS term")
+        .agg(F.sum("term").cast("bigint").alias("ss_total_sq"))
+    )
+    gdev = "(CAST(s AS DOUBLE) / n - CAST(s_all AS DOUBLE) / n_all)"
+    ss_between = (
+        g.crossJoin(F.broadcast(tot))
+        .selectExpr(f"CAST(FLOOR(n * {gdev} * {gdev} / 10000) AS BIGINT) AS term")
+        .agg(F.sum("term").cast("bigint").alias("ss_between_sq"))
+    )
+    return (
+        tot.crossJoin(F.broadcast(ss_total))
+        .crossJoin(F.broadcast(ss_between))
+        .selectExpr(
+            "k AS n_groups",
+            "n_all",
+            "ss_between_sq AS ss_between_sq_units",
+            "CAST(ss_total_sq - ss_between_sq AS BIGINT) AS ss_within_sq_units",
+            "CAST(FLOOR(1000000.0 * (CAST(ss_between_sq AS DOUBLE) / (k - 1))"
+            " / (CAST(ss_total_sq - ss_between_sq AS DOUBLE) / (n_all - k))) AS BIGINT)"
+            " AS f_stat_micro",
+        )
+    )

@@ -910,3 +910,111 @@ def x33_vacuum_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
         eligible.alias("vacuum_eligible"),
         F.when(eligible, F.col("bytes")).otherwise(0).alias("bytes_reclaimable"),
     ).orderBy("file_id")
+
+
+_CKPT_V = 6  # checkpoint version; tail = commits 7..9
+
+
+@register(
+    "x35_checkpoint_equivalence",
+    f"""
+    WITH files AS (
+        SELECT doc_id AS file_id,
+               doc_id // 4 AS add_version,
+               CASE WHEN doc_id % 3 = 0 AND doc_id // 4 + 3 <= 9
+                    THEN doc_id // 4 + 3 END AS remove_version
+        FROM documents WHERE doc_id < 40
+    ),
+    -- replay the FULL log to version 9
+    full_live AS (
+        SELECT file_id FROM files
+        WHERE add_version <= 9 AND (remove_version IS NULL OR remove_version > 9)
+    ),
+    -- checkpoint at version {_CKPT_V}: the compacted live set
+    ckpt AS (
+        SELECT file_id FROM files
+        WHERE add_version <= {_CKPT_V}
+          AND (remove_version IS NULL OR remove_version > {_CKPT_V})
+    ),
+    -- tail replay on top of the checkpoint: adds and removes in 7..9
+    ckpt_plus_tail AS (
+        SELECT file_id FROM (
+            SELECT file_id FROM ckpt
+            UNION
+            SELECT file_id FROM files
+            WHERE add_version > {_CKPT_V} AND add_version <= 9
+        )
+        WHERE file_id NOT IN (
+            SELECT file_id FROM files
+            WHERE remove_version > {_CKPT_V} AND remove_version <= 9
+        )
+    )
+    SELECT CAST((SELECT COUNT(*) FROM full_live) AS BIGINT) AS n_live_full_replay,
+           CAST((SELECT COUNT(*) FROM ckpt) AS BIGINT) AS n_live_at_checkpoint,
+           CAST((SELECT COUNT(*) FROM ckpt_plus_tail) AS BIGINT)
+               AS n_live_ckpt_plus_tail,
+           (SELECT COUNT(*) FROM full_live) = (SELECT COUNT(*) FROM ckpt_plus_tail)
+               AND NOT EXISTS (
+                   SELECT 1 FROM full_live f
+                   WHERE f.file_id NOT IN (SELECT file_id FROM ckpt_plus_tail))
+               AS checkpoint_equivalent
+    """,
+)
+def x35_checkpoint_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X35: the Delta-protocol CHECKPOINT invariant, proven relationally
+    — replaying the full log to version 9 must equal replaying a
+    version-{v} checkpoint (the compacted live set) plus the log tail
+    (adds minus removes in versions {v}+1..9). This is WHY lakehouse
+    readers scale: a reader lists ONE checkpoint file + K tail commits
+    instead of the whole history, and this query emits the set-equality
+    evidence (counts both ways + an anti-join emptiness boolean) that
+    the shortcut is lossless over the same synthetic log x31/x33 use.
+
+    Plan: three codegen'd predicates over the 40-row metadata frame,
+    one anti-join; metadata-only at any data scale.""".format(v=_CKPT_V)
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 40)
+    files = d.select(
+        F.col("doc_id").alias("file_id"),
+        F.expr("doc_id div 4").alias("add_version"),
+        F.when(
+            (F.col("doc_id") % 3 == 0) & (F.expr("doc_id div 4") + 3 <= 9),
+            F.expr("doc_id div 4") + 3,
+        ).alias("remove_version"),
+    )
+    live_at = lambda v: files.filter(
+        (F.col("add_version") <= v)
+        & (F.col("remove_version").isNull() | (F.col("remove_version") > v))
+    ).select("file_id")
+    full_live = live_at(9)
+    ckpt = live_at(_CKPT_V)
+    tail_adds = files.filter(
+        (F.col("add_version") > _CKPT_V) & (F.col("add_version") <= 9)
+    ).select("file_id")
+    tail_removes = files.filter(
+        (F.col("remove_version") > _CKPT_V) & (F.col("remove_version") <= 9)
+    ).select("file_id")
+    ckpt_plus_tail = ckpt.union(tail_adds).distinct().join(
+        tail_removes, "file_id", "left_anti"
+    )
+    c_full = full_live.agg(F.count(F.lit(1)).cast("bigint").alias("n_live_full_replay"))
+    c_ckpt = ckpt.agg(F.count(F.lit(1)).cast("bigint").alias("n_live_at_checkpoint"))
+    c_tail = ckpt_plus_tail.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_live_ckpt_plus_tail")
+    )
+    missing = full_live.join(ckpt_plus_tail, "file_id", "left_anti").agg(
+        F.count(F.lit(1)).alias("n_missing")
+    )
+    return (
+        c_full.crossJoin(F.broadcast(c_ckpt))
+        .crossJoin(F.broadcast(c_tail))
+        .crossJoin(F.broadcast(missing))
+        .select(
+            "n_live_full_replay",
+            "n_live_at_checkpoint",
+            "n_live_ckpt_plus_tail",
+            (
+                (F.col("n_live_full_replay") == F.col("n_live_ckpt_plus_tail"))
+                & (F.col("n_missing") == 0)
+            ).alias("checkpoint_equivalent"),
+        )
+    )

@@ -425,3 +425,16 @@ def test_pk_discovery_pins_the_lineitem_trap(spark, sf_dir):
     full = rows["l_orderkey,l_linenumber,l_suppkey,l_partkey"]
     assert full.n_duplicates <= 1
     assert full.n_duplicates < rows["l_orderkey,l_linenumber"].n_duplicates
+
+
+def test_anova_components_are_consistent(spark, sf_dir):
+    r = QUERIES["a50_anova_oneway"](spark, sf_dir).first()
+    assert r.n_groups >= 2
+    assert r.ss_between_sq_units >= 0 and r.ss_within_sq_units >= 0
+    assert r.f_stat_micro >= 0
+
+
+def test_checkpoint_equivalence_holds(spark, sf_dir):
+    r = QUERIES["x35_checkpoint_equivalence"](spark, sf_dir).first()
+    assert r.checkpoint_equivalent  # the Delta invariant itself
+    assert r.n_live_full_replay == r.n_live_ckpt_plus_tail

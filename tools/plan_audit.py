@@ -41,6 +41,8 @@ ALLOWED_CROSS = {
     "ev24_power_analysis",  # 5-row constant delta grid cross-joined with the 1-row pooled-rate aggregate
     "m52_isotonic_pav_exact",  # broadcast non-equi self-joins over the 10-row bin frame (interval grid + max-min)
     "m53_brier_decomposition",  # broadcast 1-row base-rate totals onto the 10-row bin frame
+    "a50_anova_oneway",  # broadcast 1-row grand-mean + SS aggregates (ANOVA identity)
+    "x35_checkpoint_equivalence",  # cross join of four 1-row census counts over the 40-row log frame
     "m8_smearing_inverse",  # broadcast 1-row sigma aggregate
     "m11_regression_metrics_sql",  # broadcast 1-row global-mean aggregate
     "tpch_q11_important_balance",  # broadcast 1-row global-balance aggregate
