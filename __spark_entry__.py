@@ -35,50 +35,52 @@ registry.load_all()
 # for one 50-cap window that also re-verifies flagship + 6 streaming
 # names: 50 - 7 re-verifies = 43 new. 297 is the max consistent with
 # both asks; the remainder lands in r9.)
-# Round 9 should lead with the wave-2 remainder (dq21_order_
-# reconciliation, s25_recursive_glob_scan, t27_tokenizer_comparison,
-# ts11_decomposition_strength, ev20_sequence_pattern_match,
-# sql_collation, m48_f1_threshold_tuning, m49_ridge_closed_form)
-# plus round 8's 14 additions (t28_dsir_importance_weights,
-# t29_gopher_quality_rules, dedup_substring_kgram,
-# ts12_cusum_changepoint, graph_ktruss, j17_asof_nearest_event,
-# s26_csv_multiline_roundtrip, mm_ogg_crc_audit, sim_ivf_build_exact,
-# st_cusum_monitor, ev23_holm_bonferroni, sim_coreset_sensitivity,
-# m51_knn_classifier, corpus_curation_funnel — all sf0.1-certified
-# on arrival), then keep draining the never-verified ledger: ev3-ev11, dq_expectations/dq_drift/dq3-dq6, the
-# f1x fills (f2/f4/f5/f8/f10x3, f12-f19), t14/t15, corpus_*, text_*
-# remainder, sim_* remainder (norms_arrow/hard_negatives/label_
-# centroids/matryoshka/quantize_int8), m15 text featurization,
-# x8/x12-x15/x19/x32, a1x-a3x remainder, a47, j4-j8/j16, p1x,
-# w4/w5, pack_length_buckets, ts_gapfill/sessionize/rolling,
+# Round 9's window (per VERDICT r8 #1): the wave-2 remainder, round
+# 8's 24 additions (all sf0.1-certified on arrival, PLANS.md:964),
+# ev24/ev25 (the two r8 dtype-warn queries, cast-fixed this round so
+# the driver sees the corrected tails), then never-verified fills.
+# 49 new ledger names → cumulative 346. (The VERDICT r8 #1 target of
+# 347 assumed 50 fresh names; the window re-verifies flagship — the
+# driver's smoke anchor stays first by convention — so 49 is the max
+# for this rotation. The remainder, 107 names, drains in r10-r12.)
+# Round 10 should lead with round 9's new operators, then keep
+# draining: ev3-ev11, dq_expectations/dq_drift/dq3-dq6, f10_arrays
+# /f12-f19, corpus_*, text_* remainder, sim_* remainder
+# (hard_negatives/label_centroids/matryoshka/quantize_int8/pca),
+# m15, x8/x12-x15/x19/x32, a1x-a3x remainder, a47, j5-j8/j16, p1x,
+# w5, pack_length_buckets, ts_gapfill/sessionize/rolling,
 # mm_frame/audio/batch_resize, skew_salted_agg, set_*_all, and the
 # rows-only ML fits (m9/m10/m12-m24 family) for rows-only evidence.
 _WINDOW = [
     "flagship_revenue_by_nation",
-    # streaming family re-verify (r6 #5; last driver-checked r4/r5)
-    "st_tumbling_window", "st_sliding_window", "st_session_window",
-    "st_watermark_dedup", "st_stream_stream_join",
-    "st_foreachbatch_upsert_sink",
-    # never-verified streaming + the r7 watchlist item (reworked r8)
-    "st_stream_static_enrich", "custom_running_total_pandas",
-    # round-7 first wave (never verified)
-    "mm_ogg_probe", "mm_mp3_probe", "t25_kneser_ney_bigram",
-    "dq19_t_closeness", "p24_dp_noisy_counts", "sim_ivf_pq",
-    "m37_linear_shap", "x31_delta_log_replay", "f27_ipv4_cidr",
-    "ts8_holt_winters_int", "m38_viterbi_decode", "graph_bfs_hops",
-    "ts9_seasonal_decompose", "er2_sorted_neighborhood",
-    "mm_gif_roundtrip", "p25_neyman_allocation",
-    "t26_wordpiece_tokenize", "ev19_sprt_user", "m39_gbm_stumps",
-    "f29_soundex_blocking", "mm_mjpeg_avi", "a45_kmv_distinct",
-    # round-7 second wave, iterative/recurrence classes first
-    "m43_logreg_newton", "graph_boruvka_msf",
-    "graph_deterministic_walks", "m45_gmm_em", "m46_cart_depth2",
-    "m44_pca_closed_form", "m50_poisson_newton", "m41_naive_bayes",
-    "sim_binary_hamming_topk", "dq20_inclusion_dependencies",
-    "p26_quantile_normalization", "sql_pipe_syntax",
-    "ts10_autocorrelation", "m42_feature_hashing",
-    "j15_point_in_polygon", "a46_heavy_hitters_two_phase",
-    "mm_tiff_probe", "sql_lateral_join", "f30_luhn_check",
+    # round-7 wave-2 remainder (never verified)
+    "dq21_order_reconciliation", "s25_recursive_glob_scan",
+    "t27_tokenizer_comparison", "ts11_decomposition_strength",
+    "ev20_sequence_pattern_match", "sql_collation",
+    "m48_f1_threshold_tuning", "m49_ridge_closed_form",
+    # round-8 additions (never verified; sf0.1-certified on arrival)
+    "t28_dsir_importance_weights", "t29_gopher_quality_rules",
+    "dedup_substring_kgram", "ts12_cusum_changepoint",
+    "graph_ktruss", "j17_asof_nearest_event",
+    "s26_csv_multiline_roundtrip", "mm_ogg_crc_audit",
+    "sim_ivf_build_exact", "st_cusum_monitor",
+    "ev23_holm_bonferroni", "sim_coreset_sensitivity",
+    "m51_knn_classifier", "corpus_curation_funnel",
+    "m52_isotonic_pav_exact", "m53_brier_decomposition",
+    "x33_vacuum_planner", "t30_bpe_encode", "mm_png_crc_audit",
+    "j18_band_join", "ev25_cohort_retention", "dq24_pk_discovery",
+    "a50_anova_oneway", "x35_checkpoint_equivalence",
+    # the other r8 dtype-warn query, cast-fixed this round
+    "ev24_power_analysis",
+    # never-verified fills: SURVEY §2 F-family, experiments, quality,
+    # text, similarity, join and window stragglers
+    "f2_exp", "f4_guarded_ratio", "f5_isin_flag", "f8_coalesce_lit",
+    "f10_dates", "f10_strings",
+    "ev21_two_proportion_ztest", "ev22_srm_check",
+    "dq_expectations", "dq_drift_audit",
+    "t14_pii_redaction", "t15_collocations",
+    "sim_norms_arrow", "j4_null_safe_join", "w4_value_windows",
+    "ev_funnel_conversion",
 ]
 
 

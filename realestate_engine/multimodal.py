@@ -1847,3 +1847,84 @@ def mm_png_crc_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+@register(
+    "mm_flac_crc_audit",
+    """
+    SELECT doc_id,
+           CAST(2 + doc_id % 4 AS BIGINT) AS n_frames,
+           CAST(CASE WHEN doc_id % 11 = 4 THEN 1 ELSE 0 END AS BIGINT) AS n_crc8_bad,
+           CAST((CASE WHEN doc_id % 11 = 4 THEN 1 ELSE 0 END)
+                + (CASE WHEN doc_id % 7 = 2 THEN 1 ELSE 0 END) AS BIGINT) AS n_crc16_bad,
+           doc_id % 5 <> 1 AS md5_ok,
+           CAST((1 + doc_id % 2) * 64 * (2 + doc_id % 4) AS BIGINT) AS n_samples
+    FROM documents WHERE doc_id < 70 ORDER BY doc_id
+    """,
+)
+def mm_flac_crc_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """FLAC integrity audit with provable planted recall — the audio
+    twin of mm_png_crc_audit / mm_ogg_crc_audit (VERDICT r8 #8),
+    completing the checksum-flavor set: PNG pins zlib's reflected
+    CRC-32, Ogg the unreflected CRC-32, and FLAC both CRC-8 (frame
+    header) and CRC-16 (whole frame) plus the STREAMINFO audio MD5.
+    Per doc a real FLAC stream is encoded (1-2 channels, 2-5 frames of
+    blocksize 64), then three independent corruptions are planted on
+    deterministic doc_id rules: doc_id%11==4 flips frame 0's stored
+    header CRC-8 (which also breaks that frame's CRC-16 — the CRC-16
+    covers the stored CRC-8 byte, the spec subtlety this audit pins),
+    doc_id%7==2 flips the last frame's stored CRC-16, doc_id%5==1
+    flips one STREAMINFO MD5 byte. audit_flac_frames (flac.py) walks
+    every frame recording validity; the oracle predicts the planted
+    sets exactly, so a frame-boundary, CRC-table, or MD5-scope bug
+    flips the hash.
+
+    Plan: doc-id shuffle only; encode + audit inside one Arrow batch —
+    the corrupt-blob quarantine pass that runs before any sample-level
+    processing at 100 TB."""
+    from realestate_engine.flac import audit_flac_frames, encode_flac
+
+    def audit(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                ch = 1 + d % 2
+                nspc = 64 * (2 + d % 4)
+                samples = [((i * 37 + d) % 200) - 100 for i in range(ch * nspc)]
+                blob = bytearray(encode_flac(8000, ch, samples, blocksize=64))
+                if d % 11 == 4:
+                    blob[blob.index(b"\xff\xf8") + 7] ^= 0x55  # frame-0 CRC-8
+                if d % 7 == 2:
+                    blob[-1] ^= 0xFF  # last frame's stored CRC-16
+                if d % 5 == 1:
+                    blob[30] ^= 0x01  # one STREAMINFO MD5 byte
+                a = audit_flac_frames(bytes(blob))
+                rows.append(
+                    (
+                        d,
+                        len(a["frames"]),
+                        sum(not f["crc8_ok"] for f in a["frames"]),
+                        sum(not f["crc16_ok"] for f in a["frames"]),
+                        a["md5_ok"],
+                        sum(f["blocksize"] for f in a["frames"]) * a["channels"],
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "n_frames", "n_crc8_bad", "n_crc16_bad",
+                    "md5_ok", "n_samples",
+                ],
+            )
+
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 70).select("doc_id")
+    return (
+        d.repartition(8, "doc_id")
+        .mapInPandas(
+            audit,
+            "doc_id long, n_frames long, n_crc8_bad long, n_crc16_bad long, "
+            "md5_ok boolean, n_samples long",
+        )
+        .orderBy("doc_id")
+    )

@@ -252,3 +252,183 @@ def m53_brier_decomposition(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .select("n_bins", "n_all", "reliability_nano", "resolution_nano", "uncertainty_nano")
     )
+
+
+# --- M54: Platt scaling (parametric calibration, smoothed targets) -----------
+
+_PLATT_ROUNDS = 3
+
+# FLOOR-micro sigmoid on integer-micro params (a, b) and integer score x
+# — the m43 idiom: one fixed IEEE tree both engines, floored to BIGINT
+# before any summation so all sufficient statistics are exact.
+_PLATT_P = (
+    "CAST(FLOOR(1000000 / (1 + EXP(-(CAST(b AS DOUBLE)"
+    " + CAST(a AS DOUBLE) * x) / 1000000))) AS BIGINT)"
+)
+
+
+def _platt_step_sql(prev: str, stats: str, nxt: str) -> str:
+    """One Newton/IRLS step over (x, tm_micro) with SMOOTHED micro
+    targets tm instead of hard 0/1 labels — the actual Platt (1999)
+    detail that distinguishes this from a plain logistic fit."""
+    return f"""
+    {stats} AS MATERIALIZED (
+        SELECT ANY_VALUE(bb.a) AS a, ANY_VALUE(bb.b) AS b,
+               SUM(f.tm_micro - p) AS g0,
+               SUM(f.x * (f.tm_micro - p)) AS g1,
+               SUM(p * (1000000 - p) // 1000000) AS h00,
+               SUM(f.x * (p * (1000000 - p) // 1000000)) AS h01,
+               SUM(f.x * f.x * (p * (1000000 - p) // 1000000)) AS h11
+        FROM (SELECT x, tm_micro, {_PLATT_P} AS p
+              FROM feats f2 CROSS JOIN {prev} b2) f
+        CROSS JOIN {prev} bb
+    ),
+    {nxt} AS MATERIALIZED (
+        SELECT b + CAST(FLOOR((CAST(h11 AS DOUBLE) * g0 - CAST(h01 AS DOUBLE) * g1)
+               / (CAST(h00 AS DOUBLE) * h11 - CAST(h01 AS DOUBLE) * h01) * 1000000)
+               AS BIGINT) AS b,
+               a + CAST(FLOOR((CAST(h00 AS DOUBLE) * g1 - CAST(h01 AS DOUBLE) * g0)
+               / (CAST(h00 AS DOUBLE) * h11 - CAST(h01 AS DOUBLE) * h01) * 1000000)
+               AS BIGINT) AS a
+        FROM {stats}
+    )"""
+
+
+_PLATT_ORACLE = f"""
+    WITH scored AS MATERIALIZED (
+        SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) // 1000000 AS x,
+               CASE WHEN o_orderpriority LIKE '1-%' OR o_orderpriority LIKE '2-%'
+                    THEN 1 ELSE 0 END AS y
+        FROM orders
+    ),
+    tgt AS MATERIALIZED (
+        SELECT CAST((SUM(y) + 1) * 1000000 // (SUM(y) + 2) AS BIGINT) AS tpos,
+               CAST(1000000 // (COUNT(*) - SUM(y) + 2) AS BIGINT) AS tneg,
+               CAST(SUM(y) AS BIGINT) AS n_pos,
+               CAST(COUNT(*) - SUM(y) AS BIGINT) AS n_neg
+        FROM scored
+    ),
+    feats AS MATERIALIZED (
+        SELECT s.x, CASE WHEN s.y = 1 THEN g.tpos ELSE g.tneg END AS tm_micro
+        FROM scored s CROSS JOIN tgt g
+    ),
+    p0 AS (SELECT CAST(0 AS BIGINT) AS a, CAST(0 AS BIGINT) AS b),
+    {",".join(_platt_step_sql(f"p{i}", f"ps{i}", f"p{i + 1}") for i in range(_PLATT_ROUNDS))}
+    SELECT * FROM (
+        {" UNION ALL ".join(
+            f"SELECT CAST({i + 1} AS BIGINT) AS round, a AS a_micro, b AS b_micro,"
+            f" (SELECT n_pos FROM tgt) AS n_pos, (SELECT n_neg FROM tgt) AS n_neg"
+            f" FROM p{i + 1}"
+            for i in range(_PLATT_ROUNDS)
+        )}
+    ) ORDER BY round
+"""
+
+
+@register("m54_platt_scaling", _PLATT_ORACLE)
+def m54_platt_scaling(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M54: Platt scaling — the PARAMETRIC calibrator next to m52's
+    nonparametric isotonic fit and m53's Brier diagnosis, completing
+    the calibration family: fit sigmoid(a·s + b) to the binary outcome
+    over the m34 score domain (order totalprice as the uncalibrated
+    score, integer-scaled to 0..55) by three unrolled Newton/IRLS
+    rounds. The defining Platt (1999) detail is implemented: targets
+    are SMOOTHED to (N+ + 1)/(N+ + 2) and 1/(N- + 2) — computed as
+    exact integer micros in a first counting pass and broadcast — so
+    the fit never chases 0/1 asymptotes. Numerics are the m43
+    contract: per-row sigmoids FLOOR-micro'd before summation (all
+    five sufficient statistics exact BIGINT sums, partition-order
+    free), the 2x2 Cramer solve one fixed IEEE tree, parameters
+    floored back to integer micros each round.
+
+    Plan per round: scan + hash-agg + 1-row broadcast cross-join —
+    no driver-side math, no windows; at 100 TB each Newton step is
+    one map-side-combined pass over the score column."""
+    from realestate_engine.dedup import cache_once
+
+    o = t(spark, sf_dir, "orders").select(
+        (F.round(F.col("o_totalprice") * 100).cast("bigint") / F.lit(1000000))
+        .cast("bigint")
+        .alias("x"),
+        F.when(
+            F.col("o_orderpriority").like("1-%")
+            | F.col("o_orderpriority").like("2-%"),
+            1,
+        )
+        .otherwise(0)
+        .alias("y"),
+    )
+    tgt = o.agg(
+        F.expr("CAST((SUM(y) + 1) * 1000000 DIV (SUM(y) + 2) AS BIGINT)").alias("tpos"),
+        F.expr("CAST(1000000 DIV (COUNT(*) - SUM(y) + 2) AS BIGINT)").alias("tneg"),
+        F.expr("CAST(SUM(y) AS BIGINT)").alias("n_pos"),
+        F.expr("CAST(COUNT(*) - SUM(y) AS BIGINT)").alias("n_neg"),
+    )
+    feats = cache_once(
+        o.crossJoin(F.broadcast(tgt)).select(
+            "x",
+            F.when(F.col("y") == 1, F.col("tpos")).otherwise(F.col("tneg")).alias(
+                "tm_micro"
+            ),
+            "n_pos",
+            "n_neg",
+        )
+    )
+    b = None
+    out_rows = []
+    for i in range(_PLATT_ROUNDS):
+        if b is None:
+            cur = feats.select(
+                "x",
+                "tm_micro",
+                "n_pos",
+                "n_neg",
+                F.lit(0).cast("bigint").alias("a"),
+                F.lit(0).cast("bigint").alias("b"),
+            )
+        else:
+            cur = feats.crossJoin(F.broadcast(b))
+        scored = cur.select(
+            "x", "tm_micro", "n_pos", "n_neg", "a", "b", F.expr(_PLATT_P).alias("p")
+        )
+        stats = scored.agg(
+            F.any_value("a").alias("a"),
+            F.any_value("b").alias("b"),
+            F.any_value("n_pos").alias("n_pos"),
+            F.any_value("n_neg").alias("n_neg"),
+            F.sum(F.col("tm_micro") - F.col("p")).alias("g0"),
+            F.sum(F.col("x") * (F.col("tm_micro") - F.col("p"))).alias("g1"),
+            F.sum(F.expr("p * (1000000 - p) div 1000000")).alias("h00"),
+            F.sum(F.col("x") * F.expr("p * (1000000 - p) div 1000000")).alias("h01"),
+            F.sum(
+                F.col("x") * F.col("x") * F.expr("p * (1000000 - p) div 1000000")
+            ).alias("h11"),
+        )
+        nxt = stats.select(
+            F.expr(
+                "a + CAST(FLOOR((CAST(h00 AS DOUBLE) * g1 - CAST(h01 AS DOUBLE) * g0)"
+                " / (CAST(h00 AS DOUBLE) * h11 - CAST(h01 AS DOUBLE) * h01) * 1000000) AS BIGINT)"
+            ).alias("a"),
+            F.expr(
+                "b + CAST(FLOOR((CAST(h11 AS DOUBLE) * g0 - CAST(h01 AS DOUBLE) * g1)"
+                " / (CAST(h00 AS DOUBLE) * h11 - CAST(h01 AS DOUBLE) * h01) * 1000000) AS BIGINT)"
+            ).alias("b"),
+            F.col("n_pos").alias("np_out"),
+            F.col("n_neg").alias("nn_out"),
+        )
+        out_rows.append(
+            nxt.select(
+                F.lit(i + 1).cast("bigint").alias("round"),
+                F.col("a").cast("bigint").alias("a_micro"),
+                F.col("b").cast("bigint").alias("b_micro"),
+                F.col("np_out").alias("n_pos"),
+                F.col("nn_out").alias("n_neg"),
+            )
+        )
+        # next iteration's params frame: (a, b) only — feats already
+        # carries n_pos/n_neg, so the cross-join must not duplicate them
+        b = nxt.select("a", "b")
+    res = out_rows[0]
+    for r_ in out_rows[1:]:
+        res = res.unionByName(r_)
+    return res.orderBy("round")

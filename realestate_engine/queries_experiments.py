@@ -1819,7 +1819,7 @@ _PWR_DELTAS_MICRO = [10000, 20000, 30000, 40000, 50000]  # 1%..5% absolute lift
         FROM events
     ),
     grid(delta_micro) AS (VALUES {", ".join(f"({d})" for d in _PWR_DELTAS_MICRO)})
-    SELECT g.delta_micro,
+    SELECT CAST(g.delta_micro AS BIGINT) AS delta_micro,
            CAST(FLOOR({_PWR_Z_SUM_SQ!r}
                * 2 * (CAST(b.n_conv AS DOUBLE) / b.n_events)
                * (1 - CAST(b.n_conv AS DOUBLE) / b.n_events)
@@ -1896,7 +1896,7 @@ def ev24_power_analysis(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM (SELECT DISTINCT user_id, cohort_week FROM activity)
         GROUP BY cohort_week
     )
-    SELECT a.cohort_week, a.week_offset,
+    SELECT CAST(a.cohort_week AS TIMESTAMP) AS cohort_week, a.week_offset,
            CAST(COUNT(DISTINCT a.user_id) AS BIGINT) AS n_active,
            s.n_users AS cohort_size,
            CAST(COUNT(DISTINCT a.user_id) * 1000000 // s.n_users AS BIGINT)
@@ -1947,8 +1947,11 @@ def ev25_cohort_retention(spark: SparkSession, sf_dir: str) -> DataFrame:
         .groupBy("cohort_week", "week_offset")
         .agg(F.countDistinct("user_id").cast("bigint").alias("n_active"))
         .join(F.broadcast(sizes), "cohort_week")
+        # timestamp, not date, on the output (the f10_monthly_revenue
+        # idiom): DateType reaches pandas as object while the oracle's
+        # DATE fetches as datetime64 — keep both in the datetime family.
         .select(
-            "cohort_week",
+            F.col("cohort_week").cast("timestamp").alias("cohort_week"),
             "week_offset",
             "n_active",
             F.col("n_users").alias("cohort_size"),

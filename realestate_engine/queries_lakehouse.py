@@ -883,14 +883,12 @@ def x33_vacuum_planner(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X33: VACUUM eligibility over the x31 transaction log — a
     tombstone (REMOVE action) may be physically deleted once its
     remove_version falls behind the retention horizon (current version
-    9, retention {retention} versions), the Delta VACUUM rule. Pure
+    9, retention 2 versions — _VACUUM_RETENTION), the Delta VACUUM rule. Pure
     metadata algebra on the same synthetic log x31 replays: one
     codegen'd boolean per file, bytes-reclaimable ledger alongside.
     At 100 TB the planner reads Kb of log and emits the delete
     manifest; no data file is touched until the manifest executes —
-    exactly how table maintenance must be planned at scale.""".format(
-        retention=_VACUUM_RETENTION
-    )
+    exactly how table maintenance must be planned at scale."""
     d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 40)
     v = 9
     files = d.select(
@@ -963,15 +961,15 @@ _CKPT_V = 6  # checkpoint version; tail = commits 7..9
 def x35_checkpoint_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
     """X35: the Delta-protocol CHECKPOINT invariant, proven relationally
     — replaying the full log to version 9 must equal replaying a
-    version-{v} checkpoint (the compacted live set) plus the log tail
-    (adds minus removes in versions {v}+1..9). This is WHY lakehouse
+    version-6 checkpoint (_CKPT_V, the compacted live set) plus the
+    log tail (adds minus removes in versions 7..9). This is WHY lakehouse
     readers scale: a reader lists ONE checkpoint file + K tail commits
     instead of the whole history, and this query emits the set-equality
     evidence (counts both ways + an anti-join emptiness boolean) that
     the shortcut is lossless over the same synthetic log x31/x33 use.
 
     Plan: three codegen'd predicates over the 40-row metadata frame,
-    one anti-join; metadata-only at any data scale.""".format(v=_CKPT_V)
+    one anti-join; metadata-only at any data scale."""
     d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 40)
     files = d.select(
         F.col("doc_id").alias("file_id"),

@@ -766,8 +766,13 @@ def st_cusum_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     # FileStreamSource orders files by modification time, and a single
     # bulk write gives every part file the same mtime (measured: the
     # resulting arbitrary order breaks the order-sensitive recursion).
-    lo, hi = ev.agg(F.min("ts"), F.max("ts")).first()
-    lo_us, hi_us = int(lo.timestamp() * 1e6), int(hi.timestamp() * 1e6) + 1
+    # Bounds as exact integers computed IN Spark: datetime.timestamp()
+    # on the collected naive datetimes would interpret them in the OS
+    # timezone (shifting every cut on non-UTC hosts) and round through
+    # float microseconds (clipping the max-ts event) — unix_micros has
+    # neither failure mode.
+    lo_us, hi_us = ev.agg(F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))).first()
+    hi_us += 1
     step = (hi_us - lo_us + 3) // 4
     for i in range(4):
         cut_lo, cut_hi = lo_us + i * step, lo_us + (i + 1) * step

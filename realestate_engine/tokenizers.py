@@ -35,10 +35,13 @@ def _bpe_pair_counts(vocab: DataFrame) -> DataFrame:
     )
 
 
-def _bpe_oracle_sql(rounds: int = 3) -> str:
-    r"""DuckDB twin of text_bpe_merge_rounds: the N-round driver loop
-    unrolled into chained CTEs (the label-propagation trick — VERDICT
-    r5 #7 upgraded this from rows-only).
+def _bpe_cte_chain(rounds: int = 3) -> str:
+    r"""The unrolled BPE merge-round CTE chain (w, v0, then
+    pc/m/mt/isl/mg/v{k+1} per round) shared by BOTH BPE oracles —
+    the learn oracle reads the m{k} merge tables, the encode oracle
+    reads the final v{rounds} symbol state. Returned as a complete
+    WITH clause; callers append their own final SELECT, so the two
+    oracles compose structurally (no substring surgery).
 
     Representation is (word, freq, pos, s) symbol rows, not lists, so
     each round is plain SQL: pair counts = a pos+1 self-join; the
@@ -51,13 +54,13 @@ def _bpe_oracle_sql(rounds: int = 3) -> str:
     spec, not engine plans."""
     parts = [
         r"""
-    w AS (
+    w AS MATERIALIZED (
         SELECT word, CAST(COUNT(*) AS BIGINT) AS freq
         FROM (SELECT UNNEST(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+')) AS word
               FROM documents)
         GROUP BY word
     ),
-    v0 AS (
+    v0 AS MATERIALIZED (
         SELECT word, freq,
                UNNEST(RANGE(1, LENGTH(word) + 1)) AS pos,
                UNNEST(STRING_SPLIT(word, '')) AS s
@@ -66,32 +69,32 @@ def _bpe_oracle_sql(rounds: int = 3) -> str:
     ]
     for k in range(rounds):
         parts.append(f"""
-    pc{k} AS (
+    pc{k} AS MATERIALIZED (
         SELECT a.s AS l, b.s AS r, CAST(SUM(a.freq) AS BIGINT) AS cnt
         FROM v{k} a JOIN v{k} b ON a.word = b.word AND b.pos = a.pos + 1
         GROUP BY a.s, b.s
     ),
-    m{k} AS (SELECT l, r, cnt FROM pc{k} ORDER BY cnt DESC, l, r LIMIT 1),
-    mt{k} AS (
+    m{k} AS MATERIALIZED (SELECT l, r, cnt FROM pc{k} ORDER BY cnt DESC, l, r LIMIT 1),
+    mt{k} AS MATERIALIZED (
         SELECT a.word, a.freq, a.pos, a.s,
                COALESCE(a.s = m.l AND b.s = m.r, FALSE) AS mat
         FROM v{k} a
         LEFT JOIN v{k} b ON a.word = b.word AND b.pos = a.pos + 1
         CROSS JOIN m{k} m
     ),
-    isl{k} AS (
+    isl{k} AS MATERIALIZED (
         SELECT word, freq, pos, s, mat,
                CASE WHEN mat THEN pos - ROW_NUMBER() OVER
                     (PARTITION BY word, mat ORDER BY pos) END AS island
         FROM mt{k}
     ),
-    mg{k} AS (
+    mg{k} AS MATERIALIZED (
         SELECT word, freq, pos, s, mat, island,
                COALESCE(mat AND (pos - MIN(pos) OVER (PARTITION BY word, island))
                             % 2 = 0, FALSE) AS do_merge
         FROM isl{k}
     ),
-    v{k + 1} AS (
+    v{k + 1} AS MATERIALIZED (
         SELECT word, freq,
                ROW_NUMBER() OVER (PARTITION BY word ORDER BY pos) AS pos,
                s
@@ -103,6 +106,13 @@ def _bpe_oracle_sql(rounds: int = 3) -> str:
             WHERE NOT COALESCE(p.do_merge, FALSE)
         )
     )""")
+    return "WITH" + ",".join(parts)
+
+
+def _bpe_oracle_sql(rounds: int = 3) -> str:
+    """DuckDB twin of text_bpe_merge_rounds (the learn side): the
+    shared CTE chain plus the merge-table readout — one row per merge
+    round (VERDICT r5 #7 upgraded this from rows-only)."""
     finals = "\n    UNION ALL".join(
         f"""
     SELECT CAST({k + 1} AS INTEGER) AS round, l AS "left", r AS "right",
@@ -110,7 +120,7 @@ def _bpe_oracle_sql(rounds: int = 3) -> str:
     FROM m{k}"""
         for k in range(rounds)
     )
-    return "WITH" + ",".join(parts) + finals + "\n    ORDER BY round"
+    return _bpe_cte_chain(rounds) + finals + "\n    ORDER BY round"
 
 
 @register("text_bpe_merge_rounds", _bpe_oracle_sql(rounds=3))
@@ -445,7 +455,7 @@ def t26_wordpiece_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     training half. Fully relational: the greedy choice at every
     (word, pos) is ONE equi-join of the (pos, len) substring grid
     against the broadcast vocab + a per-(word,pos) argmax window;
-    tokenization is then a {w}-step bounded walk over that cached
+    tokenization is then a 12-step (_WP_MAX_WLEN) bounded walk over that cached
     choice table (an inner join per step — words drop out when they
     finish), and the oracle replays the identical walk as a recursive
     CTE. Greedy progress is guaranteed (singles cover [a-z]), so
@@ -453,7 +463,7 @@ def t26_wordpiece_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
     weighted count. Scale: distinct-word domain (Zipf-bounded),
     constant-size vocab broadcast, every join an equi hash join —
     the 100 TB tokenizer is this exact plan with a bigger vocab
-    table.""".format(w=_WP_MAX_WLEN)
+    table."""
     from realestate_engine.dedup import cache_once
 
     d = t(spark, sf_dir, "documents").select("text")
@@ -583,15 +593,10 @@ def t27_tokenizer_comparison(spark: SparkSession, sf_dir: str) -> DataFrame:
 
 
 def _bpe_encode_oracle_sql(rounds: int = 3, k: int = 40) -> str:
-    """Token census after the learned merges: reuses the unrolled
-    _bpe_oracle_sql CTE chain but reads the FINAL symbol state instead
-    of the merge table."""
-    base = _bpe_oracle_sql(rounds)
-    # keep everything up to (and including) the last chained CTE, then
-    # replace the merge-table SELECT with the census over v{rounds}
-    cut = base.index("\n    SELECT CAST(1 AS INTEGER) AS round")
+    """Token census after the learned merges: the shared _bpe_cte_chain
+    plus a census readout over the FINAL symbol state v{rounds}."""
     return (
-        base[:cut]
+        _bpe_cte_chain(rounds)
         + f"""
     SELECT s AS token,
            CAST(SUM(freq) AS BIGINT) AS n_occurrences,
@@ -671,4 +676,227 @@ def t30_bpe_encode(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.col("n_occurrences").desc(), "token")
         .limit(40)
+    )
+
+
+# --- T31: unigram-LM Viterbi segmentation (SentencePiece inference) ----------
+
+_UV_MAX_P = _WP_MAX_WLEN + 1  # final DP position = word length + 1
+
+
+def _uv_oracle_sql() -> str:
+    """DuckDB twin of t31: the min-cost DP unrolled into 12 chained
+    MATERIALIZED best-so-far CTEs (the label-propagation unroll), over
+    the same vocab spec as t26 plus integer-micro unigram costs."""
+    head = f"""
+    WITH words AS MATERIALIZED (
+        SELECT word, CAST(COUNT(*) AS BIGINT) AS wcount
+        FROM (
+            SELECT UNNEST(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+')) AS word
+            FROM documents
+        )
+        WHERE word ~ '^[a-z]+$' AND LEN(word) <= {_WP_MAX_WLEN}
+        GROUP BY word
+    ),
+    prefixes AS MATERIALIZED (
+        SELECT SUBSTR(word, 1, l.l) AS tok, CAST(SUM(wcount) AS BIGINT) AS cnt
+        FROM words JOIN (SELECT UNNEST(RANGE(2, {_WP_MAX_TLEN + 1})) AS l) l
+          ON LEN(word) >= l.l
+        GROUP BY 1
+        ORDER BY cnt DESC, tok
+        LIMIT {_WP_TOP_PREFIXES}
+    ),
+    chars AS MATERIALIZED (
+        SELECT c AS tok, CAST(SUM(wcount) AS BIGINT) AS cnt
+        FROM (SELECT UNNEST(STRING_SPLIT(word, '')) AS c, wcount FROM words)
+        GROUP BY c
+    ),
+    singles AS (
+        SELECT CHR(CAST(97 + i AS INTEGER)) AS tok
+        FROM (SELECT UNNEST(RANGE(0, 26)) AS i)
+    ),
+    vocab AS MATERIALIZED (
+        SELECT tok, cnt + 1 AS cnt_sm FROM prefixes
+        UNION ALL
+        SELECT s.tok, COALESCE(c.cnt, 0) + 1 AS cnt_sm
+        FROM singles s LEFT JOIN chars c ON c.tok = s.tok
+    ),
+    tot AS (SELECT CAST(SUM(cnt_sm) AS BIGINT) AS tot FROM vocab),
+    costs AS MATERIALIZED (
+        SELECT v.tok,
+               CAST(FLOOR(1000000 * LN(CAST(t.tot AS DOUBLE) / v.cnt_sm))
+                    AS BIGINT) * 128 + 1 AS enc
+        FROM vocab v CROSS JOIN tot t
+    ),
+    edges AS MATERIALIZED (
+        SELECT g.word, g.pos, g.pos + g.l AS next_pos, c.enc
+        FROM (
+            SELECT w.word, p.p AS pos, SUBSTR(w.word, p.p, l.l) AS sub, l.l
+            FROM words w
+            JOIN (SELECT UNNEST(RANGE(1, {_WP_MAX_WLEN + 1})) AS p) p
+              ON p.p <= LEN(w.word)
+            JOIN (SELECT UNNEST(RANGE(1, {_WP_MAX_TLEN + 1})) AS l) l
+              ON p.p + l.l - 1 <= LEN(w.word)
+        ) g JOIN costs c ON g.sub = c.tok
+    ),
+    bs1 AS MATERIALIZED (SELECT word, 1 AS pos, CAST(0 AS BIGINT) AS acc FROM words)"""
+    steps = []
+    for p in range(2, _UV_MAX_P + 1):
+        steps.append(f"""
+    b{p} AS MATERIALIZED (
+        SELECT e.word, {p} AS pos, MIN(b.acc + e.enc) AS acc
+        FROM edges e JOIN bs{p - 1} b ON b.word = e.word AND b.pos = e.pos
+        WHERE e.next_pos = {p}
+        GROUP BY e.word
+    ),
+    bs{p} AS MATERIALIZED (
+        SELECT * FROM bs{p - 1} UNION ALL SELECT * FROM b{p}
+    )""")
+    return (
+        head
+        + ","
+        + ",".join(steps)
+        + f"""
+    SELECT CAST(b.acc % 128 AS BIGINT) AS n_tokens,
+           CAST(COUNT(*) AS BIGINT) AS n_word_types,
+           CAST(SUM(w.wcount) AS BIGINT) AS n_occurrences,
+           CAST(SUM(w.wcount * (b.acc // 128)) AS BIGINT) AS weighted_cost_micro
+    FROM bs{_UV_MAX_P} b
+    JOIN words w ON w.word = b.word AND b.pos = LEN(w.word) + 1
+    GROUP BY 1
+    ORDER BY n_tokens
+    """
+    )
+
+
+@register("t31_unigram_viterbi", _uv_oracle_sql())
+def t31_unigram_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T31: OPTIMAL (Viterbi) subword segmentation under a unigram LM
+    — the SentencePiece inference step, and the min-cost counterpart
+    of t26's greedy longest-match over the IDENTICAL vocab (26 singles
+    + top-40 2..4-char prefixes): where WordPiece commits to the
+    longest token at each position, the unigram model picks the
+    segmentation minimizing total -log p(token). Costs are exact
+    integer micros — Laplace-smoothed counts, one IEEE division +
+    LN per vocab TYPE (the t28 contract: identical integer-derived
+    expression trees are bit-safe cross-engine), floored before any
+    arithmetic. The tie subtlety is engineered away, not assumed: the
+    DP state packs (cost, n_tokens) as acc*128 + 1 per edge, so MIN
+    is a total order — equal-cost paths resolve to fewest tokens,
+    deterministically, on both engines.
+
+    Plan: the (pos, len) substring grid equi-joins the 66-row
+    broadcast cost table into a cached per-word edge DAG; Viterbi is
+    then 12 bounded rounds of (edges ⋈ frontier) + per-word MIN —
+    each round one equi hash join + hash agg over the distinct-word
+    domain (Zipf-bounded; never corpus-sized), the same
+    driver-loop/cluster-work posture as PageRank. Output: the
+    optimal-fertility census (words by optimal token count, with
+    freq-weighted total cost). At 100 TB the vocab broadcast grows to
+    32k tokens and the DAG stays |distinct words| x O(len) — this
+    exact plan. Cited reference behavior: none (the reference has no
+    tokenizer; north-star surface)."""
+    from realestate_engine.dedup import cache_once
+
+    d = t(spark, sf_dir, "documents").select("text")
+    raw = d.select(
+        F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("word")
+    )
+    words = cache_once(
+        raw.where(
+            F.col("word").rlike("^[a-z]+$") & (F.length("word") <= _WP_MAX_WLEN)
+        )
+        .groupBy("word")
+        .agg(F.count(F.lit(1)).alias("wcount"))
+    )
+    lens = spark.range(2, _WP_MAX_TLEN + 1).select(F.col("id").cast("int").alias("l"))
+    prefixes = (
+        words.join(F.broadcast(lens), F.length("word") >= F.col("l"))
+        .select(F.expr("substring(word, 1, l)").alias("tok"), "wcount")
+        .groupBy("tok")
+        .agg(F.sum("wcount").cast("bigint").alias("cnt"))
+        .orderBy(F.desc("cnt"), "tok")
+        .limit(_WP_TOP_PREFIXES)
+    )
+    chars = (
+        words.select(
+            F.explode(F.filter(F.split("word", "(?!^)"), lambda s: s != "")).alias(
+                "c"
+            ),
+            "wcount",
+        )
+        .groupBy("c")
+        .agg(F.sum("wcount").cast("bigint").alias("cnt"))
+    )
+    singles = spark.range(26).select(F.expr("char(97 + id)").alias("tok"))
+    vocab = prefixes.select("tok", (F.col("cnt") + 1).alias("cnt_sm")).unionByName(
+        singles.join(chars, singles.tok == chars.c, "left").select(
+            "tok", (F.coalesce(F.col("cnt"), F.lit(0)) + 1).alias("cnt_sm")
+        )
+    )
+    tot = vocab.agg(F.sum("cnt_sm").cast("bigint").alias("tot"))
+    costs = vocab.crossJoin(F.broadcast(tot)).select(
+        "tok",
+        (
+            F.expr(
+                "CAST(FLOOR(1000000 * LN(CAST(tot AS DOUBLE) / cnt_sm)) AS BIGINT)"
+            )
+            * 128
+            + 1
+        ).alias("enc"),
+    )
+    pos_l = (
+        spark.range(1, _WP_MAX_WLEN + 1)
+        .select(F.col("id").cast("int").alias("pos"))
+        .crossJoin(
+            spark.range(1, _WP_MAX_TLEN + 1).select(F.col("id").cast("int").alias("l"))
+        )
+    )
+    grid = words.join(
+        F.broadcast(pos_l),
+        (F.col("pos") <= F.length("word"))
+        & (F.col("pos") + F.col("l") - 1 <= F.length("word")),
+    ).select("word", "pos", "l", F.expr("substring(word, pos, l)").alias("sub"))
+    edges = cache_once(
+        grid.join(F.broadcast(costs), grid.sub == costs.tok).select(
+            "word", "pos", (F.col("pos") + F.col("l")).alias("next_pos"), "enc"
+        )
+    )
+    best = words.select(
+        "word", F.lit(1).cast("int").alias("pos"), F.lit(0).cast("bigint").alias("acc")
+    )
+    for p in range(2, _UV_MAX_P + 1):
+        step = (
+            edges.where(F.col("next_pos") == p)
+            .withColumnRenamed("pos", "from_pos")
+            .join(
+                best.withColumnRenamed("pos", "from_pos"),
+                ["word", "from_pos"],
+            )
+            .groupBy("word")
+            .agg(F.min(F.col("acc") + F.col("enc")).alias("acc"))
+            .select("word", F.lit(p).cast("int").alias("pos"), "acc")
+        )
+        # the accumulated relation is distinct-word-sized; an eager
+        # checkpoint EVERY round keeps the 12-round union lineage flat
+        # (at 4-round cadence the serialized plan reached ~70 MB task
+        # binaries — the iterative-self-join lesson, again)
+        best = best.unionByName(step).localCheckpoint()
+    finals = words.select(
+        "word", "wcount", (F.length("word") + 1).cast("int").alias("final_pos")
+    )
+    return (
+        best.join(finals, "word")
+        .where(F.col("pos") == F.col("final_pos"))
+        .select((F.col("acc") % 128).alias("n_tokens"), "wcount", (F.col("acc") / F.lit(128)).cast("bigint").alias("cost_micro"))
+        .groupBy("n_tokens")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_word_types"),
+            F.sum("wcount").cast("bigint").alias("n_occurrences"),
+            F.sum(F.col("wcount") * F.col("cost_micro")).cast("bigint").alias(
+                "weighted_cost_micro"
+            ),
+        )
+        .select(F.col("n_tokens").cast("bigint").alias("n_tokens"), "n_word_types", "n_occurrences", "weighted_cost_micro")
+        .orderBy("n_tokens")
     )

@@ -76,6 +76,24 @@ def test_every_oracle_emits_only_spark_producible_types(con):
     assert not bad, f"oracles leaking non-Spark types (wrap in CAST): {bad}"
 
 
+def test_r8_latent_width_and_family_pins(con):
+    """VERDICT r8 #2: the two columns whose oracle dtype drifted from
+    the Spark output family/width in the r8 local sweep, now cast at
+    the query tail on both sides — pin the oracle side exactly.
+
+    - ev24_power_analysis.delta_micro: the VALUES grid is int32 in
+      DuckDB while Spark's createDataFrame emits int64 — the oracle
+      now CASTs it to BIGINT.
+    - ev25_cohort_retention.cohort_week: DATE fetches as date32 /
+      datetime64 while Spark DateType reaches pandas as object — both
+      sides now emit TIMESTAMP (the f10_monthly_revenue idiom).
+    """
+    t24 = con.execute(ORACLES["ev24_power_analysis"]).arrow()
+    assert pa.types.is_int64(t24.schema.field("delta_micro").type)
+    t25 = con.execute(ORACLES["ev25_cohort_retention"]).arrow()
+    assert pa.types.is_timestamp(t25.schema.field("cohort_week").type)
+
+
 def test_hugeint_leak_is_caught():
     """Pin the detector itself: an un-cast SUM(BIGINT) must be flagged."""
     c = duckdb.connect()

@@ -138,8 +138,8 @@ def test_gopher_census_counts_are_consistent(spark, sf_dir):
             r.n_fail_bigram_rep,
             r.n_fail_dup5gram,
         )
-        assert r.n_pass_all <= r.n_docs - worst + worst  # trivially true; keep count sanity
-        assert r.n_pass_all + worst <= r.n_docs + worst
+        # a doc failing the worst rule cannot be in pass_all
+        assert r.n_pass_all <= r.n_docs - worst, (r.source, worst)
 
 
 def test_substring_kgram_census_finds_real_duplicates(spark, sf_dir):
