@@ -1381,3 +1381,184 @@ def graph_ktruss(spark: SparkSession, sf_dir: str) -> DataFrame:
     return spark.createDataFrame(
         census, "round int, n_edges_in bigint, n_edges_out bigint, n_removed bigint"
     ).orderBy("round")
+
+
+# --- G-MIS: deterministic Luby maximal independent set -----------------------
+
+_MIS_ROUNDS = 4
+# injective deterministic priority: portable 32-bit hash of the node id
+# shifted past the id domain, plus the id as tiebreak (node ids at the
+# tested SFs stay far below 2^24; 2^32 * 2^24 = 2^56 fits BIGINT)
+_MIS_SHIFT = 16_777_216
+
+
+def _mis_oracle_sql() -> str:
+    head = """
+    WITH pairs AS (
+        SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    edges AS MATERIALIZED (
+        SELECT c AS src, s AS dst FROM pairs
+        UNION ALL
+        SELECT s AS src, c AS dst FROM pairs
+    ),
+    u0 AS MATERIALIZED (
+        SELECT src AS node,
+               ('0x' || SUBSTR(MD5('mis-' || CAST(src AS VARCHAR)), 1, 8))::BIGINT
+                   * 16777216 + src AS p
+        FROM (SELECT DISTINCT src FROM edges)
+    )"""
+    steps = []
+    for k in range(_MIS_ROUNDS):
+        steps.append(f"""
+    mx{k} AS MATERIALIZED (
+        SELECT e.src AS node, MAX(ud.p) AS mp
+        FROM edges e
+        JOIN u{k} us ON us.node = e.src
+        JOIN u{k} ud ON ud.node = e.dst
+        GROUP BY e.src
+    ),
+    w{k} AS MATERIALIZED (
+        SELECT u.node, u.p
+        FROM u{k} u LEFT JOIN mx{k} m ON m.node = u.node
+        WHERE u.p > COALESCE(m.mp, -1)
+    ),
+    rm{k} AS MATERIALIZED (
+        SELECT node FROM w{k}
+        UNION
+        SELECT e.dst AS node FROM edges e JOIN w{k} w ON w.node = e.src
+    ),
+    u{k + 1} AS MATERIALIZED (
+        SELECT u.node, u.p FROM u{k} u
+        WHERE NOT EXISTS (SELECT 1 FROM rm{k} r WHERE r.node = u.node)
+    )""")
+    mis_union = " UNION ALL ".join(f"SELECT node FROM w{k}" for k in range(_MIS_ROUNDS))
+    per_round = " UNION ALL ".join(
+        f"""
+    SELECT CAST({k + 1} AS BIGINT) AS round,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM w{k}) AS n_selected,
+           (SELECT CAST(COUNT(*) AS BIGINT) FROM u{k + 1}) AS n_undecided_after"""
+        for k in range(_MIS_ROUNDS)
+    )
+    return (
+        head
+        + ","
+        + ",".join(steps)
+        + f""",
+    mis AS MATERIALIZED ({mis_union}),
+    indep AS (
+        SELECT NOT EXISTS (
+            SELECT 1 FROM edges e
+            JOIN mis a ON a.node = e.src
+            JOIN mis b ON b.node = e.dst
+        ) AS is_independent,
+        CAST((SELECT COUNT(*) FROM mis) AS BIGINT) AS mis_size
+    )
+    SELECT r.round, r.n_selected, r.n_undecided_after,
+           i.mis_size, i.is_independent
+    FROM ({per_round}) r CROSS JOIN indep i
+    ORDER BY r.round
+    """
+    )
+
+
+@register("graph_mis_luby", _mis_oracle_sql())
+def graph_mis_luby(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """G-MIS: maximal independent set by DETERMINISTIC Luby rounds over
+    the trade graph — THE classic distributed symmetry-breaking
+    primitive (scheduling non-conflicting work, anchor selection for
+    clustering, graph-coloring bootstrap). Luby's coin flips are
+    replaced by an injective portable priority (md5-prefix hash shifted
+    past the id domain + node id), so the usual with-high-probability
+    argument becomes a reproducible fixed schedule both engines replay
+    bit-identically: per round a node joins the MIS iff its priority
+    beats every UNDECIDED neighbor's, then winners + their
+    neighborhoods leave the graph. 4 synchronous rounds decide the
+    overwhelming share of a bipartite trade graph (isolated-by-removal
+    nodes win vacuously in the next round); the census reports
+    per-round selections plus the final independence proof (no edge
+    with both endpoints selected — computed, not assumed).
+
+    Plan per round: two node-keyed equi-joins (undecided filter), one
+    groupBy(src) MAX, a left-anti removal, localCheckpoint to keep the
+    iterative lineage flat. Node-sized shuffles only; the edge list is
+    partitioned once and reused — the Pregel posture. At 100 TB rounds
+    stay O(E/p) with no skew beyond degree (cappable exactly like the
+    link-prediction mid-degree guard)."""
+    edges = cache_once(trade_edges(spark, sf_dir).repartition("src"))
+    und = cache_once(
+        edges.select("src")
+        .distinct()
+        .select(
+            F.col("src").alias("node"),
+            (
+                F.conv(
+                    F.substring(F.md5(F.concat(F.lit("mis-"), F.col("src").cast("string"))), 1, 8),
+                    16,
+                    10,
+                ).cast("long")
+                * _MIS_SHIFT
+                + F.col("src")
+            ).alias("p"),
+        )
+    )
+    rounds = []
+    mis_parts = []
+    for k in range(_MIS_ROUNDS):
+        mx = (
+            edges.join(und.select(F.col("node").alias("src")), "src")
+            .join(und.select(F.col("node").alias("dst"), F.col("p").alias("pd")), "dst")
+            .groupBy("src")
+            .agg(F.max("pd").alias("mp"))
+            .select(F.col("src").alias("node"), "mp")
+        )
+        winners = (
+            und.join(mx, "node", "left")
+            .where(F.col("p") > F.coalesce(F.col("mp"), F.lit(-1)))
+            .select("node")
+            .localCheckpoint()
+        )
+        removed = winners.unionByName(
+            edges.join(winners.select(F.col("node").alias("src")), "src").select(
+                F.col("dst").alias("node")
+            )
+        ).distinct()
+        und = und.join(removed, "node", "left_anti").localCheckpoint()
+        mis_parts.append(winners)
+        rounds.append((k + 1, winners, und))
+    mis = mis_parts[0]
+    for w in mis_parts[1:]:
+        mis = mis.unionByName(w)
+    mis = mis.localCheckpoint()
+    indep = (
+        edges.join(mis.select(F.col("node").alias("src")), "src")
+        .join(mis.select(F.col("node").alias("dst")), "dst")
+        .agg(
+            (F.count(F.lit(1)) == 0).alias("is_independent"),
+        )
+        .crossJoin(F.broadcast(mis.agg(F.count(F.lit(1)).cast("bigint").alias("mis_size"))))
+    )
+    spark_rounds = None
+    for k, winners, und_after in rounds:
+        row = (
+            winners.agg(F.count(F.lit(1)).cast("bigint").alias("n_selected"))
+            .crossJoin(
+                F.broadcast(
+                    und_after.agg(
+                        F.count(F.lit(1)).cast("bigint").alias("n_undecided_after")
+                    )
+                )
+            )
+            .select(
+                F.lit(k).cast("bigint").alias("round"),
+                "n_selected",
+                "n_undecided_after",
+            )
+        )
+        spark_rounds = row if spark_rounds is None else spark_rounds.unionByName(row)
+    return (
+        spark_rounds.crossJoin(F.broadcast(indep))
+        .select("round", "n_selected", "n_undecided_after", "mis_size", "is_independent")
+        .orderBy("round")
+    )

@@ -1825,3 +1825,76 @@ def m51_knn_classifier(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("probe_id")
     )
+
+
+@register(
+    "sim_mips_topk",
+    """
+    WITH p AS (SELECT embedding AS q FROM embeddings WHERE vec_id = 1),
+    qn AS (SELECT SQRT(LIST_DOT_PRODUCT(q::DOUBLE[], q::DOUBLE[])) AS qnorm FROM p),
+    m AS (
+        SELECT MAX(LIST_DOT_PRODUCT(embedding::DOUBLE[], embedding::DOUBLE[])) AS m2
+        FROM embeddings
+    )
+    SELECT vec_id,
+           ROUND(LIST_DOT_PRODUCT(embedding::DOUBLE[], p.q::DOUBLE[]), 6) AS ip,
+           ROUND(LIST_DOT_PRODUCT(embedding::DOUBLE[], p.q::DOUBLE[])
+                 / (qn.qnorm * SQRT(m.m2)), 6) AS aug_cosine,
+           ROUND(m.m2 - LIST_DOT_PRODUCT(embedding::DOUBLE[], embedding::DOUBLE[]), 4)
+               AS aug_dim_sq
+    FROM embeddings CROSS JOIN p CROSS JOIN qn CROSS JOIN m
+    ORDER BY ip DESC, vec_id
+    LIMIT 20
+    """,
+)
+def sim_mips_topk(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """N-MIPS: maximum-inner-product search (the retrieval scoring mode
+    of two-tower recommenders and dot-product-trained embedding
+    models, where vector NORM carries signal and plain cosine is the
+    WRONG metric) — exact top-20 by inner product for probe vec_id=1,
+    emitted alongside the MIPS→cosine reduction's score: augment every
+    corpus vector with sqrt(M² − ‖x‖²) (M = max corpus norm, a 1-row
+    broadcast) and the augmented vectors all have norm M, so
+    cos(q̃, x̃) = ip / (‖q‖·M) — ORDER-EQUIVALENT to the inner product
+    (one shared positive divisor; IEEE division is monotone). That
+    reduction is what lets every cosine-ANN structure in this module
+    (hyperplane LSH, IVF, PQ) serve MIPS unchanged at 100 TB: bucket
+    the AUGMENTED vectors, probe with [q, 0]. The emitted aug_dim_sq
+    column is each vector's augmentation mass — the data a MIPS
+    indexer would materialize. Cross-engine exactness is empirical
+    fact, not hope: Spark's sequential zip_with/aggregate dot and
+    DuckDB's LIST_DOT_PRODUCT are bit-identical on this corpus
+    (verified to the raw double), so the rounded scores and the
+    ordering cannot diverge.
+
+    Plan: 1-row probe/norm/max broadcasts onto a single map-side pass
+    + TakeOrderedAndProject — the corpus never shuffles (the
+    sim_bruteforce_topk posture, one extra 1-row aggregate)."""
+    e = t(spark, sf_dir, "embeddings")
+    ad = lambda c: F.transform(c, lambda x: x.cast("double"))
+    normsq = F.aggregate(ad(F.col("embedding")), F.lit(0.0), lambda a, x: a + x * x)
+    probe = e.filter(F.col("vec_id") == 1).select(F.col("embedding").alias("q"))
+    qn = probe.select(
+        F.sqrt(F.aggregate(ad(F.col("q")), F.lit(0.0), lambda a, x: a + x * x)).alias(
+            "qnorm"
+        )
+    )
+    m2 = e.agg(F.max(normsq).alias("m2"))
+    ip = F.aggregate(
+        F.zip_with(ad(F.col("embedding")), ad(F.col("q")), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda a, x: a + x,
+    )
+    return (
+        e.crossJoin(F.broadcast(probe))
+        .crossJoin(F.broadcast(qn))
+        .crossJoin(F.broadcast(m2))
+        .select(
+            "vec_id",
+            F.round(ip, 6).alias("ip"),
+            F.round(ip / (F.col("qnorm") * F.sqrt(F.col("m2"))), 6).alias("aug_cosine"),
+            F.round(F.col("m2") - normsq, 4).alias("aug_dim_sq"),
+        )
+        .orderBy(F.col("ip").desc(), "vec_id")
+        .limit(20)
+    )

@@ -900,3 +900,148 @@ def t31_unigram_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(F.col("n_tokens").cast("bigint").alias("n_tokens"), "n_word_types", "n_occurrences", "weighted_cost_micro")
         .orderBy("n_tokens")
     )
+
+
+# --- T32: Heaps'-law vocabulary growth --------------------------------------
+
+
+@register(
+    "t32_heaps_law",
+    """
+    WITH arrs AS MATERIALIZED (
+        SELECT doc_id, STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+') AS ws
+        FROM documents
+    ),
+    shingles AS MATERIALIZED (
+        SELECT doc_id,
+               ws[i] || ' ' || ws[i + 1] || ' ' || ws[i + 2] AS sh
+        FROM (
+            SELECT doc_id, ws, UNNEST(RANGE(1, GREATEST(LEN(ws) - 1, 1))) AS i
+            FROM arrs
+        )
+    ),
+    per_doc AS MATERIALIZED (
+        SELECT doc_id, CAST(COUNT(*) AS BIGINT) AS n_sh
+        FROM shingles GROUP BY doc_id
+    ),
+    firsts AS MATERIALIZED (
+        SELECT sh, MIN(doc_id) AS first_doc FROM shingles GROUP BY sh
+    ),
+    mx AS (SELECT MAX(doc_id) + 1 AS n_docs FROM per_doc),
+    cuts AS MATERIALIZED (
+        SELECT CAST(k AS BIGINT) AS decile, (m.n_docs * k) // 10 AS cut
+        FROM (SELECT UNNEST(RANGE(1, 11)) AS k) g CROSS JOIN mx m
+    ),
+    curve AS MATERIALIZED (
+        SELECT c.decile,
+               (SELECT CAST(SUM(p.n_sh) AS BIGINT) FROM per_doc p
+                WHERE p.doc_id < c.cut) AS n_shingles,
+               (SELECT CAST(COUNT(*) AS BIGINT) FROM firsts f
+                WHERE f.first_doc < c.cut) AS n_types
+        FROM cuts c
+    ),
+    lnld AS MATERIALIZED (
+        SELECT decile, n_shingles, n_types,
+               CAST(FLOOR(1000000 * LN(CAST(n_shingles AS DOUBLE))) AS BIGINT) AS lx,
+               CAST(FLOOR(1000000 * LN(CAST(n_types AS DOUBLE))) AS BIGINT) AS ly
+        FROM curve
+    ),
+    fit AS (
+        SELECT CAST(FLOOR(
+                   (CAST(COUNT(*) AS DOUBLE) * SUM(lx * ly) - CAST(SUM(lx) AS DOUBLE) * SUM(ly))
+                 / (CAST(COUNT(*) AS DOUBLE) * SUM(lx * lx) - CAST(SUM(lx) AS DOUBLE) * SUM(lx))
+                 * 1000000) AS BIGINT) AS heaps_beta_micro
+        FROM lnld
+    )
+    SELECT l.decile, l.n_shingles, l.n_types,
+           CAST(l.n_types * 1000000 // l.n_shingles AS BIGINT) AS ttr_micro,
+           f.heaps_beta_micro
+    FROM lnld l CROSS JOIN fit f
+    ORDER BY l.decile
+    """,
+)
+def t32_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T32: Heaps'-law growth of the word-3-gram SHINGLE dictionary —
+    distinct shingle types as a function of corpus size at ten prefix
+    checkpoints, plus the fitted exponent beta from V(n) = K·n^beta.
+    Shingle types are the unit whose growth actually sizes pipeline
+    state at 100 TB: the minhash/LSH shingle domain (dedup.py), the
+    contamination n-gram dictionary, and every inverted-index keyspace
+    grow as THIS curve, not as raw vocabulary (the synthetic corpus —
+    like any closed-vocab domain — saturates its word list almost
+    immediately; the combinatorial shingle space keeps growing, which
+    is the regime that matters for sketch sizing).
+
+    The insight that keeps it one pass, not ten: the dictionary at
+    prefix cut c is |{shingles whose FIRST occurrence doc < c}| — one
+    groupBy(shingle) MIN(doc_id) computes every checkpoint at once,
+    and the curve is a 10-row broadcast non-equi join against that
+    firsts table (never ten corpus rescans). Exactness: each
+    checkpoint's ln is FLOOR-micro'd PER ROW (the t28 contract), the
+    OLS slope then runs on exact integer sums with one fixed IEEE tree
+    for the final division — no order-dependent float summation.
+    Emits the curve (shingles, types, type-token ratio micro) with the
+    fitted beta_micro alongside."""
+    from realestate_engine.dedup import cache_once
+
+    d = t(spark, sf_dir, "documents").select("doc_id", "text")
+    arrs = d.select(
+        "doc_id", F.split(F.lower(F.trim(F.col("text"))), r"\s+").alias("ws")
+    )
+    # guard short docs: sequence(1, 0) counts DOWN ([1, 0]) — the r8 rule
+    sh = F.expr(
+        "if(size(ws) >= 3,"
+        " transform(sequence(1, size(ws) - 2),"
+        "           i -> concat_ws(' ', ws[i - 1], ws[i], ws[i + 1])),"
+        " array())"
+    )
+    shingles = cache_once(
+        arrs.select("doc_id", F.explode(sh).alias("sh"))
+    )
+    per_doc = shingles.groupBy("doc_id").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_sh")
+    )
+    firsts = shingles.groupBy("sh").agg(F.min("doc_id").alias("first_doc"))
+    mx = per_doc.agg((F.max("doc_id") + 1).alias("n_docs"))
+    cuts = (
+        spark.range(1, 11)
+        .select(F.col("id").cast("bigint").alias("decile"))
+        .crossJoin(F.broadcast(mx))
+        .select("decile", F.expr("n_docs * decile div 10").alias("cut"))
+    )
+    shingles_k = (
+        per_doc.join(F.broadcast(cuts), F.col("doc_id") < F.col("cut"))
+        .groupBy("decile")
+        .agg(F.sum("n_sh").cast("bigint").alias("n_shingles"))
+    )
+    types_k = (
+        firsts.join(F.broadcast(cuts), F.col("first_doc") < F.col("cut"))
+        .groupBy("decile")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("n_types"))
+    )
+    lnld = shingles_k.join(types_k, "decile").select(
+        "decile",
+        "n_shingles",
+        "n_types",
+        F.expr("CAST(FLOOR(1000000 * LN(CAST(n_shingles AS DOUBLE))) AS BIGINT)").alias("lx"),
+        F.expr("CAST(FLOOR(1000000 * LN(CAST(n_types AS DOUBLE))) AS BIGINT)").alias("ly"),
+    )
+    fit = lnld.agg(
+        F.expr(
+            "CAST(FLOOR("
+            " (CAST(COUNT(*) AS DOUBLE) * SUM(lx * ly) - CAST(SUM(lx) AS DOUBLE) * SUM(ly))"
+            " / (CAST(COUNT(*) AS DOUBLE) * SUM(lx * lx) - CAST(SUM(lx) AS DOUBLE) * SUM(lx))"
+            " * 1000000) AS BIGINT)"
+        ).alias("heaps_beta_micro")
+    )
+    return (
+        lnld.crossJoin(F.broadcast(fit))
+        .select(
+            "decile",
+            "n_shingles",
+            "n_types",
+            F.expr("CAST(n_types * 1000000 DIV n_shingles AS BIGINT)").alias("ttr_micro"),
+            "heaps_beta_micro",
+        )
+        .orderBy("decile")
+    )

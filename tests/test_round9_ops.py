@@ -55,3 +55,42 @@ def test_flac_audit_walk_is_structural_not_checksum_gated():
     assert audited["md5_ok"]  # samples untouched
     with pytest.raises(ValueError):
         decode_flac(bytes(flipped))  # the strict decoder still refuses
+
+
+def test_mis_is_independent_and_maximal(spark, sf_dir):
+    rows = QUERIES["graph_mis_luby"](spark, sf_dir).collect()
+    assert len(rows) == 4
+    assert all(r.is_independent for r in rows)
+    # the per-round selections account for the whole MIS
+    assert sum(r.n_selected for r in rows) == rows[0].mis_size
+    # maximality evidence within the fixed rounds: nothing undecided left
+    assert rows[-1].n_undecided_after == 0
+
+
+def test_heaps_curve_is_monotone_and_sublinear(spark, sf_dir):
+    rows = QUERIES["t32_heaps_law"](spark, sf_dir).collect()
+    assert len(rows) == 10
+    sh = [r.n_shingles for r in rows]
+    types = [r.n_types for r in rows]
+    assert sh == sorted(sh) and types == sorted(types)
+    assert all(v <= t_ for v, t_ in zip(types, sh))
+    # sub-linear growth: the fitted exponent is in (0, 1)
+    beta = rows[0].heaps_beta_micro
+    assert all(r.heaps_beta_micro == beta for r in rows)
+    assert 0 < beta < 1_000_000
+    # type-token ratio declines as the corpus grows (Zipf tail)
+    ttrs = [r.ttr_micro for r in rows]
+    assert ttrs[0] >= ttrs[-1]
+
+
+def test_mips_augmented_cosine_is_rank_equivalent(spark, sf_dir):
+    rows = QUERIES["sim_mips_topk"](spark, sf_dir).collect()
+    assert len(rows) == 20
+    ip_order = [r.vec_id for r in sorted(rows, key=lambda r: (-r.ip, r.vec_id))]
+    aug_order = [
+        r.vec_id for r in sorted(rows, key=lambda r: (-r.aug_cosine, r.vec_id))
+    ]
+    # the shared positive divisor preserves order (the MIPS->cosine proof)
+    assert ip_order == aug_order
+    # augmentation mass is non-negative (M^2 is the max corpus norm^2)
+    assert all(r.aug_dim_sq >= -1e-4 for r in rows)

@@ -42,6 +42,9 @@ ALLOWED_CROSS = {
     "m52_isotonic_pav_exact",  # broadcast non-equi self-joins over the 10-row bin frame (interval grid + max-min)
     "m53_brier_decomposition",  # broadcast 1-row base-rate totals onto the 10-row bin frame
     "m54_platt_scaling",  # broadcast 1-row smoothed-target totals + 1-row Newton params per round (the m43 posture)
+    "graph_mis_luby",  # broadcast 1-row per-round counts + 1-row independence-proof frame onto the 4-row census
+    "t32_heaps_law",  # broadcast 10-row decile-cut frame (non-equi prefix joins) + 1-row OLS fit
+    "sim_mips_topk",  # broadcast 1-row probe + 1-row query-norm + 1-row max-norm frames (the bruteforce posture)
     "a50_anova_oneway",  # broadcast 1-row grand-mean + SS aggregates (ANOVA identity)
     "x35_checkpoint_equivalence",  # cross join of four 1-row census counts over the 40-row log frame
     "m8_smearing_inverse",  # broadcast 1-row sigma aggregate
@@ -180,6 +183,7 @@ ALLOWED_LOCAL = {
     "text_bpe_merge_rounds",  # returns O(rounds) learned merges (model state)
     "t30_bpe_encode",  # per-round localCheckpoint of the merge loop (same posture as the learn query)
     "t31_unigram_viterbi",  # distinct-word-sized DP frontier localCheckpointed per round (12-round union lineage)
+    "graph_mis_luby",  # per-round winner/undecided frames localCheckpointed (iterative self-join lineage)
     "m19_fpgrowth_baskets",  # MLlib FP-Growth freqItemsets is RDD-backed model output
     "m22_prefixspan_sequences",  # MLlib PrefixSpan patterns are RDD-backed model output
     "m21_glm_poisson",  # returns O(k) coefficient rows (model state)
