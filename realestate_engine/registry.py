@@ -146,6 +146,7 @@ def load_all() -> None:
     import realestate_engine.queries_quality  # noqa: F401
     import realestate_engine.queries_mleval  # noqa: F401
     import realestate_engine.queries_calibration  # noqa: F401
+    import realestate_engine.queries_preference  # noqa: F401
     import realestate_engine.queries_lakehouse  # noqa: F401
     import realestate_engine.graph  # noqa: F401
     import realestate_engine.ordered  # noqa: F401

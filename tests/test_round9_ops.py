@@ -94,3 +94,20 @@ def test_mips_augmented_cosine_is_rank_equivalent(spark, sf_dir):
     assert ip_order == aug_order
     # augmentation mass is non-negative (M^2 is the max corpus norm^2)
     assert all(r.aug_dim_sq >= -1e-4 for r in rows)
+
+
+def test_bradley_terry_strengths_track_win_rates(spark, sf_dir):
+    rows = QUERIES["m55_bradley_terry"](spark, sf_dir).collect()
+    assert len(rows) == 5
+    # gauge pinned: mean strength == 1.0 (within integer-floor slack)
+    mean = sum(r.strength_micro for r in rows) / 5
+    assert abs(mean - 1_000_000) <= 5
+    # strengths and raw win rates agree on the extremes
+    by_strength = [r.event_type for r in rows]  # already ordered desc
+    by_winrate = [
+        r.event_type
+        for r in sorted(rows, key=lambda r: (-(r.wins / r.games), r.event_type))
+    ]
+    assert by_strength[0] == by_winrate[0]
+    assert by_strength[-1] == by_winrate[-1]
+    assert all(0 < r.wins < r.games for r in rows)

@@ -184,6 +184,7 @@ ALLOWED_LOCAL = {
     "t30_bpe_encode",  # per-round localCheckpoint of the merge loop (same posture as the learn query)
     "t31_unigram_viterbi",  # distinct-word-sized DP frontier localCheckpointed per round (12-round union lineage)
     "graph_mis_luby",  # per-round winner/undecided frames localCheckpointed (iterative self-join lineage)
+    "m55_bradley_terry",  # K-row strength frame localCheckpointed per MM round + K^2-row wins matrix
     "m19_fpgrowth_baskets",  # MLlib FP-Growth freqItemsets is RDD-backed model output
     "m22_prefixspan_sequences",  # MLlib PrefixSpan patterns are RDD-backed model output
     "m21_glm_poisson",  # returns O(k) coefficient rows (model state)
