@@ -43,8 +43,11 @@ registry.load_all()
 # 347 assumed 50 fresh names; the window re-verifies flagship — the
 # driver's smoke anchor stays first by convention — so 49 is the max
 # for this rotation. The remainder, 107 names, drains in r10-r12.)
-# Round 10 should lead with round 9's new operators, then keep
-# draining: ev3-ev11, dq_expectations/dq_drift/dq3-dq6, f10_arrays
+# Round 10 should lead with round 9's new operators
+# (mm_flac_crc_audit, m54_platt_scaling, t31_unigram_viterbi,
+# t32_heaps_law, graph_mis_luby, sim_mips_topk, m55_bradley_terry —
+# all sf0.1-certified on arrival, PLANS.md round-9 ledger), then keep
+# draining: ev3-ev11, dq3-dq6, f10_arrays
 # /f12-f19, corpus_*, text_* remainder, sim_* remainder
 # (hard_negatives/label_centroids/matryoshka/quantize_int8/pca),
 # m15, x8/x12-x15/x19/x32, a1x-a3x remainder, a47, j5-j8/j16, p1x,

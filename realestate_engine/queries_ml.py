@@ -1265,7 +1265,11 @@ def m29_lift_gains_table(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.percentile("score_cents", F.array(*[F.lit(x / 10.0) for x in range(1, 10)])).alias("qs")
     )
     bucketed = c.crossJoin(F.broadcast(cuts)).select(
-        (10 - F.size(F.filter(F.col("qs"), lambda q: q < F.col("score_cents")))).alias("decile"),
+        # bigint, matching the oracle's LEN() arithmetic (int-width
+        # drift is driver-tolerated but the width-pin convention holds)
+        (10 - F.size(F.filter(F.col("qs"), lambda q: q < F.col("score_cents"))))
+        .cast("bigint")
+        .alias("decile"),
         "label",
     )
     agg = bucketed.groupBy("decile").agg(
