@@ -128,3 +128,40 @@ def test_avi_container_bit_exact_property(w, h, fps, n_frames):
     assert out["idx_consistent"]
     assert (out["n_frames"], out["fps"]) == (n_frames, fps)
     assert out["us_per_frame"] == 1_000_000 // fps
+
+
+@settings(max_examples=25, deadline=None)
+@given(
+    samples=st.lists(st.integers(-32768, 32767), min_size=1, max_size=400),
+    channels=st.integers(1, 2),
+)
+def test_flac_audit_property(samples, channels):
+    """audit_flac_frames agrees with the strict decoder on clean
+    streams, and checksum plants are detected at exactly the planted
+    site — for ARBITRARY audio, not just the fixture gradients."""
+    from realestate_engine.flac import audit_flac_frames
+
+    if len(samples) % channels:
+        samples = samples[: len(samples) - len(samples) % channels]
+    if not samples:
+        samples = [0] * channels
+    blob = encode_flac(8000, channels, samples, blocksize=64)
+    clean = audit_flac_frames(blob)
+    n_frames = len(clean["frames"])
+    assert n_frames == (len(samples) // channels + 63) // 64
+    assert clean["md5_ok"]
+    assert all(f["crc8_ok"] and f["crc16_ok"] for f in clean["frames"])
+    assert sum(f["blocksize"] for f in clean["frames"]) == len(samples) // channels
+
+    crc_plant = bytearray(blob)
+    crc_plant[-1] ^= 0xFF  # last frame's stored CRC-16 low byte
+    audited = audit_flac_frames(bytes(crc_plant))
+    assert [f["crc16_ok"] for f in audited["frames"]] == [True] * (n_frames - 1) + [False]
+    assert all(f["crc8_ok"] for f in audited["frames"])
+    assert audited["md5_ok"]  # decoded samples untouched
+
+    md5_plant = bytearray(blob)
+    md5_plant[30] ^= 0x01  # one STREAMINFO MD5 byte
+    audited2 = audit_flac_frames(bytes(md5_plant))
+    assert not audited2["md5_ok"]
+    assert all(f["crc8_ok"] and f["crc16_ok"] for f in audited2["frames"])
