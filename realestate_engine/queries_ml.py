@@ -494,16 +494,59 @@ def m18_negative_sampling(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("m19_fpgrowth_baskets")  # tree-mining fit → rows-only (supports re-counted in tests)
+@register(
+    "m19_fpgrowth_baskets",
+    # UPGRADED from rows-only (round 9): FP-Growth's freqItemsets are
+    # DETERMINISTIC given data (no seed), so the oracle enumerates
+    # frequent itemsets exhaustively to size 3 with plain self-joins.
+    # Anti-monotonicity makes the truncation safe: a size-4 itemset
+    # can only be frequent if some size-3 one is, and the pytest pins
+    # that no 3-itemset reaches minSupport at any tested SF. The
+    # threshold replicates MLlib's minCount = ceil(minSupport *
+    # numBaskets) with the identical double expression.
+    """
+    WITH items AS MATERIALIZED (
+        SELECT DISTINCT l_orderkey AS o, l_partkey AS p FROM lineitem
+    ),
+    n AS (SELECT CAST(COUNT(DISTINCT o) AS BIGINT) AS n_orders FROM items),
+    f1 AS (
+        SELECT CAST(p AS VARCHAR) AS itemset, CAST(COUNT(*) AS BIGINT) AS support
+        FROM items GROUP BY p
+        HAVING COUNT(*) >= CEIL((SELECT n_orders FROM n) * 0.002)
+    ),
+    f2 AS (
+        SELECT CAST(a.p AS VARCHAR) || ',' || CAST(b.p AS VARCHAR) AS itemset,
+               CAST(COUNT(*) AS BIGINT) AS support
+        FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+        GROUP BY a.p, b.p
+        HAVING COUNT(*) >= CEIL((SELECT n_orders FROM n) * 0.002)
+    ),
+    f3 AS (
+        SELECT CAST(a.p AS VARCHAR) || ',' || CAST(b.p AS VARCHAR)
+                   || ',' || CAST(c.p AS VARCHAR) AS itemset,
+               CAST(COUNT(*) AS BIGINT) AS support
+        FROM items a JOIN items b ON a.o = b.o AND a.p < b.p
+        JOIN items c ON b.o = c.o AND b.p < c.p
+        GROUP BY a.p, b.p, c.p
+        HAVING COUNT(*) >= CEIL((SELECT n_orders FROM n) * 0.002)
+    )
+    SELECT itemset, support FROM (
+        SELECT * FROM f1 UNION ALL SELECT * FROM f2 UNION ALL SELECT * FROM f3
+    ) ORDER BY support DESC, itemset LIMIT 100
+    """,
+)
 def m19_fpgrowth_baskets(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M19: frequent-itemset mining with FP-Growth over order baskets
     (basket = the set of parts on one order) — market-basket analysis,
     the classic retail co-purchase workload and a distinct algorithm
     class (conditional FP-tree recursion, parallelized per suffix
     by MLlib). Returns frequent itemsets with exact support counts,
-    sorted for determinism. Supports are exact integers (tests
-    re-count 1- and 2-itemsets with plain SQL joins); the itemset
-    ENUMERATION is what SQL can't express, hence rows-only."""
+    sorted for determinism. Oracle-checked since round 9: the output
+    is seed-free, so a bounded exhaustive enumeration (sizes 1-3 via
+    self-joins; anti-monotonicity + the pytest pin that no 3-itemset
+    is frequent make the truncation provably complete) reproduces
+    FP-Growth's itemsets and supports exactly, including MLlib's
+    ceil(minSupport · numBaskets) threshold double."""
     from pyspark.ml.fpm import FPGrowth
 
     li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
@@ -616,7 +659,58 @@ def m21_glm_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("m22_prefixspan_sequences")  # sequential pattern mining → rows-only (supports re-counted in tests)
+@register(
+    "m22_prefixspan_sequences",
+    # UPGRADED from rows-only (round 9): PrefixSpan's patterns are
+    # DETERMINISTIC given data (no seed) and the input itemsets are
+    # singletons with maxPatternLength=3, so the pattern universe is
+    # the <=3-type cross product (155 candidates) and support is a
+    # greedy subsequence-containment check per (pattern, user) — the
+    # standard first-match walk, exact for containment. Threshold
+    # replicates MLlib's ceil(minSupport * n_sequences) double.
+    """
+    WITH seqs AS MATERIALIZED (
+        SELECT user_id, LIST(event_type ORDER BY ts, event_id) AS seq
+        FROM events GROUP BY user_id
+    ),
+    n AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_seq FROM seqs),
+    types AS (SELECT DISTINCT event_type AS t FROM events),
+    p1 AS (SELECT t AS a, NULL::VARCHAR AS b, NULL::VARCHAR AS c FROM types),
+    p2 AS (SELECT x.t AS a, y.t AS b, NULL::VARCHAR AS c FROM types x CROSS JOIN types y),
+    p3 AS (SELECT x.t AS a, y.t AS b, z.t AS c
+           FROM types x CROSS JOIN types y CROSS JOIN types z),
+    pats AS (SELECT * FROM p1 UNION ALL SELECT * FROM p2 UNION ALL SELECT * FROM p3),
+    hits AS (
+        SELECT p.a, p.b, p.c, s.user_id,
+               CASE
+                 WHEN p.b IS NULL THEN COALESCE(list_position(s.seq, p.a), 0) > 0
+                 WHEN p.c IS NULL THEN
+                   COALESCE(list_position(s.seq, p.a), 0) > 0
+                   AND COALESCE(list_position(
+                         s.seq[list_position(s.seq, p.a) + 1:], p.b), 0) > 0
+                 ELSE
+                   COALESCE(list_position(s.seq, p.a), 0) > 0
+                   AND COALESCE(list_position(
+                         s.seq[list_position(s.seq, p.a) + 1:], p.b), 0) > 0
+                   AND COALESCE(list_position(
+                         s.seq[list_position(s.seq, p.a)
+                               + list_position(s.seq[list_position(s.seq, p.a) + 1:], p.b)
+                               + 1:],
+                         p.c), 0) > 0
+               END AS contained
+        FROM pats p CROSS JOIN seqs s
+    ),
+    counts AS (
+        SELECT a, b, c,
+               CAST(SUM(CASE WHEN contained THEN 1 ELSE 0 END) AS BIGINT) AS support
+        FROM hits GROUP BY a, b, c
+    )
+    SELECT a || COALESCE('>' || b, '') || COALESCE('>' || c, '') AS pattern, support
+    FROM counts
+    WHERE support >= CEIL((SELECT n_seq FROM n) * 0.3)
+    ORDER BY support DESC, pattern LIMIT 100
+    """,
+)
 def m22_prefixspan_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M22: sequential-pattern mining with PrefixSpan over per-user
     event-type journeys (each user's events ordered by time, each
@@ -628,8 +722,11 @@ def m22_prefixspan_sequences(spark: SparkSession, sf_dir: str) -> DataFrame:
     on (ts, event_id, type) structs — sorting INSIDE the grouped value,
     never a global sort). Pattern supports are exact integers; tests
     re-count containment for sampled patterns in pure Python.
-    Rows-only: the pattern ENUMERATION (projected-database recursion)
-    is what SQL can't express."""
+    Oracle-checked since round 9: the output is seed-free and the
+    single-item/maxPatternLength=3 setting bounds the pattern universe
+    to the <=3-type cross product, so a greedy subsequence-containment
+    count per candidate reproduces PrefixSpan exactly (including
+    MLlib's ceil threshold double)."""
     from pyspark.ml.fpm import PrefixSpan
 
     ev = t(spark, sf_dir, "events")

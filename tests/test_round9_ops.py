@@ -111,3 +111,13 @@ def test_bradley_terry_strengths_track_win_rates(spark, sf_dir):
     assert by_strength[0] == by_winrate[0]
     assert by_strength[-1] == by_winrate[-1]
     assert all(0 < r.wins < r.games for r in rows)
+
+
+def test_fpgrowth_oracle_truncation_is_provably_complete(spark, sf_dir):
+    """The m19 oracle enumerates itemsets to size 3; by anti-
+    monotonicity a frequent 4-itemset requires a frequent 3-itemset,
+    so this pin (no 3-itemset reaches minSupport — in fact none is
+    even emitted in the top-100) proves the truncation loses nothing."""
+    rows = QUERIES["m19_fpgrowth_baskets"](spark, sf_dir).collect()
+    assert rows
+    assert max(r.itemset.count(",") + 1 for r in rows) <= 2
