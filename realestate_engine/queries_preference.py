@@ -185,3 +185,120 @@ def m55_bradley_terry(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy(F.desc("strength_micro"), "event_type")
     )
+
+
+@register(
+    "m56_fairness_audit",
+    """
+    WITH c AS (
+        SELECT cu.c_mktsegment AS segment,
+               CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents,
+               CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS label
+        FROM orders o JOIN customer cu ON o.o_custkey = cu.c_custkey
+    ),
+    thr AS (SELECT quantile_cont(cents, 0.5) AS median_cents FROM c),
+    pred AS (
+        SELECT segment, label,
+               CASE WHEN c.cents > t.median_cents THEN 1 ELSE 0 END AS yhat
+        FROM c, thr t
+    ),
+    seg AS (
+        SELECT segment,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(yhat) AS BIGINT) AS n_predpos,
+               CAST(SUM(CASE WHEN label = 1 AND yhat = 1 THEN 1 ELSE 0 END) AS BIGINT) AS tp,
+               CAST(SUM(CASE WHEN label = 1 AND yhat = 0 THEN 1 ELSE 0 END) AS BIGINT) AS fn,
+               CAST(SUM(CASE WHEN label = 0 AND yhat = 1 THEN 1 ELSE 0 END) AS BIGINT) AS fp,
+               CAST(SUM(CASE WHEN label = 0 AND yhat = 0 THEN 1 ELSE 0 END) AS BIGINT) AS tn
+        FROM pred GROUP BY segment
+    ),
+    gtot AS (
+        SELECT CAST(SUM(n_predpos) * 1000000 // SUM(n) AS BIGINT) AS sel_glob_micro,
+               CAST(SUM(tp) * 1000000 // (SUM(tp) + SUM(fn)) AS BIGINT) AS tpr_glob_micro
+        FROM seg
+    )
+    SELECT s.segment, s.n,
+           CAST(s.n_predpos * 1000000 // s.n AS BIGINT) AS sel_rate_micro,
+           CAST(s.tp * 1000000 // (s.tp + s.fn) AS BIGINT) AS tpr_micro,
+           CAST(s.fp * 1000000 // (s.fp + s.tn) AS BIGINT) AS fpr_micro,
+           CAST(s.n_predpos * 1000000 // s.n - g.sel_glob_micro AS BIGINT)
+               AS parity_gap_micro,
+           CAST(s.tp * 1000000 // (s.tp + s.fn) - g.tpr_glob_micro AS BIGINT)
+               AS eq_opp_gap_micro
+    FROM seg s CROSS JOIN gtot g
+    ORDER BY s.segment
+    """,
+)
+def m56_fairness_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M56: group-fairness audit of a classifier — per customer market
+    segment, the three governance readouts every production model
+    review requires: selection rate (DEMOGRAPHIC PARITY: does the
+    median-threshold classifier of m28 flag segments at different
+    rates?), true/false-positive rates (EQUALIZED ODDS: does accuracy
+    differ by group?), and each segment's signed gap against the
+    global rate (equal-opportunity difference). Same classifier and
+    exact-integer discipline as m28 — the interpolated-median
+    threshold broadcast once, every rate one BIGINT micro-division of
+    confusion counts, gaps as differences of already-exact micros (no
+    double rounding).
+
+    Plan: one orders⋈customer broadcast-dim join, one confusion
+    aggregate per segment (map-side combined), a 1-row global frame
+    cross-joined onto the 5-row segment frame. At 100 TB the audit is
+    one pass over predictions — which is why fairness telemetry
+    belongs IN the eval pipeline, not a notebook afterthought.
+    Cited reference behavior: none (governance north-star)."""
+    o = t(spark, sf_dir, "orders").select("o_custkey", "o_totalprice", "o_orderpriority")
+    cu = t(spark, sf_dir, "customer").select("c_custkey", "c_mktsegment")
+    c = o.join(F.broadcast(cu), o.o_custkey == cu.c_custkey).select(
+        F.col("c_mktsegment").alias("segment"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("label"),
+    )
+    thr = c.agg(F.percentile("cents", F.lit(0.5)).alias("median_cents"))
+    pred = c.crossJoin(F.broadcast(thr)).select(
+        "segment",
+        "label",
+        F.when(F.col("cents") > F.col("median_cents"), 1).otherwise(0).alias("yhat"),
+    )
+    seg = pred.groupBy("segment").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("yhat").cast("bigint").alias("n_predpos"),
+        F.sum(F.when((F.col("label") == 1) & (F.col("yhat") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("tp"),
+        F.sum(F.when((F.col("label") == 1) & (F.col("yhat") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("fn"),
+        F.sum(F.when((F.col("label") == 0) & (F.col("yhat") == 1), 1).otherwise(0))
+        .cast("bigint")
+        .alias("fp"),
+        F.sum(F.when((F.col("label") == 0) & (F.col("yhat") == 0), 1).otherwise(0))
+        .cast("bigint")
+        .alias("tn"),
+    )
+    glob = seg.agg(
+        F.expr("CAST(SUM(n_predpos) * 1000000 DIV SUM(n) AS BIGINT)").alias(
+            "sel_glob_micro"
+        ),
+        F.expr("CAST(SUM(tp) * 1000000 DIV (SUM(tp) + SUM(fn)) AS BIGINT)").alias(
+            "tpr_glob_micro"
+        ),
+    )
+    return (
+        seg.crossJoin(F.broadcast(glob))
+        .select(
+            "segment",
+            "n",
+            F.expr("CAST(n_predpos * 1000000 DIV n AS BIGINT)").alias("sel_rate_micro"),
+            F.expr("CAST(tp * 1000000 DIV (tp + fn) AS BIGINT)").alias("tpr_micro"),
+            F.expr("CAST(fp * 1000000 DIV (fp + tn) AS BIGINT)").alias("fpr_micro"),
+            F.expr(
+                "CAST(n_predpos * 1000000 DIV n - sel_glob_micro AS BIGINT)"
+            ).alias("parity_gap_micro"),
+            F.expr(
+                "CAST(tp * 1000000 DIV (tp + fn) - tpr_glob_micro AS BIGINT)"
+            ).alias("eq_opp_gap_micro"),
+        )
+        .orderBy("segment")
+    )

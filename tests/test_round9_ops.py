@@ -121,3 +121,17 @@ def test_fpgrowth_oracle_truncation_is_provably_complete(spark, sf_dir):
     rows = QUERIES["m19_fpgrowth_baskets"](spark, sf_dir).collect()
     assert rows
     assert max(r.itemset.count(",") + 1 for r in rows) <= 2
+
+
+def test_fairness_audit_accounting_is_consistent(spark, sf_dir):
+    rows = QUERIES["m56_fairness_audit"](spark, sf_dir).collect()
+    assert len(rows) == 5  # the five market segments
+    n_total = sum(r.n for r in rows)
+    # signed parity gaps against the global rate must straddle zero
+    # (n-weighted mean of the segment rates IS the global rate)
+    weighted = sum(r.n * r.parity_gap_micro for r in rows)
+    assert abs(weighted) <= n_total  # integer-floor slack only
+    for r in rows:
+        assert 0 <= r.sel_rate_micro <= 1_000_000
+        assert 0 <= r.tpr_micro <= 1_000_000
+        assert 0 <= r.fpr_micro <= 1_000_000

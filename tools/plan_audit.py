@@ -45,6 +45,7 @@ ALLOWED_CROSS = {
     "graph_mis_luby",  # broadcast 1-row per-round counts + 1-row independence-proof frame onto the 4-row census
     "t32_heaps_law",  # broadcast 10-row decile-cut frame (non-equi prefix joins) + 1-row OLS fit
     "sim_mips_topk",  # broadcast 1-row probe + 1-row query-norm + 1-row max-norm frames (the bruteforce posture)
+    "m56_fairness_audit",  # broadcast 1-row median threshold + 1-row global-rate frame onto the 5-row segment frame
     "a50_anova_oneway",  # broadcast 1-row grand-mean + SS aggregates (ANOVA identity)
     "x35_checkpoint_equivalence",  # cross join of four 1-row census counts over the 40-row log frame
     "m8_smearing_inverse",  # broadcast 1-row sigma aggregate
