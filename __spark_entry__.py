@@ -45,8 +45,12 @@ registry.load_all()
 # for this rotation. The remainder, 107 names, drains in r10-r12.)
 # Round 10 should lead with round 9's new operators
 # (mm_flac_crc_audit, m54_platt_scaling, t31_unigram_viterbi,
-# t32_heaps_law, graph_mis_luby, sim_mips_topk, m55_bradley_terry —
-# all sf0.1-certified on arrival, PLANS.md round-9 ledger), then keep
+# t32_heaps_law, graph_mis_luby, sim_mips_topk, m55_bradley_terry,
+# m56_fairness_audit — all sf0.1-certified on arrival, PLANS.md
+# round-9 ledger) plus m19_fpgrowth_baskets and
+# m22_prefixspan_sequences (upgraded from rows-only to FULL oracles
+# in round 9 — driver-verifying them now records hash evidence where
+# the ledger has only rows-only rows), then keep
 # draining: ev3-ev11, dq3-dq6, f10_arrays
 # /f12-f19, corpus_*, text_* remainder, sim_* remainder
 # (hard_negatives/label_centroids/matryoshka/quantize_int8/pca),
