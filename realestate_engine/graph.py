@@ -1562,3 +1562,121 @@ def graph_mis_luby(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select("round", "n_selected", "n_undecided_after", "mis_size", "is_independent")
         .orderBy("round")
     )
+
+
+# --- Adamic-Adar link prediction (common-neighbor scoring) -------------------
+
+_AA_ORACLE = """
+    WITH pairs AS (
+        SELECT a.l_partkey AS u, b.l_partkey AS v
+        FROM lineitem a JOIN lineitem b
+          ON a.l_orderkey = b.l_orderkey AND a.l_partkey < b.l_partkey
+        GROUP BY 1, 2
+        HAVING COUNT(*) >= 2
+    ),
+    edges AS MATERIALIZED (
+        SELECT u AS n, v AS nbr FROM pairs
+        UNION ALL
+        SELECT v AS n, u AS nbr FROM pairs
+    ),
+    deg AS (SELECT n, CAST(COUNT(*) AS BIGINT) AS d FROM edges GROUP BY n),
+    cand AS (
+        SELECT e1.nbr AS u, e2.nbr AS v,
+               CAST(COUNT(*) AS BIGINT) AS common_neighbors,
+               CAST(SUM(CAST(FLOOR(1000000.0 / LN(CAST(dw.d AS DOUBLE))) AS BIGINT))
+                    AS BIGINT) AS aa_micro
+        FROM edges e1
+        JOIN edges e2 ON e2.n = e1.n AND e1.nbr < e2.nbr
+        JOIN deg dw ON dw.n = e1.n
+        GROUP BY 1, 2
+    ),
+    nonadj AS (
+        SELECT c.* FROM cand c
+        ANTI JOIN pairs p ON p.u = c.u AND p.v = c.v
+    )
+    SELECT n.u, n.v, n.common_neighbors, n.aa_micro,
+           CAST(n.common_neighbors * 1000000
+                // (du.d + dv.d - n.common_neighbors) AS BIGINT) AS jaccard_micro
+    FROM nonadj n
+    JOIN deg du ON du.n = n.u
+    JOIN deg dv ON dv.n = n.v
+    ORDER BY n.aa_micro DESC, n.u, n.v
+    LIMIT 25
+"""
+
+
+@register("graph_adamic_adar", _AA_ORACLE)
+def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Link prediction over the min-support part co-purchase graph:
+    for every NON-adjacent pair with at least one common neighbor,
+    the Adamic-Adar score (sum over common neighbors w of 1/ln(deg w))
+    plus the common-neighbor count and Jaccard coefficient — the three
+    classic neighborhood predictors, top-25 by AA. In an LLM-data
+    pipeline this is the "suggest near-duplicate clusters to merge /
+    related-document candidates" primitive over any co-occurrence
+    projection.
+
+    Determinism: each AA term is floored to integer micro-units BEFORE
+    the sum (FLOOR(1e6/ln d) — identical IEEE double division in both
+    engines), so the aggregate is an order-free BIGINT sum, never a
+    float accumulation; Jaccard is integer micro-division. A common
+    neighbor is adjacent to both endpoints, so deg(w) >= 2 and
+    ln(deg w) > 0 — no division hazard.
+
+    Scale: candidate volume is sum-of-deg^2 over shared neighbors —
+    the same wedge bound as the triangle census, tamed by the
+    min-support sparsifier (measured: keeps the edge set ~3k across
+    SFs while the raw projection grows 8.9k -> 1.2M). At 100 TB the
+    additional controls are a per-node neighbor cap before the wedge
+    join and/or degree-thresholding hubs, both one filter on deg —
+    the plan shape (broadcast deg, one self-join, one hash agg,
+    anti-join to drop known edges) is unchanged. Reference has no
+    graph surface (north-star territory; cf. dedup clustering,
+    dedup.py:385)."""
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_partkey")
+    a, b = li.alias("a"), li.alias("b")
+    pairs = cache_once(
+        a.join(
+            b,
+            (F.col("a.l_orderkey") == F.col("b.l_orderkey"))
+            & (F.col("a.l_partkey") < F.col("b.l_partkey")),
+        )
+        .groupBy(F.col("a.l_partkey").alias("u"), F.col("b.l_partkey").alias("v"))
+        .agg(F.count(F.lit(1)).alias("w"))
+        .filter(F.col("w") >= _MIN_SUPPORT)
+        .select("u", "v")
+    )
+    edges = pairs.select(F.col("u").alias("n"), F.col("v").alias("nbr")).unionAll(
+        pairs.select(F.col("v").alias("n"), F.col("u").alias("nbr"))
+    )
+    deg = edges.groupBy("n").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    e1, e2 = edges.alias("e1"), edges.alias("e2")
+    cand = (
+        e1.join(e2, (F.col("e2.n") == F.col("e1.n")) & (F.col("e1.nbr") < F.col("e2.nbr")))
+        .join(F.broadcast(deg.alias("dw")), F.col("dw.n") == F.col("e1.n"))
+        .groupBy(F.col("e1.nbr").alias("u"), F.col("e2.nbr").alias("v"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("common_neighbors"),
+            F.sum(F.floor(F.lit(1000000.0) / F.log(F.col("dw.d").cast("double"))))
+            .cast("bigint")
+            .alias("aa_micro"),
+        )
+    )
+    nonadj = cand.join(pairs, ["u", "v"], "left_anti")
+    du, dv = deg.alias("du"), deg.alias("dv")
+    return (
+        nonadj.join(F.broadcast(du), F.col("du.n") == F.col("u"))
+        .join(F.broadcast(dv), F.col("dv.n") == F.col("v"))
+        .select(
+            "u",
+            "v",
+            "common_neighbors",
+            "aa_micro",
+            F.expr(
+                "CAST(common_neighbors * 1000000 DIV (du.d + dv.d - common_neighbors)"
+                " AS BIGINT)"
+            ).alias("jaccard_micro"),
+        )
+        .orderBy(F.col("aa_micro").desc(), "u", "v")
+        .limit(25)
+    )

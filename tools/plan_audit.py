@@ -194,6 +194,7 @@ ALLOWED_LOCAL = {
     "dq15_observe_metrics",  # returns the O(1) Observation metric record of a real write job
     "mm_phash_dct",  # 128-row fixed-point DCT cosine basis dim (broadcast VALUES, not data)
     "ev18_shapley_attribution",  # 3-row channel VALUES dim (broadcast)
+    "ev26_markov_stationary",  # K x K transition matrix localCheckpointed (model state; K = event types)
 }
 
 
