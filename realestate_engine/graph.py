@@ -204,6 +204,30 @@ _LP_ORACLE = f"""
 """
 
 
+def lp_labels(edges_p: DataFrame, rounds: int = 3) -> DataFrame:
+    """Synchronous label propagation over a cached src-partitioned edge
+    list: ``rounds`` iterations of neighbor-majority vote (ties broken
+    by smallest label), returning (node, label). Deterministic — no
+    RNG, no update-order dependence — so oracle SQL can unroll the
+    identical recurrence. Shared by graph_label_propagation and
+    graph_modularity."""
+    labels = edges_p.select(F.col("src").alias("node")).distinct().select(
+        "node", F.col("node").alias("label")
+    )
+    for _ in range(rounds):
+        votes = (
+            edges_p.join(labels.select(F.col("node").alias("dst"), "label"), "dst")
+            .groupBy("src", "label")
+            .agg(F.count(F.lit(1)).alias("cnt"))
+        )
+        labels = (
+            votes.groupBy("src")
+            .agg(F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("neg"))).alias("top"))
+            .select(F.col("src").alias("node"), (-F.col("top.neg")).alias("label"))
+        )
+    return labels
+
+
 @register("graph_label_propagation", _LP_ORACLE)
 def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     """G3: synchronous label propagation (3 rounds) over the trade
@@ -218,28 +242,131 @@ def graph_label_propagation(spark: SparkSession, sf_dir: str) -> DataFrame:
     Oracle: the identical recurrence unrolled as three chained CTEs
     (integer counts + integer labels — no float anywhere, so the
     argmax is bit-exact); tests additionally re-run it in pure Python."""
-    from pyspark.sql import Window
-
     edges = trade_edges(spark, sf_dir)
     edges_p = cache_once(edges.repartition("src"))
-    labels = edges_p.select(F.col("src").alias("node")).distinct().select(
-        "node", F.col("node").alias("label")
-    )
-    for _ in range(3):
-        votes = (
-            edges_p.join(labels.select(F.col("node").alias("dst"), "label"), "dst")
-            .groupBy("src", "label")
-            .agg(F.count(F.lit(1)).alias("cnt"))
-        )
-        labels = (
-            votes.groupBy("src")
-            .agg(F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("neg"))).alias("top"))
-            .select(F.col("src").alias("node"), (-F.col("top.neg")).alias("label"))
-        )
+    labels = lp_labels(edges_p, 3)
     return (
         labels.groupBy("label")
         .agg(F.count(F.lit(1)).cast("bigint").alias("size"))
         .select(F.col("label").cast("bigint").alias("community"), "size")
+        .orderBy(F.desc("size"), "community")
+        .limit(25)
+    )
+
+
+# Newman modularity term for one community, as ONE shared SQL text used
+# verbatim on both engines: counts stay BIGINT up to the final two IEEE
+# steps (correctly-rounded double divide/multiply, then FLOOR), so the
+# expression is bit-reproducible cross-engine at any graph size —
+# unlike an all-integer e*1e9//m form, whose numerator overflows BIGINT
+# once the directed edge count passes ~9e9 (a 100 TB graph would).
+_MODULARITY_TERM = (
+    "CAST(FLOOR(CAST(within_directed AS DOUBLE) / CAST(m2 AS DOUBLE)"
+    " * 1000000000) - FLOOR(CAST(degree_sum AS DOUBLE) / CAST(m2 AS DOUBLE)"
+    " * (CAST(degree_sum AS DOUBLE) / CAST(m2 AS DOUBLE))"
+    " * 1000000000) AS BIGINT)"
+)
+
+_MODULARITY_ORACLE = f"""
+    WITH pairs AS (
+        SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    edges AS (
+        SELECT c AS src, s AS dst FROM pairs
+        UNION ALL
+        SELECT s AS src, c AS dst FROM pairs
+    ),
+    l0 AS (SELECT DISTINCT src AS node, src AS label FROM edges),
+    {_lp_round_sql("l0", "l1")},
+    {_lp_round_sql("l1", "l2")},
+    {_lp_round_sql("l2", "l3")},
+    deg AS (SELECT src, COUNT(*) AS d FROM edges GROUP BY src),
+    tot AS (SELECT COUNT(*) AS m2 FROM edges),
+    comm AS (
+        SELECT l.label AS community, COUNT(*) AS size,
+               SUM(deg.d) AS degree_sum
+        FROM l3 l JOIN deg ON deg.src = l.node
+        GROUP BY l.label
+    ),
+    within AS (
+        SELECT ls.label AS community, COUNT(*) AS e_dir
+        FROM edges e
+        JOIN l3 ls ON ls.node = e.src
+        JOIN l3 ld ON ld.node = e.dst
+        WHERE ls.label = ld.label
+        GROUP BY ls.label
+    ),
+    terms AS (
+        SELECT c.community, c.size, c.degree_sum,
+               COALESCE(w.e_dir, 0) AS within_directed, tot.m2
+        FROM comm c LEFT JOIN within w ON w.community = c.community, tot
+    )
+    SELECT CAST(community AS BIGINT) AS community,
+           CAST(size AS BIGINT) AS size,
+           CAST(degree_sum AS BIGINT) AS degree_sum,
+           CAST(within_directed AS BIGINT) AS within_directed,
+           {_MODULARITY_TERM} AS modularity_term_nano
+    FROM terms
+    ORDER BY size DESC, community
+    LIMIT 25
+"""
+
+
+@register("graph_modularity", _MODULARITY_ORACLE)
+def graph_modularity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Newman modularity audit of the label-propagation communities —
+    the "did community detection find real structure" readout: for each
+    of the 25 largest LP communities, its size, degree mass d_c, count
+    of within-community directed edges e_c, and its modularity
+    contribution e_c/2m - (d_c/2m)^2 in nano units (global Q = the sum
+    of the full column; each term is independently floored, so the sum
+    is order-free). Plan shape: the LP loop reuses the cached
+    src-partitioned edge relation (lp_labels — the PageRank posture);
+    the audit itself is one node-sized label join per endpoint plus two
+    hash aggs, all keyed on node/label — no edge-sized sort, no
+    all-pairs stage. Determinism: every count is BIGINT; the only
+    floating-point is the final shared-text divide/multiply/FLOOR
+    (_MODULARITY_TERM), identical on both engines and correctly rounded
+    per IEEE-754, so hash-comparable at any SF."""
+    edges = trade_edges(spark, sf_dir)
+    edges_p = cache_once(edges.repartition("src"))
+    labels = lp_labels(edges_p, 3)
+    deg = edges_p.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    tot = edges_p.agg(F.count(F.lit(1)).alias("m2"))
+    comm = (
+        labels.join(deg, labels.node == deg.src)
+        .groupBy("label")
+        .agg(
+            F.count(F.lit(1)).alias("size"),
+            F.sum("d").alias("degree_sum"),
+        )
+        .withColumnRenamed("label", "community")
+    )
+    within = (
+        edges_p.join(labels.select(F.col("node").alias("src"), F.col("label").alias("ls")), "src")
+        .join(labels.select(F.col("node").alias("dst"), F.col("label").alias("ld")), "dst")
+        .where(F.col("ls") == F.col("ld"))
+        .groupBy(F.col("ls").alias("community"))
+        .agg(F.count(F.lit(1)).alias("e_dir"))
+    )
+    return (
+        comm.join(within, "community", "left")
+        .crossJoin(F.broadcast(tot))
+        .select(
+            F.col("community"),
+            F.col("size"),
+            F.col("degree_sum"),
+            F.coalesce("e_dir", F.lit(0)).alias("within_directed"),
+            F.col("m2"),
+        )
+        .select(
+            F.col("community").cast("bigint").alias("community"),
+            F.col("size").cast("bigint").alias("size"),
+            F.col("degree_sum").cast("bigint").alias("degree_sum"),
+            F.col("within_directed").cast("bigint").alias("within_directed"),
+            F.expr(_MODULARITY_TERM).alias("modularity_term_nano"),
+        )
         .orderBy(F.desc("size"), "community")
         .limit(25)
     )

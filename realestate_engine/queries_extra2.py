@@ -1345,3 +1345,121 @@ def a50_anova_oneway(spark: SparkSession, sf_dir: str) -> DataFrame:
             " AS f_stat_micro",
         )
     )
+
+
+# Spearman rho in micro units, as ONE shared SQL text used verbatim on
+# both engines: all rank moments are exact BIGINT; the only floating
+# point is the final sqrt/divide/multiply chain, each step correctly
+# rounded per IEEE-754 (sqrt included), so the floored micro value is
+# bit-reproducible cross-engine.
+_SPEARMAN_RHO = (
+    "CAST(CASE WHEN ssx = 0 OR ssy = 0 THEN 0 ELSE"
+    " FLOOR(CAST(sxy AS DOUBLE)"
+    " / (SQRT(CAST(ssx AS DOUBLE)) * SQRT(CAST(ssy AS DOUBLE)))"
+    " * 1000000) END AS BIGINT)"
+)
+
+_A51_ORACLE = f"""
+    WITH per_cust AS (
+        SELECT o_custkey AS ck, COUNT(*) AS n_orders,
+               SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS spend_cents
+        FROM orders GROUP BY 1
+    ),
+    labeled AS (
+        SELECT n.n_name, p.n_orders, p.spend_cents
+        FROM per_cust p
+        JOIN customer c ON c.c_custkey = p.ck
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+    ),
+    ranked AS (
+        SELECT n_name,
+               2 * RANK() OVER (PARTITION BY n_name ORDER BY n_orders)
+                 + COUNT(*) OVER (PARTITION BY n_name, n_orders) - 1 AS rx2,
+               2 * RANK() OVER (PARTITION BY n_name ORDER BY spend_cents)
+                 + COUNT(*) OVER (PARTITION BY n_name, spend_cents) - 1 AS ry2,
+               COUNT(*) OVER (PARTITION BY n_name) AS n
+        FROM labeled
+    ),
+    moms AS (
+        SELECT n_name,
+               CAST(COUNT(*) AS BIGINT) AS n_customers,
+               CAST(SUM((rx2 - (n + 1)) * (ry2 - (n + 1))) AS BIGINT) AS sxy,
+               CAST(SUM((rx2 - (n + 1)) * (rx2 - (n + 1))) AS BIGINT) AS ssx,
+               CAST(SUM((ry2 - (n + 1)) * (ry2 - (n + 1))) AS BIGINT) AS ssy
+        FROM ranked GROUP BY n_name
+    )
+    SELECT n_name AS nation, n_customers,
+           {_SPEARMAN_RHO} AS spearman_micro
+    FROM moms ORDER BY nation
+"""
+
+
+@register("a51_spearman_corr", _A51_ORACLE)
+def a51_spearman_corr(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A51: per-nation Spearman rank correlation between customer order
+    COUNT and customer total SPEND — the robust (monotone, outlier-
+    immune) complement to a8's Pearson: "do customers who order more
+    often also spend more, rank-for-rank?". Tie handling is the exact
+    textbook average-rank: carried as DOUBLED average ranks
+    (2*avg = 2*min_rank + tie_count - 1, both window functions), which
+    stay integers, and the per-partition mean of the doubled ranks is
+    EXACTLY n+1 (sum of average ranks is n(n+1)/2 regardless of ties),
+    so centered deviations are exact BIGINTs with no division — rank
+    moments never see a float. rho = sxy/sqrt(ssx*ssy) is evaluated as
+    the shared IEEE text _SPEARMAN_RHO (sqrt of each factor separately:
+    ssx*ssy as a single product would overflow BIGINT at ~55k rows per
+    group, sqrt'ing each factor is exact-rounded and never overflows).
+    Deviation products stay under 2^63 for any group below ~1.3M rows
+    (4n^3 bound); beyond that, pre-bucketing ranks or a HUGEINT-style
+    decimal(38) carry is the documented scale path. Plan: one
+    orders-sized groupBy, two node-sized joins, windows all PARTITIONED
+    by nation — no global sort, no unpartitioned window."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    per_cust = o.groupBy("o_custkey").agg(
+        F.count(F.lit(1)).alias("n_orders"),
+        F.sum("cents").alias("spend_cents"),
+    )
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    labeled = per_cust.join(
+        cust, per_cust.o_custkey == cust.c_custkey
+    ).join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey).select(
+        "n_name", "n_orders", "spend_cents"
+    )
+    wn = Window.partitionBy("n_name")
+    ranked = labeled.select(
+        "n_name",
+        (
+            2 * F.rank().over(wn.orderBy("n_orders"))
+            + F.count(F.lit(1)).over(Window.partitionBy("n_name", "n_orders"))
+            - 1
+        ).alias("rx2"),
+        (
+            2 * F.rank().over(wn.orderBy("spend_cents"))
+            + F.count(F.lit(1)).over(Window.partitionBy("n_name", "spend_cents"))
+            - 1
+        ).alias("ry2"),
+        F.count(F.lit(1)).over(wn).alias("n"),
+    )
+    moms = (
+        ranked.select(
+            "n_name",
+            (F.col("rx2") - (F.col("n") + 1)).alias("dx"),
+            (F.col("ry2") - (F.col("n") + 1)).alias("dy"),
+        )
+        .groupBy("n_name")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_customers"),
+            F.sum(F.col("dx") * F.col("dy")).cast("bigint").alias("sxy"),
+            F.sum(F.col("dx") * F.col("dx")).cast("bigint").alias("ssx"),
+            F.sum(F.col("dy") * F.col("dy")).cast("bigint").alias("ssy"),
+        )
+    )
+    return moms.select(
+        F.col("n_name").alias("nation"),
+        "n_customers",
+        F.expr(_SPEARMAN_RHO).alias("spearman_micro"),
+    ).orderBy("nation")

@@ -868,3 +868,135 @@ def ts12_cusum_changepoint(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("user_id")
     )
+
+
+# chi-square 95% critical values for df 1..7, in nano units — one
+# shared literal CASE used verbatim on both engines (the constants are
+# data, not arithmetic: any shared rounding of chi2.ppf(0.95, df) works
+# as long as the TEXT is identical on both sides).
+def _lb_crit_nano(col: str) -> str:
+    return (
+        f"CASE {col} WHEN 1 THEN 3841458821 WHEN 2 THEN 5991464547"
+        " WHEN 3 THEN 7814727903 WHEN 4 THEN 9487729037"
+        " WHEN 5 THEN 11070497693 WHEN 6 THEN 12591587244"
+        " ELSE 14067140449 END"
+    )
+
+_TS13_ORACLE = f"""
+    WITH daily AS (
+        SELECT DATE_DIFF('day', DATE '2024-01-01', ts::DATE) AS day_idx,
+               SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS v
+        FROM events GROUP BY 1
+    ),
+    nn AS (SELECT COUNT(*) AS n FROM daily),
+    mu AS (SELECT SUM(v) // COUNT(*) AS m FROM daily),
+    dev AS (SELECT day_idx, v - mu.m AS d FROM daily, mu),
+    den AS (SELECT SUM(d * d) AS ss FROM dev),
+    lags AS (SELECT UNNEST(RANGE(1, 8)) AS lag),
+    num AS (
+        SELECT l.lag, COUNT(*) AS n_pairs, SUM(a.d * b.d) AS sxy
+        FROM dev a
+        JOIN lags l ON TRUE
+        JOIN dev b ON b.day_idx = a.day_idx + l.lag
+        GROUP BY l.lag
+    ),
+    acf AS (
+        SELECT lag, n_pairs,
+               CAST(FLOOR(CAST(sxy AS DOUBLE) / CAST(den.ss AS DOUBLE)
+                          * 1000000) AS BIGINT) AS acf_micro
+        FROM num, den
+    ),
+    terms AS (
+        SELECT lag, n_pairs, acf_micro,
+               CAST(nn.n * (nn.n + 2) * acf_micro * acf_micro
+                    // (nn.n - lag) // 1000 AS BIGINT) AS lb_term_nano
+        FROM acf, nn
+    )
+    SELECT CAST(a.lag AS BIGINT) AS lag,
+           CAST(a.n_pairs AS BIGINT) AS n_pairs,
+           a.acf_micro,
+           a.lb_term_nano,
+           CAST(SUM(b.lb_term_nano) AS BIGINT) AS lb_q_nano,
+           CAST({_lb_crit_nano("a.lag")} AS BIGINT) AS chi2_crit_nano,
+           CAST(CASE WHEN SUM(b.lb_term_nano) > {_lb_crit_nano("a.lag")}
+                THEN 1 ELSE 0 END AS BIGINT) AS reject_h0
+    FROM terms a JOIN terms b ON b.lag <= a.lag
+    GROUP BY a.lag, a.n_pairs, a.acf_micro, a.lb_term_nano
+    ORDER BY lag
+"""
+
+
+@register("ts13_ljung_box", _TS13_ORACLE)
+def ts13_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS13: Ljung-Box portmanteau test on the daily event-value
+    series — Q(K) = n(n+2) * sum_{{k<=K}} r_k^2/(n-k) for K = 1..7,
+    each compared against the chi-square 95% critical value at df = K.
+    This is the HYPOTHESIS TEST the ts10 ACF diagnostic feeds ("is
+    there ANY autocorrelation up to lag K"), the standard residual
+    whiteness check after fitting ts8/ts9-style models. Builds the
+    identical centered-deviation ACF as ts10 (integer-mean centering
+    before any product — the overflow rule; one IEEE division FLOORed
+    to micros), then every Ljung-Box term is ALL-INTEGER:
+    n(n+2)*r_micro^2 // (n-k) // 1000 stays under 2^63 for any series
+    shorter than ~2.9M days, and the cumulative Q is a sum of floored
+    BIGINTs over a 7-row frame (broadcast non-equi prefix self-join, no
+    unpartitioned window). At 100 TB the raw scan collapses to O(days)
+    rows in the first agg; everything after is arithmetic on a KB
+    frame. Critical values are shared literal constants
+    (_lb_crit_nano) on both engines."""
+    ev = t(spark, sf_dir, "events").select(
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("day_idx"),
+        F.floor(F.col("value") * 1000).cast("bigint").alias("v"),
+    )
+    daily = ev.groupBy("day_idx").agg(F.sum("v").alias("v"))
+    nn = daily.agg(F.count(F.lit(1)).alias("n"))
+    mu = daily.agg(F.expr("sum(v) div count(*)").alias("m"))
+    dev = daily.crossJoin(F.broadcast(mu)).select(
+        "day_idx", (F.col("v") - F.col("m")).alias("d")
+    )
+    den = dev.agg(F.sum(F.col("d") * F.col("d")).alias("ss"))
+    a = dev.withColumn("lag", F.explode(F.array(*[F.lit(k) for k in range(1, 8)])))
+    b = dev.select(F.col("day_idx").alias("b_day"), F.col("d").alias("bd"))
+    num = (
+        a.join(F.broadcast(b), F.col("b_day") == F.col("day_idx") + F.col("lag"))
+        .groupBy("lag")
+        .agg(F.count(F.lit(1)).alias("n_pairs"), F.sum(F.col("d") * F.col("bd")).alias("sxy"))
+    )
+    acf = (
+        num.crossJoin(F.broadcast(den))
+        .select(
+            "lag",
+            "n_pairs",
+            F.expr(
+                "CAST(FLOOR(CAST(sxy AS DOUBLE) / CAST(ss AS DOUBLE) * 1000000) AS BIGINT)"
+            ).alias("acf_micro"),
+        )
+    )
+    terms = acf.crossJoin(F.broadcast(nn)).select(
+        "lag",
+        "n_pairs",
+        "acf_micro",
+        F.expr(
+            "CAST(n * (n + 2) * acf_micro * acf_micro DIV (n - lag) DIV 1000 AS BIGINT)"
+        ).alias("lb_term_nano"),
+    )
+    bterms = terms.select(
+        F.col("lag").alias("b_lag"), F.col("lb_term_nano").alias("b_term")
+    )
+    return (
+        terms.join(F.broadcast(bterms), F.col("b_lag") <= F.col("lag"))
+        .groupBy("lag", "n_pairs", "acf_micro", "lb_term_nano")
+        .agg(F.sum("b_term").cast("bigint").alias("lb_q_nano"))
+        .select(
+            F.col("lag").cast("bigint").alias("lag"),
+            F.col("n_pairs").cast("bigint").alias("n_pairs"),
+            "acf_micro",
+            "lb_term_nano",
+            "lb_q_nano",
+            F.expr(f"CAST({_lb_crit_nano('lag')} AS BIGINT)").alias("chi2_crit_nano"),
+            F.expr(
+                f"CAST(CASE WHEN lb_q_nano > {_lb_crit_nano('lag')} THEN 1 ELSE 0 END AS BIGINT)"
+            ).alias("reject_h0"),
+        )
+        .orderBy("lag")
+    )

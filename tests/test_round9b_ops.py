@@ -1,7 +1,8 @@
-"""Round-9 late-wave additions: Adamic-Adar link prediction and the
-Markov stationary distribution — each replayed exactly in Python (the
-property-test posture: the oracle proves cross-engine agreement, the
-replay proves the MATH is the one we claim)."""
+"""Round-9 late-wave additions: Adamic-Adar link prediction, the
+Markov stationary distribution, and the label-propagation modularity
+audit — each replayed exactly in Python (the property-test posture:
+the oracle proves cross-engine agreement, the replay proves the MATH
+is the one we claim)."""
 
 from __future__ import annotations
 
@@ -85,3 +86,70 @@ def test_markov_stationary_matches_exact_replay(spark, sf_dir):
         assert got[s].stationary_pico == pi.get(s, 0)
     # mass can only leak through floors / absorbing tails, never grow
     assert sum(r.stationary_pico for r in rows) <= 1_000_000_000_000
+
+
+def _trade_graph(spark, sf_dir):
+    """Symmetrized customer<->supplier trade edge list, replayed."""
+    o = {
+        r.o_orderkey: r.o_custkey
+        for r in load_table(spark, sf_dir, "orders").select("o_orderkey", "o_custkey").collect()
+    }
+    pairs = {
+        (o[r.l_orderkey] * 2, r.l_suppkey * 2 + 1)
+        for r in load_table(spark, sf_dir, "lineitem").select("l_orderkey", "l_suppkey").collect()
+    }
+    return [(c, s) for c, s in pairs] + [(s, c) for c, s in pairs]
+
+
+def test_modularity_matches_exact_replay(spark, sf_dir):
+    rows = QUERIES["graph_modularity"](spark, sf_dir).collect()
+    assert rows
+    edges = _trade_graph(spark, sf_dir)
+    nbrs = defaultdict(list)
+    for s, d in edges:
+        nbrs[s].append(d)
+    labels = {n: n for n in nbrs}
+    for _ in range(3):  # sync majority vote, ties -> smallest label
+        nxt = {}
+        for n, ns in nbrs.items():
+            votes = Counter(labels[d] for d in ns)
+            nxt[n] = min(l for l, c in votes.items() if c == max(votes.values()))
+        labels = nxt
+    m2 = len(edges)
+    size, dsum, within = Counter(), Counter(), Counter()
+    for n, ns in nbrs.items():
+        size[labels[n]] += 1
+        dsum[labels[n]] += len(ns)
+    for s, d in edges:
+        if labels[s] == labels[d]:
+            within[labels[s]] += 1
+    want = sorted(
+        (
+            (
+                c,
+                size[c],
+                dsum[c],
+                within[c],
+                math.floor(within[c] / m2 * 1_000_000_000)
+                - math.floor((dsum[c] / m2) * (dsum[c] / m2) * 1_000_000_000),
+            )
+            for c in size
+        ),
+        key=lambda t: (-t[1], t[0]),
+    )[:25]
+    got = [
+        (r.community, r.size, r.degree_sum, r.within_directed, r.modularity_term_nano)
+        for r in rows
+    ]
+    assert got == want
+    # degree mass is conserved and within-edges never exceed the total
+    assert sum(dsum.values()) == m2
+    assert sum(within.values()) <= m2
+    # Newman's bounds: Q in [-1/2, 1). On the bipartite trade graph LP
+    # labels the two SIDES (every edge crosses), so Q sits at exactly
+    # -1/2 — the textbook anti-community case, and a real negative
+    # control for the formula (a buggy sign or a dropped square would
+    # leave the band).
+    if len(want) == len(size):
+        q_nano = sum(t[4] for t in want)
+        assert -500_000_000 - len(size) <= q_nano < 1_000_000_000

@@ -62,6 +62,8 @@ ALLOWED_CROSS = {
     "ev_funnel_conversion",  # cross join of three 1-row stage counts
     "a21_skew_audit",  # broadcast 1-row key-cardinality stats
     "graph_pagerank_trade",  # broadcast 1-row node count into rank init
+    "graph_modularity",  # broadcast 1-row directed-edge-count (2m) aggregate onto the community frame
+    "ts13_ljung_box",  # ts10's 1-row mean/denominator broadcasts + non-equi prefix self-join over the 7-row lag frame
     "graph_hits_authorities",  # broadcast 1-row max-score frame per half-step renorm
     "graph_degree_distribution",  # broadcast 32-row powers-of-two constant frame
     "dedup_lsh_hot_bucket_guard",  # cross join of two 1-row stat aggregates
