@@ -51,9 +51,11 @@ registry.load_all()
 # m22_prefixspan_sequences (upgraded from rows-only to FULL oracles
 # in round 9 — driver-verifying them now records hash evidence where
 # the ledger has only rows-only rows), plus the round-9 late-wave
-# additions graph_adamic_adar, ev26_markov_stationary, and
-# graph_modularity (all sf0.001/sf0.01/sf0.1-certified on
-# arrival), then keep
+# additions graph_adamic_adar, ev26_markov_stationary,
+# graph_modularity, ts13_ljung_box, a51_spearman_corr,
+# m57_mcnemar_test, mm_bmp_roundtrip, a52_goodman_kruskal_gamma,
+# and ev27_logrank_test (all sf0.001/sf0.01/sf0.1-certified
+# on arrival), then keep
 # draining: ev3-ev11, dq3-dq6, f10_arrays
 # /f12-f19, corpus_*, text_* remainder, sim_* remainder
 # (hard_negatives/label_centroids/matryoshka/quantize_int8/pca),

@@ -154,3 +154,429 @@ def ev26_markov_stationary(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("event_type")
     )
+
+
+# --- M57: McNemar paired classifier comparison -------------------------------
+
+# chi-square(df=1) 95% critical value in micro units — a shared literal
+# (data, not arithmetic) on both engines.
+_MCNEMAR_CRIT_MICRO = 3841459
+
+_M57_ORACLE = f"""
+    WITH base AS (
+        SELECT o.o_orderkey,
+               CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents,
+               CASE WHEN o.o_orderpriority = '1-URGENT' THEN 1 ELSE 0 END AS label,
+               COUNT(*) AS n_items
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2, 3
+    ),
+    thr AS (
+        SELECT quantile_cont(cents, 0.5) AS med_cents,
+               quantile_cont(n_items, 0.5) AS med_items
+        FROM base
+    ),
+    scored AS (
+        SELECT label,
+               CASE WHEN (CASE WHEN b.cents > t.med_cents THEN 1 ELSE 0 END)
+                         = label THEN 1 ELSE 0 END AS ok_a,
+               CASE WHEN (CASE WHEN b.n_items > t.med_items THEN 1 ELSE 0 END)
+                         = label THEN 1 ELSE 0 END AS ok_b
+        FROM base b, thr t
+    ),
+    m AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(ok_a * ok_b) AS BIGINT) AS n11,
+               CAST(SUM(ok_a * (1 - ok_b)) AS BIGINT) AS n10,
+               CAST(SUM((1 - ok_a) * ok_b) AS BIGINT) AS n01,
+               CAST(SUM((1 - ok_a) * (1 - ok_b)) AS BIGINT) AS n00
+        FROM scored
+    )
+    SELECT n, n11, n10, n01, n00,
+           CAST((n11 + n10) * 1000000 // n AS BIGINT) AS acc_a_micro,
+           CAST((n11 + n01) * 1000000 // n AS BIGINT) AS acc_b_micro,
+           CAST(CASE WHEN n10 + n01 = 0 THEN 0 ELSE
+                (ABS(n10 - n01) - 1) * (ABS(n10 - n01) - 1) * 1000000
+                // (n10 + n01) END AS BIGINT) AS mcnemar_micro,
+           CAST({_MCNEMAR_CRIT_MICRO} AS BIGINT) AS chi2_crit_micro,
+           CAST(CASE WHEN n10 + n01 > 0 AND
+                (ABS(n10 - n01) - 1) * (ABS(n10 - n01) - 1) * 1000000
+                // (n10 + n01) > {_MCNEMAR_CRIT_MICRO}
+                THEN 1 ELSE 0 END AS BIGINT) AS reject_h0
+    FROM m
+"""
+
+
+@register("m57_mcnemar_test", _M57_ORACLE)
+def m57_mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M57: McNemar's test — the PAIRED classifier comparison the
+    experiment family was missing (a30 Welch and ev21's z-test compare
+    independent samples; model A vs model B evaluated on the SAME rows
+    is a matched-pairs design, and the unpaired tests overstate
+    variance). Classifier A is m28's median-price rule, classifier B a
+    median-basket-size rule, both predicting URGENT orders; the test
+    statistic uses only the DISCORDANT counts:
+    (|n10-n01|-1)^2/(n10+n01), continuity-corrected, vs chi-square(1)
+    at 95%. Exactness: thresholds are exact interpolated medians of
+    integers (the m28 quantile discipline), every count is one
+    map-side BIGINT aggregate, and the statistic is one integer
+    division in micro units ((|b-c|-1)^2*1e6 caps at ~4n^2*1e6 — under
+    2^63 for n below ~1.5M discordant pairs; past that, drop the *1e6
+    into the divisor). Plan: one orders-sized join+groupBy, a 1-row
+    broadcast threshold frame, one confusion aggregate — no shuffle
+    after the first agg."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1).otherwise(0).alias("label"),
+    )
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey")
+    base = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "cents", "label")
+        .agg(F.count(F.lit(1)).alias("n_items"))
+    )
+    thr = base.agg(
+        F.percentile("cents", F.lit(0.5)).alias("med_cents"),
+        F.percentile("n_items", F.lit(0.5)).alias("med_items"),
+    )
+    scored = base.crossJoin(F.broadcast(thr)).select(
+        F.when(
+            F.when(F.col("cents") > F.col("med_cents"), 1).otherwise(0) == F.col("label"), 1
+        ).otherwise(0).alias("ok_a"),
+        F.when(
+            F.when(F.col("n_items") > F.col("med_items"), 1).otherwise(0) == F.col("label"), 1
+        ).otherwise(0).alias("ok_b"),
+    )
+    m = scored.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum(F.col("ok_a") * F.col("ok_b")).cast("bigint").alias("n11"),
+        F.sum(F.col("ok_a") * (1 - F.col("ok_b"))).cast("bigint").alias("n10"),
+        F.sum((1 - F.col("ok_a")) * F.col("ok_b")).cast("bigint").alias("n01"),
+        F.sum((1 - F.col("ok_a")) * (1 - F.col("ok_b"))).cast("bigint").alias("n00"),
+    )
+    return m.select(
+        "n", "n11", "n10", "n01", "n00",
+        F.expr("CAST((n11 + n10) * 1000000 DIV n AS BIGINT)").alias("acc_a_micro"),
+        F.expr("CAST((n11 + n01) * 1000000 DIV n AS BIGINT)").alias("acc_b_micro"),
+        F.expr(
+            "CAST(CASE WHEN n10 + n01 = 0 THEN 0 ELSE"
+            " (ABS(n10 - n01) - 1) * (ABS(n10 - n01) - 1) * 1000000"
+            " DIV (n10 + n01) END AS BIGINT)"
+        ).alias("mcnemar_micro"),
+        F.expr(f"CAST({_MCNEMAR_CRIT_MICRO} AS BIGINT)").alias("chi2_crit_micro"),
+        F.expr(
+            "CAST(CASE WHEN n10 + n01 > 0 AND"
+            " (ABS(n10 - n01) - 1) * (ABS(n10 - n01) - 1) * 1000000"
+            f" DIV (n10 + n01) > {_MCNEMAR_CRIT_MICRO}"
+            " THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("reject_h0"),
+    )
+
+
+# --- A52: Goodman-Kruskal gamma (ordinal association) -------------------------
+
+# gamma = (C - D) / (C + D) in micro units, as ONE shared SQL text:
+# C/D are exact BIGINT pair counts; the single division runs on
+# doubles (correctly rounded, then FLOOR) because the numerator can be
+# negative and integer division disagrees between engines on negatives
+# (Spark DIV truncates toward zero, DuckDB // floors).
+_GAMMA_MICRO = (
+    "CAST(CASE WHEN c_pairs + d_pairs = 0 THEN 0 ELSE"
+    " FLOOR(CAST(c_pairs - d_pairs AS DOUBLE)"
+    " / CAST(c_pairs + d_pairs AS DOUBLE) * 1000000) END AS BIGINT)"
+)
+
+_A52_ORACLE = f"""
+    WITH per_cust AS (
+        SELECT o_custkey AS ck,
+               LEAST(COUNT(*), 10) AS x,
+               SUM(CAST(FLOOR(o_totalprice * 100) AS BIGINT)) AS spend
+        FROM orders GROUP BY 1
+    ),
+    cuts AS (
+        SELECT quantile_cont(spend,
+            [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qs
+        FROM per_cust
+    ),
+    labeled AS (
+        SELECT r.r_name, p.x,
+               1 + LEN(LIST_FILTER(cuts.qs, q -> q < p.spend)) AS dec
+        FROM per_cust p
+        JOIN customer c ON c.c_custkey = p.ck
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        JOIN region r ON r.r_regionkey = n.n_regionkey, cuts
+    ),
+    cells AS (
+        SELECT r_name, x, dec, CAST(COUNT(*) AS BIGINT) AS f
+        FROM labeled GROUP BY 1, 2, 3
+    ),
+    pairs AS (
+        SELECT a.r_name,
+               CAST(SUM(CASE WHEN b.dec > a.dec THEN a.f * b.f ELSE 0 END)
+                    AS BIGINT) AS c_pairs,
+               CAST(SUM(CASE WHEN b.dec < a.dec THEN a.f * b.f ELSE 0 END)
+                    AS BIGINT) AS d_pairs
+        FROM cells a JOIN cells b
+          ON b.r_name = a.r_name AND b.x > a.x
+        GROUP BY a.r_name
+    ),
+    tots AS (
+        SELECT r_name, CAST(SUM(f) AS BIGINT) AS n_customers
+        FROM cells GROUP BY r_name
+    )
+    SELECT t.r_name AS region, t.n_customers,
+           COALESCE(p.c_pairs, 0) AS c_pairs,
+           COALESCE(p.d_pairs, 0) AS d_pairs,
+           {_GAMMA_MICRO.replace("c_pairs", "COALESCE(p.c_pairs, 0)")
+                        .replace("d_pairs", "COALESCE(p.d_pairs, 0)")}
+               AS gamma_micro
+    FROM tots t LEFT JOIN pairs p ON p.r_name = t.r_name
+    ORDER BY region
+"""
+
+
+@register("a52_goodman_kruskal_gamma", _A52_ORACLE)
+def a52_goodman_kruskal_gamma(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A52: Goodman-Kruskal gamma — ordinal association between order
+    FREQUENCY (order count, capped at 10) and spend TIER (global exact
+    spend deciles) per region: the contingency-table rank statistic for
+    ordered categories (gamma = (C-D)/(C+D) over concordant/discordant
+    pairs, ties dropped). Completes the association family next to a8
+    Pearson (linear), a51 Spearman (continuous ranks), a28 chi-square
+    (nominal). THE SCALE POINT: naive Kendall-style pair counting is
+    O(n^2) per group; gamma aggregates FIRST into the <=10x10
+    (frequency, decile) contingency table per region, then counts pair
+    mass cell-by-cell — the quadratic runs over <=100 cells, never over
+    customers, so the plan is one orders-sized groupBy + a 1-row decile
+    broadcast + a broadcast non-equi self-join of a ~500-row cell
+    ledger. All pair counts are exact BIGINT products of counts; the
+    one division runs on doubles via the shared _GAMMA_MICRO text
+    (negative numerators: integer division semantics differ between
+    engines). Decile cuts are a23/m29's exact interpolated percentiles."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_custkey",
+        F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    per_cust = o.groupBy("o_custkey").agg(
+        F.least(F.count(F.lit(1)), F.lit(10)).alias("x"),
+        F.sum("cents").alias("spend"),
+    )
+    cuts = per_cust.agg(
+        F.percentile("spend", F.array(*[F.lit(v / 10.0) for v in range(1, 10)])).alias("qs")
+    )
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = t(spark, sf_dir, "nation").select("n_nationkey", "n_regionkey")
+    reg = t(spark, sf_dir, "region").select("r_regionkey", "r_name")
+    labeled = (
+        per_cust.join(cust, per_cust.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .join(F.broadcast(reg), nat.n_regionkey == reg.r_regionkey)
+        .crossJoin(F.broadcast(cuts))
+        .select(
+            "r_name",
+            "x",
+            (1 + F.size(F.filter(F.col("qs"), lambda q: q < F.col("spend")))).alias("dec"),
+        )
+    )
+    cells = labeled.groupBy("r_name", "x", "dec").agg(
+        F.count(F.lit(1)).cast("bigint").alias("f")
+    )
+    b = cells.select(
+        F.col("r_name").alias("b_r"), F.col("x").alias("b_x"),
+        F.col("dec").alias("b_dec"), F.col("f").alias("b_f"),
+    )
+    pairs = (
+        cells.join(
+            F.broadcast(b),
+            (F.col("b_r") == F.col("r_name")) & (F.col("b_x") > F.col("x")),
+        )
+        .groupBy("r_name")
+        .agg(
+            F.sum(F.when(F.col("b_dec") > F.col("dec"), F.col("f") * F.col("b_f")).otherwise(0))
+            .cast("bigint").alias("c_pairs"),
+            F.sum(F.when(F.col("b_dec") < F.col("dec"), F.col("f") * F.col("b_f")).otherwise(0))
+            .cast("bigint").alias("d_pairs"),
+        )
+    )
+    tots = cells.groupBy("r_name").agg(F.sum("f").cast("bigint").alias("n_customers"))
+    return (
+        tots.join(F.broadcast(pairs), "r_name", "left")
+        .select(
+            F.col("r_name").alias("region"),
+            "n_customers",
+            F.coalesce("c_pairs", F.lit(0)).alias("c_pairs"),
+            F.coalesce("d_pairs", F.lit(0)).alias("d_pairs"),
+        )
+        .select(
+            "region", "n_customers", "c_pairs", "d_pairs",
+            F.expr(_GAMMA_MICRO).alias("gamma_micro"),
+        )
+        .orderBy("region")
+    )
+
+
+# --- EV27: log-rank test (two-group survival comparison) ----------------------
+
+# Per-event-time variance term of the log-rank statistic in micro
+# units, ONE shared SQL text: every factor is an exact BIGINT product
+# kept under 2^63 (n1*n2 and n*n cap at ~(n/2)^2 and n^2; d*(n-d) at
+# n^2/4), the chain then runs on doubles (each step IEEE
+# correctly-rounded) and FLOORs — the all-integer form
+# n1*n2*d*(n-d)*1e6 would overflow BIGINT past ~30k subjects.
+_LOGRANK_V_MICRO = (
+    "CAST(FLOOR(CAST(n1r * n2r AS DOUBLE) / CAST(nr * nr AS DOUBLE)"
+    " * CAST(da * (nr - da) AS DOUBLE) / CAST(nr - 1 AS DOUBLE)"
+    " * 1000000) AS BIGINT)"
+)
+
+# chi^2 = (O1 - E1)^2 / V with O1,E1,V carried in micro units:
+# (o1*1e6 - e1_micro)^2 / v_micro is already in micro chi^2 units; the
+# square runs on doubles (its integer form crosses 2^63 past ~3k
+# events).
+_LOGRANK_CHI2_MICRO = (
+    "CAST(CASE WHEN v_micro = 0 THEN 0 ELSE"
+    " FLOOR(CAST(o1 * 1000000 - e1_micro AS DOUBLE)"
+    " * CAST(o1 * 1000000 - e1_micro AS DOUBLE)"
+    " / CAST(v_micro AS DOUBLE)) END AS BIGINT)"
+)
+
+_EV27_ORACLE = f"""
+    WITH done AS (
+        SELECT l_orderkey, MAX(CAST(l_shipdate AS DATE)) AS done_date
+        FROM lineitem GROUP BY 1
+    ),
+    subj AS (
+        SELECT DATE_DIFF('day', CAST(o.o_orderdate AS DATE), d.done_date) AS dur,
+               CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END AS ev,
+               CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END AS grp
+        FROM orders o JOIN done d ON d.l_orderkey = o.o_orderkey
+    ),
+    per AS (
+        SELECT dur,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(grp) AS BIGINT) AS n_g1,
+               CAST(SUM(ev) AS BIGINT) AS d_all,
+               CAST(SUM(ev * grp) AS BIGINT) AS d_g1
+        FROM subj GROUP BY dur
+    ),
+    at_risk AS (
+        SELECT a.dur, a.d_all AS da, a.d_g1,
+               CAST(SUM(b.n_g1) AS BIGINT) AS n1r,
+               CAST(SUM(b.n - b.n_g1) AS BIGINT) AS n2r,
+               CAST(SUM(b.n) AS BIGINT) AS nr
+        FROM per a JOIN per b ON b.dur >= a.dur
+        GROUP BY a.dur, a.d_all, a.d_g1
+    ),
+    terms AS (
+        SELECT d_g1, da,
+               CAST(da * n1r * 1000000 // nr AS BIGINT) AS e1t_micro,
+               CASE WHEN nr > 1 THEN {_LOGRANK_V_MICRO}
+                    ELSE CAST(0 AS BIGINT) END AS vt_micro
+        FROM at_risk WHERE da > 0
+    ),
+    tot AS (
+        SELECT CAST(SUM(d_g1) AS BIGINT) AS o1,
+               CAST(SUM(da) AS BIGINT) AS events_total,
+               CAST(SUM(e1t_micro) AS BIGINT) AS e1_micro,
+               CAST(SUM(vt_micro) AS BIGINT) AS v_micro
+        FROM terms
+    ),
+    sizes AS (
+        SELECT CAST(SUM(n_g1) AS BIGINT) AS n1_subjects,
+               CAST(SUM(n - n_g1) AS BIGINT) AS n2_subjects
+        FROM per
+    )
+    SELECT s.n1_subjects, s.n2_subjects, t.events_total, t.o1,
+           t.e1_micro, t.v_micro,
+           {_LOGRANK_CHI2_MICRO} AS logrank_chi2_micro,
+           CAST(3841459 AS BIGINT) AS chi2_crit_micro,
+           CAST(CASE WHEN v_micro > 0 AND {_LOGRANK_CHI2_MICRO} > 3841459
+                THEN 1 ELSE 0 END AS BIGINT) AS reject_h0
+    FROM tot t, sizes s
+"""
+
+
+@register("ev27_logrank_test", _EV27_ORACLE)
+def ev27_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EV27: log-rank test — the HYPOTHESIS TEST companion to ev13's
+    Kaplan-Meier curve (and m24's AFT fit): do high-priority orders
+    (URGENT/HIGH) ship on a different survival curve than the rest?
+    At each event time the observed group-1 events are compared to the
+    hypergeometric expectation E1_t = d_t*n1_t/n_t with variance
+    V_t = (n1 n2 / n^2) * d(n-d)/(n-1); chi^2 = (O1-E1)^2/V vs the
+    df=1 95% critical value. Exactness: subjects collapse to ONE
+    per-duration census (bounded ~130-value domain — the ev13 scale
+    shape), at-risk suffix counts come from the broadcast non-equi
+    self-join idiom, every per-time term is floored to micro BEFORE
+    the (order-free) integer sum, and the two overflow-prone squares
+    run on doubles via shared SQL texts (_LOGRANK_V_MICRO /
+    _LOGRANK_CHI2_MICRO — the integer forms cross 2^63 at ~30k
+    subjects / ~3k events). One scan, two tiny-frame joins, 1-row
+    output."""
+    li = t(spark, sf_dir, "lineitem").groupBy("l_orderkey").agg(
+        F.max(F.col("l_shipdate").cast("date")).alias("done_date")
+    )
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderstatus", "o_orderpriority"
+    )
+    subj = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        F.datediff("done_date", F.col("o_orderdate").cast("date")).alias("dur"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("ev"),
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+        .otherwise(0)
+        .alias("grp"),
+    )
+    per = subj.groupBy("dur").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("grp").cast("bigint").alias("n_g1"),
+        F.sum("ev").cast("bigint").alias("d_all"),
+        F.sum(F.col("ev") * F.col("grp")).cast("bigint").alias("d_g1"),
+    )
+    a, b = per.alias("a"), per.alias("b")
+    at_risk = (
+        a.join(F.broadcast(b), F.col("b.dur") >= F.col("a.dur"))
+        .groupBy(
+            F.col("a.dur").alias("dur"),
+            F.col("a.d_all").alias("da"),
+            F.col("a.d_g1").alias("d_g1"),
+        )
+        .agg(
+            F.sum("b.n_g1").cast("bigint").alias("n1r"),
+            F.sum(F.col("b.n") - F.col("b.n_g1")).cast("bigint").alias("n2r"),
+            F.sum("b.n").cast("bigint").alias("nr"),
+        )
+    )
+    terms = at_risk.where(F.col("da") > 0).select(
+        "d_g1",
+        "da",
+        F.expr("CAST(da * n1r * 1000000 DIV nr AS BIGINT)").alias("e1t_micro"),
+        F.when(F.col("nr") > 1, F.expr(_LOGRANK_V_MICRO))
+        .otherwise(F.lit(0).cast("long"))
+        .alias("vt_micro"),
+    )
+    tot = terms.agg(
+        F.sum("d_g1").cast("bigint").alias("o1"),
+        F.sum("da").cast("bigint").alias("events_total"),
+        F.sum("e1t_micro").cast("bigint").alias("e1_micro"),
+        F.sum("vt_micro").cast("bigint").alias("v_micro"),
+    )
+    sizes = per.agg(
+        F.sum("n_g1").cast("bigint").alias("n1_subjects"),
+        F.sum(F.col("n") - F.col("n_g1")).cast("bigint").alias("n2_subjects"),
+    )
+    return tot.crossJoin(F.broadcast(sizes)).select(
+        "n1_subjects",
+        "n2_subjects",
+        "events_total",
+        "o1",
+        "e1_micro",
+        "v_micro",
+        F.expr(_LOGRANK_CHI2_MICRO).alias("logrank_chi2_micro"),
+        F.lit(3841459).cast("bigint").alias("chi2_crit_micro"),
+        F.expr(
+            f"CAST(CASE WHEN v_micro > 0 AND {_LOGRANK_CHI2_MICRO} > 3841459"
+            " THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("reject_h0"),
+    )

@@ -334,3 +334,129 @@ def mm_ogg_crc_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("doc_id")
     )
+
+
+_BMP_ORACLE = """
+    WITH params AS (
+      SELECT doc_id AS d,
+             13 + doc_id % 12 AS w,
+             9 + doc_id % 7 AS h,
+             doc_id % 3 AS mode
+      FROM documents WHERE doc_id < 60
+    ), px AS (
+      SELECT d, w, h, mode,
+             CASE WHEN mode = 0
+                  THEN (((d + (x.x // 4) * 5 + y.y * 13) % 16) * 37 + d) % 256
+                  ELSE (d * 17 + x.x * 3 + y.y * 11) % 256 END AS r,
+             CASE WHEN mode = 0
+                  THEN (((d + (x.x // 4) * 5 + y.y * 13) % 16) * 59 + 2 * d) % 256
+                  ELSE (d * 23 + x.x * 7 + y.y * 5) % 256 END AS g,
+             CASE WHEN mode = 0
+                  THEN (((d + (x.x // 4) * 5 + y.y * 13) % 16) * 83 + 3 * d) % 256
+                  ELSE (d * 29 + x.x * 13 + y.y * 3) % 256 END AS b
+      FROM params
+      JOIN (SELECT UNNEST(RANGE(0, 25)) AS x) x ON x.x < w
+      JOIN (SELECT UNNEST(RANGE(0, 16)) AS y) y ON y.y < h
+    )
+    SELECT d AS doc_id,
+           CAST(w AS INTEGER) AS width,
+           CAST(h AS INTEGER) AS height,
+           CAST(CASE WHEN mode = 0 THEN 8 ELSE 24 END AS INTEGER) AS bpp,
+           CAST(CASE WHEN mode = 2 THEN 1 ELSE 0 END AS BIGINT) AS topdown,
+           CAST(CASE WHEN mode = 0 THEN 1 ELSE 0 END AS BIGINT) AS rle_compressed,
+           CAST(CASE WHEN mode = 0 THEN 16 ELSE 0 END AS INTEGER) AS n_palette,
+           CAST(1 AS BIGINT) AS lossless,
+           CAST(SUM(r) AS BIGINT) AS sum_r,
+           CAST(SUM(g) AS BIGINT) AS sum_g,
+           CAST(SUM(b) AS BIGINT) AS sum_b
+    FROM px
+    GROUP BY d, w, h, mode
+    ORDER BY doc_id
+"""
+
+
+@register("mm_bmp_roundtrip", _BMP_ORACLE)
+def mm_bmp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """REAL BMP/DIB round trip — the last mainstream raster container
+    missing from the codec matrix (PNG/JPEG/GIF/TIFF exist; the
+    reference decodes no media at all). Per doc a deterministic RGB
+    image is BMP-ENCODED with the pure-stdlib codec in bmp.py and
+    DECODED in the same Arrow batch, cycling by doc id through the
+    format's three structural regimes: 8-bit palettized BI_RLE8
+    (bottom-up, run-length escape codes), 24-bit BI_RGB bottom-up
+    (BGR byte order + 4-byte row-stride padding — widths 13..24 hit
+    every pad width), and 24-bit BI_RGB TOP-DOWN (negative height).
+    Every emitted column comes from the DECODED container (sums over
+    decoded RGB, lossless = decoded==source); the oracle recomputes
+    them analytically from the generation parameters, so a broken
+    stride, BGR swap, palette quad, RLE run, or row-order flip changes
+    a hash-compared value. Plan: the only shuffle moves 60 doc ids;
+    pixel work is Arrow-batched Python (the mm_wav posture)."""
+    from realestate_engine.bmp import decode_bmp, encode_bmp
+
+    def roundtrip(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        for pdf in it:
+            rows = []
+            for d in pdf["doc_id"]:
+                d = int(d)
+                w, h, mode = 13 + d % 12, 9 + d % 7, d % 3
+                if mode == 0:
+                    pal = [
+                        ((i * 37 + d) % 256, (i * 59 + 2 * d) % 256, (i * 83 + 3 * d) % 256)
+                        for i in range(16)
+                    ]
+                    idx = [
+                        (d + (x // 4) * 5 + y * 13) % 16
+                        for y in range(h)
+                        for x in range(w)
+                    ]
+                    blob = encode_bmp(w, h, idx, palette=pal, rle8=True)
+                    expected = [pal[i] for i in idx]
+                else:
+                    expected = [
+                        (
+                            (d * 17 + x * 3 + y * 11) % 256,
+                            (d * 23 + x * 7 + y * 5) % 256,
+                            (d * 29 + x * 13 + y * 3) % 256,
+                        )
+                        for y in range(h)
+                        for x in range(w)
+                    ]
+                    blob = encode_bmp(w, h, expected, topdown=(mode == 2))
+                dec = decode_bmp(blob)
+                pix = dec["pixels"]
+                rows.append(
+                    (
+                        d,
+                        dec["width"],
+                        dec["height"],
+                        dec["bpp"],
+                        1 if dec["topdown"] else 0,
+                        1 if dec["compression"] == 1 else 0,
+                        dec["n_palette"],
+                        1 if pix == expected else 0,
+                        sum(p[0] for p in pix),
+                        sum(p[1] for p in pix),
+                        sum(p[2] for p in pix),
+                    )
+                )
+            yield pd.DataFrame(
+                rows,
+                columns=[
+                    "doc_id", "width", "height", "bpp", "topdown",
+                    "rle_compressed", "n_palette", "lossless",
+                    "sum_r", "sum_g", "sum_b",
+                ],
+            )
+
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 60).select("doc_id")
+    return (
+        d.repartition(8, "doc_id")
+        .mapInPandas(
+            roundtrip,
+            "doc_id long, width int, height int, bpp int, topdown bigint, "
+            "rle_compressed bigint, n_palette int, lossless bigint, "
+            "sum_r bigint, sum_g bigint, sum_b bigint",
+        )
+        .orderBy("doc_id")
+    )

@@ -1,7 +1,9 @@
-"""Round-9 second late wave: Ljung-Box portmanteau test — replayed
-exactly in Python (the property-test posture: the oracle proves
-cross-engine agreement, the replay proves the MATH is the one we
-claim)."""
+"""Round-9 second late wave: Ljung-Box portmanteau test, per-nation
+Spearman rank correlation, McNemar's paired classifier test, the
+Goodman-Kruskal gamma ordinal association, and the two-group log-rank
+survival test — each replayed exactly in Python (the property-test
+posture: the oracle proves cross-engine agreement, the replay proves
+the MATH is the one we claim)."""
 
 from __future__ import annotations
 
@@ -117,3 +119,176 @@ def test_spearman_matches_exact_replay(spark, sf_dir):
         assert r.spearman_micro == want
         assert -1_000_001 <= r.spearman_micro <= 1_000_000
     assert {r.nation for r in rows} == set(by_nation)
+
+
+def _median_interp(values):
+    s = sorted(values)
+    n = len(s)
+    if n % 2:
+        return float(s[n // 2])
+    return (s[n // 2 - 1] + s[n // 2]) / 2.0
+
+
+def test_mcnemar_matches_exact_replay(spark, sf_dir):
+    rows = QUERIES["m57_mcnemar_test"](spark, sf_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    orders = {
+        o.o_orderkey: (round(o.o_totalprice * 100), 1 if o.o_orderpriority == "1-URGENT" else 0)
+        for o in load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice", "o_orderpriority"
+        ).collect()
+    }
+    items = Counter(
+        li.l_orderkey
+        for li in load_table(spark, sf_dir, "lineitem").select("l_orderkey").collect()
+    )
+    # population = orders WITH lineitems (the inner join's semantics;
+    # driver testdata has a few childless orders)
+    keys = [k for k in orders if items[k] > 0]
+    med_c = _median_interp([orders[k][0] for k in keys])
+    med_i = _median_interp([items[k] for k in keys])
+    n11 = n10 = n01 = n00 = 0
+    for k in keys:
+        cents, label = orders[k]
+        ok_a = (1 if cents > med_c else 0) == label
+        ok_b = (1 if items[k] > med_i else 0) == label
+        if ok_a and ok_b:
+            n11 += 1
+        elif ok_a:
+            n10 += 1
+        elif ok_b:
+            n01 += 1
+        else:
+            n00 += 1
+    n = len(keys)
+    assert (r.n, r.n11, r.n10, r.n01, r.n00) == (n, n11, n10, n01, n00)
+    assert r.acc_a_micro == (n11 + n10) * 1_000_000 // n
+    assert r.acc_b_micro == (n11 + n01) * 1_000_000 // n
+    disc = n10 + n01
+    want = 0 if disc == 0 else (abs(n10 - n01) - 1) ** 2 * 1_000_000 // disc
+    assert r.mcnemar_micro == want
+    assert r.reject_h0 == (1 if want > 3841459 else 0)
+    # the four cells partition the sample
+    assert n11 + n10 + n01 + n00 == n
+
+
+def test_gamma_matches_exact_replay(spark, sf_dir):
+    rows = QUERIES["a52_goodman_kruskal_gamma"](spark, sf_dir).collect()
+    assert rows
+    per = {}
+    for o in load_table(spark, sf_dir, "orders").select(
+        "o_custkey", "o_totalprice"
+    ).collect():
+        n, s = per.get(o.o_custkey, (0, 0))
+        per[o.o_custkey] = (n + 1, s + math.floor(o.o_totalprice * 100))
+    cust = {
+        r.c_custkey: r.c_nationkey
+        for r in load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_nationkey"
+        ).collect()
+    }
+    nat = {
+        r.n_nationkey: r.n_regionkey
+        for r in load_table(spark, sf_dir, "nation").select(
+            "n_nationkey", "n_regionkey"
+        ).collect()
+    }
+    reg = {
+        r.r_regionkey: r.r_name
+        for r in load_table(spark, sf_dir, "region").select(
+            "r_regionkey", "r_name"
+        ).collect()
+    }
+    spends = sorted(s for _, s in per.values())
+
+    def interp_q(p):
+        # quantile_cont linear interpolation on the sorted sample
+        pos = p * (len(spends) - 1)
+        lo = int(pos)
+        frac = pos - lo
+        hi = min(lo + 1, len(spends) - 1)
+        return spends[lo] + (spends[hi] - spends[lo]) * frac
+
+    qs = [interp_q(v / 10.0) for v in range(1, 10)]
+    cells = Counter()
+    for ck, (n_ord, spend) in per.items():
+        x = min(n_ord, 10)
+        dec = 1 + sum(1 for q in qs if q < spend)
+        cells[(reg[nat[cust[ck]]], x, dec)] += 1
+    got = {r.region: r for r in rows}
+    regions = {k[0] for k in cells}
+    assert set(got) == regions
+    for rname in regions:
+        rc = [(x, d, f) for (rn, x, d), f in cells.items() if rn == rname]
+        c_pairs = d_pairs = 0
+        for xa, da, fa in rc:
+            for xb, db, fb in rc:
+                if xb > xa and db > da:
+                    c_pairs += fa * fb
+                elif xb > xa and db < da:
+                    d_pairs += fa * fb
+        r = got[rname]
+        assert r.n_customers == sum(f for _, _, f in rc)
+        assert (r.c_pairs, r.d_pairs) == (c_pairs, d_pairs)
+        want = (
+            0
+            if c_pairs + d_pairs == 0
+            else math.floor((c_pairs - d_pairs) / (c_pairs + d_pairs) * 1_000_000)
+        )
+        assert r.gamma_micro == want
+        assert -1_000_001 <= r.gamma_micro <= 1_000_000
+
+
+def test_logrank_matches_exact_replay(spark, sf_dir):
+    rows = QUERIES["ev27_logrank_test"](spark, sf_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    done = {}
+    for li in load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_shipdate"
+    ).collect():
+        d = li.l_shipdate.date() if hasattr(li.l_shipdate, "date") else li.l_shipdate
+        if li.l_orderkey not in done or d > done[li.l_orderkey]:
+            done[li.l_orderkey] = d
+    subj = []
+    for o in load_table(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderstatus", "o_orderpriority"
+    ).collect():
+        if o.o_orderkey not in done:
+            continue
+        od = o.o_orderdate.date() if hasattr(o.o_orderdate, "date") else o.o_orderdate
+        subj.append(
+            (
+                (done[o.o_orderkey] - od).days,
+                1 if o.o_orderstatus == "F" else 0,
+                1 if o.o_orderpriority in ("1-URGENT", "2-HIGH") else 0,
+            )
+        )
+    per = {}
+    for dur, ev, grp in subj:
+        n, n1, da, d1 = per.get(dur, (0, 0, 0, 0))
+        per[dur] = (n + 1, n1 + grp, da + ev, d1 + ev * grp)
+    o1 = e1 = v = events = 0
+    for dur, (_, _, da, d1) in per.items():
+        if da == 0:
+            continue
+        n1r = sum(p[1] for d, p in per.items() if d >= dur)
+        nr = sum(p[0] for d, p in per.items() if d >= dur)
+        n2r = nr - n1r
+        o1 += d1
+        events += da
+        e1 += da * n1r * 1_000_000 // nr
+        if nr > 1:
+            v += math.floor(
+                (n1r * n2r) / (nr * nr) * (da * (nr - da)) / (nr - 1) * 1_000_000
+            )
+    assert (r.n1_subjects + r.n2_subjects) == len(subj)
+    assert r.n1_subjects == sum(1 for _, _, g in subj if g == 1)
+    assert (r.events_total, r.o1, r.e1_micro, r.v_micro) == (events, o1, e1, v)
+    num = o1 * 1_000_000 - e1
+    want = 0 if v == 0 else math.floor(num * num / v)  # doubles, IEEE order
+    # replicate the shared-text double chain exactly: CAST both factors
+    want = 0 if v == 0 else math.floor(float(num) * float(num) / float(v))
+    assert r.logrank_chi2_micro == want
+    assert r.reject_h0 == (1 if v > 0 and want > 3841459 else 0)

@@ -64,6 +64,9 @@ ALLOWED_CROSS = {
     "graph_pagerank_trade",  # broadcast 1-row node count into rank init
     "graph_modularity",  # broadcast 1-row directed-edge-count (2m) aggregate onto the community frame
     "ts13_ljung_box",  # ts10's 1-row mean/denominator broadcasts + non-equi prefix self-join over the 7-row lag frame
+    "m57_mcnemar_test",  # broadcast 1-row two-median threshold frame (the m28 posture)
+    "a52_goodman_kruskal_gamma",  # broadcast 1-row decile cuts + non-equi self-join over the ~500-row cell ledger
+    "ev27_logrank_test",  # ev13's at-risk suffix self-join over the ~130-row duration census + 1-row totals
     "graph_hits_authorities",  # broadcast 1-row max-score frame per half-step renorm
     "graph_degree_distribution",  # broadcast 32-row powers-of-two constant frame
     "dedup_lsh_hot_bucket_guard",  # cross join of two 1-row stat aggregates
