@@ -1807,3 +1807,100 @@ def graph_adamic_adar(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.col("aa_micro").desc(), "u", "v")
         .limit(25)
     )
+
+
+# Degree-assortativity Pearson r over directed edge endpoints, as ONE
+# shared SQL text: all moments are exact BIGINT sums (bounds in the
+# docstring), the final chain is sqrt-each-factor-then-divide on
+# doubles (the a51 Spearman posture — the ssx*ssy product would
+# overflow BIGINT long before either factor does).
+_ASSORT_R = (
+    "CAST(CASE WHEN m2 * sxx - sx * sx = 0 OR m2 * syy - sy * sy = 0 THEN 0 ELSE"
+    " FLOOR((CAST(m2 AS DOUBLE) * CAST(sxy AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sy AS DOUBLE))"
+    " / (SQRT(CAST(m2 AS DOUBLE) * CAST(sxx AS DOUBLE)"
+    " - CAST(sx AS DOUBLE) * CAST(sx AS DOUBLE))"
+    " * SQRT(CAST(m2 AS DOUBLE) * CAST(syy AS DOUBLE)"
+    " - CAST(sy AS DOUBLE) * CAST(sy AS DOUBLE)))"
+    " * 1000000) END AS BIGINT)"
+)
+
+_ASSORT_ORACLE = f"""
+    WITH pairs AS (
+        SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    edges AS (
+        SELECT c AS src, s AS dst FROM pairs
+        UNION ALL
+        SELECT s AS src, c AS dst FROM pairs
+    ),
+    deg AS (SELECT src AS node, CAST(COUNT(*) AS BIGINT) AS d
+            FROM edges GROUP BY src),
+    joined AS (
+        SELECT ds.d AS jx, dd.d AS jy
+        FROM edges e
+        JOIN deg ds ON ds.node = e.src
+        JOIN deg dd ON dd.node = e.dst
+    ),
+    moms AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS m2,
+               CAST(SUM(jx) AS BIGINT) AS sx,
+               CAST(SUM(jy) AS BIGINT) AS sy,
+               CAST(SUM(jx * jx) AS BIGINT) AS sxx,
+               CAST(SUM(jy * jy) AS BIGINT) AS syy,
+               CAST(SUM(jx * jy) AS BIGINT) AS sxy
+        FROM joined
+    )
+    SELECT m2 AS n_directed_edges, sx AS sum_src_deg, sxy AS sum_deg_product,
+           {_ASSORT_R} AS assortativity_micro
+    FROM moms
+"""
+
+
+@register("graph_degree_assortativity", _ASSORT_ORACLE)
+def graph_degree_assortativity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Degree assortativity of the trade graph — Newman's r: the
+    Pearson correlation of (deg(src), deg(dst)) over directed edges,
+    the "do hubs attach to hubs" readout (bipartite trade graphs are
+    typically DISassortative: high-degree suppliers serve long tails
+    of low-degree customers). Plan: degrees are one zero-shuffle
+    partial agg off the cached src-partitioned edges; the endpoint
+    join is two node-keyed hash joins; moments are ONE map-side
+    aggregate. Exactness: all six moments are BIGINT sums — with
+    64-bit headroom up to ~3e5 max degree at 1e8 directed edges
+    (m2*sxx is the binding term; past that, center degrees on the
+    integer mean first, the ts10 rule) — and the final r is the
+    shared-text IEEE chain _ASSORT_R (sqrt each variance factor
+    separately, never their product). By symmetry of the
+    bidirectional edge list sx=sy and sxx=syy; both are still
+    computed independently so the oracle cross-checks the join, and
+    the symmetry is pinned in tests."""
+    edges = trade_edges(spark, sf_dir)
+    edges_p = cache_once(edges.repartition("src"))
+    deg = edges_p.groupBy("src").agg(F.count(F.lit(1)).cast("bigint").alias("d"))
+    joined = (
+        edges_p.join(
+            deg.select(F.col("src").alias("e_src"), F.col("d").alias("jx")),
+            F.col("src") == F.col("e_src"),
+        )
+        .join(
+            deg.select(F.col("src").alias("e_dst"), F.col("d").alias("jy")),
+            F.col("dst") == F.col("e_dst"),
+        )
+        .select("jx", "jy")
+    )
+    moms = joined.agg(
+        F.count(F.lit(1)).cast("bigint").alias("m2"),
+        F.sum("jx").cast("bigint").alias("sx"),
+        F.sum("jy").cast("bigint").alias("sy"),
+        F.sum(F.col("jx") * F.col("jx")).cast("bigint").alias("sxx"),
+        F.sum(F.col("jy") * F.col("jy")).cast("bigint").alias("syy"),
+        F.sum(F.col("jx") * F.col("jy")).cast("bigint").alias("sxy"),
+    )
+    return moms.select(
+        F.col("m2").alias("n_directed_edges"),
+        F.col("sx").alias("sum_src_deg"),
+        F.col("sxy").alias("sum_deg_product"),
+        F.expr(_ASSORT_R).alias("assortativity_micro"),
+    )

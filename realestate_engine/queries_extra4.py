@@ -580,3 +580,100 @@ def ev27_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
             " THEN 1 ELSE 0 END AS BIGINT)"
         ).alias("reject_h0"),
     )
+
+
+# --- A53: mutual information (discrete, exact-margin census) ------------------
+
+# Per-cell MI contribution in micro-nats, ONE shared SQL text: counts
+# are exact BIGINT; LN of the rational n_ij*N/(n_i*n_j) is one IEEE op
+# (the ev13/t28 precedent), scaled/divided/FLOORed in a fixed chain so
+# the per-cell integer is bit-reproducible and the total MI is an
+# order-free BIGINT sum of the column.
+_MI_TERM = (
+    "CAST(FLOOR(CAST(n_ij AS DOUBLE)"
+    " * LN(CAST(n_ij AS DOUBLE) * CAST(n_all AS DOUBLE)"
+    " / (CAST(n_i AS DOUBLE) * CAST(n_j AS DOUBLE)))"
+    " / CAST(n_all AS DOUBLE) * 1000000) AS BIGINT)"
+)
+
+_A53_ORACLE = f"""
+    WITH base AS (
+        SELECT o_orderpriority AS pr,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    cuts AS (
+        SELECT quantile_cont(cents,
+            [0.1, 0.2, 0.3, 0.4, 0.5, 0.6, 0.7, 0.8, 0.9]) AS qs
+        FROM base
+    ),
+    labeled AS (
+        SELECT pr, 1 + LEN(LIST_FILTER(cuts.qs, q -> q < base.cents)) AS dec
+        FROM base, cuts
+    ),
+    cells AS (
+        SELECT pr, dec, CAST(COUNT(*) AS BIGINT) AS n_ij
+        FROM labeled GROUP BY 1, 2
+    ),
+    mi AS (SELECT pr, CAST(SUM(n_ij) AS BIGINT) AS n_i FROM cells GROUP BY pr),
+    mj AS (SELECT dec, CAST(SUM(n_ij) AS BIGINT) AS n_j FROM cells GROUP BY dec),
+    nall AS (SELECT CAST(SUM(n_ij) AS BIGINT) AS n_all FROM cells)
+    SELECT c.pr AS priority,
+           CAST(c.dec AS BIGINT) AS decile,
+           c.n_ij, mi.n_i, mj.n_j,
+           {_MI_TERM} AS mi_term_micronat
+    FROM cells c
+    JOIN mi ON mi.pr = c.pr
+    JOIN mj ON mj.dec = c.dec
+    CROSS JOIN nall
+    ORDER BY priority, decile
+"""
+
+
+@register("a53_mutual_information", _A53_ORACLE)
+def a53_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A53: discrete mutual information between order PRIORITY and
+    spend DECILE — the model-free dependence measure completing the
+    association family (a8 Pearson: linear; a51 Spearman: monotone;
+    a52 gamma: ordinal; a28 chi-square: tests independence but does
+    not QUANTIFY shared information). Emits the full 5x10 cell table
+    with margins and per-cell contribution n_ij/N * ln(n_ij*N/(n_i*n_j))
+    in micro-nats; total MI = the order-free BIGINT sum of the column
+    (negative cells are real — pointwise MI is signed; only the total
+    is non-negative, pinned in tests up to per-cell floor slack).
+    Scale shape: one orders-sized scan collapses to <=50 cells (the
+    a52 aggregate-first posture), margins and N are tiny-frame
+    re-aggregations of the CELLS (never a second scan), and the one
+    transcendental runs on already-exact integers via the shared
+    _MI_TERM text."""
+    base = t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("pr"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    cuts = base.agg(
+        F.percentile("cents", F.array(*[F.lit(v / 10.0) for v in range(1, 10)])).alias("qs")
+    )
+    labeled = base.crossJoin(F.broadcast(cuts)).select(
+        "pr",
+        (1 + F.size(F.filter(F.col("qs"), lambda q: q < F.col("cents")))).alias("dec"),
+    )
+    cells = labeled.groupBy("pr", "dec").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_ij")
+    )
+    mi = cells.groupBy("pr").agg(F.sum("n_ij").cast("bigint").alias("n_i"))
+    mj = cells.groupBy("dec").agg(F.sum("n_ij").cast("bigint").alias("n_j"))
+    nall = cells.agg(F.sum("n_ij").cast("bigint").alias("n_all"))
+    return (
+        cells.join(F.broadcast(mi), "pr")
+        .join(F.broadcast(mj), "dec")
+        .crossJoin(F.broadcast(nall))
+        .select(
+            F.col("pr").alias("priority"),
+            F.col("dec").cast("bigint").alias("decile"),
+            "n_ij",
+            "n_i",
+            "n_j",
+            F.expr(_MI_TERM).alias("mi_term_micronat"),
+        )
+        .orderBy("priority", "decile")
+    )

@@ -1016,3 +1016,144 @@ def x35_checkpoint_equivalence(spark: SparkSession, sf_dir: str) -> DataFrame:
             ).alias("checkpoint_equivalent"),
         )
     )
+
+
+# --- X36: write-audit-publish (staged commit quality gate) --------------------
+
+_WAP_NULL_LIMIT_MICRO = 30_000  # publish gate: <= 3% nulls per commit
+
+
+@register(
+    "x36_write_audit_publish",
+    f"""
+    WITH staged AS (
+        SELECT doc_id AS file_id,
+               doc_id // 4 AS version,
+               CASE WHEN doc_id = 13 THEN CAST(0 AS BIGINT)
+                    ELSE CAST(100 + doc_id * 7 AS BIGINT) END AS rows_count,
+               CASE WHEN doc_id % 5 = 0
+                    THEN CAST((100 + doc_id * 7) // 10 AS BIGINT)
+                    ELSE CAST(doc_id % 7 AS BIGINT) END AS null_count
+        FROM documents WHERE doc_id < 38
+    ),
+    commits AS (
+        SELECT version,
+               CAST(COUNT(*) AS BIGINT) AS n_files,
+               CAST(SUM(rows_count) AS BIGINT) AS total_rows,
+               CAST(SUM(null_count) AS BIGINT) AS total_nulls,
+               CAST(MIN(rows_count) AS BIGINT) AS min_file_rows
+        FROM staged GROUP BY version
+    ),
+    audited AS (
+        SELECT version, n_files, total_rows, total_nulls,
+               CAST(total_nulls * 1000000 // total_rows AS BIGINT)
+                   AS null_ratio_micro,
+               CAST(CASE WHEN total_nulls * 1000000 // total_rows
+                         <= {_WAP_NULL_LIMIT_MICRO} THEN 1 ELSE 0 END AS BIGINT)
+                   AS rule_nulls_ok,
+               CAST(CASE WHEN min_file_rows > 0 THEN 1 ELSE 0 END AS BIGINT)
+                   AS rule_nonempty_ok,
+               CAST(CASE WHEN n_files >= 4 THEN 1 ELSE 0 END AS BIGINT)
+                   AS rule_minfiles_ok
+        FROM commits
+    ),
+    gated AS (
+        SELECT *,
+               CAST(rule_nulls_ok * rule_nonempty_ok * rule_minfiles_ok
+                    AS BIGINT) AS published
+        FROM audited
+    )
+    SELECT a.version AS version, a.n_files, a.total_rows, a.total_nulls,
+           a.null_ratio_micro, a.rule_nulls_ok, a.rule_nonempty_ok,
+           a.rule_minfiles_ok, a.published,
+           CAST(COALESCE(SUM(b.total_rows * b.published), 0) AS BIGINT)
+               AS snapshot_rows
+    FROM gated a LEFT JOIN gated b ON b.version <= a.version
+    GROUP BY a.version, a.n_files, a.total_rows, a.total_nulls,
+             a.null_ratio_micro, a.rule_nulls_ok, a.rule_nonempty_ok,
+             a.rule_minfiles_ok, a.published
+    ORDER BY version
+    """,
+)
+def x36_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X36: write-audit-publish — the staged-commit quality gate
+    (Iceberg audit branches / LakeFS pre-merge hooks / Delta WAP): a
+    writer stages each commit's files to an unpublished branch, an
+    AUDIT pass evaluates declarative expectations per commit, and only
+    commits that pass every rule are atomically published; failing
+    commits are quarantined wholesale, never partially visible. The
+    log is generated deterministically from doc ids (10 commits x 4
+    files; one planted empty file, periodic high-null files, one
+    short commit) so all three rules — null ratio <= 3%, no empty
+    file, >= 4 files — fire somewhere. The audit is ONE metadata-sized
+    aggregate per commit (the x31 posture: at 100 TB the log is KB of
+    metadata while the data is TB — the gate must never rescan data),
+    and the published snapshot's cumulative row count folds through
+    the broadcast non-equi prefix self-join over the 10-row commit
+    ledger. Pairs with dq_expectations (row-level audit) and x31
+    (post-publish replay): this is the op that keeps bad commits OUT
+    of the log rather than reconciling them after."""
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 38)
+    staged = d.select(
+        F.col("doc_id").alias("file_id"),
+        F.expr("doc_id div 4").alias("version"),
+        F.when(F.col("doc_id") == 13, F.lit(0))
+        .otherwise(F.lit(100) + F.col("doc_id") * 7)
+        .cast("bigint")
+        .alias("rows_count"),
+        F.when(F.col("doc_id") % 5 == 0, F.expr("(100 + doc_id * 7) div 10"))
+        .otherwise(F.col("doc_id") % 7)
+        .cast("bigint")
+        .alias("null_count"),
+    )
+    commits = staged.groupBy("version").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_files"),
+        F.sum("rows_count").cast("bigint").alias("total_rows"),
+        F.sum("null_count").cast("bigint").alias("total_nulls"),
+        F.min("rows_count").cast("bigint").alias("min_file_rows"),
+    )
+    audited = commits.select(
+        "version",
+        "n_files",
+        "total_rows",
+        "total_nulls",
+        F.expr("CAST(total_nulls * 1000000 DIV total_rows AS BIGINT)").alias(
+            "null_ratio_micro"
+        ),
+        F.expr(
+            f"CAST(CASE WHEN total_nulls * 1000000 DIV total_rows"
+            f" <= {_WAP_NULL_LIMIT_MICRO} THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("rule_nulls_ok"),
+        F.expr("CAST(CASE WHEN min_file_rows > 0 THEN 1 ELSE 0 END AS BIGINT)").alias(
+            "rule_nonempty_ok"
+        ),
+        F.expr("CAST(CASE WHEN n_files >= 4 THEN 1 ELSE 0 END AS BIGINT)").alias(
+            "rule_minfiles_ok"
+        ),
+    )
+    gated = audited.withColumn(
+        "published",
+        F.expr(
+            "CAST(rule_nulls_ok * rule_nonempty_ok * rule_minfiles_ok AS BIGINT)"
+        ),
+    )
+    b = gated.select(
+        F.col("version").alias("b_version"),
+        (F.col("total_rows") * F.col("published")).alias("b_pub_rows"),
+    )
+    return (
+        gated.join(F.broadcast(b), F.col("b_version") <= F.col("version"), "left")
+        .groupBy(
+            "version", "n_files", "total_rows", "total_nulls",
+            "null_ratio_micro", "rule_nulls_ok", "rule_nonempty_ok",
+            "rule_minfiles_ok", "published",
+        )
+        .agg(F.coalesce(F.sum("b_pub_rows"), F.lit(0)).cast("bigint").alias("snapshot_rows"))
+        .select(
+            F.col("version").cast("bigint").alias("version"),
+            "n_files", "total_rows", "total_nulls", "null_ratio_micro",
+            "rule_nulls_ok", "rule_nonempty_ok", "rule_minfiles_ok",
+            "published", "snapshot_rows",
+        )
+        .orderBy("version")
+    )

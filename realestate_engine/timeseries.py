@@ -1000,3 +1000,128 @@ def ts13_ljung_box(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lag")
     )
+
+
+# Per-phase between-group square term of the folding strength, ONE
+# shared SQL text. s_k (sum of centered milli deviations in one phase
+# bucket) can reach ~2.6e10 at sf0.1, so s_k^2*1e6 crosses 2^63 — the
+# square runs on doubles (identical text both engines; identical
+# rounding even past 2^53 because BOTH compute the same double).
+_TS14_SQ_TERM = (
+    "CAST(FLOOR(CAST(sk AS DOUBLE) * CAST(sk AS DOUBLE)"
+    " / CAST(nk AS DOUBLE)) AS BIGINT)"
+)
+
+_TS14_STRENGTH = (
+    "CAST(FLOOR(CAST(ssb AS DOUBLE)"
+    " / CAST(sst AS DOUBLE) * 1000000) AS BIGINT)"
+)
+
+_TS14_ORACLE = f"""
+    WITH daily AS (
+        SELECT DATE_DIFF('day', DATE '2024-01-01', ts::DATE) AS day_idx,
+               SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS v
+        FROM events GROUP BY 1
+    ),
+    mu AS (SELECT SUM(v) // COUNT(*) AS m FROM daily),
+    dev AS (SELECT day_idx, v - mu.m AS d FROM daily, mu),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_days,
+               CAST(SUM(d) AS BIGINT) AS s_tot,
+               CAST(SUM(d * d) AS BIGINT) AS sst
+        FROM dev
+    ),
+    periods AS (SELECT UNNEST(RANGE(2, 15)) AS p),
+    folded AS (
+        SELECT p.p, dev.day_idx % p.p AS phase,
+               CAST(COUNT(*) AS BIGINT) AS nk,
+               CAST(SUM(dev.d) AS BIGINT) AS sk
+        FROM dev JOIN periods p ON TRUE
+        GROUP BY 1, 2
+    ),
+    ssb AS (
+        SELECT p,
+               CAST(SUM({_TS14_SQ_TERM}) AS BIGINT)
+                 - CAST(FLOOR(CAST(ANY_VALUE(tot.s_tot) AS DOUBLE)
+                              * CAST(ANY_VALUE(tot.s_tot) AS DOUBLE)
+                              / CAST(ANY_VALUE(tot.n_days) AS DOUBLE))
+                        AS BIGINT) AS ssb
+        FROM folded, tot GROUP BY p
+    )
+    SELECT CAST(s.p AS BIGINT) AS period,
+           t.n_days,
+           s.ssb,
+           t.sst,
+           {_TS14_STRENGTH} AS strength_micro
+    FROM ssb s, tot t
+    ORDER BY period
+"""
+
+
+@register("ts14_phase_folding_periodogram", _TS14_ORACLE)
+def ts14_phase_folding_periodogram(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS14: phase-folding periodogram — period DETECTION for the daily
+    event-value series: fold the centered series by every candidate
+    period p = 2..14 and score each by the ANOVA between-phase share
+    SSB/SST (the fraction of variance the folding explains; the true
+    weekly cycle peaks at p = 7 and its harmonic 14). Complements
+    ts10/ts13 (ACF measures lag SIMILARITY, folding measures phase
+    STRUCTURE — it finds periods whose profile is not sinusoidal) and
+    ts11 (which assumes the period is known). Chosen over a Fourier
+    periodogram DELIBERATELY: cos/sin are not guaranteed identically
+    rounded across the JVM and DuckDB's libm, while folding is pure
+    integer arithmetic — counts, sums of centered milli deviations
+    (the ts10 centering rule), per-phase floored square terms — with
+    only same-text double chains at the end (_TS14_SQ_TERM runs the
+    one BIGINT-overflowing square on doubles). Scale: the scan collapses to
+    O(days) rows once; the 13-period fan-out multiplies a KB frame,
+    never the corpus."""
+    ev = t(spark, sf_dir, "events").select(
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("day_idx"),
+        F.floor(F.col("value") * 1000).cast("bigint").alias("v"),
+    )
+    daily = ev.groupBy("day_idx").agg(F.sum("v").alias("v"))
+    mu = daily.agg(F.expr("sum(v) div count(*)").alias("m"))
+    dev = daily.crossJoin(F.broadcast(mu)).select(
+        "day_idx", (F.col("v") - F.col("m")).alias("d")
+    )
+    tot = dev.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_days"),
+        F.sum("d").cast("bigint").alias("s_tot"),
+        F.sum(F.col("d") * F.col("d")).cast("bigint").alias("sst"),
+    )
+    folded = (
+        dev.withColumn("p", F.explode(F.array(*[F.lit(k) for k in range(2, 15)])))
+        .groupBy("p", (F.col("day_idx") % F.col("p")).alias("phase"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("nk"),
+            F.sum("d").cast("bigint").alias("sk"),
+        )
+    )
+    ssb = (
+        folded.crossJoin(F.broadcast(tot))
+        .groupBy("p")
+        .agg(
+            (
+                F.sum(F.expr(_TS14_SQ_TERM))
+                - F.expr(
+                    "CAST(FLOOR(CAST(ANY_VALUE(s_tot) AS DOUBLE)"
+                    " * CAST(ANY_VALUE(s_tot) AS DOUBLE)"
+                    " / CAST(ANY_VALUE(n_days) AS DOUBLE)) AS BIGINT)"
+                )
+            )
+            .cast("bigint")
+            .alias("ssb")
+        )
+    )
+    return (
+        ssb.crossJoin(F.broadcast(tot))
+        .select(
+            F.col("p").cast("bigint").alias("period"),
+            "n_days",
+            "ssb",
+            "sst",
+            F.expr(_TS14_STRENGTH).alias("strength_micro"),
+        )
+        .orderBy("period")
+    )

@@ -1,9 +1,11 @@
 """Round-9 second late wave: Ljung-Box portmanteau test, per-nation
 Spearman rank correlation, McNemar's paired classifier test, the
-Goodman-Kruskal gamma ordinal association, and the two-group log-rank
-survival test — each replayed exactly in Python (the property-test
-posture: the oracle proves cross-engine agreement, the replay proves
-the MATH is the one we claim)."""
+Goodman-Kruskal gamma ordinal association, the two-group log-rank
+survival test, degree assortativity, discrete mutual information, and
+the phase-folding periodogram, and the write-audit-publish gate —
+each replayed exactly in Python (the property-test posture: the
+oracle proves cross-engine agreement, the replay proves the MATH is
+the one we claim)."""
 
 from __future__ import annotations
 
@@ -292,3 +294,158 @@ def test_logrank_matches_exact_replay(spark, sf_dir):
     want = 0 if v == 0 else math.floor(float(num) * float(num) / float(v))
     assert r.logrank_chi2_micro == want
     assert r.reject_h0 == (1 if v > 0 and want > 3841459 else 0)
+
+
+def test_assortativity_matches_exact_replay(spark, sf_dir):
+    rows = QUERIES["graph_degree_assortativity"](spark, sf_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    o = {
+        x.o_orderkey: x.o_custkey
+        for x in load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey"
+        ).collect()
+    }
+    pairs = {
+        (o[li.l_orderkey] * 2, li.l_suppkey * 2 + 1)
+        for li in load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_suppkey"
+        ).collect()
+    }
+    edges = [(c, s) for c, s in pairs] + [(s, c) for c, s in pairs]
+    deg = Counter(s for s, _ in edges)
+    jx = [deg[s] for s, d in edges]
+    jy = [deg[d] for s, d in edges]
+    m2 = len(edges)
+    sx, sy = sum(jx), sum(jy)
+    sxx = sum(v * v for v in jx)
+    syy = sum(v * v for v in jy)
+    sxy = sum(a * b for a, b in zip(jx, jy))
+    assert (r.n_directed_edges, r.sum_src_deg, r.sum_deg_product) == (m2, sx, sxy)
+    # symmetry of the bidirectional edge list
+    assert sx == sy and sxx == syy
+    vx, vy = m2 * sxx - sx * sx, m2 * syy - sy * sy
+    want = (
+        0
+        if vx == 0 or vy == 0
+        else math.floor(
+            (float(m2) * float(sxy) - float(sx) * float(sy))
+            / (math.sqrt(float(m2) * float(sxx) - float(sx) * float(sx))
+               * math.sqrt(float(m2) * float(syy) - float(sy) * float(sy)))
+            * 1_000_000
+        )
+    )
+    assert r.assortativity_micro == want
+    # bipartite trade graph: hubs serve long tails -> disassortative
+    assert r.assortativity_micro < 0
+
+
+def test_mutual_information_matches_exact_replay(spark, sf_dir):
+    rows = QUERIES["a53_mutual_information"](spark, sf_dir).collect()
+    assert rows
+    base = [
+        (x.o_orderpriority, round(x.o_totalprice * 100))
+        for x in load_table(spark, sf_dir, "orders").select(
+            "o_orderpriority", "o_totalprice"
+        ).collect()
+    ]
+    cents = sorted(c for _, c in base)
+
+    def interp_q(p):
+        pos = p * (len(cents) - 1)
+        lo = int(pos)
+        hi = min(lo + 1, len(cents) - 1)
+        return cents[lo] + (cents[hi] - cents[lo]) * (pos - lo)
+
+    qs = [interp_q(v / 10.0) for v in range(1, 10)]
+    cells, mi_m, mj_m = Counter(), Counter(), Counter()
+    for pr, c in base:
+        dec = 1 + sum(1 for q in qs if q < c)
+        cells[(pr, dec)] += 1
+        mi_m[pr] += 1
+        mj_m[dec] += 1
+    n_all = len(base)
+    got = {(r.priority, r.decile): r for r in rows}
+    assert set(got) == set(cells)
+    total = 0
+    for (pr, dec), n_ij in cells.items():
+        r = got[(pr, dec)]
+        assert (r.n_ij, r.n_i, r.n_j) == (n_ij, mi_m[pr], mj_m[dec])
+        want = math.floor(
+            float(n_ij)
+            * math.log(float(n_ij) * float(n_all) / (float(mi_m[pr]) * float(mj_m[dec])))
+            / float(n_all)
+            * 1_000_000
+        )
+        assert r.mi_term_micronat == want
+        total += want
+    # total MI is non-negative up to per-cell floor slack
+    assert total >= -len(cells)
+
+
+def test_phase_folding_matches_exact_replay(spark, sf_dir):
+    rows = QUERIES["ts14_phase_folding_periodogram"](spark, sf_dir).collect()
+    assert [r.period for r in rows] == list(range(2, 15))
+    ev = load_table(spark, sf_dir, "events").select("ts", "value").collect()
+    daily = Counter()
+    for r in ev:
+        day = (r.ts.date() - __import__("datetime").date(2024, 1, 1)).days
+        daily[day] += math.floor(r.value * 1000)
+    n = len(daily)
+    m = sum(daily.values()) // n
+    dev = {d: v - m for d, v in daily.items()}
+    s_tot = sum(dev.values())
+    sst = sum(x * x for x in dev.values())
+    strengths = {}
+    for r in rows:
+        p = r.period
+        groups = Counter()
+        counts = Counter()
+        for d, x in dev.items():
+            groups[d % p] += x
+            counts[d % p] += 1
+        ssb = sum(
+            math.floor(float(sk) * float(sk) / float(counts[k]))
+            for k, sk in groups.items()
+        ) - math.floor(float(s_tot) * float(s_tot) / float(n))
+        assert r.n_days == n and r.sst == sst and r.ssb == ssb
+        want = math.floor(float(ssb) / float(sst) * 1_000_000)
+        assert r.strength_micro == want
+        strengths[p] = want
+    # SSB <= SST (up to floor slack), and every strength is a share
+    assert all(0 <= v <= 1_000_000 + 13 for v in strengths.values())
+
+
+def test_write_audit_publish_matches_exact_replay(spark, sf_dir):
+    rows = QUERIES["x36_write_audit_publish"](spark, sf_dir).collect()
+    assert [r.version for r in rows] == list(range(10))
+    commits = {}
+    for doc_id in range(38):
+        v = doc_id // 4
+        rc = 0 if doc_id == 13 else 100 + doc_id * 7
+        nc = (100 + doc_id * 7) // 10 if doc_id % 5 == 0 else doc_id % 7
+        nf, tr, tn, mn = commits.get(v, (0, 0, 0, 1 << 60))
+        commits[v] = (nf + 1, tr + rc, tn + nc, min(mn, rc))
+    snapshot = 0
+    published_flags = []
+    for r in rows:
+        nf, tr, tn, mn = commits[r.version]
+        ratio = tn * 1_000_000 // tr
+        ok_nulls = 1 if ratio <= 30_000 else 0
+        ok_nonempty = 1 if mn > 0 else 0
+        ok_minfiles = 1 if nf >= 4 else 0
+        pub = ok_nulls * ok_nonempty * ok_minfiles
+        snapshot += tr * pub
+        assert (r.n_files, r.total_rows, r.total_nulls) == (nf, tr, tn)
+        assert r.null_ratio_micro == ratio
+        assert (r.rule_nulls_ok, r.rule_nonempty_ok, r.rule_minfiles_ok) == (
+            ok_nulls, ok_nonempty, ok_minfiles,
+        )
+        assert r.published == pub
+        assert r.snapshot_rows == snapshot
+        published_flags.append(pub)
+    # the planted failures actually fire: the empty file (doc 13 ->
+    # commit 3), the short commit (v9, 2 files), and at least one
+    # high-null commit; something still publishes
+    assert published_flags[3] == 0 and published_flags[9] == 0
+    assert 0 < sum(published_flags) < 10

@@ -67,6 +67,9 @@ ALLOWED_CROSS = {
     "m57_mcnemar_test",  # broadcast 1-row two-median threshold frame (the m28 posture)
     "a52_goodman_kruskal_gamma",  # broadcast 1-row decile cuts + non-equi self-join over the ~500-row cell ledger
     "ev27_logrank_test",  # ev13's at-risk suffix self-join over the ~130-row duration census + 1-row totals
+    "a53_mutual_information",  # broadcast 1-row decile cuts + 1-row N total onto the <=50-cell table
+    "ts14_phase_folding_periodogram",  # ts10's 1-row mean broadcast + 1-row totals onto the <=104-row folded frame
+    "x36_write_audit_publish",  # broadcast non-equi prefix self-join over the 10-row commit ledger
     "graph_hits_authorities",  # broadcast 1-row max-score frame per half-step renorm
     "graph_degree_distribution",  # broadcast 32-row powers-of-two constant frame
     "dedup_lsh_hot_bucket_guard",  # cross join of two 1-row stat aggregates
