@@ -677,3 +677,226 @@ def a53_mutual_information(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("priority", "decile")
     )
+
+
+# --- M58: DeLong paired AUC comparison ----------------------------------------
+
+# Variance-of-difference and z templates for the DeLong test, built
+# from NAMED PLACEHOLDERS (no substring surgery — the t30 lesson,
+# tokenizers.py round-9 fix) so the same arithmetic text renders with
+# bare column names on the Spark side and qualified names in the
+# oracle. All placeholder inputs are exact BIGINT moments; this chain
+# is the only floating point in the operator.
+_DELONG_VAR_TMPL = (
+    "(((CAST({ssa} AS DOUBLE) - CAST({sa} AS DOUBLE) * CAST({sa} AS DOUBLE) / CAST({np} AS DOUBLE))"
+    " + (CAST({ssb} AS DOUBLE) - CAST({sb} AS DOUBLE) * CAST({sb} AS DOUBLE) / CAST({np} AS DOUBLE))"
+    " - 2 * (CAST({sab} AS DOUBLE) - CAST({sa} AS DOUBLE) * CAST({sb} AS DOUBLE) / CAST({np} AS DOUBLE)))"
+    " / (CAST({np} AS DOUBLE) - 1) / (4 * CAST({nn} AS DOUBLE) * CAST({nn} AS DOUBLE)) / CAST({np} AS DOUBLE)"
+    " + ((CAST({tsa} AS DOUBLE) - CAST({ta} AS DOUBLE) * CAST({ta} AS DOUBLE) / CAST({nn} AS DOUBLE))"
+    " + (CAST({tsb} AS DOUBLE) - CAST({tb} AS DOUBLE) * CAST({tb} AS DOUBLE) / CAST({nn} AS DOUBLE))"
+    " - 2 * (CAST({tab} AS DOUBLE) - CAST({ta} AS DOUBLE) * CAST({tb} AS DOUBLE) / CAST({nn} AS DOUBLE)))"
+    " / (CAST({nn} AS DOUBLE) - 1) / (4 * CAST({np} AS DOUBLE) * CAST({np} AS DOUBLE)) / CAST({nn} AS DOUBLE))"
+)
+
+_DELONG_Z_TMPL = (
+    "CAST(CASE WHEN {np} < 2 OR {nn} < 2 THEN 0"
+    " WHEN " + _DELONG_VAR_TMPL + " <= 0 THEN 0 ELSE"
+    " FLOOR((CAST({sa} AS DOUBLE) - CAST({sb} AS DOUBLE))"
+    " / (2 * CAST({np} AS DOUBLE) * CAST({nn} AS DOUBLE))"
+    " / SQRT(" + _DELONG_VAR_TMPL + ") * 1000000) END AS BIGINT)"
+)
+
+_Z_CRIT_MICRO = 1959964  # two-sided 5% normal critical value
+
+
+def _delong_z(**names: str) -> str:
+    return _DELONG_Z_TMPL.format(**names)
+
+
+_DELONG_BARE = dict(
+    np="np", nn="nn", sa="sa", sb="sb", ssa="ssa", ssb="ssb", sab="sab",
+    ta="ta", tb="tb", tsa="tsa", tsb="tsb", tab="tab",
+)
+_DELONG_QUAL = dict(
+    np="tot.np", nn="tot.nn", sa="m.sa", sb="m.sb", ssa="m.ssa",
+    ssb="m.ssb", sab="m.sab", ta="m.ta", tb="m.tb", tsa="m.tsa",
+    tsb="m.tsb", tab="m.tab",
+)
+
+_M58_ORACLE = f"""
+    WITH base AS (
+        SELECT o.o_orderkey,
+               CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS s_a,
+               CAST(COUNT(*) AS BIGINT) AS s_b,
+               CAST(CASE WHEN o.o_orderpriority = '1-URGENT'
+                    THEN 1 ELSE 0 END AS BIGINT) AS label
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2, 4
+    ),
+    tot AS (
+        SELECT CAST(SUM(label) AS BIGINT) AS np,
+               CAST(COUNT(*) - SUM(label) AS BIGINT) AS nn
+        FROM base
+    ),
+    led_a AS (
+        SELECT s_a AS s,
+               CAST(SUM(label) AS BIGINT) AS p_at,
+               CAST(SUM(1 - label) AS BIGINT) AS n_at,
+               CAST(SUM(SUM(label)) OVER (ORDER BY s_a) AS BIGINT) AS p_cum,
+               CAST(SUM(SUM(1 - label)) OVER (ORDER BY s_a) AS BIGINT) AS n_cum
+        FROM base GROUP BY s_a
+    ),
+    led_b AS (
+        SELECT s_b AS s,
+               CAST(SUM(label) AS BIGINT) AS p_at,
+               CAST(SUM(1 - label) AS BIGINT) AS n_at,
+               CAST(SUM(SUM(label)) OVER (ORDER BY s_b) AS BIGINT) AS p_cum,
+               CAST(SUM(SUM(1 - label)) OVER (ORDER BY s_b) AS BIGINT) AS n_cum
+        FROM base GROUP BY s_b
+    ),
+    v AS (
+        SELECT b.label,
+               2 * (la.n_cum - la.n_at) + la.n_at AS v10a,
+               2 * (tot.np - la.p_cum) + la.p_at AS v01a,
+               2 * (lb.n_cum - lb.n_at) + lb.n_at AS v10b,
+               2 * (tot.np - lb.p_cum) + lb.p_at AS v01b
+        FROM base b
+        JOIN led_a la ON la.s = b.s_a
+        JOIN led_b lb ON lb.s = b.s_b
+        CROSS JOIN tot
+    ),
+    moms AS (
+        SELECT
+            CAST(SUM(CASE WHEN label = 1 THEN v10a ELSE 0 END) AS BIGINT) AS sa,
+            CAST(SUM(CASE WHEN label = 1 THEN v10b ELSE 0 END) AS BIGINT) AS sb,
+            CAST(SUM(CASE WHEN label = 1 THEN v10a * v10a ELSE 0 END) AS BIGINT) AS ssa,
+            CAST(SUM(CASE WHEN label = 1 THEN v10b * v10b ELSE 0 END) AS BIGINT) AS ssb,
+            CAST(SUM(CASE WHEN label = 1 THEN v10a * v10b ELSE 0 END) AS BIGINT) AS sab,
+            CAST(SUM(CASE WHEN label = 0 THEN v01a ELSE 0 END) AS BIGINT) AS ta,
+            CAST(SUM(CASE WHEN label = 0 THEN v01b ELSE 0 END) AS BIGINT) AS tb,
+            CAST(SUM(CASE WHEN label = 0 THEN v01a * v01a ELSE 0 END) AS BIGINT) AS tsa,
+            CAST(SUM(CASE WHEN label = 0 THEN v01b * v01b ELSE 0 END) AS BIGINT) AS tsb,
+            CAST(SUM(CASE WHEN label = 0 THEN v01a * v01b ELSE 0 END) AS BIGINT) AS tab
+        FROM v
+    )
+    SELECT tot.np AS n_pos, tot.nn AS n_neg,
+           m.sa AS sum_v10_a, m.sb AS sum_v10_b,
+           m.ta AS sum_v01_a, m.tb AS sum_v01_b,
+           CAST(m.sa * 1000000 // (2 * tot.np * tot.nn) AS BIGINT) AS auc_a_micro,
+           CAST(m.sb * 1000000 // (2 * tot.np * tot.nn) AS BIGINT) AS auc_b_micro,
+           {_delong_z(**_DELONG_QUAL)} AS z_micro,
+           CAST(CASE WHEN ABS({_delong_z(**_DELONG_QUAL)}) > {_Z_CRIT_MICRO}
+                THEN 1 ELSE 0 END AS BIGINT) AS reject_h0
+    FROM moms m, tot
+"""
+
+
+@register("m58_delong_auc_test", _M58_ORACLE)
+def m58_delong_auc_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M58: DeLong's test for two correlated AUCs — the ranking-space
+    companion to m57's McNemar (which compares the THRESHOLDED rules):
+    are the price score and the basket-size score different RANKERS of
+    urgent orders? AUC is the Mann-Whitney statistic; DeLong's
+    structural components V10_i (per positive: the fraction of
+    negatives it outranks) and V01_j (per negative: the fraction of
+    positives outranking it) yield a paired variance that accounts for
+    the correlation of both models on the SAME samples. Exactness:
+    each V is carried in 2x-count units (2*below + ties — exact
+    integers in [0, 2n]); per-sample Vs come from per-distinct-score
+    ledgers joined back to samples, with cumulative counts via the
+    DISTRIBUTED PREFIX SUM (ordered.py) on the Spark side and a
+    global-order window in the (single-node) oracle — the engine never
+    funnels the score ledger through one task. Moments are map-side
+    BIGINT sums; the variance/z chain is the one double text
+    (_DELONG_Z_TMPL, named placeholders — no substring surgery).
+    Bounds: v <= 2n, so v^2 sums cross 2^63 only past ~10M positives
+    with ~1e6 negatives; past that, moments need decimal(38) carry
+    (documented, not hit at any tested SF)."""
+    from realestate_engine.ordered import distributed_prefix_sum
+
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("s_a"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("label"),
+    )
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey")
+    base = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "s_a", "label")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("s_b"))
+    )
+    from realestate_engine.dedup import cache_once
+
+    base = cache_once(base)
+    tot = base.agg(
+        F.sum("label").cast("bigint").alias("np"),
+        (F.count(F.lit(1)) - F.sum("label")).cast("bigint").alias("nn"),
+    )
+
+    def ledger(col: str) -> DataFrame:
+        led = base.groupBy(F.col(col).alias("s")).agg(
+            F.sum("label").cast("bigint").alias("p_at"),
+            F.sum(1 - F.col("label")).cast("bigint").alias("n_at"),
+        )
+        led = distributed_prefix_sum(led, [F.col("s")], "p_at", out_col="p_cum")
+        led = distributed_prefix_sum(led, [F.col("s")], "n_at", out_col="n_cum")
+        return led.select("s", "p_at", "n_at", "p_cum", "n_cum")
+
+    led_a, led_b = ledger("s_a"), ledger("s_b")
+    v = (
+        base.join(
+            led_a.select(
+                F.col("s").alias("s_a"),
+                F.col("p_at").alias("pa_at"), F.col("n_at").alias("na_at"),
+                F.col("p_cum").alias("pa_cum"), F.col("n_cum").alias("na_cum"),
+            ),
+            "s_a",
+        )
+        .join(
+            led_b.select(
+                F.col("s").alias("s_b"),
+                F.col("p_at").alias("pb_at"), F.col("n_at").alias("nb_at"),
+                F.col("p_cum").alias("pb_cum"), F.col("n_cum").alias("nb_cum"),
+            ),
+            "s_b",
+        )
+        .crossJoin(F.broadcast(tot))
+        .select(
+            "label",
+            (2 * (F.col("na_cum") - F.col("na_at")) + F.col("na_at")).alias("v10a"),
+            (2 * (F.col("np") - F.col("pa_cum")) + F.col("pa_at")).alias("v01a"),
+            (2 * (F.col("nb_cum") - F.col("nb_at")) + F.col("nb_at")).alias("v10b"),
+            (2 * (F.col("np") - F.col("pb_cum")) + F.col("pb_at")).alias("v01b"),
+        )
+    )
+    pos = F.col("label") == 1
+    moms = v.agg(
+        F.sum(F.when(pos, F.col("v10a")).otherwise(0)).cast("bigint").alias("sa"),
+        F.sum(F.when(pos, F.col("v10b")).otherwise(0)).cast("bigint").alias("sb"),
+        F.sum(F.when(pos, F.col("v10a") * F.col("v10a")).otherwise(0)).cast("bigint").alias("ssa"),
+        F.sum(F.when(pos, F.col("v10b") * F.col("v10b")).otherwise(0)).cast("bigint").alias("ssb"),
+        F.sum(F.when(pos, F.col("v10a") * F.col("v10b")).otherwise(0)).cast("bigint").alias("sab"),
+        F.sum(F.when(~pos, F.col("v01a")).otherwise(0)).cast("bigint").alias("ta"),
+        F.sum(F.when(~pos, F.col("v01b")).otherwise(0)).cast("bigint").alias("tb"),
+        F.sum(F.when(~pos, F.col("v01a") * F.col("v01a")).otherwise(0)).cast("bigint").alias("tsa"),
+        F.sum(F.when(~pos, F.col("v01b") * F.col("v01b")).otherwise(0)).cast("bigint").alias("tsb"),
+        F.sum(F.when(~pos, F.col("v01a") * F.col("v01b")).otherwise(0)).cast("bigint").alias("tab"),
+    )
+    z_expr = _delong_z(**_DELONG_BARE)
+    return moms.crossJoin(F.broadcast(tot)).select(
+        F.col("np").alias("n_pos"),
+        F.col("nn").alias("n_neg"),
+        F.col("sa").alias("sum_v10_a"),
+        F.col("sb").alias("sum_v10_b"),
+        F.col("ta").alias("sum_v01_a"),
+        F.col("tb").alias("sum_v01_b"),
+        F.expr("CAST(sa * 1000000 DIV (2 * np * nn) AS BIGINT)").alias("auc_a_micro"),
+        F.expr("CAST(sb * 1000000 DIV (2 * np * nn) AS BIGINT)").alias("auc_b_micro"),
+        F.expr(z_expr).alias("z_micro"),
+        F.expr(
+            f"CAST(CASE WHEN ABS({z_expr}) > {_Z_CRIT_MICRO} THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("reject_h0"),
+    )

@@ -1157,3 +1157,130 @@ def x36_write_audit_publish(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("version")
     )
+
+
+# --- X37: optimistic-concurrency conflict audit --------------------------------
+
+_OCC_N_TXN = 12
+
+
+def _occ_round_sql(tid: int, prev: str, out: str) -> str:
+    """One unrolled first-committer-wins decision: txn ``tid`` commits
+    iff no COMMITTED earlier txn with id > its read point wrote an
+    overlapping partition. The outcome set accumulates by UNION ALL."""
+    return f"""
+    {out} AS MATERIALIZED (
+        SELECT * FROM {prev}
+        UNION ALL
+        SELECT t.txn_id, t.read_point, t.p1, t.p2,
+               (SELECT COUNT(*) FROM {prev} c
+                WHERE c.committed = 1 AND c.txn_id > t.read_point
+                  AND (c.p1 IN (t.p1, t.p2) OR c.p2 IN (t.p1, t.p2)))
+                   AS n_conflicts,
+               CAST(CASE WHEN (SELECT COUNT(*) FROM {prev} c
+                    WHERE c.committed = 1 AND c.txn_id > t.read_point
+                      AND (c.p1 IN (t.p1, t.p2) OR c.p2 IN (t.p1, t.p2))) = 0
+                    THEN 1 ELSE 0 END AS BIGINT) AS committed
+        FROM txns t WHERE t.txn_id = {tid}
+    )"""
+
+
+_X37_ORACLE = (
+    """
+    WITH txns AS MATERIALIZED (
+        SELECT CAST(doc_id AS BIGINT) AS txn_id,
+               CAST(doc_id - 1 - doc_id % 3 AS BIGINT) AS read_point,
+               CAST(doc_id % 5 AS BIGINT) AS p1,
+               CAST((doc_id * 3 + 1) % 5 AS BIGINT) AS p2
+        FROM documents WHERE doc_id < """
+    + str(_OCC_N_TXN)
+    + """
+    ),
+    d0 AS MATERIALIZED (
+        SELECT txn_id, read_point, p1, p2,
+               CAST(0 AS BIGINT) AS n_conflicts, CAST(1 AS BIGINT) AS committed
+        FROM txns WHERE txn_id = 0
+    ),
+    """
+    + ",".join(_occ_round_sql(i, f"d{i - 1}", f"d{i}") for i in range(1, _OCC_N_TXN))
+    + f"""
+    SELECT txn_id, read_point, p1, p2,
+           CAST(n_conflicts AS BIGINT) AS n_conflicts, committed,
+           CAST(CASE WHEN committed = 1 THEN
+                ROW_NUMBER() OVER (PARTITION BY committed ORDER BY txn_id)
+                END AS BIGINT) AS commit_version
+    FROM d{_OCC_N_TXN - 1}
+    ORDER BY txn_id
+"""
+)
+
+
+@register("x37_occ_conflict_audit", _X37_ORACLE)
+def x37_occ_conflict_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """X37: optimistic-concurrency conflict audit — first-committer-
+    wins OCC (the Delta/Iceberg commit protocol): each transaction
+    read the table at its READ POINT, wrote two partitions, and at
+    commit time conflicts with any COMMITTED transaction newer than
+    that read point whose write set overlaps — conflicted transactions
+    abort and take no version. The outcome of txn t depends on the
+    outcomes of txns < t (an aborted writer conflicts nobody), so this
+    is a genuine recurrence: the oracle unrolls all 12 decisions as
+    chained CTEs (the pagerank/Boruvka posture) and the Spark side
+    folds the same 12 rounds over a localCheckpointed decision frame
+    (protocol state is 12 rows — metadata-sized at any data scale; at
+    100 TB the commit log is KBs while the table is TBs, exactly the
+    x31/x36 split). Completes the lakehouse write path: x36 gates WHAT
+    may publish, x37 decides WHO wins a race, x31 replays the result.
+    Staleness and write sets are deterministic functions of txn id,
+    planting real conflicts AND real concurrent-but-disjoint commits;
+    the replay test re-runs the protocol imperatively."""
+    d = t(spark, sf_dir, "documents").where(F.col("doc_id") < _OCC_N_TXN)
+    txns = d.select(
+        F.col("doc_id").cast("bigint").alias("txn_id"),
+        (F.col("doc_id") - 1 - (F.col("doc_id") % 3)).cast("bigint").alias("read_point"),
+        (F.col("doc_id") % 5).cast("bigint").alias("p1"),
+        ((F.col("doc_id") * 3 + 1) % 5).cast("bigint").alias("p2"),
+    ).localCheckpoint()
+    dec = (
+        txns.where(F.col("txn_id") == 0)
+        .select(
+            "txn_id", "read_point", "p1", "p2",
+            F.lit(0).cast("bigint").alias("n_conflicts"),
+            F.lit(1).cast("bigint").alias("committed"),
+        )
+        .localCheckpoint()
+    )
+    for tid in range(1, _OCC_N_TXN):
+        cand = txns.where(F.col("txn_id") == tid)
+        committed = dec.where(F.col("committed") == 1).select(
+            F.col("txn_id").alias("c_txn"),
+            F.col("p1").alias("c_p1"),
+            F.col("p2").alias("c_p2"),
+        )
+        conflicts = (
+            cand.join(
+                F.broadcast(committed),
+                (F.col("c_txn") > F.col("read_point"))
+                & (
+                    F.col("c_p1").isin(F.col("p1"), F.col("p2"))
+                    | F.col("c_p2").isin(F.col("p1"), F.col("p2"))
+                ),
+                "left",
+            )
+            .groupBy("txn_id", "read_point", "p1", "p2")
+            .agg(F.count("c_txn").cast("bigint").alias("n_conflicts"))
+            .select(
+                "txn_id", "read_point", "p1", "p2", "n_conflicts",
+                F.expr(
+                    "CAST(CASE WHEN n_conflicts = 0 THEN 1 ELSE 0 END AS BIGINT)"
+                ).alias("committed"),
+            )
+        )
+        dec = dec.unionByName(conflicts).localCheckpoint()
+    w = Window.partitionBy("committed").orderBy("txn_id")
+    return dec.select(
+        "txn_id", "read_point", "p1", "p2", "n_conflicts", "committed",
+        F.when(F.col("committed") == 1, F.row_number().over(w))
+        .cast("bigint")
+        .alias("commit_version"),
+    ).orderBy("txn_id")

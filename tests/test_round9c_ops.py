@@ -1,11 +1,11 @@
 """Round-9 second late wave: Ljung-Box portmanteau test, per-nation
 Spearman rank correlation, McNemar's paired classifier test, the
 Goodman-Kruskal gamma ordinal association, the two-group log-rank
-survival test, degree assortativity, discrete mutual information, and
-the phase-folding periodogram, and the write-audit-publish gate —
-each replayed exactly in Python (the property-test posture: the
-oracle proves cross-engine agreement, the replay proves the MATH is
-the one we claim)."""
+survival test, degree assortativity, discrete mutual information, the
+phase-folding periodogram, the write-audit-publish gate, DeLong's
+paired-AUC test, and the OCC conflict audit — each replayed exactly
+in Python (the property-test posture: the oracle proves cross-engine
+agreement, the replay proves the MATH is the one we claim)."""
 
 from __future__ import annotations
 
@@ -449,3 +449,111 @@ def test_write_audit_publish_matches_exact_replay(spark, sf_dir):
     # high-null commit; something still publishes
     assert published_flags[3] == 0 and published_flags[9] == 0
     assert 0 < sum(published_flags) < 10
+
+
+def test_delong_matches_exact_replay(spark, sf_dir):
+    rows = QUERIES["m58_delong_auc_test"](spark, sf_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    orders = {
+        o.o_orderkey: (round(o.o_totalprice * 100), 1 if o.o_orderpriority == "1-URGENT" else 0)
+        for o in load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice", "o_orderpriority"
+        ).collect()
+    }
+    items = Counter(
+        li.l_orderkey
+        for li in load_table(spark, sf_dir, "lineitem").select("l_orderkey").collect()
+    )
+    samples = [
+        (orders[k][0], items[k], orders[k][1]) for k in orders if items[k] > 0
+    ]
+    np_ = sum(lab for _, _, lab in samples)
+    nn = len(samples) - np_
+
+    def vs(score_idx):
+        neg = sorted(s[score_idx] for s in samples if s[2] == 0)
+        pos = sorted(s[score_idx] for s in samples if s[2] == 1)
+        import bisect
+
+        v10 = {}
+        v01 = {}
+        out10, out01 = [], []
+        for s_ in (x[score_idx] for x in samples if x[2] == 1):
+            below = bisect.bisect_left(neg, s_)
+            at = bisect.bisect_right(neg, s_) - below
+            out10.append(2 * below + at)
+        for s_ in (x[score_idx] for x in samples if x[2] == 0):
+            above = len(pos) - bisect.bisect_right(pos, s_)
+            at = bisect.bisect_right(pos, s_) - bisect.bisect_left(pos, s_)
+            out01.append(2 * above + at)
+        return out10, out01
+
+    v10a, v01a = vs(0)
+    v10b, v01b = vs(1)
+    sa, sb = sum(v10a), sum(v10b)
+    ta, tb = sum(v01a), sum(v01b)
+    # structural identity: total concordance mass agrees across views
+    assert sa == ta and sb == tb
+    assert (r.n_pos, r.n_neg) == (np_, nn)
+    assert (r.sum_v10_a, r.sum_v10_b, r.sum_v01_a, r.sum_v01_b) == (sa, sb, ta, tb)
+    assert r.auc_a_micro == sa * 1_000_000 // (2 * np_ * nn)
+    assert r.auc_b_micro == sb * 1_000_000 // (2 * np_ * nn)
+
+    def var_s(xs):
+        n = len(xs)
+        s, ss = sum(xs), sum(x * x for x in xs)
+        return (ss - s * s / n) / (n - 1)
+
+    def cov_s(xs, ys):
+        n = len(xs)
+        sx, sy = sum(xs), sum(ys)
+        sxy = sum(a * b for a, b in zip(xs, ys))
+        return (sxy - sx * sy / n) / (n - 1)
+
+    var = (
+        (var_s(v10a) + var_s(v10b) - 2 * cov_s(v10a, v10b)) / (4 * nn * nn) / np_
+        + (var_s(v01a) + var_s(v01b) - 2 * cov_s(v01a, v01b)) / (4 * np_ * np_) / nn
+    )
+    if var > 0:
+        z = (sa - sb) / (2 * np_ * nn) / math.sqrt(var)
+        # the engines evaluate the identical double chain; replaying it
+        # in a different association order can differ in the last ulp,
+        # so compare the MICRO value with 1-unit slack
+        assert abs(r.z_micro - math.floor(z * 1_000_000)) <= 1
+        assert r.reject_h0 == (1 if abs(r.z_micro) > 1959964 else 0)
+    # price should rank urgency no better than basket size on TPC-H-ish
+    # uniform data: both AUCs near 1/2
+    assert 400_000 < r.auc_a_micro < 600_000
+    assert 400_000 < r.auc_b_micro < 600_000
+
+
+def test_occ_protocol_matches_imperative_replay(spark, sf_dir):
+    rows = QUERIES["x37_occ_conflict_audit"](spark, sf_dir).collect()
+    assert [r.txn_id for r in rows] == list(range(12))
+    committed = []  # (txn_id, {parts})
+    version = 0
+    for r in rows:
+        parts = {r.txn_id % 5, (r.txn_id * 3 + 1) % 5}
+        read_point = r.txn_id - 1 - r.txn_id % 3
+        conflicts = [
+            c for c, ps in committed if c > read_point and ps & parts
+        ]
+        ok = 0 if (conflicts and r.txn_id > 0) else 1
+        if r.txn_id == 0:
+            ok = 1
+        if ok:
+            committed.append((r.txn_id, parts))
+            version += 1
+        assert r.read_point == read_point
+        assert {r.p1, r.p2} == parts
+        assert r.n_conflicts == (0 if r.txn_id == 0 else len(conflicts))
+        assert r.committed == ok
+        assert r.commit_version == (version if ok else None)
+    # the log plants both outcomes: some commits, some aborts
+    n_ok = sum(r.committed for r in rows)
+    assert 0 < n_ok < 12
+    # committed versions are dense 1..n_ok in txn order
+    assert [r.commit_version for r in rows if r.committed] == list(
+        range(1, n_ok + 1)
+    )

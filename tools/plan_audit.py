@@ -70,6 +70,7 @@ ALLOWED_CROSS = {
     "a53_mutual_information",  # broadcast 1-row decile cuts + 1-row N total onto the <=50-cell table
     "ts14_phase_folding_periodogram",  # ts10's 1-row mean broadcast + 1-row totals onto the <=104-row folded frame
     "x36_write_audit_publish",  # broadcast non-equi prefix self-join over the 10-row commit ledger
+    "m58_delong_auc_test",  # broadcast 1-row class totals onto samples and the 1-row moment frame
     "graph_hits_authorities",  # broadcast 1-row max-score frame per half-step renorm
     "graph_degree_distribution",  # broadcast 32-row powers-of-two constant frame
     "dedup_lsh_hot_bucket_guard",  # cross join of two 1-row stat aggregates
@@ -179,6 +180,7 @@ ALLOWED_LOCAL = {
     "dedup_clusters_twostar",  # two-star contraction localCheckpoints each phase
     "graph_kcore",  # bounded-round peel localCheckpoints each round
     "graph_boruvka_msf",  # Boruvka contraction localCheckpoints each jump (plan doubles per self-join otherwise)
+    "x37_occ_conflict_audit",  # 12-round OCC protocol fold localCheckpoints the 12-row decision frame each round
     "graph_ktruss",  # per-round edge-frame localCheckpoint (same lesson) + 2-row census frame
     "sim_ivf_build_exact",  # k*d-row centroid frame localCheckpointed per Lloyd round
     "st_cusum_monitor",  # memory-sink rows of the real stateful streaming run (O(|users|))
