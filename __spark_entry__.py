@@ -56,8 +56,8 @@ registry.load_all()
 # m57_mcnemar_test, mm_bmp_roundtrip, a52_goodman_kruskal_gamma,
 # ev27_logrank_test, graph_degree_assortativity,
 # a53_mutual_information, ts14_phase_folding_periodogram,
-# x36_write_audit_publish, m58_delong_auc_test, and
-# x37_occ_conflict_audit
+# x36_write_audit_publish, m58_delong_auc_test,
+# x37_occ_conflict_audit, and ev28_regression_discontinuity
 # (all sf0.001/sf0.01/sf0.1-certified on arrival), then keep
 # draining: ev3-ev11, dq3-dq6, f10_arrays
 # /f12-f19, corpus_*, text_* remainder, sim_* remainder

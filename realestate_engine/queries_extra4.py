@@ -279,8 +279,10 @@ def m57_mcnemar_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 # gamma = (C - D) / (C + D) in micro units, as ONE shared SQL text:
 # C/D are exact BIGINT pair counts; the single division runs on
 # doubles (correctly rounded, then FLOOR) because the numerator can be
-# negative and integer division disagrees between engines on negatives
-# (Spark DIV truncates toward zero, DuckDB // floors).
+# negative: truncating integer division (both engines truncate toward
+# zero — measured, they agree) rounds negatives UP, while the
+# registry's micro convention is FLOOR — one shared double text keeps
+# the convention without a sign-dependent integer form.
 _GAMMA_MICRO = (
     "CAST(CASE WHEN c_pairs + d_pairs = 0 THEN 0 ELSE"
     " FLOOR(CAST(c_pairs - d_pairs AS DOUBLE)"
@@ -352,8 +354,9 @@ def a52_goodman_kruskal_gamma(spark: SparkSession, sf_dir: str) -> DataFrame:
     broadcast + a broadcast non-equi self-join of a ~500-row cell
     ledger. All pair counts are exact BIGINT products of counts; the
     one division runs on doubles via the shared _GAMMA_MICRO text
-    (negative numerators: integer division semantics differ between
-    engines). Decile cuts are a23/m29's exact interpolated percentiles."""
+    (negative numerators: FLOOR semantics, not the round-toward-zero
+    of integer division). Decile cuts are a23/m29's exact interpolated
+    percentiles."""
     o = t(spark, sf_dir, "orders").select(
         "o_custkey",
         F.floor(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
@@ -899,4 +902,161 @@ def m58_delong_auc_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.expr(
             f"CAST(CASE WHEN ABS({z_expr}) > {_Z_CRIT_MICRO} THEN 1 ELSE 0 END AS BIGINT)"
         ).alias("reject_h0"),
+    )
+
+
+# --- EV28: regression discontinuity (local linear, closed form) ----------------
+
+# OLS intercept at the cutoff (x = 0) from integer moments, ONE shared
+# SQL text per side: slope = (n*sxy - sx*sy)/(n*sxx - sx*sx),
+# intercept = (sy - slope*sx)/n — the m26 normal-equations posture,
+# evaluated in doubles because the numerators are signed (the micro
+# convention FLOORs; integer division would round negatives toward
+# zero) and n*sxx crosses 2^63 once |x| reaches ~1e6 dollars at 1e6
+# in-bandwidth rows.
+def _ols_at_zero(pfx: str) -> dict[str, str]:
+    slope = (
+        f"((CAST({pfx}n AS DOUBLE) * CAST({pfx}sxy AS DOUBLE)"
+        f" - CAST({pfx}sx AS DOUBLE) * CAST({pfx}sy AS DOUBLE))"
+        f" / (CAST({pfx}n AS DOUBLE) * CAST({pfx}sxx AS DOUBLE)"
+        f" - CAST({pfx}sx AS DOUBLE) * CAST({pfx}sx AS DOUBLE)))"
+    )
+    intercept = (
+        f"((CAST({pfx}sy AS DOUBLE) - {slope} * CAST({pfx}sx AS DOUBLE))"
+        f" / CAST({pfx}n AS DOUBLE))"
+    )
+    return {
+        "slope_micro": f"CAST(FLOOR({slope} * 1000000) AS BIGINT)",
+        "icept_micro": f"CAST(FLOOR({intercept} * 1000000) AS BIGINT)",
+        "icept": intercept,
+    }
+
+
+_EV28_EFFECT = (
+    "CAST(FLOOR(("
+    + _ols_at_zero("r_")["icept"]
+    + " - "
+    + _ols_at_zero("l_")["icept"]
+    + ") * 1000000) AS BIGINT)"
+)
+
+_EV28_ORACLE = f"""
+    WITH base AS (
+        SELECT o.o_orderkey,
+               CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS cents,
+               CAST(COUNT(*) AS BIGINT) AS y
+        FROM orders o JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        GROUP BY 1, 2
+    ),
+    cut AS (
+        SELECT CAST(FLOOR(quantile_cont(cents, 0.5)) AS BIGINT) AS c,
+               CAST(FLOOR((quantile_cont(cents, 0.75)
+                           - quantile_cont(cents, 0.25)) / 2) AS BIGINT) AS h
+        FROM base
+    ),
+    win AS (
+        SELECT (b.cents - cut.c) // 100 AS x, b.y,
+               CASE WHEN b.cents >= cut.c THEN 1 ELSE 0 END AS side,
+               cut.c, cut.h
+        FROM base b, cut
+        WHERE ABS(b.cents - cut.c) <= cut.h
+    ),
+    moms AS (
+        SELECT ANY_VALUE(c) AS cutoff_cents, ANY_VALUE(h) AS bandwidth_cents,
+               CAST(SUM(CASE WHEN side = 0 THEN 1 ELSE 0 END) AS BIGINT) AS l_n,
+               CAST(SUM(CASE WHEN side = 0 THEN x ELSE 0 END) AS BIGINT) AS l_sx,
+               CAST(SUM(CASE WHEN side = 0 THEN y ELSE 0 END) AS BIGINT) AS l_sy,
+               CAST(SUM(CASE WHEN side = 0 THEN x * x ELSE 0 END) AS BIGINT) AS l_sxx,
+               CAST(SUM(CASE WHEN side = 0 THEN x * y ELSE 0 END) AS BIGINT) AS l_sxy,
+               CAST(SUM(side) AS BIGINT) AS r_n,
+               CAST(SUM(CASE WHEN side = 1 THEN x ELSE 0 END) AS BIGINT) AS r_sx,
+               CAST(SUM(CASE WHEN side = 1 THEN y ELSE 0 END) AS BIGINT) AS r_sy,
+               CAST(SUM(CASE WHEN side = 1 THEN x * x ELSE 0 END) AS BIGINT) AS r_sxx,
+               CAST(SUM(CASE WHEN side = 1 THEN x * y ELSE 0 END) AS BIGINT) AS r_sxy
+        FROM win
+    )
+    SELECT cutoff_cents, bandwidth_cents, l_n AS n_left, r_n AS n_right,
+           {_ols_at_zero("l_")["slope_micro"]} AS slope_left_micro,
+           {_ols_at_zero("r_")["slope_micro"]} AS slope_right_micro,
+           {_ols_at_zero("l_")["icept_micro"]} AS intercept_left_micro,
+           {_ols_at_zero("r_")["icept_micro"]} AS intercept_right_micro,
+           {_EV28_EFFECT} AS rdd_effect_micro
+    FROM moms
+"""
+
+
+@register("ev28_regression_discontinuity", _EV28_ORACLE)
+def ev28_regression_discontinuity(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EV28: sharp regression discontinuity — the causal-inference
+    design the experiment family lacked (ev12 DiD needs panel data,
+    ev16 matching needs overlap; RDD identifies a LOCAL effect at a
+    deterministic assignment cutoff). Study framing: does crossing the
+    median order value change basket size? Running variable = order
+    cents centered at the median cutoff (rescaled to dollars so the
+    n*sxx moment stays under 2^63 — the documented bound), outcome =
+    lineitem count, bandwidth = half the IQR; LOCAL LINEAR fits on
+    each side via the m26 closed-form normal equations on exact BIGINT
+    moments; effect = right-intercept minus left-intercept at the
+    cutoff. On TPC-H-ish uniform data the true effect is ~0 — the op
+    is the measurement instrument, and the replay test pins the whole
+    moment set plus a near-zero band. One scan + one 1-row quantile
+    broadcast + ONE map-side moment aggregate: nothing here exceeds
+    the flagship's plan complexity at any scale. The final
+    slope/intercept chains are shared double texts (signed
+    numerators: the registry FLOORs; integer division would round
+    negatives toward zero)."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey")
+    base = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .groupBy("o_orderkey", "cents")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+    )
+    cut = base.agg(
+        F.floor(F.percentile("cents", F.lit(0.5))).cast("bigint").alias("c"),
+        F.floor(
+            (F.percentile("cents", F.lit(0.75)) - F.percentile("cents", F.lit(0.25))) / 2
+        )
+        .cast("bigint")
+        .alias("h"),
+    )
+    win = (
+        base.crossJoin(F.broadcast(cut))
+        .where(F.abs(F.col("cents") - F.col("c")) <= F.col("h"))
+        .select(
+            F.expr("(cents - c) DIV 100").alias("x"),
+            "y",
+            F.when(F.col("cents") >= F.col("c"), 1).otherwise(0).alias("side"),
+            "c",
+            "h",
+        )
+    )
+    side0 = F.col("side") == 0
+    moms = win.agg(
+        F.expr("any_value(c)").alias("cutoff_cents"),
+        F.expr("any_value(h)").alias("bandwidth_cents"),
+        F.sum(F.when(side0, 1).otherwise(0)).cast("bigint").alias("l_n"),
+        F.sum(F.when(side0, F.col("x")).otherwise(0)).cast("bigint").alias("l_sx"),
+        F.sum(F.when(side0, F.col("y")).otherwise(0)).cast("bigint").alias("l_sy"),
+        F.sum(F.when(side0, F.col("x") * F.col("x")).otherwise(0)).cast("bigint").alias("l_sxx"),
+        F.sum(F.when(side0, F.col("x") * F.col("y")).otherwise(0)).cast("bigint").alias("l_sxy"),
+        F.sum("side").cast("bigint").alias("r_n"),
+        F.sum(F.when(~side0, F.col("x")).otherwise(0)).cast("bigint").alias("r_sx"),
+        F.sum(F.when(~side0, F.col("y")).otherwise(0)).cast("bigint").alias("r_sy"),
+        F.sum(F.when(~side0, F.col("x") * F.col("x")).otherwise(0)).cast("bigint").alias("r_sxx"),
+        F.sum(F.when(~side0, F.col("x") * F.col("y")).otherwise(0)).cast("bigint").alias("r_sxy"),
+    )
+    return moms.select(
+        "cutoff_cents",
+        "bandwidth_cents",
+        F.col("l_n").alias("n_left"),
+        F.col("r_n").alias("n_right"),
+        F.expr(_ols_at_zero("l_")["slope_micro"]).alias("slope_left_micro"),
+        F.expr(_ols_at_zero("r_")["slope_micro"]).alias("slope_right_micro"),
+        F.expr(_ols_at_zero("l_")["icept_micro"]).alias("intercept_left_micro"),
+        F.expr(_ols_at_zero("r_")["icept_micro"]).alias("intercept_right_micro"),
+        F.expr(_EV28_EFFECT).alias("rdd_effect_micro"),
     )

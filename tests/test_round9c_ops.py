@@ -557,3 +557,60 @@ def test_occ_protocol_matches_imperative_replay(spark, sf_dir):
     assert [r.commit_version for r in rows if r.committed] == list(
         range(1, n_ok + 1)
     )
+
+
+def test_rdd_matches_exact_replay(spark, sf_dir):
+    rows = QUERIES["ev28_regression_discontinuity"](spark, sf_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    orders = {
+        o.o_orderkey: round(o.o_totalprice * 100)
+        for o in load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice"
+        ).collect()
+    }
+    items = Counter(
+        li.l_orderkey
+        for li in load_table(spark, sf_dir, "lineitem").select("l_orderkey").collect()
+    )
+    keys = [k for k in orders if items[k] > 0]
+    cents = sorted(orders[k] for k in keys)
+
+    def interp_q(p):
+        pos = p * (len(cents) - 1)
+        lo = int(pos)
+        hi = min(lo + 1, len(cents) - 1)
+        return cents[lo] + (cents[hi] - cents[lo]) * (pos - lo)
+
+    c = math.floor(interp_q(0.5))
+    h = math.floor((interp_q(0.75) - interp_q(0.25)) / 2)
+    assert (r.cutoff_cents, r.bandwidth_cents) == (c, h)
+    sides = {0: [], 1: []}
+    for k in keys:
+        if abs(orders[k] - c) <= h:
+            # both engines TRUNCATE signed integer division toward
+            # zero (Python // floors) — replicate truncation
+            d_ = orders[k] - c
+            xq = -((-d_) // 100) if d_ < 0 else d_ // 100
+            sides[1 if orders[k] >= c else 0].append((xq, items[k]))
+
+    def fit(pts):
+        n = len(pts)
+        sx = sum(x for x, _ in pts)
+        sy = sum(y for _, y in pts)
+        sxx = sum(x * x for x, _ in pts)
+        sxy = sum(x * y for x, y in pts)
+        slope = (n * sxy - sx * sy) / (n * sxx - sx * sx)
+        icept = (sy - slope * sx) / n
+        return n, slope, icept
+
+    ln, lslope, licept = fit(sides[0])
+    rn, rslope, ricept = fit(sides[1])
+    assert (r.n_left, r.n_right) == (ln, rn)
+    assert abs(r.slope_left_micro - math.floor(lslope * 1_000_000)) <= 1
+    assert abs(r.slope_right_micro - math.floor(rslope * 1_000_000)) <= 1
+    assert abs(r.intercept_left_micro - math.floor(licept * 1_000_000)) <= 1
+    assert abs(r.intercept_right_micro - math.floor(ricept * 1_000_000)) <= 1
+    assert abs(r.rdd_effect_micro - math.floor((ricept - licept) * 1_000_000)) <= 1
+    # uniform data: no true discontinuity — effect within +-1 basket item
+    assert abs(r.rdd_effect_micro) < 1_000_000

@@ -71,6 +71,7 @@ ALLOWED_CROSS = {
     "ts14_phase_folding_periodogram",  # ts10's 1-row mean broadcast + 1-row totals onto the <=104-row folded frame
     "x36_write_audit_publish",  # broadcast non-equi prefix self-join over the 10-row commit ledger
     "m58_delong_auc_test",  # broadcast 1-row class totals onto samples and the 1-row moment frame
+    "ev28_regression_discontinuity",  # broadcast 1-row cutoff/bandwidth quantile frame onto orders
     "graph_hits_authorities",  # broadcast 1-row max-score frame per half-step renorm
     "graph_degree_distribution",  # broadcast 32-row powers-of-two constant frame
     "dedup_lsh_hot_bucket_guard",  # cross join of two 1-row stat aggregates
