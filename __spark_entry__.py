@@ -57,7 +57,8 @@ registry.load_all()
 # ev27_logrank_test, graph_degree_assortativity,
 # a53_mutual_information, ts14_phase_folding_periodogram,
 # x36_write_audit_publish, m58_delong_auc_test,
-# x37_occ_conflict_audit, and ev28_regression_discontinuity
+# x37_occ_conflict_audit, ev28_regression_discontinuity,
+# ts15_mann_kendall, and m59_friedman_test
 # (all sf0.001/sf0.01/sf0.1-certified on arrival), then keep
 # draining: ev3-ev11, dq3-dq6, f10_arrays
 # /f12-f19, corpus_*, text_* remainder, sim_* remainder

@@ -1060,3 +1060,206 @@ def ev28_regression_discontinuity(spark: SparkSession, sf_dir: str) -> DataFrame
         F.expr(_ols_at_zero("r_")["icept_micro"]).alias("intercept_right_micro"),
         F.expr(_EV28_EFFECT).alias("rdd_effect_micro"),
     )
+
+
+# --- M59: Friedman test across segment blocks ----------------------------------
+
+# Friedman chi-square in micro units from DOUBLED rank sums (r2s_j =
+# 2*R_j keeps average ranks integral), ONE shared SQL text:
+# chi2 = 12/(b*k*(k+1)) * sum_j (R_j - b*(k+1)/2)^2 with b blocks and
+# k treatments; with 2x ranks the deviation is (r2s_j - b*(k+1))/2,
+# so the squared term carries a /4. Inputs are exact BIGINTs.
+_FRIEDMAN_CHI2 = (
+    "CAST(FLOOR(12.0 / (CAST(b AS DOUBLE) * 3 * 4)"
+    " * CAST(dev2_sum AS DOUBLE) / 4 * 1000000) AS BIGINT)"
+)
+
+_CHI2_DF2_CRIT_MICRO = 5991465  # chi-square(2) 95%
+
+_M59_ORACLE = f"""
+    WITH base AS (
+        SELECT o.o_orderkey, c.c_nationkey AS nat,
+               CAST(ROUND(o.o_totalprice * 100) AS BIGINT) AS s_price,
+               CAST(COUNT(*) AS BIGINT) AS s_items,
+               CAST(MAX(ROUND(l.l_extendedprice * 100)) AS BIGINT) AS s_maxline,
+               CAST(CASE WHEN o.o_orderpriority = '1-URGENT'
+                    THEN 1 ELSE 0 END AS BIGINT) AS label
+        FROM orders o
+        JOIN lineitem l ON l.l_orderkey = o.o_orderkey
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        GROUP BY 1, 2, 3, 6
+    ),
+    long AS (
+        SELECT nat, label, 'price' AS rule, s_price AS score FROM base
+        UNION ALL
+        SELECT nat, label, 'items' AS rule, s_items AS score FROM base
+        UNION ALL
+        SELECT nat, label, 'maxline' AS rule, s_maxline AS score FROM base
+    ),
+    ranked AS (
+        SELECT nat, rule, label,
+               2 * RANK() OVER (PARTITION BY nat, rule ORDER BY score)
+                 + COUNT(*) OVER (PARTITION BY nat, rule, score) - 1 AS r2
+        FROM long
+    ),
+    auc AS (
+        SELECT nat, rule,
+               CAST(SUM(label) AS BIGINT) AS np,
+               CAST(COUNT(*) - SUM(label) AS BIGINT) AS nn,
+               CAST(SUM(CASE WHEN label = 1 THEN r2 ELSE 0 END) AS BIGINT)
+                   AS pos_r2
+        FROM ranked GROUP BY nat, rule
+    ),
+    auc_m AS (
+        SELECT nat, rule,
+               CAST((pos_r2 - np * (np + 1)) * 1000000 // (2 * np * nn)
+                    AS BIGINT) AS auc_micro
+        FROM auc WHERE np > 0 AND nn > 0
+    ),
+    block_ranks AS (
+        SELECT rule,
+               2 * RANK() OVER (PARTITION BY nat ORDER BY auc_micro)
+                 + COUNT(*) OVER (PARTITION BY nat, auc_micro) - 1 AS r2
+        FROM auc_m
+    ),
+    sums AS (
+        SELECT rule,
+               CAST(SUM(r2) AS BIGINT) AS rank2x_sum,
+               CAST(COUNT(*) AS BIGINT) AS b
+        FROM block_ranks GROUP BY rule
+    ),
+    dev AS (
+        SELECT CAST(SUM((rank2x_sum - b * 4) * (rank2x_sum - b * 4))
+                    AS BIGINT) AS dev2_sum,
+               CAST(ANY_VALUE(b) AS BIGINT) AS b
+        FROM sums
+    ),
+    mean_auc AS (
+        SELECT rule, CAST(SUM(auc_micro) // COUNT(*) AS BIGINT)
+                   AS mean_auc_micro
+        FROM auc_m GROUP BY rule
+    ),
+    sums2 AS (
+        SELECT rule, rank2x_sum, b AS n_blocks FROM sums
+    )
+    SELECT s.rule AS rule, s.rank2x_sum, s.n_blocks, ma.mean_auc_micro,
+           {_FRIEDMAN_CHI2} AS friedman_chi2_micro,
+           CAST(CASE WHEN {_FRIEDMAN_CHI2} > {_CHI2_DF2_CRIT_MICRO}
+                THEN 1 ELSE 0 END AS BIGINT) AS reject_h0
+    FROM sums2 s
+    JOIN mean_auc ma ON ma.rule = s.rule
+    CROSS JOIN dev
+    ORDER BY s.rule
+"""
+
+
+@register("m59_friedman_test", _M59_ORACLE)
+def m59_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M59: Friedman test — does ANY of three scoring rules (order
+    price, basket size, max line value) rank urgent orders differently,
+    judged ACROSS nation blocks? The k-treatment generalization that
+    completes the model-comparison ladder: m57 McNemar (2 thresholded
+    rules, pooled), m58 DeLong (2 rankers, pooled), m59 (k rankers,
+    blocked by segment — the repeated-measures design that respects
+    per-nation heterogeneity). Per (nation, rule): AUC via the
+    rank-sum identity on DOUBLED average ranks (a51's tie-exact
+    integers); per nation the 3 AUCs are ranked (again 2x ranks);
+    Friedman chi2 from the rank sums via the shared _FRIEDMAN_CHI2
+    text vs chi-square(2) at 95%. Plan: one orders-sized join+groupBy,
+    a 3x unpivot, windows all PARTITIONED by (nation, rule) — then
+    everything is a 75-row frame. Emits per rule: block count, 2x rank
+    sum, mean AUC, and the (shared) statistic/decision."""
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        "o_custkey",
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("s_price"),
+        F.when(F.col("o_orderpriority") == "1-URGENT", 1)
+        .otherwise(0)
+        .cast("bigint")
+        .alias("label"),
+    )
+    li = t(spark, sf_dir, "lineitem").select("l_orderkey", "l_extendedprice")
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    base = (
+        li.join(o, li.l_orderkey == o.o_orderkey)
+        .join(cust, o.o_custkey == cust.c_custkey)
+        .groupBy("o_orderkey", F.col("c_nationkey").alias("nat"), "s_price", "label")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("s_items"),
+            F.max(F.round(F.col("l_extendedprice") * 100)).cast("bigint").alias("s_maxline"),
+        )
+    )
+    long = (
+        base.select("nat", "label", F.lit("price").alias("rule"), F.col("s_price").alias("score"))
+        .unionByName(
+            base.select("nat", "label", F.lit("items").alias("rule"), F.col("s_items").alias("score"))
+        )
+        .unionByName(
+            base.select("nat", "label", F.lit("maxline").alias("rule"), F.col("s_maxline").alias("score"))
+        )
+    )
+    wr = Window.partitionBy("nat", "rule")
+    ranked = long.select(
+        "nat",
+        "rule",
+        "label",
+        (
+            2 * F.rank().over(wr.orderBy("score"))
+            + F.count(F.lit(1)).over(Window.partitionBy("nat", "rule", "score"))
+            - 1
+        ).alias("r2"),
+    )
+    auc = ranked.groupBy("nat", "rule").agg(
+        F.sum("label").cast("bigint").alias("np"),
+        (F.count(F.lit(1)) - F.sum("label")).cast("bigint").alias("nn"),
+        F.sum(F.when(F.col("label") == 1, F.col("r2")).otherwise(0))
+        .cast("bigint")
+        .alias("pos_r2"),
+    )
+    auc_m = auc.where((F.col("np") > 0) & (F.col("nn") > 0)).select(
+        "nat",
+        "rule",
+        F.expr("CAST((pos_r2 - np * (np + 1)) * 1000000 DIV (2 * np * nn) AS BIGINT)").alias(
+            "auc_micro"
+        ),
+    )
+    block_ranks = auc_m.select(
+        "rule",
+        (
+            2 * F.rank().over(Window.partitionBy("nat").orderBy("auc_micro"))
+            + F.count(F.lit(1)).over(Window.partitionBy("nat", "auc_micro"))
+            - 1
+        ).alias("r2"),
+    )
+    sums = block_ranks.groupBy("rule").agg(
+        F.sum("r2").cast("bigint").alias("rank2x_sum"),
+        F.count(F.lit(1)).cast("bigint").alias("b"),
+    )
+    dev = sums.agg(
+        F.sum(
+            (F.col("rank2x_sum") - F.col("b") * 4) * (F.col("rank2x_sum") - F.col("b") * 4)
+        )
+        .cast("bigint")
+        .alias("dev2_sum"),
+        F.expr("CAST(any_value(b) AS BIGINT)").alias("b"),
+    )
+    mean_auc = auc_m.groupBy("rule").agg(
+        F.expr("CAST(SUM(auc_micro) DIV COUNT(*) AS BIGINT)").alias("mean_auc_micro")
+    )
+    return (
+        sums.withColumnRenamed("b", "n_blocks")
+        .join(F.broadcast(mean_auc), "rule")
+        .crossJoin(F.broadcast(dev))
+        .select(
+            "rule",
+            "rank2x_sum",
+            "n_blocks",
+            "mean_auc_micro",
+            F.expr(_FRIEDMAN_CHI2).alias("friedman_chi2_micro"),
+            F.expr(
+                f"CAST(CASE WHEN {_FRIEDMAN_CHI2} > {_CHI2_DF2_CRIT_MICRO}"
+                " THEN 1 ELSE 0 END AS BIGINT)"
+            ).alias("reject_h0"),
+        )
+        .orderBy("rule")
+    )

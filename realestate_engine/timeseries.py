@@ -24,6 +24,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
+from realestate_engine.dedup import cache_once
 from realestate_engine.registry import register, t
 
 
@@ -1124,4 +1125,115 @@ def ts14_phase_folding_periodogram(spark: SparkSession, sf_dir: str) -> DataFram
             F.expr(_TS14_STRENGTH).alias("strength_micro"),
         )
         .orderBy("period")
+    )
+
+
+# Mann-Kendall z with continuity correction, ONE shared SQL text over
+# exact BIGINT inputs (S and 18*var): the sign split and the single
+# sqrt/divide/FLOOR chain are the only floating point.
+_TS15_Z = (
+    "CAST(CASE WHEN var18 <= 0 OR s_stat = 0 THEN 0 ELSE"
+    " FLOOR((CAST(s_stat AS DOUBLE)"
+    " - CASE WHEN s_stat > 0 THEN 1 ELSE -1 END)"
+    " / SQRT(CAST(var18 AS DOUBLE) / 18) * 1000000) END AS BIGINT)"
+)
+
+_TS15_ORACLE = f"""
+    WITH daily AS (
+        SELECT DATE_DIFF('day', DATE '2024-01-01', ts::DATE) AS day_idx,
+               SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS v
+        FROM events GROUP BY 1
+    ),
+    s AS (
+        SELECT CAST(SUM(CASE WHEN b.v > a.v THEN 1
+                             WHEN b.v < a.v THEN -1 ELSE 0 END) AS BIGINT)
+                   AS s_stat
+        FROM daily a JOIN daily b ON b.day_idx > a.day_idx
+    ),
+    ties AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n_tie_groups,
+               CAST(COALESCE(SUM(t * (t - 1) * (2 * t + 5)), 0) AS BIGINT)
+                   AS tie_corr
+        FROM (SELECT COUNT(*) AS t FROM daily GROUP BY v HAVING COUNT(*) > 1)
+    ),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM daily),
+    fin AS (
+        SELECT nn.n AS n_days, s.s_stat, ties.n_tie_groups,
+               CAST(nn.n * (nn.n - 1) * (2 * nn.n + 5) - ties.tie_corr
+                    AS BIGINT) AS var18
+        FROM s, ties, nn
+    )
+    SELECT n_days, s_stat, n_tie_groups, var18,
+           {_TS15_Z} AS z_micro,
+           CAST(CASE WHEN ABS({_TS15_Z}) > 1959964 THEN 1 ELSE 0 END
+                AS BIGINT) AS reject_h0
+    FROM fin
+"""
+
+
+@register("ts15_mann_kendall", _TS15_ORACLE)
+def ts15_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS15: Mann-Kendall trend test on the daily event-value series —
+    the significance companion to ts7's Theil-Sen slope (ts7 ESTIMATES
+    the trend, nothing TESTED it): S = sum of sign(v_j - v_i) over
+    ordered day pairs, variance with the exact tie correction, z with
+    continuity correction vs the two-sided 5% normal critical value.
+    Exactness: S and 18*var are pure BIGINT (the sign census and the
+    t(t-1)(2t+5) tie sum never see a float); the one sqrt/divide chain
+    is the shared _TS15_Z text. Scale: the scan collapses to O(days)
+    rows first (the ts10 shape); the day-pair sign census is a
+    broadcast non-equi self-join over that ~365-row ledger —
+    O(days^2) of a KB frame, never a subjects-sized product. Bound:
+    var18 = n(n-1)(2n+5) crosses 2^63 at ~1.66M days (4500 years of
+    daily data) — not a realistic ceiling."""
+    ev = t(spark, sf_dir, "events").select(
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("day_idx"),
+        F.floor(F.col("value") * 1000).cast("bigint").alias("v"),
+    )
+    daily = cache_once(ev.groupBy("day_idx").agg(F.sum("v").alias("v")))
+    b = daily.select(F.col("day_idx").alias("b_day"), F.col("v").alias("b_v"))
+    s = daily.join(F.broadcast(b), F.col("b_day") > F.col("day_idx")).agg(
+        F.sum(
+            F.when(F.col("b_v") > F.col("v"), 1)
+            .when(F.col("b_v") < F.col("v"), -1)
+            .otherwise(0)
+        )
+        .cast("bigint")
+        .alias("s_stat")
+    )
+    ties = (
+        daily.groupBy("v")
+        .agg(F.count(F.lit(1)).alias("t"))
+        .where(F.col("t") > 1)
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_tie_groups"),
+            F.coalesce(
+                F.sum(F.expr("t * (t - 1) * (2 * t + 5)")), F.lit(0)
+            )
+            .cast("bigint")
+            .alias("tie_corr"),
+        )
+    )
+    nn = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
+    fin = (
+        s.crossJoin(F.broadcast(ties))
+        .crossJoin(F.broadcast(nn))
+        .select(
+            F.col("n").alias("n_days"),
+            "s_stat",
+            "n_tie_groups",
+            F.expr("CAST(n * (n - 1) * (2 * n + 5) - tie_corr AS BIGINT)").alias(
+                "var18"
+            ),
+        )
+    )
+    return fin.select(
+        "n_days",
+        "s_stat",
+        "n_tie_groups",
+        "var18",
+        F.expr(_TS15_Z).alias("z_micro"),
+        F.expr(
+            f"CAST(CASE WHEN ABS({_TS15_Z}) > 1959964 THEN 1 ELSE 0 END AS BIGINT)"
+        ).alias("reject_h0"),
     )

@@ -3,9 +3,11 @@ Spearman rank correlation, McNemar's paired classifier test, the
 Goodman-Kruskal gamma ordinal association, the two-group log-rank
 survival test, degree assortativity, discrete mutual information, the
 phase-folding periodogram, the write-audit-publish gate, DeLong's
-paired-AUC test, and the OCC conflict audit — each replayed exactly
-in Python (the property-test posture: the oracle proves cross-engine
-agreement, the replay proves the MATH is the one we claim)."""
+paired-AUC test, the OCC conflict audit, the sharp regression
+discontinuity, the Mann-Kendall trend test, and the Friedman blocked
+comparison — each replayed exactly in Python (the property-test
+posture: the oracle proves cross-engine agreement, the replay proves
+the MATH is the one we claim)."""
 
 from __future__ import annotations
 
@@ -614,3 +616,102 @@ def test_rdd_matches_exact_replay(spark, sf_dir):
     assert abs(r.rdd_effect_micro - math.floor((ricept - licept) * 1_000_000)) <= 1
     # uniform data: no true discontinuity — effect within +-1 basket item
     assert abs(r.rdd_effect_micro) < 1_000_000
+
+
+def test_mann_kendall_matches_exact_replay(spark, sf_dir):
+    rows = QUERIES["ts15_mann_kendall"](spark, sf_dir).collect()
+    assert len(rows) == 1
+    r = rows[0]
+    ev = load_table(spark, sf_dir, "events").select("ts", "value").collect()
+    daily = Counter()
+    for e in ev:
+        day = (e.ts.date() - __import__("datetime").date(2024, 1, 1)).days
+        daily[day] += math.floor(e.value * 1000)
+    days = sorted(daily)
+    vals = [daily[d] for d in days]
+    n = len(vals)
+    s = sum(
+        (1 if vals[j] > vals[i] else -1 if vals[j] < vals[i] else 0)
+        for i in range(n)
+        for j in range(i + 1, n)
+    )
+    tie_sizes = [t_ for t_ in Counter(vals).values() if t_ > 1]
+    tie_corr = sum(t_ * (t_ - 1) * (2 * t_ + 5) for t_ in tie_sizes)
+    var18 = n * (n - 1) * (2 * n + 5) - tie_corr
+    assert (r.n_days, r.s_stat, r.n_tie_groups, r.var18) == (
+        n, s, len(tie_sizes), var18,
+    )
+    if s != 0 and var18 > 0:
+        z = (s - (1 if s > 0 else -1)) / math.sqrt(var18 / 18)
+        assert abs(r.z_micro - math.floor(z * 1_000_000)) <= 1
+    assert r.reject_h0 == (1 if abs(r.z_micro) > 1959964 else 0)
+    # |S| can never exceed the pair count
+    assert abs(s) <= n * (n - 1) // 2
+
+
+def test_friedman_matches_exact_replay(spark, sf_dir):
+    rows = QUERIES["m59_friedman_test"](spark, sf_dir).collect()
+    assert [r.rule for r in rows] == ["items", "maxline", "price"]
+    orders = {
+        o.o_orderkey: (round(o.o_totalprice * 100), o.o_custkey,
+                       1 if o.o_orderpriority == "1-URGENT" else 0)
+        for o in load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_totalprice", "o_custkey", "o_orderpriority"
+        ).collect()
+    }
+    items = Counter()
+    maxline = {}
+    for li in load_table(spark, sf_dir, "lineitem").select(
+        "l_orderkey", "l_extendedprice"
+    ).collect():
+        items[li.l_orderkey] += 1
+        v = round(li.l_extendedprice * 100)
+        if li.l_orderkey not in maxline or v > maxline[li.l_orderkey]:
+            maxline[li.l_orderkey] = v
+    cust = {
+        c.c_custkey: c.c_nationkey
+        for c in load_table(spark, sf_dir, "customer").select(
+            "c_custkey", "c_nationkey"
+        ).collect()
+    }
+    by_nat = {}
+    for k, (price, ck, label) in orders.items():
+        if items[k] == 0:
+            continue
+        by_nat.setdefault(cust[ck], []).append(
+            {"price": price, "items": items[k], "maxline": maxline[k], "label": label}
+        )
+
+    def auc_micro(samples, rule):
+        scores = [s[rule] for s in samples]
+        r2 = _avg_ranks_doubled(scores)
+        np_ = sum(s["label"] for s in samples)
+        nn = len(samples) - np_
+        if np_ == 0 or nn == 0:
+            return None
+        pos_r2 = sum(v for v, s in zip(r2, samples) if s["label"] == 1)
+        return (pos_r2 - np_ * (np_ + 1)) * 1_000_000 // (2 * np_ * nn)
+
+    rank_sums = Counter()
+    blocks = 0
+    means = {"price": [], "items": [], "maxline": []}
+    for nat, samples in by_nat.items():
+        aucs = {rl: auc_micro(samples, rl) for rl in ("price", "items", "maxline")}
+        if any(v is None for v in aucs.values()):
+            continue
+        blocks += 1
+        vals = [aucs[rl] for rl in ("price", "items", "maxline")]
+        r2 = _avg_ranks_doubled(vals)
+        for rl, rr in zip(("price", "items", "maxline"), r2):
+            rank_sums[rl] += rr
+            means[rl].append(aucs[rl])
+    dev2 = sum((rank_sums[rl] - blocks * 4) ** 2 for rl in rank_sums)
+    chi2 = math.floor(12.0 / (blocks * 3 * 4) * dev2 / 4 * 1_000_000)
+    for r in rows:
+        assert r.n_blocks == blocks
+        assert r.rank2x_sum == rank_sums[r.rule]
+        assert r.mean_auc_micro == sum(means[r.rule]) // len(means[r.rule])
+        assert r.friedman_chi2_micro == chi2
+        assert r.reject_h0 == (1 if chi2 > 5991465 else 0)
+    # each block contributes 2*(1+2+3) = 12 doubled rank units total
+    assert sum(rank_sums.values()) == 12 * blocks

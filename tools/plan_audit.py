@@ -72,6 +72,8 @@ ALLOWED_CROSS = {
     "x36_write_audit_publish",  # broadcast non-equi prefix self-join over the 10-row commit ledger
     "m58_delong_auc_test",  # broadcast 1-row class totals onto samples and the 1-row moment frame
     "ev28_regression_discontinuity",  # broadcast 1-row cutoff/bandwidth quantile frame onto orders
+    "ts15_mann_kendall",  # broadcast non-equi sign census over the ~365-row day ledger + 1-row totals
+    "m59_friedman_test",  # broadcast 1-row deviation frame onto the 3-row rule frame
     "graph_hits_authorities",  # broadcast 1-row max-score frame per half-step renorm
     "graph_degree_distribution",  # broadcast 32-row powers-of-two constant frame
     "dedup_lsh_hot_bucket_guard",  # cross join of two 1-row stat aggregates
