@@ -1263,3 +1263,149 @@ def m59_friedman_test(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("rule")
     )
+
+
+# --- EV29: Benjamini-Hochberg FDR step-up --------------------------------------
+
+from statistics import NormalDist as _ND
+
+_BH_M = 5
+# BH critical z^2 ladder: reject rank i (z^2 DESCENDING) iff
+# z^2_(i) >= chi2_inv(1 - 0.05*i/m, 1); two-sided p = 2(1 - Phi(z)),
+# so the threshold is inv_cdf(1 - 0.025*i/m)^2. stdlib-computed ONCE,
+# embedded as identical literals on both sides (the ev23 contract).
+_BH_CRIT2_MICRO = [
+    int(_ND().inv_cdf(1 - 0.025 * i / _BH_M) ** 2 * 1_000_000)
+    for i in range(1, _BH_M + 1)
+]  # index i-1 = critical z^2 (micro) at rank i
+
+
+def _bh_crit_values_sql() -> str:
+    return ", ".join(
+        f"({i}, {_BH_CRIT2_MICRO[i - 1]})" for i in range(1, _BH_M + 1)
+    )
+
+
+_EV29_ORACLE = f"""
+    WITH assign AS (
+        SELECT user_id % {_BH_M} AS seg, (user_id // {_BH_M}) % 2 AS arm,
+               CASE WHEN event_type = 'purchase' THEN 1 ELSE 0 END AS conv
+        FROM events
+    ),
+    arms AS (
+        SELECT seg,
+               MAX(CASE WHEN arm = 0 THEN n END) AS n0,
+               MAX(CASE WHEN arm = 0 THEN x END) AS x0,
+               MAX(CASE WHEN arm = 1 THEN n END) AS n1,
+               MAX(CASE WHEN arm = 1 THEN x END) AS x1
+        FROM (SELECT seg, arm, COUNT(*) AS n, SUM(conv) AS x
+              FROM assign GROUP BY seg, arm)
+        GROUP BY seg
+    ),
+    z AS (
+        SELECT seg, CAST(n0 + n1 AS BIGINT) AS n_total,
+               CAST(FLOOR(
+                   ((CAST(x1 AS DOUBLE) / n1 - CAST(x0 AS DOUBLE) / n0)
+                    * (CAST(x1 AS DOUBLE) / n1 - CAST(x0 AS DOUBLE) / n0))
+                   / ((CAST(x0 + x1 AS DOUBLE) / (n0 + n1))
+                      * (1 - CAST(x0 + x1 AS DOUBLE) / (n0 + n1))
+                      * (1.0 / n0 + 1.0 / n1)) * 1000000) AS BIGINT) AS z2_micro
+        FROM arms
+    ),
+    ranked AS (
+        SELECT a.seg, a.n_total, a.z2_micro,
+               CAST(1 + (SELECT COUNT(*) FROM z b
+                         WHERE (b.z2_micro, b.seg) > (a.z2_micro, a.seg))
+                    AS BIGINT) AS rank
+        FROM z a
+    ),
+    crit(rank, crit2_micro) AS (VALUES {_bh_crit_values_sql()}),
+    tested AS (
+        SELECT r.seg, r.n_total, r.z2_micro, r.rank,
+               r.z2_micro >= c.crit2_micro AS pass_own
+        FROM ranked r JOIN crit c USING (rank)
+    )
+    SELECT a.seg, a.n_total, a.z2_micro, a.rank,
+           a.pass_own AS rejected_raw,
+           MAX(CASE WHEN b.pass_own THEN 1 ELSE 0 END) = 1 AS rejected_bh
+    FROM tested a JOIN tested b ON b.rank >= a.rank
+    GROUP BY a.seg, a.n_total, a.z2_micro, a.rank, a.pass_own
+    ORDER BY a.rank
+"""
+
+
+@register("ev29_benjamini_hochberg", _EV29_ORACLE)
+def ev29_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EV29: Benjamini-Hochberg FDR step-up across the same m = 5
+    conversion z-tests as ev23 — the OTHER canonical multiple-testing
+    procedure, and structurally its dual: Holm walks DOWN from the most
+    significant test and stops at the first failure (prefix-AND,
+    controls FWER), BH walks UP from the least significant and rejects
+    EVERYTHING at or above the largest passing rank (suffix-OR,
+    controls FDR — strictly more powerful, the industry default for
+    many-metric dashboards). The z^2 pipeline, ranking self-join, and
+    stdlib-literal critical ladder are the ev23 contract; only the
+    ladder (1 - 0.025*i/m quantiles, DECREASING with rank) and the
+    suffix-OR join direction differ — which is exactly the point: the
+    registry now demonstrates both corrections on identical inputs, so
+    their decisions can disagree visibly on the same data. Metadata
+    after one segment-keyed count; 5-row frames throughout."""
+    ev = t(spark, sf_dir, "events").select(
+        (F.col("user_id") % _BH_M).alias("seg"),
+        ((F.col("user_id") / _BH_M).cast("long") % 2).alias("arm"),
+        F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("conv"),
+    )
+    arms = (
+        ev.groupBy("seg", "arm")
+        .agg(F.count(F.lit(1)).alias("n"), F.sum("conv").alias("x"))
+        .groupBy("seg")
+        .agg(
+            F.max(F.when(F.col("arm") == 0, F.col("n"))).alias("n0"),
+            F.max(F.when(F.col("arm") == 0, F.col("x"))).alias("x0"),
+            F.max(F.when(F.col("arm") == 1, F.col("n"))).alias("n1"),
+            F.max(F.when(F.col("arm") == 1, F.col("x"))).alias("x1"),
+        )
+    )
+    diff = "(CAST(x1 AS DOUBLE) / n1 - CAST(x0 AS DOUBLE) / n0)"
+    se2 = (
+        "((CAST(x0 + x1 AS DOUBLE) / (n0 + n1))"
+        " * (1 - CAST(x0 + x1 AS DOUBLE) / (n0 + n1))"
+        " * (1.0 / n0 + 1.0 / n1))"
+    )
+    z = arms.select(
+        "seg",
+        (F.col("n0") + F.col("n1")).cast("bigint").alias("n_total"),
+        F.expr(f"CAST(FLOOR(({diff} * {diff}) / {se2} * 1000000) AS BIGINT)").alias(
+            "z2_micro"
+        ),
+    )
+    a, b = z.alias("a"), z.alias("b")
+    worse = (F.col("b.z2_micro") > F.col("a.z2_micro")) | (
+        (F.col("b.z2_micro") == F.col("a.z2_micro")) & (F.col("b.seg") > F.col("a.seg"))
+    )
+    ranked = (
+        a.join(F.broadcast(b), worse, "left")
+        .groupBy("a.seg", "a.n_total", "a.z2_micro")
+        .agg((F.count(F.col("b.seg")) + 1).cast("bigint").alias("rank"))
+        .select(F.col("seg"), F.col("n_total"), F.col("z2_micro"), F.col("rank"))
+    )
+    crit = spark.createDataFrame(
+        [(i, _BH_CRIT2_MICRO[i - 1]) for i in range(1, _BH_M + 1)],
+        "rank bigint, crit2_micro bigint",
+    )
+    tested = ranked.join(F.broadcast(crit), "rank").select(
+        "seg", "n_total", "z2_micro", "rank",
+        (F.col("z2_micro") >= F.col("crit2_micro")).alias("pass_own"),
+    )
+    ta, tb = tested.alias("ta"), tested.alias("tb")
+    return (
+        ta.join(F.broadcast(tb), F.col("tb.rank") >= F.col("ta.rank"))
+        .groupBy("ta.seg", "ta.n_total", "ta.z2_micro", "ta.rank", "ta.pass_own")
+        .agg(F.max(F.col("tb.pass_own")).alias("rejected_bh"))
+        .select(
+            F.col("seg"), F.col("n_total"), F.col("z2_micro"), F.col("rank"),
+            F.col("pass_own").alias("rejected_raw"),
+            F.col("rejected_bh"),
+        )
+        .orderBy("rank")
+    )

@@ -715,3 +715,30 @@ def test_friedman_matches_exact_replay(spark, sf_dir):
         assert r.reject_h0 == (1 if chi2 > 5991465 else 0)
     # each block contributes 2*(1+2+3) = 12 doubled rank units total
     assert sum(rank_sums.values()) == 12 * blocks
+
+
+def test_bh_matches_exact_replay_and_dominates_holm(spark, sf_dir):
+    from statistics import NormalDist
+
+    bh = {r.seg: r for r in QUERIES["ev29_benjamini_hochberg"](spark, sf_dir).collect()}
+    holm = {r.seg: r for r in QUERIES["ev23_holm_bonferroni"](spark, sf_dir).collect()}
+    assert set(bh) == set(holm) and len(bh) == 5
+    # identical inputs: same z^2 and same descending rank per segment
+    for seg in bh:
+        assert bh[seg].z2_micro == holm[seg].z2_micro
+        assert bh[seg].rank == holm[seg].rank
+    # replay the step-up rule from the emitted z^2/rank columns
+    crit = [
+        int(NormalDist().inv_cdf(1 - 0.025 * i / 5) ** 2 * 1_000_000)
+        for i in range(1, 6)
+    ]
+    rows = sorted(bh.values(), key=lambda r: r.rank)
+    pass_own = [r.z2_micro >= crit[r.rank - 1] for r in rows]
+    max_pass = max((r.rank for r, p in zip(rows, pass_own) if p), default=0)
+    for r, p in zip(rows, pass_own):
+        assert r.rejected_raw == p
+        assert r.rejected_bh == (r.rank <= max_pass)
+    # BH (FDR) is never less powerful than Holm (FWER) on the same data
+    for seg in bh:
+        if holm[seg].rejected_holm:
+            assert bh[seg].rejected_bh
