@@ -58,8 +58,8 @@ registry.load_all()
 # a53_mutual_information, ts14_phase_folding_periodogram,
 # x36_write_audit_publish, m58_delong_auc_test,
 # x37_occ_conflict_audit, ev28_regression_discontinuity,
-# ts15_mann_kendall, m59_friedman_test, and
-# ev29_benjamini_hochberg
+# ts15_mann_kendall, m59_friedman_test, ev29_benjamini_hochberg,
+# and graph_rich_club
 # (all sf0.001/sf0.01/sf0.1-certified on arrival), then keep
 # draining: ev3-ev11, dq3-dq6, f10_arrays
 # /f12-f19, corpus_*, text_* remainder, sim_* remainder

@@ -16,6 +16,9 @@ Reference semantics re-expressed scale-first:
 
 from __future__ import annotations
 
+import os
+import shutil
+
 from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import types as T
 
@@ -83,7 +86,23 @@ def write_bucketed(
     WRITE time so later joins/aggregations on those columns need no
     exchange — the 100 TB answer to repeatedly-joined fact tables (pay
     the shuffle once at ingest, never per query). Requires saveAsTable
-    (bucket metadata lives in the catalog)."""
+    (bucket metadata lives in the catalog).
+
+    Self-healing against orphaned locations: a killed prior process
+    can leave the managed-table DIRECTORY in spark-warehouse with no
+    catalog entry, and saveAsTable then fails with
+    LOCATION_ALREADY_EXISTS even in overwrite mode (overwrite replaces
+    CATALOG tables, not stray directories). Drop the catalog entry AND
+    clear the orphan location first."""
+    spark = df.sparkSession
+    if mode == "overwrite":
+        spark.sql(f"DROP TABLE IF EXISTS {table}")
+        warehouse = spark.conf.get(
+            "spark.sql.warehouse.dir", "spark-warehouse"
+        ).removeprefix("file:")
+        loc = os.path.join(warehouse, table.lower())
+        if os.path.isdir(loc):
+            shutil.rmtree(loc, ignore_errors=True)
     writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
     if sort_cols:
         writer = writer.sortBy(*sort_cols)

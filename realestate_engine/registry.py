@@ -150,4 +150,5 @@ def load_all() -> None:
     import realestate_engine.queries_preference  # noqa: F401
     import realestate_engine.queries_lakehouse  # noqa: F401
     import realestate_engine.graph  # noqa: F401
+    import realestate_engine.graph2  # noqa: F401
     import realestate_engine.ordered  # noqa: F401

@@ -742,3 +742,45 @@ def test_bh_matches_exact_replay_and_dominates_holm(spark, sf_dir):
     for seg in bh:
         if holm[seg].rejected_holm:
             assert bh[seg].rejected_bh
+
+
+def test_rich_club_matches_exact_replay(spark, sf_dir):
+    rows = QUERIES["graph_rich_club"](spark, sf_dir).collect()
+    assert [r.k for r in rows] == [1, 2, 4, 8, 16, 32]
+    edges = _trade_graph_edges(spark, sf_dir)
+    deg = Counter(s for s, _ in edges)
+    m2 = len(edges)
+    n_all = len(deg)
+    for r in rows:
+        rich = {n for n, d in deg.items() if d > r.k}
+        e_dir = sum(1 for s, d in edges if s in rich and d in rich)
+        assert (r.n_rich, r.e_rich_directed) == (len(rich), e_dir)
+        want = (
+            0
+            if len(rich) < 2
+            else e_dir * 1_000_000 // (len(rich) * (len(rich) - 1))
+        )
+        assert r.phi_micro == want
+    # monotone threshold: rich node sets shrink as k grows
+    ns = [r.n_rich for r in rows]
+    assert ns == sorted(ns, reverse=True) and ns[0] <= n_all
+    # bipartite structure keeps hub density below the complete-graph
+    # ceiling by construction (same-side hubs never link)
+    assert all(0 <= r.phi_micro < 1_000_000 for r in rows)
+    assert m2 % 2 == 0  # symmetric edge list
+
+
+def _trade_graph_edges(spark, sf_dir):
+    o = {
+        x.o_orderkey: x.o_custkey
+        for x in load_table(spark, sf_dir, "orders").select(
+            "o_orderkey", "o_custkey"
+        ).collect()
+    }
+    pairs = {
+        (o[li.l_orderkey] * 2, li.l_suppkey * 2 + 1)
+        for li in load_table(spark, sf_dir, "lineitem").select(
+            "l_orderkey", "l_suppkey"
+        ).collect()
+    }
+    return [(c, s) for c, s in pairs] + [(s, c) for c, s in pairs]

@@ -75,6 +75,7 @@ ALLOWED_CROSS = {
     "ts15_mann_kendall",  # broadcast non-equi sign census over the ~365-row day ledger + 1-row totals
     "m59_friedman_test",  # broadcast 1-row deviation frame onto the 3-row rule frame
     "ev29_benjamini_hochberg",  # broadcast non-equi self-joins over the 5-row test frame (rank + step-up suffix OR)
+    "graph_rich_club",  # broadcast 6-row threshold grid fanned onto the degree census / endpoint-degree frame
     "graph_hits_authorities",  # broadcast 1-row max-score frame per half-step renorm
     "graph_degree_distribution",  # broadcast 32-row powers-of-two constant frame
     "dedup_lsh_hot_bucket_guard",  # cross join of two 1-row stat aggregates
@@ -186,6 +187,7 @@ ALLOWED_LOCAL = {
     "graph_boruvka_msf",  # Boruvka contraction localCheckpoints each jump (plan doubles per self-join otherwise)
     "x37_occ_conflict_audit",  # 12-round OCC protocol fold localCheckpoints the 12-row decision frame each round
     "ev29_benjamini_hochberg",  # 5-row local BH critical-ladder dim (broadcast side; the ev23 posture)
+    "graph_rich_club",  # 6-row local threshold grid (broadcast side)
     "graph_ktruss",  # per-round edge-frame localCheckpoint (same lesson) + 2-row census frame
     "sim_ivf_build_exact",  # k*d-row centroid frame localCheckpointed per Lloyd round
     "st_cusum_monitor",  # memory-sink rows of the real stateful streaming run (O(|users|))
