@@ -43,61 +43,53 @@ registry.load_all()
 # 347 assumed 50 fresh names; the window re-verifies flagship — the
 # driver's smoke anchor stays first by convention — so 49 is the max
 # for this rotation. The remainder, 107 names, drains in r10-r12.)
-# Round 10 should lead with round 9's new operators
-# (mm_flac_crc_audit, m54_platt_scaling, t31_unigram_viterbi,
-# t32_heaps_law, graph_mis_luby, sim_mips_topk, m55_bradley_terry,
-# m56_fairness_audit — all sf0.1-certified on arrival, PLANS.md
-# round-9 ledger) plus m19_fpgrowth_baskets and
-# m22_prefixspan_sequences (upgraded from rows-only to FULL oracles
-# in round 9 — driver-verifying them now records hash evidence where
-# the ledger has only rows-only rows), plus the round-9 late-wave
-# additions graph_adamic_adar, ev26_markov_stationary,
-# graph_modularity, ts13_ljung_box, a51_spearman_corr,
-# m57_mcnemar_test, mm_bmp_roundtrip, a52_goodman_kruskal_gamma,
-# ev27_logrank_test, graph_degree_assortativity,
-# a53_mutual_information, ts14_phase_folding_periodogram,
-# x36_write_audit_publish, m58_delong_auc_test,
-# x37_occ_conflict_audit, ev28_regression_discontinuity,
-# ts15_mann_kendall, m59_friedman_test, ev29_benjamini_hochberg,
-# and graph_rich_club
-# (all sf0.001/sf0.01/sf0.1-certified on arrival), then keep
-# draining: ev3-ev11, dq3-dq6, f10_arrays
-# /f12-f19, corpus_*, text_* remainder, sim_* remainder
-# (hard_negatives/label_centroids/matryoshka/quantize_int8/pca),
-# m15, x8/x12-x15/x19/x32, a1x-a3x remainder, a47, j5-j8/j16, p1x,
-# w5, pack_length_buckets, ts_gapfill/sessionize/rolling,
-# mm_frame/audio/batch_resize, skew_salted_agg, set_*_all, and the
-# rows-only ML fits (m9/m10/m12-m24 family) for rows-only evidence.
+# Round 10's window (per VERDICT r9 #1): round 9's 28 additions
+# (sf0.001/0.01/0.1-certified on arrival; graph_rich_club re-certified
+# at all three SFs AFTER the broadcast-direction fix this round) plus
+# m19_fpgrowth_baskets and m22_prefixspan_sequences (upgraded from
+# rows-only to FULL oracles in round 9 — driver-verifying them now
+# records hash evidence where the ledger has only rows-only rows),
+# then 19 never-verified fills from the drain queue (ev3-ev7, dq3-dq6,
+# f10_arrays/f12-f19, corpus mixture/shuffle). 49 new ledger names →
+# cumulative 395 of the registry. The remainder (~86 + this round's
+# additions) drains in r11-r12.
+# Round 11 should keep draining: ev10/ev11, dq11/dq22/dq23, text_*
+# remainder (fingerprint, token_count_bpe, udtf_chunk_docs,
+# repetition_filter, unigram_logprob, segment_dedup, oov_rate,
+# inverted_index, phrase_search), sim_* remainder (hard_negatives/
+# label_centroids/matryoshka/quantize_int8/pca/ivf_kmeans_topk/
+# brp_lsh_ann_mllib), corpus_source_overlap, m15, x8/x12-x15/x19/x32,
+# a1x-a3x remainder, a47, j5-j8/j16, p10/p11/p13/p16-p18, w5,
+# pack_length_buckets, ts_gapfill/sessionize/rolling, skew_salted_agg,
+# set_*_all, dedup_* remainder, and the rows-only ML fits
+# (m9/m10/m12-m24 family, mm_frame/audio/batch_resize) for rows-only
+# evidence.
 _WINDOW = [
     "flagship_revenue_by_nation",
-    # round-7 wave-2 remainder (never verified)
-    "dq21_order_reconciliation", "s25_recursive_glob_scan",
-    "t27_tokenizer_comparison", "ts11_decomposition_strength",
-    "ev20_sequence_pattern_match", "sql_collation",
-    "m48_f1_threshold_tuning", "m49_ridge_closed_form",
-    # round-8 additions (never verified; sf0.1-certified on arrival)
-    "t28_dsir_importance_weights", "t29_gopher_quality_rules",
-    "dedup_substring_kgram", "ts12_cusum_changepoint",
-    "graph_ktruss", "j17_asof_nearest_event",
-    "s26_csv_multiline_roundtrip", "mm_ogg_crc_audit",
-    "sim_ivf_build_exact", "st_cusum_monitor",
-    "ev23_holm_bonferroni", "sim_coreset_sensitivity",
-    "m51_knn_classifier", "corpus_curation_funnel",
-    "m52_isotonic_pav_exact", "m53_brier_decomposition",
-    "x33_vacuum_planner", "t30_bpe_encode", "mm_png_crc_audit",
-    "j18_band_join", "ev25_cohort_retention", "dq24_pk_discovery",
-    "a50_anova_oneway", "x35_checkpoint_equivalence",
-    # the other r8 dtype-warn query, cast-fixed this round
-    "ev24_power_analysis",
-    # never-verified fills: SURVEY §2 F-family, experiments, quality,
-    # text, similarity, join and window stragglers
-    "f2_exp", "f4_guarded_ratio", "f5_isin_flag", "f8_coalesce_lit",
-    "f10_dates", "f10_strings",
-    "ev21_two_proportion_ztest", "ev22_srm_check",
-    "dq_expectations", "dq_drift_audit",
-    "t14_pii_redaction", "t15_collocations",
-    "sim_norms_arrow", "j4_null_safe_join", "w4_value_windows",
-    "ev_funnel_conversion",
+    # round-9 additions, arrival order (all 3-SF-certified;
+    # graph_rich_club re-certified post-fix)
+    "mm_flac_crc_audit", "m54_platt_scaling", "t31_unigram_viterbi",
+    "t32_heaps_law", "graph_mis_luby", "sim_mips_topk",
+    "m55_bradley_terry", "m56_fairness_audit", "graph_adamic_adar",
+    "ev26_markov_stationary", "graph_modularity", "ts13_ljung_box",
+    "a51_spearman_corr", "m57_mcnemar_test", "mm_bmp_roundtrip",
+    "a52_goodman_kruskal_gamma", "ev27_logrank_test",
+    "graph_degree_assortativity", "a53_mutual_information",
+    "ts14_phase_folding_periodogram", "x36_write_audit_publish",
+    "m58_delong_auc_test", "x37_occ_conflict_audit",
+    "ev28_regression_discontinuity", "ts15_mann_kendall",
+    "m59_friedman_test", "ev29_benjamini_hochberg", "graph_rich_club",
+    # rows-only → full-oracle upgrades (r9): record hash evidence
+    "m19_fpgrowth_baskets", "m22_prefixspan_sequences",
+    # never-verified fills from the drain queue
+    "ev3_attribution", "ev4_transition_matrix",
+    "ev5_late_arrival_audit", "ev6_session_funnel",
+    "ev7_rfm_segmentation", "dq3_snapshot_diff", "dq4_mad_outliers",
+    "dq5_benford_audit", "dq6_functional_dependency", "f10_arrays",
+    "f12_json_extract", "f13_map_functions", "f14_array_hof_topn",
+    "f15_explode_outer", "f17_variant_extract", "f18_url_parsing",
+    "f19_json_array_explode", "corpus_mixture_sample",
+    "corpus_global_shuffle",
 ]
 
 

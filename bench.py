@@ -211,7 +211,7 @@ def main() -> None:
     print(
         json.dumps(
             {
-                "metric": "headline_queries_total_wall",
+                "metric": "headline_queries_total_wall_detail",
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
@@ -237,6 +237,35 @@ def main() -> None:
             }
         )
     )
+    # The driver records only the LAST 2000 chars of stdout and tries
+    # to json-parse the final line; the detail record above exceeds
+    # that window (BENCH_r1-r9 all have "parsed": null). So the FINAL
+    # line is a compact contract record guaranteed to fit: metric /
+    # value / unit / queries / sf plus the two totals. Full detail
+    # (per-query DuckDB times, ratios, loadavg) stays on the line
+    # above for human readers.
+    compact = json.dumps(
+        {
+            "metric": "headline_queries_total_wall",
+            "value": total,
+            "unit": "sec",
+            "queries": {k: round(v, 3) for k, v in timings.items()},
+            "sf": sf_val,
+            "duckdb_total": round(sum(duck.values()), 3),
+            "ratio_regressions": ratio_regressions,
+        }
+    )
+    if len(compact) > 1900:  # hard guarantee: fit the driver's window
+        compact = json.dumps(
+            {
+                "metric": "headline_queries_total_wall",
+                "value": total,
+                "unit": "sec",
+                "queries": {k: round(v, 2) for k, v in timings.items()},
+                "sf": sf_val,
+            }
+        )
+    print(compact)
 
 
 if __name__ == "__main__":

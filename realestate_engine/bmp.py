@@ -178,24 +178,42 @@ def decode_bmp(data: bytes) -> dict:
 
 
 def _decode_rle8(body: bytes, width: int, height: int) -> list[list[int]]:
-    """RLE8 bytestream -> bottom-up-ordered index grid (file order)."""
+    """RLE8 bytestream -> bottom-up-ordered index grid (file order).
+
+    Every write and cursor move is bounds-checked against the declared
+    width/height so a hostile stream raises ValueError (the module's
+    error contract) instead of growing rows past ``width`` via slice
+    assignment or escaping with a bare IndexError.
+    """
     grid = [[0] * width for _ in range(height)]
     x = y = i = 0
     while i + 1 < len(body):
         n, v = body[i], body[i + 1]
         i += 2
         if n > 0:  # encoded run
+            if y >= height or x + n > width:
+                raise ValueError("RLE8 run crosses row/image bounds")
             grid[y][x : x + n] = [v] * n
             x += n
         elif v == 0:  # end of line
             x, y = 0, y + 1
+            if y > height:
+                raise ValueError("RLE8 end-of-line past last row")
         elif v == 1:  # end of bitmap
             return grid
         elif v == 2:  # delta: move cursor right/up in file order
+            if i + 1 >= len(body):
+                raise ValueError("RLE8 delta truncated")
             x += body[i]
             y += body[i + 1]
             i += 2
+            if x > width or y >= height:
+                raise ValueError("RLE8 delta moves cursor out of bounds")
         else:  # absolute mode: v literal bytes, word-aligned
+            if i + v > len(body):
+                raise ValueError("RLE8 absolute block truncated")
+            if y >= height or x + v > width:
+                raise ValueError("RLE8 absolute block crosses row/image bounds")
             grid[y][x : x + v] = list(body[i : i + v])
             x += v
             i += v + (v & 1)

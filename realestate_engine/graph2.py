@@ -95,7 +95,7 @@ def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
         [(k,) for k in _RICH_KS], "k bigint"
     )
     nodes_k = (
-        ks.join(F.broadcast(deg), deg.d > ks.k, "left")
+        deg.join(F.broadcast(ks), deg.d > ks.k, "right")
         .groupBy("k")
         .agg(F.count(deg.d).cast("bigint").alias("n_rich"))
     )

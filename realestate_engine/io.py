@@ -92,18 +92,40 @@ def write_bucketed(
     can leave the managed-table DIRECTORY in spark-warehouse with no
     catalog entry, and saveAsTable then fails with
     LOCATION_ALREADY_EXISTS even in overwrite mode (overwrite replaces
-    CATALOG tables, not stray directories). Drop the catalog entry AND
-    clear the orphan location first."""
+    CATALOG tables, not stray directories). The heal is deliberately
+    narrow: it fires only AFTER saveAsTable actually failed with
+    LOCATION_ALREADY_EXISTS, only for single-segment table names (a
+    qualified ``db.tbl`` lives at ``<db>.db/<tbl>``, not
+    ``warehouse/db.tbl``, and an external table's location may be an
+    unrelated same-named directory), and never for an empty name —
+    destructive rmtree keyed on a naive layout guess is worse than the
+    orphan it heals."""
     spark = df.sparkSession
     if mode == "overwrite":
         spark.sql(f"DROP TABLE IF EXISTS {table}")
+
+    def _save() -> None:
+        writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
+        if sort_cols:
+            writer = writer.sortBy(*sort_cols)
+        writer.saveAsTable(table)
+
+    try:
+        _save()
+    except Exception as exc:  # noqa: BLE001 — retry only the known orphan case
+        healable = (
+            mode == "overwrite"
+            and "LOCATION_ALREADY_EXISTS" in str(exc)
+            and table
+            and "." not in table
+        )
+        if not healable:
+            raise
         warehouse = spark.conf.get(
             "spark.sql.warehouse.dir", "spark-warehouse"
         ).removeprefix("file:")
         loc = os.path.join(warehouse, table.lower())
-        if os.path.isdir(loc):
-            shutil.rmtree(loc, ignore_errors=True)
-    writer = df.write.mode(mode).bucketBy(n_buckets, *bucket_cols)
-    if sort_cols:
-        writer = writer.sortBy(*sort_cols)
-    writer.saveAsTable(table)
+        if not os.path.isdir(loc):
+            raise
+        shutil.rmtree(loc, ignore_errors=True)
+        _save()

@@ -1741,7 +1741,9 @@ def ev23_holm_bonferroni(spark: SparkSession, sf_dir: str) -> DataFrame:
     one segment-keyed count."""
     ev = t(spark, sf_dir, "events").select(
         (F.col("user_id") % _HOLM_M).alias("seg"),
-        ((F.col("user_id") / _HOLM_M).cast("long") % 2).alias("arm"),
+        # exact integer division (div), matching the oracle's // — a
+        # double / would diverge past 2^53 (VERDICT r9 advice)
+        (F.expr(f"user_id div {_HOLM_M}") % 2).alias("arm"),
         F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("conv"),
     )
     arms = (

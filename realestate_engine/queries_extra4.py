@@ -592,6 +592,14 @@ def ev27_logrank_test(spark: SparkSession, sf_dir: str) -> DataFrame:
 # (the ev13/t28 precedent), scaled/divided/FLOORed in a fixed chain so
 # the per-cell integer is bit-reproducible and the total MI is an
 # order-free BIGINT sum of the column.
+#
+# Platform caveat (the ts14 cos/sin argument applies to LN too):
+# java.lang.Math.log is 1-ulp accurate, not correctly rounded, so
+# JVM-vs-libm bit-equality of the LN is EMPIRICAL — certified on this
+# host at all three SFs, but a boundary cell could flip the FLOOR on
+# another JDK/libc. Both engines do take LN of the identical double
+# (the rational is formed from exact BIGINTs in the same order), which
+# confines any divergence to the 1-ulp FLOOR boundary.
 _MI_TERM = (
     "CAST(FLOOR(CAST(n_ij AS DOUBLE)"
     " * LN(CAST(n_ij AS DOUBLE) * CAST(n_all AS DOUBLE)"
@@ -1352,7 +1360,9 @@ def ev29_benjamini_hochberg(spark: SparkSession, sf_dir: str) -> DataFrame:
     after one segment-keyed count; 5-row frames throughout."""
     ev = t(spark, sf_dir, "events").select(
         (F.col("user_id") % _BH_M).alias("seg"),
-        ((F.col("user_id") / _BH_M).cast("long") % 2).alias("arm"),
+        # exact integer division (div), matching the oracle's // — a
+        # double / would diverge past 2^53 (VERDICT r9 advice)
+        (F.expr(f"user_id div {_BH_M}") % 2).alias("arm"),
         F.when(F.col("event_type") == "purchase", 1).otherwise(0).alias("conv"),
     )
     arms = (

@@ -238,3 +238,38 @@ def test_bmp_rejects_malformed():
         _decode_rle8(bytes([0x02, 1, 0x00, 0x00]), 2, 2)
     with _pytest.raises(ValueError):
         encode_bmp(2, 2, [0] * 4, palette=[(0, 0, 0)], rle8=True, topdown=True)
+
+
+def test_bmp_rle8_hostile_streams_raise_valueerror():
+    """Bounds contract for untrusted lake BMPs (VERDICT r9 advice):
+    every out-of-bounds write or cursor move raises the module's
+    ValueError — never a silent row-growing slice assignment, never a
+    bare IndexError."""
+    import pytest as _pytest
+
+    from realestate_engine.bmp import _decode_rle8
+
+    # encoded run crossing the row end (width 4, run of 5)
+    with _pytest.raises(ValueError, match="run crosses"):
+        _decode_rle8(bytes([0x05, 7, 0x00, 0x01]), 4, 2)
+    # absolute block crossing the row end
+    with _pytest.raises(ValueError, match="absolute block crosses"):
+        _decode_rle8(bytes([0x00, 0x05, 1, 2, 3, 4, 5, 0x00, 0x00, 0x01]), 4, 2)
+    # absolute block truncated (declares 4 literals, supplies 2)
+    with _pytest.raises(ValueError, match="absolute block truncated"):
+        _decode_rle8(bytes([0x00, 0x04, 1, 2]), 4, 2)
+    # run after the last row (two end-of-lines walk y past height)
+    with _pytest.raises(ValueError, match="run crosses"):
+        _decode_rle8(
+            bytes([0x00, 0x00, 0x00, 0x00, 0x01, 7, 0x00, 0x01]), 4, 2
+        )
+    # delta jumping below the last row
+    with _pytest.raises(ValueError, match="delta moves cursor"):
+        _decode_rle8(bytes([0x00, 0x02, 0x00, 0x05, 0x00, 0x01]), 4, 2)
+    # delta truncated mid-operands
+    with _pytest.raises(ValueError, match="delta truncated"):
+        _decode_rle8(bytes([0x00, 0x02, 0x01]), 4, 2)
+    # well-formed stream still decodes exactly width*height values
+    grid = _decode_rle8(bytes([0x04, 9, 0x00, 0x00, 0x04, 8, 0x00, 0x01]), 4, 2)
+    assert [len(r) for r in grid] == [4, 4]
+    assert grid[0] == [9, 9, 9, 9] and grid[1] == [8, 8, 8, 8]
