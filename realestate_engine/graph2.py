@@ -129,3 +129,143 @@ def graph_rich_club(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("k")
     )
+
+
+# --- ANF: neighborhood function N(t) via bitmap propagation ------------------
+
+_ANF_ROUNDS = 3
+_ANF_WORD_BITS = 62  # never touch the BIGINT sign bit (1 << 61 max)
+# Track a deterministic 1-in-16 SOURCE sample (node % 16 == 1), bits
+# densely remapped to (node DIV 16): exact all-sources bitmaps go
+# near-DENSE by round 3 (state ~ nodes x all-words: measured 9 min at
+# sf0.1, vs ~20 s sampled) — the blow-up that motivates both the ANF
+# paper's k-seed estimator (this) and HyperANF's HLL registers (the
+# alternative 100 TB path: same plan, word -> register array,
+# BIT_OR -> register max).
+_ANF_SAMPLE_MOD = 16
+
+
+def _anf_round_sql(prev: str, out: str) -> str:
+    """One synchronous bitmap-OR round: every node ORs its neighbors'
+    reachability bitmaps into its own. MATERIALIZED so DuckDB does not
+    re-inline the exponentially growing closure (the t30 lesson)."""
+    return f"""
+    {out} AS MATERIALIZED (
+        SELECT node, widx, CAST(BIT_OR(word) AS BIGINT) AS word
+        FROM (
+            SELECT e.dst AS node, s.widx, s.word
+            FROM edges e JOIN {prev} s ON s.node = e.src
+            UNION ALL
+            SELECT node, widx, word FROM {prev}
+        )
+        GROUP BY node, widx
+    )"""
+
+
+_ANF_ORACLE = f"""
+    WITH pairs AS (
+        SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    edges AS MATERIALIZED (
+        SELECT c AS src, s AS dst FROM pairs
+        UNION ALL
+        SELECT s AS src, c AS dst FROM pairs
+    ),
+    nodes AS (SELECT DISTINCT src AS node FROM edges),
+    s0 AS (
+        SELECT node,
+               (node // {_ANF_SAMPLE_MOD}) // {_ANF_WORD_BITS} AS widx,
+               CAST(CAST(1 AS BIGINT)
+                    << CAST((node // {_ANF_SAMPLE_MOD}) % {_ANF_WORD_BITS} AS INT)
+                    AS BIGINT) AS word
+        FROM nodes WHERE node % {_ANF_SAMPLE_MOD} = 1
+    ),
+    nsrc AS (SELECT CAST(COUNT(*) AS BIGINT) AS n_sources FROM s0),
+    {",".join(_anf_round_sql(f"s{i}", f"s{i + 1}") for i in range(_ANF_ROUNDS))}
+    SELECT t, pairs_reached, n_sources FROM (
+        SELECT CAST(0 AS BIGINT) AS t,
+               CAST(SUM(BIT_COUNT(word)) AS BIGINT) AS pairs_reached FROM s0
+        {"".join(
+            f'UNION ALL SELECT CAST({i + 1} AS BIGINT), '
+            f'CAST(SUM(BIT_COUNT(word)) AS BIGINT) FROM s{i + 1} '
+            for i in range(_ANF_ROUNDS)
+        )}
+    ), nsrc ORDER BY t
+"""
+
+
+@register("graph_anf_neighborhood", _ANF_ORACLE)
+def graph_anf_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """ANF neighborhood function N(t) = number of (source, reachable)
+    pairs within t hops, t in 0..{n}, over a deterministic 1-in-{m}
+    source sample — the curve behind effective diameter, median
+    distance, and "how separated are two corpora in the link graph"
+    (Palmer/Gibbons/Faloutsos ANF, KDD'02; seed sampling is that
+    paper's estimator, HyperANF the HLL-register variant). Each node
+    carries a BITMAP of the sampled sources that reach it, as SPARSE
+    (node, word_index, word) rows over {b}-bit BIGINT words; sampled
+    sources (node % {m} == 1) are remapped to DENSE bit positions
+    (node DIV {m}) so the per-node state is ceil(nodes/{m}/{b}) words,
+    never the raw id space. One round = neighbors' bitmaps OR'd into
+    one's own = equi-join on the cached src-partitioned edges + BIT_OR
+    hash agg keyed (node, widx) — plain shuffles on 8-byte keys, the
+    pagerank posture, unrolled as MATERIALIZED CTEs in the oracle.
+    EXACT for the sampled sources (certifiable: no randomness); the
+    full-graph N(t) estimate is pairs_reached * {m} with the usual
+    Horvitz-Thompson caveat. Why sample: exact all-sources bitmaps go
+    near-dense by round 3 (measured 9 min at sf0.1 vs ~20 s sampled) —
+    exactly the state blow-up HyperANF's fixed-width registers solve,
+    which is the documented alternative at 100 TB (same plan, the word
+    column becomes a register array, BIT_OR becomes register-max).
+    N(t) is monotone; on this bipartite customer<->supplier graph N(1)
+    adds direct trade links, N(2) same-supplier co-buyers; the pytest
+    pins monotonicity and N(0) = sampled-source count exactly.
+    Per-round localCheckpoint truncates the 3-round lineage.""".format(
+        n=_ANF_ROUNDS, b=_ANF_WORD_BITS, m=_ANF_SAMPLE_MOD
+    )
+    edges = cache_once(trade_edges(spark, sf_dir).repartition("src"))
+    nodes = edges.select(F.col("src").alias("node")).distinct()
+    state = (
+        nodes.where(F.col("node") % _ANF_SAMPLE_MOD == 1)
+        .select(
+            "node",
+            F.expr(
+                f"(node DIV {_ANF_SAMPLE_MOD}) DIV {_ANF_WORD_BITS}"
+            ).alias("widx"),
+            F.expr(
+                f"SHIFTLEFT(CAST(1 AS BIGINT),"
+                f" CAST((node DIV {_ANF_SAMPLE_MOD}) % {_ANF_WORD_BITS} AS INT))"
+            ).alias("word"),
+        )
+        .localCheckpoint()
+    )
+    nsrc = state.agg(F.count(F.lit(1)).cast("bigint").alias("n_sources"))
+    counts = [
+        state.agg(
+            F.lit(0).cast("bigint").alias("t"),
+            F.sum(F.expr("BIT_COUNT(word)")).cast("bigint").alias("pairs_reached"),
+        )
+    ]
+    for i in range(_ANF_ROUNDS):
+        nbr = edges.join(state, edges.src == state.node).select(
+            F.col("dst").alias("node"), "widx", "word"
+        )
+        state = (
+            nbr.unionByName(state.select("node", "widx", "word"))
+            .groupBy("node", "widx")
+            .agg(F.expr("CAST(BIT_OR(word) AS BIGINT)").alias("word"))
+            .localCheckpoint()
+        )
+        counts.append(
+            state.agg(
+                F.lit(i + 1).cast("bigint").alias("t"),
+                F.sum(F.expr("BIT_COUNT(word)"))
+                .cast("bigint")
+                .alias("pairs_reached"),
+            )
+        )
+    out = counts[0]
+    for c in counts[1:]:
+        out = out.unionByName(c)
+    return out.crossJoin(F.broadcast(nsrc)).orderBy("t")

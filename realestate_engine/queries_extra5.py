@@ -1,0 +1,410 @@
+"""Round-10 assorted operators (new family file per the standing
+VERDICT r8 #6 rule — queries_extra.py and queries_experiments.py sit
+at the 2,000-LoC line, queries_extra4.py carries round 9; new assorted
+operators land here).
+
+Contents: Kruskal-Wallis H (a54), Gini + Lorenz curve (ev30),
+Mahalanobis outlier audit (dq26). Full-oracle, integer-exact under the
+registry's cross-engine determinism rules (registry.py module
+docstring); rank moments follow a51's doubled-average-rank contract,
+global ranks come from ordered.distributed_prefix_sum (never an
+unpartitioned window).
+"""
+
+from __future__ import annotations
+
+from pyspark.sql import DataFrame, SparkSession
+from pyspark.sql import functions as F
+
+from realestate_engine.ordered import distributed_prefix_sum
+from realestate_engine.registry import register, t
+
+# --- A54: Kruskal-Wallis H (k-group rank ANOVA, tie-corrected) ---------------
+
+# Per-group contribution to H in micro units, ONE shared IEEE chain:
+# r2 (doubled rank sum) and the counts are exact BIGINTs, cast to
+# DOUBLE identically on both engines (int->double is correctly
+# rounded), then a fixed multiply/divide order. With doubled ranks
+# R2 = 2R the textbook 12/(N(N+1))*R^2/n becomes 3/(N(N+1))*R2^2/n.
+# NOTE: the leading factor is CAST(3 AS DOUBLE), not the literal 3.0 —
+# Spark parses decimal literals as DECIMAL and would run the division
+# chain in exact decimal arithmetic (HALF_UP at scale 38), diverging
+# from DuckDB's IEEE doubles by 1 ulp and flipping the FLOOR.
+_KW_HG = (
+    "CAST(FLOOR(CAST(3 AS DOUBLE) * r2 * r2 / n_g / n_all / (n_all + 1)"
+    " * 1000000) AS BIGINT)"
+)
+
+# Tie-correction C = 1 - sum(t^3 - t)/(N^3 - N) in micro units; tie_t
+# is an exact BIGINT (t <= N so t^3 <= N^3: BIGINT-safe below ~2M rows
+# per distinct value; N^3 as DOUBLE, identical rounding both engines).
+_KW_C = (
+    "CAST(1000000 - FLOOR(CAST(tie_t AS DOUBLE) * 1000000"
+    " / (CAST(n_all AS DOUBLE) * n_all * n_all - n_all)) AS BIGINT)"
+)
+
+
+_KW_H = "GREATEST(h_sum - 3 * (n_all + 1) * 1000000, CAST(0 AS BIGINT))"
+
+
+def _kw_corr(idiv: str) -> str:
+    """Tie-corrected H/C as one all-integer division (operands
+    non-negative, where Spark DIV and DuckDB // agree). H itself is
+    _KW_H: floored micro, clamped at 0 — per-group floors can push a
+    near-zero H a few micros negative."""
+    return (
+        f"CASE WHEN c_micro <= 0 THEN CAST(0 AS BIGINT)"
+        f" ELSE {_KW_H} * 1000000 {idiv} c_micro END"
+    )
+
+
+_A54_ORACLE = f"""
+    WITH base AS (
+        SELECT o_orderpriority AS grp,
+               CAST(ROUND(o_totalprice * 100) AS BIGINT) AS cents
+        FROM orders
+    ),
+    census AS (
+        SELECT cents, CAST(COUNT(*) AS BIGINT) AS n_v
+        FROM base GROUP BY cents
+    ),
+    ranked AS (
+        SELECT cents, n_v,
+               CAST(2 * CAST(SUM(n_v) OVER (ORDER BY cents) AS BIGINT)
+                    - n_v + 1 AS BIGINT) AS r2v
+        FROM census
+    ),
+    gv AS (
+        SELECT grp, cents, CAST(COUNT(*) AS BIGINT) AS n_gv
+        FROM base GROUP BY grp, cents
+    ),
+    per_group AS (
+        SELECT gv.grp,
+               CAST(SUM(gv.n_gv) AS BIGINT) AS n_g,
+               CAST(SUM(gv.n_gv * r.r2v) AS BIGINT) AS r2
+        FROM gv JOIN ranked r ON r.cents = gv.cents
+        GROUP BY gv.grp
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_g) AS BIGINT) AS n_all,
+               CAST(COUNT(*) AS BIGINT) AS k
+        FROM per_group
+    ),
+    hsum AS (
+        SELECT CAST(SUM({_KW_HG}) AS BIGINT) AS h_sum
+        FROM per_group, tot
+    ),
+    ties AS (
+        SELECT CAST(SUM(n_v * n_v * n_v - n_v) AS BIGINT) AS tie_t
+        FROM census
+    ),
+    cfac AS (SELECT {_KW_C} AS c_micro FROM ties, tot)
+    SELECT k AS n_groups, n_all,
+           {_KW_H} AS h_micro,
+           c_micro AS tie_c_micro,
+           {_kw_corr("//")} AS h_corrected_micro
+    FROM tot, hsum, cfac
+"""
+
+
+@register("a54_kruskal_wallis", _A54_ORACLE)
+def a54_kruskal_wallis(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """A54: Kruskal-Wallis H test — do the five order priorities draw
+    from the same price distribution? The nonparametric k-group rank
+    test, completing the registry's comparison ladder: a30 Welch
+    (parametric, 2 groups), a50 ANOVA (parametric, k groups), m59
+    Friedman (ranks, BLOCKED design) — this is ranks, UNBLOCKED k
+    groups (and with k=2 it IS Mann-Whitney, which is why that is not
+    a separate operator). Global average ranks over pooled data are
+    computed WITHOUT a global window: a distinct-value census (one
+    groupBy), a distributed prefix sum over the census (ordered.py —
+    range-partitioned, per-partition windows only), then doubled
+    average ranks 2r_v = 2*cum - n_v + 1 stay exact BIGINTs (the a51
+    tie contract). Per-group rank sums are a census-sized join, never
+    a data-sized sort. H's divisions run in _KW_HG's fixed IEEE chain
+    per group (floored micro, order-free BIGINT sum); the tie
+    correction and H/C are integer-exact. At 100 TB: two data-sized
+    groupBys + census-sized everything else."""
+    base = t(spark, sf_dir, "orders").select(
+        F.col("o_orderpriority").alias("grp"),
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+    )
+    census = base.groupBy("cents").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_v")
+    )
+    ranked = distributed_prefix_sum(
+        census, [F.col("cents")], "n_v", out_col="cum"
+    ).select(
+        "cents", "n_v", (2 * F.col("cum") - F.col("n_v") + 1).alias("r2v")
+    )
+    gv = base.groupBy("grp", "cents").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_gv")
+    )
+    per_group = (
+        gv.join(ranked.select("cents", "r2v"), "cents")
+        .groupBy("grp")
+        .agg(
+            F.sum("n_gv").cast("bigint").alias("n_g"),
+            F.sum(F.col("n_gv") * F.col("r2v")).cast("bigint").alias("r2"),
+        )
+    )
+    tot = per_group.agg(
+        F.sum("n_g").cast("bigint").alias("n_all"),
+        F.count(F.lit(1)).cast("bigint").alias("k"),
+    )
+    hsum = (
+        per_group.crossJoin(F.broadcast(tot))
+        .selectExpr(f"{_KW_HG} AS h_g")
+        .agg(F.sum("h_g").cast("bigint").alias("h_sum"))
+    )
+    ties = census.agg(
+        F.sum(F.col("n_v") * F.col("n_v") * F.col("n_v") - F.col("n_v"))
+        .cast("bigint")
+        .alias("tie_t")
+    )
+    cfac = ties.crossJoin(F.broadcast(tot)).selectExpr(f"{_KW_C} AS c_micro")
+    return (
+        tot.crossJoin(F.broadcast(hsum))
+        .crossJoin(F.broadcast(cfac))
+        .selectExpr(
+            "k AS n_groups",
+            "n_all",
+            f"{_KW_H} AS h_micro",
+            "c_micro AS tie_c_micro",
+            f"{_kw_corr('DIV')} AS h_corrected_micro",
+        )
+    )
+
+
+# --- EV30: Gini coefficient + Lorenz curve (revenue inequality) --------------
+
+# Gini from the rank identity G = sum((2r_i - n - 1) * x_i) / (n * sum(x))
+# with average ranks for ties: the numerator S2 is an exact BIGINT
+# (doubled ranks are integers and the per-value contribution is
+# vc * (2*cum_n - n_v - N)); one IEEE division chain at the end.
+_GINI = (
+    "CAST(FLOOR(CAST(s2 AS DOUBLE)"
+    " / (CAST(n AS DOUBLE) * total_cents) * 1000000) AS BIGINT)"
+)
+
+_EV30_ORACLE = f"""
+    WITH per_cust AS (
+        SELECT o_custkey,
+               CAST(SUM(CAST(ROUND(o_totalprice * 100) AS BIGINT)) AS BIGINT)
+                   AS cents
+        FROM orders GROUP BY o_custkey
+    ),
+    census AS (
+        SELECT cents, CAST(COUNT(*) AS BIGINT) AS n_v,
+               CAST(cents * COUNT(*) AS BIGINT) AS vc
+        FROM per_cust GROUP BY cents
+    ),
+    pre AS (
+        SELECT cents, n_v, vc,
+               CAST(SUM(n_v) OVER (ORDER BY cents) AS BIGINT) AS cum_n,
+               CAST(SUM(vc) OVER (ORDER BY cents) AS BIGINT) AS cum_c
+        FROM census
+    ),
+    tot AS (
+        SELECT CAST(SUM(n_v) AS BIGINT) AS n,
+               CAST(SUM(vc) AS BIGINT) AS total_cents
+        FROM census
+    ),
+    s2f AS (
+        SELECT CAST(SUM(vc * (2 * cum_n - n_v - n)) AS BIGINT) AS s2
+        FROM pre, tot
+    ),
+    dec AS (
+        SELECT cum_c, (cum_n * 10 - 1) // n + 1 AS decile_v
+        FROM pre, tot
+    ),
+    grid AS (SELECT CAST(UNNEST([1,2,3,4,5,6,7,8,9,10]) AS BIGINT) AS decile),
+    lor AS (
+        SELECT g.decile,
+               COALESCE(MAX(d.cum_c), CAST(0 AS BIGINT)) AS cum_max
+        FROM grid g LEFT JOIN dec d ON d.decile_v <= g.decile
+        GROUP BY g.decile
+    )
+    SELECT l.decile,
+           CAST(l.cum_max * 1000000 // t.total_cents AS BIGINT)
+               AS cum_share_micro,
+           {_GINI} AS gini_micro,
+           t.n AS n_customers,
+           t.total_cents
+    FROM lor l, tot t, s2f
+    ORDER BY l.decile
+"""
+
+
+@register("ev30_gini_lorenz", _EV30_ORACLE)
+def ev30_gini_lorenz(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EV30: revenue-inequality audit — the exact Gini coefficient of
+    per-customer spend plus the 10-point Lorenz curve (cumulative
+    spend share at each population decile). ev11 answers "what share
+    do the top-decile whales hold?"; this is the full distributional
+    readout behind it (Gini = 2x the area between the Lorenz curve and
+    equality). Computed on the a54/a51 census contract: one
+    customer-sized aggregate, a distinct-value census, distributed
+    prefix sums for cumulative count AND cumulative cents (ordered.py,
+    no global window), then Gini's rank identity with doubled average
+    ranks keeps the numerator an exact BIGINT (safe below ~1e18 =
+    n * total_cents ~ sf10; the decimal(38) carry is the documented
+    path beyond). Deciles are assigned by integer math
+    (cum_n*10-1)//n + 1 — a value whose run CROSSES a decile boundary
+    counts in the decile where its last row falls, a deterministic
+    convention pinned identically on both engines (COALESCE(...,0)
+    covers the degenerate all-one-value corner). Lorenz shares are
+    all-integer divisions. 100 TB: everything after the first groupBy
+    is census-sized; the 10-row grid is the only broadcast."""
+    per_cust = t(spark, sf_dir, "orders").groupBy("o_custkey").agg(
+        F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+        .cast("bigint")
+        .alias("cents")
+    )
+    census = per_cust.groupBy("cents").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n_v"),
+        (F.col("cents") * F.count(F.lit(1))).cast("bigint").alias("vc"),
+    )
+    pre = distributed_prefix_sum(
+        distributed_prefix_sum(census, [F.col("cents")], "n_v", out_col="cum_n"),
+        [F.col("cents")],
+        "vc",
+        out_col="cum_c",
+    )
+    tot = census.agg(
+        F.sum("n_v").cast("bigint").alias("n"),
+        F.sum("vc").cast("bigint").alias("total_cents"),
+    )
+    s2f = (
+        pre.crossJoin(F.broadcast(tot))
+        .select(
+            (
+                F.col("vc") * (2 * F.col("cum_n") - F.col("n_v") - F.col("n"))
+            ).alias("term")
+        )
+        .agg(F.sum("term").cast("bigint").alias("s2"))
+    )
+    dec = pre.crossJoin(F.broadcast(tot)).select(
+        "cum_c",
+        F.expr("(cum_n * 10 - 1) DIV n + 1").alias("decile_v"),
+    )
+    grid = spark.createDataFrame([(d,) for d in range(1, 11)], "decile bigint")
+    lor = (
+        dec.join(F.broadcast(grid), dec.decile_v <= grid.decile, "right")
+        .groupBy("decile")
+        .agg(
+            F.coalesce(F.max("cum_c"), F.lit(0).cast("bigint")).alias("cum_max")
+        )
+    )
+    return (
+        lor.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(s2f))
+        .select(
+            "decile",
+            F.expr("cum_max * 1000000 DIV total_cents")
+            .cast("bigint")
+            .alias("cum_share_micro"),
+            F.expr(_GINI).alias("gini_micro"),
+            F.col("n").alias("n_customers"),
+            "total_cents",
+        )
+        .orderBy("decile")
+    )
+
+
+# --- DQ26: Mahalanobis outlier audit (bivariate, exact moments) --------------
+
+# Scatter-matrix entries A = n*Sxx - Sx^2, B, C formed in DOUBLE from
+# exact BIGINT moments (identical int->double rounding both engines;
+# forming them in BIGINT would overflow past ~sf10 at n*Sxx ~ 1e19).
+# d^2 = (n-1)/n * (B*U^2 - 2C*U*W + A*W^2) / (A*B - C^2) with
+# U = n*x - Sx, W = n*y - Sy exact BIGINTs — one fixed IEEE chain,
+# floored to micro.
+_MAHA_A = "(CAST(n AS DOUBLE) * sxx - CAST(sx AS DOUBLE) * sx)"
+_MAHA_B = "(CAST(n AS DOUBLE) * syy - CAST(sy AS DOUBLE) * sy)"
+_MAHA_C = "(CAST(n AS DOUBLE) * sxy - CAST(sx AS DOUBLE) * sy)"
+_MAHA_D2 = (
+    f"CAST(CASE WHEN {_MAHA_A} * {_MAHA_B} - {_MAHA_C} * {_MAHA_C} <= 0"
+    " THEN 0 ELSE FLOOR((CAST(n AS DOUBLE) - 1) / n * ("
+    f"{_MAHA_B} * (n * x - sx) * (n * x - sx)"
+    f" - 2 * {_MAHA_C} * (n * x - sx) * (n * y - sy)"
+    f" + {_MAHA_A} * (n * y - sy) * (n * y - sy)"
+    f") / ({_MAHA_A} * {_MAHA_B} - {_MAHA_C} * {_MAHA_C})"
+    " * 1000000) END AS BIGINT)"
+)
+
+_DQ26_ORACLE = f"""
+    WITH items AS (
+        SELECT l_orderkey, CAST(COUNT(*) AS BIGINT) AS y
+        FROM lineitem GROUP BY l_orderkey
+    ),
+    base AS (
+        SELECT o.o_orderkey,
+               CAST(ROUND(o.o_totalprice * 100) AS BIGINT) // 100 AS x,
+               i.y
+        FROM orders o JOIN items i ON i.l_orderkey = o.o_orderkey
+    ),
+    mom AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(x) AS BIGINT) AS sx, CAST(SUM(y) AS BIGINT) AS sy,
+               CAST(SUM(x * x) AS BIGINT) AS sxx,
+               CAST(SUM(y * y) AS BIGINT) AS syy,
+               CAST(SUM(x * y) AS BIGINT) AS sxy
+        FROM base
+    )
+    SELECT b.o_orderkey, b.x AS price_dollars, b.y AS n_items,
+           {_MAHA_D2} AS d2_micro
+    FROM base b, mom
+    ORDER BY d2_micro DESC, b.o_orderkey
+    LIMIT 20
+"""
+
+
+@register("dq26_mahalanobis_outliers", _DQ26_ORACLE)
+def dq26_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ26: bivariate Mahalanobis outlier audit over (order price,
+    lineitem count) — the multivariate sibling of dq4's univariate MAD:
+    an order that is expensive FOR ITS ITEM COUNT (high price, one
+    item) outranks one that is merely expensive, because d^2 whitens by
+    the 2x2 sample covariance. The inverse is the exact Cramer adjugate
+    (the m49 closed-form posture): scatter entries A/B/C are formed in
+    DOUBLE from exact BIGINT moments (identical correctly-rounded
+    int->double casts both engines; BIGINT formation would overflow
+    n*Sxx past ~sf10 — documented boundary, decimal(38) beyond), the
+    quadratic form runs per row in _MAHA_D2's fixed IEEE chain on exact
+    integer deviations U = n*x - Sx, W = n*y - Sy, floored to micro.
+    Degenerate covariance (det <= 0) pins d^2 = 0. Population is
+    orders WITH lineitems (inner join — the m57 census lesson: 27
+    childless orders at sf0.001). Plan: one lineitem-sized groupBy,
+    one orders-sized join, a 1-row moment broadcast onto one map-side
+    pass, TakeOrderedAndProject top-20 (d2 desc, orderkey tiebreak) —
+    no global sort materializes."""
+    items = t(spark, sf_dir, "lineitem").groupBy("l_orderkey").agg(
+        F.count(F.lit(1)).cast("bigint").alias("y")
+    )
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey",
+        F.expr("CAST(ROUND(o_totalprice * 100) AS BIGINT) DIV 100").alias("x"),
+    )
+    base = o.join(items, o.o_orderkey == items.l_orderkey).select(
+        "o_orderkey", "x", "y"
+    )
+    mom = base.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("x").cast("bigint").alias("sx"),
+        F.sum("y").cast("bigint").alias("sy"),
+        F.sum(F.col("x") * F.col("x")).cast("bigint").alias("sxx"),
+        F.sum(F.col("y") * F.col("y")).cast("bigint").alias("syy"),
+        F.sum(F.col("x") * F.col("y")).cast("bigint").alias("sxy"),
+    )
+    return (
+        base.crossJoin(F.broadcast(mom))
+        .select(
+            "o_orderkey",
+            F.col("x").alias("price_dollars"),
+            F.col("y").alias("n_items"),
+            F.expr(_MAHA_D2).alias("d2_micro"),
+        )
+        .orderBy(F.desc("d2_micro"), "o_orderkey")
+        .limit(20)
+    )

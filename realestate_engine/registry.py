@@ -142,6 +142,7 @@ def load_all() -> None:
     import realestate_engine.queries_extra2  # noqa: F401
     import realestate_engine.queries_extra3  # noqa: F401
     import realestate_engine.queries_extra4  # noqa: F401
+    import realestate_engine.queries_extra5  # noqa: F401
     import realestate_engine.queries_sources_sql  # noqa: F401
     import realestate_engine.queries_experiments  # noqa: F401
     import realestate_engine.queries_quality  # noqa: F401

@@ -1045,3 +1045,125 @@ def t32_heaps_law(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("decile")
     )
+
+
+# --- T33: Good-Turing frequency smoothing + unseen-species estimates ---------
+
+_T33_ORACLE = """
+    WITH words AS (
+        SELECT UNNEST(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\\s+'),
+                                  x -> LEN(x) > 0)) AS w
+        FROM documents
+    ),
+    freq AS (
+        SELECT w, CAST(COUNT(*) AS BIGINT) AS f FROM words GROUP BY w
+    ),
+    fof AS (
+        SELECT f, CAST(COUNT(*) AS BIGINT) AS n_r FROM freq GROUP BY f
+    ),
+    tot AS (
+        SELECT CAST(SUM(f * n_r) AS BIGINT) AS n_tokens,
+               CAST(SUM(n_r) AS BIGINT) AS n_types,
+               CAST(COALESCE(SUM(CASE WHEN f = 1 THEN n_r END), 0) AS BIGINT) AS n1,
+               CAST(COALESCE(SUM(CASE WHEN f = 2 THEN n_r END), 0) AS BIGINT) AS n2
+        FROM fof
+    ),
+    grid AS (SELECT CAST(UNNEST([1,2,3,4,5,6,7,8,9,10,
+                                 11,12,13,14,15,16,17,18,19,20]) AS BIGINT) AS r),
+    cur AS (
+        SELECT g.r, CAST(COALESCE(MAX(fof.n_r), 0) AS BIGINT) AS n_r
+        FROM grid g LEFT JOIN fof ON fof.f = g.r GROUP BY g.r
+    ),
+    nxt AS (
+        SELECT g.r, CAST(COALESCE(MAX(fof.n_r), 0) AS BIGINT) AS n_r_next
+        FROM grid g LEFT JOIN fof ON fof.f = g.r + 1 GROUP BY g.r
+    )
+    SELECT c.r, c.n_r, x.n_r_next,
+           CAST(CASE WHEN c.n_r = 0 THEN 0
+                ELSE (c.r + 1) * x.n_r_next * 1000000 // c.n_r
+                END AS BIGINT) AS r_star_micro,
+           CAST(t.n1 * 1000000 // t.n_tokens AS BIGINT) AS p0_micro,
+           CAST(t.n_types * 1000000
+                + t.n1 * (t.n1 - 1) * 1000000 // (2 * (t.n2 + 1))
+                AS BIGINT) AS chao1_micro,
+           t.n_tokens, t.n_types
+    FROM cur c JOIN nxt x ON x.r = c.r, tot t
+    ORDER BY c.r
+"""
+
+
+@register("t33_good_turing", _T33_ORACLE)
+def t33_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """T33: Good-Turing frequency smoothing over the documents word
+    census — the classic missing-mass / unseen-species machinery that
+    t22's Kneser-Ney assumes and corpus-coverage planning runs on:
+    r* = (r+1) N_{r+1} / N_r (the Turing discount for each observed
+    frequency r in 1..20), P0 = N1/N (the probability mass of words
+    never seen — "how much of the language is this corpus still
+    missing?"), and the bias-corrected Chao1 species estimate
+    S + N1(N1-1)/(2(N2+1)) ("how many distinct words does the
+    underlying population have?" — always defined, even at N2 = 0).
+    EVERYTHING is integer arithmetic: the frequency-of-frequencies
+    census N_r is exact BIGINT counts, each estimate is one integer
+    multiply + one integer division (DIV vs // agree on non-negative
+    operands) — no IEEE anywhere, so cross-engine equality is
+    structural, not certified. Plan: one corpus-sized explode+groupBy
+    (the t19 census), one types-sized groupBy to N_r (O(sqrt N) rows
+    by Heaps/Zipf), then the 20-row grid broadcast-joins INTO the fof
+    census (never fof broadcast out — it is O(sqrt N), unbounded); all
+    downstream frames are 20 rows or 1 row. 100 TB: two data shuffles
+    total. Chao1's N1^2 term overflows BIGINT once N1 > ~3e6 types at
+    the 1e6 scale — the decimal(38) carry is the documented path."""
+    d = t(spark, sf_dir, "documents")
+    words = d.select(
+        F.explode(
+            F.filter(
+                F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+                lambda x: F.length(x) > 0,
+            )
+        ).alias("w")
+    )
+    freq = words.groupBy("w").agg(F.count(F.lit(1)).cast("bigint").alias("f"))
+    fof = freq.groupBy("f").agg(F.count(F.lit(1)).cast("bigint").alias("n_r"))
+    tot = fof.agg(
+        F.sum(F.col("f") * F.col("n_r")).cast("bigint").alias("n_tokens"),
+        F.sum("n_r").cast("bigint").alias("n_types"),
+        F.coalesce(
+            F.sum(F.when(F.col("f") == 1, F.col("n_r"))), F.lit(0)
+        ).cast("bigint").alias("n1"),
+        F.coalesce(
+            F.sum(F.when(F.col("f") == 2, F.col("n_r"))), F.lit(0)
+        ).cast("bigint").alias("n2"),
+    )
+    grid = spark.createDataFrame([(r,) for r in range(1, 21)], "r bigint")
+    cur = (
+        fof.join(F.broadcast(grid), fof.f == grid.r, "right")
+        .groupBy("r")
+        .agg(F.coalesce(F.max("n_r"), F.lit(0)).cast("bigint").alias("n_r"))
+    )
+    nxt = (
+        fof.join(F.broadcast(grid), fof.f == grid.r + 1, "right")
+        .groupBy("r")
+        .agg(
+            F.coalesce(F.max("n_r"), F.lit(0)).cast("bigint").alias("n_r_next")
+        )
+    )
+    return (
+        cur.join(nxt, "r")
+        .crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "r",
+            "n_r",
+            "n_r_next",
+            "CAST(CASE WHEN n_r = 0 THEN 0"
+            " ELSE (r + 1) * n_r_next * 1000000 DIV n_r END AS BIGINT)"
+            " AS r_star_micro",
+            "CAST(n1 * 1000000 DIV n_tokens AS BIGINT) AS p0_micro",
+            "CAST(n_types * 1000000"
+            " + n1 * (n1 - 1) * 1000000 DIV (2 * (n2 + 1)) AS BIGINT)"
+            " AS chao1_micro",
+            "n_tokens",
+            "n_types",
+        )
+        .orderBy("r")
+    )

@@ -1,0 +1,212 @@
+"""Round-10 operator invariants (beyond the DuckDB oracles): exact
+Python replays of the statistics on the same sf0.001 inputs, plus the
+structural invariants each operator's docstring promises."""
+
+from __future__ import annotations
+
+import math
+from collections import Counter
+
+import pytest
+from pyspark.sql import functions as F
+
+from realestate_engine.registry import QUERIES, load_all, t
+
+load_all()
+
+SF_DIR = "/root/testdata/sf0.001"
+
+
+@pytest.fixture(scope="module")
+def spark():
+    from realestate_engine.session import create_session
+
+    return create_session()
+
+
+@pytest.fixture(scope="module")
+def sf_dir():
+    return SF_DIR
+
+
+def test_kruskal_wallis_matches_exact_python_replay(spark, sf_dir):
+    """Replay H from scratch (pooled average ranks, tie correction)
+    with Python ints/floats on the same data; the engine's per-group
+    FLOOR-micro terms must match term-for-term."""
+    row = QUERIES["a54_kruskal_wallis"](spark, sf_dir).collect()[0]
+    base = [
+        (r.grp, r.cents)
+        for r in t(spark, sf_dir, "orders")
+        .select(
+            F.col("o_orderpriority").alias("grp"),
+            F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
+        )
+        .collect()
+    ]
+    n_all = len(base)
+    counts = Counter(c for _, c in base)
+    cum, r2v = 0, {}
+    for v in sorted(counts):
+        cum += counts[v]
+        r2v[v] = 2 * cum - counts[v] + 1
+    groups: dict[str, list[int]] = {}
+    for g, c in base:
+        groups.setdefault(g, []).append(r2v[c])
+    h_sum = 0
+    for vals in groups.values():
+        r2 = sum(vals)
+        h_sum += math.floor(
+            float(3) * r2 * r2 / len(vals) / n_all / (n_all + 1) * 1000000
+        )
+    h = max(h_sum - 3 * (n_all + 1) * 1000000, 0)
+    tie_t = sum(t_ * t_ * t_ - t_ for t_ in counts.values())
+    c_micro = 1000000 - math.floor(
+        float(tie_t) * 1000000 / (float(n_all) * n_all * n_all - n_all)
+    )
+    assert row.n_groups == len(groups)
+    assert row.n_all == n_all
+    assert row.h_micro == h
+    assert row.tie_c_micro == c_micro
+    assert row.h_corrected_micro == h * 1000000 // c_micro
+    assert row.h_corrected_micro >= row.h_micro  # C <= 1 inflates H
+
+
+def test_gini_lorenz_matches_exact_python_replay(spark, sf_dir):
+    rows = QUERIES["ev30_gini_lorenz"](spark, sf_dir).collect()
+    assert [r.decile for r in rows] == list(range(1, 11))
+    spend = [
+        r.cents
+        for r in t(spark, sf_dir, "orders")
+        .groupBy("o_custkey")
+        .agg(
+            F.sum(F.round(F.col("o_totalprice") * 100).cast("bigint"))
+            .cast("bigint")
+            .alias("cents")
+        )
+        .collect()
+    ]
+    n, total = len(spend), sum(spend)
+    s = sorted(spend)
+    # exact rank-identity Gini with average ranks for ties
+    counts = Counter(s)
+    cum, s2 = 0, 0
+    for v in sorted(counts):
+        cum += counts[v]
+        s2 += v * counts[v] * (2 * cum - counts[v] - n)
+    gini = math.floor(float(s2) / (float(n) * total) * 1000000)
+    assert all(r.gini_micro == gini for r in rows)
+    assert 0 <= gini <= 1000000
+    assert all(r.n_customers == n and r.total_cents == total for r in rows)
+    # Lorenz: monotone, below equality, exactly 1 at decile 10
+    shares = [r.cum_share_micro for r in rows]
+    assert shares == sorted(shares)
+    assert shares[-1] == 1000000
+    assert all(
+        sh * 10 <= 1000000 * d + 10  # Lorenz curve sits under equality
+        for d, sh in zip(range(1, 11), shares, strict=True)
+    ) or gini == 0
+
+
+def test_mahalanobis_matches_exact_python_replay(spark, sf_dir):
+    rows = QUERIES["dq26_mahalanobis_outliers"](spark, sf_dir).collect()
+    assert len(rows) == 20
+    base = {
+        r.l_orderkey: r.y
+        for r in t(spark, sf_dir, "lineitem")
+        .groupBy("l_orderkey")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
+        .collect()
+    }
+    pts = [
+        (r.o_orderkey, int(round(r.o_totalprice * 100)) // 100, base[r.o_orderkey])
+        for r in t(spark, sf_dir, "orders")
+        .select("o_orderkey", "o_totalprice")
+        .collect()
+        if r.o_orderkey in base
+    ]
+    n = len(pts)
+    sx = sum(x for _, x, _ in pts)
+    sy = sum(y for _, _, y in pts)
+    sxx = sum(x * x for _, x, _ in pts)
+    syy = sum(y * y for _, _, y in pts)
+    sxy = sum(x * y for _, x, y in pts)
+    a = float(n) * sxx - float(sx) * sx
+    b = float(n) * syy - float(sy) * sy
+    c = float(n) * sxy - float(sx) * sy
+    det = a * b - c * c
+    scored = []
+    for k, x, y in pts:
+        u, w = n * x - sx, n * y - sy
+        d2 = math.floor(
+            (float(n) - 1) / n * (b * u * u - 2 * c * u * w + a * w * w) / det * 1000000
+        )
+        scored.append((-d2, k, x, y))
+    scored.sort()
+    for row, (neg_d2, k, x, y) in zip(rows, scored[:20], strict=False):
+        assert (row.o_orderkey, row.price_dollars, row.n_items, row.d2_micro) == (
+            k, x, y, -neg_d2,
+        )
+    # the whitening claim: the top outlier is extreme FOR ITS COUNT,
+    # not merely the max price
+    assert rows[0].d2_micro > 0
+
+
+def test_good_turing_matches_exact_python_replay(spark, sf_dir):
+    rows = QUERIES["t33_good_turing"](spark, sf_dir).collect()
+    assert [r.r for r in rows] == list(range(1, 21))
+    docs = t(spark, sf_dir, "documents").select("text").collect()
+    words = Counter()
+    for d in docs:
+        words.update(w for w in d.text.strip().lower().split() if w)
+    fof = Counter(words.values())
+    n_tokens = sum(words.values())
+    n_types = len(words)
+    n1, n2 = fof.get(1, 0), fof.get(2, 0)
+    for row in rows:
+        n_r, n_next = fof.get(row.r, 0), fof.get(row.r + 1, 0)
+        assert row.n_r == n_r
+        assert row.n_r_next == n_next
+        exp = 0 if n_r == 0 else (row.r + 1) * n_next * 1000000 // n_r
+        assert row.r_star_micro == exp
+        assert row.p0_micro == n1 * 1000000 // n_tokens
+        assert row.chao1_micro == n_types * 1000000 + n1 * (n1 - 1) * 1000000 // (
+            2 * (n2 + 1)
+        )
+        assert row.n_tokens == n_tokens and row.n_types == n_types
+    # Chao1 never estimates fewer species than observed
+    assert rows[0].chao1_micro >= n_types * 1000000
+
+
+def test_anf_is_monotone_and_exact_at_t0(spark, sf_dir):
+    from realestate_engine.graph import trade_edges
+
+    rows = QUERIES["graph_anf_neighborhood"](spark, sf_dir).collect()
+    assert [r.t for r in rows] == [0, 1, 2, 3]
+    nodes = [
+        r.node
+        for r in trade_edges(spark, sf_dir)
+        .select(F.col("src").alias("node"))
+        .distinct()
+        .collect()
+    ]
+    n_sources = sum(1 for v in nodes if v % 16 == 1)
+    assert all(r.n_sources == n_sources for r in rows)
+    assert rows[0].pairs_reached == n_sources  # N(0) = self only
+    pairs = [r.pairs_reached for r in rows]
+    assert pairs == sorted(pairs)  # N(t) is monotone
+    assert pairs[-1] <= n_sources * len(nodes)  # bounded by sample x nodes
+    # python BFS replay of N(1) and N(2) for the sampled sources
+    adj: dict[int, set[int]] = {}
+    edges = trade_edges(spark, sf_dir).collect()
+    for e in edges:
+        adj.setdefault(e.src, set()).add(e.dst)
+    n1 = n2 = 0
+    for v in nodes:
+        reach1 = {v} | adj.get(v, set())
+        reach2 = set(reach1)
+        for u in adj.get(v, set()):
+            reach2 |= adj.get(u, set())
+        n1 += sum(1 for u in reach1 if u % 16 == 1)
+        n2 += sum(1 for u in reach2 if u % 16 == 1)
+    assert rows[1].pairs_reached == n1
+    assert rows[2].pairs_reached == n2

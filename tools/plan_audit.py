@@ -76,6 +76,11 @@ ALLOWED_CROSS = {
     "m59_friedman_test",  # broadcast 1-row deviation frame onto the 3-row rule frame
     "ev29_benjamini_hochberg",  # broadcast non-equi self-joins over the 5-row test frame (rank + step-up suffix OR)
     "graph_rich_club",  # broadcast 6-row threshold grid fanned onto the degree census / endpoint-degree frame
+    "a54_kruskal_wallis",  # broadcast 1-row totals onto the 5-group frame + 1-row H/tie combine
+    "ev30_gini_lorenz",  # broadcast 1-row totals onto the census + 10-row decile grid (non-equi running max)
+    "dq26_mahalanobis_outliers",  # broadcast 1-row moment aggregate onto one map-side pass
+    "t33_good_turing",  # broadcast 1-row totals onto the 20-row frequency grid
+    "graph_anf_neighborhood",  # broadcast 1-row n_sources count onto the 4-row N(t) frame
     "graph_hits_authorities",  # broadcast 1-row max-score frame per half-step renorm
     "graph_degree_distribution",  # broadcast 32-row powers-of-two constant frame
     "dedup_lsh_hot_bucket_guard",  # cross join of two 1-row stat aggregates
@@ -188,6 +193,9 @@ ALLOWED_LOCAL = {
     "x37_occ_conflict_audit",  # 12-round OCC protocol fold localCheckpoints the 12-row decision frame each round
     "ev29_benjamini_hochberg",  # 5-row local BH critical-ladder dim (broadcast side; the ev23 posture)
     "graph_rich_club",  # 6-row local threshold grid (broadcast side)
+    "ev30_gini_lorenz",  # 10-row local decile grid (broadcast side)
+    "t33_good_turing",  # 20-row local frequency grid (broadcast side)
+    "graph_anf_neighborhood",  # per-round bitmap-state localCheckpoint (3 bounded rounds) + 1-row n_sources broadcast
     "graph_ktruss",  # per-round edge-frame localCheckpoint (same lesson) + 2-row census frame
     "sim_ivf_build_exact",  # k*d-row centroid frame localCheckpointed per Lloyd round
     "st_cusum_monitor",  # memory-sink rows of the real stateful streaming run (O(|users|))
