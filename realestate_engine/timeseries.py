@@ -1237,3 +1237,270 @@ def ts15_mann_kendall(spark: SparkSession, sf_dir: str) -> DataFrame:
             f"CAST(CASE WHEN ABS({_TS15_Z}) > 1959964 THEN 1 ELSE 0 END AS BIGINT)"
         ).alias("reject_h0"),
     )
+
+
+# --- TS16: Granger causality (lag-1, exact-moment OLS F-test) -----------------
+
+# Cramer solution of the 3x3 normal equations on FLOOR-CENTERED data
+# (the ev17/ts10 overflow lesson: center on integer-floor means BEFORE
+# any product, so every moment is a deviation sum that stays BIGINT at
+# any SF; shifting response/regressors by constants only moves the
+# intercept, so slopes, residuals, RSS and F are EXACTLY the raw-fit
+# values). Moments are cast to DOUBLE once in the frame (correctly
+# rounded, identical both engines); the determinants run in one fixed
+# IEEE chain.
+_G_DET = (
+    "(nd * (m11 * m22 - m12 * m12) - a1 * (a1 * m22 - m12 * a2)"
+    " + a2 * (a1 * m12 - m11 * a2))"
+)
+_G_B0 = (
+    "((c0 * (m11 * m22 - m12 * m12) - a1 * (c1 * m22 - m12 * c2)"
+    f" + a2 * (c1 * m12 - m11 * c2)) / {_G_DET})"
+)
+_G_B1 = (
+    "((nd * (c1 * m22 - m12 * c2) - c0 * (a1 * m22 - m12 * a2)"
+    f" + a2 * (a1 * c2 - c1 * a2)) / {_G_DET})"
+)
+_G_B2 = (
+    "((nd * (m11 * c2 - c1 * m12) - a1 * (a1 * c2 - c1 * a2)"
+    f" + c0 * (a1 * m12 - m11 * a2)) / {_G_DET})"
+)
+# restricted fit (intercept + lagged y only): 2x2 closed form
+_G_B1R = "((nd * c1 - a1 * c0) / (nd * m11 - a1 * a1))"
+_G_B0R = f"((c0 - {_G_B1R} * a1) / nd)"
+
+_G_MOMENTS = """
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(COUNT(*) AS DOUBLE) AS nd,
+               CAST(SUM(dy1) AS DOUBLE) AS a1,
+               CAST(SUM(dx1) AS DOUBLE) AS a2,
+               CAST(SUM(dy1 * dy1) AS DOUBLE) AS m11,
+               CAST(SUM(dy1 * dx1) AS DOUBLE) AS m12,
+               CAST(SUM(dx1 * dx1) AS DOUBLE) AS m22,
+               CAST(SUM(dy) AS DOUBLE) AS c0,
+               CAST(SUM(dy * dy1) AS DOUBLE) AS c1,
+               CAST(SUM(dy * dx1) AS DOUBLE) AS c2
+"""
+
+_G_RSS_U = (
+    f"CAST(FLOOR((dy - ({_G_B0} + {_G_B1} * dy1 + {_G_B2} * dx1))"
+    f" * (dy - ({_G_B0} + {_G_B1} * dy1 + {_G_B2} * dx1)) / n) AS BIGINT)"
+)
+_G_RSS_R = (
+    f"CAST(FLOOR((dy - ({_G_B0R} + {_G_B1R} * dy1))"
+    f" * (dy - ({_G_B0R} + {_G_B1R} * dy1)) / n) AS BIGINT)"
+)
+_G_F = (
+    "CAST(FLOOR(CAST(GREATEST(rssn_r - rssn_u, 0) AS DOUBLE)"
+    " * (n - 3) / rssn_u * 1000000) AS BIGINT)"
+)
+
+_TS16_ORACLE = f"""
+    WITH daily AS (
+        SELECT DATE_DIFF('day', DATE '2024-01-01', ts::DATE) AS day_idx,
+               SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS y,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1
+    ),
+    lagged AS (
+        SELECT a.y, b.y AS y1, b.x AS x1
+        FROM daily a JOIN daily b ON b.day_idx = a.day_idx - 1
+    ),
+    mu AS (
+        SELECT SUM(y) // COUNT(*) AS my, SUM(y1) // COUNT(*) AS my1,
+               SUM(x1) // COUNT(*) AS mx1
+        FROM lagged
+    ),
+    dev AS (
+        SELECT y - my AS dy, y1 - my1 AS dy1, x1 - mx1 AS dx1
+        FROM lagged, mu
+    ),
+    mom AS ({_G_MOMENTS} FROM dev),
+    rss AS (
+        SELECT CAST(SUM({_G_RSS_U}) AS BIGINT) AS rssn_u,
+               CAST(SUM({_G_RSS_R}) AS BIGINT) AS rssn_r
+        FROM dev, mom
+    )
+    SELECT n AS n_pairs,
+           CAST(FLOOR({_G_B1} * 1000000) AS BIGINT) AS beta_y1_micro,
+           CAST(FLOOR({_G_B2} * 1000000) AS BIGINT) AS beta_x1_micro,
+           rssn_u, rssn_r,
+           {_G_F} AS f_stat_micro
+    FROM mom, rss
+"""
+
+
+@register("ts16_granger_causality", _TS16_ORACLE)
+def ts16_granger_causality(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS16: lag-1 Granger causality — does yesterday's event COUNT
+    improve the forecast of today's event-value total beyond
+    yesterday's value itself? F-test of the unrestricted OLS
+    y_t ~ 1 + y_{t-1} + x_{t-1} against the restricted y_t ~ 1 +
+    y_{t-1}: the classic pre-deployment check for "is this signal
+    worth a feature?" in forecasting pipelines. Exactness stack:
+    calendar-day lag pairs by equi-join (the ts10 shape); all three
+    series FLOOR-CENTERED before any product (the ev17 overflow
+    lesson — and a constant shift only moves the intercept, so
+    slopes/RSS/F equal the raw fit exactly); deviation moments are
+    exact BIGINTs cast once to DOUBLE; the 3x3 normal equations solve
+    by Cramer in one fixed IEEE chain (_G_DET/_G_B*, the m49
+    closed-form posture — no iteration); per-row squared residuals
+    FLOOR(r^2/n)-scaled so the RSS sums are order-free BIGINTs; F is
+    one final IEEE chain on those integers (GREATEST-guarded: the
+    per-term floors can push rssn_r a hair under rssn_u when the true
+    difference is ~0). Plan: one events-sized groupBy, then a
+    day-ledger self-join and two metadata-sized passes — at 100 TB
+    everything after the first shuffle is O(days)."""
+    ev = t(spark, sf_dir, "events").select(
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("day_idx"),
+        F.floor(F.col("value") * 1000).cast("bigint").alias("v"),
+    )
+    daily = ev.groupBy("day_idx").agg(
+        F.sum("v").alias("y"), F.count(F.lit(1)).cast("bigint").alias("x")
+    )
+    b = daily.select(
+        F.col("day_idx").alias("b_day"),
+        F.col("y").alias("y1"),
+        F.col("x").alias("x1"),
+    )
+    lagged = daily.join(b, F.col("b_day") == F.col("day_idx") - 1).select(
+        "y", "y1", "x1"
+    )
+    mu = lagged.agg(
+        F.expr("sum(y) div count(*)").alias("my"),
+        F.expr("sum(y1) div count(*)").alias("my1"),
+        F.expr("sum(x1) div count(*)").alias("mx1"),
+    )
+    dev = cache_once(
+        lagged.crossJoin(F.broadcast(mu)).select(
+            (F.col("y") - F.col("my")).alias("dy"),
+            (F.col("y1") - F.col("my1")).alias("dy1"),
+            (F.col("x1") - F.col("mx1")).alias("dx1"),
+        )
+    )
+    mom = dev.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.count(F.lit(1)).cast("double").alias("nd"),
+        F.sum("dy1").cast("double").alias("a1"),
+        F.sum("dx1").cast("double").alias("a2"),
+        F.sum(F.col("dy1") * F.col("dy1")).cast("double").alias("m11"),
+        F.sum(F.col("dy1") * F.col("dx1")).cast("double").alias("m12"),
+        F.sum(F.col("dx1") * F.col("dx1")).cast("double").alias("m22"),
+        F.sum("dy").cast("double").alias("c0"),
+        F.sum(F.col("dy") * F.col("dy1")).cast("double").alias("c1"),
+        F.sum(F.col("dy") * F.col("dx1")).cast("double").alias("c2"),
+    )
+    rss = (
+        dev.crossJoin(F.broadcast(mom))
+        .selectExpr(f"{_G_RSS_U} AS tu", f"{_G_RSS_R} AS tr")
+        .agg(
+            F.sum("tu").cast("bigint").alias("rssn_u"),
+            F.sum("tr").cast("bigint").alias("rssn_r"),
+        )
+    )
+    return mom.crossJoin(F.broadcast(rss)).selectExpr(
+        "n AS n_pairs",
+        f"CAST(FLOOR({_G_B1} * 1000000) AS BIGINT) AS beta_y1_micro",
+        f"CAST(FLOOR({_G_B2} * 1000000) AS BIGINT) AS beta_x1_micro",
+        "rssn_u",
+        "rssn_r",
+        f"{_G_F} AS f_stat_micro",
+    )
+
+
+# --- TS17: lagged cross-correlation (value total vs event count) --------------
+
+_TS17_ORACLE = """
+    WITH daily AS (
+        SELECT DATE_DIFF('day', DATE '2024-01-01', ts::DATE) AS day_idx,
+               SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS y,
+               CAST(COUNT(*) AS BIGINT) AS x
+        FROM events GROUP BY 1
+    ),
+    mu AS (
+        SELECT SUM(y) // COUNT(*) AS my, SUM(x) // COUNT(*) AS mx FROM daily
+    ),
+    dev AS (
+        SELECT day_idx, y - my AS dy, x - mx AS dx FROM daily, mu
+    ),
+    den AS (
+        SELECT CAST(SUM(dy * dy) AS BIGINT) AS ssy,
+               CAST(SUM(dx * dx) AS BIGINT) AS ssx
+        FROM dev
+    ),
+    lags AS (SELECT UNNEST([-3, -2, -1, 0, 1, 2, 3]) AS lag),
+    num AS (
+        SELECT l.lag, CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(a.dx * b.dy) AS BIGINT) AS sxy
+        FROM dev a
+        JOIN lags l ON TRUE
+        JOIN dev b ON b.day_idx = a.day_idx + l.lag
+        GROUP BY l.lag
+    )
+    SELECT CAST(lag AS BIGINT) AS lag, n_pairs,
+           CAST(FLOOR(CAST(sxy AS DOUBLE)
+                / (SQRT(CAST(ssx AS DOUBLE)) * SQRT(CAST(ssy AS DOUBLE)))
+                * 1000000) AS BIGINT) AS xcf_micro
+    FROM num, den ORDER BY lag
+"""
+
+
+@register("ts17_cross_correlation", _TS17_ORACLE)
+def ts17_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS17: lagged cross-correlation between daily event COUNT and
+    daily value TOTAL at lags -3..3 — which series LEADS? (positive
+    peak lag = count leads value). ts10's self-ACF machinery pointed
+    at a PAIR of series: same floor-centering before products (exact
+    BIGINT deviation moments at any SF), same exploded-lag equi-join
+    (never a banded nested loop), normalization by sqrt(ssx)*sqrt(ssy)
+    with each factor sqrt'd separately (a51's overflow rule: the raw
+    product crosses 2^63 first). Sign convention pinned by the shared
+    text: xcf(l) correlates count_t with value_{t+l}. One events-sized
+    groupBy; O(days) everything after."""
+    ev = t(spark, sf_dir, "events").select(
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("day_idx"),
+        F.floor(F.col("value") * 1000).cast("bigint").alias("v"),
+    )
+    daily = ev.groupBy("day_idx").agg(
+        F.sum("v").alias("y"), F.count(F.lit(1)).cast("bigint").alias("x")
+    )
+    mu = daily.agg(
+        F.expr("sum(y) div count(*)").alias("my"),
+        F.expr("sum(x) div count(*)").alias("mx"),
+    )
+    dev = cache_once(
+        daily.crossJoin(F.broadcast(mu)).select(
+            "day_idx",
+            (F.col("y") - F.col("my")).alias("dy"),
+            (F.col("x") - F.col("mx")).alias("dx"),
+        )
+    )
+    den = dev.agg(
+        F.sum(F.col("dy") * F.col("dy")).cast("bigint").alias("ssy"),
+        F.sum(F.col("dx") * F.col("dx")).cast("bigint").alias("ssx"),
+    )
+    a = dev.withColumn(
+        "lag", F.explode(F.array(*[F.lit(k) for k in range(-3, 4)]))
+    ).select("day_idx", "dx", "lag")
+    b = dev.select(F.col("day_idx").alias("b_day"), F.col("dy").alias("bdy"))
+    num = (
+        a.join(F.broadcast(b), F.col("b_day") == F.col("day_idx") + F.col("lag"))
+        .groupBy("lag")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+            F.sum(F.col("dx") * F.col("bdy")).cast("bigint").alias("sxy"),
+        )
+    )
+    return (
+        num.crossJoin(F.broadcast(den))
+        .select(
+            F.col("lag").cast("bigint").alias("lag"),
+            "n_pairs",
+            F.expr(
+                "CAST(FLOOR(CAST(sxy AS DOUBLE)"
+                " / (SQRT(CAST(ssx AS DOUBLE)) * SQRT(CAST(ssy AS DOUBLE)))"
+                " * 1000000) AS BIGINT)"
+            ).alias("xcf_micro"),
+        )
+        .orderBy("lag")
+    )

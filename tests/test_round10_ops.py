@@ -210,3 +210,111 @@ def test_anf_is_monotone_and_exact_at_t0(spark, sf_dir):
         n2 += sum(1 for u in reach2 if u % 16 == 1)
     assert rows[1].pairs_reached == n1
     assert rows[2].pairs_reached == n2
+
+
+def test_granger_matches_exact_python_replay(spark, sf_dir):
+    import math
+
+    row = QUERIES["ts16_granger_causality"](spark, sf_dir).collect()[0]
+    daily = {}
+    for r in (
+        t(spark, sf_dir, "events")
+        .select(
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("d"),
+            F.floor(F.col("value") * 1000).cast("bigint").alias("v"),
+        )
+        .groupBy("d")
+        .agg(F.sum("v").alias("y"), F.count(F.lit(1)).alias("x"))
+        .collect()
+    ):
+        daily[r.d] = (r.y, r.x)
+    pairs = [
+        (daily[d][0], daily[d - 1][0], daily[d - 1][1])
+        for d in daily
+        if d - 1 in daily
+    ]
+    n = len(pairs)
+    assert row.n_pairs == n
+    my = sum(p[0] for p in pairs) // n
+    my1 = sum(p[1] for p in pairs) // n
+    mx1 = sum(p[2] for p in pairs) // n
+    dev = [(y - my, y1 - my1, x1 - mx1) for y, y1, x1 in pairs]
+    nd = float(n)
+    a1 = float(sum(d[1] for d in dev))
+    a2 = float(sum(d[2] for d in dev))
+    m11 = float(sum(d[1] * d[1] for d in dev))
+    m12 = float(sum(d[1] * d[2] for d in dev))
+    m22 = float(sum(d[2] * d[2] for d in dev))
+    c0 = float(sum(d[0] for d in dev))
+    c1 = float(sum(d[0] * d[1] for d in dev))
+    c2 = float(sum(d[0] * d[2] for d in dev))
+    det = nd * (m11 * m22 - m12 * m12) - a1 * (a1 * m22 - m12 * a2) + a2 * (
+        a1 * m12 - m11 * a2
+    )
+    b0 = (
+        c0 * (m11 * m22 - m12 * m12)
+        - a1 * (c1 * m22 - m12 * c2)
+        + a2 * (c1 * m12 - m11 * c2)
+    ) / det
+    b1 = (
+        nd * (c1 * m22 - m12 * c2)
+        - c0 * (a1 * m22 - m12 * a2)
+        + a2 * (a1 * c2 - c1 * a2)
+    ) / det
+    b2 = (
+        nd * (m11 * c2 - c1 * m12)
+        - a1 * (a1 * c2 - c1 * a2)
+        + c0 * (a1 * m12 - m11 * a2)
+    ) / det
+    b1r = (nd * c1 - a1 * c0) / (nd * m11 - a1 * a1)
+    b0r = (c0 - b1r * a1) / nd
+    rss_u = sum(
+        math.floor((dy - (b0 + b1 * dy1 + b2 * dx1)) ** 2 / n)
+        for dy, dy1, dx1 in dev
+    )
+    rss_r = sum(
+        math.floor((dy - (b0r + b1r * dy1)) ** 2 / n) for dy, dy1, _ in dev
+    )
+    assert row.beta_y1_micro == math.floor(b1 * 1000000)
+    assert row.beta_x1_micro == math.floor(b2 * 1000000)
+    assert row.rssn_u == rss_u and row.rssn_r == rss_r
+    assert row.f_stat_micro == math.floor(
+        float(max(rss_r - rss_u, 0)) * (n - 3) / rss_u * 1000000
+    )
+    # adding a regressor can only reduce (normalized) RSS
+    assert rss_r >= rss_u - n
+
+
+def test_xcorr_lag0_is_pearson_and_symmetric_pairs(spark, sf_dir):
+    import math
+
+    rows = QUERIES["ts17_cross_correlation"](spark, sf_dir).collect()
+    assert [r.lag for r in rows] == list(range(-3, 4))
+    by_lag = {r.lag: r for r in rows}
+    # pair counts symmetric in |lag|; micro values bounded by +-1e6
+    for lg in (1, 2, 3):
+        assert by_lag[lg].n_pairs == by_lag[-lg].n_pairs
+    for r in rows:
+        assert -1000000 <= r.xcf_micro <= 1000000
+    # lag-0 replay: exact Pearson on floor-centered daily series
+    daily = (
+        t(spark, sf_dir, "events")
+        .select(
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("d"),
+            F.floor(F.col("value") * 1000).cast("bigint").alias("v"),
+        )
+        .groupBy("d")
+        .agg(F.sum("v").alias("y"), F.count(F.lit(1)).alias("x"))
+        .collect()
+    )
+    n = len(daily)
+    my = sum(r.y for r in daily) // n
+    mx = sum(r.x for r in daily) // n
+    sxy = sum((r.x - mx) * (r.y - my) for r in daily)
+    ssx = sum((r.x - mx) ** 2 for r in daily)
+    ssy = sum((r.y - my) ** 2 for r in daily)
+    exp = math.floor(
+        float(sxy) / (math.sqrt(float(ssx)) * math.sqrt(float(ssy))) * 1000000
+    )
+    assert by_lag[0].xcf_micro == exp
+    assert by_lag[0].n_pairs == n

@@ -81,6 +81,8 @@ ALLOWED_CROSS = {
     "dq26_mahalanobis_outliers",  # broadcast 1-row moment aggregate onto one map-side pass
     "t33_good_turing",  # broadcast 1-row totals onto the 20-row frequency grid
     "graph_anf_neighborhood",  # broadcast 1-row n_sources count onto the 4-row N(t) frame
+    "ts16_granger_causality",  # broadcast 1-row mean/moment/RSS frames onto the day ledger
+    "ts17_cross_correlation",  # broadcast 1-row mean + denominator frames onto the day ledger (the ts10 posture)
     "graph_hits_authorities",  # broadcast 1-row max-score frame per half-step renorm
     "graph_degree_distribution",  # broadcast 32-row powers-of-two constant frame
     "dedup_lsh_hot_bucket_guard",  # cross join of two 1-row stat aggregates
