@@ -269,3 +269,163 @@ def graph_anf_neighborhood(spark: SparkSession, sf_dir: str) -> DataFrame:
     for c in counts[1:]:
         out = out.unionByName(c)
     return out.crossJoin(F.broadcast(nsrc)).orderBy("t")
+
+
+# --- Greedy maximal matching (local-max edge rounds) --------------------------
+
+_MATCH_ROUNDS = 4
+# Injective deterministic edge priority: 31 bits of portable md5 over
+# "u:v" shifted above a 32-bit canonical edge index (u*65536 + v —
+# injective while node ids < 2^16; beyond that the documented carry is
+# lexicographic (h, u, v) comparison). Injectivity matters: a priority
+# TIE between two edges at one node would select both and break the
+# matching; with distinct priorities local-max selection is exact.
+_MATCH_PRI_SPARK = (
+    "CONV(SUBSTR(MD5(CONCAT(CAST(u AS STRING), ':', CAST(v AS STRING))), 1, 8),"
+    " 16, 10) % 2147483648 * 4294967296 + u * 65536 + v"
+)
+_MATCH_PRI_DUCK = (
+    "('0x' || SUBSTR(MD5(u || ':' || v), 1, 8))::BIGINT"
+    " % 2147483648 * 4294967296 + u * 65536 + v"
+)
+
+
+def _match_round_sql(prev: str, r: int) -> str:
+    """One local-max round: an edge joins the matching iff its priority
+    is the maximum among ALL alive edges at BOTH endpoints (Israeli-
+    Itai style, made deterministic by the injective priority); its
+    endpoints then leave the graph."""
+    return f"""
+    best{r} AS (
+        SELECT node, MAX(pri) AS bp FROM (
+            SELECT u AS node, pri FROM {prev}
+            UNION ALL SELECT v AS node, pri FROM {prev}
+        ) GROUP BY node
+    ),
+    sel{r} AS MATERIALIZED (
+        SELECT e.u, e.v, e.pri FROM {prev} e
+        JOIN best{r} bu ON bu.node = e.u AND bu.bp = e.pri
+        JOIN best{r} bv ON bv.node = e.v AND bv.bp = e.pri
+    ),
+    m{r} AS (SELECT u AS node FROM sel{r} UNION SELECT v AS node FROM sel{r}),
+    a{r} AS MATERIALIZED (
+        SELECT e.* FROM {prev} e
+        WHERE e.u NOT IN (SELECT node FROM m{r})
+          AND e.v NOT IN (SELECT node FROM m{r})
+    )"""
+
+
+_MATCH_ORACLE = f"""
+    WITH pairs AS (
+        SELECT DISTINCT o_custkey * 2 AS c, l_suppkey * 2 + 1 AS s
+        FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+    ),
+    a0 AS MATERIALIZED (
+        SELECT LEAST(c, s) AS u, GREATEST(c, s) AS v,
+               CAST({_MATCH_PRI_DUCK} AS BIGINT) AS pri
+        FROM pairs
+    ),
+    {",".join(_match_round_sql(f"a{r - 1}", r) for r in range(1, _MATCH_ROUNDS + 1))},
+    allsel AS (
+        {" UNION ALL ".join(f"SELECT u, v FROM sel{r}" for r in range(1, _MATCH_ROUNDS + 1))}
+    ),
+    valid AS (
+        SELECT (SELECT CAST(COUNT(*) AS BIGINT) FROM allsel)
+                   AS total_matched_edges,
+               CAST(MAX(cnt) AS BIGINT) AS max_node_multiplicity
+        FROM (SELECT node, COUNT(*) AS cnt FROM (
+                SELECT u AS node FROM allsel UNION ALL SELECT v FROM allsel
+              ) GROUP BY node)
+    )
+    SELECT r AS round, n_selected, n_alive_after,
+           total_matched_edges, max_node_multiplicity
+    FROM (
+        {" UNION ALL ".join(
+            f"SELECT CAST({r} AS BIGINT) AS r,"
+            f" CAST((SELECT COUNT(*) FROM sel{r}) AS BIGINT) AS n_selected,"
+            f" CAST((SELECT COUNT(*) FROM a{r}) AS BIGINT) AS n_alive_after"
+            for r in range(1, _MATCH_ROUNDS + 1)
+        )}
+    ), valid ORDER BY round
+"""
+
+
+@register("graph_greedy_matching", _MATCH_ORACLE)
+def graph_greedy_matching(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """Greedy maximal matching on the trade graph via {n} synchronous
+    local-max rounds (Israeli-Itai made deterministic): an edge enters
+    the matching iff its priority is the maximum among all alive edges
+    at BOTH endpoints; matched endpoints leave. The edge-world twin of
+    graph_mis_luby's node selection — matching is the primitive behind
+    pairwise dedup assignment, entity-pair arbitration, and graph
+    coarsening for multilevel partitioners. Determinism: the priority
+    is INJECTIVE (31 md5 bits above the canonical edge index u*65536+v
+    — injective while ids < 2^16, lexicographic (h,u,v) is the
+    documented carry), because a tie at a node would select two edges
+    and break the matching; the in-query validity frame computes
+    max_node_multiplicity, which the pytest pins to exactly 1, plus
+    the selected-edge total. Plan: per round, one endpoint-keyed MAX
+    agg + one equi-join back + two anti-joins — all 8-byte node-keyed
+    shuffles off the cached canonical edge list (the MIS posture);
+    per-round localCheckpoint truncates lineage; oracle unrolls the
+    rounds as MATERIALIZED CTEs. Maximality within the horizon is
+    reported honestly as n_alive_after (edges whose endpoints are all
+    unmatched after round {n}).""".format(n=_MATCH_ROUNDS)
+    e0 = trade_edges(spark, sf_dir).where(F.col("src") < F.col("dst"))
+    alive = cache_once(
+        e0.select(
+            F.col("src").alias("u"),
+            F.col("dst").alias("v"),
+            F.expr(f"CAST({_MATCH_PRI_SPARK} AS BIGINT)").alias("pri"),
+        )
+    )
+    rounds = []
+    sels = []
+    for r in range(1, _MATCH_ROUNDS + 1):
+        ep = alive.select(F.col("u").alias("node"), "pri").unionByName(
+            alive.select(F.col("v").alias("node"), "pri")
+        )
+        best = ep.groupBy("node").agg(F.max("pri").alias("bp"))
+        bu = best.select(F.col("node").alias("bu_n"), F.col("bp").alias("bu_p"))
+        bv = best.select(F.col("node").alias("bv_n"), F.col("bp").alias("bv_p"))
+        sel = (
+            alive.join(bu, (F.col("u") == F.col("bu_n")) & (F.col("pri") == F.col("bu_p")))
+            .join(bv, (F.col("v") == F.col("bv_n")) & (F.col("pri") == F.col("bv_p")))
+            .select("u", "v", "pri")
+            .localCheckpoint()
+        )
+        sels.append(sel)
+        matched = (
+            sel.select(F.col("u").alias("node"))
+            .unionByName(sel.select(F.col("v").alias("node")))
+            .distinct()
+        )
+        alive = (
+            alive.join(matched, alive.u == matched.node, "left_anti")
+            .join(matched, alive.v == matched.node, "left_anti")
+            .localCheckpoint()
+        )
+        rounds.append(
+            sel.agg(F.count(F.lit(1)).cast("bigint").alias("n_selected"))
+            .crossJoin(
+                alive.agg(F.count(F.lit(1)).cast("bigint").alias("n_alive_after"))
+            )
+            .select(F.lit(r).cast("bigint").alias("round"), "n_selected", "n_alive_after")
+        )
+    allsel = sels[0]
+    for s in sels[1:]:
+        allsel = allsel.unionByName(s)
+    valid = (
+        allsel.select(F.col("u").alias("node"))
+        .unionByName(allsel.select(F.col("v").alias("node")))
+        .groupBy("node")
+        .agg(F.count(F.lit(1)).alias("cnt"))
+        .agg(
+            (F.sum("cnt") / 2).cast("bigint").alias("total_matched_edges"),
+            F.max("cnt").cast("bigint").alias("max_node_multiplicity"),
+        )
+    )
+    out = rounds[0]
+    for rr in rounds[1:]:
+        out = out.unionByName(rr)
+    return out.crossJoin(F.broadcast(valid)).orderBy("round")

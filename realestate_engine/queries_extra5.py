@@ -408,3 +408,132 @@ def dq26_mahalanobis_outliers(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("d2_micro"), "o_orderkey")
         .limit(20)
     )
+
+
+# --- EV31: empirical-Bayes shrinkage of per-nation rates ----------------------
+
+# Beta-binomial method-of-moments: prior strength K = m(1-m)/v - 1,
+# alpha = m*K; shrunk_i = (x_i + alpha)/(n_i + K). m and K are carried
+# as already-FLOORED micro integers in the 1-row frame, so the
+# per-segment chain starts from identical integers on both engines;
+# the between-segment variance v = sum(d_i^2/(n_i*N^3)) uses exact
+# BIGINT deviations d_i = x_i*N - X*n_i with the division chain in
+# DOUBLE (the d^2 product crosses 2^63 long before the moments do).
+_EB_V_TERM = (
+    "CAST(FLOOR(CAST(d AS DOUBLE) * d / n / nn / nn / nn * 1000000000000)"
+    " AS BIGINT)"
+)
+_EB_K = (
+    "CAST(CASE WHEN v_pico <= 0 THEN 0 ELSE FLOOR("
+    "CAST(m_micro AS DOUBLE) / 1000000 * (1 - CAST(m_micro AS DOUBLE) / 1000000)"
+    " / (CAST(v_pico AS DOUBLE) / 1000000000000) * 1000000 - 1000000"
+    ") END AS BIGINT)"
+)
+_EB_SHRUNK = (
+    "CAST(CASE WHEN v_pico <= 0 THEN m_micro ELSE FLOOR("
+    "(x + CAST(m_micro AS DOUBLE) / 1000000 * (CAST(GREATEST(k_micro, 0)"
+    " AS DOUBLE) / 1000000))"
+    " / (n + CAST(GREATEST(k_micro, 0) AS DOUBLE) / 1000000) * 1000000"
+    ") END AS BIGINT)"
+)
+
+_EV31_ORACLE = f"""
+    WITH seg AS (
+        SELECT n.n_name AS nation,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                             THEN 1 ELSE 0 END) AS BIGINT) AS x
+        FROM orders o
+        JOIN customer c ON c.c_custkey = o.o_custkey
+        JOIN nation n ON n.n_nationkey = c.c_nationkey
+        GROUP BY n.n_name
+    ),
+    tot AS (
+        SELECT CAST(SUM(n) AS BIGINT) AS nn, CAST(SUM(x) AS BIGINT) AS xx,
+               CAST(SUM(x) * 1000000 // SUM(n) AS BIGINT) AS m_micro
+        FROM seg
+    ),
+    vfr AS (
+        SELECT CAST(SUM({_EB_V_TERM}) AS BIGINT) AS v_pico
+        FROM (SELECT s.n, s.x * t.nn - t.xx * s.n AS d, t.nn
+              FROM seg s, tot t)
+    ),
+    kfr AS (SELECT {_EB_K} AS k_micro FROM tot, vfr)
+    SELECT s.nation, s.n AS n_orders, s.x AS n_urgent,
+           CAST(s.x * 1000000 // s.n AS BIGINT) AS rate_micro,
+           {_EB_SHRUNK} AS shrunk_micro,
+           t.m_micro, k.k_micro
+    FROM seg s, tot t, vfr, kfr k
+    ORDER BY s.nation
+"""
+
+
+@register("ev31_empirical_bayes_shrinkage", _EV31_ORACLE)
+def ev31_empirical_bayes_shrinkage(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EV31: empirical-Bayes (beta-binomial, method-of-moments)
+    shrinkage of per-nation urgent-order rates toward the global rate
+    — the estimator behind every "small segments get noisy rates"
+    dashboard fix: a nation with 40 orders at 60% urgent shrinks hard
+    toward the global mean, a nation with 40,000 barely moves
+    ((x_i + alpha)/(n_i + alpha + beta) with alpha + beta = K =
+    m(1-m)/v - 1, alpha = mK — Morris/Efron empirical Bayes). Why it
+    belongs in a 100 TB engine: the entire posterior fit is METADATA —
+    one segment-keyed count, a 25-row frame, and fixed IEEE chains
+    from exact integers (deviations d_i = x_i*N - X*n_i exact BIGINT;
+    m and K floored to micro in the 1-row frame so every downstream
+    chain starts from identical integers cross-engine). Degenerate
+    guards pinned: zero between-variance -> full shrink to m;
+    overdispersion beyond the binomial max (K < 0) -> no shrink
+    (GREATEST(K, 0)). The pytest pins the contraction property:
+    every shrunk rate lies between its raw rate and m."""
+    o = t(spark, sf_dir, "orders").select("o_custkey", "o_orderpriority")
+    cust = t(spark, sf_dir, "customer").select("c_custkey", "c_nationkey")
+    nat = t(spark, sf_dir, "nation").select("n_nationkey", "n_name")
+    seg = (
+        o.join(cust, o.o_custkey == cust.c_custkey)
+        .join(F.broadcast(nat), cust.c_nationkey == nat.n_nationkey)
+        .groupBy(F.col("n_name").alias("nation"))
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n"),
+            F.sum(
+                F.when(
+                    F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+                ).otherwise(0)
+            )
+            .cast("bigint")
+            .alias("x"),
+        )
+    )
+    tot = seg.agg(
+        F.sum("n").cast("bigint").alias("nn"),
+        F.sum("x").cast("bigint").alias("xx"),
+        F.expr("CAST(SUM(x) * 1000000 DIV SUM(n) AS BIGINT)").alias("m_micro"),
+    )
+    vfr = (
+        seg.crossJoin(F.broadcast(tot))
+        .select(
+            "n",
+            (F.col("x") * F.col("nn") - F.col("xx") * F.col("n")).alias("d"),
+            "nn",
+        )
+        .selectExpr(f"{_EB_V_TERM} AS term")
+        .agg(F.sum("term").cast("bigint").alias("v_pico"))
+    )
+    kfr = (
+        tot.crossJoin(F.broadcast(vfr)).selectExpr(f"{_EB_K} AS k_micro")
+    )
+    return (
+        seg.crossJoin(F.broadcast(tot))
+        .crossJoin(F.broadcast(vfr))
+        .crossJoin(F.broadcast(kfr))
+        .selectExpr(
+            "nation",
+            "n AS n_orders",
+            "x AS n_urgent",
+            "CAST(x * 1000000 DIV n AS BIGINT) AS rate_micro",
+            f"{_EB_SHRUNK} AS shrunk_micro",
+            "m_micro",
+            "k_micro",
+        )
+        .orderBy("nation")
+    )

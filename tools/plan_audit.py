@@ -83,6 +83,9 @@ ALLOWED_CROSS = {
     "graph_anf_neighborhood",  # broadcast 1-row n_sources count onto the 4-row N(t) frame
     "ts16_granger_causality",  # broadcast 1-row mean/moment/RSS frames onto the day ledger
     "ts17_cross_correlation",  # broadcast 1-row mean + denominator frames onto the day ledger (the ts10 posture)
+    "ts18_max_drawdown",  # broadcast 8-row partition-max offsets (exclusive-prefix idiom) + 1-row n_days
+    "ev31_empirical_bayes_shrinkage",  # broadcast 1-row totals/variance/prior frames onto the 25-row segment frame
+    "graph_greedy_matching",  # broadcast 1-row validity frame onto the 4-row round census
     "graph_hits_authorities",  # broadcast 1-row max-score frame per half-step renorm
     "graph_degree_distribution",  # broadcast 32-row powers-of-two constant frame
     "dedup_lsh_hot_bucket_guard",  # cross join of two 1-row stat aggregates
@@ -198,6 +201,7 @@ ALLOWED_LOCAL = {
     "ev30_gini_lorenz",  # 10-row local decile grid (broadcast side)
     "t33_good_turing",  # 20-row local frequency grid (broadcast side)
     "graph_anf_neighborhood",  # per-round bitmap-state localCheckpoint (3 bounded rounds) + 1-row n_sources broadcast
+    "graph_greedy_matching",  # per-round selected-edge/alive-edge localCheckpoints (4 bounded rounds)
     "graph_ktruss",  # per-round edge-frame localCheckpoint (same lesson) + 2-row census frame
     "sim_ivf_build_exact",  # k*d-row centroid frame localCheckpointed per Lloyd round
     "st_cusum_monitor",  # memory-sink rows of the real stateful streaming run (O(|users|))
