@@ -373,3 +373,41 @@ def test_greedy_matching_is_a_valid_matching(spark, sf_dir):
     alive = [r.n_alive_after for r in rows]
     assert alive == sorted(alive, reverse=True)  # alive set shrinks
     assert all(r.n_selected >= 1 for r in rows[:1])  # round 1 matches something
+
+
+def test_textrank_matches_exact_python_replay(spark, sf_dir):
+    """Full integer replay: vocab, symmetric co-occurrence graph, 3
+    damped integer power rounds — term-for-term."""
+    rows = QUERIES["t34_textrank_keywords"](spark, sf_dir).collect()
+    assert len(rows) == 20
+    docs = t(spark, sf_dir, "documents").select("text").collect()
+    uni = Counter()
+    big = Counter()
+    for d in docs:
+        ws = [w for w in d.text.strip().lower().split() if w]
+        uni.update(ws)
+        for a, b in zip(ws, ws[1:], strict=False):
+            if a != b:
+                big[(a, b)] += 1
+    top = sorted(uni.items(), key=lambda kv: (-kv[1], kv[0]))[:200]
+    vocab = {w for w, _ in top}
+    edges = Counter()
+    for (a, b), c in big.items():
+        if a in vocab and b in vocab:
+            edges[(a, b)] += c
+            edges[(b, a)] += c
+    outw = Counter()
+    for (s, _), wgt in edges.items():
+        outw[s] += wgt
+    pmat = {(s, d_): wgt * 1000000 // outw[s] for (s, d_), wgt in edges.items()}
+    pi = {w: 10**9 for w in vocab}
+    for _ in range(3):
+        nxt = {w: 150000000 for w in vocab}
+        for (s, d_), p in pmat.items():
+            nxt[d_] += pi[s] * p // 1000000 * 85 // 100
+        pi = nxt
+    expect = sorted(((-r, w) for w, r in pi.items()))[:20]
+    got = [(-r.rank_nano, r.keyword) for r in rows]
+    assert got == expect
+    freqs = dict(top)
+    assert all(r.n_occurrences == freqs[r.keyword] for r in rows)

@@ -202,6 +202,7 @@ ALLOWED_LOCAL = {
     "t33_good_turing",  # 20-row local frequency grid (broadcast side)
     "graph_anf_neighborhood",  # per-round bitmap-state localCheckpoint (3 bounded rounds) + 1-row n_sources broadcast
     "graph_greedy_matching",  # per-round selected-edge/alive-edge localCheckpoints (4 bounded rounds)
+    "t34_textrank_keywords",  # 200-row vocab-graph rank frame localCheckpointed per power round
     "graph_ktruss",  # per-round edge-frame localCheckpoint (same lesson) + 2-row census frame
     "sim_ivf_build_exact",  # k*d-row centroid frame localCheckpointed per Lloyd round
     "st_cusum_monitor",  # memory-sink rows of the real stateful streaming run (O(|users|))
