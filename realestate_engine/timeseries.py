@@ -1598,3 +1598,158 @@ def ts18_max_drawdown(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.col("y").cast("bigint").alias("trough_milli"),
         F.col("peak").cast("bigint").alias("peak_before_milli"),
     )
+
+
+# --- TS19: PACF via fixed-point Durbin-Levinson (lags 1..4) -------------------
+
+# Each Durbin-Levinson level consumes the PREVIOUS level's
+# already-FLOORED micro coefficients and the exact ACF micros, so every
+# level is one short fixed IEEE chain from identical integers on both
+# engines (fixed-point DL: the flooring is part of the operator's
+# definition, like m43's Newton rounds). All phi/r values are micro
+# (1e6) fixed point; dividends/divisors stay unitless ratios * 1e6.
+_DL2_NUM = "(r2m - CAST(p11 AS DOUBLE) * r1m / 1000000)"
+_DL2_DEN = "(1000000 - CAST(p11 AS DOUBLE) * r1m / 1000000)"
+_DL_P22 = (
+    f"CAST(CASE WHEN {_DL2_DEN} = 0 THEN 0 ELSE"
+    f" FLOOR({_DL2_NUM} / {_DL2_DEN} * 1000000) END AS BIGINT)"
+)
+_DL_P21 = (
+    "CAST(FLOOR(p11 - CAST(p22 AS DOUBLE) * p11 / 1000000) AS BIGINT)"
+)
+_DL3_NUM = (
+    "(r3m - CAST(p21 AS DOUBLE) * r2m / 1000000"
+    " - CAST(p22 AS DOUBLE) * r1m / 1000000)"
+)
+_DL3_DEN = (
+    "(1000000 - CAST(p21 AS DOUBLE) * r1m / 1000000"
+    " - CAST(p22 AS DOUBLE) * r2m / 1000000)"
+)
+_DL_P33 = (
+    f"CAST(CASE WHEN {_DL3_DEN} = 0 THEN 0 ELSE"
+    f" FLOOR({_DL3_NUM} / {_DL3_DEN} * 1000000) END AS BIGINT)"
+)
+_DL_P31 = "CAST(FLOOR(p21 - CAST(p33 AS DOUBLE) * p22 / 1000000) AS BIGINT)"
+_DL_P32 = "CAST(FLOOR(p22 - CAST(p33 AS DOUBLE) * p21 / 1000000) AS BIGINT)"
+_DL4_NUM = (
+    "(r4m - CAST(p31 AS DOUBLE) * r3m / 1000000"
+    " - CAST(p32 AS DOUBLE) * r2m / 1000000"
+    " - CAST(p33 AS DOUBLE) * r1m / 1000000)"
+)
+_DL4_DEN = (
+    "(1000000 - CAST(p31 AS DOUBLE) * r1m / 1000000"
+    " - CAST(p32 AS DOUBLE) * r2m / 1000000"
+    " - CAST(p33 AS DOUBLE) * r3m / 1000000)"
+)
+_DL_P44 = (
+    f"CAST(CASE WHEN {_DL4_DEN} = 0 THEN 0 ELSE"
+    f" FLOOR({_DL4_NUM} / {_DL4_DEN} * 1000000) END AS BIGINT)"
+)
+
+_TS19_ORACLE = f"""
+    WITH daily AS (
+        SELECT DATE_DIFF('day', DATE '2024-01-01', ts::DATE) AS day_idx,
+               SUM(CAST(FLOOR(value * 1000) AS BIGINT)) AS v
+        FROM events GROUP BY 1
+    ),
+    mu AS (SELECT SUM(v) // COUNT(*) AS m FROM daily),
+    dev AS (SELECT day_idx, v - mu.m AS d FROM daily, mu),
+    den AS (SELECT CAST(SUM(d * d) AS BIGINT) AS ss FROM dev),
+    acf AS (
+        SELECT l.lag,
+               CAST(FLOOR(CAST(SUM(a.d * b.d) AS DOUBLE)
+                    / CAST(MAX(den.ss) AS DOUBLE) * 1000000) AS BIGINT) AS rm
+        FROM dev a
+        JOIN (SELECT UNNEST([1, 2, 3, 4]) AS lag) l ON TRUE
+        JOIN dev b ON b.day_idx = a.day_idx + l.lag
+        CROSS JOIN den
+        GROUP BY l.lag
+    ),
+    rv AS (
+        SELECT MAX(CASE WHEN lag = 1 THEN rm END) AS r1m,
+               MAX(CASE WHEN lag = 2 THEN rm END) AS r2m,
+               MAX(CASE WHEN lag = 3 THEN rm END) AS r3m,
+               MAX(CASE WHEN lag = 4 THEN rm END) AS r4m
+        FROM acf
+    ),
+    l1 AS (SELECT *, r1m AS p11 FROM rv),
+    l2 AS (SELECT *, {_DL_P22} AS p22 FROM l1),
+    l2b AS (SELECT *, {_DL_P21} AS p21 FROM l2),
+    l3 AS (SELECT *, {_DL_P33} AS p33 FROM l2b),
+    l3b AS (SELECT *, {_DL_P31} AS p31, {_DL_P32} AS p32 FROM l3),
+    l4 AS (SELECT *, {_DL_P44} AS p44 FROM l3b)
+    SELECT lag, pacf_micro, acf_micro FROM (
+        SELECT CAST(1 AS BIGINT) AS lag, p11 AS pacf_micro, r1m AS acf_micro FROM l4
+        UNION ALL SELECT 2, p22, r2m FROM l4
+        UNION ALL SELECT 3, p33, r3m FROM l4
+        UNION ALL SELECT 4, p44, r4m FROM l4
+    ) ORDER BY lag
+"""
+
+
+@register("ts19_pacf_durbin_levinson", _TS19_ORACLE)
+def ts19_pacf_durbin_levinson(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS19: partial autocorrelation (lags 1..4) by fixed-point
+    Durbin-Levinson — with ts10's ACF this completes the Box-Jenkins
+    model-identification pair (AR(p) shows a PACF cutoff at p, MA(q)
+    an ACF cutoff at q). The ACF micros are ts10's exact machinery
+    (floor-centered deviations, exact BIGINT moments, one IEEE
+    division per lag); each DL level then consumes the PREVIOUS
+    level's already-FLOORED micro coefficients in a short fixed IEEE
+    chain (_DL_*, the m43 fixed-point-iteration posture: the floor is
+    part of the operator's definition, which is what makes four
+    chained rational recursions bit-reproducible cross-engine instead
+    of a 16-term exponentially-expanded expression). Zero-denominator
+    levels pin to 0. Plan: one events-sized groupBy, the ts10 lag
+    join, then a 1-row scalar cascade. phi(1) = r(1) by construction;
+    |pacf| <= 1e6 pytested."""
+    ev = t(spark, sf_dir, "events").select(
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("day_idx"),
+        F.floor(F.col("value") * 1000).cast("bigint").alias("v"),
+    )
+    daily = ev.groupBy("day_idx").agg(F.sum("v").alias("v"))
+    mu = daily.agg(F.expr("sum(v) div count(*)").alias("m"))
+    dev = cache_once(
+        daily.crossJoin(F.broadcast(mu)).select(
+            "day_idx", (F.col("v") - F.col("m")).alias("d")
+        )
+    )
+    den = dev.agg(F.sum(F.col("d") * F.col("d")).alias("ss"))
+    a = dev.withColumn("lag", F.explode(F.array(*[F.lit(k) for k in range(1, 5)])))
+    b = dev.select(F.col("day_idx").alias("b_day"), F.col("d").alias("bd"))
+    acf = (
+        a.join(F.broadcast(b), F.col("b_day") == F.col("day_idx") + F.col("lag"))
+        .groupBy("lag")
+        .agg(F.sum(F.col("d") * F.col("bd")).alias("sxy"))
+        .crossJoin(F.broadcast(den))
+        .select(
+            "lag",
+            F.expr(
+                "CAST(FLOOR(CAST(sxy AS DOUBLE) / CAST(ss AS DOUBLE)"
+                " * 1000000) AS BIGINT)"
+            ).alias("rm"),
+        )
+    )
+    rv = acf.agg(
+        F.max(F.when(F.col("lag") == 1, F.col("rm"))).alias("r1m"),
+        F.max(F.when(F.col("lag") == 2, F.col("rm"))).alias("r2m"),
+        F.max(F.when(F.col("lag") == 3, F.col("rm"))).alias("r3m"),
+        F.max(F.when(F.col("lag") == 4, F.col("rm"))).alias("r4m"),
+    )
+    l4 = (
+        rv.selectExpr("*", "r1m AS p11")
+        .selectExpr("*", f"{_DL_P22} AS p22")
+        .selectExpr("*", f"{_DL_P21} AS p21")
+        .selectExpr("*", f"{_DL_P33} AS p33")
+        .selectExpr("*", f"{_DL_P31} AS p31", f"{_DL_P32} AS p32")
+        .selectExpr("*", f"{_DL_P44} AS p44")
+    )
+    out = None
+    for lag, pcol, rcol in ((1, "p11", "r1m"), (2, "p22", "r2m"), (3, "p33", "r3m"), (4, "p44", "r4m")):
+        frame = l4.select(
+            F.lit(lag).cast("bigint").alias("lag"),
+            F.col(pcol).cast("bigint").alias("pacf_micro"),
+            F.col(rcol).cast("bigint").alias("acf_micro"),
+        )
+        out = frame if out is None else out.unionByName(frame)
+    return out.orderBy("lag")

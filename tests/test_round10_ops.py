@@ -411,3 +411,50 @@ def test_textrank_matches_exact_python_replay(spark, sf_dir):
     assert got == expect
     freqs = dict(top)
     assert all(r.n_occurrences == freqs[r.keyword] for r in rows)
+
+
+def test_pacf_matches_exact_python_replay(spark, sf_dir):
+    rows = QUERIES["ts19_pacf_durbin_levinson"](spark, sf_dir).collect()
+    assert [r.lag for r in rows] == [1, 2, 3, 4]
+    by = {r.lag: r for r in rows}
+    # phi(1) == r(1) by construction; everything bounded
+    assert by[1].pacf_micro == by[1].acf_micro
+    for r in rows:
+        assert -1100000 <= r.pacf_micro <= 1100000
+    # fixed-point DL replay from the ACF micros
+    r1, r2, r3, r4 = (by[k].acf_micro for k in (1, 2, 3, 4))
+    p11 = r1
+    den2 = 1000000 - float(p11) * r1 / 1000000
+    p22 = int(math.floor((r2 - float(p11) * r1 / 1000000) / den2 * 1000000))
+    p21 = int(math.floor(p11 - float(p22) * p11 / 1000000))
+    den3 = 1000000 - float(p21) * r1 / 1000000 - float(p22) * r2 / 1000000
+    p33 = int(
+        math.floor(
+            (r3 - float(p21) * r2 / 1000000 - float(p22) * r1 / 1000000)
+            / den3
+            * 1000000
+        )
+    )
+    p31 = int(math.floor(p21 - float(p33) * p22 / 1000000))
+    p32 = int(math.floor(p22 - float(p33) * p21 / 1000000))
+    den4 = (
+        1000000
+        - float(p31) * r1 / 1000000
+        - float(p32) * r2 / 1000000
+        - float(p33) * r3 / 1000000
+    )
+    p44 = int(
+        math.floor(
+            (
+                r4
+                - float(p31) * r3 / 1000000
+                - float(p32) * r2 / 1000000
+                - float(p33) * r1 / 1000000
+            )
+            / den4
+            * 1000000
+        )
+    )
+    assert (by[1].pacf_micro, by[2].pacf_micro, by[3].pacf_micro, by[4].pacf_micro) == (
+        p11, p22, p33, p44,
+    )

@@ -86,6 +86,7 @@ ALLOWED_CROSS = {
     "ts18_max_drawdown",  # broadcast 8-row partition-max offsets (exclusive-prefix idiom) + 1-row n_days
     "ev31_empirical_bayes_shrinkage",  # broadcast 1-row totals/variance/prior frames onto the 25-row segment frame
     "graph_greedy_matching",  # broadcast 1-row validity frame onto the 4-row round census
+    "ts19_pacf_durbin_levinson",  # broadcast 1-row mean/denominator frames onto the day ledger (the ts10 posture)
     "graph_hits_authorities",  # broadcast 1-row max-score frame per half-step renorm
     "graph_degree_distribution",  # broadcast 32-row powers-of-two constant frame
     "dedup_lsh_hot_bucket_guard",  # cross join of two 1-row stat aggregates
