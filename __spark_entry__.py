@@ -53,17 +53,23 @@ registry.load_all()
 # f10_arrays/f12-f19, corpus mixture/shuffle). 49 new ledger names →
 # cumulative 395 of the registry. The remainder (~86 + this round's
 # additions) drains in r11-r12.
-# Round 11 should keep draining: ev10/ev11, dq11/dq22/dq23, text_*
-# remainder (fingerprint, token_count_bpe, udtf_chunk_docs,
-# repetition_filter, unigram_logprob, segment_dedup, oov_rate,
-# inverted_index, phrase_search), sim_* remainder (hard_negatives/
-# label_centroids/matryoshka/quantize_int8/pca/ivf_kmeans_topk/
-# brp_lsh_ann_mllib), corpus_source_overlap, m15, x8/x12-x15/x19/x32,
-# a1x-a3x remainder, a47, j5-j8/j16, p10/p11/p13/p16-p18, w5,
-# pack_length_buckets, ts_gapfill/sessionize/rolling, skew_salted_agg,
-# set_*_all, dedup_* remainder, and the rows-only ML fits
-# (m9/m10/m12-m24 family, mm_frame/audio/batch_resize) for rows-only
-# evidence.
+# Round 11 should lead with round 10's 13 additions (all
+# sf0.001/0.01/0.1-certified on arrival, PLANS.md round-10 ledger):
+# a54_kruskal_wallis, ev30_gini_lorenz, dq26_mahalanobis_outliers,
+# t33_good_turing, graph_anf_neighborhood, ts16_granger_causality,
+# ts17_cross_correlation, ts18_max_drawdown,
+# ev31_empirical_bayes_shrinkage, graph_greedy_matching,
+# t34_textrank_keywords, ts19_pacf_durbin_levinson — then keep
+# draining: ev10/ev11, dq11/dq22/dq23, text_* remainder (fingerprint,
+# token_count_bpe, udtf_chunk_docs, repetition_filter,
+# unigram_logprob, segment_dedup, oov_rate, inverted_index,
+# phrase_search), sim_* remainder (hard_negatives/label_centroids/
+# matryoshka/quantize_int8/pca/ivf_kmeans_topk/brp_lsh_ann_mllib),
+# corpus_source_overlap, m15, x8/x12-x15/x19/x32, a1x-a3x remainder,
+# a47, j5-j8/j16, p10/p11/p13/p16-p18, w5, pack_length_buckets,
+# ts_gapfill/sessionize/rolling, skew_salted_agg, set_*_all, dedup_*
+# remainder, and the rows-only ML fits (m9/m10/m12-m24 family,
+# mm_frame/audio/batch_resize) for rows-only evidence.
 _WINDOW = [
     "flagship_revenue_by_nation",
     # round-9 additions, arrival order (all 3-SF-certified;
