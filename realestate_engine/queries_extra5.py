@@ -697,3 +697,115 @@ def t34_textrank_keywords(spark: SparkSession, sf_dir: str) -> DataFrame:
         .orderBy(F.desc("rank_nano"), "keyword")
         .limit(_TR_TOPK)
     )
+
+
+# --- TS20: Haar wavelet energy by scale (dyadic 16-day window) ----------------
+
+_HAAR_LEVELS = 4
+
+
+def _haar_level_sql(prev: str, k: int) -> str:
+    """One unnormalized Haar level: pair (2i, 2i+1) -> detail = even -
+    odd, approx = even + odd. All integers; energies are sums of
+    squared BIGINT details."""
+    return f"""
+    lvl{k} AS MATERIALIZED (
+        SELECT o // 2 AS o,
+               CAST(SUM(CASE WHEN o % 2 = 0 THEN x ELSE -x END) AS BIGINT) AS d,
+               CAST(SUM(x) AS BIGINT) AS x
+        FROM {prev} GROUP BY o // 2
+    ),
+    en{k} AS (
+        SELECT CAST({k} AS BIGINT) AS level,
+               CAST(COUNT(*) AS BIGINT) AS n_pairs,
+               CAST(SUM(d * d) AS BIGINT) AS energy
+        FROM lvl{k}
+    )"""
+
+
+_TS20_ORACLE = f"""
+    WITH daily AS (
+        SELECT DATE_DIFF('day', DATE '2024-01-01', ts::DATE) AS day_idx,
+               SUM(CAST(FLOOR(value * 1000) AS BIGINT)) // 100000 AS x
+        FROM events GROUP BY 1
+    ),
+    win AS (
+        SELECT day_idx, x, ROW_NUMBER() OVER (ORDER BY day_idx) - 1 AS o
+        FROM daily QUALIFY o < 16
+    ),
+    lvl0 AS (SELECT o, x FROM win),
+    {",".join(_haar_level_sql(f"lvl{k - 1}", k) for k in range(1, _HAAR_LEVELS + 1))},
+    allen AS (
+        {" UNION ALL ".join(f"SELECT * FROM en{k}" for k in range(1, _HAAR_LEVELS + 1))}
+    ),
+    tot AS (SELECT CAST(SUM(energy) AS BIGINT) AS e_tot FROM allen)
+    SELECT level, n_pairs, energy,
+           CAST(CASE WHEN e_tot = 0 THEN 0
+                ELSE energy * 1000000 // e_tot END AS BIGINT) AS share_micro
+    FROM allen, tot ORDER BY level
+"""
+
+
+@register("ts20_haar_energy", _TS20_ORACLE)
+def ts20_haar_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """TS20: Haar wavelet energy by scale over the first 16 observed
+    days — which time scale carries the variation: day-to-day noise
+    (level 1), 2-4-day swings, or the 8-16-day regime (level 4)? The
+    time-LOCALIZED complement to ts14's periodogram (Fourier smears a
+    burst across all frequencies; Haar pins it to a scale and epoch) —
+    the classic multi-resolution feature for training-series triage.
+    Exactness: UNNORMALIZED Haar — detail = even - odd, approx = even
+    + odd — keeps every coefficient an exact BIGINT (the 2^(k/2)
+    normalizer cancels in energy SHARES, which is what the operator
+    reports; raw energies are also emitted per level). Daily values
+    are pre-scaled DIV 1e5 so level-4 squared details stay BIGINT at
+    any SF. The 16-day ordinal comes from the t19 broadcast rank-join
+    idiom (a 16-row frame earns no window, and an unpartitioned window
+    is banned); levels are 4 chained 16->8->4->2-row aggregates. One
+    events-sized groupBy; metadata after."""
+    ev = t(spark, sf_dir, "events").select(
+        F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("day_idx"),
+        F.floor(F.col("value") * 1000).cast("bigint").alias("v"),
+    )
+    daily = ev.groupBy("day_idx").agg(
+        F.expr("sum(v) div 100000").cast("bigint").alias("x")
+    )
+    win16 = daily.orderBy("day_idx").limit(16)
+    a = win16.select(F.col("day_idx").alias("a_d"), F.col("x").alias("a_x"))
+    lvl = (
+        a.join(F.broadcast(win16), F.col("day_idx") <= F.col("a_d"))
+        .groupBy("a_d", "a_x")
+        .agg((F.count(F.lit(1)) - 1).alias("o"))
+        .select("o", F.col("a_x").alias("x"))
+    )
+    energies = []
+    for k in range(1, _HAAR_LEVELS + 1):
+        nxt = lvl.groupBy(F.expr("o div 2").alias("o")).agg(
+            F.sum(F.when(F.col("o") % 2 == 0, F.col("x")).otherwise(-F.col("x")))
+            .cast("bigint")
+            .alias("d"),
+            F.sum("x").cast("bigint").alias("x"),
+        )
+        energies.append(
+            nxt.agg(
+                F.lit(k).cast("bigint").alias("level"),
+                F.count(F.lit(1)).cast("bigint").alias("n_pairs"),
+                F.sum(F.col("d") * F.col("d")).cast("bigint").alias("energy"),
+            )
+        )
+        lvl = nxt.select("o", "x")
+    allen = energies[0]
+    for e in energies[1:]:
+        allen = allen.unionByName(e)
+    tot = allen.agg(F.sum("energy").cast("bigint").alias("e_tot"))
+    return (
+        allen.crossJoin(F.broadcast(tot))
+        .selectExpr(
+            "level",
+            "n_pairs",
+            "energy",
+            "CAST(CASE WHEN e_tot = 0 THEN 0"
+            " ELSE energy * 1000000 DIV e_tot END AS BIGINT) AS share_micro",
+        )
+        .orderBy("level")
+    )

@@ -458,3 +458,32 @@ def test_pacf_matches_exact_python_replay(spark, sf_dir):
     assert (by[1].pacf_micro, by[2].pacf_micro, by[3].pacf_micro, by[4].pacf_micro) == (
         p11, p22, p33, p44,
     )
+
+
+def test_haar_energy_matches_exact_python_replay(spark, sf_dir):
+    rows = QUERIES["ts20_haar_energy"](spark, sf_dir).collect()
+    assert [r.level for r in rows] == [1, 2, 3, 4]
+    assert [r.n_pairs for r in rows] == [8, 4, 2, 1]
+    daily = sorted(
+        (r.d, r.y)
+        for r in t(spark, sf_dir, "events")
+        .select(
+            F.datediff(F.to_date("ts"), F.lit("2024-01-01")).alias("d"),
+            F.floor(F.col("value") * 1000).cast("bigint").alias("v"),
+        )
+        .groupBy("d")
+        .agg(F.expr("sum(v) div 100000").alias("y"))
+        .collect()
+    )[:16]
+    xs = [y for _, y in daily]
+    energies = []
+    for _ in range(4):
+        ds = [xs[2 * i] - xs[2 * i + 1] for i in range(len(xs) // 2)]
+        xs = [xs[2 * i] + xs[2 * i + 1] for i in range(len(xs) // 2)]
+        energies.append(sum(d * d for d in ds))
+    tot = sum(energies)
+    for r, e in zip(rows, energies, strict=True):
+        assert r.energy == e
+        assert r.share_micro == (0 if tot == 0 else e * 1000000 // tot)
+    # Parseval sanity: total detail energy <= total (unnormalized) input energy x16
+    assert tot <= 16 * sum(y * y for _, y in daily)
