@@ -59,7 +59,8 @@ registry.load_all()
 # t33_good_turing, graph_anf_neighborhood, ts16_granger_causality,
 # ts17_cross_correlation, ts18_max_drawdown,
 # ev31_empirical_bayes_shrinkage, graph_greedy_matching,
-# t34_textrank_keywords, ts19_pacf_durbin_levinson — then keep
+# t34_textrank_keywords, ts19_pacf_durbin_levinson,
+# ts20_haar_energy — then keep
 # draining: ev10/ev11, dq11/dq22/dq23, text_* remainder (fingerprint,
 # token_count_bpe, udtf_chunk_docs, repetition_filter,
 # unigram_logprob, segment_dedup, oov_rate, inverted_index,
