@@ -809,3 +809,147 @@ def ts20_haar_energy(spark: SparkSession, sf_dir: str) -> DataFrame:
         )
         .orderBy("level")
     )
+
+
+# --- DQ27: inter-rater agreement (Fleiss + pairwise Cohen kappa) --------------
+
+# Kappas in one fixed IEEE chain each, from exact BIGINT tallies.
+# Fleiss (3 raters, 2 categories): P_bar = S1/(6n) with
+# S1 = sum_i sum_j n_ij(n_ij - 1); P_e = (cp^2 + cf^2)/(3n)^2.
+_FLEISS = (
+    "CAST(CASE WHEN CAST(9 AS DOUBLE) * n * n"
+    " - (CAST(cp AS DOUBLE) * cp + CAST(cf AS DOUBLE) * cf) = 0 THEN 0"
+    " ELSE FLOOR("
+    "(CAST(s1 AS DOUBLE) / 6 / n"
+    " - (CAST(cp AS DOUBLE) * cp + CAST(cf AS DOUBLE) * cf) / 9 / n / n)"
+    " / (1 - (CAST(cp AS DOUBLE) * cp + CAST(cf AS DOUBLE) * cf) / 9 / n / n)"
+    " * 1000000) END AS BIGINT)"
+)
+
+
+def _cohen(a: str, b: str, agree: str) -> str:
+    """Cohen's kappa for the rater pair (a, b): po = agree/n,
+    pe = (a*b + (n-a)(n-b))/n^2, kappa = (po - pe)/(1 - pe)."""
+    pe = (
+        f"((CAST({a} AS DOUBLE) * {b}"
+        f" + (CAST(n AS DOUBLE) - {a}) * (CAST(n AS DOUBLE) - {b})) / n / n)"
+    )
+    return (
+        f"CAST(CASE WHEN 1 - {pe} = 0 THEN 0 ELSE FLOOR("
+        f"(CAST({agree} AS DOUBLE) / n - {pe}) / (1 - {pe}) * 1000000)"
+        f" END AS BIGINT)"
+    )
+
+
+_DQ27_ORACLE = rf"""
+    WITH feat AS (
+        SELECT CAST(LEN(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+'),
+                                    x -> LEN(x) > 0)) AS BIGINT) AS n_tok,
+               CAST(LEN(LIST_DISTINCT(LIST_FILTER(
+                   STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+'),
+                   x -> LEN(x) > 0))) AS BIGINT) AS n_dis,
+               CAST(LEN(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+'),
+                                    x -> LEN(x) > 15)) AS BIGINT) AS n_long
+        FROM documents
+    ),
+    votes AS (
+        SELECT CASE WHEN n_tok >= 50 THEN 1 ELSE 0 END AS ra,
+               CASE WHEN n_dis * 5 >= n_tok * 3 THEN 1 ELSE 0 END AS rb,
+               CASE WHEN n_long = 0 THEN 1 ELSE 0 END AS rc
+        FROM feat
+    ),
+    tal AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(ra) AS BIGINT) AS pa,
+               CAST(SUM(rb) AS BIGINT) AS pb,
+               CAST(SUM(rc) AS BIGINT) AS pc,
+               CAST(SUM(ra + rb + rc) AS BIGINT) AS cp,
+               CAST(SUM(3 - ra - rb - rc) AS BIGINT) AS cf,
+               CAST(SUM((ra + rb + rc) * (ra + rb + rc - 1)
+                        + (3 - ra - rb - rc) * (2 - ra - rb - rc)) AS BIGINT)
+                   AS s1,
+               CAST(SUM(CASE WHEN ra = rb THEN 1 ELSE 0 END) AS BIGINT) AS ab,
+               CAST(SUM(CASE WHEN ra = rc THEN 1 ELSE 0 END) AS BIGINT) AS ac,
+               CAST(SUM(CASE WHEN rb = rc THEN 1 ELSE 0 END) AS BIGINT) AS bc
+        FROM votes
+    )
+    SELECT n AS n_docs, pa AS pass_a, pb AS pass_b, pc AS pass_c,
+           {_FLEISS} AS fleiss_kappa_micro,
+           {_cohen("pa", "pb", "ab")} AS kappa_ab_micro,
+           {_cohen("pa", "pc", "ac")} AS kappa_ac_micro,
+           {_cohen("pb", "pc", "bc")} AS kappa_bc_micro
+    FROM tal
+"""
+
+
+@register("dq27_rater_agreement", _DQ27_ORACLE)
+def dq27_rater_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """DQ27: inter-rater agreement — Fleiss' kappa across three
+    deterministic document-quality raters (length >= 50 tokens;
+    type-token ratio >= 0.6, tested by integer cross-multiplication;
+    no token longer than 15 chars) plus the three pairwise Cohen's
+    kappas. THE labeling-QA statistic for training-data pipelines:
+    raters that agree no better than chance (kappa ~ 0) mean the
+    rubric, not the corpus, is broken — and rule-based raters make the
+    operator a rubric-redundancy audit (kappa ~ 1 between two rules
+    says one is dead weight in the t29 curation stack). Exactness:
+    every tally (per-item vote counts, S1 = sum n_ij(n_ij-1),
+    category masses, pairwise agreements) is an exact BIGINT off ONE
+    corpus-sized pass; each kappa is a single fixed IEEE chain from
+    those integers (_FLEISS/_cohen). At 100 TB: one scan + one 1-row
+    frame — agreement is metadata."""
+    words = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+        lambda x: F.length(x) > 0,
+    )
+    feat = t(spark, sf_dir, "documents").select(
+        F.size(words).cast("bigint").alias("n_tok"),
+        F.size(F.array_distinct(words)).cast("bigint").alias("n_dis"),
+        F.size(F.filter(words, lambda x: F.length(x) > 15))
+        .cast("bigint")
+        .alias("n_long"),
+    )
+    votes = feat.select(
+        F.when(F.col("n_tok") >= 50, 1).otherwise(0).alias("ra"),
+        F.when(F.col("n_dis") * 5 >= F.col("n_tok") * 3, 1)
+        .otherwise(0)
+        .alias("rb"),
+        F.when(F.col("n_long") == 0, 1).otherwise(0).alias("rc"),
+    )
+    tal = votes.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("ra").cast("bigint").alias("pa"),
+        F.sum("rb").cast("bigint").alias("pb"),
+        F.sum("rc").cast("bigint").alias("pc"),
+        F.sum(F.col("ra") + F.col("rb") + F.col("rc")).cast("bigint").alias("cp"),
+        F.sum(3 - F.col("ra") - F.col("rb") - F.col("rc"))
+        .cast("bigint")
+        .alias("cf"),
+        F.sum(
+            (F.col("ra") + F.col("rb") + F.col("rc"))
+            * (F.col("ra") + F.col("rb") + F.col("rc") - 1)
+            + (3 - F.col("ra") - F.col("rb") - F.col("rc"))
+            * (2 - F.col("ra") - F.col("rb") - F.col("rc"))
+        )
+        .cast("bigint")
+        .alias("s1"),
+        F.sum(F.when(F.col("ra") == F.col("rb"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("ab"),
+        F.sum(F.when(F.col("ra") == F.col("rc"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("ac"),
+        F.sum(F.when(F.col("rb") == F.col("rc"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("bc"),
+    )
+    return tal.selectExpr(
+        "n AS n_docs",
+        "pa AS pass_a",
+        "pb AS pass_b",
+        "pc AS pass_c",
+        f"{_FLEISS} AS fleiss_kappa_micro",
+        f"{_cohen('pa', 'pb', 'ab')} AS kappa_ab_micro",
+        f"{_cohen('pa', 'pc', 'ac')} AS kappa_ac_micro",
+        f"{_cohen('pb', 'pc', 'bc')} AS kappa_bc_micro",
+    )

@@ -487,3 +487,37 @@ def test_haar_energy_matches_exact_python_replay(spark, sf_dir):
         assert r.share_micro == (0 if tot == 0 else e * 1000000 // tot)
     # Parseval sanity: total detail energy <= total (unnormalized) input energy x16
     assert tot <= 16 * sum(y * y for _, y in daily)
+
+
+def test_rater_agreement_matches_exact_python_replay(spark, sf_dir):
+    row = QUERIES["dq27_rater_agreement"](spark, sf_dir).collect()[0]
+    docs = t(spark, sf_dir, "documents").select("text").collect()
+    votes = []
+    for d in docs:
+        ws = [w for w in d.text.strip().lower().split() if w]
+        ra = 1 if len(ws) >= 50 else 0
+        rb = 1 if len(set(ws)) * 5 >= len(ws) * 3 else 0
+        rc = 1 if all(len(w) <= 15 for w in ws) else 0
+        votes.append((ra, rb, rc))
+    n = len(votes)
+    pa = sum(v[0] for v in votes)
+    pb = sum(v[1] for v in votes)
+    pc = sum(v[2] for v in votes)
+    cp = sum(sum(v) for v in votes)
+    cf = 3 * n - cp
+    s1 = sum(sum(v) * (sum(v) - 1) + (3 - sum(v)) * (2 - sum(v)) for v in votes)
+    assert (row.n_docs, row.pass_a, row.pass_b, row.pass_c) == (n, pa, pb, pc)
+    pe = (float(cp) * cp + float(cf) * cf) / 9 / n / n
+    fle = math.floor((float(s1) / 6 / n - pe) / (1 - pe) * 1000000)
+    assert row.fleiss_kappa_micro == fle
+    for a, b, idx_a, idx_b, got in (
+        (pa, pb, 0, 1, row.kappa_ab_micro),
+        (pa, pc, 0, 2, row.kappa_ac_micro),
+        (pb, pc, 1, 2, row.kappa_bc_micro),
+    ):
+        agree = sum(1 for v in votes if v[idx_a] == v[idx_b])
+        pe2 = (float(a) * b + (float(n) - a) * (n - b)) / n / n
+        assert got == math.floor((float(agree) / n - pe2) / (1 - pe2) * 1000000)
+    # kappas live in [-1, 1] (micro)
+    for k in (row.fleiss_kappa_micro, row.kappa_ab_micro, row.kappa_ac_micro, row.kappa_bc_micro):
+        assert -1000000 <= k <= 1000000
