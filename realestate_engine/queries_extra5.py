@@ -953,3 +953,192 @@ def dq27_rater_agreement(spark: SparkSession, sf_dir: str) -> DataFrame:
         f"{_cohen('pa', 'pc', 'ac')} AS kappa_ac_micro",
         f"{_cohen('pb', 'pc', 'bc')} AS kappa_bc_micro",
     )
+
+
+# --- EV32: Cox proportional hazards (binary covariate, 2 Newton rounds) -------
+
+# One Newton round of the Breslow partial likelihood with a BINARY
+# covariate: the risk-set weight is e^beta for group 1, 1 for group 0,
+# so score and information reduce to per-event-time terms over the
+# suffix counts (n1r, n0r). beta is carried as an already-FLOORED
+# micro integer between rounds (the m43/m54 fixed-point Newton
+# contract), so each round's EXP sees the identical double on both
+# engines. Platform caveat (the a53 LN / ts14 cos class): libm EXP is
+# 1-ulp, not correctly rounded — cross-engine floor equality is
+# SF-certified empirical; both engines do take EXP of the identical
+# rational beta_micro/1e6.
+
+
+def _cox_w(beta: str) -> str:
+    return f"EXP(CAST({beta} AS DOUBLE) / 1000000)"
+
+
+def _cox_u_term(beta: str) -> str:
+    w = _cox_w(beta)
+    return (
+        f"CAST(FLOOR((d_g1 - CAST(da AS DOUBLE) * (n1r * {w})"
+        f" / (n1r * {w} + n0r)) * 1000000) AS BIGINT)"
+    )
+
+
+def _cox_i_term(beta: str) -> str:
+    w = _cox_w(beta)
+    return (
+        f"CAST(FLOOR(CAST(da AS DOUBLE) * (n1r * {w}) * n0r"
+        f" / ((n1r * {w} + n0r) * (n1r * {w} + n0r)) * 1000000) AS BIGINT)"
+    )
+
+
+_COX_STEP = (
+    "CAST(CASE WHEN i_micro <= 0 THEN prev_beta ELSE prev_beta"
+    " + FLOOR(CAST(u_micro AS DOUBLE) / i_micro * 1000000) END AS BIGINT)"
+)
+
+_EV32_ORACLE = f"""
+    WITH done AS (
+        SELECT l_orderkey, MAX(CAST(l_shipdate AS DATE)) AS done_date
+        FROM lineitem GROUP BY 1
+    ),
+    subj AS (
+        SELECT DATE_DIFF('day', CAST(o.o_orderdate AS DATE), d.done_date) AS dur,
+               CASE WHEN o.o_orderstatus = 'F' THEN 1 ELSE 0 END AS ev,
+               CASE WHEN o.o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END AS grp
+        FROM orders o JOIN done d ON d.l_orderkey = o.o_orderkey
+    ),
+    per AS (
+        SELECT dur,
+               CAST(COUNT(*) AS BIGINT) AS n,
+               CAST(SUM(grp) AS BIGINT) AS n_g1,
+               CAST(SUM(ev) AS BIGINT) AS d_all,
+               CAST(SUM(ev * grp) AS BIGINT) AS d_g1
+        FROM subj GROUP BY dur
+    ),
+    at_risk AS MATERIALIZED (
+        SELECT a.dur, a.d_all AS da, a.d_g1,
+               CAST(SUM(b.n_g1) AS BIGINT) AS n1r,
+               CAST(SUM(b.n - b.n_g1) AS BIGINT) AS n0r
+        FROM per a JOIN per b ON b.dur >= a.dur
+        GROUP BY a.dur, a.d_all, a.d_g1
+        HAVING a.d_all > 0
+    ),
+    r1 AS (
+        SELECT CAST(SUM({_cox_u_term("0")}) AS BIGINT) AS u_micro,
+               CAST(SUM({_cox_i_term("0")}) AS BIGINT) AS i_micro,
+               CAST(0 AS BIGINT) AS prev_beta
+        FROM at_risk
+    ),
+    b1 AS (SELECT {_COX_STEP} AS beta1 FROM r1),
+    r2 AS (
+        SELECT CAST(SUM({_cox_u_term("beta1")}) AS BIGINT) AS u_micro,
+               CAST(SUM({_cox_i_term("beta1")}) AS BIGINT) AS i_micro,
+               CAST(MAX(beta1) AS BIGINT) AS prev_beta
+        FROM at_risk, b1
+    ),
+    b2 AS (SELECT {_COX_STEP} AS beta2, u_micro AS u2_micro,
+                  i_micro AS i2_micro FROM r2),
+    sizes AS (
+        SELECT CAST(SUM(n_g1) AS BIGINT) AS n1_subjects,
+               CAST(SUM(n - n_g1) AS BIGINT) AS n2_subjects,
+               CAST(SUM(d_all) AS BIGINT) AS events_total
+        FROM per
+    )
+    SELECT s.n1_subjects, s.n2_subjects, s.events_total,
+           b1.beta1 AS beta1_micro, b2.beta2 AS beta2_micro,
+           CAST(FLOOR({_cox_w("beta2")} * 1000000) AS BIGINT)
+               AS hazard_ratio_micro,
+           b2.u2_micro, b2.i2_micro
+    FROM sizes s, b1, b2
+"""
+
+
+@register("ev32_cox_proportional_hazards", _EV32_ORACLE)
+def ev32_cox_proportional_hazards(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """EV32: Cox proportional-hazards fit (binary covariate, Breslow
+    ties, 2 unrolled Newton rounds) — the REGRESSION member of the
+    survival family: ev13 Kaplan-Meier draws the curves, ev27 log-rank
+    tests them, m24 AFT fits a parametric model; Cox estimates the
+    hazard RATIO semi-parametrically, and with a binary covariate its
+    round-1 score IS the log-rank numerator (the classic identity —
+    pinned by the pytest). Same cohort as ev27 (order fulfillment,
+    URGENT/HIGH vs rest). Exactness: the per-duration census and
+    at-risk suffix counts are exact BIGINTs (the ev27 shape); each
+    Newton round floors beta to micro (the m43/m54 fixed-point
+    contract) so the next round's EXP sees the identical double on
+    both engines — with the a53-class caveat that libm EXP is 1-ulp,
+    certified empirically at all three SFs; score/information terms
+    are per-time floored micros summed order-free. Plan: one scan, a
+    days-bounded non-equi self-join, then two metadata-sized Newton
+    passes over the cached risk ledger."""
+    li = t(spark, sf_dir, "lineitem").groupBy("l_orderkey").agg(
+        F.max(F.col("l_shipdate").cast("date")).alias("done_date")
+    )
+    o = t(spark, sf_dir, "orders").select(
+        "o_orderkey", "o_orderdate", "o_orderstatus", "o_orderpriority"
+    )
+    subj = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        F.datediff("done_date", F.col("o_orderdate").cast("date")).alias("dur"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("ev"),
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+        .otherwise(0)
+        .alias("grp"),
+    )
+    per = subj.groupBy("dur").agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("grp").cast("bigint").alias("n_g1"),
+        F.sum("ev").cast("bigint").alias("d_all"),
+        F.sum(F.col("ev") * F.col("grp")).cast("bigint").alias("d_g1"),
+    )
+    from realestate_engine.dedup import cache_once
+
+    a, b = per.alias("a"), per.alias("b")
+    at_risk = cache_once(
+        a.join(F.broadcast(b), F.col("b.dur") >= F.col("a.dur"))
+        .groupBy(
+            F.col("a.dur").alias("dur"),
+            F.col("a.d_all").alias("da"),
+            F.col("a.d_g1").alias("d_g1"),
+        )
+        .agg(
+            F.sum("b.n_g1").cast("bigint").alias("n1r"),
+            F.sum(F.col("b.n") - F.col("b.n_g1")).cast("bigint").alias("n0r"),
+        )
+        .where(F.col("da") > 0)
+    )
+    r1 = at_risk.agg(
+        F.sum(F.expr(_cox_u_term("0"))).cast("bigint").alias("u_micro"),
+        F.sum(F.expr(_cox_i_term("0"))).cast("bigint").alias("i_micro"),
+        F.lit(0).cast("bigint").alias("prev_beta"),
+    )
+    b1 = r1.selectExpr(f"{_COX_STEP} AS beta1")
+    r2 = (
+        at_risk.crossJoin(F.broadcast(b1))
+        .agg(
+            F.sum(F.expr(_cox_u_term("beta1"))).cast("bigint").alias("u_micro"),
+            F.sum(F.expr(_cox_i_term("beta1"))).cast("bigint").alias("i_micro"),
+            F.max("beta1").cast("bigint").alias("prev_beta"),
+        )
+    )
+    b2 = r2.selectExpr(
+        f"{_COX_STEP} AS beta2", "u_micro AS u2_micro", "i_micro AS i2_micro"
+    )
+    sizes = per.agg(
+        F.sum("n_g1").cast("bigint").alias("n1_subjects"),
+        F.sum(F.col("n") - F.col("n_g1")).cast("bigint").alias("n2_subjects"),
+        F.sum("d_all").cast("bigint").alias("events_total"),
+    )
+    return (
+        sizes.crossJoin(F.broadcast(b1))
+        .crossJoin(F.broadcast(b2))
+        .selectExpr(
+            "n1_subjects",
+            "n2_subjects",
+            "events_total",
+            "beta1 AS beta1_micro",
+            "beta2 AS beta2_micro",
+            f"CAST(FLOOR({_cox_w('beta2')} * 1000000) AS BIGINT)"
+            " AS hazard_ratio_micro",
+            "u2_micro",
+            "i2_micro",
+        )
+    )

@@ -521,3 +521,67 @@ def test_rater_agreement_matches_exact_python_replay(spark, sf_dir):
     # kappas live in [-1, 1] (micro)
     for k in (row.fleiss_kappa_micro, row.kappa_ab_micro, row.kappa_ac_micro, row.kappa_bc_micro):
         assert -1000000 <= k <= 1000000
+
+
+def test_cox_round1_score_is_logrank_numerator(spark, sf_dir):
+    """Classic identity: with a binary covariate, the Cox score at
+    beta=0 equals the log-rank O1 - E1 (up to the shared micro floor
+    convention) — both ops run on the same cohort, so their frames
+    must agree."""
+    cox = QUERIES["ev32_cox_proportional_hazards"](spark, sf_dir).collect()[0]
+    lr = QUERIES["ev27_logrank_test"](spark, sf_dir).collect()[0]
+    assert (cox.n1_subjects, cox.n2_subjects) == (lr.n1_subjects, lr.n2_subjects)
+    assert cox.events_total == lr.events_total
+    # beta1 = U(0)/I(0); U(0) in micro is o1*1e6 - e1_micro up to the
+    # per-term floors (each term floors once in cox, once in logrank:
+    # allow one micro per event time, bounded by events_total)
+    # exact replay instead: recompute U(0), I(0) from the ledger
+    li = t(spark, sf_dir, "lineitem").groupBy("l_orderkey").agg(
+        F.max(F.col("l_shipdate").cast("date")).alias("done_date")
+    )
+    o = t(spark, sf_dir, "orders")
+    subj = o.join(li, o.o_orderkey == li.l_orderkey).select(
+        F.datediff("done_date", F.col("o_orderdate").cast("date")).alias("dur"),
+        F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("ev"),
+        F.when(F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1)
+        .otherwise(0)
+        .alias("grp"),
+    ).collect()
+    from collections import defaultdict
+
+    per = defaultdict(lambda: [0, 0, 0, 0])  # n, n1, d, d1
+    for r in subj:
+        p = per[r.dur]
+        p[0] += 1
+        p[1] += r.grp
+        p[2] += r.ev
+        p[3] += r.ev * r.grp
+    durs = sorted(per)
+    u0 = i0 = 0
+    beta1 = None
+    for pass_no in range(2):
+        w = 1.0 if pass_no == 0 else math.exp(beta1 / 1000000)
+        u = i = 0
+        for d_ in durs:
+            da, d1 = per[d_][2], per[d_][3]
+            if da == 0:
+                continue
+            n1r = sum(per[x][1] for x in durs if x >= d_)
+            n0r = sum(per[x][0] - per[x][1] for x in durs if x >= d_)
+            u += math.floor((d1 - float(da) * (n1r * w) / (n1r * w + n0r)) * 1e6)
+            i += math.floor(
+                float(da) * (n1r * w) * n0r / ((n1r * w + n0r) ** 2) * 1e6
+            )
+        if pass_no == 0:
+            u0, i0 = u, i
+            beta1 = math.floor(float(u) / i * 1000000)
+        else:
+            beta2 = beta1 + math.floor(float(u) / i * 1000000)
+            assert cox.u2_micro == u and cox.i2_micro == i
+            assert cox.beta2_micro == beta2
+    assert cox.beta1_micro == beta1
+    # Newton converges: round-2 score magnitude < round-1 score magnitude
+    assert abs(cox.u2_micro) < abs(u0)
+    assert cox.hazard_ratio_micro == math.floor(
+        math.exp(cox.beta2_micro / 1000000) * 1e6
+    )
