@@ -1142,3 +1142,193 @@ def ev32_cox_proportional_hazards(spark: SparkSession, sf_dir: str) -> DataFrame
             "i2_micro",
         )
     )
+
+
+# --- M62: Dawid-Skene label aggregation (2 EM rounds, all-integer) ------------
+
+# The E-step likelihood products run entirely in micro fixed point:
+# ((prior * t_a DIV 1e6) * t_b DIV 1e6) * t_c DIV 1e6 — each DIV is a
+# defined floor in the operator's fixed-point semantics, so there is
+# NO IEEE anywhere in this operator (stronger than the m43/m54 class,
+# which floors between-round state but runs doubles inside a round).
+_DS_P0 = "CAST((ra + rb + rc) * 1000000 // 3 AS BIGINT)"
+
+
+def _ds_m_step(pfr: str, out: str) -> str:
+    """M-step: prior + per-rater sensitivity/specificity from the
+    pattern census weighted by current posteriors (all BIGINT micros;
+    degenerate all-0/all-1 posteriors guard with CASE)."""
+    se = lambda v: (  # noqa: E731
+        f"CAST(CASE WHEN SUM(c * p) = 0 THEN 500000 ELSE"
+        f" SUM(c * p * {v}) * 1000000 // SUM(c * p) END AS BIGINT)"
+    )
+    sp = lambda v: (  # noqa: E731
+        f"CAST(CASE WHEN SUM(c * (1000000 - p)) = 0 THEN 500000 ELSE"
+        f" SUM(c * (1000000 - p) * (1 - {v})) * 1000000"
+        f" // SUM(c * (1000000 - p)) END AS BIGINT)"
+    )
+    return f"""
+    {out} AS (
+        SELECT CAST(SUM(c * p) // SUM(c) AS BIGINT) AS prior,
+               {se("ra")} AS se_a, {sp("ra")} AS sp_a,
+               {se("rb")} AS se_b, {sp("rb")} AS sp_b,
+               {se("rc")} AS se_c, {sp("rc")} AS sp_c
+        FROM {pfr}
+    )"""
+
+
+def _ds_e_step(pfr: str, mfr: str, out: str) -> str:
+    """E-step: per-pattern posterior from the current rater params —
+    3-factor fixed-point likelihood products, one integer division."""
+    t = lambda v, se: f"CASE WHEN {v} = 1 THEN {se} ELSE 1000000 - {se} END"  # noqa: E731
+    u = lambda v, sp: f"CASE WHEN {v} = 1 THEN 1000000 - {sp} ELSE {sp} END"  # noqa: E731
+    l1 = (
+        f"((prior * ({t('ra', 'se_a')}) // 1000000)"
+        f" * ({t('rb', 'se_b')}) // 1000000)"
+        f" * ({t('rc', 'se_c')}) // 1000000"
+    )
+    l0 = (
+        f"(((1000000 - prior) * ({u('ra', 'sp_a')}) // 1000000)"
+        f" * ({u('rb', 'sp_b')}) // 1000000)"
+        f" * ({u('rc', 'sp_c')}) // 1000000"
+    )
+    return f"""
+    {out} AS (
+        SELECT f.ra, f.rb, f.rc, f.c,
+               CAST(CASE WHEN ({l1}) + ({l0}) = 0 THEN m.prior
+                    ELSE ({l1}) * 1000000 // (({l1}) + ({l0}))
+                    END AS BIGINT) AS p
+        FROM {pfr} f, {mfr} m
+    )"""
+
+
+_M62_ORACLE = rf"""
+    WITH feat AS (
+        SELECT CAST(LEN(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+'),
+                                    x -> LEN(x) > 0)) AS BIGINT) AS n_tok,
+               CAST(LEN(LIST_DISTINCT(LIST_FILTER(
+                   STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+'),
+                   x -> LEN(x) > 0))) AS BIGINT) AS n_dis,
+               CAST(LEN(LIST_FILTER(STRING_SPLIT_REGEX(LOWER(TRIM(text)), '\s+'),
+                                    x -> LEN(x) > 15)) AS BIGINT) AS n_long
+        FROM documents
+    ),
+    votes AS (
+        SELECT CASE WHEN n_tok >= 50 THEN 1 ELSE 0 END AS ra,
+               CASE WHEN n_dis * 5 >= n_tok * 3 THEN 1 ELSE 0 END AS rb,
+               CASE WHEN n_long = 0 THEN 1 ELSE 0 END AS rc
+        FROM feat
+    ),
+    pat0 AS (
+        SELECT ra, rb, rc, CAST(COUNT(*) AS BIGINT) AS c,
+               {_DS_P0} AS p
+        FROM votes GROUP BY ra, rb, rc
+    ),
+    {_ds_m_step("pat0", "m1")},
+    {_ds_e_step("pat0", "m1", "pat1")},
+    {_ds_m_step("pat1", "m2")},
+    {_ds_e_step("pat1", "m2", "pat2")}
+    SELECT f.ra AS vote_a, f.rb AS vote_b, f.rc AS vote_c,
+           f.c AS n_docs, f.p AS posterior_micro,
+           m.prior AS prior_micro,
+           m.se_a AS se_a_micro, m.sp_a AS sp_a_micro,
+           m.se_b AS se_b_micro, m.sp_b AS sp_b_micro,
+           m.se_c AS se_c_micro, m.sp_c AS sp_c_micro
+    FROM pat2 f, m2 m
+    ORDER BY vote_a, vote_b, vote_c
+"""
+
+
+@register("m62_dawid_skene", _M62_ORACLE)
+def m62_dawid_skene(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M62: Dawid-Skene label aggregation (binary, 3 raters, 2 EM
+    rounds) — THE crowdsourcing/annotation-fusion algorithm: infer
+    per-rater sensitivity/specificity and per-item posteriors jointly,
+    so a rater that rubber-stamps everything gets down-weighted where
+    majority vote cannot tell. Raters are dq27's deterministic quality
+    rules, making the pair an annotation-QA suite: dq27 says whether
+    raters agree, m62 says WHO to trust and what the fused label is.
+    THE scale story: docs collapse to the 8-row vote-pattern census
+    after one scan, so both EM rounds run on metadata — at 100 TB the
+    M/E steps cost the same as at 1 GB (this is why pattern-census DS
+    is the production form). Exactness: ALL integer — posteriors and
+    params live in micro fixed point, the 3-factor likelihood products
+    are chained integer x*y//1e6 floors (stronger than the m43 class:
+    no IEEE inside rounds either); degenerate guards (zero posterior
+    mass -> 0.5, zero likelihood -> prior) pinned identically. The
+    pytest replays both rounds exactly and checks the fused posterior
+    ordering follows vote counts."""
+    words = F.filter(
+        F.split(F.lower(F.trim(F.col("text"))), r"\s+"),
+        lambda x: F.length(x) > 0,
+    )
+    feat = t(spark, sf_dir, "documents").select(
+        F.size(words).cast("bigint").alias("n_tok"),
+        F.size(F.array_distinct(words)).cast("bigint").alias("n_dis"),
+        F.size(F.filter(words, lambda x: F.length(x) > 15))
+        .cast("bigint")
+        .alias("n_long"),
+    )
+    votes = feat.select(
+        F.when(F.col("n_tok") >= 50, 1).otherwise(0).alias("ra"),
+        F.when(F.col("n_dis") * 5 >= F.col("n_tok") * 3, 1)
+        .otherwise(0)
+        .alias("rb"),
+        F.when(F.col("n_long") == 0, 1).otherwise(0).alias("rc"),
+    )
+    pat = (
+        votes.groupBy("ra", "rb", "rc")
+        .agg(F.count(F.lit(1)).cast("bigint").alias("c"))
+        .selectExpr("ra", "rb", "rc", "c", f"{_DS_P0.replace('//', 'DIV')} AS p")
+    )
+    m = None
+
+    def _se(v: str) -> str:
+        return (
+            f"CAST(CASE WHEN SUM(c * p) = 0 THEN 500000"
+            f" ELSE SUM(c * p * {v}) * 1000000 DIV SUM(c * p) END AS BIGINT)"
+        )
+
+    def _sp(v: str) -> str:
+        return (
+            f"CAST(CASE WHEN SUM(c * (1000000 - p)) = 0 THEN 500000"
+            f" ELSE SUM(c * (1000000 - p) * (1 - {v})) * 1000000"
+            f" DIV SUM(c * (1000000 - p)) END AS BIGINT)"
+        )
+
+    for _ in range(2):
+        m = pat.agg(
+            F.expr("CAST(SUM(c * p) DIV SUM(c) AS BIGINT)").alias("prior"),
+            F.expr(_se("ra")).alias("se_a"),
+            F.expr(_sp("ra")).alias("sp_a"),
+            F.expr(_se("rb")).alias("se_b"),
+            F.expr(_sp("rb")).alias("sp_b"),
+            F.expr(_se("rc")).alias("se_c"),
+            F.expr(_sp("rc")).alias("sp_c"),
+        )
+        t_ = lambda v, se: f"CASE WHEN {v} = 1 THEN {se} ELSE 1000000 - {se} END"  # noqa: E731
+        u_ = lambda v, sp: f"CASE WHEN {v} = 1 THEN 1000000 - {sp} ELSE {sp} END"  # noqa: E731
+        l1 = (
+            f"((prior * ({t_('ra', 'se_a')}) DIV 1000000)"
+            f" * ({t_('rb', 'se_b')}) DIV 1000000)"
+            f" * ({t_('rc', 'se_c')}) DIV 1000000"
+        )
+        l0 = (
+            f"(((1000000 - prior) * ({u_('ra', 'sp_a')}) DIV 1000000)"
+            f" * ({u_('rb', 'sp_b')}) DIV 1000000)"
+            f" * ({u_('rc', 'sp_c')}) DIV 1000000"
+        )
+        pat = pat.crossJoin(F.broadcast(m)).selectExpr(
+            "ra", "rb", "rc", "c",
+            f"CAST(CASE WHEN ({l1}) + ({l0}) = 0 THEN prior"
+            f" ELSE ({l1}) * 1000000 DIV (({l1}) + ({l0}))"
+            f" END AS BIGINT) AS p",
+        )
+    return pat.crossJoin(F.broadcast(m)).selectExpr(
+        "ra AS vote_a", "rb AS vote_b", "rc AS vote_c",
+        "c AS n_docs", "p AS posterior_micro",
+        "prior AS prior_micro",
+        "se_a AS se_a_micro", "sp_a AS sp_a_micro",
+        "se_b AS se_b_micro", "sp_b AS sp_b_micro",
+        "se_c AS se_c_micro", "sp_c AS sp_c_micro",
+    ).orderBy("vote_a", "vote_b", "vote_c")

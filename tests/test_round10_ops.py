@@ -585,3 +585,64 @@ def test_cox_round1_score_is_logrank_numerator(spark, sf_dir):
     assert cox.hazard_ratio_micro == math.floor(
         math.exp(cox.beta2_micro / 1000000) * 1e6
     )
+
+
+def test_dawid_skene_matches_exact_python_replay(spark, sf_dir):
+    rows = QUERIES["m62_dawid_skene"](spark, sf_dir).collect()
+    docs = t(spark, sf_dir, "documents").select("text").collect()
+    pats = Counter()
+    for d in docs:
+        ws = [w for w in d.text.strip().lower().split() if w]
+        ra = 1 if len(ws) >= 50 else 0
+        rb = 1 if len(set(ws)) * 5 >= len(ws) * 3 else 0
+        rc = 1 if all(len(w) <= 15 for w in ws) else 0
+        pats[(ra, rb, rc)] += 1
+    state = {k: (c, (k[0] + k[1] + k[2]) * 1000000 // 3) for k, c in pats.items()}
+    params = None
+    for _ in range(2):
+        spc = sum(c * p for c, p in state.values())
+        snc = sum(c * (1000000 - p) for c, p in state.values())
+        n = sum(c for c, _ in state.values())
+        prior = spc // n
+        se, sp = [], []
+        for j in range(3):
+            s1 = sum(c * p * k[j] for k, (c, p) in state.items())
+            s0 = sum(c * (1000000 - p) * (1 - k[j]) for k, (c, p) in state.items())
+            se.append(500000 if spc == 0 else s1 * 1000000 // spc)
+            sp.append(500000 if snc == 0 else s0 * 1000000 // snc)
+        params = (prior, se, sp)
+        nxt = {}
+        for k, (c, _) in state.items():
+            l1 = prior
+            l0 = 1000000 - prior
+            for j in range(3):
+                tj = se[j] if k[j] == 1 else 1000000 - se[j]
+                uj = 1000000 - sp[j] if k[j] == 1 else sp[j]
+                l1 = l1 * tj // 1000000
+                l0 = l0 * uj // 1000000
+            nxt[k] = (c, prior if l1 + l0 == 0 else l1 * 1000000 // (l1 + l0))
+        state = nxt
+    by_votes = {(r.vote_a, r.vote_b, r.vote_c): r for r in rows}
+    assert set(by_votes) == set(state)
+    prior, se, sp = params
+    for k, (c, p) in state.items():
+        r = by_votes[k]
+        assert (r.n_docs, r.posterior_micro) == (c, p)
+        assert r.prior_micro == prior
+        assert (r.se_a_micro, r.se_b_micro, r.se_c_micro) == tuple(se)
+        assert (r.sp_a_micro, r.sp_b_micro, r.sp_c_micro) == tuple(sp)
+    # the fused posterior is NOT monotone in raw vote count (that is
+    # the point of DS vs majority vote) — but it IS monotone in each
+    # INFORMATIVE rater's own vote: flipping rater j from 0 to 1
+    # multiplies L1 by se_j/(1-se_j) and L0 by (1-sp_j)/sp_j, which
+    # raises the posterior whenever se_j + sp_j > 1 (rater better
+    # than chance). Allow 2 micro of fixed-point slack.
+    for j in range(3):
+        if se[j] + sp[j] <= 1000000:
+            continue
+        for k, (_, p) in state.items():
+            if k[j] == 1:
+                continue
+            k_up = tuple(1 if i == j else k[i] for i in range(3))
+            if k_up in state:
+                assert state[k_up][1] >= p - 2, (j, k)
