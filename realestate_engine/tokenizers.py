@@ -1109,9 +1109,11 @@ def t33_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
     operands) — no IEEE anywhere, so cross-engine equality is
     structural, not certified. Plan: one corpus-sized explode+groupBy
     (the t19 census), one types-sized groupBy to N_r (O(sqrt N) rows
-    by Heaps/Zipf), then the 20-row grid broadcast-joins INTO the fof
-    census (never fof broadcast out — it is O(sqrt N), unbounded); all
-    downstream frames are 20 rows or 1 row. 100 TB: two data shuffles
+    by Heaps/Zipf), then the census is FILTERED to the
+    grid's reach (f <= 21 — a 21-row frame at any scale) before the
+    20-row grid outer-joins it, so nothing unbounded is ever built or
+    broadcast regardless of which side the planner picks; all
+    downstream frames are <= 21 rows or 1 row. 100 TB: two data shuffles
     total. Chao1's N1^2 term overflows BIGINT once N1 > ~3e6 types at
     the 1e6 scale — the decimal(38) carry is the documented path."""
     d = t(spark, sf_dir, "documents")
@@ -1136,13 +1138,20 @@ def t33_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).cast("bigint").alias("n2"),
     )
     grid = spark.createDataFrame([(r,) for r in range(1, 21)], "r bigint")
+    # Pre-bound the fof census to the grid's reach (f <= 21) BEFORE the
+    # grid outer-joins: a broadcast hint on the RIGHT side of a right-
+    # outer join is not honorable (BroadcastHashJoin must build the
+    # non-outer side), so Spark silently broadcasts the LEFT side —
+    # which must therefore be the bounded 21-row slice, never the
+    # O(sqrt N) census (round-10 stderr-audit catch).
+    fof21 = fof.where(F.col("f") <= 21)
     cur = (
-        fof.join(F.broadcast(grid), fof.f == grid.r, "right")
+        fof21.join(F.broadcast(grid), fof21.f == grid.r, "right")
         .groupBy("r")
         .agg(F.coalesce(F.max("n_r"), F.lit(0)).cast("bigint").alias("n_r"))
     )
     nxt = (
-        fof.join(F.broadcast(grid), fof.f == grid.r + 1, "right")
+        fof21.join(F.broadcast(grid), fof21.f == grid.r + 1, "right")
         .groupBy("r")
         .agg(
             F.coalesce(F.max("n_r"), F.lit(0)).cast("bigint").alias("n_r_next")
