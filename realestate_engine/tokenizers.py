@@ -1143,15 +1143,17 @@ def t33_good_turing(spark: SparkSession, sf_dir: str) -> DataFrame:
     # outer join is not honorable (BroadcastHashJoin must build the
     # non-outer side), so Spark silently broadcasts the LEFT side —
     # which must therefore be the bounded 21-row slice, never the
-    # O(sqrt N) census (round-10 stderr-audit catch).
+    # O(sqrt N) census (round-10 stderr-audit catch). No hint on the
+    # grid: it is unhonorable here and would only log
+    # HintErrorLogger warnings.
     fof21 = fof.where(F.col("f") <= 21)
     cur = (
-        fof21.join(F.broadcast(grid), fof21.f == grid.r, "right")
+        fof21.join(grid, fof21.f == grid.r, "right")
         .groupBy("r")
         .agg(F.coalesce(F.max("n_r"), F.lit(0)).cast("bigint").alias("n_r"))
     )
     nxt = (
-        fof21.join(F.broadcast(grid), fof21.f == grid.r + 1, "right")
+        fof21.join(grid, fof21.f == grid.r + 1, "right")
         .groupBy("r")
         .agg(
             F.coalesce(F.max("n_r"), F.lit(0)).cast("bigint").alias("n_r_next")
