@@ -53,7 +53,7 @@ registry.load_all()
 # f10_arrays/f12-f19, corpus mixture/shuffle). 49 new ledger names →
 # cumulative 395 of the registry. The remainder (~86 + this round's
 # additions) drains in r11-r12.
-# Round 11 should lead with round 10's 16 additions (all
+# Round 11 should lead with round 10's 17 additions (all
 # sf0.001/0.01/0.1-certified on arrival, PLANS.md round-10 ledger):
 # a54_kruskal_wallis, ev30_gini_lorenz, dq26_mahalanobis_outliers,
 # t33_good_turing, graph_anf_neighborhood, ts16_granger_causality,
@@ -61,7 +61,8 @@ registry.load_all()
 # ev31_empirical_bayes_shrinkage, graph_greedy_matching,
 # t34_textrank_keywords, ts19_pacf_durbin_levinson,
 # ts20_haar_energy, dq27_rater_agreement,
-# ev32_cox_proportional_hazards, m62_dawid_skene — then keep
+# ev32_cox_proportional_hazards, m62_dawid_skene,
+# m63_average_precision — then keep
 # draining: ev10/ev11, dq11/dq22/dq23, text_* remainder (fingerprint,
 # token_count_bpe, udtf_chunk_docs, repetition_filter,
 # unigram_logprob, segment_dedup, oov_rate, inverted_index,

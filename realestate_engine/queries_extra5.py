@@ -1332,3 +1332,97 @@ def m62_dawid_skene(spark: SparkSession, sf_dir: str) -> DataFrame:
         "se_b AS se_b_micro", "sp_b AS sp_b_micro",
         "se_c AS se_c_micro", "sp_c AS sp_c_micro",
     ).orderBy("vote_a", "vote_b", "vote_c")
+
+
+# --- M63: tie-aware average precision (PR-AUC companion to m23) ---------------
+
+# Per-score-block contribution: all p positives in a tie block take the
+# block-END precision (T0+p)/(N0+b) — the deterministic tie-collapsed
+# step convention (sklearn's 'average_precision' interpolates the same
+# way when ties are collapsed). One all-integer division per block.
+_AP_TERM = "CAST(p * (t0 + p) * 1000000 // (n0 + b) AS BIGINT)"
+
+_M63_ORACLE = f"""
+    WITH scored AS (
+        SELECT CAST(ROUND(o_totalprice * 100) AS BIGINT) AS score,
+               CASE WHEN o_orderpriority IN ('1-URGENT', '2-HIGH')
+                    THEN 1 ELSE 0 END AS y
+        FROM orders
+    ),
+    census AS (
+        SELECT score, CAST(COUNT(*) AS BIGINT) AS b,
+               CAST(SUM(y) AS BIGINT) AS p
+        FROM scored GROUP BY score
+    ),
+    pre AS (
+        SELECT b, p,
+               CAST(SUM(b) OVER (ORDER BY score DESC) - b AS BIGINT) AS n0,
+               CAST(SUM(p) OVER (ORDER BY score DESC) - p AS BIGINT) AS t0
+        FROM census
+    ),
+    terms AS (
+        SELECT CAST(SUM(CASE WHEN p > 0 THEN {_AP_TERM} ELSE 0 END)
+                    AS BIGINT) AS s
+        FROM pre
+    ),
+    tot AS (
+        SELECT CAST(COUNT(*) AS BIGINT) AS n, CAST(SUM(y) AS BIGINT) AS n_pos
+        FROM scored
+    )
+    SELECT t.n, t.n_pos,
+           CAST(s // t.n_pos AS BIGINT) AS ap_micro,
+           CAST(t.n_pos * 1000000 // t.n AS BIGINT) AS prevalence_micro
+    FROM terms, tot t
+"""
+
+
+@register("m63_average_precision", _M63_ORACLE)
+def m63_average_precision(spark: SparkSession, sf_dir: str) -> DataFrame:
+    """M63: tie-aware average precision (the PR-AUC summary) of order
+    price as a ranker for high priority — the imbalanced-eval
+    companion to m23's rank-sum ROC AUC (ROC is prevalence-blind; AP
+    degrades with prevalence, which is why retrieval and rare-event
+    evals report it). A random ranker's AP equals the prevalence, so
+    the output carries both for comparison. Exactness: scores collapse
+    to a distinct-value census; cumulative (TP, N) above each tie
+    block come from a distributed prefix sum over the census in
+    DESCENDING score order (ordered.py — no global window); every
+    block contributes p * (T0+p) * 1e6 // (N0+b), the deterministic
+    tie-collapsed step convention, ONE integer division per block;
+    AP = S // n_pos. No IEEE anywhere. 100 TB: one data-sized groupBy,
+    census-sized everything after."""
+    scored = t(spark, sf_dir, "orders").select(
+        F.round(F.col("o_totalprice") * 100).cast("bigint").alias("score"),
+        F.when(
+            F.col("o_orderpriority").isin("1-URGENT", "2-HIGH"), 1
+        ).otherwise(0).alias("y"),
+    )
+    census = scored.groupBy("score").agg(
+        F.count(F.lit(1)).cast("bigint").alias("b"),
+        F.sum("y").cast("bigint").alias("p"),
+    ).withColumn("neg_score", -F.col("score"))
+    pre = distributed_prefix_sum(
+        distributed_prefix_sum(census, [F.col("neg_score")], "b", out_col="cum_b"),
+        [F.col("neg_score")],
+        "p",
+        out_col="cum_p",
+    ).select(
+        "b",
+        "p",
+        (F.col("cum_b") - F.col("b")).alias("n0"),
+        (F.col("cum_p") - F.col("p")).alias("t0"),
+    )
+    terms = pre.selectExpr(
+        f"CASE WHEN p > 0 THEN {_AP_TERM.replace('//', 'DIV')}"
+        " ELSE CAST(0 AS BIGINT) END AS term"
+    ).agg(F.sum("term").cast("bigint").alias("s"))
+    tot = scored.agg(
+        F.count(F.lit(1)).cast("bigint").alias("n"),
+        F.sum("y").cast("bigint").alias("n_pos"),
+    )
+    return terms.crossJoin(F.broadcast(tot)).selectExpr(
+        "n",
+        "n_pos",
+        "CAST(s DIV n_pos AS BIGINT) AS ap_micro",
+        "CAST(n_pos * 1000000 DIV n AS BIGINT) AS prevalence_micro",
+    )

@@ -646,3 +646,33 @@ def test_dawid_skene_matches_exact_python_replay(spark, sf_dir):
             k_up = tuple(1 if i == j else k[i] for i in range(3))
             if k_up in state:
                 assert state[k_up][1] >= p - 2, (j, k)
+
+
+def test_average_precision_matches_exact_python_replay(spark, sf_dir):
+    row = QUERIES["m63_average_precision"](spark, sf_dir).collect()[0]
+    base = [
+        (int(round(r.o_totalprice * 100)), 1 if r.o_orderpriority in ("1-URGENT", "2-HIGH") else 0)
+        for r in t(spark, sf_dir, "orders")
+        .select("o_totalprice", "o_orderpriority")
+        .collect()
+    ]
+    census: dict[int, list[int]] = {}
+    for s, y in base:
+        c = census.setdefault(s, [0, 0])
+        c[0] += 1
+        c[1] += y
+    n = len(base)
+    n_pos = sum(y for _, y in base)
+    s_sum = 0
+    n0 = t0 = 0
+    for score in sorted(census, reverse=True):
+        b, p = census[score]
+        if p > 0:
+            s_sum += p * (t0 + p) * 1000000 // (n0 + b)
+        n0 += b
+        t0 += p
+    assert (row.n, row.n_pos) == (n, n_pos)
+    assert row.ap_micro == s_sum // n_pos
+    assert row.prevalence_micro == n_pos * 1000000 // n
+    # AP of any ranker is bounded by [~prevalence-ish floor, 1]
+    assert 0 < row.ap_micro <= 1000000

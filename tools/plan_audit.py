@@ -90,6 +90,7 @@ ALLOWED_CROSS = {
     "ts20_haar_energy",  # broadcast 16-row window (rank-join ordinal) + 1-row total energy onto the 4-row level census
     "ev32_cox_proportional_hazards",  # broadcast 1-row beta frame per Newton round onto the days-bounded risk ledger (the m43 posture)
     "m62_dawid_skene",  # broadcast 1-row rater-param frame per EM round onto the 8-row vote-pattern census
+    "m63_average_precision",  # broadcast 1-row totals onto the 1-row AP term sum
     "graph_hits_authorities",  # broadcast 1-row max-score frame per half-step renorm
     "graph_degree_distribution",  # broadcast 32-row powers-of-two constant frame
     "dedup_lsh_hot_bucket_guard",  # cross join of two 1-row stat aggregates
