@@ -53,52 +53,57 @@ registry.load_all()
 # f10_arrays/f12-f19, corpus mixture/shuffle). 49 new ledger names →
 # cumulative 395 of the registry. The remainder (~86 + this round's
 # additions) drains in r11-r12.
-# Round 11 should lead with round 10's 17 additions (all
-# sf0.001/0.01/0.1-certified on arrival, PLANS.md round-10 ledger):
-# a54_kruskal_wallis, ev30_gini_lorenz, dq26_mahalanobis_outliers,
-# t33_good_turing, graph_anf_neighborhood, ts16_granger_causality,
-# ts17_cross_correlation, ts18_max_drawdown,
-# ev31_empirical_bayes_shrinkage, graph_greedy_matching,
-# t34_textrank_keywords, ts19_pacf_durbin_levinson,
-# ts20_haar_energy, dq27_rater_agreement,
-# ev32_cox_proportional_hazards, m62_dawid_skene,
-# m63_average_precision — then keep
-# draining: ev10/ev11, dq11/dq22/dq23, text_* remainder (fingerprint,
-# token_count_bpe, udtf_chunk_docs, repetition_filter,
-# unigram_logprob, segment_dedup, oov_rate, inverted_index,
-# phrase_search), sim_* remainder (hard_negatives/label_centroids/
-# matryoshka/quantize_int8/pca/ivf_kmeans_topk/brp_lsh_ann_mllib),
-# corpus_source_overlap, m15, x8/x12-x15/x19/x32, a1x-a3x remainder,
-# a47, j5-j8/j16, p10/p11/p13/p16-p18, w5, pack_length_buckets,
-# ts_gapfill/sessionize/rolling, skew_salted_agg, set_*_all, dedup_*
-# remainder, and the rows-only ML fits (m9/m10/m12-m24 family,
-# mm_frame/audio/batch_resize) for rows-only evidence.
+# Round 11's window (per VERDICT r10 #1/#2): round 10's 17 additions
+# (all sf0.001/0.01/0.1-certified on arrival, PLANS.md round-10
+# ledger), then — after ten rounds with zero driver rows of any kind —
+# the reference's core ML path m9/m10/m12/m13 (rows-only by design:
+# seeded MLlib fits; the graded artifact finally gets rows-entries for
+# the flagship train/predict semantics), then 28 never-verified fills
+# from the drain queue prioritized by user impact: the remaining
+# rows-only MLlib family (m14-m24, mllib-LSH, ivf-kmeans, pca — m17
+# and m21 upgraded to FULL oracles this round per VERDICT r10 #7, so
+# their slots record hash evidence), the text_* remainder, the sim_*
+# remainder, and the multimodal stragglers. 49 new ledger names →
+# cumulative 444 of 498. Remaining backlog (~54: a1x-a3x stats
+# remainder, j5-j8/j16, p10/p11/p13/p16-p18, w5, x8/x12-x15/x19/x32,
+# dq11/dq22/dq23, ev10/ev11, corpus_source_overlap, ts_gapfill/
+# sessionize/rolling, pack_length_buckets, set_*_all,
+# dedup_canonical_selection/pipeline_summary, m15) drains in r12.
 _WINDOW = [
     "flagship_revenue_by_nation",
-    # round-9 additions, arrival order (all 3-SF-certified;
-    # graph_rich_club re-certified post-fix)
-    "mm_flac_crc_audit", "m54_platt_scaling", "t31_unigram_viterbi",
-    "t32_heaps_law", "graph_mis_luby", "sim_mips_topk",
-    "m55_bradley_terry", "m56_fairness_audit", "graph_adamic_adar",
-    "ev26_markov_stationary", "graph_modularity", "ts13_ljung_box",
-    "a51_spearman_corr", "m57_mcnemar_test", "mm_bmp_roundtrip",
-    "a52_goodman_kruskal_gamma", "ev27_logrank_test",
-    "graph_degree_assortativity", "a53_mutual_information",
-    "ts14_phase_folding_periodogram", "x36_write_audit_publish",
-    "m58_delong_auc_test", "x37_occ_conflict_audit",
-    "ev28_regression_discontinuity", "ts15_mann_kendall",
-    "m59_friedman_test", "ev29_benjamini_hochberg", "graph_rich_club",
-    # rows-only → full-oracle upgrades (r9): record hash evidence
-    "m19_fpgrowth_baskets", "m22_prefixspan_sequences",
-    # never-verified fills from the drain queue
-    "ev3_attribution", "ev4_transition_matrix",
-    "ev5_late_arrival_audit", "ev6_session_funnel",
-    "ev7_rfm_segmentation", "dq3_snapshot_diff", "dq4_mad_outliers",
-    "dq5_benford_audit", "dq6_functional_dependency", "f10_arrays",
-    "f12_json_extract", "f13_map_functions", "f14_array_hof_topn",
-    "f15_explode_outer", "f17_variant_extract", "f18_url_parsing",
-    "f19_json_array_explode", "corpus_mixture_sample",
-    "corpus_global_shuffle",
+    # round-10 additions, arrival order (all 3-SF-certified)
+    "a54_kruskal_wallis", "ev30_gini_lorenz",
+    "dq26_mahalanobis_outliers", "t33_good_turing",
+    "graph_anf_neighborhood", "ts16_granger_causality",
+    "ts17_cross_correlation", "ts18_max_drawdown",
+    "ev31_empirical_bayes_shrinkage", "graph_greedy_matching",
+    "t34_textrank_keywords", "ts19_pacf_durbin_levinson",
+    "ts20_haar_energy", "dq27_rater_agreement",
+    "ev32_cox_proportional_hazards", "m62_dawid_skene",
+    "m63_average_precision",
+    # the reference's core ML path — rows-only evidence at last
+    # (VERDICT r10 #2; reference src/models/train.py:96-150,
+    # src/inference/predict.py:14-26)
+    "m9_rf_train_predict", "m10_cross_validator",
+    "m12_feature_importances", "m13_batch_predict",
+    # rows-only → full-oracle upgrades (r10→r11, VERDICT r10 #7)
+    "m17_isotonic_calibration", "m21_glm_poisson",
+    # remaining rows-only MLlib family (rows-entries)
+    "m14_multiclass_classification", "m16_als_recommend",
+    "m20_als_recall_eval", "m24_aft_survival",
+    "m15_text_featurization", "dedup_minhash_lsh_mllib",
+    "sim_ivf_kmeans_topk", "sim_brp_lsh_ann_mllib", "sim_pca_topk",
+    # never-verified fills: text_* remainder
+    "text_fingerprint", "text_token_count_bpe",
+    "text_udtf_chunk_docs", "text_repetition_filter",
+    "text_unigram_logprob", "text_segment_dedup", "text_oov_rate",
+    "text_inverted_index", "text_phrase_search",
+    # never-verified fills: sim_* remainder
+    "sim_quantize_int8", "sim_matryoshka_topk", "sim_hard_negatives",
+    "sim_label_centroids",
+    # never-verified fills: multimodal stragglers + skew demo
+    "mm_audio_features", "mm_batch_resize", "mm_frame_sample",
+    "skew_salted_agg",
 ]
 
 
