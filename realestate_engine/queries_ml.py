@@ -399,29 +399,83 @@ def m16_als_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy("user", "rec_rank")
 
 
-@register("m17_isotonic_calibration")  # PAV fit state → rows-only (monotonicity tested)
+@register(
+    "m17_isotonic_calibration",
+    # UPGRADED from rows-only (round 11, the r9 m19/m22 pattern): the
+    # L2 isotonic fit is the UNIQUE minimizer, so MLlib's parallel PAV
+    # and the max-min closed form (fitted value at x_i =
+    # max_{j<=i} min_{k>=i} weighted-mean(y over bins j..k), the same
+    # identity m52 uses) land on identical block means. Interval means
+    # are ordered through an exact HUGEINT key total_cents*1e12 // n
+    # (distinct rationals with denominators <= 6e5 differ by > 2.7e-12,
+    # so the floored key is injective and order-preserving; block
+    # totals * 1e12 exceed int64 at sf0.1, hence HUGEINT — DuckDB-side
+    # only, Spark never computes the key); the published value is the
+    # cent floor, where MLlib's double block mean (abs error ~1e-9
+    # cents) and the exact rational agree unless a block mean is
+    # within 1e-9 of an integer cent — certified empirically bit-equal
+    # at sf0.001/0.01/0.1.
+    """
+    WITH pts AS (
+        SELECT CAST(l_quantity AS BIGINT) AS q,
+               CAST(ROUND(l_extendedprice * 100) AS BIGINT) AS cents
+        FROM lineitem
+        WHERE l_quantity IS NOT NULL AND l_extendedprice IS NOT NULL
+    ),
+    binstats AS (
+        SELECT q, CAST(SUM(cents) AS BIGINT) AS s, CAST(COUNT(*) AS BIGINT) AS n
+        FROM pts GROUP BY q
+    ),
+    intervals AS (
+        SELECT j.q AS jq, k.q AS kq,
+               CAST(SUM(m.s) AS HUGEINT) * 1000000000000
+                   // CAST(SUM(m.n) AS HUGEINT) AS skey
+        FROM binstats j
+        JOIN binstats k ON k.q >= j.q
+        JOIN binstats m ON m.q BETWEEN j.q AND k.q
+        GROUP BY j.q, k.q
+    ),
+    inner_min AS (
+        SELECT b.q, i.jq, MIN(i.skey) AS min_skey
+        FROM binstats b JOIN intervals i ON i.jq <= b.q AND i.kq >= b.q
+        GROUP BY b.q, i.jq
+    ),
+    iso AS (SELECT q, MAX(min_skey) AS iso_skey FROM inner_min GROUP BY q)
+    SELECT CAST(q AS BIGINT) AS quantity,
+           CAST(iso_skey // 1000000000000 AS BIGINT) AS iso_cents
+    FROM iso ORDER BY quantity
+    """,
+)
 def m17_isotonic_calibration(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M17: isotonic regression (distributed pool-adjacent-violators)
     fitting the monotone map quantity -> expected line price; the
     calibration primitive for turning raw model scores into monotone
     probabilities (score calibration is its main production use).
     Spark parallelizes PAV per-partition then merges boundary
-    violations. Returns the fitted step function evaluated on the
-    distinct quantity grid; rows-only (the pooled boundaries come from
-    an iterative merge)."""
+    violations (reference parity: the MLlib fit itself is the
+    evidence). Returns the fitted step function on the distinct
+    quantity grid, cent-floored — full-oracle since round 11: the
+    isotonic solution is unique, so DuckDB's max-min closed form over
+    the 50-bin census reproduces MLlib's block means exactly (see the
+    oracle comment for the precision argument). Scale shape: one scan
+    -> 50-row per-quantity census; MLlib's PAV state is
+    partition-local + a boundary merge, never an all-rows collect."""
     from pyspark.ml.feature import VectorAssembler as VA
     from pyspark.ml.regression import IsotonicRegression
 
     li = t(spark, sf_dir, "lineitem").select(
         F.col("l_quantity").cast("double").alias("x"),
         F.col("l_extendedprice").cast("double").alias("y"),
-    )
+    ).where(F.col("x").isNotNull() & F.col("y").isNotNull())
     data = VA(inputCols=["x"], outputCol="features").transform(li)
     model = IsotonicRegression(featuresCol="features", labelCol="y", isotonic=True).fit(data)
     grid = data.select("x", "features").distinct()
     return (
         model.transform(grid)
-        .select(F.col("x").alias("quantity"), F.col("prediction").alias("calibrated_price"))
+        .select(
+            F.col("x").cast("bigint").alias("quantity"),
+            F.floor(F.col("prediction") * 100).cast("bigint").alias("iso_cents"),
+        )
         .orderBy("quantity")
     )
 
@@ -617,21 +671,102 @@ def m20_als_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-@register("m21_glm_poisson")  # IRLS fit → rows-only (deviance/coef invariants tested)
+# --- M21 oracle: 3-parameter Poisson Newton scoring, unrolled --------
+#
+# UPGRADED from rows-only (round 11, VERDICT r10 #7, the m19/m22
+# pattern): the Poisson log-likelihood is strictly concave, so the MLE
+# is unique; MLlib's IRLS (tol=1e-12) and DuckDB's unrolled Newton
+# both converge to it within ~1e-13 relative, and the deviance agrees
+# even tighter (its gradient vanishes at the MLE, so the difference is
+# second-order, ~1e-11 observed). The published values are
+# micro-floors, safe unless the MLE sits within ~1e-12 of a 1e-6 grid
+# point — certified empirically bit-equal at sf0.001/0.01/0.1.
+# Unlike m50 (its 2-feature integer-exact sibling) this oracle runs in
+# plain doubles: it only has to agree to the micro grid, not bit-wise
+# per-iteration, which is what lets it track MLlib's own double IRLS.
+
+_M21_STEP = """
+    s{i} AS (
+        SELECT ANY_VALUE(b0) AS b0, ANY_VALUE(b1) AS b1, ANY_VALUE(b2) AS b2,
+               SUM(y - mu) AS g0, SUM(x1 * (y - mu)) AS g1, SUM(x2 * (y - mu)) AS g2,
+               SUM(mu) AS h00, SUM(x1 * mu) AS h01, SUM(x2 * mu) AS h02,
+               SUM(x1 * x1 * mu) AS h11, SUM(x1 * x2 * mu) AS h12,
+               SUM(x2 * x2 * mu) AS h22
+        FROM (SELECT f.y, f.x1, f.x2, b.b0, b.b1, b.b2,
+                     EXP(b.b0 + b.b1 * f.x1 + b.b2 * f.x2) AS mu
+              FROM feats f CROSS JOIN p{i} b)
+        GROUP BY ALL
+    ),
+    p{j} AS (
+        SELECT
+          b0 + ((h11*h22 - h12*h12) * g0 + (h02*h12 - h01*h22) * g1
+                + (h01*h12 - h02*h11) * g2)
+               / (h00*(h11*h22 - h12*h12) - h01*(h01*h22 - h12*h02)
+                  + h02*(h01*h12 - h11*h02)) AS b0,
+          b1 + ((h02*h12 - h01*h22) * g0 + (h00*h22 - h02*h02) * g1
+                + (h01*h02 - h00*h12) * g2)
+               / (h00*(h11*h22 - h12*h12) - h01*(h01*h22 - h12*h02)
+                  + h02*(h01*h12 - h11*h02)) AS b1,
+          b2 + ((h01*h12 - h02*h11) * g0 + (h01*h02 - h00*h12) * g1
+                + (h00*h11 - h01*h01) * g2)
+               / (h00*(h11*h22 - h12*h12) - h01*(h01*h22 - h12*h02)
+                  + h02*(h01*h12 - h11*h02)) AS b2
+        FROM s{i}
+    )"""
+
+_M21_ROUNDS = 14
+
+_M21_ORACLE = f"""
+    WITH feats AS MATERIALIZED (
+        SELECT CAST(c.y AS DOUBLE) AS y, o.o_totalprice / 100000.0 AS x1,
+               CAST(MONTH(o.o_orderdate) AS DOUBLE) / 12.0 AS x2
+        FROM orders o
+        JOIN (SELECT l_orderkey, COUNT(*) AS y FROM lineitem GROUP BY l_orderkey) c
+          ON c.l_orderkey = o.o_orderkey
+        WHERE o.o_totalprice IS NOT NULL AND o.o_orderdate IS NOT NULL
+    ),
+    p0 AS (SELECT 0.0 AS b0, 0.0 AS b1, 0.0 AS b2),
+    {",".join(_M21_STEP.format(i=i, j=i + 1) for i in range(_M21_ROUNDS))},
+    fit AS (
+        SELECT b0 AS intercept, b1 AS f_price, b2 AS f_month FROM p{_M21_ROUNDS}
+    ),
+    dev AS (
+        SELECT 2.0 * SUM(y * LN(y / mu) - (y - mu)) AS deviance,
+               CAST(COUNT(*) - 3 AS BIGINT) AS dof
+        FROM (SELECT f.y, EXP(b.intercept + b.f_price * f.x1 + b.f_month * f.x2) AS mu
+              FROM feats f CROSS JOIN fit b)
+    )
+    SELECT u.term, CAST(FLOOR(u.estimate * 1000000) AS BIGINT) AS est_micro,
+           CAST(FLOOR(d.deviance * 1000000) AS BIGINT) AS deviance_micro, d.dof
+    FROM (
+        SELECT 'intercept' AS term, intercept AS estimate FROM fit
+        UNION ALL SELECT 'f_price', f_price FROM fit
+        UNION ALL SELECT 'f_month', f_month FROM fit
+    ) u CROSS JOIN dev d
+    ORDER BY term
+"""
+
+
+@register("m21_glm_poisson", _M21_ORACLE)
 def m21_glm_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M21: generalized linear model, Poisson family with log link —
     count-target regression (items per order), the right likelihood
     where squared loss is wrong: variance scales with the mean and
     predictions must be positive. MLlib fits via distributed IRLS
     (each iteration one weighted least-squares solve over the
-    cluster). Returns per-coefficient estimates plus training deviance
-    — the GLM goodness-of-fit statistic. Rows-only (IRLS is
-    iterative); tests bound deviance and check prediction positivity."""
+    cluster). Returns micro-floored per-coefficient estimates plus
+    training deviance and residual dof — full-oracle since round 11:
+    the Poisson MLE is unique (strictly concave likelihood), so
+    DuckDB's unrolled Newton scoring reproduces IRLS's converged
+    coefficients to ~1e-13, far inside the published micro grid (see
+    _M21_ORACLE's precision comment)."""
     from pyspark.ml.feature import VectorAssembler as VA
     from pyspark.ml.regression import GeneralizedLinearRegression
 
     li = t(spark, sf_dir, "lineitem").select("l_orderkey")
-    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice", "o_orderdate")
+    o = t(spark, sf_dir, "orders").select("o_orderkey", "o_totalprice", "o_orderdate").where(
+        F.col("o_totalprice").isNotNull() & F.col("o_orderdate").isNotNull()
+    )
     counts = (
         li.groupBy("l_orderkey")
         .agg(F.count(F.lit(1)).cast("double").alias("n_items"))
@@ -644,19 +779,23 @@ def m21_glm_poisson(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     data = VA(inputCols=["f_price", "f_month"], outputCol="features").transform(counts)
     glm = GeneralizedLinearRegression(
-        family="poisson", link="log", labelCol="n_items", maxIter=25, regParam=0.0
+        family="poisson", link="log", labelCol="n_items",
+        maxIter=50, regParam=0.0, tol=1e-12,
     )
     model = glm.fit(data)
     names = ["intercept", "f_price", "f_month"]
     coefs = [float(model.intercept)] + [float(c) for c in model.coefficients]
     summary = model.summary
+    import math
+
     rows = [
-        (n, c, float(summary.deviance), int(summary.degreesOfFreedom))
+        (n, math.floor(c * 1000000), math.floor(float(summary.deviance) * 1000000),
+         int(summary.degreesOfFreedom))
         for n, c in zip(names, coefs)
     ]
     return spark.createDataFrame(
-        rows, "term string, estimate double, deviance double, dof long"
-    )
+        rows, "term string, est_micro long, deviance_micro long, dof long"
+    ).orderBy("term")
 
 
 @register(

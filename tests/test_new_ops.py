@@ -122,9 +122,10 @@ def test_isotonic_predictions_monotone(spark, sf_dir):
     rows = QUERIES["m17_isotonic_calibration"](spark, sf_dir).collect()
     assert len(rows) > 10
     xs = [r["quantity"] for r in rows]
-    ys = [r["calibrated_price"] for r in rows]
+    ys = [r["iso_cents"] for r in rows]
     assert xs == sorted(xs)
-    assert all(a <= b + 1e-9 for a, b in zip(ys, ys[1:]))  # non-decreasing
+    # cent floors of a non-decreasing fit stay non-decreasing
+    assert all(a <= b for a, b in zip(ys, ys[1:]))
 
 
 def test_mom_growth_diff_consistency(spark, sf_dir):
@@ -280,15 +281,14 @@ def test_bm25_matches_exact_reference(spark, sf_dir):
 
 def test_glm_poisson_fit_sane(spark, sf_dir):
     rows = QUERIES["m21_glm_poisson"](spark, sf_dir).collect()
-    assert [r["term"] for r in rows] == ["intercept", "f_price", "f_month"]
-    import math
+    # output is term-sorted since the round-11 full-oracle upgrade
+    assert [r["term"] for r in rows] == ["f_month", "f_price", "intercept"]
     for r in rows:
-        assert math.isfinite(r["estimate"])
-        assert r["deviance"] >= 0 and r["dof"] > 0
+        assert r["deviance_micro"] >= 0 and r["dof"] > 0
     # a refit must reproduce the same estimates (deterministic IRLS)
     rows2 = QUERIES["m21_glm_poisson"](spark, sf_dir).collect()
-    assert [(r["term"], r["estimate"]) for r in rows] == [
-        (r["term"], r["estimate"]) for r in rows2
+    assert [(r["term"], r["est_micro"]) for r in rows] == [
+        (r["term"], r["est_micro"]) for r in rows2
     ]
 
 
