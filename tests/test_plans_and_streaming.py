@@ -721,3 +721,67 @@ def test_jpeg_decode_dispatch_and_rejects():
     assert lossless["samples"] == gray and lossless["channels"] == 1
     lfeats = decode_image_stub(encode_jpeg_lossless(24, 16, gray))
     assert lfeats["width"] == 24 and "samples" not in lfeats
+
+
+# --- round-10 plan-fix pins (VERDICT r10 #5) -------------------------
+
+
+def _simple_plan(df) -> str:
+    return df._sc._jvm.PythonSQLUtils.explainString(df._jdf.queryExecution(), "simple")
+
+
+def _tree_col(line: str) -> int:
+    return len(line) - len(line.lstrip(" :+-"))
+
+
+def _broadcast_subtrees(plan: str) -> list[str]:
+    """Each BroadcastExchange node's subtree (the relation being
+    broadcast), extracted from the indentation of the tree string."""
+    lines = plan.splitlines()
+    out = []
+    for i, line in enumerate(lines):
+        if "BroadcastExchange" not in line:
+            continue
+        col = _tree_col(line)
+        sub = [line]
+        for nxt in lines[i + 1:]:
+            if nxt.strip() and _tree_col(nxt) <= col:
+                break
+            sub.append(nxt)
+        out.append("\n".join(sub))
+    return out
+
+
+def test_rich_club_broadcasts_only_the_threshold_grid(spark, sf_dir):
+    """Pin the round-10 broadcast-direction fix (graph2.py): both
+    threshold fan-outs must be BNLJ RightOuter building the 6-row
+    k-grid (BuildRight), never the degree census. BNLJ, unlike BHJ,
+    honors build-right for a right-outer join — a silent flip back to
+    BuildLeft would ship the O(nodes) census to every executor."""
+    plan = _simple_plan(QUERIES["graph_rich_club"](spark, sf_dir))
+    assert plan.count("BroadcastNestedLoopJoin BuildRight, RightOuter") == 2
+    assert "BroadcastNestedLoopJoin BuildLeft" not in plan
+    # the degree census (keys=[src...]) must never sit under a
+    # BroadcastExchange; only the grid (Scan ExistingRDD) and the
+    # bounded dimension relations may be broadcast
+    for sub in _broadcast_subtrees(plan):
+        assert "HashAggregate(keys=[src#" not in sub
+
+
+def test_good_turing_broadcasts_only_the_bounded_census(spark, sf_dir):
+    """Pin the round-10 bounded-census fix (tokenizers.py t33): the
+    grid right-outer joins force BuildLeft, so the broadcast (left)
+    side must be the f <= 21 slice of the frequency-of-frequencies
+    census, never the unbounded O(sqrt N)-types census."""
+    plan = _simple_plan(QUERIES["t33_good_turing"](spark, sf_dir))
+    assert plan.count("RightOuter, BuildLeft") == 2
+    for sub in _broadcast_subtrees(plan):
+        # classify by the FIRST aggregate under the exchange: the
+        # 1-row global agg (tot, keys=[]) is always bounded; a keyed
+        # f-census broadcast must carry the grid bound beneath it
+        first_agg = next(
+            line for line in sub.splitlines() if "HashAggregate" in line
+        )
+        if "keys=[]" not in first_agg:
+            assert "HashAggregate(keys=[f#" in first_agg
+            assert "<= 21)" in sub
