@@ -72,6 +72,60 @@ def cmd_train(args: argparse.Namespace) -> None:
     print(json.dumps({"model": args.model, "metrics": metrics, "best_params": trainer.best_params}))
 
 
+def cmd_compare(args: argparse.Namespace) -> None:
+    """EP2b: the reference's 3-model comparison in one command
+    (notebooks/03_model_training.py:93-110,199-227 — train rf/lr/gbt
+    on the same split, evaluate each on validation, write
+    model_comparison.csv with metrics as rows and models as columns,
+    then persist the best-by-RMSE model's artifacts). One feature/target
+    fit is shared across the three trains (the transforms are
+    model-independent), so the corpus is scanned for features once."""
+    spark = create_session("realestate_compare")
+    df = spark.read.parquet(args.data)
+    train_df, val_df = df.randomSplit([0.8, 0.2], seed=42)
+
+    fe = FeatureEngineering(strict_mode=True)
+    feats = fe.fit_transform(train_df)
+    tt = TargetTransformer().fit(feats)
+    labeled = tt.transform(feats).cache()
+    val_feats = tt.transform(fe.transform(val_df)).cache()
+
+    model_types = ["rf", "lr", "gbt"]
+    results: dict[str, dict[str, float]] = {}
+    trainers: dict[str, ModelTrainer] = {}
+    for mt in model_types:
+        trainer = ModelTrainer(model_type=mt, label_col="log_price").train(
+            labeled, use_cv=args.cv
+        )
+        trainers[mt] = trainer
+        results[mt] = trainer.evaluate(val_feats)
+
+    metric_names = ["rmse", "r2", "mae"]
+    os.makedirs(args.model_dir, exist_ok=True)
+    csv_path = os.path.join(args.model_dir, "model_comparison.csv")
+    with open(csv_path, "w") as f:
+        # reference layout (models/model_comparison.csv): blank index
+        # header, model columns, one row per metric, 4-decimal values
+        f.write("," + ",".join(model_types) + "\n")
+        for m in metric_names:
+            f.write(m + "," + ",".join(f"{round(results[mt][m], 4)}" for mt in model_types) + "\n")
+
+    best = min(model_types, key=lambda mt: results[mt]["rmse"])
+    fe.save(os.path.join(args.model_dir, "fe"))
+    tt.save(os.path.join(args.model_dir, "tt.json"))
+    trainers[best].save(os.path.join(args.model_dir, "model"))
+    print(
+        json.dumps(
+            {
+                "best_model": best,
+                "results": {mt: {m: results[mt][m] for m in metric_names} for mt in model_types},
+                "comparison_csv": csv_path,
+                "model_dir": args.model_dir,
+            }
+        )
+    )
+
+
 def cmd_predict(args: argparse.Namespace) -> None:
     """EP3: reload artifacts → batch predict → distributed CSV sink."""
     spark = create_session("realestate_predict")
@@ -159,6 +213,15 @@ def main(argv: list[str] | None = None) -> None:
     p.add_argument("--model", default="rf", choices=["rf", "lr", "gbt"])
     p.add_argument("--cv", action="store_true")
     p.set_defaults(fn=cmd_train)
+
+    p = sub.add_parser(
+        "compare",
+        help="EP2b: train rf/lr/gbt side-by-side, write model_comparison.csv, keep the best",
+    )
+    p.add_argument("--data", required=True)
+    p.add_argument("--model-dir", required=True)
+    p.add_argument("--cv", action="store_true")
+    p.set_defaults(fn=cmd_compare)
 
     p = sub.add_parser("predict", help="EP3: batch inference to CSV")
     p.add_argument("--data", required=True)

@@ -193,3 +193,53 @@ def test_cli_corpus_dedup_roundtrip(tmp_path, capsys):
     assert stats["docs_in"] == 500
     assert 0 < stats["docs_kept"] < stats["docs_in"]
     assert stats["near_dups_dropped"] > 0
+
+
+def test_cli_compare_three_models(listings_and_prices, tmp_path, capsys):
+    """EP2b: one `compare` invocation reproduces the reference's
+    side-by-side rmse/r2/mae table (notebooks/03_model_training.py:
+    93-110,199-227; models/model_comparison.csv layout) and persists
+    the best-by-RMSE model's artifacts ready for `predict`."""
+    import json
+
+    from realestate_engine import cli
+
+    x, y = listings_and_prices
+    data = str(tmp_path / "data.parquet")
+    x.join(y, "id_annonce").write.parquet(data)
+
+    model_dir = str(tmp_path / "cmp_artifacts")
+    cli.main(["compare", "--data", data, "--model-dir", model_dir])
+    out = json.loads(capsys.readouterr().out.strip().splitlines()[-1])
+
+    assert set(out["results"]) == {"rf", "lr", "gbt"}
+    for mt, metrics in out["results"].items():
+        assert set(metrics) == {"rmse", "r2", "mae"}
+        assert all(v == v and v is not None for v in metrics.values())
+    assert out["best_model"] == min(out["results"], key=lambda mt: out["results"][mt]["rmse"])
+
+    # the CSV matches the reference artifact's layout exactly
+    with open(out["comparison_csv"]) as f:
+        lines = [line.strip() for line in f]
+    assert lines[0] == ",rf,lr,gbt"
+    assert [line.split(",")[0] for line in lines[1:]] == ["rmse", "r2", "mae"]
+    for line in lines[1:]:
+        vals = [float(v) for v in line.split(",")[1:]]
+        assert len(vals) == 3
+
+    # the persisted best model serves batch predictions end-to-end
+    from realestate_engine.features import FeatureEngineering
+    from realestate_engine.predict import predict_batch
+    from realestate_engine.target import TargetTransformer
+    from realestate_engine.train import ModelTrainer
+
+    import os
+
+    fe = FeatureEngineering.load(os.path.join(model_dir, "fe"))
+    fe.strict_mode = False
+    tt = TargetTransformer.load(os.path.join(model_dir, "tt.json"))
+    trainer = ModelTrainer.load(os.path.join(model_dir, "model"))
+    assert trainer.model_type == out["best_model"]
+    preds = predict_batch(x, fe, trainer, tt)
+    assert preds.count() == 400
+    assert preds.filter(preds.predicted_price.isNull()).count() == 0
