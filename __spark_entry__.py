@@ -64,11 +64,31 @@ registry.load_all()
 # and m21 upgraded to FULL oracles this round per VERDICT r10 #7, so
 # their slots record hash evidence), the text_* remainder, the sim_*
 # remainder, and the multimodal stragglers. 49 new ledger names →
-# cumulative 444 of 498. Remaining backlog (~54: a1x-a3x stats
-# remainder, j5-j8/j16, p10/p11/p13/p16-p18, w5, x8/x12-x15/x19/x32,
-# dq11/dq22/dq23, ev10/ev11, corpus_source_overlap, ts_gapfill/
-# sessionize/rolling, pack_length_buckets, set_*_all,
-# dedup_canonical_selection/pipeline_summary, m15) drains in r12.
+# cumulative 444 of 498. Remaining backlog after r11: exactly 54
+# names; r12 should lead with flagship + 49 of them (the last 5 plus
+# any r12 additions drain in r13). The full queue, computed against
+# CORRECTNESS_r01-r10 ∪ this window: j16_max_concurrent_intervals,
+# p10_stratified_sample, p11_train_test_split,
+# x19_rolling_origin_splits, dedup_canonical_selection,
+# dedup_pipeline_summary, corpus_source_overlap,
+# x8_incremental_agg_maintenance, ts_gapfill_locf, ts_sessionize_gap,
+# ts_rolling_interval_window, pack_length_buckets,
+# a12_unpivot_part_metrics, a13_multi_distinct,
+# a15_regression_aggregates, a16_histogram_width_bucket,
+# set_intersect_all, set_except_all, a17_argmax_minby,
+# p11_try_cast_safe_parse, a18_hll_sketch_rollup,
+# j5_fuzzy_levenshtein_join, a19_crosstab, a20_exact_percentiles,
+# j6_spatial_grid_join, a21_skew_audit, a22_count_min_sketch,
+# p13_hash_split, j7_lateral_topk, a25_bit_aggregates,
+# j8_or_join_rewrite, x12_salted_join, p16_hash_priority_sample,
+# p17_try_arithmetic, p18_rare_category_collapse, a26_rollup_shares,
+# x13_scd2_lookup, w5_distribution_ranks, a35_ordered_string_agg,
+# a36_covariance_aggregates, a37_entropy_profile, a47_skew_kurtosis,
+# x14_time_weighted_avg, x15_largest_remainder_allocation,
+# a27_grouped_mode, a28_chi2_independence, a30_welch_ttest,
+# ev10_funnel_latency, a31_grouped_percentiles,
+# ev11_pareto_concentration, dq11_table_fingerprint,
+# dq22_date_order_audit, dq23_dlp_census, x32_crdt_counter_merge.
 _WINDOW = [
     "flagship_revenue_by_nation",
     # round-10 additions, arrival order (all 3-SF-certified)
