@@ -274,3 +274,45 @@ def test_isotonic_max_min_equals_sequential_pav(bins):
     for i in range(m):
         closed = max(min(mean(j, k) for k in range(i, m)) for j in range(0, i + 1))
         assert closed == fitted[i], (i, bins)
+
+
+@given(
+    entries=st.lists(
+        st.floats(min_value=-8.0, max_value=8.0, allow_nan=False), min_size=10, max_size=10
+    ),
+    grad=st.lists(
+        st.floats(min_value=-8.0, max_value=8.0, allow_nan=False), min_size=4, max_size=4
+    ),
+)
+@settings(**COMMON)
+def test_aft_cramer_generator_matches_numpy_solve(entries, grad):
+    """The m24 oracle's symbolically generated 4x4 Cramer solve
+    (queries_ml._aft_deltas) must agree with numpy's linear solve on
+    random symmetric diagonally-dominated systems — the generator is
+    otherwise only exercised end-to-end through the AFT fit."""
+    import duckdb
+    import numpy as np
+
+    from realestate_engine.queries_ml import _aft_deltas
+
+    h = np.zeros((4, 4))
+    it = iter(entries)
+    for i in range(4):
+        for j in range(i, 4):
+            h[i, j] = h[j, i] = next(it)
+    # dominate the diagonal so the system is comfortably non-singular
+    # (the AFT Hessian is negative definite in practice; the algebraic
+    # identity under test holds for ANY invertible H)
+    for i in range(4):
+        h[i, i] += -20.0 if h[i, i] <= 0 else 20.0
+    g = np.array(grad)
+
+    binds = {f"h{i}{j}": h[i, j] for i in range(4) for j in range(i, 4)}
+    binds.update({f"g{i}": g[i] for i in range(4)})
+    # CAST to DOUBLE: DuckDB parses bare numeric literals as DECIMAL
+    # (in the real oracle the h/g columns are DOUBLE SUM() outputs)
+    cols = ", ".join(f"CAST({v!r} AS DOUBLE) AS {k}" for k, v in binds.items())
+    exprs = ", ".join(f"({d}) AS d{i}" for i, d in enumerate(_aft_deltas()))
+    got = duckdb.connect().execute(f"SELECT {exprs} FROM (SELECT {cols})").fetchone()
+    want = np.linalg.solve(h, g)
+    assert np.allclose(got, want, rtol=1e-9, atol=1e-9)
