@@ -89,41 +89,48 @@ registry.load_all()
 # ev10_funnel_latency, a31_grouped_percentiles,
 # ev11_pareto_concentration, dq11_table_fingerprint,
 # dq22_date_order_audit, dq23_dlp_census, x32_crdt_counter_merge.
+# Round 12's window (per VERDICT r11 #1/#3): the two asks conflict
+# under the driver's 50-entry cap — #1 wants flagship + 49 of the
+# 54-name drain queue (cumulative 493), #3 wants m9/m13's upgraded
+# per-month breakdowns to record >=12-row driver entries in
+# CORRECTNESS_r12.json. flagship + m9 + m13 + 49 = 52 > 50, so (same
+# resolution as the r9 note above) we take the max consistent set:
+# flagship + m9 + m13 (both now 12-row discriminating breakdowns,
+# queries_ml.py, pinned in tests/test_round12_ops.py) + the FIRST 47
+# names of the staged queue, in queue order. 47 new ledger names →
+# cumulative 491 of 498. The queue remainder for r13 (7 names):
+# ev10_funnel_latency, a31_grouped_percentiles,
+# ev11_pareto_concentration, dq11_table_fingerprint,
+# dq22_date_order_audit, dq23_dlp_census, x32_crdt_counter_merge.
 _WINDOW = [
     "flagship_revenue_by_nation",
-    # round-10 additions, arrival order (all 3-SF-certified)
-    "a54_kruskal_wallis", "ev30_gini_lorenz",
-    "dq26_mahalanobis_outliers", "t33_good_turing",
-    "graph_anf_neighborhood", "ts16_granger_causality",
-    "ts17_cross_correlation", "ts18_max_drawdown",
-    "ev31_empirical_bayes_shrinkage", "graph_greedy_matching",
-    "t34_textrank_keywords", "ts19_pacf_durbin_levinson",
-    "ts20_haar_energy", "dq27_rater_agreement",
-    "ev32_cox_proportional_hazards", "m62_dawid_skene",
-    "m63_average_precision",
-    # the reference's core ML path — rows-only evidence at last
-    # (VERDICT r10 #2; reference src/models/train.py:96-150,
+    # m9/m13 re-verify with the discriminating per-month breakdowns
+    # (VERDICT r11 #3; reference src/models/train.py:96-150,
     # src/inference/predict.py:14-26)
-    "m9_rf_train_predict", "m10_cross_validator",
-    "m12_feature_importances", "m13_batch_predict",
-    # rows-only → full-oracle upgrades (r10→r11, VERDICT r10 #7)
-    "m17_isotonic_calibration", "m21_glm_poisson",
-    # remaining rows-only MLlib family (rows-entries)
-    "m14_multiclass_classification", "m16_als_recommend",
-    "m20_als_recall_eval", "m24_aft_survival",
-    "m15_text_featurization", "dedup_minhash_lsh_mllib",
-    "sim_ivf_kmeans_topk", "sim_brp_lsh_ann_mllib", "sim_pca_topk",
-    # never-verified fills: text_* remainder
-    "text_fingerprint", "text_token_count_bpe",
-    "text_udtf_chunk_docs", "text_repetition_filter",
-    "text_unigram_logprob", "text_segment_dedup", "text_oov_rate",
-    "text_inverted_index", "text_phrase_search",
-    # never-verified fills: sim_* remainder
-    "sim_quantize_int8", "sim_matryoshka_topk", "sim_hard_negatives",
-    "sim_label_centroids",
-    # never-verified fills: multimodal stragglers + skew demo
-    "mm_audio_features", "mm_batch_resize", "mm_frame_sample",
-    "skew_salted_agg",
+    "m9_rf_train_predict", "m13_batch_predict",
+    # drain queue names 1-47, queue order (all 3-SF-certified per
+    # PLANS.md; the r11 spot sweep passed 12/12 on this set)
+    "j16_max_concurrent_intervals", "p10_stratified_sample",
+    "p11_train_test_split", "x19_rolling_origin_splits",
+    "dedup_canonical_selection", "dedup_pipeline_summary",
+    "corpus_source_overlap", "x8_incremental_agg_maintenance",
+    "ts_gapfill_locf", "ts_sessionize_gap",
+    "ts_rolling_interval_window", "pack_length_buckets",
+    "a12_unpivot_part_metrics", "a13_multi_distinct",
+    "a15_regression_aggregates", "a16_histogram_width_bucket",
+    "set_intersect_all", "set_except_all", "a17_argmax_minby",
+    "p11_try_cast_safe_parse", "a18_hll_sketch_rollup",
+    "j5_fuzzy_levenshtein_join", "a19_crosstab",
+    "a20_exact_percentiles", "j6_spatial_grid_join", "a21_skew_audit",
+    "a22_count_min_sketch", "p13_hash_split", "j7_lateral_topk",
+    "a25_bit_aggregates", "j8_or_join_rewrite", "x12_salted_join",
+    "p16_hash_priority_sample", "p17_try_arithmetic",
+    "p18_rare_category_collapse", "a26_rollup_shares",
+    "x13_scd2_lookup", "w5_distribution_ranks",
+    "a35_ordered_string_agg", "a36_covariance_aggregates",
+    "a37_entropy_profile", "a47_skew_kurtosis", "x14_time_weighted_avg",
+    "x15_largest_remainder_allocation", "a27_grouped_mode",
+    "a28_chi2_independence", "a30_welch_ttest",
 ]
 
 

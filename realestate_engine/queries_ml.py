@@ -152,24 +152,37 @@ def m5_bucketizer(spark: SparkSession, sf_dir: str) -> DataFrame:
     return buck.transform(o).select("o_orderkey", "price_bucket")
 
 
-@register("m9_rf_train_predict")  # tree ensemble → rows-only (invariants inside)
+@register("m9_rf_train_predict")  # tree ensemble → rows-only (per-month breakdown)
 def m9_rf_train_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M9: RandomForest on log_price (B1 FIX: the label is log-space;
     the reference trained on raw price then exp'd it,
-    src/models/train.py:90). Returns per-prediction rows with built-in
-    finiteness invariants."""
+    src/models/train.py:90). Returns a per-order-month breakdown
+    (12 rows) so the rows-only driver entry binds the seeded model's
+    actual predictions, not just "it ran" (VERDICT r11 #3): the mean is
+    an order-free integer reduction (sum of FLOOR(pred*1e3) over BIGINT,
+    then integer division) so reruns and repartitionings cannot drift
+    it; min/max are exact set reductions of the same milli grid."""
     feats = _orders_features(spark, sf_dir)
     asm = VectorAssembler(inputCols=["f_cust", "f_dom", "f_month"], outputCol="features")
     train = asm.transform(feats)
     model = RandomForestRegressor(
         featuresCol="features", labelCol="log_price", numTrees=10, maxDepth=4, seed=SEED
     ).fit(train)
-    preds = model.transform(train)
-    return preds.agg(
-        F.count(F.lit(1)).alias("n_predictions"),
-        F.sum(F.when(F.isnan("prediction") | F.col("prediction").isNull(), 1).otherwise(0)).cast("long").alias("n_bad"),
-        F.round(F.min("prediction"), 2).alias("min_pred"),
-        F.round(F.max("prediction"), 2).alias("max_pred"),
+    preds = model.transform(train).select(
+        F.col("f_month").cast("int").alias("order_month"),
+        F.floor(F.col("prediction") * 1e3).cast("long").alias("pred_milli"),
+        F.when(F.isnan("prediction") | F.col("prediction").isNull(), 1).otherwise(0).alias("bad"),
+    )
+    return (
+        preds.groupBy("order_month")
+        .agg(
+            F.count(F.lit(1)).alias("n_predictions"),
+            F.sum("bad").cast("long").alias("n_bad"),
+            F.expr("sum(pred_milli) DIV count(1)").alias("mean_pred_milli"),
+            F.min("pred_milli").alias("min_pred_milli"),
+            F.max("pred_milli").alias("max_pred_milli"),
+        )
+        .orderBy("order_month")
     )
 
 
@@ -223,11 +236,15 @@ def m12_feature_importances(spark: SparkSession, sf_dir: str) -> DataFrame:
     ).orderBy(F.col("importance").desc(), "feature")
 
 
-@register("m13_batch_predict")  # rows-only (composition invariants inside)
+@register("m13_batch_predict")  # rows-only (per-month breakdown)
 def m13_batch_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     """M13: end-to-end predict composition — assemble → model.transform →
     smearing inverse → (id, price) (reference: src/inference/predict.py:14-26),
-    trained on log_price and inverted once (B1 fix)."""
+    trained on log_price and inverted once (B1 fix). Returns a
+    per-order-month breakdown (12 rows, VERDICT r11 #3) so the driver's
+    rows-only entry binds the composed pipeline's dollar-space output:
+    per-month mean predicted price in whole cents via the order-free
+    FLOOR-then-integer-divide reduction, plus the validity sentinel."""
     feats = _orders_features(spark, sf_dir)
     asm = VectorAssembler(inputCols=["f_cust", "f_dom", "f_month"], outputCol="features")
     train = asm.transform(feats)
@@ -235,14 +252,24 @@ def m13_batch_predict(spark: SparkSession, sf_dir: str) -> DataFrame:
     preds = model.transform(train)
     stats = train.agg(F.stddev_samp("log_price").alias("log_std"))
     out = preds.crossJoin(F.broadcast(stats)).select(
-        "o_orderkey",
+        F.col("f_month").cast("int").alias("order_month"),
         (F.exp(F.col("prediction")) * F.exp(F.pow("log_std", F.lit(2)) / 2)).alias("predicted_price"),
     )
-    return out.agg(
-        F.count(F.lit(1)).alias("n_predictions"),
-        F.sum(
-            F.when(F.isnan("predicted_price") | (F.col("predicted_price") <= 0), 1).otherwise(0)
-        ).cast("long").alias("n_invalid"),
+    scored = out.select(
+        "order_month",
+        F.floor(F.col("predicted_price") * 100).cast("long").alias("pred_cents"),
+        F.when(F.isnan("predicted_price") | (F.col("predicted_price") <= 0), 1).otherwise(0).alias("invalid"),
+    )
+    return (
+        scored.groupBy("order_month")
+        .agg(
+            F.count(F.lit(1)).alias("n_predictions"),
+            F.sum("invalid").cast("long").alias("n_invalid"),
+            F.expr("sum(pred_cents) DIV count(1)").alias("mean_pred_cents"),
+            F.min("pred_cents").alias("min_pred_cents"),
+            F.max("pred_cents").alias("max_pred_cents"),
+        )
+        .orderBy("order_month")
     )
 
 
