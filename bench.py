@@ -208,6 +208,42 @@ def main() -> None:
     except ValueError:
         sf_val = sf
     total = round(sum(timings.values()), 3)
+
+    # quiet-host record (VERDICT r11 #5): the graded BENCH artifact used
+    # to carry only the possibly-under-load single-run total; the
+    # quiet-host best lived in PLANS.md prose. Persist the best total
+    # ever recorded on a quiet box (loadavg below cpus/4 at start AND
+    # end) in BENCH_QUIET.json and emit it as "quiet_best" in the
+    # parsed block, so the artifact carries both numbers. sf0.1-only:
+    # other SF dirs would not be comparable.
+    quiet_best = None
+    if sf_val == 0.1:
+        quiet_path = os.path.join(
+            os.path.dirname(os.path.abspath(__file__)), "BENCH_QUIET.json"
+        )
+        try:
+            quiet_best = float(json.load(open(quiet_path))["quiet_best"])
+        except (OSError, ValueError, KeyError):
+            quiet_best = None
+        loadavg_end = _loadavg()
+        run_quiet = (
+            not contended
+            and bool(loadavg_end)
+            and loadavg_end[0] <= quiet
+        )
+        if run_quiet and (quiet_best is None or total < quiet_best):
+            quiet_best = total
+            with open(quiet_path, "w") as f:
+                json.dump(
+                    {
+                        "quiet_best": total,
+                        "queries": timings,
+                        "loadavg_start": loadavg_start,
+                        "loadavg_end": loadavg_end,
+                    },
+                    f,
+                    indent=1,
+                )
     print(
         json.dumps(
             {
@@ -234,6 +270,7 @@ def main() -> None:
                 "duckdb_total_ex_pagerank": round(
                     sum(v for k, v in duck.items() if k != "graph_pagerank_trade"), 3
                 ),
+                "quiet_best": quiet_best,
             }
         )
     )
@@ -253,6 +290,7 @@ def main() -> None:
             "sf": sf_val,
             "duckdb_total": round(sum(duck.values()), 3),
             "ratio_regressions": ratio_regressions,
+            "quiet_best": quiet_best,
         }
     )
     if len(compact) > 1900:  # hard guarantee: fit the driver's window

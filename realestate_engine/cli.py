@@ -105,7 +105,9 @@ def cmd_compare(args: argparse.Namespace) -> None:
     csv_path = os.path.join(args.model_dir, "model_comparison.csv")
     with open(csv_path, "w") as f:
         # reference layout (models/model_comparison.csv): blank index
-        # header, model columns, one row per metric, 4-decimal values
+        # header, model columns, one row per metric; values rounded to
+        # 4 decimals then printed shortest-repr (pandas
+        # DataFrame.round(4).to_csv writes "0.5", not "0.5000")
         f.write("," + ",".join(model_types) + "\n")
         for m in metric_names:
             f.write(m + "," + ",".join(f"{round(results[mt][m], 4)}" for mt in model_types) + "\n")
@@ -118,6 +120,7 @@ def cmd_compare(args: argparse.Namespace) -> None:
         json.dumps(
             {
                 "best_model": best,
+                "best_params": trainers[best].best_params,
                 "results": {mt: {m: results[mt][m] for m in metric_names} for mt in model_types},
                 "comparison_csv": csv_path,
                 "model_dir": args.model_dir,

@@ -433,11 +433,14 @@ def m16_als_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
     # and the max-min closed form (fitted value at x_i =
     # max_{j<=i} min_{k>=i} weighted-mean(y over bins j..k), the same
     # identity m52 uses) land on identical block means. Interval means
-    # are ordered through an exact HUGEINT key total_cents*1e12 // n
-    # (distinct rationals with denominators <= 6e5 differ by > 2.7e-12,
-    # so the floored key is injective and order-preserving; block
-    # totals * 1e12 exceed int64 at sf0.1, hence HUGEINT — DuckDB-side
-    # only, Spark never computes the key); the published value is the
+    # are ordered through an exact HUGEINT key total_cents*1e15 // n
+    # (distinct rationals with denominators <= D differ by > 1/D^2, so
+    # the floored key is injective while interval weights stay below
+    # sqrt(1e15) ~ 3.1e7 rows — covering sf1's ~6M-row lineitem with
+    # 5x headroom, vs the old 1e12 key's 6e5 bound that only covered
+    # the shipped SFs (ADVICE r11); totals * 1e15 stay ~1e29 << the
+    # HUGEINT range — DuckDB-side only, Spark never computes the key);
+    # the published value is the
     # cent floor, where MLlib's double block mean (abs error ~1e-9
     # cents) and the exact rational agree unless a block mean is
     # within 1e-9 of an integer cent — certified empirically bit-equal
@@ -455,7 +458,7 @@ def m16_als_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     intervals AS (
         SELECT j.q AS jq, k.q AS kq,
-               CAST(SUM(m.s) AS HUGEINT) * 1000000000000
+               CAST(SUM(m.s) AS HUGEINT) * 1000000000000000
                    // CAST(SUM(m.n) AS HUGEINT) AS skey
         FROM binstats j
         JOIN binstats k ON k.q >= j.q
@@ -469,7 +472,7 @@ def m16_als_recommend(spark: SparkSession, sf_dir: str) -> DataFrame:
     ),
     iso AS (SELECT q, MAX(min_skey) AS iso_skey FROM inner_min GROUP BY q)
     SELECT CAST(q AS BIGINT) AS quantity,
-           CAST(iso_skey // 1000000000000 AS BIGINT) AS iso_cents
+           CAST(iso_skey // 1000000000000000 AS BIGINT) AS iso_cents
     FROM iso ORDER BY quantity
     """,
 )

@@ -57,3 +57,23 @@ def test_m9_per_month_breakdown_pinned(spark, sf_dir):
 def test_m13_per_month_breakdown_pinned(spark, sf_dir):
     rows = [tuple(r) for r in QUERIES["m13_batch_predict"](spark, sf_dir).collect()]
     assert rows == M13_EXPECTED
+
+
+def test_grid_margins_and_aft_clamp_clearance(sf_dir):
+    """ADVICE r11: the m17/m21/m24 floor-grid oracles are certified
+    only while every published estimate sits clear of its nearest grid
+    line AND the m24 Newton's rho converges strictly above its 0.05
+    domain clamp (an active clamp would publish a constrained point
+    that is not the MLE). DuckDB-only — no Spark session needed."""
+    import sys
+
+    sys.path.insert(0, ".")
+    from tools.grid_margin import MARGIN_MIN, RHO_FLOOR, _con, m17_margins, m21_margins, m24_margins
+
+    con = _con(sf_dir)
+    margins = m17_margins(con) + m21_margins(con)
+    aft, rho = m24_margins(con)
+    margins += aft
+    assert rho > RHO_FLOOR + 1e-6, f"AFT rho {rho} sits on the 0.05 clamp"
+    bad = [(n, m) for n, m in margins if m < MARGIN_MIN[n[:3]]]
+    assert not bad, f"estimates within their family floor of a grid line: {bad}"
