@@ -291,13 +291,30 @@ def m14_multiclass_classification(spark: SparkSession, sf_dir: str) -> DataFrame
     )
     model = LogisticRegression(maxIter=25, regParam=0.01, tol=1e-6).fit(e)
     preds = model.transform(e)
-    return preds.agg(
-        F.count(F.lit(1)).alias("n_rows"),
-        F.countDistinct("prediction").cast("long").alias("n_classes_predicted"),
-        (
+    # per-class breakdown (the m9/m13 discriminating-rows pattern,
+    # round 12): 10 rows of integer counts bind the softmax fit's
+    # per-class behavior — support, recall numerator, and how often
+    # the class is predicted — instead of one global accuracy row.
+    return (
+        preds.groupBy(F.col("label").cast("int").alias("label"))
+        .agg(
+            F.count(F.lit(1)).alias("n"),
             F.sum(F.when(F.col("prediction") == F.col("label"), 1).otherwise(0))
-            / F.count(F.lit(1))
-        ).alias("train_accuracy"),
+            .cast("long")
+            .alias("n_correct"),
+        )
+        .join(
+            preds.groupBy(F.col("prediction").cast("int").alias("label")).agg(
+                F.count(F.lit(1)).alias("n_predicted_as")
+            ),
+            "label",
+            "left",
+        )
+        .select(
+            "label", "n", "n_correct",
+            F.coalesce("n_predicted_as", F.lit(0)).alias("n_predicted_as"),
+        )
+        .orderBy("label")
     )
 
 
@@ -694,10 +711,22 @@ def m20_als_recall_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     joined = holdout.join(recs, "user").select(
         "user", F.array_contains("rec_items", F.col("held_item")).alias("hit")
     )
-    return joined.agg(
-        F.count(F.lit(1)).cast("bigint").alias("n_users_evaluated"),
-        F.sum(F.when(F.col("hit"), 1).otherwise(0)).cast("bigint").alias("n_hits"),
-        (F.sum(F.when(F.col("hit"), 1).otherwise(0)) / F.count(F.lit(1))).alias("recall_at_10"),
+    # per-activity-bucket breakdown (the m9/m13 discriminating-rows
+    # pattern, round 12): recall stratified by each user's training
+    # interaction count — the accounting a real offline eval reports
+    # (cold users recall worse), and several integer rows instead of
+    # one global ratio. Bucket = capped training-item count.
+    activity = train.groupBy("user").agg(
+        F.least(F.count(F.lit(1)), F.lit(8)).cast("int").alias("train_items_capped")
+    )
+    return (
+        joined.join(activity, "user")
+        .groupBy("train_items_capped")
+        .agg(
+            F.count(F.lit(1)).cast("bigint").alias("n_users"),
+            F.sum(F.when(F.col("hit"), 1).otherwise(0)).cast("bigint").alias("n_hits"),
+        )
+        .orderBy("train_items_capped")
     )
 
 

@@ -77,3 +77,30 @@ def test_grid_margins_and_aft_clamp_clearance(sf_dir):
     assert rho > RHO_FLOOR + 1e-6, f"AFT rho {rho} sits on the 0.05 clamp"
     bad = [(n, m) for n, m in margins if m < MARGIN_MIN[n[:3]]]
     assert not bad, f"estimates within their family floor of a grid line: {bad}"
+
+
+# m14/m20 extend the same discriminating-rows pattern (round 12):
+# per-class softmax counts and per-activity-bucket ALS recall, exact
+# integer tuples verified identical under local[4]/sp=4 and
+# local[8]/sp=8 at sf0.001.
+M14_EXPECTED = [
+    (0, 56, 28, 59), (1, 47, 14, 38), (2, 54, 19, 49), (3, 43, 22, 46),
+    (4, 48, 16, 45), (5, 51, 22, 54), (6, 42, 19, 46), (7, 50, 18, 52),
+    (8, 46, 19, 42), (9, 63, 28, 69),
+]
+
+M20_EXPECTED = [(5, 1, 0), (7, 1, 0), (8, 148, 10)]
+
+
+def test_m14_per_class_breakdown_pinned(spark, sf_dir):
+    rows = [tuple(r) for r in QUERIES["m14_multiclass_classification"](spark, sf_dir).collect()]
+    assert rows == M14_EXPECTED
+    # accounting invariants: supports and predicted-as both sum to n
+    assert sum(r[1] for r in rows) == sum(r[3] for r in rows) == 500
+    assert all(r[2] <= min(r[1], r[3]) for r in rows)
+
+
+def test_m20_per_bucket_recall_pinned(spark, sf_dir):
+    rows = [tuple(r) for r in QUERIES["m20_als_recall_eval"](spark, sf_dir).collect()]
+    assert rows == M20_EXPECTED
+    assert all(hits <= users for _, users, hits in rows)
