@@ -207,16 +207,27 @@ def m10_cross_validator(spark: SparkSession, sf_dir: str) -> DataFrame:
         parallelism=4,
     ).fit(train)
     best = cv.bestModel
+    # per-grid-point breakdown (the m9/m13 discriminating-rows
+    # pattern, round 12): one row per ParamMap with its CV-mean rmse
+    # (FLOOR-milli so the pinned values are exact integers) and the
+    # winner flagged — binds the whole CV metric landscape, not just
+    # the argmin, so a silently mis-evaluating CV cannot stay green.
+    n_train = int(train.count())
+    rows = [
+        (
+            float(pm[lr.regParam]),
+            float(pm[lr.elasticNetParam]),
+            int(metric * 1e3),
+            pm[lr.regParam] == best.getRegParam()
+            and pm[lr.elasticNetParam] == best.getElasticNetParam(),
+            n_train,
+        )
+        for pm, metric in zip(cv.getEstimatorParamMaps(), cv.avgMetrics)
+    ]
     return spark.createDataFrame(
-        [
-            (
-                float(best.getRegParam()),
-                float(best.getElasticNetParam()),
-                int(train.count()),
-            )
-        ],
-        "best_reg_param double, best_elastic_net double, n_train int",
-    )
+        rows,
+        "reg_param double, elastic_net double, cv_rmse_milli long, is_best boolean, n_train int",
+    ).orderBy("reg_param", "elastic_net")
 
 
 @register("m12_feature_importances")  # rows-only (seeded RF is deterministic)

@@ -104,3 +104,20 @@ def test_m20_per_bucket_recall_pinned(spark, sf_dir):
     rows = [tuple(r) for r in QUERIES["m20_als_recall_eval"](spark, sf_dir).collect()]
     assert rows == M20_EXPECTED
     assert all(hits <= users for _, users, hits in rows)
+
+
+# m10's CV output now binds the whole grid landscape: one row per
+# ParamMap with FLOOR-milli CV-mean rmse and the winner flag. Values
+# verified identical under local[4]/sp=4 and local[8]/sp=8.
+M10_EXPECTED = [
+    (0.1, 0.0, 980, False, 1500),
+    (0.1, 1.0, 978, True, 1500),
+    (1.0, 0.0, 979, False, 1500),
+    (1.0, 1.0, 978, False, 1500),
+]
+
+
+def test_m10_cv_grid_landscape_pinned(spark, sf_dir):
+    rows = [tuple(r) for r in QUERIES["m10_cross_validator"](spark, sf_dir).collect()]
+    assert rows == M10_EXPECTED
+    assert sum(r[3] for r in rows) == 1  # exactly one winner
