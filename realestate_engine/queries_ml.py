@@ -1324,7 +1324,7 @@ def m25_kmeans_fixed_point(spark: SparkSession, sf_dir: str) -> DataFrame:
         FROM folds, b
     )
     SELECT fold,
-           CAST(TO_TIMESTAMP(cut // 1000000) AS TIMESTAMP) AS cutoff,
+           MAKE_TIMESTAMP((cut // 1000000) * 1000000) AS cutoff,
            CAST((SELECT COUNT(*) FROM orders WHERE epoch_us(o_orderdate) < cut) AS BIGINT) AS n_train,
            CAST((SELECT COUNT(*) FROM orders
                  WHERE epoch_us(o_orderdate) >= cut AND epoch_us(o_orderdate) < nxt) AS BIGINT) AS n_test

@@ -39,8 +39,8 @@ def tumbling_counts(events: DataFrame, window: str = "10 minutes", watermark: st
 @register(
     "st_tumbling_window",
     """
-    SELECT CAST(TO_TIMESTAMP(FLOOR(EPOCH(ts) / 600) * 600) AS TIMESTAMP) AS window_start,
-           CAST(TO_TIMESTAMP(FLOOR(EPOCH(ts) / 600) * 600 + 600) AS TIMESTAMP) AS window_end,
+    SELECT MAKE_TIMESTAMP(CAST(FLOOR(EPOCH(ts) / 600) * 600 AS BIGINT) * 1000000) AS window_start,
+           MAKE_TIMESTAMP(CAST(FLOOR(EPOCH(ts) / 600) * 600 + 600 AS BIGINT) * 1000000) AS window_end,
            event_type,
            COUNT(*) AS n_events,
            ROUND(SUM(value), 2) AS sum_value
@@ -57,7 +57,7 @@ def st_tumbling_window(spark: SparkSession, sf_dir: str) -> DataFrame:
 @register(
     "st_sliding_window",
     """
-    SELECT CAST(TO_TIMESTAMP(FLOOR((EPOCH(ts) - k.k * 300) / 600) * 600 + k.k * 300) AS TIMESTAMP) AS window_start,
+    SELECT MAKE_TIMESTAMP(CAST(FLOOR((EPOCH(ts) - k.k * 300) / 600) * 600 + k.k * 300 AS BIGINT) * 1000000) AS window_start,
            event_type,
            COUNT(*) AS n_events
     FROM events CROSS JOIN (SELECT UNNEST([0, 1]) AS k) k
@@ -94,7 +94,7 @@ def st_sliding_window(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     SELECT user_id,
            MIN(ts) AS session_start,
-           CAST(TO_TIMESTAMP(EPOCH(MAX(ts)) + 1800) AS TIMESTAMP) AS session_end,
+           MAX(ts) + INTERVAL '30 minutes' AS session_end,
            COUNT(*) AS n_events
     FROM sessions
     GROUP BY user_id, session_id

@@ -121,3 +121,24 @@ def test_m10_cv_grid_landscape_pinned(spark, sf_dir):
     rows = [tuple(r) for r in QUERIES["m10_cross_validator"](spark, sf_dir).collect()]
     assert rows == M10_EXPECTED
     assert sum(r[3] for r in rows) == 1  # exactly one winner
+
+
+def test_no_tz_dependent_oracle_constructs():
+    """Round-12 find: DuckDB's TO_TIMESTAMP returns TIMESTAMPTZ, and
+    CAST(ttz AS TIMESTAMP) localizes through the HOST timezone — so an
+    oracle using it shifts by the UTC offset on any non-UTC host (x19
+    and the three windowed-streaming oracles failed under
+    TZ=America/New_York before the MAKE_TIMESTAMP/INTERVAL rewrite;
+    the full registry now sweeps clean under that TZ). Pin the whole
+    registry free of host-TZ-dependent constructs."""
+    import re
+
+    from realestate_engine.registry import ORACLES, load_all
+
+    load_all()
+    banned = re.compile(
+        r"TO_TIMESTAMP|TIMESTAMPTZ|AT TIME ZONE|NOW\(\)|CURRENT_DATE|CURRENT_TIMESTAMP",
+        re.IGNORECASE,
+    )
+    offenders = {n for n, sql in ORACLES.items() if banned.search(sql)}
+    assert not offenders, f"host-TZ-dependent oracle constructs in: {sorted(offenders)}"
