@@ -429,9 +429,15 @@ def test_chi2_matches_scipy_free_reference(spark, sf_dir):
 
 def test_sliding_distinct_users_brute_force(spark, sf_dir):
     # a29 emits timestamps (datetime-family alignment with the DuckDB
-    # oracle, round 6) — key the comparison by calendar date
+    # oracle, round 6) — key the comparison by UTC calendar date:
+    # collect() localizes timestamps through the OS TZ, so .date() on
+    # the raw value shifts on a non-UTC host
+    import datetime
+
     rows = {
-        r["day"].date(): r["wau"]
+        datetime.datetime.fromtimestamp(
+            r["day"].timestamp(), datetime.timezone.utc
+        ).date(): r["wau"]
         for r in QUERIES["a29_sliding_distinct_users"](spark, sf_dir).collect()
     }
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").toPandas()

@@ -36,7 +36,7 @@ def test_ljung_box_matches_exact_replay(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events").select("ts", "value").collect()
     daily = Counter()
     for r in ev:
-        day = (r.ts.date() - __import__("datetime").date(2024, 1, 1)).days
+        day = int(r.ts.timestamp() // 86400) - 19723  # UTC days since 2024-01-01 (TZ-free: collect() localizes timestamps through the OS TZ)
         daily[day] += math.floor(r.value * 1000)
     n = len(daily)
     m = sum(daily.values()) // n
@@ -391,7 +391,7 @@ def test_phase_folding_matches_exact_replay(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events").select("ts", "value").collect()
     daily = Counter()
     for r in ev:
-        day = (r.ts.date() - __import__("datetime").date(2024, 1, 1)).days
+        day = int(r.ts.timestamp() // 86400) - 19723  # UTC days since 2024-01-01 (TZ-free: collect() localizes timestamps through the OS TZ)
         daily[day] += math.floor(r.value * 1000)
     n = len(daily)
     m = sum(daily.values()) // n
@@ -625,7 +625,7 @@ def test_mann_kendall_matches_exact_replay(spark, sf_dir):
     ev = load_table(spark, sf_dir, "events").select("ts", "value").collect()
     daily = Counter()
     for e in ev:
-        day = (e.ts.date() - __import__("datetime").date(2024, 1, 1)).days
+        day = int(e.ts.timestamp() // 86400) - 19723  # UTC days since 2024-01-01 (TZ-free: collect() localizes timestamps through the OS TZ)
         daily[day] += math.floor(e.value * 1000)
     days = sorted(daily)
     vals = [daily[d] for d in days]
