@@ -7,6 +7,22 @@ order-insensitive value-hash → CORRECTNESS_r{N}.json).
 
 All queries live in the ``realestate_engine`` package; this module is
 only the adapter.
+
+The first entries of queries() are the driver's 50-query correctness
+window. The driver caps CORRECTNESS_r{N}.json at 50 entries, so the
+window ROTATES each round to accumulate driver-verified coverage.
+The full per-round rotation history lives in COVERAGE.md's
+"Driver-window ledger" section; after r12 the cumulative ledger held
+491 of 498 registered queries.
+
+Round 13's window (per VERDICT r12 #1): flagship, then the LAST 7
+never-windowed drain-queue names (completing the ledger at 498/498),
+then 42 re-verification slots for the stalest / most
+environment-sensitive ledger entries — the grid-floor ML oracles
+(m17/m21/m24), the Newton/EM/iterative oracle family (floor-quantized
+fixed-point replays are the most fragile class under BLAS/libm/JDK
+drift), and the oldest r2/r3-era core-operator names (ten rounds of
+code churn since their last driver row).
 """
 
 from __future__ import annotations
@@ -20,118 +36,36 @@ from realestate_engine.queries_core import flagship_revenue_by_nation
 
 registry.load_all()
 
-# The first entries of queries() are the driver's 50-query correctness
-# window. The driver caps CORRECTNESS_r{N}.json at 50 entries, so the
-# window ROTATES each round to accumulate driver-verified coverage
-# (rounds 2-7 verified 254 distinct queries — see COVERAGE.md's
-# driver-window ledger). Round 8's window: the streaming family
-# re-verified (last driver-checked r4/r5 — VERDICT r6 #5, due),
-# custom_running_total_pandas (the r7 ratio-guard watchlist item,
-# reworked this round to stream-carry mapInPandas), round 7's
-# first-wave never-verified operators, and the second wave with the
-# iterative/recurrence oracle classes (Newton/EM/CART/Boruvka/walks —
-# most fragile) prioritized. 43 new ledger names → cumulative 297.
-# (The VERDICT r7 #1 target of >=300 is arithmetically out of reach
-# for one 50-cap window that also re-verifies flagship + 6 streaming
-# names: 50 - 7 re-verifies = 43 new. 297 is the max consistent with
-# both asks; the remainder lands in r9.)
-# Round 9's window (per VERDICT r8 #1): the wave-2 remainder, round
-# 8's 24 additions (all sf0.1-certified on arrival, PLANS.md:964),
-# ev24/ev25 (the two r8 dtype-warn queries, cast-fixed this round so
-# the driver sees the corrected tails), then never-verified fills.
-# 49 new ledger names → cumulative 346. (The VERDICT r8 #1 target of
-# 347 assumed 50 fresh names; the window re-verifies flagship — the
-# driver's smoke anchor stays first by convention — so 49 is the max
-# for this rotation. The remainder, 107 names, drains in r10-r12.)
-# Round 10's window (per VERDICT r9 #1): round 9's 28 additions
-# (sf0.001/0.01/0.1-certified on arrival; graph_rich_club re-certified
-# at all three SFs AFTER the broadcast-direction fix this round) plus
-# m19_fpgrowth_baskets and m22_prefixspan_sequences (upgraded from
-# rows-only to FULL oracles in round 9 — driver-verifying them now
-# records hash evidence where the ledger has only rows-only rows),
-# then 19 never-verified fills from the drain queue (ev3-ev7, dq3-dq6,
-# f10_arrays/f12-f19, corpus mixture/shuffle). 49 new ledger names →
-# cumulative 395 of the registry. The remainder (~86 + this round's
-# additions) drains in r11-r12.
-# Round 11's window (per VERDICT r10 #1/#2): round 10's 17 additions
-# (all sf0.001/0.01/0.1-certified on arrival, PLANS.md round-10
-# ledger), then — after ten rounds with zero driver rows of any kind —
-# the reference's core ML path m9/m10/m12/m13 (rows-only by design:
-# seeded MLlib fits; the graded artifact finally gets rows-entries for
-# the flagship train/predict semantics), then 28 never-verified fills
-# from the drain queue prioritized by user impact: the remaining
-# rows-only MLlib family (m14-m24, mllib-LSH, ivf-kmeans, pca — m17
-# and m21 upgraded to FULL oracles this round per VERDICT r10 #7, so
-# their slots record hash evidence), the text_* remainder, the sim_*
-# remainder, and the multimodal stragglers. 49 new ledger names →
-# cumulative 444 of 498. Remaining backlog after r11: exactly 54
-# names; r12 should lead with flagship + 49 of them (the last 5 plus
-# any r12 additions drain in r13). The full queue, computed against
-# CORRECTNESS_r01-r10 ∪ this window: j16_max_concurrent_intervals,
-# p10_stratified_sample, p11_train_test_split,
-# x19_rolling_origin_splits, dedup_canonical_selection,
-# dedup_pipeline_summary, corpus_source_overlap,
-# x8_incremental_agg_maintenance, ts_gapfill_locf, ts_sessionize_gap,
-# ts_rolling_interval_window, pack_length_buckets,
-# a12_unpivot_part_metrics, a13_multi_distinct,
-# a15_regression_aggregates, a16_histogram_width_bucket,
-# set_intersect_all, set_except_all, a17_argmax_minby,
-# p11_try_cast_safe_parse, a18_hll_sketch_rollup,
-# j5_fuzzy_levenshtein_join, a19_crosstab, a20_exact_percentiles,
-# j6_spatial_grid_join, a21_skew_audit, a22_count_min_sketch,
-# p13_hash_split, j7_lateral_topk, a25_bit_aggregates,
-# j8_or_join_rewrite, x12_salted_join, p16_hash_priority_sample,
-# p17_try_arithmetic, p18_rare_category_collapse, a26_rollup_shares,
-# x13_scd2_lookup, w5_distribution_ranks, a35_ordered_string_agg,
-# a36_covariance_aggregates, a37_entropy_profile, a47_skew_kurtosis,
-# x14_time_weighted_avg, x15_largest_remainder_allocation,
-# a27_grouped_mode, a28_chi2_independence, a30_welch_ttest,
-# ev10_funnel_latency, a31_grouped_percentiles,
-# ev11_pareto_concentration, dq11_table_fingerprint,
-# dq22_date_order_audit, dq23_dlp_census, x32_crdt_counter_merge.
-# Round 12's window (per VERDICT r11 #1/#3): the two asks conflict
-# under the driver's 50-entry cap — #1 wants flagship + 49 of the
-# 54-name drain queue (cumulative 493), #3 wants m9/m13's upgraded
-# per-month breakdowns to record >=12-row driver entries in
-# CORRECTNESS_r12.json. flagship + m9 + m13 + 49 = 52 > 50, so (same
-# resolution as the r9 note above) we take the max consistent set:
-# flagship + m9 + m13 (both now 12-row discriminating breakdowns,
-# queries_ml.py, pinned in tests/test_round12_ops.py) + the FIRST 47
-# names of the staged queue, in queue order. 47 new ledger names →
-# cumulative 491 of 498. The queue remainder for r13 (7 names):
-# ev10_funnel_latency, a31_grouped_percentiles,
-# ev11_pareto_concentration, dq11_table_fingerprint,
-# dq22_date_order_audit, dq23_dlp_census, x32_crdt_counter_merge.
 _WINDOW = [
     "flagship_revenue_by_nation",
-    # m9/m13 re-verify with the discriminating per-month breakdowns
-    # (VERDICT r11 #3; reference src/models/train.py:96-150,
-    # src/inference/predict.py:14-26)
-    "m9_rf_train_predict", "m13_batch_predict",
-    # drain queue names 1-47, queue order (all 3-SF-certified per
-    # PLANS.md; the r11 spot sweep passed 12/12 on this set)
-    "j16_max_concurrent_intervals", "p10_stratified_sample",
-    "p11_train_test_split", "x19_rolling_origin_splits",
-    "dedup_canonical_selection", "dedup_pipeline_summary",
-    "corpus_source_overlap", "x8_incremental_agg_maintenance",
-    "ts_gapfill_locf", "ts_sessionize_gap",
-    "ts_rolling_interval_window", "pack_length_buckets",
-    "a12_unpivot_part_metrics", "a13_multi_distinct",
-    "a15_regression_aggregates", "a16_histogram_width_bucket",
-    "set_intersect_all", "set_except_all", "a17_argmax_minby",
-    "p11_try_cast_safe_parse", "a18_hll_sketch_rollup",
-    "j5_fuzzy_levenshtein_join", "a19_crosstab",
-    "a20_exact_percentiles", "j6_spatial_grid_join", "a21_skew_audit",
-    "a22_count_min_sketch", "p13_hash_split", "j7_lateral_topk",
-    "a25_bit_aggregates", "j8_or_join_rewrite", "x12_salted_join",
-    "p16_hash_priority_sample", "p17_try_arithmetic",
-    "p18_rare_category_collapse", "a26_rollup_shares",
-    "x13_scd2_lookup", "w5_distribution_ranks",
-    "a35_ordered_string_agg", "a36_covariance_aggregates",
-    "a37_entropy_profile", "a47_skew_kurtosis", "x14_time_weighted_avg",
-    "x15_largest_remainder_allocation", "a27_grouped_mode",
-    "a28_chi2_independence", "a30_welch_ttest",
+    # --- drain queue: the final 7 never-windowed names (ledger 491→498)
+    "ev10_funnel_latency", "a31_grouped_percentiles",
+    "ev11_pareto_concentration", "dq11_table_fingerprint",
+    "dq22_date_order_audit", "dq23_dlp_census", "x32_crdt_counter_merge",
+    # --- re-verify: grid-floor ML oracles (environment-sensitive per
+    #     ADVICE r12; tools/grid_margin.py certifies their margins)
+    "m17_isotonic_calibration", "m21_glm_poisson", "m24_aft_survival",
+    # --- re-verify: Newton/EM/iterative fixed-point family (last
+    #     driver rows r5-r11; floor-quantized replay = fragile class)
+    "m43_logreg_newton", "m45_gmm_em", "m50_poisson_newton",
+    "m44_pca_closed_form", "m25_kmeans_fixed_point",
+    "m26_ols_normal_equations", "m49_ridge_closed_form",
+    "m54_platt_scaling", "m62_dawid_skene",
+    "ev32_cox_proportional_hazards", "m38_viterbi_decode",
+    "m46_cart_depth2", "m39_gbm_stumps", "graph_boruvka_msf",
+    "graph_deterministic_walks",
+    # --- re-verify: oldest r2/r3-era names (core-operator anchors)
+    "a10_cube", "a10_rollup", "a11_pivot", "a12_grouping_sets",
+    "a1_groupby_count_sort", "a2_groupby_avg", "a4_global_multiagg",
+    "a5_summary_profile", "a8_corr_distributed", "a9_count_distinct",
+    "j1_inner_join_using", "j2_anti_join_audit", "j3_full_outer",
+    "p1_cast_normalization", "p8_null_imputation", "p9_null_profile",
+    "w1_ranking", "w2_lag_lead", "w3_frame_aggregates",
+    "o3_distributed_topk_per_group", "s1_csv_roundtrip",
+    "s2_parquet_scan_pushdown", "s3_parquet_sink_partitioned",
+    "f11_pandas_udaf_weighted_avg",
 ]
+assert len(_WINDOW) == 50, len(_WINDOW)
 
 
 def _ordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:

@@ -306,6 +306,11 @@ def m14_multiclass_classification(spark: SparkSession, sf_dir: str) -> DataFrame
     # round 12): 10 rows of integer counts bind the softmax fit's
     # per-class behavior — support, recall numerator, and how often
     # the class is predicted — instead of one global accuracy row.
+    # FULL outer join (ADVICE r12): a left join keyed on true-label
+    # groups would silently drop predictions for a class value absent
+    # from the true labels, breaking sum(n_predicted_as) == n. LR can't
+    # predict outside its trained label set today, but the accounting
+    # invariant should be structural, not incidental.
     return (
         preds.groupBy(F.col("label").cast("int").alias("label"))
         .agg(
@@ -319,10 +324,12 @@ def m14_multiclass_classification(spark: SparkSession, sf_dir: str) -> DataFrame
                 F.count(F.lit(1)).alias("n_predicted_as")
             ),
             "label",
-            "left",
+            "full",
         )
         .select(
-            "label", "n", "n_correct",
+            "label",
+            F.coalesce("n", F.lit(0)).alias("n"),
+            F.coalesce("n_correct", F.lit(0)).alias("n_correct"),
             F.coalesce("n_predicted_as", F.lit(0)).alias("n_predicted_as"),
         )
         .orderBy("label")

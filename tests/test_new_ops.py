@@ -429,16 +429,22 @@ def test_chi2_matches_scipy_free_reference(spark, sf_dir):
 
 def test_sliding_distinct_users_brute_force(spark, sf_dir):
     # a29 emits timestamps (datetime-family alignment with the DuckDB
-    # oracle, round 6) — key the comparison by UTC calendar date:
-    # collect() localizes timestamps through the OS TZ, so .date() on
-    # the raw value shifts on a non-UTC host
+    # oracle, round 6) — key the comparison by UTC calendar date.
+    # Epoch is computed Spark-side (cast("long") on TimestampType is
+    # the raw UTC epoch): collect() localizes through the OS TZ and a
+    # naive->timestamp() round-trip is fold-ambiguous during DST
+    # fall-back (the ADVICE r12 class).
     import datetime
+
+    from pyspark.sql import functions as F
 
     rows = {
         datetime.datetime.fromtimestamp(
-            r["day"].timestamp(), datetime.timezone.utc
+            r["epoch"], datetime.timezone.utc
         ).date(): r["wau"]
-        for r in QUERIES["a29_sliding_distinct_users"](spark, sf_dir).collect()
+        for r in QUERIES["a29_sliding_distinct_users"](spark, sf_dir)
+        .select(F.col("day").cast("long").alias("epoch"), "wau")
+        .collect()
     }
     ev = spark.read.parquet(f"{sf_dir}/events.parquet").toPandas()
     ev["day"] = ev["ts"].dt.floor("D").dt.date

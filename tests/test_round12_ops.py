@@ -49,14 +49,28 @@ M13_EXPECTED = [
 ]
 
 
+def _assert_pinned_with_grid_slack(rows, expected, exact_cols, grid_cols):
+    """Exact match on count columns; ±1 grid unit on floored-double
+    columns (ADVICE r12): FLOOR(pred*10^k) of an MLlib double sits on
+    an environment-dependent grid — a different BLAS/JDK can flip a
+    value one grid unit, which must not break the suite intermittently.
+    The ±1 slack still binds the model's behavior to the milli/cent."""
+    assert len(rows) == len(expected)
+    for got, want in zip(rows, expected):
+        for i in exact_cols:
+            assert got[i] == want[i], (got, want)
+        for i in grid_cols:
+            assert abs(got[i] - want[i]) <= 1, (got, want)
+
+
 def test_m9_per_month_breakdown_pinned(spark, sf_dir):
     rows = [tuple(r) for r in QUERIES["m9_rf_train_predict"](spark, sf_dir).collect()]
-    assert rows == M9_EXPECTED
+    _assert_pinned_with_grid_slack(rows, M9_EXPECTED, (0, 1, 2), (3, 4, 5))
 
 
 def test_m13_per_month_breakdown_pinned(spark, sf_dir):
     rows = [tuple(r) for r in QUERIES["m13_batch_predict"](spark, sf_dir).collect()]
-    assert rows == M13_EXPECTED
+    _assert_pinned_with_grid_slack(rows, M13_EXPECTED, (0, 1, 2), (3, 4, 5))
 
 
 def test_grid_margins_and_aft_clamp_clearance(sf_dir):
@@ -100,6 +114,35 @@ def test_m14_per_class_breakdown_pinned(spark, sf_dir):
     assert all(r[2] <= min(r[1], r[3]) for r in rows)
 
 
+def test_m14_argmax_margin_certification(spark, sf_dir):
+    """ADVICE r12 companion to the m14 pin: the per-class counts are
+    exact integers only while every softmax argmax is decided by a
+    margin far above cross-environment drift. Certify the minimum
+    top1-top2 rawPrediction gap over the corpus: logit drift under a
+    different BLAS/JDK is bounded ~1e-9, so a 1e-6 floor gives the
+    same 10x-over-bound safety factor tools/grid_margin.py uses. If
+    this ever fails, the M14_EXPECTED pin must gain tie tolerance."""
+    from pyspark.ml.classification import LogisticRegression
+    from pyspark.ml.functions import array_to_vector, vector_to_array
+    from pyspark.sql import functions as F
+
+    from realestate_engine.registry import t as load_table
+
+    e = load_table(spark, sf_dir, "embeddings").select(
+        array_to_vector(F.col("embedding")).alias("features"),
+        F.col("label").cast("double").alias("label"),
+    )
+    model = LogisticRegression(maxIter=25, regParam=0.01, tol=1e-6).fit(e)
+    gaps = (
+        model.transform(e)
+        .select(F.sort_array(vector_to_array("rawPrediction"), asc=False).alias("s"))
+        .select((F.col("s")[0] - F.col("s")[1]).alias("gap"))
+        .agg(F.min("gap").alias("min_gap"))
+        .collect()[0]
+    )
+    assert gaps.min_gap > 1e-6, f"argmax margin {gaps.min_gap} too thin for an exact pin"
+
+
 def test_m20_per_bucket_recall_pinned(spark, sf_dir):
     rows = [tuple(r) for r in QUERIES["m20_als_recall_eval"](spark, sf_dir).collect()]
     assert rows == M20_EXPECTED
@@ -119,8 +162,15 @@ M10_EXPECTED = [
 
 def test_m10_cv_grid_landscape_pinned(spark, sf_dir):
     rows = [tuple(r) for r in QUERIES["m10_cross_validator"](spark, sf_dir).collect()]
-    assert rows == M10_EXPECTED
+    # params and n_train exact; cv_rmse_milli ±1 grid unit (ADVICE r12)
+    _assert_pinned_with_grid_slack(rows, M10_EXPECTED, (0, 1, 4), (2,))
     assert sum(r[3] for r in rows) == 1  # exactly one winner
+    # tie-robust winner check: two grid points share the 978-milli
+    # minimum, so the exact winner identity is decided by sub-milli
+    # doubles that a different BLAS/JDK could reorder. Bind instead
+    # that the flagged winner sits on the landscape minimum (±1).
+    winner = next(r for r in rows if r[3])
+    assert winner[2] <= min(r[2] for r in rows) + 1
 
 
 def test_no_tz_dependent_oracle_constructs():

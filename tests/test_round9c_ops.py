@@ -14,6 +14,8 @@ from __future__ import annotations
 import math
 from collections import Counter
 
+from pyspark.sql import functions as F
+
 from realestate_engine.registry import QUERIES, load_all
 from realestate_engine.registry import t as load_table
 
@@ -33,10 +35,16 @@ _CHI2_95_NANO = {
 def test_ljung_box_matches_exact_replay(spark, sf_dir):
     rows = QUERIES["ts13_ljung_box"](spark, sf_dir).collect()
     assert [r.lag for r in rows] == list(range(1, 8))
-    ev = load_table(spark, sf_dir, "events").select("ts", "value").collect()
+    # epoch computed Spark-side: a naive collected timestamp round-
+    # tripped through datetime.timestamp() is fold-ambiguous during a
+    # DST fall-back hour under some host TZs (ADVICE r12); cast("long")
+    # on TimestampType is the raw UTC epoch, no host-TZ involved.
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("ts").cast("long").alias("epoch"), "value"
+    ).collect()
     daily = Counter()
     for r in ev:
-        day = int(r.ts.timestamp() // 86400) - 19723  # UTC days since 2024-01-01 (TZ-free: collect() localizes timestamps through the OS TZ)
+        day = r.epoch // 86400 - 19723  # UTC days since 2024-01-01
         daily[day] += math.floor(r.value * 1000)
     n = len(daily)
     m = sum(daily.values()) // n
@@ -388,10 +396,13 @@ def test_mutual_information_matches_exact_replay(spark, sf_dir):
 def test_phase_folding_matches_exact_replay(spark, sf_dir):
     rows = QUERIES["ts14_phase_folding_periodogram"](spark, sf_dir).collect()
     assert [r.period for r in rows] == list(range(2, 15))
-    ev = load_table(spark, sf_dir, "events").select("ts", "value").collect()
+    # Spark-side epoch: see test_ljung_box_matches_exact_replay
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("ts").cast("long").alias("epoch"), "value"
+    ).collect()
     daily = Counter()
     for r in ev:
-        day = int(r.ts.timestamp() // 86400) - 19723  # UTC days since 2024-01-01 (TZ-free: collect() localizes timestamps through the OS TZ)
+        day = r.epoch // 86400 - 19723  # UTC days since 2024-01-01
         daily[day] += math.floor(r.value * 1000)
     n = len(daily)
     m = sum(daily.values()) // n
@@ -622,10 +633,13 @@ def test_mann_kendall_matches_exact_replay(spark, sf_dir):
     rows = QUERIES["ts15_mann_kendall"](spark, sf_dir).collect()
     assert len(rows) == 1
     r = rows[0]
-    ev = load_table(spark, sf_dir, "events").select("ts", "value").collect()
+    # Spark-side epoch: see test_ljung_box_matches_exact_replay
+    ev = load_table(spark, sf_dir, "events").select(
+        F.col("ts").cast("long").alias("epoch"), "value"
+    ).collect()
     daily = Counter()
     for e in ev:
-        day = int(e.ts.timestamp() // 86400) - 19723  # UTC days since 2024-01-01 (TZ-free: collect() localizes timestamps through the OS TZ)
+        day = e.epoch // 86400 - 19723  # UTC days since 2024-01-01
         daily[day] += math.floor(e.value * 1000)
     days = sorted(daily)
     vals = [daily[d] for d in days]
