@@ -67,6 +67,26 @@ _WINDOW = [
 ]
 assert len(_WINDOW) == 50, len(_WINDOW)
 
+# Staged r14 window (freshness rotation continues once the ledger is
+# complete at 498/498): flagship + the 37 remaining r2/r3-era names —
+# a3_count_star_alias, a7_count_scalar, f1_log_guarded,
+# j3_broadcast_dim, j3_cross, j3_left_outer, j3_left_semi,
+# j3_right_outer, p2_column_subset, p3_rename, set_except,
+# set_intersect, set_union_all, set_union_by_name,
+# a6_approx_quantile, asof_last_click_before_purchase, dedup_exact,
+# dedup_keep_newest, f10_monthly_revenue, f3_haversine,
+# f6_quantile_clamp, m1_string_indexer, m4_pipeline_fit_transform,
+# m6_target_stats, m8_smearing_inverse, mm_image_features,
+# o1_global_sort_desc, o2_topk, p4_null_filter, p5_sql_string_filter,
+# p6_range_filter_drop, p7_conditional_case, s4_local_rows,
+# s6_csv_sink_native, set_drop_duplicates, sim_bruteforce_topk,
+# text_tfidf_top_term — then the oldest r4-era names in ledger order:
+# a33_runs_test, corpus_clean_pipeline, corpus_temperature_mixture,
+# corpus_token_budget, dedup_clusters, dedup_clusters_twostar,
+# dedup_embedding_cosine, dedup_leakage_safe_split,
+# dedup_minhash_incremental, dedup_minhash_lsh, dedup_ngram_jaccard,
+# dedup_simhash.
+
 
 def _ordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
     out = {name: registry.QUERIES[name] for name in _WINDOW}
