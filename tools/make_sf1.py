@@ -37,6 +37,9 @@ USERKEY_OFF = 1_000_000
 def main() -> None:
     ap = argparse.ArgumentParser()
     ap.add_argument("--out", default="/root/repo/.sf1")
+    ap.add_argument("--full", action="store_true",
+                    help="also scale documents/embeddings 10x "
+                         "(token-rotated / ppm-jittered replicas)")
     args = ap.parse_args()
     os.makedirs(args.out, exist_ok=True)
 
@@ -81,8 +84,67 @@ def main() -> None:
         ) TO '{args.out}/events.parquet' (FORMAT PARQUET)
     """)
 
-    for tbl in ["region", "nation", "customer", "supplier", "part",
-                "documents", "embeddings"]:
+    if args.full:
+        # documents: SUBSTITUTE every 7th token with a replica-tagged
+        # variant (replica 0 stays byte-identical). A token ROTATION
+        # is NOT enough — rotating a sequence preserves every interior
+        # k-gram, so replicas would be planted 10-way near-dups and
+        # any shingle-based dedup timing would blow up quadratically
+        # in the replication factor for DATA reasons, not plan reasons
+        # (measured: dedup_ngram_jaccard 32x under rotation). With
+        # 1-in-7 substitution, ~(6/7)^k of k-shingles survive
+        # (~63% for k=3), putting replica-pair Jaccard ~0.46 — below
+        # near-dup thresholds, so the corpus scales without planting
+        # duplicate mega-clusters.
+        con.execute(f"""
+            COPY (
+                WITH d AS (
+                    SELECT *, STRING_SPLIT(text, ' ') AS tk
+                    FROM read_parquet('{SRC}/documents.parquet')
+                ),
+                r AS (
+                    SELECT doc_id + i * 10000000 AS doc_id,
+                           CASE WHEN i = 0 THEN text
+                                ELSE ARRAY_TO_STRING(
+                                    LIST_TRANSFORM(tk,
+                                        (x, j) -> CASE WHEN (j + i) % 7 = 0
+                                                  THEN x || 'x' || i
+                                                  ELSE x END),
+                                    ' ')
+                           END AS text,
+                           lang, source
+                    FROM d, reps
+                )
+                SELECT doc_id, text, lang, source,
+                       CAST(LEN(text) AS BIGINT) AS n_chars
+                FROM r
+            ) TO '{args.out}/documents.parquet' (FORMAT PARQUET)
+        """)
+        # embeddings: replica-dependent deterministic noise at ~1
+        # per-dim std (amplitude +-0.12 vs std 0.125), replica 0
+        # untouched. ppm jitter is NOT enough — it leaves replicas as
+        # genuine 10-way duplicate clusters (cosine ~ 1 - 1e-12), so
+        # every sign-bucket pair is a true near-dup and the verify
+        # stage legitimately does ~replication^2 work (measured:
+        # dedup_embedding_cosine >= 100x under ppm jitter). At 1-std
+        # noise, replica-pair cosine ~ 0.87 — below dedup thresholds —
+        # while the 10-cluster label geometry survives.
+        con.execute(f"""
+            COPY (
+                SELECT vec_id + i * 10000000 AS vec_id,
+                       LIST_TRANSFORM(embedding,
+                           (x, j) -> CAST(x + CASE WHEN i = 0 THEN 0.0
+                               ELSE ((vec_id * 31 + j * 17 + i * 13) % 25 - 12)
+                                    * 0.01 END AS FLOAT)) AS embedding,
+                       label
+                FROM read_parquet('{SRC}/embeddings.parquet'), reps
+            ) TO '{args.out}/embeddings.parquet' (FORMAT PARQUET)
+        """)
+
+    small = ["region", "nation", "customer", "supplier", "part"]
+    if not args.full:
+        small += ["documents", "embeddings"]
+    for tbl in small:
         dst = os.path.join(args.out, f"{tbl}.parquet")
         if not os.path.exists(dst):
             os.symlink(f"{SRC}/{tbl}.parquet", dst)
