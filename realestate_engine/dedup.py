@@ -610,14 +610,55 @@ def cosine_sim(a: Column, b: Column) -> Column:
 def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
     """Embedding near-dup pairs above a cosine threshold, bucketed by
     label so the pair space is per-bucket, not corpus² (at 100 TB the
-    bucket key is an LSH/IVF cell, see similarity.py)."""
+    bucket key is an LSH/IVF cell, see similarity.py).
+
+    Two output-identical plan fixes from the round-13 10x audit:
+    (1) the bare label join key capped parallelism at n_labels tasks
+    (10 here — the sf1 run pinned two cores for minutes while 30
+    idled). The pair space is now block-decomposed: each side carries
+    (vec_id % B) and explodes the other side's block id, so the join
+    key (label, i, j) splits every label bucket into B² independently
+    scheduled cells — each (a, b) pair matches exactly one key, so
+    the output multiset is unchanged, at B-times replication shuffle.
+    (2) norms were recomputed per PAIR inside cosine_sim; they are
+    per-ROW quantities, now computed once before the join (same fold
+    expression on the same doubles → bit-identical cosine)."""
+    B = 8
     e = t(spark, sf_dir, "embeddings")
-    a = e.alias("a")
-    b = e.alias("b")
-    cos = F.round(cosine_sim(F.col("a.embedding"), F.col("b.embedding")), 4)
+    ed = e.select(
+        "vec_id",
+        "label",
+        F.transform("embedding", lambda x: x.cast("double")).alias("ed"),
+    ).withColumn(
+        "n", F.sqrt(F.aggregate("ed", F.lit(0.0), lambda acc, x: acc + x * x))
+    )
+    blocks = F.array(*[F.lit(i) for i in range(B)])
+    a = ed.withColumn("i", (F.col("vec_id") % B).cast("int")).withColumn(
+        "j", F.explode(blocks)
+    )
+    b = ed.withColumn("j", (F.col("vec_id") % B).cast("int")).withColumn(
+        "i", F.explode(blocks)
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("a.ed"), F.col("b.ed"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = F.round(dot / (F.col("a.n") * F.col("b.n")), 4)
     return (
-        a.join(b, (F.col("a.label") == F.col("b.label")) & (F.col("a.vec_id") < F.col("b.vec_id")))
-        .select(F.col("a.vec_id").alias("id_a"), F.col("b.vec_id").alias("id_b"), cos.alias("cosine"))
+        a.alias("a")
+        .join(
+            b.alias("b"),
+            (F.col("a.label") == F.col("b.label"))
+            & (F.col("a.i") == F.col("b.i"))
+            & (F.col("a.j") == F.col("b.j"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
+        .select(
+            F.col("a.vec_id").alias("id_a"),
+            F.col("b.vec_id").alias("id_b"),
+            cos.alias("cosine"),
+        )
         .filter(F.col("cosine") > 0.5)
     )
 
@@ -1712,14 +1753,48 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
     for i in range(_SEMDEDUP_BITS):
         term = F.when(F.element_at("embedding", i + 1).cast("double") > 0, F.lit(1 << i)).otherwise(F.lit(0))
         bit = term if bit is None else bit + term
-    cells = e.select("vec_id", "embedding", bit.cast("long").alias("cell"))
-    a, b = cells.alias("a"), cells.alias("b")
-    cos = F.round(cosine_sim(F.col("a.embedding"), F.col("b.embedding")), 4)
+    # round-13 10x-audit fixes, output-identical (same idiom as
+    # dedup_embedding_cosine): norms are per-ROW quantities computed
+    # once before the join (same fold on the same doubles →
+    # bit-identical cosine), and the per-cell pair space is
+    # block-decomposed on (cell, i, j) — sign-cells of CLUSTERED
+    # embeddings are heavily skewed (10 latent clusters → ~10 hot
+    # cells), so bare-cell keying leaves stragglers; each (a, b) pair
+    # still matches exactly one (cell, i, j) key.
+    B = 8
+    cells = e.select(
+        "vec_id",
+        F.transform("embedding", lambda x: x.cast("double")).alias("ed"),
+        bit.cast("long").alias("cell"),
+    ).withColumn(
+        "n", F.sqrt(F.aggregate("ed", F.lit(0.0), lambda acc, x: acc + x * x))
+    )
+    blocks = F.array(*[F.lit(i) for i in range(B)])
+    a = cells.withColumn("i", (F.col("vec_id") % B).cast("int")).withColumn(
+        "j", F.explode(blocks)
+    )
+    b = cells.withColumn("j", (F.col("vec_id") % B).cast("int")).withColumn(
+        "i", F.explode(blocks)
+    )
+    dot = F.aggregate(
+        F.zip_with(F.col("a.ed"), F.col("b.ed"), lambda x, y: x * y),
+        F.lit(0.0),
+        lambda acc, x: acc + x,
+    )
+    cos = F.round(dot / (F.col("a.n") * F.col("b.n")), 4)
     mx = (
-        a.join(b, (F.col("a.cell") == F.col("b.cell")) & (F.col("a.vec_id") < F.col("b.vec_id")))
+        a.alias("a")
+        .join(
+            b.alias("b"),
+            (F.col("a.cell") == F.col("b.cell"))
+            & (F.col("a.i") == F.col("b.i"))
+            & (F.col("a.j") == F.col("b.j"))
+            & (F.col("a.vec_id") < F.col("b.vec_id")),
+        )
         .groupBy(F.col("b.vec_id").alias("vec_id"))
         .agg(F.max(cos).alias("mc"))
     )
+    cells = cells.select("vec_id", "cell")
     return (
         cells.join(mx, "vec_id", "left")
         .select(
