@@ -633,10 +633,15 @@ def dedup_embedding_cosine(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n", F.sqrt(F.aggregate("ed", F.lit(0.0), lambda acc, x: acc + x * x))
     )
     blocks = F.array(*[F.lit(i) for i in range(B)])
-    a = ed.withColumn("i", (F.col("vec_id") % B).cast("int")).withColumn(
+    # pmod, not %: Spark's % preserves sign, so a negative vec_id would
+    # land in {-(B-1)..0} and never match the partner side's exploded
+    # 0..B-1 block ids — pairs silently dropped. pmod makes the block
+    # decomposition total over the whole int domain (ADVICE r13);
+    # identical values for the non-negative ids in all shipped data.
+    a = ed.withColumn("i", F.pmod(F.col("vec_id"), F.lit(B)).cast("int")).withColumn(
         "j", F.explode(blocks)
     )
-    b = ed.withColumn("j", (F.col("vec_id") % B).cast("int")).withColumn(
+    b = ed.withColumn("j", F.pmod(F.col("vec_id"), F.lit(B)).cast("int")).withColumn(
         "i", F.explode(blocks)
     )
     dot = F.aggregate(
@@ -1770,10 +1775,12 @@ def dedup_semdedup(spark: SparkSession, sf_dir: str) -> DataFrame:
         "n", F.sqrt(F.aggregate("ed", F.lit(0.0), lambda acc, x: acc + x * x))
     )
     blocks = F.array(*[F.lit(i) for i in range(B)])
-    a = cells.withColumn("i", (F.col("vec_id") % B).cast("int")).withColumn(
+    # pmod, not % (sign-preserving): keeps the block decomposition
+    # total for negative vec_ids (ADVICE r13); identical on shipped data.
+    a = cells.withColumn("i", F.pmod(F.col("vec_id"), F.lit(B)).cast("int")).withColumn(
         "j", F.explode(blocks)
     )
-    b = cells.withColumn("j", (F.col("vec_id") % B).cast("int")).withColumn(
+    b = cells.withColumn("j", F.pmod(F.col("vec_id"), F.lit(B)).cast("int")).withColumn(
         "i", F.explode(blocks)
     )
     dot = F.aggregate(

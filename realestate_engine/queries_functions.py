@@ -736,16 +736,29 @@ def tpch_q14_promo_revenue(spark: SparkSession, sf_dir: str) -> DataFrame:
 def tpch_q18_large_orders(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TPC-H Q18 shape: large-volume orders via HAVING on a grouped
     fact-fact join (quantities are integral doubles, so the >150
-    threshold is float-exact)."""
+    threshold is float-exact).
+
+    r14 rewrite (guide §2.3 — aggregate before you shuffle): lineitem
+    is summed per l_orderkey FIRST (map-side partial aggregation
+    collapses the shuffle to one row per order) and the selective
+    HAVING filter prunes before any join, so the joins move only the
+    qualifying orders instead of customer x orders x lineitem rows.
+    Output-identical: o_orderkey is the orders PK (each group of the
+    old 4-key groupBy is exactly one order), the inner joins drop whole
+    orders either way, and per-order float sums add the same addends
+    in the same grouping. Verified against the unchanged oracle at all
+    three SFs."""
     c = t(spark, sf_dir, "customer")
     o = t(spark, sf_dir, "orders")
     li = t(spark, sf_dir, "lineitem")
-    return (
-        c.join(o, c.c_custkey == o.o_custkey)
-        .join(li, o.o_orderkey == li.l_orderkey)
-        .groupBy("c_custkey", "o_orderkey", "o_orderdate", "o_totalprice")
+    big = (
+        li.groupBy("l_orderkey")
         .agg(F.sum("l_quantity").alias("_sum_qty"))
         .filter(F.col("_sum_qty") > 150)
+    )
+    return (
+        big.join(o, big.l_orderkey == o.o_orderkey)
+        .join(c, o.o_custkey == c.c_custkey)
         .select(
             "c_custkey",
             "o_orderkey",

@@ -127,11 +127,21 @@ def text_fingerprint(spark: SparkSession, sf_dir: str) -> DataFrame:
 def text_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TF-IDF with the top-scoring term per document. Two hash
     aggregations + a broadcast of the (small) document-frequency side of
-    the vocabulary; no driver-side vocabulary construction."""
+    the vocabulary; no driver-side vocabulary construction.
+
+    r14 plan fix (guide §1.2/§2.3 — remove unnecessary passes,
+    aggregate before you shuffle): df used to be a SECOND
+    scan+split+explode over the corpus feeding a countDistinct(doc_id)
+    (double-agg expand). df(word) == number of distinct (doc_id, word)
+    pairs == COUNT(*) of tf's groups per word, so it is now derived
+    from tf — the corpus is scanned and tokenized ONCE (the shared tf
+    exchange is reused on both join sides), and the word-shuffle
+    carries one row per distinct doc-term pair instead of one per
+    token instance. Same integers, bit-identical tfidf."""
     d = t(spark, sf_dir, "documents")
     words = d.select("doc_id", F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("word"))
     tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
-    df = words.groupBy("word").agg(F.countDistinct("doc_id").alias("df"))
+    df = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (
         tf.join(df, "word")
