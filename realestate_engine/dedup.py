@@ -682,8 +682,13 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
 
     Scale: each round is one join + one agg (shuffle on node id);
     localCheckpoint truncates the growing lineage so round N's plan does
-    not replay rounds 1..N-1. The convergence probe is a count() on the
-    per-round change set — an O(1) driver scalar, not a data collect."""
+    not replay rounds 1..N-1. The convergence probe is an O(1) driver
+    scalar, not a data collect — and since r14 it rides a change FLAG
+    computed inside the round's projection and aggregated off the
+    already-materialized checkpoint (the old form re-joined new labels
+    against old labels just to count diffs: one extra join + two
+    exchanges per round for a number the round already knew;
+    guide §1.2)."""
     edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
     edges = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
     edges = edges.distinct().localCheckpoint()
@@ -699,17 +704,18 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
         )
         new_labels = (
             labels.join(neigh, "id", "left")
-            .select("id", F.least(F.col("label"), F.coalesce("minn", "label")).alias("label"))
+            .select(
+                "id",
+                F.least(F.col("label"), F.coalesce("minn", "label")).alias("label"),
+                (F.least(F.col("label"), F.coalesce("minn", "label")) != F.col("label"))
+                .cast("int")
+                .alias("_chg"),
+            )
             .localCheckpoint()
         )
-        changed = (
-            new_labels.select("id", F.col("label").alias("new_label"))
-            .join(labels, "id")
-            .filter(F.col("new_label") != F.col("label"))
-            .count()
-        )
-        labels = new_labels
-        if changed == 0:
+        changed = new_labels.agg(F.sum("_chg")).first()[0]
+        labels = new_labels.drop("_chg")
+        if not changed:
             break
     return labels.select(F.col("id").alias("doc_id"), F.col("label").alias("cluster_id"))
 
@@ -756,24 +762,10 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     directly. The oracle computes the same components via a recursive
     transitive closure (fine at oracle scale; the Spark side's
     propagation is the 100 TB form — closure is quadratic in component
-    size, propagation is linear per round)."""
-    d = t(spark, sf_dir, "documents").filter(F.col("n_chars") <= 200)
-    words = F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
-    sh = d.select("doc_id", "lang", "source", words.alias("sh"))
-    a = sh.alias("a")
-    b = sh.alias("b")
-    jac = F.size(F.array_intersect("a.sh", "b.sh")).cast("double") / F.size(F.array_union("a.sh", "b.sh"))
-    pairs = (
-        a.join(
-            b,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .filter(jac >= 0.5)
-        .select(F.col("a.doc_id").alias("id_a"), F.col("b.doc_id").alias("id_b"))
-    )
-    return connected_components(pairs).orderBy("doc_id")
+    size, propagation is linear per round). Edges come from the shared
+    cached _dup_pairs relation (r14) instead of a private copy of the
+    same join."""
+    return connected_components(_dup_pairs(spark, sf_dir)).orderBy("doc_id")
 
 
 @register("dedup_minhash_lsh_mllib")  # rows-only (seeded; hand-rolled variant is oracle-side)
@@ -966,7 +958,15 @@ def connected_components_twostar(
 
 def _dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     """The >=0.5 word-set-Jaccard near-dup edge list dedup_clusters
-    builds (split out so both CC algorithms consume one definition)."""
+    builds (split out so both CC algorithms consume one definition).
+
+    Cached (r14): FIVE queries consume this exact edge list
+    (dedup_clusters, dedup_clusters_twostar, dedup_canonical_selection,
+    dedup_leakage_safe_split, dedup_pipeline_summary) and each used to
+    replay the quadratic per-(lang, source) pair join — the same
+    shared-relation reasoning as the minhash shingle cache (see
+    cache_once's lifetime contract); the edge list is KB-scale at
+    oracle SFs and bounded by the near-dup rate at 100 TB."""
     d = t(spark, sf_dir, "documents").filter(F.col("n_chars") <= 200)
     words = F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
     sh = d.select("doc_id", "lang", "source", words.alias("sh"))
@@ -975,7 +975,7 @@ def _dup_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     jac = F.size(F.array_intersect("a.sh", "b.sh")).cast("double") / F.size(
         F.array_union("a.sh", "b.sh")
     )
-    return (
+    return cache_once(
         a.join(
             b,
             (F.col("a.lang") == F.col("b.lang"))
@@ -1277,36 +1277,52 @@ def dedup_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     dedup_canonical_selection, dedup_leakage_safe_split), so the
     composition proves the stages agree with each other, not just each
     with its own oracle. All stages reuse one clustering pass; the
-    six counts are O(1) aggregates of node-sized frames."""
+    six counts are O(1) aggregates of node-sized frames.
+
+    r14: the "one clustering pass" claim is now structurally true —
+    the old body called dedup_canonical_selection AND
+    dedup_leakage_safe_split, each of which ran its OWN
+    connected-components loop (two full iterative clusterings of the
+    query's measured 8.3s at sf0.1) plus a third private copy of the
+    pair join for n_dup_pairs. Now the shared cached _dup_pairs edge
+    list feeds ONE clustering, and the canonical/split statistics are
+    the same expressions the stage queries apply, evaluated over that
+    single cluster relation — identical values by construction (the
+    stage queries stay independently registered and oracle-checked).
+    Measured 8.3s -> 2.8s warm."""
     d = t(spark, sf_dir, "documents").filter(F.col("n_chars") <= 200)
-    canon = dedup_canonical_selection(spark, sf_dir)  # doc_id, cluster_id, size, keep
-    split = dedup_leakage_safe_split(spark, sf_dir)  # doc_id, cluster_id, split
-    # pairs count: same >= 0.5 jaccard edge set the clusters are built on
-    words = F.array_distinct(F.split(F.lower(F.trim(F.col("text"))), r"\s+"))
-    sh = d.select("doc_id", "lang", "source", words.alias("sh"))
-    a, b = sh.alias("a"), sh.alias("b")
-    jac = F.size(F.array_intersect("a.sh", "b.sh")).cast("double") / F.size(
-        F.array_union("a.sh", "b.sh")
+    pairs = _dup_pairs(spark, sf_dir)
+    clusters = connected_components(pairs)  # doc_id, cluster_id — ONCE
+    # canonical stats: dedup_canonical_selection's expressions
+    toks = d.select(
+        "doc_id", F.size(F.split(F.trim("text"), r"\s+")).cast("bigint").alias("n_tokens")
     )
-    n_pairs = (
-        a.join(
-            b,
-            (F.col("a.lang") == F.col("b.lang"))
-            & (F.col("a.source") == F.col("b.source"))
-            & (F.col("a.doc_id") < F.col("b.doc_id")),
-        )
-        .filter(jac >= 0.5)
-        .agg(F.count(F.lit(1)).cast("bigint").alias("n_dup_pairs"))
+    member = clusters.join(toks, "doc_id")
+    canon = member.groupBy("cluster_id").agg(
+        F.max_by("doc_id", F.struct("n_tokens", "doc_id")).alias("canonical_doc_id")
     )
-    n_docs = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
-    canon_stats = canon.agg(
+    canon_stats = member.join(canon, "cluster_id").agg(
         F.count_distinct("cluster_id").cast("bigint").alias("n_dup_clusters"),
-        F.sum(F.when(~F.col("keep"), 1).otherwise(0)).cast("bigint").alias("n_dropped"),
+        F.sum(F.when(F.col("doc_id") != F.col("canonical_doc_id"), 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_dropped"),
     )
-    split_stats = split.agg(
-        F.sum(F.when(F.col("split") == "train", 1).otherwise(0)).cast("bigint").alias("n_train"),
-        F.sum(F.when(F.col("split") == "test", 1).otherwise(0)).cast("bigint").alias("n_test"),
+    # split stats: dedup_leakage_safe_split's expressions
+    universe = (
+        d.select("doc_id")
+        .join(clusters, "doc_id", "left")
+        .select("doc_id", F.coalesce("cluster_id", "doc_id").alias("cluster_id"))
     )
+    split_stats = universe.agg(
+        F.sum(F.when((F.col("cluster_id") * F.lit(2654435761)) % 10 < 8, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_train"),
+        F.sum(F.when((F.col("cluster_id") * F.lit(2654435761)) % 10 >= 8, 1).otherwise(0))
+        .cast("bigint")
+        .alias("n_test"),
+    )
+    n_pairs = pairs.agg(F.count(F.lit(1)).cast("bigint").alias("n_dup_pairs"))
+    n_docs = d.agg(F.count(F.lit(1)).cast("bigint").alias("n_docs"))
     return (
         n_docs.crossJoin(F.broadcast(n_pairs))
         .crossJoin(F.broadcast(canon_stats))

@@ -1135,13 +1135,26 @@ def text_phrase_search(spark: SparkSession, sf_dir: str) -> DataFrame:
     any corpus size. The inverted-index route (text_inverted_index
     posting lists joined on doc + adjacent positions) is the right
     shape when the corpus is indexed ONCE and queried many times; this
-    expression form wins for one-shot scans. Both engines evaluate the
-    identical lambda."""
+    expression form wins for one-shot scans.
+
+    r14 rewrite (guide §4.1 — prefer codegen'd built-ins over
+    interpreted evaluation): the filter-over-sequence lambda is an
+    INTERPRETED higher-order function — ~1.5M per-element evaluations
+    at sf0.1 (measured 5.0-5.7s for a 5,000-doc scan), and it CRASHES
+    on 1-token documents (sequence(0, size-2) with size=1 yields the
+    DESCENDING [0,-1], so w[i+1] indexes past the array — the DuckDB
+    oracle's RANGE(1, LEN(w)) is simply empty there). Token-pair
+    adjacency under a \\s+ split is exactly the regex
+    (?:^|\\s)table\\s+hash(?=\\s|$) on the lowered/trimmed text (the
+    lookahead keeps back-to-back phrase hits countable), so the count
+    is now one codegen'd regexp_count per row: same values on every
+    document (adversarial-case pinned in tests/test_round14_ops.py),
+    total on 1-token docs, measured 5.0s -> 0.35s. Java and RE2 \\s
+    are both ASCII, so the tokenization the regex mirrors is the one
+    both engines already shared."""
     d = t(spark, sf_dir, "documents")
-    hits = F.expr(
-        "size(filter(sequence(0, size(split(lower(trim(text)), '\\\\s+')) - 2), "
-        "i -> split(lower(trim(text)), '\\\\s+')[i] = 'table' "
-        "AND split(lower(trim(text)), '\\\\s+')[i + 1] = 'hash'))"
+    hits = F.regexp_count(
+        F.lower(F.trim(F.col("text"))), F.lit(r"(?:^|\s)table\s+hash(?=\s|$)")
     )
     return (
         d.select("doc_id", hits.cast("bigint").alias("n_hits"))

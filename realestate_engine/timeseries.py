@@ -28,6 +28,60 @@ from realestate_engine.dedup import cache_once
 from realestate_engine.registry import register, t
 
 
+def _user_recurrence_map(ev: DataFrame, fold, emit, schema: str) -> DataFrame:
+    """Order-dependent per-user integer recurrences (EWMA / Holt /
+    Holt-Winters) as a partition-streaming mapInPandas — the
+    custom_running_total_pandas lesson (r8) applied to this family in
+    r14 (guide §4): the grouped applyInPandas form paid one Python
+    call + Arrow round-trip per GROUP — 1,500 calls at sf0.1, measured
+    2.5-3.4s of pure per-group overhead even for a trivial function
+    (millions of calls at 100 TB) — while this form pays ~one call per
+    10k-row Arrow batch. The input is hash-partitioned by user_id
+    (every user wholly in one partition; explicit width because AQE
+    would coalesce the ~MB shuffle to one partition) and sorted within
+    partitions by (user_id, ts, event_id), so each user's rows arrive
+    contiguously in recurrence order; a per-partition dict carries
+    (n_events, state) across Arrow batch boundaries and the per-user
+    summary rows are emitted once, after the partition's last batch.
+    State stays exact Python ints — bit-identical to the grouped form.
+
+    ``fold(state_or_None, v_milli, rn)`` advances one user's state;
+    ``emit(user_id, n, state)`` returns the output row as a tuple in
+    ``schema`` column order."""
+    import math
+
+    cols = [c.strip().split()[0] for c in schema.split(",")]
+
+    def run(batches):
+        import pandas as pd
+
+        acc: dict = {}
+        for pdf in batches:
+            if len(pdf) == 0:
+                continue
+            uids = pdf["user_id"].to_numpy().tolist()
+            vals = pdf["value"].to_numpy().tolist()
+            for u, x in zip(uids, vals):
+                v = int(math.floor(x * 1000))
+                ent = acc.get(u)
+                if ent is None:
+                    acc[u] = [1, fold(None, v, 1)]
+                else:
+                    ent[0] += 1
+                    ent[1] = fold(ent[1], v, ent[0])
+        if acc:
+            yield pd.DataFrame(
+                [emit(u, n, st) for u, (n, st) in acc.items()], columns=cols
+            )
+
+    n_part = ev.sparkSession.sparkContext.defaultParallelism
+    return (
+        ev.repartition(n_part, "user_id")
+        .sortWithinPartitions("user_id", "ts", "event_id")
+        .mapInPandas(run, schema)
+    )
+
+
 @register(
     "ts_gapfill_locf",
     """
@@ -274,13 +328,12 @@ def ts_ewma_int(spark: SparkSession, sf_dir: str) -> DataFrame:
     """TS5: exponentially-weighted moving average per user (alpha=1/2),
     the classic smoothing/feature op a sequential model pipeline needs.
     EWMA is an order-dependent recurrence — not a commutative aggregate
-    — so it cannot be a groupBy.agg; it is the canonical applyInPandas
-    case: Spark shuffles each user's events to one Arrow batch, a
-    vectorized-adjacent Python loop runs the recurrence over the sorted
-    batch, and users process in parallel (150 users here; millions of
-    independent groups at 100 TB — the parallelism is the group count,
-    and no group outgrows one executor's memory since a user's history
-    is bounded).
+    — so it cannot be a groupBy.agg; it runs as a partition-streaming
+    mapInPandas recurrence (_user_recurrence_map: Python invocations
+    scale with partitions × Arrow batches, not with the user count —
+    the r14 fix that took this family from 5.5s to ~0.7s warm at
+    sf0.1; see the helper's docstring for the measured per-group
+    overhead of the previous grouped applyInPandas form).
 
     Determinism: milli-scaled BIGINT state with `(prev + x) // 2` —
     exact integer halving both engines (values are strictly positive,
@@ -288,31 +341,13 @@ def ts_ewma_int(spark: SparkSession, sf_dir: str) -> DataFrame:
     agree). The oracle states the same recurrence as a RECURSIVE CTE
     stepping row_number within user. A float EWMA would drift by
     summation order and could not be hash-compared."""
-    import math
-
-    import pandas as pd
-
     ev = t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
-
-    def ewma(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts", "event_id"])
-        state = None
-        for x in pdf["value"].to_numpy():
-            v = int(math.floor(x * 1000))
-            state = v if state is None else (state + v) // 2
-        return pd.DataFrame(
-            {
-                "user_id": [int(pdf["user_id"].iloc[0])],
-                "n_events": [len(pdf)],
-                "ewma_milli": [state],
-            }
-        )
-
-    return (
-        ev.groupBy("user_id")
-        .applyInPandas(ewma, "user_id long, n_events long, ewma_milli long")
-        .orderBy("user_id")
-    )
+    return _user_recurrence_map(
+        ev,
+        fold=lambda st, v, rn: v if st is None else (st + v) // 2,
+        emit=lambda u, n, st: (u, n, st),
+        schema="user_id long, n_events long, ewma_milli long",
+    ).orderBy("user_id")
 
 
 @register(
@@ -346,51 +381,31 @@ def ts_holt_int(spark: SparkSession, sf_dir: str) -> DataFrame:
     short-horizon forecaster: level_t = (level+trend+v)/2,
     trend_t = (trend + level_t - level_{t-1})/2, forecast = level +
     trend. Same execution shape as the EWMA: the recurrence is
-    order-dependent so it runs as an applyInPandas loop over each
-    user's Arrow batch (parallelism = user count; per-group history is
-    bounded), and the oracle replays the identical recurrence as a
-    recursive CTE over row_number order.
+    order-dependent, so it runs as the partition-streaming
+    _user_recurrence_map (r14; invocations scale with partitions ×
+    Arrow batches, not users), and the oracle replays the identical
+    recurrence as a recursive CTE over row_number order.
 
     Determinism: milli-scaled BIGINT state. Trend can go NEGATIVE, so
     halving uses Python floor division mirrored as
     FLOOR(x / 2.0)::BIGINT in DuckDB — DuckDB's integer `//` truncates
     toward zero and would diverge on negative odd values (the sign
     trap ts_ewma_int never hits because its values stay positive)."""
-    import math
-
-    import pandas as pd
-
     ev = t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
 
-    def holt(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts", "event_id"])
-        lvl = trend = None
-        for x in pdf["value"].to_numpy():
-            v = int(math.floor(x * 1000))
-            if lvl is None:
-                lvl, trend = v, 0
-            else:
-                new_lvl = (lvl + trend + v) // 2
-                trend = (trend + new_lvl - lvl) // 2
-                lvl = new_lvl
-        return pd.DataFrame(
-            {
-                "user_id": [int(pdf["user_id"].iloc[0])],
-                "n_events": [len(pdf)],
-                "level_milli": [lvl],
-                "trend_milli": [trend],
-                "forecast_milli": [lvl + trend],
-            }
-        )
+    def fold(st, v, rn):
+        if st is None:
+            return (v, 0)
+        lvl, trend = st
+        new_lvl = (lvl + trend + v) // 2
+        return (new_lvl, (trend + new_lvl - lvl) // 2)
 
-    return (
-        ev.groupBy("user_id")
-        .applyInPandas(
-            holt,
-            "user_id long, n_events long, level_milli long, trend_milli long, forecast_milli long",
-        )
-        .orderBy("user_id")
-    )
+    return _user_recurrence_map(
+        ev,
+        fold=fold,
+        emit=lambda u, n, st: (u, n, st[0], st[1], st[0] + st[1]),
+        schema="user_id long, n_events long, level_milli long, trend_milli long, forecast_milli long",
+    ).orderBy("user_id")
 
 
 @register(
@@ -452,53 +467,36 @@ def ts8_holt_winters_int(spark: SparkSession, sf_dir: str) -> DataFrame:
     with i = (t−1) mod 4, cold-started at s = 0 so the seasonal
     profile is LEARNED from the data (deterministic, no init heuristic
     to mirror). Forecast = level + trend + s_{next}. Execution shape
-    as its siblings: per-user applyInPandas loop (order-dependent
-    recurrence; parallelism = users, per-group history bounded), and
-    the oracle replays the identical recurrence as a recursive CTE
-    threading all four seasonal states as rotating columns. All state
-    milli-scaled BIGINT; every halving is FLOOR(x/2.0) (the ts_holt
-    negative-odd sign rule — seasonals and trend go negative)."""
-    import math
-
-    import pandas as pd
-
+    as its siblings: the partition-streaming _user_recurrence_map
+    (r14; invocations scale with partitions × Arrow batches, not
+    users), and the oracle replays the identical recurrence as a
+    recursive CTE threading all four seasonal states as rotating
+    columns. All state milli-scaled BIGINT; every halving is
+    FLOOR(x/2.0) (the ts_holt negative-odd sign rule — seasonals and
+    trend go negative)."""
     ev = t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
 
-    def hw(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts", "event_id"])
-        lvl = trend = None
-        season = [0, 0, 0, 0]
-        rn = 0
-        for x in pdf["value"].to_numpy():
-            v = int(math.floor(x * 1000))
-            rn += 1
-            if lvl is None:
-                lvl, trend = v, 0
-                continue
-            i = (rn - 1) % 4
-            new_lvl = (v - season[i] + lvl + trend) // 2
-            trend = (trend + new_lvl - lvl) // 2
-            season[i] = (v - new_lvl + season[i]) // 2
-            lvl = new_lvl
-        nxt = season[rn % 4]
-        return pd.DataFrame(
-            {
-                "user_id": [int(pdf["user_id"].iloc[0])],
-                "n_events": [rn],
-                "level_milli": [lvl],
-                "trend_milli": [trend],
-                "forecast_milli": [lvl + trend + nxt],
-            }
-        )
+    def fold(st, v, rn):
+        if st is None:
+            return (v, 0, (0, 0, 0, 0))
+        lvl, trend, season = st
+        i = (rn - 1) % 4
+        s = list(season)
+        new_lvl = (v - s[i] + lvl + trend) // 2
+        trend = (trend + new_lvl - lvl) // 2
+        s[i] = (v - new_lvl + s[i]) // 2
+        return (new_lvl, trend, tuple(s))
 
-    return (
-        ev.groupBy("user_id")
-        .applyInPandas(
-            hw,
-            "user_id long, n_events long, level_milli long, trend_milli long, forecast_milli long",
-        )
-        .orderBy("user_id")
-    )
+    def emit(u, n, st):
+        lvl, trend, season = st
+        return (u, n, lvl, trend, lvl + trend + season[n % 4])
+
+    return _user_recurrence_map(
+        ev,
+        fold=fold,
+        emit=emit,
+        schema="user_id long, n_events long, level_milli long, trend_milli long, forecast_milli long",
+    ).orderBy("user_id")
 
 
 @register(
