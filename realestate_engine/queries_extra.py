@@ -580,16 +580,28 @@ def a20_exact_percentiles(spark: SparkSession, sf_dir: str) -> DataFrame:
     .25/.5/.75) interpolate on binary-exact fractions, so both engines
     produce bit-identical doubles with no rounding fudge. Exact
     quantiles shuffle the full column per group — use A6's
-    approxQuantile sketch when a 1% error is acceptable at 100 TB."""
+    approxQuantile sketch when a 1% error is acceptable at 100 TB.
+
+    r14 (guide §1.2): the three quartiles ride ONE percentile state
+    per group (array-of-percentages form, the idiom a23 already uses)
+    instead of three separate aggregates each building its own
+    value->count map over the near-unique cents domain — the map is
+    the whole cost of an exact percentile (9.4s -> 1.9s warm at
+    sf0.1). Same aggregate, same interpolation, same doubles."""
     li = t(spark, sf_dir, "lineitem")
     cents = F.expr("CAST(ROUND(l_extendedprice * 100, 0) AS BIGINT)")
     return (
         li.groupBy("l_returnflag")
         .agg(
             F.count(F.lit(1)).cast("bigint").alias("n"),
-            F.percentile(cents, F.lit(0.25)).alias("p25_cents"),
-            F.percentile(cents, F.lit(0.50)).alias("p50_cents"),
-            F.percentile(cents, F.lit(0.75)).alias("p75_cents"),
+            F.percentile(cents, F.array(F.lit(0.25), F.lit(0.50), F.lit(0.75))).alias("_qs"),
+        )
+        .select(
+            "l_returnflag",
+            "n",
+            F.col("_qs")[0].alias("p25_cents"),
+            F.col("_qs")[1].alias("p50_cents"),
+            F.col("_qs")[2].alias("p75_cents"),
         )
         .orderBy("l_returnflag")
     )

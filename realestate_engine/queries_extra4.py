@@ -1023,13 +1023,16 @@ def ev28_regression_discontinuity(spark: SparkSession, sf_dir: str) -> DataFrame
         .groupBy("o_orderkey", "cents")
         .agg(F.count(F.lit(1)).cast("bigint").alias("y"))
     )
-    cut = base.agg(
-        F.floor(F.percentile("cents", F.lit(0.5))).cast("bigint").alias("c"),
-        F.floor(
-            (F.percentile("cents", F.lit(0.75)) - F.percentile("cents", F.lit(0.25))) / 2
-        )
-        .cast("bigint")
-        .alias("h"),
+    # r14: one shared percentile state for all three quartiles (the
+    # a20/a23 array form) instead of three separate exact-percentile
+    # aggregates each holding its own value->count map; identical
+    # interpolated doubles feed the same floor exprs.
+    qs = base.agg(
+        F.percentile("cents", F.array(F.lit(0.25), F.lit(0.5), F.lit(0.75))).alias("_qs")
+    )
+    cut = qs.select(
+        F.floor(F.col("_qs")[1]).cast("bigint").alias("c"),
+        F.floor((F.col("_qs")[2] - F.col("_qs")[0]) / 2).cast("bigint").alias("h"),
     )
     win = (
         base.crossJoin(F.broadcast(cut))

@@ -141,6 +141,59 @@ def streamify(spark: SparkSession, parquet_dir: str, schema) -> DataFrame:
     return spark.readStream.schema(schema).parquet(parquet_dir)
 
 
+def _stream_state_partitions(
+    spark: SparkSession, *src_dirs: str, python_state: bool = False
+) -> int:
+    """State-store partition count for a bounded availableNow drain,
+    derived from the source snapshot's actual bytes instead of a
+    constant (r14; guide §2 — make partitioning scale-adaptive, not a
+    constant tuned for local mode or the cluster): one state partition
+    per ~32 MB of source, clamped to [1, defaultParallelism], with
+    $SPARK_GRAFT_STREAM_PARTS as the production override for clusters
+    whose state must spread wider than the drain's compute width.
+
+    Why it matters: the partition count is baked into the checkpoint
+    at stream start, and every HDFS-backed state store pays
+    per-partition open/snapshot/commit I/O per micro-batch (a
+    stream-stream join keeps FOUR stores per partition). Measured at
+    sf0.1 (~1 MB source, 2 availableNow batches): the identical
+    stream-stream join ran 10.0s warm at 32 partitions vs 2.1s at 4 —
+    pure state-store fixed cost. At production volumes bytes/32MB far
+    exceeds any core count, so the clamp reproduces the previous
+    defaultParallelism behavior exactly; only the tiny-snapshot regime
+    changes.
+
+    ``python_state=True`` marks applyInPandasWithState /
+    transformWithStateInPandas drains, whose per-batch cost is
+    dominated by per-GROUP Python round-trips that parallelize per
+    PARTITION — a bytes-only derivation collapses a tiny snapshot to 1
+    partition and serializes thousands of group calls through one
+    Python worker (measured st_cusum_monitor: 24s at 1 partition vs
+    7.9s at 8 vs 9.3s at 32 — the old constant — at sf0.1). Those
+    drains keep a cores/4 parallelism floor: enough Python workers to
+    spread the group loop, a quarter of the per-partition state-store
+    commits of the old constant."""
+    import math
+    import os as _os
+
+    env = _os.environ.get("SPARK_GRAFT_STREAM_PARTS")
+    if env and env.isdigit() and int(env) > 0:
+        return int(env)
+    size = 0
+    for d in src_dirs:
+        for root, _dirs, files in _os.walk(d):
+            size += sum(
+                _os.path.getsize(_os.path.join(root, f))
+                for f in files
+                if not f.startswith("_")
+            )
+    need = max(1, math.ceil(size / (32 << 20)))
+    width = spark.sparkContext.defaultParallelism
+    if python_state:
+        need = max(need, math.ceil(width / 4))
+    return min(need, width)
+
+
 def stateful_user_totals(events: DataFrame) -> DataFrame:
     """Custom stateful streaming operator via applyInPandasWithState:
     per-user running (n_events, total_value) maintained across
@@ -229,14 +282,15 @@ def st_stateful_running_totals(spark: SparkSession, sf_dir: str) -> DataFrame:
         timeoutConf=GroupStateTimeout.NoTimeout,
     )
     # the state-store partition count is baked into the checkpoint at
-    # stream START from spark.sql.shuffle.partitions — pin it to the
-    # session's parallelism for the (fresh-checkpoint) run so a plain
-    # driver session doesn't spread tiny state over 200 partitions;
+    # stream START from spark.sql.shuffle.partitions — size it from the
+    # source snapshot (see _stream_state_partitions) so a plain driver
+    # session neither spreads tiny state over 200 partitions nor pays
+    # 32 state-store commits per micro-batch for a ~MB drain;
     # restored after the stream finishes (it runs to completion here)
     key = "spark.sql.shuffle.partitions"
     old_parts = spark.conf.get(key)
     try:
-        spark.conf.set(key, str(spark.sparkContext.defaultParallelism))
+        spark.conf.set(key, str(_stream_state_partitions(spark, src, python_state=True)))
         q = (
             updates.writeStream.format("memory")
             .queryName("re_st3_totals")
@@ -447,17 +501,28 @@ def st_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     contract for joins. State per key is bounded by watermark + window
     (2h + 1h of events), the property that lets a 100 TB/day
     stream-stream join run indefinitely."""
+    import os
     import shutil
 
     ev = t(spark, sf_dir, "events").select("user_id", "ts", "event_id", "event_type")
-    clicks_src = stable_tmp("st6_clicks")
-    purchases_src = stable_tmp("st6_purchases")
-    ev.where(F.col("event_type") == "click").drop("event_type").write.mode(
-        "overwrite"
-    ).parquet(clicks_src)
-    ev.where(F.col("event_type") == "purchase").drop("event_type").write.mode(
-        "overwrite"
-    ).parquet(purchases_src)
+    # r14 (guide §1.2): ONE partitioned write instead of two separately
+    # filtered full scans — partitionBy splits the snapshot into
+    # event_type=click/ and event_type=purchase/ subdirs in a single
+    # pass (measured 3.1s -> 0.9s for the source build at sf0.1); each
+    # stream reads its subdir directly (the partition column is not in
+    # the files, matching the explicit schema). makedirs guards the
+    # no-rows-of-a-type case, where partitionBy writes no subdir.
+    both_src = stable_tmp("st6_src")
+    (
+        ev.where(F.col("event_type").isin("click", "purchase"))
+        .write.mode("overwrite")
+        .partitionBy("event_type")
+        .parquet(both_src)
+    )
+    clicks_src = os.path.join(both_src, "event_type=click")
+    purchases_src = os.path.join(both_src, "event_type=purchase")
+    os.makedirs(clicks_src, exist_ok=True)
+    os.makedirs(purchases_src, exist_ok=True)
     ckpt = stable_tmp("st6_ckpt")
     shutil.rmtree(ckpt, ignore_errors=True)
 
@@ -468,7 +533,9 @@ def st_stream_stream_join(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = "spark.sql.shuffle.partitions"
     old_parts = spark.conf.get(key)
     try:
-        spark.conf.set(key, str(spark.sparkContext.defaultParallelism))
+        spark.conf.set(
+            key, str(_stream_state_partitions(spark, clicks_src, purchases_src))
+        )
         q = (
             joined.writeStream.format("memory")
             .queryName("re_st6_pairs")
@@ -664,7 +731,7 @@ def st_transform_with_state(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = "spark.sql.shuffle.partitions"
     old_parts = spark.conf.get(key)
     try:
-        spark.conf.set(key, str(spark.sparkContext.defaultParallelism))
+        spark.conf.set(key, str(_stream_state_partitions(spark, src, python_state=True)))
         q = (
             updates.writeStream.format("memory")
             .queryName("re_st9_totals")
@@ -761,31 +828,52 @@ def st_cusum_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
         (F.round(F.col("value") * 100).cast("long") - _CUSUM_TARGET_CENTS).alias("dev"),
     )
     src = stable_tmp("st_cusum_src")
-    # Four ts-range slices written SEQUENTIALLY, each a single sorted
-    # file with an explicitly stamped, strictly increasing mtime:
-    # FileStreamSource orders files by modification time, and a single
-    # bulk write gives every part file the same mtime (measured: the
-    # resulting arbitrary order breaks the order-sensitive recursion).
+    # Four ts-range slices, each a single sorted file with an
+    # explicitly stamped, strictly increasing mtime: FileStreamSource
+    # orders files by modification time, and a single bulk write gives
+    # every part file the same mtime (measured: the resulting
+    # arbitrary order breaks the order-sensitive recursion).
     # Bounds as exact integers computed IN Spark: datetime.timestamp()
     # on the collected naive datetimes would interpret them in the OS
     # timezone (shifting every cut on non-UTC hosts) and round through
     # float microseconds (clipping the max-ts event) — unix_micros has
     # neither failure mode.
+    #
+    # r14 (guide §1.2): the four slices used to be four SEQUENTIAL
+    # filtered scans + coalesce(1) writes (four full passes, four
+    # single-threaded sort+write jobs); now ONE job computes the slice
+    # id ((ts_us - lo) DIV step, the identical range cuts), partitions
+    # by it, and sorts within partitions by (slice, ts, event_id) — so
+    # each slice still lands as one file whose rows are (ts, event_id)
+    # sorted, byte-identical stream input. The driver then renames the
+    # slice files into src with the same stamped mtimes as before.
     lo_us, hi_us = ev.agg(F.min(F.unix_micros("ts")), F.max(F.unix_micros("ts"))).first()
     hi_us += 1
     step = (hi_us - lo_us + 3) // 4
-    for i in range(4):
-        cut_lo, cut_hi = lo_us + i * step, lo_us + (i + 1) * step
-        part = ev.filter(
-            (F.unix_micros("ts") >= cut_lo)
-            & (F.unix_micros("ts") < (cut_hi if i < 3 else hi_us))
+    build = src + "_build"
+    shutil.rmtree(build, ignore_errors=True)
+    (
+        ev.withColumn(
+            "sl",
+            F.least(
+                F.lit(3),
+                F.expr(f"CAST((unix_micros(ts) - {lo_us}L) DIV {step}L AS INT)"),
+            ),
         )
-        before = set(glob.glob(src + "/part-*")) if i else set()
-        part.coalesce(1).sortWithinPartitions("ts", "event_id").write.mode(
-            "append" if i else "overwrite"
-        ).parquet(src)
-        for f in set(glob.glob(src + "/part-*")) - before:
-            os.utime(f, (1_000_000_000 + i, 1_000_000_000 + i))
+        .repartition(4, "sl")
+        .sortWithinPartitions("sl", "ts", "event_id")
+        .write.mode("overwrite")
+        .partitionBy("sl")
+        .parquet(build)
+    )
+    shutil.rmtree(src, ignore_errors=True)
+    os.makedirs(src, exist_ok=True)
+    for i in range(4):
+        for j, f in enumerate(sorted(glob.glob(os.path.join(build, f"sl={i}", "part-*")))):
+            dst = os.path.join(src, f"slice-{i}-{j}.parquet")
+            os.rename(f, dst)
+            os.utime(dst, (1_000_000_000 + i * 4 + j, 1_000_000_000 + i * 4 + j))
+    shutil.rmtree(build, ignore_errors=True)
     ckpt = stable_tmp("st_cusum_ckpt")
     shutil.rmtree(ckpt, ignore_errors=True)
 
@@ -824,7 +912,7 @@ def st_cusum_monitor(spark: SparkSession, sf_dir: str) -> DataFrame:
     key = "spark.sql.shuffle.partitions"
     old_parts = spark.conf.get(key)
     try:
-        spark.conf.set(key, str(spark.sparkContext.defaultParallelism))
+        spark.conf.set(key, str(_stream_state_partitions(spark, src, python_state=True)))
         q = (
             updates.writeStream.format("memory")
             .queryName("re_st_cusum")
