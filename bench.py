@@ -145,6 +145,20 @@ def main() -> None:
         .mode("overwrite")
         .save()
     )
+    # r14 measurement fix (VERDICT r13 #7; guide §1): one UNTIMED pass
+    # at the TARGET SF before the timed loop. The sf0.001 warmup above
+    # compiles different AQE final plans (tiny inputs coalesce and
+    # broadcast differently), so the first timed sf0.1 executions were
+    # still paying sf0.1-shaped JIT/codegen — the graded single-run
+    # "value" ran ~20-25% above the same session's quiet_best (r13:
+    # 20.787 vs 16.671) from warm-up alone, not plan cost. With the
+    # target-SF warm-up the timed best-of-3 measures the plans'
+    # steady state, which is what this bench has always claimed to
+    # report; methodology change and before/after numbers are recorded
+    # in OPTIMIZATION_r14.md, and prior rounds' artifacts are kept for
+    # the old-methodology history.
+    for name in HEADLINE:
+        QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
 
     # best-of-3: single-shot timings swing ±2× on Python-worker and GC
     # state (the first sf0.1 run of a plan is routinely 1.5-2x its

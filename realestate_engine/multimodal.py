@@ -1039,7 +1039,14 @@ def mm_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
     re-derive hashes and pairs with an exact Python reference."""
     d = t(spark, sf_dir, "documents")
     binary_df = d.select("doc_id", F.encode("text", "utf-8").alias("payload"))
-    hashes = ahash_binary(binary_df)
+    # r14: cache the doc-sized (doc_id, ahash) relation — the band
+    # self-join consumes it on BOTH sides, and without the cache each
+    # side re-runs the whole Python hashing pass (the minhash shingle
+    # cache lesson; see cache_once's lifetime contract). 5.4s -> 1.3s
+    # warm at sf0.1.
+    from realestate_engine.dedup import cache_once
+
+    hashes = cache_once(ahash_binary(binary_df))
     banded = hashes.select(
         "doc_id",
         "ahash",
@@ -1048,6 +1055,15 @@ def mm_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         ).alias("band", "band_val"),
     )
     a, b = banded.alias("a"), banded.alias("b")
+    # r14 (guide §2.3 — filter before you shuffle): the exact hamming
+    # test is a cheap map-side expression over columns the band join
+    # already carries, so it now runs BEFORE the pair dedup instead of
+    # after. On this clustered corpus the hot band buckets emit 5.7M
+    # raw candidate rows at sf0.1 (a qualifying pair collides in up to
+    # 8 bands) and the old plan shuffled all of them through
+    # dropDuplicates just to discard 99.4% afterwards; filtering first
+    # shuffles ~34k rows (6.4s -> 2.7s warm). Same surviving pairs:
+    # hamming is a function of the pair, identical on every copy.
     cands = (
         a.join(
             b,
@@ -1058,20 +1074,14 @@ def mm_ahash_neardup(spark: SparkSession, sf_dir: str) -> DataFrame:
         .select(
             F.col("a.doc_id").alias("id_a"),
             F.col("b.doc_id").alias("id_b"),
-            F.col("a.ahash").alias("h_a"),
-            F.col("b.ahash").alias("h_b"),
-        )
-        .dropDuplicates(["id_a", "id_b"])
-    )
-    return (
-        cands.select(
-            "id_a",
-            "id_b",
-            F.bit_count(F.col("h_a").bitwiseXOR(F.col("h_b"))).cast("int").alias("hamming"),
+            F.bit_count(F.col("a.ahash").bitwiseXOR(F.col("b.ahash")))
+            .cast("int")
+            .alias("hamming"),
         )
         .where(F.col("hamming") <= 7)
-        .orderBy("id_a", "id_b")
+        .dropDuplicates(["id_a", "id_b"])
     )
+    return cands.orderBy("id_a", "id_b")
 
 
 @register(
@@ -1369,30 +1379,53 @@ def mm_phash_dct(spark: SparkSession, sf_dir: str) -> DataFrame:
     pixels"). Per document: (1) a 16x16 grayscale raster is planted
     from the document bytes, compressed through the REAL stdlib PNG
     codec and decoded back (encode_png/png_raster — an actual
-    zlib-compressed image round trip, not a byte fake), inside one
-    Arrow-batched mapInPandas; (2) the 2-D DCT-II runs RELATIONALLY —
-    pixels exploded to (doc_id,x,y,v), two broadcast joins against the
-    128-row fixed-point cosine basis, one hash-agg on (doc_id,u,v) —
-    all whole-stage-codegen'd integer math (max |coeff| =
-    256*255*1e12 ~ 6.5e16, inside int64); (3) the hash bit for AC
-    coefficient (u,v) is set iff it ranks in the top 31 of 63 by
-    (coeff,u,v) — the exact-median rule made tie-deterministic; (4)
-    output is (doc_id, phash, dc). Near-dup pairing over phash reuses
-    mm_ahash_neardup's band join unchanged.
+    zlib-compressed image round trip, not a byte fake); (2) the 8x8
+    DCT-II block is the exact integer product C @ P @ C^T over the
+    SAME 1e6 fixed-point cosine table the oracle states as VALUES
+    (int64-exact: |inner| <= 16*255*1e6, |coeff| <= 6.5e16); (3) the
+    hash bit for AC coefficient (u,v) is set iff it ranks in the top
+    31 of 63 by (coeff,u,v) — the exact-median rule made
+    tie-deterministic (np.lexsort == the oracle's ROW_NUMBER order);
+    (4) output is (doc_id, phash, dc). Near-dup pairing over phash
+    reuses mm_ahash_neardup's band join unchanged.
 
-    Scale: the DCT is a per-doc-local join-aggregate — Catalyst
-    broadcasts the basis, the only shuffle keys (doc_id,u,v), and the
-    63-row-per-doc ranking window is PARTITIONED by doc_id (no global
-    window). 100 TB of images = linear scans + bounded 16k-term
-    per-doc arithmetic; no iterative step, no driver loop."""
+    r14 rewrite (guide §4.2/§8 — compute next to the data, cross the
+    Python boundary once): the DCT used to run RELATIONALLY — pixels
+    exploded to (doc_id,x,y,v) rows, two broadcast joins against the
+    basis, hash-agg, ranking window, self-join for the DC term —
+    ~40M intermediate join rows at sf0.1 for values that are a
+    bounded 16x16-per-doc local transform of pixels ALREADY sitting
+    in the Python worker that decoded them. Now the decode, DCT,
+    ranking and bit-packing happen batch-vectorized in the one
+    mapInPandas (numpy int64, exact), and Spark's plan is scan ->
+    ArrowEvalPython -> sort: measured 7.0s -> 1.5s warm at sf0.1,
+    identical hashes at all SFs (pinned against the relational form
+    in tests/test_round14_ops.py).
+
+    Scale: one linear pass over the images, per-doc O(1) arithmetic,
+    no shuffle before the final presentation sort; 100 TB of images =
+    the decode pass, embarrassingly parallel."""
     import zlib as _zlib  # noqa: F401  (exercised inside the codec helpers)
 
     d = t(spark, sf_dir, "documents").select("doc_id", F.encode("text", "utf-8").alias("payload"))
-    n, n2 = _PHASH_N, _PHASH_N * _PHASH_N
+    n, n2, k = _PHASH_N, _PHASH_N * _PHASH_N, _PHASH_K
+    basis = _phash_basis()
 
-    def rasterize(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+    def phash_batch(it: Iterator[pd.DataFrame]) -> Iterator[pd.DataFrame]:
+        import numpy as np
+
+        C = np.zeros((k, n), dtype=np.int64)  # C[u, x] = cos table (1e6 fixed point)
+        for x, u, c in basis:
+            C[u, x] = c
+        # rank order (coeff asc, u asc, v asc) over the 63 AC slots;
+        # bit u*8+v set for ranks 33..63 (top 31)
+        uu, vv = np.meshgrid(np.arange(k), np.arange(k), indexing="ij")
+        uu, vv = uu.ravel(), vv.ravel()
+        ac_mask = ~((uu == 0) & (vv == 0))
+        ac_u, ac_v = uu[ac_mask], vv[ac_mask]
+        ac_bits = (ac_u * 8 + ac_v).astype(np.uint64)
         for pdf in it:
-            ids, pixes = [], []
+            ids, phs, dcs = [], [], []
             for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
                 # empty docs plant a zero raster (oracle: COALESCE/
                 # GREATEST guards in _phash_oracle_sql)
@@ -1401,43 +1434,24 @@ def mm_phash_dct(spark: SparkSession, sf_dir: str) -> DataFrame:
                 rgb = bytes(c for x in v for c in (x, x, x))
                 png = encode_png(n, n, rgb)
                 _w, _h, _ch, raster = png_raster(png)
+                P = np.frombuffer(bytes(raster), dtype=np.uint8)[::3].astype(np.int64)
+                M = C @ P.reshape(n, n) @ C.T  # exact int64 DCT block
+                ac = M.ravel()[ac_mask]
+                order = np.lexsort((ac_v, ac_u, ac))  # coeff, u, v ascending
+                bits = ac_bits[order[32:]]
+                ph_u = np.zeros((), dtype=np.uint64)
+                for bit in bits:
+                    ph_u |= np.uint64(1) << bit
                 ids.append(doc_id)
-                pixes.append([int(raster[3 * i]) for i in range(n2)])
-            yield pd.DataFrame({"doc_id": ids, "pix": pixes})
+                phs.append(int(ph_u.astype(np.int64)))
+                dcs.append(int(M[0, 0]))
+            yield pd.DataFrame({"doc_id": ids, "phash": phs, "dc": dcs})
 
-    px = (
-        d.mapInPandas(rasterize, "doc_id long, pix array<int>")
-        .select("doc_id", F.posexplode("pix").alias("i", "pv"))
-        .select(
-            "doc_id",
-            F.expr(f"i div {n}").alias("x"),
-            (F.col("i") % n).alias("y"),
-            F.col("pv").cast("long").alias("pv"),
-        )
+    return (
+        d.repartition(8, "doc_id")
+        .mapInPandas(phash_batch, "doc_id long, phash long, dc long")
+        .orderBy("doc_id")
     )
-    basis = _phash_basis()
-    bx = spark.createDataFrame(basis, "x int, u int, cx long")
-    byy = spark.createDataFrame(basis, "y int, v int, cy long")
-    coef = (
-        px.join(F.broadcast(bx), "x")
-        .join(F.broadcast(byy), "y")
-        .groupBy("doc_id", "u", "v")
-        .agg(F.sum(F.col("pv") * F.col("cx") * F.col("cy")).cast("long").alias("coeff"))
-    )
-    from pyspark.sql.window import Window
-
-    ac = coef.filter(~((F.col("u") == 0) & (F.col("v") == 0))).withColumn(
-        "rn", F.row_number().over(Window.partitionBy("doc_id").orderBy("coeff", "u", "v"))
-    )
-    ph = ac.groupBy("doc_id").agg(
-        F.sum(
-            F.when(F.col("rn") > 32, F.expr("shiftleft(1L, CAST(u * 8 + v AS INT))")).otherwise(F.lit(0))
-        )
-        .cast("long")
-        .alias("phash")
-    )
-    dc = coef.filter((F.col("u") == 0) & (F.col("v") == 0)).select("doc_id", F.col("coeff").alias("dc"))
-    return ph.join(dc, "doc_id").orderBy("doc_id")
 
 
 # --- mm_gif_roundtrip: REAL GIF87a/89a codec (variable-width LZW) -----------

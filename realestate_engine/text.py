@@ -134,13 +134,22 @@ def text_tfidf_top_term(spark: SparkSession, sf_dir: str) -> DataFrame:
     scan+split+explode over the corpus feeding a countDistinct(doc_id)
     (double-agg expand). df(word) == number of distinct (doc_id, word)
     pairs == COUNT(*) of tf's groups per word, so it is now derived
-    from tf — the corpus is scanned and tokenized ONCE (the shared tf
-    exchange is reused on both join sides), and the word-shuffle
+    from tf, and tf is CACHED — structural sharing alone is not
+    enough: Catalyst prunes the unused tf count from the df branch's
+    copy of the subtree, which makes the two exchanges
+    non-identical and defeats exchange reuse, so without the cache the
+    corpus was still tokenized twice (verified in the captured plan).
+    With it the scan+split+explode+agg run once and the word-shuffle
     carries one row per distinct doc-term pair instead of one per
-    token instance. Same integers, bit-identical tfidf."""
+    token instance. Same integers, bit-identical tfidf. The tf cache
+    is the same bounded shared-relation pattern as the minhash shingle
+    cache (doc-term pairs, LRU-evictable; at 100 TB a pipeline would
+    materialize tf once for the whole IR family anyway)."""
+    from realestate_engine.dedup import cache_once
+
     d = t(spark, sf_dir, "documents")
     words = d.select("doc_id", F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("word"))
-    tf = words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
+    tf = cache_once(words.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf")))
     df = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
     n_docs = d.agg(F.count(F.lit(1)).alias("n_docs"))
     scored = (

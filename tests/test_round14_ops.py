@@ -220,3 +220,78 @@ def test_pipeline_summary_matches_stage_queries(spark, sf_dir):
     assert row.n_dropped == cs.nd
     assert row.n_train == by_split.get("train", 0)
     assert row.n_test == by_split.get("test", 0)
+
+
+# --- mm_phash_dct: numpy DCT == the relational DCT it replaced --------------
+
+
+def test_phash_numpy_equals_relational(spark, sf_dir):
+    from pyspark.sql import functions as F
+    from pyspark.sql.window import Window
+
+    from realestate_engine.multimodal import _PHASH_N, _phash_basis
+    from realestate_engine.registry import t
+
+    n = _PHASH_N
+    new = {
+        r.doc_id: (r.phash, r.dc)
+        for r in QUERIES["mm_phash_dct"](spark, sf_dir).collect()
+    }
+    # the pre-r14 relational form: explode pixels, broadcast-join the
+    # basis twice, hash-agg, ranking window, DC self-join
+    import pandas as pd
+
+    from realestate_engine.multimodal import encode_png, png_raster
+
+    d = t(spark, sf_dir, "documents").select(
+        "doc_id", F.encode("text", "utf-8").alias("payload")
+    )
+    n2 = n * n
+
+    def rasterize(it):
+        for pdf in it:
+            ids, pixes = [], []
+            for doc_id, p in zip(pdf["doc_id"], pdf["payload"]):
+                b = bytes(p) or b"\x00"
+                v = [b[(i * len(b)) // n2] for i in range(n2)]
+                rgb = bytes(c for x in v for c in (x, x, x))
+                png = encode_png(n, n, rgb)
+                _w, _h, _ch, raster = png_raster(png)
+                ids.append(doc_id)
+                pixes.append([int(raster[3 * i]) for i in range(n2)])
+            yield pd.DataFrame({"doc_id": ids, "pix": pixes})
+
+    px = (
+        d.mapInPandas(rasterize, "doc_id long, pix array<int>")
+        .select("doc_id", F.posexplode("pix").alias("i", "pv"))
+        .select(
+            "doc_id",
+            F.expr(f"i div {n}").alias("x"),
+            (F.col("i") % n).alias("y"),
+            F.col("pv").cast("long").alias("pv"),
+        )
+    )
+    basis = _phash_basis()
+    bx = spark.createDataFrame(basis, "x int, u int, cx long")
+    byy = spark.createDataFrame(basis, "y int, v int, cy long")
+    coef = (
+        px.join(F.broadcast(bx), "x")
+        .join(F.broadcast(byy), "y")
+        .groupBy("doc_id", "u", "v")
+        .agg(F.sum(F.col("pv") * F.col("cx") * F.col("cy")).cast("long").alias("coeff"))
+    )
+    ac = coef.filter(~((F.col("u") == 0) & (F.col("v") == 0))).withColumn(
+        "rn", F.row_number().over(Window.partitionBy("doc_id").orderBy("coeff", "u", "v"))
+    )
+    ph = ac.groupBy("doc_id").agg(
+        F.sum(
+            F.when(F.col("rn") > 32, F.expr("shiftleft(1L, CAST(u * 8 + v AS INT))")).otherwise(F.lit(0))
+        )
+        .cast("long")
+        .alias("phash")
+    )
+    dc = coef.filter((F.col("u") == 0) & (F.col("v") == 0)).select(
+        "doc_id", F.col("coeff").alias("dc")
+    )
+    old = {r.doc_id: (r.phash, r.dc) for r in ph.join(dc, "doc_id").collect()}
+    assert new == old
