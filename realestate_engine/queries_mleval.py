@@ -773,50 +773,52 @@ def m38_viterbi_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
     and the DuckDB oracle replays the identical recurrence as a
     recursive CTE threading both state scores. Ends-state scores,
     the argmax state (tie -> casual), and the best score are emitted
-    per user. Scale: the per-user loop is applyInPandas (bounded
-    history, parallelism = users); because max-plus products are
-    associative, a 100 TB deployment re-expresses the same recurrence
-    as a segment-tree of 2x2 max-plus matrix products — the algebra
-    is chosen so that rewrite changes no output bit."""
-    import pandas as pd
+    per user. Scale: the per-user DP runs as the partition-streaming
+    _user_recurrence_map (r14 — one Python call per Arrow batch, not
+    per user; the grouped applyInPandas form paid 1,500 per-group
+    round-trips at sf0.1, measured 5.1s -> 2.0s warm); because
+    max-plus products are associative, a 100 TB deployment
+    re-expresses the same recurrence as a segment-tree of 2x2
+    max-plus matrix products — the algebra is chosen so that rewrite
+    changes no output bit."""
+    from realestate_engine.timeseries import _user_recurrence_map
 
-    ev = t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "event_type")
     e0, e1 = _VIT_EMIT0, _VIT_EMIT1
     t00, t01, t10, t11 = _VIT_TRANS
-
-    def viterbi(pdf: pd.DataFrame) -> pd.DataFrame:
-        pdf = pdf.sort_values(["ts", "event_id"])
-        obs = [
-            0 if et in ("click", "view") else 1 if et in ("purchase", "signup") else 2
-            for et in pdf["event_type"]
-        ]
-        s0 = _VIT_START[0] + e0[obs[0]]
-        s1 = _VIT_START[1] + e1[obs[0]]
-        for o in obs[1:]:
-            s0, s1 = (
-                e0[o] + max(s0 + t00, s1 + t10),
-                e1[o] + max(s0 + t01, s1 + t11),
-            )
-        return pd.DataFrame(
-            {
-                "user_id": [int(pdf["user_id"].iloc[0])],
-                "n_events": [len(obs)],
-                "score_casual": [s0],
-                "score_buyer": [s1],
-                "best_state": [0 if s0 >= s1 else 1],
-                "best_score": [max(s0, s1)],
-            }
-        )
-
-    return (
-        ev.groupBy("user_id")
-        .applyInPandas(
-            viterbi,
-            "user_id long, n_events long, score_casual long, score_buyer long, "
-            "best_state long, best_score long",
-        )
-        .orderBy("user_id")
+    # observation class as a native expression (no strings into Python)
+    obs_col = (
+        F.when(F.col("event_type").isin("click", "view"), 0)
+        .when(F.col("event_type").isin("purchase", "signup"), 1)
+        .otherwise(2)
     )
+    ev = t(spark, sf_dir, "events").select(
+        "user_id", "event_id", "ts", obs_col.alias("obs")
+    )
+
+    def fold(st, o, rn):
+        if st is None:
+            return (_VIT_START[0] + e0[o], _VIT_START[1] + e1[o])
+        s0, s1 = st
+        return (
+            e0[o] + max(s0 + t00, s1 + t10),
+            e1[o] + max(s0 + t01, s1 + t11),
+        )
+
+    def emit(u, n, st):
+        s0, s1 = st
+        return (u, n, s0, s1, 0 if s0 >= s1 else 1, max(s0, s1))
+
+    return _user_recurrence_map(
+        ev,
+        fold=fold,
+        emit=emit,
+        schema=(
+            "user_id long, n_events long, score_casual long, score_buyer long, "
+            "best_state long, best_score long"
+        ),
+        value_col="obs",
+        to_v=int,
+    ).orderBy("user_id")
 
 
 # --- M39: exact gradient-boosted stumps (3 rounds, depth-1 trees) ------------

@@ -28,7 +28,9 @@ from realestate_engine.dedup import cache_once
 from realestate_engine.registry import register, t
 
 
-def _user_recurrence_map(ev: DataFrame, fold, emit, schema: str) -> DataFrame:
+def _user_recurrence_map(
+    ev: DataFrame, fold, emit, schema: str, value_col: str = "value", to_v=None
+) -> DataFrame:
     """Order-dependent per-user integer recurrences (EWMA / Holt /
     Holt-Winters) as a partition-streaming mapInPandas — the
     custom_running_total_pandas lesson (r8) applied to this family in
@@ -45,12 +47,16 @@ def _user_recurrence_map(ev: DataFrame, fold, emit, schema: str) -> DataFrame:
     summary rows are emitted once, after the partition's last batch.
     State stays exact Python ints — bit-identical to the grouped form.
 
-    ``fold(state_or_None, v_milli, rn)`` advances one user's state;
+    ``fold(state_or_None, v, rn)`` advances one user's state;
     ``emit(user_id, n, state)`` returns the output row as a tuple in
-    ``schema`` column order."""
+    ``schema`` column order; ``value_col``/``to_v`` pick and transform
+    the observation column (default: the milli-scaled integer floor
+    the ts_* recurrences share — m38's Viterbi passes its own)."""
     import math
 
     cols = [c.strip().split()[0] for c in schema.split(",")]
+    if to_v is None:
+        to_v = lambda x: int(math.floor(x * 1000))  # noqa: E731
 
     def run(batches):
         import pandas as pd
@@ -60,9 +66,9 @@ def _user_recurrence_map(ev: DataFrame, fold, emit, schema: str) -> DataFrame:
             if len(pdf) == 0:
                 continue
             uids = pdf["user_id"].to_numpy().tolist()
-            vals = pdf["value"].to_numpy().tolist()
+            vals = pdf[value_col].to_numpy().tolist()
             for u, x in zip(uids, vals):
-                v = int(math.floor(x * 1000))
+                v = to_v(x)
                 ent = acc.get(u)
                 if ent is None:
                     acc[u] = [1, fold(None, v, 1)]
