@@ -15,14 +15,11 @@ The full per-round rotation history lives in COVERAGE.md's
 "Driver-window ledger" section; after r12 the cumulative ledger held
 491 of 498 registered queries.
 
-Round 13's window (per VERDICT r12 #1): flagship, then the LAST 7
-never-windowed drain-queue names (completing the ledger at 498/498),
-then 42 re-verification slots for the stalest / most
-environment-sensitive ledger entries — the grid-floor ML oracles
-(m17/m21/m24), the Newton/EM/iterative oracle family (floor-quantized
-fixed-point replays are the most fragile class under BLAS/libm/JDK
-drift), and the oldest r2/r3-era core-operator names (ten rounds of
-code churn since their last driver row).
+Round 14's window (per VERDICT r13 #1, staged and 3-SF-pre-certified
+at the r13 close): flagship + the 37 remaining r2/r3-era names + the
+12 oldest r4-era names. Several of the r4-era slots are queries whose
+internals were optimized in round 14 (OPTIMIZATION_r14.md), so this
+window also gives that work fresh driver-hash evidence.
 """
 
 from __future__ import annotations
@@ -38,54 +35,41 @@ registry.load_all()
 
 _WINDOW = [
     "flagship_revenue_by_nation",
-    # --- drain queue: the final 7 never-windowed names (ledger 491→498)
-    "ev10_funnel_latency", "a31_grouped_percentiles",
-    "ev11_pareto_concentration", "dq11_table_fingerprint",
-    "dq22_date_order_audit", "dq23_dlp_census", "x32_crdt_counter_merge",
-    # --- re-verify: grid-floor ML oracles (environment-sensitive per
-    #     ADVICE r12; tools/grid_margin.py certifies their margins)
-    "m17_isotonic_calibration", "m21_glm_poisson", "m24_aft_survival",
-    # --- re-verify: Newton/EM/iterative fixed-point family (last
-    #     driver rows r5-r11; floor-quantized replay = fragile class)
-    "m43_logreg_newton", "m45_gmm_em", "m50_poisson_newton",
-    "m44_pca_closed_form", "m25_kmeans_fixed_point",
-    "m26_ols_normal_equations", "m49_ridge_closed_form",
-    "m54_platt_scaling", "m62_dawid_skene",
-    "ev32_cox_proportional_hazards", "m38_viterbi_decode",
-    "m46_cart_depth2", "m39_gbm_stumps", "graph_boruvka_msf",
-    "graph_deterministic_walks",
-    # --- re-verify: oldest r2/r3-era names (core-operator anchors)
-    "a10_cube", "a10_rollup", "a11_pivot", "a12_grouping_sets",
-    "a1_groupby_count_sort", "a2_groupby_avg", "a4_global_multiagg",
-    "a5_summary_profile", "a8_corr_distributed", "a9_count_distinct",
-    "j1_inner_join_using", "j2_anti_join_audit", "j3_full_outer",
-    "p1_cast_normalization", "p8_null_imputation", "p9_null_profile",
-    "w1_ranking", "w2_lag_lead", "w3_frame_aggregates",
-    "o3_distributed_topk_per_group", "s1_csv_roundtrip",
-    "s2_parquet_scan_pushdown", "s3_parquet_sink_partitioned",
-    "f11_pandas_udaf_weighted_avg",
+    # --- r14 rotation, exactly as staged and 3-SF-pre-certified at the
+    #     r13 close (VERDICT r13 ask #1): the 37 remaining r2/r3-era
+    #     names, then the 12 oldest r4-era names in ledger order. The
+    #     r4 block doubles as fresh driver evidence for this round's
+    #     optimization work: text_tfidf_top_term, corpus_clean_pipeline,
+    #     dedup_clusters/_twostar, dedup_embedding_cosine and
+    #     dedup_leakage_safe_split were all restructured or
+    #     cache-shared in r14 (see OPTIMIZATION_r14.md) and re-certified
+    #     at all three SFs before this rotation.
+    "a3_count_star_alias", "a7_count_scalar", "f1_log_guarded",
+    "j3_broadcast_dim", "j3_cross", "j3_left_outer", "j3_left_semi",
+    "j3_right_outer", "p2_column_subset", "p3_rename", "set_except",
+    "set_intersect", "set_union_all", "set_union_by_name",
+    "a6_approx_quantile", "asof_last_click_before_purchase",
+    "dedup_exact", "dedup_keep_newest", "f10_monthly_revenue",
+    "f3_haversine", "f6_quantile_clamp", "m1_string_indexer",
+    "m4_pipeline_fit_transform", "m6_target_stats",
+    "m8_smearing_inverse", "mm_image_features", "o1_global_sort_desc",
+    "o2_topk", "p4_null_filter", "p5_sql_string_filter",
+    "p6_range_filter_drop", "p7_conditional_case", "s4_local_rows",
+    "s6_csv_sink_native", "set_drop_duplicates", "sim_bruteforce_topk",
+    "text_tfidf_top_term",
+    # --- oldest r4-era names
+    "a33_runs_test", "corpus_clean_pipeline",
+    "corpus_temperature_mixture", "corpus_token_budget",
+    "dedup_clusters", "dedup_clusters_twostar",
+    "dedup_embedding_cosine", "dedup_leakage_safe_split",
+    "dedup_minhash_incremental", "dedup_minhash_lsh",
+    "dedup_ngram_jaccard", "dedup_simhash",
 ]
 assert len(_WINDOW) == 50, len(_WINDOW)
 
-# Staged r14 window (freshness rotation continues once the ledger is
-# complete at 498/498): flagship + the 37 remaining r2/r3-era names —
-# a3_count_star_alias, a7_count_scalar, f1_log_guarded,
-# j3_broadcast_dim, j3_cross, j3_left_outer, j3_left_semi,
-# j3_right_outer, p2_column_subset, p3_rename, set_except,
-# set_intersect, set_union_all, set_union_by_name,
-# a6_approx_quantile, asof_last_click_before_purchase, dedup_exact,
-# dedup_keep_newest, f10_monthly_revenue, f3_haversine,
-# f6_quantile_clamp, m1_string_indexer, m4_pipeline_fit_transform,
-# m6_target_stats, m8_smearing_inverse, mm_image_features,
-# o1_global_sort_desc, o2_topk, p4_null_filter, p5_sql_string_filter,
-# p6_range_filter_drop, p7_conditional_case, s4_local_rows,
-# s6_csv_sink_native, set_drop_duplicates, sim_bruteforce_topk,
-# text_tfidf_top_term — then the oldest r4-era names in ledger order:
-# a33_runs_test, corpus_clean_pipeline, corpus_temperature_mixture,
-# corpus_token_budget, dedup_clusters, dedup_clusters_twostar,
-# dedup_embedding_cosine, dedup_leakage_safe_split,
-# dedup_minhash_incremental, dedup_minhash_lsh, dedup_ngram_jaccard,
-# dedup_simhash.
+# r15 window: continue the freshness rotation mechanically — flagship
+# + the 49 stalest ledger names per `tools/ledger.py --stalest` after
+# folding CORRECTNESS_r14 (the remaining r4-r7-era tail).
 
 
 def _ordered() -> dict[str, Callable[[SparkSession, str], DataFrame]]:
