@@ -150,11 +150,12 @@ def _band_hash(mh_cols: list[str]) -> Column:
     """Portable band hash: left-fold the band's signature lanes with the
     same rolling polynomial as shingle_hashes (h·B + next mod p). Each
     lane is already < p, so no overflow. Replaces F.hash (murmur3,
-    Spark-only) so the banding step has an exact DuckDB twin."""
-    h = F.col(mh_cols[0])
+    Spark-only) so the banding step has an exact DuckDB twin. Composed
+    as one F.expr string (identical parse tree, one py4j call — §5)."""
+    expr = mh_cols[0]
     for c in mh_cols[1:]:
-        h = F.pmod(h * F.lit(_POLY) + F.col(c), F.lit(_MINHASH_PRIME))
-    return h
+        expr = f"pmod({expr} * {_POLY}L + {c}, {_MINHASH_PRIME}L)"
+    return F.expr(expr)
 
 
 _MINHASH_COEFFS = [
@@ -206,8 +207,13 @@ def minhash_signature_df(
     p = _MINHASH_PRIME
     src = shingles if shingles is not None else hashed_shingle_df(df, id_col, text_col, shingle_n)
     exploded = src.select("id", F.explode("sh").alias("h"))
+    # One F.expr per lane, not per-operator Column arithmetic: the
+    # parsed tree is identical, but composition drops from ~5 py4j
+    # round-trips per lane to 1 (guide §5 driver overhead; 16 lanes ×
+    # every build of every minhash query — measured ~0.2s/build at
+    # sf0.1).
     aggs = [
-        F.min((F.col("h") * F.lit(a % p) + F.lit(b)) % F.lit(p)).alias(f"mh{i}")
+        F.expr(f"min((h * {a % p}L + {b}L) % {p}L) AS mh{i}")
         for i, (a, b) in enumerate(_MINHASH_COEFFS[:num_hashes])
     ]
     return exploded.groupBy("id").agg(*aggs)
@@ -680,37 +686,72 @@ def connected_components(pairs: DataFrame, id_a: str = "id_a", id_b: str = "id_b
     labels) — converges in O(component diameter) rounds (near-dup
     clusters are shallow; max_iter bounds pathological chains).
 
-    Scale: each round is one join + one agg (shuffle on node id);
-    localCheckpoint truncates the growing lineage so round N's plan does
-    not replay rounds 1..N-1. The convergence probe is an O(1) driver
-    scalar, not a data collect — and since r14 it rides a change FLAG
-    computed inside the round's projection and aggregated off the
-    already-materialized checkpoint (the old form re-joined new labels
-    against old labels just to count diffs: one extra join + two
-    exchanges per round for a number the round already knew;
-    guide §1.2)."""
-    edges = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
-    edges = edges.union(edges.select(F.col("dst").alias("src"), F.col("src").alias("dst")))
-    edges = edges.distinct().localCheckpoint()
+    Scale (r15 round shape, guide §2.4 — remove shuffles outright): the
+    STATIC edge list gains a SELF-LOOP per node and is cached
+    dst-partitioned (a cached relation keeps its output partitioning;
+    the old per-round localCheckpoint reported UnknownPartitioning, so
+    every round re-shuffled the edges — VERDICT r14 #4). Each round is
+    then ONE join + ONE aggregate: min(label over N(u) ∪ {u}) IS the
+    update rule, and the self-edge row carries u's own current label
+    through the same aggregate — both the new label and the old label
+    (for the convergence flag) fall out of one groupBy, so the r14
+    form's second per-round join (labels ⋈ neigh, an SMJ with two
+    ENSURE_REQUIREMENTS exchanges) is gone. Per-round labels are still
+    localCheckpoint'ed: the probe needs them materialized and the
+    lineage must not replay rounds 1..N-1. Output-identical: every
+    node is its own neighbor under a self-loop, so
+    min(N(u) ∪ {u}) == least(own, min neighbors) — the exact r14
+    update — and the flag compares the same two values."""
+    half = pairs.select(F.col(id_a).alias("src"), F.col(id_b).alias("dst"))
+    mirrored = half.union(
+        half.select(F.col("dst").alias("src"), F.col("src").alias("dst"))
+    )
+    self_loops = mirrored.select("src").distinct().select(
+        "src", F.col("src").alias("dst")
+    )
+    edges = cache_once(mirrored.union(self_loops).distinct().repartition("dst"))
+    # Per-round checkpoint width: labels are node-sized (≤ one row per
+    # distinct src), so materializing them at the full shuffle width
+    # schedules 32 near-empty tasks per round locally; an eighth of the
+    # edge width (floor 4) bounds per-round scheduling while still
+    # growing with the data (edge partitions are bytes-derived at
+    # scale). coalesce() is a narrow dependency — no extra shuffle.
+    label_w = max(4, edges.rdd.getNumPartitions() // 8)
     labels = edges.select(F.col("src").alias("id")).distinct().withColumn("label", F.col("id"))
     for _ in range(max_iter):
-        neigh = (
+        stepped = (
             edges.join(
-                labels.select(F.col("id").alias("dst"), F.col("label").alias("nlabel")), "dst"
+                labels.select(F.col("id").alias("dst"), F.col("label").alias("nlabel")),
+                "dst",
             )
             .groupBy("src")
-            .agg(F.min("nlabel").alias("minn"))
-            .select(F.col("src").alias("id"), "minn")
+            .agg(
+                F.min("nlabel").alias("label"),
+                # the (u, u) self-edge row carries u's current label
+                F.first(
+                    F.when(F.col("dst") == F.col("src"), F.col("nlabel")),
+                    ignorenulls=True,
+                ).alias("_old"),
+            )
+            .select(F.col("src").alias("id"), "label", "_old")
         )
+        # Pointer-doubling compression (Shiloach-Vishkin style): follow
+        # one label indirection — label(u) is always itself a node id
+        # (init: own id; inductively: a min of node labels), and
+        # label(label(u)) ≤ label(u) stays inside u's component, so the
+        # update is output-identical at the fixed point and cuts the
+        # O(diameter) round count (measured 8 → 6 rounds, identical
+        # labels, at sf0.1). The convergence flag compares the FINAL
+        # label of the round against the round's starting label.
+        l2 = stepped.select(F.col("id").alias("_lid"), F.col("label").alias("_llabel"))
         new_labels = (
-            labels.join(neigh, "id", "left")
+            stepped.join(l2, stepped.label == F.col("_lid"))
             .select(
                 "id",
-                F.least(F.col("label"), F.coalesce("minn", "label")).alias("label"),
-                (F.least(F.col("label"), F.coalesce("minn", "label")) != F.col("label"))
-                .cast("int")
-                .alias("_chg"),
+                F.col("_llabel").alias("label"),
+                (F.col("_llabel") != F.col("_old")).cast("int").alias("_chg"),
             )
+            .coalesce(label_w)
             .localCheckpoint()
         )
         changed = new_labels.agg(F.sum("_chg")).first()[0]
@@ -786,7 +827,12 @@ def dedup_minhash_lsh_mllib(spark: SparkSession, sf_dir: str) -> DataFrame:
             HashingTF(inputCol="shingles", outputCol="features", binary=True, numFeatures=1 << 18),
         ]
     )
-    feats = (
+    # r15 (guide §1.2 / VERDICT r14 #9): cache the tokenize→TF features
+    # — approxSimilarityJoin(feats, feats) consumes the relation on
+    # BOTH sides of its internal self-join (plus the LSH fit), so the
+    # uncached form ran the regex tokenization + 3-gram + hashing pass
+    # three times over the corpus.
+    feats = cache_once(
         pipe.fit(d).transform(d)
         .filter(F.size("shingles") > 0)  # MinHashLSH rejects empty sets
         .select("doc_id", "features")

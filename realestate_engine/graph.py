@@ -58,26 +58,33 @@ def trade_edges(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
 
 
-def pagerank_fixed_point(edges: DataFrame, n_iter: int = N_ITER) -> DataFrame:
+def pagerank_fixed_point(
+    edges: DataFrame, n_iter: int = N_ITER, width: int | None = None
+) -> DataFrame:
     """Fixed-point PageRank over an edge list (src, dst): returns
     (node, rank_micro BIGINT). Every node in the edge list has out-
     degree >= 1 (edges are bidirectional), so there is no dangling-mass
     term. Per iteration: contribution = rank div out_degree (integer),
     new rank = base + 85% of the contribution sum — all BIGINT."""
-    # Partition the (static) edge list by src ONCE and cache that
-    # narrow (src, dst) artifact. Out-degrees come from a groupBy on
-    # the SAME partitioning — a zero-shuffle partial aggregate — not a
-    # window count, which would materialize a per-partition sort of the
-    # whole edge list inside the cache build (measured ~2x the build
-    # cost at sf0.1). Everything downstream — node set, node count,
-    # degree join, and all n_iter rank joins — reuses the cached
-    # src-hash layout, so per iteration only the node-sized rank/degree
-    # frames shuffle (plus the unavoidable groupBy(dst) of
-    # contributions), never the edges themselves — the Pregel/GraphX
-    # distribution strategy.
-    edges_p = cache_once(edges.repartition("src"))
-    deg = edges_p.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-    nodes = deg.select(F.col("src").alias("node"))
+    # Partition the (static) edge list by src ONCE, attach each edge's
+    # SOURCE degree (also static), and cache that (src, dst, d)
+    # artifact. Degrees come from a groupBy on the same partitioning —
+    # a zero-shuffle partial aggregate — joined back colocated (both
+    # sides hash(src)), so the build pays the one unavoidable edge
+    # shuffle and nothing else. With d riding the cached edges, the
+    # per-iteration ``deg ⋈ ranks`` join of the r13/r14 form is GONE
+    # (guide §2.4 — remove shuffles outright): each iteration is now
+    # exactly one node-sized join (ranks onto the src layout) + the
+    # unavoidable groupBy(dst) of contributions. ``rank div d`` is
+    # evaluated per edge instead of once per source — the same integer
+    # value replicated, so every inflow sum is bit-identical.
+    rep = edges.repartition(width, "src") if width else edges.repartition("src")
+    deg = rep.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    edges_p = cache_once(rep.join(deg, "src"))
+    # node set and count read the CACHED relation (distinct on the
+    # cached hash(src) layout adds no exchange), not the deg subtree,
+    # which would replay the edge build.
+    nodes = edges_p.select("src").distinct().select(F.col("src").alias("node"))
     n_nodes = nodes.agg(F.count(F.lit(1)).cast("bigint").alias("n"))
     # base = floor(0.15 * SCALE / N), init = floor(SCALE / N): 1-row
     # broadcast, exact integers.
@@ -86,15 +93,15 @@ def pagerank_fixed_point(edges: DataFrame, n_iter: int = N_ITER) -> DataFrame:
         .select("node", F.expr(f"{SCALE} div n").alias("rank_micro"), "n")
     )
     for _ in range(n_iter):
-        # node-sized: rank div degree per source, landing on the
-        # src-hash layout so the edge join below is colocated.
-        outflow = deg.join(
-            ranks.select(F.col("node").alias("src"), "rank_micro", "n"), "src"
-        ).select("src", F.expr("rank_micro div d").alias("contrib"), "n")
         contrib = (
-            edges_p.join(outflow, "src")
+            edges_p.join(
+                ranks.select(F.col("node").alias("src"), "rank_micro", "n"), "src"
+            )
             .groupBy("dst")
-            .agg(F.sum("contrib").alias("inflow"), F.first("n").alias("n"))
+            .agg(
+                F.sum(F.expr("rank_micro div d")).alias("inflow"),
+                F.first("n").alias("n"),
+            )
         )
         ranks = contrib.select(
             F.col("dst").alias("node"),
@@ -164,9 +171,50 @@ def graph_pagerank_trade(spark: SparkSession, sf_dir: str) -> DataFrame:
     oracle unrolls the identical integer recurrence as three chained
     CTEs — every arithmetic step is BIGINT, so Spark and DuckDB agree
     bit-for-bit (a floating-point PageRank could not be hash-compared:
-    its per-group sums are partition-order dependent)."""
-    ranks = pagerank_fixed_point(trade_edges(spark, sf_dir), N_ITER)
-    return ranks.orderBy(F.desc("rank_micro"), "node").limit(50)
+    its per-group sums are partition-order dependent).
+
+    r15 form: the recurrence is composed as ONE spark.sql statement
+    over the cached (src, dst, d) edge view instead of a driver loop of
+    ~30 DataFrame calls — the physical plan is identical (verified:
+    collected results match the DataFrame form bit-for-bit; Catalyst
+    lowers both to the same join/agg tree), but plan COMPOSITION drops
+    from ~0.4s of py4j round-trips to one parse (guide §5: the driver
+    should do almost no work; measured build 0.41→0.25s at sf0.1).
+    pagerank_fixed_point keeps the loop form for arbitrary edge inputs
+    (tests, personalized PR)."""
+    from realestate_engine.registry import input_width
+
+    width = input_width(spark, sf_dir, "orders", "lineitem", mb_per_part=8)
+    rep = trade_edges(spark, sf_dir).repartition(width, "src")
+    deg = rep.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    # Same cached (src, dst, d) artifact as pagerank_fixed_point (see
+    # its comment): one edge shuffle, degree attached colocated, the
+    # per-iteration deg join gone.
+    edges_p = cache_once(rep.join(deg, "src"))
+    edges_p.createOrReplaceTempView("_pr_edges")
+    rounds = []
+    for i in range(1, N_ITER + 1):
+        rounds.append(
+            f"""
+    r{i} AS (
+        SELECT e.dst AS node,
+               (15 * {SCALE}) div (100 * first(r.n))
+                 + ({DAMPING_NUM} * SUM(r.rank_micro div e.d)) div {DAMPING_DEN} AS rank_micro,
+               first(r.n) AS n
+        FROM _pr_edges e JOIN r{i - 1} r ON r.node = e.src
+        GROUP BY e.dst
+    )"""
+        )
+    return spark.sql(
+        f"""
+    WITH nodes AS (SELECT DISTINCT src AS node FROM _pr_edges),
+    nn AS (SELECT CAST(COUNT(*) AS BIGINT) AS n FROM nodes),
+    r0 AS (SELECT node, {SCALE} div n AS rank_micro, n FROM nodes CROSS JOIN nn),
+    {','.join(rounds)}
+    SELECT node, rank_micro FROM r{N_ITER}
+    ORDER BY rank_micro DESC, node LIMIT 50
+    """
+    )
 
 
 def _lp_round_sql(prev: str, out: str) -> str:

@@ -48,7 +48,30 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 from pyspark.sql import types as T
 
-from realestate_engine.registry import register, t
+from realestate_engine.registry import input_width, register, t
+
+
+def _decode_width(spark: SparkSession, sf_dir: str) -> int:
+    """Partition width for the Python-codec mapInPandas stages (encode/
+    decode of PNG/JPEG/WAV/FLAC/... payloads keyed by doc_id). r15,
+    guide §2 / VERDICT r14 #3: this replaces a hard-coded
+    ``repartition(8, "doc_id")`` at every decode site — a local-mode
+    constant that would cap a 100 TB media table at 8-way parallelism.
+    Width derives from the documents table's bytes at one partition
+    per 64 KB — the pure-Python codecs cost ~10^3-10^4 CPU cycles per
+    source byte, so a "partition" of codec work saturates a core at a
+    few tens of KB, not the 32-128 MB of a scan — clamped to
+    defaultParallelism with the cores/4 Python-worker floor (these
+    stages parallelize per partition; a bytes-only width of 1 would
+    serialize every codec call through one worker). At the shipped SFs
+    this lands on the same order as the old constant (sf0.1: 9 → 8
+    with the floor at 32 cores), so warm times are unchanged; at real
+    scale the clamp saturates to the full core count instead of 8.
+    $SPARK_GRAFT_BATCH_PARTS overrides for production tuning."""
+    return input_width(
+        spark, sf_dir, "documents", mb_per_part=0.0625, python_floor=True
+    )
+
 
 IMAGE_FEATURES_SCHEMA = T.StructType(
     [
@@ -286,7 +309,7 @@ def mm_png_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"doc_id": pdf["doc_id"].values, "payload": payloads})
 
     d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 200).select("doc_id")
-    binary_df = d.repartition(8, "doc_id").mapInPandas(
+    binary_df = d.repartition(_decode_width(spark, sf_dir), "doc_id").mapInPandas(
         make_png, "doc_id long, payload binary"
     )
     feats = extract_image_features(binary_df)
@@ -368,7 +391,7 @@ def mm_jpeg_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 48).select("doc_id")
     return (
-        d.repartition(8, "doc_id")
+        d.repartition(_decode_width(spark, sf_dir), "doc_id")
         .mapInPandas(
             roundtrip,
             "doc_id long, width int, height int, channels int, mae_ok boolean, max_err_ok boolean",
@@ -447,7 +470,7 @@ def mm_jpeg_progressive(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 48).select("doc_id")
     return (
-        d.repartition(8, "doc_id")
+        d.repartition(_decode_width(spark, sf_dir), "doc_id")
         .mapInPandas(
             roundtrip,
             "doc_id long, width int, height int, channels int, "
@@ -522,7 +545,7 @@ def mm_jpeg_lossless(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 48).select("doc_id", "text")
     return (
-        d.repartition(8, "doc_id")
+        d.repartition(_decode_width(spark, sf_dir), "doc_id")
         .mapInPandas(
             roundtrip,
             "doc_id long, width int, height int, channels int, "
@@ -742,7 +765,7 @@ def mm_flac_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 60).select("doc_id")
     return (
-        d.repartition(8, "doc_id")
+        d.repartition(_decode_width(spark, sf_dir), "doc_id")
         .mapInPandas(
             roundtrip,
             "doc_id long, sample_rate int, channels int, n_frames long, "
@@ -844,7 +867,7 @@ def mm_wav_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 60).select("doc_id")
     return (
-        d.repartition(8, "doc_id")
+        d.repartition(_decode_width(spark, sf_dir), "doc_id")
         .mapInPandas(
             roundtrip,
             "doc_id long, sample_rate int, channels int, bits int, "
@@ -1448,7 +1471,7 @@ def mm_phash_dct(spark: SparkSession, sf_dir: str) -> DataFrame:
             yield pd.DataFrame({"doc_id": ids, "phash": phs, "dc": dcs})
 
     return (
-        d.repartition(8, "doc_id")
+        d.repartition(_decode_width(spark, sf_dir), "doc_id")
         .mapInPandas(phash_batch, "doc_id long, phash long, dc long")
         .orderBy("doc_id")
     )
@@ -1551,7 +1574,7 @@ def mm_gif_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 48).select("doc_id")
     return (
-        d.repartition(8, "doc_id")
+        d.repartition(_decode_width(spark, sf_dir), "doc_id")
         .mapInPandas(
             roundtrip,
             "doc_id long, width int, height int, n_colors int, interlaced boolean, "
@@ -1657,7 +1680,7 @@ def mm_mjpeg_avi(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 48).select("doc_id")
     return (
-        d.repartition(8, "doc_id")
+        d.repartition(_decode_width(spark, sf_dir), "doc_id")
         .mapInPandas(
             roundtrip,
             "doc_id long, width int, height int, n_frames long, fps long, duration_ms long, "
@@ -1756,7 +1779,7 @@ def mm_tiff_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 48).select("doc_id")
     return (
-        d.repartition(8, "doc_id")
+        d.repartition(_decode_width(spark, sf_dir), "doc_id")
         .mapInPandas(
             probe,
             "doc_id long, width int, height int, orientation int, big_endian boolean, "
@@ -1854,7 +1877,7 @@ def mm_png_crc_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 70).select("doc_id")
     return (
-        d.repartition(8, "doc_id")
+        d.repartition(_decode_width(spark, sf_dir), "doc_id")
         .mapInPandas(
             audit,
             "doc_id long, n_chunks long, n_crc_bad long, first_bad_chunk string, width long",
@@ -1934,7 +1957,7 @@ def mm_flac_crc_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 70).select("doc_id")
     return (
-        d.repartition(8, "doc_id")
+        d.repartition(_decode_width(spark, sf_dir), "doc_id")
         .mapInPandas(
             audit,
             "doc_id long, n_frames long, n_crc8_bad long, n_crc16_bad long, "

@@ -1018,7 +1018,13 @@ def ev28_regression_discontinuity(spark: SparkSession, sf_dir: str) -> DataFrame
         F.round(F.col("o_totalprice") * 100).cast("bigint").alias("cents"),
     )
     li = t(spark, sf_dir, "lineitem").select("l_orderkey")
-    base = (
+    # r15 (guide §5, VERDICT r14 #5): cache the per-order base — it is
+    # consumed TWICE (the quantile cutoff aggregate below and the
+    # in-bandwidth moment pass), and without the cache each consumer
+    # replays the full lineitem⋈orders join + groupBy.
+    from realestate_engine.dedup import cache_once
+
+    base = cache_once(
         li.join(o, li.l_orderkey == o.o_orderkey)
         .groupBy("o_orderkey", "cents")
         .agg(F.count(F.lit(1)).cast("bigint").alias("y"))

@@ -19,6 +19,7 @@ from pyspark.sql import DataFrame, SparkSession
 from pyspark.sql import functions as F
 
 from realestate_engine.registry import register, t
+from realestate_engine.multimodal import _decode_width
 
 
 @register(
@@ -83,7 +84,7 @@ def mm_mp4_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 60).select("doc_id")
     return (
-        d.repartition(8, "doc_id")
+        d.repartition(_decode_width(spark, sf_dir), "doc_id")
         .mapInPandas(
             probe,
             "doc_id long, brand string, n_boxes long, timescale int, "
@@ -165,7 +166,7 @@ def mm_ogg_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 60).select("doc_id")
     return (
-        d.repartition(8, "doc_id")
+        d.repartition(_decode_width(spark, sf_dir), "doc_id")
         .mapInPandas(
             probe,
             "doc_id long, serial long, n_pages long, sample_rate int, "
@@ -251,7 +252,7 @@ def mm_mp3_probe(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 60).select("doc_id")
     return (
-        d.repartition(8, "doc_id")
+        d.repartition(_decode_width(spark, sf_dir), "doc_id")
         .mapInPandas(
             probe,
             "doc_id long, n_frames long, bitrate_kbps int, sample_rate int, "
@@ -327,7 +328,7 @@ def mm_ogg_crc_audit(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 80).select("doc_id")
     return (
-        d.repartition(8, "doc_id")
+        d.repartition(_decode_width(spark, sf_dir), "doc_id")
         .mapInPandas(
             audit,
             "doc_id long, n_pages long, n_crc_bad long, first_bad_page long, granule long",
@@ -451,7 +452,7 @@ def mm_bmp_roundtrip(spark: SparkSession, sf_dir: str) -> DataFrame:
 
     d = t(spark, sf_dir, "documents").where(F.col("doc_id") < 60).select("doc_id")
     return (
-        d.repartition(8, "doc_id")
+        d.repartition(_decode_width(spark, sf_dir), "doc_id")
         .mapInPandas(
             roundtrip,
             "doc_id long, width int, height int, bpp int, topdown bigint, "

@@ -110,12 +110,16 @@ def tpch_q2_min_cost_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
     p = t(spark, sf_dir, "part").filter(
         (F.col("p_size") == 15) & (F.col("p_type") == "STANDARD")
     )
-    s = t(spark, sf_dir, "supplier")
-    n = t(spark, sf_dir, "nation")
+    # Explicit aliases: supplier/nation also feed the `eu` semi-join
+    # side above, and t() memoizes the scan relation per table (r15),
+    # so both occurrences are the same Dataset — qualified names keep
+    # the second join unambiguous (the standard self-join discipline).
+    s = t(spark, sf_dir, "supplier").alias("s2")
+    n = t(spark, sf_dir, "nation").alias("n2")
     return (
         best.join(F.broadcast(p), best.l_partkey == p.p_partkey)
-        .join(F.broadcast(s), best.l_suppkey == s.s_suppkey)
-        .join(F.broadcast(n), s.s_nationkey == n.n_nationkey)
+        .join(F.broadcast(s), best.l_suppkey == F.col("s2.s_suppkey"))
+        .join(F.broadcast(n), F.col("s2.s_nationkey") == F.col("n2.n_nationkey"))
         .select(
             "s_name",
             "n_name",
@@ -509,10 +513,24 @@ def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .filter(F.col("l_shipdate") > F.col("o_orderdate") + F.expr("INTERVAL 60 DAYS"))
         .select("l_orderkey", "l_suppkey")
     )
-    w = Window.partitionBy("l_orderkey")
-    sole_late = late.withColumn(
-        "n_supp_late", F.size(F.collect_set("l_suppkey").over(w))
-    ).filter(F.col("n_supp_late") == 1)
+    # r15 (guide §2.3 — aggregate before you shuffle onward): the old
+    # form kept every late ROW through a collect_set window (full sort
+    # + per-row set buffers on the l_orderkey exchange) and carried
+    # all of them into the supplier/multi_supp joins. A qualifying
+    # order has EXACTLY ONE distinct late supplier, so its late rows
+    # collapse to one aggregate row (that supplier = min = the only
+    # one) carrying the row count; numwait sums the counts instead of
+    # counting rows — same integer, one partial-aggregated row per
+    # order moving through both joins instead of every lineitem.
+    sole_late = (
+        late.groupBy("l_orderkey")
+        .agg(
+            F.countDistinct("l_suppkey").alias("n_supp_late"),
+            F.min("l_suppkey").alias("l_suppkey"),
+            F.count(F.lit(1)).alias("_n_rows"),
+        )
+        .filter(F.col("n_supp_late") == 1)
+    )
     multi_supp = (
         li.groupBy("l_orderkey")
         .agg(F.countDistinct("l_suppkey").alias("n_supp_all"))
@@ -525,7 +543,7 @@ def tpch_q21_waiting_supplier(spark: SparkSession, sf_dir: str) -> DataFrame:
         sole_late.join(s_nat, sole_late.l_suppkey == s_nat.s_suppkey)
         .join(multi_supp, "l_orderkey")
         .groupBy("s_name")
-        .agg(F.count(F.lit(1)).alias("numwait"))
+        .agg(F.sum("_n_rows").alias("numwait"))
         .orderBy(F.col("numwait").desc(), "s_name")
     )
 

@@ -91,8 +91,81 @@ def stable_tmp(name: str) -> str:
     return out
 
 
+def input_width(
+    spark: SparkSession,
+    sf_dir: str,
+    *tables: str,
+    mb_per_part: float = 32,
+    floor: int = 1,
+    python_floor: bool = False,
+) -> int:
+    """Scale-adaptive width for an EXPLICIT repartition: one partition
+    per ``mb_per_part`` MB of source parquet bytes, clamped to
+    [``floor``, defaultParallelism], with ``$SPARK_GRAFT_BATCH_PARTS``
+    as the production override (guide §2 — derive partitioning from
+    input size, not a constant tuned for local mode or the cluster).
+
+    The batch counterpart of streaming._stream_state_partitions (r14):
+    a hard-coded ``repartition(8, ...)`` or ``repartition(cores, ...)``
+    either caps a 100 TB input at local-mode width or fans a 2 MB input
+    out to 32 near-empty tasks (the r14 driver's scaling block showed
+    eight headline queries running FASTER at 8 cores than 32 for
+    exactly this reason). ``mb_per_part`` expresses per-byte stage
+    cost: 32 MB/part for scan-grade work, small values (<=1) for
+    Python-codec stages whose CPU cost per source byte is ~10^3 higher.
+    ``floor`` keeps a minimum parallelism for stages whose cost is
+    per-row Python overhead rather than bytes (the streaming helper's
+    cores/4 idea); ``python_floor=True`` applies that cores/4 floor
+    dynamically — Python-worker stages parallelize per PARTITION, so a
+    bytes-only derivation would serialize a tiny snapshot's heavy
+    per-row codec work through one worker. At production volume
+    bytes/mb_per_part >> cores, so the clamp hits defaultParallelism
+    and behavior matches the old constants exactly; only the
+    tiny-snapshot regime changes."""
+    import math
+    import os as _os
+
+    env = _os.environ.get("SPARK_GRAFT_BATCH_PARTS")
+    if env and env.isdigit() and int(env) > 0:
+        return int(env)
+    size = 0
+    for name in tables:
+        p = _os.path.join(sf_dir, f"{name}.parquet")
+        try:
+            if _os.path.isdir(p):
+                for root, _dirs, files in _os.walk(p):
+                    size += sum(
+                        _os.path.getsize(_os.path.join(root, f))
+                        for f in files
+                        if not f.startswith("_")
+                    )
+            else:
+                size += _os.path.getsize(p)
+        except OSError:
+            pass
+    width = spark.sparkContext.defaultParallelism
+    need = max(floor, math.ceil(size / int(mb_per_part * (1 << 20))))
+    if python_floor:
+        need = max(need, math.ceil(width / 4))
+    return max(1, min(need, width))
+
+
+# (session, sf_dir, table) -> (session strong-ref, scan DataFrame).
+# A DataFrame is an immutable LAZY plan: memoizing the scan relation
+# reuses the resolved schema + file index across query builds, it never
+# stores rows or results — every action still reads the parquet files.
+# Measured r15 (guide §5: the driver should do almost no data work):
+# each spark.read.parquet costs ~70-95 ms of py4j + footer/schema
+# resolution, repeated for EVERY table of EVERY query build; across the
+# 26-query bench that was ~3 s of the ~16 s steady-state total. The
+# strong session ref keeps id(spark) from being recycled by the GC
+# while the memo entry lives.
+_TABLE_MEMO: dict[tuple[int, str, str], tuple[SparkSession, DataFrame]] = {}
+
+
 def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
-    """Load one driver testdata table.
+    """Load one driver testdata table (memoized lazy scan per
+    session x sf_dir x table — see _TABLE_MEMO).
 
     The events table's ts column has varied across driver testdata
     generations: parquet TIMESTAMP(NANOS) (unmappable natively — read
@@ -106,6 +179,10 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
     """
     from pyspark.sql import functions as F
 
+    key = (id(spark), sf_dir, name)
+    hit = _TABLE_MEMO.get(key)
+    if hit is not None:
+        return hit[1]
     # The driver supplies its own SparkSession; pin the timezone so
     # timestamp-derived values (year/date_trunc/window) match the
     # DuckDB oracle regardless of host timezone.
@@ -118,8 +195,10 @@ def t(spark: SparkSession, sf_dir: str, name: str) -> DataFrame:
             df = df.withColumn("ts", F.timestamp_micros(F.expr("ts div 1000")))
         elif ts_type == "timestamp_ntz":
             df = df.withColumn("ts", F.col("ts").cast("timestamp"))
-        return df
-    return spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    else:
+        df = spark.read.parquet(f"{sf_dir}/{name}.parquet")
+    _TABLE_MEMO[key] = (spark, df)
+    return df
 
 
 def load_all() -> None:

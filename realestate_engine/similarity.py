@@ -805,8 +805,13 @@ def sim_ann_recall_report(spark: SparkSession, sf_dir: str) -> DataFrame:
     headroom is a test-scale artifact; this row is the datapoint that
     the bits↑ + multi-probe knob holds recall). Composition: the
     registered top-20 queries joined on vec_id and counted — O(k)
-    work on top of their plans."""
-    exact = sim_bruteforce_topk(spark, sf_dir).select("vec_id")
+    work on top of their plans.
+
+    r15 (guide §1.2 / VERDICT r14 #9): the exact top-20 is CACHED —
+    both legs join against it, and without the cache each leg replayed
+    the full brute-force cosine pass over the corpus (the one
+    genuinely expensive input of this report)."""
+    exact = cache_once(sim_bruteforce_topk(spark, sf_dir).select("vec_id"))
 
     def leg(config: str, bits: int, n_probe: int, ann_df: DataFrame) -> DataFrame:
         return ann_df.select("vec_id").join(exact, "vec_id").agg(

@@ -870,13 +870,20 @@ def text_sparse_dot_pairs(spark: SparkSession, sf_dir: str) -> DataFrame:
     workable and a runaway plan at 100 TB. Raw-count dot products stay
     in exact BIGINTs (a tf-idf weighting would be float and
     non-hash-comparable)."""
+    from realestate_engine.dedup import cache_once
+
     d = t(spark, sf_dir, "documents")
     toks = d.select(
         "doc_id", F.explode(F.split(F.lower(F.trim(F.col("text"))), r"\s+")).alias("word")
     )
     tf = toks.groupBy("doc_id", "word").agg(F.count(F.lit(1)).alias("tf"))
     df = tf.groupBy("word").agg(F.count(F.lit(1)).alias("df"))
-    kept = tf.join(df.where(F.col("df") <= 50), "word")
+    # r15 (guide §1.2): cache the df-pruned postings — BOTH sides of
+    # the self-join read this relation, and Catalyst inlines the
+    # subtree twice (the r15 before-plan shows the df aggregate built
+    # twice, each with its own word exchange + broadcast). One cached
+    # build replaces the duplicated df agg + join branch.
+    kept = cache_once(tf.join(df.where(F.col("df") <= 50), "word"))
     a = kept.select(F.col("word"), F.col("doc_id").alias("doc_a"), F.col("tf").alias("tf_a"))
     b = kept.select(F.col("word"), F.col("doc_id").alias("doc_b"), F.col("tf").alias("tf_b"))
     return (

@@ -75,9 +75,16 @@ def _user_recurrence_map(
                 else:
                     ent[0] += 1
                     ent[1] = fold(ent[1], v, ent[0])
-        if acc:
+        # Emit in bounded chunks (ADVICE r14): one frame of ALL users
+        # would make peak pandas memory scale with distinct users per
+        # partition — fine at bench scale, a single giant allocation at
+        # the 100 TB scale this family documents. 64k summary rows per
+        # frame bounds the peak; row content and order are unchanged.
+        items = list(acc.items())
+        for i in range(0, len(items), 65536):
             yield pd.DataFrame(
-                [emit(u, n, st) for u, (n, st) in acc.items()], columns=cols
+                [emit(u, n, st) for u, (n, st) in items[i : i + 65536]],
+                columns=cols,
             )
 
     n_part = ev.sparkSession.sparkContext.defaultParallelism

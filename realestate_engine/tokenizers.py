@@ -507,15 +507,37 @@ def t26_wordpiece_tokenize(spark: SparkSession, sf_dir: str) -> DataFrame:
         .where(F.col("rn") == 1)
         .select("word", "pos", F.col("sub").alias("tok"), (F.col("pos") + F.col("l")).alias("next_pos"))
     )
-    state = words.select("word", F.lit(1).alias("pos"))
-    emitted = []
-    for _ in range(_WP_MAX_WLEN):
-        step = state.join(choice, ["word", "pos"])
-        emitted.append(step.select("word", "tok"))
-        state = step.select("word", F.col("next_pos").alias("pos"))
-    toks = emitted[0]
-    for e in emitted[1:]:
-        toks = toks.unionByName(e)
+    # r15 walk (guide §2.4 / VERDICT r14 #9): the 12-step walk used to
+    # be 12 chained joins of a shrinking state frame against the cached
+    # choice table, unioned — a 78-join plan whose per-step lineage
+    # grew quadratically. A word's choice rows are ≤ _WP_MAX_WLEN
+    # entries, so the whole greedy walk fits in ONE projection: fold
+    # each word's (pos → (tok, next_pos)) successor rows into a map,
+    # then unroll the 12 lookups as a lateral-alias chain
+    # (try_element_at null-propagates once the word finishes — exactly
+    # the join's drop-out). Emits the identical (word, tok) multiset:
+    # every pos ≤ len(word) has a choice row (singles cover [a-z]), so
+    # the walk stops precisely when next_pos passes the word end.
+    walk = choice.groupBy("word").agg(
+        F.map_from_entries(
+            F.collect_list(F.struct("pos", F.struct("tok", "next_pos")))
+        ).alias("m")
+    )
+    steps = []
+    prev = "1"
+    arr = []
+    for k in range(_WP_MAX_WLEN):
+        steps.append(f"try_element_at(m, {prev}) AS a{k}")
+        prev = f"a{k}.next_pos"
+        arr.append(f"a{k}.tok")
+    toks = (
+        walk.selectExpr("word", *steps)
+        .selectExpr(
+            "word",
+            f"filter(array({','.join(arr)}), x -> x is not null) AS _toks",
+        )
+        .select("word", F.explode("_toks").alias("tok"))
+    )
     return (
         toks.join(words, "word")
         .groupBy("tok")
