@@ -7,6 +7,16 @@ Each query executes end-to-end via the noop sink (full computation, no
 driver collect). First a warmup query amortizes JVM/session startup so
 the numbers measure the plans, not the JIT.
 
+Warm-cache convention (declared per VERDICT r14 #7): the untimed
+target-SF warm-up pass materializes every in-query cache_once()
+relation (minhash shingles, tf, graph edges, _dup_pairs), so the timed
+best-of-3 measures each plan's warm steady state — cache-bearing
+queries are TIMED WARM by design. The warm-up pass itself is now also
+timed and recorded per query as "queries_cold" / "cold_total" in the
+detail JSON line (ADVICE r14: keep the cold first-run number in the
+artifact so cross-round history stays interpretable); the graded
+"value" remains the warmed best-of-3 total, same as r14.
+
 The "duckdb" block is the external denominator the round-over-round
 numbers lack: the same headline queries' ORACLE SQL timed on DuckDB
 (all cores, same parquet files, fetchall-materialized) — an
@@ -157,8 +167,11 @@ def main() -> None:
     # report; methodology change and before/after numbers are recorded
     # in OPTIMIZATION_r14.md, and prior rounds' artifacts are kept for
     # the old-methodology history.
+    cold: dict[str, float] = {}
     for name in HEADLINE:
+        t0 = time.time()
         QUERIES[name](spark, sf_dir).write.format("noop").mode("overwrite").save()
+        cold[name] = round(time.time() - t0, 3)
 
     # best-of-3: single-shot timings swing ±2× on Python-worker and GC
     # state (the first sf0.1 run of a plan is routinely 1.5-2x its
@@ -270,6 +283,11 @@ def main() -> None:
                 "value": total,
                 "unit": "sec",
                 "queries": timings,
+                # first run at the target SF (includes cache_once
+                # builds + sf0.1-shaped codegen): the cold number the
+                # warmed best-of-3 "value" deliberately excludes.
+                "queries_cold": cold,
+                "cold_total": round(sum(cold.values()), 3),
                 "sf": sf_val,
                 "loadavg_start": loadavg_start,
                 "loadavg_end": _loadavg(),
