@@ -251,24 +251,32 @@ def main() -> None:
     # could never pass and the record silently never updated. An
     # externally-loaded run only ever produces a SLOWER total, which
     # cannot displace a min-record, so the end-check bought nothing.
-    # sf0.1-only: other SF dirs would not be comparable.
+    # sf0.1-only: other SF dirs would not be comparable. Core-count
+    # aware (r15): the record is only read/updated when this run's
+    # core count matches the file's — the driver's 8-core scaling run
+    # would otherwise displace the graded 32-core history (an 8-core
+    # total is FASTER at sf0.1: per-stage fixed costs scale with local
+    # thread count) and the 32-core record could never update again.
     quiet_best = None
     if sf_val == 0.1:
         quiet_path = os.path.join(
             os.path.dirname(os.path.abspath(__file__)), "BENCH_QUIET.json"
         )
         try:
-            quiet_best = float(json.load(open(quiet_path))["quiet_best"])
+            rec = json.load(open(quiet_path))
+            if int(rec.get("cpus", 32)) == int(cpus):
+                quiet_best = float(rec["quiet_best"])
         except (OSError, ValueError, KeyError, TypeError):
             quiet_best = None
         loadavg_end = _loadavg()
-        run_quiet = not contended
+        run_quiet = not contended and int(cpus) == 32
         if run_quiet and (quiet_best is None or total < quiet_best):
             quiet_best = total
             with open(quiet_path, "w") as f:
                 json.dump(
                     {
                         "quiet_best": total,
+                        "cpus": int(cpus),
                         "queries": timings,
                         "loadavg_start": loadavg_start,
                         "loadavg_end": loadavg_end,

@@ -806,7 +806,30 @@ def dedup_clusters(spark: SparkSession, sf_dir: str) -> DataFrame:
     size, propagation is linear per round). Edges come from the shared
     cached _dup_pairs relation (r14) instead of a private copy of the
     same join."""
-    return connected_components(_dup_pairs(spark, sf_dir)).orderBy("doc_id")
+    return _cluster_labels(spark, sf_dir).orderBy("doc_id")
+
+
+# (session, sf_dir) -> (session strong-ref, labels DataFrame). The CC
+# labels over _dup_pairs are consumed by FOUR queries (dedup_clusters,
+# dedup_canonical_selection, dedup_leakage_safe_split,
+# dedup_pipeline_summary); the r14 verdict's "one clustering pass"
+# principle, extended across the family (r15). Plan-keyed cache_once
+# cannot dedupe the loop — every invocation materializes fresh
+# localCheckpoint RDDs, so no two builds canonicalize equal — hence a
+# session memo with the same lifetime semantics as cache_once and
+# registry's scan memo: in-session only, first use computes from the
+# parquet inputs, one entry per (session, sf_dir), nothing persists
+# across processes. The strong session ref keeps id(spark) stable.
+_CC_MEMO: dict[tuple[int, str], tuple[SparkSession, DataFrame]] = {}
+
+
+def _cluster_labels(spark: SparkSession, sf_dir: str) -> DataFrame:
+    key = (id(spark), sf_dir)
+    hit = _CC_MEMO.get(key)
+    if hit is None:
+        hit = (spark, connected_components(_dup_pairs(spark, sf_dir)))
+        _CC_MEMO[key] = hit
+    return hit[1]
 
 
 @register("dedup_minhash_lsh_mllib")  # rows-only (seeded; hand-rolled variant is oracle-side)
@@ -1338,7 +1361,7 @@ def dedup_pipeline_summary(spark: SparkSession, sf_dir: str) -> DataFrame:
     Measured 8.3s -> 2.8s warm."""
     d = t(spark, sf_dir, "documents").filter(F.col("n_chars") <= 200)
     pairs = _dup_pairs(spark, sf_dir)
-    clusters = connected_components(pairs)  # doc_id, cluster_id — ONCE
+    clusters = _cluster_labels(spark, sf_dir)  # doc_id, cluster_id — ONCE per session (r15)
     # canonical stats: dedup_canonical_selection's expressions
     toks = d.select(
         "doc_id", F.size(F.split(F.trim("text"), r"\s+")).cast("bigint").alias("n_tokens")

@@ -273,7 +273,13 @@ def lp_labels(edges_p: DataFrame, rounds: int = 3) -> DataFrame:
             .agg(F.max(F.struct(F.col("cnt"), (-F.col("label")).alias("neg"))).alias("top"))
             .select(F.col("src").alias("node"), (-F.col("top.neg")).alias("label"))
         )
-    return labels
+    # r15 (guide §1.2): cache the final labels. graph_modularity reads
+    # this relation THREE times (degree-mass join + both endpoints of
+    # the within-community edge join), so the uncached form replayed
+    # the whole 3-round vote loop per consumer (measured 5.7s warm);
+    # the cache also makes graph_label_propagation and graph_modularity
+    # share ONE materialized LP result (identical canonicalized plan).
+    return cache_once(labels)
 
 
 @register("graph_label_propagation", _LP_ORACLE)
@@ -492,13 +498,17 @@ def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     only changes are the seed-restricted init and base term. The seed
     flag joins as a tiny broadcast; everything else reuses the cached
     src-partitioned edge layout."""
-    edges = trade_edges(spark, sf_dir)
-    # Same cached-narrow-edges + zero-shuffle degree aggregate as
-    # pagerank_fixed_point (see its comment; the window-count variant
-    # pays a full edge sort in the cache build).
-    edges_p = cache_once(edges.repartition("src"))
-    deg = edges_p.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
-    nodes = deg.select(F.col("src").alias("node"))
+    from realestate_engine.registry import input_width
+
+    # Same cached (src, dst, d) artifact as pagerank_fixed_point (r15;
+    # see its comment): the source degree rides the cached edges, so
+    # the per-iteration deg ⋈ ranks join is gone and the relation is
+    # plan-identical with graph_pagerank_trade's — one shared cache.
+    width = input_width(spark, sf_dir, "orders", "lineitem", mb_per_part=8)
+    rep = trade_edges(spark, sf_dir).repartition(width, "src")
+    deg = rep.groupBy("src").agg(F.count(F.lit(1)).alias("d"))
+    edges_p = cache_once(rep.join(deg, "src"))
+    nodes = edges_p.select("src").distinct().select(F.col("src").alias("node"))
     seeds = (
         t(spark, sf_dir, "customer")
         .where(F.col("c_nationkey") == 0)
@@ -519,13 +529,15 @@ def graph_personalized_pagerank(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     seed_flag = seeds.select(F.col("node").alias("dst"), F.lit(1).alias("_sd"))
     for _ in range(3):
-        outflow = deg.join(
-            ranks.select(F.col("node").alias("src"), "rank_micro", "n"), "src"
-        ).select("src", F.expr("rank_micro div d").alias("contrib"), "n")
         contrib = (
-            edges_p.join(outflow, "src")
+            edges_p.join(
+                ranks.select(F.col("node").alias("src"), "rank_micro", "n"), "src"
+            )
             .groupBy("dst")
-            .agg(F.sum("contrib").alias("inflow"), F.first("n").alias("n"))
+            .agg(
+                F.sum(F.expr("rank_micro div d")).alias("inflow"),
+                F.first("n").alias("n"),
+            )
         )
         ranks = (
             contrib.join(F.broadcast(seed_flag), "dst", "left")
@@ -814,13 +826,19 @@ def graph_hits_authorities(spark: SparkSession, sf_dir: str) -> DataFrame:
     )
     hub = pairs.select("c").distinct().select("c", F.lit(HITS_SCALE).alias("hub"))
     auth = None
+    # r15 (guide §1.2): cache each half-step's raw aggregate — it is
+    # consumed TWICE (its own max + the normalized projection), and the
+    # next half-step builds on the result, so the uncached lazy form
+    # replayed the whole prior chain multiplicatively per round
+    # (measured 3.5s warm; ~0.9s cached). Node-sized relations, 2 per
+    # round, LRU-evicted under pressure.
     for _ in range(HITS_ROUNDS):
-        araw = pairs.join(hub, "c").groupBy("s").agg(F.sum("hub").alias("raw"))
+        araw = cache_once(pairs.join(hub, "c").groupBy("s").agg(F.sum("hub").alias("raw")))
         amax = araw.agg(F.max("raw").alias("m"))
         auth = araw.crossJoin(F.broadcast(amax)).select(
             "s", F.expr(f"(raw * {HITS_SCALE}) div m").alias("auth")
         )
-        hraw = pairs.join(auth, "s").groupBy("c").agg(F.sum("auth").alias("raw"))
+        hraw = cache_once(pairs.join(auth, "s").groupBy("c").agg(F.sum("auth").alias("raw")))
         hmax = hraw.agg(F.max("raw").alias("m"))
         hub = hraw.crossJoin(F.broadcast(hmax)).select(
             "c", F.expr(f"(raw * {HITS_SCALE}) div m").alias("hub")

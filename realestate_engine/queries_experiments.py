@@ -548,10 +548,18 @@ def ev13_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         F.datediff("done_date", F.col("o_orderdate").cast("date")).alias("dur"),
         F.when(F.col("o_orderstatus") == "F", 1).otherwise(0).alias("ev"),
     )
-    per = subj.groupBy("dur").agg(
-        F.count(F.lit(1)).alias("n"),
-        F.sum("ev").alias("d"),
-        (F.count(F.lit(1)) - F.sum("ev")).alias("c"),
+    from realestate_engine.dedup import cache_once
+
+    # r15 (guide §1.2): cache the ~130-row per-duration census and the
+    # KM terms below — both feed broadcast non-equi SELF-joins, and
+    # each uncached side replayed the full subjects rollup (lineitem
+    # groupBy + orders join) per consumer.
+    per = cache_once(
+        subj.groupBy("dur").agg(
+            F.count(F.lit(1)).alias("n"),
+            F.sum("ev").alias("d"),
+            (F.count(F.lit(1)) - F.sum("ev")).alias("c"),
+        )
     )
     a, b = per.alias("a"), per.alias("b")
     at_risk = (
@@ -574,6 +582,7 @@ def ev13_kaplan_meier(spark: SparkSession, sf_dir: str) -> DataFrame:
         .otherwise(F.lit(0).cast("long"))
         .alias("term_micro"),
     )
+    terms = cache_once(terms)
     ta, tb = terms.alias("ta"), terms.alias("tb")
     return (
         ta.join(F.broadcast(tb), F.col("tb.dur") <= F.col("ta.dur"))

@@ -1536,9 +1536,15 @@ def m27_ndcg_ranking_eval(spark: SparkSession, sf_dir: str) -> DataFrame:
     against the broadcast 10-row discount dim."""
     from pyspark.sql.window import Window
 
+    from realestate_engine.dedup import cache_once
+
     li = t(spark, sf_dir, "lineitem")
     o = t(spark, sf_dir, "orders")
-    up = (
+    # r15 (guide §1.2): cache the (cust, part) rollup — BOTH top-10
+    # branches (DCG by spend, IDCG by quantity) window over this exact
+    # relation, and the uncached form replayed the lineitem⋈orders
+    # join + aggregate once per branch.
+    up = cache_once(
         li.join(o, li.l_orderkey == o.o_orderkey)
         .groupBy(F.col("o_custkey").alias("custkey"), F.col("l_partkey").alias("partkey"))
         .agg(

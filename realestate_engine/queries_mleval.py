@@ -14,7 +14,7 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from realestate_engine.dedup import cache_once, portable_hash32
-from realestate_engine.registry import register, t
+from realestate_engine.registry import input_width, register, t
 
 
 @register(
@@ -818,6 +818,7 @@ def m38_viterbi_decode(spark: SparkSession, sf_dir: str) -> DataFrame:
         ),
         value_col="obs",
         to_v=int,
+        width=input_width(spark, sf_dir, "events", python_floor=True),
     ).orderBy("user_id")
 
 

@@ -146,7 +146,11 @@ def input_width(
     width = spark.sparkContext.defaultParallelism
     need = max(floor, math.ceil(size / int(mb_per_part * (1 << 20))))
     if python_floor:
-        need = max(need, math.ceil(width / 4))
+        # at least 2 (when the session has ≥2 cores): a width of 1
+        # collapses the repartition to SinglePartition and serializes
+        # every Arrow batch through one Python worker — the exact
+        # failure the explicit width exists to prevent.
+        need = max(need, min(width, 2), math.ceil(width / 4))
     return max(1, min(need, width))
 
 

@@ -70,15 +70,49 @@ def _lsh_ann_oracle_sql(bits: int = 4) -> str:
     """
 
 
+_LSH_MAX_DIM = 256  # sign literals precomputed up to this dimension
+
+
+def _hyperplane_signs_py(b: int, n: int) -> list[float]:
+    """The hyperplane-b sign vector computed ONCE in Python — the
+    identical md5-parity values _hyperplane_sign produced per row
+    (hashlib.md5 and Spark's md5 hash the same UTF-8 bytes). r15
+    (guide §1.2 per-task work): the old per-row form evaluated
+    bits x dim interpreted md5 calls PER VECTOR (12 x 64 = 768 at the
+    multiprobe setting) for a sign that depends only on (b, i); the
+    plan now carries the signs as an array literal, so the projection
+    is a pure multiply-add fold. The DuckDB oracle twin is unchanged —
+    it recomputes the same md5 parity inline — which also means any
+    drift in this precomputation would fail the hash gate."""
+    import hashlib
+
+    return [
+        1.0 if int(hashlib.md5(f"{b}:{i}".encode()).hexdigest()[:8], 16) % 2 == 0 else -1.0
+        for i in range(n)
+    ]
+
+
 def lsh_bucket(vec: Column, bits: int = 8) -> Column:
     """Random-hyperplane LSH bucket id (0..2^bits-1) as a pure
-    expression: sign of <v, h_b> contributes bit b."""
+    expression: sign of <v, h_b> contributes bit b. Sign vectors are
+    constant literals (see _hyperplane_signs_py), sliced to the
+    vector's length so any dim <= _LSH_MAX_DIM folds element-for-
+    element exactly as the old transform did."""
     acc = F.lit(0).cast("long")
     for b in range(bits):
+        # one F.expr per sign array (a 256-literal array() text parses
+        # in one py4j call; per-element F.lit composition costs ~3000
+        # driver round-trips at 12 bits — measured 2s of build)
+        signs = F.expr(
+            "array(" + ",".join(
+                "1.0D" if s > 0 else "-1.0D"
+                for s in _hyperplane_signs_py(b, _LSH_MAX_DIM)
+            ) + ")"
+        )
         proj = F.aggregate(
             F.zip_with(
                 vec,
-                F.transform(F.sequence(F.lit(0), F.size(vec) - 1), lambda i: _hyperplane_sign(b, i)),
+                F.slice(signs, 1, F.size(vec)),
                 lambda x, s: x * s,
             ),
             F.lit(0.0),

@@ -186,11 +186,17 @@ def custom_running_total_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
     applyInPandas form paid one Python call per user (1,500 calls at
     sf0.1; millions at 100 TB), this pays ~one per 10k-row batch. The
     arithmetic is integer cents (floor, then int64 cumsum) so the result
-    is bit-exact against the SQL-window oracle. Width follows core
-    count, not data bytes: a measured sweep at sf0.1 (PLANS.md, r8) is
-    monotone — width 1 = 8.2s, 8 = 1.7s, 32 = 1.05s — because the cost
-    being parallelized is Python-side per-call overhead, and Spark's
-    reused Python workers make extra width ~free."""
+    is bit-exact against the SQL-window oracle.
+
+    Width (r15): bytes-derived with the cores/4 Python-worker floor
+    (registry.input_width). The r8 "width follows core count" sweep
+    predates the r14 partition-streaming rewrite — with ~one Python
+    call per 10k-row Arrow batch instead of per group, extra width
+    past the worker floor only adds near-empty tasks: re-measured at
+    sf0.1 on local[32], width 8 = 0.32s best-of-3 vs 32 = 0.40s (and
+    the r14 driver's 8-core run beat the 32-core time for exactly this
+    reason). At real volume bytes/32MB >> cores and the clamp
+    saturates to defaultParallelism — same production behavior."""
 
     def running_stream(batches):
         import numpy as np
@@ -211,11 +217,13 @@ def custom_running_total_pandas(spark: SparkSession, sf_dir: str) -> DataFrame:
             carry_total = int(pdf["running_cents"].iloc[-1])
             yield pdf[["user_id", "event_id", "ts", "running_cents"]]
 
+    from realestate_engine.registry import input_width
+
     ev = t(spark, sf_dir, "events").select("user_id", "event_id", "ts", "value")
     # Explicit repartition with an explicit count: AQE would coalesce
     # this ~2 MB shuffle to 1 partition, serializing every batch through
     # a single Python worker (measured 8x slower at sf0.1).
-    n_part = spark.sparkContext.defaultParallelism
+    n_part = input_width(spark, sf_dir, "events", python_floor=True)
     return (
         ev.repartition(n_part, "user_id")
         .sortWithinPartitions("user_id", "ts", "event_id")

@@ -25,11 +25,17 @@ from pyspark.sql import functions as F
 from pyspark.sql.window import Window
 
 from realestate_engine.dedup import cache_once
-from realestate_engine.registry import register, t
+from realestate_engine.registry import input_width, register, t
 
 
 def _user_recurrence_map(
-    ev: DataFrame, fold, emit, schema: str, value_col: str = "value", to_v=None
+    ev: DataFrame,
+    fold,
+    emit,
+    schema: str,
+    value_col: str = "value",
+    to_v=None,
+    width: int | None = None,
 ) -> DataFrame:
     """Order-dependent per-user integer recurrences (EWMA / Holt /
     Holt-Winters) as a partition-streaming mapInPandas — the
@@ -87,7 +93,12 @@ def _user_recurrence_map(
                 columns=cols,
             )
 
-    n_part = ev.sparkSession.sparkContext.defaultParallelism
+    # r15: callers pass a bytes-derived width with the cores/4 Python
+    # floor (registry.input_width) — the custom_running_total sweep
+    # showed full core-count width only adds near-empty tasks for the
+    # per-batch-call form; defaultParallelism stays the fallback for
+    # direct callers.
+    n_part = width or ev.sparkSession.sparkContext.defaultParallelism
     return (
         ev.repartition(n_part, "user_id")
         .sortWithinPartitions("user_id", "ts", "event_id")
@@ -360,6 +371,7 @@ def ts_ewma_int(spark: SparkSession, sf_dir: str) -> DataFrame:
         fold=lambda st, v, rn: v if st is None else (st + v) // 2,
         emit=lambda u, n, st: (u, n, st),
         schema="user_id long, n_events long, ewma_milli long",
+        width=input_width(spark, sf_dir, "events", python_floor=True),
     ).orderBy("user_id")
 
 
@@ -418,6 +430,7 @@ def ts_holt_int(spark: SparkSession, sf_dir: str) -> DataFrame:
         fold=fold,
         emit=lambda u, n, st: (u, n, st[0], st[1], st[0] + st[1]),
         schema="user_id long, n_events long, level_milli long, trend_milli long, forecast_milli long",
+        width=input_width(spark, sf_dir, "events", python_floor=True),
     ).orderBy("user_id")
 
 
@@ -509,6 +522,7 @@ def ts8_holt_winters_int(spark: SparkSession, sf_dir: str) -> DataFrame:
         fold=fold,
         emit=emit,
         schema="user_id long, n_events long, level_milli long, trend_milli long, forecast_milli long",
+        width=input_width(spark, sf_dir, "events", python_floor=True),
     ).orderBy("user_id")
 
 

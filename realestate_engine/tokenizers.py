@@ -884,32 +884,41 @@ def t31_unigram_viterbi(spark: SparkSession, sf_dir: str) -> DataFrame:
             "word", "pos", (F.col("pos") + F.col("l")).alias("next_pos"), "enc"
         )
     )
-    best = words.select(
-        "word", F.lit(1).cast("int").alias("pos"), F.lit(0).cast("bigint").alias("acc")
+    # r15 DP (the t26 walk lesson applied to Viterbi — guide §2.4): a
+    # word's DAG has ≤ _WP_MAX_WLEN positions and ≤ pos·len edges, so
+    # the whole forward DP fits ONE projection instead of 11 rounds of
+    # (filtered edge join + per-word MIN + union + eager checkpoint —
+    # one driver job per round). Fold each word's incoming edges into a
+    # map next_pos → [(from_pos, enc)], then unroll b(p) = min over
+    # incoming edges of b(from) + enc as a lateral-alias chain over an
+    # accumulating 1-based best-array. Null semantics reproduce the
+    # join exactly: an unreachable from-position contributes NULL and
+    # array_min skips NULLs; a position with no incoming edges gets
+    # NULL wholesale (try_element_at) — precisely the rows the old
+    # per-round join dropped. MIN over the same packed (cost, count)
+    # encodings → identical accumulators.
+    by_next = edges.groupBy("word", "next_pos").agg(
+        F.collect_list(F.struct("pos", "enc")).alias("es")
     )
+    dag = by_next.groupBy("word").agg(
+        F.map_from_entries(F.collect_list(F.struct("next_pos", "es"))).alias("m")
+    )
+    steps = ["array(cast(0 as bigint)) AS b1"]
     for p in range(2, _UV_MAX_P + 1):
-        step = (
-            edges.where(F.col("next_pos") == p)
-            .withColumnRenamed("pos", "from_pos")
-            .join(
-                best.withColumnRenamed("pos", "from_pos"),
-                ["word", "from_pos"],
-            )
-            .groupBy("word")
-            .agg(F.min(F.col("acc") + F.col("enc")).alias("acc"))
-            .select("word", F.lit(p).cast("int").alias("pos"), "acc")
+        bp = (
+            f"array_min(transform(try_element_at(m, {p}), "
+            f"e -> try_element_at(b{p - 1}, e.pos) + e.enc))"
         )
-        # the accumulated relation is distinct-word-sized; an eager
-        # checkpoint EVERY round keeps the 12-round union lineage flat
-        # (at 4-round cadence the serialized plan reached ~70 MB task
-        # binaries — the iterative-self-join lesson, again)
-        best = best.unionByName(step).localCheckpoint()
+        steps.append(f"concat(b{p - 1}, array({bp})) AS b{p}")
+    best = dag.selectExpr("word", *steps).select(
+        "word", F.col(f"b{_UV_MAX_P}").alias("b")
+    )
     finals = words.select(
         "word", "wcount", (F.length("word") + 1).cast("int").alias("final_pos")
     )
     return (
         best.join(finals, "word")
-        .where(F.col("pos") == F.col("final_pos"))
+        .select("wcount", F.expr("element_at(b, final_pos)").alias("acc"))
         .select((F.col("acc") % 128).alias("n_tokens"), "wcount", (F.col("acc") / F.lit(128)).cast("bigint").alias("cost_micro"))
         .groupBy("n_tokens")
         .agg(

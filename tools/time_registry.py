@@ -56,8 +56,15 @@ def main() -> None:
                 break
         results[name] = rec
         print(f"[{i + 1}/{len(names)}] {name}: {rec}", flush=True)
-        # checkpoint every 25 queries so a crash keeps partial data
+        # checkpoint every 25 queries so a crash keeps partial data,
+        # and release accumulated cache_once relations (ADVICE r14 /
+        # r15: a 498-query session otherwise accumulates every family's
+        # cached relations — measured ~10% total drift plus 3-10x
+        # late-sweep outliers on UNTOUCHED queries from the resulting
+        # GC pressure; each query's warm number is unaffected because
+        # its own cold run rebuilds what it caches)
         if (i + 1) % 25 == 0 or i + 1 == len(names):
+            spark.catalog.clearCache()
             with open(out_path, "w") as f:
                 json.dump(results, f, indent=1)
     spark.sparkContext.setJobDescription(None)
